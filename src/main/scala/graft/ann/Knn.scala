@@ -1,0 +1,72 @@
+package graft.ann
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dense-vector similarity search over an `ARRAY<FLOAT>` embedding column.
+  *
+  * All vector math is built from higher-order column functions
+  * (`zip_with`/`transform`/`aggregate`) so it runs inside codegen with no
+  * UDF/serialization cost. Elements are cast to double BEFORE multiplying:
+  * a float×float product computed in double is exact (24+24 mantissa bits
+  * < 53), which makes results reproducible across engines up to summation
+  * order.
+  *
+  * Scale design: `cosineKnn` broadcasts the (small) query set against the
+  * (huge) candidate corpus — a map-side broadcast nested-loop join with a
+  * per-query top-k, i.e. brute force that parallelizes linearly in the
+  * corpus. `nearDupPairs` is the all-pairs variant for bounded subsets;
+  * at 100 TB you'd first block with LSH (see graft.dedup) and only score
+  * within buckets.
+  */
+object Knn {
+
+  /** Exact double dot product of two float array columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** L2 norm of a float array column. */
+  def l2norm(a: Column): Column =
+    sqrt(aggregate(
+      transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v))
+
+  private def withNorm(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+    emb.select(col(idCol), col(vecCol), l2norm(col(vecCol)).as("nrm"))
+
+  /** Brute-force cosine top-k: for every query vector, the k most similar
+    * candidates (self excluded). Query side is broadcast.
+    * Returns (q_id, rk, cand_id, sim) with sim rounded to 6 decimals.
+    */
+  def cosineKnn(emb: DataFrame, idCol: String, vecCol: String,
+                queryPred: Column, k: Int): DataFrame = {
+    val e = withNorm(emb, idCol, vecCol)
+    val q = e.where(queryPred).select(
+      col(idCol).as("q_id"), col(vecCol).as("q_vec"), col("nrm").as("q_nrm"))
+    val c = e.select(
+      col(idCol).as("cand_id"), col(vecCol).as("c_vec"), col("nrm").as("c_nrm"))
+    val sims = broadcast(q).join(c, col("q_id") =!= col("cand_id"))
+      .select(col("q_id"), col("cand_id"),
+        (dot(col("q_vec"), col("c_vec")) / (col("q_nrm") * col("c_nrm"))).as("sim"))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("cand_id"))
+    sims.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col("q_id"), col("rk"), col("cand_id"), round(col("sim"), 6).as("sim"))
+  }
+
+  /** All-pairs near-duplicate detection by cosine threshold (id_a < id_b). */
+  def nearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+                   threshold: Double): DataFrame = {
+    val e = withNorm(emb, idCol, vecCol)
+    val a = e.select(col(idCol).as("id_a"), col(vecCol).as("va"), col("nrm").as("na"))
+    val b = e.select(col(idCol).as("id_b"), col(vecCol).as("vb"), col("nrm").as("nb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("sim"))
+      .where(col("sim") > threshold)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
+  }
+}

@@ -1,0 +1,93 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication operators for large-scale corpus cleaning.
+  *
+  * Four families, in increasing fuzziness:
+  *  - exact / bag-of-words fingerprint dedup (hash group-by — one shuffle)
+  *  - MinHash + LSH banding (shingle → minhash → band bucket → bucket join)
+  *  - n-gram Jaccard (token-shingle inverted-index join)
+  *  - embedding-cosine near-dup lives in graft.ann.Knn
+  *
+  * MinHash here uses the "min of a keyed cryptographic hash" family:
+  * h_i(doc) = min over tokens of md5(i ":" token). md5 is available and
+  * bit-identical in every engine, the signature is computed per-row with
+  * NO shuffle, and band equality then needs only one exchange on the
+  * band key — the layout that survives a 100 TB corpus (bucket sizes,
+  * not corpus size, drive the join fan-out).
+  */
+object Dedup {
+
+  /** One minhash value: lexicographic min of md5("<seed>:" + token) over
+    * the distinct tokens of the array column.
+    */
+  def minhash(tokens: Column, seed: Int): Column =
+    array_min(transform(array_distinct(tokens),
+      t => md5(concat(lit(s"$seed:"), t))))
+
+  /** Signature frame: (id, mh0..mh{n-1}) — entirely map-side. */
+  def minhashSignatures(docs: DataFrame, idCol: String, tokensCol: String,
+                        nHashes: Int): DataFrame = {
+    val mhs = (0 until nHashes).map(i => minhash(col(tokensCol), i).as(s"mh$i"))
+    docs.select(col(idCol) +: mhs: _*)
+  }
+
+  /** LSH candidate pairs: docs sharing any (band, minhash) bucket.
+    * One row per band per doc → self equi-join on (band, mh) → distinct.
+    * Band size 1 here (each hash is its own band) — recall-oriented.
+    */
+  def lshCandidatePairs(docs: DataFrame, idCol: String, tokensCol: String,
+                        nHashes: Int): DataFrame = {
+    val sigs = minhashSignatures(docs, idCol, tokensCol, nHashes)
+    val bands = sigs.select(col(idCol),
+      posexplode(array((0 until nHashes).map(i => col(s"mh$i")): _*))
+        .as(Seq("band", "mh")))
+    bands.alias("a")
+      .join(bands.alias("b"),
+        col("a.band") === col("b.band") && col("a.mh") === col("b.mh") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+  }
+
+  /** Bag-of-words fingerprint dedup: md5 of the sorted distinct token
+    * set; returns fingerprint groups with >1 member. Exact-dup detection
+    * is the same with fingerprint = md5(normalized text).
+    */
+  def bowFingerprintDups(docs: DataFrame, idCol: String, tokensCol: String): DataFrame =
+    docs.select(col(idCol),
+        md5(concat_ws(" ", array_sort(array_distinct(col(tokensCol))))).as("fingerprint"))
+      .groupBy("fingerprint")
+      .agg(count(lit(1)).as("cnt"), min(col(idCol)).as("min_id"))
+      .where(col("cnt") > 1)
+
+  /** Word-bigram shingles (distinct) of a token array column. */
+  def bigramShingles(tokens: Column): Column = {
+    val n = size(tokens)
+    when(n < 2, array().cast("array<string>")).otherwise(
+      array_distinct(zip_with(
+        slice(tokens, lit(1), n - 1), slice(tokens, lit(2), n - 1),
+        (a, b) => concat(a, lit(" "), b))))
+  }
+
+  /** Pairwise n-gram Jaccard similarity via a shingle inverted-index
+    * self-join (only pairs sharing ≥1 shingle ever meet):
+    * J = |A∩B| / (|A| + |B| − |A∩B|). Exact integer division → bit-exact.
+    */
+  def bigramJaccardPairs(docs: DataFrame, idCol: String, tokensCol: String): DataFrame = {
+    val sh = docs.select(col(idCol), bigramShingles(col(tokensCol)).as("sh"))
+    val sizes = sh.select(col(idCol), size(col("sh")).as("n"))
+    val ex = sh.select(col(idCol), explode(col("sh")).as("s"))
+    val inter = ex.alias("a")
+      .join(ex.alias("b"), col("a.s") === col("b.s") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col(idCol).as("id_a"), col("n").as("na")), "id_a")
+      .join(sizes.select(col(idCol).as("id_b"), col("n").as("nb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (col("inter") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
+  }
+}

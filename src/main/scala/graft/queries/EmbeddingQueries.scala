@@ -1,0 +1,61 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.ann.Knn
+import org.apache.spark.sql.functions._
+
+/** Dense-embedding similarity search over the `embeddings` table
+  * (ARRAY<FLOAT>, 64-dim): brute-force cosine top-k, norms, and
+  * threshold near-dup pairs. Float elements are cast to double before
+  * multiplying (exact products) so only summation-order rounding
+  * remains → round(…, 6) is bit-stable across engines.
+  */
+object EmbeddingQueries {
+
+  /** DuckDB double dot product of two float lists, exact per-element. */
+  private def sqlDot(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, len($a)+1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+
+  private def sqlNorm(a: String): String = s"SQRT(${sqlDot(a, a)})"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- q34: brute-force cosine k-NN (k=5) for query vectors vec_id<20.
+    QueryDef("q34_knn_brute", Some(s"""
+      WITH e AS (SELECT vec_id, embedding, ${sqlNorm("embedding")} AS nrm FROM embeddings),
+      p AS (SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+                   ${sqlDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS s
+            FROM e q JOIN e c ON q.vec_id < 20 AND c.vec_id <> q.vec_id),
+      r AS (SELECT q_id, cand_id, s,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY s DESC, cand_id)
+                        AS INTEGER) AS rk
+            FROM p)
+      SELECT q_id, rk, cand_id, ROUND(s, 6) AS sim
+      FROM r WHERE rk <= 5 ORDER BY q_id, rk"""),
+      (s, dir) =>
+        Knn.cosineKnn(Tables.read(s, dir, "embeddings"), "vec_id", "embedding",
+            col("vec_id") < 20, 5)
+          .orderBy("q_id", "rk")),
+
+    // ---- q35: per-vector L2 norms.
+    QueryDef("q35_embedding_norms", Some(s"""
+      SELECT vec_id, ROUND(${sqlNorm("embedding")}, 6) AS norm
+      FROM embeddings ORDER BY vec_id"""),
+      (s, dir) =>
+        Tables.read(s, dir, "embeddings")
+          .select(col("vec_id"), round(Knn.l2norm(col("embedding")), 6).as("norm"))
+          .orderBy("vec_id")),
+
+    // ---- q36: embedding-cosine near-duplicate pairs above threshold.
+    QueryDef("q36_embedding_neardup", Some(s"""
+      WITH e AS (SELECT vec_id, embedding, ${sqlNorm("embedding")} AS nrm FROM embeddings),
+      p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   ${sqlDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS s
+            FROM e a JOIN e b ON a.vec_id < b.vec_id)
+      SELECT id_a, id_b, ROUND(s, 6) AS sim FROM p
+      WHERE s > CAST(0.25 AS DOUBLE) ORDER BY id_a, id_b"""),
+      (s, dir) =>
+        Knn.nearDupPairs(Tables.read(s, dir, "embeddings"), "vec_id", "embedding", 0.25)
+          .orderBy("id_a", "id_b"))
+  )
+}

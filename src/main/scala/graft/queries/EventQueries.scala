@@ -1,0 +1,86 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-time coverage over the `events` table: tumbling-window
+  * aggregation, JSON extraction, gap-based sessionization, and grouped
+  * stats. Timestamps are compared in integer epoch space (Spark reads
+  * the ns column as long, DuckDB truncates ns→µs identically), and the
+  * 2-decimal `value` column is aggregated in scaled-integer space.
+  *
+  * The same tumbling/session shapes run under Structured Streaming
+  * (see graft.streaming) — batch here, because the driver oracle is batch.
+  */
+object EventQueries {
+
+  private val valCents = "CAST(ROUND(value*100) AS BIGINT)"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- q14: tumbling 1-hour window aggregation (batch analogue of a
+    // streaming windowed count; window key = integer epoch hour).
+    QueryDef("q14_hourly_window", Some(s"""
+      SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+             event_type, COUNT(*) AS n,
+             CAST(SUM($valCents) AS BIGINT) / 100.0 AS sum_value
+      FROM events GROUP BY 1, 2 ORDER BY hour_epoch, event_type"""),
+      (s, dir) =>
+        Tables.events(s, dir)
+          .groupBy(expr("(ts_us div 3600000000) * 3600").as("hour_epoch"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+               (sum(QueryDef.cents(col("value"))) / 100.0).as("sum_value"))
+          .orderBy("hour_epoch", "event_type")),
+
+    // ---- q15: JSON field extraction + agg.
+    QueryDef("q15_json_extract", Some(s"""
+      SELECT CAST(json_extract_string(props, '$$.k') AS INTEGER) AS k,
+             COUNT(*) AS n,
+             CAST(SUM($valCents) AS BIGINT) / 100.0 AS sum_value
+      FROM events GROUP BY 1 ORDER BY k"""),
+      (s, dir) =>
+        Tables.events(s, dir)
+          .groupBy(get_json_object(col("props"), "$.k").cast("int").as("k"))
+          .agg(count(lit(1)).as("n"),
+               (sum(QueryDef.cents(col("value"))) / 100.0).as("sum_value"))
+          .orderBy("k")),
+
+    // ---- q37: gap-based sessionization (30-min inactivity) via lag +
+    // cumulative flag — integer µs arithmetic, exact on both engines.
+    QueryDef("q37_sessions", Some("""
+      WITH x AS (SELECT user_id, event_id, epoch_us(ts) AS tu FROM events),
+      f AS (SELECT user_id,
+                   CASE WHEN tu - lag(tu) OVER (PARTITION BY user_id ORDER BY tu, event_id)
+                             > 1800000000 THEN 1 ELSE 0 END AS newf
+            FROM x)
+      SELECT user_id, COUNT(*) AS n_events,
+             CAST(SUM(newf) + 1 AS BIGINT) AS n_sessions
+      FROM f GROUP BY user_id ORDER BY user_id"""),
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        Tables.events(s, dir)
+          .withColumn("newf",
+            when(col("ts_us") - lag("ts_us", 1).over(w) > 1800000000L, 1).otherwise(0))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"), (sum("newf") + 1).as("n_sessions"))
+          .orderBy("user_id")
+      }),
+
+    // ---- q39: grouped stats incl. exact avg via scaled ints.
+    QueryDef("q39_event_stats", Some(s"""
+      SELECT event_type, COUNT(*) AS n,
+             CAST(SUM($valCents) AS BIGINT) / 100.0 AS sum_value,
+             CAST(SUM($valCents) AS BIGINT) / COUNT(*) / 100.0 AS avg_value,
+             MIN(value) AS min_value, MAX(value) AS max_value
+      FROM events GROUP BY event_type ORDER BY event_type"""),
+      (s, dir) =>
+        Tables.events(s, dir)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+               (sum(QueryDef.cents(col("value"))) / 100.0).as("sum_value"),
+               (sum(QueryDef.cents(col("value"))) / count(lit(1)) / 100.0).as("avg_value"),
+               min("value").as("min_value"), max("value").as("max_value"))
+          .orderBy("event_type"))
+  )
+}

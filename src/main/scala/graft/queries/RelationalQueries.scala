@@ -1,0 +1,270 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.QueryDef.cents
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operator coverage over the TPC-H-ish tables: scan,
+  * filter+projection pushdown, inner/outer/semi/anti/cross/broadcast
+  * joins, global and grouped aggregation, rollup, union, distinct,
+  * top-k, ranking and frame windows (SURVEY.md §2.2-§2.5 and the
+  * engine-capability extensions of §2.9/§7).
+  */
+object RelationalQueries {
+
+  private val epCents   = "CAST(ROUND(l_extendedprice*100) AS BIGINT)"
+  private val discPct   = "CAST(ROUND((1-l_discount)*100) AS BIGINT)"
+  private val taxPct    = "CAST(ROUND((1+l_tax)*100) AS BIGINT)"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- q01: TPC-H Q1-style pricing summary: scan + filter + group agg.
+    QueryDef("q01_pricing_summary", Some(s"""
+      SELECT l_returnflag, l_linestatus,
+             CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+             CAST(SUM($epCents) AS BIGINT) / 100.0 AS sum_base_price,
+             CAST(SUM($epCents * $discPct) AS BIGINT) / 10000.0 AS sum_disc_price,
+             CAST(SUM($epCents * $discPct * $taxPct) AS BIGINT) / 1000000.0 AS sum_charge,
+             AVG(l_quantity) AS avg_qty,
+             COUNT(*) AS count_order
+      FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus"""),
+      (s, dir) => {
+        val ep = cents(col("l_extendedprice"))
+        val dp = cents(lit(1) - col("l_discount"))
+        val tp = cents(lit(1) + col("l_tax"))
+        Tables.read(s, dir, "lineitem")
+          .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            sum("l_quantity").cast("long").as("sum_qty"),
+            (sum(ep) / 100.0).as("sum_base_price"),
+            (sum(ep * dp) / 10000.0).as("sum_disc_price"),
+            (sum(ep * dp * tp) / 1000000.0).as("sum_charge"),
+            avg("l_quantity").as("avg_qty"),
+            count(lit(1)).as("count_order"))
+          .orderBy("l_returnflag", "l_linestatus")
+      }),
+
+    // ---- q02: TPC-H Q6-style: selective filter → global agg. The scan
+    // must show PushedFilters on l_shipdate/l_quantity.
+    QueryDef("q02_revenue_filter", Some(s"""
+      SELECT CAST(SUM($epCents * CAST(ROUND(l_discount*100) AS BIGINT)) AS BIGINT) / 10000.0 AS revenue,
+             COUNT(*) AS n
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        AND l_discount BETWEEN CAST(0.05 AS DOUBLE) AND CAST(0.07 AS DOUBLE)
+        AND l_quantity < 24"""),
+      (s, dir) =>
+        Tables.read(s, dir, "lineitem")
+          .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+            && col("l_shipdate") < lit("1997-01-01").cast("timestamp")
+            && col("l_discount").between(0.05, 0.07)
+            && col("l_quantity") < 24)
+          .agg((sum(cents(col("l_extendedprice")) * cents(col("l_discount"))) / 10000.0).as("revenue"),
+               count(lit(1)).as("n"))),
+
+    // ---- q03: TPC-H Q3-style 3-way join + grouped agg + deterministic top-10.
+    QueryDef("q03_top_orders", Some(s"""
+      SELECT o_orderkey,
+             CAST(SUM($epCents * $discPct) AS BIGINT) / 10000.0 AS revenue
+      FROM customer JOIN orders ON c_custkey = o_custkey
+                    JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1997-01-01'
+        AND l_shipdate  > TIMESTAMP '1997-01-01'
+      GROUP BY o_orderkey
+      ORDER BY CAST(SUM($epCents * $discPct) AS BIGINT) DESC, o_orderkey
+      LIMIT 10"""),
+      (s, dir) => {
+        val c = Tables.read(s, dir, "customer").where(col("c_mktsegment") === "BUILDING")
+        val o = Tables.read(s, dir, "orders")
+          .where(col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        val l = Tables.read(s, dir, "lineitem")
+          .where(col("l_shipdate") > lit("1997-01-01").cast("timestamp"))
+        c.join(o, col("c_custkey") === col("o_custkey"))
+          .join(l, col("o_orderkey") === col("l_orderkey"))
+          .groupBy("o_orderkey")
+          .agg(sum(cents(col("l_extendedprice")) * cents(lit(1) - col("l_discount"))).as("rc"))
+          .orderBy(col("rc").desc, col("o_orderkey"))
+          .limit(10)
+          .select(col("o_orderkey"), (col("rc") / 10000.0).as("revenue"))
+      }),
+
+    // ---- q04: left outer join keeping customers with zero orders,
+    // then a second aggregation over the first (orders-per-customer histogram).
+    QueryDef("q04_order_count_histogram", Some("""
+      SELECT n_orders, COUNT(*) AS n_customers
+      FROM (SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+            FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+            GROUP BY c.c_custkey)
+      GROUP BY n_orders ORDER BY n_orders"""),
+      (s, dir) =>
+        Tables.read(s, dir, "customer")
+          .join(Tables.read(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left")
+          .groupBy("c_custkey").agg(count(col("o_orderkey")).as("n_orders"))
+          .groupBy("n_orders").agg(count(lit(1)).as("n_customers"))
+          .orderBy("n_orders")),
+
+    // ---- q05: left-semi join (EXISTS).
+    QueryDef("q05_semi_join", Some("""
+      SELECT c_custkey, c_name FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders
+                    WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+      ORDER BY c_custkey"""),
+      (s, dir) =>
+        Tables.read(s, dir, "customer")
+          .join(Tables.read(s, dir, "orders").where(col("o_orderstatus") === "F"),
+            col("c_custkey") === col("o_custkey"), "left_semi")
+          .select("c_custkey", "c_name").orderBy("c_custkey")),
+
+    // ---- q06: left-anti join (NOT EXISTS).
+    QueryDef("q06_anti_join", Some("""
+      SELECT c_custkey, c_name FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+      ORDER BY c_custkey"""),
+      (s, dir) =>
+        Tables.read(s, dir, "customer")
+          .join(Tables.read(s, dir, "orders").where(col("o_totalprice") > 400000),
+            col("c_custkey") === col("o_custkey"), "left_anti")
+          .select("c_custkey", "c_name").orderBy("c_custkey")),
+
+    // ---- q07: cartesian product (reference J1, EntityResolution.scala:149).
+    QueryDef("q07_cross_join", Some("""
+      SELECT n_name, r_name FROM nation CROSS JOIN region
+      ORDER BY n_name, r_name"""),
+      (s, dir) =>
+        Tables.read(s, dir, "nation").select("n_name")
+          .crossJoin(Tables.read(s, dir, "region").select("r_name"))
+          .orderBy("n_name", "r_name")),
+
+    // ---- q08: broadcast hash join (small dim → hint; reference J5).
+    QueryDef("q08_broadcast_join", Some(s"""
+      SELECT p_brand,
+             CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+             CAST(SUM($epCents) AS BIGINT) / 100.0 AS sum_price,
+             COUNT(*) AS n
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY p_brand ORDER BY p_brand"""),
+      (s, dir) =>
+        Tables.read(s, dir, "lineitem")
+          .join(broadcast(Tables.read(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+          .groupBy("p_brand")
+          .agg(sum("l_quantity").cast("long").as("sum_qty"),
+               (sum(cents(col("l_extendedprice"))) / 100.0).as("sum_price"),
+               count(lit(1)).as("n"))
+          .orderBy("p_brand")),
+
+    // ---- q09: UNION ALL (bag semantics — reference U1).
+    QueryDef("q09_union", Some("""
+      SELECT bucket, o_orderkey FROM (
+        SELECT 'high' AS bucket, o_orderkey FROM orders WHERE o_totalprice > 450000
+        UNION ALL
+        SELECT 'low' AS bucket, o_orderkey FROM orders WHERE o_totalprice < 5000)
+      ORDER BY bucket, o_orderkey"""),
+      (s, dir) => {
+        val o = Tables.read(s, dir, "orders")
+        o.where(col("o_totalprice") > 450000).select(lit("high").as("bucket"), col("o_orderkey"))
+          .union(o.where(col("o_totalprice") < 5000).select(lit("low").as("bucket"), col("o_orderkey")))
+          .orderBy("bucket", "o_orderkey")
+      }),
+
+    // ---- q10: DISTINCT.
+    QueryDef("q10_distinct", Some("""
+      SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+      ORDER BY l_returnflag, l_linestatus"""),
+      (s, dir) =>
+        Tables.read(s, dir, "lineitem").select("l_returnflag", "l_linestatus")
+          .distinct().orderBy("l_returnflag", "l_linestatus")),
+
+    // ---- q11: top-k by stored column with tiebreak (reference A3).
+    QueryDef("q11_topk", Some("""
+      SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"""),
+      (s, dir) =>
+        Tables.read(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(10)),
+
+    // ---- q12: ranking window — top-3 customers per segment.
+    QueryDef("q12_window_rank", Some("""
+      SELECT c_mktsegment, rk, c_custkey, c_acctbal FROM (
+        SELECT c_mktsegment, c_custkey, c_acctbal,
+               CAST(ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                    ORDER BY c_acctbal DESC, c_custkey) AS INTEGER) AS rk
+        FROM customer)
+      WHERE rk <= 3 ORDER BY c_mktsegment, rk"""),
+      (s, dir) => {
+        val w = Window.partitionBy("c_mktsegment").orderBy(col("c_acctbal").desc, col("c_custkey"))
+        Tables.read(s, dir, "customer")
+          .withColumn("rk", row_number().over(w))
+          .where(col("rk") <= 3)
+          .select("c_mktsegment", "rk", "c_custkey", "c_acctbal")
+          .orderBy("c_mktsegment", "rk")
+      }),
+
+    // ---- q13: frame window — running total per customer (scaled ints → exact).
+    QueryDef("q13_window_running", Some("""
+      SELECT o_custkey, o_orderkey,
+             CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) / 100.0
+               AS running_total
+      FROM orders WHERE o_custkey < 50
+      ORDER BY o_custkey, o_orderkey"""),
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.read(s, dir, "orders").where(col("o_custkey") < 50)
+          .select(col("o_custkey"), col("o_orderkey"),
+            (sum(cents(col("o_totalprice"))).over(w) / 100.0).as("running_total"))
+          .orderBy("o_custkey", "o_orderkey")
+      }),
+
+    // ---- q16: ROLLUP grouping sets.
+    QueryDef("q16_rollup", Some("""
+      SELECT l_returnflag, l_linestatus,
+             CAST(SUM(l_quantity) AS BIGINT) AS sum_qty, COUNT(*) AS n
+      FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"""),
+      (s, dir) =>
+        Tables.read(s, dir, "lineitem")
+          .rollup("l_returnflag", "l_linestatus")
+          .agg(sum("l_quantity").cast("long").as("sum_qty"), count(lit(1)).as("n"))
+          .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
+
+    // ---- q17: CASE + math scalar functions.
+    QueryDef("q17_case_math", Some(s"""
+      SELECT CASE WHEN l_quantity < 10 THEN 'small'
+                  WHEN l_quantity < 30 THEN 'mid' ELSE 'big' END AS bucket,
+             COUNT(*) AS n,
+             CAST(SUM($epCents) AS BIGINT) / 100.0 AS sum_price,
+             ROUND(SUM(SQRT(l_quantity)), 4) AS sum_sqrt_qty
+      FROM lineitem GROUP BY 1 ORDER BY bucket"""),
+      (s, dir) =>
+        Tables.read(s, dir, "lineitem")
+          .withColumn("bucket",
+            when(col("l_quantity") < 10, "small")
+              .when(col("l_quantity") < 30, "mid").otherwise("big"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n"),
+               (sum(cents(col("l_extendedprice"))) / 100.0).as("sum_price"),
+               round(sum(sqrt(col("l_quantity"))), 4).as("sum_sqrt_qty"))
+          .orderBy("bucket")),
+
+    // ---- q18: date-part extraction + agg.
+    QueryDef("q18_orders_by_month", Some("""
+      SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS yr,
+             CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS mth,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) / 100.0 AS total
+      FROM orders GROUP BY 1, 2 ORDER BY yr, mth"""),
+      (s, dir) =>
+        Tables.read(s, dir, "orders")
+          .groupBy(year(col("o_orderdate")).as("yr"), month(col("o_orderdate")).as("mth"))
+          .agg(count(lit(1)).as("n"), (sum(cents(col("o_totalprice"))) / 100.0).as("total"))
+          .orderBy("yr", "mth"))
+  )
+}

@@ -1,0 +1,274 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.text.{TextStats, TfIdf, Tokenize}
+import graft.similarity.DocSimilarity
+import graft.dedup.Dedup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis coverage over the `documents` table: the reference's
+  * tokenize → TF → IDF → TF-IDF → cosine pipeline (SURVEY.md §2.2/2.4/2.7,
+  * re-expressed over a long token table) plus the corpus-cleaning
+  * extensions (minhash/LSH, bag-of-words dedup, n-gram Jaccard,
+  * language-ID, quality scoring, fingerprinting).
+  */
+object TextQueries {
+
+  /** Stopword list — inlined identically in the DuckDB oracles. */
+  val Stop: Seq[String] = Seq("the", "a")
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.read(s, dir, "documents")
+
+  private def tokenized(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      Tokenize.tokens(col("text"), Stop).as("tokens"))
+
+  /** DuckDB CTE mirroring [[Tokenize.tokens]] (keeps duplicate tokens —
+    * reference semantics, textanalyse/EntityResolution.scala:293).
+    */
+  private def toksCte(pred: String = "TRUE"): String = s"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\\W+'),
+                         t -> t <> '' AND t NOT IN ('the','a')) AS tokens
+      FROM documents WHERE $pred)"""
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- q20: tokenizer (P1-P3) — per-doc token counts.
+    QueryDef("q20_token_stats", Some(s"""${toksCte()}
+      SELECT doc_id, CAST(len(tokens) AS INTEGER) AS n_tokens,
+             CAST(len(list_distinct(tokens)) AS INTEGER) AS n_distinct
+      FROM toks ORDER BY doc_id"""),
+      (s, dir) =>
+        tokenized(s, dir).select(col("doc_id"),
+            size(col("tokens")).as("n_tokens"),
+            size(array_distinct(col("tokens"))).as("n_distinct"))
+          .orderBy("doc_id")),
+
+    // ---- q21: explode + group count (G1/G2 + A5 shape) — corpus word count.
+    QueryDef("q21_wordcount", Some(s"""${toksCte()}
+      SELECT token, COUNT(*) AS cnt
+      FROM (SELECT unnest(tokens) AS token FROM toks)
+      GROUP BY token ORDER BY token"""),
+      (s, dir) =>
+        tokenized(s, dir).select(explode(col("tokens")).as("token"))
+          .groupBy("token").agg(count(lit(1)).as("cnt"))
+          .orderBy("token")),
+
+    // ---- q22: document frequency + plain-ratio IDF (A5 — reference
+    // semantics: idf = N/df, NO log; EntityResolution.scala:121-128).
+    QueryDef("q22_idf", Some(s"""${toksCte()}
+      SELECT token, COUNT(DISTINCT doc_id) AS df,
+             (SELECT COUNT(*) FROM documents)::DOUBLE / COUNT(DISTINCT doc_id) AS idf
+      FROM (SELECT doc_id, unnest(tokens) AS token FROM toks)
+      GROUP BY token ORDER BY token"""),
+      (s, dir) => {
+        val d = tokenized(s, dir)
+        TfIdf.documentFrequency(d, "doc_id", "tokens")
+          .join(TfIdf.idf(d, "doc_id", "tokens"), "token")
+          .select("token", "df", "idf").orderBy("token")
+      }),
+
+    // ---- q23: term frequency (A6/V1) — exact long/int division.
+    QueryDef("q23_tf", Some(s"""${toksCte("doc_id < 100")},
+      tok AS (SELECT doc_id, unnest(tokens) AS token FROM toks),
+      tot AS (SELECT doc_id, len(tokens) AS total FROM toks),
+      cnt AS (SELECT doc_id, token, COUNT(*) AS cnt FROM tok GROUP BY 1, 2)
+      SELECT c.doc_id, c.token, c.cnt / t.total AS tf
+      FROM cnt c JOIN tot t USING(doc_id)
+      ORDER BY doc_id, token"""),
+      (s, dir) =>
+        TfIdf.termFrequency(tokenized(s, dir).where(col("doc_id") < 100), "doc_id", "tokens")
+          .orderBy("doc_id", "token")),
+
+    // ---- q24: TF-IDF weights (V2) — (cnt/total)*(N/df), all exact ops.
+    QueryDef("q24_tfidf", Some(s"""${toksCte("doc_id < 100")},
+      tok AS (SELECT doc_id, unnest(tokens) AS token FROM toks),
+      tot AS (SELECT doc_id, len(tokens) AS total FROM toks),
+      cnt AS (SELECT doc_id, token, COUNT(*) AS cnt FROM tok GROUP BY 1, 2),
+      idf AS (SELECT token,
+                     (SELECT COUNT(*) FROM toks)::DOUBLE / COUNT(DISTINCT doc_id) AS idf
+              FROM tok GROUP BY token)
+      SELECT c.doc_id, c.token, (c.cnt / t.total) * i.idf AS weight
+      FROM cnt c JOIN tot t USING(doc_id) JOIN idf i USING(token)
+      ORDER BY doc_id, token"""),
+      (s, dir) =>
+        TfIdf.weights(tokenized(s, dir).where(col("doc_id") < 100), "doc_id", "tokens")
+          .orderBy("doc_id", "token")),
+
+    // ---- q25: per-doc L2 norms of TF-IDF vectors (V4) — order-dependent
+    // float sum → rounded.
+    QueryDef("q25_doc_norms", Some(s"""${toksCte()},
+      tok AS (SELECT doc_id, unnest(tokens) AS token FROM toks),
+      tot AS (SELECT doc_id, len(tokens) AS total FROM toks),
+      cnt AS (SELECT doc_id, token, COUNT(*) AS cnt FROM tok GROUP BY 1, 2),
+      idf AS (SELECT token,
+                     (SELECT COUNT(*) FROM toks)::DOUBLE / COUNT(DISTINCT doc_id) AS idf
+              FROM tok GROUP BY token),
+      w AS (SELECT c.doc_id, (c.cnt / t.total) * i.idf AS weight
+            FROM cnt c JOIN tot t USING(doc_id) JOIN idf i USING(token))
+      SELECT doc_id, ROUND(SQRT(SUM(weight*weight)), 6) AS norm
+      FROM w GROUP BY doc_id ORDER BY doc_id"""),
+      (s, dir) => {
+        val d = tokenized(s, dir)
+        TfIdf.norms(TfIdf.weights(d, "doc_id", "tokens"), "doc_id")
+          .select(col("doc_id"), round(col("norm"), 6).as("norm"))
+          .orderBy("doc_id")
+      }),
+
+    // ---- q26: FLAGSHIP — inverted-index cosine similarity, all pairs
+    // sharing ≥1 token (fuses reference J2+A8+V7 into join+agg; SURVEY §7.1).
+    QueryDef("q26_cosine_pairs", Some(s"""${toksCte("doc_id < 120")},
+      tok AS (SELECT doc_id, unnest(tokens) AS token FROM toks),
+      tot AS (SELECT doc_id, len(tokens) AS total FROM toks),
+      cnt AS (SELECT doc_id, token, COUNT(*) AS cnt FROM tok GROUP BY 1, 2),
+      idf AS (SELECT token,
+                     (SELECT COUNT(*) FROM toks)::DOUBLE / COUNT(DISTINCT doc_id) AS idf
+              FROM tok GROUP BY token),
+      w AS (SELECT c.doc_id, c.token, (c.cnt / t.total) * i.idf AS weight
+            FROM cnt c JOIN tot t USING(doc_id) JOIN idf i USING(token)),
+      nrm AS (SELECT doc_id, SQRT(SUM(weight*weight)) AS norm FROM w GROUP BY doc_id),
+      dots AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, SUM(a.weight*b.weight) AS dot
+               FROM w a JOIN w b ON a.token = b.token AND a.doc_id < b.doc_id
+               GROUP BY 1, 2)
+      SELECT id_a, id_b, ROUND(dot / (na.norm * nb.norm), 6) AS sim
+      FROM dots JOIN nrm na ON na.doc_id = id_a JOIN nrm nb ON nb.doc_id = id_b
+      ORDER BY id_a, id_b"""),
+      (s, dir) => {
+        val d = tokenized(s, dir).where(col("doc_id") < 120)
+        val w = TfIdf.weights(d, "doc_id", "tokens")
+        val n = TfIdf.norms(w, "doc_id")
+        DocSimilarity.selfCosinePairs(w, n, "doc_id")
+          .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
+          .orderBy("id_a", "id_b")
+      }),
+
+    // ---- q27: MinHash signatures — map-side only, no shuffle.
+    QueryDef("q27_minhash", Some(s"""${toksCte()}
+      SELECT doc_id,
+             list_min(list_transform(list_distinct(tokens), t -> md5('0:' || t))) AS mh0,
+             list_min(list_transform(list_distinct(tokens), t -> md5('1:' || t))) AS mh1,
+             list_min(list_transform(list_distinct(tokens), t -> md5('2:' || t))) AS mh2,
+             list_min(list_transform(list_distinct(tokens), t -> md5('3:' || t))) AS mh3
+      FROM toks ORDER BY doc_id"""),
+      (s, dir) =>
+        Dedup.minhashSignatures(tokenized(s, dir), "doc_id", "tokens", 4)
+          .orderBy("doc_id")),
+
+    // ---- q28: MinHash-LSH candidate pairs (band join).
+    QueryDef("q28_lsh_candidates", Some(s"""${toksCte("doc_id < 200")},
+      sig AS (SELECT doc_id,
+                list_min(list_transform(list_distinct(tokens), t -> md5('0:' || t))) AS mh0,
+                list_min(list_transform(list_distinct(tokens), t -> md5('1:' || t))) AS mh1,
+                list_min(list_transform(list_distinct(tokens), t -> md5('2:' || t))) AS mh2,
+                list_min(list_transform(list_distinct(tokens), t -> md5('3:' || t))) AS mh3
+              FROM toks),
+      band AS (SELECT doc_id, 0 AS b, mh0 AS mh FROM sig UNION ALL
+               SELECT doc_id, 1, mh1 FROM sig UNION ALL
+               SELECT doc_id, 2, mh2 FROM sig UNION ALL
+               SELECT doc_id, 3, mh3 FROM sig)
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM band a JOIN band b ON a.b = b.b AND a.mh = b.mh AND a.doc_id < b.doc_id
+      ORDER BY id_a, id_b"""),
+      (s, dir) =>
+        Dedup.lshCandidatePairs(
+            tokenized(s, dir).where(col("doc_id") < 200), "doc_id", "tokens", 4)
+          .orderBy("id_a", "id_b")),
+
+    // ---- q29: word-bigram Jaccard near-dup (exact integer division).
+    QueryDef("q29_jaccard_bigram", Some(s"""${toksCte("doc_id < 150")},
+      sh AS (SELECT doc_id,
+               list_distinct(list_transform(range(1, len(tokens)),
+                             i -> tokens[i] || ' ' || tokens[i+1])) AS sh
+             FROM toks),
+      e AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+      sz AS (SELECT doc_id, len(sh) AS n FROM sh),
+      inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+                FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+      SELECT id_a, id_b, inter / (sa.n + sb.n - inter) AS jaccard
+      FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+      ORDER BY id_a, id_b"""),
+      (s, dir) =>
+        Dedup.bigramJaccardPairs(
+            tokenized(s, dir).where(col("doc_id") < 150), "doc_id", "tokens")
+          .orderBy("id_a", "id_b")),
+
+    // ---- q30: bag-of-words fingerprint dedup groups.
+    QueryDef("q30_bow_dedup", Some(s"""${toksCte()}
+      SELECT md5(array_to_string(list_sort(list_distinct(tokens)), ' ')) AS fingerprint,
+             COUNT(*) AS cnt, MIN(doc_id) AS min_id
+      FROM toks GROUP BY 1 HAVING COUNT(*) > 1
+      ORDER BY fingerprint"""),
+      (s, dir) =>
+        Dedup.bowFingerprintDups(tokenized(s, dir), "doc_id", "tokens")
+          .orderBy("fingerprint")),
+
+    // ---- q31: language-ID heuristic (marker-word ratio; raw tokens).
+    QueryDef("q31_langid", Some("""
+      WITH raw AS (SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '\W+'),
+                                 t -> t <> '') AS tokens
+                   FROM documents)
+      SELECT doc_id,
+             len(list_filter(tokens,
+                 t -> t IN ('the','a','of','to','and','in','is','it')))
+               / len(tokens) AS en_ratio,
+             CASE WHEN len(list_filter(tokens,
+                      t -> t IN ('the','a','of','to','and','in','is','it')))
+                    / len(tokens) >= CAST(0.05 AS DOUBLE)
+                  THEN 'en' ELSE 'und' END AS lang_pred
+      FROM raw ORDER BY doc_id"""),
+      (s, dir) =>
+        docs(s, dir)
+          .select(col("doc_id"), Tokenize.tokens(col("text")).as("tokens"))
+          .select(col("doc_id"),
+            TextStats.englishRatio(col("tokens")).as("en_ratio"),
+            TextStats.langId(col("tokens")).as("lang_pred"))
+          .orderBy("doc_id")),
+
+    // ---- q32: quality scoring (length/diversity/word-length heuristics).
+    QueryDef("q32_quality", Some(s"""${toksCte()}
+      SELECT doc_id,
+             CAST(len(tokens) AS INTEGER) AS n_tokens,
+             len(list_distinct(tokens)) / len(tokens) AS distinct_ratio,
+             length(array_to_string(tokens, '')) / len(tokens) AS avg_word_len,
+             (CASE WHEN len(tokens) BETWEEN 20 AND 500 THEN 1 ELSE 0 END
+              + CASE WHEN len(list_distinct(tokens)) / len(tokens) > CAST(0.3 AS DOUBLE) THEN 1 ELSE 0 END
+              + CASE WHEN length(array_to_string(tokens, '')) / len(tokens)
+                     BETWEEN CAST(3 AS DOUBLE) AND CAST(9 AS DOUBLE) THEN 1 ELSE 0 END) AS score
+      FROM toks ORDER BY doc_id"""),
+      (s, dir) =>
+        tokenized(s, dir).select(col("doc_id"),
+            size(col("tokens")).as("n_tokens"),
+            TextStats.distinctRatio(col("tokens")).as("distinct_ratio"),
+            TextStats.avgWordLen(col("tokens")).as("avg_word_len"),
+            TextStats.qualityScore(col("tokens")).as("score"))
+          .orderBy("doc_id")),
+
+    // ---- q33: normalized-text fingerprint.
+    QueryDef("q33_fingerprint", Some(s"""${toksCte()}
+      SELECT doc_id, md5(array_to_string(tokens, ' ')) AS fp
+      FROM toks ORDER BY doc_id"""),
+      (s, dir) =>
+        tokenized(s, dir)
+          .select(col("doc_id"), TextStats.fingerprint(col("tokens")).as("fp"))
+          .orderBy("doc_id")),
+
+    // ---- q40: multimodal plumbing — opaque binary payload + metadata
+    // (decode itself is stubbed; see graft.multimodal).
+    QueryDef("q40_binary_meta", Some("""
+      SELECT doc_id,
+             CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+             hex(encode(substring(text, 1, 4))) AS hex4
+      FROM documents ORDER BY doc_id"""),
+      (s, dir) =>
+        docs(s, dir).select(col("doc_id"),
+            length(col("text").cast("binary")).as("n_bytes"),
+            hex(substring(col("text"), 1, 4).cast("binary")).as("hex4"))
+          .orderBy("doc_id"))
+  )
+}

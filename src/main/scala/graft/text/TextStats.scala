@@ -1,0 +1,45 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Per-document text-quality operators for corpus filtering at scale.
+  * Everything is a pure column expression (no UDFs, no shuffles): these
+  * run map-side over arbitrarily large corpora.
+  */
+object TextStats {
+
+  /** Words whose presence signals English text (tiny demo lexicon). */
+  val EnglishMarkers: Seq[String] = Seq("the", "a", "of", "to", "and", "in", "is", "it")
+
+  /** Fraction of tokens that are English marker words (exact int/int
+    * division). n-gram-free language-ID heuristic.
+    */
+  def englishRatio(tokens: Column): Column =
+    size(filter(tokens, t => t.isInCollection(EnglishMarkers))) / size(tokens)
+
+  /** 'en' / 'und' decision at a ratio threshold. */
+  def langId(tokens: Column, threshold: Double = 0.05): Column =
+    when(englishRatio(tokens) >= threshold, lit("en")).otherwise(lit("und"))
+
+  /** Type-token ratio: distinct tokens / total tokens. */
+  def distinctRatio(tokens: Column): Column =
+    size(array_distinct(tokens)) / size(tokens)
+
+  /** Mean token length in characters. */
+  def avgWordLen(tokens: Column): Column =
+    length(concat_ws("", tokens)) / size(tokens)
+
+  /** 0–3 quality score from simple heuristics (length band, lexical
+    * diversity, word-length band) — the shape of a pretraining-data
+    * quality filter.
+    */
+  def qualityScore(tokens: Column): Column =
+    (when(size(tokens).between(20, 500), 1).otherwise(0)
+      + when(distinctRatio(tokens) > 0.3, 1).otherwise(0)
+      + when(avgWordLen(tokens).between(3.0, 9.0), 1).otherwise(0))
+
+  /** Normalized-text md5 fingerprint (tokenize → rejoin → hash). */
+  def fingerprint(tokens: Column): Column =
+    md5(concat_ws(" ", tokens))
+}
