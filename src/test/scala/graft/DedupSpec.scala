@@ -1,0 +1,54 @@
+package graft
+
+import graft.dedup.Dedup
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, Seq("big", "data", "spark", "engine")),
+    (2L, Seq("big", "data", "spark", "engine")),     // exact dup of 1
+    (3L, Seq("engine", "spark", "data", "big")),     // same bag, different order
+    (4L, Seq("totally", "different", "words", "here")),
+    (5L, Seq("big", "data", "flink", "engine"))      // near dup of 1
+  ).toDF("doc_id", "tokens")
+
+  test("bag-of-words fingerprint groups order-insensitive duplicates") {
+    val groups = Dedup.bowFingerprintDups(docs, "doc_id", "tokens").collect()
+    assert(groups.length === 1)
+    assert(groups(0).getAs[Long]("cnt") === 3)   // docs 1, 2, 3
+    assert(groups(0).getAs[Long]("min_id") === 1L)
+  }
+
+  test("minhash is identical for identical token sets, order-independent") {
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "tokens", 4)
+      .collect().map(r => r.getLong(0) -> (1 to 4).map(r.getString)).toMap
+    assert(sigs(1L) === sigs(2L))
+    assert(sigs(1L) === sigs(3L))
+    assert(sigs(1L) !== sigs(4L))
+  }
+
+  test("LSH candidates include exact dups, exclude disjoint docs") {
+    val pairs = Dedup.lshCandidatePairs(docs, "doc_id", "tokens", 4)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)))
+    assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("bigram Jaccard: identical docs = 1.0, near-dup in (0,1)") {
+    val j = Dedup.bigramJaccardPairs(docs, "doc_id", "tokens")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(j((1L, 2L)) === 1.0)
+    // docs 1 and 5 share "big data" out of 3+3 bigrams → J = 1/5
+    assert(j((1L, 5L)) === 0.2)
+  }
+
+  test("bigram shingles of a 1-token doc are empty, not an error") {
+    val one = Seq((9L, Seq("solo"))).toDF("doc_id", "tokens")
+    val sh = one.select(Dedup.bigramShingles(col("tokens")).as("sh"))
+      .collect()(0).getSeq[String](0)
+    assert(sh.isEmpty)
+  }
+}

@@ -1,0 +1,42 @@
+package graft
+
+import graft.ann.Knn
+import org.apache.spark.sql.functions._
+
+class KnnSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val emb = Seq(
+    (1L, Array(1.0f, 0.0f, 0.0f)),
+    (2L, Array(0.0f, 1.0f, 0.0f)),
+    (3L, Array(1.0f, 1.0f, 0.0f)),
+    (4L, Array(2.0f, 0.0f, 0.0f))   // colinear with 1
+  ).toDF("vec_id", "embedding")
+
+  test("dot and norm on float arrays are exact in double space") {
+    val r = emb.where(col("vec_id") === 3L)
+      .select(Knn.dot(col("embedding"), col("embedding")).as("d"),
+        Knn.l2norm(col("embedding")).as("n")).collect()(0)
+    assert(r.getDouble(0) === 2.0)
+    assert(math.abs(r.getDouble(1) - math.sqrt(2)) < 1e-12)
+  }
+
+  test("brute-force kNN ranks colinear vector first") {
+    val knn = Knn.cosineKnn(emb, "vec_id", "embedding",
+        col("vec_id") === 1L, k = 3)
+      .orderBy("rk").as[(Long, Int, Long, Double)].collect()
+    assert(knn.length === 3)
+    assert(knn(0)._3 === 4L)           // cos(1,4) = 1.0
+    assert(knn(0)._4 === 1.0)
+    assert(knn(1)._3 === 3L)           // cos(1,3) = 1/√2
+    assert(math.abs(knn(1)._4 - 0.707107) < 1e-6)
+    assert(knn(2)._3 === 2L)           // orthogonal
+    assert(knn(2)._4 === 0.0)
+  }
+
+  test("near-dup pairs by cosine threshold") {
+    val pairs = Knn.nearDupPairs(emb, "vec_id", "embedding", 0.99)
+      .as[(Long, Long, Double)].collect().toList
+    assert(pairs === List((1L, 4L, 1.0)))
+  }
+}
