@@ -13,7 +13,8 @@ object SparkEntry {
     */
   val catalog: Seq[QueryDef] =
     RelationalQueries.defs ++ TextQueries.defs ++
-      EmbeddingQueries.defs ++ EventQueries.defs
+      EmbeddingQueries.defs ++ EventQueries.defs ++
+      EvalQueries.defs ++ MultimodalQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * End-to-end slice of the reference pipeline: tokenize → TF-IDF →

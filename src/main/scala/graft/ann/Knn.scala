@@ -57,6 +57,49 @@ object Knn {
       .select(col("q_id"), col("rk"), col("cand_id"), round(col("sim"), 6).as("sim"))
   }
 
+  /** IVF (inverted-file) cluster assignment: every vector goes to its
+    * most-cosine-similar centroid. The centroid set is tiny by
+    * construction → broadcast; assignment is one map-side pass over the
+    * corpus + a per-vector top-1, so it scales linearly. `centroidPred`
+    * stands in for a trained codebook (k-means is a driver-side loop of
+    * exactly this assign step + a groupBy mean).
+    */
+  def ivfAssign(emb: DataFrame, idCol: String, vecCol: String,
+                centroidPred: Column): DataFrame = {
+    val e = withNorm(emb, idCol, vecCol)
+    val cent = e.where(centroidPred).select(
+      col(idCol).as("centroid_id"), col(vecCol).as("cent_vec"), col("nrm").as("cent_nrm"))
+    val scored = e.crossJoin(broadcast(cent))
+      .select(col(idCol), col("centroid_id"),
+        (dot(col(vecCol), col("cent_vec")) / (col("nrm") * col("cent_nrm"))).as("cs"))
+    val w = Window.partitionBy(idCol).orderBy(col("cs").desc, col("centroid_id"))
+    scored.withColumn("rk", row_number().over(w)).where(col("rk") === 1)
+      .select(col(idCol), col("centroid_id"))
+  }
+
+  /** IVF top-k search (nprobe=1): each query only scores candidates in
+    * its own centroid's bucket — the 100 TB path where brute force stops
+    * being an option. Recall < 1 by design; raise nprobe by relaxing the
+    * bucket equi-join to the query's top-n centroids.
+    */
+  def ivfKnn(emb: DataFrame, idCol: String, vecCol: String,
+             centroidPred: Column, queryPred: Column, k: Int): DataFrame = {
+    val assign = ivfAssign(emb, idCol, vecCol, centroidPred)
+    val e = withNorm(emb, idCol, vecCol).join(assign, idCol)
+    val q = e.where(queryPred).select(col(idCol).as("q_id"),
+      col(vecCol).as("q_vec"), col("nrm").as("q_nrm"), col("centroid_id"))
+    val c = e.select(col(idCol).as("cand_id"),
+      col(vecCol).as("c_vec"), col("nrm").as("c_nrm"), col("centroid_id"))
+    val sims = broadcast(q).join(c, Seq("centroid_id"))
+      .where(col("q_id") =!= col("cand_id"))
+      .select(col("q_id"), col("cand_id"),
+        (dot(col("q_vec"), col("c_vec")) / (col("q_nrm") * col("c_nrm"))).as("sim"))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("cand_id"))
+    sims.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col("q_id"), col("rk"), col("cand_id"), round(col("sim"), 6).as("sim"))
+  }
+
   /** All-pairs near-duplicate detection by cosine threshold (id_a < id_b). */
   def nearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
                    threshold: Double): DataFrame = {

@@ -63,6 +63,49 @@ object Dedup {
       .agg(count(lit(1)).as("cnt"), min(col(idCol)).as("min_id"))
       .where(col("cnt") > 1)
 
+  /** 32-bit SimHash rendered as a '0'/'1' string. Position i's bit is the
+    * sign of the majority vote, over the doc's distinct tokens, of the
+    * high bit of hex digit i of md5(token): each nibble-high-bit is an
+    * independent-ish hash bit, so near-identical token sets land at small
+    * Hamming distance. Entirely map-side (no shuffle), built from
+    * codegen'd expressions, and engine-portable (md5 is bit-identical
+    * everywhere) — the portability constraint that rules out xxhash64.
+    */
+  def simhash(tokens: Column, nBits: Int = 32): Column = {
+    val highHex = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+    concat_ws("", transform(sequence(lit(1), lit(nBits)), i =>
+      when(aggregate(
+          transform(array_distinct(tokens), t =>
+            when(md5(t).substr(i, lit(1)).isInCollection(highHex), 1).otherwise(-1)),
+          lit(0), (acc, v) => acc + v) >= 0, "1").otherwise("0")))
+  }
+
+  /** SimHash near-duplicate pairs: band the signature (nBands contiguous
+    * chunks), bucket-join docs sharing any band verbatim, then keep pairs
+    * within `maxHamming` overall. Same LSH shape as minhash banding —
+    * bucket sizes, not corpus size, drive the join fan-out at 100 TB.
+    */
+  def simhashNearDups(docs: DataFrame, idCol: String, tokensCol: String,
+                      nBits: Int = 32, nBands: Int = 4, maxHamming: Int = 3): DataFrame = {
+    val bandLen = nBits / nBands
+    val sigs = docs.select(col(idCol), simhash(col(tokensCol), nBits).as("sig"))
+    val bands = sigs.select(col(idCol), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(nBands - 1)),
+        b => col("sig").substr(b * bandLen + 1, lit(bandLen)))).as(Seq("band", "chunk")))
+    val hamming = aggregate(
+      zip_with(split(col("a.sig"), ""), split(col("b.sig"), ""),
+        (x, y) => when(x =!= y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v)
+    bands.alias("a")
+      .join(bands.alias("b"),
+        col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        hamming.as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
   /** Word-bigram shingles (distinct) of a token array column. */
   def bigramShingles(tokens: Column): Column = {
     val n = size(tokens)

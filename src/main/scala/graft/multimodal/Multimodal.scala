@@ -1,0 +1,113 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Decoded per-image record produced by [[Multimodal.decodeImages]]. */
+final case class DecodedImage(
+    id: Long, n_bytes: Int, width: Int, height: Int, mean_luma: Double)
+
+/** Multimodal-column plumbing: image/audio/video payloads ride through
+  * the engine as opaque `BINARY` columns with typed metadata structs.
+  *
+  * The byte→pixel decode itself is STUBBED — no codec libraries exist in
+  * this environment — as a deterministic fake derived from the payload
+  * bytes (CRC-seeded), clearly marked below. Everything AROUND the stub
+  * is real, tested Spark plumbing and is exactly where a JNI/ffmpeg/
+  * libjpeg decoder would plug in:
+  *  - binary payload columns + `STRUCT` metadata (schema),
+  *  - batched partition-wise decode via `mapPartitions` (one decoder
+  *    instance per partition, streamed row iterator — the Scala analogue
+  *    of `mapInPandas` batch shape),
+  *  - frame sampling as a generator (`posexplode`) so one video row fans
+  *    out to N frame rows inside the distributed plan.
+  */
+object Multimodal {
+
+  /** Payload synthesis for tests/demo corpora: utf8 bytes of a column. */
+  def payload(c: Column): Column = c.cast("binary")
+
+  /** Value 0-15 of hex digit `i` (1-based) of a lowercase hex string —
+    * ascii arithmetic only, so it is expressible identically in any
+    * engine (used to keep the stub's oracle SQL bit-exact).
+    */
+  private def hexNibble(h: Column, i: Int): Column = {
+    val a = ascii(h.substr(i, 1))
+    a - 48 - when(a >= 97, 39).otherwise(0)
+  }
+
+  /** STUB decode (column form): deterministic pseudo-metadata derived
+    * from md5 of the bytes. A real implementation would be a native
+    * `Expression` or partition-wise codec call; the schema contract is
+    * what matters.
+    */
+  def fakeImageMeta(bin: Column): Column = {
+    val h = md5(bin)
+    struct(
+      length(bin).cast("int").as("n_bytes"),
+      lit("fake/rgb8").as("format"),
+      (pmod(hexNibble(h, 1) * 16 + hexNibble(h, 2), lit(64)) + 1).cast("int").as("width"),
+      (pmod(hexNibble(h, 3) * 16 + hexNibble(h, 4), lit(64)) + 1).cast("int").as("height"))
+  }
+
+  /** Resize planning on metadata: scale the longer side down to
+    * `maxSide`, preserving aspect ratio with integer floor — pure
+    * metadata math, runs without touching payload bytes.
+    */
+  def resizedMeta(meta: Column, maxSide: Int): Column = {
+    val w = meta.getField("width")
+    val h = meta.getField("height")
+    val longSide = greatest(w, h)
+    val scale = when(longSide > maxSide, lit(maxSide) / longSide).otherwise(lit(1.0))
+    struct(
+      greatest(floor(w * scale), lit(1)).cast("int").as("width"),
+      greatest(floor(h * scale), lit(1)).cast("int").as("height"))
+  }
+
+  /** Frame sampling: one row per (video, frame index 0..n-1) with a
+    * per-frame deterministic feature hash — the generator shape of real
+    * frame extraction (the md5 stands in for a decoded frame embedding).
+    */
+  def sampleFrames(df: DataFrame, idCol: String, binCol: String, n: Int): DataFrame =
+    df.select(col(idCol),
+      posexplode(transform(sequence(lit(0), lit(n - 1)), i =>
+        md5(concat(col(binCol), lit("#").cast("binary"),
+          i.cast("string").cast("binary"))))).as(Seq("frame", "feature")))
+
+  /** The default STUB decoder: deterministic fake dimensions (CRC of the
+    * bytes, forward and reversed) and mean unsigned byte value as
+    * "luma". Replace with a real codec via the `decoder` parameter.
+    */
+  def fakeDecoder(bytes: Array[Byte]): (Int, Int, Double) = {
+    def crc(bs: Array[Byte]): Long = {
+      val c = new java.util.zip.CRC32(); c.update(bs); c.getValue
+    }
+    val w = (crc(bytes) % 64 + 1).toInt
+    val h = (crc(bytes.reverse) % 64 + 1).toInt
+    val luma = if (bytes.isEmpty) 0.0
+      else bytes.map(b => (b & 0xff).toDouble).sum / bytes.length
+    (w, h, luma)
+  }
+
+  /** Batched partition-wise decode: the Scala analogue of `mapInPandas`.
+    * The decoder runs once per row but is instantiated once per
+    * PARTITION (closure setup outside the iterator) — where a real codec
+    * would allocate its native context. Input must have (idCol LONG,
+    * binCol BINARY); output is a typed Dataset with a stable schema.
+    */
+  def decodeImages(df: DataFrame, idCol: String, binCol: String,
+                   decoder: Array[Byte] => (Int, Int, Double) = fakeDecoder): Dataset[DecodedImage] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // per-partition decoder setup happens here (native context, etc.)
+        val decode = decoder
+        rows.map { case (id, bytes) =>
+          val (w, h, luma) = decode(bytes)
+          DecodedImage(id, bytes.length, w, h, luma)
+        }
+      }
+  }
+}

@@ -46,6 +46,39 @@ object EmbeddingQueries {
           .select(col("vec_id"), round(Knn.l2norm(col("embedding")), 6).as("norm"))
           .orderBy("vec_id")),
 
+    // ---- q41: IVF top-k search (nprobe=1): assign every vector to its
+    // nearest centroid (vec_id % 50 = 0 stands in for a trained
+    // codebook), then each query scores only its own bucket — the
+    // 100 TB-scale alternative to q34's brute force.
+    QueryDef("q41_ivf_knn", Some(s"""
+      WITH e AS (SELECT vec_id, embedding, ${sqlNorm("embedding")} AS nrm FROM embeddings),
+      c AS (SELECT vec_id AS centroid_id, embedding AS cvec, nrm AS cnrm
+            FROM e WHERE vec_id % 50 = 0),
+      sc AS (SELECT e.vec_id, c.centroid_id,
+                    ${sqlDot("e.embedding", "c.cvec")} / (e.nrm * c.cnrm) AS cs
+             FROM e CROSS JOIN c),
+      asg AS (SELECT vec_id, centroid_id FROM
+                (SELECT vec_id, centroid_id,
+                        ROW_NUMBER() OVER (PARTITION BY vec_id
+                                           ORDER BY cs DESC, centroid_id) AS rk
+                 FROM sc) WHERE rk = 1),
+      q AS (SELECT e.vec_id AS q_id, e.embedding AS qv, e.nrm AS qn, a.centroid_id
+            FROM e JOIN asg a USING (vec_id) WHERE e.vec_id < 10),
+      cand AS (SELECT e.vec_id AS cand_id, e.embedding AS cv, e.nrm AS cn, a.centroid_id
+               FROM e JOIN asg a USING (vec_id)),
+      p AS (SELECT q.q_id, cand.cand_id, ${sqlDot("q.qv", "cand.cv")} / (q.qn * cand.cn) AS s
+            FROM q JOIN cand USING (centroid_id) WHERE cand.cand_id <> q.q_id),
+      r AS (SELECT q_id, cand_id, s,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY s DESC, cand_id)
+                        AS INTEGER) AS rk
+            FROM p)
+      SELECT q_id, rk, cand_id, ROUND(s, 6) AS sim
+      FROM r WHERE rk <= 5 ORDER BY q_id, rk"""),
+      (s, dir) =>
+        Knn.ivfKnn(Tables.read(s, dir, "embeddings"), "vec_id", "embedding",
+            col("vec_id") % 50 === 0, col("vec_id") < 10, 5)
+          .orderBy("q_id", "rk")),
+
     // ---- q36: embedding-cosine near-duplicate pairs above threshold.
     QueryDef("q36_embedding_neardup", Some(s"""
       WITH e AS (SELECT vec_id, embedding, ${sqlNorm("embedding")} AS nrm FROM embeddings),

@@ -258,6 +258,60 @@ object TextQueries {
           .select(col("doc_id"), TextStats.fingerprint(col("tokens")).as("fp"))
           .orderBy("doc_id")),
 
+    // ---- q44: 32-bit SimHash signature (map-side, no shuffle).
+    QueryDef("q44_simhash", Some(s"""${toksCte()}
+      SELECT doc_id, array_to_string(list_transform(range(1, 33), i ->
+        CASE WHEN COALESCE(list_sum(list_transform(list_distinct(tokens),
+             t -> CASE WHEN substr(md5(t), i, 1) IN ('8','9','a','b','c','d','e','f')
+                       THEN 1 ELSE -1 END)), 0) >= 0
+             THEN '1' ELSE '0' END), '') AS sig
+      FROM toks ORDER BY doc_id"""),
+      (s, dir) =>
+        tokenized(s, dir)
+          .select(col("doc_id"), Dedup.simhash(col("tokens")).as("sig"))
+          .orderBy("doc_id")),
+
+    // ---- q45: SimHash near-dups — band bucket-join + Hamming ≤ 3.
+    QueryDef("q45_simhash_neardup", Some(s"""${toksCte("doc_id < 200")},
+      sig AS (SELECT doc_id, array_to_string(list_transform(range(1, 33), i ->
+                CASE WHEN COALESCE(list_sum(list_transform(list_distinct(tokens),
+                     t -> CASE WHEN substr(md5(t), i, 1) IN ('8','9','a','b','c','d','e','f')
+                               THEN 1 ELSE -1 END)), 0) >= 0
+                     THEN '1' ELSE '0' END), '') AS sig
+              FROM toks),
+      band AS (SELECT doc_id, sig, t.range AS b,
+                      substr(sig, CAST(t.range*8 + 1 AS INTEGER), 8) AS chunk
+               FROM sig, range(0, 4) t),
+      cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                      a.sig AS sig_a, b.sig AS sig_b
+               FROM band a JOIN band b
+                 ON a.b = b.b AND a.chunk = b.chunk AND a.doc_id < b.doc_id),
+      ham AS (SELECT id_a, id_b,
+                CAST(list_sum(list_transform(range(1, 33),
+                  i -> CASE WHEN substr(sig_a, i, 1) <> substr(sig_b, i, 1)
+                            THEN 1 ELSE 0 END)) AS INTEGER) AS hamming
+              FROM cand)
+      SELECT id_a, id_b, hamming FROM ham
+      WHERE hamming <= 3 ORDER BY id_a, id_b"""),
+      (s, dir) =>
+        Dedup.simhashNearDups(
+            tokenized(s, dir).where(col("doc_id") < 200), "doc_id", "tokens")
+          .orderBy("id_a", "id_b")),
+
+    // ---- q47: token counting — whitespace words + BPE-ish subword units.
+    QueryDef("q47_token_count", Some("""
+      SELECT doc_id,
+             CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))
+                  AS INTEGER) AS n_ws_tokens,
+             CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]'))
+                  AS INTEGER) AS n_bpe_tokens
+      FROM documents ORDER BY doc_id"""),
+      (s, dir) =>
+        docs(s, dir).select(col("doc_id"),
+            TextStats.whitespaceTokenCount(col("text")).as("n_ws_tokens"),
+            TextStats.bpeTokenCount(col("text")).as("n_bpe_tokens"))
+          .orderBy("doc_id")),
+
     // ---- q40: multimodal plumbing — opaque binary payload + metadata
     // (decode itself is stubbed; see graft.multimodal).
     QueryDef("q40_binary_meta", Some("""

@@ -42,4 +42,16 @@ object TextStats {
   /** Normalized-text md5 fingerprint (tokenize → rejoin → hash). */
   def fingerprint(tokens: Column): Column =
     md5(concat_ws(" ", tokens))
+
+  /** Whitespace token count (the "word count" a naive pipeline reports). */
+  def whitespaceTokenCount(text: Column): Column =
+    size(filter(split(text, "\\s+"), t => t =!= lit("")))
+
+  /** BPE-ish subword-unit count: letter runs, single digits, and single
+    * non-alphanumeric marks each count as one unit — the cheap
+    * regex-only estimator of LLM token counts (digits and punctuation
+    * tokenize per character in BPE vocabularies, words mostly don't).
+    */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]|[^a-z0-9\\s]"), lit(0)))
 }

@@ -1,0 +1,70 @@
+package graft
+
+import graft.multimodal.Multimodal
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val media = Seq(
+    (1L, "a tiny fake image payload"),
+    (2L, ""),
+    (3L, "another payload with more bytes in it than the first one")
+  ).toDF("id", "raw").select(col("id"), Multimodal.payload(col("raw")).as("bin"))
+
+  test("stub image metadata: deterministic, bounded dimensions, exact byte count") {
+    val rows = media.select(col("id"), Multimodal.fakeImageMeta(col("bin")).as("m"))
+      .select("id", "m.n_bytes", "m.format", "m.width", "m.height")
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getString(2), r.getInt(3), r.getInt(4))).toMap
+    assert(rows(1L)._1 === 25)
+    assert(rows(2L)._1 === 0)
+    rows.values.foreach { case (_, fmt, w, h) =>
+      assert(fmt === "fake/rgb8")
+      assert(w >= 1 && w <= 64)
+      assert(h >= 1 && h <= 64)
+    }
+    // determinism: same payload → same meta
+    val again = media.select(Multimodal.fakeImageMeta(col("bin")).as("m"))
+      .select("m.width").collect().map(_.getInt(0)).toSeq
+    assert(again === media.select(Multimodal.fakeImageMeta(col("bin")).as("m"))
+      .select("m.width").collect().map(_.getInt(0)).toSeq)
+  }
+
+  test("resize planning halves the long side to maxSide, keeps aspect, floors at 1") {
+    val m = Seq((1L, 64, 32), (2L, 10, 20), (3L, 1, 100)).toDF("id", "width", "height")
+      .select(col("id"), struct(col("width"), col("height")).as("meta"))
+    val rs = m.select(col("id"), Multimodal.resizedMeta(col("meta"), 32).as("r"))
+      .select("id", "r.width", "r.height")
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(rs(1L) === (32, 16))   // 64×32 → 32×16
+    assert(rs(2L) === (10, 20))   // already within bound — untouched
+    assert(rs(3L) === (1, 32))    // 1×100 → floor(0.32)=0 clamped to 1 × 32
+  }
+
+  test("frame sampling fans one row out to n frames with distinct features") {
+    val frames = Multimodal.sampleFrames(media, "id", "bin", 4)
+    assert(frames.count() === 12)
+    val f1 = frames.where(col("id") === 1L).orderBy("frame")
+      .select("frame", "feature").as[(Int, String)].collect()
+    assert(f1.map(_._1).toSeq === Seq(0, 1, 2, 3))
+    assert(f1.map(_._2).distinct.length === 4)
+  }
+
+  test("partition-wise decode: typed output, deterministic stub, per-row luma") {
+    val decoded = Multimodal.decodeImages(media, "id", "bin")
+      .collect().map(d => d.id -> d).toMap
+    assert(decoded.size === 3)
+    assert(decoded(2L).n_bytes === 0)
+    assert(decoded(2L).mean_luma === 0.0)
+    assert(decoded(1L).n_bytes === 25)
+    // "a tiny fake image payload" mean unsigned byte value
+    val expect = "a tiny fake image payload".getBytes("UTF-8")
+      .map(b => (b & 0xff).toDouble).sum / 25
+    assert(math.abs(decoded(1L).mean_luma - expect) < 1e-12)
+    assert(decoded(1L).width >= 1 && decoded(1L).width <= 64)
+    // custom decoder plugs in per-partition
+    val custom = Multimodal.decodeImages(media, "id", "bin",
+      bytes => (7, 9, 1.5)).collect()
+    assert(custom.forall(d => d.width === 7 && d.height === 9 && d.mean_luma === 1.5))
+  }
+}
