@@ -1,0 +1,82 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+
+/** One event row as the typed streaming API sees it. */
+final case class UserEvent(ts: java.sql.Timestamp, user_id: Long,
+                           event_type: String, value: Double)
+
+/** Per-user running aggregate maintained by [[EventStreams.runningUserTotals]]. */
+final case class UserRunning(user_id: Long, n_events: Long, total_cents: Long)
+
+/** Structured-Streaming operators over the `events` shape
+  * (ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE).
+  *
+  * The reference is batch-only (SURVEY.md §2.9: no streaming), so these
+  * are engine extensions; each transformation is a pure
+  * `DataFrame => DataFrame` that works identically on a batch frame and
+  * on a `readStream` frame — the batch analogues are catalog queries
+  * q14 (tumbling window) and q37 (sessionization), which the driver
+  * oracle-checks. Event-time semantics:
+  *  - watermarks bound state (late data beyond the bound is dropped),
+  *  - tumbling windows use the built-in `window()` bucketing,
+  *  - sessions use `session_window()` (gap-based merge — Spark merges
+  *    overlapping per-event gap windows in the state store),
+  *  - bespoke state uses `mapGroupsWithState` (the extension point the
+  *    built-ins can't cover).
+  * At scale the state store partitions by grouping key across executors;
+  * nothing here collects to the driver.
+  */
+object EventStreams {
+
+  /** Tumbling event-time window aggregation (streaming analogue of q14):
+    * per (1-hour window, event_type) counts and value sums. Late rows
+    * beyond 1 hour are dropped via the watermark; state for closed
+    * windows is evicted.
+    */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("sum_cents"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), (col("sum_cents") / 100.0).as("sum_value"))
+
+  /** Gap-based sessionization (streaming analogue of q37): events of one
+    * user belong to one session while gaps stay under 30 minutes.
+    */
+  def userSessions(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes").as("s"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("sum_cents"))
+      .select(col("user_id"), col("s.start").as("session_start"),
+        col("s.end").as("session_end"), col("n_events"),
+        (col("sum_cents") / 100.0).as("sum_value"))
+
+  /** Custom keyed state via `mapGroupsWithState`: a per-user running
+    * (event count, exact cents total) that survives across micro-batches
+    * — the pattern for state the built-in aggregations can't express.
+    * Money is accumulated in scaled-integer space (exact in any order).
+    */
+  def runningUserTotals(events: Dataset[UserEvent]): Dataset[UserRunning] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserRunning, UserRunning](GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[UserEvent], state: GroupState[UserRunning]) =>
+          var n = 0L
+          var cents = 0L
+          state.getOption.foreach { prev => n = prev.n_events; cents = prev.total_cents }
+          batch.foreach { e => n += 1; cents += math.round(e.value * 100) }
+          val next = UserRunning(uid, n, cents)
+          state.update(next)
+          next
+      }
+  }
+}

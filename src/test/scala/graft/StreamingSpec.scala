@@ -1,0 +1,115 @@
+package graft
+
+import graft.streaming.{EventStreams, UserEvent}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import java.sql.Timestamp
+
+/** Structured-Streaming semantics: the same transformations run on a
+  * MemoryStream across micro-batches and must agree with their batch
+  * equivalents; watermarks must close (emit) windows and drop state.
+  */
+class StreamingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(minutes: Long): Timestamp = new Timestamp(minutes * 60000L)
+
+  private val batch1 = Seq(
+    UserEvent(ts(5), 1L, "click", 1.00),
+    UserEvent(ts(10), 1L, "click", 2.50),
+    UserEvent(ts(20), 2L, "error", 0.25))
+  private val batch2 = Seq(
+    UserEvent(ts(62), 1L, "click", 4.00),   // next hour → advances watermark
+    UserEvent(ts(200), 2L, "click", 8.00))  // far future → closes hour-1 windows
+
+  test("tumbling hourly window: streaming (append, watermarked) matches batch") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[UserEvent]
+    val q = EventStreams.hourlyCounts(input.toDF())
+      .writeStream.format("memory").queryName("hourly")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData(batch1: _*); q.processAllAvailable()
+      input.addData(batch2: _*); q.processAllAvailable()
+      // watermark = max(ts) - 1h = t+140; windows ending ≤ t+140 emitted:
+      // hour 0 (both event types) and hour 1
+      val got = spark.table("hourly")
+        .select("window_start", "event_type", "n", "sum_value")
+        .as[(Timestamp, String, Long, Double)].collect().toSet
+      val expected = Set(
+        (ts(0), "click", 2L, 3.50),
+        (ts(0), "error", 1L, 0.25),
+        (ts(60), "click", 1L, 4.00))
+      assert(got === expected)
+      // and the emitted rows equal the batch run of the same transformation
+      // on the same rows (restricted to closed windows)
+      val batchRun = EventStreams.hourlyCounts((batch1 ++ batch2).toDF())
+        .where(col("window_start") < ts(120))
+        .as[(Timestamp, String, Long, Double)].collect().toSet
+      assert(got === batchRun)
+    } finally q.stop()
+  }
+
+  test("session windows: gap-merge in streaming matches batch semantics") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[UserEvent]
+    val q = EventStreams.userSessions(input.toDF())
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      // user 1: events at t5 and t10 (one session), then t62 (gap 52min → new session)
+      input.addData(batch1: _*); q.processAllAvailable()
+      input.addData(batch2: _*); q.processAllAvailable()
+      val got = spark.table("sessions")
+        .select("user_id", "n_events", "sum_value")
+        .as[(Long, Long, Double)].collect().toSet
+      // watermark t200-30=t170 closes user-1 sessions (t5-t40, t62-t92)
+      // and user-2's t20 session; user-2's t200 session is still open
+      assert(got === Set((1L, 2L, 3.50), (1L, 1L, 4.00), (2L, 1L, 0.25)))
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState keeps running per-user totals across micro-batches") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[UserEvent]
+    val q = EventStreams.runningUserTotals(input.toDS())
+      .writeStream.format("memory").queryName("running")
+      .outputMode(OutputMode.Update())
+      .start()
+    try {
+      input.addData(batch1: _*); q.processAllAvailable()
+      val after1 = spark.table("running")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(after1 === Set((1L, 2L, 350L), (2L, 1L, 25L)))
+      input.addData(batch2: _*); q.processAllAvailable()
+      // update mode appends the refreshed state rows; latest per user wins
+      val latest = spark.table("running")
+        .groupBy("user_id").agg(max("n_events").as("n"), max("total_cents").as("c"))
+        .as[(Long, Long, Long)].collect().toSet
+      assert(latest === Set((1L, 3L, 750L), (2L, 2L, 825L)))
+    } finally q.stop()
+  }
+
+  test("file-source streaming: real events parquet through readStream") {
+    val dir = sf("sf0.001")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select("ts", "user_id", "event_type", "value")
+    val q = EventStreams.hourlyCounts(stream)
+      .writeStream.format("memory").queryName("filestream")
+      .outputMode(OutputMode.Complete())
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("filestream")
+        .agg(sum("n")).collect()(0).getLong(0)
+      assert(streamed === 1000L)  // every event lands in exactly one window
+    } finally q.stop()
+  }
+}
