@@ -27,4 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Whole-stage codegen emits one compiled class per query stage; with a
+  // catalog of ~50 queries the default 240m JIT code cache fills up,
+  // the JIT stops compiling, and late queries run interpreted (measured
+  // 10-20x slowdowns). 1g keeps every stage compiled.
+  "-XX:ReservedCodeCacheSize=1g",
 )

@@ -71,13 +71,24 @@ object Dedup {
     * codegen'd expressions, and engine-portable (md5 is bit-identical
     * everywhere) — the portability constraint that rules out xxhash64.
     */
-  def simhash(tokens: Column, nBits: Int = 32): Column = {
+  def simhash(tokens: Column): Column =
+    graft.functions.SimHash32(tokens)
+
+  /** Reference formulation of [[simhash]] out of built-in higher-order
+    * functions — same output bit-for-bit; kept as the executable spec
+    * the native kernel is tested against (HOFs are CodegenFallback, so
+    * this is ~10× slower: md5 is bound to a lambda variable to hash once
+    * per token, then per-position ±1 votes are zip-summed).
+    */
+  def simhashHof(tokens: Column, nBits: Int = 32): Column = {
     val highHex = Seq("8", "9", "a", "b", "c", "d", "e", "f")
-    concat_ws("", transform(sequence(lit(1), lit(nBits)), i =>
-      when(aggregate(
-          transform(array_distinct(tokens), t =>
-            when(md5(t).substr(i, lit(1)).isInCollection(highHex), 1).otherwise(-1)),
-          lit(0), (acc, v) => acc + v) >= 0, "1").otherwise("0")))
+    val contribs = transform(transform(array_distinct(tokens), t => md5(t)), h =>
+      transform(sequence(lit(1), lit(nBits)), i =>
+        when(h.substr(i, lit(1)).isInCollection(highHex), 1).otherwise(-1)))
+    val bitSums = aggregate(contribs,
+      array_repeat(lit(0), nBits),
+      (acc, arr) => zip_with(acc, arr, (a, b) => a + b))
+    concat_ws("", transform(bitSums, s => when(s >= 0, "1").otherwise("0")))
   }
 
   /** SimHash near-duplicate pairs: band the signature (nBands contiguous
@@ -86,9 +97,10 @@ object Dedup {
     * bucket sizes, not corpus size, drive the join fan-out at 100 TB.
     */
   def simhashNearDups(docs: DataFrame, idCol: String, tokensCol: String,
-                      nBits: Int = 32, nBands: Int = 4, maxHamming: Int = 3): DataFrame = {
+                      nBands: Int = 4, maxHamming: Int = 3): DataFrame = {
+    val nBits = 32
     val bandLen = nBits / nBands
-    val sigs = docs.select(col(idCol), simhash(col(tokensCol), nBits).as("sig"))
+    val sigs = docs.select(col(idCol), simhash(col(tokensCol)).as("sig"))
     val bands = sigs.select(col(idCol), col("sig"),
       posexplode(transform(sequence(lit(0), lit(nBands - 1)),
         b => col("sig").substr(b * bandLen + 1, lit(bandLen)))).as(Seq("band", "chunk")))

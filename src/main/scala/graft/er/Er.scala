@@ -218,8 +218,20 @@ object ErEvaluation {
     * ScalableEntityResolution.scala:222-259). One shuffle + a 101-row
     * window; the reference launches ~100 jobs.
     */
-  def prfSweep(sims: DataFrame, gold: DataFrame): DataFrame = {
-    val nGold = gold.count()
+  def prfSweep(sims0: DataFrame, gold0: DataFrame): DataFrame = {
+    // both inputs feed 2-3 plan branches (histogram, gold-join, count) —
+    // mark them cached so branches share one materialization. The gold
+    // COUNT stays lazy (a broadcast 1-row aggregate, not a driver-side
+    // action): construction runs zero jobs, and the whole sweep executes
+    // as one job whose common subtrees AQE/ReuseExchange share.
+    val sims = sims0.persist()
+    val gold = gold0.persist()
+    // fill both caches BEFORE the multi-branch job: lazy fill would race —
+    // each branch that reaches an unfilled cache computes the whole
+    // upstream chain itself (measured 3-6× slower than filling once here)
+    sims.count()
+    gold.count()
+    val goldCount = gold.agg(count(lit(1)).as("n_gold"))
     val goldSims = goldSimilarities(sims, gold)
     val dupBins = goldSims
       .groupBy(floor(col("sim") * 100).cast("int").as("bin"))
@@ -242,11 +254,18 @@ object ErEvaluation {
       .select(col("bin"),
         sum(col("n_dups")).over(w).as("tp"),
         sum(col("n_nondups")).over(w).as("fp"))
-      .select(col("bin"), col("tp"), col("fp"), (lit(nGold) - col("tp")).as("fn"))
+      .crossJoin(broadcast(goldCount))
+      .select(col("bin"), col("tp"), col("fp"), (col("n_gold") - col("tp")).as("fn"),
+        col("n_gold"))
       .withColumn("precision",
         when(col("tp") + col("fp") === 0, lit(null))
           .otherwise(col("tp").cast("double") / (col("tp") + col("fp"))))
-      .withColumn("recall", col("tp").cast("double") / lit(nGold))
+      // ANSI mode makes x/0 an ERROR (DuckDB yields NULL) — guard the
+      // empty-gold case explicitly so both engines agree
+      .withColumn("recall",
+        when(col("n_gold") === 0, lit(null).cast("double"))
+          .otherwise(col("tp").cast("double") / col("n_gold")))
+      .drop("n_gold")
       .withColumn("fmeasure",
         when(col("precision").isNull || col("precision") + col("recall") === 0, lit(null))
           .otherwise(lit(2) * col("precision") * col("recall") /

@@ -1,0 +1,104 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.ColumnShim
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native Catalyst expression: dot product of two `ARRAY<FLOAT>` columns,
+  * accumulated in double precision.
+  *
+  * Why not `aggregate(zip_with(...))`: higher-order functions are
+  * `CodegenFallback` — every call interprets a lambda tree and allocates
+  * an intermediate array, which made the all-pairs cosine query ~20×
+  * slower than this expression. Here `doGenCode` emits a tight
+  * float-multiply loop straight into whole-stage codegen: no allocation,
+  * no virtual calls, stays inside the fused pipeline. Element order is
+  * sequential, so results are bit-identical to the higher-order (and
+  * DuckDB `list_sum(list_transform(...))`) formulation.
+  *
+  * Semantics: length = min(len(a), len(b)); elements are assumed
+  * non-null (dense embedding vectors). NULL input array → NULL.
+  */
+case class FloatVecDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two ARRAY<FLOAT> arguments, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |${ev.value} = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  ${ev.value} += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): FloatVecDot =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Column/SQL surface for the native vector expressions. */
+object VectorFunctions {
+
+  /** `vec_dot(a, b)` as a Column — usable in any DataFrame pipeline. */
+  def vecDot(a: Column, b: Column): Column =
+    ColumnShim.column(
+      FloatVecDot(ColumnShim.expression(a), ColumnShim.expression(b)))
+
+  private val info = new ExpressionInfo(
+    classOf[FloatVecDot].getName, "vec_dot")
+
+  /** Make `vec_dot` callable from SQL text in an existing session
+    * (idempotent). For config-time installation use
+    * `spark.sql.extensions=graft.functions.GraftExtensions`.
+    */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("vec_dot"), info,
+      (exprs: Seq[Expression]) => FloatVecDot(exprs.head, exprs(1)))
+}
+
+/** `SparkSessionExtensions` installer:
+  * `--conf spark.sql.extensions=graft.functions.GraftExtensions`.
+  */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    ext.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[FloatVecDot].getName, "vec_dot"),
+      (exprs: Seq[Expression]) => FloatVecDot(exprs.head, exprs(1))))
+}

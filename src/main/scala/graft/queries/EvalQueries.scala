@@ -27,9 +27,15 @@ object EvalQueries {
     DocSimilarity.selfCosinePairs(w, TfIdf.norms(w, "doc_id"), "doc_id")
   }
 
+  /** Gold = the 25 most-bigram-Jaccard-similar pairs (total order with
+    * id tie-break; Jaccard is exact int division → identical set in any
+    * engine). A top-k keeps the eval non-degenerate at every scale
+    * factor, where any fixed threshold goes empty as the corpus grows.
+    */
   private def gold(s: SparkSession, dir: String): DataFrame =
     Dedup.bigramJaccardPairs(tokenized(s, dir), "doc_id", "tokens")
-      .where(col("jaccard") >= 0.5).select("id_a", "id_b")
+      .orderBy(col("jaccard").desc, col("id_a"), col("id_b")).limit(25)
+      .select("id_a", "id_b")
 
   /** Shared DuckDB CTE chain: TF-IDF cosine pairs + Jaccard gold over
     * documents with doc_id < 150 (mirrors q26/q29 formulations).
@@ -63,9 +69,10 @@ object EvalQueries {
     inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
               FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
               GROUP BY 1, 2),
-    gold AS (SELECT id_a, id_b
-             FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
-             WHERE inter / (sa.n + sb.n - inter) >= CAST(0.5 AS DOUBLE))"""
+    jac AS (SELECT id_a, id_b, inter / (sa.n + sb.n - inter) AS jaccard
+            FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b),
+    gold AS (SELECT id_a, id_b FROM jac
+             ORDER BY jaccard DESC, id_a, id_b LIMIT 25)"""
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -113,7 +120,8 @@ object EvalQueries {
       met AS (SELECT bin, tp, fp, (SELECT COUNT(*) FROM gold) - tp AS fn,
                 CASE WHEN tp + fp = 0 THEN NULL
                      ELSE CAST(tp AS DOUBLE) / (tp + fp) END AS precision,
-                CAST(tp AS DOUBLE) / (SELECT COUNT(*) FROM gold) AS recall
+                CASE WHEN (SELECT COUNT(*) FROM gold) = 0 THEN NULL
+                     ELSE CAST(tp AS DOUBLE) / (SELECT COUNT(*) FROM gold) END AS recall
               FROM cum)
       SELECT bin, tp, fp, fn, precision, recall,
              CASE WHEN precision IS NULL OR precision + recall = 0 THEN NULL

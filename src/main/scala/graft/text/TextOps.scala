@@ -17,13 +17,32 @@ import org.apache.spark.sql.functions._
   */
 object Tokenize {
 
-  /** lowercase + split `\W+` + drop empties. */
-  def tokens(text: Column): Column =
-    filter(split(lower(text), "\\W+"), t => t =!= lit(""))
+  /** Above this, chained `array_remove`s would out-grow the codegen
+    * method-size budget; fall back to one higher-order `filter`.
+    */
+  private val MaxChainedRemoves = 16
 
-  /** tokens minus stopwords, duplicates preserved. */
+  /** lowercase + split `\W+` + drop empties.
+    *
+    * Codegen note: Java's `split` drops trailing empty strings, so the
+    * only possible empty token is a single LEADING one (text starting
+    * with a non-word char, or all-non-word text). `array_remove(_, "")`
+    * strips exactly that while keeping every other duplicate — and unlike
+    * a higher-order `filter` (CodegenFallback, interpreted per row) it
+    * stays inside whole-stage codegen.
+    */
+  def tokens(text: Column): Column =
+    array_remove(split(lower(text), "\\W+"), "")
+
+  /** tokens minus stopwords, duplicates preserved. `array_except` would
+    * dedup (wrong — reference keeps duplicates,
+    * textanalyse/EntityResolution.scala:293); `array_remove` per stopword
+    * removes all its occurrences and keeps everything else, codegen'd.
+    */
   def tokens(text: Column, stopwords: Seq[String]): Column =
     if (stopwords.isEmpty) tokens(text)
+    else if (stopwords.size <= MaxChainedRemoves)
+      stopwords.foldLeft(tokens(text))((c, sw) => array_remove(c, sw))
     else filter(tokens(text), t => !t.isInCollection(stopwords))
 }
 

@@ -18,6 +18,10 @@ class SimhashIvfSpec extends SparkTestBase {
       .as[(Long, String)].collect().toMap
     assert(sigs.values.forall(s => s.length == 32 && s.forall(c => c == '0' || c == '1')))
     assert(sigs(1L) === sigs(2L))
+    // the native kernel is bit-for-bit the HOF (executable-spec) formulation
+    val hof = docs.select(col("doc_id"), Dedup.simhashHof(col("tokens")).as("sig"))
+      .as[(Long, String)].collect().toMap
+    assert(hof === sigs)
     def hamming(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }
     assert(hamming(sigs(1L), sigs(3L)) < hamming(sigs(1L), sigs(4L)))
   }

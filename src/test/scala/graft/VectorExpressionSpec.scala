@@ -1,0 +1,73 @@
+package graft
+
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.functions._
+
+/** The native vec_dot expression: correctness, parity with the
+  * higher-order formulation (bit-identical — same summation order),
+  * null handling, codegen + interpreted paths, and SQL registration.
+  */
+class VectorExpressionSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def hofDot = (a: String, b: String) =>
+    aggregate(zip_with(col(a), col(b), (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  test("vec_dot matches the higher-order formulation bit-for-bit") {
+    val df = Seq.tabulate(50) { i =>
+      (Array.tabulate(64)(j => (math.sin(i * 64 + j) * 10).toFloat),
+       Array.tabulate(64)(j => (math.cos(i * 64 + j) * 10).toFloat))
+    }.toDF("a", "b")
+    val diffs = df.select(
+        (VectorFunctions.vecDot(col("a"), col("b")) - hofDot("a", "b")).as("d"))
+      .agg(max(abs(col("d")))).collect()(0).getDouble(0)
+    assert(diffs === 0.0)
+  }
+
+  test("known value and empty/null handling") {
+    val df = Seq(
+      (Some(Array(1.0f, 2.0f, 3.0f)), Some(Array(4.0f, 5.0f, 6.0f))),
+      (Some(Array.empty[Float]), Some(Array.empty[Float])),
+      (None, Some(Array(1.0f)))
+    ).toDF("a", "b")
+    val r = df.select(VectorFunctions.vecDot(col("a"), col("b"))).collect()
+    assert(r(0).getDouble(0) === 32.0)
+    assert(r(1).getDouble(0) === 0.0)
+    assert(r(2).isNullAt(0))
+  }
+
+  test("interpreted path (eval) agrees with codegen") {
+    val e = graft.functions.FloatVecDot(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array(1.0f, 2.0f), org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array(3.0f, 4.0f), org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)))
+    assert(e.eval(null) === 11.0)
+  }
+
+  test("registered as a SQL function") {
+    VectorFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT vec_dot(array(CAST(1.5 AS FLOAT), CAST(2 AS FLOAT)), array(CAST(2 AS FLOAT), CAST(3 AS FLOAT))) AS d")
+      .collect()(0).getDouble(0)
+    assert(r === 9.0)
+  }
+
+  test("whole-stage codegen keeps the fused dot loop (no fallback)") {
+    // the plan must NOT fall back: vec_dot supports codegen, so the
+    // projection stays inside a WholeStageCodegen stage (a zip_with/
+    // aggregate formulation is CodegenFallback and would not)
+    val df = spark.range(100)
+      .select(expr("array(cast(id as float), cast(id+1 as float))").as("a"),
+        expr("array(cast(2 as float), cast(3 as float))").as("b"))
+      .select(VectorFunctions.vecDot(col("a"), col("b")).as("d"))
+    val codegenStages = df.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    assert(codegenStages.nonEmpty)
+    assert(codegenStages.exists(_.toString.contains("vec_dot")))
+    assert(df.agg(sum("d")).collect()(0).getDouble(0) ===
+      (0 until 100).map(i => 2.0 * i + 3.0 * (i + 1)).sum)
+  }
+}
