@@ -265,6 +265,32 @@ object RelationalQueries {
         Tables.read(s, dir, "orders")
           .groupBy(year(col("o_orderdate")).as("yr"), month(col("o_orderdate")).as("mth"))
           .agg(count(lit(1)).as("n"), (sum(cents(col("o_totalprice"))) / 100.0).as("total"))
-          .orderBy("yr", "mth"))
+          .orderBy("yr", "mth")),
+
+    // ---- q49: CUBE grouping sets (all 4 combinations).
+    QueryDef("q49_cube", Some("""
+      SELECT l_returnflag, l_linestatus,
+             CAST(SUM(l_quantity) AS BIGINT) AS sum_qty, COUNT(*) AS n
+      FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+      ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"""),
+      (s, dir) =>
+        Tables.read(s, dir, "lineitem")
+          .cube("l_returnflag", "l_linestatus")
+          .agg(sum("l_quantity").cast("long").as("sum_qty"), count(lit(1)).as("n"))
+          .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
+
+    // ---- q50: EXCEPT set difference (distinct semantics; reference U2,
+    // the commented-out subtract — EntityResolution.scala:226).
+    QueryDef("q50_except", Some("""
+      SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1995
+      EXCEPT
+      SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1996
+      ORDER BY o_custkey"""),
+      (s, dir) => {
+        val o = Tables.read(s, dir, "orders")
+        o.where(year(col("o_orderdate")) === 1995).select("o_custkey")
+          .except(o.where(year(col("o_orderdate")) === 1996).select("o_custkey"))
+          .orderBy("o_custkey")
+      })
   )
 }

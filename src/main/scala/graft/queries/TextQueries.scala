@@ -312,6 +312,25 @@ object TextQueries {
             TextStats.bpeTokenCount(col("text")).as("n_bpe_tokens"))
           .orderBy("doc_id")),
 
+    // ---- q51: dedup keep-list — the actionable output of exact dedup:
+    // every doc tagged keep/drop (keep = smallest doc_id of its
+    // fingerprint group), via a window min over the fingerprint.
+    QueryDef("q51_dedup_keeplist", Some(s"""${toksCte()}
+      SELECT doc_id,
+             md5(array_to_string(list_sort(list_distinct(tokens)), ' ')) AS fingerprint,
+             doc_id = MIN(doc_id) OVER (
+               PARTITION BY md5(array_to_string(list_sort(list_distinct(tokens)), ' '))
+             ) AS keep
+      FROM toks ORDER BY doc_id"""),
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("fingerprint")
+        tokenized(s, dir)
+          .select(col("doc_id"),
+            md5(concat_ws(" ", array_sort(array_distinct(col("tokens"))))).as("fingerprint"))
+          .withColumn("keep", col("doc_id") === min("doc_id").over(w))
+          .orderBy("doc_id")
+      }),
+
     // ---- q40: multimodal plumbing — opaque binary payload + metadata
     // (decode itself is stubbed; see graft.multimodal).
     QueryDef("q40_binary_meta", Some("""

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, CartesianProductExec}
+
+/** Physical-plan properties that make these pipelines survive a 100 TB
+  * scale-up: filters reach the parquet scan, scans prune to the needed
+  * columns, small dimension tables broadcast, and similarity queries
+  * never degenerate to cartesian products. Locked in as tests so a
+  * refactor that silently loses a pushdown fails CI, not the cluster.
+  */
+class PlanQualitySpec extends SparkTestBase {
+
+  private def q(name: String): DataFrame =
+    SparkEntry.queries(name)(spark, sf("sf0.001"))
+
+  private def executed(df: DataFrame): SparkPlan = {
+    df.collect() // materialize so AQE settles on the final plan
+    df.queryExecution.executedPlan
+  }
+
+  private def collectAll(p: SparkPlan): Seq[SparkPlan] = p match {
+    // AQE wraps materialized stages in leaf nodes — traverse through them
+    case a: AdaptiveSparkPlanExec => collectAll(a.executedPlan)
+    case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      Seq(s) ++ collectAll(s.plan)
+    case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+      Seq(r) ++ collectAll(r.child)
+    case other =>
+      Seq(other) ++ other.children.flatMap(collectAll) ++
+        other.subqueries.flatMap(collectAll)
+  }
+
+  test("q02: filters are pushed into the parquet scan, columns pruned") {
+    val scans = collectAll(executed(q("q02_revenue_filter")))
+      .filter(_.nodeName.contains("Scan")).map(_.toString)
+    assert(scans.nonEmpty)
+    val lineitemScan = scans.find(_.contains("lineitem")).get
+    assert(lineitemScan.contains("PushedFilters: ["))
+    assert(lineitemScan.contains("l_shipdate"), "shipdate filter must reach the scan")
+    // projection pruning: the scan must NOT read all 11 lineitem columns
+    assert(!lineitemScan.contains("l_returnflag"))
+    assert(!lineitemScan.contains("l_orderkey"))
+  }
+
+  test("q08: the small part table broadcasts — fact side never shuffles for the join") {
+    val plan = collectAll(executed(q("q08_broadcast_join")))
+    assert(plan.exists { case _: BroadcastHashJoinExec => true; case _ => false })
+    assert(!plan.exists(_.nodeName.contains("SortMergeJoin")),
+      "dim join must not sort-merge (would shuffle the fact table)")
+  }
+
+  test("q03: 3-way join keeps filters below the joins") {
+    val plan = collectAll(executed(q("q03_top_orders")))
+    val scans = plan.filter(_.nodeName.contains("Scan")).map(_.toString)
+    assert(scans.exists(s => s.contains("orders") && s.contains("PushedFilters: [") &&
+      s.contains("o_orderdate")))
+    assert(scans.exists(s => s.contains("lineitem") && s.contains("l_shipdate")))
+    assert(!plan.exists { case _: CartesianProductExec => true; case _ => false })
+  }
+
+  test("q26 cosine pairs: inverted-index join, never a cartesian product") {
+    val plan = collectAll(executed(q("q26_cosine_pairs")))
+    assert(!plan.exists { case _: CartesianProductExec => true; case _ => false },
+      "similarity must block on tokens, not enumerate all pairs")
+  }
+
+  test("q34 brute-force kNN: query side broadcasts; corpus is never shuffled") {
+    val plan = collectAll(executed(q("q34_knn_brute")))
+    // scoring phase = broadcast nested loop over the corpus; the only
+    // shuffle allowed is the per-query top-k (window) on the small
+    // scored output, never the full corpus scan side
+    val shuffles = plan.collect { case s: ShuffleExchangeExec => s }
+    assert(shuffles.size <= 2)
+    assert(plan.exists(_.nodeName.contains("BroadcastNestedLoopJoin")))
+  }
+
+  test("q44 simhash: map-only pipeline — no shuffle except the final sort") {
+    val plan = collectAll(executed(q("q44_simhash")))
+    val shuffles = plan.collect { case s: ShuffleExchangeExec => s }
+    // one range-partitioning exchange for the ORDER BY; signature
+    // computation itself must stay map-side
+    assert(shuffles.size <= 1)
+  }
+
+  test("q14 hourly window: partial aggregation before the shuffle") {
+    val plan = collectAll(executed(q("q14_hourly_window")))
+    val aggs = plan.filter(_.nodeName.contains("HashAggregate")).map(_.toString)
+    assert(aggs.exists(_.contains("partial_")),
+      "map-side combine must run before the exchange")
+  }
+}
