@@ -76,6 +76,43 @@ object Knn {
       .select(col(idCol), col("centroid_id"))
   }
 
+  /** Spherical k-means for the IVF codebook: assign every vector to its
+    * most-similar centroid (map-side, centroids broadcast), recompute
+    * centroids as per-cluster means (one shuffle on cluster id), repeat.
+    * Only the k centroid vectors ever reach the driver — the corpus
+    * stays distributed, so iterations cost O(corpus × k) map work plus
+    * one k-row collect each. Deterministic: seeded from `centroidPred`
+    * rows, cosine ties broken by centroid id.
+    *
+    * @return (centroid_id, centroid ARRAY<FLOAT>) after `iters` updates
+    */
+  def kmeansCentroids(emb: DataFrame, idCol: String, vecCol: String,
+                      centroidPred: Column, iters: Int): DataFrame = {
+    var centroids = emb.where(centroidPred)
+      .select(col(idCol).as("centroid_id"), col(vecCol).as("cent_vec"))
+    (1 to iters).foreach { _ =>
+      val cn = centroids.select(col("centroid_id"), col("cent_vec"),
+        l2norm(col("cent_vec")).as("cent_nrm"))
+      val e = withNorm(emb, idCol, vecCol)
+      val scored = e.crossJoin(broadcast(cn))
+        .select(col(idCol), col(vecCol), col("centroid_id"),
+          (dot(col(vecCol), col("cent_vec")) / (col("nrm") * col("cent_nrm"))).as("cs"))
+      val w = Window.partitionBy(idCol).orderBy(col("cs").desc, col("centroid_id"))
+      val assigned = scored.withColumn("rk", row_number().over(w)).where(col("rk") === 1)
+      // per-cluster mean: explode to (cluster, dim, value), aggregate,
+      // rebuild the vector ordered by dimension index
+      centroids = assigned
+        .select(col("centroid_id"), posexplode(col(vecCol)).as(Seq("dim", "v")))
+        .groupBy("centroid_id", "dim")
+        .agg(avg(col("v")).as("m"))
+        .groupBy("centroid_id")
+        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+        .select(col("centroid_id"),
+          transform(col("dm"), x => x.getField("m").cast("float")).as("cent_vec"))
+    }
+    centroids
+  }
+
   /** IVF top-k search (nprobe=1): each query only scores candidates in
     * its own centroid's bucket — the 100 TB path where brute force stops
     * being an option. Recall < 1 by design; raise nprobe by relaxing the

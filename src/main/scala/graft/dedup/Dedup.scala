@@ -52,6 +52,29 @@ object Dedup {
       .distinct()
   }
 
+  /** Banded MinHash-LSH: nBands bands × rowsPerBand minhashes. Two docs
+    * become candidates iff they agree on EVERY minhash of at least one
+    * band — P(candidate) ≈ 1−(1−J^r)^b, the standard precision/recall
+    * dial (single-hash bands, as in [[lshCandidatePairs]], are the
+    * r=1 recall-oriented corner). Signatures are map-side; the only
+    * shuffle is the (band, chunk) bucket self-join.
+    */
+  def lshBandedCandidatePairs(docs: DataFrame, idCol: String, tokensCol: String,
+                              nBands: Int, rowsPerBand: Int): DataFrame = {
+    val sigs = minhashSignatures(docs, idCol, tokensCol, nBands * rowsPerBand)
+    val chunks = (0 until nBands).map { b =>
+      concat_ws("|", (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*)
+    }
+    val bands = sigs.select(col(idCol),
+      posexplode(array(chunks: _*)).as(Seq("band", "chunk")))
+    bands.alias("a")
+      .join(bands.alias("b"),
+        col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+  }
+
   /** Bag-of-words fingerprint dedup: md5 of the sorted distinct token
     * set; returns fingerprint groups with >1 member. Exact-dup detection
     * is the same with fingerprint = md5(normalized text).

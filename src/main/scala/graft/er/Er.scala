@@ -232,17 +232,24 @@ object ErEvaluation {
     sims.count()
     gold.count()
     val goldCount = gold.agg(count(lit(1)).as("n_gold"))
-    val goldSims = goldSimilarities(sims, gold)
-    val dupBins = goldSims
-      .groupBy(floor(col("sim") * 100).cast("int").as("bin"))
-      .agg(count(lit(1)).as("n_dups"))
-    val allBins = similarityHistogram(sims, gold)
-      .select(col("bin"), (col("n_pairs") - col("n_dups")).as("n_nondups"))
+    // ONE pass over the pairs: tag candidates with their gold flag, add
+    // the gold pairs that never became candidates as sim-0 rows
+    // (reference `gs_value` semantics), then a single binned aggregation.
+    val tagged = sims
+      .join(gold.select(col("id_a"), col("id_b"), lit(true).as("isd")),
+        Seq("id_a", "id_b"), "left")
+      .select(floor(col("sim") * 100).cast("int").as("bin"),
+        coalesce(col("isd"), lit(false)).as("isd"))
+    val missingGold = gold.join(sims, Seq("id_a", "id_b"), "left_anti")
+      .select(lit(0).as("bin"), lit(true).as("isd"))
+    val binCounts = tagged.union(missingGold)
+      .groupBy("bin")
+      .agg(count(when(col("isd"), lit(1))).as("n_dups"),
+        count(when(!col("isd"), lit(1))).as("n_nondups"))
     val spark = sims.sparkSession
     import spark.implicits._
     val bins = spark.range(0, 101).select(col("id").cast("int").as("bin"))
-      .join(dupBins, Seq("bin"), "left")
-      .join(allBins, Seq("bin"), "left")
+      .join(binCounts, Seq("bin"), "left")
       .select(col("bin"),
         coalesce(col("n_dups"), lit(0L)).as("n_dups"),
         coalesce(col("n_nondups"), lit(0L)).as("n_nondups"))

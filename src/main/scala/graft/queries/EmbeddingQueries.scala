@@ -79,6 +79,19 @@ object EmbeddingQueries {
             col("vec_id") % 50 === 0, col("vec_id") < 10, 5)
           .orderBy("q_id", "rk")),
 
+    // ---- q53: spherical k-means codebook training (2 iterations from
+    // the q41 seed centroids). Iterative → not SQL-expressible, so no
+    // DuckDB oracle (driver records a rows-only check); convergence
+    // semantics are covered by KnnSpec.
+    QueryDef("q53_kmeans", None,
+      (s, dir) =>
+        Knn.kmeansCentroids(Tables.read(s, dir, "embeddings"), "vec_id", "embedding",
+            col("vec_id") % 50 === 0, iters = 2)
+          .select(col("centroid_id"),
+            size(col("cent_vec")).as("n_dims"),
+            round(Knn.l2norm(col("cent_vec")), 4).as("norm"))
+          .orderBy("centroid_id")),
+
     // ---- q36: embedding-cosine near-duplicate pairs above threshold.
     QueryDef("q36_embedding_neardup", Some(s"""
       WITH e AS (SELECT vec_id, embedding, ${sqlNorm("embedding")} AS nrm FROM embeddings),

@@ -178,6 +178,26 @@ object TextQueries {
             tokenized(s, dir).where(col("doc_id") < 200), "doc_id", "tokens", 4)
           .orderBy("id_a", "id_b")),
 
+    // ---- q52: banded MinHash-LSH (4 bands × 2 rows): candidates must
+    // match BOTH minhashes of a band — the precision-oriented corner of
+    // the b×r dial (q28 is the r=1 recall corner).
+    QueryDef("q52_lsh_banded", Some(s"""${toksCte("doc_id < 200")},
+      sig AS (SELECT doc_id,
+        ${(0 until 8).map(i =>
+          s"list_min(list_transform(list_distinct(tokens), t -> md5('$i:' || t))) AS mh$i")
+          .mkString(",\n        ")}
+              FROM toks),
+      band AS (${(0 until 4).map(b =>
+          s"SELECT doc_id, $b AS b, mh${2 * b} || '|' || mh${2 * b + 1} AS chunk FROM sig")
+          .mkString(" UNION ALL\n               ")})
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM band a JOIN band b ON a.b = b.b AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+      ORDER BY id_a, id_b"""),
+      (s, dir) =>
+        Dedup.lshBandedCandidatePairs(
+            tokenized(s, dir).where(col("doc_id") < 200), "doc_id", "tokens", 4, 2)
+          .orderBy("id_a", "id_b")),
+
     // ---- q29: word-bigram Jaccard near-dup (exact integer division).
     QueryDef("q29_jaccard_bigram", Some(s"""${toksCte("doc_id < 150")},
       sh AS (SELECT doc_id,

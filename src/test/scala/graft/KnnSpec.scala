@@ -39,4 +39,25 @@ class KnnSpec extends SparkTestBase {
       .as[(Long, Long, Double)].collect().toList
     assert(pairs === List((1L, 4L, 1.0)))
   }
+
+  test("k-means recovers two well-separated clusters from poor seeds") {
+    val pts = Seq(
+      (0L, Array(1.0f, 0.02f)), (1L, Array(0.9f, 0.05f)), (2L, Array(0.95f, 0.0f)),
+      (3L, Array(0.05f, 1.0f)), (4L, Array(0.0f, 0.9f)), (5L, Array(0.02f, 0.95f))
+    ).toDF("vec_id", "embedding")
+    // seeds 0 and 3 sit one in each cluster
+    val cents = Knn.kmeansCentroids(pts, "vec_id", "embedding",
+        col("vec_id").isin(0L, 3L), iters = 3)
+      .as[(Long, Array[Float])].collect().toMap
+    assert(cents.keySet === Set(0L, 3L))
+    // centroid 0 ≈ mean of cluster x, centroid 3 ≈ mean of cluster y
+    assert(math.abs(cents(0L)(0) - (1.0 + 0.9 + 0.95) / 3) < 1e-6)
+    assert(math.abs(cents(3L)(1) - (1.0 + 0.9 + 0.95) / 3) < 1e-6)
+    // assignments against the trained codebook are clean
+    val assignedVia = Knn.ivfAssign(pts, "vec_id", "embedding",
+        col("vec_id").isin(0L, 3L))
+      .as[(Long, Long)].collect().toMap
+    assert(Seq(0L, 1L, 2L).forall(assignedVia(_) === 0L))
+    assert(Seq(3L, 4L, 5L).forall(assignedVia(_) === 3L))
+  }
 }
