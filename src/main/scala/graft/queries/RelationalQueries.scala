@@ -291,6 +291,37 @@ object RelationalQueries {
         o.where(year(col("o_orderdate")) === 1995).select("o_custkey")
           .except(o.where(year(col("o_orderdate")) === 1996).select("o_custkey"))
           .orderBy("o_custkey")
+      }),
+
+    // ---- q54: grouped array aggregation (reference A8 groupByKey →
+    // Iterable shape — the similarity path deliberately fuses it away,
+    // so it gets first-class coverage here; sorted for determinism).
+    QueryDef("q54_collect_list", Some("""
+      SELECT o_custkey,
+             array_to_string(list_sort(list(o_orderkey)), ',') AS orderkeys,
+             COUNT(*) AS n
+      FROM orders WHERE o_orderstatus = 'P'
+      GROUP BY o_custkey ORDER BY o_custkey"""),
+      (s, dir) =>
+        Tables.read(s, dir, "orders")
+          .where(col("o_orderstatus") === "P")
+          .groupBy("o_custkey")
+          // sorted then serialized: list columns don't hash-compare
+          .agg(concat_ws(",", array_sort(collect_list(col("o_orderkey")))).as("orderkeys"),
+               count(lit(1)).as("n"))
+          .orderBy("o_custkey")),
+
+    // ---- q55: INTERSECT (distinct set intersection).
+    QueryDef("q55_intersect", Some("""
+      SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1995
+      INTERSECT
+      SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1996
+      ORDER BY o_custkey"""),
+      (s, dir) => {
+        val o = Tables.read(s, dir, "orders")
+        o.where(year(col("o_orderdate")) === 1995).select("o_custkey")
+          .intersect(o.where(year(col("o_orderdate")) === 1996).select("o_custkey"))
+          .orderBy("o_custkey")
       })
   )
 }

@@ -1,0 +1,66 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.text.Tokenize
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-style tests: random inputs, engine result checked against an
+  * independent driver-side model. One Spark job per property (the random
+  * cases ride in a single DataFrame), so hundreds of cases stay cheap.
+  */
+class PropertySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def sample[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  private val textGen: Gen[String] = Gen.listOf(Gen.frequency(
+    5 -> Gen.alphaNumChar, 2 -> Gen.oneOf(' ', '\t', '.', ',', '!', '/', '_'),
+    1 -> Gen.oneOf('Ä', 'ß', '€', '中', '\n', '"', '\''))).map(_.mkString)
+
+  test("tokenizer ≡ Java toLowerCase.split(\\W+) minus empties, for arbitrary text") {
+    val texts = sample(textGen, 300)
+    val got = texts.toDF("text")
+      .select(Tokenize.tokens(col("text")).as("t"))
+      .as[Seq[String]].collect()
+    val expected = texts.map(_.toLowerCase.split("\\W+").toSeq.filter(_.nonEmpty))
+    got.zip(expected).zipWithIndex.foreach { case ((g, e), i) =>
+      assert(g === e, s"case $i: ${texts(i)}")
+    }
+  }
+
+  test("stopword tokenizer keeps duplicates and order, for arbitrary text") {
+    val stop = Seq("a", "the", "x1")
+    val texts = sample(textGen, 200)
+    val got = texts.toDF("text")
+      .select(Tokenize.tokens(col("text"), stop).as("t"))
+      .as[Seq[String]].collect()
+    val expected = texts.map(
+      _.toLowerCase.split("\\W+").toSeq.filter(t => t.nonEmpty && !stop.contains(t)))
+    got.zip(expected).foreach { case (g, e) => assert(g === e) }
+  }
+
+  test("native simhash ≡ HOF simhash for arbitrary token arrays") {
+    val tokensGen: Gen[Seq[String]] =
+      Gen.listOfN(8, Gen.oneOf(Gen.alphaNumStr.map(_.take(6)), Gen.const("")))
+        .map(_.toSeq)
+    val cases = sample(tokensGen, 150)
+    val df = cases.toDF("tokens").cache()
+    val native = df.select(Dedup.simhash(col("tokens"))).as[String].collect()
+    val hof = df.select(Dedup.simhashHof(col("tokens"))).as[String].collect()
+    assert(native.toSeq === hof.toSeq)
+  }
+
+  test("minhash equality is permutation-invariant for arbitrary token arrays") {
+    val tokensGen = Gen.listOfN(10, Gen.alphaLowerStr.map(_.take(5))).map(_.toSeq)
+    val cases = sample(tokensGen, 100)
+    val both = cases.map(c => (c, scala.util.Random.shuffle(c)))
+    val df = both.toDF("a", "b")
+    val neq = df.select(
+        (Dedup.minhash(col("a"), 1) === Dedup.minhash(col("b"), 1)).as("eq"))
+      .where(!col("eq")).count()
+    assert(neq === 0)
+  }
+}
