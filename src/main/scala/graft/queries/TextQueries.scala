@@ -72,6 +72,22 @@ object TextQueries {
           .select("token", "df", "idf").orderBy("token")
       }),
 
+    // ---- q56: IDF value histogram — the data behind the reference's
+    // SimilarityApp JFreeChart entry point (SimilarityApp.scala:40-58):
+    // distribution of idf = N/df over the vocabulary, integer bins.
+    QueryDef("q56_idf_histogram", Some(s"""${toksCte()},
+      tok AS (SELECT doc_id, unnest(tokens) AS token FROM toks),
+      idf AS (SELECT token,
+                     (SELECT COUNT(*) FROM toks)::DOUBLE / COUNT(DISTINCT doc_id) AS idf
+              FROM tok GROUP BY token)
+      SELECT CAST(FLOOR(idf) AS INTEGER) AS bin, COUNT(*) AS n_tokens
+      FROM idf GROUP BY 1 ORDER BY bin"""),
+      (s, dir) =>
+        TfIdf.idf(tokenized(s, dir), "doc_id", "tokens")
+          .groupBy(floor(col("idf")).cast("int").as("bin"))
+          .agg(count(lit(1)).as("n_tokens"))
+          .orderBy("bin")),
+
     // ---- q23: term frequency (A6/V1) — exact long/int division.
     QueryDef("q23_tf", Some(s"""${toksCte("doc_id < 100")},
       tok AS (SELECT doc_id, unnest(tokens) AS token FROM toks),
