@@ -293,6 +293,40 @@ object RelationalQueries {
           .orderBy("o_custkey")
       }),
 
+    // ---- q57: exact interpolated percentiles (both engines use linear
+    // interpolation on the sorted values → bit-comparable after round).
+    QueryDef("q57_percentiles", Some("""
+      SELECT l_returnflag,
+             ROUND(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
+             ROUND(quantile_cont(l_quantity, 0.9), 6) AS p90_qty,
+             ROUND(quantile_cont(l_extendedprice, 0.99), 6) AS p99_price
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+      (s, dir) =>
+        Tables.read(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(round(expr("percentile(l_quantity, 0.5)"), 6).as("p50_qty"),
+               round(expr("percentile(l_quantity, 0.9)"), 6).as("p90_qty"),
+               round(expr("percentile(l_extendedprice, 0.99)"), 6).as("p99_price"))
+          .orderBy("l_returnflag")),
+
+    // ---- q58: pivot (long → wide): order counts per status column.
+    QueryDef("q58_pivot", Some("""
+      SELECT o_orderpriority,
+             COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+             COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+             COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
+      (s, dir) =>
+        Tables.read(s, dir, "orders")
+          .groupBy("o_orderpriority")
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .agg(count(lit(1)))
+          .select(col("o_orderpriority"),
+            coalesce(col("F"), lit(0L)).as("n_f"),
+            coalesce(col("O"), lit(0L)).as("n_o"),
+            coalesce(col("P"), lit(0L)).as("n_p"))
+          .orderBy("o_orderpriority")),
+
     // ---- q54: grouped array aggregation (reference A8 groupByKey →
     // Iterable shape — the similarity path deliberately fuses it away,
     // so it gets first-class coverage here; sorted for determinism).
