@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join: for every left row, the single LATEST right row with
+  * `right.ts <= left.ts` in the same key group (the time-series lookup
+  * join of kdb/Flink/DuckDB; absent from the reference — SURVEY.md §2.3
+  * "absent" row — and from Spark's built-ins).
+  *
+  * Scalable formulation: UNION the two sides, then one window pass per
+  * key partition carrying the last-seen right row forward
+  * (`last_value(..., ignoreNulls)` over rows-unbounded-preceding). That
+  * is ONE shuffle on the key and an O(n log n) per-partition sort — no
+  * range-condition join, whose candidate explosion is what kills naive
+  * as-of at scale. Ties: a right row AT the left timestamp matches
+  * (sorts first via the side tag); equal-timestamp right rows resolve
+  * to the largest `tieCol`.
+  */
+object AsOfJoin {
+
+  /** @param keys    equi-join key columns (present on both sides)
+    * @param tsCol   event-time column name (both sides, numeric or timestamp)
+    * @param tieCol  right-side deterministic tie-break column
+    * @param payload right-side columns to carry onto matched left rows
+    *                (returned as `asof_<name>`, NULL when no match)
+    */
+  def asOf(left: DataFrame, right: DataFrame, keys: Seq[String],
+           tsCol: String, tieCol: String, payload: Seq[String]): DataFrame = {
+    val keyCols = keys.map(col)
+    val l = left.withColumn("_side", lit(1))
+      .withColumn("_tie", lit(null).cast(right.schema(tieCol).dataType))
+      .withColumn("_r", lit(null).cast("struct<" +
+        payload.map(p => s"$p:${right.schema(p).dataType.sql}").mkString(",") + ">"))
+    val r = right.select(
+      (keyCols :+ col(tsCol).as(tsCol)) ++ Seq(
+        lit(0).as("_side"),
+        col(tieCol).as("_tie"),
+        struct(payload.map(col): _*).as("_r")): _*)
+    // align: keep every left column + the three internals
+    val lAligned = l.select(
+      (left.columns.map(col) ++ Seq(col("_side"), col("_tie"), col("_r"))): _*)
+    val rAligned = left.columns.foldLeft(r) { (df, c) =>
+      if (keys.contains(c) || c == tsCol) df
+      else df.withColumn(c, lit(null).cast(left.schema(c).dataType))
+    }.select((left.columns.map(col) ++ Seq(col("_side"), col("_tie"), col("_r"))): _*)
+
+    val w = Window.partitionBy(keyCols: _*)
+      .orderBy(col(tsCol).asc, col("_side").asc, col("_tie").asc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = lAligned.unionByName(rAligned)
+      .withColumn("_match", last(col("_r"), ignoreNulls = true).over(w))
+      .where(col("_side") === 1)
+    payload.foldLeft(carried) { (df, p) =>
+        df.withColumn(s"asof_$p", col(s"_match.$p"))
+      }
+      .drop("_side", "_tie", "_r", "_match")
+  }
+}

@@ -67,6 +67,37 @@ object EventQueries {
           .orderBy("user_id")
       }),
 
+    // ---- q59: as-of join — every 'error' event paired with the same
+    // user's latest 'click' at-or-before it (graft.operators.AsOfJoin:
+    // union + one keyed window pass, no range join). The oracle mirrors
+    // the semantics with a ranked range join (fine at oracle scale).
+    QueryDef("q59_asof", Some("""
+      WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tu FROM events
+                 WHERE event_type = 'error'),
+      c AS (SELECT event_id, user_id, epoch_us(ts) AS tu FROM events
+            WHERE event_type = 'click'),
+      ranked AS (SELECT e.event_id, c.event_id AS click_id, c.tu AS click_tu,
+                        ROW_NUMBER() OVER (PARTITION BY e.event_id
+                                           ORDER BY c.tu DESC, c.event_id DESC) AS rk
+                 FROM e JOIN c ON c.user_id = e.user_id AND c.tu <= e.tu)
+      SELECT e.event_id, e.user_id, e.tu,
+             r.click_id AS asof_event_id, r.click_tu AS asof_ts_us
+      FROM e LEFT JOIN (SELECT * FROM ranked WHERE rk = 1) r USING (event_id)
+      ORDER BY event_id"""),
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"), col("ts_us"), col("event_type"))
+        val errors = ev.where(col("event_type") === "error")
+          .select(col("event_id"), col("user_id"), col("ts_us").as("tu"))
+        val clicks = ev.where(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts_us").as("tu"))
+        graft.operators.AsOfJoin.asOf(errors, clicks,
+            Seq("user_id"), "tu", "event_id", Seq("event_id", "tu"))
+          .select(col("event_id"), col("user_id"), col("tu"),
+            col("asof_event_id"), col("asof_tu").as("asof_ts_us"))
+          .orderBy("event_id")
+      }),
+
     // ---- q39: grouped stats incl. exact avg via scaled ints.
     QueryDef("q39_event_stats", Some(s"""
       SELECT event_type, COUNT(*) AS n,
