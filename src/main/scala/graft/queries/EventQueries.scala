@@ -98,6 +98,36 @@ object EventQueries {
           .orderBy("event_id")
       }),
 
+    // ---- q60: interval (range) join — for every error event, count and
+    // value-sum of the same user's clicks in the trailing 10 minutes
+    // (graft.operators.RangeJoin: bucketized equi-join, clone factor 2,
+    // no O(n·m) range scan). Money summed in cents for exactness.
+    QueryDef("q60_range_join", Some(s"""
+      WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tu FROM events
+                 WHERE event_type = 'error'),
+      c AS (SELECT user_id, epoch_us(ts) AS tu, $valCents AS vc FROM events
+            WHERE event_type = 'click')
+      SELECT e.event_id, e.user_id, e.tu,
+             CAST(COUNT(c.tu) AS BIGINT) AS n_recent,
+             CAST(SUM(c.vc) AS BIGINT) / 100.0 AS sum_recent_value
+      FROM e LEFT JOIN c ON c.user_id = e.user_id
+        AND c.tu > e.tu - 600000000 AND c.tu <= e.tu
+      GROUP BY e.event_id, e.user_id, e.tu
+      ORDER BY e.event_id"""),
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val errors = ev.where(col("event_type") === "error")
+          .select(col("event_id"), col("user_id"), col("ts_us").as("tu"))
+        val clicks = ev.where(col("event_type") === "click")
+          .select(col("user_id"), col("ts_us").as("tu"),
+            QueryDef.cents(col("value")).as("vc"))
+        graft.operators.RangeJoin.countRecent(errors, clicks,
+            Seq("user_id"), "event_id", "tu", "vc", lookback = 600000000L)
+          .select(col("event_id"), col("user_id"), col("tu"), col("n_recent"),
+            (col("sum_recent_value") / 100.0).as("sum_recent_value"))
+          .orderBy("event_id")
+      }),
+
     // ---- q39: grouped stats incl. exact avg via scaled ints.
     QueryDef("q39_event_stats", Some(s"""
       SELECT event_type, COUNT(*) AS n,
