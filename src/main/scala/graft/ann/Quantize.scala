@@ -1,0 +1,46 @@
+package graft.ann
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Scalar int8 quantization of dense embedding columns — the storage
+  * path at 100 TB: a 64-dim float vector (256 B) becomes 64 bytes + two
+  * floats of scale metadata (~4× smaller, and int8 SIMD-dots on modern
+  * CPUs). Per-vector min/max scaling; everything is column arithmetic,
+  * so quantize/dequantize run map-side at any scale.
+  */
+object Quantize {
+
+  /** Codes 0..255 per element: round((x − min) / scale); constant
+    * vectors (scale 0) map to all-zero codes (ANSI-safe).
+    */
+  def quantizeCodes(vec: Column): Column = {
+    val mn = array_min(vec).cast("double")
+    val mx = array_max(vec).cast("double")
+    val scale = (mx - mn) / 255.0
+    when(mx === mn, transform(vec, _ => lit(0).cast("int")))
+      .otherwise(transform(vec,
+        x => round((x.cast("double") - mn) / scale).cast("int")))
+  }
+
+  /** Reconstruction: min + code * scale (doubles). */
+  def dequantize(vec: Column, codes: Column): Column = {
+    val mn = array_min(vec).cast("double")
+    val mx = array_max(vec).cast("double")
+    val scale = (mx - mn) / 255.0
+    transform(codes, c => mn + c.cast("double") * scale)
+  }
+
+  private def ddot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  /** Cosine between the original vector and its int8 reconstruction —
+    * the fidelity metric that decides whether quantized search is
+    * usable (≈1.0 for well-spread vectors).
+    */
+  def reconstructionCosine(vec: Column): Column = {
+    val orig = transform(vec, _.cast("double"))
+    val recon = dequantize(vec, quantizeCodes(vec))
+    ddot(orig, recon) / (sqrt(ddot(orig, orig)) * sqrt(ddot(recon, recon)))
+  }
+}

@@ -79,6 +79,43 @@ object EmbeddingQueries {
             col("vec_id") % 50 === 0, col("vec_id") < 10, 5)
           .orderBy("q_id", "rk")),
 
+    // ---- q61: int8 scalar quantization fidelity — codes, checksum and
+    // reconstruction cosine per vector (graft.ann.Quantize; the 4×
+    // storage-path for 100 TB embedding corpora).
+    QueryDef("q61_quantize", Some("""
+      WITH q AS (
+        SELECT vec_id,
+               list_min(embedding)::DOUBLE AS mn,
+               (list_max(embedding)::DOUBLE - list_min(embedding)::DOUBLE) / 255.0 AS scale,
+               embedding
+        FROM embeddings),
+      c AS (
+        SELECT vec_id, mn, scale,
+               CASE WHEN scale = 0
+                    THEN list_transform(embedding, x -> 0)
+                    ELSE list_transform(embedding,
+                         x -> CAST(ROUND((x::DOUBLE - mn) / scale) AS INTEGER)) END AS codes,
+               list_transform(embedding, x -> x::DOUBLE) AS orig
+        FROM q),
+      r AS (
+        SELECT vec_id, codes, orig,
+               list_transform(codes, k -> mn + k * scale) AS recon
+        FROM c)
+      SELECT vec_id,
+             CAST(list_sum(codes) AS BIGINT) AS code_sum,
+             ROUND(list_sum(list_transform(range(1, len(orig)+1), i -> orig[i] * recon[i]))
+                   / (SQRT(list_sum(list_transform(orig, x -> x*x)))
+                      * SQRT(list_sum(list_transform(recon, x -> x*x)))), 6) AS recon_cos
+      FROM r ORDER BY vec_id"""),
+      (s, dir) =>
+        Tables.read(s, dir, "embeddings")
+          .select(col("vec_id"),
+            aggregate(graft.ann.Quantize.quantizeCodes(col("embedding")),
+              lit(0L), (acc, v) => acc + v).as("code_sum"),
+            round(graft.ann.Quantize.reconstructionCosine(col("embedding")), 6)
+              .as("recon_cos"))
+          .orderBy("vec_id")),
+
     // ---- q53: spherical k-means codebook training (2 iterations from
     // the q41 seed centroids). Iterative → not SQL-expressible, so no
     // DuckDB oracle (driver records a rows-only check); convergence
