@@ -43,4 +43,24 @@ object Quantize {
     val recon = dequantize(vec, quantizeCodes(vec))
     ddot(orig, recon) / (sqrt(ddot(orig, orig)) * sqrt(ddot(recon, recon)))
   }
+
+  /** Per-row fidelity frame `(idCol, code_sum, recon_cos)`. The codes
+    * and reconstruction are staged as columns between projections:
+    * higher-order expressions are CodegenFallback and get no common-
+    * subexpression elimination, so inlining them into one projection
+    * evaluates the quantization chain three times (measured ~3×).
+    */
+  def fidelity(df: org.apache.spark.sql.DataFrame, idCol: String,
+               vecCol: String): org.apache.spark.sql.DataFrame = {
+    val orig = transform(col(vecCol), _.cast("double"))
+    df.select(col(idCol), col(vecCol),
+        quantizeCodes(col(vecCol)).as("_codes"))
+      .select(col(idCol), orig.as("_orig"),
+        dequantize(col(vecCol), col("_codes")).as("_recon"),
+        aggregate(col("_codes"), lit(0L), (acc, v) => acc + v).as("code_sum"))
+      .select(col(idCol), col("code_sum"),
+        (ddot(col("_orig"), col("_recon")) /
+          (sqrt(ddot(col("_orig"), col("_orig"))) *
+            sqrt(ddot(col("_recon"), col("_recon"))))).as("recon_cos"))
+  }
 }

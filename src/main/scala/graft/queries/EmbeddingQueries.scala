@@ -108,12 +108,10 @@ object EmbeddingQueries {
                       * SQRT(list_sum(list_transform(recon, x -> x*x)))), 6) AS recon_cos
       FROM r ORDER BY vec_id"""),
       (s, dir) =>
-        Tables.read(s, dir, "embeddings")
-          .select(col("vec_id"),
-            aggregate(graft.ann.Quantize.quantizeCodes(col("embedding")),
-              lit(0L), (acc, v) => acc + v).as("code_sum"),
-            round(graft.ann.Quantize.reconstructionCosine(col("embedding")), 6)
-              .as("recon_cos"))
+        graft.ann.Quantize.fidelity(Tables.read(s, dir, "embeddings"),
+            "vec_id", "embedding")
+          .select(col("vec_id"), col("code_sum"),
+            round(col("recon_cos"), 6).as("recon_cos"))
           .orderBy("vec_id")),
 
     // ---- q53: spherical k-means codebook training (2 iterations from
