@@ -32,22 +32,29 @@ object Bench {
     // shared box swing single runs several-fold. Data caches are cleared
     // before every rep (only JIT warmth persists), so each rep executes
     // the full pipeline from parquet.
+    // a failed rep records the -1 sentinel (NOT its elapsed time): a
+    // query that throws must be visible in the JSON, never a silent
+    // near-zero contribution to the total
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val reps = (1 to 2).map { _ =>
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        }
-        (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+          }
+        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
-      name -> reps.min
+      val good = reps.filter(_ >= 0)
+      name -> (if (good.nonEmpty) good.min else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

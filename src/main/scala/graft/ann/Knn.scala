@@ -33,8 +33,15 @@ object Knn {
   /** L2 norm of a float array column. */
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Corpus with precomputed norms. Zero-norm vectors (all-zero padding /
+    * failed-encode sentinels — realistic at corpus scale) are dropped
+    * here: cosine against them divides by zero, which Spark 4's ANSI
+    * mode turns into a DIVIDE_BY_ZERO error crashing the whole query.
+    * NULL vectors yield NULL norms and are dropped by the same predicate.
+    */
   private def withNorm(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
     emb.select(col(idCol), col(vecCol), l2norm(col(vecCol)).as("nrm"))
+      .where(col("nrm") > 0)
 
   /** Brute-force cosine top-k: for every query vector, the k most similar
     * candidates (self excluded). Query side is broadcast.
@@ -91,8 +98,11 @@ object Knn {
     var centroids = emb.where(centroidPred)
       .select(col(idCol).as("centroid_id"), col(vecCol).as("cent_vec"))
     (1 to iters).foreach { _ =>
+      // a recomputed mean could in principle collapse to the zero vector;
+      // drop it rather than divide by zero under ANSI mode
       val cn = centroids.select(col("centroid_id"), col("cent_vec"),
         l2norm(col("cent_vec")).as("cent_nrm"))
+        .where(col("cent_nrm") > 0)
       val e = withNorm(emb, idCol, vecCol)
       val scored = e.crossJoin(broadcast(cn))
         .select(col(idCol), col(vecCol), col("centroid_id"),

@@ -41,7 +41,12 @@ object Quantize {
   def reconstructionCosine(vec: Column): Column = {
     val orig = transform(vec, _.cast("double"))
     val recon = dequantize(vec, quantizeCodes(vec))
-    ddot(orig, recon) / (sqrt(ddot(orig, orig)) * sqrt(ddot(recon, recon)))
+    // zero-norm guard: an all-zero vector reconstructs to all-zero and
+    // 0/0 is a DIVIDE_BY_ZERO error under ANSI mode — yield NULL (the
+    // DuckDB oracle's x/0 result) instead
+    val denom = sqrt(ddot(orig, orig)) * sqrt(ddot(recon, recon))
+    when(denom === 0, lit(null).cast("double"))
+      .otherwise(ddot(orig, recon) / denom)
   }
 
   /** Per-row fidelity frame `(idCol, code_sum, recon_cos)`. The codes
@@ -59,8 +64,12 @@ object Quantize {
         dequantize(col(vecCol), col("_codes")).as("_recon"),
         aggregate(col("_codes"), lit(0L), (acc, v) => acc + v).as("code_sum"))
       .select(col(idCol), col("code_sum"),
-        (ddot(col("_orig"), col("_recon")) /
-          (sqrt(ddot(col("_orig"), col("_orig"))) *
-            sqrt(ddot(col("_recon"), col("_recon"))))).as("recon_cos"))
+        ddot(col("_orig"), col("_recon")).as("_dot"),
+        sqrt(ddot(col("_orig"), col("_orig"))).as("_na"),
+        sqrt(ddot(col("_recon"), col("_recon"))).as("_nb"))
+      // zero-norm guard (all-zero vectors): NULL, not ANSI DIVIDE_BY_ZERO
+      .select(col(idCol), col("code_sum"),
+        when(col("_na") * col("_nb") === 0, lit(null).cast("double"))
+          .otherwise(col("_dot") / (col("_na") * col("_nb"))).as("recon_cos"))
   }
 }

@@ -189,7 +189,10 @@ object ErEvaluation {
       avg(when(col("is_dup"), col("sim"))).as("avg_dup"),
       avg(when(col("is_dup").isNull, col("sim"))).as("avg_nondup")
     ).collect()(0)
-    (row.getLong(0), row.getDouble(1), row.getDouble(2))
+    // the avg aggregates are NULL when sims contain no gold pairs (or
+    // only gold pairs) — surface NaN instead of NPE-ing on getDouble
+    def d(i: Int): Double = if (row.isNullAt(i)) Double.NaN else row.getDouble(i)
+    (row.getLong(0), d(1), d(2))
   }
 
   /** Gold-pair similarities with absent candidates scored 0.0 —
@@ -254,10 +257,13 @@ object ErEvaluation {
         coalesce(col("n_dups"), lit(0L)).as("n_dups"),
         coalesce(col("n_nondups"), lit(0L)).as("n_nondups"))
     // cumulative-from-the-top counts: everything in bin ≥ k is "predicted
-    // duplicate" at threshold k/100
+    // duplicate" at threshold k/100. The unpartitioned window (Spark logs
+    // "No Partition Defined for Window") is INTENTIONAL and safe: its
+    // input is the bounded 101-row bin table at ANY corpus size, so the
+    // single-partition sort is constant work, not a scale hazard.
     val w = Window.orderBy(col("bin").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    bins
+    val sweep = bins
       .select(col("bin"),
         sum(col("n_dups")).over(w).as("tp"),
         sum(col("n_nondups")).over(w).as("fp"))
@@ -278,5 +284,15 @@ object ErEvaluation {
           .otherwise(lit(2) * col("precision") * col("recall") /
             (col("precision") + col("recall"))))
       .orderBy("bin")
+    // materialize the bounded 101-row result locally so the two input
+    // caches can be released before returning — a long-lived session
+    // invoking the sweep repeatedly must not accumulate persisted
+    // partitions until eviction pressure builds
+    val rows = sweep.collect()
+    val schema = sweep.schema
+    sims.unpersist()
+    gold.unpersist()
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.toSeq.asJava, schema)
   }
 }

@@ -98,9 +98,17 @@ object TfIdf {
     * DataFrame — broadcast-joined downstream, never collected.
     */
   def idf(docs: DataFrame, idCol: String, tokensCol: String): DataFrame = {
-    val n = docs.count().toDouble
+    // N stays a LAZY broadcast scalar (1-row aggregate cross-joined in),
+    // never `docs.count()`: an eager count at plan-construction time runs
+    // a full corpus scan job before every query that touches TF-IDF — and
+    // repeats it when `docs` isn't cached. At 100 TB that is an extra full
+    // pass per query; this way constructing the plan launches zero jobs
+    // and the count materializes inside the query's own job (where
+    // ReuseExchange/AQE can share the scan).
+    val n = docs.agg(count(lit(1)).cast("double").as("n_docs"))
     documentFrequency(docs, idCol, tokensCol)
-      .select(col("token"), (lit(n) / col("df")).as("idf"))
+      .crossJoin(broadcast(n))
+      .select(col("token"), (col("n_docs") / col("df")).as("idf"))
   }
 
   /** TF-IDF weights `(id, token, weight)` = TF ⋈ IDF on token.

@@ -12,23 +12,35 @@ object TextStats {
   /** Words whose presence signals English text (tiny demo lexicon). */
   val EnglishMarkers: Seq[String] = Seq("the", "a", "of", "to", "and", "in", "is", "it")
 
+  /** NULL for empty token arrays instead of dividing by zero: Spark 4's
+    * ANSI mode turns x/0 into a DIVIDE_BY_ZERO error, while the DuckDB
+    * oracle yields NULL — a document whose text has no word characters
+    * (all punctuation/whitespace) must not crash the whole corpus scan.
+    * CaseWhen short-circuits, so the division never evaluates on the
+    * empty branch.
+    */
+  private def guarded(tokens: Column, ratio: Column): Column =
+    when(size(tokens) === 0, lit(null).cast("double")).otherwise(ratio)
+
   /** Fraction of tokens that are English marker words (exact int/int
-    * division). n-gram-free language-ID heuristic.
+    * division); NULL for token-less documents. n-gram-free language-ID
+    * heuristic.
     */
   def englishRatio(tokens: Column): Column =
-    size(filter(tokens, t => t.isInCollection(EnglishMarkers))) / size(tokens)
+    guarded(tokens,
+      size(filter(tokens, t => t.isInCollection(EnglishMarkers))) / size(tokens))
 
   /** 'en' / 'und' decision at a ratio threshold. */
   def langId(tokens: Column, threshold: Double = 0.05): Column =
     when(englishRatio(tokens) >= threshold, lit("en")).otherwise(lit("und"))
 
-  /** Type-token ratio: distinct tokens / total tokens. */
+  /** Type-token ratio: distinct tokens / total tokens; NULL when empty. */
   def distinctRatio(tokens: Column): Column =
-    size(array_distinct(tokens)) / size(tokens)
+    guarded(tokens, size(array_distinct(tokens)) / size(tokens))
 
-  /** Mean token length in characters. */
+  /** Mean token length in characters; NULL when empty. */
   def avgWordLen(tokens: Column): Column =
-    length(concat_ws("", tokens)) / size(tokens)
+    guarded(tokens, length(concat_ws("", tokens)) / size(tokens))
 
   /** 0–3 quality score from simple heuristics (length band, lexical
     * diversity, word-length band) — the shape of a pretraining-data

@@ -86,6 +86,27 @@ class PlanQualitySpec extends SparkTestBase {
     assert(shuffles.size <= 1)
   }
 
+  test("constructing a TF-IDF plan launches zero Spark jobs (lazy corpus count)") {
+    // TfIdf.idf keeps N as a lazy broadcast scalar; an eager docs.count()
+    // here would run a full corpus scan per TF-IDF query at 100 TB
+    val sc = spark.sparkContext
+    // read the source OUTSIDE the job group: parquet schema inference
+    // legitimately runs a footer-read job; the claim under test is that
+    // the TF-IDF operators themselves add no eager work on top of it
+    val docs = Tables.read(spark, sf("sf0.001"), "documents")
+    sc.setJobGroup("tfidf-construct", "plan construction must be lazy")
+    try {
+      val d = docs.select(org.apache.spark.sql.functions.col("doc_id"),
+        text.Tokenize.tokens(org.apache.spark.sql.functions.col("text")).as("tokens"))
+      val w = text.TfIdf.weights(d, "doc_id", "tokens")
+      val n = text.TfIdf.norms(w, "doc_id")
+      n.queryExecution.optimizedPlan // force analysis + optimization, no execution
+    } finally sc.clearJobGroup()
+    Thread.sleep(300) // listener bus drains async
+    assert(sc.statusTracker.getJobIdsForGroup("tfidf-construct").isEmpty,
+      "TF-IDF plan construction must not launch jobs")
+  }
+
   test("q14 hourly window: partial aggregation before the shuffle") {
     val plan = collectAll(executed(q("q14_hourly_window")))
     val aggs = plan.filter(_.nodeName.contains("HashAggregate")).map(_.toString)

@@ -1,0 +1,76 @@
+package graft
+
+import graft.ann.{Knn, Quantize}
+import graft.er.ErEvaluation
+import graft.text.TextStats
+import org.apache.spark.sql.functions._
+
+/** Degenerate-input behavior that matters at corpus scale: empty token
+  * arrays, all-zero embedding vectors, and empty gold sets must yield
+  * NULL/NaN/empty results — never an ANSI DIVIDE_BY_ZERO or an NPE that
+  * kills a 1000-executor job 3 hours in.
+  */
+class RobustnessSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  test("TextStats ratios are NULL (not DIVIDE_BY_ZERO) for token-less docs") {
+    val df = Seq((1, "real words here"), (2, "!!! ... ---"), (3, ""))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), graft.text.Tokenize.tokens(col("text")).as("tokens"))
+    val out = df.select(col("doc_id"),
+        TextStats.englishRatio(col("tokens")).as("er"),
+        TextStats.distinctRatio(col("tokens")).as("dr"),
+        TextStats.avgWordLen(col("tokens")).as("awl"),
+        TextStats.langId(col("tokens")).as("lang"),
+        TextStats.qualityScore(col("tokens")).as("score"))
+      .orderBy("doc_id").collect()
+    assert(!out(0).isNullAt(1) && !out(0).isNullAt(2) && !out(0).isNullAt(3))
+    Seq(1, 2).foreach { i =>
+      assert(out(i).isNullAt(1), "englishRatio must be NULL for empty tokens")
+      assert(out(i).isNullAt(2), "distinctRatio must be NULL for empty tokens")
+      assert(out(i).isNullAt(3), "avgWordLen must be NULL for empty tokens")
+      assert(out(i).getString(4) == "und")
+      assert(out(i).getInt(5) == 0, "quality score of an empty doc is 0")
+    }
+  }
+
+  test("kNN/near-dup skip zero-norm and NULL vectors instead of crashing") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 0.0f)), // all-zero padding vector
+      (3L, Array(0.5f, 0.5f)),
+      (4L, null.asInstanceOf[Array[Float]])
+    ).toDF("vec_id", "embedding")
+    val knn = Knn.cosineKnn(emb, "vec_id", "embedding", col("vec_id") < 2, 5).collect()
+    assert(knn.nonEmpty)
+    assert(!knn.exists(r => r.getLong(2) == 2L || r.getLong(2) == 4L),
+      "zero-norm / NULL vectors must not appear as candidates")
+    val dups = Knn.nearDupPairs(emb, "vec_id", "embedding", 0.1).collect()
+    assert(dups.nonEmpty)
+    assert(!dups.exists(r => r.getLong(0) == 2L || r.getLong(1) == 2L))
+  }
+
+  test("quantization fidelity is NULL for all-zero vectors") {
+    val emb = Seq((0L, Array(1.0f, 2.0f, 3.0f)), (1L, Array(0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Quantize.fidelity(emb, "vec_id", "embedding").orderBy("vec_id").collect()
+    assert(!out(0).isNullAt(2) && out(0).getDouble(2) > 0.99)
+    assert(out(1).isNullAt(2), "all-zero vector reconstruction cosine must be NULL")
+  }
+
+  test("evaluateModel returns NaN means (not NPE) when no pair is gold") {
+    val sims = Seq(("a", "b", 0.5), ("c", "d", 0.3)).toDF("id_a", "id_b", "sim")
+    val gold = Seq(("x", "y")).toDF("id_a", "id_b")
+    val (dups, avgDup, avgNon) = ErEvaluation.evaluateModel(sims, gold)
+    assert(dups == 0L)
+    assert(avgDup.isNaN)
+    assert(math.abs(avgNon - 0.4) < 1e-12)
+
+    // the all-gold mirror case: no non-duplicates
+    val allGold = Seq(("a", "b"), ("c", "d")).toDF("id_a", "id_b")
+    val (d2, a2, n2) = ErEvaluation.evaluateModel(sims, allGold)
+    assert(d2 == 2L && !a2.isNaN && n2.isNaN)
+  }
+}
