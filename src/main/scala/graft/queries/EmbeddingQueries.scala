@@ -18,6 +18,30 @@ object EmbeddingQueries {
 
   private def sqlNorm(a: String): String = s"SQRT(${sqlDot(a, a)})"
 
+  /** One unrolled Lloyd iteration as DuckDB CTEs: cosine-assign every
+    * vector to its nearest centroid from CTE `cin`, then rebuild each
+    * centroid as the per-dimension mean CAST TO FLOAT (the float cast
+    * collapses summation-order noise, so both engines hand iteration n+1
+    * bit-identical centroids — what makes a 2-iteration oracle exact).
+    */
+  private def lloydIterationCte(n: Int, cin: String): String = s"""
+      cn$n AS (SELECT centroid_id, cvec, ${sqlNorm("cvec")} AS cnrm FROM $cin
+               WHERE ${sqlNorm("cvec")} > 0),
+      s$n AS (SELECT e.vec_id, e.embedding, cn$n.centroid_id,
+                     ${sqlDot("e.embedding", s"cn$n.cvec")} / (e.nrm * cn$n.cnrm) AS cs
+              FROM e CROSS JOIN cn$n),
+      a$n AS (SELECT vec_id, embedding, centroid_id FROM
+                (SELECT vec_id, embedding, centroid_id,
+                        ROW_NUMBER() OVER (PARTITION BY vec_id
+                                           ORDER BY cs DESC, centroid_id) AS rk
+                 FROM s$n) WHERE rk = 1),
+      ex$n AS (SELECT centroid_id, unnest(embedding) AS v,
+                      unnest(range(0, len(embedding))) AS dim FROM a$n),
+      m$n AS (SELECT centroid_id, dim, AVG(CAST(v AS DOUBLE)) AS m FROM ex$n GROUP BY 1, 2),
+      c$n AS (SELECT centroid_id,
+                     list_transform(list(m ORDER BY dim), x -> CAST(x AS FLOAT)) AS cvec
+              FROM m$n GROUP BY centroid_id)"""
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- q34: brute-force cosine k-NN (k=5) for query vectors vec_id<20.
@@ -115,10 +139,22 @@ object EmbeddingQueries {
           .orderBy("vec_id")),
 
     // ---- q53: spherical k-means codebook training (2 iterations from
-    // the q41 seed centroids). Iterative → not SQL-expressible, so no
-    // DuckDB oracle (driver records a rows-only check); convergence
-    // semantics are covered by KnnSpec.
-    QueryDef("q53_kmeans", None,
+    // the q41 seed centroids). The bounded iteration count makes it
+    // SQL-expressible after all: each Lloyd step unrolls to an
+    // assign-then-mean CTE pair (the q41 assign pattern + per-dim AVG),
+    // and the FLOAT cast between iterations keeps both engines
+    // bit-identical. Convergence semantics are additionally covered by
+    // KnnSpec.
+    QueryDef("q53_kmeans", Some(s"""
+      WITH e AS (SELECT vec_id, embedding, ${sqlNorm("embedding")} AS nrm FROM embeddings
+                 WHERE ${sqlNorm("embedding")} > 0),
+      c0 AS (SELECT vec_id AS centroid_id, embedding AS cvec
+             FROM embeddings WHERE vec_id % 50 = 0),
+      ${lloydIterationCte(1, "c0")},
+      ${lloydIterationCte(2, "c1")}
+      SELECT centroid_id, CAST(len(cvec) AS INTEGER) AS n_dims,
+             ROUND(${sqlNorm("cvec")}, 4) AS norm
+      FROM c2 ORDER BY centroid_id"""),
       (s, dir) =>
         Knn.kmeansCentroids(Tables.read(s, dir, "embeddings"), "vec_id", "embedding",
             col("vec_id") % 50 === 0, iters = 2)
