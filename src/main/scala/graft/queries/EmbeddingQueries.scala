@@ -18,6 +18,34 @@ object EmbeddingQueries {
 
   private def sqlNorm(a: String): String = s"SQRT(${sqlDot(a, a)})"
 
+  /** DuckDB CTE chain mirroring [[Knn.srpNearDupPairs]] (32 bits = 8
+    * bands × 4 bits over 64 dims): `h` regenerates the md5-seeded ±1
+    * hyperplanes bit-identically, `bands` packs sign bits into per-band
+    * chunks, `cand` is the band-bucket equi-join, `blocked` scores
+    * cosine only within buckets. Ends with the `blocked` CTE so callers
+    * append their own SELECT.
+    */
+  private def srpCte(dims: Int = 64, nBits: Int = 32, pred: String = "TRUE"): String = s"""
+      h AS (SELECT j, list_transform(range(0, $dims),
+              i -> CASE WHEN substr(md5(j || ':' || i), 1, 1)
+                        IN ('8','9','a','b','c','d','e','f')
+                        THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END) AS hv
+            FROM range(0, $nBits) t(j)),
+      e AS (SELECT vec_id, embedding, ${sqlNorm("embedding")} AS nrm FROM embeddings
+            WHERE ($pred) AND ${sqlNorm("embedding")} > 0),
+      bits AS (SELECT e.vec_id, h.j,
+                      CASE WHEN ${sqlDot("e.embedding", "h.hv")} >= 0 THEN 1 ELSE 0 END AS bit
+               FROM e CROSS JOIN h),
+      bands AS (SELECT vec_id, j // 4 AS band, SUM(bit * (1 << (j % 4))) AS chunk
+                FROM bits GROUP BY 1, 2),
+      cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+               FROM bands a JOIN bands b
+                 ON a.band = b.band AND a.chunk = b.chunk AND a.vec_id < b.vec_id),
+      blocked AS (SELECT c.id_a, c.id_b,
+                         ${sqlDot("ea.embedding", "eb.embedding")} / (ea.nrm * eb.nrm) AS s
+                  FROM cand c JOIN e ea ON ea.vec_id = c.id_a
+                              JOIN e eb ON eb.vec_id = c.id_b)"""
+
   /** One unrolled Lloyd iteration as DuckDB CTEs: cosine-assign every
     * vector to its nearest centroid from CTE `cin`, then rebuild each
     * centroid as the per-dimension mean CAST TO FLOAT (the float cast
@@ -163,16 +191,45 @@ object EmbeddingQueries {
             round(Knn.l2norm(col("cent_vec")), 4).as("norm"))
           .orderBy("centroid_id")),
 
-    // ---- q36: embedding-cosine near-duplicate pairs above threshold.
+    // ---- q36: embedding near-duplicate pairs via sign-random-projection
+    // LSH — 32 md5-seeded ±1 hyperplanes, 8 bands × 4 bits, cosine scored
+    // only within buckets. Blocked (NOT all-pairs): the band equi-join is
+    // what survives 100 TB; q62 measures its recall against the exact
+    // all-pairs path on a bounded slice.
     QueryDef("q36_embedding_neardup", Some(s"""
-      WITH e AS (SELECT vec_id, embedding, ${sqlNorm("embedding")} AS nrm FROM embeddings),
-      p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                   ${sqlDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS s
-            FROM e a JOIN e b ON a.vec_id < b.vec_id)
-      SELECT id_a, id_b, ROUND(s, 6) AS sim FROM p
+      WITH ${srpCte()}
+      SELECT id_a, id_b, ROUND(s, 6) AS sim FROM blocked
       WHERE s > CAST(0.25 AS DOUBLE) ORDER BY id_a, id_b"""),
       (s, dir) =>
-        Knn.nearDupPairs(Tables.read(s, dir, "embeddings"), "vec_id", "embedding", 0.25)
-          .orderBy("id_a", "id_b"))
+        Knn.srpNearDupPairs(Tables.read(s, dir, "embeddings"), "vec_id", "embedding",
+            dims = 64, threshold = 0.25)
+          .orderBy("id_a", "id_b")),
+
+    // ---- q62: recall of the SRP-blocked near-dup path vs the exact
+    // all-pairs path, on a bounded slice (the all-pairs side is O(n²) —
+    // it exists only as this recall check).
+    QueryDef("q62_srp_recall", Some(s"""
+      WITH ${srpCte(pred = "vec_id < 150")},
+      bl AS (SELECT id_a, id_b FROM blocked WHERE s > CAST(0.25 AS DOUBLE)),
+      ap AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+             FROM e a JOIN e b ON a.vec_id < b.vec_id
+             WHERE ${sqlDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm)
+                   > CAST(0.25 AS DOUBLE))
+      SELECT (SELECT COUNT(*) FROM bl) AS n_blocked,
+             (SELECT COUNT(*) FROM ap) AS n_all,
+             CASE WHEN (SELECT COUNT(*) FROM ap) = 0 THEN NULL
+                  ELSE ROUND((SELECT COUNT(*) FROM bl)::DOUBLE
+                             / (SELECT COUNT(*) FROM ap), 6) END AS recall"""),
+      (s, dir) => {
+        val emb = Tables.read(s, dir, "embeddings").where(col("vec_id") < 150)
+        val blocked = Knn.srpNearDupPairs(emb, "vec_id", "embedding", 64, 0.25)
+          .agg(count(lit(1)).as("n_blocked"))
+        val all = Knn.nearDupPairs(emb, "vec_id", "embedding", 0.25)
+          .agg(count(lit(1)).as("n_all"))
+        blocked.crossJoin(all).select(col("n_blocked"), col("n_all"),
+          when(col("n_all") === 0, lit(null).cast("double"))
+            .otherwise(round(col("n_blocked").cast("double") / col("n_all"), 6))
+            .as("recall"))
+      })
   )
 }

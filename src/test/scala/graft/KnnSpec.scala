@@ -40,6 +40,20 @@ class KnnSpec extends SparkTestBase {
     assert(pairs === List((1L, 4L, 1.0)))
   }
 
+  test("SRP-blocked near-dups are a subset of all-pairs with high recall on testdata") {
+    val embDf = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+      .where(col("vec_id") < 100)
+    val all = Knn.nearDupPairs(embDf, "vec_id", "embedding", 0.25)
+      .as[(Long, Long, Double)].collect().toSet
+    val blocked = Knn.srpNearDupPairs(embDf, "vec_id", "embedding", 64, 0.25)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(blocked.subsetOf(all), "blocking must never invent pairs")
+    assert(all.nonEmpty)
+    // 4 bands × 4 bits at threshold 0.25 should keep most true pairs
+    assert(blocked.size.toDouble / all.size > 0.5,
+      s"recall too low: ${blocked.size}/${all.size}")
+  }
+
   test("k-means recovers two well-separated clusters from poor seeds") {
     val pts = Seq(
       (0L, Array(1.0f, 0.02f)), (1L, Array(0.9f, 0.05f)), (2L, Array(0.95f, 0.0f)),

@@ -86,6 +86,16 @@ class PlanQualitySpec extends SparkTestBase {
     assert(shuffles.size <= 1)
   }
 
+  test("q36 embedding near-dup: SRP-blocked — no cartesian, no nested-loop join") {
+    // the all-pairs variant exists only as q62's bounded recall check;
+    // the catalog path must block on SRP band buckets (equi-joins)
+    val plan = collectAll(executed(q("q36_embedding_neardup")))
+    assert(!plan.exists { case _: CartesianProductExec => true; case _ => false },
+      "embedding near-dup must not enumerate all pairs")
+    assert(!plan.exists(_.nodeName.contains("BroadcastNestedLoopJoin")),
+      "embedding near-dup must not nested-loop join")
+  }
+
   test("constructing a TF-IDF plan launches zero Spark jobs (lazy corpus count)") {
     // TfIdf.idf keeps N as a lazy broadcast scalar; an eager docs.count()
     // here would run a full corpus scan per TF-IDF query at 100 TB
