@@ -97,6 +97,13 @@ object Dedup {
   def simhash(tokens: Column): Column =
     graft.functions.SimHash32(tokens)
 
+  /** [[simhash]]'s 32 bits packed into a LONG (MSB-first, bit-identical
+    * to the string form) — banding becomes shift-and-mask and Hamming
+    * distance `bit_count(a ^ b)`, all codegen'd integer ops.
+    */
+  def simhashBits(tokens: Column): Column =
+    graft.functions.SimHashBits32(tokens)
+
   /** Reference formulation of [[simhash]] out of built-in higher-order
     * functions — same output bit-for-bit; kept as the executable spec
     * the native kernel is tested against (HOFs are CodegenFallback, so
@@ -118,25 +125,32 @@ object Dedup {
     * chunks), bucket-join docs sharing any band verbatim, then keep pairs
     * within `maxHamming` overall. Same LSH shape as minhash banding —
     * bucket sizes, not corpus size, drive the join fan-out at 100 TB.
+    *
+    * Runs on the bit-packed LONG signature: band chunks are
+    * shift-and-mask, Hamming distance is `bit_count(a ^ b)` — single
+    * codegen'd integer ops per candidate pair, replacing the per-
+    * character split/zip of the string form (which was the dominant
+    * cost of this query, interpreted per pair).
     */
   def simhashNearDups(docs: DataFrame, idCol: String, tokensCol: String,
                       nBands: Int = 4, maxHamming: Int = 3): DataFrame = {
     val nBits = 32
     val bandLen = nBits / nBands
-    val sigs = docs.select(col(idCol), simhash(col(tokensCol)).as("sig"))
+    val mask = (1L << bandLen) - 1
+    val sigs = docs.select(col(idCol), simhashBits(col(tokensCol)).as("sig"))
+    // band 0 = most-significant chunk, matching substr(1, bandLen) of
+    // the string form
+    val chunks = (0 until nBands).map { b =>
+      shiftright(col("sig"), (nBands - 1 - b) * bandLen).bitwiseAND(mask)
+    }
     val bands = sigs.select(col(idCol), col("sig"),
-      posexplode(transform(sequence(lit(0), lit(nBands - 1)),
-        b => col("sig").substr(b * bandLen + 1, lit(bandLen)))).as(Seq("band", "chunk")))
-    val hamming = aggregate(
-      zip_with(split(col("a.sig"), ""), split(col("b.sig"), ""),
-        (x, y) => when(x =!= y, 1).otherwise(0)),
-      lit(0), (acc, v) => acc + v)
+      posexplode(array(chunks: _*)).as(Seq("band", "chunk")))
     bands.alias("a")
       .join(bands.alias("b"),
         col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
-        hamming.as("hamming"))
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
       .distinct()
       .where(col("hamming") <= maxHamming)
   }

@@ -20,7 +20,7 @@ object SimHashKernel {
       java.security.MessageDigest.getInstance("MD5")
   }
 
-  def compute(tokens: ArrayData): UTF8String = {
+  private def bitSums(tokens: ArrayData): Array[Int] = {
     val n = tokens.numElements()
     val seen = new java.util.HashSet[UTF8String](math.max(16, n * 2))
     val sums = new Array[Int](32)
@@ -42,6 +42,11 @@ object SimHashKernel {
       }
       i += 1
     }
+    sums
+  }
+
+  def compute(tokens: ArrayData): UTF8String = {
+    val sums = bitSums(tokens)
     val out = new Array[Byte](32)
     var k = 0
     while (k < 32) {
@@ -49,6 +54,23 @@ object SimHashKernel {
       k += 1
     }
     UTF8String.fromBytes(out)
+  }
+
+  /** Same 32 bits packed into a long (MSB-first: string position k+1 is
+    * bit 31−k), value in [0, 2³²). An INT signature makes banding a
+    * shift-and-mask and Hamming distance a single `bit_count(a ^ b)` —
+    * both codegen'd integer ops — instead of per-character array
+    * comparisons over the string form.
+    */
+  def computeBits(tokens: ArrayData): Long = {
+    val sums = bitSums(tokens)
+    var bits = 0L
+    var k = 0
+    while (k < 32) {
+      if (sums(k) >= 0) bits |= 1L << (31 - k)
+      k += 1
+    }
+    bits
   }
 }
 
@@ -83,4 +105,35 @@ case class SimHash32(child: Expression) extends UnaryExpression {
 object SimHash32 {
   def apply(tokens: Column): Column =
     ColumnShim.column(SimHash32(ColumnShim.expression(tokens)))
+}
+
+/** [[SimHash32]]'s bits as a LONG in [0, 2³²) (MSB-first, bit-identical
+  * to the string form) — the representation that makes LSH banding a
+  * shift-and-mask and Hamming distance `bit_count(a ^ b)`, all inside
+  * whole-stage codegen.
+  */
+case class SimHashBits32(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<STRING>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "simhash32_bits"
+
+  override def nullSafeEval(tokens: Any): Any =
+    SimHashKernel.computeBits(tokens.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.SimHashKernel.computeBits($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashBits32 =
+    copy(child = newChild)
+}
+
+object SimHashBits32 {
+  def apply(tokens: Column): Column =
+    ColumnShim.column(SimHashBits32(ColumnShim.expression(tokens)))
 }

@@ -79,17 +79,27 @@ object VectorFunctions {
     ColumnShim.column(
       FloatVecDot(ColumnShim.expression(a), ColumnShim.expression(b)))
 
-  private val info = new ExpressionInfo(
-    classOf[FloatVecDot].getName, "vec_dot")
+  /** All native graft kernels, exposed to SQL under one registry. */
+  private[functions] val sqlFunctions: Seq[
+      (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[FloatVecDot].getName, "vec_dot"),
+      (exprs: Seq[Expression]) => FloatVecDot(exprs.head, exprs(1))),
+    (FunctionIdentifier("simhash32"),
+      new ExpressionInfo(classOf[SimHash32].getName, "simhash32"),
+      (exprs: Seq[Expression]) => SimHash32(exprs.head)),
+    (FunctionIdentifier("simhash32_bits"),
+      new ExpressionInfo(classOf[SimHashBits32].getName, "simhash32_bits"),
+      (exprs: Seq[Expression]) => SimHashBits32(exprs.head)))
 
-  /** Make `vec_dot` callable from SQL text in an existing session
-    * (idempotent). For config-time installation use
-    * `spark.sql.extensions=graft.functions.GraftExtensions`.
+  /** Make `vec_dot`/`simhash32`/`simhash32_bits` callable from SQL text
+    * in an existing session (idempotent). For config-time installation
+    * use `spark.sql.extensions=graft.functions.GraftExtensions`.
     */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("vec_dot"), info,
-      (exprs: Seq[Expression]) => FloatVecDot(exprs.head, exprs(1)))
+    sqlFunctions.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
 }
 
 /** `SparkSessionExtensions` installer:
@@ -97,8 +107,5 @@ object VectorFunctions {
   */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
-    ext.injectFunction((
-      FunctionIdentifier("vec_dot"),
-      new ExpressionInfo(classOf[FloatVecDot].getName, "vec_dot"),
-      (exprs: Seq[Expression]) => FloatVecDot(exprs.head, exprs(1))))
+    VectorFunctions.sqlFunctions.foreach(ext.injectFunction)
 }

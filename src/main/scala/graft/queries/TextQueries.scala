@@ -307,7 +307,10 @@ object TextQueries {
           .select(col("doc_id"), Dedup.simhash(col("tokens")).as("sig"))
           .orderBy("doc_id")),
 
-    // ---- q45: SimHash near-dups — band bucket-join + Hamming ≤ 3.
+    // ---- q45: SimHash near-dups — band bucket-join + Hamming ≤ 3, on
+    // the bit-packed BIGINT signature (string sig is the spec; the
+    // packed form makes banding shift-and-mask and Hamming one
+    // bit_count(xor), mirroring the Spark plan).
     QueryDef("q45_simhash_neardup", Some(s"""${toksCte("doc_id < 200")},
       sig AS (SELECT doc_id, array_to_string(list_transform(range(1, 33), i ->
                 CASE WHEN COALESCE(list_sum(list_transform(list_distinct(tokens),
@@ -315,20 +318,20 @@ object TextQueries {
                                THEN 1 ELSE -1 END)), 0) >= 0
                      THEN '1' ELSE '0' END), '') AS sig
               FROM toks),
-      band AS (SELECT doc_id, sig, t.range AS b,
-                      substr(sig, CAST(t.range*8 + 1 AS INTEGER), 8) AS chunk
-               FROM sig, range(0, 4) t),
+      bits AS (SELECT doc_id,
+                 CAST(list_sum(list_transform(range(1, 33),
+                   i -> CASE WHEN substr(sig, i, 1) = '1'
+                             THEN (1::BIGINT << (32 - i)) ELSE 0 END)) AS BIGINT) AS sb
+               FROM sig),
+      band AS (SELECT doc_id, sb, t.range AS b,
+                      (sb >> ((3 - t.range) * 8)) & 255 AS chunk
+               FROM bits, range(0, 4) t),
       cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-                      a.sig AS sig_a, b.sig AS sig_b
+                      a.sb AS sb_a, b.sb AS sb_b
                FROM band a JOIN band b
-                 ON a.b = b.b AND a.chunk = b.chunk AND a.doc_id < b.doc_id),
-      ham AS (SELECT id_a, id_b,
-                CAST(list_sum(list_transform(range(1, 33),
-                  i -> CASE WHEN substr(sig_a, i, 1) <> substr(sig_b, i, 1)
-                            THEN 1 ELSE 0 END)) AS INTEGER) AS hamming
-              FROM cand)
-      SELECT id_a, id_b, hamming FROM ham
-      WHERE hamming <= 3 ORDER BY id_a, id_b"""),
+                 ON a.b = b.b AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+      SELECT id_a, id_b, CAST(bit_count(xor(sb_a, sb_b)) AS INTEGER) AS hamming
+      FROM cand WHERE bit_count(xor(sb_a, sb_b)) <= 3 ORDER BY id_a, id_b"""),
       (s, dir) =>
         Dedup.simhashNearDups(
             tokenized(s, dir).where(col("doc_id") < 200), "doc_id", "tokens")

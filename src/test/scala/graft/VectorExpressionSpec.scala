@@ -54,6 +54,18 @@ class VectorExpressionSpec extends SparkTestBase {
     assert(r === 9.0)
   }
 
+  test("simhash32 and simhash32_bits registered in SQL; bits match the string form") {
+    VectorFunctions.register(spark)
+    val row = spark.sql(
+      "SELECT simhash32(array('alpha','beta')) AS sig, simhash32_bits(array('alpha','beta')) AS sb")
+      .collect()(0)
+    val sig = row.getString(0)
+    val sb = row.getLong(1)
+    assert(sig.length == 32 && sig.forall(c => c == '0' || c == '1'))
+    assert(sb == java.lang.Long.parseLong(sig, 2),
+      "packed bits must equal the binary string read MSB-first")
+  }
+
   test("whole-stage codegen keeps the fused dot loop (no fallback)") {
     // the plan must NOT fall back: vec_dot supports codegen, so the
     // projection stays inside a WholeStageCodegen stage (a zip_with/
