@@ -1,6 +1,7 @@
 package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Document deduplication operators for large-scale corpus cleaning.
@@ -19,6 +20,23 @@ import org.apache.spark.sql.functions._
   * not corpus size, drive the join fan-out).
   */
 object Dedup {
+
+  /** Drop LSH buckets with more than `cap` members before the self-join.
+    * A degenerate bucket shared by k docs emits k² candidate pairs — one
+    * hot band (empty-token docs hashing identically, boilerplate shared
+    * by half the corpus) can dominate the whole stage at scale. Capping
+    * is the df-threshold of LSH: buckets that common carry no blocking
+    * signal anyway. The window count partitions on the same key as the
+    * downstream self-join, so it rides the same exchange.
+    * `cap = Int.MaxValue` (the default everywhere) skips the filter.
+    */
+  private def capBuckets(bands: DataFrame, keyCols: Seq[String], cap: Int): DataFrame =
+    if (cap == Int.MaxValue) bands
+    else {
+      val w = Window.partitionBy(keyCols.map(col): _*)
+      bands.withColumn("_bsz", count(lit(1)).over(w))
+        .where(col("_bsz") <= cap).drop("_bsz")
+    }
 
   /** One minhash value: lexicographic min of md5("<seed>:" + token) over
     * the distinct tokens of the array column.
@@ -39,11 +57,11 @@ object Dedup {
     * Band size 1 here (each hash is its own band) — recall-oriented.
     */
   def lshCandidatePairs(docs: DataFrame, idCol: String, tokensCol: String,
-                        nHashes: Int): DataFrame = {
+                        nHashes: Int, maxBucketSize: Int = Int.MaxValue): DataFrame = {
     val sigs = minhashSignatures(docs, idCol, tokensCol, nHashes)
-    val bands = sigs.select(col(idCol),
+    val bands = capBuckets(sigs.select(col(idCol),
       posexplode(array((0 until nHashes).map(i => col(s"mh$i")): _*))
-        .as(Seq("band", "mh")))
+        .as(Seq("band", "mh"))), Seq("band", "mh"), maxBucketSize)
     bands.alias("a")
       .join(bands.alias("b"),
         col("a.band") === col("b.band") && col("a.mh") === col("b.mh") &&
@@ -60,13 +78,15 @@ object Dedup {
     * shuffle is the (band, chunk) bucket self-join.
     */
   def lshBandedCandidatePairs(docs: DataFrame, idCol: String, tokensCol: String,
-                              nBands: Int, rowsPerBand: Int): DataFrame = {
+                              nBands: Int, rowsPerBand: Int,
+                              maxBucketSize: Int = Int.MaxValue): DataFrame = {
     val sigs = minhashSignatures(docs, idCol, tokensCol, nBands * rowsPerBand)
     val chunks = (0 until nBands).map { b =>
       concat_ws("|", (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*)
     }
-    val bands = sigs.select(col(idCol),
-      posexplode(array(chunks: _*)).as(Seq("band", "chunk")))
+    val bands = capBuckets(sigs.select(col(idCol),
+      posexplode(array(chunks: _*)).as(Seq("band", "chunk"))),
+      Seq("band", "chunk"), maxBucketSize)
     bands.alias("a")
       .join(bands.alias("b"),
         col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
@@ -133,7 +153,8 @@ object Dedup {
     * cost of this query, interpreted per pair).
     */
   def simhashNearDups(docs: DataFrame, idCol: String, tokensCol: String,
-                      nBands: Int = 4, maxHamming: Int = 3): DataFrame = {
+                      nBands: Int = 4, maxHamming: Int = 3,
+                      maxBucketSize: Int = Int.MaxValue): DataFrame = {
     val nBits = 32
     val bandLen = nBits / nBands
     val mask = (1L << bandLen) - 1
@@ -143,8 +164,9 @@ object Dedup {
     val chunks = (0 until nBands).map { b =>
       shiftright(col("sig"), (nBands - 1 - b) * bandLen).bitwiseAND(mask)
     }
-    val bands = sigs.select(col(idCol), col("sig"),
-      posexplode(array(chunks: _*)).as(Seq("band", "chunk")))
+    val bands = capBuckets(sigs.select(col(idCol), col("sig"),
+      posexplode(array(chunks: _*)).as(Seq("band", "chunk"))),
+      Seq("band", "chunk"), maxBucketSize)
     bands.alias("a")
       .join(bands.alias("b"),
         col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
@@ -167,11 +189,18 @@ object Dedup {
   /** Pairwise n-gram Jaccard similarity via a shingle inverted-index
     * self-join (only pairs sharing ≥1 shingle ever meet):
     * J = |A∩B| / (|A| + |B| − |A∩B|). Exact integer division → bit-exact.
+    *
+    * `maxShingleDf` drops shingles shared by more than that many docs
+    * before the join (the intersection count then UNDERCOUNTS for pairs
+    * whose only overlap was hot shingles — acceptable for candidate
+    * generation, NOT for exact Jaccard; the default keeps it exact).
     */
-  def bigramJaccardPairs(docs: DataFrame, idCol: String, tokensCol: String): DataFrame = {
+  def bigramJaccardPairs(docs: DataFrame, idCol: String, tokensCol: String,
+                         maxShingleDf: Int = Int.MaxValue): DataFrame = {
     val sh = docs.select(col(idCol), bigramShingles(col(tokensCol)).as("sh"))
     val sizes = sh.select(col(idCol), size(col("sh")).as("n"))
-    val ex = sh.select(col(idCol), explode(col("sh")).as("s"))
+    val ex = capBuckets(sh.select(col(idCol), explode(col("sh")).as("s")),
+      Seq("s"), maxShingleDf)
     val inter = ex.alias("a")
       .join(ex.alias("b"), col("a.s") === col("b.s") && col(s"a.$idCol") < col(s"b.$idCol"))
       .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))

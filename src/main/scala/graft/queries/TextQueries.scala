@@ -214,6 +214,33 @@ object TextQueries {
             tokenized(s, dir).where(col("doc_id") < 200), "doc_id", "tokens", 4, 2)
           .orderBy("id_a", "id_b")),
 
+    // ---- q63: banded LSH with the bucket-skew cap engaged — buckets
+    // larger than 50 docs are dropped before the self-join (at sf0.01
+    // four degenerate buckets hold 119-144 of the 200 docs and would
+    // emit ~40k of the candidate pairs; the cap is the df-threshold of
+    // LSH and the knob that bounds a hot bucket's k² blowup at 100 TB).
+    QueryDef("q63_lsh_capped", Some(s"""${toksCte("doc_id < 200")},
+      sig AS (SELECT doc_id,
+        ${(0 until 8).map(i =>
+          s"list_min(list_transform(list_distinct(tokens), t -> md5('$i:' || t))) AS mh$i")
+          .mkString(",\n        ")}
+              FROM toks),
+      band AS (${(0 until 4).map(b =>
+          s"SELECT doc_id, $b AS b, mh${2 * b} || '|' || mh${2 * b + 1} AS chunk FROM sig")
+          .mkString(" UNION ALL\n               ")}),
+      kept AS (SELECT doc_id, b, chunk FROM
+                 (SELECT doc_id, b, chunk,
+                         COUNT(*) OVER (PARTITION BY b, chunk) AS bsz FROM band)
+               WHERE bsz <= 50)
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM kept a JOIN kept b ON a.b = b.b AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+      ORDER BY id_a, id_b"""),
+      (s, dir) =>
+        Dedup.lshBandedCandidatePairs(
+            tokenized(s, dir).where(col("doc_id") < 200), "doc_id", "tokens", 4, 2,
+            maxBucketSize = 50)
+          .orderBy("id_a", "id_b")),
+
     // ---- q29: word-bigram Jaccard near-dup (exact integer division).
     QueryDef("q29_jaccard_bigram", Some(s"""${toksCte("doc_id < 150")},
       sh AS (SELECT doc_id,

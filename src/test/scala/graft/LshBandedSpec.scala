@@ -27,4 +27,35 @@ class LshBandedSpec extends SparkTestBase {
       .as[(Long, Long)].collect().toSet
     assert(banded.subsetOf(single))
   }
+
+  test("bucket cap bounds the k² blowup of a degenerate hot bucket") {
+    // 1000 docs share one token set (all land in the same bucket of
+    // every band) + 4 genuinely similar docs in small buckets. Uncapped
+    // this emits 1000*999/2 ≈ 500k pairs from the hot bucket alone; the
+    // cap must drop the hot bucket while keeping the small ones.
+    val hot = (100L until 1100L).map(i => (i, Seq("common", "boilerplate", "header")))
+    val fine = Seq(
+      (1L, Seq("alpha", "beta", "gamma", "delta")),
+      (2L, Seq("alpha", "beta", "gamma", "delta")),
+      (3L, Seq("alpha", "beta", "gamma", "epsilon")),
+      (4L, Seq("zeta", "eta", "theta", "iota")))
+    val skewed = (hot ++ fine).toDF("doc_id", "tokens")
+
+    val capped = Dedup.lshBandedCandidatePairs(skewed, "doc_id", "tokens", 4, 2,
+      maxBucketSize = 10).as[(Long, Long)].collect().toSet
+    assert(capped.contains((1L, 2L)), "small-bucket pairs must survive the cap")
+    assert(!capped.exists { case (a, b) => a >= 100L && b >= 100L },
+      "hot-bucket pairs must be dropped")
+    assert(capped.size < 50, s"candidate count must stay bounded, got ${capped.size}")
+
+    // same guarantee for the minhash r=1 and simhash families
+    val cappedSingle = Dedup.lshCandidatePairs(skewed, "doc_id", "tokens", 4,
+      maxBucketSize = 10).as[(Long, Long)].collect().toSet
+    assert(cappedSingle.contains((1L, 2L)) &&
+      !cappedSingle.exists { case (a, b) => a >= 100L && b >= 100L })
+    val cappedSim = Dedup.simhashNearDups(skewed, "doc_id", "tokens",
+      maxBucketSize = 10).select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(cappedSim.contains((1L, 2L)) &&
+      !cappedSim.exists { case (a, b) => a >= 100L && b >= 100L })
+  }
 }
