@@ -127,6 +127,29 @@ object EvalQueries {
              CASE WHEN precision IS NULL OR precision + recall = 0 THEN NULL
                   ELSE 2 * precision * recall / (precision + recall) END AS fmeasure
       FROM met ORDER BY bin"""),
-      (s, dir) => ErEvaluation.prfSweep(sims(s, dir), gold(s, dir)))
+      (s, dir) => {
+        // sims and gold share the tokenized stage, and the weight table
+        // feeds three plan branches inside the cosine join (a-side,
+        // b-side, norms) — cache both for the sweep's duration so the
+        // scan+tokenize+TF-IDF chain runs once, not five times. Eager
+        // fills (count) prevent the multi-branch race where each branch
+        // computes the whole upstream chain into an unfilled cache.
+        // prfSweep is eager (returns a materialized 101-row frame), so
+        // unpersisting before returning is safe.
+        val d = tokenized(s, dir).persist()
+        val w = TfIdf.weights(d, "doc_id", "tokens").persist()
+        try {
+          d.count()
+          w.count()
+          val sims = DocSimilarity.selfCosinePairs(w, TfIdf.norms(w, "doc_id"), "doc_id")
+          val g = Dedup.bigramJaccardPairs(d, "doc_id", "tokens")
+            .orderBy(col("jaccard").desc, col("id_a"), col("id_b")).limit(25)
+            .select("id_a", "id_b")
+          ErEvaluation.prfSweep(sims, g)
+        } finally {
+          w.unpersist()
+          d.unpersist()
+        }
+      })
   )
 }
