@@ -123,25 +123,39 @@ object Knn {
     centroids
   }
 
-  /** IVF top-k search (nprobe=1): each query only scores candidates in
-    * its own centroid's bucket — the 100 TB path where brute force stops
-    * being an option. Recall < 1 by design; raise nprobe by relaxing the
-    * bucket equi-join to the query's top-n centroids.
+  /** IVF top-k search: every candidate lives in its top-1 centroid's
+    * bucket; each query scores the candidates of its `nprobe` most-
+    * similar centroids — the 100 TB path where brute force stops being
+    * an option. Recall < 1 by design and rises with nprobe (q65 measures
+    * it against the brute-force path); the centroid ranking is computed
+    * ONCE (one broadcast cross of corpus × codebook) and reused for both
+    * the candidate assignment (rank 1) and the query probe list
+    * (rank ≤ nprobe). Buckets are disjoint, so probing n of them never
+    * duplicates a candidate.
     */
   def ivfKnn(emb: DataFrame, idCol: String, vecCol: String,
-             centroidPred: Column, queryPred: Column, k: Int): DataFrame = {
-    val assign = ivfAssign(emb, idCol, vecCol, centroidPred)
-    val e = withNorm(emb, idCol, vecCol).join(assign, idCol)
-    val q = e.where(queryPred).select(col(idCol).as("q_id"),
+             centroidPred: Column, queryPred: Column, k: Int,
+             nprobe: Int = 1): DataFrame = {
+    val e = withNorm(emb, idCol, vecCol)
+    val cent = e.where(centroidPred).select(
+      col(idCol).as("centroid_id"), col(vecCol).as("cent_vec"), col("nrm").as("cent_nrm"))
+    val w = Window.partitionBy(idCol).orderBy(col("cs").desc, col("centroid_id"))
+    val ranked = e.crossJoin(broadcast(cent))
+      .select(col(idCol), col("centroid_id"),
+        (dot(col(vecCol), col("cent_vec")) / (col("nrm") * col("cent_nrm"))).as("cs"))
+      .withColumn("rk", row_number().over(w))
+    val assign = ranked.where(col("rk") === 1).select(col(idCol), col("centroid_id"))
+    val probes = ranked.where(col("rk") <= nprobe).select(col(idCol), col("centroid_id"))
+    val q = e.where(queryPred).join(probes, idCol).select(col(idCol).as("q_id"),
       col(vecCol).as("q_vec"), col("nrm").as("q_nrm"), col("centroid_id"))
-    val c = e.select(col(idCol).as("cand_id"),
+    val c = e.join(assign, idCol).select(col(idCol).as("cand_id"),
       col(vecCol).as("c_vec"), col("nrm").as("c_nrm"), col("centroid_id"))
     val sims = broadcast(q).join(c, Seq("centroid_id"))
       .where(col("q_id") =!= col("cand_id"))
       .select(col("q_id"), col("cand_id"),
         (dot(col("q_vec"), col("c_vec")) / (col("q_nrm") * col("c_nrm"))).as("sim"))
-    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("cand_id"))
-    sims.withColumn("rk", row_number().over(w))
+    val wk = Window.partitionBy("q_id").orderBy(col("sim").desc, col("cand_id"))
+    sims.withColumn("rk", row_number().over(wk))
       .where(col("rk") <= k)
       .select(col("q_id"), col("rk"), col("cand_id"), round(col("sim"), 6).as("sim"))
   }

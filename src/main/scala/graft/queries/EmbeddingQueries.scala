@@ -18,6 +18,37 @@ object EmbeddingQueries {
 
   private def sqlNorm(a: String): String = s"SQRT(${sqlDot(a, a)})"
 
+  /** DuckDB CTE chain mirroring [[Knn.ivfKnn]]: rank every vector's
+    * cosine against the seed codebook once (`rkd`), assign candidates to
+    * their rank-1 bucket, probe each query's top-`nprobe` buckets, score
+    * within buckets. Ends with the ranked result CTE `r` so callers
+    * append their own SELECT (rows with rk ≤ k are the top-k).
+    */
+  private def ivfCte(nprobe: Int, queryPred: String): String = s"""
+      e AS (SELECT vec_id, embedding, ${sqlNorm("embedding")} AS nrm FROM embeddings
+            WHERE ${sqlNorm("embedding")} > 0),
+      c AS (SELECT vec_id AS centroid_id, embedding AS cvec, nrm AS cnrm
+            FROM e WHERE vec_id % 50 = 0),
+      rkd AS (SELECT vec_id, centroid_id,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id
+                                        ORDER BY cs DESC, centroid_id) AS crk
+              FROM (SELECT e.vec_id, c.centroid_id,
+                           ${sqlDot("e.embedding", "c.cvec")} / (e.nrm * c.cnrm) AS cs
+                    FROM e CROSS JOIN c)),
+      asg AS (SELECT vec_id, centroid_id FROM rkd WHERE crk = 1),
+      prb AS (SELECT vec_id, centroid_id FROM rkd WHERE crk <= $nprobe),
+      q AS (SELECT e.vec_id AS q_id, e.embedding AS qv, e.nrm AS qn, p.centroid_id
+            FROM e JOIN prb p USING (vec_id) WHERE $queryPred),
+      cand AS (SELECT e.vec_id AS cand_id, e.embedding AS cv, e.nrm AS cn, a.centroid_id
+               FROM e JOIN asg a USING (vec_id)),
+      p AS (SELECT q.q_id, cand.cand_id,
+                   ${sqlDot("q.qv", "cand.cv")} / (q.qn * cand.cn) AS s
+            FROM q JOIN cand USING (centroid_id) WHERE cand.cand_id <> q.q_id),
+      r AS (SELECT q_id, cand_id, s,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY s DESC, cand_id)
+                        AS INTEGER) AS rk
+            FROM p)"""
+
   /** DuckDB CTE chain mirroring [[Knn.srpNearDupPairs]] (32 bits = 8
     * bands × 4 bits over 64 dims): `h` regenerates the md5-seeded ±1
     * hyperplanes bit-identically, `bands` packs sign bits into per-band
@@ -130,6 +161,52 @@ object EmbeddingQueries {
         Knn.ivfKnn(Tables.read(s, dir, "embeddings"), "vec_id", "embedding",
             col("vec_id") % 50 === 0, col("vec_id") < 10, 5)
           .orderBy("q_id", "rk")),
+
+    // ---- q64: IVF top-k with nprobe=2 — each query scores the buckets
+    // of its TWO most-similar centroids (the recall dial of IVF; the
+    // centroid ranking is computed once and reused for assignment and
+    // probing).
+    QueryDef("q64_ivf_nprobe2", Some(s"""
+      WITH ${ivfCte(nprobe = 2, queryPred = "e.vec_id < 10")}
+      SELECT q_id, rk, cand_id, ROUND(s, 6) AS sim
+      FROM r WHERE rk <= 5 ORDER BY q_id, rk"""),
+      (s, dir) =>
+        Knn.ivfKnn(Tables.read(s, dir, "embeddings"), "vec_id", "embedding",
+            col("vec_id") % 50 === 0, col("vec_id") < 10, 5, nprobe = 2)
+          .orderBy("q_id", "rk")),
+
+    // ---- q65: recall@5 of IVF (nprobe=2) against the exact brute-force
+    // top-5 on the same queries — the measurement that calibrates the
+    // nprobe dial before trusting IVF at scale.
+    QueryDef("q65_ivf_recall", Some(s"""
+      WITH ${ivfCte(nprobe = 2, queryPred = "e.vec_id < 10")},
+      ivf AS (SELECT q_id, cand_id FROM r WHERE rk <= 5),
+      bfp AS (SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+                     ${sqlDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS s
+              FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+      bf AS (SELECT q_id, cand_id FROM
+               (SELECT q_id, cand_id,
+                       ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY s DESC, cand_id) AS rk
+                FROM bfp) WHERE rk <= 5)
+      SELECT (SELECT COUNT(*) FROM ivf JOIN bf USING (q_id, cand_id)) AS n_hit,
+             (SELECT COUNT(*) FROM bf) AS n_brute,
+             CASE WHEN (SELECT COUNT(*) FROM bf) = 0 THEN NULL
+                  ELSE ROUND((SELECT COUNT(*) FROM ivf JOIN bf USING (q_id, cand_id))::DOUBLE
+                             / (SELECT COUNT(*) FROM bf), 6) END AS recall"""),
+      (s, dir) => {
+        val emb = Tables.read(s, dir, "embeddings")
+        val ivf = Knn.ivfKnn(emb, "vec_id", "embedding",
+            col("vec_id") % 50 === 0, col("vec_id") < 10, 5, nprobe = 2)
+          .select(col("q_id"), col("cand_id"))
+        val bf = Knn.cosineKnn(emb, "vec_id", "embedding", col("vec_id") < 10, 5)
+          .select(col("q_id"), col("cand_id"))
+        val hit = ivf.join(bf, Seq("q_id", "cand_id")).agg(count(lit(1)).as("n_hit"))
+        val tot = bf.agg(count(lit(1)).as("n_brute"))
+        hit.crossJoin(tot).select(col("n_hit"), col("n_brute"),
+          when(col("n_brute") === 0, lit(null).cast("double"))
+            .otherwise(round(col("n_hit").cast("double") / col("n_brute"), 6))
+            .as("recall"))
+      }),
 
     // ---- q61: int8 scalar quantization fidelity — codes, checksum and
     // reconstruction cosine per vector (graft.ann.Quantize; the 4×
