@@ -49,14 +49,30 @@ object Quantize {
       .otherwise(ddot(orig, recon) / denom)
   }
 
-  /** Per-row fidelity frame `(idCol, code_sum, recon_cos)`. The codes
+  /** Per-row fidelity frame `(idCol, code_sum, recon_cos)` — computed by
+    * the native one-pass [[graft.functions.Int8QuantFidelity]] kernel.
+    * The higher-order formulation ([[fidelityHof]]) is the executable
+    * spec the kernel is parity-tested against; as CodegenFallback with
+    * no CSE it re-interprets the quantization chain several times per
+    * row and was this query's dominant cost.
+    */
+  def fidelity(df: org.apache.spark.sql.DataFrame, idCol: String,
+               vecCol: String): org.apache.spark.sql.DataFrame =
+    df.select(col(idCol),
+        graft.functions.Int8QuantFidelity(col(vecCol)).as("_q"))
+      .select(col(idCol), col("_q.code_sum").as("code_sum"),
+        col("_q.recon_cos").as("recon_cos"))
+
+  /** Reference formulation of [[fidelity]] out of built-in higher-order
+    * functions — same output bit-for-bit (same HALF_UP rounding, same
+    * sequential summation order); kept as the executable spec. The codes
     * and reconstruction are staged as columns between projections:
     * higher-order expressions are CodegenFallback and get no common-
     * subexpression elimination, so inlining them into one projection
     * evaluates the quantization chain three times (measured ~3×).
     */
-  def fidelity(df: org.apache.spark.sql.DataFrame, idCol: String,
-               vecCol: String): org.apache.spark.sql.DataFrame = {
+  def fidelityHof(df: org.apache.spark.sql.DataFrame, idCol: String,
+                  vecCol: String): org.apache.spark.sql.DataFrame = {
     val orig = transform(col(vecCol), _.cast("double"))
     df.select(col(idCol), col(vecCol),
         quantizeCodes(col(vecCol)).as("_codes"))

@@ -25,6 +25,29 @@ class QuantizeSpec extends SparkTestBase {
     assert(rows(3L)._1 === Seq(0, 0, 0, 0))    // no div-by-zero under ANSI
   }
 
+  test("native fidelity kernel matches the higher-order spec bit-for-bit") {
+    val df = (Seq(
+      (1000L, Array(0.0f, 0.0f, 0.0f)),          // zero vector → NULL cosine
+      (1001L, Array(2.5f, 2.5f, 2.5f)),          // constant → all-zero codes
+      (1002L, Array(-1.5f, 0.0f, 7.25f, 3.3f))
+    ) ++ Seq.tabulate(200)(i =>
+      (i.toLong, Array.tabulate(64)(j => (math.sin(i * 64 + j) * 9).toFloat))))
+      .toDF("vec_id", "embedding")
+    val kernel = Quantize.fidelity(df, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    val hof = Quantize.fidelityHof(df, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(kernel.keySet === hof.keySet)
+    kernel.foreach { case (id, (cs, rc)) =>
+      assert(cs === hof(id)._1, s"code_sum diverges for $id")
+      assert(rc === hof(id)._2, s"recon_cos diverges for $id (bit-exactness required)")
+    }
+    assert(kernel(1000L)._2.isEmpty)
+    assert(kernel(1001L)._1 === 0L)
+  }
+
   test("dequantize returns values within half a quantization step") {
     val df = Seq((1L, Array.tabulate(64)(i => (math.sin(i) * 7).toFloat)))
       .toDF("vec_id", "embedding")
