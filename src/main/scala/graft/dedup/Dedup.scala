@@ -39,18 +39,26 @@ object Dedup {
     }
 
   /** One minhash value: lexicographic min of md5("<seed>:" + token) over
-    * the distinct tokens of the array column.
+    * the distinct tokens of the array column. This higher-order form is
+    * the executable spec; [[minhashSignatures]] uses the native
+    * [[graft.functions.MinHashSigs]] kernel (parity-tested against it).
     */
   def minhash(tokens: Column, seed: Int): Column =
     array_min(transform(array_distinct(tokens),
       t => md5(concat(lit(s"$seed:"), t))))
 
-  /** Signature frame: (id, mh0..mh{n-1}) — entirely map-side. */
+  /** Signature frame: (id, mh0..mh{n-1}) — entirely map-side, computed
+    * by the native kernel in one pass over the distinct tokens (the
+    * per-seed higher-order chains were CodegenFallback and rebuilt the
+    * distinct set n times). The array is staged in its own projection so
+    * the n `element_at` references hit one evaluation, not n.
+    */
   def minhashSignatures(docs: DataFrame, idCol: String, tokensCol: String,
-                        nHashes: Int): DataFrame = {
-    val mhs = (0 until nHashes).map(i => minhash(col(tokensCol), i).as(s"mh$i"))
-    docs.select(col(idCol) +: mhs: _*)
-  }
+                        nHashes: Int): DataFrame =
+    docs.select(col(idCol),
+        graft.functions.MinHashSigs(col(tokensCol), nHashes).as("_mhs"))
+      .select(col(idCol) +:
+        (0 until nHashes).map(i => element_at(col("_mhs"), i + 1).as(s"mh$i")): _*)
 
   /** LSH candidate pairs: docs sharing any (band, minhash) bucket.
     * One row per band per doc → self equi-join on (band, mh) → distinct.

@@ -29,6 +29,21 @@ class DedupSpec extends SparkTestBase {
     assert(sigs(1L) !== sigs(4L))
   }
 
+  test("native minhash kernel matches the higher-order spec bit-for-bit") {
+    val fixture = docs.union(Seq(
+      (100L, Seq.empty[String]),                       // no tokens → NULL sigs
+      (101L, Seq("solo")),
+      (102L, Seq.tabulate(300)(i => s"tok$i"))
+    ).toDF("doc_id", "tokens"))
+    val kernel = Dedup.minhashSignatures(fixture, "doc_id", "tokens", 6)
+      .collect().map(r => r.getLong(0) -> (1 to 6).map(r.getString)).toMap
+    val hof = fixture.select(col("doc_id") +:
+        (0 until 6).map(i => Dedup.minhash(col("tokens"), i).as(s"mh$i")): _*)
+      .collect().map(r => r.getLong(0) -> (1 to 6).map(r.getString)).toMap
+    assert(kernel === hof)
+    assert(kernel(100L).forall(_ == null), "empty docs must yield NULL minhashes")
+  }
+
   test("LSH candidates include exact dups, exclude disjoint docs") {
     val pairs = Dedup.lshCandidatePairs(docs, "doc_id", "tokens", 4)
       .as[(Long, Long)].collect().toSet
