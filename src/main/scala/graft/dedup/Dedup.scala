@@ -194,6 +194,18 @@ object Dedup {
         (a, b) => concat(a, lit(" "), b))))
   }
 
+  /** Distinct word n-gram shingles (space-joined) of a token array —
+    * the unit of n-gram–overlap decontamination checks (flagging
+    * training docs that share shingles with an eval/benchmark set).
+    */
+  def wordShingles(tokens: Column, n: Int): Column = {
+    require(n >= 1)
+    val sz = size(tokens)
+    when(sz < n, array().cast("array<string>")).otherwise(
+      array_distinct(transform(sequence(lit(1), sz - (n - 1)), i =>
+        concat_ws(" ", (0 until n).map(j => element_at(tokens, i + j)): _*))))
+  }
+
   /** Pairwise n-gram Jaccard similarity via a shingle inverted-index
     * self-join (only pairs sharing ≥1 shingle ever meet):
     * J = |A∩B| / (|A| + |B| − |A∩B|). Exact integer division → bit-exact.

@@ -397,6 +397,74 @@ object TextQueries {
           .orderBy("doc_id")
       }),
 
+    // ---- q66: PII/identifier scrubbing — redact the 9-digit account
+    // numbers embedded in customer names, reporting redaction counts
+    // and a fingerprint of the scrubbed text. Pure map-side regex work
+    // (the shape of a pretraining-pipeline PII pass: emails, phones,
+    // SSNs are the same operator with different patterns); the pattern
+    // is dialect-neutral so Java regex and DuckDB RE2 agree.
+    QueryDef("q66_pii_scrub", Some("""
+      SELECT c_custkey,
+             CAST(len(regexp_extract_all(c_name || ' ' || c_mktsegment,
+                  '[0-9]{9}')) AS INTEGER) AS n_ids,
+             md5(regexp_replace(c_name || ' ' || c_mktsegment,
+                  '[0-9]{9}', '<ID>', 'g')) AS scrubbed_fp
+      FROM customer ORDER BY c_custkey"""),
+      (s, dir) => {
+        val idRe = "[0-9]{9}"
+        val txt = concat_ws(" ", col("c_name"), col("c_mktsegment"))
+        Tables.read(s, dir, "customer").select(col("c_custkey"),
+            size(regexp_extract_all(txt, lit(idRe), lit(0))).as("n_ids"),
+            md5(regexp_replace(txt, idRe, "<ID>")).as("scrubbed_fp"))
+          .orderBy("c_custkey")
+      }),
+
+    // ---- q67: n-gram decontamination — flag training docs (doc_id <
+    // 400) sharing any word-trigram with the eval/benchmark slice
+    // (doc_id ≥ 400). Inverted-index equi-join on the shingle (the
+    // benchmark side's distinct shingle set stays small → broadcast),
+    // NOT a pairwise comparison — the shape that survives a 100 TB
+    // training corpus.
+    QueryDef("q67_decontaminate", Some(s"""${toksCte()},
+      sh AS (SELECT doc_id,
+               list_distinct(list_transform(range(1, len(tokens) - 1),
+                 i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2])) AS sh
+             FROM toks),
+      train AS (SELECT doc_id, unnest(sh) AS s FROM sh WHERE doc_id < 400),
+      eval_sh AS (SELECT DISTINCT unnest(sh) AS s FROM sh WHERE doc_id >= 400)
+      SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM train t JOIN eval_sh e USING (s)
+      GROUP BY t.doc_id ORDER BY t.doc_id"""),
+      (s, dir) => {
+        val sh = tokenized(s, dir)
+          .select(col("doc_id"), Dedup.wordShingles(col("tokens"), 3).as("sh"))
+        val train = sh.where(col("doc_id") < 400)
+          .select(col("doc_id"), explode(col("sh")).as("s"))
+        val evalSh = sh.where(col("doc_id") >= 400)
+          .select(explode(col("sh")).as("s")).distinct()
+        train.join(broadcast(evalSh), "s")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+          .orderBy("doc_id")
+      }),
+
+    // ---- q68: deterministic train/val/test split — hash-bucket every
+    // doc by the first hex digit of md5(doc_id): 0-d train (14/16),
+    // e val, f test. Engine-portable, stable under reprocessing, no
+    // shuffle beyond the count.
+    QueryDef("q68_split", Some("""
+      SELECT CASE WHEN substr(md5(doc_id::VARCHAR), 1, 1) = 'f' THEN 'test'
+                  WHEN substr(md5(doc_id::VARCHAR), 1, 1) = 'e' THEN 'val'
+                  ELSE 'train' END AS split,
+             COUNT(*) AS n_docs
+      FROM documents GROUP BY 1 ORDER BY split"""),
+      (s, dir) => {
+        val h = substring(md5(col("doc_id").cast("string")), 1, 1)
+        docs(s, dir).select(
+            when(h === "f", "test").when(h === "e", "val").otherwise("train").as("split"))
+          .groupBy("split").agg(count(lit(1)).as("n_docs"))
+          .orderBy("split")
+      }),
+
     // ---- q40: multimodal plumbing — opaque binary payload + metadata
     // (decode itself is stubbed; see graft.multimodal).
     QueryDef("q40_binary_meta", Some("""

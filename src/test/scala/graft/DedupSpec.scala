@@ -29,6 +29,19 @@ class DedupSpec extends SparkTestBase {
     assert(sigs(1L) !== sigs(4L))
   }
 
+  test("word n-gram shingles: ordered windows, distinct, safe below n tokens") {
+    val df = Seq(
+      (1L, Seq("a", "b", "c", "d")),
+      (2L, Seq("a", "b")),                       // shorter than n=3 → empty
+      (3L, Seq("x", "y", "x", "y", "x", "y"))    // repeats dedup
+    ).toDF("doc_id", "tokens")
+    val sh = df.select(col("doc_id"), Dedup.wordShingles(col("tokens"), 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(sh(1L) === Seq("a b c", "b c d"))
+    assert(sh(2L) === Seq.empty)
+    assert(sh(3L) === Seq("x y x", "y x y"))
+  }
+
   test("native minhash kernel matches the higher-order spec bit-for-bit") {
     val fixture = docs.union(Seq(
       (100L, Seq.empty[String]),                       // no tokens → NULL sigs
