@@ -58,6 +58,18 @@ object EventStreams {
         col("s.end").as("session_end"), col("n_events"),
         (col("sum_cents") / 100.0).as("sum_value"))
 
+  /** Watermarked streaming deduplication — the ingestion-side dedup a
+    * training-data pipeline runs before anything else: keep the first
+    * occurrence of each (user_id, event_type, ts) key, with the
+    * watermark bounding how long keys are remembered (without it the
+    * key state grows forever). Exactly-once per key within the
+    * watermark horizon; state partitions by key across executors.
+    */
+  def dedupEvents(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "ts")
+
   /** Custom keyed state via `mapGroupsWithState`: a per-user running
     * (event count, exact cents total) that survives across micro-batches
     * — the pattern for state the built-in aggregations can't express.

@@ -52,6 +52,27 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("watermarked streaming dedup keeps first occurrence of each key") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[UserEvent]
+    val q = EventStreams.dedupEvents(input.toDF())
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      // batch1 contains an exact duplicate row; batch2 re-sends one of
+      // batch1's rows within the watermark horizon — all must dedup
+      input.addData(batch1 :+ batch1.head: _*); q.processAllAvailable()
+      input.addData(batch2 :+ batch1.head: _*); q.processAllAvailable()
+      val got = spark.table("dedup")
+        .select("ts", "user_id", "event_type")
+        .as[(Timestamp, Long, String)].collect().toSeq
+      assert(got.size === got.toSet.size, "no duplicate keys may survive")
+      assert(got.toSet === (batch1 ++ batch2)
+        .map(e => (e.ts, e.user_id, e.event_type)).toSet)
+    } finally q.stop()
+  }
+
   test("session windows: gap-merge in streaming matches batch semantics") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[UserEvent]
