@@ -185,20 +185,31 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
   }
 
-  /** Word-bigram shingles (distinct) of a token array column. */
-  def bigramShingles(tokens: Column): Column = {
-    val n = size(tokens)
-    when(n < 2, array().cast("array<string>")).otherwise(
-      array_distinct(zip_with(
-        slice(tokens, lit(1), n - 1), slice(tokens, lit(2), n - 1),
-        (a, b) => concat(a, lit(" "), b))))
-  }
+  /** Word-bigram shingles (distinct) of a token array column — the n=2
+    * case of [[wordShingles]] (native kernel; parity with the HOF spec
+    * covered by the wordShingles tests).
+    */
+  def bigramShingles(tokens: Column): Column = wordShingles(tokens, 2)
 
   /** Distinct word n-gram shingles (space-joined) of a token array —
     * the unit of n-gram–overlap decontamination checks (flagging
     * training docs that share shingles with an eval/benchmark set).
+    * Computed by the native [[graft.functions.WordShingles]] kernel:
+    * the HOF form ([[wordShinglesHof]], the executable spec) is
+    * CodegenFallback, and the optimizer's inferred explode filters clone
+    * it below the projection — ~3 interpreted evaluations per row that
+    * dominated the decontamination query.
     */
   def wordShingles(tokens: Column, n: Int): Column = {
+    require(n >= 1)
+    graft.functions.WordShingles(tokens, n)
+  }
+
+  /** Reference formulation of [[wordShingles]] out of built-in
+    * higher-order functions — same output bit-for-bit; kept as the
+    * executable spec the native kernel is tested against.
+    */
+  def wordShinglesHof(tokens: Column, n: Int): Column = {
     require(n >= 1)
     val sz = size(tokens)
     when(sz < n, array().cast("array<string>")).otherwise(

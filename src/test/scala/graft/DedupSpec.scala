@@ -42,6 +42,23 @@ class DedupSpec extends SparkTestBase {
     assert(sh(3L) === Seq("x y x", "y x y"))
   }
 
+  test("native shingle kernel matches the higher-order spec bit-for-bit") {
+    val fixture = (Seq(
+      (100L, Seq.empty[String]),
+      (101L, Seq("one", "two")),
+      (102L, Seq.tabulate(200)(i => s"w${i % 17}"))   // heavy repeats
+    ) ++ Seq.tabulate(50)(i =>
+      (i.toLong, Seq.tabulate(60)(j => s"t${(i * 31 + j * 7) % 23}"))))
+      .toDF("doc_id", "tokens")
+    for (n <- Seq(1, 2, 3, 5)) {
+      val kernel = fixture.select(col("doc_id"), Dedup.wordShingles(col("tokens"), n).as("sh"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      val hof = fixture.select(col("doc_id"), Dedup.wordShinglesHof(col("tokens"), n).as("sh"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      assert(kernel === hof, s"divergence at n=$n")
+    }
+  }
+
   test("native minhash kernel matches the higher-order spec bit-for-bit") {
     val fixture = docs.union(Seq(
       (100L, Seq.empty[String]),                       // no tokens → NULL sigs
