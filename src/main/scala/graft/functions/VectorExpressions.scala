@@ -90,7 +90,23 @@ object VectorFunctions {
       (exprs: Seq[Expression]) => SimHash32(exprs.head)),
     (FunctionIdentifier("simhash32_bits"),
       new ExpressionInfo(classOf[SimHashBits32].getName, "simhash32_bits"),
-      (exprs: Seq[Expression]) => SimHashBits32(exprs.head)))
+      (exprs: Seq[Expression]) => SimHashBits32(exprs.head)),
+    (FunctionIdentifier("int8_quant_fidelity"),
+      new ExpressionInfo(classOf[Int8QuantFidelity].getName, "int8_quant_fidelity"),
+      (exprs: Seq[Expression]) => Int8QuantFidelity(exprs.head)),
+    // n-ary kernels take their static parameter as a literal int argument
+    (FunctionIdentifier("minhash_sigs"),
+      new ExpressionInfo(classOf[MinHashSigs].getName, "minhash_sigs"),
+      (exprs: Seq[Expression]) => MinHashSigs(exprs.head, intArg(exprs, 1, "minhash_sigs"))),
+    (FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+      (exprs: Seq[Expression]) => WordShingles(exprs.head, intArg(exprs, 1, "word_shingles"))))
+
+  private def intArg(exprs: Seq[Expression], i: Int, fn: String): Int = exprs(i) match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn requires a literal INT as argument ${i + 1}, got $other")
+  }
 
   /** Make `vec_dot`/`simhash32`/`simhash32_bits` callable from SQL text
     * in an existing session (idempotent). For config-time installation

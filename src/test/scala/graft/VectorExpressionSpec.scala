@@ -66,6 +66,18 @@ class VectorExpressionSpec extends SparkTestBase {
       "packed bits must equal the binary string read MSB-first")
   }
 
+  test("all native kernels callable from SQL") {
+    VectorFunctions.register(spark)
+    val row = spark.sql("""
+      SELECT minhash_sigs(array('alpha','beta'), 2) AS mh,
+             word_shingles(array('a','b','c'), 2) AS sh,
+             int8_quant_fidelity(array(CAST(1 AS FLOAT), CAST(3 AS FLOAT))) AS qf""")
+      .collect()(0)
+    assert(row.getSeq[String](0).length == 2)
+    assert(row.getSeq[String](1) == Seq("a b", "b c"))
+    assert(row.getStruct(2).getLong(0) == 255L) // codes 0 + 255
+  }
+
   test("whole-stage codegen keeps the fused dot loop (no fallback)") {
     // the plan must NOT fall back: vec_dot supports codegen, so the
     // projection stays inside a WholeStageCodegen stage (a zip_with/
