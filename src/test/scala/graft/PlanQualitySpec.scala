@@ -117,6 +117,21 @@ class PlanQualitySpec extends SparkTestBase {
       "TF-IDF plan construction must not launch jobs")
   }
 
+  test("q67 decontamination: benchmark shingle set broadcasts; never a cartesian") {
+    val plan = collectAll(executed(q("q67_decontaminate")))
+    assert(plan.exists { case _: BroadcastHashJoinExec => true; case _ => false },
+      "the small eval shingle set must broadcast against the training side")
+    assert(!plan.exists { case _: CartesianProductExec => true; case _ => false })
+  }
+
+  test("q66 PII scrub: scan reads only the referenced customer columns") {
+    val scans = collectAll(executed(q("q66_pii_scrub")))
+      .filter(_.nodeName.contains("Scan")).map(_.toString)
+    val customerScan = scans.find(_.contains("customer")).get
+    assert(customerScan.contains("c_name"))
+    assert(!customerScan.contains("c_acctbal"), "unused columns must be pruned")
+  }
+
   test("q14 hourly window: partial aggregation before the shuffle") {
     val plan = collectAll(executed(q("q14_hourly_window")))
     val aggs = plan.filter(_.nodeName.contains("HashAggregate")).map(_.toString)
