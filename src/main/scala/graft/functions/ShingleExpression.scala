@@ -25,11 +25,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * evaluation microseconds, so even the optimizer's clones stay cheap.
   */
 object ShingleKernel {
-  def compute(tokens: ArrayData, n: Int): ArrayData = {
+  def compute(tokens: ArrayData, n: Int): ArrayData = compute(tokens, n, distinct = true)
+
+  def compute(tokens: ArrayData, n: Int, distinct: Boolean): ArrayData = {
     val len = tokens.numElements()
     if (len < n) return new GenericArrayData(Array.empty[Any])
-    val seen = new java.util.LinkedHashSet[UTF8String]((len - n + 1) * 2)
     val sep = UTF8String.fromString(" ")
+    val seen =
+      if (distinct) new java.util.LinkedHashSet[UTF8String]((len - n + 1) * 2) else null
+    val all = if (distinct) null else new Array[Any](len - n + 1)
     var i = 0
     while (i <= len - n) {
       // concat_ws semantics: nulls are skipped, remaining parts joined
@@ -40,9 +44,11 @@ object ShingleKernel {
         if (t != null) parts = t :: parts
         j -= 1
       }
-      seen.add(UTF8String.concatWs(sep, parts: _*))
+      val s = UTF8String.concatWs(sep, parts: _*)
+      if (distinct) seen.add(s) else all(i) = s
       i += 1
     }
+    if (!distinct) return new GenericArrayData(all)
     val out = new Array[Any](seen.size)
     val it = seen.iterator()
     var k = 0
@@ -55,7 +61,8 @@ object ShingleKernel {
   * `ARRAY<STRING>` (the unit of n-gram-overlap decontamination and
   * shingle-based dedup).
   */
-case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
+case class WordShingles(child: Expression, n: Int, distinct: Boolean = true)
+    extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) if n >= 1 => TypeCheckResult.TypeCheckSuccess
@@ -66,11 +73,11 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
   override def prettyName: String = "word_shingles"
 
   override def nullSafeEval(tokens: Any): Any =
-    ShingleKernel.compute(tokens.asInstanceOf[ArrayData], n)
+    ShingleKernel.compute(tokens.asInstanceOf[ArrayData], n, distinct)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
-      c => s"graft.functions.ShingleKernel.compute($c, $n)")
+      c => s"graft.functions.ShingleKernel.compute($c, $n, $distinct)")
 
   override protected def withNewChildInternal(newChild: Expression): WordShingles =
     copy(child = newChild)
@@ -79,4 +86,7 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
 object WordShingles {
   def apply(tokens: Column, n: Int): Column =
     ColumnShim.column(WordShingles(ColumnShim.expression(tokens), n))
+
+  def apply(tokens: Column, n: Int, distinct: Boolean): Column =
+    ColumnShim.column(WordShingles(ColumnShim.expression(tokens), n, distinct))
 }

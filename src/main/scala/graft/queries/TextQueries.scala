@@ -465,6 +465,71 @@ object TextQueries {
           .orderBy("split")
       }),
 
+    // ---- q69: repetition-based quality signals (the Gopher-rule
+    // family): fraction of the doc taken by its most frequent unigram
+    // and bigram — high values flag degenerate/repetitive text. Exact
+    // long/long divisions → bit-stable. Bigrams use the NON-distinct
+    // shingle kernel (counts, not sets).
+    QueryDef("q69_repetition", Some(s"""${toksCte()},
+      uni AS (SELECT doc_id, unnest(tokens) AS t FROM toks),
+      uc AS (SELECT doc_id, t, COUNT(*) AS cnt FROM uni GROUP BY 1, 2),
+      u AS (SELECT doc_id, MAX(cnt)::DOUBLE / SUM(cnt) AS top_unigram_frac
+            FROM uc GROUP BY doc_id),
+      big AS (SELECT doc_id, unnest(list_transform(range(1, len(tokens)),
+                i -> tokens[i] || ' ' || tokens[i+1])) AS g
+              FROM toks WHERE len(tokens) >= 2),
+      bc AS (SELECT doc_id, g, COUNT(*) AS cnt FROM big GROUP BY 1, 2),
+      b AS (SELECT doc_id, MAX(cnt)::DOUBLE / SUM(cnt) AS top_bigram_frac
+            FROM bc GROUP BY doc_id)
+      SELECT u.doc_id, u.top_unigram_frac, b.top_bigram_frac,
+             b.top_bigram_frac > CAST(0.18 AS DOUBLE) AS flagged
+      FROM u JOIN b USING (doc_id) ORDER BY doc_id"""),
+      (s, dir) => {
+        val d = tokenized(s, dir)
+        val u = d.select(col("doc_id"), explode(col("tokens")).as("t"))
+          .groupBy("doc_id", "t").agg(count(lit(1)).as("cnt"))
+          .groupBy("doc_id")
+          .agg((max(col("cnt")).cast("double") / sum(col("cnt"))).as("top_unigram_frac"))
+        val b = d.select(col("doc_id"),
+            explode(graft.functions.WordShingles(col("tokens"), 2, distinct = false)).as("g"))
+          .groupBy("doc_id", "g").agg(count(lit(1)).as("cnt"))
+          .groupBy("doc_id")
+          .agg((max(col("cnt")).cast("double") / sum(col("cnt"))).as("top_bigram_frac"))
+        u.join(b, "doc_id")
+          .select(col("doc_id"), col("top_unigram_frac"), col("top_bigram_frac"),
+            (col("top_bigram_frac") > 0.18).as("flagged"))
+          .orderBy("doc_id")
+      }),
+
+    // ---- q70: deterministic stratified sample — rank docs inside each
+    // train/val/test stratum by a salted hash and keep the top 3 per
+    // stratum. Stable under reprocessing, one shuffle on the stratum
+    // key; the per-stratum window never sees more than its stratum.
+    QueryDef("q70_stratified_sample", Some("""
+      WITH s AS (SELECT doc_id,
+                   CASE WHEN substr(md5(doc_id::VARCHAR), 1, 1) = 'f' THEN 'test'
+                        WHEN substr(md5(doc_id::VARCHAR), 1, 1) = 'e' THEN 'val'
+                        ELSE 'train' END AS split,
+                   md5(doc_id::VARCHAR || ':s') AS key
+                 FROM documents),
+      r AS (SELECT split, doc_id,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY split ORDER BY key, doc_id)
+                        AS INTEGER) AS rk
+            FROM s)
+      SELECT split, rk, doc_id FROM r WHERE rk <= 3 ORDER BY split, rk"""),
+      (s, dir) => {
+        val h = substring(md5(col("doc_id").cast("string")), 1, 1)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("split").orderBy(col("key"), col("doc_id"))
+        docs(s, dir).select(col("doc_id"),
+            when(h === "f", "test").when(h === "e", "val").otherwise("train").as("split"),
+            md5(concat(col("doc_id").cast("string"), lit(":s"))).as("key"))
+          .withColumn("rk", row_number().over(w))
+          .where(col("rk") <= 3)
+          .select(col("split"), col("rk"), col("doc_id"))
+          .orderBy("split", "rk")
+      }),
+
     // ---- q40: multimodal plumbing — opaque binary payload + metadata
     // (decode itself is stubbed; see graft.multimodal).
     QueryDef("q40_binary_meta", Some("""
