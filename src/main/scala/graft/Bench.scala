@@ -28,15 +28,17 @@ object Bench {
       case t        => Tables.read(spark, sfDir, t).count()
     }
 
-    // best of 2 measured reps per query: scheduler/GC transients on this
-    // shared box swing single runs several-fold. Data caches are cleared
+    // best of 3 measured reps per query: scheduler/GC transients on this
+    // shared box swing single runs several-fold (observed: a 0.4s
+    // map-side query reading 4.4s inside a noise window — best-of-2 was
+    // not enough to dodge multi-minute windows). Data caches are cleared
     // before every rep (only JIT warmth persists), so each rep executes
     // the full pipeline from parquet.
     // a failed rep records the -1 sentinel (NOT its elapsed time): a
     // query that throws must be visible in the JSON, never a silent
     // near-zero contribution to the total
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val reps = (1 to 2).map { _ =>
+      val reps = (1 to 3).map { _ =>
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
         val ok =
