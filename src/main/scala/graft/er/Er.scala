@@ -222,34 +222,22 @@ object ErEvaluation {
     * window; the reference launches ~100 jobs.
     */
   def prfSweep(sims0: DataFrame, gold0: DataFrame): DataFrame = {
-    // both inputs feed 2-3 plan branches (histogram, gold-join, count) —
-    // mark them cached so branches share one materialization. The gold
-    // COUNT stays lazy (a broadcast 1-row aggregate, not a driver-side
-    // action): construction runs zero jobs, and the whole sweep executes
-    // as one job whose common subtrees AQE/ReuseExchange share.
-    val sims = sims0.persist()
-    val gold = gold0.persist()
-    // fill both caches BEFORE the multi-branch job: lazy fill would race —
-    // each branch that reaches an unfilled cache computes the whole
-    // upstream chain itself (measured 3-6× slower than filling once here)
-    sims.count()
-    gold.count()
-    val goldCount = gold.agg(count(lit(1)).as("n_gold"))
-    // ONE pass over the pairs: tag candidates with their gold flag, add
-    // the gold pairs that never became candidates as sim-0 rows
-    // (reference `gs_value` semantics), then a single binned aggregation.
-    val tagged = sims
-      .join(gold.select(col("id_a"), col("id_b"), lit(true).as("isd")),
-        Seq("id_a", "id_b"), "left")
-      .select(floor(col("sim") * 100).cast("int").as("bin"),
+    // ONE full-outer join covers all three pair classes in a single
+    // pass: candidate-only (isd false, real sim), gold-only (absent
+    // candidate → sim 0.0, the reference's `gs_value` semantics), and
+    // both. No caches, no separate anti-join branch, and no gold-count
+    // branch either — n_gold falls out of the bin table itself (every
+    // gold pair lands in exactly one bin, so n_gold = Σ n_dups).
+    val tagged = sims0
+      .join(gold0.select(col("id_a"), col("id_b"), lit(true).as("isd")),
+        Seq("id_a", "id_b"), "full_outer")
+      .select(floor(coalesce(col("sim"), lit(0.0)) * 100).cast("int").as("bin"),
         coalesce(col("isd"), lit(false)).as("isd"))
-    val missingGold = gold.join(sims, Seq("id_a", "id_b"), "left_anti")
-      .select(lit(0).as("bin"), lit(true).as("isd"))
-    val binCounts = tagged.union(missingGold)
+    val binCounts = tagged
       .groupBy("bin")
       .agg(count(when(col("isd"), lit(1))).as("n_dups"),
         count(when(!col("isd"), lit(1))).as("n_nondups"))
-    val spark = sims.sparkSession
+    val spark = sims0.sparkSession
     import spark.implicits._
     val bins = spark.range(0, 101).select(col("id").cast("int").as("bin"))
       .join(binCounts, Seq("bin"), "left")
@@ -263,11 +251,15 @@ object ErEvaluation {
     // single-partition sort is constant work, not a scale hazard.
     val w = Window.orderBy(col("bin").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // n_gold = Σ n_dups over the full (bounded, 101-row) frame; same
+    // ordering spec as the cumsum so both windows share one sort
+    val wAll = Window.orderBy(col("bin").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val sweep = bins
       .select(col("bin"),
         sum(col("n_dups")).over(w).as("tp"),
-        sum(col("n_nondups")).over(w).as("fp"))
-      .crossJoin(broadcast(goldCount))
+        sum(col("n_nondups")).over(w).as("fp"),
+        sum(col("n_dups")).over(wAll).as("n_gold"))
       .select(col("bin"), col("tp"), col("fp"), (col("n_gold") - col("tp")).as("fn"),
         col("n_gold"))
       .withColumn("precision",
@@ -284,15 +276,11 @@ object ErEvaluation {
           .otherwise(lit(2) * col("precision") * col("recall") /
             (col("precision") + col("recall"))))
       .orderBy("bin")
-    // materialize the bounded 101-row result locally so the two input
-    // caches can be released before returning — a long-lived session
-    // invoking the sweep repeatedly must not accumulate persisted
-    // partitions until eviction pressure builds
+    // materialize the bounded 101-row result locally: callers can reuse
+    // / re-scan it freely (and release their own upstream caches) with
+    // no recomputation and nothing left persisted by the sweep itself
     val rows = sweep.collect()
-    val schema = sweep.schema
-    sims.unpersist()
-    gold.unpersist()
     import scala.jdk.CollectionConverters._
-    spark.createDataFrame(rows.toSeq.asJava, schema)
+    spark.createDataFrame(rows.toSeq.asJava, sweep.schema)
   }
 }
