@@ -53,6 +53,36 @@ class PropertySpec extends SparkTestBase {
     assert(native.toSeq === hof.toSeq)
   }
 
+  test("native minhash kernel ≡ HOF minhash for arbitrary token arrays") {
+    val tokensGen: Gen[Seq[String]] = Gen.choose(0, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(Gen.alphaNumStr.map(_.take(6)), Gen.const(""),
+        Gen.const("ÄßÄ中"))).map(_.toSeq))
+    val cases = sample(tokensGen, 150)
+    val fixture = cases.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "tokens").cache()
+    val kernel = Dedup.minhashSignatures(fixture, "id", "tokens", 3)
+      .collect().map(r => r.getLong(0) -> (1 to 3).map(r.getString)).toMap
+    val hof = fixture.select(col("id") +:
+        (0 until 3).map(i => Dedup.minhash(col("tokens"), i).as(s"mh$i")): _*)
+      .collect().map(r => r.getLong(0) -> (1 to 3).map(r.getString)).toMap
+    assert(kernel === hof)
+  }
+
+  test("native word shingles ≡ HOF shingles for arbitrary token arrays and n") {
+    val tokensGen: Gen[Seq[String]] = Gen.choose(0, 15).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaNumStr.map(_.take(4))).map(_.toSeq))
+    val cases = sample(tokensGen, 150)
+    val df = cases.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "tokens").cache()
+    for (n <- Seq(1, 2, 4)) {
+      val kernel = df.select(col("id"), Dedup.wordShingles(col("tokens"), n).as("s"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      val hof = df.select(col("id"), Dedup.wordShinglesHof(col("tokens"), n).as("s"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      assert(kernel === hof, s"divergence at n=$n")
+    }
+  }
+
   test("minhash equality is permutation-invariant for arbitrary token arrays") {
     val tokensGen = Gen.listOfN(10, Gen.alphaLowerStr.map(_.take(5))).map(_.toSeq)
     val cases = sample(tokensGen, 100)
