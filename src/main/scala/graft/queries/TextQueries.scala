@@ -530,6 +530,39 @@ object TextQueries {
           .orderBy("split", "rk")
       }),
 
+    // ---- q71: corpus report card — the one-pass health summary a
+    // pipeline runs after every build: volume, token mass, exact-dup
+    // rate (distinct bag-of-words fingerprints), language mix. Single
+    // aggregation, partial/map-side combined; fractions are single
+    // exact long/long divisions.
+    QueryDef("q71_corpus_stats", Some(s"""${toksCte()},
+      per AS (SELECT doc_id, tokens,
+                     md5(array_to_string(list_sort(list_distinct(tokens)), ' ')) AS fp,
+                     len(list_filter(tokens,
+                         t -> t IN ('the','a','of','to','and','in','is','it')))
+                       / len(tokens) >= CAST(0.05 AS DOUBLE) AS is_en
+              FROM toks WHERE len(tokens) > 0)
+      SELECT COUNT(*) AS n_docs,
+             CAST(SUM(len(tokens)) AS BIGINT) AS total_tokens,
+             COUNT(DISTINCT fp) AS n_distinct_bow,
+             (COUNT(*) - COUNT(DISTINCT fp))::DOUBLE / COUNT(*) AS dup_frac,
+             COUNT(CASE WHEN is_en THEN 1 END) AS n_en,
+             COUNT(CASE WHEN is_en THEN 1 END)::DOUBLE / COUNT(*) AS en_frac
+      FROM per"""),
+      (s, dir) =>
+        tokenized(s, dir).where(size(col("tokens")) > 0)
+          .select(col("doc_id"), col("tokens"),
+            md5(concat_ws(" ", array_sort(array_distinct(col("tokens"))))).as("fp"),
+            (TextStats.englishRatio(col("tokens")) >= 0.05).as("is_en"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(size(col("tokens")).cast("long")).as("total_tokens"),
+            countDistinct(col("fp")).as("n_distinct_bow"),
+            ((count(lit(1)) - countDistinct(col("fp"))).cast("double") / count(lit(1)))
+              .as("dup_frac"),
+            count(when(col("is_en"), lit(1))).as("n_en"),
+            (count(when(col("is_en"), lit(1))).cast("double") / count(lit(1)))
+              .as("en_frac"))),
+
     // ---- q40: multimodal plumbing — opaque binary payload + metadata
     // (decode itself is stubbed; see graft.multimodal).
     QueryDef("q40_binary_meta", Some("""
