@@ -78,10 +78,18 @@ object Knn {
     val scored = e.crossJoin(broadcast(cent))
       .select(col(idCol), col("centroid_id"),
         (dot(col(vecCol), col("cent_vec")) / (col("nrm") * col("cent_nrm"))).as("cs"))
-    val w = Window.partitionBy(idCol).orderBy(col("cs").desc, col("centroid_id"))
-    scored.withColumn("rk", row_number().over(w)).where(col("rk") === 1)
-      .select(col(idCol), col("centroid_id"))
+    bestCentroid(scored, idCol)
   }
+
+  /** Top-1 centroid per vector as a hash aggregate (`max_by` over the
+    * unique ordering (cs, −centroid_id), i.e. highest cosine with ties
+    * to the smallest centroid id) — partial/map-side combinable, unlike
+    * a window's per-key sort, so the corpus never needs a sort at scale.
+    */
+  private def bestCentroid(scored: DataFrame, idCol: String): DataFrame =
+    scored.groupBy(col(idCol))
+      .agg(max_by(col("centroid_id"), struct(col("cs"), -col("centroid_id")))
+        .as("centroid_id"))
 
   /** Spherical k-means for the IVF codebook: assign every vector to its
     * most-similar centroid (map-side, centroids broadcast), recompute
@@ -107,8 +115,12 @@ object Knn {
       val scored = e.crossJoin(broadcast(cn))
         .select(col(idCol), col(vecCol), col("centroid_id"),
           (dot(col(vecCol), col("cent_vec")) / (col("nrm") * col("cent_nrm"))).as("cs"))
-      val w = Window.partitionBy(idCol).orderBy(col("cs").desc, col("centroid_id"))
-      val assigned = scored.withColumn("rk", row_number().over(w)).where(col("rk") === 1)
+      // hash-agg top-1 (see bestCentroid) carrying the vector along for
+      // the mean step — no per-key sort over the corpus
+      val assigned = scored.groupBy(col(idCol))
+        .agg(max_by(struct(col(vecCol).as("v"), col("centroid_id")),
+            struct(col("cs"), -col("centroid_id"))).as("best"))
+        .select(col(idCol), col("best.v").as(vecCol), col("best.centroid_id").as("centroid_id"))
       // per-cluster mean: explode to (cluster, dim, value), aggregate,
       // rebuild the vector ordered by dimension index
       centroids = assigned
