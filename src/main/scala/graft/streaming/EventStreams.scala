@@ -70,6 +70,29 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("user_id", "event_type", "ts")
 
+  /** Watermarked stream-stream interval join: pair each left event with
+    * the same user's right events that happened within `within` AFTER
+    * it. Both sides carry watermarks and the join condition bounds the
+    * event-time distance, so Spark can size the state store and evict
+    * rows once they can no longer match — the form of streaming join
+    * that runs indefinitely without unbounded state.
+    */
+  def joinEventsWithin(left: DataFrame, right: DataFrame,
+                       within: String = "30 minutes"): DataFrame = {
+    val l = left.select(col("ts").as("l_ts"), col("user_id"),
+        col("event_type").as("l_type"), col("value").as("l_value"))
+      .withWatermark("l_ts", within)
+    val r = right.select(col("ts").as("r_ts"), col("user_id").as("r_user"),
+        col("event_type").as("r_type"), col("value").as("r_value"))
+      .withWatermark("r_ts", within)
+    l.join(r,
+      col("user_id") === col("r_user") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $within"))
+      .select(col("user_id"), col("l_ts"), col("l_type"),
+        col("r_ts"), col("r_type"), col("r_value"))
+  }
+
   /** Custom keyed state via `mapGroupsWithState`: a per-user running
     * (event count, exact cents total) that survives across micro-batches
     * — the pattern for state the built-in aggregations can't express.

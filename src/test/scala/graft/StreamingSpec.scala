@@ -52,6 +52,48 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-stream interval join pairs events within the time bound") {
+    implicit val ctx = spark.sqlContext
+    val clicks = MemoryStream[UserEvent]
+    val errors = MemoryStream[UserEvent]
+    val q = EventStreams.joinEventsWithin(clicks.toDF(), errors.toDF(), "30 minutes")
+      .writeStream.format("memory").queryName("joined")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      clicks.addData(
+        UserEvent(ts(5), 1L, "click", 1.0),
+        UserEvent(ts(100), 1L, "click", 2.0),
+        UserEvent(ts(10), 2L, "click", 3.0))
+      errors.addData(
+        UserEvent(ts(20), 1L, "error", 0.1),   // 15 min after user-1 click → match
+        UserEvent(ts(50), 1L, "error", 0.2),   // 45 min after → outside bound
+        UserEvent(ts(15), 3L, "error", 0.3))   // different user → no match
+      q.processAllAvailable()
+      // push watermarks forward so bounded state flushes
+      clicks.addData(UserEvent(ts(500), 9L, "click", 0.0))
+      errors.addData(UserEvent(ts(500), 9L, "error", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("joined")
+        .select("user_id", "l_ts", "r_ts")
+        .as[(Long, Timestamp, Timestamp)].collect().toSet
+      assert(got.contains((1L, ts(5), ts(20))), "in-window pair must join")
+      assert(!got.exists(t => t._1 == 1L && t._3 == ts(50) && t._2 == ts(5)),
+        "pair outside the interval must not join")
+      assert(!got.exists(_._1 == 3L), "unmatched user must not appear")
+      // batch equivalence on the same rows
+      val batchGot = EventStreams.joinEventsWithin(
+          Seq(UserEvent(ts(5), 1L, "click", 1.0), UserEvent(ts(100), 1L, "click", 2.0),
+            UserEvent(ts(10), 2L, "click", 3.0)).toDF(),
+          Seq(UserEvent(ts(20), 1L, "error", 0.1), UserEvent(ts(50), 1L, "error", 0.2),
+            UserEvent(ts(15), 3L, "error", 0.3)).toDF())
+        .select("user_id", "l_ts", "r_ts")
+        .as[(Long, Timestamp, Timestamp)].collect().toSet
+      assert(batchGot.subsetOf(got) || got.subsetOf(batchGot))
+      assert(batchGot.contains((1L, ts(5), ts(20))))
+    } finally q.stop()
+  }
+
   test("watermarked streaming dedup keeps first occurrence of each key") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[UserEvent]
