@@ -28,35 +28,47 @@ object Bench {
       case t        => Tables.read(spark, sfDir, t).count()
     }
 
-    // best of 3 measured reps per query: scheduler/GC transients on this
-    // shared box swing single runs several-fold (observed: a 0.4s
-    // map-side query reading 4.4s inside a noise window — best-of-2 was
-    // not enough to dodge multi-minute windows). Data caches are cleared
-    // before every rep (only JIT warmth persists), so each rep executes
-    // the full pipeline from parquet.
-    // a failed rep records the -1 sentinel (NOT its elapsed time): a
-    // query that throws must be visible in the JSON, never a silent
-    // near-zero contribution to the total
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val reps = (1 to 3).map { _ =>
-        spark.catalog.clearCache()
-        val t0 = System.nanoTime()
-        val ok =
-          try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
-          }
-        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
-      }
-      val good = reps.filter(_ >= 0)
-      name -> (if (good.nonEmpty) good.min else -1.0)
+    // Best of 3 measured reps per query, but the reps are ROUND-ROBIN
+    // passes over the whole catalog (q01..qNN, q01..qNN, q01..qNN), not
+    // back-to-back runs of one query: scheduler/GC transients on this
+    // shared box arrive as multi-minute noise WINDOWS, and with
+    // back-to-back reps one window poisons all reps of several
+    // consecutive queries (round 2: four queries read 11-19s that
+    // steady-state at 0.3-1.1s). Spreading a query's reps ~N×catalog
+    // apart means a window has to recur three times in phase to corrupt
+    // its min. Data caches are cleared before every rep (only JIT warmth
+    // persists), so each rep executes the full pipeline from parquet.
+    val catalog = SparkEntry.queries.toSeq.sortBy(_._1)
+    val passes = 3
+    val times = Array.fill(catalog.size, passes)(-1.0) // -1 marks a failed rep
+    for (p <- 0 until passes; ((name, fn), i) <- catalog.zipWithIndex) {
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      val ok =
+        try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed (pass ${p + 1}): ${e.getMessage}"); false
+        }
+      if (ok) times(i)(p) = (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def fmt(v: Double) = f"$v%.4f"
+    val results = catalog.zipWithIndex.map { case ((name, _), i) =>
+      val good = times(i).filter(_ >= 0)
+      (name, if (good.nonEmpty) Some(good.min) else None, times(i).toSeq)
+    }
+    // an all-failed query serializes as null (never -1: a consumer
+    // summing the map must not ingest a negative elapsed time) and is
+    // listed in "failed"; per-rep times go to "reps" so a noise-skewed
+    // min is auditable after the fact
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v.map(fmt).getOrElse("null") }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+    val reps = results.map { case (k, _, r) =>
+      "\"" + k + "\":" + r.map(t => if (t >= 0) fmt(t) else "null").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val failed = results.collect { case (k, None, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val total = results.flatMap(_._2).sum
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"reps":$reps,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -43,6 +43,23 @@ object Knn {
     emb.select(col(idCol), col(vecCol), l2norm(col(vecCol)).as("nrm"))
       .where(col("nrm") > 0)
 
+  /** Final kNN selection: partial-aggregable top-k per query via
+    * [[graft.functions.TopKAggregator]] — map-side partials keep at most
+    * k rows per (query, partition), so no per-query partition ever sorts
+    * the whole candidate set (a `row_number` window would). Emits
+    * (q_id, rk, cand_id, sim) with the same (sim DESC, cand_id ASC)
+    * order and 6-decimal rounding as the window formulation it replaced.
+    */
+  private def topKSelect(sims: DataFrame, idType: org.apache.spark.sql.types.DataType,
+                         k: Int): DataFrame =
+    sims.groupBy("q_id")
+      .agg(graft.functions.TopKAggregator.topK(k)(
+        col("sim"), col("cand_id").cast("long")).as("tk"))
+      .select(col("q_id"), posexplode(col("tk")).as(Seq("pos", "sc")))
+      .select(col("q_id"), (col("pos") + 1).as("rk"),
+        col("sc.cand_id").cast(idType).as("cand_id"),
+        round(col("sc.sim"), 6).as("sim"))
+
   /** Brute-force cosine top-k: for every query vector, the k most similar
     * candidates (self excluded). Query side is broadcast.
     * Returns (q_id, rk, cand_id, sim) with sim rounded to 6 decimals.
@@ -57,10 +74,7 @@ object Knn {
     val sims = broadcast(q).join(c, col("q_id") =!= col("cand_id"))
       .select(col("q_id"), col("cand_id"),
         (dot(col("q_vec"), col("c_vec")) / (col("q_nrm") * col("c_nrm"))).as("sim"))
-    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("cand_id"))
-    sims.withColumn("rk", row_number().over(w))
-      .where(col("rk") <= k)
-      .select(col("q_id"), col("rk"), col("cand_id"), round(col("sim"), 6).as("sim"))
+    topKSelect(sims, emb.schema(idCol).dataType, k)
   }
 
   /** IVF (inverted-file) cluster assignment: every vector goes to its
@@ -139,11 +153,18 @@ object Knn {
     * bucket; each query scores the candidates of its `nprobe` most-
     * similar centroids — the 100 TB path where brute force stops being
     * an option. Recall < 1 by design and rises with nprobe (q65 measures
-    * it against the brute-force path); the centroid ranking is computed
-    * ONCE (one broadcast cross of corpus × codebook) and reused for both
-    * the candidate assignment (rank 1) and the query probe list
-    * (rank ≤ nprobe). Buckets are disjoint, so probing n of them never
-    * duplicates a candidate.
+    * it against the brute-force path). Buckets are disjoint, so probing
+    * n of them never duplicates a candidate.
+    *
+    * Scale shape: the full corpus is scored against the broadcast
+    * codebook exactly ONCE, and its bucket assignment is the
+    * partial-aggregable `max_by` top-1 ([[bestCentroid]]) — no window
+    * sort and no second pass (the round-2 plan computed the
+    * corpus×codebook ranking twice, once per rank filter). Only QUERY
+    * rows — a bounded set — pay a `row_number` window for the
+    * nprobe-deep probe list; its tie order (cs DESC, centroid_id ASC)
+    * equals bestCentroid's max_by ordering, so rank 1 of the probe
+    * window is the same centroid assignment.
     */
   def ivfKnn(emb: DataFrame, idCol: String, vecCol: String,
              centroidPred: Column, queryPred: Column, k: Int,
@@ -151,13 +172,14 @@ object Knn {
     val e = withNorm(emb, idCol, vecCol)
     val cent = e.where(centroidPred).select(
       col(idCol).as("centroid_id"), col(vecCol).as("cent_vec"), col("nrm").as("cent_nrm"))
-    val w = Window.partitionBy(idCol).orderBy(col("cs").desc, col("centroid_id"))
-    val ranked = e.crossJoin(broadcast(cent))
+    def scoreAgainst(df: DataFrame): DataFrame = df.crossJoin(broadcast(cent))
       .select(col(idCol), col("centroid_id"),
         (dot(col(vecCol), col("cent_vec")) / (col("nrm") * col("cent_nrm"))).as("cs"))
+    val assign = bestCentroid(scoreAgainst(e), idCol)
+    val w = Window.partitionBy(idCol).orderBy(col("cs").desc, col("centroid_id"))
+    val probes = scoreAgainst(e.where(queryPred))
       .withColumn("rk", row_number().over(w))
-    val assign = ranked.where(col("rk") === 1).select(col(idCol), col("centroid_id"))
-    val probes = ranked.where(col("rk") <= nprobe).select(col(idCol), col("centroid_id"))
+      .where(col("rk") <= nprobe).select(col(idCol), col("centroid_id"))
     val q = e.where(queryPred).join(probes, idCol).select(col(idCol).as("q_id"),
       col(vecCol).as("q_vec"), col("nrm").as("q_nrm"), col("centroid_id"))
     val c = e.join(assign, idCol).select(col(idCol).as("cand_id"),
@@ -166,10 +188,7 @@ object Knn {
       .where(col("q_id") =!= col("cand_id"))
       .select(col("q_id"), col("cand_id"),
         (dot(col("q_vec"), col("c_vec")) / (col("q_nrm") * col("c_nrm"))).as("sim"))
-    val wk = Window.partitionBy("q_id").orderBy(col("sim").desc, col("cand_id"))
-    sims.withColumn("rk", row_number().over(wk))
-      .where(col("rk") <= k)
-      .select(col("q_id"), col("rk"), col("cand_id"), round(col("sim"), 6).as("sim"))
+    topKSelect(sims, emb.schema(idCol).dataType, k)
   }
 
   /** All-pairs near-duplicate detection by cosine threshold (id_a < id_b).

@@ -132,6 +132,24 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!customerScan.contains("c_acctbal"), "unused columns must be pruned")
   }
 
+  test("q64 IVF: corpus scored against the codebook once; window only over query rows") {
+    // round-2 plan computed the corpus×codebook ranking twice (assignment
+    // rank=1 and probes rank<=nprobe as two uncached window branches);
+    // the fixed shape is one full-corpus pass into a max_by hash-agg,
+    // with the only row_number window over the bounded query set and the
+    // final top-k as the mergeable k-slot aggregator
+    val plan = collectAll(executed(q("q64_ivf_nprobe2")))
+    // exact match: WindowGroupLimit nodes (the rank<=n pushdown Spark
+    // derives from this very window) also contain "Window"
+    val windows = plan.filter(_.nodeName == "Window").distinct
+    assert(windows.size == 1,
+      s"expected only the probe-list window, got ${windows.size}")
+    assert(plan.exists(_.toString.contains("max_by")),
+      "candidate assignment must be the partial-aggregable max_by top-1")
+    assert(plan.exists(_.nodeName.contains("ObjectHashAggregate")),
+      "final top-k must be the mergeable k-slot aggregator, not a window")
+  }
+
   test("q14 hourly window: partial aggregation before the shuffle") {
     val plan = collectAll(executed(q("q14_hourly_window")))
     val aggs = plan.filter(_.nodeName.contains("HashAggregate")).map(_.toString)
