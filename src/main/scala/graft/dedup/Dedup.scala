@@ -217,6 +217,70 @@ object Dedup {
         concat_ws(" ", (0 until n).map(j => element_at(tokens, i + j)): _*))))
   }
 
+  /** Exact bigram-Jaccard verification of CANDIDATE pairs (the step
+    * between LSH blocking and clustering): join each (id_a, id_b) pair
+    * to its two shingle sets and score the intersection map-side.
+    * Cost is O(|candidates|) — never the all-shared-shingle-pairs blowup
+    * of [[bigramJaccardPairs]], which is why this is the verify path at
+    * corpus scale. Pairs where both shingle sets are empty (sub-bigram
+    * docs) get NULL, not a 0/0 ANSI error.
+    */
+  def verifyJaccard(docs: DataFrame, idCol: String, tokensCol: String,
+                    pairs: DataFrame): DataFrame = {
+    val sh = docs.select(col(idCol), bigramShingles(col(tokensCol)).as("sh"))
+    val scored = pairs
+      .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).as("inter"),
+        size(col("sh_a")).as("na"), size(col("sh_b")).as("nb"))
+    scored.select(col("id_a"), col("id_b"),
+      when(col("na") + col("nb") - col("inter") === 0, lit(null).cast("double"))
+        .otherwise(col("inter") / (col("na") + col("nb") - col("inter")))
+        .as("jaccard"))
+  }
+
+  /** Connected components over verified near-dup pairs — the step that
+    * turns pairwise dup evidence into dup CLUSTERS with one canonical
+    * survivor each: (id, cluster_id, keep) where cluster_id is the
+    * smallest member id reachable within `iters` hops and keep marks the
+    * cluster representative (the q51 keep-list contract, extended from
+    * exact to fuzzy dups).
+    *
+    * Algorithm: hash-min label propagation. Every doc starts labeled
+    * with its own id; each iteration takes the min of its label and its
+    * neighbors' labels (one equi-join + one partial-aggregable min — no
+    * driver-side edge list, no windows). One iteration spreads the min
+    * one hop, so `iters` must reach the component diameter; LSH/SimHash
+    * near-dup components are near-cliques (every member pairs with most
+    * others), so small bounds converge at any corpus size — q72 uses 3.
+    * A production run at 100 TB would checkpoint `labels` per iteration
+    * to truncate lineage; here the loop stays pure-plan so the whole
+    * computation remains one oracle-checkable query (identical edge
+    * subplans collapse to one execution via exchange reuse).
+    *
+    * @param ids   one row per member of the universe (docs with no pair
+    *              become singleton clusters, keep = true)
+    * @param pairs (id_a, id_b) verified near-dup pairs
+    */
+  def nearDupClusters(ids: DataFrame, idCol: String, pairs: DataFrame,
+                      iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be positive, got $iters")
+    val edges = pairs.select(col("id_a").as("e_src"), col("id_b").as("e_dst"))
+      .union(pairs.select(col("id_b").as("e_src"), col("id_a").as("e_dst")))
+    var labels = ids.select(col(idCol).as("id"), col(idCol).as("label"))
+    (1 to iters).foreach { _ =>
+      val nbrMin = edges.join(labels, edges("e_dst") === labels("id"))
+        .groupBy(col("e_src").as("id"))
+        .agg(min(col("label")).as("nbr_label"))
+      labels = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+    }
+    labels.select(col("id").as(idCol), col("label").as("cluster_id"),
+      (col("id") === col("label")).as("keep"))
+  }
+
   /** Pairwise n-gram Jaccard similarity via a shingle inverted-index
     * self-join (only pairs sharing ≥1 shingle ever meet):
     * J = |A∩B| / (|A| + |B| − |A∩B|). Exact integer division → bit-exact.

@@ -563,6 +563,65 @@ object TextQueries {
             (count(when(col("is_en"), lit(1))).cast("double") / count(lit(1)))
               .as("en_frac"))),
 
+    // ---- q72: fuzzy-dup clustering — the full production dedup chain:
+    // banded MinHash-LSH candidates (bucket cap engaged) → exact
+    // bigram-Jaccard verification of ONLY those candidates → hash-min
+    // label propagation turning verified pairs into connected components
+    // → per-doc (cluster_id, keep) with the smallest member as the
+    // canonical survivor. Docs in no verified pair stay singleton
+    // keepers. 3 propagation steps bound the hop count; near-dup
+    // components are near-cliques, so that converges at any scale (and
+    // the DuckDB oracle unrolls exactly the same 3 steps).
+    QueryDef("q72_dup_clusters", Some(s"""${toksCte()},
+      sig AS (SELECT doc_id,
+        ${(0 until 8).map(i =>
+          s"list_min(list_transform(list_distinct(tokens), t -> md5('$i:' || t))) AS mh$i")
+          .mkString(",\n        ")}
+              FROM toks),
+      band AS (${(0 until 4).map(b =>
+          s"SELECT doc_id, $b AS b, mh${2 * b} || '|' || mh${2 * b + 1} AS chunk FROM sig")
+          .mkString(" UNION ALL\n               ")}),
+      kept AS (SELECT doc_id, b, chunk FROM
+                 (SELECT doc_id, b, chunk,
+                         COUNT(*) OVER (PARTITION BY b, chunk) AS bsz FROM band)
+               WHERE bsz <= 50),
+      cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+               FROM kept a JOIN kept b
+                 ON a.b = b.b AND a.chunk = b.chunk AND a.doc_id < b.doc_id),
+      sh AS (SELECT doc_id,
+               list_distinct(list_transform(range(1, len(tokens)),
+                             i -> tokens[i] || ' ' || tokens[i+1])) AS sh
+             FROM toks),
+      ver AS (SELECT id_a, id_b FROM
+                (SELECT c.id_a, c.id_b,
+                        CASE WHEN len(a.sh) + len(b.sh)
+                                  - len(list_intersect(a.sh, b.sh)) = 0 THEN NULL
+                             ELSE len(list_intersect(a.sh, b.sh))
+                                  / (len(a.sh) + len(b.sh)
+                                     - len(list_intersect(a.sh, b.sh))) END AS jac
+                 FROM cand c JOIN sh a ON a.doc_id = c.id_a
+                             JOIN sh b ON b.doc_id = c.id_b)
+              WHERE jac >= CAST(0.5 AS DOUBLE)),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM ver
+                UNION ALL SELECT id_b, id_a FROM ver),
+      l0 AS (SELECT doc_id AS id, doc_id AS label FROM toks),
+      ${(1 to 3).map(i =>
+        s"""l$i AS (SELECT l.id, LEAST(l.label, COALESCE(MIN(n.label), l.label)) AS label
+             FROM l${i - 1} l LEFT JOIN edges e ON e.src = l.id
+                              LEFT JOIN l${i - 1} n ON n.id = e.dst
+             GROUP BY l.id, l.label)""").mkString(",\n      ")}
+      SELECT id AS doc_id, label AS cluster_id, id = label AS keep
+      FROM l3 ORDER BY doc_id"""),
+      (s, dir) => {
+        val toks = tokenized(s, dir)
+        val cand = Dedup.lshBandedCandidatePairs(toks, "doc_id", "tokens", 4, 2,
+          maxBucketSize = 50)
+        val verified = Dedup.verifyJaccard(toks, "doc_id", "tokens", cand)
+          .where(col("jaccard") >= 0.5)
+        Dedup.nearDupClusters(toks.select("doc_id"), "doc_id", verified, iters = 3)
+          .orderBy("doc_id")
+      }),
+
     // ---- q40: multimodal plumbing — opaque binary payload + metadata
     // (decode itself is stubbed; see graft.multimodal).
     QueryDef("q40_binary_meta", Some("""

@@ -96,4 +96,45 @@ class DedupSpec extends SparkTestBase {
       .collect()(0).getSeq[String](0)
     assert(sh.isEmpty)
   }
+
+  test("verifyJaccard scores only the given pairs; empty-vs-empty is NULL not an error") {
+    val d = Seq(
+      (1L, Seq("big", "data", "spark", "engine")),
+      (2L, Seq("big", "data", "spark", "engine")),
+      (5L, Seq("big", "data", "flink", "engine")),
+      (7L, Seq("solo")),                    // no bigrams
+      (8L, Seq("alone"))                    // no bigrams
+    ).toDF("doc_id", "tokens")
+    val pairs = Seq((1L, 2L), (1L, 5L), (7L, 8L)).toDF("id_a", "id_b")
+    val rows = Dedup.verifyJaccard(d, "doc_id", "tokens", pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> Option(r.get(2))).toMap
+    assert(rows.size === 3, "one row per input pair, nothing else")
+    assert(rows((1L, 2L)) === Some(1.0))
+    assert(rows((1L, 5L)) === Some(0.2))
+    assert(rows((7L, 8L)) === None, "0/0 must be NULL, not a DIVIDE_BY_ZERO")
+  }
+
+  test("nearDupClusters: components labeled by min id, singletons keep themselves") {
+    val ids = (1L to 7L).toDF("doc_id")
+    // components: {1,2,3} via chain 1-2, 2-3; {5,6} ; singletons 4, 7
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val out = Dedup.nearDupClusters(ids, "doc_id", pairs, iters = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out === Map(
+      1L -> (1L, true), 2L -> (1L, false), 3L -> (1L, false),
+      4L -> (4L, true), 5L -> (5L, true), 6L -> (5L, false), 7L -> (7L, true)))
+  }
+
+  test("nearDupClusters: one iteration spreads the min label exactly one hop") {
+    // chain 1-2-3-4: after 1 iteration doc 3 sees min(3, labels of {2,4})
+    // = 2, not yet 1 — the documented bounded-iteration contract
+    val ids = (1L to 4L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("id_a", "id_b")
+    val one = Dedup.nearDupClusters(ids, "doc_id", pairs, iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(one === Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+    val three = Dedup.nearDupClusters(ids, "doc_id", pairs, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(three === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+  }
 }
