@@ -447,6 +447,40 @@ object TextQueries {
           .orderBy("doc_id")
       }),
 
+    // ---- q74: decontamination behind a Bloom prefilter — same answer
+    // as q67 (the oracle IS q67's exact SQL: a Bloom filter admits false
+    // positives only, and the exact join after it removes those), but
+    // the train side is first pruned by a fixed-size mergeable sketch of
+    // the eval shingle set. At 100 TB the exact distinct eval-shingle
+    // broadcast stops fitting; the sketch stays ~1 MB no matter how many
+    // shingles went in, and only the (tiny) might-contain survivors meet
+    // the exact set.
+    QueryDef("q74_decontaminate_bloom", Some(s"""${toksCte()},
+      sh AS (SELECT doc_id,
+               list_distinct(list_transform(range(1, len(tokens) - 1),
+                 i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2])) AS sh
+             FROM toks),
+      train AS (SELECT doc_id, unnest(sh) AS s FROM sh WHERE doc_id < 400),
+      eval_sh AS (SELECT DISTINCT unnest(sh) AS s FROM sh WHERE doc_id >= 400)
+      SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM train t JOIN eval_sh e USING (s)
+      GROUP BY t.doc_id ORDER BY t.doc_id"""),
+      (s, dir) => {
+        val sh = tokenized(s, dir)
+          .select(col("doc_id"), Dedup.wordShingles(col("tokens"), 3).as("sh"))
+        val train = sh.where(col("doc_id") < 400)
+          .select(col("doc_id"), explode(col("sh")).as("s"))
+        val evalSh = sh.where(col("doc_id") >= 400)
+          .select(explode(col("sh")).as("s")).distinct()
+        val sketch = graft.functions.BloomFunctions
+          .bloomSketch(evalSh, xxhash64(col("s")), 1L << 17, 8L << 17)
+        val prefiltered = train
+          .where(graft.functions.BloomFunctions.mightContain(sketch, xxhash64(col("s"))))
+        prefiltered.join(broadcast(evalSh), "s")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+          .orderBy("doc_id")
+      }),
+
     // ---- q68: deterministic train/val/test split — hash-bucket every
     // doc by the first hex digit of md5(doc_id): 0-d train (14/16),
     // e val, f test. Engine-portable, stable under reprocessing, no
@@ -562,6 +596,67 @@ object TextQueries {
             count(when(col("is_en"), lit(1))).as("n_en"),
             (count(when(col("is_en"), lit(1))).cast("double") / count(lit(1)))
               .as("en_frac"))),
+
+    // ---- q73: SPAN-level decontamination — q67 says WHICH train docs
+    // are contaminated; this says WHERE, so the remedy can be span
+    // excision instead of dropping whole docs. Positions come free from
+    // the NON-distinct shingle kernel (order-preserving → posexplode
+    // index = shingle start); matched trigram starts are merged into
+    // maximal overlapping-or-adjacent token spans with a per-doc
+    // gaps-and-islands window (partitioned by doc — bounded by doc
+    // length, so scale-safe). span_end is inclusive (start + n − 1).
+    QueryDef("q73_decontaminate_spans", Some(s"""${toksCte()},
+      tp AS (SELECT doc_id,
+               unnest(list_transform(range(1, len(tokens) - 1),
+                 i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2])) AS s,
+               CAST(unnest(range(0, greatest(len(tokens) - 2, 0))) AS INTEGER) AS pos
+             FROM toks WHERE doc_id < 400),
+      ev AS (SELECT DISTINCT unnest(list_distinct(list_transform(range(1, len(tokens) - 1),
+               i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]))) AS s
+             FROM toks WHERE doc_id >= 400),
+      hit AS (SELECT t.doc_id, t.pos FROM tp t JOIN ev USING (s)),
+      brk AS (SELECT doc_id, pos,
+                CASE WHEN pos > COALESCE(MAX(pos) OVER w + 2, -2) + 1
+                     THEN 1 ELSE 0 END AS b
+              FROM hit
+              WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+      isl AS (SELECT doc_id, pos,
+                SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+              FROM brk)
+      SELECT doc_id, MIN(pos) AS span_start,
+             CAST(MAX(pos) + 2 AS INTEGER) AS span_end, COUNT(*) AS n_hits
+      FROM isl GROUP BY doc_id, island
+      ORDER BY doc_id, span_start"""),
+      (s, dir) => {
+        val n = 3
+        val toks = tokenized(s, dir)
+        val trainPos = toks.where(col("doc_id") < 400)
+          .select(col("doc_id"),
+            posexplode(graft.functions.WordShingles(col("tokens"), n, distinct = false))
+              .as(Seq("pos", "s")))
+        val evalSh = toks.where(col("doc_id") >= 400)
+          .select(explode(Dedup.wordShingles(col("tokens"), n)).as("s")).distinct()
+        val hits = trainPos.join(broadcast(evalSh), "s").select(col("doc_id"), col("pos"))
+        val wPrev = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy("pos")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        val wRun = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy("pos")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        hits
+          .withColumn("brk",
+            when(col("pos") > coalesce(max(col("pos")).over(wPrev) + (n - 1), lit(-2)) + 1,
+              lit(1)).otherwise(lit(0)))
+          .withColumn("island", sum(col("brk")).over(wRun))
+          .groupBy("doc_id", "island")
+          .agg(min(col("pos")).as("span_start"),
+            (max(col("pos")) + (n - 1)).as("span_end"),
+            count(lit(1)).as("n_hits"))
+          .select(col("doc_id"), col("span_start"), col("span_end"), col("n_hits"))
+          .orderBy("doc_id", "span_start")
+      }),
 
     // ---- q72: fuzzy-dup clustering — the full production dedup chain:
     // banded MinHash-LSH candidates (bucket cap engaged) → exact
