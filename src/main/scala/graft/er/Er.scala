@@ -220,6 +220,14 @@ object ErEvaluation {
     * (reference falsepos/falseneg/truepos —
     * ScalableEntityResolution.scala:222-259). One shuffle + a 101-row
     * window; the reference launches ~100 jobs.
+    *
+    * PRECONDITION: `sims0` must hold at most one row per (id_a, id_b),
+    * and `gold0` exactly one. n_gold is derived as Σ n_dups over the
+    * joined bin table (that is what makes this a single pass), so a
+    * duplicated candidate pair would join the same gold pair twice and
+    * inflate n_gold and tp. Every similarity generator in this library
+    * emits unique pairs (cosine pairs are groupBy(id_a, id_b) outputs;
+    * LSH candidates are `.distinct()`); dedup first if yours does not.
     */
   def prfSweep(sims0: DataFrame, gold0: DataFrame): DataFrame = {
     // ONE full-outer join covers all three pair classes in a single

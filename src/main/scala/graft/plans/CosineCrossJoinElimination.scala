@@ -47,6 +47,20 @@ import org.apache.spark.sql.types.DoubleType
   * (or `spark.experimental.extraOptimizations`); fires only on this
   * exact shape, so it can never misfire on user cross joins whose
   * all-pairs output is observable.
+  *
+  * == Known ANSI divergence (contract) ==
+  * For a pair whose norm product is ZERO, the original plan evaluates
+  * `0.0 / 0` inside the Filter and raises DIVIDE_BY_ZERO under ANSI
+  * mode; the rewritten plan never manufactures that defaulted row, so
+  * the query silently succeeds without it. The rule therefore assumes
+  * norms are non-zero — true by construction for TF-IDF L2 norms in
+  * this library (every doc in the weight table has ≥ 1 token with
+  * weight > 0; zero-norm embedding rows are pre-dropped in graft.ann),
+  * but a GraftExtensions user feeding zero or NULL norms into this
+  * exact plan shape trades an ANSI error for a dropped row. We document
+  * rather than guard: demanding a provable `norm > 0` filter below the
+  * norms inputs would stop the rule firing on the very pipelines it
+  * exists for, which never carry one.
   */
 object CosineCrossJoinElimination extends Rule[LogicalPlan] {
 

@@ -139,7 +139,13 @@ object EvalQueries {
         val d = tokenized(s, dir).persist()
         val w = TfIdf.weights(d, "doc_id", "tokens").persist()
         try {
-          d.count()
+          // ONE eager fill: computing w reads through d's (persisted,
+          // unfilled) cache and fills it as a side effect, so a separate
+          // d.count() job is pure overhead. Worst case some d partitions
+          // are computed twice inside this first job when w's TF and IDF
+          // branches race on the unfilled cache — bounded by what the
+          // dropped d.count() used to cost, and after this job both
+          // caches are warm for sims and the Jaccard gold branch.
           w.count()
           val sims = DocSimilarity.selfCosinePairs(w, TfIdf.norms(w, "doc_id"), "doc_id")
           val g = Dedup.bigramJaccardPairs(d, "doc_id", "tokens")

@@ -76,20 +76,29 @@ object EventStreams {
     * event-time distance, so Spark can size the state store and evict
     * rows once they can no longer match — the form of streaming join
     * that runs indefinitely without unbounded state.
+    *
+    * `within` bounds the EVENT-TIME distance between paired rows;
+    * `watermarkDelay` bounds how LATE data may arrive and still join
+    * (state is kept for roughly `within` + `watermarkDelay`). They are
+    * different dials — a 30-minute pairing window with 5 minutes of
+    * late-arrival tolerance is `("30 minutes", Some("5 minutes"))`; the
+    * default reuses `within` for both.
     */
   def joinEventsWithin(left: DataFrame, right: DataFrame,
-                       within: String = "30 minutes"): DataFrame = {
+                       within: String = "30 minutes",
+                       watermarkDelay: Option[String] = None): DataFrame = {
+    val delay = watermarkDelay.getOrElse(within)
     val l = left.select(col("ts").as("l_ts"), col("user_id"),
         col("event_type").as("l_type"), col("value").as("l_value"))
-      .withWatermark("l_ts", within)
+      .withWatermark("l_ts", delay)
     val r = right.select(col("ts").as("r_ts"), col("user_id").as("r_user"),
         col("event_type").as("r_type"), col("value").as("r_value"))
-      .withWatermark("r_ts", within)
+      .withWatermark("r_ts", delay)
     l.join(r,
       col("user_id") === col("r_user") &&
         col("r_ts") >= col("l_ts") &&
         col("r_ts") <= col("l_ts") + expr(s"INTERVAL $within"))
-      .select(col("user_id"), col("l_ts"), col("l_type"),
+      .select(col("user_id"), col("l_ts"), col("l_type"), col("l_value"),
         col("r_ts"), col("r_type"), col("r_value"))
   }
 

@@ -156,6 +156,64 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("round trip on real events: streamed hourlyCounts equals the oracle-checked q14 result") {
+    implicit val ctx = spark.sqlContext
+    val dir = sf("sf0.001")
+    val rows = Tables.events(spark, dir)
+      .select("ts", "user_id", "event_type", "value")
+      .as[UserEvent].collect().toSeq
+    val input = MemoryStream[UserEvent]
+    val q = EventStreams.hourlyCounts(input.toDF())
+      .writeStream.format("memory").queryName("rt_hourly")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData(rows: _*); q.processAllAvailable()
+      // a far-future sentinel pushes the watermark past every real
+      // window so append mode emits all of them
+      val maxTs = rows.map(_.ts.getTime).max
+      input.addData(UserEvent(new Timestamp(maxTs + 10L * 3600 * 1000), 0L, "sentinel", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("rt_hourly")
+        .where(col("event_type") =!= "sentinel")
+        .select(col("window_start").cast("long").as("hour_epoch"),
+          col("event_type"), col("n"), col("sum_value"))
+        .as[(Long, String, Long, Double)].collect().toSet
+      // q14 is the DuckDB-oracle-checked batch analogue on the same table
+      val want = SparkEntry.queries("q14_hourly_window")(spark, dir)
+        .as[(Long, String, Long, Double)].collect().toSet
+      assert(got === want)
+    } finally q.stop()
+  }
+
+  test("late rows behind the watermark are dropped; the batch run keeps them") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[UserEvent]
+    val q = EventStreams.hourlyCounts(input.toDF())
+      .writeStream.format("memory").queryName("late_hourly")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      val fresh = UserEvent(ts(300), 1L, "click", 1.0)
+      val late = UserEvent(ts(5), 1L, "click", 2.0)
+      input.addData(fresh); q.processAllAvailable()
+      // watermark is now t300 − 1h = t240; t5 is hours behind it
+      input.addData(late); q.processAllAvailable()
+      input.addData(UserEvent(ts(5000), 9L, "sentinel", 0.0)); q.processAllAvailable()
+      val got = spark.table("late_hourly")
+        .select(col("window_start").cast("long"), col("event_type"), col("n"))
+        .as[(Long, String, Long)].collect().toSet
+      assert(got.contains((300L * 60 / 3600 * 3600, "click", 1L)),
+        "the fresh event's window must emit")
+      assert(!got.exists(_._1 == 0L), "the late event's hour-0 window must NOT emit")
+      // batch semantics have no arrival order — the same rows all count
+      val batchRun = EventStreams.hourlyCounts(Seq(fresh, late).toDF())
+        .select(col("window_start").cast("long"))
+        .as[Long].collect().toSet
+      assert(batchRun.contains(0L), "batch keeps the row streaming dropped as late")
+    } finally q.stop()
+  }
+
   test("file-source streaming: real events parquet through readStream") {
     val dir = sf("sf0.001")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
