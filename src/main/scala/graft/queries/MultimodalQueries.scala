@@ -61,6 +61,47 @@ object MultimodalQueries {
             col("meta.width").as("width"), col("meta.height").as("height"),
             col("rs.width").as("rs_width"), col("rs.height").as("rs_height"))
           .orderBy("doc_id")
+      }),
+
+    // ---- q75: REAL image decode — synthesize a valid plain-PPM (P3)
+    // file per doc, then parse width/height/mean-luma back OUT OF THE
+    // PAYLOAD BYTES (regex header parse + raster-sample average; the
+    // dimensions never reference the doc columns they were derived
+    // from). The byte-derived successor to q48's stub decode; the exact
+    // long sum / single double division keeps both engines bit-equal.
+    QueryDef("q75_ppm_decode", Some("""
+      WITH p AS (SELECT doc_id,
+                   CAST(n_chars % 8 + 1 AS INTEGER) AS w,
+                   CAST((n_chars // 8) % 8 + 1 AS INTEGER) AS h
+                 FROM documents),
+      pay AS (SELECT doc_id,
+                'P3' || chr(10) || w::VARCHAR || ' ' || h::VARCHAR || chr(10) ||
+                '255' || chr(10) ||
+                array_to_string(list_transform(range(0, w * h * 3),
+                  k -> CAST((doc_id * 7 + k * 13) % 256 AS VARCHAR)), ' ') AS payload
+              FROM p),
+      d AS (SELECT doc_id, payload,
+              CAST(regexp_extract(payload, '^P3\n(\d+) (\d+)\n', 1) AS INTEGER) AS width,
+              CAST(regexp_extract(payload, '^P3\n(\d+) (\d+)\n', 2) AS INTEGER) AS height
+            FROM pay)
+      SELECT doc_id, CAST(octet_length(encode(payload)) AS INTEGER) AS n_bytes,
+             width, height,
+             CAST(list_sum(list_transform(
+                    string_split(string_split(payload, chr(10))[4], ' '),
+                    x -> CAST(x AS BIGINT))) AS DOUBLE)
+               / (width * height * 3) AS mean_luma
+      FROM d ORDER BY doc_id"""),
+      (s, dir) => {
+        val w = (col("n_chars") % 8 + 1).cast("int")
+        val h = (expr("n_chars div 8") % 8 + 1).cast("int")
+        Tables.read(s, dir, "documents")
+          .select(col("doc_id"), Multimodal.ppmPayload(col("doc_id"), w, h).as("payload"))
+          .withColumn("m", Multimodal.ppmHeaderMeta(col("payload")))
+          .select(col("doc_id"), col("m.n_bytes").as("n_bytes"),
+            col("m.width").as("width"), col("m.height").as("height"),
+            Multimodal.ppmMeanLuma(col("payload"), col("m.width"), col("m.height"))
+              .as("mean_luma"))
+          .orderBy("doc_id")
       })
   )
 }

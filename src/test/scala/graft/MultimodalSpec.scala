@@ -67,4 +67,40 @@ class MultimodalSpec extends SparkTestBase {
       bytes => (7, 9, 1.5)).collect()
     assert(custom.forall(d => d.width === 7 && d.height === 9 && d.mean_luma === 1.5))
   }
+
+  test("ppmDecoder parses a real binary P6 payload: dims and luma from the bytes") {
+    // 2×2 P6 with a header comment and raw (non-UTF8-safe) raster bytes
+    val header = "P6\n# a comment\n2 2\n255\n".getBytes("US-ASCII")
+    val raster = Array(0, 255, 128, 7, 200, 13, 254, 1, 99, 42, 180, 220)
+      .map(_.toByte)
+    val (w, h, luma) = Multimodal.ppmDecoder(header ++ raster)
+    assert((w, h) === (2, 2))
+    val expect = raster.map(b => (b & 0xff).toDouble).sum / 12
+    assert(math.abs(luma - expect) < 1e-12)
+    // and through the distributed mapPartitions path
+    val df = Seq((1L, header ++ raster)).toDF("id", "bin")
+    val d = Multimodal.decodeImages(df, "id", "bin", Multimodal.ppmDecoder).collect()(0)
+    assert((d.width, d.height) === (2, 2))
+    assert(math.abs(d.mean_luma - expect) < 1e-12)
+    // truncated raster must fail loudly, not decode garbage
+    intercept[Exception] {
+      Multimodal.ppmDecoder(header ++ raster.take(5))
+    }
+  }
+
+  test("P3 synthesis → column parse → JVM decoder all agree on the same bytes") {
+    val src = Seq((3L, 4), (10L, 1)).toDF("id", "n")
+    val pay = src.select(col("id"),
+      Multimodal.ppmPayload(col("id"), col("n"), lit(2)).as("payload"))
+    val viaCols = pay
+      .withColumn("m", Multimodal.ppmHeaderMeta(col("payload")))
+      .select(col("id"), col("m.width").as("w"), col("m.height").as("h"),
+        Multimodal.ppmMeanLuma(col("payload"), col("m.width"), col("m.height")).as("luma"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getDouble(3))).toMap
+    val viaJvm = pay.collect().map { r =>
+      r.getLong(0) -> Multimodal.ppmDecoder(r.getString(1).getBytes("US-ASCII"))
+    }.toMap
+    assert(viaCols === viaJvm)
+    assert(viaCols(3L)._1 === 4 && viaCols(3L)._2 === 2)
+  }
 }
