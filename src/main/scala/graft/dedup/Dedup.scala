@@ -281,6 +281,41 @@ object Dedup {
       (col("id") === col("label")).as("keep"))
   }
 
+  /** [[nearDupClusters]] with convergence detection — the production
+    * form: iterate hash-min label propagation until NO label changed
+    * (checked with one bounded driver-side count per iteration, the only
+    * driver traffic), up to `maxIters`. Each converged iteration is
+    * materialized via `localCheckpoint` so iteration N+1's plan reads
+    * N's result instead of re-deriving the whole lineage — the lineage
+    * truncation a long-running 100 TB run needs anyway.
+    * Returns (labels, iterationsRun).
+    */
+  def nearDupClustersConverged(ids: DataFrame, idCol: String, pairs: DataFrame,
+                               maxIters: Int = 20): (DataFrame, Int) = {
+    require(maxIters >= 1, s"maxIters must be positive, got $maxIters")
+    val edges = pairs.select(col("id_a").as("e_src"), col("id_b").as("e_dst"))
+      .union(pairs.select(col("id_b").as("e_src"), col("id_a").as("e_dst")))
+      .localCheckpoint()
+    var labels = ids.select(col(idCol).as("id"), col(idCol).as("label")).localCheckpoint()
+    var it = 0
+    var converged = false
+    while (it < maxIters && !converged) {
+      val nbrMin = edges.join(labels, edges("e_dst") === labels("id"))
+        .groupBy(col("e_src").as("id"))
+        .agg(min(col("label")).as("nbr_label"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
+          (col("nbr_label") < col("label")).as("_changed"))
+        .localCheckpoint()
+      converged = next.where(col("_changed")).limit(1).isEmpty
+      labels = next.drop("_changed")
+      it += 1
+    }
+    (labels.select(col("id").as(idCol), col("label").as("cluster_id"),
+      (col("id") === col("label")).as("keep")), it)
+  }
+
   /** Pairwise n-gram Jaccard similarity via a shingle inverted-index
     * self-join (only pairs sharing ≥1 shingle ever meet):
     * J = |A∩B| / (|A| + |B| − |A∩B|). Exact integer division → bit-exact.

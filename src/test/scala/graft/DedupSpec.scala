@@ -125,6 +125,22 @@ class DedupSpec extends SparkTestBase {
       4L -> (4L, true), 5L -> (5L, true), 6L -> (5L, false), 7L -> (7L, true)))
   }
 
+  test("nearDupClustersConverged stops early and fully labels long chains") {
+    // chain 1-...-6 has diameter 5: bounded-3 leaves it partial, the
+    // converged variant runs until stable (5 propagate + 1 confirm)
+    val ids = (1L to 6L).toDF("doc_id")
+    val pairs = (1L to 5L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val (out, iters) = Dedup.nearDupClustersConverged(ids, "doc_id", pairs)
+    val labels = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels === (1L to 6L).map(_ -> 1L).toMap)
+    assert(iters === 6, s"expected 5 spreading iterations + 1 confirming, got $iters")
+    // no-edge corpus converges in one confirming iteration
+    val (solo, soloIters) = Dedup.nearDupClustersConverged(
+      ids, "doc_id", Seq.empty[(Long, Long)].toDF("id_a", "id_b"))
+    assert(solo.collect().forall(r => r.getLong(0) === r.getLong(1) && r.getBoolean(2)))
+    assert(soloIters === 1)
+  }
+
   test("nearDupClusters: one iteration spreads the min label exactly one hop") {
     // chain 1-2-3-4: after 1 iteration doc 3 sees min(3, labels of {2,4})
     // = 2, not yet 1 — the documented bounded-iteration contract
