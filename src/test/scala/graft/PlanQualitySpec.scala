@@ -150,6 +150,18 @@ class PlanQualitySpec extends SparkTestBase {
       "final top-k must be the mergeable k-slot aggregator, not a window")
   }
 
+  test("q74 Bloom prefilter: sketch rides a scalar subquery, probe side filters map-side") {
+    val plan = collectAll(executed(q("q74_decontaminate_bloom")))
+    val filters = plan.filter(_.nodeName == "Filter").map(_.toString)
+    assert(filters.exists(_.contains("might_contain")),
+      "the Bloom membership test must be a Filter, not a join")
+    // the exact join still runs after the prefilter (false-positive removal)
+    assert(plan.exists { case _: BroadcastHashJoinExec => true; case _ => false })
+    assert(!plan.exists { case _: CartesianProductExec => true; case _ => false })
+    assert(!plan.exists(_.nodeName.contains("BroadcastNestedLoopJoin")),
+      "the sketch must NOT be distributed via a cross join")
+  }
+
   test("q14 hourly window: partial aggregation before the shuffle") {
     val plan = collectAll(executed(q("q14_hourly_window")))
     val aggs = plan.filter(_.nodeName.contains("HashAggregate")).map(_.toString)

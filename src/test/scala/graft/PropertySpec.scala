@@ -83,6 +83,35 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("TopKAggregator ≡ row_number window for arbitrary scored pairs (with ties)") {
+    import org.apache.spark.sql.expressions.Window
+    // duplicate sims are likely by construction (values drawn from a
+    // small grid) — exactly the tie case where the (sim DESC, cand ASC)
+    // orders must agree between the k-slot aggregator and the window
+    val pairGen: Gen[(Long, Long, Double)] = for {
+      q <- Gen.choose(0L, 5L)
+      c <- Gen.choose(0L, 40L)
+      s <- Gen.choose(0, 10).map(_ / 10.0)
+    } yield (q, c, s)
+    val rows = sample(pairGen, 400)
+      .groupBy(p => (p._1, p._2)).map(_._2.head).toSeq // unique (q, cand)
+    val df = rows.toDF("q_id", "cand_id", "sim").cache()
+    for (k <- Seq(1, 3, 7)) {
+      val viaAgg = df.groupBy("q_id")
+        .agg(graft.functions.TopKAggregator.topK(k)(col("sim"), col("cand_id")).as("tk"))
+        .select(col("q_id"), posexplode(col("tk")).as(Seq("pos", "sc")))
+        .select(col("q_id"), (col("pos") + 1).as("rk"),
+          col("sc.cand_id").as("cand_id"), col("sc.sim").as("sim"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+      val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("cand_id"))
+      val viaWindow = df.withColumn("rk", row_number().over(w))
+        .where(col("rk") <= k)
+        .select("q_id", "rk", "cand_id", "sim")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(viaAgg === viaWindow, s"divergence at k=$k")
+    }
+  }
+
   test("minhash equality is permutation-invariant for arbitrary token arrays") {
     val tokensGen = Gen.listOfN(10, Gen.alphaLowerStr.map(_.take(5))).map(_.toSeq)
     val cases = sample(tokensGen, 100)
