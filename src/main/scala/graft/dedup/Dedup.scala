@@ -254,10 +254,13 @@ object Dedup {
     * one hop, so `iters` must reach the component diameter; LSH/SimHash
     * near-dup components are near-cliques (every member pairs with most
     * others), so small bounds converge at any corpus size — q72 uses 3.
-    * A production run at 100 TB would checkpoint `labels` per iteration
-    * to truncate lineage; here the loop stays pure-plan so the whole
-    * computation remains one oracle-checkable query (identical edge
-    * subplans collapse to one execution via exchange reuse).
+    * The edge list is materialized ONCE via `localCheckpoint` before the
+    * loop: the pair-generation pipeline upstream (LSH + verification) is
+    * typically the dominant cost, and without materialization each
+    * iteration's join re-derives it from scratch (measured 3× the whole
+    * SRP pipeline on q76 — exchange reuse does NOT rescue repeated
+    * subplans across iterations). Labels stay pure-plan (bounded rows per
+    * doc); [[nearDupClustersConverged]] also truncates label lineage.
     *
     * @param ids   one row per member of the universe (docs with no pair
     *              become singleton clusters, keep = true)
@@ -268,6 +271,7 @@ object Dedup {
     require(iters >= 1, s"iters must be positive, got $iters")
     val edges = pairs.select(col("id_a").as("e_src"), col("id_b").as("e_dst"))
       .union(pairs.select(col("id_b").as("e_src"), col("id_a").as("e_dst")))
+      .localCheckpoint()
     var labels = ids.select(col(idCol).as("id"), col(idCol).as("label"))
     (1 to iters).foreach { _ =>
       val nbrMin = edges.join(labels, edges("e_dst") === labels("id"))

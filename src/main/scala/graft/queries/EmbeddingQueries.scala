@@ -282,6 +282,35 @@ object EmbeddingQueries {
             dims = 64, threshold = 0.25)
           .orderBy("id_a", "id_b")),
 
+    // ---- q76: embedding near-dup CLUSTERS — the same connected-
+    // components keep-list as q72, over the OTHER modality's pairs (SRP-
+    // blocked cosine near-dups): Dedup.nearDupClusters is pair-source
+    // agnostic, so text-shingle LSH and embedding SRP feed the identical
+    // clustering operator. 3 unrolled label-propagation steps, smallest
+    // member survives, zero-norm vectors (never in a pair) stay
+    // singleton keepers.
+    QueryDef("q76_embedding_dup_clusters", Some(s"""
+      WITH ${srpCte()},
+      ver AS (SELECT id_a, id_b FROM blocked WHERE s > CAST(0.25 AS DOUBLE)),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM ver
+                UNION ALL SELECT id_b, id_a FROM ver),
+      l0 AS (SELECT vec_id AS id, vec_id AS label FROM embeddings),
+      ${(1 to 3).map(i =>
+        s"""l$i AS (SELECT l.id, LEAST(l.label, COALESCE(MIN(n.label), l.label)) AS label
+             FROM l${i - 1} l LEFT JOIN edges e ON e.src = l.id
+                              LEFT JOIN l${i - 1} n ON n.id = e.dst
+             GROUP BY l.id, l.label)""").mkString(",\n      ")}
+      SELECT id AS vec_id, label AS cluster_id, id = label AS keep
+      FROM l3 ORDER BY vec_id"""),
+      (s, dir) => {
+        val emb = Tables.read(s, dir, "embeddings")
+        val pairs = Knn.srpNearDupPairs(emb, "vec_id", "embedding",
+            dims = 64, threshold = 0.25)
+          .select("id_a", "id_b")
+        graft.dedup.Dedup.nearDupClusters(emb.select("vec_id"), "vec_id", pairs, iters = 3)
+          .orderBy("vec_id")
+      }),
+
     // ---- q62: recall of the SRP-blocked near-dup path vs the exact
     // all-pairs path, on a bounded slice (the all-pairs side is O(n²) —
     // it exists only as this recall check).
