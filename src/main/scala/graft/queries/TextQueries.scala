@@ -470,8 +470,12 @@ object TextQueries {
           .select(col("doc_id"), Dedup.wordShingles(col("tokens"), 3).as("sh"))
         val train = sh.where(col("doc_id") < 400)
           .select(col("doc_id"), explode(col("sh")).as("s"))
+        // the distinct eval shingle set feeds BOTH the sketch build and
+        // the exact join; materialize it once instead of tokenizing +
+        // shingling the eval slice twice (bounded: it is the set whose
+        // broadcastability the sketch exists to relax)
         val evalSh = sh.where(col("doc_id") >= 400)
-          .select(explode(col("sh")).as("s")).distinct()
+          .select(explode(col("sh")).as("s")).distinct().localCheckpoint()
         val sketch = graft.functions.BloomFunctions
           .bloomSketch(evalSh, xxhash64(col("s")), 1L << 17, 8L << 17)
         val prefiltered = train
