@@ -60,6 +60,31 @@ class RobustnessSpec extends SparkTestBase {
     assert(out(1).isNullAt(2), "all-zero vector reconstruction cosine must be NULL")
   }
 
+  test("clustering degenerate inputs: empty universe, empty pairs, self-loop") {
+    import graft.dedup.Dedup
+    val empty = Seq.empty[Long].toDF("doc_id")
+    val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.nearDupClusters(empty, "doc_id", noPairs, 2).collect().isEmpty)
+    // pairs without a universe row contribute nothing (edges dangle)
+    val ids = Seq(5L).toDF("doc_id")
+    val dangling = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val out = Dedup.nearDupClusters(ids, "doc_id", dangling, 2).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq ===
+      Seq((5L, 5L, true)))
+    // a self-loop pair must not break the keep flag
+    val selfLoop = Seq((5L, 5L)).toDF("id_a", "id_b")
+    val out2 = Dedup.nearDupClusters(ids, "doc_id", selfLoop, 2).collect()
+    assert(out2.map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq ===
+      Seq((5L, 5L, true)))
+  }
+
+  test("ppmDecoder rejects non-PPM bytes instead of fabricating dimensions") {
+    import graft.multimodal.Multimodal
+    intercept[Exception](Multimodal.ppmDecoder(Array.empty[Byte]))
+    intercept[Exception](Multimodal.ppmDecoder("JFIF not a ppm".getBytes("US-ASCII")))
+    intercept[Exception](Multimodal.ppmDecoder("P6\n2".getBytes("US-ASCII")))
+  }
+
   test("evaluateModel returns NaN means (not NPE) when no pair is gold") {
     val sims = Seq(("a", "b", 0.5), ("c", "d", 0.3)).toDF("id_a", "id_b", "sim")
     val gold = Seq(("x", "y")).toDF("id_a", "id_b")
