@@ -249,7 +249,8 @@ object Knn {
     * r (longer bands) for selectivity.
     */
   def srpNearDupPairs(emb: DataFrame, idCol: String, vecCol: String, dims: Int,
-                      threshold: Double, nBands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
+                      threshold: Double, nBands: Int = 8, rowsPerBand: Int = 4,
+                      maxBucketSize: Int = Int.MaxValue): DataFrame = {
     val e = withNorm(emb, idCol, vecCol)
     val planes = srpPlanes(nBands * rowsPerBand, dims)
     val bandStructs = (0 until nBands).map { b =>
@@ -259,8 +260,18 @@ object Knn {
       }.reduce(_ + _)
       struct(lit(b).as("band"), chunk.as("chunk"))
     }
-    val bands = e.select(col(idCol), explode(array(bandStructs: _*)).as("bc"))
+    val allBands = e.select(col(idCol), explode(array(bandStructs: _*)).as("bc"))
       .select(col(idCol), col("bc.band").as("band"), col("bc.chunk").as("chunk"))
+    // same df-threshold dial as every other LSH family (graft.dedup
+    // capBuckets): a band bucket shared by k vectors emits k² candidate
+    // pairs, and buckets that hot carry no blocking signal anyway
+    val bands =
+      if (maxBucketSize == Int.MaxValue) allBands
+      else {
+        val w = Window.partitionBy("band", "chunk")
+        allBands.withColumn("_bsz", count(lit(1)).over(w))
+          .where(col("_bsz") <= maxBucketSize).drop("_bsz")
+      }
     val cand = bands.alias("a")
       .join(bands.alias("b"),
         col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&

@@ -58,4 +58,22 @@ class LshBandedSpec extends SparkTestBase {
     assert(cappedSim.contains((1L, 2L)) &&
       !cappedSim.exists { case (a, b) => a >= 100L && b >= 100L })
   }
+
+  test("SRP banding takes the same bucket cap as the other LSH families") {
+    // 200 identical vectors share every SRP band bucket (the embedding
+    // analogue of boilerplate text); 2 near-identical outliers sit in
+    // small buckets and must survive the cap
+    val hotVec = Array.tabulate(8)(i => if (i % 2 == 0) 1.0f else -1.0f)
+    val hot = (100L until 300L).map(i => (i, hotVec))
+    val fine = Seq(
+      (1L, Array(1.0f, 1.0f, 1.0f, 1.0f, 1.0f, 1.0f, 1.0f, 1.0f)),
+      (2L, Array(1.0f, 1.0f, 1.0f, 1.0f, 1.0f, 1.0f, 1.0f, 0.9f)))
+    val emb = (hot ++ fine).toDF("vec_id", "embedding")
+    val capped = graft.ann.Knn.srpNearDupPairs(emb, "vec_id", "embedding",
+        dims = 8, threshold = 0.5, maxBucketSize = 10)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(capped.contains((1L, 2L)), "small-bucket pair must survive the cap")
+    assert(!capped.exists { case (a, b) => a >= 100L && b >= 100L },
+      "hot-bucket pairs must be dropped")
+  }
 }
