@@ -102,6 +102,54 @@ object EventStreams {
         col("r_ts"), col("r_type"), col("r_value"))
   }
 
+  /** Streaming CONTENT dedup — the ingestion-side near-exact document
+    * dedup of a training pipeline, as a stream: fingerprint each doc
+    * map-side (md5 of its sorted distinct token set, the same
+    * fingerprint as batch q30/q51) and keep the first arrival of each
+    * fingerprint within the watermark horizon. Docs differing only in
+    * token order/duplication dedup together; the watermark bounds the
+    * fingerprint state like any keyed streaming state.
+    * Input needs (ts TIMESTAMP, doc_id, text STRING).
+    */
+  def dedupDocsByContent(docs: DataFrame, stopWords: Seq[String] = Nil,
+                         watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("fingerprint", md5(concat_ws(" ", array_sort(array_distinct(
+        graft.text.Tokenize.tokens(col("text"), stopWords))))))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("fingerprint")
+
+  /** Custom keyed state via `flatMapGroupsWithState` (the 0..n-rows-per-
+    * group extension point `mapGroupsWithState` can't express): emit an
+    * anomaly row whenever a user's event value exceeds `factor` × their
+    * running mean so far — the shape of streaming outlier/abuse
+    * detection. State per user is two numbers (count, scaled-cents sum);
+    * the first event of a user is never anomalous (no baseline yet).
+    */
+  def valueAnomalies(events: Dataset[UserEvent],
+                     factor: Double = 3.0): Dataset[UserEvent] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserRunning, UserEvent](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[UserEvent], state: GroupState[UserRunning]) =>
+          var n = 0L
+          var cents = 0L
+          state.getOption.foreach { p => n = p.n_events; cents = p.total_cents }
+          val out = scala.collection.mutable.ArrayBuffer.empty[UserEvent]
+          batch.foreach { e =>
+            if (n > 0 && e.value > factor * (cents / 100.0 / n)) out += e
+            n += 1
+            cents += math.round(e.value * 100)
+          }
+          state.update(UserRunning(uid, n, cents))
+          out.iterator
+      }
+  }
+
   /** Custom keyed state via `mapGroupsWithState`: a per-user running
     * (event count, exact cents total) that survives across micro-batches
     * — the pattern for state the built-in aggregations can't express.

@@ -214,6 +214,54 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming content dedup: same token bag dedups, first arrival wins") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val q = EventStreams.dedupDocsByContent(
+        input.toDF().toDF("ts", "doc_id", "text"))
+      .writeStream.format("memory").queryName("docdedup")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData(
+        (ts(1), 1L, "big data spark engine"),
+        (ts(2), 2L, "engine spark DATA big big"),  // same bag → dup of 1
+        (ts(3), 3L, "totally different words"))
+      q.processAllAvailable()
+      input.addData((ts(10), 4L, "spark big engine data")) // re-sent bag, later batch
+      q.processAllAvailable()
+      val got = spark.table("docdedup").select("doc_id")
+        .as[Long].collect().toSet
+      assert(got === Set(1L, 3L), s"only first arrivals may survive, got $got")
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState emits anomalies against the running per-user mean") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[UserEvent]
+    val q = EventStreams.valueAnomalies(input.toDS(), factor = 3.0)
+      .writeStream.format("memory").queryName("anomalies")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      // user 1 baseline 1.0, then a 10x spike; user 2's first event is
+      // huge but has no baseline → never anomalous
+      input.addData(
+        UserEvent(ts(1), 1L, "click", 1.0),
+        UserEvent(ts(2), 1L, "click", 1.0),
+        UserEvent(ts(3), 2L, "click", 500.0))
+      q.processAllAvailable()
+      input.addData(
+        UserEvent(ts(4), 1L, "click", 10.0),   // > 3 × mean(1.0) → anomaly
+        UserEvent(ts(5), 1L, "click", 1.2),    // below the bar
+        UserEvent(ts(6), 2L, "click", 400.0))  // below 3 × 500 baseline
+      q.processAllAvailable()
+      val got = spark.table("anomalies")
+        .select("user_id", "value").as[(Long, Double)].collect().toSet
+      assert(got === Set((1L, 10.0)), s"exactly the spike must surface, got $got")
+    } finally q.stop()
+  }
+
   test("file-source streaming: real events parquet through readStream") {
     val dir = sf("sf0.001")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
