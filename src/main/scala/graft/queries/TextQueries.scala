@@ -601,6 +601,47 @@ object TextQueries {
             (count(when(col("is_en"), lit(1))).cast("double") / count(lit(1)))
               .as("en_frac"))),
 
+    // ---- q77: feature-hashed document embeddings — project TF-IDF
+    // weights onto a fixed 13-dim dense vector (dim = 16-bit md5 prefix
+    // of the token mod 13, component = Σ weights; d prime so every
+    // nibble participates). No vocabulary broadcast, no trained model —
+    // the bridge from text into the embedding/ANN machinery at any
+    // vocabulary size. The FLOAT cast collapses engine summation-order
+    // noise (the q53 trick); output flattened to (doc_id, dim, w).
+    QueryDef("q77_hashed_embedding", Some(s"""${toksCte("doc_id < 100")},
+      tok AS (SELECT doc_id, unnest(tokens) AS token FROM toks),
+      tot AS (SELECT doc_id, len(tokens) AS total FROM toks),
+      cnt AS (SELECT doc_id, token, COUNT(*) AS cnt FROM tok GROUP BY 1, 2),
+      idf AS (SELECT token,
+                     (SELECT COUNT(*) FROM toks)::DOUBLE / COUNT(DISTINCT doc_id) AS idf
+              FROM tok GROUP BY token),
+      w AS (SELECT c.doc_id, c.token, (c.cnt / t.total) * i.idf AS weight
+            FROM cnt c JOIN tot t USING(doc_id) JOIN idf i USING(token)),
+      hx AS (SELECT doc_id, weight, md5(token) AS h FROM w),
+      dimmed AS (SELECT doc_id, weight,
+        (${(1 to 4).map { i =>
+          val nib = s"(ascii(substr(h,$i,1)) - 48 - CASE WHEN ascii(substr(h,$i,1)) >= 97 THEN 39 ELSE 0 END)"
+          val mult = Seq(4096, 256, 16, 1)(i - 1)
+          if (mult == 1) nib else s"$nib * $mult"
+        }.mkString(" +\n         ")}) % 13 AS dim
+        FROM hx),
+      sums AS (SELECT doc_id, dim, SUM(weight) AS w FROM dimmed GROUP BY 1, 2),
+      scaffold AS (SELECT d.doc_id, r.range AS dim
+                   FROM (SELECT DISTINCT doc_id FROM sums) d, range(0, 13) r)
+      SELECT s.doc_id, CAST(s.dim AS INTEGER) AS dim,
+             ROUND(COALESCE(m.w, 0.0)::FLOAT::DOUBLE, 6) AS w
+      FROM scaffold s LEFT JOIN sums m ON m.doc_id = s.doc_id AND m.dim = s.dim
+      ORDER BY s.doc_id, s.dim"""),
+      (s, dir) => {
+        val w = TfIdf.weights(tokenized(s, dir).where(col("doc_id") < 100),
+          "doc_id", "tokens")
+        graft.text.HashedEmbedding.embed(w, "doc_id", 13)
+          .select(col("doc_id"), posexplode(col("vec")).as(Seq("dim", "v")))
+          .select(col("doc_id"), col("dim"),
+            round(col("v").cast("double"), 6).as("w"))
+          .orderBy("doc_id", "dim")
+      }),
+
     // ---- q73: SPAN-level decontamination — q67 says WHICH train docs
     // are contaminated; this says WHERE, so the remedy can be span
     // excision instead of dropping whole docs. Positions come free from
