@@ -282,6 +282,68 @@ object EmbeddingQueries {
             dims = 64, threshold = 0.25)
           .orderBy("id_a", "id_b")),
 
+    // ---- q78: does int8 storage change what search FINDS? recall@5 of
+    // brute-force kNN over the dequantized (int8-reconstructed) vectors
+    // against kNN over the originals — the calibration that licenses
+    // storing a 100 TB embedding corpus at 4× compression (q61 measures
+    // pointwise fidelity; this measures the end metric, retrieval).
+    // Reconstructions are cast to FLOAT, which also collapses engine
+    // summation-order noise.
+    QueryDef("q78_quantized_knn_recall", Some(s"""
+      WITH e AS (SELECT vec_id, embedding, ${sqlNorm("embedding")} AS nrm FROM embeddings
+                 WHERE ${sqlNorm("embedding")} > 0),
+      qz AS (SELECT vec_id,
+               list_min(embedding)::DOUBLE AS mn,
+               (list_max(embedding)::DOUBLE - list_min(embedding)::DOUBLE) / 255.0 AS scale,
+               embedding
+             FROM embeddings),
+      rc AS (SELECT vec_id,
+               CASE WHEN scale = 0
+                    THEN list_transform(embedding, x -> 0.0::FLOAT)
+                    ELSE list_transform(embedding,
+                         x -> (mn + CAST(ROUND((x::DOUBLE - mn) / scale) AS INTEGER)
+                                    * scale)::FLOAT) END AS rvec
+             FROM qz),
+      r AS (SELECT vec_id, rvec, ${sqlNorm("rvec")} AS nrm FROM rc
+            WHERE ${sqlNorm("rvec")} > 0),
+      bfo AS (SELECT q_id, cand_id FROM
+                (SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+                        ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                          ${sqlDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) DESC,
+                          c.vec_id) AS rk
+                 FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id <> q.vec_id)
+              WHERE rk <= 5),
+      bfr AS (SELECT q_id, cand_id FROM
+                (SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+                        ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                          ${sqlDot("q.rvec", "c.rvec")} / (q.nrm * c.nrm) DESC,
+                          c.vec_id) AS rk
+                 FROM r q JOIN r c ON q.vec_id < 10 AND c.vec_id <> q.vec_id)
+              WHERE rk <= 5)
+      SELECT (SELECT COUNT(*) FROM bfr JOIN bfo USING (q_id, cand_id)) AS n_hit,
+             (SELECT COUNT(*) FROM bfo) AS n_orig,
+             CASE WHEN (SELECT COUNT(*) FROM bfo) = 0 THEN NULL
+                  ELSE ROUND((SELECT COUNT(*) FROM bfr JOIN bfo USING (q_id, cand_id))::DOUBLE
+                             / (SELECT COUNT(*) FROM bfo), 6) END AS recall"""),
+      (s, dir) => {
+        import graft.ann.Quantize
+        val emb = Tables.read(s, dir, "embeddings")
+        val recon = emb.select(col("vec_id"),
+          transform(Quantize.dequantize(col("embedding"),
+            Quantize.quantizeCodes(col("embedding"))), x => x.cast("float"))
+            .as("embedding"))
+        val bfo = Knn.cosineKnn(emb, "vec_id", "embedding", col("vec_id") < 10, 5)
+          .select(col("q_id"), col("cand_id"))
+        val bfr = Knn.cosineKnn(recon, "vec_id", "embedding", col("vec_id") < 10, 5)
+          .select(col("q_id"), col("cand_id"))
+        val hit = bfr.join(bfo, Seq("q_id", "cand_id")).agg(count(lit(1)).as("n_hit"))
+        val tot = bfo.agg(count(lit(1)).as("n_orig"))
+        hit.crossJoin(tot).select(col("n_hit"), col("n_orig"),
+          when(col("n_orig") === 0, lit(null).cast("double"))
+            .otherwise(round(col("n_hit").cast("double") / col("n_orig"), 6))
+            .as("recall"))
+      }),
+
     // ---- q76: embedding near-dup CLUSTERS — the same connected-
     // components keep-list as q72, over the OTHER modality's pairs (SRP-
     // blocked cosine near-dups): Dedup.nearDupClusters is pair-source
