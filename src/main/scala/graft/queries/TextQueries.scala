@@ -601,6 +601,63 @@ object TextQueries {
             (count(when(col("is_en"), lit(1))).cast("double") / count(lit(1)))
               .as("en_frac"))),
 
+    // ---- q79: document chunking — fixed 64-token windows every 48
+    // tokens (16-token overlap, tail clamped) with per-chunk token
+    // count and content fingerprint: the step that turns variable-length
+    // docs into trainable sequences. Map-side generator fan-out; empty
+    // docs yield no chunks.
+    QueryDef("q79_chunking", Some(s"""${toksCte()},
+      ch AS (SELECT doc_id,
+               CAST(unnest(range(0, CAST(CEIL(len(tokens) / 48.0) AS INTEGER)))
+                    AS INTEGER) AS chunk_id,
+               unnest(list_transform(range(0, CAST(CEIL(len(tokens) / 48.0) AS INTEGER)),
+                 i -> list_slice(tokens, i * 48 + 1, i * 48 + 64))) AS chunk
+             FROM toks WHERE len(tokens) > 0)
+      SELECT doc_id, chunk_id, CAST(len(chunk) AS INTEGER) AS n_tokens,
+             md5(array_to_string(chunk, ' ')) AS chunk_fp
+      FROM ch ORDER BY doc_id, chunk_id"""),
+      (s, dir) =>
+        tokenized(s, dir)
+          .select(col("doc_id"),
+            posexplode(graft.text.Chunking.chunks(col("tokens"), 64, 48))
+              .as(Seq("chunk_id", "chunk")))
+          .select(col("doc_id"), col("chunk_id"),
+            size(col("chunk")).as("n_tokens"),
+            md5(concat_ws(" ", col("chunk"))).as("chunk_fp"))
+          .orderBy("doc_id", "chunk_id")),
+
+    // ---- q80: shard-local sequence packing — assign docs to ≤256-token
+    // packs by an exclusive running token sum within 16 md5 shards (the
+    // scale-true form: packing is a running sum, which cannot be global
+    // at 100 TB, so it runs inside hash shards that each fit a
+    // partition; a pack may overrun the budget by less than one doc —
+    // the standard greedy tradeoff). Deterministic: shard by md5 of the
+    // id, order by id.
+    QueryDef("q80_packing", Some(s"""${toksCte()},
+      d AS (SELECT doc_id, len(tokens) AS n,
+                   substr(md5(doc_id::VARCHAR), 1, 1) AS shard
+            FROM toks),
+      p AS (SELECT shard, doc_id, n,
+              CAST(FLOOR(COALESCE(SUM(n) OVER (PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 256.0)
+                   AS INTEGER) AS pack_id
+            FROM d)
+      SELECT shard, pack_id, COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS sum_tokens
+      FROM p GROUP BY 1, 2 ORDER BY shard, pack_id"""),
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("shard").orderBy("doc_id")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        tokenized(s, dir)
+          .select(col("doc_id"), size(col("tokens")).as("n"),
+            substring(md5(col("doc_id").cast("string")), 1, 1).as("shard"))
+          .withColumn("pack_id",
+            floor(coalesce(sum(col("n")).over(w), lit(0L)) / lit(256.0)).cast("int"))
+          .groupBy("shard", "pack_id")
+          .agg(count(lit(1)).as("n_docs"), sum(col("n")).cast("long").as("sum_tokens"))
+          .orderBy("shard", "pack_id")
+      }),
+
     // ---- q77: feature-hashed document embeddings — project TF-IDF
     // weights onto a fixed 13-dim dense vector (dim = 16-bit md5 prefix
     // of the token mod 13, component = Σ weights; d prime so every
