@@ -626,6 +626,33 @@ object TextQueries {
             md5(concat_ws(" ", col("chunk"))).as("chunk_fp"))
           .orderBy("doc_id", "chunk_id")),
 
+    // ---- q81: boilerplate detection — chunks whose fingerprint recurs
+    // across ≥2 DISTINCT docs (headers, templates, licenses). Chunk
+    // granularity catches shared passages exact-doc dedup misses; one
+    // hash groupBy on the fingerprint, count-distinct bounded by docs
+    // per fingerprint.
+    QueryDef("q81_boilerplate", Some(s"""${toksCte()},
+      ch AS (SELECT doc_id,
+               unnest(list_transform(range(0, CAST(CEIL(len(tokens) / 48.0) AS INTEGER)),
+                 i -> md5(array_to_string(
+                        list_slice(tokens, i * 48 + 1, i * 48 + 64), ' ')))) AS chunk_fp
+             FROM toks WHERE len(tokens) > 0)
+      SELECT chunk_fp, COUNT(*) AS n_occurrences,
+             COUNT(DISTINCT doc_id) AS n_docs, MIN(doc_id) AS first_doc
+      FROM ch GROUP BY chunk_fp HAVING COUNT(DISTINCT doc_id) >= 2
+      ORDER BY chunk_fp"""),
+      (s, dir) =>
+        tokenized(s, dir)
+          .select(col("doc_id"),
+            explode(transform(graft.text.Chunking.chunks(col("tokens"), 64, 48),
+              c => md5(concat_ws(" ", c)))).as("chunk_fp"))
+          .groupBy("chunk_fp")
+          .agg(count(lit(1)).as("n_occurrences"),
+            countDistinct(col("doc_id")).as("n_docs"),
+            min(col("doc_id")).as("first_doc"))
+          .where(col("n_docs") >= 2)
+          .orderBy("chunk_fp")),
+
     // ---- q80: shard-local sequence packing — assign docs to ≤256-token
     // packs by an exclusive running token sum within 16 md5 shards (the
     // scale-true form: packing is a running sum, which cannot be global
