@@ -328,10 +328,16 @@ object EmbeddingQueries {
       (s, dir) => {
         import graft.ann.Quantize
         val emb = Tables.read(s, dir, "embeddings")
+        // materialize the reconstruction once: the dequantize HOF chain
+        // is CodegenFallback and cosineKnn references the vector column
+        // in several plan branches (q side, candidate side, norm filter),
+        // so un-materialized it re-runs interpreted per branch — and in a
+        // real pipeline the codes ARE storage, read back not recomputed
         val recon = emb.select(col("vec_id"),
           transform(Quantize.dequantize(col("embedding"),
             Quantize.quantizeCodes(col("embedding"))), x => x.cast("float"))
             .as("embedding"))
+          .localCheckpoint()
         val bfo = Knn.cosineKnn(emb, "vec_id", "embedding", col("vec_id") < 10, 5)
           .select(col("q_id"), col("cand_id"))
         val bfr = Knn.cosineKnn(recon, "vec_id", "embedding", col("vec_id") < 10, 5)
