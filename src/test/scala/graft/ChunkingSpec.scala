@@ -1,0 +1,37 @@
+package graft
+
+import graft.text.Chunking
+import org.apache.spark.sql.functions._
+
+class ChunkingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def chunksOf(tokens: Seq[String], size: Int, stride: Int): Seq[Seq[String]] =
+    Seq(Tuple1(tokens)).toDF("t")
+      .select(Chunking.chunks(col("t"), size, stride).as("c"))
+      .collect()(0).getSeq[Seq[String]](0)
+
+  test("overlapping windows cover every token; tail clamps short") {
+    val t = (1 to 10).map(i => s"t$i")
+    val c = chunksOf(t, 4, 3)
+    assert(c === Seq(
+      Seq("t1", "t2", "t3", "t4"),
+      Seq("t4", "t5", "t6", "t7"),
+      Seq("t7", "t8", "t9", "t10"),
+      Seq("t10")))
+    assert(c.flatten.toSet === t.toSet, "no token may be lost")
+  }
+
+  test("stride == size means disjoint chunks; empty docs yield no chunks") {
+    assert(chunksOf((1 to 6).map(_.toString), 3, 3) ===
+      Seq(Seq("1", "2", "3"), Seq("4", "5", "6")))
+    assert(chunksOf(Nil, 4, 3) === Nil)
+    assert(chunksOf(Seq("solo"), 64, 48) === Seq(Seq("solo")),
+      "a doc shorter than one chunk is one short chunk")
+  }
+
+  test("invalid size/stride combinations are rejected eagerly") {
+    intercept[IllegalArgumentException](Chunking.chunks(col("t"), 4, 5))
+    intercept[IllegalArgumentException](Chunking.chunks(col("t"), 0, 0))
+  }
+}
