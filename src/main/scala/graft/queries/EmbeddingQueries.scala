@@ -56,7 +56,8 @@ object EmbeddingQueries {
     * cosine only within buckets. Ends with the `blocked` CTE so callers
     * append their own SELECT.
     */
-  private def srpCte(dims: Int = 64, nBits: Int = 32, pred: String = "TRUE"): String = s"""
+  private def srpCte(dims: Int = 64, nBits: Int = 32, pred: String = "TRUE",
+                     rowsPerBand: Int = 4): String = s"""
       h AS (SELECT j, list_transform(range(0, $dims),
               i -> CASE WHEN substr(md5(j || ':' || i), 1, 1)
                         IN ('8','9','a','b','c','d','e','f')
@@ -67,7 +68,8 @@ object EmbeddingQueries {
       bits AS (SELECT e.vec_id, h.j,
                       CASE WHEN ${sqlDot("e.embedding", "h.hv")} >= 0 THEN 1 ELSE 0 END AS bit
                FROM e CROSS JOIN h),
-      bands AS (SELECT vec_id, j // 4 AS band, SUM(bit * (1 << (j % 4))) AS chunk
+      bands AS (SELECT vec_id, j // $rowsPerBand AS band,
+                       SUM(bit * (1 << (j % $rowsPerBand))) AS chunk
                 FROM bits GROUP BY 1, 2),
       cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
                FROM bands a JOIN bands b
@@ -397,6 +399,37 @@ object EmbeddingQueries {
       (s, dir) => {
         val emb = Tables.read(s, dir, "embeddings").where(col("vec_id") < 150)
         val blocked = Knn.srpNearDupPairs(emb, "vec_id", "embedding", 64, 0.25)
+          .agg(count(lit(1)).as("n_blocked"))
+        val all = Knn.nearDupPairs(emb, "vec_id", "embedding", 0.25)
+          .agg(count(lit(1)).as("n_all"))
+        blocked.crossJoin(all).select(col("n_blocked"), col("n_all"),
+          when(col("n_all") === 0, lit(null).cast("double"))
+            .otherwise(round(col("n_blocked").cast("double") / col("n_all"), 6))
+            .as("recall"))
+      }),
+
+    // ---- q82: the SRP recall DIAL measured — same 32 hyperplanes as
+    // q62 but banded 16×2 instead of 8×4: shorter bands agree more
+    // easily, so candidate recall rises (precision drops — more pairs
+    // scored). Same bounded slice and exact all-pairs denominator as
+    // q62; together they turn the "raise b for recall, raise r for
+    // selectivity" claim into two oracle-checked data points.
+    QueryDef("q82_srp_recall_16x2", Some(s"""
+      WITH ${srpCte(pred = "vec_id < 150", rowsPerBand = 2)},
+      bl AS (SELECT id_a, id_b FROM blocked WHERE s > CAST(0.25 AS DOUBLE)),
+      ap AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+             FROM e a JOIN e b ON a.vec_id < b.vec_id
+             WHERE ${sqlDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm)
+                   > CAST(0.25 AS DOUBLE))
+      SELECT (SELECT COUNT(*) FROM bl) AS n_blocked,
+             (SELECT COUNT(*) FROM ap) AS n_all,
+             CASE WHEN (SELECT COUNT(*) FROM ap) = 0 THEN NULL
+                  ELSE ROUND((SELECT COUNT(*) FROM bl)::DOUBLE
+                             / (SELECT COUNT(*) FROM ap), 6) END AS recall"""),
+      (s, dir) => {
+        val emb = Tables.read(s, dir, "embeddings").where(col("vec_id") < 150)
+        val blocked = Knn.srpNearDupPairs(emb, "vec_id", "embedding", 64, 0.25,
+            nBands = 16, rowsPerBand = 2)
           .agg(count(lit(1)).as("n_blocked"))
         val all = Knn.nearDupPairs(emb, "vec_id", "embedding", 0.25)
           .agg(count(lit(1)).as("n_all"))
