@@ -608,9 +608,9 @@ object TextQueries {
     // docs yield no chunks.
     QueryDef("q79_chunking", Some(s"""${toksCte()},
       ch AS (SELECT doc_id,
-               CAST(unnest(range(0, CAST(CEIL(len(tokens) / 48.0) AS INTEGER)))
+               CAST(unnest(range(0, 1 + CAST(CEIL(GREATEST(len(tokens) - 64, 0) / 48.0) AS INTEGER)))
                     AS INTEGER) AS chunk_id,
-               unnest(list_transform(range(0, CAST(CEIL(len(tokens) / 48.0) AS INTEGER)),
+               unnest(list_transform(range(0, 1 + CAST(CEIL(GREATEST(len(tokens) - 64, 0) / 48.0) AS INTEGER)),
                  i -> list_slice(tokens, i * 48 + 1, i * 48 + 64))) AS chunk
              FROM toks WHERE len(tokens) > 0)
       SELECT doc_id, chunk_id, CAST(len(chunk) AS INTEGER) AS n_tokens,
@@ -633,7 +633,7 @@ object TextQueries {
     // per fingerprint.
     QueryDef("q81_boilerplate", Some(s"""${toksCte()},
       ch AS (SELECT doc_id,
-               unnest(list_transform(range(0, CAST(CEIL(len(tokens) / 48.0) AS INTEGER)),
+               unnest(list_transform(range(0, 1 + CAST(CEIL(GREATEST(len(tokens) - 64, 0) / 48.0) AS INTEGER)),
                  i -> md5(array_to_string(
                         list_slice(tokens, i * 48 + 1, i * 48 + 64), ' ')))) AS chunk_fp
              FROM toks WHERE len(tokens) > 0)

@@ -17,9 +17,11 @@ class ChunkingSpec extends SparkTestBase {
     assert(c === Seq(
       Seq("t1", "t2", "t3", "t4"),
       Seq("t4", "t5", "t6", "t7"),
-      Seq("t7", "t8", "t9", "t10"),
-      Seq("t10")))
+      Seq("t7", "t8", "t9", "t10")))
     assert(c.flatten.toSet === t.toSet, "no token may be lost")
+    // the last chunk is the FIRST reaching the end — no degenerate tail
+    // chunk fully contained in its predecessor
+    assert(chunksOf((1 to 49).map(_.toString), 64, 48).size === 1)
   }
 
   test("stride == size means disjoint chunks; empty docs yield no chunks") {
