@@ -223,7 +223,9 @@ object Dedup {
     * Cost is O(|candidates|) — never the all-shared-shingle-pairs blowup
     * of [[bigramJaccardPairs]], which is why this is the verify path at
     * corpus scale. Pairs where both shingle sets are empty (sub-bigram
-    * docs) get NULL, not a 0/0 ANSI error.
+    * docs) get NULL, not a 0/0 ANSI error. Pairs referencing an id
+    * absent from `docs` are dropped (inner joins) — candidates must
+    * come from the same corpus being verified.
     */
   def verifyJaccard(docs: DataFrame, idCol: String, tokensCol: String,
                     pairs: DataFrame): DataFrame = {
