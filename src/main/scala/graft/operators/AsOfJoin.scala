@@ -25,19 +25,30 @@ object AsOfJoin {
     * @param tieCol  right-side deterministic tie-break column
     * @param payload right-side columns to carry onto matched left rows
     *                (returned as `asof_<name>`, NULL when no match)
+    * @param maxStaleness optional staleness bound (the pandas
+    *                `merge_asof(tolerance=...)` / kdb window knob): a
+    *                carried right row older than `left.ts − maxStaleness`
+    *                is treated as NO match (payload NULL). Same type as
+    *                `left.ts − right.ts` (numeric diff for numeric ts,
+    *                interval for timestamps). Costs nothing extra — the
+    *                matched right timestamp already rides the carried
+    *                struct, so the bound is one map-side comparison.
     */
   def asOf(left: DataFrame, right: DataFrame, keys: Seq[String],
-           tsCol: String, tieCol: String, payload: Seq[String]): DataFrame = {
+           tsCol: String, tieCol: String, payload: Seq[String],
+           maxStaleness: Option[Column] = None): DataFrame = {
     val keyCols = keys.map(col)
+    val tsType = right.schema(tsCol).dataType.sql
     val l = left.withColumn("_side", lit(1))
       .withColumn("_tie", lit(null).cast(right.schema(tieCol).dataType))
       .withColumn("_r", lit(null).cast("struct<" +
-        payload.map(p => s"$p:${right.schema(p).dataType.sql}").mkString(",") + ">"))
+        (payload.map(p => s"$p:${right.schema(p).dataType.sql}") :+
+          s"_asof_ts:$tsType").mkString(",") + ">"))
     val r = right.select(
       (keyCols :+ col(tsCol).as(tsCol)) ++ Seq(
         lit(0).as("_side"),
         col(tieCol).as("_tie"),
-        struct(payload.map(col): _*).as("_r")): _*)
+        struct(payload.map(col) :+ col(tsCol).as("_asof_ts"): _*).as("_r")): _*)
     // align: keep every left column + the three internals
     val lAligned = l.select(
       (left.columns.map(col) ++ Seq(col("_side"), col("_tie"), col("_r"))): _*)
@@ -49,9 +60,16 @@ object AsOfJoin {
     val w = Window.partitionBy(keyCols: _*)
       .orderBy(col(tsCol).asc, col("_side").asc, col("_tie").asc_nulls_last)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = lAligned.unionByName(rAligned)
+    val carried0 = lAligned.unionByName(rAligned)
       .withColumn("_match", last(col("_r"), ignoreNulls = true).over(w))
       .where(col("_side") === 1)
+    val carried = maxStaleness match {
+      case None => carried0
+      case Some(tol) => carried0.withColumn("_match",
+        when(col("_match").isNotNull &&
+          col(tsCol) - col("_match._asof_ts") > tol, lit(null))
+          .otherwise(col("_match")))
+    }
     payload.foldLeft(carried) { (df, p) =>
         df.withColumn(s"asof_$p", col(s"_match.$p"))
       }

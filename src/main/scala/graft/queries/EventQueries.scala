@@ -98,6 +98,39 @@ object EventQueries {
           .orderBy("event_id")
       }),
 
+    // ---- q83: as-of join with a staleness bound — same lookup as q59
+    // but a click older than 10 minutes before the error no longer
+    // counts as context (the pandas merge_asof tolerance / kdb window
+    // knob). Costs one map-side comparison on the carried timestamp.
+    QueryDef("q83_asof_tolerance", Some("""
+      WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tu FROM events
+                 WHERE event_type = 'error'),
+      c AS (SELECT event_id, user_id, epoch_us(ts) AS tu FROM events
+            WHERE event_type = 'click'),
+      ranked AS (SELECT e.event_id, c.event_id AS click_id, c.tu AS click_tu,
+                        ROW_NUMBER() OVER (PARTITION BY e.event_id
+                                           ORDER BY c.tu DESC, c.event_id DESC) AS rk
+                 FROM e JOIN c ON c.user_id = e.user_id AND c.tu <= e.tu
+                                  AND c.tu >= e.tu - 600000000)
+      SELECT e.event_id, e.user_id, e.tu,
+             r.click_id AS asof_event_id, r.click_tu AS asof_ts_us
+      FROM e LEFT JOIN (SELECT * FROM ranked WHERE rk = 1) r USING (event_id)
+      ORDER BY event_id"""),
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"), col("ts_us"), col("event_type"))
+        val errors = ev.where(col("event_type") === "error")
+          .select(col("event_id"), col("user_id"), col("ts_us").as("tu"))
+        val clicks = ev.where(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts_us").as("tu"))
+        graft.operators.AsOfJoin.asOf(errors, clicks,
+            Seq("user_id"), "tu", "event_id", Seq("event_id", "tu"),
+            maxStaleness = Some(lit(600000000L)))
+          .select(col("event_id"), col("user_id"), col("tu"),
+            col("asof_event_id"), col("asof_tu").as("asof_ts_us"))
+          .orderBy("event_id")
+      }),
+
     // ---- q60: interval (range) join — for every error event, count and
     // value-sum of the same user's clicks in the trailing 10 minutes
     // (graft.operators.RangeJoin: bucketized equi-join, clone factor 2,

@@ -34,6 +34,26 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(out(104L) === (None, None))
   }
 
+  test("maxStaleness nulls matches older than the bound; fresh matches keep") {
+    // the latest at-or-before row is unique, so "latest within the
+    // window" ≡ "latest overall, nulled if stale" — the cheap form
+    val out = AsOfJoin.asOf(trades, quotes, Seq("sym"), "ts", "quote_id",
+        Seq("quote_id"), maxStaleness = Some(org.apache.spark.sql.functions.lit(3L)))
+      .select("trade_id", "asof_quote_id")
+      .collect().map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long]))
+      .toMap
+    val unbounded = AsOfJoin.asOf(trades, quotes, Seq("sym"), "ts", "quote_id",
+        Seq("quote_id"))
+      .select("trade_id", "asof_quote_id")
+      .collect().map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long]))
+      .toMap
+    assert(out(103L) === unbounded(103L), "an exact-ts match is never stale")
+    assert(out.forall { case (id, m) => m.isEmpty || m === unbounded(id) },
+      "tolerance may only REMOVE matches, never change them")
+    assert(out.values.flatten.size < unbounded.values.flatten.size,
+      "a tight bound must null out at least one stale match")
+  }
+
   test("left columns survive untouched; one row out per left row") {
     val out = AsOfJoin.asOf(trades, quotes, Seq("sym"), "ts", "quote_id", Seq("price"))
     assert(out.count() === trades.count())
