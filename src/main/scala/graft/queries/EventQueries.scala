@@ -98,6 +98,40 @@ object EventQueries {
           .orderBy("event_id")
       }),
 
+    // ---- q84: running-mean anomalies — the batch analogue of
+    // streaming.EventStreams.valueAnomalies (its oracle-checked twin,
+    // like q14/q37 for the windowed aggregations): events whose value
+    // exceeds 3× the user's EXCLUSIVE running mean, first event never
+    // anomalous. The comparison is cross-multiplied in scaled-integer
+    // space (cents · n_prev > 3 · sum_prev_cents) — pure long
+    // arithmetic, no division, bit-exact in any engine and any
+    // partitioning.
+    QueryDef("q84_value_anomalies", Some(s"""
+      WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tu, value,
+                        $valCents AS cents FROM events),
+      p AS (SELECT event_id, user_id, tu, value, cents,
+              COUNT(*) OVER w AS n_prev,
+              COALESCE(SUM(cents) OVER w, 0) AS sum_prev
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tu, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+      SELECT event_id, user_id, tu, value FROM p
+      WHERE n_prev > 0 AND cents * n_prev > 3 * sum_prev
+      ORDER BY event_id"""),
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(col("tu"), col("event_id"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"), col("ts_us").as("tu"),
+            col("value"), graft.QueryDef.cents(col("value")).as("cents"))
+          .withColumn("n_prev", count(lit(1)).over(w))
+          .withColumn("sum_prev", coalesce(sum(col("cents")).over(w), lit(0L)))
+          .where(col("n_prev") > 0 &&
+            col("cents") * col("n_prev") > lit(3L) * col("sum_prev"))
+          .select(col("event_id"), col("user_id"), col("tu"), col("value"))
+          .orderBy("event_id")
+      }),
+
     // ---- q83: as-of join with a staleness bound — same lookup as q59
     // but a click older than 10 minutes before the error no longer
     // counts as context (the pandas merge_asof tolerance / kdb window
