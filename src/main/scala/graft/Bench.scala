@@ -51,7 +51,9 @@ object Bench {
         }
       if (ok) times(i)(p) = (System.nanoTime() - t0) / 1e9
     }
-    def fmt(v: Double) = f"$v%.4f"
+    // Locale.ROOT: the f-interpolator honors the JVM default locale, and
+    // a comma-decimal locale would emit invalid JSON ("1,2345")
+    def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
     val results = catalog.zipWithIndex.map { case ((name, _), i) =>
       val good = times(i).filter(_ >= 0)
       (name, if (good.nonEmpty) Some(good.min) else None, times(i).toSeq)

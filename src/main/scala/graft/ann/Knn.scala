@@ -49,16 +49,34 @@ object Knn {
     * the whole candidate set (a `row_number` window would). Emits
     * (q_id, rk, cand_id, sim) with the same (sim DESC, cand_id ASC)
     * order and 6-decimal rounding as the window formulation it replaced.
+    *
+    * The aggregator buffers candidate ids as LONG, so the mergeable path
+    * requires an integral id column; for any other id type (string
+    * uuids, decimals) this falls back to the row_number window — correct
+    * for every orderable type, at the cost of the per-query sort.
     */
   private def topKSelect(sims: DataFrame, idType: org.apache.spark.sql.types.DataType,
-                         k: Int): DataFrame =
-    sims.groupBy("q_id")
-      .agg(graft.functions.TopKAggregator.topK(k)(
-        col("sim"), col("cand_id").cast("long")).as("tk"))
-      .select(col("q_id"), posexplode(col("tk")).as(Seq("pos", "sc")))
-      .select(col("q_id"), (col("pos") + 1).as("rk"),
-        col("sc.cand_id").cast(idType).as("cand_id"),
-        round(col("sc.sim"), 6).as("sim"))
+                         k: Int): DataFrame = {
+    import org.apache.spark.sql.types._
+    val integralId = idType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    if (integralId)
+      sims.groupBy("q_id")
+        .agg(graft.functions.TopKAggregator.topK(k)(
+          col("sim"), col("cand_id").cast("long")).as("tk"))
+        .select(col("q_id"), posexplode(col("tk")).as(Seq("pos", "sc")))
+        .select(col("q_id"), (col("pos") + 1).as("rk"),
+          col("sc.cand_id").cast(idType).as("cand_id"),
+          round(col("sc.sim"), 6).as("sim"))
+    else {
+      val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("cand_id"))
+      sims.withColumn("rk", row_number().over(w))
+        .where(col("rk") <= k)
+        .select(col("q_id"), col("rk"), col("cand_id"), round(col("sim"), 6).as("sim"))
+    }
+  }
 
   /** Brute-force cosine top-k: for every query vector, the k most similar
     * candidates (self excluded). Query side is broadcast.
@@ -262,16 +280,11 @@ object Knn {
     }
     val allBands = e.select(col(idCol), explode(array(bandStructs: _*)).as("bc"))
       .select(col(idCol), col("bc.band").as("band"), col("bc.chunk").as("chunk"))
-    // same df-threshold dial as every other LSH family (graft.dedup
-    // capBuckets): a band bucket shared by k vectors emits k² candidate
+    // the SAME df-threshold dial as every other LSH family — literally
+    // the same code, so the families can never drift apart on boundary
+    // semantics: a band bucket shared by k vectors emits k² candidate
     // pairs, and buckets that hot carry no blocking signal anyway
-    val bands =
-      if (maxBucketSize == Int.MaxValue) allBands
-      else {
-        val w = Window.partitionBy("band", "chunk")
-        allBands.withColumn("_bsz", count(lit(1)).over(w))
-          .where(col("_bsz") <= maxBucketSize).drop("_bsz")
-      }
+    val bands = graft.dedup.Dedup.capBuckets(allBands, Seq("band", "chunk"), maxBucketSize)
     val cand = bands.alias("a")
       .join(bands.alias("b"),
         col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&

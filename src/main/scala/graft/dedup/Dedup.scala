@@ -30,7 +30,7 @@ object Dedup {
     * downstream self-join, so it rides the same exchange.
     * `cap = Int.MaxValue` (the default everywhere) skips the filter.
     */
-  private def capBuckets(bands: DataFrame, keyCols: Seq[String], cap: Int): DataFrame =
+  private[graft] def capBuckets(bands: DataFrame, keyCols: Seq[String], cap: Int): DataFrame =
     if (cap == Int.MaxValue) bands
     else {
       val w = Window.partitionBy(keyCols.map(col): _*)
@@ -302,6 +302,14 @@ object Dedup {
     val edges = pairs.select(col("id_a").as("e_src"), col("id_b").as("e_dst"))
       .union(pairs.select(col("id_b").as("e_src"), col("id_a").as("e_dst")))
       .localCheckpoint()
+    // release a superseded iteration's checkpoint blocks: localCheckpoint
+    // persists the materialized RDD behind a LogicalRDD node, and without
+    // an explicit unpersist a long convergence run would pin every
+    // iteration's full label table in executor storage
+    def releaseCheckpoint(df: DataFrame): Unit =
+      df.queryExecution.analyzed.collectFirst {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }.foreach(_.unpersist(blocking = false))
     var labels = ids.select(col(idCol).as("id"), col(idCol).as("label")).localCheckpoint()
     var it = 0
     var converged = false
@@ -313,8 +321,9 @@ object Dedup {
         .select(col("id"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
           (col("nbr_label") < col("label")).as("_changed"))
-        .localCheckpoint()
+        .localCheckpoint() // eager — materialized before the old blocks go
       converged = next.where(col("_changed")).limit(1).isEmpty
+      releaseCheckpoint(labels)
       labels = next.drop("_changed")
       it += 1
     }

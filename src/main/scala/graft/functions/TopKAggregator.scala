@@ -25,8 +25,15 @@ class TopKAggregator(k: Int)
     extends Aggregator[ScoredCand, List[ScoredCand], Seq[ScoredCand]] {
   require(k > 0, s"k must be positive, got $k")
 
-  private def beats(a: ScoredCand, b: ScoredCand): Boolean =
-    a.sim > b.sim || (a.sim == b.sim && a.cand_id < b.cand_id)
+  // java.lang.Double.compare, not raw >: it orders NaN greatest and
+  // equal to itself — matching Spark's sort semantics, so a NaN sim
+  // ranks exactly where the row_number window would put it instead of
+  // losing every comparison (which would make results merge-order
+  // dependent)
+  private def beats(a: ScoredCand, b: ScoredCand): Boolean = {
+    val c = java.lang.Double.compare(a.sim, b.sim)
+    c > 0 || (c == 0 && a.cand_id < b.cand_id)
+  }
 
   /** Insert into a sorted k-slot buffer, dropping past slot k. */
   private def insert(sorted: List[ScoredCand], x: ScoredCand): List[ScoredCand] =

@@ -301,7 +301,7 @@ object EmbeddingQueries {
              FROM embeddings),
       rc AS (SELECT vec_id,
                CASE WHEN scale = 0
-                    THEN list_transform(embedding, x -> 0.0::FLOAT)
+                    THEN list_transform(embedding, x -> mn::FLOAT)
                     ELSE list_transform(embedding,
                          x -> (mn + CAST(ROUND((x::DOUBLE - mn) / scale) AS INTEGER)
                                     * scale)::FLOAT) END AS rvec

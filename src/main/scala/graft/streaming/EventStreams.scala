@@ -122,12 +122,22 @@ object EventStreams {
   /** Custom keyed state via `flatMapGroupsWithState` (the 0..n-rows-per-
     * group extension point `mapGroupsWithState` can't express): emit an
     * anomaly row whenever a user's event value exceeds `factor` × their
-    * running mean so far — the shape of streaming outlier/abuse
-    * detection. State per user is two numbers (count, scaled-cents sum);
-    * the first event of a user is never anomalous (no baseline yet).
+    * exclusive running mean — the shape of streaming outlier/abuse
+    * detection, and the streaming analogue of batch q84. State per user
+    * is two numbers (count, scaled-cents sum); the first event of a
+    * user is never anomalous (no baseline yet).
+    *
+    * Determinism: the group iterator carries NO order guarantee, so the
+    * batch's events are sorted by event time before folding (within one
+    * micro-batch the running mean is event-time ordered like q84's
+    * window; ACROSS batches ordering is arrival-bound — late events use
+    * the state as of their arrival, which is streaming semantics).
+    * The threshold compares cross-multiplied scaled-integer cents
+    * (cents · n > factor · sum_cents) — exact long arithmetic, the same
+    * predicate as q84, never a float-division boundary flip.
     */
   def valueAnomalies(events: Dataset[UserEvent],
-                     factor: Double = 3.0): Dataset[UserEvent] = {
+                     factor: Long = 3L): Dataset[UserEvent] = {
     val spark = events.sparkSession
     import spark.implicits._
     events
@@ -140,10 +150,11 @@ object EventStreams {
           var cents = 0L
           state.getOption.foreach { p => n = p.n_events; cents = p.total_cents }
           val out = scala.collection.mutable.ArrayBuffer.empty[UserEvent]
-          batch.foreach { e =>
-            if (n > 0 && e.value > factor * (cents / 100.0 / n)) out += e
+          batch.toSeq.sortBy(e => (e.ts.getTime, e.event_type, e.value)).foreach { e =>
+            val ec = math.round(e.value * 100)
+            if (n > 0 && ec * n > factor * cents) out += e
             n += 1
-            cents += math.round(e.value * 100)
+            cents += ec
           }
           state.update(UserRunning(uid, n, cents))
           out.iterator

@@ -239,7 +239,7 @@ class StreamingSpec extends SparkTestBase {
   test("flatMapGroupsWithState emits anomalies against the running per-user mean") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[UserEvent]
-    val q = EventStreams.valueAnomalies(input.toDS(), factor = 3.0)
+    val q = EventStreams.valueAnomalies(input.toDS(), factor = 3L)
       .writeStream.format("memory").queryName("anomalies")
       .outputMode(OutputMode.Append())
       .start()
