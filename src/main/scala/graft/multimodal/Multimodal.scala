@@ -119,7 +119,13 @@ object Multimodal {
     val w = token().toInt
     val h = token().toInt
     token().toInt // maxval (parsed for validity; luma reports raw samples)
-    val n = w * h * 3
+    // Reject bad dimensions loudly: a negative parsed dim (or a w*h*3
+    // that overflows Int) would make n negative, silently skipping both
+    // the truncation check and the sum loop and returning garbage.
+    require(w > 0 && h > 0, s"bad PPM dimensions: ${w}x$h")
+    val nL = w.toLong * h * 3
+    require(nL <= Int.MaxValue, s"PPM raster too large: ${w}x$h")
+    val n = nL.toInt
     magic match {
       case "P6" =>
         i += 1 // exactly ONE whitespace byte separates maxval from raster

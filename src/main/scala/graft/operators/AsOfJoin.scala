@@ -37,6 +37,17 @@ object AsOfJoin {
   def asOf(left: DataFrame, right: DataFrame, keys: Seq[String],
            tsCol: String, tieCol: String, payload: Seq[String],
            maxStaleness: Option[Column] = None): DataFrame = {
+    // Internal column names: a payload column literally named _asof_ts
+    // would produce a carried struct with duplicate field names (the
+    // staleness extraction `_match._asof_ts` becomes ambiguous), and an
+    // input column named like one of the union-side internals would
+    // collide in the aligned select.
+    require(!payload.contains("_asof_ts"),
+      "asOf reserves the payload field name _asof_ts; rename that column")
+    val reserved = Set("_side", "_tie", "_r", "_match")
+    val colliding = (left.columns ++ right.columns).filter(reserved)
+    require(colliding.isEmpty,
+      s"asOf reserves column names ${reserved.mkString(", ")}; rename: ${colliding.mkString(", ")}")
     val keyCols = keys.map(col)
     val tsType = right.schema(tsCol).dataType.sql
     val l = left.withColumn("_side", lit(1))

@@ -37,11 +37,19 @@ object SaltedJoin {
   def saltedEquiJoin(left: DataFrame, right: DataFrame, key: String,
                      nSalts: Int): DataFrame = {
     require(nSalts >= 1, s"nSalts must be positive, got $nSalts")
+    val taken = (left.columns ++ right.columns).toSet
+    require(!taken.contains("_salt") && !taken.contains("_rkey"),
+      "saltedEquiJoin reserves column names _salt and _rkey; rename the input columns")
     val l = left.withColumn("_salt", salt(left, nSalts))
+    // Build the condition from the RENAMED right frame's own columns: a
+    // reference into the pre-rename `right` only resolves via exprId
+    // preservation, and trips Spark's ambiguous-self-join detection when
+    // both sides derive from the same base plan (the realistic skew
+    // self-join case).
     val r = right.withColumn("_salt",
       explode(array((0 until nSalts).map(lit): _*)))
-    l.join(r.withColumnRenamed(key, "_rkey"),
-        l("_salt") === r("_salt") && col(key) === col("_rkey"))
+      .withColumnRenamed(key, "_rkey")
+    l.join(r, l("_salt") === r("_salt") && l(key) === r("_rkey"))
       .drop("_salt", "_rkey")
   }
 
@@ -54,6 +62,8 @@ object SaltedJoin {
   def saltedCollectSet(df: DataFrame, key: String, valueCol: String,
                        nSalts: Int): DataFrame = {
     require(nSalts >= 1, s"nSalts must be positive, got $nSalts")
+    require(!df.columns.contains("_salt") && !df.columns.contains("_partial"),
+      "saltedCollectSet reserves column names _salt and _partial; rename the input columns")
     df.withColumn("_salt", pmod(xxhash64(col(valueCol)), lit(nSalts)))
       .groupBy(col(key), col("_salt"))
       .agg(collect_set(col(valueCol)).as("_partial"))

@@ -4,9 +4,14 @@ import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
 
-/** One event row as the typed streaming API sees it. */
+/** One event row as the typed streaming API sees it. `event_id` breaks
+  * same-timestamp ties in [[EventStreams.valueAnomalies]] exactly like
+  * its batch twin q84; it defaults to 0 for callers that don't carry
+  * ids (then same-timestamp fold order falls back to (type, value)).
+  */
 final case class UserEvent(ts: java.sql.Timestamp, user_id: Long,
-                           event_type: String, value: Double)
+                           event_type: String, value: Double,
+                           event_id: Long = 0L)
 
 /** Per-user running aggregate maintained by [[EventStreams.runningUserTotals]]. */
 final case class UserRunning(user_id: Long, n_events: Long, total_cents: Long)
@@ -128,10 +133,14 @@ object EventStreams {
     * user is never anomalous (no baseline yet).
     *
     * Determinism: the group iterator carries NO order guarantee, so the
-    * batch's events are sorted by event time before folding (within one
-    * micro-batch the running mean is event-time ordered like q84's
-    * window; ACROSS batches ordering is arrival-bound — late events use
-    * the state as of their arrival, which is streaming semantics).
+    * batch's events are sorted by (event time to full microsecond
+    * precision, event_id) before folding — exactly q84's window order,
+    * so within one micro-batch which event is flagged matches the
+    * oracle-checked batch twin even when two events share a timestamp
+    * (provided event ids are carried; with defaulted ids the tie falls
+    * back to (type, value)). ACROSS batches ordering is arrival-bound —
+    * late events use the state as of their arrival, which is streaming
+    * semantics.
     * The threshold compares cross-multiplied scaled-integer cents
     * (cents · n > factor · sum_cents) — exact long arithmetic, the same
     * predicate as q84, never a float-division boundary flip.
@@ -150,7 +159,10 @@ object EventStreams {
           var cents = 0L
           state.getOption.foreach { p => n = p.n_events; cents = p.total_cents }
           val out = scala.collection.mutable.ArrayBuffer.empty[UserEvent]
-          batch.toSeq.sortBy(e => (e.ts.getTime, e.event_type, e.value)).foreach { e =>
+          // getTime is millisecond-truncated; (epochSecond, getNanos)
+          // recovers the full microsecond order q84 sorts by
+          batch.toSeq.sortBy(e => (e.ts.toInstant.getEpochSecond, e.ts.getNanos,
+            e.event_id, e.event_type, e.value)).foreach { e =>
             val ec = math.round(e.value * 100)
             if (n > 0 && ec * n > factor * cents) out += e
             n += 1

@@ -83,6 +83,37 @@ class RobustnessSpec extends SparkTestBase {
     intercept[Exception](Multimodal.ppmDecoder(Array.empty[Byte]))
     intercept[Exception](Multimodal.ppmDecoder("JFIF not a ppm".getBytes("US-ASCII")))
     intercept[Exception](Multimodal.ppmDecoder("P6\n2".getBytes("US-ASCII")))
+    // malformed dimensions must fail loudly, not return garbage: a
+    // negative dim (or an Int-overflowing w*h*3) would otherwise skip
+    // both the truncation check and the sum loop
+    intercept[IllegalArgumentException](
+      Multimodal.ppmDecoder("P3\n-2 3\n255\n0".getBytes("US-ASCII")))
+    intercept[IllegalArgumentException](
+      Multimodal.ppmDecoder("P3\n100000 100000\n255\n0".getBytes("US-ASCII")))
+  }
+
+  test("reserved internal column names are rejected with a clear message") {
+    import org.apache.spark.sql.functions.lit
+    val base = Seq((1L, 10L)).toDF("k", "v")
+    intercept[IllegalArgumentException](graft.operators.SaltedJoin.saltedEquiJoin(
+      base.withColumn("_salt", lit(0)), base, "k", 4))
+    intercept[IllegalArgumentException](graft.operators.SaltedJoin.saltedCollectSet(
+      base.withColumn("_partial", lit(0)), "k", "v", 4))
+    val ts = Seq((1L, 5L, 7L)).toDF("k", "t", "_asof_ts")
+    intercept[IllegalArgumentException](graft.operators.AsOfJoin.asOf(
+      ts.select("k", "t"), ts, Seq("k"), "t", "_asof_ts", Seq("_asof_ts")))
+    val side = Seq((1L, 5L, 7L)).toDF("k", "t", "_side")
+    intercept[IllegalArgumentException](graft.operators.AsOfJoin.asOf(
+      side, side, Seq("k"), "t", "t", Seq("t")))
+  }
+
+  test("saltedEquiJoin works on a self-join of the same base plan") {
+    // both sides deriving from one plan is the realistic skew self-join;
+    // the join condition must reference the renamed right frame, not the
+    // pre-rename one (which trips ambiguous-self-join detection)
+    val base = Seq((1L, 10L), (1L, 20L), (2L, 30L)).toDF("k", "v")
+    val got = graft.operators.SaltedJoin.saltedEquiJoin(base, base, "k", 4)
+    assert(got.count() === 5) // 2*2 for k=1 plus 1 for k=2
   }
 
   test("evaluateModel returns NaN means (not NPE) when no pair is gold") {

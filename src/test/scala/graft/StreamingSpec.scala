@@ -160,7 +160,7 @@ class StreamingSpec extends SparkTestBase {
     implicit val ctx = spark.sqlContext
     val dir = sf("sf0.001")
     val rows = Tables.events(spark, dir)
-      .select("ts", "user_id", "event_type", "value")
+      .select("ts", "user_id", "event_type", "value", "event_id")
       .as[UserEvent].collect().toSeq
     val input = MemoryStream[UserEvent]
     val q = EventStreams.hourlyCounts(input.toDF())
@@ -259,6 +259,30 @@ class StreamingSpec extends SparkTestBase {
       val got = spark.table("anomalies")
         .select("user_id", "value").as[(Long, Double)].collect().toSet
       assert(got === Set((1L, 10.0)), s"exactly the spike must surface, got $got")
+    } finally q.stop()
+  }
+
+  test("round trip on real events: streamed valueAnomalies equals the oracle-checked q84 result") {
+    implicit val ctx = spark.sqlContext
+    val dir = sf("sf0.001")
+    val rows = Tables.events(spark, dir)
+      .select("ts", "user_id", "event_type", "value", "event_id")
+      .as[UserEvent].collect().toSeq
+    val input = MemoryStream[UserEvent]
+    val q = EventStreams.valueAnomalies(input.toDS(), factor = 3L)
+      .writeStream.format("memory").queryName("rt_anomalies")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      // ONE micro-batch = one full (event-time µs, event_id) sort per
+      // user — exactly the window order of the batch twin, including
+      // same-timestamp ties broken by event_id
+      input.addData(rows: _*); q.processAllAvailable()
+      val got = spark.table("rt_anomalies").select("event_id")
+        .as[Long].collect().toSet
+      val want = SparkEntry.queries("q84_value_anomalies")(spark, dir)
+        .select("event_id").as[Long].collect().toSet
+      assert(got === want)
     } finally q.stop()
   }
 
