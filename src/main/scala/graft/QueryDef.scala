@@ -27,4 +27,34 @@ final case class QueryDef(
 object QueryDef {
   /** Exact scaled-integer representation of a 2-decimal double column. */
   def cents(c: Column): Column = round(c * 100).cast("long")
+
+  /** DuckDB CTE chain computing connected-component minimum labels to
+    * the true fixpoint, mirroring `Dedup.nearDupClustersConverged`'s
+    * algorithm: each round is one hash-min step (take the min of a
+    * node's label and its neighbors' labels) followed by one pointer
+    * jump (`label ← label(label)`), so the distance covered doubles per
+    * round — coverage after k rounds is 2^(k+1) − 2 hops. Expects CTEs
+    * `edges(src, dst)` (symmetric) and `l0(id, label)` (label = own id)
+    * upstream; the final labels are in `l<rounds>`. The default 15
+    * rounds covers components of diameter 65534 — beyond any component
+    * our corpora can contain, so the unroll IS the fixpoint and matches
+    * the converged Spark result at every scale factor. Every CTE is
+    * MATERIALIZED: each round references the previous one twice, and
+    * DuckDB's default inlining would expand the chain exponentially
+    * (2^rounds scans of the base tables — it exhausts file handles
+    * before it exhausts patience).
+    */
+  def ccFixpointCtes(rounds: Int = 15): String = (1 to rounds).map { i =>
+    s"""h$i AS MATERIALIZED (
+             SELECT l.id, LEAST(l.label, COALESCE(MIN(n.label), l.label)) AS label
+             FROM l${i - 1} l LEFT JOIN edges e ON e.src = l.id
+                              LEFT JOIN l${i - 1} n ON n.id = e.dst
+             GROUP BY l.id, l.label),
+      l$i AS MATERIALIZED (
+             SELECT h.id, LEAST(h.label, COALESCE(p.label, h.label)) AS label
+             FROM h$i h LEFT JOIN h$i p ON p.id = h.label)"""
+  }.mkString(",\n      ")
+
+  /** Name of the final CTE emitted by [[ccFixpointCtes]]. */
+  def ccFinal(rounds: Int = 15): String = s"l$rounds"
 }

@@ -287,14 +287,35 @@ object Dedup {
       (col("id") === col("label")).as("keep"))
   }
 
-  /** [[nearDupClusters]] with convergence detection — the production
-    * form: iterate hash-min label propagation until NO label changed
-    * (checked with one bounded driver-side count per iteration, the only
-    * driver traffic), up to `maxIters`. Each converged iteration is
-    * materialized via `localCheckpoint` so iteration N+1's plan reads
-    * N's result instead of re-deriving the whole lineage — the lineage
-    * truncation a long-running 100 TB run needs anyway.
-    * Returns (labels, iterationsRun).
+  /** [[nearDupClusters]] with pointer doubling and convergence detection
+    * — the production form, and the q72/q76 implementation. Each round
+    * runs TWO steps:
+    *
+    *  1. hash-min propagation — take the min of a node's label and its
+    *     neighbors' labels (one equi-join + partial-aggregable min), and
+    *  2. pointer jump — `label ← label(label)` (one self-join on the
+    *     label table): the label a node points to has itself been
+    *     chasing the component min, so composing the two pointers
+    *     roughly DOUBLES the distance covered per round.
+    *
+    * Plain hash-min needs O(diameter) rounds — fine for the near-clique
+    * components LSH verification produces, but a chained component
+    * (A~B~C~… under threshold transitivity, common in web-scale dup
+    * graphs) with diameter ≫ the round budget would silently
+    * undercluster. With the jump step a 50-hop path labels fully in 5
+    * rounds (+1 to detect the fixpoint): distances covered go 2, 6, 14,
+    * 30, 62 — O(log D). At the fixpoint every label provably equals its
+    * component's minimum id: labels only ever hold same-component ids
+    * and never increase, an un-labeled smaller neighbor would trigger
+    * step 1, and the min-id node itself can never be overwritten.
+    *
+    * Rounds iterate until NO label changed (one bounded driver-side
+    * existence probe per round — the only driver traffic), up to
+    * `maxIters`. Both per-round tables are materialized via
+    * `localCheckpoint` (superseded checkpoints released) so each round
+    * reads the previous round's rows instead of re-deriving the whole
+    * lineage — the truncation a long-running 100 TB job needs anyway.
+    * Returns (labels, roundsRun).
     */
   def nearDupClustersConverged(ids: DataFrame, idCol: String, pairs: DataFrame,
                                maxIters: Int = 20): (DataFrame, Int) = {
@@ -314,16 +335,27 @@ object Dedup {
     var it = 0
     var converged = false
     while (it < maxIters && !converged) {
+      // step 1: hash-min over neighbors
       val nbrMin = edges.join(labels, edges("e_dst") === labels("id"))
         .groupBy(col("e_src").as("id"))
         .agg(min(col("label")).as("nbr_label"))
-      val next = labels.join(nbrMin, Seq("id"), "left")
+      val half = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
           (col("nbr_label") < col("label")).as("_changed"))
+        .localCheckpoint() // eager — read twice by the self-join below
+      // step 2: pointer jump (label ← label(label))
+      val next = half.alias("h")
+        .join(half.select(col("id").as("p_id"), col("label").as("p_label")).alias("p"),
+          col("h.label") === col("p_id"), "left")
+        .select(col("h.id").as("id"),
+          least(col("h.label"), coalesce(col("p_label"), col("h.label"))).as("label"),
+          (coalesce(col("h._changed"), lit(false)) ||
+            col("p_label") < col("h.label")).as("_changed"))
         .localCheckpoint() // eager — materialized before the old blocks go
       converged = next.where(col("_changed")).limit(1).isEmpty
       releaseCheckpoint(labels)
+      releaseCheckpoint(half)
       labels = next.drop("_changed")
       it += 1
     }

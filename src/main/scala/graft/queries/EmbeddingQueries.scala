@@ -354,30 +354,29 @@ object EmbeddingQueries {
 
     // ---- q76: embedding near-dup CLUSTERS — the same connected-
     // components keep-list as q72, over the OTHER modality's pairs (SRP-
-    // blocked cosine near-dups): Dedup.nearDupClusters is pair-source
+    // blocked cosine near-dups): the clustering operator is pair-source
     // agnostic, so text-shingle LSH and embedding SRP feed the identical
-    // clustering operator. 3 unrolled label-propagation steps, smallest
-    // member survives, zero-norm vectors (never in a pair) stay
-    // singleton keepers.
+    // pointer-doubled fixpoint clustering. Smallest member survives,
+    // zero-norm vectors (never in a pair) stay singleton keepers. The
+    // oracle unrolls the same doubled rounds past any possible diameter
+    // (QueryDef.ccFixpointCtes) — the bounded 3-step unroll it replaces
+    // actually UNDER-clustered here: the SRP dup graph is dense enough
+    // to chain beyond 3 hops at sf0.01 already.
     QueryDef("q76_embedding_dup_clusters", Some(s"""
       WITH ${srpCte()},
       ver AS (SELECT id_a, id_b FROM blocked WHERE s > CAST(0.25 AS DOUBLE)),
-      edges AS (SELECT id_a AS src, id_b AS dst FROM ver
+      edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM ver
                 UNION ALL SELECT id_b, id_a FROM ver),
-      l0 AS (SELECT vec_id AS id, vec_id AS label FROM embeddings),
-      ${(1 to 3).map(i =>
-        s"""l$i AS (SELECT l.id, LEAST(l.label, COALESCE(MIN(n.label), l.label)) AS label
-             FROM l${i - 1} l LEFT JOIN edges e ON e.src = l.id
-                              LEFT JOIN l${i - 1} n ON n.id = e.dst
-             GROUP BY l.id, l.label)""").mkString(",\n      ")}
+      l0 AS MATERIALIZED (SELECT vec_id AS id, vec_id AS label FROM embeddings),
+      ${graft.QueryDef.ccFixpointCtes()}
       SELECT id AS vec_id, label AS cluster_id, id = label AS keep
-      FROM l3 ORDER BY vec_id"""),
+      FROM ${graft.QueryDef.ccFinal()} ORDER BY vec_id"""),
       (s, dir) => {
         val emb = Tables.read(s, dir, "embeddings")
         val pairs = Knn.srpNearDupPairs(emb, "vec_id", "embedding",
             dims = 64, threshold = 0.25)
           .select("id_a", "id_b")
-        graft.dedup.Dedup.nearDupClusters(emb.select("vec_id"), "vec_id", pairs, iters = 3)
+        graft.dedup.Dedup.nearDupClustersConverged(emb.select("vec_id"), "vec_id", pairs)._1
           .orderBy("vec_id")
       }),
 

@@ -789,13 +789,15 @@ object TextQueries {
 
     // ---- q72: fuzzy-dup clustering — the full production dedup chain:
     // banded MinHash-LSH candidates (bucket cap engaged) → exact
-    // bigram-Jaccard verification of ONLY those candidates → hash-min
-    // label propagation turning verified pairs into connected components
-    // → per-doc (cluster_id, keep) with the smallest member as the
-    // canonical survivor. Docs in no verified pair stay singleton
-    // keepers. 3 propagation steps bound the hop count; near-dup
-    // components are near-cliques, so that converges at any scale (and
-    // the DuckDB oracle unrolls exactly the same 3 steps).
+    // bigram-Jaccard verification of ONLY those candidates → connected
+    // components (pointer-doubled hash-min, iterated to the FIXPOINT —
+    // O(log diameter) rounds, so chained components cluster fully at
+    // any hop count) → per-doc (cluster_id, keep) with the smallest
+    // member as the canonical survivor. Docs in no verified pair stay
+    // singleton keepers. The DuckDB oracle unrolls the same alternating
+    // hash-min + pointer-jump rounds far past any possible diameter
+    // (QueryDef.ccFixpointCtes), so both engines compute the true
+    // fixpoint at every scale factor.
     QueryDef("q72_dup_clusters", Some(s"""${toksCte()},
       sig AS (SELECT doc_id,
         ${(0 until 8).map(i =>
@@ -826,23 +828,19 @@ object TextQueries {
                  FROM cand c JOIN sh a ON a.doc_id = c.id_a
                              JOIN sh b ON b.doc_id = c.id_b)
               WHERE jac >= CAST(0.5 AS DOUBLE)),
-      edges AS (SELECT id_a AS src, id_b AS dst FROM ver
+      edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM ver
                 UNION ALL SELECT id_b, id_a FROM ver),
-      l0 AS (SELECT doc_id AS id, doc_id AS label FROM toks),
-      ${(1 to 3).map(i =>
-        s"""l$i AS (SELECT l.id, LEAST(l.label, COALESCE(MIN(n.label), l.label)) AS label
-             FROM l${i - 1} l LEFT JOIN edges e ON e.src = l.id
-                              LEFT JOIN l${i - 1} n ON n.id = e.dst
-             GROUP BY l.id, l.label)""").mkString(",\n      ")}
+      l0 AS MATERIALIZED (SELECT doc_id AS id, doc_id AS label FROM toks),
+      ${graft.QueryDef.ccFixpointCtes()}
       SELECT id AS doc_id, label AS cluster_id, id = label AS keep
-      FROM l3 ORDER BY doc_id"""),
+      FROM ${graft.QueryDef.ccFinal()} ORDER BY doc_id"""),
       (s, dir) => {
         val toks = tokenized(s, dir)
         val cand = Dedup.lshBandedCandidatePairs(toks, "doc_id", "tokens", 4, 2,
           maxBucketSize = 50)
         val verified = Dedup.verifyJaccard(toks, "doc_id", "tokens", cand)
           .where(col("jaccard") >= 0.5)
-        Dedup.nearDupClusters(toks.select("doc_id"), "doc_id", verified, iters = 3)
+        Dedup.nearDupClustersConverged(toks.select("doc_id"), "doc_id", verified)._1
           .orderBy("doc_id")
       }),
 

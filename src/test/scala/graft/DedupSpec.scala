@@ -126,19 +126,41 @@ class DedupSpec extends SparkTestBase {
   }
 
   test("nearDupClustersConverged stops early and fully labels long chains") {
-    // chain 1-...-6 has diameter 5: bounded-3 leaves it partial, the
-    // converged variant runs until stable (5 propagate + 1 confirm)
+    // chain 1-...-6 has diameter 5: bounded-3 plain hash-min leaves it
+    // partial; the converged variant's pointer doubling covers distances
+    // 2, 6 — stable after 2 spreading rounds + 1 confirming
     val ids = (1L to 6L).toDF("doc_id")
     val pairs = (1L to 5L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val (out, iters) = Dedup.nearDupClustersConverged(ids, "doc_id", pairs)
     val labels = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(labels === (1L to 6L).map(_ -> 1L).toMap)
-    assert(iters === 6, s"expected 5 spreading iterations + 1 confirming, got $iters")
+    assert(iters === 3, s"expected 2 spreading rounds + 1 confirming, got $iters")
     // no-edge corpus converges in one confirming iteration
     val (solo, soloIters) = Dedup.nearDupClustersConverged(
       ids, "doc_id", Seq.empty[(Long, Long)].toDF("id_a", "id_b"))
     assert(solo.collect().forall(r => r.getLong(0) === r.getLong(1) && r.getBoolean(2)))
     assert(soloIters === 1)
+  }
+
+  test("pointer doubling clusters a 50-hop path in O(log D) rounds") {
+    // the silent-undercluster hazard: a chained component (A~B~C~… under
+    // threshold transitivity) whose diameter exceeds any fixed round
+    // budget. 51 nodes, 50 hops — per-round coverage doubles (2, 6, 14,
+    // 30, 62), so the whole chain labels in 5 rounds + 1 confirming,
+    // where plain hash-min would need 50.
+    val ids = (1L to 51L).toDF("doc_id")
+    val pairs = (1L to 50L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val (out, iters) = Dedup.nearDupClustersConverged(ids, "doc_id", pairs)
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(rows.forall(_._2 == 1L), "every chain member must reach the component min")
+    assert(rows.count(_._3) === 1, "exactly one canonical survivor")
+    assert(iters <= 6, s"O(log D) contract: 50 hops within 6 rounds, got $iters")
+    // id order along the chain must not matter: reverse the id layout
+    // (worst case for min-chasing direction)
+    val rev = (1L to 50L).map(i => (52 - i, 52 - i - 1)).toDF("id_a", "id_b")
+    val (out2, iters2) = Dedup.nearDupClustersConverged(ids, "doc_id", rev)
+    assert(out2.collect().forall(_.getLong(1) == 1L))
+    assert(iters2 <= 7, s"reversed layout must converge in O(log D) too, got $iters2")
   }
 
   test("nearDupClusters: one iteration spreads the min label exactly one hop") {
