@@ -50,31 +50,36 @@ object Knn {
     * (q_id, rk, cand_id, sim) with the same (sim DESC, cand_id ASC)
     * order and 6-decimal rounding as the window formulation it replaced.
     *
-    * The aggregator buffers candidate ids as LONG, so the mergeable path
-    * requires an integral id column; for any other id type (string
-    * uuids, decimals) this falls back to the row_number window — correct
-    * for every orderable type, at the cost of the per-query sort.
+    * Integral ids ride the buffer as LONG; string/binary ids (UUIDs,
+    * URLs — at least as common as longs in production corpora) ride it
+    * as their UTF-8 bytes, whose unsigned byte order IS Spark's string
+    * sort order, so both take the mergeable path with window-identical
+    * results. Only exotic id types (decimal, timestamp) fall back to
+    * the row_number window — correct for every orderable type, at the
+    * cost of the per-query sort.
     */
   private def topKSelect(sims: DataFrame, idType: org.apache.spark.sql.types.DataType,
                          k: Int): DataFrame = {
     import org.apache.spark.sql.types._
-    val integralId = idType match {
-      case ByteType | ShortType | IntegerType | LongType => true
-      case _ => false
-    }
-    if (integralId)
-      sims.groupBy("q_id")
-        .agg(graft.functions.TopKAggregator.topK(k)(
-          col("sim"), col("cand_id").cast("long")).as("tk"))
-        .select(col("q_id"), posexplode(col("tk")).as(Seq("pos", "sc")))
-        .select(col("q_id"), (col("pos") + 1).as("rk"),
-          col("sc.cand_id").cast(idType).as("cand_id"),
-          round(col("sc.sim"), 6).as("sim"))
-    else {
-      val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("cand_id"))
-      sims.withColumn("rk", row_number().over(w))
-        .where(col("rk") <= k)
-        .select(col("q_id"), col("rk"), col("cand_id"), round(col("sim"), 6).as("sim"))
+    def unpack(agged: DataFrame): DataFrame = agged
+      .select(col("q_id"), posexplode(col("tk")).as(Seq("pos", "sc")))
+      .select(col("q_id"), (col("pos") + 1).as("rk"),
+        col("sc.cand_id").cast(idType).as("cand_id"),
+        round(col("sc.sim"), 6).as("sim"))
+    idType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        unpack(sims.groupBy("q_id")
+          .agg(graft.functions.TopKAggregator.topK(k)(
+            col("sim"), col("cand_id").cast("long")).as("tk")))
+      case StringType | BinaryType =>
+        unpack(sims.groupBy("q_id")
+          .agg(graft.functions.TopKAggregator.topKBinary(k)(
+            col("sim"), col("cand_id").cast("binary")).as("tk")))
+      case _ =>
+        val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("cand_id"))
+        sims.withColumn("rk", row_number().over(w))
+          .where(col("rk") <= k)
+          .select(col("q_id"), col("rk"), col("cand_id"), round(col("sim"), 6).as("sim"))
     }
   }
 

@@ -12,6 +12,15 @@ import org.apache.spark.sql.functions._
   */
 object EmbeddingQueries {
 
+  /** SRP band-bucket skew cap for the catalog near-dup queries (q36/
+    * q76): a band bucket with more members than this carries no blocking
+    * signal (it would k² the candidate stage) and is dropped before the
+    * self-join. Far above any legitimate bucket at the tested scale
+    * factors — it engages only on degenerate skew (clone floods); the
+    * drop behavior itself is fixture-tested in KnnSpec.
+    */
+  private val srpBucketCap = 2000
+
   /** DuckDB double dot product of two float lists, exact per-element. */
   private def sqlDot(a: String, b: String): String =
     s"list_sum(list_transform(range(1, len($a)+1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
@@ -53,11 +62,20 @@ object EmbeddingQueries {
     * bands × 4 bits over 64 dims): `h` regenerates the md5-seeded ±1
     * hyperplanes bit-identically, `bands` packs sign bits into per-band
     * chunks, `cand` is the band-bucket equi-join, `blocked` scores
-    * cosine only within buckets. Ends with the `blocked` CTE so callers
-    * append their own SELECT.
+    * cosine only within buckets. `maxBucket` mirrors the Spark side's
+    * `capBuckets` skew guard (drop band buckets larger than the cap
+    * before the self-join — the q63 minhash pattern). Ends with the
+    * `blocked` CTE so callers append their own SELECT.
     */
   private def srpCte(dims: Int = 64, nBits: Int = 32, pred: String = "TRUE",
-                     rowsPerBand: Int = 4): String = s"""
+                     rowsPerBand: Int = 4, maxBucket: Int = Int.MaxValue): String = {
+    val bandSrc = if (maxBucket == Int.MaxValue) "bands" else "kept"
+    val keptCte = if (maxBucket == Int.MaxValue) "" else s"""
+      kept AS (SELECT vec_id, band, chunk FROM
+                 (SELECT vec_id, band, chunk,
+                         COUNT(*) OVER (PARTITION BY band, chunk) AS bsz FROM bands)
+               WHERE bsz <= $maxBucket),"""
+    s"""
       h AS (SELECT j, list_transform(range(0, $dims),
               i -> CASE WHEN substr(md5(j || ':' || i), 1, 1)
                         IN ('8','9','a','b','c','d','e','f')
@@ -70,14 +88,15 @@ object EmbeddingQueries {
                FROM e CROSS JOIN h),
       bands AS (SELECT vec_id, j // $rowsPerBand AS band,
                        SUM(bit * (1 << (j % $rowsPerBand))) AS chunk
-                FROM bits GROUP BY 1, 2),
+                FROM bits GROUP BY 1, 2),$keptCte
       cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-               FROM bands a JOIN bands b
+               FROM $bandSrc a JOIN $bandSrc b
                  ON a.band = b.band AND a.chunk = b.chunk AND a.vec_id < b.vec_id),
       blocked AS (SELECT c.id_a, c.id_b,
                          ${sqlDot("ea.embedding", "eb.embedding")} / (ea.nrm * eb.nrm) AS s
                   FROM cand c JOIN e ea ON ea.vec_id = c.id_a
                               JOIN e eb ON eb.vec_id = c.id_b)"""
+  }
 
   /** One unrolled Lloyd iteration as DuckDB CTEs: cosine-assign every
     * vector to its nearest centroid from CTE `cin`, then rebuild each
@@ -274,14 +293,18 @@ object EmbeddingQueries {
     // LSH — 32 md5-seeded ±1 hyperplanes, 8 bands × 4 bits, cosine scored
     // only within buckets. Blocked (NOT all-pairs): the band equi-join is
     // what survives 100 TB; q62 measures its recall against the exact
-    // all-pairs path on a bounded slice.
+    // all-pairs path on a bounded slice. The bucket-skew cap is ENGAGED
+    // (mirrored in the oracle): far above any legitimate bucket at these
+    // corpora, it exists to drop the one degenerate band bucket (clone
+    // floods, zero-information chunks) whose k² would otherwise dominate
+    // the candidate stage at scale — KnnSpec fixtures the drop.
     QueryDef("q36_embedding_neardup", Some(s"""
-      WITH ${srpCte()}
+      WITH ${srpCte(maxBucket = srpBucketCap)}
       SELECT id_a, id_b, ROUND(s, 6) AS sim FROM blocked
       WHERE s > CAST(0.25 AS DOUBLE) ORDER BY id_a, id_b"""),
       (s, dir) =>
         Knn.srpNearDupPairs(Tables.read(s, dir, "embeddings"), "vec_id", "embedding",
-            dims = 64, threshold = 0.25)
+            dims = 64, threshold = 0.25, maxBucketSize = srpBucketCap)
           .orderBy("id_a", "id_b")),
 
     // ---- q78: does int8 storage change what search FINDS? recall@5 of
@@ -363,7 +386,7 @@ object EmbeddingQueries {
     // actually UNDER-clustered here: the SRP dup graph is dense enough
     // to chain beyond 3 hops at sf0.01 already.
     QueryDef("q76_embedding_dup_clusters", Some(s"""
-      WITH ${srpCte()},
+      WITH ${srpCte(maxBucket = srpBucketCap)},
       ver AS (SELECT id_a, id_b FROM blocked WHERE s > CAST(0.25 AS DOUBLE)),
       edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM ver
                 UNION ALL SELECT id_b, id_a FROM ver),
@@ -374,7 +397,7 @@ object EmbeddingQueries {
       (s, dir) => {
         val emb = Tables.read(s, dir, "embeddings")
         val pairs = Knn.srpNearDupPairs(emb, "vec_id", "embedding",
-            dims = 64, threshold = 0.25)
+            dims = 64, threshold = 0.25, maxBucketSize = srpBucketCap)
           .select("id_a", "id_b")
         graft.dedup.Dedup.nearDupClustersConverged(emb.select("vec_id"), "vec_id", pairs)._1
           .orderBy("vec_id")

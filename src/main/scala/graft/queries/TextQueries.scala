@@ -18,6 +18,12 @@ object TextQueries {
   /** Stopword list — inlined identically in the DuckDB oracles. */
   val Stop: Seq[String] = Seq("the", "a")
 
+  /** md5 hex digits in q80's packing shard key: 2 → 256 shards, each
+    * sorting ~0.4% of the corpus in its running-sum partition. The dial
+    * to raise with corpus size (3 → 4096 shards, …).
+    */
+  private val packShardDigits = 2
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.read(s, dir, "documents")
 
@@ -540,9 +546,14 @@ object TextQueries {
       }),
 
     // ---- q70: deterministic stratified sample — rank docs inside each
-    // train/val/test stratum by a salted hash and keep the top 3 per
-    // stratum. Stable under reprocessing, one shuffle on the stratum
-    // key; the per-stratum window never sees more than its stratum.
+    // train/val/test stratum by a salted hash and keep the first 3 per
+    // stratum. Stable under reprocessing. Selection is the mergeable
+    // BottomKAggregator, NOT a window: with only 3 strata a
+    // row_number() window would sort the whole corpus on 3 partitions
+    // (the exact WindowExec hazard everything else here avoids), while
+    // the k-slot buffer keeps ≤3 rows per (stratum, partition) and
+    // merges — same (key, doc_id) total order, so the oracle's
+    // ROW_NUMBER formulation is unchanged.
     QueryDef("q70_stratified_sample", Some("""
       WITH s AS (SELECT doc_id,
                    CASE WHEN substr(md5(doc_id::VARCHAR), 1, 1) = 'f' THEN 'test'
@@ -557,14 +568,14 @@ object TextQueries {
       SELECT split, rk, doc_id FROM r WHERE rk <= 3 ORDER BY split, rk"""),
       (s, dir) => {
         val h = substring(md5(col("doc_id").cast("string")), 1, 1)
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("split").orderBy(col("key"), col("doc_id"))
         docs(s, dir).select(col("doc_id"),
             when(h === "f", "test").when(h === "e", "val").otherwise("train").as("split"),
             md5(concat(col("doc_id").cast("string"), lit(":s"))).as("key"))
-          .withColumn("rk", row_number().over(w))
-          .where(col("rk") <= 3)
-          .select(col("split"), col("rk"), col("doc_id"))
+          .groupBy("split")
+          .agg(graft.functions.TopKAggregator.bottomK(3)(
+            col("key").cast("binary"), col("doc_id")).as("bk"))
+          .select(col("split"), posexplode(col("bk")).as(Seq("pos", "s")))
+          .select(col("split"), (col("pos") + 1).as("rk"), col("s.id").as("doc_id"))
           .orderBy("split", "rk")
       }),
 
@@ -654,15 +665,17 @@ object TextQueries {
           .orderBy("chunk_fp")),
 
     // ---- q80: shard-local sequence packing — assign docs to ≤256-token
-    // packs by an exclusive running token sum within 16 md5 shards (the
-    // scale-true form: packing is a running sum, which cannot be global
-    // at 100 TB, so it runs inside hash shards that each fit a
-    // partition; a pack may overrun the budget by less than one doc —
-    // the standard greedy tradeoff). Deterministic: shard by md5 of the
-    // id, order by id.
+    // packs by an exclusive running token sum within 256 md5 shards (two
+    // hex digits; the scale-true form: packing is a running sum, which
+    // cannot be global at 100 TB, so it runs inside hash shards that
+    // each fit a partition — 256 shards put ~0.4% of the corpus per
+    // shard-sort, and the digit count is the dial to turn further up
+    // with corpus size; a pack may overrun the budget by less than one
+    // doc — the standard greedy tradeoff). Deterministic: shard by md5
+    // of the id, order by id.
     QueryDef("q80_packing", Some(s"""${toksCte()},
       d AS (SELECT doc_id, len(tokens) AS n,
-                   substr(md5(doc_id::VARCHAR), 1, 1) AS shard
+                   substr(md5(doc_id::VARCHAR), 1, $packShardDigits) AS shard
             FROM toks),
       p AS (SELECT shard, doc_id, n,
               CAST(FLOOR(COALESCE(SUM(n) OVER (PARTITION BY shard ORDER BY doc_id
@@ -677,7 +690,7 @@ object TextQueries {
           .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
         tokenized(s, dir)
           .select(col("doc_id"), size(col("tokens")).as("n"),
-            substring(md5(col("doc_id").cast("string")), 1, 1).as("shard"))
+            substring(md5(col("doc_id").cast("string")), 1, packShardDigits).as("shard"))
           .withColumn("pack_id",
             floor(coalesce(sum(col("n")).over(w), lit(0L)) / lit(256.0)).cast("int"))
           .groupBy("shard", "pack_id")

@@ -34,6 +34,24 @@ class KnnSpec extends SparkTestBase {
     assert(knn(2)._4 === 0.0)
   }
 
+  test("string-id kNN takes the mergeable aggregation path with window-identical order") {
+    val sEmb = Seq(
+      ("q", Array(1.0f, 1.0f, 0.0f)),
+      ("10", Array(1.0f, 0.0f, 0.0f)),  // ties "2" on cosine
+      ("2", Array(2.0f, 0.0f, 0.0f)),   // "10" < "2" in byte order (≠ numeric)
+      ("z", Array(0.0f, 1.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val knn = Knn.cosineKnn(sEmb, "vec_id", "embedding", col("vec_id") === "q", k = 3)
+    assert(knn.queryExecution.executedPlan.collect {
+      case p if p.nodeName == "Window" => p
+    }.isEmpty, "string ids must use the partial-aggregable top-k, not a window sort")
+    val rows = knn.orderBy("rk").as[(String, Int, String, Double)].collect()
+    assert(rows.map(_._3).toSeq === Seq("10", "2", "z"),
+      "cosine tie must break by UTF-8 byte order of the id")
+    assert(math.abs(rows(0)._4 - 0.707107) < 1e-6)
+    assert(math.abs(rows(2)._4 - 0.5) < 1e-6)
+  }
+
   test("near-dup pairs by cosine threshold") {
     val pairs = Knn.nearDupPairs(emb, "vec_id", "embedding", 0.99)
       .as[(Long, Long, Double)].collect().toList
@@ -52,6 +70,24 @@ class KnnSpec extends SparkTestBase {
     // 4 bands × 4 bits at threshold 0.25 should keep most true pairs
     assert(blocked.size.toDouble / all.size > 0.5,
       s"recall too low: ${blocked.size}/${all.size}")
+  }
+
+  test("SRP bucket cap drops a degenerate clone-flood bucket, keeps real pairs") {
+    // 30 identical vectors land in one bucket of every band — the k²
+    // hazard the cap exists for. With the cap they produce no candidate
+    // pairs; the genuine near-dup pair (different bucket, size 2)
+    // survives untouched.
+    val clones = (0L until 30L).map(i => (i, Array(1.0f, 0.0f, 0.0f)))
+    val pair = Seq((100L, Array(0.0f, 1.0f, 0.10f)), (101L, Array(0.0f, 1.0f, 0.11f)))
+    val emb = (clones ++ pair).toDF("vec_id", "embedding")
+    val capped = Knn.srpNearDupPairs(emb, "vec_id", "embedding",
+        dims = 3, threshold = 0.9, maxBucketSize = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped === Set((100L, 101L)),
+      "capped blocking must drop the clone flood and keep the real pair")
+    val uncapped = Knn.srpNearDupPairs(emb, "vec_id", "embedding",
+      dims = 3, threshold = 0.9).count()
+    assert(uncapped > 400, s"without the cap the clone bucket k²'s: got $uncapped")
   }
 
   test("k-means recovers two well-separated clusters from poor seeds") {

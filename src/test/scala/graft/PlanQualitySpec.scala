@@ -162,6 +162,17 @@ class PlanQualitySpec extends SparkTestBase {
       "the sketch must NOT be distributed via a cross join")
   }
 
+  test("q70 stratified sample: mergeable bottom-k, no window over the 3 strata") {
+    // a row_number window partitioned by split would sort the whole
+    // corpus on exactly 3 partitions at any scale; the k-slot aggregator
+    // bounds per-task state to k rows per stratum
+    val plan = collectAll(executed(q("q70_stratified_sample")))
+    assert(!plan.exists(_.nodeName == "Window"),
+      "stratified sampling must not rank via WindowExec")
+    assert(plan.exists(_.nodeName.contains("ObjectHashAggregate")),
+      "selection must be the mergeable k-slot aggregator")
+  }
+
   test("q14 hourly window: partial aggregation before the shuffle") {
     val plan = collectAll(executed(q("q14_hourly_window")))
     val aggs = plan.filter(_.nodeName.contains("HashAggregate")).map(_.toString)

@@ -112,6 +112,37 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("TopKBinaryAggregator ≡ row_number window for string-keyed scored pairs") {
+    import org.apache.spark.sql.expressions.Window
+    // string ids whose lexicographic and numeric orders DIFFER (e.g.
+    // "10" < "2") plus heavy sim ties: the binary-buffered aggregator's
+    // unsigned byte comparison must reproduce the window's UTF8String
+    // order exactly
+    val pairGen: Gen[(Long, String, Double)] = for {
+      q <- Gen.choose(0L, 5L)
+      c <- Gen.choose(0L, 40L).map(_.toString)
+      s <- Gen.choose(0, 10).map(_ / 10.0)
+    } yield (q, c, s)
+    val rows = sample(pairGen, 400)
+      .groupBy(p => (p._1, p._2)).map(_._2.head).toSeq
+    val df = rows.toDF("q_id", "cand_id", "sim").cache()
+    for (k <- Seq(1, 3, 7)) {
+      val viaAgg = df.groupBy("q_id")
+        .agg(graft.functions.TopKAggregator.topKBinary(k)(
+          col("sim"), col("cand_id").cast("binary")).as("tk"))
+        .select(col("q_id"), posexplode(col("tk")).as(Seq("pos", "sc")))
+        .select(col("q_id"), (col("pos") + 1).as("rk"),
+          col("sc.cand_id").cast("string").as("cand_id"), col("sc.sim").as("sim"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getDouble(3))).toSet
+      val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("cand_id"))
+      val viaWindow = df.withColumn("rk", row_number().over(w))
+        .where(col("rk") <= k)
+        .select("q_id", "rk", "cand_id", "sim")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getDouble(3))).toSet
+      assert(viaAgg === viaWindow, s"divergence at k=$k")
+    }
+  }
+
   test("minhash equality is permutation-invariant for arbitrary token arrays") {
     val tokensGen = Gen.listOfN(10, Gen.alphaLowerStr.map(_.take(5))).map(_.toSeq)
     val cases = sample(tokensGen, 100)
