@@ -102,6 +102,47 @@ object MultimodalQueries {
             Multimodal.ppmMeanLuma(col("payload"), col("m.width"), col("m.height"))
               .as("mean_luma"))
           .orderBy("doc_id")
+      }),
+
+    // ---- q85: the PARTITION-WISE decode path — the same P3 payloads as
+    // q75, decoded through Multimodal.decodeImages (typed mapPartitions,
+    // one decoder instance per partition — where a real JNI/libjpeg
+    // codec plugs in) with the real byte-level ppmDecoder instead of
+    // column expressions. Same parse, same exact long-sum/double-divide
+    // arithmetic, so it shares q75's oracle shape: a pipeline that
+    // swaps in a native codec keeps this row green as its contract.
+    QueryDef("q85_ppm_decode_partitions", Some("""
+      WITH p AS (SELECT doc_id,
+                   CAST(n_chars % 8 + 1 AS INTEGER) AS w,
+                   CAST((n_chars // 8) % 8 + 1 AS INTEGER) AS h
+                 FROM documents),
+      pay AS (SELECT doc_id,
+                'P3' || chr(10) || w::VARCHAR || ' ' || h::VARCHAR || chr(10) ||
+                '255' || chr(10) ||
+                array_to_string(list_transform(range(0, w * h * 3),
+                  k -> CAST((doc_id * 7 + k * 13) % 256 AS VARCHAR)), ' ') AS payload
+              FROM p),
+      d AS (SELECT doc_id, payload,
+              CAST(regexp_extract(payload, '^P3\n(\d+) (\d+)\n', 1) AS INTEGER) AS width,
+              CAST(regexp_extract(payload, '^P3\n(\d+) (\d+)\n', 2) AS INTEGER) AS height
+            FROM pay)
+      SELECT doc_id, CAST(octet_length(encode(payload)) AS INTEGER) AS n_bytes,
+             width, height,
+             CAST(list_sum(list_transform(
+                    string_split(string_split(payload, chr(10))[4], ' '),
+                    x -> CAST(x AS BIGINT))) AS DOUBLE)
+               / (width * height * 3) AS mean_luma
+      FROM d ORDER BY doc_id"""),
+      (s, dir) => {
+        val w = (col("n_chars") % 8 + 1).cast("int")
+        val h = (expr("n_chars div 8") % 8 + 1).cast("int")
+        val pay = Tables.read(s, dir, "documents")
+          .select(col("doc_id"), Multimodal.ppmPayload(col("doc_id"), w, h).as("payload"))
+        Multimodal.decodeImages(pay, "doc_id", "payload", Multimodal.ppmDecoder)
+          .toDF()
+          .select(col("id").as("doc_id"), col("n_bytes"),
+            col("width"), col("height"), col("mean_luma"))
+          .orderBy("doc_id")
       })
   )
 }

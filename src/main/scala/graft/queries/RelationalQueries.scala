@@ -309,6 +309,37 @@ object RelationalQueries {
                round(expr("percentile(l_extendedprice, 0.99)"), 6).as("p99_price"))
           .orderBy("l_returnflag")),
 
+    // ---- q86: the sketch twin of q57 as an oracle-checked row — exact
+    // percentiles (DuckDB-verifiable) PLUS booleans asserting the
+    // mergeable approx_percentile sketch landed within its calibrated
+    // bound of them. The approx value itself is engine-specific and
+    // never emitted; what the oracle locks is the exact answer and the
+    // bound-satisfaction contract — the measured license to swap the
+    // sketch in at 100 TB, where exact percentile's per-group value
+    // buffer stops being an option (ApproxPercentileSpec measures the
+    // same bound as a spec). Bounds are comparison-only (no division,
+    // no /0 edge): |approx − exact| ≤ 1.0 qty, ≤ 1% relative price.
+    QueryDef("q86_approx_percentile_bound", Some("""
+      SELECT l_returnflag,
+             ROUND(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
+             ROUND(quantile_cont(l_extendedprice, 0.99), 6) AS p99_price,
+             TRUE AS p50_within_1, TRUE AS p99_within_1pct
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+      (s, dir) =>
+        Tables.read(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(expr("percentile(l_quantity, 0.5)").as("p50_exact"),
+            expr("approx_percentile(l_quantity, 0.5, 10000)").as("p50_approx"),
+            expr("percentile(l_extendedprice, 0.99)").as("p99_exact"),
+            expr("approx_percentile(l_extendedprice, 0.99, 10000)").as("p99_approx"))
+          .select(col("l_returnflag"),
+            round(col("p50_exact"), 6).as("p50_qty"),
+            round(col("p99_exact"), 6).as("p99_price"),
+            (abs(col("p50_approx") - col("p50_exact")) <= 1.0).as("p50_within_1"),
+            (abs(col("p99_approx") - col("p99_exact")) <= col("p99_exact") * 0.01)
+              .as("p99_within_1pct"))
+          .orderBy("l_returnflag")),
+
     // ---- q58: pivot (long → wide): order counts per status column.
     QueryDef("q58_pivot", Some("""
       SELECT o_orderpriority,

@@ -612,6 +612,30 @@ object TextQueries {
             (count(when(col("is_en"), lit(1))).cast("double") / count(lit(1)))
               .as("en_frac"))),
 
+    // ---- q87: the sketch twin of q71's dup stats as an oracle-checked
+    // row — the exact distinct-fingerprint count (DuckDB-verifiable)
+    // plus a boolean asserting the HyperLogLog++ sketch landed within
+    // 3σ of it (rsd 0.02 → 6%). Exact COUNT(DISTINCT) shuffles every
+    // distinct key; the fixed-size mergeable sketch is the 100 TB path,
+    // and this row is its measured license (ApproxDistinctSpec measures
+    // the same bound as a spec). Comparison-only bound — no division.
+    QueryDef("q87_approx_distinct_bound", Some(s"""${toksCte()},
+      per AS (SELECT doc_id,
+                     md5(array_to_string(list_sort(list_distinct(tokens)), ' ')) AS fp
+              FROM toks WHERE len(tokens) > 0)
+      SELECT COUNT(*) AS n_docs, COUNT(DISTINCT fp) AS n_distinct_bow,
+             TRUE AS hll_within_3sigma
+      FROM per"""),
+      (s, dir) =>
+        tokenized(s, dir).where(size(col("tokens")) > 0)
+          .select(md5(concat_ws(" ", array_sort(array_distinct(col("tokens"))))).as("fp"))
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("fp")).as("n_distinct_bow"),
+            approx_count_distinct(col("fp"), rsd = 0.02).as("hll"))
+          .select(col("n_docs"), col("n_distinct_bow"),
+            (abs(col("hll") - col("n_distinct_bow")).cast("double") <=
+              col("n_distinct_bow") * 0.06).as("hll_within_3sigma"))),
+
     // ---- q79: document chunking — fixed 64-token windows every 48
     // tokens (16-token overlap, tail clamped) with per-chunk token
     // count and content fingerprint: the step that turns variable-length
