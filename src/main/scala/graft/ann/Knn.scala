@@ -142,6 +142,14 @@ object Knn {
                       centroidPred: Column, iters: Int): DataFrame = {
     var centroids = emb.where(centroidPred)
       .select(col(idCol).as("centroid_id"), col(vecCol).as("cent_vec"))
+    // each iteration's centroids (k rows — trivially cheap) are
+    // materialized via localCheckpoint before feeding the next: without
+    // it iteration N's plan nests all N−1 predecessors, so a 20-
+    // iteration training run re-derives a deep chain every action — the
+    // same lineage trap nearDupClustersConverged solves for labels.
+    // The superseded iteration's blocks are released; the final one
+    // stays (the caller reads it).
+    var prevCp: Option[DataFrame] = None
     (1 to iters).foreach { _ =>
       // a recomputed mean could in principle collapse to the zero vector;
       // drop it rather than divide by zero under ANSI mode
@@ -160,7 +168,7 @@ object Knn {
         .select(col(idCol), col("best.v").as(vecCol), col("best.centroid_id").as("centroid_id"))
       // per-cluster mean: explode to (cluster, dim, value), aggregate,
       // rebuild the vector ordered by dimension index
-      centroids = assigned
+      val next = assigned
         .select(col("centroid_id"), posexplode(col(vecCol)).as(Seq("dim", "v")))
         .groupBy("centroid_id", "dim")
         .agg(avg(col("v")).as("m"))
@@ -168,6 +176,10 @@ object Knn {
         .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
         .select(col("centroid_id"),
           transform(col("dm"), x => x.getField("m").cast("float")).as("cent_vec"))
+        .localCheckpoint()
+      prevCp.foreach(graft.operators.Lineage.releaseCheckpoint)
+      prevCp = Some(next)
+      centroids = next
     }
     centroids
   }

@@ -323,14 +323,10 @@ object Dedup {
     val edges = pairs.select(col("id_a").as("e_src"), col("id_b").as("e_dst"))
       .union(pairs.select(col("id_b").as("e_src"), col("id_a").as("e_dst")))
       .localCheckpoint()
-    // release a superseded iteration's checkpoint blocks: localCheckpoint
-    // persists the materialized RDD behind a LogicalRDD node, and without
-    // an explicit unpersist a long convergence run would pin every
+    // superseded iterations release their checkpoint blocks (see
+    // operators.Lineage) — a long convergence run must not pin every
     // iteration's full label table in executor storage
-    def releaseCheckpoint(df: DataFrame): Unit =
-      df.queryExecution.analyzed.collectFirst {
-        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
-      }.foreach(_.unpersist(blocking = false))
+    import graft.operators.Lineage.releaseCheckpoint
     var labels = ids.select(col(idCol).as("id"), col(idCol).as("label")).localCheckpoint()
     var it = 0
     var converged = false
