@@ -143,6 +143,80 @@ object Multimodal {
     }
   }
 
+  /** REAL image decode #2: parse a Windows BMP payload (BITMAPINFOHEADER,
+    * 24 bits per pixel, uncompressed — the overwhelmingly common .bmp on
+    * disk) directly from its bytes: 'BM' magic, little-endian header
+    * fields, then the bottom-up raster whose rows are padded to 4-byte
+    * boundaries. Returns (width, height, mean pixel sample value) with
+    * the mean taken over the B/G/R samples only — padding bytes are
+    * skipped, which is what makes this a parse and not a byte average.
+    * Unsupported variants (palette bpp, compression, top-down negative
+    * height) fail loudly. Plug into [[decodeImages]] as the `decoder`.
+    */
+  def bmpDecoder(bytes: Array[Byte]): (Int, Int, Double) = {
+    def u8(i: Int) = bytes(i) & 0xff
+    def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int) = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    require(bytes.length >= 54, "truncated BMP header")
+    require(bytes(0) == 'B' && bytes(1) == 'M', "not a BMP payload")
+    val dataOffset = le32(10)
+    require(dataOffset >= 54 && dataOffset <= bytes.length,
+      s"bad BMP data offset $dataOffset")
+    require(le32(14) >= 40, s"unsupported BMP header size ${le32(14)}")
+    val w = le32(18)
+    val h = le32(22) // negative = top-down variant, not supported here
+    require(w > 0 && h > 0, s"bad BMP dimensions: ${w}x$h")
+    require(le16(26) == 1, s"bad BMP plane count ${le16(26)}")
+    require(le16(28) == 24, s"only 24bpp BMP supported, got ${le16(28)}")
+    require(le32(30) == 0, "only uncompressed BMP supported")
+    val rowSize = ((w * 3 + 3) / 4) * 4
+    val nL = w.toLong * h * 3
+    require(nL <= Int.MaxValue, s"BMP raster too large: ${w}x$h")
+    require(bytes.length.toLong >= dataOffset.toLong + rowSize.toLong * h,
+      s"BMP raster truncated: ${bytes.length - dataOffset} < ${rowSize.toLong * h}")
+    var sum = 0L
+    var r = 0
+    while (r < h) {
+      val base = dataOffset + r * rowSize
+      var p = 0
+      while (p < w * 3) { sum += bytes(base + p) & 0xff; p += 1 }
+      r += 1
+    }
+    (w, h, sum.toDouble / nL)
+  }
+
+  /** Hex of one byte-valued column (0..255), lowercase 2 digits. */
+  private def hexByte(b: Column): Column = lpad(lower(hex(b.cast("int"))), 2, "0")
+  private def le16hex(v: Column): Column =
+    concat(hexByte(pmod(v, lit(256))), hexByte(pmod(shiftright(v, 8), lit(256))))
+  private def le32hex(v: Column): Column =
+    concat(hexByte(pmod(v, lit(256))), hexByte(pmod(shiftright(v, 8), lit(256))),
+      hexByte(pmod(shiftright(v, 16), lit(256))), hexByte(pmod(shiftright(v, 24), lit(256))))
+
+  /** Synthesized 24bpp BMP payload column — a REAL image file any viewer
+    * would open (file header, BITMAPINFOHEADER, padded raster), built as
+    * a hex string and `unhex`ed to binary so arbitrary byte values work
+    * through pure column expressions. Pixel sample k (in stored order,
+    * padding excluded) is `(id*7 + k*13) % 256` — the same generator as
+    * [[ppmPayload]], so oracles recompute the decoded mean without
+    * parsing bytes.
+    */
+  def bmpPayload(id: Column, w: Column, h: Column): Column = {
+    val pad = pmod(lit(4) - pmod(w * 3, lit(4)), lit(4))
+    val rowSize = w * 3 + pad
+    val imageSize = rowSize * h
+    val header = concat(
+      lit("424d"), le32hex(lit(54) + imageSize), lit("00000000"), le32hex(lit(54)),
+      le32hex(lit(40)), le32hex(w), le32hex(h), le16hex(lit(1)), le16hex(lit(24)),
+      le32hex(lit(0)), le32hex(imageSize),
+      le32hex(lit(0)), le32hex(lit(0)), le32hex(lit(0)), le32hex(lit(0)))
+    val padHex = element_at(array(lit(""), lit("00"), lit("0000"), lit("000000")), pad + 1)
+    val raster = concat_ws("", transform(sequence(lit(0), h - 1), r =>
+      concat(concat_ws("", transform(sequence(lit(0), w * 3 - 1), p =>
+        hexByte(pmod(id * 7 + (r * (w * 3) + p) * 13, lit(256))))), padHex)))
+    unhex(concat(header, raster))
+  }
+
   /** Synthesized plain-PPM (P3, pure ASCII) payload column — a REAL
     * image file any Netpbm tool would open, generated per row so decode
     * tests and oracles have actual bytes to parse. Pixel sample k is

@@ -143,6 +143,40 @@ object MultimodalQueries {
           .select(col("id").as("doc_id"), col("n_bytes"),
             col("width"), col("height"), col("mean_luma"))
           .orderBy("doc_id")
+      }),
+
+    // ---- q88: REAL binary-format decode — synthesize a valid 24bpp
+    // Windows BMP per doc (little-endian headers, 4-byte-padded
+    // bottom-up raster — genuinely binary, unlike P3's ASCII) and parse
+    // width/height/mean back out of the bytes with bmpDecoder through
+    // the partition-wise path. The oracle recomputes every output from
+    // the payload GENERATOR's closed form instead of parsing bytes —
+    // an independent check of the parse (header offsets, padding skip,
+    // exact long-sum/double-divide mean). Dims w∈1..6 cycle the row
+    // padding through all four phases (3,2,1,0 bytes).
+    QueryDef("q88_bmp_decode", Some("""
+      WITH p AS (SELECT doc_id,
+                   CAST(n_chars % 6 + 1 AS INTEGER) AS w,
+                   CAST((n_chars // 6) % 6 + 1 AS INTEGER) AS h
+                 FROM documents),
+      d AS (SELECT doc_id, w, h, (4 - (w * 3) % 4) % 4 AS pad FROM p)
+      SELECT doc_id,
+             CAST(54 + (w * 3 + pad) * h AS INTEGER) AS n_bytes,
+             w AS width, h AS height,
+             CAST(list_sum(list_transform(range(0, w * h * 3),
+                    k -> (doc_id * 7 + k * 13) % 256)) AS DOUBLE)
+               / (w * h * 3) AS mean_luma
+      FROM d ORDER BY doc_id"""),
+      (s, dir) => {
+        val w = (col("n_chars") % 6 + 1).cast("int")
+        val h = (expr("n_chars div 6") % 6 + 1).cast("int")
+        val pay = Tables.read(s, dir, "documents")
+          .select(col("doc_id"), Multimodal.bmpPayload(col("doc_id"), w, h).as("payload"))
+        Multimodal.decodeImages(pay, "doc_id", "payload", Multimodal.bmpDecoder)
+          .toDF()
+          .select(col("id").as("doc_id"), col("n_bytes"),
+            col("width"), col("height"), col("mean_luma"))
+          .orderBy("doc_id")
       })
   )
 }

@@ -88,6 +88,50 @@ class MultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("bmpDecoder round-trips bmpPayload, including 4-byte row padding") {
+    // w=3 → rows pad by 3; w=4 → no pad; w=1 → pad 1: the mean must skip
+    // every padding byte or it silently dilutes
+    val cases = Seq((7L, 3, 2), (8L, 4, 1), (9L, 1, 5))
+    val rows = cases.toDF("id", "w", "h")
+      .select(col("id"), col("w"), col("h"),
+        Multimodal.bmpPayload(col("id"), col("w"), col("h")).as("payload"))
+      .collect()
+    rows.foreach { r =>
+      val (id, w, h) = (r.getLong(0), r.getInt(1), r.getInt(2))
+      val bytes = r.getAs[Array[Byte]](3)
+      val rowSize = ((w * 3 + 3) / 4) * 4
+      assert(bytes.length === 54 + rowSize * h, s"file size for ${w}x$h")
+      val (dw, dh, mean) = Multimodal.bmpDecoder(bytes)
+      assert((dw, dh) === (w, h))
+      val n = w * h * 3
+      val want = (0 until n).map(k => ((id * 7 + k * 13) % 256).toDouble).sum / n
+      assert(math.abs(mean - want) < 1e-12, s"mean for id=$id ${w}x$h")
+    }
+    // and through the distributed mapPartitions path
+    val d = Multimodal.decodeImages(
+        cases.toDF("id", "w", "h").select(col("id"),
+          Multimodal.bmpPayload(col("id"), col("w"), col("h")).as("bin")),
+        "id", "bin", Multimodal.bmpDecoder)
+      .collect().map(x => x.id -> (x.width, x.height)).toMap
+    assert(d === Map(7L -> (3, 2), 8L -> (4, 1), 9L -> (1, 5)))
+  }
+
+  test("bmpDecoder rejects non-BMP and unsupported variants loudly") {
+    intercept[Exception](Multimodal.bmpDecoder(Array.empty[Byte]))
+    intercept[Exception](Multimodal.bmpDecoder("P6\n2 2\n255\n".getBytes("US-ASCII")))
+    val good = Seq((1L, 2, 2)).toDF("id", "w", "h")
+      .select(Multimodal.bmpPayload(col("id"), col("w"), col("h")).as("p"))
+      .collect()(0).getAs[Array[Byte]](0)
+    // truncated raster
+    intercept[IllegalArgumentException](Multimodal.bmpDecoder(good.take(60)))
+    // 8bpp variant (patch the bpp field)
+    val bpp8 = good.clone(); bpp8(28) = 8
+    intercept[IllegalArgumentException](Multimodal.bmpDecoder(bpp8))
+    // compressed variant (patch the compression field)
+    val rle = good.clone(); rle(30) = 1
+    intercept[IllegalArgumentException](Multimodal.bmpDecoder(rle))
+  }
+
   test("P3 synthesis → column parse → JVM decoder all agree on the same bytes") {
     val src = Seq((3L, 4), (10L, 1)).toDF("id", "n")
     val pay = src.select(col("id"),
