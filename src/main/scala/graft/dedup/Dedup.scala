@@ -288,8 +288,8 @@ object Dedup {
   }
 
   /** [[nearDupClusters]] with pointer doubling and convergence detection
-    * — the production form, and the q72/q76 implementation. Each round
-    * runs TWO steps:
+    * — the production form, and the q72/q76 implementation. Each
+    * doubling round runs TWO steps:
     *
     *  1. hash-min propagation — take the min of a node's label and its
     *     neighbors' labels (one equi-join + partial-aggregable min), and
@@ -302,20 +302,21 @@ object Dedup {
     * components LSH verification produces, but a chained component
     * (A~B~C~… under threshold transitivity, common in web-scale dup
     * graphs) with diameter ≫ the round budget would silently
-    * undercluster. With the jump step a 50-hop path labels fully in 5
-    * rounds (+1 to detect the fixpoint): distances covered go 2, 6, 14,
-    * 30, 62 — O(log D). At the fixpoint every label provably equals its
-    * component's minimum id: labels only ever hold same-component ids
-    * and never increase, an un-labeled smaller neighbor would trigger
-    * step 1, and the min-id node itself can never be overwritten.
+    * undercluster. With the jump step, per-round hop coverage goes
+    * 2, 6, 14, 30, 62, … — O(log D); a 50-hop path labels fully in 5
+    * rounds plus one confirming round. At the fixpoint every label
+    * provably equals its component's minimum id: labels only ever hold
+    * same-component ids and never increase, an un-labeled smaller
+    * neighbor would trigger step 1, and the min-id node itself can
+    * never be overwritten.
     *
-    * Rounds iterate until NO label changed (one bounded driver-side
-    * existence probe per round — the only driver traffic), up to
-    * `maxIters`. Both per-round tables are materialized via
-    * `localCheckpoint` (superseded checkpoints released) so each round
-    * reads the previous round's rows instead of re-deriving the whole
-    * lineage — the truncation a long-running 100 TB job needs anyway.
-    * Returns (labels, roundsRun).
+    * Each round materializes exactly one table (the half-step labels,
+    * via `localCheckpoint`; superseded rounds release their blocks) so
+    * the next round reads rows instead of re-deriving the whole lineage
+    * — the truncation a long-running 100 TB job needs anyway — and
+    * runs one bounded driver-side existence probe (the only driver
+    * traffic) to detect the round that changed NO label, up to
+    * `maxIters` rounds. Returns (labels, roundsRun).
     */
   def nearDupClustersConverged(ids: DataFrame, idCol: String, pairs: DataFrame,
                                maxIters: Int = 20): (DataFrame, Int) = {
@@ -327,32 +328,47 @@ object Dedup {
     // operators.Lineage) — a long convergence run must not pin every
     // iteration's full label table in executor storage
     import graft.operators.Lineage.releaseCheckpoint
-    var labels = ids.select(col(idCol).as("id"), col(idCol).as("label")).localCheckpoint()
+
+    // Per-round cost discipline: exactly ONE materialization (the
+    // half-step table — it must exist as rows because the pointer jump
+    // self-joins it, and an un-materialized self-join re-derives the
+    // whole upstream once per branch: measured 25 shuffles / 0 reuses
+    // when fused lazily) and ONE convergence probe, which only reads
+    // cached rows: the change flag rides the checkpointed half-step and
+    // the jump output stays lazy (a shallow join over the cached table,
+    // re-derived cheaply by whoever reads it next).
+    var labels = ids.select(col(idCol).as("id"), col(idCol).as("label"))
+    var prevHalf: Option[DataFrame] = None
     var it = 0
     var converged = false
     while (it < maxIters && !converged) {
-      // step 1: hash-min over neighbors
+      // step 1: hash-min over neighbors, materialized WITH its change flag
       val nbrMin = edges.join(labels, edges("e_dst") === labels("id"))
         .groupBy(col("e_src").as("id"))
         .agg(min(col("label")).as("nbr_label"))
       val half = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
-          (col("nbr_label") < col("label")).as("_changed"))
-        .localCheckpoint() // eager — read twice by the self-join below
-      // step 2: pointer jump (label ← label(label))
-      val next = half.alias("h")
-        .join(half.select(col("id").as("p_id"), col("label").as("p_label")).alias("p"),
-          col("h.label") === col("p_id"), "left")
-        .select(col("h.id").as("id"),
-          least(col("h.label"), coalesce(col("p_label"), col("h.label"))).as("label"),
-          (coalesce(col("h._changed"), lit(false)) ||
-            col("p_label") < col("h.label")).as("_changed"))
-        .localCheckpoint() // eager — materialized before the old blocks go
-      converged = next.where(col("_changed")).limit(1).isEmpty
-      releaseCheckpoint(labels)
-      releaseCheckpoint(half)
-      labels = next.drop("_changed")
+          (col("nbr_label") < col("label")).as("_chg"))
+        .localCheckpoint() // eager; the only per-round materialization
+      // convergence probes the HASH-MIN flag alone — one early-exit scan
+      // of the just-cached rows. Sound: if no neighbor offered a smaller
+      // label, labels are already constant per component (= the min), so
+      // the jump below would be a no-op too.
+      converged = half.where(col("_chg")).limit(1).isEmpty
+      // step 2: pointer jump (label ← label(label)) — lazy over the
+      // cached half-step; skipped on the confirming round
+      labels =
+        if (converged) half.drop("_chg")
+        else half.alias("h")
+          .join(half.select(col("id").as("p_id"), col("label").as("p_label")).alias("p"),
+            col("h.label") === col("p_id"), "left")
+          .select(col("h.id").as("id"),
+            least(col("h.label"), coalesce(col("p_label"), col("h.label"))).as("label"))
+      // the previous round's half-step is dead once this round's is
+      // materialized (everything downstream reads the new one)
+      prevHalf.foreach(releaseCheckpoint)
+      prevHalf = Some(half)
       it += 1
     }
     (labels.select(col("id").as(idCol), col("label").as("cluster_id"),
