@@ -337,8 +337,12 @@ object Dedup {
     // cached rows: the change flag rides the checkpointed half-step and
     // the jump output stays lazy (a shallow join over the cached table,
     // re-derived cheaply by whoever reads it next).
-    var labels = ids.select(col(idCol).as("id"), col(idCol).as("label"))
-    var prevHalf: Option[DataFrame] = None
+    // the seed labels materialize too: `ids` may carry an arbitrary
+    // upstream pipeline (q72 feeds the tokenization read), and round 1
+    // references it in two join branches — un-materialized, a broadcast
+    // plan would derive that upstream twice
+    var labels = ids.select(col(idCol).as("id"), col(idCol).as("label")).localCheckpoint()
+    var prevHalf: Option[DataFrame] = Some(labels)
     var it = 0
     var converged = false
     while (it < maxIters && !converged) {

@@ -133,12 +133,12 @@ object Multimodal {
         var sum = 0L
         var k = 0
         while (k < n) { sum += bytes(i + k) & 0xff; k += 1 }
-        (w, h, if (n == 0) 0.0 else sum.toDouble / n)
+        (w, h, sum.toDouble / n) // n ≥ 3: dims are require'd positive
       case "P3" =>
         var sum = 0L
         var k = 0
         while (k < n) { sum += token().toLong; k += 1 }
-        (w, h, if (n == 0) 0.0 else sum.toDouble / n)
+        (w, h, sum.toDouble / n)
       case other => throw new IllegalArgumentException(s"not a PPM payload: $other")
     }
   }

@@ -16,6 +16,19 @@ final case class UserEvent(ts: java.sql.Timestamp, user_id: Long,
 /** Per-user running aggregate maintained by [[EventStreams.runningUserTotals]]. */
 final case class UserRunning(user_id: Long, n_events: Long, total_cents: Long)
 
+/** Exact scaled-integer cents of a 2-decimal double, replicating
+  * Spark's `round()` (BigDecimal HALF_UP) bit-for-bit — `math.round`
+  * is floor(x+0.5), which differs on negative values (refunds:
+  * round(-0.5) is -1 under HALF_UP, 0 under floor(x+0.5)) and would
+  * silently diverge the streaming folds from their oracle-checked
+  * batch twins.
+  */
+private object Cents {
+  def apply(value: Double): Long =
+    java.math.BigDecimal.valueOf(value * 100)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+}
+
 /** Structured-Streaming operators over the `events` shape
   * (ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE).
   *
@@ -163,7 +176,7 @@ object EventStreams {
           // recovers the full microsecond order q84 sorts by
           batch.toSeq.sortBy(e => (e.ts.toInstant.getEpochSecond, e.ts.getNanos,
             e.event_id, e.event_type, e.value)).foreach { e =>
-            val ec = math.round(e.value * 100)
+            val ec = Cents(e.value)
             if (n > 0 && ec * n > factor * cents) out += e
             n += 1
             cents += ec
@@ -188,7 +201,7 @@ object EventStreams {
           var n = 0L
           var cents = 0L
           state.getOption.foreach { prev => n = prev.n_events; cents = prev.total_cents }
-          batch.foreach { e => n += 1; cents += math.round(e.value * 100) }
+          batch.foreach { e => n += 1; cents += Cents(e.value) }
           val next = UserRunning(uid, n, cents)
           state.update(next)
           next

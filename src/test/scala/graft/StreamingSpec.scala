@@ -156,6 +156,22 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("cents fold rounds HALF_UP like the batch oracle, not floor(x+0.5)") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[UserEvent]
+    val q = EventStreams.runningUserTotals(input.toDS())
+      .writeStream.format("memory").queryName("neg_cents")
+      .outputMode(OutputMode.Update())
+      .start()
+    try {
+      // a refund of -0.005: Spark round(-0.5) = -1 cent under HALF_UP;
+      // math.round would give 0 and silently diverge from q84/q39
+      input.addData(UserEvent(ts(1), 1L, "refund", -0.005)); q.processAllAvailable()
+      val c = spark.table("neg_cents").select("total_cents").as[Long].collect().head
+      assert(c === -1L)
+    } finally q.stop()
+  }
+
   test("round trip on real events: streamed hourlyCounts equals the oracle-checked q14 result") {
     implicit val ctx = spark.sqlContext
     val dir = sf("sf0.001")
