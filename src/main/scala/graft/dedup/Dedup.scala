@@ -78,6 +78,20 @@ object Dedup {
       .distinct()
   }
 
+  /** One row per (doc, band) with the band's minhash chunk — the
+    * map-side blocking table behind banded LSH (self-joined by
+    * [[lshBandedCandidatePairs]], cross-side-joined by
+    * [[incrementalNearDupCandidates]]).
+    */
+  private def bandedChunkRows(docs: DataFrame, idCol: String, tokensCol: String,
+                              nBands: Int, rowsPerBand: Int): DataFrame = {
+    val sigs = minhashSignatures(docs, idCol, tokensCol, nBands * rowsPerBand)
+    val chunks = (0 until nBands).map { b =>
+      concat_ws("|", (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*)
+    }
+    sigs.select(col(idCol), posexplode(array(chunks: _*)).as(Seq("band", "chunk")))
+  }
+
   /** Banded MinHash-LSH: nBands bands × rowsPerBand minhashes. Two docs
     * become candidates iff they agree on EVERY minhash of at least one
     * band — P(candidate) ≈ 1−(1−J^r)^b, the standard precision/recall
@@ -88,18 +102,42 @@ object Dedup {
   def lshBandedCandidatePairs(docs: DataFrame, idCol: String, tokensCol: String,
                               nBands: Int, rowsPerBand: Int,
                               maxBucketSize: Int = Int.MaxValue): DataFrame = {
-    val sigs = minhashSignatures(docs, idCol, tokensCol, nBands * rowsPerBand)
-    val chunks = (0 until nBands).map { b =>
-      concat_ws("|", (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*)
-    }
-    val bands = capBuckets(sigs.select(col(idCol),
-      posexplode(array(chunks: _*)).as(Seq("band", "chunk"))),
+    val bands = capBuckets(bandedChunkRows(docs, idCol, tokensCol, nBands, rowsPerBand),
       Seq("band", "chunk"), maxBucketSize)
     bands.alias("a")
       .join(bands.alias("b"),
         col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+  }
+
+  /** INCREMENTAL near-dup blocking — the production shape at 100 TB:
+    * a new crawl/batch is checked against the EXISTING corpus without
+    * ever re-pairing the corpus with itself (corpus×corpus is the cost
+    * a steady-state pipeline cannot pay per batch; in practice the
+    * corpus side's band table is the stored dedup index, appended as
+    * batches are accepted). Candidates are (fresh id, corpus id) pairs
+    * sharing any banded minhash chunk. The bucket-skew cap counts BOTH
+    * sides' members — a boilerplate bucket is degenerate regardless of
+    * which side its members came from. Ids must be disjoint across the
+    * two sides (same contract as any dedup universe).
+    */
+  def incrementalNearDupCandidates(corpus: DataFrame, fresh: DataFrame,
+                                   idCol: String, tokensCol: String,
+                                   nBands: Int, rowsPerBand: Int,
+                                   maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    val tagged = bandedChunkRows(corpus, idCol, tokensCol, nBands, rowsPerBand)
+      .withColumn("_side", lit(0))
+      .union(bandedChunkRows(fresh, idCol, tokensCol, nBands, rowsPerBand)
+        .withColumn("_side", lit(1)))
+    val kept = capBuckets(tagged, Seq("band", "chunk"), maxBucketSize)
+    val c = kept.where(col("_side") === 0)
+    val f = kept.where(col("_side") === 1)
+    f.alias("f")
+      .join(c.alias("c"),
+        col("f.band") === col("c.band") && col("f.chunk") === col("c.chunk"))
+      .select(col(s"f.$idCol").as("id_new"), col(s"c.$idCol").as("id_corpus"))
       .distinct()
   }
 

@@ -881,6 +881,70 @@ object TextQueries {
           .orderBy("doc_id")
       }),
 
+    // ---- q89: INCREMENTAL dedup — the steady-state production shape:
+    // a fresh batch (doc_id ≥ 400) is blocked against the EXISTING
+    // corpus (doc_id < 400) only — fresh×corpus band joins, never
+    // corpus×corpus (the cost a per-batch pipeline cannot pay at
+    // 100 TB; the corpus band table is the stored dedup index). Same
+    // banded-minhash blocking, bucket cap counting both sides, exact
+    // Jaccard verification of only the cross-side candidates; each
+    // fresh doc reports whether it may enter the corpus and its
+    // smallest verified corpus duplicate.
+    QueryDef("q89_incremental_dedup", Some(s"""${toksCte()},
+      sig AS (SELECT doc_id,
+        ${(0 until 8).map(i =>
+          s"list_min(list_transform(list_distinct(tokens), t -> md5('$i:' || t))) AS mh$i")
+          .mkString(",\n        ")}
+              FROM toks),
+      band AS (${(0 until 4).map(b =>
+          s"SELECT doc_id, $b AS b, mh${2 * b} || '|' || mh${2 * b + 1} AS chunk FROM sig")
+          .mkString(" UNION ALL\n               ")}),
+      kept AS (SELECT doc_id, b, chunk FROM
+                 (SELECT doc_id, b, chunk,
+                         COUNT(*) OVER (PARTITION BY b, chunk) AS bsz FROM band)
+               WHERE bsz <= 50),
+      cand AS (SELECT DISTINCT f.doc_id AS id_new, c.doc_id AS id_corpus
+               FROM kept f JOIN kept c
+                 ON f.b = c.b AND f.chunk = c.chunk
+                    AND f.doc_id >= 400 AND c.doc_id < 400),
+      sh AS (SELECT doc_id,
+               list_distinct(list_transform(range(1, len(tokens)),
+                             i -> tokens[i] || ' ' || tokens[i+1])) AS sh
+             FROM toks),
+      ver AS (SELECT id_new, id_corpus FROM
+                (SELECT cd.id_new, cd.id_corpus,
+                        CASE WHEN len(a.sh) + len(b.sh)
+                                  - len(list_intersect(a.sh, b.sh)) = 0 THEN NULL
+                             ELSE len(list_intersect(a.sh, b.sh))
+                                  / (len(a.sh) + len(b.sh)
+                                     - len(list_intersect(a.sh, b.sh))) END AS jac
+                 FROM cand cd JOIN sh a ON a.doc_id = cd.id_new
+                              JOIN sh b ON b.doc_id = cd.id_corpus)
+              WHERE jac >= CAST(0.5 AS DOUBLE)),
+      agg AS (SELECT id_new, MIN(id_corpus) AS dup_of, COUNT(*) AS n_dups
+              FROM ver GROUP BY id_new)
+      SELECT t.doc_id, a.dup_of IS NULL AS is_unique, a.dup_of,
+             COALESCE(a.n_dups, 0) AS n_dups
+      FROM (SELECT doc_id FROM toks WHERE doc_id >= 400) t
+      LEFT JOIN agg a ON a.id_new = t.doc_id
+      ORDER BY doc_id"""),
+      (s, dir) => {
+        val toks = tokenized(s, dir)
+        val corpus = toks.where(col("doc_id") < 400)
+        val fresh = toks.where(col("doc_id") >= 400)
+        val cand = Dedup.incrementalNearDupCandidates(corpus, fresh,
+          "doc_id", "tokens", 4, 2, maxBucketSize = 50)
+        val verified = Dedup.verifyJaccard(toks, "doc_id", "tokens",
+            cand.select(col("id_new").as("id_a"), col("id_corpus").as("id_b")))
+          .where(col("jaccard") >= 0.5)
+        val agg = verified.groupBy(col("id_a").as("doc_id"))
+          .agg(min(col("id_b")).as("dup_of"), count(lit(1)).as("n_dups"))
+        fresh.select("doc_id").join(agg, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("dup_of").isNull.as("is_unique"),
+            col("dup_of"), coalesce(col("n_dups"), lit(0L)).as("n_dups"))
+          .orderBy("doc_id")
+      }),
+
     // ---- q40: multimodal plumbing — opaque binary payload + metadata
     // (decode itself is stubbed; see graft.multimodal).
     QueryDef("q40_binary_meta", Some("""

@@ -29,6 +29,27 @@ class DedupSpec extends SparkTestBase {
     assert(sigs(1L) !== sigs(4L))
   }
 
+  test("incremental candidates pair fresh docs with corpus docs only") {
+    val corpus = docs.where(col("doc_id") <= 3)          // 1,2,3 mutual dups
+    val fresh = Seq(
+      (10L, Seq("big", "data", "spark", "engine")),      // dup of corpus 1/2/3
+      (11L, Seq("big", "data", "spark", "engine")),      // dup of 10 AND corpus
+      (12L, Seq("nothing", "in", "common", "at", "all"))
+    ).toDF("doc_id", "tokens")
+    val cand = Dedup.incrementalNearDupCandidates(corpus, fresh,
+        "doc_id", "tokens", nBands = 4, rowsPerBand = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every pair is (fresh, corpus) — never corpus×corpus (1,2,3 are
+    // mutual dups but must not re-pair) and never fresh×fresh (10~11)
+    assert(cand.forall { case (n, c) => n >= 10L && c <= 3L })
+    assert(Set(10L, 11L).subsetOf(cand.map(_._1)), "fresh dups must be caught")
+    assert(!cand.map(_._1).contains(12L), "unrelated fresh doc has no candidates")
+    // the cap counts both sides: cap 1 leaves no bucket joinable
+    val capped = Dedup.incrementalNearDupCandidates(corpus, fresh,
+      "doc_id", "tokens", 4, 2, maxBucketSize = 1)
+    assert(capped.isEmpty)
+  }
+
   test("word n-gram shingles: ordered windows, distinct, safe below n tokens") {
     val df = Seq(
       (1L, Seq("a", "b", "c", "d")),
