@@ -403,6 +403,50 @@ object EmbeddingQueries {
           .orderBy("vec_id")
       }),
 
+    // ---- q91: kNN label classification — the embeddings table carries
+    // an integer class label, so brute-force kNN gets the application a
+    // labeled corpus exists for: predict each query vector's class as
+    // the majority label of its 5 nearest neighbors (tie → smallest
+    // label). The vote is a partial-aggregable `max_by` over
+    // (count, −label) — the bestCentroid trick — so no per-query
+    // window touches the vote table; queries are the bounded
+    // vec_id < 50 slice, candidates the whole corpus.
+    QueryDef("q91_knn_classify", Some(s"""
+      WITH e AS (SELECT vec_id, embedding, label, ${sqlNorm("embedding")} AS nrm
+                 FROM embeddings WHERE ${sqlNorm("embedding")} > 0),
+      knn AS (SELECT q_id, cand_id FROM
+                (SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+                        ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                          ${sqlDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) DESC,
+                          c.vec_id) AS rk
+                 FROM e q JOIN e c ON q.vec_id < 50 AND c.vec_id <> q.vec_id)
+              WHERE rk <= 5),
+      votes AS (SELECT k.q_id, c.label, COUNT(*) AS cnt
+                FROM knn k JOIN e c ON c.vec_id = k.cand_id GROUP BY 1, 2),
+      pred AS (SELECT q_id, label AS predicted FROM
+                (SELECT q_id, label,
+                        ROW_NUMBER() OVER (PARTITION BY q_id
+                                           ORDER BY cnt DESC, label) AS rk
+                 FROM votes) WHERE rk = 1)
+      SELECT p.q_id, q.label AS actual, p.predicted,
+             q.label = p.predicted AS correct
+      FROM pred p JOIN e q ON q.vec_id = p.q_id
+      ORDER BY q_id"""),
+      (s, dir) => {
+        val emb = Tables.read(s, dir, "embeddings")
+        val knn = Knn.cosineKnn(emb, "vec_id", "embedding", col("vec_id") < 50, 5)
+        val labels = emb.select(col("vec_id"), col("label"))
+        val votes = knn
+          .join(labels.select(col("vec_id").as("cand_id"), col("label")), "cand_id")
+          .groupBy("q_id", "label").agg(count(lit(1)).as("cnt"))
+        val pred = votes.groupBy("q_id")
+          .agg(max_by(col("label"), struct(col("cnt"), -col("label"))).as("predicted"))
+        pred.join(labels.select(col("vec_id").as("q_id"), col("label").as("actual")), "q_id")
+          .select(col("q_id"), col("actual"), col("predicted"),
+            (col("actual") === col("predicted")).as("correct"))
+          .orderBy("q_id")
+      }),
+
     // ---- q62: recall of the SRP-blocked near-dup path vs the exact
     // all-pairs path, on a bounded slice (the all-pairs side is O(n²) —
     // it exists only as this recall check).

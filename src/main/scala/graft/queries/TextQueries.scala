@@ -299,6 +299,32 @@ object TextQueries {
             TextStats.langId(col("tokens")).as("lang_pred"))
           .orderBy("doc_id")),
 
+    // ---- q90: language-ID confusion vs ground truth — the documents
+    // table carries a labeled `lang`, so the q31 heuristic gets the
+    // evaluation a real pipeline would run before trusting a filter:
+    // per (actual, predicted) cell counts in one hash aggregation.
+    // (The demo heuristic only knows 'en'/'und', so the matrix shows
+    // exactly its recall on en and its false-positive mix elsewhere.)
+    QueryDef("q90_langid_eval", Some("""
+      WITH raw AS (SELECT doc_id, lang,
+                     list_filter(regexp_split_to_array(lower(text), '\W+'),
+                                 t -> t <> '') AS tokens
+                   FROM documents),
+      p AS (SELECT lang,
+              CASE WHEN len(list_filter(tokens,
+                       t -> t IN ('the','a','of','to','and','in','is','it')))
+                     / len(tokens) >= CAST(0.05 AS DOUBLE)
+                   THEN 'en' ELSE 'und' END AS lang_pred
+            FROM raw)
+      SELECT lang, lang_pred, COUNT(*) AS n
+      FROM p GROUP BY 1, 2 ORDER BY lang, lang_pred"""),
+      (s, dir) =>
+        docs(s, dir)
+          .select(col("lang"), Tokenize.tokens(col("text")).as("tokens"))
+          .select(col("lang"), TextStats.langId(col("tokens")).as("lang_pred"))
+          .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
+          .orderBy("lang", "lang_pred")),
+
     // ---- q32: quality scoring (length/diversity/word-length heuristics).
     QueryDef("q32_quality", Some(s"""${toksCte()}
       SELECT doc_id,
