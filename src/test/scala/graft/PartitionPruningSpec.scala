@@ -32,4 +32,26 @@ class PartitionPruningSpec extends SparkTestBase {
     assert(files.nonEmpty && files.forall(_.contains("split=val")),
       "only the matching partition directory may be read")
   }
+
+  test("writePartitioned bounds files per partition directory") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_layout").toString
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    graft.sources.PartitionedLayout.writePartitioned(
+      docs, dir, Seq("lang"), filesPerPartition = 3)
+    val back = spark.read.parquet(dir)
+    assert(back.count() === docs.count(), "partitioned write must round-trip")
+    // every lang directory holds between 1 and filesPerPartition files
+    // (the salt bounds write fan-out; co-scheduled salt groups may merge)
+    val perDir = back.select(col("lang"), input_file_name().as("f")).distinct()
+      .groupBy("lang").agg(count(lit(1)).as("n_files"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(perDir.nonEmpty)
+    perDir.foreach { case (lang, n) =>
+      assert(n >= 1 && n <= 3, s"lang=$lang wrote $n files, want 1..3")
+    }
+    // and the layout still prunes: reading one lang touches only its dir
+    val one = spark.read.parquet(dir).where(col("lang") === "en")
+      .select(input_file_name()).distinct().collect().map(_.getString(0))
+    assert(one.nonEmpty && one.forall(_.contains("lang=en")))
+  }
 }
