@@ -173,6 +173,23 @@ class PlanQualitySpec extends SparkTestBase {
       "selection must be the mergeable k-slot aggregator")
   }
 
+  test("q89 incremental dedup: band equi-joins only — no cartesian, no nested loop") {
+    val plan = collectAll(executed(q("q89_incremental_dedup")))
+    assert(!plan.exists { case _: CartesianProductExec => true; case _ => false },
+      "fresh×corpus blocking must ride the band buckets, not enumerate pairs")
+    assert(!plan.exists(_.nodeName.contains("BroadcastNestedLoopJoin")))
+  }
+
+  test("q91 kNN classification: majority vote is a hash agg, not a window") {
+    val plan = collectAll(executed(q("q91_knn_classify")))
+    // the only acceptable non-equi join is the broadcast of the bounded
+    // query set inside cosineKnn; the vote itself must stay mergeable
+    assert(plan.exists(_.toString.contains("max_by")),
+      "vote must be the partial-aggregable max_by")
+    assert(!plan.exists(_.nodeName == "Window"),
+      "no window may rank the votes or the candidates")
+  }
+
   test("q14 hourly window: partial aggregation before the shuffle") {
     val plan = collectAll(executed(q("q14_hourly_window")))
     val aggs = plan.filter(_.nodeName.contains("HashAggregate")).map(_.toString)
