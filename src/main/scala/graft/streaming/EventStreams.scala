@@ -132,10 +132,44 @@ object EventStreams {
   def dedupDocsByContent(docs: DataFrame, stopWords: Seq[String] = Nil,
                          watermark: String = "1 hour"): DataFrame =
     docs
-      .withColumn("fingerprint", md5(concat_ws(" ", array_sort(array_distinct(
-        graft.text.Tokenize.tokens(col("text"), stopWords))))))
+      .withColumn("fingerprint", contentFingerprint(col("text"), stopWords))
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("fingerprint")
+
+  /** Content fingerprint shared by the streaming dedup operators and
+    * their batch twins (q30/q51/q89 corpus side): md5 of the sorted
+    * distinct token set.
+    */
+  private def contentFingerprint(text: org.apache.spark.sql.Column,
+                                 stopWords: Seq[String]) =
+    md5(concat_ws(" ", array_sort(array_distinct(
+      graft.text.Tokenize.tokens(text, stopWords)))))
+
+  /** Streaming ADMISSION against an existing corpus — the ingestion
+    * twin of batch q89's incremental dedup: a document stream is
+    * admitted only if its content fingerprint appears neither in the
+    * static corpus index (stream-static LEFT ANTI join — the corpus
+    * side is the stored dedup index, re-read per micro-batch or
+    * broadcast when small) nor earlier in the stream within the
+    * watermark horizon. Input needs (ts TIMESTAMP, doc_id, text);
+    * `corpusIndex` needs a `fingerprint` column (build it with the
+    * same tokenization via [[corpusFingerprints]]).
+    */
+  def admitNewDocs(docs: DataFrame, corpusIndex: DataFrame,
+                   stopWords: Seq[String] = Nil,
+                   watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("fingerprint", contentFingerprint(col("text"), stopWords))
+      .join(corpusIndex.select("fingerprint"), Seq("fingerprint"), "left_anti")
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("fingerprint")
+
+  /** The static-side index for [[admitNewDocs]]: one fingerprint row
+    * per corpus document (store this, append admitted docs to it).
+    */
+  def corpusFingerprints(corpus: DataFrame, stopWords: Seq[String] = Nil): DataFrame =
+    corpus.select(contentFingerprint(col("text"), stopWords).as("fingerprint"))
+      .distinct()
 
   /** Custom keyed state via `flatMapGroupsWithState` (the 0..n-rows-per-
     * group extension point `mapGroupsWithState` can't express): emit an

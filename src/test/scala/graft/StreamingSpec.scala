@@ -252,6 +252,30 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming admission rejects corpus dups and in-stream dups, admits novel docs") {
+    implicit val ctx = spark.sqlContext
+    // the stored index: one doc whose bag is "big data spark engine"
+    val corpus = Seq((0L, "spark ENGINE big data")).toDF("doc_id", "text")
+    val index = EventStreams.corpusFingerprints(corpus)
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val q = EventStreams.admitNewDocs(
+        input.toDF().toDF("ts", "doc_id", "text"), index)
+      .writeStream.format("memory").queryName("admit")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData(
+        (ts(1), 1L, "big data spark engine"),     // bag matches the corpus → rejected
+        (ts(2), 2L, "fresh novel document here"), // admitted
+        (ts(3), 3L, "novel fresh here document")) // same bag as 2 → in-stream dup
+      q.processAllAvailable()
+      input.addData((ts(10), 4L, "another brand new one"))
+      q.processAllAvailable()
+      val got = spark.table("admit").select("doc_id").as[Long].collect().toSet
+      assert(got === Set(2L, 4L), s"only novel first arrivals may land, got $got")
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState emits anomalies against the running per-user mean") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[UserEvent]
