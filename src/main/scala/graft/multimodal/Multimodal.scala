@@ -7,6 +7,11 @@ import org.apache.spark.sql.functions._
 final case class DecodedImage(
     id: Long, n_bytes: Int, width: Int, height: Int, mean_luma: Double)
 
+/** Decoded per-clip record produced by [[Multimodal.decodeAudio]]. */
+final case class DecodedAudio(
+    id: Long, n_bytes: Int, sample_rate: Int, n_channels: Int,
+    n_samples: Int, mean_amp: Double)
+
 /** Multimodal-column plumbing: image/audio/video payloads ride through
   * the engine as opaque `BINARY` columns with typed metadata structs.
   *
@@ -215,6 +220,97 @@ object Multimodal {
       concat(concat_ws("", transform(sequence(lit(0), w * 3 - 1), p =>
         hexByte(pmod(id * 7 + (r * (w * 3) + p) * 13, lit(256))))), padHex)))
     unhex(concat(header, raster))
+  }
+
+  /** Synthesized canonical WAV payload column — a REAL audio file any
+    * player would open: 44-byte RIFF/WAVE header (little-endian fields,
+    * PCM format tag, mono, 16 bits per sample) followed by `n` signed
+    * 16-bit samples. Sample k is the sign-extension of
+    * `(id*31 + k*17) % 65536`, so oracles recompute the decoded mean
+    * from the generator's closed form without parsing bytes.
+    */
+  def wavPayload(id: Column, n: Column, rate: Column): Column = {
+    val dataSize = n * 2
+    val header = concat(
+      lit("52494646"), le32hex(lit(36) + dataSize), lit("57415645"), // RIFF <sz> WAVE
+      lit("666d7420"), le32hex(lit(16)),                             // "fmt " 16
+      le16hex(lit(1)), le16hex(lit(1)),                              // PCM, mono
+      le32hex(rate), le32hex(rate * 2),                              // rate, byte rate
+      le16hex(lit(2)), le16hex(lit(16)),                             // block align, bits
+      lit("64617461"), le32hex(dataSize))                            // "data" <sz>
+    val samples = concat_ws("", transform(sequence(lit(0), n - 1),
+      k => le16hex(pmod(id * 31 + k * 17, lit(65536)))))
+    unhex(concat(header, samples))
+  }
+
+  /** REAL audio decode: parse a WAV payload directly from its bytes per
+    * the RIFF spec — 'RIFF'/'WAVE' magic, then a CHUNK WALK (chunks in
+    * any order, unknown chunks skipped, odd sizes padded to even) to the
+    * `fmt ` chunk (validated: PCM format tag, 16 bits per sample) and the
+    * `data` chunk. Returns (sampleRate, channels, frames, mean sample
+    * value) with the mean over every sign-extended 16-bit sample and
+    * frames = samples per channel. Unsupported variants (compressed
+    * formats, non-16-bit) and truncated payloads fail loudly. Plug into
+    * [[decodeAudio]] as the `decoder`.
+    */
+  def wavDecoder(bytes: Array[Byte]): (Int, Int, Int, Double) = {
+    def u8(i: Int) = bytes(i) & 0xff
+    def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int) = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    def tag(i: Int) = new String(bytes, i, 4, "US-ASCII")
+    require(bytes.length >= 12, "truncated WAV header")
+    require(tag(0) == "RIFF" && tag(8) == "WAVE", "not a WAV payload")
+    var i = 12
+    var rate = -1; var channels = -1; var dataOff = -1; var dataLen = -1
+    while (i + 8 <= bytes.length && (rate < 0 || dataOff < 0)) {
+      val id = tag(i)
+      val size = le32(i + 4)
+      require(size >= 0 && i + 8 + size <= bytes.length,
+        s"truncated WAV chunk '$id': ${bytes.length - i - 8} < $size")
+      id match {
+        case "fmt " =>
+          require(size >= 16, s"short fmt chunk: $size")
+          require(le16(i + 8) == 1, s"only PCM WAV supported, got format tag ${le16(i + 8)}")
+          channels = le16(i + 10)
+          rate = le32(i + 12)
+          require(channels > 0, s"bad WAV channel count $channels")
+          require(rate > 0, s"bad WAV sample rate $rate")
+          require(le16(i + 22) == 16, s"only 16-bit PCM supported, got ${le16(i + 22)}")
+        case "data" =>
+          dataOff = i + 8; dataLen = size
+        case _ => () // unknown chunk (LIST, fact, …): skip
+      }
+      i += 8 + size + (size & 1) // RIFF chunks are padded to even length
+    }
+    require(rate > 0, "missing WAV fmt chunk")
+    require(dataOff >= 0, "missing WAV data chunk")
+    require(dataLen % (2 * channels) == 0,
+      s"WAV data size $dataLen not aligned to ${2 * channels}-byte frames")
+    val nSamples = dataLen / 2
+    var sum = 0L
+    var k = 0
+    while (k < nSamples) { sum += le16(dataOff + 2 * k).toShort.toLong; k += 1 }
+    val mean = if (nSamples == 0) 0.0 else sum.toDouble / nSamples
+    (rate, channels, nSamples / channels, mean)
+  }
+
+  /** Batched partition-wise audio decode — the audio twin of
+    * [[decodeImages]]: one decoder instance per PARTITION, streamed row
+    * iterator, typed output. Input must have (idCol LONG, binCol BINARY).
+    */
+  def decodeAudio(df: DataFrame, idCol: String, binCol: String,
+                  decoder: Array[Byte] => (Int, Int, Int, Double) = wavDecoder): Dataset[DecodedAudio] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val decode = decoder
+        rows.map { case (id, bytes) =>
+          val (rate, channels, frames, mean) = decode(bytes)
+          DecodedAudio(id, bytes.length, rate, channels, frames, mean)
+        }
+      }
   }
 
   /** Synthesized plain-PPM (P3, pure ASCII) payload column — a REAL

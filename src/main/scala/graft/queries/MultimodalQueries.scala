@@ -177,6 +177,48 @@ object MultimodalQueries {
           .select(col("id").as("doc_id"), col("n_bytes"),
             col("width"), col("height"), col("mean_luma"))
           .orderBy("doc_id")
+      }),
+
+    // ---- q92: REAL audio decode — synthesize a canonical RIFF/WAVE
+    // 16-bit mono PCM file per doc (little-endian header + signed
+    // samples) and parse rate/frames/mean-amplitude back out of the
+    // bytes with wavDecoder (chunk walk, sign-extension) through the
+    // partition-wise path. Like q88, the oracle recomputes every output
+    // from the payload GENERATOR's closed form instead of parsing bytes
+    // — an independent check of the parse (header offsets, LE fields,
+    // sign-extension, exact long-sum/double-divide mean). duration_ms
+    // is exact-long*1000 then one double divide → bit-stable.
+    QueryDef("q92_wav_decode", Some("""
+      WITH p AS (SELECT doc_id,
+                   CAST(n_chars % 32 + 1 AS INTEGER) AS n,
+                   CAST([8000, 16000, 22050, 44100][CAST(doc_id % 4 AS INTEGER) + 1]
+                        AS INTEGER) AS rate
+                 FROM documents)
+      SELECT doc_id,
+             CAST(44 + n * 2 AS INTEGER) AS n_bytes,
+             rate AS sample_rate,
+             n AS n_samples,
+             CAST(n * 1000 AS DOUBLE) / rate AS duration_ms,
+             CAST(list_sum(list_transform(range(0, n),
+                    k -> (doc_id * 31 + k * 17) % 65536
+                         - CASE WHEN (doc_id * 31 + k * 17) % 65536 >= 32768
+                                THEN 65536 ELSE 0 END)) AS DOUBLE) / n AS mean_amp
+      FROM p ORDER BY doc_id"""),
+      (s, dir) => {
+        val n = (col("n_chars") % 32 + 1).cast("int")
+        val rate = element_at(
+          array(lit(8000), lit(16000), lit(22050), lit(44100)),
+          (col("doc_id") % 4).cast("int") + 1)
+        val pay = Tables.read(s, dir, "documents")
+          .select(col("doc_id"), Multimodal.wavPayload(col("doc_id"), n, rate).as("payload"))
+        Multimodal.decodeAudio(pay, "doc_id", "payload", Multimodal.wavDecoder)
+          .toDF()
+          .select(col("id").as("doc_id"), col("n_bytes"), col("sample_rate"),
+            col("n_samples"),
+            (col("n_samples").cast("long") * 1000).cast("double")
+              ./(col("sample_rate")).as("duration_ms"),
+            col("mean_amp"))
+          .orderBy("doc_id")
       })
   )
 }

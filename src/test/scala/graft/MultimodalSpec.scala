@@ -132,6 +132,72 @@ class MultimodalSpec extends SparkTestBase {
     intercept[IllegalArgumentException](Multimodal.bmpDecoder(rle))
   }
 
+  test("wavDecoder round-trips wavPayload: header fields, frames, signed-sample mean") {
+    val cases = Seq((5L, 1, 8000), (6L, 7, 22050), (7L, 32, 44100))
+    val rows = cases.toDF("id", "n", "rate")
+      .select(col("id"), col("n"), col("rate"),
+        Multimodal.wavPayload(col("id"), col("n"), col("rate")).as("payload"))
+      .collect()
+    rows.foreach { r =>
+      val (id, n, rate) = (r.getLong(0), r.getInt(1), r.getInt(2))
+      val bytes = r.getAs[Array[Byte]](3)
+      assert(bytes.length === 44 + n * 2, s"file size for id=$id n=$n")
+      val (dRate, dCh, dFrames, dMean) = Multimodal.wavDecoder(bytes)
+      assert((dRate, dCh, dFrames) === (rate, 1, n))
+      // mean of the sign-extended generator samples
+      val want = (0 until n).map { k =>
+        val u = ((id * 31 + k * 17) % 65536).toInt
+        (if (u >= 32768) u - 65536 else u).toDouble
+      }.sum / n
+      assert(math.abs(dMean - want) < 1e-12, s"mean for id=$id n=$n")
+    }
+    // and through the distributed partition-wise path
+    val d = Multimodal.decodeAudio(
+        cases.toDF("id", "n", "rate").select(col("id"),
+          Multimodal.wavPayload(col("id"), col("n"), col("rate")).as("bin")),
+        "id", "bin")
+      .collect().map(x => x.id -> (x.sample_rate, x.n_channels, x.n_samples)).toMap
+    assert(d === Map(5L -> (8000, 1, 1), 6L -> (22050, 1, 7), 7L -> (44100, 1, 32)))
+  }
+
+  test("wavDecoder walks chunks: unknown chunks skipped, odd sizes padded, any order") {
+    def ascii(s: String) = s.getBytes("US-ASCII")
+    def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val fmt = ascii("fmt ") ++ le32(16) ++ le16(1) ++ le16(2) ++ le32(16000) ++
+      le32(64000) ++ le16(4) ++ le16(16)
+    // samples: stereo frames (-3, 5), (100, -100) → mean = 2.0/4 = 0.5
+    val data = ascii("data") ++ le32(8) ++ le16(-3 & 0xffff) ++ le16(5) ++
+      le16(100) ++ le16(-100 & 0xffff)
+    // odd-size unknown chunk (3 bytes + 1 pad) between fmt and data
+    val junk = ascii("LIST") ++ le32(3) ++ Array[Byte](1, 2, 3, 0)
+    val body = fmt ++ junk ++ data
+    val wav = ascii("RIFF") ++ le32(4 + body.length) ++ ascii("WAVE") ++ body
+    val (rate, ch, frames, mean) = Multimodal.wavDecoder(wav)
+    assert((rate, ch, frames) === (16000, 2, 2))
+    assert(math.abs(mean - 0.5) < 1e-12)
+  }
+
+  test("wavDecoder rejects non-WAV and unsupported variants loudly") {
+    intercept[Exception](Multimodal.wavDecoder(Array.empty[Byte]))
+    intercept[Exception](Multimodal.wavDecoder("BM not a wav".getBytes("US-ASCII")))
+    val good = Seq((1L, 4, 8000)).toDF("id", "n", "rate")
+      .select(Multimodal.wavPayload(col("id"), col("n"), col("rate")).as("p"))
+      .collect()(0).getAs[Array[Byte]](0)
+    // truncated data chunk
+    intercept[IllegalArgumentException](Multimodal.wavDecoder(good.take(48)))
+    // non-PCM format tag (offset 20 = fmt body start)
+    val alaw = good.clone(); alaw(20) = 6
+    intercept[IllegalArgumentException](Multimodal.wavDecoder(alaw))
+    // 8-bit variant (bits-per-sample at offset 34)
+    val bits8 = good.clone(); bits8(34) = 8
+    intercept[IllegalArgumentException](Multimodal.wavDecoder(bits8))
+    // data size not frame-aligned: claim 3 bytes of data
+    val odd = good.clone(); odd(40) = 3
+    intercept[IllegalArgumentException](Multimodal.wavDecoder(odd))
+  }
+
   test("P3 synthesis → column parse → JVM decoder all agree on the same bytes") {
     val src = Seq((3L, 4), (10L, 1)).toDF("id", "n")
     val pay = src.select(col("id"),
