@@ -971,6 +971,84 @@ object TextQueries {
           .orderBy("doc_id")
       }),
 
+    // ---- q93: unigram-LM surprisal — the classic LM-based quality
+    // filter (CCNet-shape, with the corpus's own unigram distribution
+    // standing in for the external LM): score every doc by the average
+    // negative log-likelihood of its tokens. One explode + two hash
+    // aggs; the vocabulary-sized probability table stays distributed
+    // (joined back on token, never collected) and the corpus total
+    // rides in as a one-row broadcast. round(.,6) absorbs float-sum
+    // ordering and libm ulp differences; p is cnt/total computed with
+    // the identical double ops in both engines.
+    QueryDef("q93_unigram_surprisal", Some(s"""${toksCte()},
+      tok AS (SELECT doc_id, unnest(tokens) AS token FROM toks),
+      cnt AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
+      tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS tot FROM cnt),
+      p AS (SELECT token, CAST(cnt AS DOUBLE) / (SELECT tot FROM tot) AS p FROM cnt)
+      SELECT t.doc_id, COUNT(*) AS n_tokens,
+             ROUND(AVG(-ln(p.p)), 6) AS avg_nll
+      FROM tok t JOIN p USING (token)
+      GROUP BY t.doc_id ORDER BY t.doc_id"""),
+      (s, dir) => {
+        val tok = tokenized(s, dir)
+          .select(col("doc_id"), explode(col("tokens")).as("token"))
+        val cnt = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
+        val tot = cnt.agg(sum("cnt").cast("double").as("tot"))
+        val p = cnt.crossJoin(broadcast(tot))
+          .select(col("token"), (col("cnt").cast("double") / col("tot")).as("p"))
+        tok.join(p, "token")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+            round(avg(-log(col("p"))), 6).as("avg_nll"))
+          .orderBy("doc_id")
+      }),
+
+    // ---- q94: domain-mixture resampling — deterministically downsample
+    // every source to a UNIFORM target mixture (the data-mixing step of
+    // corpus assembly). Per-source quota = the smallest source's count;
+    // the doc keep-test is pure integer arithmetic on a 4-nibble md5
+    // hash (u/65536 < quota/n_docs ⇔ u·n_docs < quota·65536), so both
+    // engines select exactly the same rows — no float boundary, stable
+    // under reprocessing, and any target-weight vector is the same
+    // one-line change. The per-source count table and the quota are
+    // broadcast; the only shuffles are the two hash aggs.
+    QueryDef("q94_domain_mix", Some("""
+      WITH u AS (SELECT doc_id, source,
+                   CAST('0x' || substr(md5(doc_id::VARCHAR), 1, 4) AS BIGINT) AS u
+                 FROM documents),
+      cnt AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+      quota AS (SELECT MIN(n_docs) AS min_docs FROM cnt),
+      kept AS (SELECT u.source, COUNT(*) AS n_kept
+               FROM u JOIN cnt USING (source)
+               WHERE u.u * cnt.n_docs < (SELECT min_docs FROM quota) * 65536
+               GROUP BY u.source),
+      tot AS (SELECT CAST(SUM(n_kept) AS DOUBLE) AS tot_kept FROM kept)
+      SELECT c.source, c.n_docs, COALESCE(k.n_kept, 0) AS n_kept,
+             ROUND(CAST(COALESCE(k.n_kept, 0) AS DOUBLE) / c.n_docs, 6) AS keep_frac,
+             ROUND(CAST(COALESCE(k.n_kept, 0) AS DOUBLE)
+                   / (SELECT tot_kept FROM tot), 6) AS share
+      FROM cnt c LEFT JOIN kept k USING (source)
+      ORDER BY source"""),
+      (s, dir) => {
+        val u = docs(s, dir).select(col("doc_id"), col("source"),
+          conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+            .cast("long").as("u"))
+        val cnt = docs(s, dir).groupBy("source").agg(count(lit(1)).as("n_docs"))
+        val quota = cnt.agg(min("n_docs").as("min_docs"))
+        val kept = u.join(broadcast(cnt), "source").crossJoin(broadcast(quota))
+          .where(col("u") * col("n_docs") < col("min_docs") * 65536)
+          .groupBy("source").agg(count(lit(1)).as("n_kept"))
+        val tot = kept.agg(sum("n_kept").cast("double").as("tot_kept"))
+        cnt.join(kept, Seq("source"), "left").crossJoin(broadcast(tot))
+          .select(col("source"), col("n_docs"),
+            coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+            round(coalesce(col("n_kept"), lit(0L)).cast("double") / col("n_docs"), 6)
+              .as("keep_frac"),
+            round(coalesce(col("n_kept"), lit(0L)).cast("double") / col("tot_kept"), 6)
+              .as("share"))
+          .orderBy("source")
+      }),
+
     // ---- q40: multimodal plumbing — opaque binary payload + metadata
     // (decode itself is stubbed; see graft.multimodal).
     QueryDef("q40_binary_meta", Some("""
