@@ -100,6 +100,29 @@ object Knn {
     topKSelect(sims, emb.schema(idCol).dataType, k)
   }
 
+  /** Two-table retrieval top-k — the RAG shape: for every query vector,
+    * the k most similar vectors from a SEPARATE corpus relation (no
+    * self-exclusion needed, the corpus never joins itself). The query
+    * side broadcasts; the corpus streams once through map-side partial
+    * top-k buffers ([[graft.functions.TopKAggregator]] via the shared
+    * selection), so no per-query sort of the candidate set ever
+    * materializes — at 100 TB the cost is one corpus scan.
+    * Both inputs must share `idCol`/`vecCol` names; zero-norm and NULL
+    * vectors are dropped on both sides (ANSI-safe cosine).
+    * Returns (q_id, rk, cand_id, sim) with sim rounded to 6 decimals.
+    */
+  def retrieveKnn(queries: DataFrame, corpus: DataFrame, idCol: String,
+                  vecCol: String, k: Int): DataFrame = {
+    val q = withNorm(queries, idCol, vecCol).select(
+      col(idCol).as("q_id"), col(vecCol).as("q_vec"), col("nrm").as("q_nrm"))
+    val c = withNorm(corpus, idCol, vecCol).select(
+      col(idCol).as("cand_id"), col(vecCol).as("c_vec"), col("nrm").as("c_nrm"))
+    val sims = broadcast(q).crossJoin(c)
+      .select(col("q_id"), col("cand_id"),
+        (dot(col("q_vec"), col("c_vec")) / (col("q_nrm") * col("c_nrm"))).as("sim"))
+    topKSelect(sims, queries.schema(idCol).dataType, k)
+  }
+
   /** IVF (inverted-file) cluster assignment: every vector goes to its
     * most-cosine-similar centroid. The centroid set is tiny by
     * construction → broadcast; assignment is one map-side pass over the

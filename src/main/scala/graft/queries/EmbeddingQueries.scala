@@ -503,6 +503,92 @@ object EmbeddingQueries {
           when(col("n_all") === 0, lit(null).cast("double"))
             .otherwise(round(col("n_blocked").cast("double") / col("n_all"), 6))
             .as("recall"))
+      }),
+
+    // ---- q95: composed RAG retrieval — the full pipeline a retrieval
+    // corpus is built with, end to end: chunk every document (q79's
+    // 64/48 windows), feature-hash each CHUNK to a fixed 13-dim vector
+    // (q77's hashing trick over chunk-level TF-IDF), then for every
+    // chunk of the query docs (doc_id < 3) retrieve the top-3 most
+    // similar chunks from the REST of the corpus via the two-table
+    // broadcast kNN. Chunk key = doc_id·1000 + chunk_id (chunking
+    // strides 48 tokens, so 1000 chunks covers docs to 48k tokens).
+    // Components round(…,6) through a FLOAT cast (the q77 trick) so
+    // both engines score bit-identical vectors; dot/norm are exact
+    // per-element double products, ties break on candidate key.
+    QueryDef("q95_chunk_retrieval", Some(s"""${TextQueries.toksCte()},
+      ch AS (SELECT doc_id * 1000 + chunk_id AS chunk_key, chunk AS ctoks FROM (
+               SELECT doc_id,
+                 CAST(unnest(range(0, 1 + CAST(CEIL(GREATEST(len(tokens) - 64, 0) / 48.0) AS INTEGER)))
+                      AS INTEGER) AS chunk_id,
+                 unnest(list_transform(range(0, 1 + CAST(CEIL(GREATEST(len(tokens) - 64, 0) / 48.0) AS INTEGER)),
+                   i -> list_slice(tokens, i * 48 + 1, i * 48 + 64))) AS chunk
+               FROM toks WHERE len(tokens) > 0)),
+      tok AS (SELECT chunk_key, unnest(ctoks) AS token FROM ch),
+      tot AS (SELECT chunk_key, len(ctoks) AS total FROM ch),
+      cnt AS (SELECT chunk_key, token, COUNT(*) AS cnt FROM tok GROUP BY 1, 2),
+      idf AS (SELECT token,
+                     (SELECT COUNT(*) FROM ch)::DOUBLE / COUNT(DISTINCT chunk_key) AS idf
+              FROM tok GROUP BY token),
+      w AS (SELECT c.chunk_key, c.token, (c.cnt / t.total) * i.idf AS weight
+            FROM cnt c JOIN tot t USING(chunk_key) JOIN idf i USING(token)),
+      hx AS (SELECT chunk_key, weight, md5(token) AS h FROM w),
+      dimmed AS (SELECT chunk_key, weight,
+        (${(1 to 4).map { i =>
+          val nib = s"(ascii(substr(h,$i,1)) - 48 - CASE WHEN ascii(substr(h,$i,1)) >= 97 THEN 39 ELSE 0 END)"
+          val mult = Seq(4096, 256, 16, 1)(i - 1)
+          if (mult == 1) nib else s"$nib * $mult"
+        }.mkString(" +\n         ")}) % 13 AS dim
+        FROM hx),
+      sums AS (SELECT chunk_key, dim, SUM(weight) AS w FROM dimmed GROUP BY 1, 2),
+      scaffold AS (SELECT c.chunk_key, r.range AS dim
+                   FROM (SELECT DISTINCT chunk_key FROM sums) c, range(0, 13) r),
+      vec AS (SELECT chunk_key,
+                     list_transform(list(w ORDER BY dim), x -> CAST(x AS FLOAT)) AS vec
+              FROM (SELECT s.chunk_key, s.dim,
+                           ROUND(COALESCE(m.w, 0.0)::FLOAT::DOUBLE, 6) AS w
+                    FROM scaffold s LEFT JOIN sums m
+                      ON m.chunk_key = s.chunk_key AND m.dim = s.dim)
+              GROUP BY chunk_key),
+      e AS (SELECT chunk_key, vec, ${sqlNorm("vec")} AS nrm FROM vec
+            WHERE ${sqlNorm("vec")} > 0),
+      p AS (SELECT q.chunk_key AS q_id, c.chunk_key AS cand_id,
+                   ${sqlDot("q.vec", "c.vec")} / (q.nrm * c.nrm) AS s
+            FROM e q JOIN e c ON q.chunk_key < 3000 AND c.chunk_key >= 3000),
+      r AS (SELECT q_id, cand_id, s,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY s DESC, cand_id)
+                        AS INTEGER) AS rk
+            FROM p)
+      SELECT q_id // 1000 AS q_doc, CAST(q_id % 1000 AS INTEGER) AS q_chunk,
+             rk, cand_id // 1000 AS cand_doc, CAST(cand_id % 1000 AS INTEGER) AS cand_chunk,
+             ROUND(s, 6) AS sim
+      FROM r WHERE rk <= 3 ORDER BY q_doc, q_chunk, rk"""),
+      (s, dir) => {
+        val chunks = TextQueries.tokenized(s, dir)
+          .select(col("doc_id"),
+            posexplode(graft.text.Chunking.chunks(col("tokens"), 64, 48))
+              .as(Seq("chunk_id", "chunk")))
+          .select((col("doc_id") * 1000 + col("chunk_id")).as("chunk_key"),
+            col("chunk").as("tokens"))
+        val w = graft.text.TfIdf.weights(chunks, "chunk_key", "tokens")
+        // materialize the (small) chunk-embedding table ONCE: both
+        // retrieval sides read it, and without this the whole chunk →
+        // TF-IDF → hash-embed pipeline would run twice
+        val emb = graft.text.HashedEmbedding.embed(w, "chunk_key", 13)
+          .select(col("chunk_key"),
+            transform(col("vec"),
+              v => round(v.cast("double"), 6).cast("float")).as("vec"))
+          .localCheckpoint()
+        Knn.retrieveKnn(
+            emb.where(col("chunk_key") < 3000),
+            emb.where(col("chunk_key") >= 3000), "chunk_key", "vec", 3)
+          .select(expr("q_id div 1000").as("q_doc"),
+            (col("q_id") % 1000).cast("int").as("q_chunk"),
+            col("rk"),
+            expr("cand_id div 1000").as("cand_doc"),
+            (col("cand_id") % 1000).cast("int").as("cand_chunk"),
+            col("sim"))
+          .orderBy("q_doc", "q_chunk", "rk")
       })
   )
 }

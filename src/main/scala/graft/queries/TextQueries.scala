@@ -27,14 +27,14 @@ object TextQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.read(s, dir, "documents")
 
-  private def tokenized(s: SparkSession, dir: String): DataFrame =
+  private[queries] def tokenized(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(col("doc_id"),
       Tokenize.tokens(col("text"), Stop).as("tokens"))
 
   /** DuckDB CTE mirroring [[Tokenize.tokens]] (keeps duplicate tokens —
     * reference semantics, textanalyse/EntityResolution.scala:293).
     */
-  private def toksCte(pred: String = "TRUE"): String = s"""
+  private[queries] def toksCte(pred: String = "TRUE"): String = s"""
     WITH toks AS (
       SELECT doc_id,
              list_filter(regexp_split_to_array(lower(text), '\\W+'),
@@ -1047,6 +1047,103 @@ object TextQueries {
             round(coalesce(col("n_kept"), lit(0L)).cast("double") / col("tot_kept"), 6)
               .as("share"))
           .orderBy("source")
+      }),
+
+    // ---- q96: TF-IDF keyword extraction — the top-3 most
+    // characteristic terms per doc (classic tag/index-term generation).
+    // Per-doc selection rides the mergeable binary-id top-k aggregator
+    // (map-side k-slot partials, no WindowExec — a row_number window
+    // would sort every doc's vocabulary in one partition chain), with
+    // the window-identical (weight DESC, token ASC) order. Weights are
+    // exact int-ratio products → bit-equal selection in both engines;
+    // only the EMITTED weight is rounded.
+    QueryDef("q96_keywords", Some(s"""${toksCte()},
+      tok AS (SELECT doc_id, unnest(tokens) AS token FROM toks),
+      tot AS (SELECT doc_id, len(tokens) AS total FROM toks),
+      cnt AS (SELECT doc_id, token, COUNT(*) AS cnt FROM tok GROUP BY 1, 2),
+      idf AS (SELECT token,
+                     (SELECT COUNT(*) FROM toks)::DOUBLE / COUNT(DISTINCT doc_id) AS idf
+              FROM tok GROUP BY token),
+      w AS (SELECT c.doc_id, c.token, (c.cnt / t.total) * i.idf AS weight
+            FROM cnt c JOIN tot t USING(doc_id) JOIN idf i USING(token)),
+      r AS (SELECT doc_id, token, weight,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                                           ORDER BY weight DESC, token) AS INTEGER) AS rk
+            FROM w)
+      SELECT doc_id, rk, token, ROUND(weight, 6) AS weight
+      FROM r WHERE rk <= 3 ORDER BY doc_id, rk"""),
+      (s, dir) => {
+        val w = TfIdf.weights(tokenized(s, dir), "doc_id", "tokens")
+        w.groupBy("doc_id")
+          .agg(graft.functions.TopKAggregator.topKBinary(3)(
+            col("weight"), col("token").cast("binary")).as("tk"))
+          .select(col("doc_id"), posexplode(col("tk")).as(Seq("pos", "sc")))
+          .select(col("doc_id"), (col("pos") + 1).as("rk"),
+            col("sc.cand_id").cast("string").as("token"),
+            round(col("sc.sim"), 6).as("weight"))
+          .orderBy("doc_id", "rk")
+      }),
+
+    // ---- q97: LEAKAGE-SAFE train/val/test split — q68's hash split
+    // decides per DOC, so two near-duplicate docs can straddle train
+    // and test (the classic eval-contamination leak). Here the q72
+    // dedup chain (banded LSH → exact-Jaccard verify → connected
+    // components to the fixpoint) runs first and the split hashes the
+    // CLUSTER id, so every near-dup family lands in one split
+    // atomically. Singleton docs hash their own id — on those, q97
+    // agrees with q68 by construction.
+    QueryDef("q97_leakage_safe_split", Some(s"""${toksCte()},
+      sig AS (SELECT doc_id,
+        ${(0 until 8).map(i =>
+          s"list_min(list_transform(list_distinct(tokens), t -> md5('$i:' || t))) AS mh$i")
+          .mkString(",\n        ")}
+              FROM toks),
+      band AS (${(0 until 4).map(b =>
+          s"SELECT doc_id, $b AS b, mh${2 * b} || '|' || mh${2 * b + 1} AS chunk FROM sig")
+          .mkString(" UNION ALL\n               ")}),
+      kept AS (SELECT doc_id, b, chunk FROM
+                 (SELECT doc_id, b, chunk,
+                         COUNT(*) OVER (PARTITION BY b, chunk) AS bsz FROM band)
+               WHERE bsz <= 50),
+      cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+               FROM kept a JOIN kept b
+                 ON a.b = b.b AND a.chunk = b.chunk AND a.doc_id < b.doc_id),
+      sh AS (SELECT doc_id,
+               list_distinct(list_transform(range(1, len(tokens)),
+                             i -> tokens[i] || ' ' || tokens[i+1])) AS sh
+             FROM toks),
+      ver AS (SELECT id_a, id_b FROM
+                (SELECT c.id_a, c.id_b,
+                        CASE WHEN len(a.sh) + len(b.sh)
+                                  - len(list_intersect(a.sh, b.sh)) = 0 THEN NULL
+                             ELSE len(list_intersect(a.sh, b.sh))
+                                  / (len(a.sh) + len(b.sh)
+                                     - len(list_intersect(a.sh, b.sh))) END AS jac
+                 FROM cand c JOIN sh a ON a.doc_id = c.id_a
+                             JOIN sh b ON b.doc_id = c.id_b)
+              WHERE jac >= CAST(0.5 AS DOUBLE)),
+      edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM ver
+                UNION ALL SELECT id_b, id_a FROM ver),
+      l0 AS MATERIALIZED (SELECT doc_id AS id, doc_id AS label FROM toks),
+      ${graft.QueryDef.ccFixpointCtes()}
+      SELECT id AS doc_id, label AS cluster_id,
+             CASE WHEN substr(md5(label::VARCHAR), 1, 1) = 'f' THEN 'test'
+                  WHEN substr(md5(label::VARCHAR), 1, 1) = 'e' THEN 'val'
+                  ELSE 'train' END AS split
+      FROM ${graft.QueryDef.ccFinal()} ORDER BY doc_id"""),
+      (s, dir) => {
+        val toks = tokenized(s, dir)
+        val cand = Dedup.lshBandedCandidatePairs(toks, "doc_id", "tokens", 4, 2,
+          maxBucketSize = 50)
+        val verified = Dedup.verifyJaccard(toks, "doc_id", "tokens", cand)
+          .where(col("jaccard") >= 0.5)
+        val clusters = Dedup.nearDupClustersConverged(
+          toks.select("doc_id"), "doc_id", verified)._1
+        val h = substring(md5(col("cluster_id").cast("string")), 1, 1)
+        clusters.select(col("doc_id"), col("cluster_id"),
+            when(h === "f", "test").when(h === "e", "val").otherwise("train")
+              .as("split"))
+          .orderBy("doc_id")
       }),
 
     // ---- q40: multimodal plumbing — opaque binary payload + metadata

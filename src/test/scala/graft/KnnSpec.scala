@@ -52,6 +52,30 @@ class KnnSpec extends SparkTestBase {
     assert(math.abs(rows(2)._4 - 0.5) < 1e-6)
   }
 
+  test("two-table retrieval kNN searches only the corpus side, mergeable path") {
+    val queries = Seq(
+      (100L, Array(1.0f, 0.0f, 0.0f)),
+      (200L, Array(0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val knn = Knn.retrieveKnn(queries, emb, "vec_id", "embedding", k = 2)
+    assert(knn.queryExecution.executedPlan.collect {
+      case p if p.nodeName == "Window" => p
+    }.isEmpty, "retrieval must use the partial-aggregable top-k, not a window sort")
+    val rows = knn.as[(Long, Int, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(r => (r._3, r._4)).toSeq).toMap
+    // query 100 = x-axis: colinear 1 and 4 tie at 1.0 → id order; corpus only
+    assert(rows(100L).map(_._1) === Seq(1L, 4L))
+    assert(rows(100L).forall(_._2 === 1.0))
+    // query 200 = y-axis: vec 2 exact, then 3 at 1/√2
+    assert(rows(200L).map(_._1) === Seq(2L, 3L))
+    assert(math.abs(rows(200L)(1)._2 - 0.707107) < 1e-6)
+    // a query id colliding with a corpus id is NOT self-excluded (two tables)
+    val collide = Knn.retrieveKnn(
+      Seq((1L, Array(1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding"),
+      emb, "vec_id", "embedding", k = 1).as[(Long, Int, Long, Double)].collect()
+    assert(collide.head._3 === 1L && collide.head._4 === 1.0)
+  }
+
   test("near-dup pairs by cosine threshold") {
     val pairs = Knn.nearDupPairs(emb, "vec_id", "embedding", 0.99)
       .as[(Long, Long, Double)].collect().toList
