@@ -249,6 +249,43 @@ object Knn {
     topKSelect(sims, emb.schema(idCol).dataType, k)
   }
 
+  /** IVF two-table retrieval — the scale path for [[retrieveKnn]]: when
+    * the QUERY SET itself is too large to broadcast against every corpus
+    * row, corpus vectors are bucketed by their top-1 codebook centroid
+    * (one scored pass, partial-aggregable `max_by` — see
+    * [[bestCentroid]]) and each query scores only the candidates of its
+    * `nprobe` most-similar buckets. The final join is a plain equi-join
+    * on centroid_id: both sides shuffle ONCE by bucket and neither
+    * relation broadcasts — only the codebook does. Recall < 1 by
+    * design, rising with nprobe (the q65 dial). The per-query probe
+    * ranking is a window over codebook-sized groups (k rows per query),
+    * never over the corpus.
+    */
+  def ivfRetrieve(queries: DataFrame, corpus: DataFrame, idCol: String,
+                  vecCol: String, centroidPred: Column, k: Int,
+                  nprobe: Int = 1): DataFrame = {
+    val e = withNorm(corpus, idCol, vecCol)
+    val qe = withNorm(queries, idCol, vecCol)
+    val cent = e.where(centroidPred).select(
+      col(idCol).as("centroid_id"), col(vecCol).as("cent_vec"), col("nrm").as("cent_nrm"))
+    def scoreAgainst(df: DataFrame): DataFrame = df.crossJoin(broadcast(cent))
+      .select(col(idCol), col("centroid_id"),
+        (dot(col(vecCol), col("cent_vec")) / (col("nrm") * col("cent_nrm"))).as("cs"))
+    val assign = bestCentroid(scoreAgainst(e), idCol)
+    val w = Window.partitionBy(idCol).orderBy(col("cs").desc, col("centroid_id"))
+    val probes = scoreAgainst(qe)
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= nprobe).select(col(idCol), col("centroid_id"))
+    val q = qe.join(probes, idCol).select(col(idCol).as("q_id"),
+      col(vecCol).as("q_vec"), col("nrm").as("q_nrm"), col("centroid_id"))
+    val c = e.join(assign, idCol).select(col(idCol).as("cand_id"),
+      col(vecCol).as("c_vec"), col("nrm").as("c_nrm"), col("centroid_id"))
+    val sims = q.join(c, Seq("centroid_id"))
+      .select(col("q_id"), col("cand_id"),
+        (dot(col("q_vec"), col("c_vec")) / (col("q_nrm") * col("c_nrm"))).as("sim"))
+    topKSelect(sims, queries.schema(idCol).dataType, k)
+  }
+
   /** All-pairs near-duplicate detection by cosine threshold (id_a < id_b).
     *
     * O(n²) BY DESIGN — this is the exact recall-check/parity path for

@@ -589,6 +589,59 @@ object EmbeddingQueries {
             (col("cand_id") % 1000).cast("int").as("cand_chunk"),
             col("sim"))
           .orderBy("q_doc", "q_chunk", "rk")
+      }),
+
+    // ---- q98: IVF two-table retrieval — q95's scale path. When the
+    // query set is itself corpus-sized (batch retrieval, dedup against
+    // an index), broadcasting queries stops being an option: here the
+    // corpus (vec_id ≥ 20) buckets by its top-1 centroid, queries
+    // (vec_id < 20) probe their nprobe=2 nearest buckets, and the join
+    // is a plain equi-join on centroid_id — both sides shuffle once by
+    // bucket, neither relation broadcasts, only the codebook does.
+    // Same (sim DESC, cand_id) order and rounding as q34/q41.
+    QueryDef("q98_ivf_retrieve", Some(s"""
+      WITH e AS (SELECT vec_id, embedding, ${sqlNorm("embedding")} AS nrm FROM embeddings
+                 WHERE ${sqlNorm("embedding")} > 0),
+      qs AS (SELECT * FROM e WHERE vec_id < 20),
+      cs AS (SELECT * FROM e WHERE vec_id >= 20),
+      c AS (SELECT vec_id AS centroid_id, embedding AS cvec, nrm AS cnrm
+            FROM cs WHERE vec_id % 50 = 0),
+      csc AS (SELECT cs.vec_id, c.centroid_id,
+                     ${sqlDot("cs.embedding", "c.cvec")} / (cs.nrm * c.cnrm) AS s
+              FROM cs CROSS JOIN c),
+      asg AS (SELECT vec_id, centroid_id FROM
+                (SELECT vec_id, centroid_id,
+                        ROW_NUMBER() OVER (PARTITION BY vec_id
+                                           ORDER BY s DESC, centroid_id) AS rk
+                 FROM csc) WHERE rk = 1),
+      qsc AS (SELECT qs.vec_id, c.centroid_id,
+                     ${sqlDot("qs.embedding", "c.cvec")} / (qs.nrm * c.cnrm) AS s
+              FROM qs CROSS JOIN c),
+      prb AS (SELECT vec_id, centroid_id FROM
+                (SELECT vec_id, centroid_id,
+                        ROW_NUMBER() OVER (PARTITION BY vec_id
+                                           ORDER BY s DESC, centroid_id) AS rk
+                 FROM qsc) WHERE rk <= 2),
+      q AS (SELECT qs.vec_id AS q_id, qs.embedding AS qv, qs.nrm AS qn, p.centroid_id
+            FROM qs JOIN prb p USING (vec_id)),
+      cand AS (SELECT cs.vec_id AS cand_id, cs.embedding AS cv, cs.nrm AS cn, a.centroid_id
+               FROM cs JOIN asg a USING (vec_id)),
+      p AS (SELECT q.q_id, cand.cand_id,
+                   ${sqlDot("q.qv", "cand.cv")} / (q.qn * cand.cn) AS s
+            FROM q JOIN cand USING (centroid_id)),
+      r AS (SELECT q_id, cand_id, s,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY s DESC, cand_id)
+                        AS INTEGER) AS rk
+            FROM p)
+      SELECT q_id, rk, cand_id, ROUND(s, 6) AS sim
+      FROM r WHERE rk <= 5 ORDER BY q_id, rk"""),
+      (s, dir) => {
+        val emb = Tables.read(s, dir, "embeddings")
+        Knn.ivfRetrieve(
+            emb.where(col("vec_id") < 20),
+            emb.where(col("vec_id") >= 20),
+            "vec_id", "embedding", col("vec_id") % 50 === 0, 5, nprobe = 2)
+          .orderBy("q_id", "rk")
       })
   )
 }

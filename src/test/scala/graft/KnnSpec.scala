@@ -76,6 +76,24 @@ class KnnSpec extends SparkTestBase {
     assert(collide.head._3 === 1L && collide.head._4 === 1.0)
   }
 
+  test("IVF two-table retrieval probes buckets; no broadcast of either relation needed") {
+    // corpus buckets under centroids {1 (x-axis), 2 (y-axis)}: vec 3 at
+    // 45° ties 0.707 on both and max_by breaks to the smaller centroid,
+    // so bucket 1 = {1, 3, 4}, bucket 2 = {2}
+    val queries = Seq((100L, Array(1.0f, 0.1f, 0.0f))).toDF("vec_id", "embedding")
+    val got = Knn.ivfRetrieve(queries, emb, "vec_id", "embedding",
+        col("vec_id").isin(1L, 2L), k = 2, nprobe = 1)
+      .orderBy("rk").as[(Long, Int, Long, Double)].collect()
+    // query ~x-axis probes bucket 1 only: colinear 1 and 4 tie → id order
+    assert(got.map(_._3).toSeq === Seq(1L, 4L))
+    assert(got.forall(r => math.abs(r._4 - 0.995037) < 1e-6))
+    // nprobe=2 reaches bucket 2's member as well
+    val wide = Knn.ivfRetrieve(queries, emb, "vec_id", "embedding",
+        col("vec_id").isin(1L, 2L), k = 4, nprobe = 2)
+      .as[(Long, Int, Long, Double)].collect()
+    assert(wide.map(_._3).toSet === Set(1L, 2L, 3L, 4L))
+  }
+
   test("near-dup pairs by cosine threshold") {
     val pairs = Knn.nearDupPairs(emb, "vec_id", "embedding", 0.99)
       .as[(Long, Long, Double)].collect().toList

@@ -196,4 +196,15 @@ class PlanQualitySpec extends SparkTestBase {
     assert(aggs.exists(_.contains("partial_")),
       "map-side combine must run before the exchange")
   }
+
+  test("q96 keywords: per-doc top-3 is the mergeable k-slot aggregator, no window") {
+    // a row_number window partitioned by doc_id would be correct but
+    // sorts every doc's vocabulary through WindowExec partition chains;
+    // the binary-id top-k aggregator keeps selection map-side partial
+    val plan = collectAll(executed(q("q96_keywords")))
+    assert(!plan.exists(_.nodeName == "Window"),
+      "keyword selection must not rank via WindowExec")
+    assert(plan.exists(_.nodeName.contains("ObjectHashAggregate")),
+      "selection must be the mergeable k-slot aggregator")
+  }
 }

@@ -153,4 +153,29 @@ class PropertySpec extends SparkTestBase {
       .where(!col("eq")).count()
     assert(neq === 0)
   }
+
+  test("wavPayload column synthesis round-trips wavDecoder for arbitrary (id, n, rate)") {
+    import graft.multimodal.Multimodal
+    val caseGen = for {
+      id <- Gen.chooseNum(0L, 1000000L)
+      n <- Gen.chooseNum(1, 64)
+      rate <- Gen.oneOf(8000, 11025, 16000, 22050, 44100, 48000)
+    } yield (id, n, rate)
+    val cases = sample(caseGen, 150).distinctBy(_._1) // id keys the result map
+    val decoded = Multimodal.decodeAudio(
+        cases.toDF("id", "n", "rate").select(col("id"),
+          Multimodal.wavPayload(col("id"), col("n"), col("rate")).as("bin")),
+        "id", "bin")
+      .collect().map(d => d.id -> d).toMap
+    cases.foreach { case (id, n, rate) =>
+      val d = decoded(id)
+      assert(d.n_bytes === 44 + n * 2, s"id=$id n=$n")
+      assert((d.sample_rate, d.n_channels, d.n_samples) === (rate, 1, n))
+      val want = (0 until n).map { k =>
+        val u = ((id * 31 + k * 17) % 65536).toInt
+        (if (u >= 32768) u - 65536 else u).toDouble
+      }.sum / n
+      assert(math.abs(d.mean_amp - want) < 1e-9, s"mean for id=$id n=$n rate=$rate")
+    }
+  }
 }
