@@ -209,6 +209,80 @@ object EventQueries {
                (sum(QueryDef.cents(col("value"))) / 100.0).as("sum_value"),
                (sum(QueryDef.cents(col("value"))) / count(lit(1)) / 100.0).as("avg_value"),
                min("value").as("min_value"), max("value").as("max_value"))
-          .orderBy("event_type"))
+          .orderBy("event_type")),
+
+    // ---- q99: funnel analysis — the classic ordered-stage conversion:
+    // per user, the first 'view', then the earliest 'click' strictly
+    // after it, then the earliest 'purchase' strictly after that click.
+    // Stage counts plus exact total stage-transition dwell (µs sums —
+    // BIGINT, no float). Each stage is one hash agg + one equi-join on
+    // user; no window touches the event table, so the plan is three
+    // shuffles on user_id at any scale.
+    QueryDef("q99_funnel", Some("""
+      WITH x AS (SELECT user_id, event_type, epoch_us(ts) AS tu FROM events),
+      v AS (SELECT user_id, MIN(tu) AS t_view FROM x
+            WHERE event_type = 'view' GROUP BY user_id),
+      c AS (SELECT x.user_id, MIN(x.tu) AS t_click
+            FROM x JOIN v ON x.user_id = v.user_id
+            WHERE x.event_type = 'click' AND x.tu > v.t_view
+            GROUP BY x.user_id),
+      p AS (SELECT x.user_id, MIN(x.tu) AS t_purchase
+            FROM x JOIN c ON x.user_id = c.user_id
+            WHERE x.event_type = 'purchase' AND x.tu > c.t_click
+            GROUP BY x.user_id)
+      SELECT (SELECT COUNT(*) FROM v) AS n_view,
+             (SELECT COUNT(*) FROM c) AS n_click,
+             (SELECT COUNT(*) FROM p) AS n_purchase,
+             (SELECT CAST(COALESCE(SUM(c.t_click - v.t_view), 0) AS BIGINT)
+              FROM c JOIN v ON c.user_id = v.user_id) AS view_to_click_us,
+             (SELECT CAST(COALESCE(SUM(p.t_purchase - c.t_click), 0) AS BIGINT)
+              FROM p JOIN c ON p.user_id = c.user_id) AS click_to_purchase_us"""),
+      (s, dir) => {
+        val x = Tables.events(s, dir).select(col("user_id"), col("event_type"),
+          col("ts_us").as("tu"))
+        val v = x.where(col("event_type") === "view")
+          .groupBy("user_id").agg(min("tu").as("t_view"))
+        val c = x.where(col("event_type") === "click").join(v, "user_id")
+          .where(col("tu") > col("t_view"))
+          .groupBy("user_id").agg(min("tu").as("t_click"))
+        val p = x.where(col("event_type") === "purchase").join(c, "user_id")
+          .where(col("tu") > col("t_click"))
+          .groupBy("user_id").agg(min("tu").as("t_purchase"))
+        val nv = v.agg(count(lit(1)).as("n_view"))
+        val nc = c.agg(count(lit(1)).as("n_click"))
+        val np = p.agg(count(lit(1)).as("n_purchase"))
+        val dwellVC = c.join(v, "user_id")
+          .agg(coalesce(sum(col("t_click") - col("t_view")), lit(0L))
+            .as("view_to_click_us"))
+        val dwellCP = p.join(c, "user_id")
+          .agg(coalesce(sum(col("t_purchase") - col("t_click")), lit(0L))
+            .as("click_to_purchase_us"))
+        nv.crossJoin(nc).crossJoin(np).crossJoin(dwellVC).crossJoin(dwellCP)
+      }),
+
+    // ---- q100: cohort retention — users cohorted by their FIRST-seen
+    // week (Monday-truncated, identical in both engines), then distinct
+    // active users per (cohort, week offset). The canonical warehouse
+    // retention matrix as two hash aggs + one equi-join on user; offsets
+    // are exact integer day-diffs (both weeks are Monday 00:00, so the
+    // difference is always a multiple of 7).
+    QueryDef("q100_retention", Some("""
+      WITH x AS (SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk FROM events),
+      f AS (SELECT user_id, MIN(wk) AS cohort FROM x GROUP BY user_id)
+      SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort_week,
+             CAST(date_diff('day', f.cohort, x.wk) // 7 AS INTEGER) AS week_offset,
+             COUNT(DISTINCT x.user_id) AS n_users
+      FROM x JOIN f ON x.user_id = f.user_id
+      GROUP BY 1, 2 ORDER BY cohort_week, week_offset"""),
+      (s, dir) => {
+        val x = Tables.events(s, dir)
+          .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("wk"))
+        val f = x.groupBy("user_id").agg(min("wk").as("cohort"))
+        x.join(f, "user_id")
+          .groupBy(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_week"),
+            expr("datediff(wk, cohort) div 7").cast("int").as("week_offset"))
+          .agg(countDistinct(col("user_id")).as("n_users"))
+          .orderBy("cohort_week", "week_offset")
+      })
   )
 }

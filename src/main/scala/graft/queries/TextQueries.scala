@@ -1146,6 +1146,60 @@ object TextQueries {
           .orderBy("doc_id")
       }),
 
+    // ---- q101: collocation mining — pointwise mutual information of
+    // the 20 most frequent adjacent bigrams: PMI = ln(p(ab)/(p(a)p(b)))
+    // flags pairs that co-occur far above chance (phrase detection /
+    // tokenizer-merge candidates). SELECTION is by integer count with
+    // bigram tiebreak (no float boundary); only the emitted PMI is
+    // rounded. Spark's orderBy+limit plans TakeOrderedAndProject —
+    // per-partition partial top-20 then a 20-row merge, never a full
+    // sort of the bigram vocabulary.
+    QueryDef("q101_collocations", Some(s"""${toksCte()},
+      uni AS (SELECT unnest(tokens) AS t FROM toks),
+      un AS (SELECT t, COUNT(*) AS cnt FROM uni GROUP BY t),
+      nu AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS n FROM un),
+      big AS (SELECT unnest(list_transform(range(1, len(tokens)),
+                i -> tokens[i] || ' ' || tokens[i+1])) AS g
+              FROM toks WHERE len(tokens) >= 2),
+      bc AS (SELECT g, COUNT(*) AS cnt FROM big GROUP BY g),
+      nb AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS n FROM bc),
+      top AS (SELECT g, cnt FROM bc ORDER BY cnt DESC, g LIMIT 20),
+      parts AS (SELECT g, cnt, string_split(g, ' ')[1] AS w1,
+                       string_split(g, ' ')[2] AS w2 FROM top)
+      SELECT p.g AS bigram, p.cnt AS n_occurrences,
+             ROUND(ln((CAST(p.cnt AS DOUBLE) / (SELECT n FROM nb))
+                      / ((CAST(a.cnt AS DOUBLE) / (SELECT n FROM nu))
+                         * (CAST(b.cnt AS DOUBLE) / (SELECT n FROM nu)))), 6) AS pmi
+      FROM parts p JOIN un a ON a.t = p.w1 JOIN un b ON b.t = p.w2
+      ORDER BY n_occurrences DESC, bigram"""),
+      (s, dir) => {
+        val d = tokenized(s, dir)
+        val uni = d.select(explode(col("tokens")).as("t"))
+          .groupBy("t").agg(count(lit(1)).as("cnt"))
+        val nu = uni.agg(sum("cnt").cast("double").as("n_uni"))
+        val bc = d.where(size(col("tokens")) >= 2)
+          .select(explode(
+            graft.functions.WordShingles(col("tokens"), 2, distinct = false)).as("g"))
+          .groupBy("g").agg(count(lit(1)).as("cnt"))
+        val nb = bc.agg(sum("cnt").cast("double").as("n_big"))
+        // the 20-row top side broadcasts (NOT the unigram vocabulary,
+        // which is corpus-sized); each lookup is one streamed pass
+        val top = bc.orderBy(col("cnt").desc, col("g")).limit(20)
+          .withColumn("w1", split(col("g"), " ")(0))
+          .withColumn("w2", split(col("g"), " ")(1))
+        val j1 = uni.select(col("t").as("w1"), col("cnt").as("c1"))
+          .join(broadcast(top), "w1")
+        uni.select(col("t").as("w2"), col("cnt").as("c2"))
+          .join(broadcast(j1), "w2")
+          .crossJoin(broadcast(nu))
+          .crossJoin(broadcast(nb))
+          .select(col("g").as("bigram"), col("cnt").as("n_occurrences"),
+            round(log((col("cnt").cast("double") / col("n_big"))
+              / ((col("c1").cast("double") / col("n_uni"))
+                 * (col("c2").cast("double") / col("n_uni")))), 6).as("pmi"))
+          .orderBy(col("n_occurrences").desc, col("bigram"))
+      }),
+
     // ---- q40: multimodal plumbing — opaque binary payload + metadata
     // (decode itself is stubbed; see graft.multimodal).
     QueryDef("q40_binary_meta", Some("""
