@@ -276,6 +276,50 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming vector retrieval against the stored index matches the batch path") {
+    implicit val ctx = spark.sqlContext
+    import graft.streaming.VectorStreams
+    // corpus = the KnnSpec fixture; centroids {1 (x-axis), 2 (y-axis)}:
+    // bucket 1 = {1, 3, 4} (vec 3 ties 0.707 → smaller centroid), bucket 2 = {2}
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(1.0f, 1.0f, 0.0f)),
+      (4L, Array(2.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val (index, codebook) = VectorStreams.buildIndex(
+      corpus, "vec_id", "embedding", col("vec_id").isin(1L, 2L))
+    assert(codebook.map(_.id) === Seq(1L, 2L))
+    val input = MemoryStream[(Timestamp, Long, Array[Float])]
+    val q = VectorStreams.retrieveStream(
+        input.toDF().toDF("ts", "q_id", "q_vec"), index, codebook,
+        k = 2, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("retrieve")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData(
+        (ts(1), 100L, Array(1.0f, 0.1f, 0.0f)),  // ~x-axis → bucket 1
+        (ts(2), 200L, Array(0.1f, 1.0f, 0.0f)))  // ~y-axis → bucket 2
+      q.processAllAvailable()
+      input.addData((ts(60), 300L, Array(1.0f, 0.0f, 0.0f))) // advances watermark
+      q.processAllAvailable()
+      val got = spark.table("retrieve")
+        .select("q_id", "rk", "cand_id").as[(Long, Int, Long)].collect().toSet
+      // query 100 probes bucket 1: colinear 1 and 4 tie → id order;
+      // query 200 probes bucket 2: single member 2
+      assert(got === Set((100L, 1, 1L), (100L, 2, 4L), (200L, 1, 2L)),
+        s"got $got")
+      // the streaming answer for query 100 = the batch two-table IVF answer
+      val batch = graft.ann.Knn.ivfRetrieve(
+          Seq((100L, Array(1.0f, 0.1f, 0.0f))).toDF("vec_id", "embedding"),
+          corpus, "vec_id", "embedding", col("vec_id").isin(1L, 2L),
+          k = 2, nprobe = 1)
+        .select("q_id", "rk", "cand_id").as[(Long, Int, Long)].collect().toSet
+      assert(got.filter(_._1 == 100L) === batch)
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState emits anomalies against the running per-user mean") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[UserEvent]
