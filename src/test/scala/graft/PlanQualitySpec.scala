@@ -197,6 +197,26 @@ class PlanQualitySpec extends SparkTestBase {
       "map-side combine must run before the exchange")
   }
 
+  test("q98 IVF retrieval: one probe window over queries; bucket join, mergeable top-k") {
+    val plan = collectAll(executed(q("q98_ivf_retrieve")))
+    val windows = plan.filter(_.nodeName == "Window").distinct
+    assert(windows.size == 1,
+      s"expected only the query probe-list window, got ${windows.size}")
+    assert(plan.exists(_.toString.contains("max_by")),
+      "corpus bucket assignment must be the partial-aggregable max_by top-1")
+    assert(plan.exists(_.nodeName.contains("ObjectHashAggregate")),
+      "final top-k must be the mergeable k-slot aggregator, not a window")
+    assert(!plan.exists { case _: CartesianProductExec => true; case _ => false },
+      "query×candidate scoring must ride the bucket equi-join")
+  }
+
+  test("q99 funnel: three hash aggs and user equi-joins — no window over events") {
+    val plan = collectAll(executed(q("q99_funnel")))
+    assert(!plan.exists(_.nodeName == "Window"),
+      "stage ordering must come from min-aggregates + joins, not a window sort")
+    assert(!plan.exists { case _: CartesianProductExec => true; case _ => false })
+  }
+
   test("q96 keywords: per-doc top-3 is the mergeable k-slot aggregator, no window") {
     // a row_number window partitioned by doc_id would be correct but
     // sorts every doc's vocabulary through WindowExec partition chains;

@@ -116,6 +116,31 @@ class RobustnessSpec extends SparkTestBase {
     assert(got.count() === 5) // 2*2 for k=1 plus 1 for k=2
   }
 
+  test("streaming retrieval edges: empty codebook rejected, zero-norm queries dropped") {
+    import graft.streaming.VectorStreams
+    import org.apache.spark.sql.functions._
+    intercept[IllegalArgumentException](
+      VectorStreams.bucketExpr(col("v"), col("n"), Seq.empty))
+    // retrieveStream is a pure transformation — on a batch frame the
+    // watermark is a no-op, so the zero-norm drop is testable directly
+    val corpus = Seq((1L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val (index, codebook) = VectorStreams.buildIndex(
+      corpus, "vec_id", "embedding", col("vec_id") === 1L)
+    val queries = Seq(
+      (new java.sql.Timestamp(0L), 100L, Array(1.0f, 1.0f)),
+      (new java.sql.Timestamp(0L), 200L, Array(0.0f, 0.0f))  // zero norm
+    ).toDF("ts", "q_id", "q_vec")
+    val got = VectorStreams.retrieveStream(queries, index, codebook, k = 1)
+      .select("q_id").as[Long].collect().toSet
+    assert(got === Set(100L), "the zero-norm query must be dropped, not crash ANSI division")
+    // a codebook whose centroid collapsed to zero norm is filtered at build
+    val zc = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val (_, cb2) = VectorStreams.buildIndex(zc, "vec_id", "embedding",
+      col("vec_id").isin(1L, 2L))
+    assert(cb2.map(_.id) === Seq(1L))
+  }
+
   test("evaluateModel returns NaN means (not NPE) when no pair is gold") {
     val sims = Seq(("a", "b", 0.5), ("c", "d", 0.3)).toDF("id_a", "id_b", "sim")
     val gold = Seq(("x", "y")).toDF("id_a", "id_b")
