@@ -1200,6 +1200,72 @@ object TextQueries {
           .orderBy(col("n_occurrences").desc, col("bigram"))
       }),
 
+    // ---- q102: interpolated bigram-LM surprisal — q93's unigram model
+    // upgraded one order: p(w₂|w₁) = 0.8·c(w₁w₂)/c(w₁·) + 0.2·c(w₂)/N
+    // (Jelinek-Mercer interpolation; the history mass c(w₁·) sums the
+    // bigrams starting with w₁, so the conditional normalizes). Scores
+    // only bigram positions; docs under 2 tokens drop. Same scale shape
+    // as q93 — the count tables stay distributed, equi-joined back to
+    // the positions, never collected.
+    QueryDef("q102_bigram_surprisal", Some(s"""${toksCte()},
+      big AS (SELECT doc_id, unnest(list_transform(range(1, len(tokens)),
+                i -> tokens[i] || ' ' || tokens[i+1])) AS g
+              FROM toks WHERE len(tokens) >= 2),
+      bc AS (SELECT g, COUNT(*) AS cb FROM big GROUP BY g),
+      hist AS (SELECT string_split(g, ' ')[1] AS w1, SUM(cb) AS ch
+               FROM bc GROUP BY 1),
+      uni AS (SELECT unnest(tokens) AS t FROM toks),
+      un AS (SELECT t, COUNT(*) AS cu FROM uni GROUP BY t),
+      nu AS (SELECT CAST(SUM(cu) AS DOUBLE) AS n FROM un),
+      pos AS (SELECT b.doc_id, b.g, string_split(b.g, ' ')[1] AS w1,
+                     string_split(b.g, ' ')[2] AS w2
+              FROM big b),
+      scored AS (SELECT p.doc_id,
+                   CAST(0.8 AS DOUBLE) * (CAST(c.cb AS DOUBLE) / h.ch)
+                 + CAST(0.2 AS DOUBLE) * (CAST(u.cu AS DOUBLE) / (SELECT n FROM nu)) AS prob
+                 FROM pos p JOIN bc c ON c.g = p.g
+                            JOIN hist h ON h.w1 = p.w1
+                            JOIN un u ON u.t = p.w2)
+      SELECT doc_id, COUNT(*) AS n_bigrams,
+             ROUND(AVG(-ln(prob)), 6) AS avg_nll2
+      FROM scored GROUP BY doc_id ORDER BY doc_id"""),
+      (s, dir) => {
+        val d = tokenized(s, dir)
+        val big = d.where(size(col("tokens")) >= 2)
+          .select(col("doc_id"), explode(
+            graft.functions.WordShingles(col("tokens"), 2, distinct = false)).as("g"))
+        val bc = big.groupBy("g").agg(count(lit(1)).as("cb"))
+        val hist = bc.select(split(col("g"), " ")(0).as("w1"), col("cb"))
+          .groupBy("w1").agg(sum("cb").as("ch"))
+        val un = d.select(explode(col("tokens")).as("t"))
+          .groupBy("t").agg(count(lit(1)).as("cu"))
+        val nu = un.agg(sum("cu").cast("double").as("n"))
+        big
+          .withColumn("w1", split(col("g"), " ")(0))
+          .withColumn("w2", split(col("g"), " ")(1))
+          .join(bc, "g").join(hist, "w1")
+          .join(un.select(col("t").as("w2"), col("cu")), "w2")
+          .crossJoin(broadcast(nu))
+          .select(col("doc_id"),
+            (lit(0.8) * (col("cb").cast("double") / col("ch"))
+             + lit(0.2) * (col("cu").cast("double") / col("n"))).as("prob"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"),
+            round(avg(-log(col("prob"))), 6).as("avg_nll2"))
+          .orderBy("doc_id")
+      }),
+
+    // ---- q103: deflate compression ratio — the repetition signal the
+    // regex family (q69) can't fake, via a REAL codec: one Deflater per
+    // partition, reset per row (the native-context shape). DuckDB has
+    // no zlib, so this row is rows-only (no oracle) BY NECESSITY — the
+    // semantics are pinned by unit tests on known-compressibility
+    // fixtures instead.
+    QueryDef("q103_compression_ratio", None,
+      (s, dir) =>
+        TextStats.compressionRatio(docs(s, dir), "doc_id", "text")
+          .orderBy("doc_id")),
+
     // ---- q40: multimodal plumbing — opaque binary payload + metadata
     // (decode itself is stubbed; see graft.multimodal).
     QueryDef("q40_binary_meta", Some("""

@@ -66,4 +66,38 @@ object TextStats {
     */
   def bpeTokenCount(text: Column): Column =
     size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]|[^a-z0-9\\s]"), lit(0)))
+
+  /** Deflate compression ratio per document — the quality signal regex
+    * heuristics can't fake: highly repetitive/templated text compresses
+    * far below ~0.4, high-entropy gibberish sits near 1.0 (the
+    * Gopher-family "compression filter"). The ONLY non-column-expression
+    * operator in this file, because it needs a real codec: a
+    * `java.util.zip.Deflater` is allocated once per PARTITION and reset
+    * per row (the same native-context-per-partition shape as the
+    * multimodal decoders). No DuckDB zlib exists, so the catalog row is
+    * rows-only; `ChunkingSpec`-style unit tests pin the semantics.
+    */
+  def compressionRatio(df: org.apache.spark.sql.DataFrame,
+                       idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        val deflater = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION)
+        val buf = new Array[Byte](64 * 1024)
+        rows.map { case (id, text) =>
+          val bytes = Option(text).getOrElse("").getBytes("UTF-8")
+          deflater.reset()
+          deflater.setInput(bytes)
+          deflater.finish()
+          var compressed = 0L
+          while (!deflater.finished()) compressed += deflater.deflate(buf)
+          val ratio = if (bytes.length == 0) None
+                      else Some(compressed.toDouble / bytes.length)
+          (id, bytes.length, compressed, ratio)
+        }
+      }
+      .toDF(idCol, "n_bytes", "n_compressed", "compression_ratio")
+  }
 }

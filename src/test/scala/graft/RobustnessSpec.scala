@@ -141,6 +141,27 @@ class RobustnessSpec extends SparkTestBase {
     assert(cb2.map(_.id) === Seq(1L))
   }
 
+  test("compression ratio separates repetitive from high-entropy text; empty is NULL") {
+    import graft.text.TextStats
+    val docs = Seq(
+      (1L, "spam " * 2000),                                    // degenerate repetition
+      (2L, (0 until 4000).map(i => (i * 2654435761L).toHexString).mkString(" ")), // high entropy
+      (3L, "")                                                 // empty → NULL ratio
+    ).toDF("doc_id", "text")
+    val got = TextStats.compressionRatio(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(got(1L)._2.get < 0.05, s"repetition must compress hard, got ${got(1L)._2}")
+    assert(got(2L)._2.get > 0.5, s"entropy must resist compression, got ${got(2L)._2}")
+    assert(got(3L)._1 === 0 && got(3L)._2.isEmpty,
+      "empty doc must yield NULL ratio, not divide by zero")
+    // deterministic across runs (one Deflater per partition, reset per row)
+    val again = TextStats.compressionRatio(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(again(1L) === got(1L)._2 && again(2L) === got(2L)._2)
+  }
+
   test("evaluateModel returns NaN means (not NPE) when no pair is gold") {
     val sims = Seq(("a", "b", 0.5), ("c", "d", 0.3)).toDF("id_a", "id_b", "sim")
     val gold = Seq(("x", "y")).toDF("id_a", "id_b")
