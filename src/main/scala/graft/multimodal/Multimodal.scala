@@ -346,6 +346,156 @@ object Multimodal {
       (width * height * lit(3))
   }
 
+  /** REAL compressed-image encode (QOI, the "Quite OK Image" format —
+    * public spec, qoiformat.org): pixels in, a spec-valid .qoi file out,
+    * exercising the full op set a compliant encoder uses — RUN for
+    * repeats, INDEX for hash-table hits, DIFF/LUMA for small deltas,
+    * RGB literals otherwise. Used to synthesize real compressed payloads
+    * for decode tests/queries; any compliant decoder opens the output.
+    * `pixels` are packed 0xRRGGBB ints (alpha fixed at 255), row-major.
+    */
+  def qoiEncode(w: Int, h: Int, pixels: Array[Int]): Array[Byte] = {
+    require(w > 0 && h > 0 && pixels.length == w * h, "bad QOI encode input")
+    val out = new java.io.ByteArrayOutputStream(64 + pixels.length)
+    def u32be(v: Int): Unit = {
+      out.write((v >>> 24) & 0xff); out.write((v >>> 16) & 0xff)
+      out.write((v >>> 8) & 0xff); out.write(v & 0xff)
+    }
+    out.write('q'); out.write('o'); out.write('i'); out.write('f')
+    u32be(w); u32be(h); out.write(3); out.write(0) // RGB, sRGB
+    val index = new Array[Int](64) // packed 0xAARRGGBB, zero = uninitialized
+    var prev = 0xff000000 // (0,0,0,255)
+    var run = 0
+    def hash(p: Int): Int = {
+      val r = (p >>> 16) & 0xff; val g = (p >>> 8) & 0xff; val b = p & 0xff
+      (r * 3 + g * 5 + b * 7 + 255 * 11) % 64
+    }
+    var k = 0
+    while (k < pixels.length) {
+      val px = 0xff000000 | (pixels(k) & 0xffffff)
+      if (px == prev) {
+        run += 1
+        if (run == 62) { out.write(0xc0 | (run - 1)); run = 0 }
+      } else {
+        if (run > 0) { out.write(0xc0 | (run - 1)); run = 0 }
+        val ih = hash(px)
+        if (index(ih) == px) out.write(ih) // QOI_OP_INDEX (top bits 00)
+        else {
+          index(ih) = px
+          val dr = ((px >>> 16) & 0xff) - ((prev >>> 16) & 0xff)
+          val dg = ((px >>> 8) & 0xff) - ((prev >>> 8) & 0xff)
+          val db = (px & 0xff) - (prev & 0xff)
+          if (dr >= -2 && dr <= 1 && dg >= -2 && dg <= 1 && db >= -2 && db <= 1)
+            out.write(0x40 | ((dr + 2) << 4) | ((dg + 2) << 2) | (db + 2)) // DIFF
+          else if (dg >= -32 && dg <= 31 &&
+                   dr - dg >= -8 && dr - dg <= 7 && db - dg >= -8 && db - dg <= 7) {
+            out.write(0x80 | (dg + 32))                                    // LUMA
+            out.write(((dr - dg + 8) << 4) | (db - dg + 8))
+          } else {
+            out.write(0xfe)                                                // RGB
+            out.write((px >>> 16) & 0xff); out.write((px >>> 8) & 0xff); out.write(px & 0xff)
+          }
+        }
+        prev = px
+      }
+      k += 1
+    }
+    if (run > 0) out.write(0xc0 | (run - 1))
+    (0 until 7).foreach(_ => out.write(0)); out.write(1) // end marker
+    out.toByteArray
+  }
+
+  /** REAL compressed-image decode #3: parse a QOI payload byte-by-byte
+    * per the public spec — magic, big-endian dims, then the chunk stream
+    * (RGB/RGBA literals, 64-entry hash-table INDEX, DIFF, LUMA, RUN with
+    * wraparound arithmetic) to the 8-byte end marker. Handles 3- and
+    * 4-channel files from ANY compliant encoder, not just [[qoiEncode]].
+    * Returns (width, height, mean over the R,G,B samples — alpha
+    * excluded). Truncated streams, bad magic, and pixel overruns fail
+    * loudly. Plug into [[decodeImages]] as the `decoder`.
+    */
+  def qoiDecoder(bytes: Array[Byte]): (Int, Int, Double) = {
+    def u8(i: Int) = bytes(i) & 0xff
+    require(bytes.length >= 22, "truncated QOI header") // 14 header + 8 end marker
+    require(bytes(0) == 'q' && bytes(1) == 'o' && bytes(2) == 'i' && bytes(3) == 'f',
+      "not a QOI payload")
+    def u32be(i: Int) = (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    val w = u32be(4)
+    val h = u32be(8)
+    require(w > 0 && h > 0, s"bad QOI dimensions: ${w}x$h")
+    val channels = u8(12)
+    require(channels == 3 || channels == 4, s"bad QOI channel count $channels")
+    val nL = w.toLong * h
+    require(nL <= Int.MaxValue / 4, s"QOI raster too large: ${w}x$h")
+    val n = nL.toInt
+    val index = new Array[Int](64)
+    var r = 0; var g = 0; var b = 0; var a = 255
+    var sum = 0L
+    var produced = 0
+    var i = 14
+    val end = bytes.length - 8
+    def emit(count: Int): Unit = {
+      require(produced + count <= n, s"QOI pixel overrun at $produced + $count > $n")
+      sum += (r + g + b).toLong * count
+      produced += count
+    }
+    def keep(): Unit =
+      index(((r * 3 + g * 5 + b * 7 + a * 11) % 64 + 64) % 64) =
+        (a << 24) | (r << 16) | (g << 8) | b
+    while (produced < n) {
+      require(i < end, s"QOI chunk stream truncated at pixel $produced/$n")
+      val op = u8(i)
+      if (op == 0xfe) { // RGB
+        require(i + 3 < end, "truncated QOI_OP_RGB")
+        r = u8(i + 1); g = u8(i + 2); b = u8(i + 3); i += 4; keep(); emit(1)
+      } else if (op == 0xff) { // RGBA
+        require(i + 4 < end, "truncated QOI_OP_RGBA")
+        r = u8(i + 1); g = u8(i + 2); b = u8(i + 3); a = u8(i + 4); i += 5; keep(); emit(1)
+      } else (op >> 6) match {
+        case 0 => // INDEX
+          val px = index(op & 0x3f)
+          a = (px >>> 24) & 0xff; r = (px >>> 16) & 0xff
+          g = (px >>> 8) & 0xff; b = px & 0xff
+          i += 1; emit(1)
+        case 1 => // DIFF (wraparound, bias 2)
+          r = (r + ((op >> 4) & 3) - 2) & 0xff
+          g = (g + ((op >> 2) & 3) - 2) & 0xff
+          b = (b + (op & 3) - 2) & 0xff
+          i += 1; keep(); emit(1)
+        case 2 => // LUMA (bias 32 / 8)
+          require(i + 1 < end, "truncated QOI_OP_LUMA")
+          val dg = (op & 0x3f) - 32
+          val b2 = u8(i + 1)
+          r = (r + dg + ((b2 >> 4) & 0xf) - 8) & 0xff
+          g = (g + dg) & 0xff
+          b = (b + dg + (b2 & 0xf) - 8) & 0xff
+          i += 2; keep(); emit(1)
+        case _ => // RUN (bias -1; 0xfe/0xff taken by RGB/RGBA above)
+          i += 1; emit((op & 0x3f) + 1)
+      }
+    }
+    (w, h, sum.toDouble / (nL * 3))
+  }
+
+  /** Deterministic QOI payload for tests/queries: pixel k's channels are
+    * `(id*7 + (k/4)*13) % 256`, `(id*11 + (k/4)*17) % 256`,
+    * `(id*13 + (k/4)*19) % 256` — groups of 4 equal pixels force RUN
+    * ops, the +13/+17/+19 group steps mostly fit LUMA, wraps fall back
+    * to RGB, and recurrences hit INDEX, so a round trip crosses the
+    * whole op set. Oracles recompute the decoded mean from this closed
+    * form without touching QOI.
+    */
+  def qoiPayload(id: Long, w: Int, h: Int): Array[Byte] = {
+    val px = Array.tabulate(w * h) { k =>
+      val j = k / 4
+      val r = ((id * 7 + j * 13) % 256).toInt
+      val g = ((id * 11 + j * 17) % 256).toInt
+      val b = ((id * 13 + j * 19) % 256).toInt
+      (r << 16) | (g << 8) | b
+    }
+    qoiEncode(w, h, px)
+  }
+
   /** Batched partition-wise decode: the Scala analogue of `mapInPandas`.
     * The decoder runs once per row but is instantiated once per
     * PARTITION (closure setup outside the iterator) — where a real codec

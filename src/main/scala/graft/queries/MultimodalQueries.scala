@@ -219,6 +219,42 @@ object MultimodalQueries {
               ./(col("sample_rate")).as("duration_ms"),
             col("mean_amp"))
           .orderBy("doc_id")
+      }),
+
+    // ---- q104: REAL COMPRESSED-format decode — QOI (public spec,
+    // qoiformat.org): per doc, encode a closed-form pixel raster into an
+    // actual compressed .qoi byte stream (RUN/INDEX/DIFF/LUMA/RGB ops —
+    // qoiEncode, JVM-side since compression is not column-expressible),
+    // then qoiDecoder parses it back chunk-by-chunk through the
+    // partition-wise path. The oracle recomputes width/height/mean from
+    // the pixel GENERATOR's closed form, so the whole compress→parse
+    // round trip is what's being checked — the first codec-class format
+    // in the engine with zero codec libraries.
+    QueryDef("q104_qoi_decode", Some("""
+      WITH p AS (SELECT doc_id,
+                   CAST(n_chars % 9 + 1 AS INTEGER) AS w,
+                   CAST((n_chars // 9) % 9 + 1 AS INTEGER) AS h
+                 FROM documents)
+      SELECT doc_id, w AS width, h AS height,
+             CAST(list_sum(list_transform(range(0, w * h),
+                    k -> (doc_id * 7 + (k // 4) * 13) % 256
+                       + (doc_id * 11 + (k // 4) * 17) % 256
+                       + (doc_id * 13 + (k // 4) * 19) % 256)) AS DOUBLE)
+               / (w * h * 3) AS mean_luma
+      FROM p ORDER BY doc_id"""),
+      (s, dir) => {
+        import s.implicits._
+        val pay = Tables.read(s, dir, "documents")
+          .select(col("doc_id"), (col("n_chars") % 9 + 1).cast("int").as("w"),
+            (expr("n_chars div 9") % 9 + 1).cast("int").as("h"))
+          .as[(Long, Int, Int)]
+          .map { case (id, w, h) => (id, Multimodal.qoiPayload(id, w, h)) }
+          .toDF("doc_id", "payload")
+        Multimodal.decodeImages(pay, "doc_id", "payload", Multimodal.qoiDecoder)
+          .toDF()
+          .select(col("id").as("doc_id"), col("width"), col("height"),
+            col("mean_luma"))
+          .orderBy("doc_id")
       })
   )
 }

@@ -1266,6 +1266,40 @@ object TextQueries {
         TextStats.compressionRatio(docs(s, dir), "doc_id", "text")
           .orderBy("doc_id")),
 
+    // ---- q105: snapshot upsert (MERGE semantics, Spark-first) — the
+    // incremental-corpus maintenance step: a fresh batch (doc_id ≥ 300,
+    // re-crawled text) merges into the stored snapshot (doc_id < 400).
+    // Overlap (300-399) = updates, tail (≥ 400) = inserts, rest = kept
+    // rows. One full-outer equi-join on the key — the MERGE INTO plan
+    // without a table format: new version wins, every row tagged with
+    // its action so downstream consumers can react (re-embed updated
+    // docs, admit inserted ones). At scale the snapshot side rides the
+    // partitioned/bucketed layout so the join co-locates.
+    QueryDef("q105_upsert", Some("""
+      WITH corpus AS (SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id < 400),
+      batch AS (SELECT doc_id, md5(text || ' v2') AS fp FROM documents WHERE doc_id >= 300)
+      SELECT COALESCE(b.doc_id, c.doc_id) AS doc_id,
+             CASE WHEN c.doc_id IS NULL THEN 'insert'
+                  WHEN b.doc_id IS NULL THEN 'keep'
+                  ELSE 'update' END AS action,
+             COALESCE(b.fp, c.fp) AS fingerprint
+      FROM corpus c FULL OUTER JOIN batch b ON b.doc_id = c.doc_id
+      ORDER BY doc_id"""),
+      (s, dir) => {
+        val corpus = docs(s, dir).where(col("doc_id") < 400)
+          .select(col("doc_id").as("c_id"), md5(col("text")).as("c_fp"))
+        val batch = docs(s, dir).where(col("doc_id") >= 300)
+          .select(col("doc_id").as("b_id"),
+            md5(concat(col("text"), lit(" v2"))).as("b_fp"))
+        corpus.join(batch, col("b_id") === col("c_id"), "full_outer")
+          .select(coalesce(col("b_id"), col("c_id")).as("doc_id"),
+            when(col("c_id").isNull, "insert")
+              .when(col("b_id").isNull, "keep")
+              .otherwise("update").as("action"),
+            coalesce(col("b_fp"), col("c_fp")).as("fingerprint"))
+          .orderBy("doc_id")
+      }),
+
     // ---- q40: multimodal plumbing — opaque binary payload + metadata
     // (decode itself is stubbed; see graft.multimodal).
     QueryDef("q40_binary_meta", Some("""

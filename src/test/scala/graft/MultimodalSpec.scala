@@ -198,6 +198,59 @@ class MultimodalSpec extends SparkTestBase {
     intercept[IllegalArgumentException](Multimodal.wavDecoder(odd))
   }
 
+  test("qoiDecoder round-trips qoiEncode across the op set; compression is real") {
+    val cases = Seq((3L, 9, 7), (11L, 1, 1), (255L, 8, 8), (1000000L, 5, 9))
+    cases.foreach { case (id, w, h) =>
+      val bytes = Multimodal.qoiPayload(id, w, h)
+      val (dw, dh, mean) = Multimodal.qoiDecoder(bytes)
+      assert((dw, dh) === (w, h), s"dims for id=$id")
+      val want = (0 until w * h).map { k =>
+        val j = k / 4
+        ((id * 7 + j * 13) % 256 + (id * 11 + j * 17) % 256 +
+          (id * 13 + j * 19) % 256).toDouble
+      }.sum / (w * h * 3)
+      assert(math.abs(mean - want) < 1e-12, s"mean for id=$id ${w}x$h")
+    }
+    // groups of 4 equal pixels must make RUN ops fire: the stream must
+    // be smaller than one literal RGB chunk per pixel
+    val big = Multimodal.qoiPayload(3L, 8, 8)
+    assert(big.length < 14 + 8 + 64 * 4, s"no compression happened: ${big.length} bytes")
+    // and through the distributed partition-wise path
+    import org.apache.spark.sql.functions.col
+    val df = Seq((3L, Multimodal.qoiPayload(3L, 9, 7))).toDF("id", "bin")
+    val d = Multimodal.decodeImages(df, "id", "bin", Multimodal.qoiDecoder).collect()(0)
+    assert((d.width, d.height) === (9, 7))
+  }
+
+  test("qoiDecoder handles hand-built RGBA/INDEX/DIFF/RUN chunks from a foreign encoder") {
+    def u32be(v: Int) = Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    val header = "qoif".getBytes("US-ASCII") ++ u32be(2) ++ u32be(3) ++ Array(4.toByte, 0.toByte)
+    val chunks = Array[Byte](
+      0xfe.toByte, 10, 20, 30,              // RGB   (10,20,30)    px 0
+      (0x40 | (3 << 4) | (3 << 2) | 3).toByte, // DIFF +1+1+1 → (11,21,31) px 1
+      0xff.toByte, 10, 20, 30, 100.toByte,  // RGBA  (10,20,30,100) px 2
+      ((10 * 3 + 20 * 5 + 30 * 7 + 255 * 11) % 64).toByte, // INDEX → (10,20,30,255) px 3
+      (0xc0 | 1).toByte                     // RUN 2 → two more (10,20,30) px 4,5
+    )
+    val marker = Array[Byte](0, 0, 0, 0, 0, 0, 0, 1)
+    val (w, h, mean) = Multimodal.qoiDecoder(header ++ chunks ++ marker)
+    assert((w, h) === (2, 3))
+    val want = (60.0 + 63.0 + 60.0 + 60.0 + 60.0 + 60.0) / (6 * 3)
+    assert(math.abs(mean - want) < 1e-12)
+  }
+
+  test("qoiDecoder rejects non-QOI, truncated streams, and pixel overruns loudly") {
+    intercept[Exception](Multimodal.qoiDecoder(Array.empty[Byte]))
+    intercept[Exception](Multimodal.qoiDecoder("RIFFxxxxWAVE".getBytes("US-ASCII") ++ new Array[Byte](10)))
+    val good = Multimodal.qoiPayload(3L, 4, 4)
+    intercept[IllegalArgumentException](Multimodal.qoiDecoder(good.take(good.length - 9)))
+    // a run overrunning the pixel count must fail, not silently truncate
+    def u32be(v: Int) = Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    val tiny = "qoif".getBytes("US-ASCII") ++ u32be(1) ++ u32be(2) ++ Array(3.toByte, 0.toByte) ++
+      Array[Byte](0xfe.toByte, 1, 2, 3, (0xc0 | 5).toByte) ++ Array[Byte](0, 0, 0, 0, 0, 0, 0, 1)
+    intercept[IllegalArgumentException](Multimodal.qoiDecoder(tiny))
+  }
+
   test("P3 synthesis → column parse → JVM decoder all agree on the same bytes") {
     val src = Seq((3L, 4), (10L, 1)).toDF("id", "n")
     val pay = src.select(col("id"),
