@@ -442,4 +442,33 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         (col("inter") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
   }
+
+  /** Merge per-doc n-gram hit POSITIONS into contiguous character-free
+    * token spans (gaps-and-islands): two positions belong to one span
+    * when their n-gram windows touch or overlap (gap ≤ n). Emits
+    * (doc_id, span_start, span_end inclusive token index, n_hits).
+    *
+    * Scale shape: both windows partition by doc — bounded by a single
+    * document's hit count, never corpus-wide. Shared by span
+    * decontamination (q73, hits = eval-set matches) and corpus
+    * self-dedup (q109, hits = cross-doc duplicated n-grams).
+    */
+  def mergeSpans(hits: DataFrame, n: Int): DataFrame = {
+    val wPrev = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val wRun = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    hits
+      .withColumn("brk",
+        when(col("pos") > coalesce(max(col("pos")).over(wPrev) + (n - 1), lit(-2)) + 1,
+          lit(1)).otherwise(lit(0)))
+      .withColumn("island", sum(col("brk")).over(wRun))
+      .groupBy("doc_id", "island")
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + (n - 1)).as("span_end"),
+        count(lit(1)).as("n_hits"))
+      .select(col("doc_id"), col("span_start"), col("span_end"), col("n_hits"))
+  }
 }

@@ -283,6 +283,89 @@ object EventQueries {
             expr("datediff(wk, cohort) div 7").cast("int").as("week_offset"))
           .agg(countDistinct(col("user_id")).as("n_users"))
           .orderBy("cohort_week", "week_offset")
+      }),
+
+    // ---- q110: exact grouped higher moments (mean / population
+    // variance / skewness) — the distribution-drift monitor of a
+    // feature pipeline, with the house cents trick extended to POWER
+    // sums: Σcv, Σcv², Σcv³ accumulate as exact integers (Spark
+    // decimal(38,0) partial aggs ↔ DuckDB HUGEINT — order-free), and
+    // only then does each engine cast the identical exact integers to
+    // double and run the IDENTICAL expression tree (sqrt(v)·v for
+    // v^1.5 — no libm pow), so every emitted double matches bit-for-bit
+    // with NO rounding. One map-side-partial hash agg; never a window.
+    QueryDef("q110_grouped_moments", Some(s"""
+      WITH c AS (SELECT event_type, $valCents AS cv FROM events),
+      s AS (SELECT event_type, COUNT(*) AS n,
+              CAST(SUM(cv) AS DOUBLE) AS s1, CAST(SUM(cv * cv) AS DOUBLE) AS s2,
+              CAST(SUM(cv * cv * cv) AS DOUBLE) AS s3
+            FROM c GROUP BY event_type)
+      SELECT event_type, n,
+             s1 / n / 100 AS mean_value,
+             (s2 - s1 * s1 / n) / n / 10000 AS var_pop,
+             CASE WHEN (s2 - s1 * s1 / n) / n = 0 THEN 0.0
+                  ELSE (s3 / n - 3 * (s1 / n) * (s2 / n)
+                        + 2 * (s1 / n) * (s1 / n) * (s1 / n))
+                       / (sqrt((s2 - s1 * s1 / n) / n)
+                          * ((s2 - s1 * s1 / n) / n)) END AS skewness
+      FROM s ORDER BY event_type"""),
+      (s, dir) => {
+        val cv = QueryDef.cents(col("value"))
+        val st = Tables.events(s, dir)
+          .select(col("event_type"), cv.as("cv"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(col("cv").cast("decimal(38,0)")).cast("double").as("s1"),
+            sum((col("cv") * col("cv")).cast("decimal(38,0)")).cast("double").as("s2"),
+            sum((col("cv") * col("cv") * col("cv")).cast("decimal(38,0)"))
+              .cast("double").as("s3"))
+        val v = (col("s2") - col("s1") * col("s1") / col("n")) / col("n")
+        st.select(col("event_type"), col("n"),
+            (col("s1") / col("n") / 100).as("mean_value"),
+            (v / 10000).as("var_pop"),
+            when(v === 0, lit(0.0))
+              .otherwise((col("s3") / col("n")
+                  - lit(3) * (col("s1") / col("n")) * (col("s2") / col("n"))
+                  + lit(2) * (col("s1") / col("n")) * (col("s1") / col("n"))
+                      * (col("s1") / col("n")))
+                / (sqrt(v) * v)).as("skewness"))
+          .orderBy("event_type")
+      }),
+
+    // ---- q111: robust outlier detection (median / MAD) — the outlier
+    // filter that survives the outliers it hunts (mean/stddev don't).
+    // Two exact percentile passes over CENTS (integer data → the
+    // interpolated median is exactly k.0 or k.5, and the absolute
+    // deviations are exact halves too, so the second median is exact
+    // quarters): both engines compute identical doubles, the 3·MAD
+    // comparison has no float boundary, NO rounding anywhere. The two
+    // 5-row median tables broadcast back; events shuffle only for the
+    // two grouped percentiles. Exact percentile buffers per group — at
+    // 100 TB swap in approx_percentile exactly as q86 licenses.
+    QueryDef("q111_mad_outliers", Some(s"""
+      WITH c AS (SELECT event_id, event_type, value, $valCents AS cv FROM events),
+      med AS (SELECT event_type, quantile_cont(cv, 0.5) AS med FROM c GROUP BY event_type),
+      dev AS (SELECT c.event_id, c.event_type, c.value, m.med,
+                abs(c.cv - m.med) AS adev FROM c JOIN med m USING (event_type)),
+      mad AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY event_type)
+      SELECT d.event_id, d.event_type, d.value,
+             d.med / 100 AS median_value, m2.mad / 100 AS mad_value
+      FROM dev d JOIN mad m2 USING (event_type)
+      WHERE d.adev > 3 * m2.mad
+      ORDER BY event_id"""),
+      (s, dir) => {
+        val c = Tables.events(s, dir)
+          .select(col("event_id"), col("event_type"), col("value"),
+            QueryDef.cents(col("value")).as("cv"))
+        val med = c.groupBy("event_type").agg(expr("percentile(cv, 0.5)").as("med"))
+        val dev = c.join(broadcast(med), "event_type")
+          .withColumn("adev", abs(col("cv") - col("med")))
+        val mad = dev.groupBy("event_type").agg(expr("percentile(adev, 0.5)").as("mad"))
+        dev.join(broadcast(mad), "event_type")
+          .where(col("adev") > lit(3) * col("mad"))
+          .select(col("event_id"), col("event_type"), col("value"),
+            (col("med") / 100).as("median_value"), (col("mad") / 100).as("mad_value"))
+          .orderBy("event_id")
       })
   )
 }

@@ -831,23 +831,7 @@ object TextQueries {
         val evalSh = toks.where(col("doc_id") >= 400)
           .select(explode(Dedup.wordShingles(col("tokens"), n)).as("s")).distinct()
         val hits = trainPos.join(broadcast(evalSh), "s").select(col("doc_id"), col("pos"))
-        val wPrev = org.apache.spark.sql.expressions.Window
-          .partitionBy("doc_id").orderBy("pos")
-          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-        val wRun = org.apache.spark.sql.expressions.Window
-          .partitionBy("doc_id").orderBy("pos")
-          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-        hits
-          .withColumn("brk",
-            when(col("pos") > coalesce(max(col("pos")).over(wPrev) + (n - 1), lit(-2)) + 1,
-              lit(1)).otherwise(lit(0)))
-          .withColumn("island", sum(col("brk")).over(wRun))
-          .groupBy("doc_id", "island")
-          .agg(min(col("pos")).as("span_start"),
-            (max(col("pos")) + (n - 1)).as("span_end"),
-            count(lit(1)).as("n_hits"))
-          .select(col("doc_id"), col("span_start"), col("span_end"), col("n_hits"))
-          .orderBy("doc_id", "span_start")
+        Dedup.mergeSpans(hits, n).orderBy("doc_id", "span_start")
       }),
 
     // ---- q72: fuzzy-dup clustering — the full production dedup chain:
@@ -1298,6 +1282,225 @@ object TextQueries {
               .otherwise("update").as("action"),
             coalesce(col("b_fp"), col("c_fp")).as("fingerprint"))
           .orderBy("doc_id")
+      }),
+
+    // ---- q106: multinomial Naive Bayes language classifier — train on
+    // the labeled corpus slice (doc_id < 400), predict the held-out tail
+    // (doc_id ≥ 400): the lightweight fastText-shaped filter stage of a
+    // corpus pipeline, as pure joins + hash aggs (graft.text.NaiveBayes).
+    // The count tables stay distributed (token equi-join); label totals,
+    // priors and vocabulary size broadcast. Per-token log-probs are
+    // exact single divisions; only the summed log-likelihood is rounded,
+    // and the argmax reads the ROUNDED score with a min-label tie-break,
+    // so both engines pick identical labels.
+    QueryDef("q106_nb_classify", Some(s"""${toksCte()},
+      tr AS (SELECT t.doc_id, d.lang, t.tokens
+             FROM toks t JOIN documents d USING (doc_id) WHERE t.doc_id < 400),
+      te AS (SELECT doc_id, tokens FROM toks WHERE doc_id >= 400),
+      trtok AS (SELECT lang, unnest(tokens) AS token FROM tr),
+      clt AS (SELECT lang, token, COUNT(*) AS c FROM trtok GROUP BY 1, 2),
+      totl AS (SELECT lang, SUM(c) AS tot FROM clt GROUP BY lang),
+      vocab AS (SELECT CAST(COUNT(DISTINCT token) AS BIGINT) AS v FROM trtok),
+      prior AS (SELECT lang, COUNT(*) AS nd FROM tr GROUP BY lang),
+      ntr AS (SELECT COUNT(*) AS n FROM tr),
+      tetok AS (SELECT doc_id, unnest(tokens) AS token FROM te),
+      x AS (SELECT tt.doc_id, tt.token, l.lang, l.tot FROM tetok tt CROSS JOIN totl l),
+      scored AS (SELECT x.doc_id, x.lang,
+                   SUM(ln((COALESCE(c.c, 0) + 1)::DOUBLE
+                          / CAST(x.tot + (SELECT v FROM vocab) AS DOUBLE))) AS ll
+                 FROM x LEFT JOIN clt c ON c.lang = x.lang AND c.token = x.token
+                 GROUP BY 1, 2),
+      sc AS (SELECT s.doc_id, s.lang,
+               ROUND(s.ll + ln(CAST(p.nd AS DOUBLE) / (SELECT n FROM ntr)), 6) AS score
+             FROM scored s JOIN prior p ON p.lang = s.lang),
+      m AS (SELECT doc_id, MAX(score) AS ms FROM sc GROUP BY doc_id),
+      pred AS (SELECT sc.doc_id, MIN(sc.lang) AS pred_lang, MAX(sc.score) AS score
+               FROM sc JOIN m ON m.doc_id = sc.doc_id AND sc.score = m.ms
+               GROUP BY sc.doc_id)
+      SELECT p.doc_id, d.lang AS actual_lang, p.pred_lang, p.score
+      FROM pred p JOIN documents d USING (doc_id) ORDER BY doc_id"""),
+      (s, dir) => {
+        val toks = tokenized(s, dir)
+        val train = toks.where(col("doc_id") < 400)
+          .join(docs(s, dir).select("doc_id", "lang"), "doc_id")
+        val test = toks.where(col("doc_id") >= 400)
+        graft.text.NaiveBayes
+          .predict(train, test, "lang", "tokens", "doc_id")
+          .join(docs(s, dir).select(col("doc_id"), col("lang").as("actual_lang")),
+            "doc_id")
+          .select(col("doc_id"), col("actual_lang"),
+            col("pred_label").as("pred_lang"), col("score"))
+          .orderBy("doc_id")
+      }),
+
+    // ---- q107: budget-capped corpus selection — "take the best docs
+    // until the token budget runs out" (the final assembly step of a
+    // training corpus). Semantically a global running sum over
+    // (score DESC, doc_id) — but graft.text.BudgetSelect computes it
+    // two-phase: a corpus-wide hash agg onto ≤1001 score buckets, a
+    // bounded window over THAT table, whole-bucket acceptance, and a
+    // per-doc ordering only inside the single boundary bucket
+    // (~1/1000 of the corpus). The oracle is the plain global window —
+    // the two answers coincide because floor is monotonic and both use
+    // the same exact-double (distinct/total, one IEEE division) score.
+    // Budget = 25% of corpus tokens, computed in-query so the query is
+    // scale-free.
+    QueryDef("q107_token_budget", Some(s"""${toksCte()},
+      sc AS (SELECT doc_id, CAST(len(tokens) AS BIGINT) AS n_tokens,
+               len(list_distinct(tokens))::DOUBLE / len(tokens) AS score
+             FROM toks WHERE len(tokens) >= 1),
+      b AS (SELECT CAST(FLOOR(SUM(n_tokens) * 0.25) AS BIGINT) AS budget FROM sc),
+      r AS (SELECT doc_id, n_tokens, score,
+              COALESCE(SUM(n_tokens) OVER (ORDER BY score DESC, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before
+            FROM sc)
+      SELECT doc_id, n_tokens, ROUND(score, 6) AS score
+      FROM r WHERE tokens_before < (SELECT budget FROM b)
+      ORDER BY doc_id"""),
+      (s, dir) => {
+        val sc = tokenized(s, dir)
+          .select(col("doc_id"), size(col("tokens")).cast("long").as("n_tokens"),
+            (size(array_distinct(col("tokens"))).cast("double")
+              / size(col("tokens"))).as("score"))
+          .where(col("n_tokens") >= 1)
+        val budget = sc.agg(floor(sum("n_tokens") * 0.25).cast("long").as("budget"))
+        graft.text.BudgetSelect
+          .selectByBudget(sc, "doc_id", "n_tokens", "score", budget)
+          .select(col("doc_id"), col("n_tokens"), round(col("score"), 6).as("score"))
+          .orderBy("doc_id")
+      }),
+
+    // ---- q108: n-gram diversity (distinct-n) per source — the
+    // memorization/diversity report of generated-or-scraped corpora:
+    // distinct/total ratios for unigrams and bigrams per domain. Two
+    // explodes into two-stage distinct aggs (partial counts map-side);
+    // the ratios are single exact int divisions.
+    QueryDef("q108_ngram_diversity", Some(s"""${toksCte()},
+      ts AS (SELECT d.source, t.tokens FROM toks t JOIN documents d USING (doc_id)),
+      uni AS (SELECT source, unnest(tokens) AS t FROM ts),
+      big AS (SELECT source, unnest(list_transform(range(1, len(tokens)),
+                i -> tokens[i] || ' ' || tokens[i+1])) AS g
+              FROM ts WHERE len(tokens) >= 2),
+      u AS (SELECT source, COUNT(*) AS n1, COUNT(DISTINCT t) AS d1 FROM uni GROUP BY source),
+      bg AS (SELECT source, COUNT(*) AS n2, COUNT(DISTINCT g) AS d2 FROM big GROUP BY source)
+      SELECT u.source, u.n1 AS n_unigrams, u.d1 AS distinct_unigrams,
+             CAST(u.d1 AS DOUBLE) / u.n1 AS distinct_1,
+             COALESCE(bg.n2, 0) AS n_bigrams, COALESCE(bg.d2, 0) AS distinct_bigrams,
+             CASE WHEN COALESCE(bg.n2, 0) = 0 THEN 0.0
+                  ELSE CAST(bg.d2 AS DOUBLE) / bg.n2 END AS distinct_2
+      FROM u LEFT JOIN bg USING (source) ORDER BY source"""),
+      (s, dir) => {
+        val ts = tokenized(s, dir)
+          .join(docs(s, dir).select("doc_id", "source"), "doc_id")
+          .select(col("source"), col("tokens"))
+        val u = ts.select(col("source"), explode(col("tokens")).as("t"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n1"), countDistinct("t").as("d1"))
+        val bg = ts.where(size(col("tokens")) >= 2)
+          .select(col("source"), explode(
+            graft.functions.WordShingles(col("tokens"), 2, distinct = false)).as("g"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n2"), countDistinct("g").as("d2"))
+        u.join(bg, Seq("source"), "left")
+          .select(col("source"), col("n1").as("n_unigrams"),
+            col("d1").as("distinct_unigrams"),
+            (col("d1").cast("double") / col("n1")).as("distinct_1"),
+            coalesce(col("n2"), lit(0L)).as("n_bigrams"),
+            coalesce(col("d2"), lit(0L)).as("distinct_bigrams"),
+            when(coalesce(col("n2"), lit(0L)) === 0, lit(0.0))
+              .otherwise(col("d2").cast("double") / col("n2")).as("distinct_2"))
+          .orderBy("source")
+      }),
+
+    // ---- q109: corpus-wide duplicated-SPAN self-dedup — the exact-
+    // substring dedup of Lee et al. 2022 ("Deduplicating Training Data
+    // Makes Language Models Better"), re-expressed relationally: every
+    // 8-token window that occurs in MORE THAN ONE document marks its
+    // positions, and per-doc gaps-and-islands merges marked positions
+    // into removable spans. No suffix array needed: the window → hash →
+    // count-distinct-docs → join-back chain is three corpus-scale hash
+    // shuffles, and the islands windows partition per doc (bounded by
+    // doc length). Reference cosine dedup is whole-doc
+    // (EntityResolution.scala:133-157); this is the span-level
+    // complement a 100 TB pipeline runs first.
+    QueryDef("q109_span_self_dedup", Some(s"""${toksCte()},
+      tp AS (SELECT doc_id,
+               unnest(list_transform(range(1, len(tokens) - 6),
+                 i -> array_to_string(tokens[i:i+7], ' '))) AS s,
+               CAST(unnest(range(0, greatest(len(tokens) - 7, 0))) AS INTEGER) AS pos
+             FROM toks),
+      dup AS (SELECT s FROM tp GROUP BY s HAVING COUNT(DISTINCT doc_id) > 1),
+      hit AS (SELECT t.doc_id, t.pos FROM tp t JOIN dup USING (s)),
+      brk AS (SELECT doc_id, pos,
+                CASE WHEN pos > COALESCE(MAX(pos) OVER w + 7, -2) + 1
+                     THEN 1 ELSE 0 END AS b
+              FROM hit
+              WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+      isl AS (SELECT doc_id, pos,
+                SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+              FROM brk)
+      SELECT doc_id, MIN(pos) AS span_start,
+             CAST(MAX(pos) + 7 AS INTEGER) AS span_end, COUNT(*) AS n_hits
+      FROM isl GROUP BY doc_id, island
+      ORDER BY doc_id, span_start"""),
+      (s, dir) => {
+        val n = 8
+        val tp = tokenized(s, dir)
+          .select(col("doc_id"),
+            posexplode(graft.functions.WordShingles(col("tokens"), n, distinct = false))
+              .as(Seq("pos", "s")))
+        val dup = tp.groupBy("s").agg(countDistinct("doc_id").as("nd"))
+          .where(col("nd") > 1).select("s")
+        val hits = tp.join(dup, "s").select(col("doc_id"), col("pos"))
+        Dedup.mergeSpans(hits, n).orderBy("doc_id", "span_start")
+      }),
+
+    // ---- q112: cross-source contamination matrix — which domains leak
+    // into which: for every source pair, the count of SHARED distinct
+    // 8-grams and the containment ratio shared/min(|A|,|B|) (the
+    // corpus-vs-corpus overlap report run before mixing a new source
+    // in). One (source, shingle)-distinct table, a shingle equi-join
+    // (per-shingle fan-out bounded by sources², never docs²), and the
+    // per-source size table broadcast back. Containment is a single
+    // exact int division.
+    QueryDef("q112_source_overlap", Some(s"""${toksCte()},
+      sh AS (SELECT DISTINCT d.source,
+               unnest(list_distinct(list_transform(range(1, len(t.tokens) - 6),
+                 i -> array_to_string(t.tokens[i:i+7], ' ')))) AS s
+             FROM toks t JOIN documents d USING (doc_id)),
+      sz AS (SELECT source, COUNT(*) AS n FROM sh GROUP BY source),
+      inter AS (SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS shared
+                FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+                GROUP BY 1, 2)
+      SELECT i.source_a, i.source_b, i.shared,
+             CAST(i.shared AS DOUBLE) / LEAST(sa.n, sb.n) AS containment
+      FROM inter i JOIN sz sa ON sa.source = i.source_a
+                   JOIN sz sb ON sb.source = i.source_b
+      ORDER BY source_a, source_b"""),
+      (s, dir) => {
+        val n = 8
+        val sh = tokenized(s, dir)
+          .join(docs(s, dir).select("doc_id", "source"), "doc_id")
+          .select(col("source"),
+            explode(Dedup.wordShingles(col("tokens"), n)).as("s"))
+          .distinct()
+        val sz = sh.groupBy("source").agg(count(lit(1)).as("n"))
+        val inter = sh.alias("a")
+          .join(sh.alias("b"),
+            col("a.s") === col("b.s") && col("a.source") < col("b.source"))
+          .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+          .agg(count(lit(1)).as("shared"))
+        inter
+          .join(broadcast(sz.select(col("source").as("source_a"), col("n").as("na"))),
+            "source_a")
+          .join(broadcast(sz.select(col("source").as("source_b"), col("n").as("nb"))),
+            "source_b")
+          .select(col("source_a"), col("source_b"), col("shared"),
+            (col("shared").cast("double") / least(col("na"), col("nb")))
+              .as("containment"))
+          .orderBy("source_a", "source_b")
       }),
 
     // ---- q40: multimodal plumbing — opaque binary payload + metadata

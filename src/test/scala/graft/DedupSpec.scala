@@ -196,4 +196,14 @@ class DedupSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(three === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
   }
+
+  test("mergeSpans: touching and overlapping n-gram windows fuse, gaps split") {
+    // n=3: hit at pos p covers tokens [p, p+2]. pos 0 and 3 touch
+    // (0..2, 3..5 → gap 0 with the ≤ n rule they merge only if
+    // pos ≤ prevMax + n): 3 ≤ 0+3 → same span; pos 7 > 3+3 → new span.
+    val hits = Seq((1L, 0), (1L, 3), (1L, 7), (2L, 5)).toDF("doc_id", "pos")
+    val got = Dedup.mergeSpans(hits, 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3))).toSet
+    assert(got === Set((1L, 0, 5, 2L), (1L, 7, 9, 1L), (2L, 5, 7, 1L)))
+  }
 }
