@@ -44,9 +44,15 @@ object BudgetSelect {
                      scoreCol: String, budget: DataFrame,
                      buckets: Int = 1000): DataFrame = {
     require(buckets >= 1, s"buckets must be positive, got $buckets")
+    // consumed three times (bucket totals, whole-bucket join, boundary
+    // join) — left lazy, whatever scoring pipeline feeds `scored`
+    // (tokenization, typically the expensive part) would run three
+    // times. The projection is narrow (id, weight, score, bucket), so
+    // materialize it once.
     val sc = scored.where(col(weightCol) >= 1)
       .select(col(idCol), col(weightCol), col(scoreCol),
         floor(col(scoreCol) * buckets).cast("int").as("_bucket"))
+      .localCheckpoint()
     val bstats = sc.groupBy("_bucket").agg(sum(col(weightCol)).as("_btotal"))
     // bounded window: ≤ buckets+1 rows regardless of corpus size
     val wDesc = Window.orderBy(col("_bucket").desc)

@@ -37,7 +37,10 @@ object NaiveBayes {
       explode(col(tokensCol)).as("token"))
     val clt = trTok.groupBy("label", "token").agg(count(lit(1)).as("c"))
     val totl = clt.groupBy("label").agg(sum("c").as("tot"))
-    val vocab = trTok.agg(countDistinct("token").as("v"))
+    // vocabulary size from the (label, token) count table, not another
+    // pass over the exploded training tokens — clt is the aggregated
+    // V×L table, one more agg over it is far cheaper than re-tokenizing
+    val vocab = clt.agg(countDistinct("token").as("v"))
     val prior = train.groupBy(col(labelCol).as("label")).agg(count(lit(1)).as("nd"))
     val ntr = train.agg(count(lit(1)).as("n"))
 
@@ -59,7 +62,13 @@ object NaiveBayes {
     */
   def predict(train: DataFrame, test: DataFrame,
               labelCol: String, tokensCol: String, idCol: String): DataFrame = {
-    val sc = scores(train, test, labelCol, tokensCol, idCol)
+    // the score table feeds both the per-id max and the join-back that
+    // resolves the argmax — left lazy, the entire train+score DAG
+    // (tokenize, count tables, the corpus-scale token join) would run
+    // TWICE. It is tiny (|test docs| × |labels| rows), so materialize it
+    // once; the checkpoint also truncates the lineage a long pipeline
+    // would otherwise re-derive.
+    val sc = scores(train, test, labelCol, tokensCol, idCol).localCheckpoint()
     val m = sc.groupBy("id").agg(max("score").as("ms"))
     sc.join(m, Seq("id"))
       .where(col("score") === col("ms"))
