@@ -366,6 +366,43 @@ object EventQueries {
           .select(col("event_id"), col("event_type"), col("value"),
             (col("med") / 100).as("median_value"), (col("mad") / 100).as("mad_value"))
           .orderBy("event_id")
+      }),
+
+    // ---- q113: per-user behavioral feature extraction — the feature-
+    // engineering pass that turns an event log into an ML feature table
+    // (counts by type, engagement value, activity span/density). ONE
+    // hash aggregation keyed by user: conditional counts are
+    // sum(CASE...) partials, value is exact cents, span/active days are
+    // exact UTC date arithmetic. No window, no self-join — at 100 TB
+    // this is a single shuffle on user_id.
+    QueryDef("q113_user_features", Some(s"""
+      WITH c AS (SELECT user_id, event_type, ts, $valCents AS cv FROM events)
+      SELECT user_id,
+             COUNT(*) AS n_events,
+             COUNT(*) FILTER (event_type = 'view') AS n_view,
+             COUNT(*) FILTER (event_type = 'click') AS n_click,
+             COUNT(*) FILTER (event_type = 'purchase') AS n_purchase,
+             COUNT(*) FILTER (event_type = 'error') AS n_error,
+             COUNT(DISTINCT event_type) AS n_types,
+             CAST(SUM(cv) AS BIGINT) / 100.0 AS total_value,
+             CAST(date_diff('day', MIN(CAST(ts AS DATE)), MAX(CAST(ts AS DATE)))
+                  AS INTEGER) AS span_days,
+             COUNT(DISTINCT CAST(ts AS DATE)) AS active_days
+      FROM c GROUP BY user_id ORDER BY user_id"""),
+      (s, dir) => {
+        def typed(t: String) =
+          sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"n_$t")
+        Tables.events(s, dir)
+          .select(col("user_id"), col("event_type"), col("ts").cast("date").as("d"),
+            QueryDef.cents(col("value")).as("cv"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"),
+            typed("view"), typed("click"), typed("purchase"), typed("error"),
+            countDistinct("event_type").as("n_types"),
+            (sum("cv") / 100.0).as("total_value"),
+            datediff(max("d"), min("d")).as("span_days"),
+            countDistinct("d").as("active_days"))
+          .orderBy("user_id")
       })
   )
 }
