@@ -164,6 +164,25 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("fingerprint")
 
+  /** Streaming robust-outlier scoring against STORED per-group stats —
+    * the serving twin of batch q111: the batch job trains the
+    * median/MAD table (tiny — one row per group), and the stream flags
+    * each arriving event whose cents deviation from its group median
+    * exceeds 3·MAD. A stateless stream-static broadcast join + a
+    * map-side predicate: no streaming state at all, so it scales to
+    * any event rate; exactly the batch cut (cents are exact, the
+    * stored medians are exact halves, MADs exact quarters — no float
+    * boundary). Input needs (ts, event_id, event_type, value); `stats`
+    * needs (event_type, med, mad) in CENTS from the q111 shape.
+    */
+  def madOutliers(events: DataFrame, stats: DataFrame): DataFrame =
+    events
+      .withColumn("cv", graft.QueryDef.cents(col("value")))
+      .join(broadcast(stats), "event_type")
+      .where(abs(col("cv") - col("med")) > lit(3) * col("mad"))
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"),
+        (col("med") / 100).as("median_value"), (col("mad") / 100).as("mad_value"))
+
   /** The static-side index for [[admitNewDocs]]: one fingerprint row
     * per corpus document (store this, append admitted docs to it).
     */

@@ -202,6 +202,39 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("round trip on real events: streamed madOutliers equals the oracle-checked q111 result") {
+    implicit val ctx = spark.sqlContext
+    val dir = sf("sf0.001")
+    // "train" the stats table with the batch q111 medians — in CENTS,
+    // exactly what the serving join expects
+    val c = Tables.events(spark, dir)
+      .select(col("event_type"), QueryDef.cents(col("value")).as("cv"))
+    val med = c.groupBy("event_type").agg(expr("percentile(cv, 0.5)").as("med"))
+    val stats = c.join(med, "event_type")
+      .withColumn("adev", abs(col("cv") - col("med")))
+      .groupBy("event_type").agg(first("med").as("med"),
+        expr("percentile(adev, 0.5)").as("mad"))
+    val rows = Tables.events(spark, dir)
+      .select("ts", "user_id", "event_type", "value", "event_id")
+      .as[UserEvent].collect().toSeq
+    val input = MemoryStream[UserEvent]
+    val q = EventStreams.madOutliers(input.toDF(), stats)
+      .writeStream.format("memory").queryName("rt_mad")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData(rows: _*); q.processAllAvailable()
+      val got = spark.table("rt_mad")
+        .select("event_id", "event_type", "value", "median_value", "mad_value")
+        .as[(Long, String, Double, Double, Double)].collect().toSet
+      val want = SparkEntry.queries("q111_mad_outliers")(spark, dir)
+        .select("event_id", "event_type", "value", "median_value", "mad_value")
+        .as[(Long, String, Double, Double, Double)].collect().toSet
+      assert(got === want)
+      assert(got.nonEmpty, "fixture must actually flag outliers")
+    } finally q.stop()
+  }
+
   test("late rows behind the watermark are dropped; the batch run keeps them") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[UserEvent]
