@@ -1503,6 +1503,100 @@ object TextQueries {
           .orderBy("source_a", "source_b")
       }),
 
+    // ---- q114: vocabulary-growth curve (Heaps' law) — how many NEW
+    // bigram types each tenth of the corpus contributes (the saturation
+    // signal that tells a pipeline when more same-source data stops
+    // adding diversity). Each type's FIRST document is one hash agg
+    // (min doc per bigram); deciles are exact integer division; the
+    // cumulative curve is a window over EXACTLY 10 rows (q43's bounded-
+    // window pattern — constant size at any corpus scale). Bigrams, not
+    // unigrams: the testdata's unigram vocabulary is a closed 29-word
+    // set, saturated in decile 0 at every SF.
+    QueryDef("q114_vocab_growth", Some(s"""${toksCte()},
+      tok AS (SELECT doc_id, unnest(list_transform(range(1, len(tokens)),
+                i -> tokens[i] || ' ' || tokens[i+1])) AS g
+              FROM toks WHERE len(tokens) >= 2),
+      fd AS (SELECT g, MIN(doc_id) AS first_doc FROM tok GROUP BY g),
+      nd AS (SELECT MAX(doc_id) + 1 AS n FROM toks),
+      b AS (SELECT CAST((first_doc * 10) // (SELECT n FROM nd) AS INTEGER) AS decile,
+                   COUNT(*) AS new_bigrams
+            FROM fd GROUP BY 1)
+      SELECT d.decile, COALESCE(b.new_bigrams, 0) AS new_bigrams,
+             CAST(SUM(COALESCE(b.new_bigrams, 0)) OVER (ORDER BY d.decile) AS BIGINT)
+               AS vocab_size
+      FROM (SELECT CAST(unnest(range(10)) AS INTEGER) AS decile) d
+      LEFT JOIN b ON b.decile = d.decile
+      ORDER BY d.decile"""),
+      (s, dir) => {
+        val toks = tokenized(s, dir)
+        val tok = toks.where(size(col("tokens")) >= 2)
+          .select(col("doc_id"), explode(
+            graft.functions.WordShingles(col("tokens"), 2, distinct = false)).as("g"))
+        val fd = tok.groupBy("g").agg(min("doc_id").as("first_doc"))
+        val nd = toks.agg((max("doc_id") + 1).as("n"))
+        val b = fd.crossJoin(broadcast(nd))
+          .groupBy(expr("first_doc * 10 div n").cast("int").as("decile"))
+          .agg(count(lit(1)).as("new_bigrams"))
+        val deciles = s.range(10).select(col("id").cast("int").as("decile"))
+        // bounded window: exactly 10 rows at any corpus size
+        val w = org.apache.spark.sql.expressions.Window.orderBy("decile")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        deciles.join(broadcast(b), Seq("decile"), "left")
+          .select(col("decile"),
+            coalesce(col("new_bigrams"), lit(0L)).as("new_bigrams"))
+          .withColumn("vocab_size", sum("new_bigrams").over(w))
+          .orderBy("decile")
+      }),
+
+    // ---- q115: Zipf rank-frequency slope — least-squares fit of
+    // ln(freq) on ln(rank) over the top-100 bigrams: the one-number
+    // naturalness check of a corpus (natural text ≈ −1 on unigrams;
+    // synthetic/templated text flattens). Selection is integer-count
+    // with bigram tie-break via orderBy+limit (TakeOrderedAndProject —
+    // partial top-100 per partition, 100-row merge, never a vocabulary
+    // sort); the rank window and the regression run over EXACTLY 100
+    // rows. The 100-term sums are order-dependent doubles → the two
+    // emitted coefficients round to 6.
+    QueryDef("q115_zipf_slope", Some(s"""${toksCte()},
+      tok AS (SELECT unnest(list_transform(range(1, len(tokens)),
+                i -> tokens[i] || ' ' || tokens[i+1])) AS g
+              FROM toks WHERE len(tokens) >= 2),
+      cnt AS (SELECT g, COUNT(*) AS c FROM tok GROUP BY g),
+      top AS (SELECT g, c, CAST(ROW_NUMBER() OVER (ORDER BY c DESC, g) AS INTEGER) AS rank
+              FROM cnt ORDER BY c DESC, g LIMIT 100),
+      pts AS (SELECT ln(CAST(rank AS DOUBLE)) AS x, ln(CAST(c AS DOUBLE)) AS y FROM top),
+      agg AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                     SUM(x*x) AS sxx, SUM(x*y) AS sxy FROM pts)
+      SELECT CAST(n AS BIGINT) AS n_points,
+             CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                  ELSE ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) END AS zipf_slope,
+             CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                  ELSE ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+                  END AS intercept
+      FROM agg"""),
+      (s, dir) => {
+        val cnt = tokenized(s, dir).where(size(col("tokens")) >= 2)
+          .select(explode(
+            graft.functions.WordShingles(col("tokens"), 2, distinct = false)).as("g"))
+          .groupBy("g").agg(count(lit(1)).as("c"))
+        val top = cnt.orderBy(col("c").desc, col("g")).limit(100)
+        // rank window over the ALREADY-SELECTED 100 rows — bounded
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("c").desc, col("g"))
+        val pts = top.withColumn("rank", row_number().over(w).cast("int"))
+          .select(log(col("rank").cast("double")).as("x"),
+            log(col("c").cast("double")).as("y"))
+        val a = pts.agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"))
+        val denom = col("n") * col("sxx") - col("sx") * col("sx")
+        val slope = (col("n") * col("sxy") - col("sx") * col("sy")) / denom
+        a.select(col("n").as("n_points"),
+          when(denom === 0, lit(null)).otherwise(round(slope, 6)).as("zipf_slope"),
+          when(denom === 0, lit(null))
+            .otherwise(round((col("sy") - slope * col("sx")) / col("n"), 6))
+            .as("intercept"))
+      }),
+
     // ---- q40: multimodal plumbing — opaque binary payload + metadata
     // (decode itself is stubbed; see graft.multimodal).
     QueryDef("q40_binary_meta", Some("""
