@@ -1597,6 +1597,96 @@ object TextQueries {
             .as("intercept"))
       }),
 
+    // ---- q116: END-TO-END CORPUS BUILD — the flagship composition:
+    // exact dedup → thresholded n-gram decontamination vs the eval
+    // slice → quality gate → 50%-token budget selection →
+    // deterministic split, each stage the library's own oracle-proven
+    // operator (q30, q67, q32's family, q107, q68). The eval slice is
+    // the FIXED first 50 docs — benchmarks don't grow with the corpus —
+    // so the train side scales with SF while decontamination pressure
+    // stays realistic. One catalog row demonstrating the operators
+    // COMPOSE: the intermediate corpus is materialized once between
+    // stages (what a production pipeline does with intermediate tables),
+    // the dedup keep-rule is a hash agg + join-back (no fingerprint
+    // window), decontamination is an anti-join against the broadcast
+    // eval shingle set, the quality gate is a pure-integer predicate
+    // (2·distinct ≥ total — no float boundary), and the budget stage is
+    // the two-phase bucketed BudgetSelect. Scores are exact single
+    // divisions; only the emitted score rounds.
+    QueryDef("q116_corpus_build", Some(s"""${toksCte()},
+      fp AS (SELECT doc_id, tokens,
+               md5(array_to_string(list_sort(list_distinct(tokens)), ' ')) AS fp
+             FROM toks WHERE doc_id >= 50),
+      keepers AS (SELECT fp, MIN(doc_id) AS doc_id FROM fp GROUP BY fp),
+      kept AS (SELECT f.doc_id, f.tokens FROM fp f JOIN keepers k
+                 ON k.fp = f.fp AND k.doc_id = f.doc_id),
+      tri AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(tokens) - 1),
+                i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]))) AS s
+              FROM kept),
+      ev AS (SELECT DISTINCT unnest(list_distinct(list_transform(range(1, len(tokens) - 1),
+               i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]))) AS s
+             FROM toks WHERE doc_id < 50),
+      bad AS (SELECT t.doc_id FROM tri t JOIN ev USING (s)
+              GROUP BY t.doc_id HAVING COUNT(*) >= 10),
+      clean AS (SELECT k.doc_id, k.tokens FROM kept k
+                LEFT JOIN bad b ON b.doc_id = k.doc_id WHERE b.doc_id IS NULL),
+      sc AS (SELECT doc_id, CAST(len(tokens) AS BIGINT) AS n_tokens,
+               len(list_distinct(tokens))::DOUBLE / len(tokens) AS score
+             FROM clean
+             WHERE len(tokens) >= 1 AND 2 * len(list_distinct(tokens)) >= len(tokens)),
+      b AS (SELECT CAST(FLOOR(SUM(n_tokens) * 0.5) AS BIGINT) AS budget FROM sc),
+      r AS (SELECT doc_id, n_tokens, score,
+              COALESCE(SUM(n_tokens) OVER (ORDER BY score DESC, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before
+            FROM sc)
+      SELECT doc_id, n_tokens, ROUND(score, 6) AS score,
+             CASE WHEN substr(md5(doc_id::VARCHAR), 1, 1) = 'f' THEN 'test'
+                  WHEN substr(md5(doc_id::VARCHAR), 1, 1) = 'e' THEN 'val'
+                  ELSE 'train' END AS split
+      FROM r WHERE tokens_before < (SELECT budget FROM b)
+      ORDER BY doc_id"""),
+      (s, dir) => {
+        val toks = tokenized(s, dir)
+        // stage 1: exact BoW dedup over the train slice (q30's rule)
+        val fp = toks.where(col("doc_id") >= 50)
+          .withColumn("fp",
+            md5(concat_ws(" ", array_sort(array_distinct(col("tokens"))))))
+        val keepers = fp.groupBy("fp").agg(min("doc_id").as("doc_id"))
+        val kept = fp.join(keepers, Seq("fp", "doc_id")).select("doc_id", "tokens")
+        // stage 2: trigram decontamination vs the eval slice (q67's rule)
+        val evalSh = toks.where(col("doc_id") < 50)
+          .select(explode(Dedup.wordShingles(col("tokens"), 3)).as("s")).distinct()
+        val tri = kept.select(col("doc_id"),
+          explode(Dedup.wordShingles(col("tokens"), 3)).as("s"))
+        // contaminated = ≥10 shared distinct trigrams (the threshold is
+        // the dial; "any shared n-gram" drops 98% of this closed-
+        // vocabulary corpus and is not what production rules do)
+        val bad = tri.join(broadcast(evalSh), "s")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+          .where(col("n_shared") >= 10).select("doc_id")
+        // the surviving corpus feeds scoring AND the budget total —
+        // materialize the stage boundary once
+        val clean = kept.join(bad, Seq("doc_id"), "left_anti").localCheckpoint()
+        // stage 3: quality gate (pure-integer predicate) + exact score
+        val sc = clean
+          .select(col("doc_id"), size(col("tokens")).cast("long").as("n_tokens"),
+            size(array_distinct(col("tokens"))).as("nd"),
+            (size(array_distinct(col("tokens"))).cast("double")
+              / size(col("tokens"))).as("score"))
+          .where(col("n_tokens") >= 1 && lit(2) * col("nd") >= col("n_tokens"))
+          .select("doc_id", "n_tokens", "score")
+        // stage 4: 50%-token budget selection (q107's two-phase operator)
+        val budget = sc.agg(floor(sum("n_tokens") * 0.5).cast("long").as("budget"))
+        val sel = graft.text.BudgetSelect
+          .selectByBudget(sc, "doc_id", "n_tokens", "score", budget)
+        // stage 5: deterministic split (q68's rule)
+        val h = substring(md5(col("doc_id").cast("string")), 1, 1)
+        sel.select(col("doc_id"), col("n_tokens"), round(col("score"), 6).as("score"),
+            when(h === "f", "test").when(h === "e", "val").otherwise("train")
+              .as("split"))
+          .orderBy("doc_id")
+      }),
+
     // ---- q40: multimodal plumbing — opaque binary payload + metadata
     // (decode itself is stubbed; see graft.multimodal).
     QueryDef("q40_binary_meta", Some("""
