@@ -175,4 +175,26 @@ class RobustnessSpec extends SparkTestBase {
     val (d2, a2, n2) = ErEvaluation.evaluateModel(sims, allGold)
     assert(d2 == 2L && !a2.isNaN && n2.isNaN)
   }
+
+  test("NaiveBayes degenerate inputs: empty train/test yield empty, not errors") {
+    val train = Seq((0L, "en", Seq("hello", "world"))).toDF("doc_id", "lang", "tokens")
+    val test = Seq((1L, "", Seq("hello"))).toDF("doc_id", "lang", "tokens")
+    val noTrain = train.where(col("doc_id") < 0)
+    val noTest = test.where(col("doc_id") < 0)
+    import graft.text.NaiveBayes
+    assert(NaiveBayes.predict(noTrain, test, "lang", "tokens", "doc_id").count() === 0)
+    assert(NaiveBayes.predict(train, noTest, "lang", "tokens", "doc_id").count() === 0)
+    // a test doc with an empty token array scores nothing (no evidence rows)
+    val emptyToks = Seq((2L, "", Seq.empty[String])).toDF("doc_id", "lang", "tokens")
+    assert(NaiveBayes.predict(train, emptyToks, "lang", "tokens", "doc_id").count() === 0)
+  }
+
+  test("mergeSpans of no hits is empty; BudgetSelect of an empty corpus selects nothing") {
+    val noHits = Seq.empty[(Long, Int)].toDF("doc_id", "pos")
+    assert(graft.dedup.Dedup.mergeSpans(noHits, 3).count() === 0)
+    val empty = Seq.empty[(Long, Long, Double)].toDF("id", "w", "score")
+    val b = spark.range(1).select(lit(100L).as("budget"))
+    assert(graft.text.BudgetSelect
+      .selectByBudget(empty, "id", "w", "score", b).count() === 0)
+  }
 }
