@@ -227,4 +227,62 @@ class PlanQualitySpec extends SparkTestBase {
     assert(plan.exists(_.nodeName.contains("ObjectHashAggregate")),
       "selection must be the mergeable k-slot aggregator")
   }
+
+  test("q110/q113 grouped stats: one partial-agg pass, no window, no join") {
+    for (name <- Seq("q110_grouped_moments", "q113_user_features")) {
+      val plan = collectAll(executed(q(name)))
+      assert(!plan.exists(_.nodeName == "Window"), s"$name must not window")
+      assert(!plan.exists(_.nodeName.contains("Join")), s"$name must not join")
+      val aggs = plan.filter(_.nodeName.contains("HashAggregate")).map(_.toString)
+      assert(aggs.exists(_.contains("partial_")),
+        s"$name must combine map-side before the shuffle")
+    }
+  }
+
+  test("q106 NB classify: count tables join distributed; only label-sized tables broadcast") {
+    val plan = collectAll(executed(q("q106_nb_classify")))
+    assert(!plan.exists { case _: CartesianProductExec => true; case _ => false },
+      "the test-token × label expansion must ride the broadcast, not enumerate")
+    // the (label, token) count join must NOT be nested-loop
+    assert(!plan.exists(_.nodeName.contains("BroadcastNestedLoopJoin")))
+  }
+
+  test("q107 budget selection: the only per-doc window partitions by bucket") {
+    val plan = collectAll(executed(q("q107_token_budget")))
+    val windows = plan.filter(_.nodeName == "Window").map(_.toString).distinct
+    // two windows exist: the ≤1001-row bucket cumsum (ordered by _bucket
+    // DESC, no partition — bounded by construction) and the boundary-
+    // bucket cumsum, which MUST carry the bucket partition key
+    val perDoc = windows.filterNot(_.contains("_bucket#"))
+    assert(perDoc.isEmpty || perDoc.forall(_.contains("partitionBy")),
+      s"unexpected unpartitioned per-doc window:\n${perDoc.mkString("\n")}")
+  }
+
+  test("q109 span self-dedup: islands windows partition per doc") {
+    val plan = collectAll(executed(q("q109_span_self_dedup")))
+    val windows = plan.filter(_.nodeName == "Window").map(_.toString)
+    assert(windows.nonEmpty)
+    assert(windows.forall(_.contains("doc_id")),
+      "every gaps-and-islands window must be bounded by one document")
+  }
+
+  test("q112 source overlap: shingle equi-join, never a cartesian over sources") {
+    val plan = collectAll(executed(q("q112_source_overlap")))
+    assert(!plan.exists { case _: CartesianProductExec => true; case _ => false })
+    assert(!plan.exists(_.nodeName.contains("BroadcastNestedLoopJoin")))
+  }
+
+  test("q116 corpus build: composition stays cartesian-free; budget windows bucketed") {
+    val plan = collectAll(executed(q("q116_corpus_build")))
+    assert(!plan.exists { case _: CartesianProductExec => true; case _ => false })
+    // BroadcastNestedLoopJoin IS expected here — it is the one-row
+    // budget scalar riding crossJoin(broadcast(...)), the same shape as
+    // q93/q94's corpus totals. What must NOT appear is a BNLJ between
+    // two corpus-scale relations, which (absent a join condition) would
+    // surface as CartesianProductExec — asserted above.
+    val windows = plan.filter(_.nodeName == "Window").map(_.toString).distinct
+    val perDoc = windows.filterNot(_.contains("_bucket#"))
+    assert(perDoc.isEmpty,
+      s"only BudgetSelect's bucket windows may appear:\n${perDoc.mkString("\n")}")
+  }
 }
