@@ -235,6 +235,49 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("foreachBatch serving: streamed NB classification equals the q106 batch result") {
+    implicit val ctx = spark.sqlContext
+    val dir = sf("sf0.001")
+    import graft.text.{NaiveBayes, Tokenize}
+    def toks(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"),
+        Tokenize.tokens(col("text"), graft.queries.TextQueries.Stop).as("tokens"))
+    val documents = Tables.read(spark, dir, "documents")
+    // fit ONCE on the labeled slice — the stored model then scores every
+    // micro-batch without re-deriving the training pass
+    val model = NaiveBayes.fit(
+      toks(documents.where(col("doc_id") < 400))
+        .join(documents.select("doc_id", "lang"), "doc_id"),
+      "lang", "tokens")
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, Double)]()
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val q = input.toDF().toDF("ts", "doc_id", "text")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        NaiveBayes.predictWithModel(model, toks(batch), "tokens", "doc_id")
+          .collect().foreach(r =>
+            results.add((r.getLong(0), r.getString(1), r.getDouble(2))))
+      }
+      .start()
+    try {
+      val testDocs = documents.where(col("doc_id") >= 400)
+        .select("doc_id", "text").as[(Long, String)].collect()
+      // two micro-batches — the stored model must serve both identically
+      val (b1, b2) = testDocs.splitAt(testDocs.length / 2)
+      input.addData(b1.map { case (id, t) => (ts(1), id, t) }.toSeq: _*)
+      q.processAllAvailable()
+      input.addData(b2.map { case (id, t) => (ts(2), id, t) }.toSeq: _*)
+      q.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      val got = results.asScala.toSet
+      val want = SparkEntry.queries("q106_nb_classify")(spark, dir)
+        .select("doc_id", "pred_lang", "score")
+        .as[(Long, String, Double)].collect().toSet
+      assert(got === want)
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("late rows behind the watermark are dropped; the batch run keeps them") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[UserEvent]
