@@ -642,6 +642,53 @@ object EmbeddingQueries {
             emb.where(col("vec_id") >= 20),
             "vec_id", "embedding", col("vec_id") % 50 === 0, 5, nprobe = 2)
           .orderBy("q_id", "rk")
+      }),
+
+    // ---- q117: quality-filtered retrieval ACROSS modalities — the
+    // text gates (exact-dedup keep-list + integer quality predicate
+    // over `documents`) restrict which embedding rows may serve as
+    // retrieval candidates (doc_id = vec_id aligns the tables), then
+    // the first 10 vectors query the surviving corpus. The eligible-id
+    // set is a semi-join pushed below the vector scoring — at 100 TB
+    // the filter prunes the expensive cosine work, not the other way
+    // around. Retrieval itself is the two-table broadcast-query kNN
+    // with the mergeable top-k (no corpus self-join, no vote window).
+    QueryDef("q117_quality_filtered_knn", Some(s"""${TextQueries.toksCte()},
+      fp AS (SELECT doc_id, tokens,
+               md5(array_to_string(list_sort(list_distinct(tokens)), ' ')) AS fp
+             FROM toks),
+      keepers AS (SELECT fp, MIN(doc_id) AS doc_id FROM fp GROUP BY fp),
+      elig AS (SELECT f.doc_id FROM fp f JOIN keepers k
+                 ON k.fp = f.fp AND k.doc_id = f.doc_id
+               WHERE len(f.tokens) >= 1
+                 AND 2 * len(list_distinct(f.tokens)) >= len(f.tokens)),
+      e AS (SELECT vec_id, embedding, ${sqlNorm("embedding")} AS nrm FROM embeddings),
+      q AS (SELECT * FROM e WHERE vec_id < 10),
+      c AS (SELECT e.* FROM e JOIN elig ON elig.doc_id = e.vec_id
+            WHERE e.vec_id >= 10),
+      p AS (SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+                   ${sqlDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS s
+            FROM q CROSS JOIN c),
+      r AS (SELECT q_id, cand_id, s,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY s DESC, cand_id)
+                        AS INTEGER) AS rk
+            FROM p)
+      SELECT q_id, rk, cand_id, ROUND(s, 6) AS sim
+      FROM r WHERE rk <= 5 ORDER BY q_id, rk"""),
+      (s, dir) => {
+        val toks = TextQueries.tokenized(s, dir)
+        val fp = toks.withColumn("fp",
+          md5(concat_ws(" ", array_sort(array_distinct(col("tokens"))))))
+        val keepers = fp.groupBy("fp").agg(min("doc_id").as("doc_id"))
+        val elig = fp.join(keepers, Seq("fp", "doc_id"))
+          .where(size(col("tokens")) >= 1 &&
+            lit(2) * size(array_distinct(col("tokens"))) >= size(col("tokens")))
+          .select(col("doc_id").as("vec_id"))
+        val emb = Tables.read(s, dir, "embeddings")
+        val corpus = emb.where(col("vec_id") >= 10).join(elig, "vec_id")
+        Knn.retrieveKnn(emb.where(col("vec_id") < 10), corpus,
+            "vec_id", "embedding", 5)
+          .orderBy("q_id", "rk")
       })
   )
 }

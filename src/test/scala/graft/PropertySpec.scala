@@ -178,4 +178,39 @@ class PropertySpec extends SparkTestBase {
       assert(math.abs(d.mean_amp - want) < 1e-9, s"mean for id=$id n=$n rate=$rate")
     }
   }
+
+  test("power sums merge exactly: partial-batch moments == whole-table moments") {
+    // the 100 TB argument for q110's shape: Σcv, Σcv², Σcv³ are exact
+    // integers, so partials from ANY partitioning of the data merge by
+    // addition into bit-identical totals — unlike a naive mean/variance
+    // fold, whose float partials depend on the split. Two arbitrary
+    // halves stand in for 10k executor partials.
+    import org.apache.spark.sql.DataFrame
+    val events = graft.Tables.events(spark, sf("sf0.001"))
+      .select(col("event_type"), graft.QueryDef.cents(col("value")).as("cv"))
+    def sums(df: DataFrame): DataFrame =
+      df.groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        sum(col("cv").cast("decimal(38,0)")).as("s1"),
+        sum((col("cv") * col("cv")).cast("decimal(38,0)")).as("s2"),
+        sum((col("cv") * col("cv") * col("cv")).cast("decimal(38,0)")).as("s3"))
+    val whole = sums(events).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDecimal(2), r.getDecimal(3),
+        r.getDecimal(4))).toMap
+    val partials = Seq(
+      sums(events.where(pmod(col("cv"), lit(2)) === 0)),
+      sums(events.where(pmod(col("cv"), lit(2)) === 1)))
+    val merged = partials.reduce(_ union _)
+      .groupBy("event_type")
+      .agg(sum("n").as("n"), sum("s1").as("s1"), sum("s2").as("s2"), sum("s3").as("s3"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDecimal(2), r.getDecimal(3),
+        r.getDecimal(4))).toMap
+    assert(merged.keySet === whole.keySet)
+    for ((k, (n, s1, s2, s3)) <- whole) {
+      val (mn, m1, m2, m3) = merged(k)
+      assert(mn === n, k)
+      assert(m1.compareTo(s1) == 0 && m2.compareTo(s2) == 0 && m3.compareTo(s3) == 0, k)
+    }
+  }
 }
