@@ -403,6 +403,44 @@ object EventQueries {
             datediff(max("d"), min("d")).as("span_days"),
             countDistinct("d").as("active_days"))
           .orderBy("user_id")
+      }),
+
+    // ---- q118: event-rate spike detection — hourly counts per type
+    // vs their trailing-24h mean (the volume-anomaly monitor of an
+    // ingestion pipeline). The corpus-scale work is ONE hash agg to
+    // hourly buckets; the trailing window runs over the AGGREGATE table
+    // (rows = types × hours — bounded by the time horizon, not data
+    // volume, so the per-type sort is trivial at any corpus size). The
+    // spike predicate n > 2·mean is cross-multiplied to pure integers
+    // (n·trail_n > 2·trail_sum) — no float boundary; a spike needs ≥6
+    // trailing hours so series starts don't self-flag.
+    QueryDef("q118_rate_spikes", Some("""
+      WITH h AS (SELECT event_type, CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hr,
+                   COUNT(*) AS n
+                 FROM events GROUP BY 1, 2),
+      w AS (SELECT event_type, hr, n,
+              CAST(SUM(n) OVER tw AS BIGINT) AS trail_sum,
+              COUNT(*) OVER tw AS trail_n
+            FROM h
+            WINDOW tw AS (PARTITION BY event_type ORDER BY hr
+                          ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+      SELECT event_type, hr, n, trail_sum, trail_n
+      FROM w
+      WHERE trail_n >= 6 AND n * trail_n > 2 * trail_sum
+      ORDER BY event_type, hr"""),
+      (s, dir) => {
+        val h = Tables.events(s, dir)
+          .groupBy(col("event_type"),
+            expr("(ts_us div 3600000000) * 3600").as("hr"))
+          .agg(count(lit(1)).as("n"))
+        val tw = Window.partitionBy("event_type").orderBy("hr")
+          .rowsBetween(-24, -1)
+        h.select(col("event_type"), col("hr"), col("n"),
+            sum("n").over(tw).as("trail_sum"),
+            count(lit(1)).over(tw).as("trail_n"))
+          .where(col("trail_n") >= 6 &&
+            col("n") * col("trail_n") > lit(2) * col("trail_sum"))
+          .orderBy("event_type", "hr")
       })
   )
 }
