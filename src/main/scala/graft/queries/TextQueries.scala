@@ -1687,6 +1687,56 @@ object TextQueries {
           .orderBy("doc_id")
       }),
 
+    // ---- q119: BM25 ranked retrieval — the IR scorer the reference's
+    // plain TF-IDF family lacks (k1=1.2, b=0.75, the Robertson/Lucene
+    // +1 idf form): top-10 docs for a 3-term query. The term filter is
+    // map-side (3-literal isin BEFORE the count agg, so only query-term
+    // occurrences ever shuffle); df/len/avgdl are small-to-1-row tables
+    // (stats broadcast); the final cut is TakeOrderedAndProject on the
+    // ROUNDED score with doc_id tie-break — per-partition top-10 then a
+    // 10-row merge, never a corpus sort. Every per-term score is exact
+    // single-op IEEE arithmetic; only the ≤3-term sum rounds.
+    QueryDef("q119_bm25", Some(s"""${toksCte()},
+      qterms AS (SELECT unnest(['data', 'model', 'learning']) AS term),
+      len AS (SELECT doc_id, CAST(len(tokens) AS BIGINT) AS dl
+              FROM toks WHERE len(tokens) >= 1),
+      stats AS (SELECT COUNT(*) AS nd, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+                FROM len),
+      tf AS (SELECT t.doc_id, tok.token AS term, COUNT(*) AS tf
+             FROM toks t, unnest(t.tokens) AS tok(token)
+             WHERE tok.token IN (SELECT term FROM qterms)
+             GROUP BY 1, 2),
+      df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+      sc AS (SELECT f.doc_id,
+               ln(((SELECT nd FROM stats) - d.df + 0.5) / (d.df + 0.5) + 1)
+               * (f.tf * 2.2)
+               / (f.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / (SELECT avgdl FROM stats))) AS s
+             FROM tf f JOIN df d USING (term) JOIN len l USING (doc_id))
+      SELECT doc_id, ROUND(SUM(s), 6) AS bm25
+      FROM sc GROUP BY doc_id
+      ORDER BY bm25 DESC, doc_id LIMIT 10"""),
+      (s, dir) => {
+        val qterms = Seq("data", "model", "learning")
+        val toks = tokenized(s, dir)
+        val len = toks.where(size(col("tokens")) >= 1)
+          .select(col("doc_id"), size(col("tokens")).cast("long").as("dl"))
+        val stats = len.agg(count(lit(1)).as("nd"),
+          (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
+        val tf = toks.select(col("doc_id"), explode(col("tokens")).as("term"))
+          .where(col("term").isin(qterms: _*))
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val dft = tf.groupBy("term").agg(countDistinct("doc_id").as("df"))
+        tf.join(broadcast(dft), "term").join(len, "doc_id")
+          .crossJoin(broadcast(stats))
+          .select(col("doc_id"),
+            (log((col("nd") - col("df") + 0.5) / (col("df") + 0.5) + 1)
+              * (col("tf") * 2.2)
+              / (col("tf") + lit(1.2)
+                  * (lit(1) - 0.75 + lit(0.75) * col("dl") / col("avgdl")))).as("s"))
+          .groupBy("doc_id").agg(round(sum("s"), 6).as("bm25"))
+          .orderBy(col("bm25").desc, col("doc_id")).limit(10)
+      }),
+
     // ---- q40: multimodal plumbing — opaque binary payload + metadata
     // (decode itself is stubbed; see graft.multimodal).
     QueryDef("q40_binary_meta", Some("""
