@@ -485,15 +485,89 @@ object Multimodal {
     * whole op set. Oracles recompute the decoded mean from this closed
     * form without touching QOI.
     */
-  def qoiPayload(id: Long, w: Int, h: Int): Array[Byte] = {
-    val px = Array.tabulate(w * h) { k =>
+  def qoiPayload(id: Long, w: Int, h: Int): Array[Byte] =
+    qoiEncode(w, h, testPixels(id, w, h))
+
+  /** The deterministic test raster shared by the QOI/PNG/JPEG payload
+    * generators: pixel k of image `id` has
+    * r=(id·7+(k/4)·13)%256, g=(id·11+(k/4)·17)%256, b=(id·13+(k/4)·19)%256
+    * — a pure closed form a SQL oracle can recompute without any codec.
+    */
+  def testPixels(id: Long, w: Int, h: Int): Array[Int] =
+    Array.tabulate(w * h) { k =>
       val j = k / 4
       val r = ((id * 7 + j * 13) % 256).toInt
       val g = ((id * 11 + j * 17) % 256).toInt
       val b = ((id * 13 + j * 19) % 256).toInt
       (r << 16) | (g << 8) | b
     }
-    qoiEncode(w, h, px)
+
+  /** Exact mean RGB sample of [[testPixels]] (Long-sum then ONE double
+    * division — the same value the SQL closed form computes).
+    */
+  def testPixelsMean(id: Long, w: Int, h: Int): Double = {
+    var sum = 0L
+    testPixels(id, w, h).foreach { p =>
+      sum += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+    }
+    sum.toDouble / (w.toLong * h * 3)
+  }
+
+  private def toBuffered(w: Int, h: Int, pixels: Array[Int]) = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var k = 0
+    while (k < pixels.length) { img.setRGB(k % w, k / w, pixels(k)); k += 1 }
+    img
+  }
+
+  private def imageIoBytes(fmt: String, w: Int, h: Int,
+                           pixels: Array[Int]): Array[Byte] = {
+    System.setProperty("java.awt.headless", "true")
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(toBuffered(w, h, pixels), fmt, bos)
+    bos.toByteArray
+  }
+
+  /** REAL PNG payload — encoded by the JDK's own codec
+    * (`javax.imageio`, part of java.desktop; no external library).
+    * PNG is lossless, so decode(encode(px)) == px and the SQL oracle's
+    * closed-form pixel stats verify the full codec round trip.
+    */
+  def pngPayload(id: Long, w: Int, h: Int): Array[Byte] =
+    imageIoBytes("png", w, h, testPixels(id, w, h))
+
+  /** REAL JPEG payload (JDK codec). JPEG is LOSSY: decoded pixels are
+    * approximations, so oracle checks are exact on dimensions and
+    * BOUNDED on pixel stats (the q86 pattern).
+    */
+  def jpegPayload(id: Long, w: Int, h: Int): Array[Byte] =
+    imageIoBytes("jpg", w, h, testPixels(id, w, h))
+
+  /** Decode ANY ImageIO-supported payload (PNG, JPEG, GIF, BMP) with
+    * the JDK codec: (width, height, mean RGB sample). The mean folds as
+    * a Long sum over samples with ONE double division at the end —
+    * exact, so lossless formats reproduce the generator's closed form
+    * bit-for-bit. Rejects undecodable bytes loudly (contract shared
+    * with [[ppmDecoder]]).
+    */
+  def imageIoDecoder(bytes: Array[Byte]): (Int, Int, Double) = {
+    System.setProperty("java.awt.headless", "true")
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(img != null, "not a decodable image payload")
+    val (w, h) = (img.getWidth, img.getHeight)
+    var sum = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = img.getRGB(x, y)
+        sum += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    (w, h, sum.toDouble / (w.toLong * h * 3))
   }
 
   /** Batched partition-wise decode: the Scala analogue of `mapInPandas`.

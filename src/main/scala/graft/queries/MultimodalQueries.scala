@@ -4,11 +4,14 @@ import graft.{QueryDef, Tables}
 import graft.multimodal.Multimodal
 import org.apache.spark.sql.functions._
 
-/** Multimodal-column coverage: binary payloads with stubbed decode (see
-  * graft.multimodal.Multimodal — no codec libraries in this environment;
-  * the stubs are deterministic functions of the bytes so the DuckDB
-  * oracle can mirror them bit-for-bit, while the Spark-side plumbing —
-  * binary columns, metadata structs, generator fan-out — is real.
+/** Multimodal-column coverage over binary payloads. Decode is REAL for
+  * PPM/BMP/QOI/WAV (hand-rolled byte parsers) and for PNG/JPEG/GIF via
+  * the JDK's own `javax.imageio` codec (java.desktop — no external
+  * library): q120 verifies the full PNG encode→decode round trip
+  * against a closed-form pixel oracle, q121 bounds the lossy JPEG path.
+  * Only formats with neither a JDK codec nor a feasible hand parser
+  * (compressed audio/video) remain deterministic fakes behind the same
+  * plumbing (q46/q48).
   */
 object MultimodalQueries {
 
@@ -254,6 +257,87 @@ object MultimodalQueries {
           .toDF()
           .select(col("id").as("doc_id"), col("width"), col("height"),
             col("mean_luma"))
+          .orderBy("doc_id")
+      }),
+
+    // ---- q120: REAL PNG decode — the codec-format gap closed with the
+    // JDK's own `javax.imageio` codec (java.desktop ships PNG/JPEG
+    // readers; no external library). Payloads are genuine PNG files
+    // encoded from the closed-form test raster; the partition-wise
+    // decoder reads them back with the same JDK codec, and because PNG
+    // is lossless the DuckDB oracle verifies the WHOLE round trip from
+    // the pixel formula alone — no codec on the oracle side. Mean folds
+    // as a Long sum + one division → exact, no rounding.
+    QueryDef("q120_png_decode", Some("""
+      WITH p AS (SELECT doc_id,
+                   CAST(n_chars % 9 + 1 AS INTEGER) AS w,
+                   CAST((n_chars // 9) % 9 + 1 AS INTEGER) AS h
+                 FROM documents)
+      SELECT doc_id, w AS width, h AS height,
+             CAST(list_sum(list_transform(range(0, w * h),
+                    k -> (doc_id * 7 + (k // 4) * 13) % 256
+                       + (doc_id * 11 + (k // 4) * 17) % 256
+                       + (doc_id * 13 + (k // 4) * 19) % 256)) AS DOUBLE)
+               / (w * h * 3) AS mean_luma
+      FROM p ORDER BY doc_id"""),
+      (s, dir) => {
+        import s.implicits._
+        val pay = Tables.read(s, dir, "documents")
+          .select(col("doc_id"), (col("n_chars") % 9 + 1).cast("int").as("w"),
+            (expr("n_chars div 9") % 9 + 1).cast("int").as("h"))
+          .as[(Long, Int, Int)]
+          .map { case (id, w, h) => (id, Multimodal.pngPayload(id, w, h)) }
+          .toDF("doc_id", "payload")
+        Multimodal.decodeImages(pay, "doc_id", "payload", Multimodal.imageIoDecoder)
+          .toDF()
+          .select(col("id").as("doc_id"), col("width"), col("height"),
+            col("mean_luma"))
+          .orderBy("doc_id")
+      }),
+
+    // ---- q121: REAL JPEG decode under a LOSSY bound — same JDK codec,
+    // but JPEG approximates pixels, so the oracle locks dimensions
+    // EXACTLY and the decoded mean to within ±4 RGB levels of the
+    // generator's closed form — 2× the worst deviation measured over
+    // 5000 rasters (1.94). Rasters are 8–16 px per side: chroma
+    // subsampling makes sub-8px JPEGs adversarial (deviation >8), which
+    // is a property of the codec, not the pipeline. The q86 bounded-
+    // sketch pattern: the engine-specific approximation is never
+    // emitted, only the exact expectation and the bound verdict DuckDB
+    // can recompute.
+    QueryDef("q121_jpeg_decode_bound", Some("""
+      WITH p AS (SELECT doc_id,
+                   CAST(n_chars % 9 + 8 AS INTEGER) AS w,
+                   CAST((n_chars // 9) % 9 + 8 AS INTEGER) AS h
+                 FROM documents)
+      SELECT doc_id, w AS width, h AS height,
+             CAST(list_sum(list_transform(range(0, w * h),
+                    k -> (doc_id * 7 + (k // 4) * 13) % 256
+                       + (doc_id * 11 + (k // 4) * 17) % 256
+                       + (doc_id * 13 + (k // 4) * 19) % 256)) AS DOUBLE)
+               / (w * h * 3) AS exact_mean,
+             TRUE AS mean_within_4
+      FROM p ORDER BY doc_id"""),
+      (s, dir) => {
+        import s.implicits._
+        val pay = Tables.read(s, dir, "documents")
+          .select(col("doc_id"), (col("n_chars") % 9 + 8).cast("int").as("w"),
+            (expr("n_chars div 9") % 9 + 8).cast("int").as("h"))
+          .as[(Long, Int, Int)]
+          .map { case (id, w, h) =>
+            (id, Multimodal.jpegPayload(id, w, h), Multimodal.testPixelsMean(id, w, h))
+          }
+          .toDF("doc_id", "payload", "exact_mean")
+          // consumed by the decode AND the expectation join — without
+          // this the JPEG encoding map would run twice
+          .localCheckpoint()
+        Multimodal.decodeImages(pay, "doc_id", "payload", Multimodal.imageIoDecoder)
+          .toDF()
+          .select(col("id").as("doc_id"), col("width"), col("height"),
+            col("mean_luma"))
+          .join(pay.select("doc_id", "exact_mean"), "doc_id")
+          .select(col("doc_id"), col("width"), col("height"), col("exact_mean"),
+            (abs(col("mean_luma") - col("exact_mean")) <= 4.0).as("mean_within_4"))
           .orderBy("doc_id")
       })
   )

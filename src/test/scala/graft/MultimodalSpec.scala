@@ -266,4 +266,33 @@ class MultimodalSpec extends SparkTestBase {
     assert(viaCols === viaJvm)
     assert(viaCols(3L)._1 === 4 && viaCols(3L)._2 === 2)
   }
+
+  test("imageIoDecoder: PNG round-trips losslessly, GIF decodes, garbage rejected") {
+    // PNG (lossless): decoded stats equal the generator's closed form
+    for (id <- Seq(0L, 7L, 123L); (w, h) <- Seq((1, 1), (5, 3), (9, 9))) {
+      val (gw, gh, mean) = Multimodal.imageIoDecoder(Multimodal.pngPayload(id, w, h))
+      assert((gw, gh) === (w, h))
+      assert(mean === Multimodal.testPixelsMean(id, w, h), s"id=$id ${w}x$h")
+    }
+    // the same decoder reads GIF — ImageIO sniffs the container
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(
+      new java.awt.image.BufferedImage(6, 4, java.awt.image.BufferedImage.TYPE_INT_RGB),
+      "gif", bos)
+    val (gw, gh, _) = Multimodal.imageIoDecoder(bos.toByteArray)
+    assert((gw, gh) === (6, 4))
+    // non-image bytes fail loudly, not with fabricated dimensions
+    intercept[IllegalArgumentException] {
+      Multimodal.imageIoDecoder("definitely not an image".getBytes)
+    }
+  }
+
+  test("jpeg decode: dimensions exact, mean within the calibrated bound") {
+    for (id <- Seq(1L, 42L, 999L)) {
+      val (w, h) = (8 + (id % 9).toInt, 8 + ((id / 9) % 9).toInt)
+      val (gw, gh, mean) = Multimodal.imageIoDecoder(Multimodal.jpegPayload(id, w, h))
+      assert((gw, gh) === (w, h))
+      assert(math.abs(mean - Multimodal.testPixelsMean(id, w, h)) <= 4.0, s"id=$id")
+    }
+  }
 }
