@@ -570,6 +570,51 @@ object Multimodal {
     (w, h, sum.toDouble / (w.toLong * h * 3))
   }
 
+  /** REAL COMPRESSED audio: a Sun AU container of G.711 μ-law codes
+    * (8-bit logarithmically companded — a genuine lossy speech codec,
+    * encoding 1). Sample k of stream `id` is the code
+    * `(id·37 + k·11 + 7) % 256` — closed form for the oracle.
+    */
+  def auUlawPayload(id: Long, n: Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val d = new java.io.DataOutputStream(bos)
+    d.writeBytes(".snd"); d.writeInt(24); d.writeInt(n)
+    d.writeInt(1) /* 8-bit μ-law */; d.writeInt(8000); d.writeInt(1)
+    var k = 0
+    while (k < n) { d.write(((id * 37 + k * 11 + 7) % 256).toInt); k += 1 }
+    bos.toByteArray
+  }
+
+  /** Decode μ-law AU with the JDK's own codec (`javax.sound.sampled`,
+    * java.desktop — no external library): the codec expands each 8-bit
+    * code to a 16-bit linear sample. The JDK expansion equals exactly
+    * 4× the textbook G.711 form — with u = 255−c, e = (u/16)%8,
+    * m = u%16: lin = 4·sign·((2m+33)·2^e − 33) — verified over all 256
+    * codes, so a SQL oracle mirrors it arithmetically. Returns (rate,
+    * channels, frames, mean linear sample) like [[wavDecoder]]; the
+    * mean folds as a Long sum + ONE division (exact).
+    */
+  def auUlawDecoder(bytes: Array[Byte]): (Int, Int, Int, Double) = {
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val fmt = in.getFormat
+    require(fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.ULAW,
+      s"not a μ-law payload: ${fmt.getEncoding}")
+    val target = new javax.sound.sampled.AudioFormat(
+      fmt.getSampleRate, 16, fmt.getChannels, true, false)
+    val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(target, in)
+    val buf = pcm.readAllBytes()
+    val n = buf.length / 2
+    var sum = 0L
+    var i = 0
+    while (i < n) {
+      sum += (((buf(2 * i) & 0xff) | (buf(2 * i + 1) << 8)).toShort).toLong
+      i += 1
+    }
+    (fmt.getSampleRate.toInt, fmt.getChannels, n / fmt.getChannels,
+      if (n == 0) 0.0 else sum.toDouble / n)
+  }
+
   /** Batched partition-wise decode: the Scala analogue of `mapInPandas`.
     * The decoder runs once per row but is instantiated once per
     * PARTITION (closure setup outside the iterator) — where a real codec

@@ -339,6 +339,41 @@ object MultimodalQueries {
           .select(col("doc_id"), col("width"), col("height"), col("exact_mean"),
             (abs(col("mean_luma") - col("exact_mean")) <= 4.0).as("mean_within_4"))
           .orderBy("doc_id")
+      }),
+
+    // ---- q122: REAL COMPRESSED-audio decode — G.711 μ-law (a genuine
+    // lossy speech codec: 8-bit logarithmic companding) in a Sun AU
+    // container, decoded by the JDK's own `javax.sound.sampled` codec.
+    // The JDK expansion equals exactly 4× the textbook G.711 form
+    // (verified over all 256 codes), so the DuckDB oracle mirrors the
+    // expansion ARITHMETICALLY — u=255−c, e=(u/16)%8, m=u%16,
+    // lin=±4·((2m+33)·2^e−33) — and verifies the whole decode without
+    // any codec on the oracle side. Mean folds as a Long sum + one
+    // exact division; no rounding anywhere.
+    QueryDef("q122_ulaw_decode", Some("""
+      WITH p AS (SELECT doc_id, CAST(n_chars % 64 + 16 AS INTEGER) AS n FROM documents)
+      SELECT doc_id, 8000 AS sample_rate, 1 AS channels, n AS frames,
+             CAST(list_sum(list_transform(range(0, n), k ->
+               (CASE WHEN (255 - (doc_id * 37 + k * 11 + 7) % 256) >= 128
+                     THEN -4 ELSE 4 END)
+               * ((2 * ((255 - (doc_id * 37 + k * 11 + 7) % 256) % 16) + 33)
+                  * ([1,2,4,8,16,32,64,128])
+                      [(((255 - (doc_id * 37 + k * 11 + 7) % 256) // 16) % 8) + 1]
+                  - 33))) AS DOUBLE) / n AS mean_amp
+      FROM p ORDER BY doc_id"""),
+      (s, dir) => {
+        import s.implicits._
+        val pay = Tables.read(s, dir, "documents")
+          .select(col("doc_id"), (col("n_chars") % 64 + 16).cast("int").as("n"))
+          .as[(Long, Int)]
+          .map { case (id, n) => (id, Multimodal.auUlawPayload(id, n)) }
+          .toDF("doc_id", "payload")
+        Multimodal.decodeAudio(pay, "doc_id", "payload", Multimodal.auUlawDecoder)
+          .toDF()
+          .select(col("id").as("doc_id"), col("sample_rate"),
+            col("n_channels").as("channels"), col("n_samples").as("frames"),
+            col("mean_amp"))
+          .orderBy("doc_id")
       })
   )
 }

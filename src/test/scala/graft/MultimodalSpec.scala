@@ -287,6 +287,31 @@ class MultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("auUlawDecoder: JDK expansion == 4x textbook G.711 over ALL 256 codes") {
+    // one payload containing every mu-law code once; the decoded mean
+    // must equal the closed-form mean — which only holds if every
+    // single code expands to exactly 4x the textbook value
+    val codes = Array.tabulate(256)(identity)
+    val bos = new java.io.ByteArrayOutputStream()
+    val d = new java.io.DataOutputStream(bos)
+    d.writeBytes(".snd"); d.writeInt(24); d.writeInt(256)
+    d.writeInt(1); d.writeInt(8000); d.writeInt(1)
+    codes.foreach(d.write)
+    def expand(c: Int): Long = {
+      val u = (~c) & 0xff
+      val sign = if ((u & 0x80) != 0) -1 else 1
+      val e = (u >> 4) & 7; val m = u & 0xf
+      4L * sign * ((((m << 1) + 33) << e) - 33)
+    }
+    val (rate, ch, n, mean) = Multimodal.auUlawDecoder(bos.toByteArray)
+    assert((rate, ch, n) === (8000, 1, 256))
+    assert(mean === codes.map(expand).sum.toDouble / 256)
+    // non-audio bytes are rejected loudly, not decoded into garbage
+    intercept[Exception] {
+      Multimodal.auUlawDecoder("definitely not an AU stream".getBytes)
+    }
+  }
+
   test("jpeg decode: dimensions exact, mean within the calibrated bound") {
     for (id <- Seq(1L, 42L, 999L)) {
       val (w, h) = (8 + (id % 9).toInt, 8 + ((id / 9) % 9).toInt)
