@@ -615,6 +615,34 @@ object Multimodal {
       if (n == 0) 0.0 else sum.toDouble / n)
   }
 
+  /** REAL image resize: decode any ImageIO payload and 2:1 nearest-
+    * neighbor downscale (output pixel (x,y) = source pixel (2x, 2y);
+    * output dims = ceil(dim/2)) — the thumbnailing step of an image
+    * pipeline, as pure integer index arithmetic a SQL oracle can
+    * mirror on the generator's closed-form raster. Returns the
+    * downscaled (width, height, mean RGB sample); the mean folds as a
+    * Long sum + ONE division (exact for lossless inputs).
+    */
+  def resizeHalfDecoder(bytes: Array[Byte]): (Int, Int, Double) = {
+    System.setProperty("java.awt.headless", "true")
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(img != null, "not a decodable image payload")
+    val w2 = (img.getWidth + 1) / 2
+    val h2 = (img.getHeight + 1) / 2
+    var sum = 0L
+    var y = 0
+    while (y < h2) {
+      var x = 0
+      while (x < w2) {
+        val p = img.getRGB(2 * x, 2 * y)
+        sum += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    (w2, h2, sum.toDouble / (w2.toLong * h2 * 3))
+  }
+
   /** Batched partition-wise decode: the Scala analogue of `mapInPandas`.
     * The decoder runs once per row but is instantiated once per
     * PARTITION (closure setup outside the iterator) — where a real codec

@@ -374,6 +374,42 @@ object MultimodalQueries {
             col("n_channels").as("channels"), col("n_samples").as("frames"),
             col("mean_amp"))
           .orderBy("doc_id")
+      }),
+
+    // ---- q123: REAL image RESIZE — decode the PNG payload with the
+    // JDK codec and 2:1 nearest-neighbor downscale (output (x,y) =
+    // source (2x,2y), dims = ceil/2): the thumbnailing stage of an
+    // image pipeline. Pure integer index arithmetic, so the oracle
+    // mirrors the pixel SELECTION on the closed-form raster and — PNG
+    // being lossless — verifies decode AND resize bit-exact, mean as a
+    // Long sum + one division, no rounding.
+    QueryDef("q123_resize", Some("""
+      WITH p AS (SELECT doc_id,
+                   CAST(n_chars % 9 + 1 AS INTEGER) AS w,
+                   CAST((n_chars // 9) % 9 + 1 AS INTEGER) AS h
+                 FROM documents),
+      r AS (SELECT doc_id, w, h, (w + 1) // 2 AS w2, (h + 1) // 2 AS h2 FROM p)
+      SELECT doc_id, CAST(w2 AS INTEGER) AS width, CAST(h2 AS INTEGER) AS height,
+             CAST(list_sum(flatten(list_transform(range(0, h2), y ->
+                    list_transform(range(0, w2), x ->
+                      (doc_id * 7 + ((2*y*w + 2*x) // 4) * 13) % 256
+                    + (doc_id * 11 + ((2*y*w + 2*x) // 4) * 17) % 256
+                    + (doc_id * 13 + ((2*y*w + 2*x) // 4) * 19) % 256)))) AS DOUBLE)
+               / (w2 * h2 * 3) AS mean_luma
+      FROM r ORDER BY doc_id"""),
+      (s, dir) => {
+        import s.implicits._
+        val pay = Tables.read(s, dir, "documents")
+          .select(col("doc_id"), (col("n_chars") % 9 + 1).cast("int").as("w"),
+            (expr("n_chars div 9") % 9 + 1).cast("int").as("h"))
+          .as[(Long, Int, Int)]
+          .map { case (id, w, h) => (id, Multimodal.pngPayload(id, w, h)) }
+          .toDF("doc_id", "payload")
+        Multimodal.decodeImages(pay, "doc_id", "payload", Multimodal.resizeHalfDecoder)
+          .toDF()
+          .select(col("id").as("doc_id"), col("width"), col("height"),
+            col("mean_luma"))
+          .orderBy("doc_id")
       })
   )
 }
