@@ -1737,6 +1737,76 @@ object TextQueries {
           .orderBy(col("bm25").desc, col("doc_id")).limit(10)
       }),
 
+    // ---- q124: PageRank over the verified near-dup graph — authority
+    // scoring as the SECOND iterative graph primitive next to connected
+    // components: pick the canonical doc of a dup family by rank, not
+    // min id. Same verified edge list as q72 (banded LSH → exact
+    // Jaccard ≥ 0.5, symmetric); 3 iterations, damping 0.85, uniform
+    // start, dangling nodes keep the teleport term but redistribute
+    // nothing (standard simplification, mirrored verbatim). Each
+    // iteration is one equi-join + one hash agg; N rides a one-row
+    // broadcast. Only the EMITTED rank rounds (intermediate ulps are
+    // ~1e-15 relative — far below 1e-6).
+    QueryDef("q124_pagerank", Some(s"""${toksCte()},
+      sig AS (SELECT doc_id,
+        ${(0 until 8).map(i =>
+          s"list_min(list_transform(list_distinct(tokens), t -> md5('$i:' || t))) AS mh$i")
+          .mkString(",\n        ")}
+              FROM toks),
+      band AS (${(0 until 4).map(b =>
+          s"SELECT doc_id, $b AS b, mh${2 * b} || '|' || mh${2 * b + 1} AS chunk FROM sig")
+          .mkString(" UNION ALL\n               ")}),
+      kept AS (SELECT doc_id, b, chunk FROM
+                 (SELECT doc_id, b, chunk,
+                         COUNT(*) OVER (PARTITION BY b, chunk) AS bsz FROM band)
+               WHERE bsz <= 50),
+      cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+               FROM kept a JOIN kept b
+                 ON a.b = b.b AND a.chunk = b.chunk AND a.doc_id < b.doc_id),
+      sh AS (SELECT doc_id,
+               list_distinct(list_transform(range(1, len(tokens)),
+                             i -> tokens[i] || ' ' || tokens[i+1])) AS sh
+             FROM toks),
+      ver AS (SELECT id_a, id_b FROM
+                (SELECT c.id_a, c.id_b,
+                        CASE WHEN len(a.sh) + len(b.sh)
+                                  - len(list_intersect(a.sh, b.sh)) = 0 THEN NULL
+                             ELSE len(list_intersect(a.sh, b.sh))
+                                  / (len(a.sh) + len(b.sh)
+                                     - len(list_intersect(a.sh, b.sh))) END AS jac
+                 FROM cand c JOIN sh a ON a.doc_id = c.id_a
+                             JOIN sh b ON b.doc_id = c.id_b)
+              WHERE jac >= CAST(0.5 AS DOUBLE)),
+      edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM ver
+                UNION ALL SELECT id_b, id_a FROM ver),
+      nodes AS MATERIALIZED (SELECT doc_id AS id FROM toks),
+      nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+      deg AS MATERIALIZED (SELECT src AS id, COUNT(*) AS outdeg FROM edges GROUP BY src),
+      pr0 AS MATERIALIZED (SELECT id, 1.0 / (SELECT n FROM nn) AS rank FROM nodes),
+      ${(1 to 3).map(i => s"""pr$i AS MATERIALIZED (
+        SELECT nd.id,
+               (1 - 0.85) / (SELECT n FROM nn)
+               + 0.85 * COALESCE(SUM(p.rank / d.outdeg), 0) AS rank
+        FROM nodes nd
+        LEFT JOIN edges e ON e.dst = nd.id
+        LEFT JOIN pr${i - 1} p ON p.id = e.src
+        LEFT JOIN deg d ON d.id = e.src
+        GROUP BY nd.id)""").mkString(",\n      ")}
+      SELECT id AS doc_id, ROUND(rank, 6) AS rank
+      FROM pr3 ORDER BY doc_id"""),
+      (s, dir) => {
+        val toks = tokenized(s, dir)
+        val cand = Dedup.lshBandedCandidatePairs(toks, "doc_id", "tokens", 4, 2,
+          maxBucketSize = 50)
+        val verified = Dedup.verifyJaccard(toks, "doc_id", "tokens", cand)
+          .where(col("jaccard") >= 0.5)
+        val edges = verified.select(col("id_a").as("src"), col("id_b").as("dst"))
+          .union(verified.select(col("id_b").as("src"), col("id_a").as("dst")))
+        graft.graph.PageRank.run(toks.select("doc_id"), edges, iters = 3)
+          .select(col("id").as("doc_id"), round(col("rank"), 6).as("rank"))
+          .orderBy("doc_id")
+      }),
+
     // ---- q40: multimodal plumbing — opaque binary payload + metadata
     // (decode itself is stubbed; see graft.multimodal).
     QueryDef("q40_binary_meta", Some("""

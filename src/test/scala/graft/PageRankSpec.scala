@@ -1,0 +1,46 @@
+package graft
+
+import graft.graph.PageRank
+import org.apache.spark.sql.functions._
+
+/** Pins PageRank semantics: teleport term, contribution split by
+  * out-degree, dangling simplification, and conservation on graphs
+  * without dangling mass.
+  */
+class PageRankSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def ranks(nodes: Seq[Long], edges: Seq[(Long, Long)], iters: Int) =
+    PageRank.run(nodes.toDF("id"), edges.toDF("src", "dst"), iters)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+  test("mutual pair + isolated node: closed-form fixpoint from iteration 1") {
+    // A↔B, C isolated, N=3, d=0.85: pr(A)=pr(B)=0.05+0.85·pr(other)
+    // is already at its 1/3 fixpoint from the uniform start; C keeps
+    // only the teleport term 0.15/3 = 0.05
+    val got = ranks(Seq(1L, 2L, 3L), Seq((1L, 2L), (2L, 1L)), iters = 3)
+    assert(math.abs(got(1L) - 1.0 / 3) < 1e-12)
+    assert(math.abs(got(2L) - 1.0 / 3) < 1e-12)
+    assert(math.abs(got(3L) - 0.05) < 1e-12)
+  }
+
+  test("cycle without dangling nodes conserves total mass = 1") {
+    val n = 6L
+    val cycle = (0L until n).map(i => (i, (i + 1) % n))
+    val got = ranks(0L until n, cycle, iters = 4)
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+    // symmetric cycle → uniform ranks
+    got.values.foreach(v => assert(math.abs(v - 1.0 / n) < 1e-12))
+  }
+
+  test("out-degree splits contribution: a hub donates rank/outdeg to each target") {
+    // hub 0 → {1, 2}; 1 → 0; 2 → 0. After one iteration:
+    // pr1(1) = pr1(2) = 0.15/3 + 0.85·(1/3)/2
+    val got = ranks(Seq(0L, 1L, 2L), Seq((0L, 1L), (0L, 2L), (1L, 0L), (2L, 0L)), 1)
+    val want = 0.15 / 3 + 0.85 * (1.0 / 3) / 2
+    assert(math.abs(got(1L) - want) < 1e-12)
+    assert(math.abs(got(2L) - want) < 1e-12)
+    assert(math.abs(got(0L) - (0.15 / 3 + 0.85 * 2 * (1.0 / 3))) < 1e-12)
+  }
+}
