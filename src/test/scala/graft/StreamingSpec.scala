@@ -446,6 +446,63 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("checkpoint restart: watermark state resumes, closed windows emit exactly once") {
+    // the durability contract a production stream lives on: stop the
+    // query, restart it against the SAME checkpoint, and (a) already-
+    // emitted windows are not re-emitted, (b) state (open windows +
+    // watermark) carries across the restart so later data closes the
+    // windows opened before the stop
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val schema = batch1.toDF().schema
+    val emitted = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, Long)]()
+
+    def start() = EventStreams.hourlyCounts(
+        spark.readStream.schema(schema).parquet(srcDir))
+      .writeStream.option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.select(col("window_start").cast("long"), col("event_type"), col("n"))
+          .collect().foreach(r => emitted.add(
+            (r.getLong(0), r.getString(1), r.getLong(2))))
+      }
+      .start()
+
+    // the parquet file SOURCE watches top-level files, not directories:
+    // stage each batch's part file in flat, like an ingest job would
+    def land(rows: Seq[UserEvent], name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-land").toString
+      rows.toDF().coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(srcDir, name))
+    }
+
+    // run 1: hour-0 events only — windows stay OPEN (no emission)
+    land(batch1, "f1.parquet")
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(emitted.isEmpty, "open windows must not emit before the watermark passes")
+
+    // run 2, same checkpoint: far-future rows close the hour-0 windows.
+    // If state had NOT survived the restart, hour-0 counts would be lost.
+    land(batch2, "f2.parquet")
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    import scala.jdk.CollectionConverters._
+    val afterRestart = emitted.asScala.toSet
+    assert(afterRestart.contains((0L, "click", 2L)),
+      s"hour-0 click count opened before the stop must emit after restart: $afterRestart")
+    assert(afterRestart.contains((0L, "error", 1L)))
+
+    // run 3, same checkpoint, NO new data: nothing re-emits (exactly once)
+    val before = emitted.size
+    val q3 = start()
+    try q3.processAllAvailable() finally q3.stop()
+    assert(emitted.size === before, "restart without new input must re-emit nothing")
+  }
+
   test("file-source streaming: real events parquet through readStream") {
     val dir = sf("sf0.001")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
