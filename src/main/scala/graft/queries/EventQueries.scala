@@ -441,6 +441,38 @@ object EventQueries {
           .where(col("trail_n") >= 6 &&
             col("n") * col("trail_n") > lit(2) * col("trail_sum"))
           .orderBy("event_type", "hr")
+      }),
+
+    // ---- q125: standard-scaler feature normalization — per-group
+    // z-scores (the StandardScaler step of every feature pipeline),
+    // with the q110 power-sum trick making it EXACT: mean and variance
+    // come from integer Σcv/Σcv² (decimal ↔ HUGEINT), and the per-event
+    // z = (cv − S1/n)/sqrt((S2 − S1²/n)/n) is the identical IEEE tree
+    // in both engines — bit-equal with NO rounding. The 5-row stats
+    // table broadcasts back; cents cancel in the ratio.
+    QueryDef("q125_standard_scale", Some(s"""
+      WITH c AS (SELECT event_id, event_type, value, $valCents AS cv FROM events),
+      s AS (SELECT event_type, COUNT(*) AS n,
+              CAST(SUM(cv) AS DOUBLE) AS s1, CAST(SUM(cv * cv) AS DOUBLE) AS s2
+            FROM c GROUP BY event_type)
+      SELECT c.event_id, c.event_type, c.value,
+             (c.cv - s.s1 / s.n) / sqrt((s.s2 - s.s1 * s.s1 / s.n) / s.n) AS z
+      FROM c JOIN s USING (event_type)
+      ORDER BY event_id"""),
+      (s, dir) => {
+        val c = Tables.events(s, dir)
+          .select(col("event_id"), col("event_type"), col("value"),
+            QueryDef.cents(col("value")).as("cv"))
+        val st = c.groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(col("cv").cast("decimal(38,0)")).cast("double").as("s1"),
+            sum((col("cv") * col("cv")).cast("decimal(38,0)")).cast("double").as("s2"))
+        c.join(broadcast(st), "event_type")
+          .select(col("event_id"), col("event_type"), col("value"),
+            ((col("cv") - col("s1") / col("n"))
+              / sqrt((col("s2") - col("s1") * col("s1") / col("n")) / col("n")))
+              .as("z"))
+          .orderBy("event_id")
       })
   )
 }

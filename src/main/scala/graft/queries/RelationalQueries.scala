@@ -387,6 +387,31 @@ object RelationalQueries {
         o.where(year(col("o_orderdate")) === 1995).select("o_custkey")
           .intersect(o.where(year(col("o_orderdate")) === 1996).select("o_custkey"))
           .orderBy("o_custkey")
+      }),
+
+    // ---- q126: salted equi-join IN THE GATE — the skew-mitigation
+    // operator (replicate-and-salt; operators.SaltedJoin) answering a
+    // real query, with the DuckDB oracle running the PLAIN join: the
+    // salt must be invisible in the result, and this row proves it
+    // against the hash compare every round, not just in a spec. Revenue
+    // sums ride exact cents; the salted shape bounds any one hot
+    // orderkey's rows to nSalts reducers.
+    QueryDef("q126_salted_join", Some("""
+      SELECT o.o_orderpriority, COUNT(*) AS n,
+             CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               / 100.0 AS sum_price
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority"""),
+      (s, dir) => {
+        val l = Tables.read(s, dir, "lineitem")
+          .select(col("l_orderkey").as("okey"),
+            QueryDef.cents(col("l_extendedprice")).as("cents"))
+        val o = Tables.read(s, dir, "orders")
+          .select(col("o_orderkey").as("okey"), col("o_orderpriority"))
+        graft.operators.SaltedJoin.saltedEquiJoin(l, o, "okey", nSalts = 8)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"), (sum("cents") / 100.0).as("sum_price"))
+          .orderBy("o_orderpriority")
       })
   )
 }
