@@ -15,13 +15,15 @@ final case class DecodedAudio(
 /** Multimodal-column plumbing: image/audio/video payloads ride through
   * the engine as opaque `BINARY` columns with typed metadata structs.
   *
-  * Decode is REAL for the PPM image family ([[ppmDecoder]] parses P6
-  * binary and P3 plain payloads byte-by-byte — header, comments, pixel
-  * samples — no codec library needed) and STUBBED for codec formats
-  * (JPEG/PNG/audio/video need libraries absent from this environment;
-  * the fakes are deterministic functions of the bytes, clearly marked).
-  * Everything around the decoders is real, tested Spark plumbing and is
-  * exactly where a JNI/ffmpeg/libjpeg decoder would plug in:
+  * Decode is REAL for: PPM P6/P3, 24bpp BMP, QOI and RIFF/WAVE PCM
+  * (hand-rolled byte parsers — [[ppmDecoder]], [[bmpDecoder]],
+  * [[qoiDecoder]], [[wavDecoder]]); PNG/JPEG/GIF via the JDK's own
+  * `javax.imageio` codec ([[imageIoDecoder]], [[resizeHalfDecoder]]);
+  * and G.711 μ-law audio via `javax.sound.sampled`
+  * ([[auUlawDecoder]]). Only VIDEO remains a deterministic fake
+  * (no JDK video codec exists; the fakes are clearly marked functions
+  * of the bytes). Everything around the decoders is real, tested Spark
+  * plumbing and is exactly where a JNI/ffmpeg decoder would plug in:
   *  - binary payload columns + `STRUCT` metadata (schema),
   *  - batched partition-wise decode via `mapPartitions` (one decoder
   *    instance per partition, streamed row iterator — the Scala analogue
