@@ -623,6 +623,47 @@ object Multimodal {
       if (n == 0) 0.0 else sum.toDouble / n)
   }
 
+  /** A-law sibling of [[auUlawPayload]]: AU encoding 27, sample k of
+    * stream `id` is the code `(id·53 + k·19 + 3) % 256`.
+    */
+  def auAlawPayload(id: Long, n: Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val d = new java.io.DataOutputStream(bos)
+    d.writeBytes(".snd"); d.writeInt(24); d.writeInt(n)
+    d.writeInt(27) /* 8-bit A-law */; d.writeInt(8000); d.writeInt(1)
+    var k = 0
+    while (k < n) { d.write(((id * 53 + k * 19 + 3) % 256).toInt); k += 1 }
+    bos.toByteArray
+  }
+
+  /** Decode A-law AU with the JDK codec. The JDK expansion equals
+    * exactly 8× the textbook G.711 A-law form with the sign bit
+    * meaning POSITIVE — with u = c⊕0x55, e = (u/16)%8, m = u%16,
+    * mag = (e=0 ? 2m+1 : (2m+33)·2^(e−1)):
+    * lin = (u≥128 ? +8 : −8)·mag — verified over all 256 codes.
+    * Same return shape as [[auUlawDecoder]].
+    */
+  def auAlawDecoder(bytes: Array[Byte]): (Int, Int, Int, Double) = {
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val fmt = in.getFormat
+    require(fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.ALAW,
+      s"not an A-law payload: ${fmt.getEncoding}")
+    val target = new javax.sound.sampled.AudioFormat(
+      fmt.getSampleRate, 16, fmt.getChannels, true, false)
+    val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(target, in)
+    val buf = pcm.readAllBytes()
+    val n = buf.length / 2
+    var sum = 0L
+    var i = 0
+    while (i < n) {
+      sum += (((buf(2 * i) & 0xff) | (buf(2 * i + 1) << 8)).toShort).toLong
+      i += 1
+    }
+    (fmt.getSampleRate.toInt, fmt.getChannels, n / fmt.getChannels,
+      if (n == 0) 0.0 else sum.toDouble / n)
+  }
+
   /** REAL image resize: decode any ImageIO payload and 2:1 nearest-
     * neighbor downscale (output pixel (x,y) = source pixel (2x, 2y);
     * output dims = ceil(dim/2)) — the thumbnailing step of an image

@@ -376,6 +376,40 @@ object MultimodalQueries {
           .orderBy("doc_id")
       }),
 
+    // ---- q127: REAL A-law decode — G.711's other companding law (AU
+    // encoding 27), completing the family with q122. JDK expansion =
+    // 8× textbook with the sign bit meaning POSITIVE (u = c⊕85,
+    // e=(u/16)%8, m=u%16, mag = e=0 ? 2m+1 : (2m+33)·2^(e−1),
+    // lin = ±8·mag) — verified over all 256 codes; the oracle mirrors
+    // it arithmetically, bit-exact, no rounding.
+    QueryDef("q127_alaw_decode", Some("""
+      WITH p AS (SELECT doc_id, CAST(n_chars % 48 + 12 AS INTEGER) AS n FROM documents)
+      SELECT doc_id, 8000 AS sample_rate, 1 AS channels, n AS frames,
+             CAST(list_sum(list_transform(range(0, n), k ->
+               (CASE WHEN xor((doc_id * 53 + k * 19 + 3) % 256, 85) >= 128
+                     THEN 8 ELSE -8 END)
+               * (CASE WHEN (xor((doc_id * 53 + k * 19 + 3) % 256, 85) // 16) % 8 = 0
+                       THEN 2 * (xor((doc_id * 53 + k * 19 + 3) % 256, 85) % 16) + 1
+                       ELSE (2 * (xor((doc_id * 53 + k * 19 + 3) % 256, 85) % 16) + 33)
+                            * ([1,2,4,8,16,32,64])
+                                [((xor((doc_id * 53 + k * 19 + 3) % 256, 85) // 16) % 8)]
+                  END))) AS DOUBLE) / n AS mean_amp
+      FROM p ORDER BY doc_id"""),
+      (s, dir) => {
+        import s.implicits._
+        val pay = Tables.read(s, dir, "documents")
+          .select(col("doc_id"), (col("n_chars") % 48 + 12).cast("int").as("n"))
+          .as[(Long, Int)]
+          .map { case (id, n) => (id, Multimodal.auAlawPayload(id, n)) }
+          .toDF("doc_id", "payload")
+        Multimodal.decodeAudio(pay, "doc_id", "payload", Multimodal.auAlawDecoder)
+          .toDF()
+          .select(col("id").as("doc_id"), col("sample_rate"),
+            col("n_channels").as("channels"), col("n_samples").as("frames"),
+            col("mean_amp"))
+          .orderBy("doc_id")
+      }),
+
     // ---- q123: REAL image RESIZE — decode the PNG payload with the
     // JDK codec and 2:1 nearest-neighbor downscale (output (x,y) =
     // source (2x,2y), dims = ceil/2): the thumbnailing stage of an
