@@ -1807,6 +1807,52 @@ object TextQueries {
           .orderBy("doc_id")
       }),
 
+    // ---- q128: CONTENT-DEFINED chunking (Rabin-style) — boundaries
+    // fall where the rolling 4-token window's hash ≡ 0 (mod 8), so an
+    // insertion early in a document shifts only ONE chunk instead of
+    // re-chunking everything after it (the property fixed-size q79
+    // chunking lacks, and the basis of storage-level dedup). Boundary
+    // detection and chunk assignment are per-doc windows (bounded by
+    // one document); the chunk fingerprint table then reports how many
+    // docs share each chunk — the dedup payoff. ~8-token expected
+    // chunks from the mod-8 divisor; hash = first 4 md5 nibbles
+    // (integer-exact in both engines, q94's trick).
+    QueryDef("q128_cdc_chunks", Some(s"""${toksCte()},
+      tok AS (SELECT doc_id, CAST(unnest(range(1, len(tokens) + 1)) AS INTEGER) AS pos,
+                     unnest(tokens) AS token
+              FROM toks WHERE len(tokens) >= 1),
+      win AS (SELECT doc_id, pos, token,
+                CASE WHEN pos >= 4 AND
+                  CAST('0x' || substr(md5(
+                    lag(token, 3) OVER w || ' ' || lag(token, 2) OVER w || ' ' ||
+                    lag(token, 1) OVER w || ' ' || token), 1, 4) AS BIGINT) % 8 = 0
+                THEN 1 ELSE 0 END AS brk
+              FROM tok
+              WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+      chunked AS (SELECT doc_id, pos, token,
+                    COALESCE(SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cid
+                  FROM win),
+      chunks AS (SELECT doc_id, CAST(cid AS INTEGER) AS chunk_idx,
+                   CAST(MIN(pos) AS INTEGER) AS chunk_start,
+                   CAST(COUNT(*) AS INTEGER) AS chunk_len,
+                   md5(string_agg(token, ' ' ORDER BY pos)) AS fp
+                 FROM chunked GROUP BY doc_id, cid),
+      sharing AS (SELECT fp, COUNT(DISTINCT doc_id) AS n_docs FROM chunks GROUP BY fp)
+      SELECT c.doc_id, c.chunk_idx, c.chunk_start, c.chunk_len, c.fp,
+             s.n_docs AS shared_by
+      FROM chunks c JOIN sharing s USING (fp)
+      ORDER BY doc_id, chunk_idx"""),
+      (s, dir) => {
+        val chunks = graft.text.Chunking.cdcChunks(
+          tokenized(s, dir), "doc_id", "tokens", window = 4, divisor = 8)
+        val sharing = chunks.groupBy("fp").agg(countDistinct("doc_id").as("n_docs"))
+        chunks.join(sharing, "fp")
+          .select(col("doc_id"), col("chunk_idx"), col("chunk_start"),
+            col("chunk_len"), col("fp"), col("n_docs").as("shared_by"))
+          .orderBy("doc_id", "chunk_idx")
+      }),
+
     // ---- q40: multimodal plumbing — opaque binary payload + metadata
     // (decode itself is stubbed; see graft.multimodal).
     QueryDef("q40_binary_meta", Some("""

@@ -36,4 +36,22 @@ class ChunkingSpec extends SparkTestBase {
     intercept[IllegalArgumentException](Chunking.chunks(col("t"), 4, 5))
     intercept[IllegalArgumentException](Chunking.chunks(col("t"), 0, 0))
   }
+
+  test("CDC: an early insertion re-syncs — downstream chunk fingerprints survive") {
+    val base = (1 to 200).map(i => s"w$i") // aperiodic: every token unique
+    val edited = "INSERTED" +: base // one token prepended
+    val df = Seq((1L, base), (2L, edited)).toDF("doc_id", "tokens")
+    val chunks = Chunking.cdcChunks(df, "doc_id", "tokens")
+      .collect().map(r => (r.getLong(0), r.getString(4))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val shared = chunks(1L).intersect(chunks(2L))
+    // content-defined boundaries re-align at the next content boundary
+    assert(shared.nonEmpty, "CDC must re-sync after a prepended token")
+    assert(shared.size >= chunks(1L).size / 2,
+      s"most chunks must survive the edit: ${shared.size} of ${chunks(1L).size}")
+    // sanity vs fixed-size: the same edit breaks EVERY 8-token fixed chunk
+    val fixedA = base.grouped(8).map(_.mkString(" ")).toSet
+    val fixedB = edited.grouped(8).map(_.mkString(" ")).toSet
+    assert(fixedA.intersect(fixedB).isEmpty)
+  }
 }
