@@ -305,6 +305,49 @@ object Knn {
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023): train a
+    * codebook with [[kmeansCentroids]], assign every vector to its
+    * nearest centroid (one broadcast-codebook pass into the
+    * partial-aggregable [[bestCentroid]] max_by — no window over the
+    * corpus), then compare pairs ONLY within a cluster and drop every
+    * vector that has a same-cluster neighbor above `threshold` with a
+    * smaller id (the kept doc is each near-dup group's minimum id, the
+    * same keep rule as the fingerprint/LSH dedups). Returns the DROP
+    * list as (centroid_id, idCol).
+    *
+    * Scale shape: the O(n²) all-pairs comparison collapses to
+    * O(Σ cluster²) — the clustering IS the blocking, which is what lets
+    * SemDeDup run where exact all-pairs cosine cannot. The assigned
+    * corpus is `localCheckpoint`ed once: both sides of the in-cluster
+    * self-join read materialized rows instead of re-running the
+    * corpus×codebook scoring per branch (and in a real pipeline the
+    * assignment IS storage — written once, read many).
+    */
+  def semanticDedupDropped(emb: DataFrame, idCol: String, vecCol: String,
+                           centroidPred: Column, iters: Int,
+                           threshold: Double): DataFrame = {
+    val e = withNorm(emb, idCol, vecCol)
+    val cent = withNorm(
+      kmeansCentroids(emb, idCol, vecCol, centroidPred, iters),
+      "centroid_id", "cent_vec")
+      .select(col("centroid_id"), col("cent_vec"), col("nrm").as("cent_nrm"))
+    val scored = e.crossJoin(broadcast(cent))
+      .select(col(idCol), col("centroid_id"),
+        (dot(col(vecCol), col("cent_vec")) / (col("nrm") * col("cent_nrm"))).as("cs"))
+    val m = e.join(bestCentroid(scored, idCol), idCol)
+      .select(col(idCol), col("centroid_id"), col(vecCol).as("v"), col("nrm").as("n"))
+      .localCheckpoint()
+    val a = m.select(col("centroid_id"), col(idCol).as("id_a"),
+      col("v").as("va"), col("n").as("na"))
+    val b = m.select(col("centroid_id"), col(idCol).as("id_b"),
+      col("v").as("vb"), col("n").as("nb"))
+    a.join(b, Seq("centroid_id"))
+      .where(col("id_a") < col("id_b") &&
+        dot(col("va"), col("vb")) / (col("na") * col("nb")) > threshold)
+      .select(col("centroid_id"), col("id_b").as(idCol))
+      .distinct()
+  }
+
   /** Deterministic ±1 sign-random-projection hyperplanes, md5-seeded so
     * any engine can regenerate them bit-identically (plane j, dim i is
     * +1 iff the first hex digit of md5("j:i") is ≥ '8' — i.e. the high

@@ -443,6 +443,39 @@ object Dedup {
         (col("inter") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
   }
 
+  /** Directed shingle CONTAINMENT via the same inverted-index self-join
+    * as [[bigramJaccardPairs]]: C(A→B) = |A∩B| / |A|. Asymmetric by
+    * design — a short document wholly quoted inside a long one scores
+    * C≈1 in that direction while Jaccard (normalized by the union)
+    * stays low, which is why sub-document duplication screens use
+    * containment, not Jaccard. Emits both directions of every
+    * shingle-sharing pair whose containment clears `num/den`
+    * (threshold tested as the integer cross-product `inter·den ≥
+    * num·|A|` — no float boundary); the emitted `containment` itself is
+    * one exact int/int IEEE division.
+    *
+    * Scale shape: identical to Jaccard — only pairs sharing ≥1 shingle
+    * meet (band equi-join on the shingle), `maxShingleDf` caps hot
+    * shingles before the join.
+    */
+  def shingleContainmentPairs(docs: DataFrame, idCol: String, tokensCol: String,
+                              num: Int, den: Int,
+                              maxShingleDf: Int = Int.MaxValue): DataFrame = {
+    require(den > 0 && num >= 0, s"threshold must be a valid fraction, got $num/$den")
+    val sh = docs.select(col(idCol), bigramShingles(col(tokensCol)).as("sh"))
+    val sizes = sh.select(col(idCol), size(col("sh")).as("n")).where(col("n") > 0)
+    val ex = capBuckets(sh.select(col(idCol), explode(col("sh")).as("s")),
+      Seq("s"), maxShingleDf)
+    val inter = ex.alias("a")
+      .join(ex.alias("b"), col("a.s") === col("b.s") && col(s"a.$idCol") =!= col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col(idCol).as("id_a"), col("n").as("na")), "id_a")
+      .where(col("inter") * den >= lit(num) * col("na"))
+      .select(col("id_a"), col("id_b"), (col("inter") / col("na")).as("containment"))
+  }
+
   /** Merge per-doc n-gram hit POSITIONS into contiguous character-free
     * token spans (gaps-and-islands): two positions belong to one span
     * when their n-gram windows touch or overlap (gap ≤ n). Emits

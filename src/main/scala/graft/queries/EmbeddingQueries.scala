@@ -689,6 +689,38 @@ object EmbeddingQueries {
         Knn.retrieveKnn(emb.where(col("vec_id") < 10), corpus,
             "vec_id", "embedding", 5)
           .orderBy("q_id", "rk")
-      })
+      }),
+
+    // ---- q131: SemDeDup semantic deduplication (Abbas et al. 2023,
+    // arXiv:2303.09540) — the embedding-space dedup that catches
+    // paraphrases exact/MinHash dedup can't. K-means clustering (the
+    // q53 codebook, 2 unrolled Lloyd iterations) is the BLOCKING:
+    // cosine pairs are scored only within a cluster, collapsing
+    // all-pairs O(n²) to O(Σ cluster²), and each near-dup group keeps
+    // its minimum id. Emits the drop list. The oracle unrolls a third
+    // assign step (a3 = nearest trained centroid) and replays the same
+    // in-cluster pair rule; only CTEs the final SELECT references are
+    // executed, so the unused c3 mean step costs nothing.
+    QueryDef("q131_semantic_dedup", Some(s"""
+      WITH e AS (SELECT vec_id, embedding, ${sqlNorm("embedding")} AS nrm FROM embeddings
+                 WHERE ${sqlNorm("embedding")} > 0),
+      c0 AS (SELECT vec_id AS centroid_id, embedding AS cvec
+             FROM embeddings WHERE vec_id % 50 = 0),
+      ${lloydIterationCte(1, "c0")},
+      ${lloydIterationCte(2, "c1")},
+      ${lloydIterationCte(3, "c2")},
+      p AS (SELECT x.centroid_id AS centroid_id, y.vec_id AS vec_id
+            FROM a3 x JOIN a3 y
+              ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id
+            JOIN e ea ON ea.vec_id = x.vec_id
+            JOIN e eb ON eb.vec_id = y.vec_id
+            WHERE ${sqlDot("ea.embedding", "eb.embedding")} / (ea.nrm * eb.nrm)
+                  > CAST(0.25 AS DOUBLE))
+      SELECT DISTINCT centroid_id, vec_id FROM p ORDER BY centroid_id, vec_id"""),
+      (s, dir) =>
+        Knn.semanticDedupDropped(Tables.read(s, dir, "embeddings"),
+            "vec_id", "embedding", col("vec_id") % 50 === 0,
+            iters = 2, threshold = 0.25)
+          .orderBy("centroid_id", "vec_id"))
   )
 }

@@ -412,6 +412,59 @@ object RelationalQueries {
           .groupBy("o_orderpriority")
           .agg(count(lit(1)).as("n"), (sum("cents") / 100.0).as("sum_price"))
           .orderBy("o_orderpriority")
+      }),
+
+    // ---- q130: winsorized mean — the outlier-robust location estimate a
+    // quality pipeline reports instead of the raw mean (one corrupted
+    // price record can't move it). Values are clamped to the group's
+    // [p05, p95] before averaging, but the whole computation stays
+    // EXACT: the mid-range rows sum as integer cents (order-free), the
+    // clamped tails contribute count×bound (one IEEE multiply each), and
+    // the final combination is the identical left-associated expression
+    // tree in both engines — no rounding anywhere. The percentile bounds
+    // themselves reuse the q57-proven interpolated-percentile parity.
+    //
+    // Scale shape: two hash aggregates over lineitem plus one broadcast
+    // join of the 3-row bounds table — no window, no sort; at 100 TB the
+    // exact percentile pass swaps for the q86-calibrated sketch.
+    QueryDef("q130_winsorized_mean", Some("""
+      WITH c AS (SELECT l_returnflag AS flag,
+                   CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS c
+                 FROM lineitem),
+      b AS (SELECT flag, quantile_cont(c, 0.05) AS lo, quantile_cont(c, 0.95) AS hi
+            FROM c GROUP BY flag),
+      g AS (SELECT c.flag, COUNT(*) AS n,
+              CAST(SUM(CASE WHEN c.c >= b.lo AND c.c <= b.hi THEN c.c
+                            ELSE 0 END) AS BIGINT) AS mid_sum,
+              COUNT(CASE WHEN c.c < b.lo THEN 1 END) AS n_lo,
+              COUNT(CASE WHEN c.c > b.hi THEN 1 END) AS n_hi,
+              MIN(b.lo) AS lo, MIN(b.hi) AS hi
+            FROM c JOIN b ON b.flag = c.flag
+            GROUP BY c.flag)
+      SELECT flag, n, n_lo, n_hi,
+             lo / 100.0 AS lo_price, hi / 100.0 AS hi_price,
+             ((mid_sum + n_lo * lo + n_hi * hi) / n) / 100.0 AS win_mean
+      FROM g ORDER BY flag"""),
+      (s, dir) => {
+        val c = Tables.read(s, dir, "lineitem")
+          .select(col("l_returnflag").as("flag"),
+            QueryDef.cents(col("l_extendedprice")).as("c"))
+        val b = c.groupBy("flag")
+          .agg(expr("percentile(c, 0.05)").as("lo"),
+               expr("percentile(c, 0.95)").as("hi"))
+        c.join(broadcast(b), "flag")
+          .groupBy("flag")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("c") >= col("lo") && col("c") <= col("hi"), col("c"))
+              .otherwise(0L)).as("mid_sum"),
+            count(when(col("c") < col("lo"), 1)).as("n_lo"),
+            count(when(col("c") > col("hi"), 1)).as("n_hi"),
+            min(col("lo")).as("lo"), min(col("hi")).as("hi"))
+          .select(col("flag"), col("n"), col("n_lo"), col("n_hi"),
+            (col("lo") / 100.0).as("lo_price"), (col("hi") / 100.0).as("hi_price"),
+            ((col("mid_sum") + col("n_lo") * col("lo") + col("n_hi") * col("hi"))
+              / col("n") / 100.0).as("win_mean"))
+          .orderBy("flag")
       })
   )
 }

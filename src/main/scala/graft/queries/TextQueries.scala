@@ -1864,6 +1864,72 @@ object TextQueries {
         docs(s, dir).select(col("doc_id"),
             length(col("text").cast("binary")).as("n_bytes"),
             hex(substring(col("text"), 1, 4).cast("binary")).as("hex4"))
-          .orderBy("doc_id"))
+          .orderBy("doc_id")),
+
+    // ---- q129: weighted sampling without replacement — pick k docs per
+    // source with probability rising in document length (the "sample
+    // long documents preferentially" step of corpus assembly).
+    // Deterministic priority sampling: priority = u/len with u a 4-nibble
+    // md5 draw shifted to [1, 65536] (never 0, so the negation round-trip
+    // through the top-k buffer can't mint −0.0) — heavier docs get
+    // systematically smaller priorities, and the k smallest priorities
+    // per source win. Both the priority and its negation are single
+    // exact IEEE ops, so no rounding is needed anywhere.
+    //
+    // Scale shape: selection is the mergeable k-slot TopKAggregator
+    // (map-side partials keep ≤k rows per (source, partition)) — one
+    // hash aggregate, no per-source window sort, no source-cardinality
+    // partition pinning. The same shape at any corpus size.
+    QueryDef("q129_weighted_sample", Some("""
+      WITH w AS (SELECT source, doc_id,
+                   CAST('0x' || substr(md5(doc_id::VARCHAR || ':w'), 1, 4) AS BIGINT)
+                     + 1 AS u,
+                   LENGTH(text) AS len
+                 FROM documents WHERE LENGTH(text) > 0),
+      p AS (SELECT source, doc_id, u / len AS priority FROM w),
+      r AS (SELECT source, doc_id, priority,
+              CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY priority, doc_id)
+                   AS INTEGER) AS rk
+            FROM p)
+      SELECT source, rk, doc_id, priority FROM r WHERE rk <= 5
+      ORDER BY source, rk"""),
+      (s, dir) => {
+        val u = conv(substring(md5(concat(col("doc_id").cast("string"), lit(":w"))),
+          1, 4), 16, 10).cast("long") + 1
+        docs(s, dir).where(length(col("text")) > 0)
+          .select(col("source"),
+            (-(u.cast("double") / length(col("text")))).as("negp"), col("doc_id"))
+          .groupBy("source")
+          .agg(graft.functions.TopKAggregator.topK(5)(col("negp"), col("doc_id")).as("tk"))
+          .select(col("source"), posexplode(col("tk")).as(Seq("pos", "t")))
+          .select(col("source"), (col("pos") + 1).as("rk"),
+            col("t.cand_id").as("doc_id"), (-col("t.sim")).as("priority"))
+          .orderBy("source", "rk")
+      }),
+
+    // ---- q132: directed shingle containment ≥ 1/3 — the sub-document
+    // duplication screen (a doc half-contained in another is a quote /
+    // boilerplate / partial mirror that symmetric Jaccard under-scores).
+    // Same inverted-index blocking as q29; threshold is an integer
+    // cross-product, the score one exact int/int division.
+    QueryDef("q132_containment", Some(s"""${toksCte("doc_id < 150")},
+      sh AS (SELECT doc_id,
+               list_distinct(list_transform(range(1, len(tokens)),
+                             i -> tokens[i] || ' ' || tokens[i+1])) AS sh
+             FROM toks),
+      e AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+      sz AS (SELECT doc_id, len(sh) AS n FROM sh WHERE len(sh) > 0),
+      inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+                FROM e a JOIN e b ON a.s = b.s AND a.doc_id <> b.doc_id
+                GROUP BY 1, 2)
+      SELECT id_a, id_b, inter / sa.n AS containment
+      FROM inter JOIN sz sa ON sa.doc_id = id_a
+      WHERE inter * 3 >= sa.n
+      ORDER BY id_a, id_b"""),
+      (s, dir) =>
+        Dedup.shingleContainmentPairs(
+            tokenized(s, dir).where(col("doc_id") < 150), "doc_id", "tokens",
+            num = 1, den = 3)
+          .orderBy("id_a", "id_b"))
   )
 }

@@ -29,6 +29,22 @@ class DedupSpec extends SparkTestBase {
     assert(sigs(1L) !== sigs(4L))
   }
 
+  test("containment is asymmetric: quoted-subset doc scores 1.0 toward its host") {
+    val d = Seq(
+      (1L, Seq("big", "data", "spark")),                       // ⊂ doc 2's bigrams
+      (2L, Seq("big", "data", "spark", "engine", "rules"))
+    ).toDF("doc_id", "tokens")
+    val pairs = Dedup.shingleContainmentPairs(d, "doc_id", "tokens", num = 0, den = 1)
+      .as[(Long, Long, Double)].collect().sorted
+    // C(1→2) = 2/2 = 1.0 (doc 1 wholly contained); C(2→1) = 2/4 = 0.5;
+    // symmetric Jaccard would report 0.5 for both directions
+    assert(pairs === Seq((1L, 2L, 1.0), (2L, 1L, 0.5)))
+    // the integer cross-product threshold filters the weak direction
+    val kept = Dedup.shingleContainmentPairs(d, "doc_id", "tokens", num = 3, den = 4)
+      .as[(Long, Long, Double)].collect()
+    assert(kept.toSeq === Seq((1L, 2L, 1.0)))
+  }
+
   test("incremental candidates pair fresh docs with corpus docs only") {
     val corpus = docs.where(col("doc_id") <= 3)          // 1,2,3 mutual dups
     val fresh = Seq(

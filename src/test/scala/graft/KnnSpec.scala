@@ -152,4 +152,23 @@ class KnnSpec extends SparkTestBase {
     assert(Seq(0L, 1L, 2L).forall(assignedVia(_) === 0L))
     assert(Seq(3L, 4L, 5L).forall(assignedVia(_) === 3L))
   }
+
+  test("SemDeDup drops all but the min id per in-cluster near-dup group") {
+    val pts = Seq(
+      (0L, Array(1.0f, 0.02f)), (1L, Array(0.9f, 0.05f)), (2L, Array(0.95f, 0.0f)),
+      (3L, Array(0.05f, 1.0f)), (4L, Array(0.0f, 0.9f)), (5L, Array(0.02f, 0.95f))
+    ).toDF("vec_id", "embedding")
+    // every in-cluster cosine is ≥ 0.9984; every cross-cluster one ≤ 0.08
+    val dropped = Knn.semanticDedupDropped(pts, "vec_id", "embedding",
+        col("vec_id").isin(0L, 3L), iters = 3, threshold = 0.998)
+      .as[(Long, Long)].collect().sorted
+    assert(dropped === Seq((0L, 1L), (0L, 2L), (3L, 4L), (3L, 5L)))
+    // tighter threshold keeps more: only the two closest pairs still trip
+    // (cos(0,2)=0.99980, cos(3,5)=0.99957, cos(4,5)=0.99977 — vs
+    //  cos(0,1)=0.99937, cos(1,2)=0.99846, cos(3,4)=0.99875)
+    val tight = Knn.semanticDedupDropped(pts, "vec_id", "embedding",
+        col("vec_id").isin(0L, 3L), iters = 3, threshold = 0.9995)
+      .as[(Long, Long)].collect().sorted
+    assert(tight === Seq((0L, 2L), (3L, 5L)))
+  }
 }
