@@ -285,4 +285,40 @@ class PlanQualitySpec extends SparkTestBase {
     assert(perDoc.isEmpty,
       s"only BudgetSelect's bucket windows may appear:\n${perDoc.mkString("\n")}")
   }
+
+  test("q129 weighted sample: mergeable k-slot selection, no window, no join") {
+    val plan = collectAll(executed(q("q129_weighted_sample")))
+    assert(!plan.exists(_.nodeName == "Window"),
+      "per-source selection must not rank via WindowExec")
+    assert(!plan.exists(_.nodeName.contains("Join")),
+      "priority sampling is one pass — no join anywhere")
+    assert(plan.exists(_.nodeName.contains("ObjectHashAggregate")),
+      "selection must be the mergeable k-slot aggregator")
+  }
+
+  test("q131 semantic dedup: clustering blocks the pairs — no cartesian, codebook broadcasts") {
+    val plan = collectAll(executed(q("q131_semantic_dedup")))
+    assert(!plan.exists { case _: CartesianProductExec => true; case _ => false },
+      "in-cluster pairing must be an equi-join on centroid_id, never all-pairs")
+    // corpus×codebook scoring rides broadcast (the codebook is k rows);
+    // the only shuffle-bearing joins key on vec_id / centroid_id
+    assert(plan.exists { case _: BroadcastHashJoinExec => true; case _ => false },
+      "centroid scoring must broadcast the codebook")
+    assert(!plan.exists(_.nodeName == "Window"),
+      "assignment must be the max_by hash agg, not a ranking window")
+  }
+
+  test("q132 containment: inverted-index equi-join, never a cartesian") {
+    val plan = collectAll(executed(q("q132_containment")))
+    assert(!plan.exists { case _: CartesianProductExec => true; case _ => false },
+      "only docs sharing a shingle may ever meet")
+  }
+
+  test("q130 winsorized mean: bounds broadcast back; no window over lineitem") {
+    val plan = collectAll(executed(q("q130_winsorized_mean")))
+    assert(!plan.exists(_.nodeName == "Window"),
+      "winsorization is two hash aggs + a broadcast join — no window")
+    assert(plan.exists { case _: BroadcastHashJoinExec => true; case _ => false },
+      "the 3-row bounds table must broadcast, not shuffle lineitem")
+  }
 }
