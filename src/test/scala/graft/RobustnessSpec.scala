@@ -197,4 +197,35 @@ class RobustnessSpec extends SparkTestBase {
     assert(graft.text.BudgetSelect
       .selectByBudget(empty, "id", "w", "score", b).count() === 0)
   }
+
+  test("SemDeDup survives zero-norm vectors and never drops or pairs them") {
+    // an all-zero embedding (failed-encode sentinel) divides by zero in
+    // cosine under ANSI — it must be filtered before any pairing or
+    // assignment, not crash the job or appear in the drop list
+    val pts = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.99f, 0.01f)),
+      (2L, Array(0.0f, 0.0f))                         // zero-norm sentinel
+    ).toDF("vec_id", "embedding")
+    val dropped = Knn.semanticDedupDropped(pts, "vec_id", "embedding",
+        col("vec_id") === 0L, iters = 1, threshold = 0.9)
+      .as[(Long, Long)].collect().toSeq
+    assert(dropped === Seq((0L, 1L)))                 // 1 near-dups 0; 2 invisible
+    // an empty corpus yields an empty drop list, not an error
+    val none = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Knn.semanticDedupDropped(none, "vec_id", "embedding",
+      col("vec_id") === 0L, iters = 1, threshold = 0.9).count() === 0)
+  }
+
+  test("containment of sub-bigram docs is empty, not a division error") {
+    // 1-token and empty docs have zero bigrams: they must produce no
+    // pairs (their |A| denominator never evaluates), and docs pairing
+    // WITH them must not error either
+    val d = Seq(
+      (1L, Seq("solo")), (2L, Seq.empty[String]),
+      (3L, Seq("big", "data")), (4L, Seq("big", "data", "spark"))
+    ).toDF("doc_id", "tokens")
+    val pairs = graft.dedup.Dedup.shingleContainmentPairs(d, "doc_id", "tokens",
+        num = 0, den = 1).as[(Long, Long, Double)].collect().sorted
+    assert(pairs === Seq((3L, 4L, 1.0), (4L, 3L, 0.5)))
+  }
 }
