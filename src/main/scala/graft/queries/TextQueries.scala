@@ -1930,6 +1930,47 @@ object TextQueries {
         Dedup.shingleContainmentPairs(
             tokenized(s, dir).where(col("doc_id") < 150), "doc_id", "tokens",
             num = 1, den = 3)
-          .orderBy("id_a", "id_b"))
+          .orderBy("id_a", "id_b")),
+
+    // ---- q133: vocabulary pruning / OOV-rate monitoring — build the
+    // corpus vocabulary (global token count ≥ 5, the <unk> threshold of
+    // tokenizer training) and report each source's out-of-vocabulary
+    // token fraction, the drift metric that catches a source gone bad
+    // between corpus builds. Rates are exact long/long divisions.
+    //
+    // Scale shape: token instances are collapsed to per-(source, token)
+    // counts BEFORE the vocabulary join, so the join input is distinct
+    // vocabulary pairs, not the token stream — the "the"-sized hot keys
+    // that would skew an instance-level join are one row each by the
+    // time they reach the shuffle. The exploded token table feeds both
+    // the vocab agg and the per-source agg, so it is materialized once.
+    QueryDef("q133_oov_rate", Some(s"""${toksCte()},
+      ex AS (SELECT t.doc_id, d.source, unnest(t.tokens) AS tok
+             FROM toks t JOIN documents d ON d.doc_id = t.doc_id),
+      vocab AS (SELECT tok FROM ex GROUP BY tok HAVING COUNT(*) >= 5),
+      stc AS (SELECT source, tok, COUNT(*) AS n FROM ex GROUP BY source, tok),
+      j AS (SELECT s.source, s.n, v.tok IS NOT NULL AS in_vocab
+            FROM stc s LEFT JOIN vocab v ON v.tok = s.tok)
+      SELECT source,
+             CAST(SUM(n) AS BIGINT) AS n_tokens,
+             CAST(COALESCE(SUM(CASE WHEN NOT in_vocab THEN n END), 0) AS BIGINT) AS n_oov,
+             COALESCE(SUM(CASE WHEN NOT in_vocab THEN n END), 0) / SUM(n) AS oov_rate
+      FROM j GROUP BY source ORDER BY source"""),
+      (s, dir) => {
+        val ex = tokenized(s, dir)
+          .join(docs(s, dir).select(col("doc_id"), col("source")), "doc_id")
+          .select(col("source"), explode(col("tokens")).as("tok"))
+          .localCheckpoint()
+        val vocab = ex.groupBy("tok").agg(count(lit(1)).as("cnt"))
+          .where(col("cnt") >= 5).select(col("tok"), lit(true).as("in_vocab"))
+        ex.groupBy("source", "tok").agg(count(lit(1)).as("n"))
+          .join(vocab, Seq("tok"), "left")
+          .groupBy("source")
+          .agg(sum(col("n")).as("n_tokens"),
+            coalesce(sum(when(col("in_vocab").isNull, col("n"))), lit(0L)).as("n_oov"))
+          .select(col("source"), col("n_tokens"), col("n_oov"),
+            (col("n_oov") / col("n_tokens")).as("oov_rate"))
+          .orderBy("source")
+      })
   )
 }

@@ -314,6 +314,20 @@ class PlanQualitySpec extends SparkTestBase {
       "only docs sharing a shingle may ever meet")
   }
 
+  test("q133 OOV rate: vocab join reads aggregated (source, token) counts, not instances") {
+    val plan = collectAll(executed(q("q133_oov_rate")))
+    assert(!plan.exists { case _: CartesianProductExec => true; case _ => false })
+    assert(!plan.exists(_.nodeName == "Window"), "q133 must not window")
+    // the left-join's stream side must sit above the (source, tok) hash
+    // agg — hot tokens are one row each by the time they reach the join
+    val joins = plan.filter(_.nodeName.contains("Join"))
+    assert(joins.nonEmpty)
+    def subtree(p: SparkPlan): Seq[SparkPlan] = collectAll(p)
+    assert(joins.exists(j => subtree(j).exists(n =>
+        n.nodeName.contains("HashAggregate") && n.toString.contains("tok"))),
+      "vocabulary join must consume pre-aggregated token counts")
+  }
+
   test("q130 winsorized mean: bounds broadcast back; no window over lineitem") {
     val plan = collectAll(executed(q("q130_winsorized_mean")))
     assert(!plan.exists(_.nodeName == "Window"),
