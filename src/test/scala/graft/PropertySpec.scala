@@ -213,4 +213,27 @@ class PropertySpec extends SparkTestBase {
       assert(m1.compareTo(s1) == 0 && m2.compareTo(s2) == 0 && m3.compareTo(s3) == 0, k)
     }
   }
+
+  test("Jaccard ≤ both containment directions; equal sets meet at 1.0 (random docs)") {
+    // J = |A∩B|/|A∪B| and C(A→B) = |A∩B|/|A| share the numerator, and
+    // |A| ≤ |A∪B| — so Jaccard can never exceed either containment
+    // direction. The sub-document screen is exactly this gap: a subset
+    // doc scores C=1 while J stays at |A|/|B|.
+    val tokensGen = Gen.listOfN(8, Gen.oneOf("big", "data", "spark", "flink",
+      "engine", "rules", "fast", "scale")).map(_.toSeq)
+    val docs = sample(tokensGen, 60).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "tokens")
+    val j = Dedup.bigramJaccardPairs(docs, "doc_id", "tokens")
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+    val c = Dedup.shingleContainmentPairs(docs, "doc_id", "tokens", num = 0, den = 1)
+    val violations = j.join(c, Seq("id_a", "id_b"))
+      .where(col("jaccard") > col("containment") + 1e-12).count()
+    assert(violations === 0)
+    // identical bigram sets: both metrics exactly 1.0
+    val twin = Seq((1L, Seq("big", "data", "spark")), (2L, Seq("big", "data", "spark")))
+      .toDF("doc_id", "tokens")
+    val ones = Dedup.shingleContainmentPairs(twin, "doc_id", "tokens", num = 1, den = 1)
+      .as[(Long, Long, Double)].collect().sorted
+    assert(ones === Seq((1L, 2L, 1.0), (2L, 1L, 1.0)))
+  }
 }
