@@ -190,6 +190,48 @@ object EventStreams {
     corpus.select(contentFingerprint(col("text"), stopWords).as("fingerprint"))
       .distinct()
 
+  /** The stored-vocabulary artifact for [[oovScores]]: a Bloom sketch of
+    * every token with corpus count ≥ `minCount` (batch q133's <unk>
+    * threshold). The sketch is mergeable and its size is FIXED by
+    * (estimatedItems, numBits) no matter how large the corpus — at
+    * 100 TB the vocabulary never needs to broadcast as rows; only these
+    * bytes ship with the serving job. The one-row collect is the model
+    * artifact leaving the cluster, not a data path.
+    */
+  def vocabBloomSketch(corpus: DataFrame, minCount: Long,
+                       stopWords: Seq[String] = Nil,
+                       estimatedItems: Long = 1L << 17,
+                       numBits: Long = 16L << 17): Array[Byte] =
+    corpus
+      .select(explode(graft.text.Tokenize.tokens(col("text"), stopWords)).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= minCount)
+      .agg(graft.functions.BloomFunctions
+        .bloomFilterAgg(xxhash64(col("tok")), estimatedItems, numBits).as("bf"))
+      .collect()(0).getAs[Array[Byte]](0)
+
+  /** Streaming OOV-rate scoring against the stored vocabulary sketch —
+    * the serving twin of batch q133: each arriving document is scored
+    * for the fraction of its tokens outside the training vocabulary
+    * (the ingestion-time drift alarm). COMPLETELY stateless: the sketch
+    * rides as a constant, membership is a map-side higher-order filter
+    * over the token array — no join, no streaming state, any event
+    * rate. Bloom false positives make `n_oov` an UNDERcount only
+    * (a truly-OOV token can test in-vocab, never the reverse), bounded
+    * by the sketch's fpp (~0.05% at the 16 bits/item default).
+    * Input needs (ts, doc_id, text); token-less docs are dropped (their
+    * rate is 0/0).
+    */
+  def oovScores(docs: DataFrame, vocabSketch: Array[Byte],
+                stopWords: Seq[String] = Nil): DataFrame =
+    docs
+      .withColumn("tokens", graft.text.Tokenize.tokens(col("text"), stopWords))
+      .where(size(col("tokens")) > 0)
+      .select(col("doc_id"), col("ts"), size(col("tokens")).as("n_tokens"),
+        size(filter(col("tokens"), t => !graft.functions.BloomFunctions
+          .mightContain(lit(vocabSketch), xxhash64(t)))).as("n_oov"))
+      .withColumn("oov_rate", col("n_oov") / col("n_tokens"))
+
   /** Custom keyed state via `flatMapGroupsWithState` (the 0..n-rows-per-
     * group extension point `mapGroupsWithState` can't express): emit an
     * anomaly row whenever a user's event value exceeds `factor` × their

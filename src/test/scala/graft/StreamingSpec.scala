@@ -352,6 +352,33 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming OOV scoring against the stored vocab sketch, stateless") {
+    implicit val ctx = spark.sqlContext
+    // train the vocabulary from a batch corpus: tokens seen ≥ 2 times
+    // ({big, data, spark} — "engine" and the others fall below)
+    val corpus = Seq(
+      (0L, "big data spark"), (1L, "big data spark engine"),
+      (2L, "big data spark rules")).toDF("doc_id", "text")
+    val sketch = EventStreams.vocabBloomSketch(corpus, minCount = 2)
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val q = EventStreams.oovScores(
+        input.toDF().toDF("ts", "doc_id", "text"), sketch)
+      .writeStream.format("memory").queryName("oov")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData(
+        (ts(1), 10L, "big data spark"),            // fully in-vocab → 0/3
+        (ts(2), 11L, "big unknown mystery words"), // 3 of 4 OOV
+        (ts(3), 12L, "???"))                       // token-less → dropped
+      q.processAllAvailable()
+      val got = spark.table("oov")
+        .select("doc_id", "n_tokens", "n_oov", "oov_rate")
+        .as[(Long, Int, Int, Double)].collect().sortBy(_._1)
+      assert(got === Seq((10L, 3, 0, 0.0), (11L, 4, 3, 0.75)))
+    } finally q.stop()
+  }
+
   test("streaming vector retrieval against the stored index matches the batch path") {
     implicit val ctx = spark.sqlContext
     import graft.streaming.VectorStreams
