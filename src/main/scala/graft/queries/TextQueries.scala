@@ -891,6 +891,69 @@ object TextQueries {
           .orderBy("doc_id")
       }),
 
+    // ---- q134: dedup yield report — the operational readout after
+    // every dedup run: cluster-size histogram with docs-removed per
+    // size (each cluster keeps its canonical survivor, removes size−1).
+    // Same verified chain as q72; on top of the labels it is two
+    // cluster-count-sized hash aggregates — the 100 TB marginal cost of
+    // the report is nil next to the clustering that produced it.
+    QueryDef("q134_dedup_yield", Some(s"""${toksCte()},
+      sig AS (SELECT doc_id,
+        ${(0 until 8).map(i =>
+          s"list_min(list_transform(list_distinct(tokens), t -> md5('$i:' || t))) AS mh$i")
+          .mkString(",\n        ")}
+              FROM toks),
+      band AS (${(0 until 4).map(b =>
+          s"SELECT doc_id, $b AS b, mh${2 * b} || '|' || mh${2 * b + 1} AS chunk FROM sig")
+          .mkString(" UNION ALL\n               ")}),
+      kept AS (SELECT doc_id, b, chunk FROM
+                 (SELECT doc_id, b, chunk,
+                         COUNT(*) OVER (PARTITION BY b, chunk) AS bsz FROM band)
+               WHERE bsz <= 50),
+      cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+               FROM kept a JOIN kept b
+                 ON a.b = b.b AND a.chunk = b.chunk AND a.doc_id < b.doc_id),
+      sh AS (SELECT doc_id,
+               list_distinct(list_transform(range(1, len(tokens)),
+                             i -> tokens[i] || ' ' || tokens[i+1])) AS sh
+             FROM toks),
+      ver AS (SELECT id_a, id_b FROM
+                (SELECT c.id_a, c.id_b,
+                        CASE WHEN len(a.sh) + len(b.sh)
+                                  - len(list_intersect(a.sh, b.sh)) = 0 THEN NULL
+                             ELSE len(list_intersect(a.sh, b.sh))
+                                  / (len(a.sh) + len(b.sh)
+                                     - len(list_intersect(a.sh, b.sh))) END AS jac
+                 FROM cand c JOIN sh a ON a.doc_id = c.id_a
+                             JOIN sh b ON b.doc_id = c.id_b)
+              WHERE jac >= CAST(0.5 AS DOUBLE)),
+      edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM ver
+                UNION ALL SELECT id_b, id_a FROM ver),
+      l0 AS MATERIALIZED (SELECT doc_id AS id, doc_id AS label FROM toks),
+      ${graft.QueryDef.ccFixpointCtes()},
+      cs AS (SELECT label, COUNT(*) AS sz
+             FROM ${graft.QueryDef.ccFinal()} GROUP BY label)
+      SELECT CAST(sz AS INTEGER) AS cluster_size,
+             COUNT(*) AS n_clusters,
+             CAST(SUM(sz) AS BIGINT) AS n_docs,
+             CAST(SUM(sz) - COUNT(*) AS BIGINT) AS n_removed
+      FROM cs GROUP BY sz ORDER BY cluster_size"""),
+      (s, dir) => {
+        val toks = tokenized(s, dir)
+        val cand = Dedup.lshBandedCandidatePairs(toks, "doc_id", "tokens", 4, 2,
+          maxBucketSize = 50)
+        val verified = Dedup.verifyJaccard(toks, "doc_id", "tokens", cand)
+          .where(col("jaccard") >= 0.5)
+        Dedup.nearDupClustersConverged(toks.select("doc_id"), "doc_id", verified)._1
+          .groupBy("cluster_id").agg(count(lit(1)).as("sz"))
+          .groupBy("sz")
+          .agg(count(lit(1)).as("n_clusters"), sum("sz").as("n_docs"),
+            (sum("sz") - count(lit(1))).as("n_removed"))
+          .select(col("sz").cast("int").as("cluster_size"),
+            col("n_clusters"), col("n_docs"), col("n_removed"))
+          .orderBy("cluster_size")
+      }),
+
     // ---- q89: INCREMENTAL dedup — the steady-state production shape:
     // a fresh batch (doc_id ≥ 400) is blocked against the EXISTING
     // corpus (doc_id < 400) only — fresh×corpus band joins, never
