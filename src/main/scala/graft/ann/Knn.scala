@@ -162,11 +162,14 @@ object Knn {
     * @return (centroid_id, centroid ARRAY<FLOAT>) after `iters` updates
     */
   def kmeansCentroids(emb: DataFrame, idCol: String, vecCol: String,
-                      centroidPred: Column, iters: Int): DataFrame = {
+                      centroidPred: Column, iters: Int,
+                      checkpoint: graft.operators.CheckpointMode =
+                        graft.operators.CheckpointMode.Local): DataFrame = {
+    val cp = new graft.operators.Checkpointer(checkpoint, "kmeans")
     var centroids = emb.where(centroidPred)
       .select(col(idCol).as("centroid_id"), col(vecCol).as("cent_vec"))
     // each iteration's centroids (k rows — trivially cheap) are
-    // materialized via localCheckpoint before feeding the next: without
+    // materialized (checkpoint-mode dial) before feeding the next: without
     // it iteration N's plan nests all N−1 predecessors, so a 20-
     // iteration training run re-derives a deep chain every action — the
     // same lineage trap nearDupClustersConverged solves for labels.
@@ -191,16 +194,15 @@ object Knn {
         .select(col(idCol), col("best.v").as(vecCol), col("best.centroid_id").as("centroid_id"))
       // per-cluster mean: explode to (cluster, dim, value), aggregate,
       // rebuild the vector ordered by dimension index
-      val next = assigned
+      val next = cp.materialize(assigned
         .select(col("centroid_id"), posexplode(col(vecCol)).as(Seq("dim", "v")))
         .groupBy("centroid_id", "dim")
         .agg(avg(col("v")).as("m"))
         .groupBy("centroid_id")
         .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
         .select(col("centroid_id"),
-          transform(col("dm"), x => x.getField("m").cast("float")).as("cent_vec"))
-        .localCheckpoint()
-      prevCp.foreach(graft.operators.Lineage.releaseCheckpoint)
+          transform(col("dm"), x => x.getField("m").cast("float")).as("cent_vec")))
+      prevCp.foreach(cp.release)
       prevCp = Some(next)
       centroids = next
     }

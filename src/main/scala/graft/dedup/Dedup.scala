@@ -349,7 +349,9 @@ object Dedup {
     * never be overwritten.
     *
     * Each round materializes exactly one table (the half-step labels,
-    * via `localCheckpoint`; superseded rounds release their blocks) so
+    * via the `checkpoint`-mode [[graft.operators.Checkpointer]] —
+    * local blocks by default, reliable checkpoint or parquet for
+    * cluster-grade durability; superseded rounds are released) so
     * the next round reads rows instead of re-deriving the whole lineage
     * — the truncation a long-running 100 TB job needs anyway — and
     * runs one bounded driver-side existence probe (the only driver
@@ -357,15 +359,21 @@ object Dedup {
     * `maxIters` rounds. Returns (labels, roundsRun).
     */
   def nearDupClustersConverged(ids: DataFrame, idCol: String, pairs: DataFrame,
-                               maxIters: Int = 20): (DataFrame, Int) = {
+                               maxIters: Int = 20,
+                               checkpoint: graft.operators.CheckpointMode =
+                                 graft.operators.CheckpointMode.Local): (DataFrame, Int) = {
     require(maxIters >= 1, s"maxIters must be positive, got $maxIters")
-    val edges = pairs.select(col("id_a").as("e_src"), col("id_b").as("e_dst"))
-      .union(pairs.select(col("id_b").as("e_src"), col("id_a").as("e_dst")))
-      .localCheckpoint()
-    // superseded iterations release their checkpoint blocks (see
-    // operators.Lineage) — a long convergence run must not pin every
-    // iteration's full label table in executor storage
-    import graft.operators.Lineage.releaseCheckpoint
+    // `checkpoint` dials per-iteration durability (see operators.
+    // Checkpointer): Local is right for a single node; Reliable/Path
+    // survive executor loss on a long cluster run, where lineage
+    // truncation otherwise makes one lost executor fatal.
+    val cp = new graft.operators.Checkpointer(checkpoint, "cc")
+    val edges = cp.materialize(
+      pairs.select(col("id_a").as("e_src"), col("id_b").as("e_dst"))
+        .union(pairs.select(col("id_b").as("e_src"), col("id_a").as("e_dst"))))
+    // superseded iterations release their materialized step (blocks or
+    // files) — a long convergence run must not pin every iteration's
+    // full label table in storage
 
     // Per-round cost discipline: exactly ONE materialization (the
     // half-step table — it must exist as rows because the pointer jump
@@ -379,7 +387,7 @@ object Dedup {
     // upstream pipeline (q72 feeds the tokenization read), and round 1
     // references it in two join branches — un-materialized, a broadcast
     // plan would derive that upstream twice
-    var labels = ids.select(col(idCol).as("id"), col(idCol).as("label")).localCheckpoint()
+    var labels = cp.materialize(ids.select(col(idCol).as("id"), col(idCol).as("label")))
     var prevHalf: Option[DataFrame] = Some(labels)
     var it = 0
     var converged = false
@@ -388,11 +396,11 @@ object Dedup {
       val nbrMin = edges.join(labels, edges("e_dst") === labels("id"))
         .groupBy(col("e_src").as("id"))
         .agg(min(col("label")).as("nbr_label"))
-      val half = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
-          (col("nbr_label") < col("label")).as("_chg"))
-        .localCheckpoint() // eager; the only per-round materialization
+      val half = cp.materialize( // eager; the only per-round materialization
+        labels.join(nbrMin, Seq("id"), "left")
+          .select(col("id"),
+            least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
+            (col("nbr_label") < col("label")).as("_chg")))
       // convergence probes the HASH-MIN flag alone — one early-exit scan
       // of the just-cached rows. Sound: if no neighbor offered a smaller
       // label, labels are already constant per component (= the min), so
@@ -409,7 +417,7 @@ object Dedup {
             least(col("h.label"), coalesce(col("p_label"), col("h.label"))).as("label"))
       // the previous round's half-step is dead once this round's is
       // materialized (everything downstream reads the new one)
-      prevHalf.foreach(releaseCheckpoint)
+      prevHalf.foreach(cp.release)
       prevHalf = Some(half)
       it += 1
     }

@@ -1,0 +1,114 @@
+package graft
+
+import graft.ann.Knn
+import graft.dedup.Dedup
+import graft.graph.PageRank
+import graft.operators.CheckpointMode
+import org.apache.spark.sql.functions._
+
+/** The durability dial must never change results: local blocks,
+  * reliable RDD checkpoint, and write/re-read parquet are three
+  * materializations of the SAME per-iteration table, so every
+  * iterative operator must emit bit-identical output under all three.
+  *
+  * Fixtures are chosen so floating-point results are order-independent
+  * (labels are longs; k-means uses integer-valued vectors whose sums
+  * are exact in double; the PageRank graph has in-degree ≤ 2, and IEEE
+  * addition of two doubles is commutative) — the comparisons below are
+  * exact, not rounded.
+  */
+class CheckpointModeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val tmp = {
+    val d = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.sparkContext.setCheckpointDir(s"$d/reliable")
+    d
+  }
+
+  private def modes(sub: String) = Seq(
+    "local" -> CheckpointMode.Local,
+    "reliable" -> CheckpointMode.Reliable,
+    "path" -> CheckpointMode.Path(s"$tmp/$sub"))
+
+  // registered FIRST: must run before any test forces `tmp` (which sets
+  // the shared context's checkpoint dir — it can't be unset afterwards)
+  test("reliable mode without a checkpoint dir fails loudly") {
+    assume(spark.sparkContext.getCheckpointDir.isEmpty)
+    val ids = (1L to 3L).toDF("doc_id")
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.nearDupClustersConverged(ids, "doc_id", pairs,
+        checkpoint = CheckpointMode.Reliable)._1.collect()
+    }
+    assert(ex.getMessage.contains("setCheckpointDir"))
+  }
+
+  test("connected components: bit-identical labels and round count across all three modes") {
+    // the 50-hop path fixture — the hardest convergence case in DedupSpec
+    val ids = (1L to 51L).toDF("doc_id")
+    val pairs = (1L to 50L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val runs = modes("cc").map { case (name, m) =>
+      val (out, iters) = Dedup.nearDupClustersConverged(ids, "doc_id", pairs, checkpoint = m)
+      val rows = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+        .sortBy(_._1).toSeq
+      (name, rows, iters)
+    }
+    assert(runs.head._2.forall(_._2 == 1L), "chain must fully label to the min id")
+    assert(runs.map(_._2).distinct.size === 1,
+      "labels must be identical across checkpoint modes")
+    assert(runs.map(_._3).distinct.size === 1,
+      "round count must be identical across checkpoint modes")
+  }
+
+  test("k-means centroids: bit-identical vectors across all three modes") {
+    // integer-valued vectors: per-cluster sums are exact in double, so
+    // partition order (which differs across modes) cannot perturb means
+    val emb = Seq(
+      (1L, Array(4f, 0f)), (2L, Array(8f, 2f)), (3L, Array(6f, 4f)),
+      (4L, Array(0f, 4f)), (5L, Array(2f, 8f)), (6L, Array(1f, 9f))
+    ).toDF("vec_id", "embedding")
+    val runs = modes("kmeans").map { case (name, m) =>
+      val cents = Knn.kmeansCentroids(emb, "vec_id", "embedding",
+          col("vec_id") <= 2, iters = 3, checkpoint = m)
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toList)).sortBy(_._1).toSeq
+      (name, cents)
+    }
+    assert(runs.head._2.size === 2)
+    assert(runs.map(_._2).distinct.size === 1,
+      "centroids must be bit-identical across checkpoint modes")
+  }
+
+  test("PageRank: bit-identical ranks across all three modes") {
+    // undirected 4-chain → in-degree ≤ 2: each contribution sum has at
+    // most two addends, so order cannot change the double result
+    val nodes = (1L to 4L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("src", "dst")
+    val runs = modes("pagerank").map { case (name, m) =>
+      val ranks = PageRank.run(nodes, edges, iters = 5, checkpoint = m)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+      (name, ranks)
+    }
+    assert(math.abs(runs.head._2.map(_._2).sum - 1.0) < 1e-9, "ranks must sum to ~1")
+    assert(runs.map(_._2).distinct.size === 1,
+      "ranks must be bit-identical across checkpoint modes")
+  }
+
+  test("path mode releases superseded steps but keeps the final one readable") {
+    val dir = s"$tmp/release-probe"
+    val ids = (1L to 8L).toDF("doc_id")
+    val pairs = (1L to 7L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val (out, iters) = Dedup.nearDupClustersConverged(ids, "doc_id", pairs,
+      checkpoint = CheckpointMode.Path(dir))
+    assert(iters >= 2)
+    // the result is consumable strictly AFTER the run (lazy re-read)
+    assert(out.collect().forall(_.getLong(1) == 1L))
+    // superseded half-steps were deleted; only live steps remain
+    // (edges + final half — earlier cc-step-* dirs are gone)
+    val left = new java.io.File(dir).listFiles().map(_.getName).toSet
+    val halfSteps = left.count(_.startsWith("cc-step-"))
+    assert(halfSteps <= 2, s"superseded steps must be deleted, found $left")
+  }
+
+}
