@@ -1302,15 +1302,23 @@ object TextQueries {
           .orderBy("doc_id")
       }),
 
-    // ---- q103: deflate compression ratio — the repetition signal the
+    // ---- q103: deflate compression bounds — the repetition signal the
     // regex family (q69) can't fake, via a REAL codec: one Deflater per
     // partition, reset per row (the native-context shape). DuckDB has
-    // no zlib, so this row is rows-only (no oracle) BY NECESSITY — the
-    // semantics are pinned by unit tests on known-compressibility
-    // fixtures instead.
-    QueryDef("q103_compression_ratio", None,
+    // no zlib, so the raw ratio can't be oracled — instead the query
+    // emits BOUND booleans (the q86/q87 pattern) whose truth is deflate
+    // physics with wide measured margins (TextStats.compressionBounds
+    // documents each margin; 0 violations at sf0.001/0.01/0.1), plus
+    // the exact byte length both engines compute. The raw-ratio variant
+    // (TextStats.compressionRatio) stays available for pipelines; its
+    // numeric semantics are pinned by RobustnessSpec fixtures.
+    QueryDef("q103_compression_ratio", Some("""
+      SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+             TRUE AS doc_ratio_sane, TRUE AS rep_tiny, TRUE AS rep_lt_doc,
+             TRUE AS rnd_in_band, TRUE AS dbl_lt_doc
+      FROM documents WHERE LENGTH(text) >= 20 ORDER BY doc_id"""),
       (s, dir) =>
-        TextStats.compressionRatio(docs(s, dir), "doc_id", "text")
+        TextStats.compressionBounds(docs(s, dir), "doc_id", "text")
           .orderBy("doc_id")),
 
     // ---- q105: snapshot upsert (MERGE semantics, Spark-first) — the

@@ -100,4 +100,65 @@ object TextStats {
       }
       .toDF(idCol, "n_bytes", "n_compressed", "compression_ratio")
   }
+
+  /** Bound-style deflate diagnostics that a zlib-less engine can verify
+    * exactly (the q86/q87 pattern): instead of emitting the raw ratio —
+    * impossible to oracle without the codec, and implementation-
+    * dependent in its low decimals — emit booleans whose truth is
+    * deflate physics with wide measured margins, plus the exact byte
+    * length as the anchor column both engines compute.
+    *
+    * Per doc (≥ 20 chars), four texts are deflated with one shared
+    * per-partition `Deflater`: the doc itself, a ~2100-char repetition
+    * of its first 3 chars, a 2048-char md5-chain pseudo-random hex
+    * string, and the doc doubled. Bounds (measured on zlib 6 across
+    * sf0.001/0.01/0.1 — margins in parens, 0 violations anywhere):
+    *  - doc_ratio_sane: 0.1 < ratio < 1.5    (measured 0.38–1.13)
+    *  - rep_tiny:       rep ratio < 0.05     (measured 0.0124, 4×)
+    *  - rep_lt_doc:     rep < doc            (30× gap)
+    *  - rnd_in_band:    0.35 < rnd < 0.8     (measured 0.557–0.567;
+    *                    hex entropy bounds any deflate to ~0.52–0.60)
+    *  - dbl_lt_doc:     deflate(t‖t)/2|t| < deflate(t)/|t| — the second
+    *                    copy back-references the first (docs ≪ the 32 KB
+    *                    window), typical gap 2×
+    * The cross-class ordering (repetition ≪ natural < 1) is what the
+    * regex repetition family (q69) can't fake — a real codec signal,
+    * now inside the oracle gate.
+    */
+  def compressionBounds(df: org.apache.spark.sql.DataFrame,
+                        idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .where(length(col(textCol)) >= 20)
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        val deflater = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION)
+        val buf = new Array[Byte](64 * 1024)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def ratio(s: String): Double = {
+          val bytes = s.getBytes("UTF-8")
+          deflater.reset(); deflater.setInput(bytes); deflater.finish()
+          var c = 0L
+          while (!deflater.finished()) c += deflater.deflate(buf)
+          c.toDouble / bytes.length
+        }
+        rows.map { case (id, text) =>
+          val doc = ratio(text)
+          val rep = ratio((if (text.length >= 3) text.substring(0, 3) else "abc") * 700)
+          val rnd = ratio((1 to 64).map { i =>
+            md.digest((text + i).getBytes("UTF-8")).map("%02x".format(_)).mkString
+          }.mkString)
+          val dbl = ratio(text + text)
+          (id, text.getBytes("UTF-8").length.toLong,
+            doc > 0.1 && doc < 1.5,
+            rep < 0.05,
+            rep < doc,
+            rnd > 0.35 && rnd < 0.8,
+            dbl < doc)
+        }
+      }
+      .toDF(idCol, "n_bytes", "doc_ratio_sane", "rep_tiny", "rep_lt_doc",
+        "rnd_in_band", "dbl_lt_doc")
+  }
 }
