@@ -12,6 +12,11 @@ final case class DecodedAudio(
     id: Long, n_bytes: Int, sample_rate: Int, n_channels: Int,
     n_samples: Int, mean_amp: Double)
 
+/** Decoded per-video record produced by [[Multimodal.decodeVideos]]. */
+final case class DecodedVideo(
+    id: Long, n_bytes: Int, width: Int, height: Int, n_frames: Int,
+    mean_luma: Double)
+
 /** Multimodal-column plumbing: image/audio/video payloads ride through
   * the engine as opaque `BINARY` columns with typed metadata structs.
   *
@@ -19,10 +24,13 @@ final case class DecodedAudio(
   * (hand-rolled byte parsers — [[ppmDecoder]], [[bmpDecoder]],
   * [[qoiDecoder]], [[wavDecoder]]); PNG/JPEG/GIF via the JDK's own
   * `javax.imageio` codec ([[imageIoDecoder]], [[resizeHalfDecoder]]);
-  * and G.711 μ-law audio via `javax.sound.sampled`
-  * ([[auUlawDecoder]]). Only VIDEO remains a deterministic fake
-  * (no JDK video codec exists; the fakes are clearly marked functions
-  * of the bytes). Everything around the decoders is real, tested Spark
+  * G.711 μ-law audio via `javax.sound.sampled` ([[auUlawDecoder]]);
+  * and uncompressed VIDEO via the hand-rolled YUV4MPEG2 parser
+  * ([[y4mDecoder]] — header tags, per-frame markers, planar raster).
+  * Only COMPRESSED video (no JDK codec, no feasible hand parser)
+  * remains behind deterministic stand-ins, clearly marked as functions
+  * of the bytes ([[fakeDecoder]], [[sampleFrames]]' md5 features).
+  * Everything around the decoders is real, tested Spark
   * plumbing and is exactly where a JNI/ffmpeg decoder would plug in:
   *  - binary payload columns + `STRUCT` metadata (schema),
   *  - batched partition-wise decode via `mapPartitions` (one decoder
@@ -713,6 +721,129 @@ object Multimodal {
         rows.map { case (id, bytes) =>
           val (w, h, luma) = decode(bytes)
           DecodedImage(id, bytes.length, w, h, luma)
+        }
+      }
+  }
+
+  /** Synthesized YUV4MPEG2 (.y4m) payload — a REAL video file any
+    * Y4M-aware tool (ffmpeg, mplayer, mjpegtools) would open: the
+    * stream header with W/H/F/I/A/C tags, then per frame a `FRAME`
+    * marker followed by the raw planar 4:2:0 raster (Y then U then V).
+    * Luma byte k of frame f is `(id*7 + f*31 + k*13) % 256` — the
+    * closed form an engine without the codec can recompute exactly;
+    * chroma bytes use different multipliers so a decoder that mis-sizes
+    * the planes desynchronizes loudly instead of agreeing by accident.
+    * `w`/`h` must be even (4:2:0 subsamples both axes).
+    */
+  def y4mPayload(id: Long, w: Int, h: Int, frames: Int): Array[Byte] = {
+    require(w > 0 && h > 0 && w % 2 == 0 && h % 2 == 0,
+      s"C420 needs positive even dims, got ${w}x$h")
+    require(frames > 0, s"frames must be positive, got $frames")
+    val header = s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 C420jpeg\n".getBytes("US-ASCII")
+    val marker = "FRAME\n".getBytes("US-ASCII")
+    val ySize = w * h
+    val cSize = (w / 2) * (h / 2)
+    val out = new java.io.ByteArrayOutputStream(
+      header.length + frames * (marker.length + ySize + 2 * cSize))
+    out.write(header)
+    var f = 0
+    while (f < frames) {
+      out.write(marker)
+      var k = 0
+      while (k < ySize) { out.write(((id * 7 + f * 31 + k * 13) % 256).toInt); k += 1 }
+      k = 0
+      while (k < cSize) { out.write(((id * 11 + f * 17 + k * 7) % 256).toInt); k += 1 }
+      k = 0
+      while (k < cSize) { out.write(((id * 13 + f * 19 + k * 5) % 256).toInt); k += 1 }
+      f += 1
+    }
+    out.toByteArray
+  }
+
+  /** REAL video decode: parse a YUV4MPEG2 payload directly from its
+    * bytes — the stream-header tag list (W/H/F mandatory semantics,
+    * C colorspace driving the per-frame plane sizes, I/A/X ignored as
+    * the spec allows), then each `FRAME` marker line (optional frame
+    * parameters tolerated) followed by the raw planar raster. Returns
+    * (width, height, frame count, mean LUMA) — the mean is over the Y
+    * planes only, which is what makes this a parse and not a byte
+    * average: chroma planes and markers are skipped by their computed
+    * sizes, and any mis-size desynchronizes the next marker check.
+    * Truncated rasters, odd dims under subsampling, unknown
+    * colorspaces, and zero-frame streams all fail loudly.
+    */
+  def y4mDecoder(bytes: Array[Byte]): (Int, Int, Int, Double) = {
+    var i = 0
+    def line(): String = {
+      val s = i
+      while (i < bytes.length && bytes(i) != '\n') i += 1
+      require(i < bytes.length, "truncated Y4M header line")
+      val str = new String(bytes, s, i - s, "US-ASCII")
+      i += 1
+      str
+    }
+    val hdr = line()
+    require(hdr == "YUV4MPEG2" || hdr.startsWith("YUV4MPEG2 "),
+      s"not a Y4M payload: ${hdr.take(16)}")
+    var w = -1
+    var h = -1
+    var cs = "420jpeg" // the spec's default when no C tag is present
+    hdr.split(' ').drop(1).foreach { t =>
+      if (t.nonEmpty) t.charAt(0) match {
+        case 'W' => w = t.tail.toInt
+        case 'H' => h = t.tail.toInt
+        case 'F' => // validated for shape; rate doesn't affect plane sizes
+          val p = t.tail.split(':')
+          require(p.length == 2 && p(0).toInt > 0 && p(1).toInt > 0,
+            s"bad Y4M frame rate: $t")
+        case 'C' => cs = t.tail
+        case _ => () // I (interlace), A (aspect), X (extension): no effect
+      }
+    }
+    require(w > 0 && h > 0, s"bad Y4M dimensions: ${w}x$h")
+    val cSize =
+      if (cs.startsWith("420")) {
+        require(w % 2 == 0 && h % 2 == 0, s"C$cs needs even dims, got ${w}x$h")
+        (w / 2) * (h / 2)
+      } else if (cs.startsWith("422")) {
+        require(w % 2 == 0, s"C$cs needs even width, got $w")
+        (w / 2) * h
+      } else if (cs.startsWith("444")) w * h
+      else if (cs == "mono") 0
+      else throw new IllegalArgumentException(s"unsupported Y4M colorspace: C$cs")
+    val ySize = w * h
+    var frames = 0
+    var sum = 0L
+    while (i < bytes.length) {
+      val fl = line()
+      require(fl == "FRAME" || fl.startsWith("FRAME "),
+        s"bad Y4M frame marker at byte $i")
+      require(bytes.length - i >= ySize + 2 * cSize,
+        s"Y4M frame $frames raster truncated: ${bytes.length - i} < ${ySize + 2 * cSize}")
+      var k = 0
+      while (k < ySize) { sum += bytes(i + k) & 0xff; k += 1 }
+      i += ySize + 2 * cSize
+      frames += 1
+    }
+    require(frames > 0, "Y4M stream has no frames")
+    (w, h, frames, sum.toDouble / (frames.toLong * ySize))
+  }
+
+  /** Partition-wise video decode — same batch shape as [[decodeImages]]
+    * / [[decodeAudio]]: one decoder per partition, streamed rows; a
+    * JNI/ffmpeg decoder for compressed formats plugs in as `decoder`.
+    */
+  def decodeVideos(df: DataFrame, idCol: String, binCol: String,
+                   decoder: Array[Byte] => (Int, Int, Int, Double) = y4mDecoder): Dataset[DecodedVideo] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val decode = decoder
+        rows.map { case (id, bytes) =>
+          val (w, h, n, luma) = decode(bytes)
+          DecodedVideo(id, bytes.length, w, h, n, luma)
         }
       }
   }

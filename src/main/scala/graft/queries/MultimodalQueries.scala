@@ -9,9 +9,11 @@ import org.apache.spark.sql.functions._
   * the JDK's own `javax.imageio` codec (java.desktop — no external
   * library): q120 verifies the full PNG encode→decode round trip
   * against a closed-form pixel oracle, q121 bounds the lossy JPEG path.
-  * Only formats with neither a JDK codec nor a feasible hand parser
-  * (compressed audio/video) remain deterministic fakes behind the same
-  * plumbing (q46/q48).
+  * Video is REAL for uncompressed YUV4MPEG2 (q135 — header, frame
+  * markers, planar raster). Only formats with neither a JDK codec nor
+  * a feasible hand parser (compressed audio/video) remain behind
+  * deterministic stand-ins on the same plumbing (q46/q48), which is
+  * where an external codec would plug in.
   */
 object MultimodalQueries {
 
@@ -443,6 +445,51 @@ object MultimodalQueries {
           .toDF()
           .select(col("id").as("doc_id"), col("width"), col("height"),
             col("mean_luma"))
+          .orderBy("doc_id")
+      }),
+
+    // ---- q135: REAL video decode — synthesize a spec-valid YUV4MPEG2
+    // stream per doc (header tags + FRAME markers + planar C420 raster;
+    // any Y4M-aware tool would open it), then parse dims, frame count
+    // and mean LUMA back OUT OF THE PAYLOAD BYTES through the
+    // partition-wise decoder. The oracle recomputes the closed-form
+    // generator math — if the parser mis-sized a plane or miscounted a
+    // marker it would desynchronize and fail loudly, never agree by
+    // accident. Kills the last multimodal deterministic fake: video
+    // decode is now real up to the no-external-codec ceiling
+    // (uncompressed formats; compressed video is where ffmpeg plugs
+    // into Multimodal.decodeVideos' decoder slot).
+    QueryDef("q135_y4m_decode", Some("""
+      WITH p AS (SELECT doc_id,
+                   CAST((n_chars % 4 + 1) * 2 AS INTEGER) AS w,
+                   CAST(((n_chars // 4) % 4 + 1) * 2 AS INTEGER) AS h,
+                   CAST(doc_id % 3 + 1 AS INTEGER) AS nf
+                 FROM documents)
+      SELECT doc_id,
+             CAST(strlen('YUV4MPEG2 W' || w || ' H' || h || ' F25:1 Ip A1:1 C420jpeg')
+                  + 1 + nf * (6 + w*h + (w*h) // 2) AS INTEGER) AS n_bytes,
+             w AS width, h AS height, nf AS n_frames,
+             CAST(list_sum(list_transform(range(0, nf), f ->
+                    list_sum(list_transform(range(0, w*h), k ->
+                      (doc_id*7 + f*31 + k*13) % 256)))) AS DOUBLE)
+               / (nf * w * h) AS mean_luma
+      FROM p ORDER BY doc_id"""),
+      (s, dir) => {
+        import s.implicits._
+        val pay = Tables.read(s, dir, "documents")
+          .select(col("doc_id"),
+            ((col("n_chars") % 4 + 1) * 2).cast("int").as("w"),
+            ((expr("n_chars div 4") % 4 + 1) * 2).cast("int").as("h"),
+            (col("doc_id") % 3 + 1).cast("int").as("nf"))
+          .as[(Long, Int, Int, Int)]
+          .mapPartitions(_.map { case (id, w, h, nf) =>
+            (id, Multimodal.y4mPayload(id, w, h, nf))
+          })
+          .toDF("doc_id", "payload")
+        Multimodal.decodeVideos(pay, "doc_id", "payload")
+          .toDF()
+          .select(col("id").as("doc_id"), col("n_bytes"), col("width"),
+            col("height"), col("n_frames"), col("mean_luma"))
           .orderBy("doc_id")
       })
   )

@@ -320,4 +320,67 @@ class MultimodalSpec extends SparkTestBase {
       assert(math.abs(mean - Multimodal.testPixelsMean(id, w, h)) <= 4.0, s"id=$id")
     }
   }
+
+  test("y4mDecoder round-trips y4mPayload: dims, frame count, luma from the bytes") {
+    for (id <- Seq(3L, 77L); frames <- Seq(1, 3)) {
+      val (w, h) = (4, 6)
+      val (gw, gh, gn, luma) = Multimodal.y4mDecoder(Multimodal.y4mPayload(id, w, h, frames))
+      assert((gw, gh, gn) === (w, h, frames))
+      // the generator's closed form over the Y planes only
+      val expected = (0 until frames).flatMap(f =>
+        (0 until w * h).map(k => (id * 7 + f * 31 + k * 13) % 256)).sum.toDouble /
+        (frames * w * h)
+      assert(luma === expected, s"id=$id frames=$frames")
+    }
+  }
+
+  test("y4mDecoder sizes chroma planes from the C tag (422, 444, mono)") {
+    // hand-built foreign streams: 2x2, one frame, luma bytes all 100 —
+    // if the decoder mis-sized the chroma skip it would read chroma as
+    // the next marker (or run off the end) and throw, never return 100
+    def stream(cTag: String, chromaBytes: Int): Array[Byte] = {
+      val hdr = s"YUV4MPEG2 W2 H2 F30:1$cTag\nFRAME\n".getBytes("US-ASCII")
+      hdr ++ Array.fill(4)(100.toByte) ++ Array.fill(chromaBytes)(7.toByte)
+    }
+    assert(Multimodal.y4mDecoder(stream(" C422", 2 * 2)) === ((2, 2, 1, 100.0)))
+    assert(Multimodal.y4mDecoder(stream(" C444", 2 * 4)) === ((2, 2, 1, 100.0)))
+    assert(Multimodal.y4mDecoder(stream(" Cmono", 0)) === ((2, 2, 1, 100.0)))
+    // no C tag → the spec's 420 default (1 chroma byte per plane at 2x2)
+    assert(Multimodal.y4mDecoder(stream("", 2)) === ((2, 2, 1, 100.0)))
+    // FRAME parameters after the marker are tolerated per spec
+    val withParams = ("YUV4MPEG2 W2 H2 F30:1 C444\nFRAME Xfoo\n".getBytes("US-ASCII")
+      ++ Array.fill(12)(100.toByte))
+    assert(Multimodal.y4mDecoder(withParams) === ((2, 2, 1, 100.0)))
+  }
+
+  test("y4mDecoder rejects malformed streams loudly") {
+    val good = Multimodal.y4mPayload(5L, 4, 4, 2)
+    // wrong magic
+    intercept[IllegalArgumentException] {
+      Multimodal.y4mDecoder("YUV4MPEG3 W4 H4\nFRAME\n".getBytes ++ Array.fill(24)(0.toByte))
+    }
+    // truncated raster: chop the last frame's tail
+    intercept[IllegalArgumentException] {
+      Multimodal.y4mDecoder(good.dropRight(5))
+    }
+    // missing dims, odd dims under 420 subsampling, unknown colorspace,
+    // zero frames, garbage frame marker
+    intercept[IllegalArgumentException] {
+      Multimodal.y4mDecoder("YUV4MPEG2 W4\nFRAME\n".getBytes)
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.y4mDecoder("YUV4MPEG2 W3 H4\nFRAME\n".getBytes ++ Array.fill(18)(0.toByte))
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.y4mDecoder("YUV4MPEG2 W2 H2 C411\nFRAME\n".getBytes ++ Array.fill(6)(0.toByte))
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.y4mDecoder("YUV4MPEG2 W2 H2\n".getBytes)
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.y4mDecoder("YUV4MPEG2 W2 H2\nFRAM\n".getBytes ++ Array.fill(6)(0.toByte))
+    }
+    // the generator itself refuses odd dims (C420 is what it writes)
+    intercept[IllegalArgumentException] { Multimodal.y4mPayload(1L, 3, 4, 1) }
+  }
 }
