@@ -2042,6 +2042,62 @@ object TextQueries {
           .select(col("source"), col("n_tokens"), col("n_oov"),
             (col("n_oov") / col("n_tokens")).as("oov_rate"))
           .orderBy("source")
+      }),
+
+    // ---- q136: distributed BPE tokenizer training (graft.text.
+    // BpeTrain) — 3 merge rounds over the corpus word-count table; each
+    // round is one weighted pair-count hash agg, a deterministic top-1
+    // (count desc, pair lexicographic), and a broadcast literal-replace
+    // merge application. The oracle unrolls all 3 rounds as CTEs (the
+    // q53 Lloyd pattern); vocab_size_after pins the APPLICATION of each
+    // merge, not just the winning pair. Counts are exact integers
+    // throughout — no rounding anywhere.
+    QueryDef("q136_bpe_train", Some(s"""${toksCte()},
+      wc AS (SELECT t AS word, COUNT(*) AS cnt
+             FROM (SELECT UNNEST(tokens) AS t FROM toks) GROUP BY 1),
+      r0 AS (SELECT ' ' || regexp_replace(word, '(.)', '\\1  ', 'g') || '</w> ' AS s, cnt
+             FROM wc),
+      e1 AS (SELECT UNNEST(list_transform(range(1, len(ss)),
+                      i -> {'a': ss[i], 'b': ss[i+1]})) AS p, cnt
+             FROM (SELECT string_split(trim(s), '  ') AS ss, cnt FROM r0)),
+      p1 AS (SELECT p.a AS a, p.b AS b, SUM(cnt) AS c FROM e1 GROUP BY 1, 2),
+      m1 AS (SELECT a, b, c FROM p1 ORDER BY c DESC, a, b LIMIT 1),
+      r1 AS (SELECT replace(s, ' ' || m.a || '  ' || m.b || ' ',
+                            ' ' || m.a || m.b || ' ') AS s, cnt FROM r0, m1 m),
+      v1 AS (SELECT COUNT(DISTINCT sym) AS vs
+             FROM (SELECT UNNEST(string_split(trim(s), '  ')) AS sym FROM r1)),
+      e2 AS (SELECT UNNEST(list_transform(range(1, len(ss)),
+                      i -> {'a': ss[i], 'b': ss[i+1]})) AS p, cnt
+             FROM (SELECT string_split(trim(s), '  ') AS ss, cnt FROM r1)),
+      p2 AS (SELECT p.a AS a, p.b AS b, SUM(cnt) AS c FROM e2 GROUP BY 1, 2),
+      m2 AS (SELECT a, b, c FROM p2 ORDER BY c DESC, a, b LIMIT 1),
+      r2 AS (SELECT replace(s, ' ' || m.a || '  ' || m.b || ' ',
+                            ' ' || m.a || m.b || ' ') AS s, cnt FROM r1, m2 m),
+      v2 AS (SELECT COUNT(DISTINCT sym) AS vs
+             FROM (SELECT UNNEST(string_split(trim(s), '  ')) AS sym FROM r2)),
+      e3 AS (SELECT UNNEST(list_transform(range(1, len(ss)),
+                      i -> {'a': ss[i], 'b': ss[i+1]})) AS p, cnt
+             FROM (SELECT string_split(trim(s), '  ') AS ss, cnt FROM r2)),
+      p3 AS (SELECT p.a AS a, p.b AS b, SUM(cnt) AS c FROM e3 GROUP BY 1, 2),
+      m3 AS (SELECT a, b, c FROM p3 ORDER BY c DESC, a, b LIMIT 1),
+      r3 AS (SELECT replace(s, ' ' || m.a || '  ' || m.b || ' ',
+                            ' ' || m.a || m.b || ' ') AS s, cnt FROM r2, m3 m),
+      v3 AS (SELECT COUNT(DISTINCT sym) AS vs
+             FROM (SELECT UNNEST(string_split(trim(s), '  ')) AS sym FROM r3))
+      SELECT * FROM (
+        SELECT 1 AS merge_rank, a AS left_sym, b AS right_sym,
+               CAST(c AS BIGINT) AS pair_count,
+               (SELECT vs FROM v1) AS vocab_size_after FROM m1
+        UNION ALL
+        SELECT 2, a, b, CAST(c AS BIGINT), (SELECT vs FROM v2) FROM m2
+        UNION ALL
+        SELECT 3, a, b, CAST(c AS BIGINT), (SELECT vs FROM v3) FROM m3)
+      ORDER BY merge_rank"""),
+      (s, dir) => {
+        val wc = tokenized(s, dir).select(explode(col("tokens")).as("word"))
+          .groupBy("word").agg(count(lit(1)).as("cnt"))
+        graft.text.BpeTrain.train(wc, "word", "cnt", merges = 3)
+          .orderBy("merge_rank")
       })
   )
 }

@@ -1,0 +1,47 @@
+package graft
+
+import graft.text.BpeTrain
+
+class BpeTrainSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("BPE learns the hand-computed merge sequence, tie broken lexicographically") {
+    // words: ab x3, abc x2
+    //   round 1 pairs: (a,b)=5, (b,</w>)=3, (b,c)=2, (c,</w>)=2 → merge (a,b)
+    //   round 2 pairs: (ab,</w>)=3, (ab,c)=2, (c,</w>)=2        → merge (ab,</w>)
+    //   round 3 pairs: (ab,c)=2, (c,</w>)=2 — TIE on count; the
+    //     lexicographic tie-break picks ("ab","c") since 'a' < 'c'
+    val words = Seq(("ab", 3L), ("abc", 2L)).toDF("word", "cnt")
+    val got = BpeTrain.train(words, "word", "cnt", merges = 3)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).sortBy(_._1).toSeq
+    assert(got === Seq(
+      (1, "a", "b", 5L, 3L),      // vocab after: {ab, c, </w>}
+      (2, "ab", "</w>", 3L, 4L),  // vocab after: {ab</w>, ab, c, </w>}
+      (3, "ab", "c", 2L, 3L)))    // vocab after: {ab</w>, abc, </w>}
+  }
+
+  test("greedy left-to-right application: overlapping pair occurrences don't double-merge") {
+    // "aaa" = a a a </w>: pair (a,a) occurs at positions 0-1 and 1-2 but
+    // the count is per-adjacency (2); applying the merge consumes
+    // non-overlapping occurrences left-to-right → aa a </w>, NOT aa aa
+    val words = Seq(("aaa", 1L)).toDF("word", "cnt")
+    val got = BpeTrain.train(words, "word", "cnt", merges = 2)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).sortBy(_._1).toSeq
+    // round 1: (a,a)=2 wins over (a,</w>)=1; after: [aa, a, </w>] → vocab 3
+    // round 2: pairs (aa,a)=1, (a,</w>)=1 — tie; ("a","</w>") < ("aa","a")
+    //   lexicographically ('a...' then "</w>" vs "a"): "a"=="a" prefix —
+    //   "a" < "aa" → winner (a, </w>); after: [aa, a</w>] → vocab 2
+    assert(got === Seq(
+      (1, "a", "a", 2L, 3L),
+      (2, "a", "</w>", 1L, 2L)))
+  }
+
+  test("single-char words still train (word → char + end marker)") {
+    val words = Seq(("x", 4L), ("y", 1L)).toDF("word", "cnt")
+    val got = BpeTrain.train(words, "word", "cnt", merges = 1)
+      .collect().map(r => (r.getString(1), r.getString(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq === Seq(("x", "</w>", 4L, 3L))) // vocab {x</w>, y, </w>}
+  }
+}
