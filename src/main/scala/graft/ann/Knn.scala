@@ -53,29 +53,52 @@ object Knn {
     * Integral ids ride the buffer as LONG; string/binary ids (UUIDs,
     * URLs — at least as common as longs in production corpora) ride it
     * as their UTF-8 bytes, whose unsigned byte order IS Spark's string
-    * sort order, so both take the mergeable path with window-identical
-    * results. Only exotic id types (decimal, timestamp) fall back to
-    * the row_number window — correct for every orderable type, at the
-    * cost of the per-query sort.
+    * sort order. Timestamp/date/decimal(≤18) ids ride the LONG buffer
+    * through order-preserving encodings — epoch micros, epoch days,
+    * the unscaled value — and are decoded back after selection, so all
+    * of these take the mergeable path with window-identical results.
+    * Only genuinely un-encodable id types (decimal wider than 18
+    * digits, exotic types) fall back to the row_number window —
+    * correct for every orderable type, at the cost of the per-query
+    * sort — and the fork is LOUD: it logs the type it couldn't encode
+    * at plan-build time.
     */
   private def topKSelect(sims: DataFrame, idType: org.apache.spark.sql.types.DataType,
                          k: Int): DataFrame = {
     import org.apache.spark.sql.types._
-    def unpack(agged: DataFrame): DataFrame = agged
+    def unpack(agged: DataFrame, decode: Column => Column): DataFrame = agged
       .select(col("q_id"), posexplode(col("tk")).as(Seq("pos", "sc")))
       .select(col("q_id"), (col("pos") + 1).as("rk"),
-        col("sc.cand_id").cast(idType).as("cand_id"),
+        decode(col("sc.cand_id")).as("cand_id"),
         round(col("sc.sim"), 6).as("sim"))
+    def longPath(encode: Column => Column, decode: Column => Column): DataFrame =
+      unpack(sims.groupBy("q_id")
+        .agg(graft.functions.TopKAggregator.topK(k)(
+          col("sim"), encode(col("cand_id"))).as("tk")), decode)
     idType match {
       case ByteType | ShortType | IntegerType | LongType =>
-        unpack(sims.groupBy("q_id")
-          .agg(graft.functions.TopKAggregator.topK(k)(
-            col("sim"), col("cand_id").cast("long")).as("tk")))
+        longPath(_.cast("long"), _.cast(idType))
       case StringType | BinaryType =>
         unpack(sims.groupBy("q_id")
           .agg(graft.functions.TopKAggregator.topKBinary(k)(
-            col("sim"), col("cand_id").cast("binary")).as("tk")))
-      case _ =>
+            col("sim"), col("cand_id").cast("binary")).as("tk")),
+          _.cast(idType))
+      case TimestampType =>
+        // epoch micros: numeric order IS chronological order
+        longPath(unix_micros(_), timestamp_micros(_))
+      case DateType =>
+        longPath(unix_date(_).cast("long"), c => date_from_unix_date(c.cast("int")))
+      case dt: DecimalType if dt.precision <= 18 =>
+        // the unscaled value fits a long (10^18 < 2^63) and orders
+        // identically to the decimal; decode divides the scale back out
+        // (exact — the quotient has at most `scale` decimal digits)
+        val pow10 = lit(BigDecimal(10).pow(dt.scale))
+        longPath(c => (c * pow10).cast("long"),
+          c => (c.cast(DecimalType(38, 0)) / pow10).cast(dt))
+      case other =>
+        System.err.println(s"[graft] topKSelect: no order-preserving buffer " +
+          s"encoding for id type $other — falling back to the row_number " +
+          s"window (correct, but sorts every query's full candidate set)")
         val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("cand_id"))
         sims.withColumn("rk", row_number().over(w))
           .where(col("rk") <= k)

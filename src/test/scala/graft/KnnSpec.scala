@@ -52,6 +52,64 @@ class KnnSpec extends SparkTestBase {
     assert(math.abs(rows(2)._4 - 0.5) < 1e-6)
   }
 
+  test("decimal-id kNN rides the long buffer via the unscaled value, mergeable path") {
+    // decimal(10,2) ids incl. a negative one; the cosine TIE between the
+    // two colinear candidates must break by NUMERIC decimal order
+    // (-7.25 < 3.10), which the unscaled-long encoding preserves
+    val dEmb = Seq(
+      ("0.50", Array(1.0f, 1.0f, 0.0f)),   // query
+      ("3.10", Array(1.0f, 0.0f, 0.0f)),
+      ("-7.25", Array(2.0f, 0.0f, 0.0f)),  // colinear with 3.10
+      ("99.99", Array(0.0f, 1.0f, 1.0f))
+    ).toDF("raw", "embedding")
+      .select(col("raw").cast("decimal(10,2)").as("vec_id"), col("embedding"))
+    val knn = Knn.cosineKnn(dEmb, "vec_id", "embedding",
+      col("vec_id") === lit(BigDecimal("0.50")), k = 3)
+    assert(knn.queryExecution.executedPlan.collect {
+      case p if p.nodeName == "Window" => p
+    }.isEmpty, "decimal(<=18) ids must use the partial-aggregable top-k, not a window")
+    val rows = knn.orderBy("rk").collect()
+      .map(r => (r.getDecimal(2).toPlainString, r.getDouble(3)))
+    assert(rows.map(_._1).toSeq === Seq("-7.25", "3.10", "99.99"),
+      "cosine tie must break by numeric decimal order")
+    assert(math.abs(rows(0)._2 - 0.707107) < 1e-6)
+    assert(knn.schema("cand_id").dataType.typeName === "decimal(10,2)",
+      "ids must decode back to their original decimal type")
+  }
+
+  test("timestamp-id kNN rides the long buffer via epoch micros, mergeable path") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val tEmb = Seq(
+      (ts("2024-01-01 00:00:00"), Array(1.0f, 1.0f, 0.0f)),  // query
+      (ts("2024-06-15 12:30:00.000001"), Array(1.0f, 0.0f, 0.0f)),
+      (ts("2023-03-01 08:00:00"), Array(2.0f, 0.0f, 0.0f)),  // colinear, EARLIER
+      (ts("2025-12-31 23:59:59"), Array(0.0f, 1.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val knn = Knn.cosineKnn(tEmb, "vec_id", "embedding",
+      col("vec_id") === ts("2024-01-01 00:00:00"), k = 3)
+    assert(knn.queryExecution.executedPlan.collect {
+      case p if p.nodeName == "Window" => p
+    }.isEmpty, "timestamp ids must use the partial-aggregable top-k, not a window")
+    val rows = knn.orderBy("rk").collect().map(_.getTimestamp(2))
+    assert(rows.toSeq === Seq(ts("2023-03-01 08:00:00"),
+      ts("2024-06-15 12:30:00.000001"), ts("2025-12-31 23:59:59")),
+      "cosine tie must break chronologically; micro-precision must survive the buffer")
+  }
+
+  test("wide-decimal ids still fall back to the (loud) window path, same results") {
+    val dEmb = Seq(("1", Array(1.0f, 1.0f, 0.0f)), ("2", Array(1.0f, 0.0f, 0.0f)),
+      ("3", Array(0.0f, 1.0f, 0.0f)))
+      .toDF("raw", "embedding")
+      .select(col("raw").cast("decimal(38,10)").as("vec_id"), col("embedding"))
+    val knn = Knn.cosineKnn(dEmb, "vec_id", "embedding",
+      col("vec_id") === lit(BigDecimal(1)), k = 2)
+    assert(knn.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }.nonEmpty, "decimal(38) has no long encoding — must take the window fallback")
+    val rows = knn.orderBy("rk").collect().map(r => r.getDecimal(2).longValue)
+    assert(rows.toSeq === Seq(2L, 3L))
+  }
+
   test("two-table retrieval kNN searches only the corpus side, mergeable path") {
     val queries = Seq(
       (100L, Array(1.0f, 0.0f, 0.0f)),
