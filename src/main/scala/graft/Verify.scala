@@ -10,6 +10,12 @@ object Verify {
     // on a few queries without paying for the whole catalog)
     val only: Set[String] =
       if (args.length > 2) args(2).split(",").map(_.trim).toSet else Set.empty
+    // a typo'd/stale name would otherwise run zero queries and exit 0
+    // with an empty outDir — indistinguishable from a green run
+    val unknown = only -- SparkEntry.queries.keySet
+    require(unknown.isEmpty,
+      s"unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")} — " +
+        s"check against SparkEntry.queries")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

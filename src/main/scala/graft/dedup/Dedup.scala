@@ -86,8 +86,15 @@ object Dedup {
   private def bandedChunkRows(docs: DataFrame, idCol: String, tokensCol: String,
                               nBands: Int, rowsPerBand: Int): DataFrame = {
     val sigs = minhashSignatures(docs, idCol, tokensCol, nBands * rowsPerBand)
+    // `concat`, NOT concat_ws: a token-less doc has NULL minhashes, and
+    // NULL must propagate into the chunk so the doc produces no joinable
+    // band rows. concat_ws would silently skip NULLs, give every empty
+    // doc the chunk "", and make all empty docs mutual LSH candidates —
+    // while a SQL engine's `mh0 || '|' || mh1` yields NULL and never
+    // joins. NULL chunks fall out of the equi-join on both sides.
     val chunks = (0 until nBands).map { b =>
-      concat_ws("|", (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*)
+      concat((0 until rowsPerBand).flatMap(r =>
+        Seq(lit("|"), col(s"mh${b * rowsPerBand + r}"))).tail: _*)
     }
     sigs.select(col(idCol), posexplode(array(chunks: _*)).as(Seq("band", "chunk")))
   }

@@ -297,8 +297,9 @@ object EventQueries {
     QueryDef("q110_grouped_moments", Some(s"""
       WITH c AS (SELECT event_type, $valCents AS cv FROM events),
       s AS (SELECT event_type, COUNT(*) AS n,
-              CAST(SUM(cv) AS DOUBLE) AS s1, CAST(SUM(cv * cv) AS DOUBLE) AS s2,
-              CAST(SUM(cv * cv * cv) AS DOUBLE) AS s3
+              CAST(SUM(cv) AS DOUBLE) AS s1,
+              CAST(SUM(CAST(cv AS HUGEINT) * cv) AS DOUBLE) AS s2,
+              CAST(SUM(CAST(cv AS HUGEINT) * cv * cv) AS DOUBLE) AS s3
             FROM c GROUP BY event_type)
       SELECT event_type, n,
              s1 / n / 100 AS mean_value,
@@ -311,14 +312,17 @@ object EventQueries {
       FROM s ORDER BY event_type"""),
       (s, dir) => {
         val cv = QueryDef.cents(col("value"))
+        val cvw = col("cv").cast("decimal(12,0)")
         val st = Tables.events(s, dir)
           .select(col("event_type"), cv.as("cv"))
           .groupBy("event_type")
           .agg(count(lit(1)).as("n"),
             sum(col("cv").cast("decimal(38,0)")).cast("double").as("s1"),
-            sum((col("cv") * col("cv")).cast("decimal(38,0)")).cast("double").as("s2"),
-            sum((col("cv") * col("cv") * col("cv")).cast("decimal(38,0)"))
-              .cast("double").as("s3"))
+            // widen BEFORE multiplying (decimal(12)² → 25 digits, ³ → 38):
+            // a 64-bit cv*cv*cv would overflow past |cents| ≈ 2.1M and
+            // ANSI-abort instead of accumulating exactly
+            sum(cvw * cvw).cast("double").as("s2"),
+            sum(cvw * cvw * cvw).cast("double").as("s3"))
         val v = (col("s2") - col("s1") * col("s1") / col("n")) / col("n")
         st.select(col("event_type"), col("n"),
             (col("s1") / col("n") / 100).as("mean_value"),
@@ -453,7 +457,8 @@ object EventQueries {
     QueryDef("q125_standard_scale", Some(s"""
       WITH c AS (SELECT event_id, event_type, value, $valCents AS cv FROM events),
       s AS (SELECT event_type, COUNT(*) AS n,
-              CAST(SUM(cv) AS DOUBLE) AS s1, CAST(SUM(cv * cv) AS DOUBLE) AS s2
+              CAST(SUM(cv) AS DOUBLE) AS s1,
+              CAST(SUM(CAST(cv AS HUGEINT) * cv) AS DOUBLE) AS s2
             FROM c GROUP BY event_type)
       SELECT c.event_id, c.event_type, c.value,
              (c.cv - s.s1 / s.n) / sqrt((s.s2 - s.s1 * s.s1 / s.n) / s.n) AS z
@@ -463,10 +468,13 @@ object EventQueries {
         val c = Tables.events(s, dir)
           .select(col("event_id"), col("event_type"), col("value"),
             QueryDef.cents(col("value")).as("cv"))
+        // widen BEFORE squaring (see q110) — 64-bit cv*cv overflows past
+        // |cents| ≈ 3e9 and ANSI-aborts instead of accumulating exactly
+        val cvw = col("cv").cast("decimal(12,0)")
         val st = c.groupBy("event_type")
           .agg(count(lit(1)).as("n"),
             sum(col("cv").cast("decimal(38,0)")).cast("double").as("s1"),
-            sum((col("cv") * col("cv")).cast("decimal(38,0)")).cast("double").as("s2"))
+            sum(cvw * cvw).cast("double").as("s2"))
         c.join(broadcast(st), "event_type")
           .select(col("event_id"), col("event_type"), col("value"),
             ((col("cv") - col("s1") / col("n"))

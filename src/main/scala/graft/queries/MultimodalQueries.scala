@@ -299,14 +299,16 @@ object MultimodalQueries {
 
     // ---- q121: REAL JPEG decode under a LOSSY bound — same JDK codec,
     // but JPEG approximates pixels, so the oracle locks dimensions
-    // EXACTLY and the decoded mean to within ±4 RGB levels of the
-    // generator's closed form — 2× the worst deviation measured over
-    // 5000 rasters (1.94). Rasters are 8–16 px per side: chroma
-    // subsampling makes sub-8px JPEGs adversarial (deviation >8), which
-    // is a property of the codec, not the pipeline. The q86 bounded-
-    // sketch pattern: the engine-specific approximation is never
-    // emitted, only the exact expectation and the bound verdict DuckDB
-    // can recompute.
+    // EXACTLY and the decoded mean to within ±6 RGB levels of the
+    // generator's closed form — ~3× the worst deviation (1.94) measured
+    // over 5000 rasters on OpenJDK 17.0.20/Debian (javax.imageio JPEG
+    // quantization is implementation-dependent, hence the headroom).
+    // Rasters are 8–16 px per side: chroma subsampling makes sub-8px
+    // JPEGs adversarial (deviation >8), which is a property of the
+    // codec, not the pipeline. The q86 bounded-sketch pattern, with a
+    // diagnosable twist: within-bound rows emit bucket 0; an
+    // out-of-bound row emits ceil(|deviation|), so a foreign JRE's
+    // failure shows its magnitude in the gate's parquet dump.
     QueryDef("q121_jpeg_decode_bound", Some("""
       WITH p AS (SELECT doc_id,
                    CAST(n_chars % 9 + 8 AS INTEGER) AS w,
@@ -318,7 +320,7 @@ object MultimodalQueries {
                        + (doc_id * 11 + (k // 4) * 17) % 256
                        + (doc_id * 13 + (k // 4) * 19) % 256)) AS DOUBLE)
                / (w * h * 3) AS exact_mean,
-             TRUE AS mean_within_4
+             0 AS dev_bucket
       FROM p ORDER BY doc_id"""),
       (s, dir) => {
         import s.implicits._
@@ -333,13 +335,21 @@ object MultimodalQueries {
           // consumed by the decode AND the expectation join — without
           // this the JPEG encoding map would run twice
           .localCheckpoint()
+        // lossy-decode tolerance: worst case measured 1.94 on OpenJDK
+        // 17.0.20 (Debian); javax.imageio JPEG quantization is
+        // implementation-dependent, so the bound is 6 (~3× measured).
+        // Within-bound rows emit bucket 0 (what the oracle expects); an
+        // out-of-bound row emits ceil(|deviation|), so a foreign JRE
+        // exceeding the bound shows HOW FAR off in the gate's parquet
+        // dump instead of an opaque boolean/hash mismatch.
+        val dev = abs(col("mean_luma") - col("exact_mean"))
         Multimodal.decodeImages(pay, "doc_id", "payload", Multimodal.imageIoDecoder)
           .toDF()
           .select(col("id").as("doc_id"), col("width"), col("height"),
             col("mean_luma"))
           .join(pay.select("doc_id", "exact_mean"), "doc_id")
           .select(col("doc_id"), col("width"), col("height"), col("exact_mean"),
-            (abs(col("mean_luma") - col("exact_mean")) <= 4.0).as("mean_within_4"))
+            when(dev <= 6.0, lit(0)).otherwise(ceil(dev).cast("int")).as("dev_bucket"))
           .orderBy("doc_id")
       }),
 

@@ -45,6 +45,23 @@ class DedupSpec extends SparkTestBase {
     assert(kept.toSeq === Seq((1L, 2L, 1.0)))
   }
 
+  test("token-less docs produce no band rows: empty docs never become mutual candidates") {
+    // two docs with EMPTY token arrays: their minhashes are NULL, so the
+    // banded chunk must be NULL (never "") and neither may pair with
+    // anything — matching a SQL engine's NULL-propagating mh0||'|'||mh1
+    val d = Seq(
+      (1L, Seq("big", "data", "spark", "engine")),
+      (2L, Seq("big", "data", "spark", "engine")),
+      (3L, Seq.empty[String]),
+      (4L, Seq.empty[String])
+    ).toDF("doc_id", "tokens")
+    val cand = Dedup.lshBandedCandidatePairs(d, "doc_id", "tokens",
+        nBands = 4, rowsPerBand = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cand === Set((1L, 2L)),
+      "only the real dup pair; empty docs must not bucket together")
+  }
+
   test("incremental candidates pair fresh docs with corpus docs only") {
     val corpus = docs.where(col("doc_id") <= 3)          // 1,2,3 mutual dups
     val fresh = Seq(
