@@ -440,6 +440,10 @@ object Dedup {
     * before the join (the intersection count then UNDERCOUNTS for pairs
     * whose only overlap was hot shingles — acceptable for candidate
     * generation, NOT for exact Jaccard; the default keeps it exact).
+    * The uncapped default is the exact/parity path (q29) and k²-blows
+    * up on a hot shingle at scale; the capped variant is the declared
+    * 100 TB route and is itself oracle-gated (q137, cap mirrored in
+    * SQL, score emitted as `jaccard_lb`).
     */
   def bigramJaccardPairs(docs: DataFrame, idCol: String, tokensCol: String,
                          maxShingleDf: Int = Int.MaxValue): DataFrame = {

@@ -266,6 +266,40 @@ object TextQueries {
             tokenized(s, dir).where(col("doc_id") < 150), "doc_id", "tokens")
           .orderBy("id_a", "id_b")),
 
+    // ---- q137: the SCALE route for pairwise Jaccard — q29's exact path
+    // with the hot-shingle guard ENGAGED (maxShingleDf = 10, which
+    // genuinely bites on this corpus: ~230 shingles above the cap at
+    // every SF). Capping drops shingles shared by more than df docs
+    // BEFORE the inverted-index self-join — the k² blow-up guard a
+    // 100× corpus needs — at the cost of UNDERCOUNTING intersections
+    // for pairs whose only overlap was hot shingles, so the emitted
+    // score is a lower bound (named jaccard_lb, never jaccard). The
+    // oracle mirrors the cap with the same windowed df filter. q29
+    // stays the exact/parity path; this row gates the capped variant
+    // a real deployment would run.
+    QueryDef("q137_jaccard_capped", Some(s"""${toksCte("doc_id < 150")},
+      sh AS (SELECT doc_id,
+               list_distinct(list_transform(range(1, len(tokens)),
+                             i -> tokens[i] || ' ' || tokens[i+1])) AS sh
+             FROM toks),
+      e AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+      kept AS (SELECT doc_id, s FROM
+                 (SELECT doc_id, s, COUNT(*) OVER (PARTITION BY s) AS df FROM e)
+               WHERE df <= 10),
+      sz AS (SELECT doc_id, len(sh) AS n FROM sh),
+      inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+                FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+      SELECT id_a, id_b, inter / (sa.n + sb.n - inter) AS jaccard_lb
+      FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+      ORDER BY id_a, id_b"""),
+      (s, dir) =>
+        Dedup.bigramJaccardPairs(
+            tokenized(s, dir).where(col("doc_id") < 150), "doc_id", "tokens",
+            maxShingleDf = 10)
+          .withColumnRenamed("jaccard", "jaccard_lb")
+          .orderBy("id_a", "id_b")),
+
     // ---- q30: bag-of-words fingerprint dedup groups.
     QueryDef("q30_bow_dedup", Some(s"""${toksCte()}
       SELECT md5(array_to_string(list_sort(list_distinct(tokens)), ' ')) AS fingerprint,
