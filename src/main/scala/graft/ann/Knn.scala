@@ -415,6 +415,21 @@ object Knn {
                       threshold: Double, nBands: Int = 8, rowsPerBand: Int = 4,
                       maxBucketSize: Int = Int.MaxValue): DataFrame = {
     val e = withNorm(emb, idCol, vecCol)
+    val cand = srpCandidates(e, idCol, vecCol, dims, nBands, rowsPerBand, maxBucketSize)
+    val av = e.select(col(idCol).as("id_a"), col(vecCol).as("va"), col("nrm").as("na"))
+    val bv = e.select(col(idCol).as("id_b"), col(vecCol).as("vb"), col("nrm").as("nb"))
+    cand.join(av, "id_a").join(bv, "id_b")
+      .select(col("id_a"), col("id_b"),
+        (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("sim"))
+      .where(col("sim") > threshold)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
+  }
+
+  /** SRP band → bucket self-join candidate pairs (shared by the scoring
+    * path and the drift diagnostic). `e` must already carry norms.
+    */
+  private def srpCandidates(e: DataFrame, idCol: String, vecCol: String, dims: Int,
+                            nBands: Int, rowsPerBand: Int, maxBucketSize: Int): DataFrame = {
     val planes = srpPlanes(nBands * rowsPerBand, dims)
     val bandStructs = (0 until nBands).map { b =>
       val chunk = (0 until rowsPerBand).map { r =>
@@ -430,18 +445,37 @@ object Knn {
     // semantics: a band bucket shared by k vectors emits k² candidate
     // pairs, and buckets that hot carry no blocking signal anyway
     val bands = graft.dedup.Dedup.capBuckets(allBands, Seq("band", "chunk"), maxBucketSize)
-    val cand = bands.alias("a")
+    bands.alias("a")
       .join(bands.alias("b"),
         col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
       .distinct()
-    val av = e.select(col(idCol).as("id_a"), col(vecCol).as("va"), col("nrm").as("na"))
-    val bv = e.select(col(idCol).as("id_b"), col(vecCol).as("vb"), col("nrm").as("nb"))
-    cand.join(av, "id_a").join(bv, "id_b")
-      .select(col("id_a"), col("id_b"),
-        (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("sim"))
-      .where(col("sim") > threshold)
-      .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
+  }
+
+  /** LSH-dial DRIFT DIAGNOSTIC: the measured candidate fraction of the
+    * SRP blocking — candidate pairs over all possible pairs. This is
+    * the number an operator alarms on at 100×: the (b, r) dial implies
+    * an expected fraction for the corpus's similarity profile, and a
+    * fraction far above it means the blocking has degenerated toward
+    * all-pairs (embedding drift, a hot bucket, a mis-set dial) long
+    * before the join itself blows up. One extra count over the same
+    * candidate table the scoring path joins — run it alongside any
+    * production SRP job.
+    *
+    * Returns one row: (n_vectors, n_candidate_pairs, n_possible_pairs,
+    * candidate_fraction), the fraction an exact long/long division.
+    */
+  def srpCandidateStats(emb: DataFrame, idCol: String, vecCol: String, dims: Int,
+                        nBands: Int = 8, rowsPerBand: Int = 4,
+                        maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    val e = withNorm(emb, idCol, vecCol)
+    val nPairs = srpCandidates(e, idCol, vecCol, dims, nBands, rowsPerBand, maxBucketSize)
+      .agg(count(lit(1)).as("n_candidate_pairs"))
+    e.agg(count(lit(1)).as("n_vectors")).crossJoin(nPairs)
+      .select(col("n_vectors"), col("n_candidate_pairs"),
+        expr("n_vectors * (n_vectors - 1) div 2").as("n_possible_pairs"),
+        (col("n_candidate_pairs") * 2 /
+          (col("n_vectors") * (col("n_vectors") - 1))).as("candidate_fraction"))
   }
 }

@@ -172,6 +172,27 @@ class KnnSpec extends SparkTestBase {
       s"recall too low: ${blocked.size}/${all.size}")
   }
 
+  test("SRP candidate-fraction diagnostic measures the dial on the synthetic corpus") {
+    val embDf = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+      .where(col("vec_id") < 100)
+    val stats = Knn.srpCandidateStats(embDf, "vec_id", "embedding", 64)
+      .collect()(0)
+    val (n, cand, poss, frac) = (stats.getLong(0), stats.getLong(1),
+      stats.getLong(2), stats.getDouble(3))
+    assert(poss === n * (n - 1) / 2)
+    assert(frac === cand.toDouble / poss, "fraction must be the exact division")
+    // near-uniform synthetic vectors at the 8x4 default: ~40% candidate
+    // fraction (documented LSH physics, srpNearDupPairs calibration
+    // note). The band is the ALARM contract: a dial drift that
+    // degenerates blocking toward all-pairs busts the upper bound.
+    assert(frac > 0.2 && frac < 0.6, s"8x4 fraction drifted: $frac")
+    // longer bands (same total bits, 4x8) are strictly more selective
+    val tight = Knn.srpCandidateStats(embDf, "vec_id", "embedding", 64,
+      nBands = 4, rowsPerBand = 8).collect()(0).getDouble(3)
+    assert(tight < frac,
+      s"4x8 must block harder than 8x4: $tight vs $frac")
+  }
+
   test("SRP bucket cap drops a degenerate clone-flood bucket, keeps real pairs") {
     // 30 identical vectors land in one bucket of every band — the k²
     // hazard the cap exists for. With the cap they produce no candidate
