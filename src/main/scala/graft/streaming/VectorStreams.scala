@@ -22,7 +22,12 @@ import org.apache.spark.sql.functions._
   *  - only the final per-query top-k is stateful: a watermarked
   *    aggregation over (event time, query id) riding the same mergeable
   *    k-slot aggregator as the batch path, so per-query state is bounded
-  *    by k and evicted once the watermark passes.
+  *    by k and evicted once the watermark passes;
+  *  - index REBUILDS go live without a stream restart via the versioned
+  *    artifact layout (`rootDir/v=N/` + `_PUBLISHED` marker —
+  *    [[publishIndex]]/[[latestVersion]]) and the [[retrieveHotSwap]]
+  *    server, which re-resolves the latest published version every
+  *    micro-batch.
   */
 object VectorStreams {
 
@@ -83,14 +88,7 @@ object VectorStreams {
   def retrieveStream(queries: DataFrame, index: DataFrame,
                      codebook: Seq[Centroid], k: Int,
                      watermark: String = "1 hour"): DataFrame = {
-    val q = queries
-      .withColumn("q_nrm", Knn.l2norm(col("q_vec")))
-      .where(col("q_nrm") > 0)
-      .withColumn("centroid_id", bucketExpr(col("q_vec"), col("q_nrm"), codebook))
-    val scored = q.join(index, Seq("centroid_id"))
-      .select(col("ts"), col("q_id"),
-        (Knn.dot(col("q_vec"), col("c_vec")) / (col("q_nrm") * col("c_nrm"))).as("sim"),
-        col("cand_id"))
+    val scored = score(queries, index, codebook)
     scored
       .withWatermark("ts", watermark)
       .groupBy(col("ts"), col("q_id"))
@@ -100,4 +98,116 @@ object VectorStreams {
       .select(col("ts"), col("q_id"), (col("pos") + 1).as("rk"),
         col("sc.cand_id").as("cand_id"), round(col("sc.sim"), 6).as("sim"))
   }
+
+  /** Bucket-route and cosine-score queries against the index (shared by
+    * the static-index stream and the hot-swap server).
+    */
+  private def score(queries: DataFrame, index: DataFrame,
+                    codebook: Seq[Centroid]): DataFrame =
+    queries
+      .withColumn("q_nrm", Knn.l2norm(col("q_vec")))
+      .where(col("q_nrm") > 0)
+      .withColumn("centroid_id", bucketExpr(col("q_vec"), col("q_nrm"), codebook))
+      .join(index, Seq("centroid_id"))
+      .select(col("ts"), col("q_id"),
+        (Knn.dot(col("q_vec"), col("c_vec")) / (col("q_nrm") * col("c_nrm"))).as("sim"),
+        col("cand_id"))
+
+  // ------------------------------------------------------------------
+  // Versioned index artifacts — the rebuild/hot-swap contract.
+  //
+  //   rootDir/v=1/index/     corpus rows keyed by centroid (parquet)
+  //   rootDir/v=1/codebook/  (id, vec) rows (parquet)
+  //   rootDir/v=1/_PUBLISHED marker, written LAST
+  //
+  // Contract: a version directory is IMMUTABLE once its marker exists;
+  // publishers write data first and the marker last (so a reader never
+  // resolves a half-written version); readers always resolve the
+  // highest marked version; old versions may be deleted once no serving
+  // job can still resolve them (retention is the operator's policy —
+  // keep ≥2 so an in-flight micro-batch never loses its files).
+  // ------------------------------------------------------------------
+
+  private def hadoopFs(df: org.apache.spark.sql.SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(df.sparkContext.hadoopConfiguration)
+
+  /** Highest PUBLISHED version under `rootDir`, if any. */
+  def latestVersion(spark: org.apache.spark.sql.SparkSession,
+                    rootDir: String): Option[Int] = {
+    val fs = hadoopFs(spark, rootDir)
+    val root = new org.apache.hadoop.fs.Path(rootDir)
+    if (!fs.exists(root)) None
+    else fs.listStatus(root).toSeq
+      .filter(_.isDirectory)
+      .flatMap { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("v=")) n.drop(2).toIntOption else None
+      }
+      .filter(v => fs.exists(new org.apache.hadoop.fs.Path(s"$rootDir/v=$v/_PUBLISHED")))
+      .maxOption
+  }
+
+  /** Publish a freshly built index+codebook as the next version under
+    * `rootDir` (marker written last). Returns the published version.
+    * Run from the BATCH side on whatever rebuild cadence the corpus
+    * needs; serving picks it up without restart ([[retrieveHotSwap]]).
+    */
+  def publishIndex(index: DataFrame, codebook: Seq[Centroid],
+                   rootDir: String): Int = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    val v = latestVersion(spark, rootDir).getOrElse(0) + 1
+    val dir = s"$rootDir/v=$v"
+    index.write.mode("overwrite").parquet(s"$dir/index")
+    codebook.map(c => (c.id, c.vec.toSeq)).toDF("id", "vec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebook")
+    val fs = hadoopFs(spark, rootDir)
+    fs.create(new org.apache.hadoop.fs.Path(s"$dir/_PUBLISHED"), true).close()
+    v
+  }
+
+  /** Load the highest published version. */
+  def loadIndex(spark: org.apache.spark.sql.SparkSession,
+                rootDir: String): (DataFrame, Seq[Centroid], Int) = {
+    val v = latestVersion(spark, rootDir).getOrElse(
+      throw new IllegalStateException(s"no published index under $rootDir"))
+    val index = spark.read.parquet(s"$rootDir/v=$v/index")
+    val codebook = spark.read.parquet(s"$rootDir/v=$v/codebook")
+      .collect()
+      .map { r =>
+        val vec = r.getSeq[Float](1).toArray
+        Centroid(r.getLong(0), vec,
+          math.sqrt(vec.map(x => x.toDouble * x.toDouble).sum))
+      }
+      .sortBy(_.id).toSeq
+    (index, codebook, v)
+  }
+
+  /** HOT-SWAP serving: per micro-batch, re-resolve the latest published
+    * index version and answer that batch's queries against it — a
+    * rebuilt corpus goes live at the next micro-batch boundary, no
+    * stream restart. `foreachBatch` is what makes the re-resolution
+    * possible: a plan-time static join pins one file listing (and the
+    * codebook literal) forever, while here both are rebuilt per batch.
+    * Per-query top-k needs no watermark state — each query's scoring
+    * completes within its own batch, so selection is a batch
+    * aggregation. `sink` receives (result, batchId, indexVersion);
+    * result rows are (ts, q_id, rk, cand_id, sim).
+    */
+  def retrieveHotSwap(queries: DataFrame, rootDir: String, k: Int)
+                     (sink: (DataFrame, Long, Int) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    queries.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val (index, codebook, v) = loadIndex(batch.sparkSession, rootDir)
+        val result = score(batch, index, codebook)
+          .groupBy(col("ts"), col("q_id"))
+          .agg(graft.functions.TopKAggregator.topK(k)(
+            col("sim"), col("cand_id").cast("long")).as("tk"))
+          .select(col("ts"), col("q_id"), posexplode(col("tk")).as(Seq("pos", "sc")))
+          .select(col("ts"), col("q_id"), (col("pos") + 1).as("rk"),
+            col("sc.cand_id").as("cand_id"), round(col("sc.sim"), 6).as("sim"))
+        sink(result, batchId, v)
+    }
 }

@@ -379,6 +379,57 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("hot-swap serving: a republished index goes live without stream restart") {
+    implicit val ctx = spark.sqlContext
+    import graft.streaming.VectorStreams
+    val root = java.nio.file.Files.createTempDirectory("ivf-versions").toString
+    // v1 corpus: only vector 1 near the x-axis
+    val corpus1 = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val (i1, c1) = VectorStreams.buildIndex(
+      corpus1, "vec_id", "embedding", col("vec_id").isin(1L, 2L))
+    assert(VectorStreams.publishIndex(i1, c1, root) === 1)
+    assert(VectorStreams.latestVersion(spark, root) === Some(1))
+
+    val input = MemoryStream[(Timestamp, Long, Array[Float])]
+    val results = scala.collection.mutable.Buffer.empty[(Long, Long, Int)] // (q_id, cand, version)
+    val q = VectorStreams.retrieveHotSwap(
+        input.toDF().toDF("ts", "q_id", "q_vec"), root, k = 1) { (df, _, v) =>
+      results ++= df.select("q_id", "cand_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), v))
+    }.start()
+    try {
+      input.addData((ts(1), 100L, Array(1.0f, 0.1f, 0.0f)))
+      q.processAllAvailable()
+      assert(results.toSeq === Seq((100L, 1L, 1)), "v1 serves corpus1's nearest")
+
+      // REBUILD batch-side: vector 9 is now the x-axis nearest; publish v2.
+      // The running stream must pick it up at the next micro-batch.
+      val corpus2 = Seq(
+        (1L, Array(1.0f, 0.0f, 0.0f)),
+        (2L, Array(0.0f, 1.0f, 0.0f)),
+        (9L, Array(1.0f, 0.1f, 0.0f))
+      ).toDF("vec_id", "embedding")
+      val (i2, c2) = VectorStreams.buildIndex(
+        corpus2, "vec_id", "embedding", col("vec_id").isin(1L, 2L))
+      assert(VectorStreams.publishIndex(i2, c2, root) === 2)
+
+      input.addData((ts(2), 101L, Array(1.0f, 0.1f, 0.0f)))
+      q.processAllAvailable()
+      assert(results.toSeq.last === ((101L, 9L, 2)),
+        s"the same query vector must now hit v2's new corpus member: $results")
+
+      // a half-written v3 (no marker) must be invisible to the server
+      i2.write.mode("overwrite").parquet(s"$root/v=3/index")
+      input.addData((ts(3), 102L, Array(1.0f, 0.1f, 0.0f)))
+      q.processAllAvailable()
+      assert(results.toSeq.last === ((102L, 9L, 2)),
+        "an unmarked version directory must never be resolved")
+    } finally q.stop()
+  }
+
   test("streaming vector retrieval against the stored index matches the batch path") {
     implicit val ctx = spark.sqlContext
     import graft.streaming.VectorStreams
