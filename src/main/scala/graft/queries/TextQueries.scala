@@ -1352,7 +1352,15 @@ object TextQueries {
              TRUE AS rnd_in_band, TRUE AS dbl_lt_doc
       FROM documents WHERE LENGTH(text) >= 20 ORDER BY doc_id"""),
       (s, dir) =>
-        TextStats.compressionBounds(docs(s, dir), "doc_id", "text")
+        // spread the 4-deflates-per-row kernel across cores: a small
+        // parquet scan yields 1-2 partitions locally and the final sort's
+        // range-sampling pass runs the kernel twice — serial × 2 was the
+        // whole query cost (measured 6 s → 0.6 s). At scale the scan
+        // already yields enough partitions; the round-robin shuffle of
+        // raw text is noise next to the per-row codec work.
+        TextStats.compressionBounds(
+            docs(s, dir).repartition(s.sparkContext.defaultParallelism),
+            "doc_id", "text")
           .orderBy("doc_id")),
 
     // ---- q105: snapshot upsert (MERGE semantics, Spark-first) — the
