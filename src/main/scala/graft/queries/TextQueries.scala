@@ -2140,6 +2140,76 @@ object TextQueries {
           .groupBy("word").agg(count(lit(1)).as("cnt"))
         graft.text.BpeTrain.train(wc, "word", "cnt", merges = 3)
           .orderBy("merge_rank")
+      }),
+
+    // ---- q138: BPE ENCODE — the serve side of q136's trained
+    // tokenizer: train 3 merges on the doc_id < 400 slice, then apply
+    // them (rank order, greedy left-to-right — a map-side
+    // literal-replace chain over the bounded merge artifact, zero
+    // joins) to the HELD-OUT tail's words, reporting the top-20
+    // subword symbols by weighted count. Held-out application is what
+    // pins generalization: the tail contains words the trainer never
+    // saw, segmented by the learned merges exactly as reference BPE
+    // replays its merge file. Oracle: q136's unrolled training CTEs
+    // plus an unrolled 3-step replace chain over the held-out words.
+    QueryDef("q138_bpe_encode", Some(s"""${toksCte()},
+      wcT AS (SELECT t AS word, COUNT(*) AS cnt
+              FROM (SELECT doc_id, UNNEST(tokens) AS t FROM toks)
+              WHERE doc_id < 400 GROUP BY 1),
+      r0 AS (SELECT ' ' || regexp_replace(word, '(.)', '\\1  ', 'g') || '</w> ' AS s, cnt
+             FROM wcT),
+      e1 AS (SELECT UNNEST(list_transform(range(1, len(ss)),
+                      i -> {'a': ss[i], 'b': ss[i+1]})) AS p, cnt
+             FROM (SELECT string_split(trim(s), '  ') AS ss, cnt FROM r0)),
+      p1 AS (SELECT p.a AS a, p.b AS b, SUM(cnt) AS c FROM e1 GROUP BY 1, 2),
+      m1 AS (SELECT a, b FROM p1 ORDER BY c DESC, a, b LIMIT 1),
+      r1 AS (SELECT replace(s, ' ' || m.a || '  ' || m.b || ' ',
+                            ' ' || m.a || m.b || ' ') AS s, cnt FROM r0, m1 m),
+      e2 AS (SELECT UNNEST(list_transform(range(1, len(ss)),
+                      i -> {'a': ss[i], 'b': ss[i+1]})) AS p, cnt
+             FROM (SELECT string_split(trim(s), '  ') AS ss, cnt FROM r1)),
+      p2 AS (SELECT p.a AS a, p.b AS b, SUM(cnt) AS c FROM e2 GROUP BY 1, 2),
+      m2 AS (SELECT a, b FROM p2 ORDER BY c DESC, a, b LIMIT 1),
+      r2 AS (SELECT replace(s, ' ' || m.a || '  ' || m.b || ' ',
+                            ' ' || m.a || m.b || ' ') AS s, cnt FROM r1, m2 m),
+      e3 AS (SELECT UNNEST(list_transform(range(1, len(ss)),
+                      i -> {'a': ss[i], 'b': ss[i+1]})) AS p, cnt
+             FROM (SELECT string_split(trim(s), '  ') AS ss, cnt FROM r2)),
+      p3 AS (SELECT p.a AS a, p.b AS b, SUM(cnt) AS c FROM e3 GROUP BY 1, 2),
+      m3 AS (SELECT a, b FROM p3 ORDER BY c DESC, a, b LIMIT 1),
+      wcH AS (SELECT t AS word, COUNT(*) AS cnt
+              FROM (SELECT doc_id, UNNEST(tokens) AS t FROM toks)
+              WHERE doc_id >= 400 GROUP BY 1),
+      h0 AS (SELECT ' ' || regexp_replace(word, '(.)', '\\1  ', 'g') || '</w> ' AS s, cnt
+             FROM wcH),
+      h1 AS (SELECT replace(s, ' ' || m.a || '  ' || m.b || ' ',
+                            ' ' || m.a || m.b || ' ') AS s, cnt FROM h0, m1 m),
+      h2 AS (SELECT replace(s, ' ' || m.a || '  ' || m.b || ' ',
+                            ' ' || m.a || m.b || ' ') AS s, cnt FROM h1, m2 m),
+      h3 AS (SELECT replace(s, ' ' || m.a || '  ' || m.b || ' ',
+                            ' ' || m.a || m.b || ' ') AS s, cnt FROM h2, m3 m),
+      sy AS (SELECT UNNEST(string_split(trim(s), '  ')) AS sym, cnt FROM h3)
+      SELECT sym, CAST(SUM(cnt) AS BIGINT) AS n
+      FROM sy GROUP BY sym ORDER BY n DESC, sym LIMIT 20"""),
+      (s, dir) => {
+        val toks = tokenized(s, dir)
+        val wcT = toks.where(col("doc_id") < 400)
+          .select(explode(col("tokens")).as("word"))
+          .groupBy("word").agg(count(lit(1)).as("cnt"))
+        // the trained artifact: a bounded (3-row) collect, the same
+        // stored-model pattern as the IVF codebook / NB model
+        val merges = graft.text.BpeTrain.train(wcT, "word", "cnt", merges = 3)
+          .orderBy("merge_rank")
+          .select("left_sym", "right_sym")
+          .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+        val wcH = toks.where(col("doc_id") >= 400)
+          .select(explode(col("tokens")).as("word"))
+          .groupBy("word").agg(count(lit(1)).as("cnt"))
+        graft.text.BpeTrain.encode(wcH, "word", merges)
+          .select(explode(col("syms")).as("sym"), col("cnt"))
+          .groupBy("sym").agg(sum("cnt").as("n"))
+          .orderBy(col("n").desc, col("sym"))
+          .limit(20)
       })
   )
 }

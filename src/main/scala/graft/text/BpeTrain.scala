@@ -82,4 +82,23 @@ object BpeTrain {
     }
     out.get
   }
+
+  /** SERVE side of the trained tokenizer: apply a learned merge list
+    * (rank order — the artifact [[train]] emits) to a word column,
+    * yielding the subword symbol array per word. The merge table is a
+    * bounded model artifact (hundreds to tens of thousands of rows in
+    * real tokenizers), so it folds into a map-side literal-replace
+    * chain — zero joins, zero shuffles, applies to held-out words the
+    * trainer never saw exactly like the reference BPE algorithm
+    * (merges replayed in rank order, greedy left-to-right each).
+    */
+  def encode(words: DataFrame, wordCol: String,
+             merges: Seq[(String, String)]): DataFrame = {
+    val padded = concat(lit(" "), regexp_replace(col(wordCol), "(.)", "$1  "),
+      lit("</w> "))
+    val applied = merges.foldLeft(padded) { case (s, (a, b)) =>
+      replace(s, lit(s" $a  $b "), lit(s" $a$b "))
+    }
+    words.withColumn("syms", split(trim(applied), "  "))
+  }
 }

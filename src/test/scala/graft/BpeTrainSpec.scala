@@ -38,6 +38,20 @@ class BpeTrainSpec extends SparkTestBase {
       (2, "a", "</w>", 1L, 2L)))
   }
 
+  test("encode replays merges in rank order on words the trainer never saw") {
+    // merges learned in test 1; "abd" is held-out: (a,b) applies, then
+    // (ab,</w>) finds no adjacency (d intervenes) and (ab,c) no c —
+    // exactly reference BPE's merge-file replay
+    val merges = Seq(("a", "b"), ("ab", "</w>"), ("ab", "c"))
+    val held = Seq(("abd", 1L), ("ab", 2L), ("cab", 3L)).toDF("word", "cnt")
+    val got = BpeTrain.encode(held, "word", merges)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](2).toList).toMap
+    assert(got("abd") === List("ab", "d", "</w>"))
+    assert(got("ab") === List("ab</w>"))           // both merges chain
+    // c a b </w> → (a,b) → c ab </w> → (ab,</w>) → c ab</w>
+    assert(got("cab") === List("c", "ab</w>"))
+  }
+
   test("single-char words still train (word → char + end marker)") {
     val words = Seq(("x", 4L), ("y", 1L)).toDF("word", "cnt")
     val got = BpeTrain.train(words, "word", "cnt", merges = 1)
