@@ -462,6 +462,73 @@ object Dedup {
         (col("inter") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
   }
 
+  /** EXACT Jaccard similarity join at threshold `num/den` via AllPairs
+    * prefix filtering (Bayardo, Ma & Srikant, WWW'07) — the scale route
+    * for pairwise Jaccard that stays EXACT, unlike the df-cap
+    * ([[bigramJaccardPairs]]'s `maxShingleDf`, q137) which turns the
+    * score into a lower bound.
+    *
+    * The filter: fix any global total order on shingles and sort each
+    * doc's shingle set by it. If J(A,B) ≥ t then |A∩B| ≥ t·|A∪B| ≥
+    * t·|A|, so B must hit one of the first p(A) = |A| − ⌈t·|A|⌉ + 1
+    * shingles of A (were the whole intersection confined to A's last
+    * ⌈t·|A|⌉ − 1 positions it would be too small) — and symmetrically
+    * for B. Indexing ONLY those prefixes therefore loses no qualifying
+    * pair: candidates = prefix-table self-join, then exact verification
+    * on the full sets. The order used here is ascending global document
+    * frequency (ties lexicographic) — the classic heuristic that puts
+    * hot shingles LAST, so a boilerplate shingle shared by half the
+    * corpus lands in almost no prefix and the k² blow-up that motivates
+    * q137's cap never forms, while the result is still bit-for-bit the
+    * naive all-pairs answer (the oracle is the NAIVE exact SQL — the
+    * prefix filter is invisible in the gate, like q126's salt).
+    *
+    * Size filter: J ≤ min/max of the two set sizes, so candidate pairs
+    * with den·min < num·max are pruned in the join condition (integer
+    * cross-product, no float boundary). The threshold itself is tested
+    * as `inter·den ≥ num·(na+nb−inter)` on exact ints; the emitted
+    * jaccard is one exact int/int IEEE division.
+    *
+    * Scale shape: one df hash-agg, one per-doc bounded window sort (rank
+    * shingles within a doc — partitioned by doc, never corpus-wide),
+    * one equi-join on prefix shingles whose fan-out the df ordering
+    * keeps near-linear in practice (worst case remains quadratic for a
+    * corpus of near-identical docs — which IS the output size then),
+    * and O(|candidates|) verification.
+    */
+  def prefixJaccardPairs(docs: DataFrame, idCol: String, tokensCol: String,
+                         num: Int, den: Int): DataFrame = {
+    require(num > 0 && den > 0 && num <= den,
+      s"threshold must be a fraction in (0,1], got $num/$den")
+    val sh = docs.select(col(idCol), bigramShingles(col(tokensCol)).as("sh"))
+      .select(col(idCol), col("sh"), size(col("sh")).as("n"))
+      .where(col("n") > 0)
+    val ex = sh.select(col(idCol), col("n"), explode(col("sh")).as("s"))
+    val dfTab = ex.groupBy("s").agg(count(lit(1)).as("df"))
+    // rank each doc's shingles rare-first; keep the first n - ceil(t*n) + 1
+    val w = Window.partitionBy(idCol).orderBy(col("df"), col("s"))
+    val prefix = ex.join(dfTab, "s")
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= col("n") - expr(s"(($num * n + ${den - 1}) div $den)") + 1)
+      .select(col(idCol), col("n"), col("s"))
+    val cand = prefix.alias("a")
+      .join(prefix.alias("b"),
+        col("a.s") === col("b.s") && col(s"a.$idCol") < col(s"b.$idCol") &&
+          least(col("a.n"), col("b.n")) * den >= greatest(col("a.n"), col("b.n")) * num)
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+    val scored = cand
+      .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a"), col("n").as("na")), "id_a")
+      .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b"), col("n").as("nb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).as("inter"),
+        col("na"), col("nb"))
+    scored
+      .where(col("inter") * den >= lit(num) * (col("na") + col("nb") - col("inter")))
+      .select(col("id_a"), col("id_b"),
+        (col("inter") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
+  }
+
   /** Directed shingle CONTAINMENT via the same inverted-index self-join
     * as [[bigramJaccardPairs]]: C(A→B) = |A∩B| / |A|. Asymmetric by
     * design — a short document wholly quoted inside a long one scores

@@ -2210,6 +2210,157 @@ object TextQueries {
           .groupBy("sym").agg(sum("cnt").as("n"))
           .orderBy(col("n").desc, col("sym"))
           .limit(20)
+      }),
+
+    // ---- q139: EXACT Jaccard similarity JOIN at threshold 1/10 via
+    // AllPairs prefix filtering (Dedup.prefixJaccardPairs) — the scale
+    // route that keeps the score exact, complementing q137's capped
+    // lower bound. Each doc indexes only its |A| − ⌈t|A|⌉ + 1 rarest
+    // shingles (global-df order); any pair at J ≥ t provably shares a
+    // prefix shingle, so the candidate join misses nothing while hot
+    // boilerplate shingles (sorted last) never fan out. The oracle is
+    // the NAIVE all-shared-shingle-pairs SQL — the prefix filter is
+    // invisible in the gate, the same proof shape as q126's salt.
+    // Threshold tested as inter·10 ≥ 1·union on exact ints (no float
+    // boundary); jaccard is one exact int/int IEEE division.
+    QueryDef("q139_jaccard_prefix", Some(s"""${toksCte("doc_id < 150")},
+      sh AS (SELECT doc_id,
+               list_distinct(list_transform(range(1, len(tokens)),
+                             i -> tokens[i] || ' ' || tokens[i+1])) AS sh
+             FROM toks),
+      e AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+      sz AS (SELECT doc_id, len(sh) AS n FROM sh),
+      inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+                FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+      SELECT id_a, id_b, inter / (sa.n + sb.n - inter) AS jaccard
+      FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+      WHERE inter * 10 >= 1 * (sa.n + sb.n - inter)
+      ORDER BY id_a, id_b"""),
+      (s, dir) =>
+        Dedup.prefixJaccardPairs(
+            tokenized(s, dir).where(col("doc_id") < 150), "doc_id", "tokens",
+            num = 1, den = 10)
+          .orderBy("id_a", "id_b")),
+
+    // ---- q140: exact triangle count + global clustering coefficient of
+    // the SimHash near-dup graph (graph.Triangles over q45's verified
+    // pairs) — the transitivity audit of a dup graph: near-clique
+    // communities (trustworthy for min-id clustering) are triangle-rich,
+    // chains of accidental pairwise matches are not. Degree orientation
+    // bounds the wedge join by O(m^1.5) — no hub ever enumerates its
+    // full neighborhood. All-integer arithmetic; clustering = 3T/wedges
+    // is one exact bigint/bigint IEEE division.
+    QueryDef("q140_triangles", Some(s"""${toksCte("doc_id < 200")},
+      sig AS (SELECT doc_id, array_to_string(list_transform(range(1, 33), i ->
+                CASE WHEN COALESCE(list_sum(list_transform(list_distinct(tokens),
+                     t -> CASE WHEN substr(md5(t), i, 1) IN ('8','9','a','b','c','d','e','f')
+                               THEN 1 ELSE -1 END)), 0) >= 0
+                     THEN '1' ELSE '0' END), '') AS sig
+              FROM toks),
+      bits AS (SELECT doc_id,
+                 CAST(list_sum(list_transform(range(1, 33),
+                   i -> CASE WHEN substr(sig, i, 1) = '1'
+                             THEN (1::BIGINT << (32 - i)) ELSE 0 END)) AS BIGINT) AS sb
+               FROM sig),
+      band AS (SELECT doc_id, sb, t.range AS b,
+                      (sb >> ((3 - t.range) * 8)) & 255 AS chunk
+               FROM bits, range(0, 4) t),
+      cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                      a.sb AS sb_a, b.sb AS sb_b
+               FROM band a JOIN band b
+                 ON a.b = b.b AND a.chunk = b.chunk AND a.doc_id < b.doc_id),
+      edges AS (SELECT id_a AS u, id_b AS v FROM cand
+                WHERE bit_count(xor(sb_a, sb_b)) <= 3),
+      deg AS (SELECT id, COUNT(*) AS d
+              FROM (SELECT u AS id FROM edges UNION ALL SELECT v AS id FROM edges)
+              GROUP BY 1),
+      o AS (SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS src,
+                   CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS dst,
+                   CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN dv.d ELSE du.d END AS dd
+            FROM edges e JOIN deg du ON du.id = e.u JOIN deg dv ON dv.id = e.v),
+      tri AS (SELECT COUNT(*) AS n_triangles
+              FROM o a JOIN o b ON a.src = b.src AND (a.dd, a.dst) < (b.dd, b.dst)
+              WHERE EXISTS (SELECT 1 FROM o c WHERE c.src = a.dst AND c.dst = b.dst)),
+      w AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+                   COALESCE(CAST(SUM((d * (d - 1)) // 2) AS BIGINT), 0) AS n_wedges
+            FROM deg)
+      SELECT n_nodes, (SELECT CAST(COUNT(*) AS BIGINT) FROM edges) AS n_edges,
+             (SELECT CAST(n_triangles AS BIGINT) FROM tri) AS n_triangles, n_wedges,
+             CASE WHEN n_wedges = 0 THEN NULL
+                  ELSE 3 * (SELECT CAST(n_triangles AS BIGINT) FROM tri) / n_wedges
+             END AS clustering
+      FROM w"""),
+      (s, dir) =>
+        graft.graph.Triangles.triangleStats(
+          Dedup.simhashNearDups(
+              tokenized(s, dir).where(col("doc_id") < 200), "doc_id", "tokens")
+            .select("id_a", "id_b"))),
+
+    // ---- q141: exact ROC AUC of the q106 NaiveBayes language model on
+    // the held-out slice, one-vs-rest for 'en' (text.Metrics.binaryAuc)
+    // — the threshold-free audit of whether the filter model's SCORE
+    // actually ranks the target class on top. Margin = rounded score_en
+    // − rounded best-other (exact IEEE subtraction of two rounded
+    // doubles, identical both engines); the Mann–Whitney rank-sum runs
+    // over the aggregated distinct-margin table (q43's sweep shape),
+    // keeps tie halves exact as integer 2U, and the emitted auc is one
+    // exact bigint/bigint division — no rounding anywhere.
+    QueryDef("q141_nb_auc", Some(s"""${toksCte()},
+      tr AS (SELECT t.doc_id, d.lang, t.tokens
+             FROM toks t JOIN documents d USING (doc_id) WHERE t.doc_id < 400),
+      te AS (SELECT doc_id, tokens FROM toks WHERE doc_id >= 400),
+      trtok AS (SELECT lang, unnest(tokens) AS token FROM tr),
+      clt AS (SELECT lang, token, COUNT(*) AS c FROM trtok GROUP BY 1, 2),
+      totl AS (SELECT lang, SUM(c) AS tot FROM clt GROUP BY lang),
+      vocab AS (SELECT CAST(COUNT(DISTINCT token) AS BIGINT) AS v FROM trtok),
+      prior AS (SELECT lang, COUNT(*) AS nd FROM tr GROUP BY lang),
+      ntr AS (SELECT COUNT(*) AS n FROM tr),
+      tetok AS (SELECT doc_id, unnest(tokens) AS token FROM te),
+      x AS (SELECT tt.doc_id, tt.token, l.lang, l.tot FROM tetok tt CROSS JOIN totl l),
+      scored AS (SELECT x.doc_id, x.lang,
+                   SUM(ln((COALESCE(c.c, 0) + 1)::DOUBLE
+                          / CAST(x.tot + (SELECT v FROM vocab) AS DOUBLE))) AS ll
+                 FROM x LEFT JOIN clt c ON c.lang = x.lang AND c.token = x.token
+                 GROUP BY 1, 2),
+      sc AS (SELECT s.doc_id, s.lang,
+               ROUND(s.ll + ln(CAST(p.nd AS DOUBLE) / (SELECT n FROM ntr)), 6) AS score
+             FROM scored s JOIN prior p ON p.lang = s.lang),
+      mar AS (SELECT doc_id,
+                MAX(CASE WHEN lang = 'en' THEN score END)
+                - MAX(CASE WHEN lang <> 'en' THEN score END) AS m
+              FROM sc GROUP BY doc_id),
+      lab AS (SELECT mar.doc_id, mar.m,
+                CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS pos
+              FROM mar JOIN documents d USING (doc_id)),
+      g AS (SELECT m, CAST(SUM(pos) AS BIGINT) AS np,
+                   CAST(SUM(1 - pos) AS BIGINT) AS nn
+            FROM lab GROUP BY m),
+      cum AS (SELECT m, np, nn,
+                COALESCE(CAST(SUM(nn) OVER (ORDER BY m
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+                  0) AS nb
+              FROM g)
+      SELECT CAST(SUM(np) AS BIGINT) AS n_pos, CAST(SUM(nn) AS BIGINT) AS n_neg,
+             CAST(SUM(2 * np * nb + np * nn) AS BIGINT) AS u2,
+             CASE WHEN SUM(np) = 0 OR SUM(nn) = 0 THEN NULL
+                  ELSE CAST(SUM(2 * np * nb + np * nn) AS BIGINT)
+                       / (2 * CAST(SUM(np) AS BIGINT) * CAST(SUM(nn) AS BIGINT))
+             END AS auc
+      FROM cum"""),
+      (s, dir) => {
+        val toks = tokenized(s, dir)
+        val train = toks.where(col("doc_id") < 400)
+          .join(docs(s, dir).select("doc_id", "lang"), "doc_id")
+        val test = toks.where(col("doc_id") >= 400)
+        val sc = graft.text.NaiveBayes.scores(train, test, "lang", "tokens", "doc_id")
+        val margin = sc.groupBy("id")
+          .agg((max(when(col("label") === "en", col("score")))
+            - max(when(col("label") =!= "en", col("score")))).as("m"))
+        val lab = margin
+          .join(docs(s, dir).select(col("doc_id").as("id"),
+            when(col("lang") === "en", 1).otherwise(0).as("pos")), "id")
+        graft.text.Metrics.binaryAuc(lab, "m", "pos")
       })
   )
 }

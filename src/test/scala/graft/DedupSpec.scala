@@ -151,6 +151,47 @@ class DedupSpec extends SparkTestBase {
     assert(sh.isEmpty)
   }
 
+  test("prefix-filtered Jaccard equals the naive all-pairs answer at every threshold") {
+    // random corpus with a boilerplate tail every doc shares — the hot
+    // shingle lands at the END of every df-ordered prefix and must not
+    // break exactness (it is the case the filter exists to survive)
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta", "iota", "kappa")
+    val local = (1L to 30L).map { i =>
+      val n = 3 + rnd.nextInt(8)
+      i -> ((0 until n).map(_ => vocab(rnd.nextInt(vocab.size))) ++
+        Seq("hot", "boilerplate", "hot"))
+    }
+    val d = local.toDF("doc_id", "tokens")
+    def shingleSet(t: Seq[String]): Set[String] =
+      t.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSet
+    val sets = local.map { case (id, toks) => id -> shingleSet(toks) }
+    for ((num, den) <- Seq((1, 10), (1, 4), (1, 2), (7, 10), (1, 1))) {
+      val fast = Dedup.prefixJaccardPairs(d, "doc_id", "tokens", num, den)
+        .as[(Long, Long, Double)].collect().toSet
+      val naive = (for {
+        (a, sa) <- sets; (b, sb) <- sets if a < b
+        inter = (sa & sb).size
+        un = sa.size + sb.size - inter
+        if un > 0 && inter * den >= num * un
+      } yield (a, b, inter.toDouble / un)).toSet
+      assert(fast === naive, s"threshold $num/$den")
+    }
+  }
+
+  test("prefix-filtered Jaccard: sub-bigram docs drop out silently") {
+    val d = Seq(
+      (1L, Seq("big", "data", "spark")),
+      (2L, Seq("big", "data", "spark")),
+      (7L, Seq("solo")),
+      (8L, Seq[String]())
+    ).toDF("doc_id", "tokens")
+    val rows = Dedup.prefixJaccardPairs(d, "doc_id", "tokens", 1, 2)
+      .as[(Long, Long, Double)].collect()
+    assert(rows.toSeq === Seq((1L, 2L, 1.0)))
+  }
+
   test("verifyJaccard scores only the given pairs; empty-vs-empty is NULL not an error") {
     val d = Seq(
       (1L, Seq("big", "data", "spark", "engine")),

@@ -328,6 +328,28 @@ class PlanQualitySpec extends SparkTestBase {
       "vocabulary join must consume pre-aggregated token counts")
   }
 
+  test("q139 prefix Jaccard: prefix equi-joins only — no cartesian, no nested loop") {
+    val plan = collectAll(executed(q("q139_jaccard_prefix")))
+    assert(!plan.exists { case _: CartesianProductExec => true; case _ => false },
+      "candidates must come from the prefix-shingle equi-join")
+    assert(!plan.exists(_.nodeName.contains("BroadcastNestedLoopJoin")),
+      "the size filter must ride the equi-join, not force a nested loop")
+    // the one per-doc window (prefix ranking) must partition by doc
+    val windows = plan.filter(_.nodeName == "Window")
+    assert(windows.forall(_.toString.contains("doc_id")),
+      "prefix ranking must be bounded per doc, never corpus-wide")
+  }
+
+  test("q140 triangles: closure probe is an equi-join membership test") {
+    val plan = collectAll(executed(q("q140_triangles")))
+    assert(!plan.exists { case _: CartesianProductExec => true; case _ => false })
+    // the wedge→edge closure must be a semi join on (w_src, w_dst) —
+    // a probe, not a fan-out
+    assert(plan.exists(p => p.nodeName.contains("Join") &&
+        p.toString.contains("LeftSemi")),
+      "triangle closure must be a semi-join membership probe")
+  }
+
   test("q130 winsorized mean: bounds broadcast back; no window over lineitem") {
     val plan = collectAll(executed(q("q130_winsorized_mean")))
     assert(!plan.exists(_.nodeName == "Window"),
