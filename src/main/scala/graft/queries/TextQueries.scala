@@ -2361,6 +2361,47 @@ object TextQueries {
           .join(docs(s, dir).select(col("doc_id").as("id"),
             when(col("lang") === "en", 1).otherwise(0).as("pos")), "id")
         graft.text.Metrics.binaryAuc(lab, "m", "pos")
+      }),
+
+    // ---- q142: count-min sketch heavy hitters — the fixed-size
+    // frequency sketch of the approx family (q74 Bloom membership, q86
+    // KLL percentile, q87 HLL distinct), here with a FULL hash-match
+    // oracle: the md5 bucket hash mirrors verbatim in SQL, so sketch
+    // counters, estimates and per-token overcounts are bit-identical
+    // across engines — no probabilistic bound rows. Building is one
+    // hash agg onto ≤ 4×4096 counters (partial agg collapses each
+    // partition to sketch size before the shuffle); the CMS ≥-truth
+    // guarantee shows up as a gate-verified nonnegative overcount
+    // column for the exact top-20 tokens.
+    QueryDef("q142_cms_heavy_hitters", Some(s"""${toksCte()},
+      inst AS (SELECT unnest(tokens) AS token FROM toks),
+      ct AS (SELECT token, COUNT(*) AS true_cnt FROM inst GROUP BY 1),
+      top AS (SELECT token, true_cnt FROM ct ORDER BY true_cnt DESC, token LIMIT 20),
+      h AS (SELECT token, t.range AS r,
+              CAST('0x' || substr(md5(t.range || ':' || token), 1, 8) AS BIGINT)
+                % 4096 AS b
+            FROM inst, range(0, 4) t),
+      sk AS (SELECT r, b, CAST(COUNT(*) AS BIGINT) AS cnt FROM h GROUP BY 1, 2),
+      est AS (SELECT q.token, MIN(COALESCE(sk.cnt, 0)) AS cms_est
+              FROM (SELECT token, t.range AS r,
+                      CAST('0x' || substr(md5(t.range || ':' || token), 1, 8) AS BIGINT)
+                        % 4096 AS b
+                    FROM top, range(0, 4) t) q
+              LEFT JOIN sk ON sk.r = q.r AND sk.b = q.b
+              GROUP BY 1)
+      SELECT t.token, t.true_cnt, e.cms_est, e.cms_est - t.true_cnt AS overcount
+      FROM top t JOIN est e USING (token) ORDER BY token"""),
+      (s, dir) => {
+        val inst = tokenized(s, dir).select(explode(col("tokens")).as("token"))
+        val ct = inst.groupBy("token").agg(count(lit(1)).as("true_cnt"))
+        val top = ct.orderBy(col("true_cnt").desc, col("token")).limit(20)
+        val sk = graft.functions.CountMin.sketch(inst, col("token"), lit(1L),
+          depth = 4, width = 4096)
+        graft.functions.CountMin.estimate(top, col("token"), sk,
+            depth = 4, width = 4096)
+          .select(col("token"), col("true_cnt"), col("cms_est"),
+            (col("cms_est") - col("true_cnt")).as("overcount"))
+          .orderBy("token")
       })
   )
 }

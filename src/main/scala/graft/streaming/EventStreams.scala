@@ -232,6 +232,33 @@ object EventStreams {
           .mightContain(lit(vocabSketch), xxhash64(t)))).as("n_oov"))
       .withColumn("oov_rate", col("n_oov") / col("n_tokens"))
 
+  /** Streaming hot-token alarm against a stored count-min sketch — the
+    * serving twin of batch q142: each arriving document's distinct
+    * tokens are frequency-estimated against the batch-built sketch and
+    * those at or above `threshold` estimated corpus occurrences are
+    * flagged (the ingestion-time boilerplate/spam-burst detector).
+    * COMPLETELY stateless: the explode is a map-side generator, the
+    * sketch rides as `depth` broadcast stream-static joins with a
+    * `least` chain instead of a min aggregation
+    * ([[graft.functions.CountMin.estimateStateless]]) — no watermark,
+    * no state store, any event rate. CMS estimates never undercount,
+    * so a truly-hot token is never missed; collisions can only
+    * over-flag, bounded by the sketch dials.
+    * Input needs (ts, doc_id, text); emits one row per flagged
+    * (doc, token).
+    */
+  def heavyHitterFlags(docs: DataFrame, sketch: DataFrame, threshold: Long,
+                       depth: Int, width: Int,
+                       stopWords: Seq[String] = Nil): DataFrame = {
+    val toks = docs.select(col("doc_id"), col("ts"),
+      explode(array_distinct(
+        graft.text.Tokenize.tokens(col("text"), stopWords))).as("token"))
+    graft.functions.CountMin
+      .estimateStateless(toks, col("token"), sketch, depth, width)
+      .where(col("cms_est") >= threshold)
+      .select(col("doc_id"), col("ts"), col("token"), col("cms_est"))
+  }
+
   /** Custom keyed state via `flatMapGroupsWithState` (the 0..n-rows-per-
     * group extension point `mapGroupsWithState` can't express): emit an
     * anomaly row whenever a user's event value exceeds `factor` × their

@@ -379,6 +379,37 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming heavy-hitter flags against the stored count-min sketch, stateless") {
+    implicit val ctx = spark.sqlContext
+    // batch-build the frequency sketch: "data" ×3 and "spark" ×3 are
+    // the hot tokens; everything else appears once
+    val corpus = Seq(
+      (0L, "data spark big"), (1L, "data spark engine"), (2L, "data spark rules"))
+      .toDF("doc_id", "text")
+    val sketch = graft.functions.CountMin.sketch(
+        corpus.select(explode(graft.text.Tokenize.tokens(col("text"), Nil)).as("t")),
+        col("t"), lit(1L), depth = 4, width = 4096)
+      .localCheckpoint()
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val q = EventStreams.heavyHitterFlags(
+        input.toDF().toDF("ts", "doc_id", "text"), sketch,
+        threshold = 3L, depth = 4, width = 4096)
+      .writeStream.format("memory").queryName("hot")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData(
+        (ts(1), 10L, "spark data mystery"),     // spark + data flagged once each
+        (ts(2), 11L, "spark spark spark"),      // distinct → ONE flag row
+        (ts(3), 12L, "mystery words only"))     // nothing hot
+      q.processAllAvailable()
+      val got = spark.table("hot")
+        .select("doc_id", "token", "cms_est")
+        .as[(Long, String, Long)].collect().sortBy(r => (r._1, r._2))
+      assert(got === Seq((10L, "data", 3L), (10L, "spark", 3L), (11L, "spark", 3L)))
+    } finally q.stop()
+  }
+
   test("hot-swap serving: a republished index goes live without stream restart") {
     implicit val ctx = spark.sqlContext
     import graft.streaming.VectorStreams
