@@ -41,6 +41,23 @@ object TextQueries {
                          t -> t <> '' AND t NOT IN ('the','a')) AS tokens
       FROM documents WHERE $pred)"""
 
+  /** DuckDB CTE chain unrolling `rounds` simultaneous k-core peels over
+    * `s0(u, v)` (graph.KCore's algorithm): each round drops every node
+    * with fewer than k surviving neighbors, then keeps only edges whose
+    * BOTH endpoints survive. Peeling a fixpoint is a no-op, so `rounds`
+    * only needs to reach the cascade depth (q143 pins 5; the corpus
+    * peels in ≤3 at every SF). MATERIALIZED for the ccFixpointCtes
+    * reason: each round reads its predecessor three times.
+    */
+  private def kcorePeelCtes(k: Int, rounds: Int): String = (1 to rounds).map { i =>
+    s"""d$i AS MATERIALIZED (SELECT id, COUNT(*) AS d
+             FROM (SELECT u AS id FROM s${i - 1} UNION ALL SELECT v AS id FROM s${i - 1})
+             GROUP BY 1),
+      k$i AS MATERIALIZED (SELECT id FROM d$i WHERE d >= $k),
+      s$i AS MATERIALIZED (SELECT s.u, s.v FROM s${i - 1} s
+             JOIN k$i a ON a.id = s.u JOIN k$i b ON b.id = s.v)"""
+  }.mkString(",\n      ")
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- q20: tokenizer (P1-P3) — per-doc token counts.
@@ -2402,6 +2419,49 @@ object TextQueries {
           .select(col("token"), col("true_cnt"), col("cms_est"),
             (col("cms_est") - col("true_cnt")).as("overcount"))
           .orderBy("token")
-      })
+      }),
+
+    // ---- q143: 35-core of the SimHash near-dup graph (graph.KCore,
+    // 5 pinned peel rounds — the q124 fixed-iteration pattern; the
+    // corpus converges in ≤3 at every SF and peeling a fixpoint is a
+    // no-op). The structural community filter over dup evidence: LSH
+    // noise edges form low-degree fringes that peel away round by
+    // round (each removal can cascade its neighbors below k), genuine
+    // dup families are near-cliques and survive with their in-core
+    // degree. Each round = one endpoint hash-count + two semi-joins,
+    // materialized through the shared checkpoint dial.
+    QueryDef("q143_kcore", Some(s"""${toksCte("doc_id < 200")},
+      sig AS (SELECT doc_id, array_to_string(list_transform(range(1, 33), i ->
+                CASE WHEN COALESCE(list_sum(list_transform(list_distinct(tokens),
+                     t -> CASE WHEN substr(md5(t), i, 1) IN ('8','9','a','b','c','d','e','f')
+                               THEN 1 ELSE -1 END)), 0) >= 0
+                     THEN '1' ELSE '0' END), '') AS sig
+              FROM toks),
+      bits AS (SELECT doc_id,
+                 CAST(list_sum(list_transform(range(1, 33),
+                   i -> CASE WHEN substr(sig, i, 1) = '1'
+                             THEN (1::BIGINT << (32 - i)) ELSE 0 END)) AS BIGINT) AS sb
+               FROM sig),
+      band AS (SELECT doc_id, sb, t.range AS b,
+                      (sb >> ((3 - t.range) * 8)) & 255 AS chunk
+               FROM bits, range(0, 4) t),
+      cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                      a.sb AS sb_a, b.sb AS sb_b
+               FROM band a JOIN band b
+                 ON a.b = b.b AND a.chunk = b.chunk AND a.doc_id < b.doc_id),
+      s0 AS MATERIALIZED (SELECT id_a AS u, id_b AS v FROM cand
+            WHERE bit_count(xor(sb_a, sb_b)) <= 3),
+      ${kcorePeelCtes(k = 35, rounds = 5)}
+      SELECT id AS doc_id, CAST(COUNT(*) AS BIGINT) AS core_deg
+      FROM (SELECT u AS id FROM s5 UNION ALL SELECT v AS id FROM s5)
+      GROUP BY 1 ORDER BY doc_id"""),
+      (s, dir) =>
+        graft.graph.KCore.kCore(
+            Dedup.simhashNearDups(
+                tokenized(s, dir).where(col("doc_id") < 200), "doc_id", "tokens")
+              .select("id_a", "id_b"),
+            k = 35, rounds = 5)
+          .select(col("id").as("doc_id"), col("core_deg"))
+          .orderBy("doc_id"))
   )
 }

@@ -95,6 +95,22 @@ class CheckpointModeSpec extends SparkTestBase {
       "ranks must be bit-identical across checkpoint modes")
   }
 
+  test("k-core: bit-identical survivors across all three modes") {
+    // two 4-cliques joined by a single bridge edge: the bridge endpoints
+    // keep their in-clique degree, the bridge itself survives a 3-core
+    val clique = (base: Long) =>
+      for (a <- base to (base + 3); b <- (a + 1) to (base + 3)) yield (a, b)
+    val pairs = (clique(1L) ++ clique(11L) :+ ((4L, 11L))).toDF("id_a", "id_b")
+    val runs = modes("kcore").map { case (name, m) =>
+      val rows = graft.graph.KCore.kCore(pairs, k = 3, rounds = 4, checkpoint = m)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+      (name, rows)
+    }
+    assert(runs.head._2.size === 8, "both cliques must survive the 3-core")
+    assert(runs.map(_._2).distinct.size === 1,
+      "survivors must be identical across checkpoint modes")
+  }
+
   test("path mode releases superseded steps but keeps the final one readable") {
     val dir = s"$tmp/release-probe"
     val ids = (1L to 8L).toDF("doc_id")
