@@ -90,11 +90,16 @@ object Knn {
         longPath(unix_date(_).cast("long"), c => date_from_unix_date(c.cast("int")))
       case dt: DecimalType if dt.precision <= 18 =>
         // the unscaled value fits a long (10^18 < 2^63) and orders
-        // identically to the decimal; decode divides the scale back out
-        // (exact — the quotient has at most `scale` decimal digits)
+        // identically to the decimal; decode divides the scale back out.
+        // The buffer long is cast to decimal(19,0) — NOT (38,0) — so the
+        // division result precision (19 + max(6, scale+2) ≤ 38 after
+        // Spark's adjustment keeps scale ≥ 19) never clamps below the
+        // id's own scale: quotients are exact for every scale 0..18.
+        // A (38,0) numerator would overflow precision for scale > 6 and
+        // silently round ids to 6 fractional digits.
         val pow10 = lit(BigDecimal(10).pow(dt.scale))
         longPath(c => (c * pow10).cast("long"),
-          c => (c.cast(DecimalType(38, 0)) / pow10).cast(dt))
+          c => (c.cast(DecimalType(19, 0)) / pow10).cast(dt))
       case other =>
         System.err.println(s"[graft] topKSelect: no order-preserving buffer " +
           s"encoding for id type $other — falling back to the row_number " +
@@ -475,7 +480,10 @@ object Knn {
     e.agg(count(lit(1)).as("n_vectors")).crossJoin(nPairs)
       .select(col("n_vectors"), col("n_candidate_pairs"),
         expr("n_vectors * (n_vectors - 1) div 2").as("n_possible_pairs"),
-        (col("n_candidate_pairs") * 2 /
-          (col("n_vectors") * (col("n_vectors") - 1))).as("candidate_fraction"))
+        // ≤ 1 vector has no pairs: NULL fraction, never an ANSI 0/0
+        // (same guard as Triangles.triangleStats / Metrics.binaryAuc)
+        when(col("n_vectors") <= 1, lit(null).cast("double"))
+          .otherwise(col("n_candidate_pairs") * 2 /
+            (col("n_vectors") * (col("n_vectors") - 1))).as("candidate_fraction"))
   }
 }

@@ -73,8 +73,13 @@ object CountMin {
     * sketch row and a `least` across them — so it composes into a
     * STATELESS Structured-Streaming pipeline (stream-static joins need
     * no watermark or state store; a per-item min over probe rows
-    * would). Same answer as [[estimate]] row for row; depth is small
-    * (3–5), so the join chain stays a constant factor.
+    * would). Same ESTIMATE per item as [[estimate]], but different row
+    * multiplicity: [[estimate]] groups by all query columns and so
+    * collapses duplicate query rows into one output row, while this
+    * form preserves every input row (a stream can't collapse across
+    * rows statelessly). Deduplicate the query side first if you need
+    * the two to agree row for row. Depth is small (3–5), so the join
+    * chain stays a constant factor.
     */
   def estimateStateless(queries: DataFrame, item: Column, sketch: DataFrame,
                         depth: Int, width: Int): DataFrame = {

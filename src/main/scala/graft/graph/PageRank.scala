@@ -29,26 +29,70 @@ object PageRank {
   /** Ranks after `iters` rounds from a uniform start. `nodes` must
     * have one `id` column; `edges` (src, dst) are directed — pass both
     * directions for an undirected graph. Returns (id, rank).
+    *
+    * `resume = true` (Path mode only) re-enters a previous run's
+    * checkpoint dir after a driver loss: step 1 = ids, step 2 =
+    * adjacency (never released), step 3+i = ranks after iteration i.
+    * The restart picks up at the highest COMMITTED rank step (an
+    * uncommitted in-flight step is ignored and overwritten) and runs
+    * only the remaining iterations — bit-identical to the
+    * uninterrupted run, since each iteration is a pure function of the
+    * previous rank table (CheckpointModeSpec proves it). Falls back to
+    * a fresh run when the dir has no usable frontier.
     */
   def run(nodes: DataFrame, edges: DataFrame, iters: Int,
           damping: Double = 0.85,
           checkpoint: graft.operators.CheckpointMode =
-            graft.operators.CheckpointMode.Local): DataFrame = {
+            graft.operators.CheckpointMode.Local,
+          resume: Boolean = false): DataFrame = {
     require(iters >= 1, s"iters must be positive, got $iters")
     // `checkpoint` dials per-iteration durability (operators.
     // Checkpointer): Reliable/Path make a deep cluster run survive
-    // executor loss after lineage truncation.
+    // executor loss after lineage truncation; Path + resume survives
+    // driver loss too.
     val cp = new graft.operators.Checkpointer(checkpoint, "pagerank")
-    val ids = cp.materialize(nodes.select(col(nodes.columns.head).as("id")))
+    val spark = nodes.sparkSession
+    val resumed = (checkpoint, resume) match {
+      case (graft.operators.CheckpointMode.Path(dir), true) =>
+        for {
+          (s, frontier) <- graft.operators.Checkpointer
+            .lastCompleteStep(spark, dir, "pagerank")
+          if s >= 3 && s <= 3 + iters
+          idsF <- graft.operators.Checkpointer.completeStep(spark, dir, "pagerank", 1)
+          adjF <- graft.operators.Checkpointer.completeStep(spark, dir, "pagerank", 2)
+        } yield (s, frontier, idsF, adjF)
+      case _ => None
+    }
+    resumed match {
+      case Some((s, frontier, _, _)) if s == 3 + iters =>
+        frontier // previous run already finished all requested rounds
+      case Some((s, frontier, idsF, adjF)) =>
+        iterate(cp, idsF, adjF, cp.resumeAt(s, frontier),
+          rounds = iters - (s - 3), damping)
+      case None =>
+        val ids = cp.materialize(nodes.select(col(nodes.columns.head).as("id")))
+        val nRow = broadcast(ids.agg(count(lit(1)).cast("double").as("n")))
+        val deg = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("outdeg"))
+        // (src, dst, outdeg) materialized once — every iteration joins it
+        val adj = cp.materialize(edges.select(col("src"), col("dst"))
+          .join(deg, col("src") === col("id")).drop("id"))
+        val rank0 = cp.materialize(ids.crossJoin(nRow)
+          .select(col("id"), (lit(1.0) / col("n")).as("rank")))
+        iterate(cp, ids, adj, rank0, rounds = iters, damping)
+    }
+  }
+
+  /** The power-iteration loop proper, from an arbitrary starting rank
+    * table — shared by fresh runs (uniform start) and resumed runs
+    * (the recovered frontier).
+    */
+  private def iterate(cp: graft.operators.Checkpointer, ids: DataFrame,
+                      adj: DataFrame, rank0: DataFrame, rounds: Int,
+                      damping: Double): DataFrame = {
     val nRow = broadcast(ids.agg(count(lit(1)).cast("double").as("n")))
-    val deg = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("outdeg"))
-    // (src, dst, outdeg) materialized once — every iteration joins it
-    val adj = cp.materialize(edges.select(col("src"), col("dst"))
-      .join(deg, col("src") === col("id")).drop("id"))
-    var rank = cp.materialize(ids.crossJoin(nRow)
-      .select(col("id"), (lit(1.0) / col("n")).as("rank")))
+    var rank = rank0
     var prev: Option[DataFrame] = Some(rank)
-    for (_ <- 1 to iters) {
+    for (_ <- 1 to rounds) {
       val contrib = adj.join(rank, adj("src") === rank("id"))
         .groupBy(col("dst").as("id"))
         .agg(sum(col("rank") / col("outdeg")).as("c"))

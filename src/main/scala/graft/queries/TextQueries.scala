@@ -1365,7 +1365,8 @@ object TextQueries {
     // numeric semantics are pinned by RobustnessSpec fixtures.
     QueryDef("q103_compression_ratio", Some("""
       SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
-             TRUE AS doc_ratio_sane, TRUE AS rep_tiny, TRUE AS rep_lt_doc,
+             CASE WHEN strlen(text) >= 64 THEN TRUE END AS doc_ratio_sane,
+             TRUE AS rep_tiny, TRUE AS rep_lt_doc,
              TRUE AS rnd_in_band, TRUE AS dbl_lt_doc
       FROM documents WHERE LENGTH(text) >= 20 ORDER BY doc_id"""),
       (s, dir) =>

@@ -113,7 +113,12 @@ object TextStats {
     * of its first 3 chars, a 2048-char md5-chain pseudo-random hex
     * string, and the doc doubled. Bounds (measured on zlib 6 across
     * sf0.001/0.01/0.1 — margins in parens, 0 violations anywhere):
-    *  - doc_ratio_sane: 0.1 < ratio < 1.5    (measured 0.38–1.13)
+    *  - doc_ratio_sane: 0.1 < ratio < 1.5, NULL for docs under 64
+    *                    bytes (measured 0.38–1.13 at ≥ 64 B; below
+    *                    that, zlib framing — ~2 B header + 4 B adler +
+    *                    ~5 B block overhead — can push a short
+    *                    high-entropy doc past 1.5, so the bound is
+    *                    only claimed where payload dominates framing)
     *  - rep_tiny:       rep ratio < 0.05     (measured 0.0124, 4×)
     *  - rep_lt_doc:     rep < doc            (30× gap)
     *  - rnd_in_band:    0.35 < rnd < 0.8     (measured 0.557–0.567;
@@ -150,8 +155,9 @@ object TextStats {
             md.digest((text + i).getBytes("UTF-8")).map("%02x".format(_)).mkString
           }.mkString)
           val dbl = ratio(text + text)
-          (id, text.getBytes("UTF-8").length.toLong,
-            doc > 0.1 && doc < 1.5,
+          val nBytes = text.getBytes("UTF-8").length.toLong
+          (id, nBytes,
+            if (nBytes >= 64) Some(doc > 0.1 && doc < 1.5) else None,
             rep < 0.05,
             rep < doc,
             rnd > 0.35 && rnd < 0.8,

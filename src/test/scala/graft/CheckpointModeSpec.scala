@@ -111,6 +111,76 @@ class CheckpointModeSpec extends SparkTestBase {
       "survivors must be identical across checkpoint modes")
   }
 
+  test("path-mode resume: a killed run restarts from the last committed step, bit-identical") {
+    // same exact-FP fixture as the all-modes PageRank test
+    val nodes = (1L to 4L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("src", "dst")
+    val dir = s"$tmp/pagerank-resume"
+
+    // "driver died after iteration 2 of 5": a 2-iteration Path run leaves
+    // steps 1 (ids), 2 (adj), 5 (rank after iter 2) — 3, 4 were released
+    PageRank.run(nodes, edges, iters = 2,
+      checkpoint = CheckpointMode.Path(dir)).collect()
+    // ... and mid-write of the NEXT step: an uncommitted dir, no _SUCCESS
+    val inflight = new java.io.File(s"$dir/pagerank-step-6")
+    assert(inflight.mkdirs())
+    java.nio.file.Files.writeString(
+      inflight.toPath.resolve("part-junk.parquet"), "torn write")
+
+    val resumed = PageRank.run(nodes, edges, iters = 5,
+        checkpoint = CheckpointMode.Path(dir), resume = true)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+    val fresh = PageRank.run(nodes, edges, iters = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+    assert(resumed === fresh,
+      "resumed run must be bit-identical to an uninterrupted one")
+    // the restart re-entered at step 5: the torn step 6 was overwritten,
+    // iterations 3-5 wrote steps 6-8, and release kept only the frontier
+    val left = new java.io.File(dir).listFiles().map(_.getName).toSet
+    assert(left.contains("pagerank-step-8"), s"expected step 8 in $left")
+    assert(!left.contains("pagerank-step-5"),
+      s"resumed-from step must be released once superseded, found $left")
+  }
+
+  test("path-mode resume: an already-finished run is served from its frontier, no recompute") {
+    val nodes = (1L to 4L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("src", "dst")
+    val dir = s"$tmp/pagerank-noop-resume"
+    val first = PageRank.run(nodes, edges, iters = 2,
+        checkpoint = CheckpointMode.Path(dir))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+    val again = PageRank.run(nodes, edges, iters = 2,
+        checkpoint = CheckpointMode.Path(dir), resume = true)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+    assert(again === first)
+    val left = new java.io.File(dir).listFiles().map(_.getName).toSet
+    assert(!left.exists(_.startsWith("pagerank-step-6")),
+      s"a finished run must not write new steps on resume, found $left")
+  }
+
+  test("reliable mode: release deletes superseded checkpoint files, not just blocks") {
+    tmp // force checkpoint dir
+    val ckptRoot = new org.apache.hadoop.fs.Path(
+      spark.sparkContext.getCheckpointDir.get)
+    val fs = ckptRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def rddDirs(): Set[String] =
+      if (!fs.exists(ckptRoot)) Set.empty
+      else fs.listStatus(ckptRoot).map(_.getPath.getName).toSet
+    val before = rddDirs()
+    val nodes = (1L to 4L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("src", "dst")
+    PageRank.run(nodes, edges, iters = 5,
+      checkpoint = CheckpointMode.Reliable).collect()
+    val added = rddDirs() -- before
+    // 8 materializations (ids, adj, rank0, 5 iterations); the 5
+    // superseded rank steps must have had their files deleted
+    assert(added.size <= 3,
+      s"superseded reliable checkpoints must be deleted, ${added.size} dirs remain: $added")
+  }
+
   test("path mode releases superseded steps but keeps the final one readable") {
     val dir = s"$tmp/release-probe"
     val ids = (1L to 8L).toDF("doc_id")

@@ -77,6 +77,28 @@ class KnnSpec extends SparkTestBase {
       "ids must decode back to their original decimal type")
   }
 
+  test("decimal(18,10)-id kNN decodes fractional digits 7-10 exactly") {
+    // ids whose digits 7-10 after the point are NONZERO: a decode that
+    // clamps the quotient to decimal(38,6) (the old (38,0)-numerator
+    // overflow) silently rounds these — the decoded cand_id would come
+    // back as e.g. 3.0000000000 instead of 3.0000000003
+    val dEmb = Seq(
+      ("1.0000000001", Array(1.0f, 1.0f, 0.0f)),   // query
+      ("3.0000000003", Array(1.0f, 0.0f, 0.0f)),
+      ("-7.0000000007", Array(2.0f, 0.0f, 0.0f)),  // colinear with 3.0000000003
+      ("99.0000000099", Array(0.0f, 1.0f, 1.0f))
+    ).toDF("raw", "embedding")
+      .select(col("raw").cast("decimal(18,10)").as("vec_id"), col("embedding"))
+    val knn = Knn.cosineKnn(dEmb, "vec_id", "embedding",
+      col("vec_id") === lit(BigDecimal("1.0000000001")), k = 3)
+    assert(knn.queryExecution.executedPlan.collect {
+      case p if p.nodeName == "Window" => p
+    }.isEmpty, "decimal(18,10) ids must still take the mergeable path")
+    val rows = knn.orderBy("rk").collect().map(_.getDecimal(2).toPlainString)
+    assert(rows.toSeq === Seq("-7.0000000007", "3.0000000003", "99.0000000099"),
+      "digits 7-10 of the decimal id must survive the buffer round-trip exactly")
+  }
+
   test("timestamp-id kNN rides the long buffer via epoch micros, mergeable path") {
     val ts = (s: String) => java.sql.Timestamp.valueOf(s)
     val tEmb = Seq(
