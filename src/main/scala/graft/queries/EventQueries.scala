@@ -481,6 +481,36 @@ object EventQueries {
               / sqrt((col("s2") - col("s1") * col("s1") / col("n")) / col("n")))
               .as("z"))
           .orderBy("event_id")
+      }),
+
+    // ---- q144: Z-order clustered layout under the gate — write a copy
+    // of events clustered on the Morton curve over (user_id, value)
+    // (sources.ZOrder: quantize against broadcast bounds + bit-
+    // interleave + repartitionByRange, no collect, no UDF), then answer
+    // a TWO-dimension range filter FROM THE COPY. The oracle runs the
+    // same predicate over the flat table: bit-identical rows is the
+    // layout-invariance claim — clustering may only move rows between
+    // files, never change them. Both literals reach the copy's parquet
+    // scan as PushedFilters, and the row-group pruning the layout buys
+    // on the NON-leading dimension is locked by metrics in
+    // PlanQualitySpec (scan emits < half the copy's rows on a
+    // value-only slice, vs ~all rows on a user_id-sorted layout).
+    // The (user_id ≤ 7, value band) slice is ~350 rows at EVERY sf —
+    // fixed-size eval slices don't degenerate as the corpus grows.
+    QueryDef("q144_zorder_scan", Some("""
+      SELECT event_id, user_id, value FROM events
+      WHERE user_id <= 7 AND value BETWEEN 20.0 AND 260.0
+      ORDER BY event_id"""),
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select("event_id", "user_id", "value")
+        val zdir = s"${System.getProperty("java.io.tmpdir")}/graft_q144_z_" +
+          java.lang.Integer.toHexString(dir.hashCode)
+        graft.sources.ZOrder.writeZOrdered(ev, zdir,
+          Seq("user_id", "value"), nFiles = 16)
+        s.read.parquet(zdir)
+          .where(col("user_id") <= 7 && col("value").between(20.0, 260.0))
+          .select("event_id", "user_id", "value")
+          .orderBy("event_id")
       })
   )
 }

@@ -350,6 +350,46 @@ class PlanQualitySpec extends SparkTestBase {
       "triangle closure must be a semi-join membership probe")
   }
 
+  test("q144 z-order: row-group pruning engages on the NON-leading dimension") {
+    // the ZOrderSpec file-concentration claim, promoted into the
+    // executed-plan metrics layer: a value-only slice over the
+    // z-ordered copy must SCAN (post row-group-stats pruning) far fewer
+    // rows than the copy holds, while a user_id-sorted linear layout
+    // scans essentially everything — min/max stats on `value` are
+    // useless when every file spans the full value range
+    val events = graft.Tables.events(spark, sf("sf0.001"))
+      .select("event_id", "user_id", "value")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_zprune").toString
+    val zDir = s"$tmp/z"
+    val linDir = s"$tmp/lin"
+    graft.sources.ZOrder.writeZOrdered(events, zDir, Seq("user_id", "value"), 16)
+    events.repartitionByRange(16, org.apache.spark.sql.functions.col("user_id"))
+      .sortWithinPartitions("user_id")
+      .write.mode("overwrite").parquet(linDir)
+
+    def scanned(dir: String): (Long, String) = {
+      val df = spark.read.parquet(dir)
+        .where(org.apache.spark.sql.functions.col("value") > 250.0)
+      df.collect()
+      val scan = collectAll(df.queryExecution.executedPlan).collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.get
+      (scan.metrics("numOutputRows").value, scan.toString)
+    }
+    val total = events.count()
+    val (zRows, zScanStr) = scanned(zDir)
+    val (linRows, _) = scanned(linDir)
+    assert(zScanStr.contains("PushedFilters") && zScanStr.contains("value"),
+      "the value predicate must reach the parquet scan")
+    // (no absolute lower bound on linRows: the generator's per-user
+    // value maxima vary, so even a user-sorted layout prunes SOME files
+    // on a top-value slice — the layout claim is the relative one)
+    assert(zRows < total / 2,
+      s"z-order must let row-group stats prune a value slice: scanned $zRows of $total")
+    assert(zRows < linRows / 2,
+      s"z-ordered scan must beat linear by 2x+ on the non-leading dim: $zRows vs $linRows")
+  }
+
   test("q130 winsorized mean: bounds broadcast back; no window over lineitem") {
     val plan = collectAll(executed(q("q130_winsorized_mean")))
     assert(!plan.exists(_.nodeName == "Window"),
