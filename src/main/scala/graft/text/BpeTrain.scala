@@ -83,6 +83,95 @@ object BpeTrain {
     out.get
   }
 
+  /** Batched-merge BPE training — the scale fix for [[train]]'s
+    * sequential-round ceiling: a production 32k-merge vocabulary as 32k
+    * one-merge Spark jobs dies on job-scheduling wall-clock, not data.
+    * Here each round still runs ONE pair-count hash aggregation over
+    * the vocab-sized word table, but learns up to `batch` merges:
+    * take the top-`batch` candidates (count desc, then pair
+    * lexicographic), greedily KEEP each candidate in rank order unless
+    * it shares a symbol with an already-KEPT pick of this round (the
+    * q145 oracle unrolls the greedy chain as one NOT-EXISTS CTE per
+    * rank), and apply the survivors in one literal-replace chain in
+    * rank order. Survivors are pairwise symbol-disjoint by
+    * construction, so their replaces cannot consume each other's
+    * separators; symbols minted by an earlier replace in the chain are
+    * only ever re-merged in a LATER round, exactly like sequential BPE.
+    *
+    * `rounds` is fixed (so the oracle's unrolled-CTE structure is
+    * data-independent); the learned-merge count per round is
+    * data-dependent (1..batch). `batch = 1` degenerates EXACTLY to
+    * [[train]] with `merges = rounds` — BpeSpec proves bit-identical
+    * output. The ≤batch-row round winners ride the driver as a bounded
+    * model artifact (the q138 stored-model pattern), which also makes
+    * the apply step a pure map-side expression — no join at all.
+    *
+    * Emits one row per learned merge: (merge_rank — global, in learn
+    * order —, left_sym, right_sym, pair_count — the count at the
+    * round's start; for batch-mates past rank 1 it is not recounted
+    * after earlier merges of the same round, that is the documented
+    * batch semantics —, vocab_size_after — measured after the whole
+    * round's chain; batch-mates share it).
+    */
+  def trainBatched(words: DataFrame, wordCol: String, cntCol: String,
+                   rounds: Int, batch: Int,
+                   checkpoint: CheckpointMode = CheckpointMode.Local): DataFrame = {
+    require(rounds >= 1, s"rounds must be positive, got $rounds")
+    require(batch >= 1, s"batch must be positive, got $batch")
+    val spark = words.sparkSession
+    import spark.implicits._
+    val cp = new Checkpointer(checkpoint, "bpeb")
+    var rep = cp.materialize(words
+      .where(length(col(wordCol)) >= 1)
+      .select(concat(lit(" "), regexp_replace(col(wordCol), "(.)", "$1  "),
+        lit("</w> ")).as("s"),
+        col(cntCol).cast("long").as("cnt")))
+    var prevRep: Option[DataFrame] = Some(rep)
+    var out: Option[DataFrame] = None
+    var learned = 0
+    for (_ <- 1 to rounds) {
+      val syms = split(trim(col("s")), "  ")
+      val pairs = rep.where(size(syms) >= 2).select(col("cnt"),
+        explode(transform(sequence(lit(0), size(syms) - 2),
+          i => struct(get(syms, i).as("a"), get(syms, i + 1).as("b")))).as("p"))
+      // the round's candidate window: ≤ batch rows — a bounded model
+      // artifact, collected like q138's merge list
+      val topB = pairs.groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("cnt").as("c"))
+        .orderBy(col("c").desc, col("a"), col("b"))
+        .limit(batch)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      // greedy conflict drop: keep in rank order unless the candidate
+      // shares a symbol with an already-KEPT pick (a dropped candidate
+      // blocks nothing)
+      val kept = topB.foldLeft(Vector.empty[(String, String, Long)]) {
+        case (acc, (a, b, c)) =>
+          if (acc.exists { case (x, y, _) =>
+            x == a || x == b || y == a || y == b }) acc
+          else acc :+ ((a, b, c))
+      }
+      if (kept.nonEmpty) {
+        val applied = kept.foldLeft(col("s")) { case (s, (a, b, _)) =>
+          replace(s, lit(s" $a  $b "), lit(s" $a$b "))
+        }
+        val next = cp.materialize(rep.select(applied.as("s"), col("cnt")))
+        val vocab = next.select(explode(split(trim(col("s")), "  ")).as("sym"))
+          .agg(countDistinct("sym").as("vocab_size_after"))
+        val recs = kept.zipWithIndex.map { case ((a, b, c), i) =>
+          (learned + i + 1, a, b, c)
+        }.toSeq.toDF("merge_rank", "left_sym", "right_sym", "pair_count")
+        val round = cp.materialize(recs.crossJoin(vocab))
+        learned += kept.length
+        out = Some(out.map(_.union(round)).getOrElse(round))
+        prevRep.foreach(cp.release)
+        prevRep = Some(next)
+        rep = next
+      }
+    }
+    out.getOrElse(throw new IllegalStateException(
+      "trainBatched: no mergeable pair in any round (corpus fully merged?)"))
+  }
+
   /** SERVE side of the trained tokenizer: apply a learned merge list
     * (rank order — the artifact [[train]] emits) to a word column,
     * yielding the subword symbol array per word. The merge table is a

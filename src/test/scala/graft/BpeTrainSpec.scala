@@ -52,6 +52,37 @@ class BpeTrainSpec extends SparkTestBase {
     assert(got("cab") === List("c", "ab</w>"))
   }
 
+  test("batched(batch=1) is bit-identical to sequential train") {
+    // mixed corpus with ties and chained merges — exercises the
+    // tie-break and the round-to-round recount the batch window skips
+    val words = Seq(("ab", 3L), ("abc", 2L), ("aaa", 1L), ("cab", 2L))
+      .toDF("word", "cnt")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).sortBy(_._1).toSeq
+    val seqRows = rows(BpeTrain.train(words, "word", "cnt", merges = 4))
+    val batRows = rows(BpeTrain.trainBatched(words, "word", "cnt",
+      rounds = 4, batch = 1))
+    assert(batRows === seqRows,
+      "a batch window of 1 must degenerate exactly to sequential BPE")
+  }
+
+  test("batched round drops candidates sharing a symbol with a higher-ranked one") {
+    // round-1 pair counts over {ab x5, bc x3, cd x2}:
+    //   (a,b)=5 rk1, (b,</w>)=5 rk2 (shares b with rk1 → DROPPED),
+    //   (b,c)=3 rk3 (shares b → DROPPED), (c,</w>)=3 rk4 (shares
+    //   nothing with rk1 → KEPT; dropped rk2/rk3 don't block it)
+    val words = Seq(("ab", 5L), ("bc", 3L), ("cd", 2L)).toDF("word", "cnt")
+    val got = BpeTrain.trainBatched(words, "word", "cnt", rounds = 1, batch = 4)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).sortBy(_._1).toSeq
+    assert(got.map(t => (t._1, t._2, t._3, t._4)) ===
+      Seq((1, "a", "b", 5L), (2, "c", "</w>", 3L)),
+      s"conflict rule must judge against CANDIDATES, not kept picks; got $got")
+    // vocab after the round's one replace chain, shared by batch-mates
+    assert(got.map(_._5).distinct.size === 1)
+  }
+
   test("single-char words still train (word → char + end marker)") {
     val words = Seq(("x", 4L), ("y", 1L)).toDF("word", "cnt")
     val got = BpeTrain.train(words, "word", "cnt", merges = 1)
