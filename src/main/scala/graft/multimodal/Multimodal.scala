@@ -27,44 +27,43 @@ final case class DecodedVideo(
   * G.711 μ-law audio via `javax.sound.sampled` ([[auUlawDecoder]]);
   * and uncompressed VIDEO via the hand-rolled YUV4MPEG2 parser
   * ([[y4mDecoder]] — header tags, per-frame markers, planar raster).
-  * Only COMPRESSED video (no JDK codec, no feasible hand parser)
-  * remains behind deterministic stand-ins, clearly marked as functions
-  * of the bytes ([[fakeDecoder]], [[sampleFrames]]' md5 features).
-  * Everything around the decoders is real, tested Spark
-  * plumbing and is exactly where a JNI/ffmpeg decoder would plug in:
+  * No deterministic stand-ins remain: metadata ([[imageMeta]]) sniffs
+  * the container from magic bytes and decodes dims for real, and frame
+  * features ([[sampleFrames]]) come from the decoded Y planes. The
+  * only ceiling is formats with neither a JDK codec nor a feasible
+  * hand parser (compressed video, perceptual audio codecs); the
+  * decoder slots below are exactly where a JNI/ffmpeg decoder plugs
+  * in. Everything around the decoders is real, tested Spark plumbing:
   *  - binary payload columns + `STRUCT` metadata (schema),
   *  - batched partition-wise decode via `mapPartitions` (one decoder
   *    instance per partition, streamed row iterator — the Scala analogue
   *    of `mapInPandas` batch shape),
-  *  - frame sampling as a generator (`posexplode`) so one video row fans
-  *    out to N frame rows inside the distributed plan.
+  *  - frame sampling as a flatMap generator, so one video row fans out
+  *    to its sampled-frame rows inside the distributed plan.
   */
 object Multimodal {
 
   /** Payload synthesis for tests/demo corpora: utf8 bytes of a column. */
   def payload(c: Column): Column = c.cast("binary")
 
-  /** Value 0-15 of hex digit `i` (1-based) of a lowercase hex string —
-    * ascii arithmetic only, so it is expressible identically in any
-    * engine (used to keep the stub's oracle SQL bit-exact).
+  /** REAL image metadata: the container format sniffed from the
+    * payload's MAGIC BYTES (never trusted side metadata), dimensions
+    * decoded from those bytes by the JDK codec ([[imageIoDecoder]]).
+    * Unknown magic and undecodable payloads fail loudly — a metadata
+    * row never agrees with a corrupt payload by accident.
     */
-  private def hexNibble(h: Column, i: Int): Column = {
-    val a = ascii(h.substr(i, 1))
-    a - 48 - when(a >= 97, 39).otherwise(0)
-  }
-
-  /** STUB decode (column form): deterministic pseudo-metadata derived
-    * from md5 of the bytes. A real implementation would be a native
-    * `Expression` or partition-wise codec call; the schema contract is
-    * what matters.
-    */
-  def fakeImageMeta(bin: Column): Column = {
-    val h = md5(bin)
-    struct(
-      length(bin).cast("int").as("n_bytes"),
-      lit("fake/rgb8").as("format"),
-      (pmod(hexNibble(h, 1) * 16 + hexNibble(h, 2), lit(64)) + 1).cast("int").as("width"),
-      (pmod(hexNibble(h, 3) * 16 + hexNibble(h, 4), lit(64)) + 1).cast("int").as("height"))
+  def imageMeta(bytes: Array[Byte]): (String, Int, Int) = {
+    require(bytes.length >= 4, s"payload too short to sniff: ${bytes.length} bytes")
+    def at(i: Int): Int = bytes(i) & 0xff
+    val fmt =
+      if (at(0) == 0x89 && at(1) == 'P' && at(2) == 'N' && at(3) == 'G') "png"
+      else if (at(0) == 'B' && at(1) == 'M') "bmp"
+      else if (at(0) == 0xff && at(1) == 0xd8) "jpeg"
+      else if (at(0) == 'G' && at(1) == 'I' && at(2) == 'F') "gif"
+      else throw new IllegalArgumentException(
+        s"unrecognized image magic: ${bytes.take(4).map(b => f"${b & 0xff}%02x").mkString}")
+    val (w, h, _) = imageIoDecoder(bytes)
+    (fmt, w, h)
   }
 
   /** Resize planning on metadata: scale the longer side down to
@@ -81,29 +80,29 @@ object Multimodal {
       greatest(floor(h * scale), lit(1)).cast("int").as("height"))
   }
 
-  /** Frame sampling: one row per (video, frame index 0..n-1) with a
-    * per-frame deterministic feature hash — the generator shape of real
-    * frame extraction (the md5 stands in for a decoded frame embedding).
+  /** REAL frame sampling over Y4M payloads: decode the planar raster
+    * ([[y4mFrameStats]]) and emit one row per SAMPLED frame — stride
+    * `every`, starting at frame 0 — with the frame's mean luma
+    * computed from its Y plane (exact long sum, one double division,
+    * so the generator's closed-form oracle matches bit-for-bit). One
+    * payload row fans out to ceil(n_frames/every) frame rows inside
+    * the distributed plan; a compressed-format codec plugs into the
+    * same shape via [[decodeVideos]]' decoder slot.
     */
-  def sampleFrames(df: DataFrame, idCol: String, binCol: String, n: Int): DataFrame =
-    df.select(col(idCol),
-      posexplode(transform(sequence(lit(0), lit(n - 1)), i =>
-        md5(concat(col(binCol), lit("#").cast("binary"),
-          i.cast("string").cast("binary"))))).as(Seq("frame", "feature")))
-
-  /** The default STUB decoder: deterministic fake dimensions (CRC of the
-    * bytes, forward and reversed) and mean unsigned byte value as
-    * "luma". Replace with a real codec via the `decoder` parameter.
-    */
-  def fakeDecoder(bytes: Array[Byte]): (Int, Int, Double) = {
-    def crc(bs: Array[Byte]): Long = {
-      val c = new java.util.zip.CRC32(); c.update(bs); c.getValue
-    }
-    val w = (crc(bytes) % 64 + 1).toInt
-    val h = (crc(bytes.reverse) % 64 + 1).toInt
-    val luma = if (bytes.isEmpty) 0.0
-      else bytes.map(b => (b & 0xff).toDouble).sum / bytes.length
-    (w, h, luma)
+  def sampleFrames(df: DataFrame, idCol: String, binCol: String,
+                   every: Int): DataFrame = {
+    require(every >= 1, s"every must be positive, got $every")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        val (w, h, sums) = y4mFrameStats(bytes)
+        Iterator.range(0, sums.length, every).map { f =>
+          (id, f, sums(f).toDouble / (w.toLong * h))
+        }
+      })
+      .toDF(idCol, "frame", "mean_luma")
   }
 
   /** REAL image decode: parse a PPM payload (binary `P6` or plain-ASCII
@@ -557,6 +556,14 @@ object Multimodal {
   def jpegPayload(id: Long, w: Int, h: Int): Array[Byte] =
     imageIoBytes("jpg", w, h, testPixels(id, w, h))
 
+  /** REAL BMP payload via the JDK codec (BI_RGB — uncompressed,
+    * lossless): the second container of q48's mixed-format corpus,
+    * exercising [[imageMeta]]'s magic-byte sniff against a format whose
+    * header layout shares nothing with PNG's.
+    */
+  def bmpIoPayload(id: Long, w: Int, h: Int): Array[Byte] =
+    imageIoBytes("bmp", w, h, testPixels(id, w, h))
+
   /** Decode ANY ImageIO-supported payload (PNG, JPEG, GIF, BMP) with
     * the JDK codec: (width, height, mean RGB sample). The mean folds as
     * a Long sum over samples with ONE double division at the end —
@@ -710,7 +717,7 @@ object Multimodal {
     * binCol BINARY); output is a typed Dataset with a stable schema.
     */
   def decodeImages(df: DataFrame, idCol: String, binCol: String,
-                   decoder: Array[Byte] => (Int, Int, Double) = fakeDecoder): Dataset[DecodedImage] = {
+                   decoder: Array[Byte] => (Int, Int, Double) = imageIoDecoder): Dataset[DecodedImage] = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
@@ -773,6 +780,21 @@ object Multimodal {
     * colorspaces, and zero-frame streams all fail loudly.
     */
   def y4mDecoder(bytes: Array[Byte]): (Int, Int, Int, Double) = {
+    val (w, h, sums) = y4mFrameStats(bytes)
+    // aggregate mean from per-frame integer sums — bit-identical to
+    // summing all Y bytes directly (integer addition is exact)
+    (w, h, sums.length, sums.sum.toDouble / (sums.length.toLong * w * h))
+  }
+
+  /** Per-frame decode of a YUV4MPEG2 payload: (width, height, per-frame
+    * LUMA SUMS). The exact-integer per-frame sums are the primitive
+    * both [[y4mDecoder]] (aggregate mean) and [[sampleFrames]]
+    * (per-frame features) divide down from — one double division each,
+    * so both stay bit-exact against closed-form oracles. Parsing
+    * discipline as documented on [[y4mDecoder]]: computed plane sizes,
+    * loud failure on any desynchronization.
+    */
+  def y4mFrameStats(bytes: Array[Byte]): (Int, Int, Array[Long]) = {
     var i = 0
     def line(): String = {
       val s = i
@@ -812,21 +834,21 @@ object Multimodal {
       else if (cs == "mono") 0
       else throw new IllegalArgumentException(s"unsupported Y4M colorspace: C$cs")
     val ySize = w * h
-    var frames = 0
-    var sum = 0L
+    val sums = scala.collection.mutable.ArrayBuffer.empty[Long]
     while (i < bytes.length) {
       val fl = line()
       require(fl == "FRAME" || fl.startsWith("FRAME "),
         s"bad Y4M frame marker at byte $i")
       require(bytes.length - i >= ySize + 2 * cSize,
-        s"Y4M frame $frames raster truncated: ${bytes.length - i} < ${ySize + 2 * cSize}")
+        s"Y4M frame ${sums.length} raster truncated: ${bytes.length - i} < ${ySize + 2 * cSize}")
+      var sum = 0L
       var k = 0
       while (k < ySize) { sum += bytes(i + k) & 0xff; k += 1 }
+      sums += sum
       i += ySize + 2 * cSize
-      frames += 1
     }
-    require(frames > 0, "Y4M stream has no frames")
-    (w, h, frames, sum.toDouble / (frames.toLong * ySize))
+    require(sums.nonEmpty, "Y4M stream has no frames")
+    (w, h, sums.toArray)
   }
 
   /** Partition-wise video decode — same batch shape as [[decodeImages]]

@@ -9,61 +9,96 @@ import org.apache.spark.sql.functions._
   * the JDK's own `javax.imageio` codec (java.desktop — no external
   * library): q120 verifies the full PNG encode→decode round trip
   * against a closed-form pixel oracle, q121 bounds the lossy JPEG path.
-  * Video is REAL for uncompressed YUV4MPEG2 (q135 — header, frame
-  * markers, planar raster). Only formats with neither a JDK codec nor
-  * a feasible hand parser (compressed audio/video) remain behind
-  * deterministic stand-ins on the same plumbing (q46/q48), which is
-  * where an external codec would plug in.
+  * Video is REAL for uncompressed YUV4MPEG2 (q135/q46 — header, frame
+  * markers, planar raster; q46 adds per-frame features). Image
+  * metadata (q48) sniffs the container from magic bytes and decodes
+  * dims with the JDK codec. No deterministic stand-ins remain: the
+  * only ceiling is formats with neither a JDK codec nor a feasible
+  * hand parser (compressed video, perceptual codecs), which is where
+  * an external codec plugs into the decoder slots.
   */
 object MultimodalQueries {
 
   val defs: Seq[QueryDef] = Seq(
 
-    // ---- q46: video frame sampling — one payload row fans out to N
-    // frame rows with a per-frame deterministic feature (generator shape).
+    // ---- q46: REAL video frame sampling — synthesize a Y4M stream per
+    // doc (the q135 generator), decode the planar raster, and emit one
+    // row per SAMPLED frame (stride 2) with the frame's mean luma from
+    // its Y plane. The md5 pseudo-feature stub is gone: the per-frame
+    // feature is decoded out of the payload bytes, and the oracle
+    // recomputes the generator's closed form per frame — exact integer
+    // sum, one double division, bit-equal.
     QueryDef("q46_frame_sample", Some("""
-      SELECT doc_id, CAST(t.range AS INTEGER) AS frame,
-             md5(text || '#' || CAST(t.range AS VARCHAR)) AS feature
-      FROM documents, range(0, 3) t
+      WITH p AS (SELECT doc_id,
+                   CAST((n_chars % 4 + 1) * 2 AS INTEGER) AS w,
+                   CAST(((n_chars // 4) % 4 + 1) * 2 AS INTEGER) AS h,
+                   CAST(doc_id % 5 + 2 AS INTEGER) AS nf
+                 FROM documents)
+      SELECT doc_id, CAST(f AS INTEGER) AS frame,
+             CAST(list_sum(list_transform(range(0, w*h), k ->
+                    (doc_id*7 + f*31 + k*13) % 256)) AS DOUBLE)
+               / (w*h) AS mean_luma
+      FROM (SELECT doc_id, w, h, UNNEST(range(0, nf)) AS f FROM p)
+      WHERE f % 2 = 0
       ORDER BY doc_id, frame"""),
-      (s, dir) =>
-        Multimodal.sampleFrames(
-            Tables.read(s, dir, "documents")
-              .select(col("doc_id"), Multimodal.payload(col("text")).as("payload")),
-            "doc_id", "payload", 3)
-          .orderBy("doc_id", "frame")),
-
-    // ---- q48: stub image decode + resize planning over binary payloads
-    // (metadata struct flattened for the oracle compare).
-    QueryDef("q48_image_meta", Some("""
-      WITH m AS (SELECT doc_id, md5(text) AS h,
-                        CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes
-                 FROM documents),
-      n AS (SELECT doc_id, n_bytes,
-              ascii(substr(h,1,1)) - 48 - CASE WHEN ascii(substr(h,1,1)) >= 97 THEN 39 ELSE 0 END AS n1,
-              ascii(substr(h,2,1)) - 48 - CASE WHEN ascii(substr(h,2,1)) >= 97 THEN 39 ELSE 0 END AS n2,
-              ascii(substr(h,3,1)) - 48 - CASE WHEN ascii(substr(h,3,1)) >= 97 THEN 39 ELSE 0 END AS n3,
-              ascii(substr(h,4,1)) - 48 - CASE WHEN ascii(substr(h,4,1)) >= 97 THEN 39 ELSE 0 END AS n4
-            FROM m),
-      d AS (SELECT doc_id, n_bytes, 'fake/rgb8' AS format,
-                   CAST(((n1*16 + n2) % 64) + 1 AS INTEGER) AS width,
-                   CAST(((n3*16 + n4) % 64) + 1 AS INTEGER) AS height
-            FROM n)
-      SELECT doc_id, n_bytes, format, width, height,
-             CAST(GREATEST(FLOOR(width * CASE WHEN GREATEST(width, height) > 32
-                    THEN 32 / GREATEST(width, height) ELSE 1.0 END), 1) AS INTEGER) AS rs_width,
-             CAST(GREATEST(FLOOR(height * CASE WHEN GREATEST(width, height) > 32
-                    THEN 32 / GREATEST(width, height) ELSE 1.0 END), 1) AS INTEGER) AS rs_height
-      FROM d ORDER BY doc_id"""),
       (s, dir) => {
-        val meta = Multimodal.fakeImageMeta(Multimodal.payload(col("text")))
-        val rs = Multimodal.resizedMeta(col("meta"), 32)
-        Tables.read(s, dir, "documents")
-          .withColumn("meta", meta)
-          .withColumn("rs", rs)
+        import s.implicits._
+        val pay = Tables.read(s, dir, "documents")
           .select(col("doc_id"),
-            col("meta.n_bytes").as("n_bytes"), col("meta.format").as("format"),
-            col("meta.width").as("width"), col("meta.height").as("height"),
+            ((col("n_chars") % 4 + 1) * 2).cast("int").as("w"),
+            ((expr("n_chars div 4") % 4 + 1) * 2).cast("int").as("h"),
+            (col("doc_id") % 5 + 2).cast("int").as("nf"))
+          .as[(Long, Int, Int, Int)]
+          .mapPartitions(_.map { case (id, w, h, nf) =>
+            (id, Multimodal.y4mPayload(id, w, h, nf))
+          })
+          .toDF("doc_id", "payload")
+        Multimodal.sampleFrames(pay, "doc_id", "payload", every = 2)
+          .orderBy("doc_id", "frame")
+      }),
+
+    // ---- q48: REAL image metadata + resize planning — a MIXED-format
+    // corpus (PNG for even doc_ids, BMP for odd; both encoded by the
+    // JDK codec), the container sniffed from each payload's MAGIC
+    // BYTES, dimensions decoded from the bytes, then the metadata-only
+    // resize plan. The md5-derived fake dims are gone; the oracle
+    // recomputes dims from the generator's closed form and the format
+    // from the parity that chose the container. (No n_bytes column:
+    // PNG stream length is encoder-dependent — the lossless PIXEL
+    // round trip is pinned by q120 instead.)
+    QueryDef("q48_image_meta", Some("""
+      WITH p AS (SELECT doc_id,
+                   CAST(n_chars % 9 + 1 AS INTEGER) AS w,
+                   CAST((n_chars // 9) % 9 + 1 AS INTEGER) AS h,
+                   CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS format
+                 FROM documents)
+      SELECT doc_id, format, w AS width, h AS height,
+             CAST(GREATEST(FLOOR(w * CASE WHEN GREATEST(w, h) > 4
+                    THEN 4 / GREATEST(w, h) ELSE 1.0 END), 1) AS INTEGER) AS rs_width,
+             CAST(GREATEST(FLOOR(h * CASE WHEN GREATEST(w, h) > 4
+                    THEN 4 / GREATEST(w, h) ELSE 1.0 END), 1) AS INTEGER) AS rs_height
+      FROM p ORDER BY doc_id"""),
+      (s, dir) => {
+        import s.implicits._
+        val pay = Tables.read(s, dir, "documents")
+          .select(col("doc_id"), (col("n_chars") % 9 + 1).cast("int").as("w"),
+            (expr("n_chars div 9") % 9 + 1).cast("int").as("h"))
+          .as[(Long, Int, Int)]
+          .mapPartitions(_.map { case (id, w, h) =>
+            (id, if (id % 2 == 0) Multimodal.pngPayload(id, w, h)
+                 else Multimodal.bmpIoPayload(id, w, h))
+          })
+          .toDF("doc_id", "payload")
+        val meta = pay.as[(Long, Array[Byte])]
+          .mapPartitions(_.map { case (id, bytes) =>
+            val (fmt, w, h) = Multimodal.imageMeta(bytes)
+            (id, fmt, w, h)
+          })
+          .toDF("doc_id", "format", "width", "height")
+        meta
+          .withColumn("rs", Multimodal.resizedMeta(
+            struct(col("width"), col("height")), 4))
+          .select(col("doc_id"), col("format"), col("width"), col("height"),
             col("rs.width").as("rs_width"), col("rs.height").as("rs_height"))
           .orderBy("doc_id")
       }),
@@ -72,7 +107,7 @@ object MultimodalQueries {
     // file per doc, then parse width/height/mean-luma back OUT OF THE
     // PAYLOAD BYTES (regex header parse + raster-sample average; the
     // dimensions never reference the doc columns they were derived
-    // from). The byte-derived successor to q48's stub decode; the exact
+    // from). The first fully-byte-derived image decode query; the exact
     // long sum / single double division keeps both engines bit-equal.
     QueryDef("q75_ppm_decode", Some("""
       WITH p AS (SELECT doc_id,

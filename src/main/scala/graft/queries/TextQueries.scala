@@ -1984,8 +1984,8 @@ object TextQueries {
           .orderBy("doc_id", "chunk_idx")
       }),
 
-    // ---- q40: multimodal plumbing — opaque binary payload + metadata
-    // (decode itself is stubbed; see graft.multimodal).
+    // ---- q40: multimodal plumbing — opaque binary payload + byte-level
+    // metadata (format-aware decode lives in graft.multimodal: q48/q120+).
     QueryDef("q40_binary_meta", Some("""
       SELECT doc_id,
              CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,

@@ -12,22 +12,23 @@ class MultimodalSpec extends SparkTestBase {
     (3L, "another payload with more bytes in it than the first one")
   ).toDF("id", "raw").select(col("id"), Multimodal.payload(col("raw")).as("bin"))
 
-  test("stub image metadata: deterministic, bounded dimensions, exact byte count") {
-    val rows = media.select(col("id"), Multimodal.fakeImageMeta(col("bin")).as("m"))
-      .select("id", "m.n_bytes", "m.format", "m.width", "m.height")
-      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getString(2), r.getInt(3), r.getInt(4))).toMap
-    assert(rows(1L)._1 === 25)
-    assert(rows(2L)._1 === 0)
-    rows.values.foreach { case (_, fmt, w, h) =>
-      assert(fmt === "fake/rgb8")
-      assert(w >= 1 && w <= 64)
-      assert(h >= 1 && h <= 64)
+  test("imageMeta sniffs the container from magic bytes, dims from the real decode") {
+    val png = Multimodal.pngPayload(5L, 7, 3)
+    val bmp = Multimodal.bmpIoPayload(6L, 2, 9)
+    assert(Multimodal.imageMeta(png) === ("png", 7, 3))
+    assert(Multimodal.imageMeta(bmp) === ("bmp", 2, 9))
+    // the sniff reads MAGIC, not an extension or side channel: garbage
+    // and too-short payloads fail loudly
+    intercept[IllegalArgumentException] {
+      Multimodal.imageMeta("not an image payload".getBytes("UTF-8"))
     }
-    // determinism: same payload → same meta
-    val again = media.select(Multimodal.fakeImageMeta(col("bin")).as("m"))
-      .select("m.width").collect().map(_.getInt(0)).toSeq
-    assert(again === media.select(Multimodal.fakeImageMeta(col("bin")).as("m"))
-      .select("m.width").collect().map(_.getInt(0)).toSeq)
+    intercept[IllegalArgumentException] {
+      Multimodal.imageMeta(Array[Byte](1, 2))
+    }
+    // a JPEG magic with an undecodable body must not yield meta
+    intercept[Exception] {
+      Multimodal.imageMeta(Array(0xff, 0xd8, 0x00, 0x00).map(_.toByte))
+    }
   }
 
   test("resize planning halves the long side to maxSide, keeps aspect, floors at 1") {
@@ -41,29 +42,38 @@ class MultimodalSpec extends SparkTestBase {
     assert(rs(3L) === (1, 32))    // 1×100 → floor(0.32)=0 clamped to 1 × 32
   }
 
-  test("frame sampling fans one row out to n frames with distinct features") {
-    val frames = Multimodal.sampleFrames(media, "id", "bin", 4)
-    assert(frames.count() === 12)
-    val f1 = frames.where(col("id") === 1L).orderBy("frame")
-      .select("frame", "feature").as[(Int, String)].collect()
-    assert(f1.map(_._1).toSeq === Seq(0, 1, 2, 3))
-    assert(f1.map(_._2).distinct.length === 4)
+  test("frame sampling decodes per-frame luma from the Y4M raster, stride sampling") {
+    val vids = Seq(
+      (1L, Multimodal.y4mPayload(1L, 4, 2, 5)),
+      (2L, Multimodal.y4mPayload(2L, 2, 2, 1))
+    ).toDF("id", "bin")
+    val rows = Multimodal.sampleFrames(vids, "id", "bin", every = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    assert(rows.filter(_._1 == 1L).map(_._2).sorted.toSeq === Seq(0, 2, 4),
+      "stride 2 over 5 frames samples 0, 2, 4")
+    assert(rows.filter(_._1 == 2L).map(_._2).toSeq === Seq(0))
+    // the feature is the frame's REAL mean luma: generator closed form
+    // for id=1, frame 2, over the 4x2 Y plane
+    val expect = (0 until 8).map(k => (1 * 7 + 2 * 31 + k * 13) % 256)
+      .sum.toDouble / 8
+    assert(rows.find(r => r._1 == 1L && r._2 == 2).get._3 === expect)
   }
 
-  test("partition-wise decode: typed output, deterministic stub, per-row luma") {
-    val decoded = Multimodal.decodeImages(media, "id", "bin")
+  test("partition-wise decode: typed output, JDK codec default, custom decoder plugs in") {
+    val imgs = Seq(
+      (1L, Multimodal.pngPayload(1L, 3, 2)),
+      (2L, Multimodal.bmpIoPayload(2L, 4, 4))
+    ).toDF("id", "bin")
+    val decoded = Multimodal.decodeImages(imgs, "id", "bin")
       .collect().map(d => d.id -> d).toMap
-    assert(decoded.size === 3)
-    assert(decoded(2L).n_bytes === 0)
-    assert(decoded(2L).mean_luma === 0.0)
-    assert(decoded(1L).n_bytes === 25)
-    // "a tiny fake image payload" mean unsigned byte value
-    val expect = "a tiny fake image payload".getBytes("UTF-8")
-      .map(b => (b & 0xff).toDouble).sum / 25
-    assert(math.abs(decoded(1L).mean_luma - expect) < 1e-12)
-    assert(decoded(1L).width >= 1 && decoded(1L).width <= 64)
+    assert(decoded(1L).width === 3 && decoded(1L).height === 2)
+    assert(decoded(2L).width === 4 && decoded(2L).height === 4)
+    // both containers are lossless: decoded mean equals the
+    // generator's closed form exactly
+    assert(decoded(1L).mean_luma === Multimodal.testPixelsMean(1L, 3, 2))
+    assert(decoded(2L).mean_luma === Multimodal.testPixelsMean(2L, 4, 4))
     // custom decoder plugs in per-partition
-    val custom = Multimodal.decodeImages(media, "id", "bin",
+    val custom = Multimodal.decodeImages(imgs, "id", "bin",
       bytes => (7, 9, 1.5)).collect()
     assert(custom.forall(d => d.width === 7 && d.height === 9 && d.mean_luma === 1.5))
   }
