@@ -52,6 +52,20 @@ object CountMin {
       .groupBy("r", "b").agg(sum("w").as("cnt"))
   }
 
+  /** Merge sketches built with the SAME (depth, width, hash) dial by
+    * counter-wise addition — the property that makes the artifact
+    * unionable across corpus shards and streamable: build per shard
+    * where the data lives, ship only depth·width counters, add. The
+    * result is EXACTLY the sketch of the concatenated corpora
+    * (CountMinSpec proves it; q146 proves it under the DuckDB gate),
+    * because each counter is a plain sum over its hash bucket.
+    */
+  def merge(sketches: DataFrame*): DataFrame = {
+    require(sketches.nonEmpty, "merge needs at least one sketch")
+    sketches.reduce(_ unionByName _)
+      .groupBy("r", "b").agg(sum("cnt").as("cnt"))
+  }
+
   /** Point-estimate the frequency of every item in `queries`: join each
     * (item, row-i bucket) against the sketch and take the min over
     * rows. Items whose every counter is empty estimate 0 (the min

@@ -2521,6 +2521,77 @@ object TextQueries {
           .orderBy("token")
       }),
 
+    // ---- q146: CMS SHARD MERGE under the gate — the mergeability
+    // claim where the driver can verify it: build one sketch per
+    // DISJOINT corpus shard (doc_id parity), merge counter-wise
+    // (CountMin.merge — union + one hash agg), and estimate the top-20
+    // tokens from BOTH the merged and the whole-corpus sketch. The
+    // merge_drift column is computed (not asserted) in both engines;
+    // its all-zero hash match IS the proof that shard-local builds +
+    // counter addition equal the monolithic build — the shape that
+    // lets 100 TB sketch where the data lives and ship only
+    // depth×width counters.
+    QueryDef("q146_cms_shard_merge", Some(s"""${toksCte()},
+      inst AS (SELECT doc_id, unnest(tokens) AS token FROM toks),
+      ct AS (SELECT token, COUNT(*) AS true_cnt FROM inst GROUP BY 1),
+      top AS (SELECT token, true_cnt FROM ct ORDER BY true_cnt DESC, token LIMIT 20),
+      hA AS (SELECT token, t.range AS r,
+               CAST('0x' || substr(md5(t.range || ':' || token), 1, 8) AS BIGINT)
+                 % 4096 AS b
+             FROM inst, range(0, 4) t WHERE doc_id % 2 = 0),
+      skA AS (SELECT r, b, CAST(COUNT(*) AS BIGINT) AS cnt FROM hA GROUP BY 1, 2),
+      hB AS (SELECT token, t.range AS r,
+               CAST('0x' || substr(md5(t.range || ':' || token), 1, 8) AS BIGINT)
+                 % 4096 AS b
+             FROM inst, range(0, 4) t WHERE doc_id % 2 = 1),
+      skB AS (SELECT r, b, CAST(COUNT(*) AS BIGINT) AS cnt FROM hB GROUP BY 1, 2),
+      skM AS (SELECT r, b, CAST(SUM(cnt) AS BIGINT) AS cnt
+              FROM (SELECT * FROM skA UNION ALL SELECT * FROM skB) GROUP BY 1, 2),
+      hW AS (SELECT token, t.range AS r,
+               CAST('0x' || substr(md5(t.range || ':' || token), 1, 8) AS BIGINT)
+                 % 4096 AS b
+             FROM inst, range(0, 4) t),
+      skW AS (SELECT r, b, CAST(COUNT(*) AS BIGINT) AS cnt FROM hW GROUP BY 1, 2),
+      q AS (SELECT token, true_cnt, t.range AS r,
+              CAST('0x' || substr(md5(t.range || ':' || token), 1, 8) AS BIGINT)
+                % 4096 AS b
+            FROM top, range(0, 4) t),
+      estM AS (SELECT q.token, q.true_cnt, MIN(COALESCE(skM.cnt, 0)) AS merged_est
+               FROM q LEFT JOIN skM ON skM.r = q.r AND skM.b = q.b GROUP BY 1, 2),
+      estW AS (SELECT q.token, MIN(COALESCE(skW.cnt, 0)) AS whole_est
+               FROM q LEFT JOIN skW ON skW.r = q.r AND skW.b = q.b GROUP BY 1)
+      SELECT m.token, m.true_cnt, m.merged_est, w.whole_est,
+             m.merged_est - w.whole_est AS merge_drift
+      FROM estM m JOIN estW w USING (token) ORDER BY token"""),
+      (s, dir) => {
+        import graft.functions.CountMin
+        // 4 consumers (true counts + 3 sketch builds): materialize the
+        // exploded instance table once, not once per branch
+        val inst = tokenized(s, dir)
+          .select(col("doc_id"), explode(col("tokens")).as("token"))
+          .localCheckpoint()
+        val top = inst.groupBy("token").agg(count(lit(1)).as("true_cnt"))
+          .orderBy(col("true_cnt").desc, col("token")).limit(20)
+          .localCheckpoint()
+        val skA = CountMin.sketch(inst.where(col("doc_id") % 2 === 0),
+          col("token"), lit(1L), depth = 4, width = 4096)
+        val skB = CountMin.sketch(inst.where(col("doc_id") % 2 === 1),
+          col("token"), lit(1L), depth = 4, width = 4096)
+        val merged = CountMin.merge(skA, skB)
+        val whole = CountMin.sketch(inst, col("token"), lit(1L),
+          depth = 4, width = 4096)
+        val eM = CountMin.estimate(top, col("token"), merged, depth = 4, width = 4096)
+          .withColumnRenamed("cms_est", "merged_est")
+        val eW = CountMin.estimate(top.drop("true_cnt"), col("token"), whole,
+            depth = 4, width = 4096)
+          .withColumnRenamed("cms_est", "whole_est")
+        eM.join(eW, "token")
+          .select(col("token"), col("true_cnt"), col("merged_est"),
+            col("whole_est"),
+            (col("merged_est") - col("whole_est")).as("merge_drift"))
+          .orderBy("token")
+      }),
+
     // ---- q143: 35-core of the SimHash near-dup graph (graph.KCore,
     // 5 pinned peel rounds — the q124 fixed-iteration pattern; the
     // corpus converges in ≤3 at every SF and peeling a fixpoint is a

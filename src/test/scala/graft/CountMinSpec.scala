@@ -51,9 +51,9 @@ class CountMinSpec extends SparkTestBase {
     val b = Seq("y", "z").toDF("token")
     val whole = CountMin.sketch(a.union(b), col("token"), lit(1L), D, W)
       .as[(Int, Long, Long)].collect().sorted.toSeq
-    val merged = CountMin.sketch(a, col("token"), lit(1L), D, W)
-      .union(CountMin.sketch(b, col("token"), lit(1L), D, W))
-      .groupBy("r", "b").agg(sum("cnt").as("cnt"))
+    val merged = CountMin.merge(
+        CountMin.sketch(a, col("token"), lit(1L), D, W),
+        CountMin.sketch(b, col("token"), lit(1L), D, W))
       .as[(Int, Long, Long)].collect().sorted.toSeq
     assert(whole === merged)
   }
