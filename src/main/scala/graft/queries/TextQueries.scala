@@ -49,6 +49,27 @@ object TextQueries {
     * peels in ≤3 at every SF). MATERIALIZED for the ccFixpointCtes
     * reason: each round reads its predecessor three times.
     */
+  /** DuckDB CTE chain unrolling `rounds` synchronous label-propagation
+    * updates over `edges(u, v)` (symmetric, MATERIALIZED upstream) and
+    * `l0(id, label)` (graph.LabelProp's algorithm): per round every
+    * node adopts the plurality label among its neighbors' current
+    * labels plus its OWN self ballot (the self-inclusive variant —
+    * see LabelProp's scaladoc), ties to the SMALLEST label via a
+    * ROW_NUMBER over the grouped ballot counts. Every node casts the
+    * self ballot, so the winner table is total: `l<rounds>` holds the
+    * final labels directly.
+    */
+  private def lpaCtes(rounds: Int): String = (1 to rounds).map { i =>
+    s"""l$i AS MATERIALIZED (SELECT u AS id, label FROM (
+             SELECT t.u, t.label,
+                    ROW_NUMBER() OVER (PARTITION BY t.u
+                      ORDER BY COUNT(*) DESC, t.label) AS rk
+             FROM (SELECT e.u, l.label FROM edges e JOIN l${i - 1} l ON l.id = e.v
+                   UNION ALL SELECT id AS u, label FROM l${i - 1}) t
+             GROUP BY t.u, t.label)
+           WHERE rk = 1)"""
+  }.mkString(",\n      ")
+
   private def kcorePeelCtes(k: Int, rounds: Int): String = (1 to rounds).map { i =>
     s"""d$i AS MATERIALIZED (SELECT id, COUNT(*) AS d
              FROM (SELECT u AS id FROM s${i - 1} UNION ALL SELECT v AS id FROM s${i - 1})
@@ -2633,6 +2654,53 @@ object TextQueries {
               .select("id_a", "id_b"),
             k = 35, rounds = 5)
           .select(col("id").as("doc_id"), col("core_deg"))
-          .orderBy("doc_id"))
+          .orderBy("doc_id")),
+
+    // ---- q147: label propagation over the SimHash near-dup graph
+    // (graph.LabelProp, 4 pinned synchronous rounds — the q124/q143
+    // fixed-iteration pattern). The community view of the same dup
+    // evidence q143 prunes: min-id components over-merge through a
+    // single LSH noise edge, while plurality voting lets each dense
+    // dup family keep its own label and outvote the bridge. Per round:
+    // one equi-join + two hash aggs (the winner is min(struct(-n,
+    // label)) over neighbor-plus-self ballots — mergeable, no per-node
+    // window), through the shared checkpoint dial.
+    QueryDef("q147_label_prop", Some(s"""${toksCte("doc_id < 200")},
+      sig AS (SELECT doc_id, array_to_string(list_transform(range(1, 33), i ->
+                CASE WHEN COALESCE(list_sum(list_transform(list_distinct(tokens),
+                     t -> CASE WHEN substr(md5(t), i, 1) IN ('8','9','a','b','c','d','e','f')
+                               THEN 1 ELSE -1 END)), 0) >= 0
+                     THEN '1' ELSE '0' END), '') AS sig
+              FROM toks),
+      bits AS (SELECT doc_id,
+                 CAST(list_sum(list_transform(range(1, 33),
+                   i -> CASE WHEN substr(sig, i, 1) = '1'
+                             THEN (1::BIGINT << (32 - i)) ELSE 0 END)) AS BIGINT) AS sb
+               FROM sig),
+      band AS (SELECT doc_id, sb, t.range AS b,
+                      (sb >> ((3 - t.range) * 8)) & 255 AS chunk
+               FROM bits, range(0, 4) t),
+      cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                      a.sb AS sb_a, b.sb AS sb_b
+               FROM band a JOIN band b
+                 ON a.b = b.b AND a.chunk = b.chunk AND a.doc_id < b.doc_id),
+      p0 AS MATERIALIZED (SELECT id_a, id_b FROM cand
+            WHERE bit_count(xor(sb_a, sb_b)) <= 3),
+      edges AS MATERIALIZED (SELECT id_a AS u, id_b AS v FROM p0
+            UNION ALL SELECT id_b AS u, id_a AS v FROM p0),
+      l0 AS MATERIALIZED (SELECT doc_id AS id, doc_id AS label FROM toks),
+      ${lpaCtes(rounds = 4)}
+      SELECT id AS doc_id, CAST(label AS BIGINT) AS label
+      FROM l4 ORDER BY doc_id"""),
+      (s, dir) => {
+        val t = tokenized(s, dir).where(col("doc_id") < 200)
+          .localCheckpoint() // nodes AND pair building read it
+        val pairs = Dedup.simhashNearDups(t, "doc_id", "tokens")
+          .select("id_a", "id_b")
+        graft.graph.LabelProp.run(t.select("doc_id"), "doc_id", pairs,
+            rounds = 4)
+          .select(col("id").as("doc_id"), col("label"))
+          .orderBy("doc_id")
+      })
   )
 }

@@ -181,6 +181,24 @@ class CheckpointModeSpec extends SparkTestBase {
       s"superseded reliable checkpoints must be deleted, ${added.size} dirs remain: $added")
   }
 
+  test("label propagation: bit-identical communities across all three modes") {
+    // the LabelPropSpec two-clique fixture; labels are longs, so the
+    // comparison is exact
+    val clique = (base: Long) =>
+      for (a <- base to (base + 3); b <- (a + 1) to (base + 3)) yield (a, b)
+    val pairs = (clique(1L) ++ clique(11L) :+ ((4L, 11L))).toDF("id_a", "id_b")
+    val nodes = ((1L to 4L) ++ (11L to 14L)).toDF("doc_id")
+    val runs = modes("lpa").map { case (name, m) =>
+      val rows = graft.graph.LabelProp.run(nodes, "doc_id", pairs,
+          rounds = 4, checkpoint = m)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+      (name, rows)
+    }
+    assert(runs.head._2.map(_._2).toSet === Set(1L, 11L), "two communities")
+    assert(runs.map(_._2).distinct.size === 1,
+      "labels must be identical across checkpoint modes")
+  }
+
   test("path mode releases superseded steps but keeps the final one readable") {
     val dir = s"$tmp/release-probe"
     val ids = (1L to 8L).toDF("doc_id")
