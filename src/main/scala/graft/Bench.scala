@@ -40,37 +40,66 @@ object Bench {
     // persists), so each rep executes the full pipeline from parquet.
     val catalog = SparkEntry.queries.toSeq.sortBy(_._1)
     val passes = 3
-    val times = Array.fill(catalog.size, passes)(-1.0) // -1 marks a failed rep
-    for (p <- 0 until passes; ((name, fn), i) <- catalog.zipWithIndex) {
+    val times = Array.fill(catalog.size)(
+      scala.collection.mutable.ArrayBuffer.empty[Double]) // -1 marks a failed rep
+    def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+                i: Int, tag: String): Unit = {
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
         catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed (pass ${p + 1}): ${e.getMessage}"); false
+          System.err.println(s"[bench] $name failed ($tag): ${e.getMessage}"); false
         }
-      if (ok) times(i)(p) = (System.nanoTime() - t0) / 1e9
+      times(i) += (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
+    for (p <- 0 until passes; ((name, fn), i) <- catalog.zipWithIndex)
+      runOnce(name, fn, i, s"pass ${p + 1}")
+
+    // Variance control: a rep spread > 3x means a noise window hit one
+    // of the three passes (r5 audit: rep-3 outliers of 6-19s on queries
+    // whose min is ~2s — one degraded pass late in the run). Give such
+    // queries up to 2 targeted extra reps so the three FASTEST reps —
+    // what the min is judged against — come from clean windows; the
+    // outlier rep stays visible in "reps" for the post-hoc audit, and
+    // anything still spread > 3x over its fastest three is named in
+    // "noisy" rather than silently trusted.
+    val maxSpread = 3.0
+    def fastest3(i: Int): Seq[Double] =
+      times(i).filter(_ >= 0).sorted.take(3).toSeq
+    for (((name, fn), i) <- catalog.zipWithIndex) {
+      var extra = 0
+      while (extra < 2 && fastest3(i).nonEmpty &&
+             fastest3(i).max / fastest3(i).min > maxSpread) {
+        runOnce(name, fn, i, s"retry ${extra + 1}")
+        extra += 1
+      }
+    }
+
     // Locale.ROOT: the f-interpolator honors the JVM default locale, and
     // a comma-decimal locale would emit invalid JSON ("1,2345")
     def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
     val results = catalog.zipWithIndex.map { case ((name, _), i) =>
       val good = times(i).filter(_ >= 0)
-      (name, if (good.nonEmpty) Some(good.min) else None, times(i).toSeq)
+      (name, if (good.nonEmpty) Some(good.min) else None, times(i).toSeq, i)
     }
     // an all-failed query serializes as null (never -1: a consumer
     // summing the map must not ingest a negative elapsed time) and is
     // listed in "failed"; per-rep times go to "reps" so a noise-skewed
     // min is auditable after the fact
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v.map(fmt).getOrElse("null") }
+    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v.map(fmt).getOrElse("null") }
       .mkString("{", ",", "}")
-    val reps = results.map { case (k, _, r) =>
+    val reps = results.map { case (k, _, r, _) =>
       "\"" + k + "\":" + r.map(t => if (t >= 0) fmt(t) else "null").mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val failed = results.collect { case (k, None, _) => "\"" + k + "\"" }
+    val failed = results.collect { case (k, None, _, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
+    val noisy = results.collect {
+      case (k, Some(_), _, i)
+        if fastest3(i).max / fastest3(i).min > maxSpread => "\"" + k + "\""
+    }.mkString("[", ",", "]")
     val total = results.flatMap(_._2).sum
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"reps":$reps,"failed":$failed,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"reps":$reps,"failed":$failed,"noisy":$noisy,"sf":"$sfDir"}"""
     println(line)
     // Also persist the line: stdout of a long bench run may be captured
     // through a bounded tail buffer that truncates the head of the JSON,
