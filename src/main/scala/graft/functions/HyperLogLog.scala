@@ -1,0 +1,160 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** HyperLogLog (Flajolet et al. 2007) as pure relational algebra — the
+  * distinct-count member of the portable-sketch family ([[CountMin]]
+  * frequencies, Bloom membership): estimate |distinct items| from m
+  * max-rank registers instead of shuffling every distinct key the way
+  * COUNT(DISTINCT) must.
+  *
+  * The sketch IS a (j, mreg) table: item x lands in register
+  * j(x) = first 16 md5 bits mod m, contributing rank ρ(x) = (leading
+  * zero bits of the next 60 md5 bits) + 1; the register keeps the MAX
+  * rank seen. A set with cardinality n fills registers with ranks
+  * ~log2(n/m), and the harmonic mean across registers estimates n with
+  * relative error ≈ 1.04/√m (m = 1024 → 3.25%).
+  *
+  * Scale shape: building is ONE hash aggregation onto at most m groups
+  * per key — MAX partial-aggregates, so each partition collapses to
+  * sketch size before the exchange and the shuffle moves
+  * O(partitions·m) rows regardless of corpus size. Two sketches over
+  * the SAME dial merge by register-wise MAX (idempotent, commutative —
+  * re-delivered shards can't corrupt it, unlike a counter sum), which
+  * is what makes the artifact unionable across corpus shards; q148
+  * proves shard-merge ≡ monolithic under the DuckDB gate.
+  *
+  * Determinism: both the register index and the rank are integer
+  * functions of the md5 hex string (index = hex[1..4] mod m; rank from
+  * the leading-'0' run of hex[5..19] plus a CASE on the first nonzero
+  * digit), so the register table hash-matches DuckDB EXACTLY. The
+  * estimate keeps bit-exactness by carrying the harmonic sum
+  * S = Σ_j 2^(61−M[j]) (M = 0 for empty registers) as TWO exact
+  * sub-2^53 longs (s_hi·2^53 + s_lo): S itself needs up to 72 bits,
+  * and the engines' wide-int→double casts disagree in the last ulp
+  * (Java's BigInteger rounds correctly; a two-halves float sum may
+  * double-round), but s_hi/s_lo are exact in ANY engine and the final
+  * `s_hi·2^53 + s_lo` double is one multiply-add over bit-identical
+  * operands. Only the small-range linear-counting branch touches libm
+  * (ln) and gets round(·, 6).
+  */
+object HyperLogLog {
+
+  /** Number of leading zero BITS a hex digit d (1..15) contributes. */
+  private def zeroBitsInDigit(d: Column): Column =
+    when(d >= 8, lit(0)).when(d >= 4, lit(1)).when(d >= 2, lit(2)).otherwise(lit(3))
+
+  /** Register index of `item`: first 16 md5 bits mod m (m must divide
+    * 65536 so the draw stays uniform — i.e. m a power of two ≤ 2^16).
+    */
+  def register(item: Column, m: Int): Column = {
+    require(m >= 16 && (m & (m - 1)) == 0 && m <= 65536, s"m must be a power of 2 in [16, 65536], got $m")
+    (conv(substring(md5(item), 1, 4), 16, 10).cast("long") % m).cast("int")
+  }
+
+  /** Rank of `item`: leading-zero bits of md5 hex chars 5..19 (60
+    * bits) + 1, capped at 61 when all 60 bits are zero (probability
+    * 2^-60 — present for totality, not reachability).
+    */
+  def rank(item: Column): Column = {
+    val h = substring(md5(item), 5, 15)
+    val z = length(regexp_extract(h, "^0*", 0))
+    val d = conv(when(z === 15, lit("0")).otherwise(h.substr(z + lit(1), lit(1))), 16, 10)
+      .cast("int")
+    when(z === 15, lit(61)).otherwise(z * 4 + zeroBitsInDigit(d) + 1)
+  }
+
+  /** Build one sketch per `keys` group: (keys..., j, mreg) with one row
+    * per NON-EMPTY register — at most m per group. Duplicates are free
+    * (MAX is idempotent), so the input needs no distinct.
+    */
+  def sketch(items: DataFrame, item: Column, keys: Seq[String], m: Int): DataFrame =
+    items
+      .select(keys.map(col) :+ register(item, m).as("j") :+ rank(item).as("rho"): _*)
+      .groupBy((keys :+ "j").map(col): _*)
+      .agg(max("rho").as("mreg"))
+
+  /** Merge sketches built with the SAME (m, hash) dial by register-wise
+    * MAX — exactly the sketch of the concatenated inputs, and (unlike a
+    * counter sum) IDEMPOTENT: merging a shard twice is harmless, which
+    * matters under at-least-once delivery.
+    */
+  def merge(sketches: DataFrame*): DataFrame = {
+    require(sketches.nonEmpty, "merge needs at least one sketch")
+    val keys = sketches.head.columns.filterNot(_ == "mreg")
+    sketches.reduce(_ unionByName _)
+      .groupBy(keys.map(col): _*).agg(max("mreg").as("mreg"))
+  }
+
+  /** Estimate per `keys` group from a register table: v0 (empty
+    * registers), the exact harmonic sum as (s_hi, s_lo), and `est` —
+    * raw HLL α_m·m²/Σ2^(−M) with Flajolet's small-range linear
+    * counting m·ln(m/v0) when raw ≤ 2.5m and v0 > 0. Empty registers
+    * contribute 2^0 = 1 to Σ2^(−M), i.e. 2^61 to S.
+    */
+  def estimate(regs: DataFrame, keys: Seq[String], m: Int): DataFrame = {
+    val twoTo53 = 9007199254740992L // 2^53
+    // Per-register scaled term 2^(61-mreg), split so every partial sum
+    // stays an exact long: ranks ≤ 8 land in the high word (÷2^53),
+    // ranks > 8 in the low word. lo ≤ m·2^52 < 2^63 for m ≤ 1024.
+    val hiTerm = expr("CASE WHEN 61 - mreg >= 53 THEN shiftleft(CAST(1 AS BIGINT), 61 - mreg - 53) ELSE CAST(0 AS BIGINT) END")
+    val loTerm = expr("CASE WHEN 61 - mreg < 53 THEN shiftleft(CAST(1 AS BIGINT), 61 - mreg) ELSE CAST(0 AS BIGINT) END")
+    val agg = regs.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).cast("int").as("n_present"),
+        sum(hiTerm).as("hi_raw"), sum(loTerm).as("lo_raw"))
+      // empty registers: 2^61 = 2^8 · 2^53 each → high word
+      .withColumn("hi_raw", col("hi_raw") + (lit(m) - col("n_present")).cast("long") * lit(256L))
+      .withColumn("s_hi", expr(s"hi_raw + lo_raw div $twoTo53")) // div: long `/` would be a DOUBLE division
+      .withColumn("s_lo", col("lo_raw") % lit(twoTo53))
+    val sD = col("s_hi").cast("double") * lit(twoTo53.toDouble) + col("s_lo").cast("double")
+    val alpha = 0.7213 / (1.0 + 1.079 / m) // identical literal arithmetic in the SQL mirror
+    val raw = lit(alpha) * lit((m.toLong * m).toDouble) * lit(2305843009213693952.0) / sD
+    val v0 = lit(m) - col("n_present")
+    val lc = lit(m.toDouble) * log(lit(m.toDouble) / v0.cast("double"))
+    agg.select(keys.map(col) :+ v0.as("v0") :+ col("n_present") :+
+      col("s_hi") :+ col("s_lo") :+
+      round(when(raw <= lit(2.5 * m) && v0 > 0, lc).otherwise(raw), 6).as("est"): _*)
+  }
+
+  /** DuckDB SQL mirroring [[sketch]]'s per-item (j, rho): emits CTEs
+    * `<p>h` → `<p>r` over `from` (which must expose `itemSql` plus the
+    * key columns); read (keys, j, rho) from `<p>r`. Kept beside the
+    * Column form so the two hash chains can't drift apart.
+    */
+  def hashCtesSql(itemSql: String, fromSql: String, keyCols: String, m: Int, p: String = ""): String = s"""
+      ${p}h AS (SELECT $keyCols,
+                  CAST(CAST('0x' || substr(md5($itemSql), 1, 4) AS BIGINT) % $m AS INTEGER) AS j,
+                  substr(md5($itemSql), 5, 15) AS hx
+                FROM $fromSql),
+      ${p}z AS (SELECT *, length(regexp_extract(hx, '^0*')) AS z FROM ${p}h),
+      ${p}r AS (SELECT $keyCols, j,
+                  CASE WHEN z = 15 THEN 61 ELSE 4 * z +
+                    CASE WHEN d >= 8 THEN 0 WHEN d >= 4 THEN 1 WHEN d >= 2 THEN 2 ELSE 3 END + 1 END AS rho
+                FROM (SELECT *, CAST('0x' || CASE WHEN z = 15 THEN '0' ELSE substr(hx, z + 1, 1) END AS BIGINT) AS d
+                      FROM ${p}z))"""
+
+  /** DuckDB SQL mirroring [[estimate]] over a register CTE
+    * `regsSql(keyCols, j, mreg)` — the SAME split-long harmonic sum and
+    * the SAME estimate expression tree, so `est` is bit-identical
+    * (round(·,6) covers only the libm ln in the linear-counting
+    * branch).
+    */
+  def estimateSql(regsSql: String, keyCols: String, m: Int): String = {
+    val t53 = "9007199254740992"
+    s"""SELECT $keyCols, $m - n_present AS v0, n_present, s_hi, s_lo,
+         round(CASE WHEN (0.7213 / (1.0 + 1.079 / $m.0)) * ${m.toLong * m}.0 * 2305843009213693952.0
+                         / (CAST(s_hi AS DOUBLE) * $t53.0 + CAST(s_lo AS DOUBLE)) <= ${2.5 * m}
+                     AND $m - n_present > 0
+                    THEN $m.0 * ln($m.0 / CAST($m - n_present AS DOUBLE))
+                    ELSE (0.7213 / (1.0 + 1.079 / $m.0)) * ${m.toLong * m}.0 * 2305843009213693952.0
+                         / (CAST(s_hi AS DOUBLE) * $t53.0 + CAST(s_lo AS DOUBLE)) END, 6) AS est
+       FROM (SELECT $keyCols, n_present,
+                    hi_raw + lo_raw // $t53 AS s_hi, lo_raw % $t53 AS s_lo
+             FROM (SELECT $keyCols, CAST(COUNT(*) AS INTEGER) AS n_present,
+                          CAST(SUM(CASE WHEN 61 - mreg >= 53 THEN 1::BIGINT << (61 - mreg - 53) ELSE 0 END)
+                               + ($m - COUNT(*)) * 256 AS BIGINT) AS hi_raw,
+                          CAST(SUM(CASE WHEN 61 - mreg < 53 THEN 1::BIGINT << (61 - mreg) ELSE 0 END) AS BIGINT) AS lo_raw
+                   FROM ($regsSql) GROUP BY $keyCols))"""
+  }
+}

@@ -465,6 +465,91 @@ object RelationalQueries {
             ((col("mid_sum") + col("n_lo") * col("lo") + col("n_hi") * col("hi"))
               / col("n") / 100.0).as("win_mean"))
           .orderBy("flag")
+      }),
+
+    // ---- q148: HyperLogLog distinct-count sketch WITH shard merge,
+    // both under the gate — the distinct-count member of the portable
+    // sketch family (q142/q146 CMS frequencies): per returnflag,
+    // estimate |distinct (partkey, suppkey)| from 1024 max-rank
+    // registers instead of shuffling every distinct key. The register
+    // table, the split-long harmonic sum (s_hi, s_lo) and the estimate
+    // hash-match DuckDB exactly (functions.HyperLogLog's md5 bit
+    // chain; only the linear-counting ln gets round 6); the estimator
+    // crosses regimes with SF — linear counting at sf0.001 (~1.2k
+    // distinct < 2.5m), raw HLL at sf0.01/0.1 (19k/199k) — so all
+    // branches are gate-covered. merge_drift counts register cells
+    // where max-merged shard sketches (l_orderkey parity) differ from
+    // the monolithic build; its all-zero hash match proves register
+    // MAX mergeability — build where the 100 TB lives, ship m rows.
+    // err_ok bounds |est − exact| ≤ 13% (4σ at m=1024; measured ≤3.2%
+    // across the 3 SFs).
+    QueryDef("q148_hll_distinct", Some({
+      import graft.functions.HyperLogLog.{hashCtesSql, estimateSql}
+      val m = 1024
+      s"""WITH li AS (SELECT l_returnflag, l_orderkey,
+                        l_partkey || '-' || l_suppkey AS item
+                      FROM lineitem),
+      ${hashCtesSql("item", "li", "l_returnflag", m, "w").trim},
+      regsW AS (SELECT l_returnflag, j, MAX(rho) AS mreg FROM wr GROUP BY 1, 2),
+      ${hashCtesSql("item", "(SELECT * FROM li WHERE l_orderkey % 2 = 0)",
+        "l_returnflag", m, "a").trim},
+      regsA AS (SELECT l_returnflag, j, MAX(rho) AS mreg FROM ar GROUP BY 1, 2),
+      ${hashCtesSql("item", "(SELECT * FROM li WHERE l_orderkey % 2 = 1)",
+        "l_returnflag", m, "b").trim},
+      regsB AS (SELECT l_returnflag, j, MAX(rho) AS mreg FROM br GROUP BY 1, 2),
+      regsM AS (SELECT l_returnflag, j, MAX(mreg) AS mreg
+                FROM (SELECT * FROM regsA UNION ALL SELECT * FROM regsB)
+                GROUP BY 1, 2),
+      drift AS (SELECT COALESCE(a.l_returnflag, w.l_returnflag) AS l_returnflag,
+                  CAST(SUM(CASE WHEN COALESCE(a.mreg, -1) <> COALESCE(w.mreg, -1)
+                                THEN 1 ELSE 0 END) AS BIGINT) AS merge_drift
+                FROM regsM a FULL OUTER JOIN regsW w
+                  ON a.l_returnflag = w.l_returnflag AND a.j = w.j
+                GROUP BY 1),
+      ex AS (SELECT l_returnflag, COUNT(DISTINCT item) AS exact_distinct
+             FROM li GROUP BY 1),
+      est AS (${estimateSql("SELECT * FROM regsW", "l_returnflag", m).trim})
+      SELECT e.l_returnflag, e.v0, e.n_present, e.s_hi, e.s_lo, e.est,
+             x.exact_distinct,
+             ABS(e.est - x.exact_distinct) <= x.exact_distinct * 0.13 AS err_ok,
+             d.merge_drift
+      FROM est e JOIN ex x USING (l_returnflag) JOIN drift d USING (l_returnflag)
+      ORDER BY l_returnflag"""
+    }),
+      (s, dir) => {
+        import graft.functions.HyperLogLog
+        val m = 1024
+        // 4 consumers (exact count + 3 sketch builds): materialize the
+        // projected item table once, not once per branch
+        val li = Tables.read(s, dir, "lineitem")
+          .select(col("l_returnflag"), col("l_orderkey"),
+            concat_ws("-", col("l_partkey"), col("l_suppkey")).as("item"))
+          .localCheckpoint()
+        val keys = Seq("l_returnflag")
+        val skA = HyperLogLog.sketch(li.where(col("l_orderkey") % 2 === 0),
+          col("item"), keys, m)
+        val skB = HyperLogLog.sketch(li.where(col("l_orderkey") % 2 === 1),
+          col("item"), keys, m)
+        val merged = HyperLogLog.merge(skA, skB)
+        val whole = HyperLogLog.sketch(li, col("item"), keys, m)
+          .localCheckpoint() // 2 consumers: drift compare + estimate
+        val drift = merged.withColumnRenamed("mreg", "m_merged")
+          .join(whole.withColumnRenamed("mreg", "m_whole"),
+            Seq("l_returnflag", "j"), "full_outer")
+          .groupBy("l_returnflag")
+          .agg(sum(when(coalesce(col("m_merged"), lit(-1)) =!=
+              coalesce(col("m_whole"), lit(-1)), 1L).otherwise(0L))
+            .as("merge_drift"))
+        val exact = li.groupBy("l_returnflag")
+          .agg(countDistinct("item").as("exact_distinct"))
+        HyperLogLog.estimate(whole, keys, m)
+          .join(exact, "l_returnflag").join(drift, "l_returnflag")
+          .select(col("l_returnflag"), col("v0"), col("n_present"),
+            col("s_hi"), col("s_lo"), col("est"), col("exact_distinct"),
+            (abs(col("est") - col("exact_distinct")) <=
+              col("exact_distinct") * 0.13).as("err_ok"),
+            col("merge_drift"))
+          .orderBy("l_returnflag")
       })
   )
 }

@@ -1,0 +1,119 @@
+package graft
+
+import graft.functions.HyperLogLog
+import org.apache.spark.sql.functions._
+
+/** Fixtures for the relational HyperLogLog sketch (q148's kernel):
+  * hash/rank closed forms, duplicate-insensitivity, register-MAX
+  * mergeability (including idempotence — the property counter sums
+  * lack), partitioning invariance, both estimator regimes, and
+  * accuracy against exact distinct counts.
+  */
+class HllSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val M = 1024
+
+  test("register and rank closed forms: md5('a') = 0cc175b9c0f1b6a831c...") {
+    // hex[1..4] = 0cc1 = 3265 → register 3265 % 1024 = 193;
+    // hex[5..19] = 75b9c0f1b6a831c → no leading zeros, first digit 7
+    // (0111) → 1 leading zero bit → rank 2
+    val r = Seq("a").toDF("x")
+      .select(HyperLogLog.register(col("x"), M).as("j"),
+        HyperLogLog.rank(col("x")).as("rho"))
+      .as[(Int, Int)].head()
+    assert(r === ((193, 2)))
+  }
+
+  test("rank counts leading zero bits across hex-digit boundaries") {
+    // Each hex digit contributes 4 bits; a leading-'0' run of k chars
+    // contributes 4k zero bits before the first nonzero digit refines.
+    val cases = Seq("08f" -> 5, // 0000 1000 → 4 zeros, rank 5
+      "1ab" -> 4, //      0001 → 3 zeros, rank 4
+      "2ff" -> 3, "4ff" -> 2, "8ff" -> 1, "fff" -> 1,
+      "000000000000000" -> 61) // all 60 bits zero → capped
+    // Drive rank() through a stub whose md5 is irrelevant: rank reads
+    // hex chars 5..19, so feed synthetic strings through the SAME
+    // sub-expressions instead (private path) — here we just recompute
+    // the expected rank from the definition via SQL on literal hex.
+    for ((hex, want) <- cases) {
+      val padded = hex.padTo(15, 'f')
+      val got = spark.sql(
+        s"""SELECT CASE WHEN z = 15 THEN 61 ELSE 4 * z +
+              CASE WHEN d >= 8 THEN 0 WHEN d >= 4 THEN 1 WHEN d >= 2 THEN 2 ELSE 3 END + 1 END
+            FROM (SELECT z, CAST(conv(CASE WHEN z = 15 THEN '0'
+                    ELSE substr('$padded', z + 1, 1) END, 16, 10) AS INT) AS d
+                  FROM (SELECT length(regexp_extract('$padded', '^0*', 0)) AS z))""")
+        .as[Int].head()
+      assert(got === want, s"hex $hex")
+    }
+  }
+
+  test("duplicates are free: sketch(corpus ++ corpus) = sketch(corpus)") {
+    val xs = (1 to 500).map(i => s"item$i").toDF("x")
+    val once = HyperLogLog.sketch(xs, col("x"), Nil, M)
+      .as[(Int, Int)].collect().sorted.toSeq
+    val twice = HyperLogLog.sketch(xs.union(xs), col("x"), Nil, M)
+      .as[(Int, Int)].collect().sorted.toSeq
+    assert(once === twice)
+  }
+
+  test("register-wise MAX merge equals the monolithic sketch and is idempotent") {
+    val xs = (1 to 2000).map(i => s"item$i").toDF("x")
+    val a = HyperLogLog.sketch(xs.where(length(col("x")) % 2 === 0), col("x"), Nil, M)
+    val b = HyperLogLog.sketch(xs.where(length(col("x")) % 2 === 1), col("x"), Nil, M)
+    val whole = HyperLogLog.sketch(xs, col("x"), Nil, M)
+      .as[(Int, Int)].collect().sorted.toSeq
+    val merged = HyperLogLog.merge(a, b).as[(Int, Int)].collect().sorted.toSeq
+    assert(merged === whole)
+    // idempotence: re-merging a shard is harmless (at-least-once safe)
+    val remerged = HyperLogLog.merge(a, b, a).as[(Int, Int)].collect().sorted.toSeq
+    assert(remerged === whole)
+  }
+
+  test("sketch is partitioning-invariant") {
+    val xs = (1 to 3000).map(i => s"p$i").toDF("x")
+    val one = HyperLogLog.sketch(xs.repartition(1), col("x"), Nil, M)
+      .as[(Int, Int)].collect().sorted.toSeq
+    val many = HyperLogLog.sketch(xs.repartition(17), col("x"), Nil, M)
+      .as[(Int, Int)].collect().sorted.toSeq
+    assert(one === many)
+  }
+
+  test("estimate within 10% of truth in the raw-HLL regime (n >> 2.5m)") {
+    val n = 20000
+    val xs = (1 to n).map(i => s"raw$i").toDF("x")
+    val est = HyperLogLog.estimate(HyperLogLog.sketch(xs, col("x"), Nil, M), Nil, M)
+      .select("est").as[Double].head()
+    assert(math.abs(est - n) <= 0.10 * n, s"est $est vs $n (rsd 3.25%)")
+  }
+
+  test("estimate within 5% of truth in the linear-counting regime (n << 2.5m)") {
+    val n = 800
+    val xs = (1 to n).map(i => s"lc$i").toDF("x")
+    val row = HyperLogLog.estimate(HyperLogLog.sketch(xs, col("x"), Nil, M), Nil, M)
+      .select("v0", "est").as[(Int, Double)].head()
+    assert(row._1 > 0, "linear-counting regime must have empty registers")
+    assert(math.abs(row._2 - n) <= 0.05 * n, s"est ${row._2} vs $n")
+  }
+
+  test("harmonic-sum split-long bookkeeping: single item, v0 = m - 1") {
+    // One item of rank rho: S = 2^(61-rho) + (m-1)·2^61. For 'a'
+    // (rho = 2): S = 2^59 + 1023·2^61. hi = S div 2^53 = 2^6 + 1023·2^8,
+    // lo = 0.
+    val r = HyperLogLog.estimate(
+        HyperLogLog.sketch(Seq("a").toDF("x"), col("x"), Nil, M), Nil, M)
+      .select("v0", "n_present", "s_hi", "s_lo").as[(Int, Int, Long, Long)].head()
+    assert(r === ((M - 1, 1, 64L + 1023L * 256L, 0L)))
+  }
+
+  test("grouped sketches stay independent per key") {
+    val xs = ((1 to 1000).map(i => ("g1", s"a$i")) ++ (1 to 100).map(i => ("g2", s"b$i")))
+      .toDF("g", "x")
+    val est = HyperLogLog.estimate(
+        HyperLogLog.sketch(xs, col("x"), Seq("g"), M), Seq("g"), M)
+      .select("g", "est").as[(String, Double)].collect().toMap
+    assert(math.abs(est("g1") - 1000) <= 100)
+    assert(math.abs(est("g2") - 100) <= 15)
+  }
+}
