@@ -511,6 +511,142 @@ object EventQueries {
           .where(col("user_id") <= 7 && col("value").between(20.0, 260.0))
           .select("event_id", "user_id", "value")
           .orderBy("event_id")
+      }),
+
+    // ---- q150: HLL set algebra — pairwise audience overlap by
+    // inclusion–exclusion over the q148 sketch family. Per event type,
+    // ONE register table sketches its distinct active (user, day)
+    // pairs; per type pair, union cardinality comes from the
+    // register-wise MAX and intersection = estA + estB − estU. This is
+    // the "how much do segment X and segment Y co-occur" curation
+    // question answered from s·m register rows instead of an s²-way
+    // distinct shuffle of the full activity table — at 100 TB the
+    // sketches are built once where the data lives (one hash agg,
+    // O(partitions·m) shuffle rows) and every pairwise question
+    // afterwards touches only sketch-sized tables. The exact side (for
+    // the gate and the error columns) pays the real distinct —
+    // affordable at test SFs, exactly what the sketch path avoids at
+    // scale. Parity: registers and exact counts hash-match by
+    // construction (q148's md5 chain; user@date strings render
+    // identically in both engines); est is round(·,6); the derived
+    // inter/jaccard/err columns are identical double trees over those
+    // rounded values. union_err_ok is the 4σ bound at m=1024 (13%);
+    // inter_err_ok scales with the union (3 estimates compound — 4σ ≈
+    // 25% of the union). Both are informative in BOTH engines, so even
+    // a flip at an untested SF cannot break parity. Overlap is real at
+    // every SF (~⅓ of the union, measured 0.001/0.01/0.1) and the
+    // estimator crosses regimes with SF — linear counting at sf0.001
+    // (~160 distinct), raw HLL at sf0.01/0.1 (1.6k/16k).
+    QueryDef("q150_hll_overlap", Some({
+      import graft.functions.HyperLogLog.{hashCtesSql, estimateSql}
+      val m = 1024
+      s"""WITH d AS (
+        SELECT event_type,
+               CAST(user_id AS VARCHAR) || '@' ||
+                 CAST(CAST(ts AS DATE) AS VARCHAR) AS item
+        FROM events),
+      ${hashCtesSql("item", "d", "event_type", m, "s").trim},
+      regs AS (SELECT event_type, j, MAX(rho) AS mreg FROM sr GROUP BY 1, 2),
+      srcs AS (SELECT DISTINCT event_type FROM regs),
+      pairs AS (SELECT a.event_type AS sa, b.event_type AS sb
+                FROM srcs a JOIN srcs b ON a.event_type < b.event_type),
+      ur AS (SELECT sa, sb, j, MAX(mreg) AS mreg FROM (
+               SELECT p.sa, p.sb, r.j, r.mreg
+               FROM pairs p JOIN regs r ON r.event_type = p.sa
+               UNION ALL
+               SELECT p.sa, p.sb, r.j, r.mreg
+               FROM pairs p JOIN regs r ON r.event_type = p.sb)
+             GROUP BY 1, 2, 3),
+      eu AS (SELECT sa, sb, est FROM (${estimateSql("SELECT * FROM ur", "sa, sb", m).trim})),
+      es AS (SELECT event_type, est FROM (${estimateSql("SELECT * FROM regs", "event_type", m).trim})),
+      dt AS (SELECT DISTINCT event_type, item FROM d),
+      na AS (SELECT event_type, COUNT(*) AS n FROM dt GROUP BY 1),
+      du AS (SELECT sa, sb, CAST(COUNT(DISTINCT item) AS BIGINT) AS nu FROM (
+               SELECT p.sa, p.sb, t.item
+               FROM pairs p JOIN dt t ON t.event_type = p.sa
+               UNION ALL
+               SELECT p.sa, p.sb, t.item
+               FROM pairs p JOIN dt t ON t.event_type = p.sb)
+             GROUP BY 1, 2),
+      base AS (SELECT p.sa, p.sb,
+                 ea.est AS est_a, eb.est AS est_b, eu.est AS est_union,
+                 greatest(0.0, ea.est + eb.est - eu.est) AS est_inter,
+                 xa.n AS exact_a, xb.n AS exact_b, du.nu AS exact_union,
+                 xa.n + xb.n - du.nu AS exact_inter
+               FROM pairs p
+               JOIN es ea ON ea.event_type = p.sa
+               JOIN es eb ON eb.event_type = p.sb
+               JOIN eu ON eu.sa = p.sa AND eu.sb = p.sb
+               JOIN na xa ON xa.event_type = p.sa
+               JOIN na xb ON xb.event_type = p.sb
+               JOIN du ON du.sa = p.sa AND du.sb = p.sb)
+      SELECT sa, sb, est_a, est_b, est_union, est_inter,
+             est_inter / est_union AS jaccard_est,
+             exact_a, exact_b, exact_union, exact_inter,
+             ABS(est_union - CAST(exact_union AS DOUBLE))
+               <= CAST(exact_union AS DOUBLE) * 0.13 AS union_err_ok,
+             ABS(est_inter - CAST(exact_inter AS DOUBLE))
+               <= CAST(exact_union AS DOUBLE) * 0.25 AS inter_err_ok
+      FROM base ORDER BY sa, sb"""
+    }),
+      (s, dir) => {
+        import graft.functions.HyperLogLog
+        val m = 1024
+        // 2 consumers (sketch build, exact distinct): materialize the
+        // projected activity table once
+        val ev = Tables.events(s, dir)
+          .select(col("event_type"),
+            concat(col("user_id").cast("string"), lit("@"),
+              col("ts").cast("date").cast("string")).as("item"))
+          .localCheckpoint()
+        // 3 consumers (per-type estimate, both pair-join sides) of the
+        // s·m-row register table
+        val regs = HyperLogLog.sketch(ev, col("item"), Seq("event_type"), m)
+          .localCheckpoint()
+        val srcs = regs.select("event_type").distinct()
+        val pairs = srcs.toDF("sa")
+          .crossJoin(srcs.toDF("sb")).where(col("sa") < col("sb"))
+          .localCheckpoint() // joined against 4 derived tables
+        val ur = pairs
+          .join(regs, col("event_type") === col("sa")).drop("event_type")
+          .unionByName(pairs
+            .join(regs, col("event_type") === col("sb")).drop("event_type"))
+          .groupBy("sa", "sb", "j").agg(max("mreg").as("mreg"))
+        val eu = HyperLogLog.estimate(ur, Seq("sa", "sb"), m)
+          .select("sa", "sb", "est")
+        val es = HyperLogLog.estimate(regs, Seq("event_type"), m)
+          .select("event_type", "est")
+        val dt = ev.distinct().localCheckpoint() // 3 consumers below
+        val na = dt.groupBy("event_type").agg(count(lit(1)).as("n"))
+        val du = pairs
+          .join(dt, col("event_type") === col("sa")).drop("event_type")
+          .unionByName(pairs
+            .join(dt, col("event_type") === col("sb")).drop("event_type"))
+          .groupBy("sa", "sb")
+          .agg(countDistinct("item").as("nu"))
+        val base = pairs
+          .join(broadcast(es.toDF("sa", "est_a")), "sa")
+          .join(broadcast(es.toDF("sb", "est_b")), "sb")
+          .join(broadcast(eu.withColumnRenamed("est", "est_union")),
+            Seq("sa", "sb"))
+          .join(broadcast(na.toDF("sa", "exact_a")), "sa")
+          .join(broadcast(na.toDF("sb", "exact_b")), "sb")
+          .join(broadcast(du.withColumnRenamed("nu", "exact_union")),
+            Seq("sa", "sb"))
+          .withColumn("est_inter",
+            greatest(lit(0.0), col("est_a") + col("est_b") - col("est_union")))
+          .withColumn("exact_inter",
+            col("exact_a") + col("exact_b") - col("exact_union"))
+        base.select(col("sa"), col("sb"), col("est_a"), col("est_b"),
+            col("est_union"), col("est_inter"),
+            (col("est_inter") / col("est_union")).as("jaccard_est"),
+            col("exact_a"), col("exact_b"), col("exact_union"),
+            col("exact_inter"),
+            (abs(col("est_union") - col("exact_union").cast("double"))
+              <= col("exact_union").cast("double") * 0.13).as("union_err_ok"),
+            (abs(col("est_inter") - col("exact_inter").cast("double"))
+              <= col("exact_union").cast("double") * 0.25).as("inter_err_ok"))
+          .orderBy("sa", "sb")
       })
   )
 }

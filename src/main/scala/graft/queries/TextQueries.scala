@@ -2701,6 +2701,86 @@ object TextQueries {
             rounds = 4)
           .select(col("id").as("doc_id"), col("label"))
           .orderBy("doc_id")
+      }),
+
+    // ---- q149: held-out bigram-LM perplexity filter — the CCNet-shape
+    // quality signal one rung above q93's unigram surprisal: train an
+    // add-one-smoothed conditional bigram model p(w2|w1) on the train
+    // split (doc_id % 5 != 0) and score the HELD-OUT split by average
+    // negative log-likelihood, so the model can never memorize the doc
+    // it scores (the leakage-safe form q97 establishes for eval
+    // splits). Scale shape: both count tables (observed bigrams,
+    // prefix counts) stay distributed and join back on their token
+    // keys — never collected, never broadcast (at 100 TB the bigram
+    // table is huge); only the 1-row vocabulary size rides a broadcast
+    // cross join. Two shuffle joins + one hash agg on the eval side.
+    // Parity: counts are exact longs; the smoothed probability is one
+    // double division with an identical expression tree in both
+    // engines; avg(-ln) is the order-dependent float reduction →
+    // round(.,6) (the q93/q106 adjudication); `flagged` compares the
+    // ROUNDED value, so both engines test the same double.
+    QueryDef("q149_bigram_lm", Some(s"""${toksCte()},
+      tr AS (SELECT doc_id, tokens FROM toks WHERE doc_id % 5 <> 0),
+      cb AS (SELECT g, COUNT(*) AS cb FROM (
+               SELECT unnest(list_transform(range(1, len(tokens)),
+                 i -> tokens[i] || ' ' || tokens[i+1])) AS g
+               FROM tr WHERE len(tokens) >= 2) GROUP BY g),
+      cu AS (SELECT w1, COUNT(*) AS cu FROM (
+               SELECT unnest(list_transform(range(1, len(tokens)),
+                 i -> tokens[i])) AS w1
+               FROM tr WHERE len(tokens) >= 2) GROUP BY w1),
+      vv AS (SELECT COUNT(DISTINCT t) AS v
+             FROM (SELECT unnest(tokens) AS t FROM tr)),
+      eb AS (SELECT doc_id, u.w1 AS w1, u.g AS g FROM (
+               SELECT doc_id, unnest(list_transform(range(1, len(tokens)),
+                 i -> {'w1': tokens[i],
+                       'g': tokens[i] || ' ' || tokens[i+1]})) AS u
+               FROM toks WHERE doc_id % 5 = 0 AND len(tokens) >= 2)),
+      agg AS (SELECT e.doc_id, COUNT(*) AS n_bigrams,
+                ROUND(AVG(-ln((COALESCE(cb.cb, 0) + 1)::DOUBLE
+                  / (COALESCE(cu.cu, 0) + (SELECT v FROM vv))::DOUBLE)), 6)
+                  AS avg_nll
+              FROM eb e LEFT JOIN cb ON e.g = cb.g
+                        LEFT JOIN cu ON e.w1 = cu.w1
+              GROUP BY e.doc_id)
+      SELECT doc_id, n_bigrams, avg_nll,
+             avg_nll > CAST(3.4 AS DOUBLE) AS flagged
+      FROM agg ORDER BY doc_id"""),
+      (s, dir) => {
+        // 4 consumers (bigram counts, prefix counts, vocab, eval side)
+        val toks = tokenized(s, dir).localCheckpoint()
+        val tr = toks.where(pmod(col("doc_id"), lit(5)) =!= 0)
+        val trLong = tr.where(size(col("tokens")) >= 2)
+        val cb = trLong
+          .select(explode(graft.functions.WordShingles(col("tokens"), 2,
+            distinct = false)).as("g"))
+          .groupBy("g").agg(count(lit(1)).as("cb"))
+        val cu = trLong
+          .select(explode(expr("slice(tokens, 1, size(tokens) - 1)"))
+            .as("w1"))
+          .groupBy("w1").agg(count(lit(1)).as("cu"))
+        val vv = tr.select(explode(col("tokens")).as("t"))
+          .agg(countDistinct("t").as("v"))
+        val eb = toks
+          .where(pmod(col("doc_id"), lit(5)) === 0 &&
+            size(col("tokens")) >= 2)
+          .select(col("doc_id"), explode(expr(
+            """transform(sequence(1, size(tokens) - 1),
+               i -> struct(tokens[i-1] AS w1,
+                           concat(tokens[i-1], ' ', tokens[i]) AS g))"""))
+            .as("u"))
+          .select(col("doc_id"), col("u.w1").as("w1"), col("u.g").as("g"))
+        val nll = -log((coalesce(col("cb"), lit(0L)) + lit(1L))
+          .cast("double")
+          / (coalesce(col("cu"), lit(0L)) + col("v")).cast("double"))
+        eb.join(cb, Seq("g"), "left").join(cu, Seq("w1"), "left")
+          .crossJoin(broadcast(vv))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"),
+            round(avg(nll), 6).as("avg_nll"))
+          .select(col("doc_id"), col("n_bigrams"), col("avg_nll"),
+            (col("avg_nll") > 3.4).as("flagged"))
+          .orderBy("doc_id")
       })
   )
 }

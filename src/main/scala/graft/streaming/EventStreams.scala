@@ -259,6 +259,26 @@ object EventStreams {
       .select(col("doc_id"), col("ts"), col("token"), col("cms_est"))
   }
 
+  /** Live distinct-cardinality registers over a stream — the streaming
+    * twin of batch q148/q150 ([[graft.functions.HyperLogLog]]):
+    * maintain, per `keys` group, the m max-rank registers of every item
+    * seen so far. Aggregation state is BOUNDED at keys·m rows no matter
+    * how many distinct items flow past — the point vs a streaming
+    * COUNT(DISTINCT), whose state grows with cardinality — and register
+    * MAX is idempotent, so replayed micro-batches can't corrupt it
+    * (at-least-once safe). Run in update/complete mode (an unbounded
+    * MAX admits no watermark eviction; the state it can't evict is only
+    * keys·m rows); read the live estimate off the register table with
+    * [[graft.functions.HyperLogLog.estimate]] per micro-batch or on
+    * demand. Incremental maintenance equals the batch rebuild
+    * register-for-register (StreamingSpec) because a register is a pure
+    * MAX over a deterministic per-item hash — the same property that
+    * makes the batch artifact shard-mergeable (q148's merge_drift).
+    */
+  def liveDistinctRegisters(items: DataFrame, item: org.apache.spark.sql.Column,
+                            keys: Seq[String], m: Int): DataFrame =
+    graft.functions.HyperLogLog.sketch(items, item, keys, m)
+
   /** Custom keyed state via `flatMapGroupsWithState` (the 0..n-rows-per-
     * group extension point `mapGroupsWithState` can't express): emit an
     * anomaly row whenever a user's event value exceeds `factor` × their

@@ -410,6 +410,42 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming HLL registers equal the batch sketch; estimate is live") {
+    implicit val ctx = spark.sqlContext
+    import graft.functions.HyperLogLog
+    val m = 64
+    val input = MemoryStream[(String, String)]
+    val q = EventStreams.liveDistinctRegisters(
+        input.toDF().toDF("event_type", "item"),
+        col("item"), Seq("event_type"), m)
+      .writeStream.format("memory").queryName("hll_regs")
+      .outputMode(OutputMode.Complete())
+      .start()
+    try {
+      // two overlapping micro-batches: 70 distinct click items total,
+      // 25..40 re-delivered in batch 2 (idempotence under replay)
+      val b1 = (1 to 40).map(i => ("click", s"user$i@2026-01-01"))
+      val b2 = (25 to 70).map(i => ("click", s"user$i@2026-01-01")) :+
+        ("view", "user1@2026-01-01")
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      val streamed = spark.table("hll_regs")
+        .as[(String, Int, Int)].collect().toSet
+      val batch = HyperLogLog.sketch((b1 ++ b2).toDF("event_type", "item"),
+          col("item"), Seq("event_type"), m)
+        .as[(String, Int, Int)].collect().toSet
+      // incremental maintenance == batch rebuild, register for register
+      assert(streamed === batch)
+      // the live estimate is within the m=64 4-sigma band of truth (70)
+      val est = HyperLogLog.estimate(spark.table("hll_regs"),
+          Seq("event_type"), m)
+        .where(col("event_type") === "click")
+        .select("est").as[Double].head()
+      assert(math.abs(est - 70.0) <= 70.0 * 0.52,
+        s"live estimate $est outside 4-sigma of 70")
+    } finally q.stop()
+  }
+
   test("hot-swap serving: a republished index goes live without stream restart") {
     implicit val ctx = spark.sqlContext
     import graft.streaming.VectorStreams
