@@ -397,4 +397,45 @@ class PlanQualitySpec extends SparkTestBase {
     assert(plan.exists { case _: BroadcastHashJoinExec => true; case _ => false },
       "the 3-row bounds table must broadcast, not shuffle lineitem")
   }
+
+  test("HLL sketch build (q148/q150): registers partial-aggregate before the shuffle") {
+    import org.apache.spark.sql.functions.{col, concat_ws}
+    // the scale claim of the sketch family: each map task collapses to
+    // <= m register rows BEFORE the exchange, so the shuffle moves
+    // O(partitions*m) rows no matter how many items the corpus holds
+    val li = graft.Tables.read(spark, sf("sf0.001"), "lineitem")
+      .select(col("l_returnflag"),
+        concat_ws("-", col("l_partkey"), col("l_suppkey")).as("item"))
+    val plan = collectAll(executed(graft.functions.HyperLogLog
+      .sketch(li, col("item"), Seq("l_returnflag"), 1024)))
+    val aggs = plan.filter(_.nodeName.contains("HashAggregate")).map(_.toString)
+    assert(aggs.exists(_.contains("partial_max")),
+      "register MAX must partial-aggregate map-side")
+    assert(!plan.exists(_.nodeName == "Window"), "sketch build must not window")
+  }
+
+  test("q149 bigram LM: count tables pre-aggregate; only the 1-row vocab nested-loops") {
+    val plan = collectAll(executed(q("q149_bigram_lm")))
+    assert(!plan.exists { case _: CartesianProductExec => true; case _ => false },
+      "scoring joins key on the bigram/prefix strings — never all-pairs")
+    // the model tables reach the scoring joins as aggregated counts
+    val aggs = plan.filter(_.nodeName.contains("HashAggregate")).map(_.toString)
+    assert(aggs.exists(_.contains("partial_count")),
+      "count tables must partial-aggregate before their shuffle")
+    // the only nested-loop join allowed is the broadcast of the 1-row
+    // vocabulary size (a crossJoin by construction)
+    val bnlj = plan.filter(_.nodeName.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj.size <= 1,
+      s"only the vocab-size cross join may nested-loop, found ${bnlj.size}")
+    assert(!plan.exists(_.nodeName == "Window"), "q149 must not window")
+  }
+
+  test("q150 HLL overlap: pair algebra is equi-joins over sketch-sized tables") {
+    val plan = collectAll(executed(q("q150_hll_overlap")))
+    assert(!plan.exists { case _: CartesianProductExec => true; case _ => false },
+      "pair expansion must ride the tiny broadcast pair table, never a corpus cartesian")
+    assert(!plan.exists(_.nodeName.contains("BroadcastNestedLoopJoin")),
+      "all pair/register joins are equi-joins (the pair build itself is checkpointed)")
+    assert(!plan.exists(_.nodeName == "Window"), "q150 must not window")
+  }
 }
