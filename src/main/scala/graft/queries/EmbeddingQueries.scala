@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
-import graft.ann.Knn
+import graft.ann.{Knn, Mmr}
 import org.apache.spark.sql.functions._
 
 /** Dense-embedding similarity search over the `embeddings` table
@@ -721,6 +721,89 @@ object EmbeddingQueries {
         Knn.semanticDedupDropped(Tables.read(s, dir, "embeddings"),
             "vec_id", "embedding", col("vec_id") % 50 === 0,
             iters = 2, threshold = 0.25)
-          .orderBy("centroid_id", "vec_id"))
+          .orderBy("centroid_id", "vec_id")),
+
+    // ---- q151: MMR diversity re-ranking (Carbonell & Goldstein 1998)
+    // — the step between retrieval and the context window: from each
+    // query's top-10 cosine pool, greedily pick 5 where every pick
+    // maximizes 0.5·rel − 0.5·max-sim-to-already-picked, so a
+    // near-duplicate of something picked is penalized by exactly its
+    // similarity to it. Rounds touch only pool-sized tables (20
+    // queries × 10 candidates; the pairwise-sim table is pool-local) —
+    // the corpus is read once by the upstream retrieval, never by the
+    // MMR loop, and the pool size is the dial that prices everything.
+    // Oracle: 4 unrolled greedy rounds (the Lloyd/LPA pattern); rel
+    // and pairwise sims are ROUND(·,6) so each round's score is an
+    // identical double tree; picks order by (score DESC, cand_id) ≡
+    // the Spark side's min over (2.0−score, cand_id) — strictly
+    // positive keys, no −0.0 ordering hazard; λ=0.5 is binary-exact
+    // in both engines.
+    QueryDef("q151_mmr_rerank", Some(s"""
+      WITH e AS (SELECT vec_id, embedding, ${sqlNorm("embedding")} AS nrm FROM embeddings),
+      cand0 AS (SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+                       ${sqlDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS sraw
+                FROM e q JOIN e c ON q.vec_id < 20 AND c.vec_id <> q.vec_id),
+      cand AS MATERIALIZED (SELECT q_id, cand_id, ROUND(sraw, 6) AS rel FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY sraw DESC, cand_id) AS rk
+                FROM cand0) WHERE rk <= 10),
+      cs AS MATERIALIZED (SELECT a.q_id, a.cand_id AS ia, b.cand_id AS ib,
+                ROUND(${sqlDot("ea.embedding", "eb.embedding")}
+                      / (ea.nrm * eb.nrm), 6) AS s
+              FROM cand a JOIN cand b
+                ON a.q_id = b.q_id AND a.cand_id <> b.cand_id
+              JOIN e ea ON ea.vec_id = a.cand_id
+              JOIN e eb ON eb.vec_id = b.cand_id),
+      sel1 AS (SELECT q_id, cand_id, rel, rel AS score, 1 AS pick FROM (
+                 SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                             ORDER BY rel DESC, cand_id) AS rk
+                 FROM cand) WHERE rk = 1),
+      ${(2 to 5).map(mmrRoundCte).mkString(",\n      ")}
+      SELECT q_id, pick, cand_id, rel, score
+      FROM sel5 ORDER BY q_id, pick"""),
+      (s, dir) => {
+        val emb = Tables.read(s, dir, "embeddings")
+        // pool build: ONE corpus pass (broadcast 20-query kNN); the MMR
+        // rounds below never touch the corpus again
+        val cand = Knn.cosineKnn(emb, "vec_id", "embedding",
+            col("vec_id") < 20, 10)
+          .select(col("q_id"), col("cand_id"), col("sim").as("rel"))
+          .localCheckpoint() // read by sims build + every greedy round
+        val e = emb.select(col("vec_id"), col("embedding"),
+          Knn.l2norm(col("embedding")).as("nrm"))
+        val withVec = cand.select("q_id", "cand_id")
+          .join(e, col("cand_id") === col("vec_id"))
+          .select(col("q_id"), col("cand_id"), col("embedding"), col("nrm"))
+        val sims = withVec.as("a")
+          .join(withVec.as("b"),
+            col("a.q_id") === col("b.q_id") &&
+              col("a.cand_id") =!= col("b.cand_id"))
+          .select(col("a.q_id").as("q_id"),
+            col("a.cand_id").as("id_a"), col("b.cand_id").as("id_b"),
+            round(Knn.dot(col("a.embedding"), col("b.embedding"))
+              / (col("a.nrm") * col("b.nrm")), 6).as("s"))
+          .localCheckpoint() // read by every greedy round
+        Mmr.rerank(cand, sims, k = 5, lambda = 0.5)
+          .orderBy("q_id", "pick")
+      })
   )
+
+  /** One unrolled MMR greedy round (t ≥ 2) over `cand`/`cs`/`sel<t-1>`:
+    * score every unpicked candidate by 0.5·rel − 0.5·(max sim to the
+    * picked set), take the (score DESC, cand_id) winner per query.
+    */
+  private def mmrRoundCte(t: Int): String = s"""
+      m$t AS (SELECT c.q_id, c.cand_id, c.rel,
+                0.5 * c.rel - 0.5 * MAX(p.s) AS score
+              FROM cand c
+              JOIN cs p ON p.q_id = c.q_id AND p.ia = c.cand_id
+              JOIN sel${t - 1} w ON w.q_id = p.q_id AND w.cand_id = p.ib
+              WHERE NOT EXISTS (SELECT 1 FROM sel${t - 1} x
+                                WHERE x.q_id = c.q_id AND x.cand_id = c.cand_id)
+              GROUP BY c.q_id, c.cand_id, c.rel),
+      sel$t AS (SELECT * FROM sel${t - 1} UNION ALL
+                SELECT q_id, cand_id, rel, score, $t AS pick FROM (
+                  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                              ORDER BY score DESC, cand_id) AS rk
+                  FROM m$t) WHERE rk = 1)"""
 }

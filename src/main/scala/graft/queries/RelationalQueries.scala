@@ -519,19 +519,30 @@ object RelationalQueries {
       (s, dir) => {
         import graft.functions.HyperLogLog
         val m = 1024
-        // 4 consumers (exact count + 3 sketch builds): materialize the
+        // 2 consumers (exact count + hash step): materialize the
         // projected item table once, not once per branch
         val li = Tables.read(s, dir, "lineitem")
           .select(col("l_returnflag"), col("l_orderkey"),
             concat_ws("-", col("l_partkey"), col("l_suppkey")).as("item"))
           .localCheckpoint()
         val keys = Seq("l_returnflag")
-        val skA = HyperLogLog.sketch(li.where(col("l_orderkey") % 2 === 0),
-          col("item"), keys, m)
-        val skB = HyperLogLog.sketch(li.where(col("l_orderkey") % 2 === 1),
-          col("item"), keys, m)
+        // derive whole AND shard registers from one (j, rho) projection
+        // over the materialized item table: two md5 passes instead of
+        // three, and no second corpus-sized materialization (the hash
+        // step stays a lazy map over li's checkpoint)
+        val hashed = li.select(col("l_returnflag"),
+            (col("l_orderkey") % 2).as("par"),
+            HyperLogLog.register(col("item"), m).as("j"),
+            HyperLogLog.rank(col("item")).as("rho"))
+        val shardRegs = hashed
+          .groupBy(col("l_returnflag"), col("par"), col("j"))
+          .agg(max("rho").as("mreg"))
+          .localCheckpoint() // 2 consumers: shard A and shard B
+        val skA = shardRegs.where(col("par") === 0).drop("par")
+        val skB = shardRegs.where(col("par") === 1).drop("par")
         val merged = HyperLogLog.merge(skA, skB)
-        val whole = HyperLogLog.sketch(li, col("item"), keys, m)
+        val whole = hashed.groupBy(col("l_returnflag"), col("j"))
+          .agg(max("rho").as("mreg"))
           .localCheckpoint() // 2 consumers: drift compare + estimate
         val drift = merged.withColumnRenamed("mreg", "m_merged")
           .join(whole.withColumnRenamed("mreg", "m_whole"),
