@@ -1,0 +1,80 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Fixed-width bucket histogram over EXACT long values (scaled-integer
+  * cents) — the quantile member of the portable-sketch family
+  * ([[CountMin]] frequencies, [[HyperLogLog]] distinct counts, Bloom
+  * membership): per `keys` group, one counter per non-empty
+  * `value div width` bucket. Quantiles come out with error bounded by
+  * `width` BY CONSTRUCTION — the true p-quantile provably lies inside
+  * the reported bucket (an integer count argument the oracle can
+  * verify exactly; q152) — which is the honest contract an equi-width
+  * sketch can make, stated in the unit the caller picked.
+  *
+  * Scale shape: building is ONE hash aggregation whose group count is
+  * bounded by value-range/width, not rows — partial counts collapse
+  * before the exchange, the shuffle moves counter rows. Two sketches
+  * over the same width merge by counter ADDITION (shard-parallel
+  * build-where-the-data-lives; q152 proves merge ≡ monolith under the
+  * gate). Everything is long arithmetic: counters, ranks
+  * (`ceil(p·n)` as `(p_num·n + p_den − 1) div p_den`), bucket edges —
+  * so every row hash-matches any engine with no rounding anywhere.
+  *
+  * The quantile pass runs a cumulative-sum window over the COUNTER
+  * table (rows ≤ range/width per key — bounded by the dial, not the
+  * corpus; the q43/q141 bounded-window adjudication).
+  */
+object BucketHistogram {
+
+  /** One counter row per non-empty (keys..., bucket): bucket =
+    * value div width, n = row count. `value` must be an exact integral
+    * column (cents); width > 0.
+    */
+  def sketch(df: DataFrame, value: Column, keys: Seq[String], width: Long): DataFrame = {
+    require(width > 0, s"width must be positive, got $width")
+    df.select(keys.map(col) :+ value.cast("long").as("cv"): _*)
+      .withColumn("bucket", expr(s"cv div $width"))
+      .groupBy((keys :+ "bucket").map(col): _*)
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Counter-wise addition of sketches built with the SAME width dial —
+    * exactly the sketch of the concatenated inputs.
+    */
+  def merge(sketches: DataFrame*): DataFrame = {
+    require(sketches.nonEmpty, "merge needs at least one sketch")
+    val keys = sketches.head.columns.filterNot(_ == "n")
+    sketches.reduce(_ unionByName _)
+      .groupBy(keys.map(col): _*).agg(sum("n").as("n"))
+  }
+
+  /** Per (keys, p) quantile bucket: the smallest bucket whose running
+    * count reaches rank = ceil(p_num/p_den · n_total). Emits
+    * (keys..., p_num, p_den, n_total, qrank, bucket); the true
+    * p-quantile value lies in [bucket·width, (bucket+1)·width) — pure
+    * integer selection, no float boundary anywhere.
+    */
+  def quantiles(sk: DataFrame, keys: Seq[String],
+                ps: Seq[(Int, Int)]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p._1 >= 1 && p._1 <= p._2),
+      s"each p must satisfy 1 <= p_num <= p_den, got $ps")
+    val cumW = Window.partitionBy(keys.map(col): _*).orderBy(col("bucket"))
+    val cum = sk.withColumn("cum", sum(col("n")).over(cumW))
+    val tot = sk.groupBy(keys.map(col): _*).agg(sum(col("n")).as("n_total"))
+    cum.join(tot, keys)
+      .select(col("*"), explode(array(ps.map(p =>
+        struct(lit(p._1).as("p_num"), lit(p._2).as("p_den"))): _*)).as("p"))
+      .select((keys.map(col) :+ col("bucket") :+ col("cum") :+
+        col("n_total") :+ col("p.p_num").as("p_num") :+
+        col("p.p_den").as("p_den")): _*)
+      .withColumn("qrank", expr("(p_num * n_total + p_den - 1) div p_den"))
+      .where(col("cum") >= col("qrank"))
+      .groupBy((keys :+ "p_num" :+ "p_den" :+ "n_total" :+ "qrank").map(col): _*)
+      .agg(min(col("bucket")).as("bucket"))
+      .select((keys.map(col) :+ col("p_num") :+ col("p_den") :+
+        col("n_total") :+ col("qrank") :+ col("bucket")): _*)
+  }
+}

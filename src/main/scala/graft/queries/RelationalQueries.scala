@@ -561,6 +561,113 @@ object RelationalQueries {
               col("exact_distinct") * 0.13).as("err_ok"),
             col("merge_drift"))
           .orderBy("l_returnflag")
+      }),
+
+    // ---- q152: mergeable bucket-histogram quantiles — the quantile
+    // member of the portable sketch family (q142/q146 frequencies,
+    // q148/q150 distinct counts): per returnflag, $500-wide counters
+    // over price cents answer the median and p95 with error bounded by
+    // the bucket width BY CONSTRUCTION. Unlike the engine-opaque
+    // approx twins (q57's exact vs q86's approx_percentile bound),
+    // every row here is pure long arithmetic — counters, ceil-ranks as
+    // (p_num·n + p_den − 1) div p_den, bucket edges — so the sketch
+    // STATE and the answer both hash-match with NO rounding anywhere.
+    // merge_drift proves counter-ADDITION mergeability (shard builds by
+    // l_orderkey parity vs the monolithic build, all-zero cells);
+    // quantile_lo/hi_ok are the exact integer count argument that the
+    // TRUE p-quantile lies inside the reported bucket: at least qrank
+    // values sit at or below the upper edge AND fewer than qrank below
+    // the lower edge. The cumsum window runs over the counter table
+    // (≤ range/width rows per flag — bounded by the dial, not the
+    // corpus; the q43 window adjudication).
+    QueryDef("q152_hist_quantile_merge", Some(s"""
+      WITH li AS (SELECT l_returnflag, l_orderkey % 2 AS par,
+                    $epCents AS cv
+                  FROM lineitem),
+      hw AS (SELECT l_returnflag, cv // 50000 AS bucket, COUNT(*) AS n
+             FROM li GROUP BY 1, 2),
+      hs AS (SELECT l_returnflag, par, cv // 50000 AS bucket, COUNT(*) AS n
+             FROM li GROUP BY 1, 2, 3),
+      hm AS (SELECT l_returnflag, bucket, CAST(SUM(n) AS BIGINT) AS n
+             FROM hs GROUP BY 1, 2),
+      drift AS (SELECT COALESCE(a.l_returnflag, b.l_returnflag) AS l_returnflag,
+                  CAST(SUM(CASE WHEN COALESCE(a.n, -1) <> COALESCE(b.n, -1)
+                                THEN 1 ELSE 0 END) AS BIGINT) AS merge_drift
+                FROM hm a FULL OUTER JOIN hw b
+                  ON a.l_returnflag = b.l_returnflag AND a.bucket = b.bucket
+                GROUP BY 1),
+      tot AS (SELECT l_returnflag, CAST(SUM(n) AS BIGINT) AS n_total
+              FROM hw GROUP BY 1),
+      cum AS (SELECT l_returnflag, bucket,
+                CAST(SUM(n) OVER (PARTITION BY l_returnflag
+                                  ORDER BY bucket) AS BIGINT) AS cum
+              FROM hw),
+      p AS (SELECT * FROM (VALUES (1, 2), (19, 20)) t(p_num, p_den)),
+      pick AS (SELECT c.l_returnflag, p.p_num, p.p_den, t.n_total,
+                 (p.p_num * t.n_total + p.p_den - 1) // p.p_den AS qrank,
+                 MIN(c.bucket) AS bucket
+               FROM cum c JOIN tot t USING (l_returnflag) CROSS JOIN p
+               WHERE c.cum >= (p.p_num * t.n_total + p.p_den - 1) // p.p_den
+               GROUP BY 1, 2, 3, 4, 5),
+      chk AS (SELECT k.l_returnflag, k.p_num, k.p_den,
+                CAST(SUM(CASE WHEN li.cv < (k.bucket + 1) * 50000
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_le_hi,
+                CAST(SUM(CASE WHEN li.cv < k.bucket * 50000
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_lt_lo
+              FROM pick k JOIN li ON li.l_returnflag = k.l_returnflag
+              GROUP BY 1, 2, 3)
+      SELECT k.l_returnflag, k.p_num, k.p_den, k.n_total, k.qrank, k.bucket,
+             k.bucket * 50000 AS lo_cents, (k.bucket + 1) * 50000 AS hi_cents,
+             c.n_le_hi >= k.qrank AS quantile_hi_ok,
+             c.n_lt_lo < k.qrank AS quantile_lo_ok,
+             d.merge_drift
+      FROM pick k
+      JOIN chk c ON c.l_returnflag = k.l_returnflag
+                AND c.p_num = k.p_num AND c.p_den = k.p_den
+      JOIN drift d ON d.l_returnflag = k.l_returnflag
+      ORDER BY k.l_returnflag, k.p_num, k.p_den"""),
+      (s, dir) => {
+        import graft.functions.BucketHistogram
+        val w = 50000L
+        // 3 consumers (whole build, shard builds, bound-check counts)
+        val li = Tables.read(s, dir, "lineitem")
+          .select(col("l_returnflag"), (col("l_orderkey") % 2).as("par"),
+            cents(col("l_extendedprice")).as("cv"))
+          .localCheckpoint()
+        val whole = BucketHistogram.sketch(li, col("cv"),
+            Seq("l_returnflag"), w)
+          .localCheckpoint() // 2 consumers: drift compare + quantiles
+        val shards = BucketHistogram.sketch(li, col("cv"),
+            Seq("l_returnflag", "par"), w)
+          .localCheckpoint() // 2 consumers: shard A and shard B
+        val merged = BucketHistogram.merge(
+          shards.where(col("par") === 0).drop("par"),
+          shards.where(col("par") === 1).drop("par"))
+        val drift = merged.withColumnRenamed("n", "n_merged")
+          .join(whole.withColumnRenamed("n", "n_whole"),
+            Seq("l_returnflag", "bucket"), "full_outer")
+          .groupBy("l_returnflag")
+          .agg(sum(when(coalesce(col("n_merged"), lit(-1L)) =!=
+              coalesce(col("n_whole"), lit(-1L)), 1L).otherwise(0L))
+            .as("merge_drift"))
+        val pick = BucketHistogram.quantiles(whole, Seq("l_returnflag"),
+          Seq((1, 2), (19, 20)))
+        val chk = broadcast(pick).join(li, "l_returnflag")
+          .groupBy("l_returnflag", "p_num", "p_den")
+          .agg(sum(when(col("cv") < (col("bucket") + 1) * w, 1L)
+              .otherwise(0L)).as("n_le_hi"),
+            sum(when(col("cv") < col("bucket") * w, 1L)
+              .otherwise(0L)).as("n_lt_lo"))
+        pick.join(chk, Seq("l_returnflag", "p_num", "p_den"))
+          .join(drift, "l_returnflag")
+          .select(col("l_returnflag"), col("p_num"), col("p_den"),
+            col("n_total"), col("qrank"), col("bucket"),
+            (col("bucket") * w).as("lo_cents"),
+            ((col("bucket") + 1) * w).as("hi_cents"),
+            (col("n_le_hi") >= col("qrank")).as("quantile_hi_ok"),
+            (col("n_lt_lo") < col("qrank")).as("quantile_lo_ok"),
+            col("merge_drift"))
+          .orderBy("l_returnflag", "p_num", "p_den")
       })
   )
 }
