@@ -31,13 +31,16 @@ import org.apache.spark.sql.functions._
   * digit), so the register table hash-matches DuckDB EXACTLY. The
   * estimate keeps bit-exactness by carrying the harmonic sum
   * S = Σ_j 2^(61−M[j]) (M = 0 for empty registers) as TWO exact
-  * sub-2^53 longs (s_hi·2^53 + s_lo): S itself needs up to 72 bits,
-  * and the engines' wide-int→double casts disagree in the last ulp
-  * (Java's BigInteger rounds correctly; a two-halves float sum may
+  * longs (s_hi·2^47 + s_lo): S itself needs up to 72 bits, and the
+  * engines' wide-int→double casts disagree in the last ulp (Java's
+  * BigInteger rounds correctly; a two-halves float sum may
   * double-round), but s_hi/s_lo are exact in ANY engine and the final
-  * `s_hi·2^53 + s_lo` double is one multiply-add over bit-identical
-  * operands. Only the small-range linear-counting branch touches libm
-  * (ln) and gets round(·, 6).
+  * `s_hi·2^47 + s_lo` double is one multiply-add over bit-identical
+  * operands. The 2^47 split keeps EVERY partial sum under 2^63 at the
+  * largest dial: low-word terms are < 2^47, so lo_raw ≤ m·2^46 ≤ 2^62
+  * even at m = 65536 (high-word terms are ≤ 2^14, hi_raw ≤ 2^30) — no
+  * m cap beyond [[register]]'s own. Only the small-range
+  * linear-counting branch touches libm (ln) and gets round(·, 6).
   */
 object HyperLogLog {
 
@@ -94,20 +97,23 @@ object HyperLogLog {
     * contribute 2^0 = 1 to Σ2^(−M), i.e. 2^61 to S.
     */
   def estimate(regs: DataFrame, keys: Seq[String], m: Int): DataFrame = {
-    val twoTo53 = 9007199254740992L // 2^53
+    val twoTo47 = 140737488355328L // 2^47
     // Per-register scaled term 2^(61-mreg), split so every partial sum
-    // stays an exact long: ranks ≤ 8 land in the high word (÷2^53),
-    // ranks > 8 in the low word. lo ≤ m·2^52 < 2^63 for m ≤ 1024.
-    val hiTerm = expr("CASE WHEN 61 - mreg >= 53 THEN shiftleft(CAST(1 AS BIGINT), 61 - mreg - 53) ELSE CAST(0 AS BIGINT) END")
-    val loTerm = expr("CASE WHEN 61 - mreg < 53 THEN shiftleft(CAST(1 AS BIGINT), 61 - mreg) ELSE CAST(0 AS BIGINT) END")
+    // stays an exact long AT ANY register dial: ranks ≤ 14 land in the
+    // high word (÷2^47, each term ≤ 2^14 → hi ≤ m·2^14 ≤ 2^30), ranks
+    // > 14 in the low word (each term < 2^47 → lo ≤ m·2^46 ≤ 2^62 for
+    // m ≤ 65536). High-word terms are powers of two ≥ 2^47, so the ÷
+    // loses nothing and S = s_hi·2^47 + s_lo holds exactly.
+    val hiTerm = expr("CASE WHEN 61 - mreg >= 47 THEN shiftleft(CAST(1 AS BIGINT), 61 - mreg - 47) ELSE CAST(0 AS BIGINT) END")
+    val loTerm = expr("CASE WHEN 61 - mreg < 47 THEN shiftleft(CAST(1 AS BIGINT), 61 - mreg) ELSE CAST(0 AS BIGINT) END")
     val agg = regs.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).cast("int").as("n_present"),
         sum(hiTerm).as("hi_raw"), sum(loTerm).as("lo_raw"))
-      // empty registers: 2^61 = 2^8 · 2^53 each → high word
-      .withColumn("hi_raw", col("hi_raw") + (lit(m) - col("n_present")).cast("long") * lit(256L))
-      .withColumn("s_hi", expr(s"hi_raw + lo_raw div $twoTo53")) // div: long `/` would be a DOUBLE division
-      .withColumn("s_lo", col("lo_raw") % lit(twoTo53))
-    val sD = col("s_hi").cast("double") * lit(twoTo53.toDouble) + col("s_lo").cast("double")
+      // empty registers: 2^61 = 2^14 · 2^47 each → high word
+      .withColumn("hi_raw", col("hi_raw") + (lit(m) - col("n_present")).cast("long") * lit(16384L))
+      .withColumn("s_hi", expr(s"hi_raw + lo_raw div $twoTo47")) // div: long `/` would be a DOUBLE division
+      .withColumn("s_lo", col("lo_raw") % lit(twoTo47))
+    val sD = col("s_hi").cast("double") * lit(twoTo47.toDouble) + col("s_lo").cast("double")
     val alpha = 0.7213 / (1.0 + 1.079 / m) // identical literal arithmetic in the SQL mirror
     val raw = lit(alpha) * lit((m.toLong * m).toDouble) * lit(2305843009213693952.0) / sD
     val v0 = lit(m) - col("n_present")
@@ -141,20 +147,20 @@ object HyperLogLog {
     * branch).
     */
   def estimateSql(regsSql: String, keyCols: String, m: Int): String = {
-    val t53 = "9007199254740992"
+    val t47 = "140737488355328"
     s"""SELECT $keyCols, $m - n_present AS v0, n_present, s_hi, s_lo,
          round(CASE WHEN (0.7213 / (1.0 + 1.079 / $m.0)) * ${m.toLong * m}.0 * 2305843009213693952.0
-                         / (CAST(s_hi AS DOUBLE) * $t53.0 + CAST(s_lo AS DOUBLE)) <= ${2.5 * m}
+                         / (CAST(s_hi AS DOUBLE) * $t47.0 + CAST(s_lo AS DOUBLE)) <= ${2.5 * m}
                      AND $m - n_present > 0
                     THEN $m.0 * ln($m.0 / CAST($m - n_present AS DOUBLE))
                     ELSE (0.7213 / (1.0 + 1.079 / $m.0)) * ${m.toLong * m}.0 * 2305843009213693952.0
-                         / (CAST(s_hi AS DOUBLE) * $t53.0 + CAST(s_lo AS DOUBLE)) END, 6) AS est
+                         / (CAST(s_hi AS DOUBLE) * $t47.0 + CAST(s_lo AS DOUBLE)) END, 6) AS est
        FROM (SELECT $keyCols, n_present,
-                    hi_raw + lo_raw // $t53 AS s_hi, lo_raw % $t53 AS s_lo
+                    hi_raw + lo_raw // $t47 AS s_hi, lo_raw % $t47 AS s_lo
              FROM (SELECT $keyCols, CAST(COUNT(*) AS INTEGER) AS n_present,
-                          CAST(SUM(CASE WHEN 61 - mreg >= 53 THEN 1::BIGINT << (61 - mreg - 53) ELSE 0 END)
-                               + ($m - COUNT(*)) * 256 AS BIGINT) AS hi_raw,
-                          CAST(SUM(CASE WHEN 61 - mreg < 53 THEN 1::BIGINT << (61 - mreg) ELSE 0 END) AS BIGINT) AS lo_raw
+                          CAST(SUM(CASE WHEN 61 - mreg >= 47 THEN 1::BIGINT << (61 - mreg - 47) ELSE 0 END)
+                               + ($m - COUNT(*)) * 16384 AS BIGINT) AS hi_raw,
+                          CAST(SUM(CASE WHEN 61 - mreg < 47 THEN 1::BIGINT << (61 - mreg) ELSE 0 END) AS BIGINT) AS lo_raw
                    FROM ($regsSql) GROUP BY $keyCols))"""
   }
 }

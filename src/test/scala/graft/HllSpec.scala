@@ -99,12 +99,33 @@ class HllSpec extends SparkTestBase {
 
   test("harmonic-sum split-long bookkeeping: single item, v0 = m - 1") {
     // One item of rank rho: S = 2^(61-rho) + (m-1)·2^61. For 'a'
-    // (rho = 2): S = 2^59 + 1023·2^61. hi = S div 2^53 = 2^6 + 1023·2^8,
+    // (rho = 2): S = 2^59 + 1023·2^61. hi = S div 2^47 = 2^12 + 1023·2^14,
     // lo = 0.
     val r = HyperLogLog.estimate(
         HyperLogLog.sketch(Seq("a").toDF("x"), col("x"), Nil, M), Nil, M)
       .select("v0", "n_present", "s_hi", "s_lo").as[(Int, Int, Long, Long)].head()
-    assert(r === ((M - 1, 1, 64L + 1023L * 256L, 0L)))
+    assert(r === ((M - 1, 1, 4096L + 1023L * 16384L, 0L)))
+  }
+
+  test("estimate is exact and overflow-free at the largest dial m = 65536") {
+    // The round-6 2^53 split capped estimate() at m <= 1024 (lo_raw could
+    // overflow a signed long past that). The 2^47 split must survive the
+    // ADVERSARIAL worst case: every register present at rank 15, the
+    // largest rank whose term 2^(61-15) = 2^46 still lands in the low
+    // word — lo_raw = 65536·2^46 = 2^62, the maximum any input can
+    // produce. ANSI mode is on in tests, so an overflow would abort.
+    val m = 65536
+    val regs = spark.range(m).select(col("id").cast("int").as("j"), lit(15).as("rho"))
+      .groupBy("j").agg(max("rho").as("mreg"))
+    val r = HyperLogLog.estimate(regs, Nil, m)
+      .select("v0", "n_present", "s_hi", "s_lo", "est")
+      .as[(Int, Int, Long, Long, Double)].head()
+    // S = 2^62 exactly: s_hi = 2^62 div 2^47 = 2^15, s_lo = 0.
+    assert((r._1, r._2, r._3, r._4) === ((0, m, 32768L, 0L)))
+    // Raw regime (v0 = 0): est = alpha·m²·2^61/2^62 = alpha·m²/2.
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val want = math.round(alpha * (m.toLong * m).toDouble * 2305843009213693952.0 / math.pow(2, 62) * 1e6) / 1e6
+    assert(r._5 === want)
   }
 
   test("grouped sketches stay independent per key") {
