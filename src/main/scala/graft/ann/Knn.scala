@@ -187,15 +187,30 @@ object Knn {
     * one k-row collect each. Deterministic: seeded from `centroidPred`
     * rows, cosine ties broken by centroid id.
     *
+    * `resume = true` (Path mode only) re-enters a previous run's
+    * checkpoint dir after a driver loss: step i = the centroid table
+    * after iteration i (the seed centroids are derived from `emb` +
+    * `centroidPred`, not materialized). Each iteration is a pure
+    * function of the previous centroid table, so the restart picks up
+    * at the highest COMMITTED step and runs only the remaining
+    * iterations — bit-identical to the uninterrupted run (ResumeSpec).
+    * Falls back to a fresh run when the dir has no usable frontier.
+    *
     * @return (centroid_id, centroid ARRAY<FLOAT>) after `iters` updates
     */
   def kmeansCentroids(emb: DataFrame, idCol: String, vecCol: String,
                       centroidPred: Column, iters: Int,
                       checkpoint: graft.operators.CheckpointMode =
-                        graft.operators.CheckpointMode.Local): DataFrame = {
+                        graft.operators.CheckpointMode.Local,
+                      resume: Boolean = false): DataFrame = {
     val cp = new graft.operators.Checkpointer(checkpoint, "kmeans")
-    var centroids = emb.where(centroidPred)
-      .select(col(idCol).as("centroid_id"), col(vecCol).as("cent_vec"))
+    val resumed = (checkpoint, resume) match {
+      case (graft.operators.CheckpointMode.Path(dir), true) =>
+        graft.operators.Checkpointer
+          .lastCompleteStep(emb.sparkSession, dir, "kmeans")
+          .filter { case (s, _) => s >= 1 && s <= iters }
+      case _ => None
+    }
     // each iteration's centroids (k rows — trivially cheap) are
     // materialized (checkpoint-mode dial) before feeding the next: without
     // it iteration N's plan nests all N−1 predecessors, so a 20-
@@ -203,8 +218,16 @@ object Knn {
     // same lineage trap nearDupClustersConverged solves for labels.
     // The superseded iteration's blocks are released; the final one
     // stays (the caller reads it).
-    var prevCp: Option[DataFrame] = None
-    (1 to iters).foreach { _ =>
+    var (centroids, prevCp, remaining) = resumed match {
+      case Some((s, frontier)) =>
+        val f = cp.resumeAt(s, frontier)
+        (f, Option(f), iters - s)
+      case None =>
+        (emb.where(centroidPred)
+          .select(col(idCol).as("centroid_id"), col(vecCol).as("cent_vec")),
+          Option.empty[DataFrame], iters)
+    }
+    (1 to remaining).foreach { _ =>
       // a recomputed mean could in principle collapse to the zero vector;
       // drop it rather than divide by zero under ANSI mode
       val cn = centroids.select(col("centroid_id"), col("cent_vec"),

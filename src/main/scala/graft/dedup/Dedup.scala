@@ -368,16 +368,33 @@ object Dedup {
   def nearDupClustersConverged(ids: DataFrame, idCol: String, pairs: DataFrame,
                                maxIters: Int = 20,
                                checkpoint: graft.operators.CheckpointMode =
-                                 graft.operators.CheckpointMode.Local): (DataFrame, Int) = {
+                                 graft.operators.CheckpointMode.Local,
+                               resume: Boolean = false): (DataFrame, Int) = {
     require(maxIters >= 1, s"maxIters must be positive, got $maxIters")
     // `checkpoint` dials per-iteration durability (see operators.
     // Checkpointer): Local is right for a single node; Reliable/Path
     // survive executor loss on a long cluster run, where lineage
-    // truncation otherwise makes one lost executor fatal.
+    // truncation otherwise makes one lost executor fatal. Path +
+    // `resume = true` survives DRIVER loss too: step 1 = symmetrized
+    // edges (never released), step 2 = seed labels, step 2+i = round
+    // i's half-step WITH its `_chg` flag. A restart re-enters at the
+    // highest committed half-step, replays that round's tail (the
+    // convergence probe + lazy pointer jump — both pure functions of
+    // the cached half), and continues — bit-identical labels AND round
+    // count vs the uninterrupted run (ResumeSpec). Falls back to a
+    // fresh run when the dir has no usable frontier.
     val cp = new graft.operators.Checkpointer(checkpoint, "cc")
-    val edges = cp.materialize(
-      pairs.select(col("id_a").as("e_src"), col("id_b").as("e_dst"))
-        .union(pairs.select(col("id_b").as("e_src"), col("id_a").as("e_dst"))))
+    val spark = ids.sparkSession
+    val resumed = (checkpoint, resume) match {
+      case (graft.operators.CheckpointMode.Path(dir), true) =>
+        for {
+          (s, frontier) <- graft.operators.Checkpointer
+            .lastCompleteStep(spark, dir, "cc")
+          if s >= 2
+          edgesF <- graft.operators.Checkpointer.completeStep(spark, dir, "cc", 1)
+        } yield (s, frontier, edgesF)
+      case _ => None
+    }
     // superseded iterations release their materialized step (blocks or
     // files) — a long convergence run must not pin every iteration's
     // full label table in storage
@@ -394,10 +411,28 @@ object Dedup {
     // upstream pipeline (q72 feeds the tokenization read), and round 1
     // references it in two join branches — un-materialized, a broadcast
     // plan would derive that upstream twice
-    var labels = cp.materialize(ids.select(col(idCol).as("id"), col(idCol).as("label")))
-    var prevHalf: Option[DataFrame] = Some(labels)
-    var it = 0
-    var converged = false
+    val (edges, labels0, prevHalf0, it0, conv0) = resumed match {
+      case Some((s, frontier, edgesF)) =>
+        val f = cp.resumeAt(s, frontier)
+        if (s == 2) (edgesF, f, Option(f), 0, false)
+        else {
+          // f is round (s−2)'s half-step: replay that round's tail —
+          // was it the converging round?
+          val c = f.where(col("_chg")).limit(1).isEmpty
+          val lab = if (c) f.drop("_chg") else jump(f)
+          (edgesF, lab, Option(f), s - 2, c)
+        }
+      case None =>
+        val e = cp.materialize(
+          pairs.select(col("id_a").as("e_src"), col("id_b").as("e_dst"))
+            .union(pairs.select(col("id_b").as("e_src"), col("id_a").as("e_dst"))))
+        val l = cp.materialize(ids.select(col(idCol).as("id"), col(idCol).as("label")))
+        (e, l, Option(l), 0, false)
+    }
+    var labels = labels0
+    var prevHalf = prevHalf0
+    var it = it0
+    var converged = conv0
     while (it < maxIters && !converged) {
       // step 1: hash-min over neighbors, materialized WITH its change flag
       val nbrMin = edges.join(labels, edges("e_dst") === labels("id"))
@@ -415,13 +450,7 @@ object Dedup {
       converged = half.where(col("_chg")).limit(1).isEmpty
       // step 2: pointer jump (label ← label(label)) — lazy over the
       // cached half-step; skipped on the confirming round
-      labels =
-        if (converged) half.drop("_chg")
-        else half.alias("h")
-          .join(half.select(col("id").as("p_id"), col("label").as("p_label")).alias("p"),
-            col("h.label") === col("p_id"), "left")
-          .select(col("h.id").as("id"),
-            least(col("h.label"), coalesce(col("p_label"), col("h.label"))).as("label"))
+      labels = if (converged) half.drop("_chg") else jump(half)
       // the previous round's half-step is dead once this round's is
       // materialized (everything downstream reads the new one)
       prevHalf.foreach(cp.release)
@@ -431,6 +460,17 @@ object Dedup {
     (labels.select(col("id").as(idCol), col("label").as("cluster_id"),
       (col("id") === col("label")).as("keep")), it)
   }
+
+  /** The pointer jump (label ← label(label)) over a materialized
+    * half-step — lazy: a shallow self-join over cached rows, shared by
+    * the live loop and the resume replay.
+    */
+  private def jump(half: DataFrame): DataFrame =
+    half.alias("h")
+      .join(half.select(col("id").as("p_id"), col("label").as("p_label")).alias("p"),
+        col("h.label") === col("p_id"), "left")
+      .select(col("h.id").as("id"),
+        least(col("h.label"), coalesce(col("p_label"), col("h.label"))).as("label"))
 
   /** Pairwise n-gram Jaccard similarity via a shingle inverted-index
     * self-join (only pairs sharing ≥1 shingle ever meet):

@@ -31,14 +31,47 @@ object KCore {
   /** Peel `rounds` times. `pairs` are undirected deduplicated edges
     * (id_a, id_b); returns (id, core_deg) — survivors with their degree
     * inside the surviving subgraph.
+    *
+    * `resume = true` (Path mode only) re-enters a previous run's
+    * checkpoint dir after a driver loss: step 1 = the initial edge
+    * table, step 1+i = edges after peel round i. Peeling is a pure
+    * function of the surviving edge set alone (no prefix table
+    * needed), so the restart picks up at the highest COMMITTED edge
+    * step and peels only the remaining rounds — bit-identical to the
+    * uninterrupted run (ResumeSpec). Falls back to a fresh run when
+    * the dir has no usable frontier.
     */
   def kCore(pairs: DataFrame, k: Int, rounds: Int,
             checkpoint: graft.operators.CheckpointMode =
-              graft.operators.CheckpointMode.Local): DataFrame = {
+              graft.operators.CheckpointMode.Local,
+            resume: Boolean = false): DataFrame = {
     require(k >= 1, s"k must be positive, got $k")
     require(rounds >= 1, s"rounds must be positive, got $rounds")
     val cp = new graft.operators.Checkpointer(checkpoint, "kcore")
-    var e = cp.materialize(pairs.select(col("id_a").as("u"), col("id_b").as("v")))
+    val resumed = (checkpoint, resume) match {
+      case (graft.operators.CheckpointMode.Path(dir), true) =>
+        graft.operators.Checkpointer
+          .lastCompleteStep(pairs.sparkSession, dir, "kcore")
+          .filter { case (s, _) => s >= 1 && s <= 1 + rounds }
+      case _ => None
+    }
+    resumed match {
+      case Some((s, frontier)) if s == 1 + rounds => degrees(frontier)
+      case Some((s, frontier)) =>
+        peel(cp, k, cp.resumeAt(s, frontier), rounds - (s - 1))
+      case None =>
+        peel(cp, k,
+          cp.materialize(pairs.select(col("id_a").as("u"), col("id_b").as("v"))),
+          rounds)
+    }
+  }
+
+  /** The peel loop proper, from an arbitrary surviving edge set —
+    * shared by fresh and resumed runs.
+    */
+  private def peel(cp: graft.operators.Checkpointer, k: Int,
+                   e0: DataFrame, rounds: Int): DataFrame = {
+    var e = e0
     var prev: Option[DataFrame] = Some(e)
     for (_ <- 1 to rounds) {
       val keep = degrees(e).where(col("core_deg") >= k).select("id")

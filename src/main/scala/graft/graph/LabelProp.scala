@@ -36,15 +36,54 @@ object LabelProp {
   /** `rounds` synchronous label updates. `pairs` are undirected
     * deduplicated edges (id_a, id_b); `nodes` must contain every node
     * (isolated ones included). Returns (id, label).
+    *
+    * `resume = true` (Path mode only) re-enters a previous run's
+    * checkpoint dir after a driver loss: step 1 = symmetrized edges
+    * (never released), step 2 = seed labels, step 2+i = labels after
+    * round i. The restart picks up at the highest COMMITTED label step
+    * (an uncommitted in-flight step is ignored and overwritten) and
+    * runs only the remaining rounds — bit-identical to the
+    * uninterrupted run, since each round is a pure function of the
+    * previous label table (ResumeSpec proves it). Falls back to a
+    * fresh run when the dir has no usable frontier.
     */
   def run(nodes: DataFrame, idCol: String, pairs: DataFrame, rounds: Int,
           checkpoint: graft.operators.CheckpointMode =
-            graft.operators.CheckpointMode.Local): DataFrame = {
+            graft.operators.CheckpointMode.Local,
+          resume: Boolean = false): DataFrame = {
     require(rounds >= 1, s"rounds must be positive, got $rounds")
     val cp = new graft.operators.Checkpointer(checkpoint, "lpa")
-    val edges = cp.materialize(symmetrized(pairs))
-    var lab = cp.materialize(nodes.select(col(idCol).cast("long").as("id"),
-      col(idCol).cast("long").as("label")))
+    val spark = nodes.sparkSession
+    val resumed = (checkpoint, resume) match {
+      case (graft.operators.CheckpointMode.Path(dir), true) =>
+        for {
+          (s, frontier) <- graft.operators.Checkpointer
+            .lastCompleteStep(spark, dir, "lpa")
+          if s >= 2 && s <= 2 + rounds
+          edgesF <- graft.operators.Checkpointer.completeStep(spark, dir, "lpa", 1)
+        } yield (s, frontier, edgesF)
+      case _ => None
+    }
+    resumed match {
+      case Some((s, frontier, _)) if s == 2 + rounds =>
+        frontier // previous run already finished all requested rounds
+      case Some((s, frontier, edgesF)) =>
+        iterate(cp, edgesF, cp.resumeAt(s, frontier), rounds - (s - 2))
+      case None =>
+        val edges = cp.materialize(symmetrized(pairs))
+        val lab0 = cp.materialize(nodes.select(col(idCol).cast("long").as("id"),
+          col(idCol).cast("long").as("label")))
+        iterate(cp, edges, lab0, rounds)
+    }
+  }
+
+  /** The synchronous-update loop proper, from an arbitrary starting
+    * label table — shared by fresh runs (self labels) and resumed runs
+    * (the recovered frontier).
+    */
+  private def iterate(cp: graft.operators.Checkpointer, edges: DataFrame,
+                      lab0: DataFrame, rounds: Int): DataFrame = {
+    var lab = lab0
     var prev: Option[DataFrame] = Some(lab)
     for (_ <- 1 to rounds) {
       lab = cp.materialize(step(edges, lab))
@@ -55,14 +94,20 @@ object LabelProp {
   }
 
   /** Propagate until no label changes (one cached count probe per
-    * round), bounded by `maxRounds`. Returns (labels, rounds run) —
-    * same answer as [[run]] with enough rounds when the propagation
-    * converges at all.
+    * round), bounded by `maxRounds`. Returns (labels, rounds run,
+    * converged) — same answer as [[run]] with enough rounds when the
+    * propagation converges at all. The third element is the terminal
+    * state, and it matters: synchronous LPA provably 2-cycles on
+    * bipartite structures (LabelPropSpec pins a 4-cycle that flips
+    * forever), so `rounds == maxRounds` alone cannot distinguish "just
+    * converged on the last allowed round" from "cut off mid-
+    * oscillation" — a pipeline must not treat an oscillation snapshot
+    * as a community assignment.
     */
   def runConverged(nodes: DataFrame, idCol: String, pairs: DataFrame,
                    maxRounds: Int = 32,
                    checkpoint: graft.operators.CheckpointMode =
-                     graft.operators.CheckpointMode.Local): (DataFrame, Int) = {
+                     graft.operators.CheckpointMode.Local): (DataFrame, Int, Boolean) = {
     require(maxRounds >= 1, s"maxRounds must be positive, got $maxRounds")
     val cp = new graft.operators.Checkpointer(checkpoint, "lpa")
     val edges = cp.materialize(symmetrized(pairs))
@@ -80,7 +125,7 @@ object LabelProp {
       prev = Some(next)
       lab = next
     }
-    (lab, round)
+    (lab, round, stable)
   }
 
   /** One synchronous update: plurality over each node's neighbor

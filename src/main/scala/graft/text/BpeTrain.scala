@@ -1,7 +1,7 @@
 package graft.text
 
 import graft.operators.{CheckpointMode, Checkpointer}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Distributed BPE (byte-pair-encoding) vocabulary training — the
@@ -38,18 +38,61 @@ import org.apache.spark.sql.functions._
   */
 object BpeTrain {
 
+  /** Pad a word column into the two-space symbol representation. */
+  private def padded(wordCol: String): Column =
+    concat(lit(" "), regexp_replace(col(wordCol), "(.)", "$1  "), lit("</w> "))
+
+  /** Path-mode resume bookkeeping shared by both trainers: the word
+    * table rides checkpointer `tag` (step 1 = initial rep, step r+1 =
+    * rep after round r), the per-round merge records ride `tag`-rec
+    * (step r = round r's record) and are NEVER released — so after a
+    * driver loss the records double as the durable output log. A round
+    * writes its rep BEFORE its record, so a complete record r implies
+    * a complete rep r+1; the resume frontier is the highest committed
+    * record, and an orphan rep whose record never committed is simply
+    * overwritten when its round re-runs. Returns (rep frontier,
+    * completed rounds, union of completed-round records), or None when
+    * the dir has no usable frontier.
+    */
+  private def resumeState(spark: org.apache.spark.sql.SparkSession,
+                          checkpoint: CheckpointMode, resume: Boolean,
+                          tag: String, rounds: Int,
+                          repCp: Checkpointer, recCp: Checkpointer)
+      : Option[(DataFrame, Int, DataFrame)] = (checkpoint, resume) match {
+    case (CheckpointMode.Path(dir), true) =>
+      Checkpointer.lastCompleteStep(spark, dir, s"$tag-rec")
+        .filter { case (r0, _) => r0 <= rounds }
+        .flatMap { case (r0, _) =>
+          val recs = (1 to r0).map(i =>
+            Checkpointer.completeStep(spark, dir, s"$tag-rec", i))
+          val repF = Checkpointer.completeStep(spark, dir, tag, r0 + 1)
+          if (repF.isDefined && recs.forall(_.isDefined)) {
+            recCp.resumeAt(r0, recs.last.get)
+            Some((repCp.resumeAt(r0 + 1, repF.get), r0,
+              recs.map(_.get).reduce(_ union _)))
+          } else None
+        }
+    case _ => None
+  }
+
   def train(words: DataFrame, wordCol: String, cntCol: String, merges: Int,
-            checkpoint: CheckpointMode = CheckpointMode.Local): DataFrame = {
+            checkpoint: CheckpointMode = CheckpointMode.Local,
+            resume: Boolean = false): DataFrame = {
     require(merges >= 1, s"merges must be positive, got $merges")
-    val cp = new Checkpointer(checkpoint, "bpe")
-    var rep = cp.materialize(words
-      .where(length(col(wordCol)) >= 1)
-      .select(concat(lit(" "), regexp_replace(col(wordCol), "(.)", "$1  "),
-        lit("</w> ")).as("s"),
-        col(cntCol).cast("long").as("cnt")))
+    val repCp = new Checkpointer(checkpoint, "bpe")
+    val recCp = new Checkpointer(checkpoint, "bpe-rec")
+    val resumed = resumeState(words.sparkSession, checkpoint, resume,
+      "bpe", merges, repCp, recCp)
+    var (rep, done, out) = resumed match {
+      case Some((repF, r0, recU)) => (repF, r0, Option(recU))
+      case None =>
+        (repCp.materialize(words
+          .where(length(col(wordCol)) >= 1)
+          .select(padded(wordCol).as("s"), col(cntCol).cast("long").as("cnt"))),
+          0, Option.empty[DataFrame])
+    }
     var prevRep: Option[DataFrame] = Some(rep)
-    var out: Option[DataFrame] = None
-    for (r <- 1 to merges) {
+    for (r <- done + 1 to merges) {
       val syms = split(trim(col("s")), "  ")
       // a fully-merged word (one symbol left) contributes no pairs —
       // without the guard, sequence(0, -1) counts DOWN in Spark and
@@ -63,7 +106,7 @@ object BpeTrain {
         .orderBy(col("c").desc, col("a"), col("b"))
         .limit(1)
       // merge application: map-side literal replace, winner broadcast
-      val next = cp.materialize(rep.crossJoin(broadcast(top))
+      val next = repCp.materialize(rep.crossJoin(broadcast(top))
         .select(expr(
           "replace(s, concat(' ', a, '  ', b, ' '), concat(' ', a, b, ' '))").as("s"),
           col("cnt")))
@@ -71,12 +114,12 @@ object BpeTrain {
         .agg(countDistinct("sym").as("vocab_size_after"))
       // 1-row round record — materialized BEFORE the old rep is
       // released (it reads the old rep through `top`)
-      val round = cp.materialize(top.crossJoin(vocab)
+      val round = recCp.materialize(top.crossJoin(vocab)
         .select(lit(r).as("merge_rank"), col("a").as("left_sym"),
           col("b").as("right_sym"), col("c").as("pair_count"),
           col("vocab_size_after")))
       out = Some(out.map(_.union(round)).getOrElse(round))
-      prevRep.foreach(cp.release)
+      prevRep.foreach(repCp.release)
       prevRep = Some(next)
       rep = next
     }
@@ -115,21 +158,51 @@ object BpeTrain {
     */
   def trainBatched(words: DataFrame, wordCol: String, cntCol: String,
                    rounds: Int, batch: Int,
-                   checkpoint: CheckpointMode = CheckpointMode.Local): DataFrame = {
+                   checkpoint: CheckpointMode = CheckpointMode.Local,
+                   resume: Boolean = false): DataFrame =
+    trainBatchedWithDiag(words, wordCol, cntCol, rounds, batch,
+      checkpoint, resume)._1
+
+  /** [[trainBatched]] plus its per-round conflict diagnostic — the SRP
+    * `candidate_fraction` pattern for batched BPE: the effective batch
+    * is data-dependent (1..batch), and at batch = 32+ on a real corpus
+    * the greedy conflict drop can collapse rounds back toward
+    * sequential with no visibility. The second frame has one row per
+    * round run: (round, n_candidates — the ≤ batch candidate window —,
+    * n_kept — survivors of the greedy drop —, n_dropped). Zero extra
+    * Spark work: both counts are already driver-side values (the
+    * candidate window is the collected bounded model artifact).
+    * On a resumed run the diagnostic covers only the rounds THIS
+    * invocation executed — the pre-crash rounds' windows died with the
+    * previous driver (their learned merges are durable; their
+    * candidate counts were never part of the artifact).
+    */
+  def trainBatchedWithDiag(words: DataFrame, wordCol: String, cntCol: String,
+                           rounds: Int, batch: Int,
+                           checkpoint: CheckpointMode = CheckpointMode.Local,
+                           resume: Boolean = false): (DataFrame, DataFrame) = {
     require(rounds >= 1, s"rounds must be positive, got $rounds")
     require(batch >= 1, s"batch must be positive, got $batch")
     val spark = words.sparkSession
     import spark.implicits._
-    val cp = new Checkpointer(checkpoint, "bpeb")
-    var rep = cp.materialize(words
-      .where(length(col(wordCol)) >= 1)
-      .select(concat(lit(" "), regexp_replace(col(wordCol), "(.)", "$1  "),
-        lit("</w> ")).as("s"),
-        col(cntCol).cast("long").as("cnt")))
+    val repCp = new Checkpointer(checkpoint, "bpeb")
+    val recCp = new Checkpointer(checkpoint, "bpeb-rec")
+    val resumed = resumeState(spark, checkpoint, resume, "bpeb", rounds,
+      repCp, recCp)
+    var (rep, done, out) = resumed match {
+      case Some((repF, r0, recU)) => (repF, r0, Option(recU))
+      case None =>
+        (repCp.materialize(words
+          .where(length(col(wordCol)) >= 1)
+          .select(padded(wordCol).as("s"), col(cntCol).cast("long").as("cnt"))),
+          0, Option.empty[DataFrame])
+    }
+    // global merge_rank continues where the recovered records left off
+    // (their union is bounded: ≤ batch rows per completed round)
+    var learned = out.map(_.agg(max("merge_rank")).collect()(0).getInt(0)).getOrElse(0)
     var prevRep: Option[DataFrame] = Some(rep)
-    var out: Option[DataFrame] = None
-    var learned = 0
-    for (_ <- 1 to rounds) {
+    val diag = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
+    for (r <- done + 1 to rounds) {
       val syms = split(trim(col("s")), "  ")
       val pairs = rep.where(size(syms) >= 2).select(col("cnt"),
         explode(transform(sequence(lit(0), size(syms) - 2),
@@ -150,26 +223,29 @@ object BpeTrain {
             x == a || x == b || y == a || y == b }) acc
           else acc :+ ((a, b, c))
       }
+      diag += ((r, topB.length.toLong, kept.length.toLong))
       if (kept.nonEmpty) {
         val applied = kept.foldLeft(col("s")) { case (s, (a, b, _)) =>
           replace(s, lit(s" $a  $b "), lit(s" $a$b "))
         }
-        val next = cp.materialize(rep.select(applied.as("s"), col("cnt")))
+        val next = repCp.materialize(rep.select(applied.as("s"), col("cnt")))
         val vocab = next.select(explode(split(trim(col("s")), "  ")).as("sym"))
           .agg(countDistinct("sym").as("vocab_size_after"))
         val recs = kept.zipWithIndex.map { case ((a, b, c), i) =>
           (learned + i + 1, a, b, c)
         }.toSeq.toDF("merge_rank", "left_sym", "right_sym", "pair_count")
-        val round = cp.materialize(recs.crossJoin(vocab))
+        val round = recCp.materialize(recs.crossJoin(vocab))
         learned += kept.length
         out = Some(out.map(_.union(round)).getOrElse(round))
-        prevRep.foreach(cp.release)
+        prevRep.foreach(repCp.release)
         prevRep = Some(next)
         rep = next
       }
     }
-    out.getOrElse(throw new IllegalStateException(
-      "trainBatched: no mergeable pair in any round (corpus fully merged?)"))
+    (out.getOrElse(throw new IllegalStateException(
+      "trainBatched: no mergeable pair in any round (corpus fully merged?)")),
+      diag.toSeq.map { case (r, c, k) => (r, c, k, c - k) }
+        .toDF("round", "n_candidates", "n_kept", "n_dropped"))
   }
 
   /** SERVE side of the trained tokenizer: apply a learned merge list

@@ -78,9 +78,22 @@ class BpeTrainSpec extends SparkTestBase {
         r.getLong(3), r.getLong(4))).sortBy(_._1).toSeq
     assert(got.map(t => (t._1, t._2, t._3, t._4)) ===
       Seq((1, "a", "b", 5L), (2, "c", "</w>", 3L)),
-      s"conflict rule must judge against CANDIDATES, not kept picks; got $got")
+      s"conflict rule must judge against KEPT picks only — dropped " +
+        s"higher-ranked candidates block nothing; got $got")
     // vocab after the round's one replace chain, shared by batch-mates
     assert(got.map(_._5).distinct.size === 1)
+  }
+
+  test("conflict diagnostic reports per-round candidate/kept/dropped counts") {
+    // same fixture as the conflict-drop test: round 1 sees 4 candidates
+    // ((a,b)=5, (b,</w>)=5, (b,c)=3, (c,</w>)=3), keeps 2, drops 2
+    val words = Seq(("ab", 5L), ("bc", 3L), ("cd", 2L)).toDF("word", "cnt")
+    val (_, diag) = BpeTrain.trainBatchedWithDiag(words, "word", "cnt",
+      rounds = 1, batch = 4)
+    val got = diag.collect().map(r =>
+      (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === Seq((1, 4L, 2L, 2L)),
+      s"diag must expose the round's effective batch; got $got")
   }
 
   test("single-char words still train (word → char + end marker)") {

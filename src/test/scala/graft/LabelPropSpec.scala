@@ -36,12 +36,34 @@ class LabelPropSpec extends SparkTestBase {
   }
 
   test("converged twin: stability probe stops and matches the pinned-round run") {
-    val (lab, rounds) = LabelProp.runConverged(nodes, "doc_id", pairs)
+    val (lab, rounds, converged) = LabelProp.runConverged(nodes, "doc_id", pairs)
     assert(rounds >= 2 && rounds <= 6, s"fixture should settle fast, took $rounds")
+    assert(converged, "two-clique fixture must report a genuine fixpoint")
     val conv = lab.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
     val pinned = LabelProp.run(nodes, "doc_id", pairs, rounds = 6)
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
     assert(conv === pinned)
+  }
+
+  test("terminal-state telemetry: an oscillating fixture reports converged = false") {
+    // synchronous LPA can 2-cycle even with the self ballot and the
+    // min tie-break — the smallest such graph (exhaustive search over
+    // n ≤ 6): hubs 2 and 3 share fan {4,5,6} while only 2 holds leaf
+    // 1. From id seeds the fan adopts 2, the hubs adopt the fan's
+    // label, and from round 2 the states alternate forever — hubs and
+    // fan keep swapping plurality winners. runConverged's flag is the
+    // ONLY way a caller can tell this maxRounds cutoff from genuine
+    // convergence on the final allowed round.
+    val n = (1L to 6L).toDF("doc_id")
+    val osc = Seq((1L, 2L), (2L, 4L), (2L, 5L), (2L, 6L),
+      (3L, 4L), (3L, 5L), (3L, 6L)).toDF("id_a", "id_b")
+    val (_, rounds, converged) = LabelProp.runConverged(n, "doc_id", osc,
+      maxRounds = 6)
+    assert(!converged, "the hub/fan oscillator must be reported as NOT converged")
+    assert(rounds === 6, "an oscillating run must burn its full budget")
+    // sanity contrast: the two-clique fixture reports a genuine fixpoint
+    val (_, _, ok) = LabelProp.runConverged(nodes, "doc_id", pairs, maxRounds = 6)
+    assert(ok)
   }
 
   test("isolated nodes keep their own label through every round") {

@@ -1,0 +1,251 @@
+package graft
+
+import graft.ann.Knn
+import graft.dedup.Dedup
+import graft.graph.{KCore, LabelProp}
+import graft.operators.CheckpointMode
+import graft.text.BpeTrain
+import org.apache.spark.sql.functions._
+
+/** Path-mode resume must reach EVERY iterative operator, not just
+  * PageRank (the round-6 gap): a driver dying mid-flight on a 100 TB
+  * run restarts from the last committed step, not from step 0. Each
+  * case below simulates the crash the same way CheckpointModeSpec's
+  * PageRank case does — run a truncated Path-mode prefix, plant a torn
+  * (uncommitted, no `_SUCCESS`) in-flight step dir, then `resume =
+  * true` with the full budget — and demands BIT-IDENTICAL output vs an
+  * uninterrupted run, plus the no-recompute property for already-
+  * finished runs. Fixtures keep results exactly comparable: labels /
+  * edges / ids are longs, k-means vectors are integer-valued (sums
+  * exact in double), BPE tables are strings + longs.
+  */
+class ResumeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val tmp =
+    java.nio.file.Files.createTempDirectory("graft-resume").toString
+
+  /** Plant an uncommitted in-flight step (no `_SUCCESS`) — the dir a
+    * write that died mid-flight leaves behind.
+    */
+  private def torn(dir: String, name: String): Unit = {
+    val d = new java.io.File(dir, name)
+    assert(d.mkdirs(), s"fixture: could not create $d")
+    java.nio.file.Files.writeString(
+      d.toPath.resolve("part-junk.parquet"), "torn write")
+  }
+
+  private def steps(dir: String): Set[String] =
+    Option(new java.io.File(dir).listFiles())
+      .map(_.map(_.getName).toSet).getOrElse(Set.empty)
+
+  // shared two-clique fixture (LabelPropSpec / CheckpointModeSpec)
+  private def clique(base: Long) =
+    for (a <- base to (base + 3); b <- (a + 1) to (base + 3)) yield (a, b)
+  private def bridged = (clique(1L) ++ clique(11L) :+ ((4L, 11L))).toDF("id_a", "id_b")
+
+  test("label propagation: killed run resumes from the last committed round, bit-identical") {
+    val nodes = ((1L to 4L) ++ (11L to 14L)).toDF("doc_id")
+    val dir = s"$tmp/lpa-kill"
+    // "driver died after round 2 of 4": steps 1 (edges), 4 (labels
+    // after round 2) survive — 2, 3 were released — plus a torn step 5
+    LabelProp.run(nodes, "doc_id", bridged, rounds = 2,
+      checkpoint = CheckpointMode.Path(dir)).collect()
+    torn(dir, "lpa-step-5")
+    val resumed = LabelProp.run(nodes, "doc_id", bridged, rounds = 4,
+        checkpoint = CheckpointMode.Path(dir), resume = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val fresh = LabelProp.run(nodes, "doc_id", bridged, rounds = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(resumed === fresh,
+      "resumed LPA must be bit-identical to an uninterrupted run")
+    val left = steps(dir)
+    assert(left.contains("lpa-step-6"), s"expected frontier step 6 in $left")
+    assert(!left.contains("lpa-step-4"),
+      s"resumed-from step must be released once superseded, found $left")
+  }
+
+  test("label propagation: finished run is served from its frontier, no recompute") {
+    val nodes = ((1L to 4L) ++ (11L to 14L)).toDF("doc_id")
+    val dir = s"$tmp/lpa-noop"
+    val first = LabelProp.run(nodes, "doc_id", bridged, rounds = 2,
+        checkpoint = CheckpointMode.Path(dir))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val again = LabelProp.run(nodes, "doc_id", bridged, rounds = 2,
+        checkpoint = CheckpointMode.Path(dir), resume = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(again === first)
+    assert(!steps(dir).exists(_.startsWith("lpa-step-5")),
+      s"a finished run must not write new steps on resume, found ${steps(dir)}")
+  }
+
+  test("k-core: killed run resumes from the last committed peel round, bit-identical") {
+    val dir = s"$tmp/kcore-kill"
+    // one peel round committed (step 2; the initial step 1 is released
+    // once superseded), then death mid-round-2
+    KCore.kCore(bridged, k = 3, rounds = 1,
+      checkpoint = CheckpointMode.Path(dir)).collect()
+    torn(dir, "kcore-step-3")
+    val resumed = KCore.kCore(bridged, k = 3, rounds = 4,
+        checkpoint = CheckpointMode.Path(dir), resume = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val fresh = KCore.kCore(bridged, k = 3, rounds = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(resumed === fresh,
+      "resumed k-core must be bit-identical to an uninterrupted run")
+    assert(resumed.size === 8, "both cliques survive the 3-core")
+    val left = steps(dir)
+    assert(left.contains("kcore-step-5"), s"expected frontier step 5 in $left")
+    assert(!left.contains("kcore-step-2"),
+      s"resumed-from step must be released once superseded, found $left")
+  }
+
+  test("k-means: killed run resumes from the last committed centroid table, bit-identical") {
+    val emb = Seq(
+      (1L, Array(4f, 0f)), (2L, Array(8f, 2f)), (3L, Array(6f, 4f)),
+      (4L, Array(0f, 4f)), (5L, Array(2f, 8f)), (6L, Array(1f, 9f))
+    ).toDF("vec_id", "embedding")
+    val dir = s"$tmp/kmeans-kill"
+    Knn.kmeansCentroids(emb, "vec_id", "embedding", col("vec_id") <= 2,
+      iters = 1, checkpoint = CheckpointMode.Path(dir)).collect()
+    torn(dir, "kmeans-step-2")
+    val resumed = Knn.kmeansCentroids(emb, "vec_id", "embedding",
+        col("vec_id") <= 2, iters = 3,
+        checkpoint = CheckpointMode.Path(dir), resume = true)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toList)).sortBy(_._1).toSeq
+    val fresh = Knn.kmeansCentroids(emb, "vec_id", "embedding",
+        col("vec_id") <= 2, iters = 3)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toList)).sortBy(_._1).toSeq
+    assert(resumed === fresh,
+      "resumed k-means centroids must be bit-identical to an uninterrupted run")
+    val left = steps(dir)
+    assert(left.contains("kmeans-step-3"), s"expected frontier step 3 in $left")
+    assert(!left.contains("kmeans-step-1"),
+      s"resumed-from step must be released once superseded, found $left")
+  }
+
+  test("connected components: killed run resumes mid-convergence, identical labels AND round count") {
+    // the 50-hop path fixture — pointer doubling needs ~6 rounds
+    val ids = (1L to 51L).toDF("doc_id")
+    val pairs = (1L to 50L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val dir = s"$tmp/cc-kill"
+    // "driver died after round 2": steps 1 (edges) + 4 (round-2 half)
+    // survive, plus a torn round-3 half
+    val (_, two) = Dedup.nearDupClustersConverged(ids, "doc_id", pairs,
+      maxIters = 2, checkpoint = CheckpointMode.Path(dir))
+    assert(two === 2)
+    torn(dir, "cc-step-5")
+    val (resumedDf, resumedRounds) = Dedup.nearDupClustersConverged(
+      ids, "doc_id", pairs, maxIters = 20,
+      checkpoint = CheckpointMode.Path(dir), resume = true)
+    val resumed = resumedDf.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1).toSeq
+    val (freshDf, freshRounds) = Dedup.nearDupClustersConverged(
+      ids, "doc_id", pairs, maxIters = 20)
+    val fresh = freshDf.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1).toSeq
+    assert(resumed === fresh,
+      "resumed components must be bit-identical to an uninterrupted run")
+    assert(resumedRounds === freshRounds,
+      "resumed round count must match the uninterrupted run")
+    assert(resumed.forall(_._2 == 1L), "chain must fully label to the min id")
+  }
+
+  test("connected components: finished (converged) run is served from its frontier, no recompute") {
+    val ids = (1L to 8L).toDF("doc_id")
+    val pairs = (1L to 7L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val dir = s"$tmp/cc-noop"
+    val (firstDf, firstRounds) = Dedup.nearDupClustersConverged(
+      ids, "doc_id", pairs, checkpoint = CheckpointMode.Path(dir))
+    val first = firstDf.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1).toSeq
+    val before = steps(dir)
+    val (againDf, againRounds) = Dedup.nearDupClustersConverged(
+      ids, "doc_id", pairs, checkpoint = CheckpointMode.Path(dir),
+      resume = true)
+    val again = againDf.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1).toSeq
+    assert(again === first)
+    assert(againRounds === firstRounds,
+      "a converged run must report its original round count on resume")
+    assert(steps(dir) === before,
+      "a converged run must not write new steps on resume")
+  }
+
+  test("BPE train: killed run resumes from the last committed merge record, bit-identical") {
+    val words = Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
+      .toDF("word", "cnt")
+    val dir = s"$tmp/bpe-kill"
+    // one merge committed (rep steps 1→2 + record 1; rep 1 released),
+    // then death mid-round-2 (torn rep step 3, record 2 never written)
+    BpeTrain.train(words, "word", "cnt", merges = 1,
+      checkpoint = CheckpointMode.Path(dir)).collect()
+    torn(dir, "bpe-step-3")
+    val resumed = BpeTrain.train(words, "word", "cnt", merges = 3,
+        checkpoint = CheckpointMode.Path(dir), resume = true)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).sortBy(_._1).toSeq
+    val fresh = BpeTrain.train(words, "word", "cnt", merges = 3)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).sortBy(_._1).toSeq
+    assert(resumed === fresh,
+      "resumed BPE merge table must be bit-identical to an uninterrupted run")
+    assert(resumed.map(_._1) === Seq(1, 2, 3), "global merge ranks stay dense")
+    val left = steps(dir)
+    assert(Seq(1, 2, 3).forall(i => left.contains(s"bpe-rec-step-$i")),
+      s"every round's record must survive as the durable output log, found $left")
+    assert(!left.contains("bpe-step-2"),
+      s"resumed-from rep must be released once superseded, found $left")
+  }
+
+  test("BPE train: finished run is served from its records, no recompute") {
+    val words = Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
+      .toDF("word", "cnt")
+    val dir = s"$tmp/bpe-noop"
+    val first = BpeTrain.train(words, "word", "cnt", merges = 2,
+        checkpoint = CheckpointMode.Path(dir))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).sortBy(_._1).toSeq
+    val before = steps(dir)
+    val again = BpeTrain.train(words, "word", "cnt", merges = 2,
+        checkpoint = CheckpointMode.Path(dir), resume = true)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).sortBy(_._1).toSeq
+    assert(again === first)
+    assert(steps(dir) === before,
+      "a finished run must not write new steps on resume")
+  }
+
+  test("batched BPE: killed run resumes with continued global merge ranks, bit-identical") {
+    val words = Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
+      .toDF("word", "cnt")
+    val dir = s"$tmp/bpeb-kill"
+    BpeTrain.trainBatched(words, "word", "cnt", rounds = 1, batch = 3,
+      checkpoint = CheckpointMode.Path(dir)).collect()
+    torn(dir, "bpeb-step-3")
+    val resumed = BpeTrain.trainBatched(words, "word", "cnt",
+        rounds = 3, batch = 3,
+        checkpoint = CheckpointMode.Path(dir), resume = true)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).sortBy(_._1).toSeq
+    val fresh = BpeTrain.trainBatched(words, "word", "cnt",
+        rounds = 3, batch = 3)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).sortBy(_._1).toSeq
+    assert(resumed === fresh,
+      "resumed batched BPE must be bit-identical to an uninterrupted run")
+    assert(resumed.map(_._1) === (1 to resumed.size),
+      "global merge ranks must continue densely across the resume")
+  }
+
+  test("resume on a cold dir falls back to a fresh run") {
+    val nodes = ((1L to 4L) ++ (11L to 14L)).toDF("doc_id")
+    val dir = s"$tmp/lpa-cold"
+    val got = LabelProp.run(nodes, "doc_id", bridged, rounds = 2,
+        checkpoint = CheckpointMode.Path(dir), resume = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val fresh = LabelProp.run(nodes, "doc_id", bridged, rounds = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(got === fresh, "an empty dir must behave exactly like resume = false")
+  }
+}
