@@ -24,7 +24,7 @@ object Bench {
     // warmup (not timed): codegen + shuffle machinery + parquet readers
     spark.range(1 << 20).selectExpr("sum(id)").collect()
     Tables.names.foreach {
-      case "events" => Tables.events(spark, sfDir).count() // needs nanosAsLong conf
+      case "events" => Tables.events(spark, sfDir).count() // ts_us/ts derivation
       case t        => Tables.read(spark, sfDir, t).count()
     }
 

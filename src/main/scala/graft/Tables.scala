@@ -16,18 +16,18 @@ object Tables {
   def read(spark: SparkSession, sfDir: String, table: String): DataFrame =
     spark.read.parquet(s"$sfDir/$table.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's TimestampType
-    * (µs) refuses to read natively. We read it as a long
-    * (`spark.sql.legacy.parquet.nanosAsLong`) and derive:
-    *   - `ts_us`: epoch microseconds (ns div 1000 — same truncation DuckDB
-    *     applies when it narrows ns → its µs timestamps)
-    *   - `ts`:    a proper TimestampType column for window/date functions
+  /** `events.ts` is parquet TIMESTAMP(MICROS) without a UTC-adjustment
+    * flag, which Spark reads as TIMESTAMP_NTZ (naive — exactly how
+    * DuckDB reads it). Every session here runs with
+    * `spark.sql.session.timeZone = UTC`, so casting the naive value to
+    * TimestampType re-interprets it as UTC and:
+    *   - `ts_us`: epoch microseconds — bit-identical to DuckDB's
+    *     `epoch_us(ts)` over the same naive column
+    *   - `ts`:    a proper TimestampType column for window/date
+    *     functions (UTC session ⇒ same field values as the naive form)
     */
-  def events(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def events(spark: SparkSession, sfDir: String): DataFrame =
     read(spark, sfDir, "events")
-      .withColumn("ts_us", org.apache.spark.sql.functions.expr("ts div 1000"))
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.col("ts_us")))
-  }
+      .withColumn("ts", org.apache.spark.sql.functions.expr("cast(ts as timestamp)"))
+      .withColumn("ts_us", org.apache.spark.sql.functions.expr("unix_micros(ts)"))
 }

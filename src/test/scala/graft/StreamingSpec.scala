@@ -650,11 +650,12 @@ class StreamingSpec extends SparkTestBase {
 
   test("file-source streaming: real events parquet through readStream") {
     val dir = sf("sf0.001")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // events.ts is parquet TIMESTAMP(MICROS) without the UTC flag →
+    // TIMESTAMP_NTZ; the UTC session cast matches Tables.events
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val stream = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", expr("cast(ts as timestamp)"))
       .select("ts", "user_id", "event_type", "value")
     val q = EventStreams.hourlyCounts(stream)
       .writeStream.format("memory").queryName("filestream")
