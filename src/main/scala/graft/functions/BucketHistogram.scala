@@ -30,13 +30,18 @@ import org.apache.spark.sql.functions._
 object BucketHistogram {
 
   /** One counter row per non-empty (keys..., bucket): bucket =
-    * value div width, n = row count. `value` must be an exact integral
-    * column (cents); width > 0.
+    * floor(value / width), n = row count. `value` must be an exact
+    * integral column (cents); width > 0. FLOOR division — not `div`'s
+    * truncation toward zero — so every bucket, negative ones included
+    * (refund/adjustment cents), covers the same half-open range
+    * [bucket·width, (bucket+1)·width): `cv - pmod(cv, width)` is the
+    * largest multiple of width ≤ cv, and dividing an exact multiple
+    * cannot truncate.
     */
   def sketch(df: DataFrame, value: Column, keys: Seq[String], width: Long): DataFrame = {
     require(width > 0, s"width must be positive, got $width")
     df.select(keys.map(col) :+ value.cast("long").as("cv"): _*)
-      .withColumn("bucket", expr(s"cv div $width"))
+      .withColumn("bucket", expr(s"(cv - pmod(cv, $width)) div $width"))
       .groupBy((keys :+ "bucket").map(col): _*)
       .agg(count(lit(1)).as("n"))
   }

@@ -1,0 +1,147 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** KMV (k minimum values, Bar-Yossef et al. 2002) — the distinct-
+  * SAMPLING member of the portable-sketch family ([[CountMin]]
+  * frequencies, [[HyperLogLog]] distinct counts, Bloom membership,
+  * [[BucketHistogram]] quantiles): keep the k smallest distinct hash
+  * values of a key set. One bounded buffer answers three questions at
+  * once — a distinct-count estimate ((k−1)·H/h_k, relative error
+  * ≈ 1/√(k−2)), a UNIFORM SAMPLE of the distinct keys (what HLL
+  * cannot give back), and set resemblance: for two sketches over the
+  * same hash, |bottomK(A∪B) ∩ A ∩ B| / |bottomK(A∪B)| estimates
+  * Jaccard — the sketch-sized answer to "how similar are these two
+  * audiences" that needs no pass over either set again.
+  *
+  * Scale shape: building is ONE hash aggregation; the k-slot DISTINCT
+  * buffer partial-aggregates ([[KmvAggregator]], the [[KSlotAggregator]]
+  * discipline), so each partition collapses to ≤ k values before the
+  * exchange and the shuffle moves O(partitions·k) rows regardless of
+  * corpus size. Two sketches merge by bottom-k of the union —
+  * idempotent and commutative (re-delivered shards are harmless).
+  *
+  * Determinism and engine parity: the hash is the md5-hex integer
+  * trick ([[HyperLogLog]]) — chars 1..15 as a 60-bit integer, exact in
+  * any engine's BIGINT — and the estimate divides two exactly-known
+  * doubles (long→double casts and division are correctly rounded
+  * IEEE 754 in both engines, unlike libm transcendentals), so every
+  * emitted value hash-matches DuckDB with NO rounding anywhere.
+  */
+object Kmv {
+
+  /** 2^60 as an exact double (and the exclusive upper bound of
+    * [[hash60]] + 1).
+    */
+  val Scale: Double = 1152921504606846976.0
+
+  /** Uniform 60-bit integer hash: md5 hex chars 1..15 as a BIGINT in
+    * [0, 2^60). Mirror: `CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)`.
+    */
+  def hash60(item: Column): Column =
+    conv(substring(md5(item), 1, 15), 16, 10).cast("long")
+
+  /** Column form: aggregate `hash60(item)` values into the sorted
+    * array of the ≤ k smallest DISTINCT hashes.
+    */
+  def bottomKDistinct(k: Int)(h: Column): Column =
+    udaf(new KmvAggregator(k), Encoders.scalaLong).apply(h)
+
+  /** One sketch row per `keys` group: (keys..., kmv ARRAY<BIGINT> —
+    * sorted ascending, ≤ k distinct hashes). Duplicate items are free
+    * (the buffer is distinct), so the input needs no pre-distinct.
+    */
+  def sketch(items: org.apache.spark.sql.DataFrame, item: Column,
+             keys: Seq[String], k: Int): org.apache.spark.sql.DataFrame =
+    items.groupBy(keys.map(col): _*)
+      .agg(bottomKDistinct(k)(hash60(item)).as("kmv"))
+
+  /** Merge two sketch ARRAYS built with the SAME (k, hash) dial:
+    * bottom-k of the distinct union — exactly the sketch of the
+    * concatenated inputs, idempotent under re-delivery.
+    */
+  def mergeArrays(a: Column, b: Column, k: Int): Column =
+    slice(array_sort(array_distinct(concat(a, b))), 1, k)
+
+  /** Distinct-count estimate from a sketch array: exact |sketch| when
+    * the buffer never filled (fewer than k distinct keys exist — the
+    * sketch IS the distinct hash set), else the KMV estimator
+    * (k−1)·2^60 / h_k with h_k the k-th smallest hash. Pure
+    * long→double casts + one IEEE division — bit-exact cross-engine.
+    */
+  def estimate(kmv: Column, k: Int): Column =
+    when(size(kmv) < k, size(kmv).cast("double"))
+      .otherwise(lit((k - 1).toDouble) * lit(Scale)
+        / element_at(kmv, k).cast("double"))
+
+  /** Jaccard resemblance of the key sets behind sketches `a` and `b`:
+    * the fraction of the merged sketch (a uniform bottom-k sample of
+    * A∪B's distinct hashes) present in BOTH inputs. Exact integer
+    * set algebra + one IEEE division; error ≈ 1/√k. Empty-union pairs
+    * estimate 0.
+    */
+  def jaccard(a: Column, b: Column, k: Int): Column = {
+    val u = mergeArrays(a, b, k)
+    when(size(u) === 0, lit(0.0))
+      .otherwise(size(array_intersect(array_intersect(u, a), b)).cast("double")
+        / size(u).cast("double"))
+  }
+
+  /** DuckDB SQL mirroring [[hash60]]. */
+  def hash60Sql(itemSql: String): String =
+    s"CAST('0x' || substr(md5($itemSql), 1, 15) AS BIGINT)"
+
+  /** DuckDB SQL mirroring [[sketch]]: a CTE emitting (keyCols, kmv)
+    * with kmv the sorted ≤ k smallest distinct hashes per group.
+    */
+  def sketchSql(itemSql: String, fromSql: String, keyCols: String, k: Int): String =
+    s"""SELECT $keyCols, list_sort(list(DISTINCT h))[1:$k] AS kmv
+        FROM (SELECT $keyCols, ${hash60Sql(itemSql)} AS h FROM $fromSql)
+        GROUP BY $keyCols"""
+
+  /** DuckDB SQL mirroring [[estimate]] over a sketch list column. */
+  def estimateSql(kmvSql: String, k: Int): String =
+    s"""CASE WHEN len($kmvSql) < $k THEN CAST(len($kmvSql) AS DOUBLE)
+        ELSE ${(k - 1).toDouble} * 1152921504606846976.0
+             / CAST($kmvSql[$k] AS DOUBLE) END"""
+
+  /** DuckDB SQL mirroring [[jaccard]] over two sketch list columns
+    * built with the same (k, hash) dial.
+    */
+  def jaccardSql(aSql: String, bSql: String, k: Int): String = {
+    val u = s"list_sort(list_distinct($aSql || $bSql))[1:$k]"
+    s"""CASE WHEN len($u) = 0 THEN 0.0
+        ELSE CAST(len(list_filter($u,
+               x -> list_contains($aSql, x) AND list_contains($bSql, x)))
+             AS DOUBLE) / CAST(len($u) AS DOUBLE) END"""
+  }
+}
+
+/** Bottom-k DISTINCT longs as a mergeable aggregation — the KMV
+  * buffer. Same k-slot discipline as [[KSlotAggregator]] but with
+  * set-semantics insert: a hash already in the buffer is dropped (KMV
+  * is over the DISTINCT key set; duplicates must not occupy slots).
+  * The buffer is sorted ascending, so membership and insertion point
+  * share one scan; merge folds one buffer into the other.
+  */
+class KmvAggregator(k: Int) extends Aggregator[Long, List[Long], Seq[Long]] {
+  require(k > 0, s"k must be positive, got $k")
+
+  private def insert(sorted: List[Long], x: Long): List[Long] =
+    if (sorted.lengthCompare(k) >= 0 && x >= sorted.last) sorted
+    else {
+      val (pre, post) = sorted.span(_ < x)
+      if (post.headOption.contains(x)) sorted // distinct: already present
+      else (pre ::: x :: post).take(k)
+    }
+
+  def zero: List[Long] = Nil
+  def reduce(buf: List[Long], x: Long): List[Long] = insert(buf, x)
+  def merge(a: List[Long], b: List[Long]): List[Long] = b.foldLeft(a)(insert)
+  def finish(buf: List[Long]): Seq[Long] = buf
+  def bufferEncoder: Encoder[List[Long]] = ExpressionEncoder()
+  def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder()
+}

@@ -503,8 +503,13 @@ object EventQueries {
       ORDER BY event_id"""),
       (s, dir) => {
         val ev = Tables.events(s, dir).select("event_id", "user_id", "value")
+        // keyed by the SANITIZED dir string + pid, not dir.hashCode: a
+        // shared-hash path let two concurrent runs (Verify + Bench on
+        // one SF) race overwrite-vs-read, and a 32-bit collision across
+        // datasets would silently serve another dataset's copy
         val zdir = s"${System.getProperty("java.io.tmpdir")}/graft_q144_z_" +
-          java.lang.Integer.toHexString(dir.hashCode)
+          dir.replaceAll("[^A-Za-z0-9._-]", "_") +
+          "_p" + ProcessHandle.current.pid
         graft.sources.ZOrder.writeZOrdered(ev, zdir,
           Seq("user_id", "value"), nFiles = 16)
         s.read.parquet(zdir)

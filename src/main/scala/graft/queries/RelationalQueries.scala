@@ -584,9 +584,13 @@ object RelationalQueries {
       WITH li AS (SELECT l_returnflag, l_orderkey % 2 AS par,
                     $epCents AS cv
                   FROM lineitem),
-      hw AS (SELECT l_returnflag, cv // 50000 AS bucket, COUNT(*) AS n
+      hw AS (SELECT l_returnflag,
+                    (cv - ((cv % 50000) + 50000) % 50000) // 50000 AS bucket,
+                    COUNT(*) AS n
              FROM li GROUP BY 1, 2),
-      hs AS (SELECT l_returnflag, par, cv // 50000 AS bucket, COUNT(*) AS n
+      hs AS (SELECT l_returnflag, par,
+                    (cv - ((cv % 50000) + 50000) % 50000) // 50000 AS bucket,
+                    COUNT(*) AS n
              FROM li GROUP BY 1, 2, 3),
       hm AS (SELECT l_returnflag, bucket, CAST(SUM(n) AS BIGINT) AS n
              FROM hs GROUP BY 1, 2),
@@ -668,6 +672,181 @@ object RelationalQueries {
             (col("n_lt_lo") < col("qrank")).as("quantile_lo_ok"),
             col("merge_drift"))
           .orderBy("l_returnflag", "p_num", "p_den")
+      }),
+
+    // ---- q153: KMV (k minimum values) distinct sketch WITH shard
+    // merge — the distinct-SAMPLING member of the portable sketch
+    // family (q142/q146 CMS frequencies, q148/q150 HLL counts, q152
+    // quantiles): keep the 2048 smallest distinct 60-bit item hashes
+    // per returnflag. Unlike HLL the buffer doubles as a uniform
+    // sample of the distinct keys (what q154 spends on resemblance).
+    // Every output is exact integer algebra plus ONE long→double
+    // division (correctly-rounded IEEE in both engines), so the sketch
+    // head/tail, the estimate and the drift all hash-match with NO
+    // rounding anywhere. Regimes cross with SF exactly like q148:
+    // unfilled at sf0.001 (≤1274 distinct < k → est IS the distinct
+    // hash count), estimator (k−1)·2^60/h_k at sf0.01/0.1 (19k/199k);
+    // err_ok bounds |est − exact| ≤ 10% (4σ ≈ 8.8% at k=2048).
+    // merge_drift = 0 proves bottom-k-of-union mergeability: bottom-k
+    // of two shard sketches (l_orderkey parity) IS the whole corpus's
+    // sketch — build where the 100 TB lives, ship ≤ k longs per key.
+    QueryDef("q153_kmv_distinct", Some({
+      import graft.functions.Kmv
+      val k = 2048
+      s"""WITH li AS (SELECT l_returnflag, l_orderkey % 2 AS par,
+                        l_partkey || '-' || l_suppkey AS item
+                      FROM lineitem),
+      h AS (SELECT l_returnflag, par, ${Kmv.hash60Sql("item")} AS h FROM li),
+      whole AS (SELECT l_returnflag, list_sort(list(DISTINCT h))[1:$k] AS kmv
+                FROM h GROUP BY 1),
+      sa AS (SELECT l_returnflag, list_sort(list(DISTINCT h))[1:$k] AS kmv
+             FROM h WHERE par = 0 GROUP BY 1),
+      sb AS (SELECT l_returnflag, list_sort(list(DISTINCT h))[1:$k] AS kmv
+             FROM h WHERE par = 1 GROUP BY 1),
+      m AS (SELECT a.l_returnflag,
+              list_sort(list_distinct(a.kmv || b.kmv))[1:$k] AS kmv_m
+            FROM sa a JOIN sb b USING (l_returnflag)),
+      drift AS (SELECT w.l_returnflag,
+                  CAST(CASE WHEN w.kmv = m.kmv_m THEN 0 ELSE 1 END AS BIGINT)
+                    AS merge_drift
+                FROM whole w JOIN m USING (l_returnflag)),
+      ex AS (SELECT l_returnflag, COUNT(DISTINCT item) AS exact_distinct
+             FROM li GROUP BY 1)
+      SELECT w.l_returnflag, CAST(len(w.kmv) AS INTEGER) AS n_slots,
+             w.kmv[1] AS h_first, w.kmv[len(w.kmv)] AS h_last,
+             ${Kmv.estimateSql("w.kmv", k)} AS est,
+             x.exact_distinct,
+             ABS(${Kmv.estimateSql("w.kmv", k)} - x.exact_distinct)
+               <= x.exact_distinct * 0.1 AS err_ok,
+             d.merge_drift
+      FROM whole w JOIN ex x USING (l_returnflag) JOIN drift d USING (l_returnflag)
+      ORDER BY w.l_returnflag"""
+    }),
+      (s, dir) => {
+        import graft.functions.Kmv
+        val k = 2048
+        // 2 consumers (hash projection + exact distinct): one scan
+        val li = Tables.read(s, dir, "lineitem")
+          .select(col("l_returnflag"), (col("l_orderkey") % 2).as("par"),
+            concat_ws("-", col("l_partkey"), col("l_suppkey")).as("item"))
+          .localCheckpoint()
+        // one md5 pass feeds whole AND shard builds (the q148 shape)
+        val hashed = li.select(col("l_returnflag"), col("par"),
+            Kmv.hash60(col("item")).as("h"))
+          .localCheckpoint()
+        val whole = hashed.groupBy("l_returnflag")
+          .agg(Kmv.bottomKDistinct(k)(col("h")).as("kmv"))
+          .localCheckpoint() // 2 consumers: drift compare + output row
+        val shards = hashed.groupBy("l_returnflag", "par")
+          .agg(Kmv.bottomKDistinct(k)(col("h")).as("kmv"))
+          .localCheckpoint() // 2 consumers: shard A and shard B
+        val merged = shards.where(col("par") === 0)
+          .select(col("l_returnflag"), col("kmv").as("ka"))
+          .join(shards.where(col("par") === 1)
+            .select(col("l_returnflag"), col("kmv").as("kb")), "l_returnflag")
+          .select(col("l_returnflag"),
+            Kmv.mergeArrays(col("ka"), col("kb"), k).as("kmv_m"))
+        val drift = whole.join(merged, "l_returnflag")
+          .select(col("l_returnflag"),
+            when(col("kmv") === col("kmv_m"), 0L).otherwise(1L).as("merge_drift"))
+        val exact = li.groupBy("l_returnflag")
+          .agg(countDistinct("item").as("exact_distinct"))
+        whole.join(exact, "l_returnflag").join(drift, "l_returnflag")
+          .select(col("l_returnflag"), size(col("kmv")).as("n_slots"),
+            element_at(col("kmv"), 1).as("h_first"),
+            element_at(col("kmv"), size(col("kmv"))).as("h_last"),
+            Kmv.estimate(col("kmv"), k).as("est"),
+            col("exact_distinct"),
+            (abs(Kmv.estimate(col("kmv"), k) - col("exact_distinct")) <=
+              col("exact_distinct") * 0.1).as("err_ok"),
+            col("merge_drift"))
+          .orderBy("l_returnflag")
+      }),
+
+    // ---- q154: KMV set resemblance — pairwise Jaccard of the
+    // returnflag item sets from their q153 sketches ALONE, the
+    // capability HLL set algebra (q150) cannot offer: the bottom-k
+    // buffer is a UNIFORM sample of the distinct union, so the
+    // fraction of bottomK(A∪B) present in both inputs estimates
+    // |A∩B|/|A∪B| directly — no inclusion–exclusion error stacking,
+    // no second corpus pass. Pure integer set algebra + one IEEE
+    // division per side ⇒ every column hash-matches. At sf0.001 both
+    // sketches are unfilled (sets < k) and the estimate IS the true
+    // Jaccard (jac_err = 0 exactly); at sf0.01/0.1 the sampling
+    // estimator takes over, bounded by jac_ok's 0.05 absolute band
+    // (σ = √(J(1−J)/k) ≤ 0.011 at k=2048). Scale shape: the corpus is
+    // touched once to build 3 sketch rows; the pair algebra then runs
+    // over ≤ k-slot arrays — s² pairs of audiences cost s² ARRAY ops,
+    // not s² corpus joins.
+    QueryDef("q154_kmv_jaccard", Some({
+      import graft.functions.Kmv
+      val k = 2048
+      s"""WITH li AS (SELECT DISTINCT l_returnflag,
+                        l_partkey || '-' || l_suppkey AS item
+                      FROM lineitem),
+      h AS (SELECT l_returnflag, ${Kmv.hash60Sql("item")} AS h FROM li),
+      sk AS (SELECT l_returnflag, list_sort(list(DISTINCT h))[1:$k] AS kmv
+             FROM h GROUP BY 1),
+      sz AS (SELECT l_returnflag, COUNT(*) AS n FROM li GROUP BY 1),
+      inter AS (SELECT a.l_returnflag AS flag_a, b.l_returnflag AS flag_b,
+                  COUNT(*) AS n_inter
+                FROM li a JOIN li b
+                  ON a.item = b.item AND a.l_returnflag < b.l_returnflag
+                GROUP BY 1, 2),
+      pairs AS (SELECT a.l_returnflag AS flag_a, b.l_returnflag AS flag_b,
+                  a.kmv AS ka, b.kmv AS kb
+                FROM sk a JOIN sk b ON a.l_returnflag < b.l_returnflag)
+      SELECT p.flag_a, p.flag_b,
+             CAST(len(list_sort(list_distinct(p.ka || p.kb))[1:$k]) AS INTEGER)
+               AS n_union_slots,
+             ${Kmv.jaccardSql("p.ka", "p.kb", k)} AS jac_est,
+             CAST(i.n_inter AS DOUBLE)
+               / CAST(sa.n + sb.n - i.n_inter AS DOUBLE) AS jac_exact,
+             ABS(${Kmv.jaccardSql("p.ka", "p.kb", k)}
+                 - CAST(i.n_inter AS DOUBLE)
+                   / CAST(sa.n + sb.n - i.n_inter AS DOUBLE)) <= 0.05 AS jac_ok
+      FROM pairs p
+      JOIN inter i ON i.flag_a = p.flag_a AND i.flag_b = p.flag_b
+      JOIN sz sa ON sa.l_returnflag = p.flag_a
+      JOIN sz sb ON sb.l_returnflag = p.flag_b
+      ORDER BY p.flag_a, p.flag_b"""
+    }),
+      (s, dir) => {
+        import graft.functions.Kmv
+        val k = 2048
+        // 3 consumers (sketch build, per-flag sizes, pair intersections)
+        val sets = Tables.read(s, dir, "lineitem")
+          .select(col("l_returnflag"),
+            concat_ws("-", col("l_partkey"), col("l_suppkey")).as("item"))
+          .distinct()
+          .localCheckpoint()
+        val sk = Kmv.sketch(sets, col("item"), Seq("l_returnflag"), k)
+          .localCheckpoint() // 2 consumers: both sides of the pair join
+        val sizes = sets.groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+        val inter = sets.alias("a")
+          .join(sets.alias("b"), col("a.item") === col("b.item") &&
+            col("a.l_returnflag") < col("b.l_returnflag"))
+          .groupBy(col("a.l_returnflag").as("flag_a"),
+            col("b.l_returnflag").as("flag_b"))
+          .agg(count(lit(1)).as("n_inter"))
+        val pairs = sk.select(col("l_returnflag").as("flag_a"), col("kmv").as("ka"))
+          .join(sk.select(col("l_returnflag").as("flag_b"), col("kmv").as("kb")),
+            col("flag_a") < col("flag_b"))
+        val jacExact = col("n_inter").cast("double") /
+          (col("na") + col("nb") - col("n_inter")).cast("double")
+        pairs
+          .join(inter, Seq("flag_a", "flag_b"))
+          .join(broadcast(sizes.select(col("l_returnflag").as("flag_a"),
+            col("n").as("na"))), "flag_a")
+          .join(broadcast(sizes.select(col("l_returnflag").as("flag_b"),
+            col("n").as("nb"))), "flag_b")
+          .select(col("flag_a"), col("flag_b"),
+            size(Kmv.mergeArrays(col("ka"), col("kb"), k)).as("n_union_slots"),
+            Kmv.jaccard(col("ka"), col("kb"), k).as("jac_est"),
+            jacExact.as("jac_exact"),
+            (abs(Kmv.jaccard(col("ka"), col("kb"), k) - jacExact) <= 0.05)
+              .as("jac_ok"))
+          .orderBy("flag_a", "flag_b")
       })
   )
 }

@@ -49,6 +49,35 @@ class BucketHistogramSpec extends SparkTestBase {
     }
   }
 
+  test("negative values: floor-division buckets and the quantile guarantee") {
+    // refund/adjustment cents — values straddle zero. Truncation toward
+    // zero would hand bucket 0 the double-width span (−width, width) and
+    // shift every negative bucket's range; floor division keeps all of
+    // them at [bucket·width, (bucket+1)·width).
+    val neg = rows.map { case (g, v) => (g, v - 50000L) }
+    val ndf = neg.toDF("g", "cv")
+    for (width <- Seq(13L, 7919L)) {
+      val sk = BucketHistogram.sketch(ndf, col("cv"), Seq("g"), width)
+      val expect = neg.groupBy { case (g, v) => (g, Math.floorDiv(v, width)) }
+        .map { case ((g, b), xs) => (g, b, xs.size.toLong) }.toSet
+      val got = sk.as[(String, Long, Long)].collect().toSet
+      assert(got === expect, s"width=$width: buckets must be floor(cv/width)")
+      for ((num, den) <- Seq((1, 2), (19, 20))) {
+        val q = BucketHistogram.quantiles(sk, Seq("g"), Seq((num, den)))
+          .select("g", "n_total", "qrank", "bucket")
+          .as[(String, Long, Long, Long)].collect()
+        for ((g, n, qrank, bucket) <- q) {
+          val vals = neg.filter(_._1 == g).map(_._2).sorted
+          assert(n === vals.length)
+          val trueQ = vals(qrank.toInt - 1)
+          assert(trueQ >= bucket * width && trueQ < (bucket + 1) * width,
+            s"g=$g width=$width p=$num/$den: quantile $trueQ outside " +
+              s"[${bucket * width}, ${(bucket + 1) * width})")
+        }
+      }
+    }
+  }
+
   test("width 1 degenerates to the exact discrete quantile") {
     val sk = BucketHistogram.sketch(df, col("cv"), Seq("g"), 1L)
     val got = BucketHistogram.quantiles(sk, Seq("g"), Seq((1, 2)))

@@ -1,0 +1,126 @@
+package graft
+
+import graft.functions.{Kmv, KmvAggregator}
+import org.apache.spark.sql.functions._
+
+/** KMV bottom-k sketch: the buffer must hold exactly the k smallest
+  * DISTINCT 60-bit hashes, merge by bottom-k-of-union, estimate
+  * exactly in the unfilled regime and by (k−1)·2^60/h_k when full, and
+  * give back Jaccard resemblance from two sketches alone. A JVM-side
+  * md5 twin pins the hash chain, so a silent change to [[Kmv.hash60]]
+  * (or a DuckDB/Spark md5 divergence) fails here before the oracle
+  * gate sees it.
+  */
+class KmvSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** JVM twin of [[Kmv.hash60]]: md5 hex chars 1..15 as a long. */
+  private def h60(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+    val hex = d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
+  test("hash60 matches the JVM md5 twin") {
+    val items = Seq("a", "item-42", "", "ünïcode", "1-2").toDF("s")
+    val got = items.select(col("s"), Kmv.hash60(col("s")).as("h"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    for ((s, h) <- got) assert(h === h60(s), s"hash60('$s')")
+  }
+
+  test("sketch keeps exactly the k smallest distinct hashes, sorted") {
+    val items = (1 to 50).map(i => ("g", s"it$i")).toDF("g", "s")
+    val k = 8
+    val sk = Kmv.sketch(items, col("s"), Seq("g"), k)
+      .select("kmv").as[Seq[Long]].collect()
+    assert(sk.length === 1)
+    val expect = (1 to 50).map(i => h60(s"it$i")).distinct.sorted.take(k)
+    assert(sk.head === expect)
+  }
+
+  test("duplicates do not occupy slots (distinct semantics)") {
+    val dups = (1 to 6).flatMap(i => Seq.fill(5)(("g", s"it$i"))).toDF("g", "s")
+    val k = 10
+    val sk = Kmv.sketch(dups, col("s"), Seq("g"), k)
+      .select("kmv").as[Seq[Long]].collect().head
+    assert(sk === (1 to 6).map(i => h60(s"it$i")).sorted,
+      "5× repeated items must leave the buffer identical to the distinct set")
+  }
+
+  test("estimate: exact |sketch| when unfilled, (k−1)·2^60/h_k when full") {
+    val k = 16
+    // unfilled: 9 distinct < k → estimate IS the distinct count
+    val small = (1 to 9).map(i => ("g", s"u$i")).toDF("g", "s")
+    val eSmall = Kmv.sketch(small, col("s"), Seq("g"), k)
+      .select(Kmv.estimate(col("kmv"), k)).as[Double].collect().head
+    assert(eSmall === 9.0)
+    // full: 500 distinct ≫ k → the KMV estimator off the k-th hash
+    val big = (1 to 500).map(i => ("g", s"u$i")).toDF("g", "s")
+    val eBig = Kmv.sketch(big, col("s"), Seq("g"), k)
+      .select(Kmv.estimate(col("kmv"), k)).as[Double].collect().head
+    val hk = (1 to 500).map(i => h60(s"u$i")).sorted.apply(k - 1)
+    assert(eBig === (k - 1).toDouble * Kmv.Scale / hk.toDouble)
+    // and it should be in the right ballpark (σ ≈ 1/√(k−2) ≈ 27%)
+    assert(eBig > 150 && eBig < 1500, s"estimate $eBig wildly off 500")
+  }
+
+  test("merge ≡ sketch of the concatenated input, and is idempotent") {
+    val k = 12
+    val a = (1 to 40).map(i => ("g", s"a$i")).toDF("g", "s")
+    val b = (20 to 60).map(i => ("g", s"b$i")).toDF("g", "s")
+    val ska = Kmv.sketch(a, col("s"), Seq("g"), k).select(col("g"), col("kmv").as("ka"))
+    val skb = Kmv.sketch(b, col("s"), Seq("g"), k).select(col("g"), col("kmv").as("kb"))
+    val merged = ska.join(skb, "g")
+      .select(Kmv.mergeArrays(col("ka"), col("kb"), k)).as[Seq[Long]].collect().head
+    val whole = Kmv.sketch(a.union(b), col("s"), Seq("g"), k)
+      .select("kmv").as[Seq[Long]].collect().head
+    assert(merged === whole, "bottom-k of union of bottom-ks ≡ bottom-k of the whole")
+    // idempotent: re-delivering a shard must not change the sketch
+    val again = ska.join(skb, "g")
+      .select(Kmv.mergeArrays(Kmv.mergeArrays(col("ka"), col("kb"), k), col("ka"), k))
+      .as[Seq[Long]].collect().head
+    assert(again === whole)
+  }
+
+  test("jaccard: exact in the unfilled regime, 0 on empty union") {
+    // both sets smaller than k → the sketches ARE the hash sets and
+    // the resemblance is the true Jaccard
+    val k = 64
+    val a = (1 to 20).map(i => ("g", s"x$i")).toDF("g", "s")   // x1..x20
+    val b = (11 to 35).map(i => ("g", s"x$i")).toDF("g", "s")  // x11..x35
+    val ska = Kmv.sketch(a, col("s"), Seq("g"), k).select(col("g"), col("kmv").as("ka"))
+    val skb = Kmv.sketch(b, col("s"), Seq("g"), k).select(col("g"), col("kmv").as("kb"))
+    val j = ska.join(skb, "g")
+      .select(Kmv.jaccard(col("ka"), col("kb"), k)).as[Double].collect().head
+    assert(j === 10.0 / 35.0, "|{x11..x20}| / |{x1..x35}|")
+    val jEmpty = Seq((Seq.empty[Long], Seq.empty[Long])).toDF("ka", "kb")
+      .select(Kmv.jaccard(col("ka"), col("kb"), k)).as[Double].collect().head
+    assert(jEmpty === 0.0)
+  }
+
+  test("aggregator invariants: sorted insert, full-buffer reject, distinct merge") {
+    val agg = new KmvAggregator(3)
+    var buf = agg.zero
+    for (x <- Seq(50L, 10L, 30L, 10L, 70L)) buf = agg.reduce(buf, x)
+    assert(buf === List(10L, 30L, 50L), "dup 10 dropped, 70 rejected (full, too large)")
+    buf = agg.reduce(buf, 5L)
+    assert(buf === List(5L, 10L, 30L), "smaller hash evicts the largest slot")
+    val other = List(7L, 10L, 90L)
+    assert(agg.merge(buf, other) === List(5L, 7L, 10L),
+      "merge folds distinct union, keeps bottom k")
+    assert(agg.merge(buf, buf) === buf, "self-merge is a no-op")
+  }
+
+  test("sketch partial-aggregates: shuffle moves ≤ k-slot buffers, not raw rows") {
+    // 10k rows, 1 group, k=32 → the exchange must carry partial
+    // buffers (one per input partition), not 10k hash rows. udaf over
+    // an Aggregator always plans partial + final hash aggregation;
+    // assert the physical plan shows both modes around one exchange.
+    val big = spark.range(10000).select(lit("g").as("g"), concat(lit("v"), col("id")).as("s"))
+      .repartition(8)
+    val plan = Kmv.sketch(big, col("s"), Seq("g"), 32)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_kmvaggregator") ||
+      plan.toLowerCase.contains("partial"), s"no partial aggregation in:\n$plan")
+  }
+}

@@ -438,4 +438,34 @@ class PlanQualitySpec extends SparkTestBase {
       "all pair/register joins are equi-joins (the pair build itself is checkpointed)")
     assert(!plan.exists(_.nodeName == "Window"), "q150 must not window")
   }
+
+  test("KMV sketch build (q153/q154): k-slot buffers partial-aggregate before the shuffle") {
+    import org.apache.spark.sql.functions.{col, concat_ws}
+    // same scale claim as the HLL lock: each map task collapses to a
+    // <= k-slot buffer BEFORE the exchange — the shuffle moves
+    // O(partitions*k) longs, never the corpus's distinct hashes
+    val li = graft.Tables.read(spark, sf("sf0.001"), "lineitem")
+      .select(col("l_returnflag"),
+        concat_ws("-", col("l_partkey"), col("l_suppkey")).as("item"))
+    val plan = collectAll(executed(graft.functions.Kmv
+      .sketch(li, col("item"), Seq("l_returnflag"), 2048)))
+    val aggs = plan.filter(_.nodeName.contains("Aggregate")).map(_.toString.toLowerCase)
+    assert(aggs.exists(a => a.contains("partial") && a.contains("kmvaggregator")),
+      s"KMV buffer must partial-aggregate map-side, found:\n${aggs.mkString("\n")}")
+    assert(!plan.exists(_.nodeName == "Window"), "sketch build must not window")
+  }
+
+  test("q154 KMV jaccard: pair algebra runs over 3 sketch rows, no corpus re-read") {
+    val plan = collectAll(executed(q("q154_kmv_jaccard")))
+    assert(!plan.exists { case _: CartesianProductExec => true; case _ => false },
+      "the 3x3 sketch pair join is flag-inequality over localCheckpointed " +
+        "3-row sides — Spark plans it as a tiny BNLJ, never a corpus cartesian")
+    assert(!plan.exists(_.nodeName == "Window"), "q154 must not window")
+    // the exact-Jaccard ground truth joins ride the distinct item table,
+    // which is materialized ONCE (localCheckpoint): the executed plan
+    // must contain scans of the checkpoint RDD, not three parquet reads
+    val parquetScans = plan.count(p => p.nodeName.contains("Scan parquet"))
+    assert(parquetScans === 0,
+      s"corpus must be read through the one checkpointed projection, found $parquetScans parquet scans")
+  }
 }
