@@ -279,6 +279,45 @@ object EventStreams {
                             keys: Seq[String], m: Int): DataFrame =
     graft.functions.HyperLogLog.sketch(items, item, keys, m)
 
+  /** Live bucket-histogram counters over a stream — the streaming twin
+    * of batch q152 ([[graft.functions.BucketHistogram]]): maintain, per
+    * `keys` group, the (bucket, n) counter table of every value seen so
+    * far. State is bounded at keys·(observed range ÷ width) counter
+    * rows — the dial, not the stream length — versus a streaming
+    * percentile over raw values whose state grows with the stream. Run
+    * in update/complete mode (counters never evict; the state they
+    * can't evict is the bounded counter table); read live quantiles off
+    * the counter table with [[graft.functions.BucketHistogram.quantiles]]
+    * per micro-batch or on demand, with the same width-bounded error
+    * guarantee as the batch sketch. Incremental maintenance equals the
+    * batch rebuild counter-for-counter (StreamingSpec) because a
+    * counter is a pure COUNT over a deterministic bucket function;
+    * exactly-once counting across restarts is the state store's
+    * transactionality (counter ADD is not idempotent the way register
+    * MAX is — replay safety comes from checkpointing, not algebra).
+    */
+  def liveHistogramCounters(events: DataFrame, value: org.apache.spark.sql.Column,
+                            keys: Seq[String], width: Long): DataFrame =
+    graft.functions.BucketHistogram.sketch(events, value, keys, width)
+
+  /** Live KMV bottom-k buffer over a stream — the streaming twin of
+    * batch q153/q154 ([[graft.functions.Kmv]]): maintain, per `keys`
+    * group, the ≤ k smallest distinct 60-bit item hashes seen so far.
+    * State is bounded at keys·k longs no matter the cardinality, and
+    * the DISTINCT insert is idempotent — re-delivered items can't
+    * occupy a second slot, so replayed micro-batches are harmless
+    * (at-least-once safe, the register-MAX property). Run in update/
+    * complete mode; read the live distinct estimate
+    * ([[graft.functions.Kmv.estimate]]), uniform key sample, or
+    * pairwise Jaccard ([[graft.functions.Kmv.jaccard]]) off the buffer
+    * at any point. Incremental maintenance equals the batch rebuild
+    * slot-for-slot (StreamingSpec) because bottom-k over a set is
+    * order-insensitive.
+    */
+  def liveKmvSketch(items: DataFrame, item: org.apache.spark.sql.Column,
+                    keys: Seq[String], k: Int): DataFrame =
+    graft.functions.Kmv.sketch(items, item, keys, k)
+
   /** Custom keyed state via `flatMapGroupsWithState` (the 0..n-rows-per-
     * group extension point `mapGroupsWithState` can't express): emit an
     * anomaly row whenever a user's event value exceeds `factor` × their

@@ -446,6 +446,78 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming histogram counters equal the batch sketch; quantile is live") {
+    implicit val ctx = spark.sqlContext
+    import graft.functions.BucketHistogram
+    val width = 10L
+    val input = MemoryStream[(String, Long)]
+    val q = EventStreams.liveHistogramCounters(
+        input.toDF().toDF("g", "cents"), col("cents"), Seq("g"), width)
+      .writeStream.format("memory").queryName("hist_counters")
+      .outputMode(OutputMode.Complete())
+      .start()
+    try {
+      // values straddle zero (floor-division buckets) across two batches
+      val b1 = (-25L to 30L).map(v => ("a", v))
+      val b2 = (10L to 55L).map(v => ("a", v)) :+ (("b", -7L))
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      val streamed = spark.table("hist_counters")
+        .as[(String, Long, Long)].collect().toSet
+      val batch = BucketHistogram.sketch((b1 ++ b2).toDF("g", "cents"),
+          col("cents"), Seq("g"), width)
+        .as[(String, Long, Long)].collect().toSet
+      assert(streamed === batch,
+        "incremental counters must equal the batch rebuild, counter for counter")
+      // live median off the running counters: 102 'a' values, qrank 51
+      // → the 51st smallest (-25..30 then 10..55 → sorted multiset);
+      // the true median bucket must carry the quantile guarantee
+      // snapshot the live counters before the quantile read: quantiles
+      // branches the relation (cumsum window + total agg) and the
+      // memory-sink view can't be self-joined unmaterialized
+      val med = BucketHistogram.quantiles(
+          spark.table("hist_counters").localCheckpoint(), Seq("g"), Seq((1, 2)))
+        .where(col("g") === "a")
+        .select("bucket", "qrank").as[(Long, Long)].head()
+      val sorted = (b1 ++ b2).filter(_._1 == "a").map(_._2).sorted
+      val trueQ = sorted(med._2.toInt - 1)
+      assert(trueQ >= med._1 * width && trueQ < (med._1 + 1) * width,
+        s"live median $trueQ outside bucket [${med._1 * width}, ${(med._1 + 1) * width})")
+    } finally q.stop()
+  }
+
+  test("streaming KMV buffer equals the batch sketch under replay; estimate is live") {
+    implicit val ctx = spark.sqlContext
+    import graft.functions.Kmv
+    val k = 16
+    val input = MemoryStream[(String, String)]
+    val q = EventStreams.liveKmvSketch(
+        input.toDF().toDF("g", "item"), col("item"), Seq("g"), k)
+      .writeStream.format("memory").queryName("kmv_buf")
+      .outputMode(OutputMode.Complete())
+      .start()
+    try {
+      // items 20..35 re-delivered in batch 2: the DISTINCT insert must
+      // leave the buffer identical to one delivery of each
+      val b1 = (1 to 35).map(i => ("g", s"k$i"))
+      val b2 = (20 to 60).map(i => ("g", s"k$i"))
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      val streamed = spark.table("kmv_buf")
+        .as[(String, Seq[Long])].collect().toMap
+      val batch = Kmv.sketch((b1 ++ b2).toDF("g", "item"),
+          col("item"), Seq("g"), k)
+        .as[(String, Seq[Long])].collect().toMap
+      assert(streamed === batch,
+        "incremental bottom-k must equal the batch rebuild, slot for slot")
+      // live estimate within the k=16 4-sigma band of truth (60 distinct)
+      val est = spark.table("kmv_buf")
+        .select(Kmv.estimate(col("kmv"), k)).as[Double].head()
+      assert(math.abs(est - 60.0) <= 60.0 * 4.0 / math.sqrt(k - 2.0),
+        s"live estimate $est outside 4-sigma of 60")
+    } finally q.stop()
+  }
+
   test("hot-swap serving: a republished index goes live without stream restart") {
     implicit val ctx = spark.sqlContext
     import graft.streaming.VectorStreams
