@@ -48,6 +48,67 @@ object HyperLogLog {
   private def zeroBitsInDigit(d: Column): Column =
     when(d >= 8, lit(0)).when(d >= 4, lit(1)).when(d >= 2, lit(2)).otherwise(lit(3))
 
+  /** Empirical mid-range bias knots (mean raw estimate, mean positive
+    * bias) for m = 1024 — HLL++'s idea (Heule et al. 2013: the raw
+    * estimator carries a known positive bias just past linear
+    * counting's handoff), with a SELF-derived table so the constants
+    * match THIS md5 register/rank chain: 300 trials per knot of the
+    * exact hash above, true n swept so mean raw spans ~2.33m..4.2m.
+    * Linear counting owns raw ≤ 2.5m; the residual bias between the
+    * handoff and ~4.2m decays +2.2% → +0.07% of n and is removed by
+    * piecewise-linear interpolation over these knots (beyond the last
+    * knot the bias is noise-level and the correction is 0). Segment
+    * slopes are PRECOMPUTED Scala doubles, so both engines evaluate
+    * the same two-op form b_i + (raw − r_i)·slope_i over shared
+    * literals — est stays bit-identical cross-engine. Dials without a
+    * table keep the uncorrected estimator.
+    */
+  private val biasKnots: Map[Int, IndexedSeq[(Double, Double)]] = Map(
+    1024 -> Vector(
+      (2388.8792407882643, 88.87924078826427),
+      (2524.156876150078, 74.156876150078),
+      (2662.8427236935727, 62.84272369357268),
+      (2801.1330083388984, 51.133008338898435),
+      (2943.5085792903565, 43.508579290356465),
+      (3086.21413664023, 36.21413664023021),
+      (3231.5727923437503, 31.57279234375028),
+      (3377.44167183232, 27.441671832320026),
+      (3520.1810764840184, 20.181076484018377),
+      (3715.759022931226, 15.7590229312259),
+      (3910.3227763849372, 10.322776384937242),
+      (4107.874938589897, 7.874938589897283),
+      (4303.10784469868, 3.10784469868031)))
+
+  /** `raw` minus the interpolated mid-range bias — identity when no
+    * table exists for `m`.
+    */
+  private def biasCorrected(raw: Column, m: Int): Column =
+    biasKnots.get(m) match {
+      case None => raw
+      case Some(ks) =>
+        var c = when(raw < lit(ks.head._1), lit(ks.head._2))
+        for (i <- 0 until ks.size - 1) {
+          val (r0, b0) = ks(i); val (r1, b1) = ks(i + 1)
+          val slope = (b1 - b0) / (r1 - r0)
+          c = c.when(raw < lit(r1), lit(b0) + (raw - lit(r0)) * lit(slope))
+        }
+        raw - c.otherwise(lit(0.0))
+    }
+
+  /** DuckDB SQL mirroring [[biasCorrected]] over a raw-estimate column. */
+  private def biasCorrectedSql(rawSql: String, m: Int): String =
+    biasKnots.get(m) match {
+      case None => rawSql
+      case Some(ks) =>
+        val head = s"WHEN $rawSql < ${ks.head._1} THEN ${ks.head._2}"
+        val segs = (0 until ks.size - 1).map { i =>
+          val (r0, b0) = ks(i); val (r1, b1) = ks(i + 1)
+          val slope = (b1 - b0) / (r1 - r0)
+          s"WHEN $rawSql < $r1 THEN $b0 + ($rawSql - $r0) * $slope"
+        }
+        s"$rawSql - CASE $head ${segs.mkString(" ")} ELSE 0.0 END"
+    }
+
   /** Register index of `item`: first 16 md5 bits mod m (m must divide
     * 65536 so the draw stays uniform — i.e. m a power of two ≤ 2^16).
     */
@@ -120,7 +181,8 @@ object HyperLogLog {
     val lc = lit(m.toDouble) * log(lit(m.toDouble) / v0.cast("double"))
     agg.select(keys.map(col) :+ v0.as("v0") :+ col("n_present") :+
       col("s_hi") :+ col("s_lo") :+
-      round(when(raw <= lit(2.5 * m) && v0 > 0, lc).otherwise(raw), 6).as("est"): _*)
+      round(when(raw <= lit(2.5 * m) && v0 > 0, lc)
+        .otherwise(biasCorrected(raw, m)), 6).as("est"): _*)
   }
 
   /** DuckDB SQL mirroring [[sketch]]'s per-item (j, rho): emits CTEs
@@ -149,18 +211,18 @@ object HyperLogLog {
   def estimateSql(regsSql: String, keyCols: String, m: Int): String = {
     val t47 = "140737488355328"
     s"""SELECT $keyCols, $m - n_present AS v0, n_present, s_hi, s_lo,
-         round(CASE WHEN (0.7213 / (1.0 + 1.079 / $m.0)) * ${m.toLong * m}.0 * 2305843009213693952.0
-                         / (CAST(s_hi AS DOUBLE) * $t47.0 + CAST(s_lo AS DOUBLE)) <= ${2.5 * m}
-                     AND $m - n_present > 0
+         round(CASE WHEN raw <= ${2.5 * m} AND $m - n_present > 0
                     THEN $m.0 * ln($m.0 / CAST($m - n_present AS DOUBLE))
-                    ELSE (0.7213 / (1.0 + 1.079 / $m.0)) * ${m.toLong * m}.0 * 2305843009213693952.0
-                         / (CAST(s_hi AS DOUBLE) * $t47.0 + CAST(s_lo AS DOUBLE)) END, 6) AS est
-       FROM (SELECT $keyCols, n_present,
-                    hi_raw + lo_raw // $t47 AS s_hi, lo_raw % $t47 AS s_lo
-             FROM (SELECT $keyCols, CAST(COUNT(*) AS INTEGER) AS n_present,
-                          CAST(SUM(CASE WHEN 61 - mreg >= 47 THEN 1::BIGINT << (61 - mreg - 47) ELSE 0 END)
-                               + ($m - COUNT(*)) * 16384 AS BIGINT) AS hi_raw,
-                          CAST(SUM(CASE WHEN 61 - mreg < 47 THEN 1::BIGINT << (61 - mreg) ELSE 0 END) AS BIGINT) AS lo_raw
-                   FROM ($regsSql) GROUP BY $keyCols))"""
+                    ELSE ${biasCorrectedSql("raw", m)} END, 6) AS est
+       FROM (SELECT $keyCols, n_present, s_hi, s_lo,
+                    (0.7213 / (1.0 + 1.079 / $m.0)) * ${m.toLong * m}.0 * 2305843009213693952.0
+                    / (CAST(s_hi AS DOUBLE) * $t47.0 + CAST(s_lo AS DOUBLE)) AS raw
+             FROM (SELECT $keyCols, n_present,
+                          hi_raw + lo_raw // $t47 AS s_hi, lo_raw % $t47 AS s_lo
+                   FROM (SELECT $keyCols, CAST(COUNT(*) AS INTEGER) AS n_present,
+                                CAST(SUM(CASE WHEN 61 - mreg >= 47 THEN 1::BIGINT << (61 - mreg - 47) ELSE 0 END)
+                                     + ($m - COUNT(*)) * 16384 AS BIGINT) AS hi_raw,
+                                CAST(SUM(CASE WHEN 61 - mreg < 47 THEN 1::BIGINT << (61 - mreg) ELSE 0 END) AS BIGINT) AS lo_raw
+                         FROM ($regsSql) GROUP BY $keyCols)))"""
   }
 }

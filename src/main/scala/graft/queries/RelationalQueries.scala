@@ -481,6 +481,10 @@ object RelationalQueries {
     // where max-merged shard sketches (l_orderkey parity) differ from
     // the monolithic build; its all-zero hash match proves register
     // MAX mergeability — build where the 100 TB lives, ship m rows.
+    // Since round 7 the estimator also removes the HLL++ mid-range
+    // bias (self-derived knot table shared by both engines — see
+    // functions.HyperLogLog.biasKnots), so the 4σ band below holds
+    // across the 2.5m..4.2m crossover too, not just at the gated SFs.
     // err_ok bounds |est − exact| ≤ 13% (4σ at m=1024; measured ≤3.2%
     // across the 3 SFs).
     QueryDef("q148_hll_distinct", Some({
@@ -730,15 +734,21 @@ object RelationalQueries {
           .select(col("l_returnflag"), (col("l_orderkey") % 2).as("par"),
             concat_ws("-", col("l_partkey"), col("l_suppkey")).as("item"))
           .localCheckpoint()
-        // one md5 pass feeds whole AND shard builds (the q148 shape)
-        val hashed = li.select(col("l_returnflag"), col("par"),
+        // one md5 pass + ONE relational dedup feeds whole AND shard
+        // builds (the q148 single-hash-pass shape): after the
+        // (flag, par, h) distinct the heap fast path applies — the
+        // buffer never sees a duplicate (Kmv.sketch's batch plan,
+        // inlined here so both builds share the dedup)
+        val dfp = li.select(col("l_returnflag"), col("par"),
             Kmv.hash60(col("item")).as("h"))
+          .distinct()
           .localCheckpoint()
-        val whole = hashed.groupBy("l_returnflag")
-          .agg(Kmv.bottomKDistinct(k)(col("h")).as("kmv"))
+        val whole = dfp.select(col("l_returnflag"), col("h")).distinct()
+          .groupBy("l_returnflag")
+          .agg(Kmv.bottomKUnique(k)(col("h")).as("kmv"))
           .localCheckpoint() // 2 consumers: drift compare + output row
-        val shards = hashed.groupBy("l_returnflag", "par")
-          .agg(Kmv.bottomKDistinct(k)(col("h")).as("kmv"))
+        val shards = dfp.groupBy("l_returnflag", "par")
+          .agg(Kmv.bottomKUnique(k)(col("h")).as("kmv"))
           .localCheckpoint() // 2 consumers: shard A and shard B
         val merged = shards.where(col("par") === 0)
           .select(col("l_returnflag"), col("kmv").as("ka"))

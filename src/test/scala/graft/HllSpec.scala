@@ -97,6 +97,45 @@ class HllSpec extends SparkTestBase {
     assert(math.abs(row._2 - n) <= 0.05 * n, s"est ${row._2} vs $n")
   }
 
+  test("mid-range bias correction engages in the crossover (2.5m < raw < ~4.2m)") {
+    // n = 3000 with m = 1024 lands past linear counting's handoff, in
+    // the regime where the raw estimator carries the known positive
+    // bias (HLL++). estimate() must return raw MINUS the interpolated
+    // knot bias: recompute raw from the emitted exact (s_hi, s_lo) and
+    // pin est = raw − bias(raw) through the same knot arithmetic.
+    val n = 3000
+    val xs = (1 to n).map(i => s"bc$i").toDF("x")
+    val row = HyperLogLog.estimate(HyperLogLog.sketch(xs, col("x"), Nil, M), Nil, M)
+      .select("v0", "n_present", "s_hi", "s_lo", "est")
+      .as[(Int, Int, Long, Long, Double)].head()
+    val (v0, _, sHi, sLo, est) = row
+    val alpha = 0.7213 / (1.0 + 1.079 / M)
+    val raw = alpha * (M.toLong * M).toDouble * 2305843009213693952.0 /
+      (sHi.toDouble * 140737488355328.0 + sLo.toDouble)
+    assert(raw > 2.5 * M && raw < 4303.0,
+      s"fixture must land in the correction zone, raw = $raw (v0 = $v0)")
+    assert(est < raw, "correction must subtract a positive mid-range bias")
+    assert(math.abs(est - raw) <= 0.03 * raw,
+      s"bias at this raw is ~1-2% of n, got ${raw - est}")
+    // corrected estimate stays inside the 4-sigma band around truth
+    assert(math.abs(est - n) <= 0.13 * n, s"est $est vs $n")
+  }
+
+  test("dials without a bias table keep the uncorrected raw estimator") {
+    // m = 256: no knots; est in the raw regime must equal the raw
+    // formula over the emitted exact split-sum words, bit for bit
+    val m = 256
+    val n = 4000 // >> 2.5m = 640: raw branch, far above any crossover
+    val xs = (1 to n).map(i => s"nk$i").toDF("x")
+    val row = HyperLogLog.estimate(HyperLogLog.sketch(xs, col("x"), Nil, m), Nil, m)
+      .select("s_hi", "s_lo", "est").as[(Long, Long, Double)].head()
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val raw = alpha * (m.toLong * m).toDouble * 2305843009213693952.0 /
+      (row._1.toDouble * 140737488355328.0 + row._2.toDouble)
+    assert(math.abs(row._3 - raw) <= 1e-6,
+      s"m=$m must stay uncorrected: est ${row._3} vs raw $raw")
+  }
+
   test("harmonic-sum split-long bookkeeping: single item, v0 = m - 1") {
     // One item of rank rho: S = 2^(61-rho) + (m-1)·2^61. For 'a'
     // (rho = 2): S = 2^59 + 1023·2^61. hi = S div 2^47 = 2^12 + 1023·2^14,

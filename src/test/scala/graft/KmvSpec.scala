@@ -98,6 +98,36 @@ class KmvSpec extends SparkTestBase {
     assert(jEmpty === 0.0)
   }
 
+  test("heap fast path ≡ distinct buffer on every sketch (random cross-check)") {
+    // the batch plan (dedup + BottomKHeapAggregator) and the streaming
+    // buffer (KmvAggregator) must emit bit-identical sketches; drive
+    // both over the same shuffled multiset, several k regimes
+    val rnd = new scala.util.Random(7)
+    val xs = Seq.fill(400)(rnd.nextInt(120)).map(i => ("g", s"v$i"))
+    val df = xs.toDF("g", "s")
+    for (k <- Seq(1, 7, 64, 200)) {
+      val fast = Kmv.sketch(df, col("s"), Seq("g"), k)
+        .select("kmv").as[Seq[Long]].collect().head
+      val slow = df.select(col("g"), Kmv.hash60(col("s")).as("h"))
+        .groupBy("g").agg(Kmv.bottomKDistinct(k)(col("h")).as("kmv"))
+        .select("kmv").as[Seq[Long]].collect().head
+      assert(fast === slow, s"k=$k: heap path diverged from distinct buffer")
+    }
+  }
+
+  test("heap aggregator invariants: capped insert, O(1) reject, merge") {
+    val agg = new graft.functions.BottomKHeapAggregator(3)
+    var buf = agg.zero
+    for (x <- Seq(50L, 10L, 30L, 70L, 5L)) buf = agg.reduce(buf, x)
+    assert(agg.finish(buf) === Seq(5L, 10L, 30L),
+      "70 rejected (full, too large), 5 evicts 50")
+    var other = agg.zero
+    for (x <- Seq(7L, 90L, 2L)) other = agg.reduce(other, x)
+    val merged = agg.merge(buf, other)
+    assert(agg.finish(merged) === Seq(2L, 5L, 7L),
+      "merge folds the other heap's live slots, keeps bottom k")
+  }
+
   test("aggregator invariants: sorted insert, full-buffer reject, distinct merge") {
     val agg = new KmvAggregator(3)
     var buf = agg.zero

@@ -450,8 +450,11 @@ class PlanQualitySpec extends SparkTestBase {
     val plan = collectAll(executed(graft.functions.Kmv
       .sketch(li, col("item"), Seq("l_returnflag"), 2048)))
     val aggs = plan.filter(_.nodeName.contains("Aggregate")).map(_.toString.toLowerCase)
-    assert(aggs.exists(a => a.contains("partial") && a.contains("kmvaggregator")),
-      s"KMV buffer must partial-aggregate map-side, found:\n${aggs.mkString("\n")}")
+    // batch plan: relational (keys, h) dedup — itself partial-aggregated
+    // map-side — then the heap buffer collapses each partition to ≤ k
+    // slots before the final exchange
+    assert(aggs.exists(a => a.contains("partial") && a.contains("bottomkheapaggregator")),
+      s"KMV heap buffer must partial-aggregate map-side, found:\n${aggs.mkString("\n")}")
     assert(!plan.exists(_.nodeName == "Window"), "sketch build must not window")
   }
 
