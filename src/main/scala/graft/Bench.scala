@@ -53,6 +53,20 @@ object Bench {
         }
       times(i) += (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
+    // One UNCOUNTED warm-up pass over the whole catalog before the
+    // timed passes: r6→r5 showed a uniform ~4.5% per-query drift on
+    // untouched code — JIT/page-cache state charged unevenly to pass 1
+    // and surviving into the min as the catalog grows. After this pass
+    // every timed rep runs against fully-JITted query paths, so
+    // cross-round drift on untouched queries reflects plans, not
+    // warm-up order. (Data caches are still cleared per rep; only code
+    // warmth persists, which is exactly the point.)
+    for (((name, fn), _) <- catalog.zipWithIndex) {
+      spark.catalog.clearCache()
+      try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+      catch { case _: Throwable => () } // failures surface in timed passes
+    }
+
     for (p <- 0 until passes; ((name, fn), i) <- catalog.zipWithIndex)
       runOnce(name, fn, i, s"pass ${p + 1}")
 
@@ -92,6 +106,12 @@ object Bench {
     val reps = results.map { case (k, _, r, _) =>
       "\"" + k + "\":" + r.map(t => if (t >= 0) fmt(t) else "null").mkString("[", ",", "]")
     }.mkString("{", ",", "}")
+    // median of the fastest 3 reps: a drift metric robust to one lucky
+    // rep, reported beside the judged min for cross-round audits
+    val med3 = results.map { case (k, _, _, i) =>
+      val f3 = fastest3(i)
+      "\"" + k + "\":" + (if (f3.isEmpty) "null" else fmt(f3(f3.size / 2)))
+    }.mkString("{", ",", "}")
     val failed = results.collect { case (k, None, _, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val noisy = results.collect {
@@ -99,7 +119,7 @@ object Bench {
         if fastest3(i).max / fastest3(i).min > maxSpread => "\"" + k + "\""
     }.mkString("[", ",", "]")
     val total = results.flatMap(_._2).sum
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"reps":$reps,"failed":$failed,"noisy":$noisy,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"reps":$reps,"med3":$med3,"failed":$failed,"noisy":$noisy,"sf":"$sfDir"}"""
     println(line)
     // Also persist the line: stdout of a long bench run may be captured
     // through a bounded tail buffer that truncates the head of the JSON,
