@@ -2781,6 +2781,112 @@ object TextQueries {
           .select(col("doc_id"), col("n_bigrams"), col("avg_nll"),
             (col("avg_nll") > 3.4).as("flagged"))
           .orderBy("doc_id")
+      }),
+
+    // ---- q155: the sketch PANEL — one corpus pass, three portable
+    // artifacts per language: HLL distinct 4-gram shingles (m=1024),
+    // the KMV bottom-k sample of the same shingle space (k=512, its
+    // buffer head rides along as the sampling proof), and the
+    // bucket-histogram median document length — the one-read dashboard
+    // a 100 TB corpus intake job ships instead of three scans. The
+    // shingle explode is materialized ONCE and feeds exact count + both
+    // distinct sketches; every sketch partial-aggregates before its
+    // exchange (the family's plan-locked shape). Gate value beyond
+    // composition: per-lang shingle cardinality lands the non-en
+    // languages INSIDE the HLL mid-range crossover at sf0.001/0.01
+    // (hll_crossover = true), so the round-7 bias-corrected branch —
+    // unreachable from q148's cardinalities — is hash-verified against
+    // DuckDB on real data; en (and everything at sf0.1) covers the
+    // uncorrected raw branch in the same result set.
+    QueryDef("q155_sketch_panel", Some({
+      import graft.functions.{HyperLogLog, Kmv}
+      val m = 1024
+      val kk = 512
+      s"""WITH t AS (SELECT doc_id, lang, n_chars,
+              list_filter(regexp_split_to_array(lower(text), '\\W+'),
+                          x -> x <> '' AND x NOT IN ('the','a')) AS tokens
+            FROM documents),
+      shl AS (SELECT lang, unnest(list_distinct(list_transform(range(1, len(tokens) - 2),
+                i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2] || ' ' || tokens[i+3]))) AS item
+              FROM t WHERE len(tokens) >= 4),
+      d AS (SELECT DISTINCT lang, item FROM shl),
+      ex AS (SELECT lang, COUNT(*) AS exact_distinct FROM d GROUP BY 1),
+      ${HyperLogLog.hashCtesSql("item", "d", "lang", m, "w").trim},
+      regs AS (SELECT lang, j, MAX(rho) AS mreg FROM wr GROUP BY 1, 2),
+      hll AS (${HyperLogLog.estimateSql("SELECT lang, j, mreg FROM regs", "lang", m).trim}),
+      kh AS (SELECT lang, ${Kmv.hash60Sql("item")} AS h FROM d),
+      kmv AS (SELECT lang, list_sort(list(DISTINCT h))[1:$kk] AS kmv FROM kh GROUP BY 1),
+      hw AS (SELECT lang, (n_chars - ((n_chars % 100) + 100) % 100) // 100 AS bucket,
+                    COUNT(*) AS n
+             FROM t GROUP BY 1, 2),
+      tot AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS n_docs FROM hw GROUP BY 1),
+      cum AS (SELECT lang, bucket,
+                CAST(SUM(n) OVER (PARTITION BY lang ORDER BY bucket) AS BIGINT) AS cum
+              FROM hw),
+      pick AS (SELECT c.lang, t.n_docs, (1 * t.n_docs + 2 - 1) // 2 AS len_qrank,
+                 MIN(c.bucket) AS len_bucket
+               FROM cum c JOIN tot t USING (lang)
+               WHERE c.cum >= (1 * t.n_docs + 2 - 1) // 2
+               GROUP BY 1, 2, 3)
+      SELECT h.lang, p.n_docs, x.exact_distinct,
+             h.est AS hll_est,
+             (0.7213 / (1.0 + 1.079 / $m.0)) * ${m.toLong * m}.0 * 2305843009213693952.0
+               / (CAST(h.s_hi AS DOUBLE) * 140737488355328.0 + CAST(h.s_lo AS DOUBLE)) > 2560.0
+             AND (0.7213 / (1.0 + 1.079 / $m.0)) * ${m.toLong * m}.0 * 2305843009213693952.0
+               / (CAST(h.s_hi AS DOUBLE) * 140737488355328.0 + CAST(h.s_lo AS DOUBLE)) < 4303.10784469868
+               AS hll_crossover,
+             ABS(h.est - x.exact_distinct) <= x.exact_distinct * 0.13 AS hll_err_ok,
+             CAST(len(k.kmv) AS INTEGER) AS kmv_slots,
+             k.kmv[1] AS kmv_h_first,
+             ${Kmv.estimateSql("k.kmv", kk)} AS kmv_est,
+             ABS(${Kmv.estimateSql("k.kmv", kk)} - x.exact_distinct)
+               <= x.exact_distinct * 0.18 AS kmv_err_ok,
+             p.len_qrank, p.len_bucket,
+             p.len_bucket * 100 AS len_lo_chars,
+             (p.len_bucket + 1) * 100 AS len_hi_chars
+      FROM hll h JOIN ex x USING (lang) JOIN kmv k USING (lang) JOIN pick p USING (lang)
+      ORDER BY h.lang"""
+    }),
+      (s, dir) => {
+        import graft.functions.{BucketHistogram, HyperLogLog, Kmv}
+        val m = 1024
+        val kk = 512
+        val t = docs(s, dir).select(col("doc_id"), col("lang"), col("n_chars"),
+            Tokenize.tokens(col("text"), Stop).as("tokens"))
+          .localCheckpoint() // 2 consumers: shingle explode + length histogram
+        val d = t.select(col("lang"),
+            explode(Dedup.wordShingles(col("tokens"), 4)).as("item"))
+          .distinct()
+          .localCheckpoint() // 3 consumers: exact count, HLL registers, KMV buffer
+        val ex = d.groupBy("lang").agg(count(lit(1)).as("exact_distinct"))
+        val hll = HyperLogLog.estimate(
+          HyperLogLog.sketch(d, col("item"), Seq("lang"), m), Seq("lang"), m)
+        val kmv = Kmv.sketch(d, col("item"), Seq("lang"), kk)
+        val hist = BucketHistogram.sketch(t, col("n_chars"), Seq("lang"), 100L)
+        val pick = BucketHistogram.quantiles(hist, Seq("lang"), Seq((1, 2)))
+        // raw recomputed from the emitted exact split-sum words with the
+        // estimateSql literal tree — classifies the regime bit-identically
+        val raw = lit(0.7213 / (1.0 + 1.079 / 1024.0)) * lit(1048576.0) *
+          lit(2305843009213693952.0) /
+          (col("s_hi").cast("double") * lit(140737488355328.0) +
+            col("s_lo").cast("double"))
+        hll.join(ex, "lang").join(kmv, "lang")
+          .join(pick.select(col("lang"), col("n_total").as("n_docs"),
+            col("qrank").as("len_qrank"), col("bucket").as("len_bucket")), "lang")
+          .select(col("lang"), col("n_docs"), col("exact_distinct"),
+            col("est").as("hll_est"),
+            (raw > lit(2560.0) && raw < lit(4303.10784469868)).as("hll_crossover"),
+            (abs(col("est") - col("exact_distinct")) <=
+              col("exact_distinct") * 0.13).as("hll_err_ok"),
+            size(col("kmv")).as("kmv_slots"),
+            element_at(col("kmv"), 1).as("kmv_h_first"),
+            Kmv.estimate(col("kmv"), kk).as("kmv_est"),
+            (abs(Kmv.estimate(col("kmv"), kk) - col("exact_distinct")) <=
+              col("exact_distinct") * 0.18).as("kmv_err_ok"),
+            col("len_qrank"), col("len_bucket"),
+            (col("len_bucket") * 100).as("len_lo_chars"),
+            ((col("len_bucket") + 1) * 100).as("len_hi_chars"))
+          .orderBy("lang")
       })
   )
 }

@@ -458,6 +458,22 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!plan.exists(_.nodeName == "Window"), "sketch build must not window")
   }
 
+  test("q155 sketch panel: one corpus read feeds all three sketches; only the bounded counter window") {
+    val plan = collectAll(executed(q("q155_sketch_panel")))
+    assert(!plan.exists { case _: CartesianProductExec => true; case _ => false },
+      "panel joins key on lang — never all-pairs")
+    // the documents parquet is read once into the checkpointed token
+    // table; exact count, HLL registers and the KMV buffer all consume
+    // the one checkpointed shingle dedup — no scan may reach parquet
+    val parquetScans = plan.count(p => p.nodeName.contains("Scan parquet"))
+    assert(parquetScans === 0,
+      s"corpus must flow through the checkpointed projections, found $parquetScans parquet scans")
+    // the only window is the quantile cumsum over the counter table —
+    // bounded by range/width per lang, never over documents
+    val windows = plan.filter(_.nodeName == "Window")
+    assert(windows.size <= 1, s"only the counter cumsum may window, found ${windows.size}")
+  }
+
   test("q154 KMV jaccard: pair algebra runs over 3 sketch rows, no corpus re-read") {
     val plan = collectAll(executed(q("q154_kmv_jaccard")))
     assert(!plan.exists { case _: CartesianProductExec => true; case _ => false },
