@@ -141,6 +141,72 @@ object Kmv {
                x -> list_contains($aSql, x) AND list_contains($bSql, x)))
              AS DOUBLE) / CAST(len($u) AS DOUBLE) END"""
   }
+
+  /** Theta threshold of two sketches (Dasgupta et al., theta sketches:
+    * the KMV pair's common uniform-sampling cutoff): the smaller of the
+    * two k-th hashes when both buffers filled; an unfilled buffer IS
+    * its whole hash set, so its implicit cutoff is 2^60 ([[Scale]]).
+    * Every hash below θ was retained by BOTH sketches, so
+    * {h ∈ A∪B : h < θ} is a uniform sample of the union's distinct
+    * hashes with known inclusion probability θ/2^60 — the basis for
+    * direct set-operation CARDINALITY estimates ([[setOps]]), where
+    * [[jaccard]] only gives the ratio.
+    */
+  def theta(a: Column, b: Column, k: Int): Column = {
+    val ta = when(size(a) < k, lit(1152921504606846976L)).otherwise(element_at(a, k))
+    val tb = when(size(b) < k, lit(1152921504606846976L)).otherwise(element_at(b, k))
+    least(ta, tb) // BIGINT — the h < θ sample test stays exact integer
+  }
+
+  /** Set-operation cardinality estimates from two sketches alone:
+    * (n_sample, union_est, inter_est, a_only_est) where n_sample =
+    * |{h ∈ distinct(a∪b) : h < θ}| and each estimate is
+    * (retained count) · 2^60/θ — one IEEE multiply-divide over exact
+    * integer counts, bit-identical cross-engine. Exact when neither
+    * buffer filled (θ = 2^60 ⇒ the scale factor is exactly 1).
+    * Relative error ≈ 1/√k on the union; intersection/difference
+    * absolute error scales with the union size (4σ ≈ 2·union/√k).
+    */
+  def setOps(a: Column, b: Column, k: Int): Column = {
+    val th = theta(a, b, k)
+    val u = array_distinct(concat(a, b))
+    val sample = filter(u, h => h < th)
+    val nS = size(sample)
+    val nI = size(filter(sample, h => array_contains(a, h) && array_contains(b, h)))
+    val nA = size(filter(sample, h => array_contains(a, h) && !array_contains(b, h)))
+    val scale = lit(Scale) / th.cast("double")
+    struct(nS.as("n_sample"),
+      (nS.cast("double") * scale).as("union_est"),
+      (nI.cast("double") * scale).as("inter_est"),
+      (nA.cast("double") * scale).as("a_only_est"))
+  }
+
+  /** DuckDB SQL mirroring [[theta]] (BIGINT). */
+  def thetaSql(aSql: String, bSql: String, k: Int): String =
+    s"""LEAST(CASE WHEN len($aSql) < $k THEN 1152921504606846976
+                   ELSE $aSql[$k] END,
+              CASE WHEN len($bSql) < $k THEN 1152921504606846976
+                   ELSE $bSql[$k] END)"""
+
+  /** DuckDB SQL mirroring one [[setOps]] field: `which` ∈
+    * sample/union/inter/aonly. Counts are exact integer list algebra;
+    * the scale multiply mirrors the Column form operation-for-operation.
+    */
+  def setOpSql(aSql: String, bSql: String, k: Int, which: String): String = {
+    val th = thetaSql(aSql, bSql, k)
+    val sample = s"list_filter(list_distinct($aSql || $bSql), h -> h < $th)"
+    val cnt = which match {
+      case "sample" => s"len($sample)"
+      case "union"  => s"len($sample)"
+      case "inter"  =>
+        s"len(list_filter($sample, h -> list_contains($aSql, h) AND list_contains($bSql, h)))"
+      case "aonly"  =>
+        s"len(list_filter($sample, h -> list_contains($aSql, h) AND NOT list_contains($bSql, h)))"
+      case other => throw new IllegalArgumentException(s"unknown setOp $other")
+    }
+    if (which == "sample") s"CAST($cnt AS INTEGER)"
+    else s"CAST($cnt AS DOUBLE) * (1152921504606846976.0 / CAST($th AS DOUBLE))"
+  }
 }
 
 /** Bottom-k DISTINCT longs as a mergeable aggregation — the KMV

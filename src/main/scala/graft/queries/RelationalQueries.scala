@@ -857,6 +857,108 @@ object RelationalQueries {
             (abs(Kmv.jaccard(col("ka"), col("kb"), k) - jacExact) <= 0.05)
               .as("jac_ok"))
           .orderBy("flag_a", "flag_b")
+      }),
+
+    // ---- q156: theta-sketch set-operation CARDINALITIES from the KMV
+    // pair — where q154 answers the overlap RATIO, this answers the
+    // audience-subtraction questions directly: |A∪B|, |A∩B|, |A\B| per
+    // returnflag pair from two ≤ k-slot arrays and nothing else. The
+    // two sketches' common threshold θ = min of their k-th hashes
+    // (2^60 for an unfilled buffer — its sketch IS the set) makes
+    // {h < θ} a uniform sample of the union's distinct hashes with
+    // known inclusion probability θ/2^60, so every estimate is
+    // (retained count)·2^60/θ: exact integer list algebra + ONE IEEE
+    // multiply-divide, hash-exact cross-engine, exact by construction
+    // at sf0.001 (both buffers unfilled ⇒ scale = 1). vs q150's HLL
+    // inclusion–exclusion: no error stacking (intersection measured
+    // directly, not as a difference of three estimates) and the
+    // difference |A\B| — which inclusion–exclusion cannot give without
+    // a fourth sketch — falls out of the same sample. Bounds: union
+    // 4σ ≈ 8.8% at k=2048; inter/diff absolute 4σ ≈ 0.05·union.
+    QueryDef("q156_kmv_set_ops", Some({
+      import graft.functions.Kmv
+      val k = 2048
+      s"""WITH li AS (SELECT DISTINCT l_returnflag,
+                        l_partkey || '-' || l_suppkey AS item
+                      FROM lineitem),
+      h AS (SELECT l_returnflag, ${Kmv.hash60Sql("item")} AS h FROM li),
+      sk AS (SELECT l_returnflag, list_sort(list(DISTINCT h))[1:$k] AS kmv
+             FROM h GROUP BY 1),
+      sz AS (SELECT l_returnflag, COUNT(*) AS n FROM li GROUP BY 1),
+      inter AS (SELECT a.l_returnflag AS flag_a, b.l_returnflag AS flag_b,
+                  COUNT(*) AS n_inter
+                FROM li a JOIN li b
+                  ON a.item = b.item AND a.l_returnflag < b.l_returnflag
+                GROUP BY 1, 2),
+      pairs AS (SELECT a.l_returnflag AS flag_a, b.l_returnflag AS flag_b,
+                  a.kmv AS ka, b.kmv AS kb
+                FROM sk a JOIN sk b ON a.l_returnflag < b.l_returnflag),
+      ex AS (SELECT p.flag_a, p.flag_b, p.ka, p.kb,
+               sa.n + sb.n - i.n_inter AS union_exact,
+               i.n_inter AS inter_exact,
+               sa.n - i.n_inter AS a_only_exact
+             FROM pairs p
+             JOIN inter i ON i.flag_a = p.flag_a AND i.flag_b = p.flag_b
+             JOIN sz sa ON sa.l_returnflag = p.flag_a
+             JOIN sz sb ON sb.l_returnflag = p.flag_b)
+      SELECT flag_a, flag_b,
+             ${Kmv.setOpSql("ka", "kb", k, "sample")} AS n_sample,
+             ${Kmv.setOpSql("ka", "kb", k, "union")} AS union_est,
+             ${Kmv.setOpSql("ka", "kb", k, "inter")} AS inter_est,
+             ${Kmv.setOpSql("ka", "kb", k, "aonly")} AS a_only_est,
+             union_exact, inter_exact, a_only_exact,
+             ABS(${Kmv.setOpSql("ka", "kb", k, "union")} - union_exact)
+               <= union_exact * 0.1 AS union_ok,
+             ABS(${Kmv.setOpSql("ka", "kb", k, "inter")} - inter_exact)
+               <= union_exact * 0.05 AS inter_ok,
+             ABS(${Kmv.setOpSql("ka", "kb", k, "aonly")} - a_only_exact)
+               <= union_exact * 0.06 AS a_only_ok
+      FROM ex ORDER BY flag_a, flag_b"""
+    }),
+      (s, dir) => {
+        import graft.functions.Kmv
+        val k = 2048
+        // 3 consumers (sketch build, per-flag sizes, pair intersections)
+        val sets = Tables.read(s, dir, "lineitem")
+          .select(col("l_returnflag"),
+            concat_ws("-", col("l_partkey"), col("l_suppkey")).as("item"))
+          .distinct()
+          .localCheckpoint()
+        val sk = Kmv.sketch(sets, col("item"), Seq("l_returnflag"), k)
+          .localCheckpoint() // 2 consumers: both sides of the pair join
+        val sizes = sets.groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+        val inter = sets.alias("a")
+          .join(sets.alias("b"), col("a.item") === col("b.item") &&
+            col("a.l_returnflag") < col("b.l_returnflag"))
+          .groupBy(col("a.l_returnflag").as("flag_a"),
+            col("b.l_returnflag").as("flag_b"))
+          .agg(count(lit(1)).as("n_inter"))
+        val pairs = sk.select(col("l_returnflag").as("flag_a"), col("kmv").as("ka"))
+          .join(sk.select(col("l_returnflag").as("flag_b"), col("kmv").as("kb")),
+            col("flag_a") < col("flag_b"))
+        val ops = Kmv.setOps(col("ka"), col("kb"), k)
+        pairs
+          .join(inter, Seq("flag_a", "flag_b"))
+          .join(broadcast(sizes.select(col("l_returnflag").as("flag_a"),
+            col("n").as("na"))), "flag_a")
+          .join(broadcast(sizes.select(col("l_returnflag").as("flag_b"),
+            col("n").as("nb"))), "flag_b")
+          .withColumn("union_exact", col("na") + col("nb") - col("n_inter"))
+          .withColumn("inter_exact", col("n_inter"))
+          .withColumn("a_only_exact", col("na") - col("n_inter"))
+          .select(col("flag_a"), col("flag_b"),
+            ops.getField("n_sample").as("n_sample"),
+            ops.getField("union_est").as("union_est"),
+            ops.getField("inter_est").as("inter_est"),
+            ops.getField("a_only_est").as("a_only_est"),
+            col("union_exact"), col("inter_exact"), col("a_only_exact"),
+            (abs(ops.getField("union_est") - col("union_exact")) <=
+              col("union_exact") * 0.1).as("union_ok"),
+            (abs(ops.getField("inter_est") - col("inter_exact")) <=
+              col("union_exact") * 0.05).as("inter_ok"),
+            (abs(ops.getField("a_only_est") - col("a_only_exact")) <=
+              col("union_exact") * 0.06).as("a_only_ok"))
+          .orderBy("flag_a", "flag_b")
       })
   )
 }

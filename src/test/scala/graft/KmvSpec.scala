@@ -98,6 +98,36 @@ class KmvSpec extends SparkTestBase {
     assert(jEmpty === 0.0)
   }
 
+  test("theta set ops: exact in the unfilled regime, sane when sampling") {
+    val k = 64
+    val a = (1 to 20).map(i => ("g", s"x$i")).toDF("g", "s")   // x1..x20
+    val b = (11 to 35).map(i => ("g", s"x$i")).toDF("g", "s")  // x11..x35
+    val ska = Kmv.sketch(a, col("s"), Seq("g"), k).select(col("g"), col("kmv").as("ka"))
+    val skb = Kmv.sketch(b, col("s"), Seq("g"), k).select(col("g"), col("kmv").as("kb"))
+    val r = ska.join(skb, "g")
+      .select(Kmv.theta(col("ka"), col("kb"), k).as("th"),
+        Kmv.setOps(col("ka"), col("kb"), k).as("ops"))
+      .select("th", "ops.n_sample", "ops.union_est", "ops.inter_est", "ops.a_only_est")
+      .as[(Long, Int, Double, Double, Double)].collect().head
+    assert(r._1 === 1152921504606846976L, "both unfilled → θ = 2^60")
+    assert(r._2 === 35 && r._3 === 35.0, "sample IS the union")
+    assert(r._4 === 10.0, "|{x11..x20}| exactly")
+    assert(r._5 === 10.0, "|{x1..x10}| exactly")
+    // sampling regime: k=8 over 60 distinct per side, 20 shared
+    val k8 = 8
+    val a2 = (1 to 60).map(i => ("g", s"y$i")).toDF("g", "s")
+    val b2 = (41 to 100).map(i => ("g", s"y$i")).toDF("g", "s")
+    val s2 = Kmv.sketch(a2, col("s"), Seq("g"), k8).select(col("g"), col("kmv").as("ka"))
+      .join(Kmv.sketch(b2, col("s"), Seq("g"), k8).select(col("g"), col("kmv").as("kb")), "g")
+      .select(Kmv.theta(col("ka"), col("kb"), k8).as("th"),
+        Kmv.setOps(col("ka"), col("kb"), k8).as("ops"))
+      .select("th", "ops.union_est").as[(Long, Double)].collect().head
+    val kthA = (1 to 60).map(i => h60(s"y$i")).sorted.apply(k8 - 1)
+    val kthB = (41 to 100).map(i => h60(s"y$i")).sorted.apply(k8 - 1)
+    assert(s2._1 === math.min(kthA, kthB), "θ = smaller k-th hash")
+    assert(s2._2 > 20 && s2._2 < 500, s"union est ${s2._2} wildly off 100")
+  }
+
   test("heap fast path ≡ distinct buffer on every sketch (random cross-check)") {
     // the batch plan (dedup + BottomKHeapAggregator) and the streaming
     // buffer (KmvAggregator) must emit bit-identical sketches; drive
