@@ -158,6 +158,60 @@ class KmvSpec extends SparkTestBase {
       "merge folds the other heap's live slots, keeps bottom k")
   }
 
+  test("degenerate dials: k = 1, single-element sets, identical and disjoint pairs") {
+    // k = 1: the sketch is the single smallest hash; estimate of a
+    // filled k=1 buffer is 0·2^60/h1 = 0 — the estimator needs k ≥ 2,
+    // but the SKETCH must still be well-formed
+    val one = Kmv.sketch(Seq(("g", "a"), ("g", "b")).toDF("g", "s"),
+      col("s"), Seq("g"), 1).select("kmv").as[Seq[Long]].collect().head
+    assert(one === Seq(math.min(h60("a"), h60("b"))))
+    // single-element set, k comfortable: exact everywhere
+    val single = Kmv.sketch(Seq(("g", "only")).toDF("g", "s"),
+      col("s"), Seq("g"), 8)
+    assert(single.select(Kmv.estimate(col("kmv"), 8)).as[Double].collect().head === 1.0)
+    // identical sets: jaccard exactly 1, inter_est = union_est
+    val x = (1 to 30).map(i => ("g", s"i$i")).toDF("g", "s")
+    val sk = Kmv.sketch(x, col("s"), Seq("g"), 64)
+      .select(col("g"), col("kmv")).localCheckpoint()
+    val self = sk.select(col("g"), col("kmv").as("ka"))
+      .join(sk.select(col("g"), col("kmv").as("kb")), "g")
+    assert(self.select(Kmv.jaccard(col("ka"), col("kb"), 64))
+      .as[Double].collect().head === 1.0)
+    val ops = self.select(Kmv.setOps(col("ka"), col("kb"), 64).as("o"))
+      .select("o.union_est", "o.inter_est", "o.a_only_est")
+      .as[(Double, Double, Double)].collect().head
+    assert(ops._1 === 30.0 && ops._2 === 30.0 && ops._3 === 0.0)
+    // disjoint sets: inter 0, a_only = |A|
+    val dj = Kmv.sketch((1 to 10).map(i => ("g", s"L$i")).toDF("g", "s"),
+        col("s"), Seq("g"), 64).select(col("g"), col("kmv").as("ka"))
+      .join(Kmv.sketch((1 to 12).map(i => ("g", s"R$i")).toDF("g", "s"),
+        col("s"), Seq("g"), 64).select(col("g"), col("kmv").as("kb")), "g")
+      .select(Kmv.setOps(col("ka"), col("kb"), 64).as("o"))
+      .select("o.union_est", "o.inter_est", "o.a_only_est")
+      .as[(Double, Double, Double)].collect().head
+    assert(dj === ((22.0, 0.0, 10.0)))
+  }
+
+  test("merge is associative and commutative (randomized)") {
+    val rnd = new scala.util.Random(11)
+    val k = 10
+    def sk(tag: String): Seq[Long] =
+      Seq.fill(60)(rnd.nextInt(300)).map(i => s"$tag$i").distinct
+        .map(h60).distinct.sorted.take(k)
+    for (_ <- 1 to 20) {
+      val (a, b, c) = (sk("a"), sk("b"), sk("c"))
+      val df = Seq((a, b, c)).toDF("a", "b", "c")
+      val (abc1, abc2, ba) = df.select(
+          Kmv.mergeArrays(Kmv.mergeArrays(col("a"), col("b"), k), col("c"), k),
+          Kmv.mergeArrays(col("a"), Kmv.mergeArrays(col("b"), col("c"), k), k),
+          Kmv.mergeArrays(col("b"), col("a"), k))
+        .as[(Seq[Long], Seq[Long], Seq[Long])].collect().head
+      assert(abc1 === abc2, "merge must be associative")
+      assert(ba === df.select(Kmv.mergeArrays(col("a"), col("b"), k))
+        .as[Seq[Long]].collect().head, "merge must be commutative")
+    }
+  }
+
   test("aggregator invariants: sorted insert, full-buffer reject, distinct merge") {
     val agg = new KmvAggregator(3)
     var buf = agg.zero
