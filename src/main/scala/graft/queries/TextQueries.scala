@@ -41,6 +41,83 @@ object TextQueries {
                          t -> t <> '' AND t NOT IN ('the','a')) AS tokens
       FROM documents WHERE $pred)"""
 
+    // Shared DuckDB CTE chain for the batched-BPE family (q145 output
+    // table, q157 conflict diagnostic): 2 rounds, batch 4 — candidate
+    // window t<r> (ROW_NUMBER LIMIT 4), greedy kept set k<r>
+    // (NOT-EXISTS against already-kept picks only), apply slots a<r>*,
+    // post-round vocab v<r>.
+    private lazy val bpeBatchedCtes: String = s"""wc AS (SELECT t AS word, COUNT(*) AS cnt
+             FROM (SELECT UNNEST(tokens) AS t FROM toks) GROUP BY 1),
+      b0 AS (SELECT ' ' || regexp_replace(word, '(.)', '\\1  ', 'g') || '</w> ' AS s, cnt
+             FROM wc),
+      e1 AS (SELECT UNNEST(list_transform(range(1, len(ss)),
+                      i -> {'a': ss[i], 'b': ss[i+1]})) AS p, cnt
+             FROM (SELECT string_split(trim(s), '  ') AS ss, cnt FROM b0)),
+      p1 AS (SELECT p.a AS a, p.b AS b, SUM(cnt) AS c FROM e1 GROUP BY 1, 2),
+      t1 AS MATERIALIZED (SELECT a, b, c, ROW_NUMBER() OVER (ORDER BY c DESC, a, b) AS rk
+             FROM p1 ORDER BY c DESC, a, b LIMIT 4),
+      g11 AS (SELECT a, b, c, rk FROM t1 WHERE rk = 1),
+      g12 AS (SELECT t.a, t.b, t.c, t.rk FROM t1 t WHERE t.rk = 2 AND NOT EXISTS (
+             SELECT 1 FROM g11 u
+             WHERE u.a = t.a OR u.a = t.b OR u.b = t.a OR u.b = t.b)),
+      g13 AS (SELECT t.a, t.b, t.c, t.rk FROM t1 t WHERE t.rk = 3 AND NOT EXISTS (
+             SELECT 1 FROM (SELECT * FROM g11 UNION ALL SELECT * FROM g12) u
+             WHERE u.a = t.a OR u.a = t.b OR u.b = t.a OR u.b = t.b)),
+      g14 AS (SELECT t.a, t.b, t.c, t.rk FROM t1 t WHERE t.rk = 4 AND NOT EXISTS (
+             SELECT 1 FROM (SELECT * FROM g11 UNION ALL SELECT * FROM g12
+                            UNION ALL SELECT * FROM g13) u
+             WHERE u.a = t.a OR u.a = t.b OR u.b = t.a OR u.b = t.b)),
+      k1 AS MATERIALIZED (SELECT * FROM g11 UNION ALL SELECT * FROM g12
+             UNION ALL SELECT * FROM g13 UNION ALL SELECT * FROM g14),
+      a11 AS (SELECT CASE WHEN m.a IS NULL THEN s ELSE
+                replace(s, ' '||m.a||'  '||m.b||' ', ' '||m.a||m.b||' ') END AS s, cnt
+              FROM b0 LEFT JOIN (SELECT a, b FROM k1 WHERE rk = 1) m ON TRUE),
+      a12 AS (SELECT CASE WHEN m.a IS NULL THEN s ELSE
+                replace(s, ' '||m.a||'  '||m.b||' ', ' '||m.a||m.b||' ') END AS s, cnt
+              FROM a11 LEFT JOIN (SELECT a, b FROM k1 WHERE rk = 2) m ON TRUE),
+      a13 AS (SELECT CASE WHEN m.a IS NULL THEN s ELSE
+                replace(s, ' '||m.a||'  '||m.b||' ', ' '||m.a||m.b||' ') END AS s, cnt
+              FROM a12 LEFT JOIN (SELECT a, b FROM k1 WHERE rk = 3) m ON TRUE),
+      a14 AS (SELECT CASE WHEN m.a IS NULL THEN s ELSE
+                replace(s, ' '||m.a||'  '||m.b||' ', ' '||m.a||m.b||' ') END AS s, cnt
+              FROM a13 LEFT JOIN (SELECT a, b FROM k1 WHERE rk = 4) m ON TRUE),
+      v1 AS (SELECT COUNT(DISTINCT sym) AS vs
+             FROM (SELECT UNNEST(string_split(trim(s), '  ')) AS sym FROM a14)),
+      e2 AS (SELECT UNNEST(list_transform(range(1, len(ss)),
+                      i -> {'a': ss[i], 'b': ss[i+1]})) AS p, cnt
+             FROM (SELECT string_split(trim(s), '  ') AS ss, cnt FROM a14)),
+      p2 AS (SELECT p.a AS a, p.b AS b, SUM(cnt) AS c FROM e2 GROUP BY 1, 2),
+      t2 AS MATERIALIZED (SELECT a, b, c, ROW_NUMBER() OVER (ORDER BY c DESC, a, b) AS rk
+             FROM p2 ORDER BY c DESC, a, b LIMIT 4),
+      g21 AS (SELECT a, b, c, rk FROM t2 WHERE rk = 1),
+      g22 AS (SELECT t.a, t.b, t.c, t.rk FROM t2 t WHERE t.rk = 2 AND NOT EXISTS (
+             SELECT 1 FROM g21 u
+             WHERE u.a = t.a OR u.a = t.b OR u.b = t.a OR u.b = t.b)),
+      g23 AS (SELECT t.a, t.b, t.c, t.rk FROM t2 t WHERE t.rk = 3 AND NOT EXISTS (
+             SELECT 1 FROM (SELECT * FROM g21 UNION ALL SELECT * FROM g22) u
+             WHERE u.a = t.a OR u.a = t.b OR u.b = t.a OR u.b = t.b)),
+      g24 AS (SELECT t.a, t.b, t.c, t.rk FROM t2 t WHERE t.rk = 4 AND NOT EXISTS (
+             SELECT 1 FROM (SELECT * FROM g21 UNION ALL SELECT * FROM g22
+                            UNION ALL SELECT * FROM g23) u
+             WHERE u.a = t.a OR u.a = t.b OR u.b = t.a OR u.b = t.b)),
+      k2 AS MATERIALIZED (SELECT * FROM g21 UNION ALL SELECT * FROM g22
+             UNION ALL SELECT * FROM g23 UNION ALL SELECT * FROM g24),
+      a21 AS (SELECT CASE WHEN m.a IS NULL THEN s ELSE
+                replace(s, ' '||m.a||'  '||m.b||' ', ' '||m.a||m.b||' ') END AS s, cnt
+              FROM a14 LEFT JOIN (SELECT a, b FROM k2 WHERE rk = 1) m ON TRUE),
+      a22 AS (SELECT CASE WHEN m.a IS NULL THEN s ELSE
+                replace(s, ' '||m.a||'  '||m.b||' ', ' '||m.a||m.b||' ') END AS s, cnt
+              FROM a21 LEFT JOIN (SELECT a, b FROM k2 WHERE rk = 2) m ON TRUE),
+      a23 AS (SELECT CASE WHEN m.a IS NULL THEN s ELSE
+                replace(s, ' '||m.a||'  '||m.b||' ', ' '||m.a||m.b||' ') END AS s, cnt
+              FROM a22 LEFT JOIN (SELECT a, b FROM k2 WHERE rk = 3) m ON TRUE),
+      a24 AS (SELECT CASE WHEN m.a IS NULL THEN s ELSE
+                replace(s, ' '||m.a||'  '||m.b||' ', ' '||m.a||m.b||' ') END AS s, cnt
+              FROM a23 LEFT JOIN (SELECT a, b FROM k2 WHERE rk = 4) m ON TRUE),
+      v2 AS (SELECT COUNT(DISTINCT sym) AS vs
+             FROM (SELECT UNNEST(string_split(trim(s), '  ')) AS sym FROM a24))"""
+
+
   /** DuckDB CTE chain unrolling `rounds` simultaneous k-core peels over
     * `s0(u, v)` (graph.KCore's algorithm): each round drops every node
     * with fewer than k surviving neighbors, then keeps only edges whose
@@ -2195,76 +2272,7 @@ object TextQueries {
     // Spark fold skipping a dropped rank. BpeSpec separately proves
     // batch=1 degenerates bit-identically to q136's sequential path.
     QueryDef("q145_bpe_train_batched", Some(s"""${toksCte()},
-      wc AS (SELECT t AS word, COUNT(*) AS cnt
-             FROM (SELECT UNNEST(tokens) AS t FROM toks) GROUP BY 1),
-      b0 AS (SELECT ' ' || regexp_replace(word, '(.)', '\\1  ', 'g') || '</w> ' AS s, cnt
-             FROM wc),
-      e1 AS (SELECT UNNEST(list_transform(range(1, len(ss)),
-                      i -> {'a': ss[i], 'b': ss[i+1]})) AS p, cnt
-             FROM (SELECT string_split(trim(s), '  ') AS ss, cnt FROM b0)),
-      p1 AS (SELECT p.a AS a, p.b AS b, SUM(cnt) AS c FROM e1 GROUP BY 1, 2),
-      t1 AS MATERIALIZED (SELECT a, b, c, ROW_NUMBER() OVER (ORDER BY c DESC, a, b) AS rk
-             FROM p1 ORDER BY c DESC, a, b LIMIT 4),
-      g11 AS (SELECT a, b, c, rk FROM t1 WHERE rk = 1),
-      g12 AS (SELECT t.a, t.b, t.c, t.rk FROM t1 t WHERE t.rk = 2 AND NOT EXISTS (
-             SELECT 1 FROM g11 u
-             WHERE u.a = t.a OR u.a = t.b OR u.b = t.a OR u.b = t.b)),
-      g13 AS (SELECT t.a, t.b, t.c, t.rk FROM t1 t WHERE t.rk = 3 AND NOT EXISTS (
-             SELECT 1 FROM (SELECT * FROM g11 UNION ALL SELECT * FROM g12) u
-             WHERE u.a = t.a OR u.a = t.b OR u.b = t.a OR u.b = t.b)),
-      g14 AS (SELECT t.a, t.b, t.c, t.rk FROM t1 t WHERE t.rk = 4 AND NOT EXISTS (
-             SELECT 1 FROM (SELECT * FROM g11 UNION ALL SELECT * FROM g12
-                            UNION ALL SELECT * FROM g13) u
-             WHERE u.a = t.a OR u.a = t.b OR u.b = t.a OR u.b = t.b)),
-      k1 AS MATERIALIZED (SELECT * FROM g11 UNION ALL SELECT * FROM g12
-             UNION ALL SELECT * FROM g13 UNION ALL SELECT * FROM g14),
-      a11 AS (SELECT CASE WHEN m.a IS NULL THEN s ELSE
-                replace(s, ' '||m.a||'  '||m.b||' ', ' '||m.a||m.b||' ') END AS s, cnt
-              FROM b0 LEFT JOIN (SELECT a, b FROM k1 WHERE rk = 1) m ON TRUE),
-      a12 AS (SELECT CASE WHEN m.a IS NULL THEN s ELSE
-                replace(s, ' '||m.a||'  '||m.b||' ', ' '||m.a||m.b||' ') END AS s, cnt
-              FROM a11 LEFT JOIN (SELECT a, b FROM k1 WHERE rk = 2) m ON TRUE),
-      a13 AS (SELECT CASE WHEN m.a IS NULL THEN s ELSE
-                replace(s, ' '||m.a||'  '||m.b||' ', ' '||m.a||m.b||' ') END AS s, cnt
-              FROM a12 LEFT JOIN (SELECT a, b FROM k1 WHERE rk = 3) m ON TRUE),
-      a14 AS (SELECT CASE WHEN m.a IS NULL THEN s ELSE
-                replace(s, ' '||m.a||'  '||m.b||' ', ' '||m.a||m.b||' ') END AS s, cnt
-              FROM a13 LEFT JOIN (SELECT a, b FROM k1 WHERE rk = 4) m ON TRUE),
-      v1 AS (SELECT COUNT(DISTINCT sym) AS vs
-             FROM (SELECT UNNEST(string_split(trim(s), '  ')) AS sym FROM a14)),
-      e2 AS (SELECT UNNEST(list_transform(range(1, len(ss)),
-                      i -> {'a': ss[i], 'b': ss[i+1]})) AS p, cnt
-             FROM (SELECT string_split(trim(s), '  ') AS ss, cnt FROM a14)),
-      p2 AS (SELECT p.a AS a, p.b AS b, SUM(cnt) AS c FROM e2 GROUP BY 1, 2),
-      t2 AS MATERIALIZED (SELECT a, b, c, ROW_NUMBER() OVER (ORDER BY c DESC, a, b) AS rk
-             FROM p2 ORDER BY c DESC, a, b LIMIT 4),
-      g21 AS (SELECT a, b, c, rk FROM t2 WHERE rk = 1),
-      g22 AS (SELECT t.a, t.b, t.c, t.rk FROM t2 t WHERE t.rk = 2 AND NOT EXISTS (
-             SELECT 1 FROM g21 u
-             WHERE u.a = t.a OR u.a = t.b OR u.b = t.a OR u.b = t.b)),
-      g23 AS (SELECT t.a, t.b, t.c, t.rk FROM t2 t WHERE t.rk = 3 AND NOT EXISTS (
-             SELECT 1 FROM (SELECT * FROM g21 UNION ALL SELECT * FROM g22) u
-             WHERE u.a = t.a OR u.a = t.b OR u.b = t.a OR u.b = t.b)),
-      g24 AS (SELECT t.a, t.b, t.c, t.rk FROM t2 t WHERE t.rk = 4 AND NOT EXISTS (
-             SELECT 1 FROM (SELECT * FROM g21 UNION ALL SELECT * FROM g22
-                            UNION ALL SELECT * FROM g23) u
-             WHERE u.a = t.a OR u.a = t.b OR u.b = t.a OR u.b = t.b)),
-      k2 AS MATERIALIZED (SELECT * FROM g21 UNION ALL SELECT * FROM g22
-             UNION ALL SELECT * FROM g23 UNION ALL SELECT * FROM g24),
-      a21 AS (SELECT CASE WHEN m.a IS NULL THEN s ELSE
-                replace(s, ' '||m.a||'  '||m.b||' ', ' '||m.a||m.b||' ') END AS s, cnt
-              FROM a14 LEFT JOIN (SELECT a, b FROM k2 WHERE rk = 1) m ON TRUE),
-      a22 AS (SELECT CASE WHEN m.a IS NULL THEN s ELSE
-                replace(s, ' '||m.a||'  '||m.b||' ', ' '||m.a||m.b||' ') END AS s, cnt
-              FROM a21 LEFT JOIN (SELECT a, b FROM k2 WHERE rk = 2) m ON TRUE),
-      a23 AS (SELECT CASE WHEN m.a IS NULL THEN s ELSE
-                replace(s, ' '||m.a||'  '||m.b||' ', ' '||m.a||m.b||' ') END AS s, cnt
-              FROM a22 LEFT JOIN (SELECT a, b FROM k2 WHERE rk = 3) m ON TRUE),
-      a24 AS (SELECT CASE WHEN m.a IS NULL THEN s ELSE
-                replace(s, ' '||m.a||'  '||m.b||' ', ' '||m.a||m.b||' ') END AS s, cnt
-              FROM a23 LEFT JOIN (SELECT a, b FROM k2 WHERE rk = 4) m ON TRUE),
-      v2 AS (SELECT COUNT(DISTINCT sym) AS vs
-             FROM (SELECT UNNEST(string_split(trim(s), '  ')) AS sym FROM a24))
+      ${bpeBatchedCtes.trim}
       SELECT CAST(ROW_NUMBER() OVER (ORDER BY rnd, rk) AS INTEGER) AS merge_rank,
              a AS left_sym, b AS right_sym, CAST(c AS BIGINT) AS pair_count,
              CAST(vs AS BIGINT) AS vocab_size_after
@@ -2278,6 +2286,37 @@ object TextQueries {
         graft.text.BpeTrain.trainBatched(wc, "word", "cnt",
             rounds = 2, batch = 4)
           .orderBy("merge_rank")
+      }),
+
+    // ---- q157: the batched-BPE CONFLICT DIAGNOSTIC under the gate —
+    // the round-6 verdict's observability ask made first-class: the
+    // effective batch of a greedy symbol-disjoint round is
+    // data-dependent (1..batch), and at batch = 32+ on a real corpus
+    // the conflict drop can collapse rounds back toward sequential
+    // training with no visibility. One row per round:
+    // (round, n_candidates — the ≤ batch candidate window —, n_kept —
+    // survivors of the greedy kept-pick rule —, n_dropped). The oracle
+    // re-derives both counts from the SAME candidate/kept CTE chain
+    // q145's merge table is checked against, so the diagnostic and the
+    // merges it explains can never drift apart. Zero extra distributed
+    // work: the counts come off the collected bounded candidate window
+    // the trainer already holds.
+    QueryDef("q157_bpe_conflict_diag", Some(s"""${toksCte()},
+      ${bpeBatchedCtes.trim}
+      SELECT round, CAST(nc AS BIGINT) AS n_candidates,
+             CAST(nk AS BIGINT) AS n_kept,
+             CAST(nc - nk AS BIGINT) AS n_dropped
+      FROM (SELECT 1 AS round, (SELECT COUNT(*) FROM t1) AS nc,
+                   (SELECT COUNT(*) FROM k1) AS nk
+            UNION ALL
+            SELECT 2, (SELECT COUNT(*) FROM t2), (SELECT COUNT(*) FROM k2))
+      ORDER BY round"""),
+      (s, dir) => {
+        val wc = tokenized(s, dir).select(explode(col("tokens")).as("word"))
+          .groupBy("word").agg(count(lit(1)).as("cnt"))
+        graft.text.BpeTrain.trainBatchedWithDiag(wc, "word", "cnt",
+            rounds = 2, batch = 4)._2
+          .orderBy("round")
       }),
 
     // ---- q138: BPE ENCODE — the serve side of q136's trained
