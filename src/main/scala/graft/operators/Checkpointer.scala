@@ -20,8 +20,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - [[CheckpointMode.Path]] — write/re-read parquet under `dir`.
   *    Survives executor AND driver loss, is inspectable mid-run, and a
   *    restarted job can resume from the last written step via
-  *    [[Checkpointer.lastCompleteStep]] + [[Checkpointer#resumeAt]]
-  *    (see `PageRank.run(resume = true)` for the wiring pattern).
+  *    [[Checkpointer.lastCompleteStep]] + [[Checkpointer#resumeAt]] —
+  *    wired as `resume = true` across the whole iterative family
+  *    (PageRank, connected components, k-means, k-core, label
+  *    propagation, both BPE trainers; ResumeSpec kills each mid-run
+  *    and proves bit-identical restart).
   *    Superseded steps are deleted on `release`; the final step's files
   *    outlive the operator (the returned frame lazily reads them —
   *    don't delete `dir` before consuming the result).
