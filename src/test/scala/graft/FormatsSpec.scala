@@ -36,4 +36,30 @@ class FormatsSpec extends SparkTestBase {
     roundTrip("csv", Map("header" -> "true", "multiLine" -> "true",
       "escape" -> "\""))
   }
+
+  test("parquet schema evolution: mergeSchema unions batch schemas, old rows null-fill") {
+    // the 100 TB ingest reality: a corpus written over months grows
+    // columns. Batch 1 lacks `quality`; batch 2 adds it. mergeSchema
+    // must union the file schemas, serve old rows with NULL in the new
+    // column, and keep filters on the new column working (NULL-safe).
+    val dir = java.nio.file.Files.createTempDirectory("graft-evolve").toString
+    docs.select(col("doc_id"), col("text"))
+      .where(col("doc_id") < 25)
+      .write.mode("append").parquet(dir)
+    docs.select(col("doc_id"), col("text"), col("lang"),
+        (length(col("text")) % 5).cast("int").as("quality"))
+      .where(col("doc_id") >= 25)
+      .write.mode("append").parquet(dir)
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet === Set("doc_id", "text", "lang", "quality"),
+      s"merged schema must union all batches, got ${merged.columns.toSeq}")
+    val total = docs.count()
+    assert(merged.count() === total)
+    assert(merged.where(col("doc_id") < 25 && col("quality").isNull).count() === 25,
+      "pre-evolution rows must null-fill the new column")
+    // predicate on the evolved column only matches post-evolution rows
+    val q = merged.where(col("quality") >= 0)
+    assert(q.count() === total - 25)
+    assert(q.select(min(col("doc_id"))).head().getLong(0) >= 25)
+  }
 }
