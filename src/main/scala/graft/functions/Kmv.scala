@@ -89,6 +89,20 @@ object Kmv {
   def mergeArrays(a: Column, b: Column, k: Int): Column =
     slice(array_sort(array_distinct(concat(a, b))), 1, k)
 
+  /** MAP-SIDE sketch of one row's item ARRAY (e.g. a document's
+    * shingle set): bottom-k distinct hashes as pure higher-order
+    * functions — no aggregation, no shuffle, no state. The per-row twin
+    * of [[sketch]]: routing/scoring a stream of documents against
+    * stored audience sketches stays embarrassingly parallel because
+    * each row's sketch is computed where the row already is.
+    */
+  def arraySketch(items: Column, k: Int): Column =
+    slice(array_sort(array_distinct(transform(items, hash60(_)))), 1, k)
+
+  /** DuckDB SQL mirroring [[arraySketch]] over a list column. */
+  def arraySketchSql(itemsSql: String, k: Int): String =
+    s"list_sort(list_distinct(list_transform($itemsSql, x -> ${hash60Sql("x")})))[1:$k]"
+
   /** Distinct-count estimate from a sketch array: exact |sketch| when
     * the buffer never filled (fewer than k distinct keys exist — the
     * sketch IS the distinct hash set), else the KMV estimator

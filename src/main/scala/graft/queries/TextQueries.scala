@@ -2926,6 +2926,73 @@ object TextQueries {
             (col("len_bucket") * 100).as("len_lo_chars"),
             ((col("len_bucket") + 1) * 100).as("len_hi_chars"))
           .orderBy("lang")
+      }),
+
+    // ---- q158: KMV audience ROUTING — sketch-resemblance language ID,
+    // the batch twin of the stateless streaming router
+    // (EventStreams.kmvAudienceRoute): every document's 4-gram shingle
+    // sketch (computed MAP-SIDE, functions.Kmv.arraySketch — no
+    // aggregation) is Jaccard-scored against the 5 per-language
+    // audience sketches, and the best-resembling audience wins (tie →
+    // smallest name, the empty-shingle docs' deterministic fallback).
+    // The audiences collect to a 5·k-long literal (the codebook
+    // pattern), so the per-doc work is pure map-side array algebra —
+    // routing 100 TB of incoming docs shuffles NOTHING; the argmax is
+    // an aggregate() fold over the bounded audience array, never a
+    // per-doc window. The oracle replays the same integer list algebra
+    // (one ROW_NUMBER window DuckDB-side only), so doc sketch,
+    // audience sketches, every Jaccard and the routed winner
+    // hash-match. lang_match rides along as the quality readout —
+    // shingle resemblance IS a language classifier here, and the gate
+    // pins exactly how good.
+    QueryDef("q158_kmv_route", Some({
+      import graft.functions.Kmv
+      val kk = 256
+      s"""WITH t AS (SELECT doc_id, lang,
+              list_filter(regexp_split_to_array(lower(text), '\\W+'),
+                          x -> x <> '' AND x NOT IN ('the','a')) AS tokens
+            FROM documents),
+      docsh AS (SELECT doc_id, lang,
+                  CASE WHEN len(tokens) >= 4 THEN
+                    list_distinct(list_transform(range(1, len(tokens) - 2),
+                      i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2] || ' ' || tokens[i+3]))
+                  ELSE [] END AS sh
+                FROM t),
+      dsk AS (SELECT doc_id, lang, ${Kmv.arraySketchSql("sh", kk)} AS dk FROM docsh),
+      ai AS (SELECT lang, unnest(sh) AS item FROM docsh),
+      d AS (SELECT DISTINCT lang, item FROM ai),
+      kh AS (SELECT lang, ${Kmv.hash60Sql("item")} AS h FROM d),
+      aud AS (SELECT lang, list_sort(list(DISTINCT h))[1:$kk] AS kmv FROM kh GROUP BY 1),
+      x AS (SELECT dd.doc_id, dd.lang, a.lang AS audience,
+              ${Kmv.jaccardSql("dd.dk", "a.kmv", kk)} AS jaccard
+            FROM dsk dd CROSS JOIN aud a),
+      r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+              ORDER BY jaccard DESC, audience ASC) AS rn FROM x)
+      SELECT doc_id, lang, audience, jaccard, audience = lang AS lang_match
+      FROM r WHERE rn = 1 ORDER BY doc_id"""
+    }),
+      (s, dir) => {
+        import graft.functions.Kmv
+        val kk = 256
+        val t = docs(s, dir).select(col("doc_id"), col("lang"), col("text"),
+            Tokenize.tokens(col("text"), Stop).as("tokens"))
+          .localCheckpoint() // 2 consumers: audience build + routing
+        // audience sketches: the bounded trained artifact (5 rows, k
+        // longs each — the codebook-collect pattern)
+        val audiences = Kmv.sketch(
+            t.select(col("lang"),
+              explode(Dedup.wordShingles(col("tokens"), 4)).as("item")),
+            col("item"), Seq("lang"), kk)
+          .collect()
+          .map(r => (r.getString(0), r.getSeq[Long](1).toSeq))
+          .sortBy(_._1).toSeq
+        graft.streaming.EventStreams.kmvAudienceRoute(
+            t.withColumn("ts", to_timestamp(lit("2026-01-01"))),
+            audiences, nGram = 4, k = kk, stopWords = Stop)
+          .join(t.select(col("doc_id"), col("lang")), "doc_id")
+          .select(col("doc_id"), col("lang"), col("audience"), col("jaccard"),
+            (col("audience") === col("lang")).as("lang_match"))
+          .orderBy("doc_id")
       })
   )
 }

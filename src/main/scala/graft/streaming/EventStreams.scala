@@ -300,6 +300,44 @@ object EventStreams {
                             keys: Seq[String], width: Long): DataFrame =
     graft.functions.BucketHistogram.sketch(events, value, keys, width)
 
+  /** Stateless audience ROUTING against stored KMV sketches — the
+    * serving twin of batch q154/q158: each arriving document's shingle
+    * sketch (computed MAP-SIDE via [[graft.functions.Kmv.arraySketch]]
+    * — no aggregation, no state) is Jaccard-scored against every
+    * stored audience sketch, and the best-resembling audience wins
+    * (ties → smallest name). The audiences ride as a bounded literal
+    * (|audiences|·k longs — the vocabBloomSketch pattern), so routing
+    * a 100 TB/day firehose is embarrassingly parallel: no watermark,
+    * no state store, no join, any event rate.
+    * Input needs (doc_id, ts, text); emits
+    * (doc_id, ts, audience, jaccard).
+    */
+  def kmvAudienceRoute(docs: DataFrame, audiences: Seq[(String, Seq[Long])],
+                       nGram: Int, k: Int,
+                       stopWords: Seq[String] = Nil): DataFrame = {
+    require(audiences.nonEmpty, "kmvAudienceRoute needs at least one audience")
+    import graft.functions.Kmv
+    val audLit = array(audiences.map { case (name, sk) =>
+      struct(typedLit(sk).as("kmv"), lit(name).as("aud"))
+    }: _*)
+    val dsk = Kmv.arraySketch(graft.dedup.Dedup.wordShingles(
+      graft.text.Tokenize.tokens(col("text"), stopWords), nGram), k)
+    val scored = transform(audLit, a =>
+      struct(Kmv.jaccard(dsk, a.getField("kmv"), k).as("jac"),
+        a.getField("aud").as("aud")))
+    // argmax by (jac, then SMALLEST name): fold the bounded audience
+    // array — map-side, deterministic
+    val best = aggregate(scored,
+      struct(lit(-1.0).as("jac"), lit("").as("aud")),
+      (acc, x) => when(x.getField("jac") > acc.getField("jac"), x)
+        .when(x.getField("jac") === acc.getField("jac") &&
+          x.getField("aud") < acc.getField("aud"), x)
+        .otherwise(acc))
+    docs.select(col("doc_id"), col("ts"),
+      best.getField("aud").as("audience"),
+      best.getField("jac").as("jaccard"))
+  }
+
   /** Live KMV bottom-k buffer over a stream — the streaming twin of
     * batch q153/q154 ([[graft.functions.Kmv]]): maintain, per `keys`
     * group, the ≤ k smallest distinct 60-bit item hashes seen so far.

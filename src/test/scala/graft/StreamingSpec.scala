@@ -486,6 +486,50 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stateless KMV audience routing matches the batch router, no state store") {
+    implicit val ctx = spark.sqlContext
+    import graft.functions.Kmv
+    val k = 32
+    // two stored audiences with disjoint shingle vocabularies
+    val corpusA = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "beta gamma delta epsilon zeta eta theta iota")).toDF("doc_id", "text")
+    val corpusB = Seq((3L, "one two three four five six seven eight"),
+      (4L, "two three four five six seven eight nine")).toDF("doc_id", "text")
+    def audSketch(c: org.apache.spark.sql.DataFrame) = Kmv.sketch(
+        c.select(explode(graft.dedup.Dedup.wordShingles(
+          graft.text.Tokenize.tokens(col("text"), Nil), 3)).as("item"))
+          .withColumn("g", lit(1)),
+        col("item"), Seq("g"), k)
+      .select("kmv").as[Seq[Long]].head()
+    val audiences = Seq(("greek", audSketch(corpusA)), ("numbers", audSketch(corpusB)))
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val routed = EventStreams.kmvAudienceRoute(
+      input.toDF().toDF("doc_id", "ts", "text"), audiences, nGram = 3, k = k)
+    // stateless ⇒ the query runs in APPEND mode with no watermark
+    val q = routed.writeStream.format("memory").queryName("kmv_route")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+      input.addData(
+        (10L, t0, "gamma delta epsilon zeta eta"),       // clearly greek
+        (11L, t0, "three four five six seven"),          // clearly numbers
+        (12L, t0, "xx yy"))                              // no shingles → tie → min name
+      q.processAllAvailable()
+      val got = spark.table("kmv_route")
+        .select("doc_id", "audience", "jaccard")
+        .as[(Long, String, Double)].collect().sortBy(_._1).toSeq
+      assert(got.map(r => (r._1, r._2)) ===
+        Seq((10L, "greek"), (11L, "numbers"), (12L, "greek")),
+        s"routing must follow shingle resemblance (tie → smallest name); got $got")
+      assert(got(0)._3 > 0.0 && got(1)._3 > 0.0 && got(2)._3 === 0.0)
+      // the engine agrees the query is stateless: no state operators
+      assert(q.lastProgress == null ||
+        q.lastProgress.stateOperators.isEmpty,
+        "router must run without a state store")
+    } finally q.stop()
+  }
+
   test("streaming KMV buffer equals the batch sketch under replay; estimate is live") {
     implicit val ctx = spark.sqlContext
     import graft.functions.Kmv
