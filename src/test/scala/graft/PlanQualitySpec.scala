@@ -474,6 +474,16 @@ class PlanQualitySpec extends SparkTestBase {
     assert(windows.size <= 1, s"only the counter cumsum may window, found ${windows.size}")
   }
 
+  test("q158 KMV routing: per-doc argmax is a map-side fold — no window, no cartesian") {
+    val plan = collectAll(executed(q("q158_kmv_route")))
+    assert(!plan.exists(_.nodeName == "Window"),
+      "the audience argmax is an aggregate() fold over the bounded literal, never a per-doc window")
+    assert(!plan.exists { case _: CartesianProductExec => true; case _ => false },
+      "audiences ride as a literal array — no join fan-out at all")
+    assert(!plan.exists(_.nodeName.contains("BroadcastNestedLoopJoin")),
+      "routing must not join against an audience table; the artifact is a literal")
+  }
+
   test("q154 KMV jaccard: pair algebra runs over 3 sketch rows, no corpus re-read") {
     val plan = collectAll(executed(q("q154_kmv_jaccard")))
     assert(!plan.exists { case _: CartesianProductExec => true; case _ => false },
