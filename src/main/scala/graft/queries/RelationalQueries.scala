@@ -933,10 +933,17 @@ object RelationalQueries {
           .groupBy(col("a.l_returnflag").as("flag_a"),
             col("b.l_returnflag").as("flag_b"))
           .agg(count(lit(1)).as("n_inter"))
+        // evaluate the set-op struct ONCE per pair row: six output
+        // columns read its fields, and an unmaterialized struct would
+        // be re-inlined per reference by CollapseProject — six copies
+        // of the O(k²) array algebra (measured +3 s at sf0.1)
         val pairs = sk.select(col("l_returnflag").as("flag_a"), col("kmv").as("ka"))
           .join(sk.select(col("l_returnflag").as("flag_b"), col("kmv").as("kb")),
             col("flag_a") < col("flag_b"))
-        val ops = Kmv.setOps(col("ka"), col("kb"), k)
+          .select(col("flag_a"), col("flag_b"),
+            Kmv.setOps(col("ka"), col("kb"), k).as("o"))
+          .localCheckpoint() // 3 rows — the struct fields read cached values
+        val ops = col("o")
         pairs
           .join(inter, Seq("flag_a", "flag_b"))
           .join(broadcast(sizes.select(col("l_returnflag").as("flag_a"),
