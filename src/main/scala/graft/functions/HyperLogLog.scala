@@ -49,19 +49,20 @@ object HyperLogLog {
     when(d >= 8, lit(0)).when(d >= 4, lit(1)).when(d >= 2, lit(2)).otherwise(lit(3))
 
   /** Empirical mid-range bias knots (mean raw estimate, mean positive
-    * bias) for m = 1024 — HLL++'s idea (Heule et al. 2013: the raw
-    * estimator carries a known positive bias just past linear
-    * counting's handoff), with a SELF-derived table so the constants
+    * bias) per register dial — HLL++'s idea (Heule et al. 2013: the
+    * raw estimator carries a known positive bias just past linear
+    * counting's handoff), with SELF-derived tables so the constants
     * match THIS md5 register/rank chain: 300 trials per knot of the
     * exact hash above, true n swept so mean raw spans ~2.33m..4.2m.
     * Linear counting owns raw ≤ 2.5m; the residual bias between the
-    * handoff and ~4.2m decays +2.2% → +0.07% of n and is removed by
-    * piecewise-linear interpolation over these knots (beyond the last
-    * knot the bias is noise-level and the correction is 0). Segment
-    * slopes are PRECOMPUTED Scala doubles, so both engines evaluate
-    * the same two-op form b_i + (raw − r_i)·slope_i over shared
-    * literals — est stays bit-identical cross-engine. Dials without a
-    * table keep the uncorrected estimator.
+    * handoff and ~4.2m decays (+2.2% → +0.07% of n at m = 1024,
+    * +2.3% → +0.18% at m = 4096) and is removed by piecewise-linear
+    * interpolation over these knots (beyond the last knot the bias is
+    * noise-level and the correction is 0). Segment slopes are
+    * PRECOMPUTED Scala doubles, so both engines evaluate the same
+    * two-op form b_i + (raw − r_i)·slope_i over shared literals — est
+    * stays bit-identical cross-engine. Dials without a table keep the
+    * uncorrected estimator.
     */
   private val biasKnots: Map[Int, IndexedSeq[(Double, Double)]] = Map(
     1024 -> Vector(
@@ -77,7 +78,21 @@ object HyperLogLog {
       (3715.759022931226, 15.7590229312259),
       (3910.3227763849372, 10.322776384937242),
       (4107.874938589897, 7.874938589897283),
-      (4303.10784469868, 3.10784469868031)))
+      (4303.10784469868, 3.10784469868031)),
+    4096 -> Vector(
+      (9536.644666679082, 336.64466667908164),
+      (10076.843600753878, 276.8436007538785),
+      (10632.255317741798, 232.25531774179763),
+      (11192.90647222137, 192.90647222136977),
+      (11758.507106173025, 158.50710617302502),
+      (12331.370477206185, 131.37047720618466),
+      (12907.739052858164, 107.73905285816363),
+      (13485.20939322175, 85.20939322175036),
+      (14069.270584755846, 69.27058475584636),
+      (14857.045586399589, 57.0455863995885),
+      (15645.272205464991, 45.2722054649912),
+      (16437.013065062903, 37.01306506290348),
+      (17231.033589137467, 31.03358913746706)))
 
   /** `raw` minus the interpolated mid-range bias — identity when no
     * table exists for `m`.

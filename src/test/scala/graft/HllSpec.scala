@@ -121,6 +121,21 @@ class HllSpec extends SparkTestBase {
     assert(math.abs(est - n) <= 0.13 * n, s"est $est vs $n")
   }
 
+  test("m = 4096 crossover gets its own knot table") {
+    val m = 4096
+    val n = 12000 // raw ≈ 12.2k, inside (2.5m, last knot) = (10240, ~17231)
+    val xs = (1 to n).map(i => s"bc4k$i").toDF("x")
+    val row = HyperLogLog.estimate(HyperLogLog.sketch(xs, col("x"), Nil, m), Nil, m)
+      .select("s_hi", "s_lo", "est").as[(Long, Long, Double)].head()
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val raw = alpha * (m.toLong * m).toDouble * 2305843009213693952.0 /
+      (row._1.toDouble * 140737488355328.0 + row._2.toDouble)
+    assert(raw > 2.5 * m && raw < 17231.0,
+      s"fixture must land in the m=4096 correction zone, raw = $raw")
+    assert(row._3 < raw, "correction must subtract a positive mid-range bias")
+    assert(math.abs(row._3 - n) <= 0.07 * n, s"est ${row._3} vs $n (4σ at m=4096 ≈ 6.5%)")
+  }
+
   test("dials without a bias table keep the uncorrected raw estimator") {
     // m = 256: no knots; est in the raw regime must equal the raw
     // formula over the emitted exact split-sum words, bit for bit
