@@ -238,6 +238,39 @@ class ResumeSpec extends SparkTestBase {
       "global merge ranks must continue densely across the resume")
   }
 
+  test("dir reused with a SMALLER budget: stale longer-run steps are ignored") {
+    // a user reruns the same job with fewer rounds against the same
+    // checkpoint dir: the longer run's frontier exceeds the request, so
+    // resume must fall back to a fresh (or clamped) run and return the
+    // smaller-budget answer — never the stale deeper frontier
+    val nodes = ((1L to 4L) ++ (11L to 14L)).toDF("doc_id")
+    val dir = s"$tmp/lpa-shrink"
+    LabelProp.run(nodes, "doc_id", bridged, rounds = 4,
+      checkpoint = CheckpointMode.Path(dir)).collect()
+    val shrunk = LabelProp.run(nodes, "doc_id", bridged, rounds = 1,
+        checkpoint = CheckpointMode.Path(dir), resume = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val fresh = LabelProp.run(nodes, "doc_id", bridged, rounds = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(shrunk === fresh,
+      "a smaller budget must not serve the longer run's deeper frontier")
+    // same shape for BPE: records 1..3 exist, rounds = 2 requested
+    val words = Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
+      .toDF("word", "cnt")
+    val bdir = s"$tmp/bpe-shrink"
+    BpeTrain.train(words, "word", "cnt", merges = 3,
+      checkpoint = CheckpointMode.Path(bdir)).collect()
+    val small = BpeTrain.train(words, "word", "cnt", merges = 2,
+        checkpoint = CheckpointMode.Path(bdir), resume = true)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+      .sortBy(_._1).toSeq
+    val freshB = BpeTrain.train(words, "word", "cnt", merges = 2)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+      .sortBy(_._1).toSeq
+    assert(small === freshB,
+      "a smaller merge budget must return exactly the first-2-merges table")
+  }
+
   test("resume on a cold dir falls back to a fresh run") {
     val nodes = ((1L to 4L) ++ (11L to 14L)).toDF("doc_id")
     val dir = s"$tmp/lpa-cold"
