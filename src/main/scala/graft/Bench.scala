@@ -63,8 +63,11 @@ object Bench {
     // warmth persists, which is exactly the point.)
     for (((name, fn), _) <- catalog.zipWithIndex) {
       spark.catalog.clearCache()
+      // NonFatal only: an OOM/interrupt here must propagate — a JVM in
+      // fatal state would poison every timed pass that follows; query
+      // failures surface (and are attributed) in the timed passes
       try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-      catch { case _: Throwable => () } // failures surface in timed passes
+      catch { case scala.util.control.NonFatal(_) => () }
     }
 
     for (p <- 0 until passes; ((name, fn), i) <- catalog.zipWithIndex)
@@ -107,10 +110,13 @@ object Bench {
       "\"" + k + "\":" + r.map(t => if (t >= 0) fmt(t) else "null").mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     // median of the fastest 3 reps: a drift metric robust to one lucky
-    // rep, reported beside the judged min for cross-round audits
+    // rep, reported beside the judged min for cross-round audits.
+    // Lower-median index ((size-1)/2): with only 2 surviving reps the
+    // upper pick would report the SLOWER one and manufacture phantom
+    // drift on exactly the flaky queries the metric exists to audit.
     val med3 = results.map { case (k, _, _, i) =>
       val f3 = fastest3(i)
-      "\"" + k + "\":" + (if (f3.isEmpty) "null" else fmt(f3(f3.size / 2)))
+      "\"" + k + "\":" + (if (f3.isEmpty) "null" else fmt(f3((f3.size - 1) / 2)))
     }.mkString("{", ",", "}")
     val failed = results.collect { case (k, None, _, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")

@@ -390,7 +390,11 @@ object Dedup {
         for {
           (s, frontier) <- graft.operators.Checkpointer
             .lastCompleteStep(spark, dir, "cc")
-          if s >= 2
+          // budget guard (every sibling operator has one): step 2+i is
+          // round i's half, so a frontier beyond 2 + maxIters belongs
+          // to a LARGER previous budget — serving it would return more
+          // rounds than this call allows; fall back to a fresh run
+          if s >= 2 && s <= 2 + maxIters
           edgesF <- graft.operators.Checkpointer.completeStep(spark, dir, "cc", 1)
         } yield (s, frontier, edgesF)
       case _ => None

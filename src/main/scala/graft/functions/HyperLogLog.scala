@@ -94,6 +94,14 @@ object HyperLogLog {
       (16437.013065062903, 37.01306506290348),
       (17231.033589137467, 31.03358913746706)))
 
+  /** The (linear-counting handoff, last knot) raw-estimate bounds of
+    * the corrected crossover for `m`, when a bias table exists — the
+    * regime classifier q155 and HllSpec share, so the zone they pin
+    * can never drift from the knots actually applied.
+    */
+  def crossoverBounds(m: Int): Option[(Double, Double)] =
+    biasKnots.get(m).map(ks => (2.5 * m, ks.last._1))
+
   /** `raw` minus the interpolated mid-range bias — identity when no
     * table exists for `m`.
     */

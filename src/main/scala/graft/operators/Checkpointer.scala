@@ -65,6 +65,22 @@ object Checkpointer {
     if (isComplete(spark, p)) Some(spark.read.parquet(p)) else None
   }
 
+  /** Path-mode resume, bulk step read: ONE flat multi-path scan over
+    * steps `lo..hi` iff EVERY step's commit marker is present (None
+    * otherwise). The per-step alternative — reading each step and
+    * folding with a left-deep union — builds an O(steps)-deep plan
+    * that stalls the analyzer at BPE's documented 32k-merge scale;
+    * all steps of one tag share a schema, so a single reader over the
+    * committed paths yields the same rows with an O(1) plan.
+    */
+  def completeSteps(spark: SparkSession, dir: String, tag: String,
+                    lo: Int, hi: Int): Option[DataFrame] = {
+    val ps = (lo to hi).map(stepPath(dir, tag, _))
+    if (ps.nonEmpty && ps.forall(isComplete(spark, _)))
+      Some(spark.read.parquet(ps: _*))
+    else None
+  }
+
   /** Path-mode resume, frontier discovery: the HIGHEST complete step
     * under `dir` for `tag`, with a frame reading it. Released
     * (deleted) and in-flight (uncommitted) steps are skipped; None if

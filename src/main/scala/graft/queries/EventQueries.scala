@@ -17,6 +17,24 @@ object EventQueries {
 
   private val valCents = "CAST(ROUND(value*100) AS BIGINT)"
 
+  /** Register a scratch dir for recursive deletion at JVM exit —
+    * idempotent per path (a bench reruns the query 4+ times in one
+    * process; one hook suffices). The dir must outlive the query (its
+    * result frame reads it lazily), so exit time is the earliest safe
+    * reclamation point.
+    */
+  private val exitCleanups = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private[queries] def cleanupOnExit(path: String): Unit =
+    if (exitCleanups.add(path)) {
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(): Unit
+        }
+        rm(new java.io.File(path))
+      }))
+    }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- q14: tumbling 1-hour window aggregation (batch analogue of a
@@ -506,12 +524,16 @@ object EventQueries {
         // keyed by the SANITIZED dir string + pid, not dir.hashCode: a
         // shared-hash path let two concurrent runs (Verify + Bench on
         // one SF) race overwrite-vs-read, and a 32-bit collision across
-        // datasets would silently serve another dataset's copy
+        // datasets would silently serve another dataset's copy. The
+        // per-pid path is reclaimed at JVM exit — without that, every
+        // bench/verify process would leak a full 16-file events copy
+        // into tmpdir forever
         val zdir = s"${System.getProperty("java.io.tmpdir")}/graft_q144_z_" +
           dir.replaceAll("[^A-Za-z0-9._-]", "_") +
           "_p" + ProcessHandle.current.pid
         graft.sources.ZOrder.writeZOrdered(ev, zdir,
           Seq("user_id", "value"), nFiles = 16)
+        EventQueries.cleanupOnExit(zdir)
         s.read.parquet(zdir)
           .where(col("user_id") <= 7 && col("value").between(20.0, 260.0))
           .select("event_id", "user_id", "value")

@@ -2870,9 +2870,11 @@ object TextQueries {
       SELECT h.lang, p.n_docs, x.exact_distinct,
              h.est AS hll_est,
              (0.7213 / (1.0 + 1.079 / $m.0)) * ${m.toLong * m}.0 * 2305843009213693952.0
-               / (CAST(h.s_hi AS DOUBLE) * 140737488355328.0 + CAST(h.s_lo AS DOUBLE)) > 2560.0
+               / (CAST(h.s_hi AS DOUBLE) * 140737488355328.0 + CAST(h.s_lo AS DOUBLE))
+               > ${HyperLogLog.crossoverBounds(m).get._1}
              AND (0.7213 / (1.0 + 1.079 / $m.0)) * ${m.toLong * m}.0 * 2305843009213693952.0
-               / (CAST(h.s_hi AS DOUBLE) * 140737488355328.0 + CAST(h.s_lo AS DOUBLE)) < 4303.10784469868
+               / (CAST(h.s_hi AS DOUBLE) * 140737488355328.0 + CAST(h.s_lo AS DOUBLE))
+               < ${HyperLogLog.crossoverBounds(m).get._2}
                AS hll_crossover,
              ABS(h.est - x.exact_distinct) <= x.exact_distinct * 0.13 AS hll_err_ok,
              CAST(len(k.kmv) AS INTEGER) AS kmv_slots,
@@ -2909,12 +2911,13 @@ object TextQueries {
           lit(2305843009213693952.0) /
           (col("s_hi").cast("double") * lit(140737488355328.0) +
             col("s_lo").cast("double"))
+        val (zoneLo, zoneHi) = HyperLogLog.crossoverBounds(m).get
         hll.join(ex, "lang").join(kmv, "lang")
           .join(pick.select(col("lang"), col("n_total").as("n_docs"),
             col("qrank").as("len_qrank"), col("bucket").as("len_bucket")), "lang")
           .select(col("lang"), col("n_docs"), col("exact_distinct"),
             col("est").as("hll_est"),
-            (raw > lit(2560.0) && raw < lit(4303.10784469868)).as("hll_crossover"),
+            (raw > lit(zoneLo) && raw < lit(zoneHi)).as("hll_crossover"),
             (abs(col("est") - col("exact_distinct")) <=
               col("exact_distinct") * 0.13).as("hll_err_ok"),
             size(col("kmv")).as("kmv_slots"),

@@ -62,14 +62,15 @@ object BpeTrain {
     case (CheckpointMode.Path(dir), true) =>
       Checkpointer.lastCompleteStep(spark, dir, s"$tag-rec")
         .filter { case (r0, _) => r0 <= rounds }
-        .flatMap { case (r0, _) =>
-          val recs = (1 to r0).map(i =>
-            Checkpointer.completeStep(spark, dir, s"$tag-rec", i))
+        .flatMap { case (r0, lastRec) =>
+          // ONE flat multi-path read of records 1..r0 — a per-step
+          // union would nest O(r0) deep and stall the analyzer at the
+          // 32k-merge scale this trainer is documented for
+          val recsU = Checkpointer.completeSteps(spark, dir, s"$tag-rec", 1, r0)
           val repF = Checkpointer.completeStep(spark, dir, tag, r0 + 1)
-          if (repF.isDefined && recs.forall(_.isDefined)) {
-            recCp.resumeAt(r0, recs.last.get)
-            Some((repCp.resumeAt(r0 + 1, repF.get), r0,
-              recs.map(_.get).reduce(_ union _)))
+          if (repF.isDefined && recsU.isDefined) {
+            recCp.resumeAt(r0, lastRec)
+            Some((repCp.resumeAt(r0 + 1, repF.get), r0, recsU.get))
           } else None
         }
     case _ => None

@@ -112,8 +112,9 @@ class HllSpec extends SparkTestBase {
     val alpha = 0.7213 / (1.0 + 1.079 / M)
     val raw = alpha * (M.toLong * M).toDouble * 2305843009213693952.0 /
       (sHi.toDouble * 140737488355328.0 + sLo.toDouble)
-    assert(raw > 2.5 * M && raw < 4303.0,
-      s"fixture must land in the correction zone, raw = $raw (v0 = $v0)")
+    val (zLo, zHi) = HyperLogLog.crossoverBounds(M).get
+    assert(raw > zLo && raw < zHi,
+      s"fixture must land in the correction zone ($zLo, $zHi), raw = $raw (v0 = $v0)")
     assert(est < raw, "correction must subtract a positive mid-range bias")
     assert(math.abs(est - raw) <= 0.03 * raw,
       s"bias at this raw is ~1-2% of n, got ${raw - est}")
@@ -130,8 +131,9 @@ class HllSpec extends SparkTestBase {
     val alpha = 0.7213 / (1.0 + 1.079 / m)
     val raw = alpha * (m.toLong * m).toDouble * 2305843009213693952.0 /
       (row._1.toDouble * 140737488355328.0 + row._2.toDouble)
-    assert(raw > 2.5 * m && raw < 17231.0,
-      s"fixture must land in the m=4096 correction zone, raw = $raw")
+    val (zLo, zHi) = HyperLogLog.crossoverBounds(m).get
+    assert(raw > zLo && raw < zHi,
+      s"fixture must land in the m=4096 correction zone ($zLo, $zHi), raw = $raw")
     assert(row._3 < raw, "correction must subtract a positive mid-range bias")
     assert(math.abs(row._3 - n) <= 0.07 * n, s"est ${row._3} vs $n (4σ at m=4096 ≈ 6.5%)")
   }

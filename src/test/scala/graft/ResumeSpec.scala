@@ -269,6 +269,26 @@ class ResumeSpec extends SparkTestBase {
       .sortBy(_._1).toSeq
     assert(small === freshB,
       "a smaller merge budget must return exactly the first-2-merges table")
+    // and for the CONVERGED operator: a run that settled at round ~6
+    // leaves its deep frontier; maxIters = 2 must NOT serve it — the
+    // contract is "at most maxIters rounds", and a fresh 2-round run
+    // returns different (unconverged) labels and round count
+    val ids = (1L to 51L).toDF("doc_id")
+    val chain = (1L to 50L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val cdir = s"$tmp/cc-shrink"
+    val (_, full) = Dedup.nearDupClustersConverged(ids, "doc_id", chain,
+      maxIters = 20, checkpoint = CheckpointMode.Path(cdir))
+    assert(full > 2, s"fixture must need > 2 rounds, took $full")
+    val (shrunkDf, shrunkRounds) = Dedup.nearDupClustersConverged(
+      ids, "doc_id", chain, maxIters = 2,
+      checkpoint = CheckpointMode.Path(cdir), resume = true)
+    val (freshDf, freshRounds) = Dedup.nearDupClustersConverged(
+      ids, "doc_id", chain, maxIters = 2)
+    assert(shrunkRounds === freshRounds,
+      s"shrunk budget must re-run capped at 2 rounds, reported $shrunkRounds")
+    assert(shrunkDf.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq ===
+      freshDf.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq,
+      "shrunk-budget labels must equal a fresh capped run, not the deep frontier")
   }
 
   test("resume on a cold dir falls back to a fresh run") {
