@@ -119,13 +119,21 @@ object Kmv {
     * A∪B's distinct hashes) present in BOTH inputs. Exact integer
     * set algebra + one IEEE division; error ≈ 1/√k. Empty-union pairs
     * estimate 0.
+    *
+    * The union is BOUND AS A LAMBDA VARIABLE (a one-element transform)
+    * before the three places that read it: written naively, Catalyst
+    * re-inlines the k-element sort/distinct subtree into every
+    * reference — 3× the array work per call, which dominated q158's
+    * per-doc routing. A lambda variable is an already-computed value,
+    * so the union is built once and the native hash-based
+    * array_intersect stays. Counts (and the emitted double) are
+    * unchanged, so the DuckDB mirror ([[jaccardSql]]) is untouched.
     */
-  def jaccard(a: Column, b: Column, k: Int): Column = {
-    val u = mergeArrays(a, b, k)
-    when(size(u) === 0, lit(0.0))
-      .otherwise(size(array_intersect(array_intersect(u, a), b)).cast("double")
-        / size(u).cast("double"))
-  }
+  def jaccard(a: Column, b: Column, k: Int): Column =
+    element_at(transform(array(mergeArrays(a, b, k)), u =>
+      when(size(u) === 0, lit(0.0))
+        .otherwise(size(array_intersect(array_intersect(u, a), b)).cast("double")
+          / size(u).cast("double"))), 1)
 
   /** DuckDB SQL mirroring [[hash60]]. */
   def hash60Sql(itemSql: String): String =

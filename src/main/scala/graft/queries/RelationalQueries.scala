@@ -852,9 +852,9 @@ object RelationalQueries {
             col("n").as("nb"))), "flag_b")
           .select(col("flag_a"), col("flag_b"),
             size(Kmv.mergeArrays(col("ka"), col("kb"), k)).as("n_union_slots"),
-            Kmv.jaccard(col("ka"), col("kb"), k).as("jac_est"),
+            graft.functions.KmvJaccard(col("ka"), col("kb"), k).as("jac_est"),
             jacExact.as("jac_exact"),
-            (abs(Kmv.jaccard(col("ka"), col("kb"), k) - jacExact) <= 0.05)
+            (abs(graft.functions.KmvJaccard(col("ka"), col("kb"), k) - jacExact) <= 0.05)
               .as("jac_ok"))
           .orderBy("flag_a", "flag_b")
       }),

@@ -158,6 +158,34 @@ class KmvSpec extends SparkTestBase {
       "merge folds the other heap's live slots, keeps bottom k")
   }
 
+  test("native kmv_jaccard kernel ≡ HOF jaccard (randomized, all size regimes)") {
+    // the kernel is a single merge walk over the sorted distinct
+    // buffers; the HOF form is its executable spec. Drive both over
+    // random sketch pairs spanning: both unfilled, one filled,
+    // both filled, empty sides, disjoint and identical sets.
+    val rnd = new scala.util.Random(23)
+    val cases = Seq.tabulate(30) { i =>
+      val na = rnd.nextInt(40); val nb = rnd.nextInt(40)
+      val a = Seq.fill(na)(rnd.nextInt(80)).map(v => s"c${i}v$v").distinct.map(h60).sorted
+      val b = Seq.fill(nb)(rnd.nextInt(80)).map(v => s"c${i}v$v").distinct.map(h60).sorted
+      (a, b)
+    } ++ Seq(
+      (Seq.empty[Long], Seq.empty[Long]),
+      (Seq(1L, 2L, 3L), Seq.empty[Long]),
+      (Seq(1L, 2L, 3L), Seq(1L, 2L, 3L)),
+      (Seq(1L, 2L), Seq(5L, 6L)))
+    for (k <- Seq(1, 4, 16, 64)) {
+      val df = cases.toDF("a", "b")
+      val got = df.select(
+          graft.functions.KmvJaccard(col("a"), col("b"), k).as("kern"),
+          Kmv.jaccard(col("a"), col("b"), k).as("spec"))
+        .as[(Double, Double)].collect()
+      got.zipWithIndex.foreach { case ((kern, spec), i) =>
+        assert(kern === spec, s"k=$k case $i: kernel $kern != spec $spec")
+      }
+    }
+  }
+
   test("degenerate dials: k = 1, single-element sets, identical and disjoint pairs") {
     // k = 1: the sketch is the single smallest hash; estimate of a
     // filled k=1 buffer is 0·2^60/h1 = 0 — the estimator needs k ≥ 2,
