@@ -100,7 +100,10 @@ object VectorFunctions {
       (exprs: Seq[Expression]) => MinHashSigs(exprs.head, intArg(exprs, 1, "minhash_sigs"))),
     (FunctionIdentifier("word_shingles"),
       new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
-      (exprs: Seq[Expression]) => WordShingles(exprs.head, intArg(exprs, 1, "word_shingles"))))
+      (exprs: Seq[Expression]) => WordShingles(exprs.head, intArg(exprs, 1, "word_shingles"))),
+    (FunctionIdentifier("kmv_jaccard"),
+      new ExpressionInfo(classOf[KmvJaccard].getName, "kmv_jaccard"),
+      (exprs: Seq[Expression]) => KmvJaccard(exprs.head, exprs(1), intArg(exprs, 2, "kmv_jaccard"))))
 
   private def intArg(exprs: Seq[Expression], i: Int, fn: String): Int = exprs(i) match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v

@@ -71,11 +71,13 @@ class VectorExpressionSpec extends SparkTestBase {
     val row = spark.sql("""
       SELECT minhash_sigs(array('alpha','beta'), 2) AS mh,
              word_shingles(array('a','b','c'), 2) AS sh,
-             int8_quant_fidelity(array(CAST(1 AS FLOAT), CAST(3 AS FLOAT))) AS qf""")
+             int8_quant_fidelity(array(CAST(1 AS FLOAT), CAST(3 AS FLOAT))) AS qf,
+             kmv_jaccard(array(1L, 2L, 3L), array(2L, 3L, 9L), 4) AS kj""")
       .collect()(0)
     assert(row.getSeq[String](0).length == 2)
     assert(row.getSeq[String](1) == Seq("a b", "b c"))
     assert(row.getStruct(2).getLong(0) == 255L) // codes 0 + 255
+    assert(row.getDouble(3) == 0.5) // |{2,3}| / |{1,2,3,9}|
   }
 
   test("whole-stage codegen keeps the fused dot loop (no fallback)") {
