@@ -316,6 +316,16 @@ object EventStreams {
                        nGram: Int, k: Int,
                        stopWords: Seq[String] = Nil): DataFrame = {
     require(audiences.nonEmpty, "kmvAudienceRoute needs at least one audience")
+    // the native kmv_jaccard merge walk requires sorted-distinct
+    // buffers (what Kmv.sketch/mergeArrays emit); a hand-built
+    // audience violating that would misroute every document silently,
+    // so the bounded artifact is validated once up front
+    audiences.foreach { case (name, sk) =>
+      require(sk.isEmpty || sk.iterator.sliding(2).withPartial(false)
+          .forall(p => p.head < p(1)),
+        s"audience '$name' sketch must be sorted ascending and distinct " +
+          "(build it with Kmv.sketch / Kmv.mergeArrays)")
+    }
     import graft.functions.Kmv
     val audLit = array(audiences.map { case (name, sk) =>
       struct(typedLit(sk).as("kmv"), lit(name).as("aud"))

@@ -80,6 +80,34 @@ class VectorExpressionSpec extends SparkTestBase {
     assert(row.getDouble(3) == 0.5) // |{2,3}| / |{1,2,3,9}|
   }
 
+  test("kmv_jaccard stays in whole-stage codegen; malformed input fails loudly") {
+    // (a) a broken doGenCode would silently fall back to interpreted
+    // eval with every parity test still green — pin the codegen path
+    // the way the vec_dot lock does
+    val df = spark.range(100)
+      .select(expr("array(id, id + 2L, id + 5L)").as("a"),
+        expr("array(id + 2L, id + 5L, id + 9L)").as("b"))
+      .select(graft.functions.KmvJaccard(col("a"), col("b"), 4).as("j"))
+    val stages = df.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    assert(stages.nonEmpty && stages.exists(_.toString.contains("kmv_jaccard")),
+      "kmv_jaccard must run inside a WholeStageCodegen stage")
+    assert(df.agg(sum("j")).collect()(0).getDouble(0) === 100 * 0.5,
+      "u = {id, id+2, id+5, id+9}, both = {id+2, id+5} → 0.5 per row")
+    // (b) the merge walk validates its sorted-distinct no-null contract
+    // as it walks: ad-hoc SQL with an unsorted array must error, not
+    // return a silently wrong similarity
+    graft.functions.VectorFunctions.register(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT kmv_jaccard(array(3L, 1L, 2L), array(1L, 2L, 3L), 4)").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(m => m.contains("kmv_jaccard") && m.contains("sorted")),
+      s"unsorted input must raise the contract error, got $e")
+  }
+
   test("whole-stage codegen keeps the fused dot loop (no fallback)") {
     // the plan must NOT fall back: vec_dot supports codegen, so the
     // projection stays inside a WholeStageCodegen stage (a zip_with/
