@@ -63,8 +63,8 @@ object Knn {
     * sort — and the fork is LOUD: it logs the type it couldn't encode
     * at plan-build time.
     */
-  private def topKSelect(sims: DataFrame, idType: org.apache.spark.sql.types.DataType,
-                         k: Int): DataFrame = {
+  private[graft] def topKSelect(sims: DataFrame, idType: org.apache.spark.sql.types.DataType,
+                                k: Int): DataFrame = {
     import org.apache.spark.sql.types._
     def unpack(agged: DataFrame, decode: Column => Column): DataFrame = agged
       .select(col("q_id"), posexplode(col("tk")).as(Seq("pos", "sc")))

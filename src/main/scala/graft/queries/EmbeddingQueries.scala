@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
-import graft.ann.{Knn, Mmr}
+import graft.ann.{Knn, Mmr, Project}
 import org.apache.spark.sql.functions._
 
 /** Dense-embedding similarity search over the `embeddings` table
@@ -785,6 +785,102 @@ object EmbeddingQueries {
           .localCheckpoint() // read by every greedy round
         Mmr.rerank(cand, sims, k = 5, lambda = 0.5)
           .orderBy("q_id", "pick")
+      }),
+
+    // ---- q159: Johnson–Lindenstrauss ±1 random projection — every
+    // 64-dim float vector reduced to 16 signed sums (ann.Project:
+    // map-side codegen'd vec_dot against md5-seeded literal planes, no
+    // shuffle, no fit step), emitted long-format (vec_id, j, proj) with
+    // the house 6-decimal float-reduction rounding. The oracle
+    // regenerates the same planes from the same md5 seed space
+    // ("p:j:i", disjoint from the SRP bit planes' "j:i") — the
+    // portability contract that makes the projected corpus an artifact
+    // any engine can reproduce and extend.
+    QueryDef("q159_jl_project", Some(s"""
+      WITH h AS (SELECT j, list_transform(range(0, 64),
+                   i -> CASE WHEN substr(md5('p:' || j || ':' || i), 1, 1)
+                             IN ('8','9','a','b','c','d','e','f')
+                             THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END) AS hv
+                 FROM range(0, 16) t(j))
+      SELECT e.vec_id, CAST(h.j AS INTEGER) AS j,
+             ROUND(${sqlDot("e.embedding", "h.hv")}, 6) AS proj
+      FROM embeddings e CROSS JOIN h
+      ORDER BY vec_id, j"""),
+      (s, dir) =>
+        Project.project(Tables.read(s, dir, "embeddings"),
+            "vec_id", "embedding", dims = 64, outDims = 16)
+          .select(col("vec_id"), posexplode(col("proj")).as(Seq("j", "proj")))
+          .orderBy("vec_id", "j")),
+
+    // ---- q160: projected-prefilter retrieval recall — score the q34
+    // queries against the whole corpus in the 16-dim PROJECTED space
+    // (4× cheaper per candidate), keep the top-30, re-rank only those
+    // exactly at 64 dims, and measure recall@10 against the exact q34
+    // answer. The recall column is the honest dial readout: JL
+    // distortion at 16 dims loses some of the true top-10 on
+    // near-uniform synthetic vectors (planted-cluster geometry recovers
+    // ≥ 66/70 in ProjectSpec); raise prefilterK/outDims to buy recall.
+    // Projected ranking is on the ROUND(·,6) score over projections
+    // that are themselves 6-rounded in both engines, ties by cand_id —
+    // fully deterministic; the exact stages rank raw (the q34 contract).
+    QueryDef("q160_jl_rerank_recall", Some(s"""
+      WITH h AS (SELECT j, list_transform(range(0, 64),
+                   i -> CASE WHEN substr(md5('p:' || j || ':' || i), 1, 1)
+                             IN ('8','9','a','b','c','d','e','f')
+                             THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END) AS hv
+                 FROM range(0, 16) t(j)),
+      e AS (SELECT vec_id, embedding, ${sqlNorm("embedding")} AS nrm FROM embeddings
+            WHERE ${sqlNorm("embedding")} > 0),
+      pj AS MATERIALIZED (SELECT e.vec_id, h.j,
+                            ROUND(${sqlDot("e.embedding", "h.hv")}, 6) AS proj
+                          FROM e CROSS JOIN h),
+      pn AS MATERIALIZED (SELECT vec_id, SQRT(SUM(proj * proj)) AS pnrm
+                          FROM pj GROUP BY vec_id HAVING SQRT(SUM(proj * proj)) > 0),
+      dp AS (SELECT a.vec_id AS q_id, b.vec_id AS cand_id, SUM(a.proj * b.proj) AS dp
+             FROM pj a JOIN pj b ON a.j = b.j
+               AND a.vec_id < 20 AND b.vec_id <> a.vec_id
+             GROUP BY 1, 2),
+      ps AS (SELECT q_id, cand_id, ROUND(dp / (x.pnrm * y.pnrm), 6) AS sim
+             FROM dp JOIN pn x ON x.vec_id = dp.q_id
+                     JOIN pn y ON y.vec_id = dp.cand_id),
+      pre AS MATERIALIZED (SELECT q_id, cand_id FROM
+               (SELECT q_id, cand_id, ROW_NUMBER() OVER (PARTITION BY q_id
+                          ORDER BY sim DESC, cand_id) AS rk FROM ps)
+             WHERE rk <= 30),
+      rr AS (SELECT p.q_id, p.cand_id,
+                    ${sqlDot("eq.embedding", "ec.embedding")} / (eq.nrm * ec.nrm) AS s
+             FROM pre p JOIN e eq ON eq.vec_id = p.q_id
+                        JOIN e ec ON ec.vec_id = p.cand_id),
+      sel AS (SELECT q_id, cand_id FROM
+                (SELECT q_id, cand_id, ROW_NUMBER() OVER (PARTITION BY q_id
+                           ORDER BY s DESC, cand_id) AS rk FROM rr)
+              WHERE rk <= 10),
+      ex0 AS (SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+                     ${sqlDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS s
+              FROM e q JOIN e c ON q.vec_id < 20 AND c.vec_id <> q.vec_id),
+      exact AS (SELECT q_id, cand_id FROM
+                  (SELECT q_id, cand_id, ROW_NUMBER() OVER (PARTITION BY q_id
+                             ORDER BY s DESC, cand_id) AS rk FROM ex0)
+                WHERE rk <= 10)
+      SELECT x.q_id, CAST(COUNT(s.cand_id) AS BIGINT) AS n_hit,
+             CAST(COUNT(s.cand_id) AS DOUBLE) / 10 AS recall
+      FROM exact x LEFT JOIN sel s ON s.q_id = x.q_id AND s.cand_id = x.cand_id
+      GROUP BY x.q_id ORDER BY x.q_id"""),
+      (s, dir) => {
+        val emb = Tables.read(s, dir, "embeddings")
+        val sel = Project.projectedRerankKnn(emb, "vec_id", "embedding",
+            dims = 64, outDims = 16, queryPred = col("vec_id") < 20,
+            prefilterK = 30, k = 10)
+          .select(col("q_id"), col("cand_id"), lit(1).as("hit"))
+        val exact = Knn.cosineKnn(emb, "vec_id", "embedding",
+            col("vec_id") < 20, 10)
+          .select("q_id", "cand_id")
+        exact.join(sel, Seq("q_id", "cand_id"), "left_outer")
+          .groupBy("q_id")
+          .agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"))
+          .select(col("q_id"), col("n_hit"),
+            (col("n_hit").cast("double") / 10).as("recall"))
+          .orderBy("q_id")
       })
   )
 
