@@ -2996,6 +2996,68 @@ object TextQueries {
           .select(col("doc_id"), col("lang"), col("audience"), col("jaccard"),
             (col("audience") === col("lang")).as("lang_match"))
           .orderBy("doc_id")
+      }),
+
+    // ---- q161: temperature-based corpus mixing — the multilingual-LM
+    // sampling rule (alpha = 0.5): per-source char mass w_s is
+    // reweighted to p_s ∝ sqrt(w_s) (small sources up-weighted, big
+    // sources down-weighted — the dial between proportional alpha=1 and
+    // uniform alpha=0), a 40%-of-corpus char budget is split as
+    // budget_s = floor(B · p_s), and each source independently consumes
+    // its budget in deterministic hash-priority order via the GROUPED
+    // two-phase BudgetSelect (bounded bucket windows, never a per-group
+    // corpus sort). Distinct from q94, which equalizes doc COUNTS by
+    // Bernoulli thinning: this one allocates a token/char budget with a
+    // temperature exponent and selects exactly to it.
+    //
+    // Exactness: w_s and the bucket/running sums are integer; the
+    // sqrt→round(·,1e6) scaled-int step makes Σ r_s an exact long; p_s
+    // and budget_s are single correctly-rounded double ops over exact
+    // operands (identical trees both engines, floor'd back to long).
+    // Priority = md5-16-bit/65536 — an exact dyadic rational.
+    QueryDef("q161_temperature_mix", Some("""
+      WITH w AS (SELECT source, SUM(n_chars) AS w FROM documents GROUP BY source),
+      r AS (SELECT source, CAST(ROUND(SQRT(CAST(w AS DOUBLE)) * 1000000) AS BIGINT) AS r
+            FROM w),
+      tot AS (SELECT CAST(SUM(r) AS BIGINT) AS rt FROM r),
+      b AS (SELECT CAST((SUM(w) * 2) // 5 AS BIGINT) AS btot FROM w),
+      bud AS (SELECT source,
+                CAST(FLOOR(CAST(btot AS DOUBLE)
+                     * (CAST(r AS DOUBLE) / CAST(rt AS DOUBLE))) AS BIGINT) AS budget
+              FROM r, tot, b),
+      u AS (SELECT doc_id, source, n_chars,
+              CAST('0x' || substr(md5(doc_id::VARCHAR || ':m'), 1, 4) AS BIGINT)
+                / 65536.0 AS score
+            FROM documents WHERE n_chars >= 1),
+      sel AS (SELECT u.doc_id, u.source, u.n_chars, bud.budget,
+                COALESCE(SUM(u.n_chars) OVER (PARTITION BY u.source
+                  ORDER BY u.score DESC, u.doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+              FROM u JOIN bud USING (source))
+      SELECT doc_id, source, n_chars, budget AS src_budget
+      FROM sel WHERE bef < budget ORDER BY doc_id"""),
+      (s, dir) => {
+        val d = docs(s, dir)
+        val w = d.groupBy("source").agg(sum("n_chars").as("w"))
+        val r = w.select(col("source"),
+          round(sqrt(col("w").cast("double")) * 1000000).cast("long").as("r"))
+        val tot = r.agg(sum("r").cast("long").as("rt"))
+        val b = w.agg(expr("CAST((SUM(w) * 2) DIV 5 AS BIGINT)").as("btot"))
+        val bud = r.crossJoin(broadcast(tot)).crossJoin(broadcast(b))
+          .select(col("source"),
+            floor(col("btot").cast("double")
+              * (col("r").cast("double") / col("rt").cast("double")))
+              .cast("long").as("budget"))
+        val scored = d.where(col("n_chars") >= 1)
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            (conv(substring(md5(concat(col("doc_id").cast("string"), lit(":m"))),
+              1, 4), 16, 10).cast("long") / 65536.0).as("score"))
+        graft.text.BudgetSelect
+          .selectByBudgetGrouped(scored, "doc_id", "n_chars", "score", "source", bud)
+          .join(broadcast(bud), "source")
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            col("budget").as("src_budget"))
+          .orderBy("doc_id")
       })
   )
 }

@@ -80,4 +80,50 @@ object BudgetSelect {
       .select(col(idCol), col(weightCol), col(scoreCol))
     wholeDocs.union(boundaryDocs)
   }
+
+  /** Per-GROUP budget selection — the corpus-mixing form of
+    * [[selectByBudget]]: every group (source, language, domain …) gets
+    * its own budget row and consumes it independently in
+    * (score DESC, id) order. Same two-phase shape with the group key
+    * threaded through: bucket totals are a hash agg onto ≤
+    * groups·(buckets+1) rows, the cumulative window partitions BY GROUP
+    * over that bounded table, and only each group's one boundary bucket
+    * pays a per-doc ordering — so the per-group "running sum over a
+    * total order" never becomes a per-group sort of the corpus.
+    *
+    * `budgets` must be one (groupCol, budget) row per group (it rides
+    * broadcast); groups without a budget row are dropped (select
+    * nothing), budgets ≥ the group total keep the whole group.
+    */
+  def selectByBudgetGrouped(scored: DataFrame, idCol: String, weightCol: String,
+                            scoreCol: String, groupCol: String, budgets: DataFrame,
+                            buckets: Int = 1000): DataFrame = {
+    require(buckets >= 1, s"buckets must be positive, got $buckets")
+    val sc = scored.where(col(weightCol) >= 1)
+      .select(col(groupCol), col(idCol), col(weightCol), col(scoreCol),
+        floor(col(scoreCol) * buckets).cast("int").as("_bucket"))
+      .localCheckpoint()
+    val bstats = sc.groupBy(groupCol, "_bucket").agg(sum(col(weightCol)).as("_btotal"))
+    val wDesc = Window.partitionBy(groupCol).orderBy(col("_bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bcum = bstats
+      .withColumn("_bbefore", coalesce(sum(col("_btotal")).over(wDesc), lit(0L)))
+      .join(broadcast(budgets), Seq(groupCol))
+    val whole = bcum.where(col("_bbefore") + col("_btotal") <= col("budget"))
+      .select(col(groupCol), col("_bucket"))
+    val boundary = bcum.where(col("_bbefore") < col("budget") &&
+        col("_bbefore") + col("_btotal") > col("budget"))
+      .select(col(groupCol), col("_bucket"), col("_bbefore"), col("budget"))
+    val wholeDocs = sc.join(broadcast(whole), Seq(groupCol, "_bucket"))
+      .select(col(groupCol), col(idCol), col(weightCol), col(scoreCol))
+    val wIn = Window.partitionBy(groupCol, "_bucket")
+      .orderBy(col(scoreCol).desc, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val boundaryDocs = sc.join(broadcast(boundary), Seq(groupCol, "_bucket"))
+      .withColumn("_before",
+        col("_bbefore") + coalesce(sum(col(weightCol)).over(wIn), lit(0L)))
+      .where(col("_before") < col("budget"))
+      .select(col(groupCol), col(idCol), col(weightCol), col(scoreCol))
+    wholeDocs.union(boundaryDocs)
+  }
 }

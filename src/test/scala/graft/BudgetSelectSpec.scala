@@ -57,6 +57,56 @@ class BudgetSelectSpec extends SparkTestBase {
     assert(got === oracle(30L))
   }
 
+  // ---- grouped variant: per-group budgets must reproduce the
+  // per-group window selection exactly
+
+  private lazy val grouped: DataFrame = scored
+    .withColumn("g", (col("id") % 3).cast("string"))
+
+  private def groupedOracle(budgets: Map[String, Long]): Set[Long] = {
+    val before = coalesce(
+      sum("w").over(Window.partitionBy("g").orderBy(col("score").desc, col("id"))
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+    val budDf = budgets.toSeq.toDF("g", "budget")
+    grouped.join(budDf, "g").withColumn("before", before)
+      .where(col("before") < col("budget"))
+      .select("id").as[Long].collect().toSet
+  }
+
+  private def groupedSelected(budgets: Map[String, Long]): Set[Long] = {
+    val budDf = budgets.toSeq.toDF("g", "budget")
+    BudgetSelect.selectByBudgetGrouped(grouped, "id", "w", "score", "g",
+        budDf, buckets = 10)
+      .select("id").as[Long].collect().toSet
+  }
+
+  test("grouped selection matches the per-group window across budget mixes") {
+    val totals = grouped.groupBy("g").agg(sum("w").as("t"))
+      .as[(String, Long)].collect().toMap
+    val mixes = Seq(
+      Map("0" -> 1L, "1" -> 50L, "2" -> 7L),
+      Map("0" -> totals("0") / 2, "1" -> totals("1"), "2" -> (totals("2") + 100L)),
+      Map("0" -> totals("0"), "1" -> 1L, "2" -> totals("2") / 4))
+    for (m <- mixes) assert(groupedSelected(m) === groupedOracle(m), s"mix=$m")
+  }
+
+  test("groups without a budget row select nothing; oversized budgets keep the group") {
+    val only = groupedSelected(Map("1" -> Long.MaxValue / 2))
+    val g1 = grouped.where(col("g") === "1").select("id").as[Long].collect().toSet
+    assert(only === g1)
+  }
+
+  test("grouped per-doc windows stay bucket-partitioned (no per-group corpus sort)") {
+    val budDf = Seq(("0", 40L), ("1", 40L), ("2", 40L)).toDF("g", "budget")
+    val plan = BudgetSelect.selectByBudgetGrouped(grouped, "id", "w", "score", "g",
+        budDf, buckets = 10)
+      .queryExecution.optimizedPlan.toString
+    val windowLines = plan.linesIterator.filter(_.contains("windowspecdefinition")).toList
+    val perDoc = windowLines.filterNot(_.contains("_bucket DESC"))
+    assert(perDoc.forall(_.contains("_bucket")),
+      s"per-doc window without bucket partitioning:\n${perDoc.mkString("\n")}")
+  }
+
   test("boundary-bucket window partitions by bucket (no global sort)") {
     val b = spark.range(1).select(lit(100L).as("budget"))
     val plan = BudgetSelect.selectByBudget(scored, "id", "w", "score", b, buckets = 10)
