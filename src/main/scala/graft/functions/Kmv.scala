@@ -229,6 +229,60 @@ object Kmv {
     if (which == "sample") s"CAST($cnt AS INTEGER)"
     else s"CAST($cnt AS DOUBLE) * (1152921504606846976.0 / CAST($th AS DOUBLE))"
   }
+
+  /** Equi-join OUTPUT-SIZE estimation before paying the join's shuffle
+    * (the classic sketch-based cardinality question — AGMS/end-biased
+    * sampling, here from the KMV threshold): |A ⋈ B| = Σ_key fA·fB is
+    * estimated as Σ over a uniform key sample of fA·fB, scaled by the
+    * inverse inclusion probability 2^60/θ. The number a planner (or an
+    * operator about to launch a dedup self-join — THE blow-up hazard)
+    * wants before committing a 100 TB shuffle.
+    *
+    * Every pass is map-side with a k-bounded exchange:
+    *  1. θ — one [[bottomKDistinct]] partial aggregation over the raw
+    *     key hashes (each partition ships ≤ k longs; no pre-distinct);
+    *  2. the sampled keys — the h < θ filter runs BEFORE the distinct,
+    *     so the dedup shuffle sees only sample-survivors (≤ k−1 keys);
+    *  3. exact per-side frequencies of sampled keys — broadcast
+    *     semi-join + hash agg onto ≤ k−1 groups.
+    * Exact (θ = 2^60, scale 1) whenever the union has fewer than k
+    * distinct keys; otherwise unbiased with relative error ~1/√k times
+    * the frequency skew. Keys are hashed via their string form —
+    * cross-engine portable ([[hash60Sql]] on `key::VARCHAR`).
+    *
+    * Returns one row: (theta, n_sampled, n_both, s_sum,
+    * est_join_size) — n_both the sampled keys present on BOTH sides,
+    * s_sum the exact integer Σ fA·fB over the sample, the estimate one
+    * IEEE divide of exact operands (bit-identical cross-engine).
+    */
+  def joinSizeEst(left: org.apache.spark.sql.DataFrame,
+                  right: org.apache.spark.sql.DataFrame,
+                  keyCol: String, k: Int): org.apache.spark.sql.DataFrame = {
+    require(k >= 2, s"k must be at least 2, got $k")
+    val lk = left.select(col(keyCol).cast("string").as("key"))
+    val rk = right.select(col(keyCol).cast("string").as("key"))
+    val all = lk.union(rk)
+    val th = all.select(hash60(col("key")).as("h"))
+      .agg(bottomKDistinct(k)(col("h")).as("kmv"))
+      .select(when(size(col("kmv")) < k, lit(1152921504606846976L))
+        .otherwise(element_at(col("kmv"), k)).as("theta"))
+    val sampled = all.withColumn("h", hash60(col("key")))
+      .crossJoin(broadcast(th))
+      .where(col("h") < col("theta"))   // map-side: kills ~all rows pre-shuffle
+      .select("key").distinct()         // ≤ k−1 surviving keys
+    val fa = lk.join(broadcast(sampled), "key")
+      .groupBy("key").agg(count(lit(1)).as("fa"))
+    val fb = rk.join(broadcast(sampled), "key")
+      .groupBy("key").agg(count(lit(1)).as("fb"))
+    val s = fa.join(fb, "key")          // inner: one-sided keys contribute 0
+      .agg(coalesce(sum(col("fa") * col("fb")), lit(0L)).cast("long").as("s_sum"),
+        count(lit(1)).cast("long").as("n_both"))
+    val nS = sampled.agg(count(lit(1)).cast("long").as("n_sampled"))
+    s.crossJoin(broadcast(nS)).crossJoin(broadcast(th))
+      .select(col("theta"), col("n_sampled"), col("n_both"), col("s_sum"),
+        (col("s_sum").cast("double") / (col("theta").cast("double") / lit(Scale)))
+          .as("est_join_size"))
+  }
 }
 
 /** Bottom-k DISTINCT longs as a mergeable aggregation — the KMV

@@ -966,6 +966,67 @@ object RelationalQueries {
             (abs(ops.getField("a_only_est") - col("a_only_exact")) <=
               col("union_exact") * 0.06).as("a_only_ok"))
           .orderBy("flag_a", "flag_b")
+      }),
+
+    // ---- q162: join-size estimation BEFORE the shuffle — how big
+    // would the lineitem⋈lineitem self-join on l_partkey be? THE
+    // question an operator asks before launching a dedup/blocking
+    // self-join at 100 TB, answered from a KMV-θ key sample
+    // (Kmv.joinSizeEst): θ via one bottom-k partial aggregation over
+    // the raw key hashes, a ≤ k−1 key sample recovered by a MAP-SIDE
+    // h < θ filter (the dedup shuffle sees only survivors), exact
+    // sampled-key frequencies via broadcast semi-join + a k-sized hash
+    // agg, estimate = Σf²·2^60/θ. Exact when distinct keys < k
+    // (sf0.001); a genuine 1024-of-20000 sample at sf0.1. The exact
+    // Σf² ground truth is computed HERE only for the gate — at scale
+    // you run only the estimator, which never shuffles the corpus.
+    QueryDef("q162_join_size_est", Some("""
+      WITH li AS (SELECT l_partkey AS key FROM lineitem),
+      kmv AS (SELECT list_sort(list(DISTINCT h))[1:1024] AS kmv
+              FROM (SELECT CAST('0x' || substr(md5(key::VARCHAR), 1, 15) AS BIGINT) AS h
+                    FROM li)),
+      th AS (SELECT CASE WHEN len(kmv) < 1024 THEN CAST(1152921504606846976 AS BIGINT)
+                    ELSE kmv[1024] END AS theta FROM kmv),
+      samp AS (SELECT DISTINCT key FROM li, th
+               WHERE CAST('0x' || substr(md5(key::VARCHAR), 1, 15) AS BIGINT) < theta),
+      f AS (SELECT li.key, COUNT(*) AS f FROM li JOIN samp USING (key) GROUP BY 1),
+      sm AS (SELECT CAST(COALESCE(SUM(f * f), 0) AS BIGINT) AS s_sum FROM f),
+      ex AS (SELECT CAST(SUM(c * c) AS BIGINT) AS exact_join_size,
+                    CAST(COUNT(*) AS BIGINT) AS n_keys,
+                    CAST(SUM(c) AS BIGINT) AS n_rows
+             FROM (SELECT COUNT(*) AS c FROM li GROUP BY key)),
+      e0 AS (SELECT n_rows, n_keys,
+                    (SELECT CAST(COUNT(*) AS BIGINT) FROM samp) AS n_sampled,
+                    theta, s_sum,
+                    CAST(s_sum AS DOUBLE)
+                      / (CAST(theta AS DOUBLE) / 1152921504606846976.0) AS est_join_size,
+                    exact_join_size
+             FROM sm, th, ex)
+      SELECT n_rows, n_keys, n_sampled, theta, s_sum, est_join_size, exact_join_size,
+             ABS(est_join_size - CAST(exact_join_size AS DOUBLE))
+               / CAST(exact_join_size AS DOUBLE) AS rel_err,
+             ABS(est_join_size - CAST(exact_join_size AS DOUBLE))
+               / CAST(exact_join_size AS DOUBLE) <= 0.1 AS err_ok,
+             theta < 1152921504606846976 AS sampling
+      FROM e0"""),
+      (s, dir) => {
+        import graft.functions.Kmv
+        val k = 1024
+        val li = Tables.read(s, dir, "lineitem").select(col("l_partkey"))
+          .localCheckpoint() // 5 consumers: θ, sample, 2 frequency passes, exact
+        val est = Kmv.joinSizeEst(li, li, "l_partkey", k)
+        val ex = li.groupBy("l_partkey").agg(count(lit(1)).as("c"))
+          .agg(sum(col("c") * col("c")).cast("long").as("exact_join_size"),
+            count(lit(1)).cast("long").as("n_keys"),
+            sum("c").cast("long").as("n_rows"))
+        est.crossJoin(broadcast(ex))
+          .withColumn("rel_err",
+            abs(col("est_join_size") - col("exact_join_size").cast("double"))
+              / col("exact_join_size").cast("double"))
+          .select(col("n_rows"), col("n_keys"), col("n_sampled"), col("theta"),
+            col("s_sum"), col("est_join_size"), col("exact_join_size"),
+            col("rel_err"), (col("rel_err") <= 0.1).as("err_ok"),
+            (col("theta") < lit(1152921504606846976L)).as("sampling"))
       })
   )
 }

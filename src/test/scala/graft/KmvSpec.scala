@@ -253,6 +253,47 @@ class KmvSpec extends SparkTestBase {
     assert(agg.merge(buf, buf) === buf, "self-merge is a no-op")
   }
 
+  test("joinSizeEst is exact in the unfilled regime (theta = 2^60)") {
+    // 4 distinct keys << k: the sample is every key, scale is exactly 1
+    val a = Seq("x", "x", "x", "y", "y", "z", "w").toDF("key")
+    val b = Seq("x", "y", "y", "y", "q").toDF("key")
+    val got = Kmv.joinSizeEst(a, b, "key", k = 64)
+      .as[(Long, Long, Long, Long, Double)].collect().head
+    // exact |A ⋈ B| = fx(3·1) + fy(2·3) = 9; w/z/q are one-sided
+    assert(got._1 === 1152921504606846976L, "theta must be 2^60 unfilled")
+    assert(got._2 === 5L, "all 5 distinct union keys sampled")
+    assert(got._3 === 2L, "x and y on both sides")
+    assert(got._4 === 9L)
+    assert(got._5 === 9.0, "estimate must be exact when unfilled")
+  }
+
+  test("joinSizeEst self-join estimates sum of squared frequencies") {
+    val df = Seq("a", "a", "a", "b", "b", "c").toDF("key")
+    val got = Kmv.joinSizeEst(df, df, "key", k = 64)
+      .as[(Long, Long, Long, Long, Double)].collect().head
+    assert(got._5 === (9 + 4 + 1).toDouble)
+  }
+
+  test("joinSizeEst filled regime: k−1 sampled keys, estimate within sampling error") {
+    // 400 distinct keys, frequency i%7+1 on the left, i%5+1 on the
+    // right; k=64 → 63-key sample, relative SE ~ 1/8 × skew factor
+    val a = spark.range(400).select(concat(lit("k"), col("id")).as("key"),
+        (col("id") % 7 + 1).as("n"))
+      .select(col("key"), explode(sequence(lit(1), col("n"))).as("i"))
+      .select("key")
+    val b = spark.range(400).select(concat(lit("k"), col("id")).as("key"),
+        (col("id") % 5 + 1).as("n"))
+      .select(col("key"), explode(sequence(lit(1), col("n"))).as("i"))
+      .select("key")
+    val exact = (0 until 400).map(i => (i % 7 + 1) * (i % 5 + 1)).sum
+    val got = Kmv.joinSizeEst(a, b, "key", k = 64)
+      .as[(Long, Long, Long, Long, Double)].collect().head
+    assert(got._1 < 1152921504606846976L, "theta must have tightened")
+    assert(got._2 === 63L, "filled sample is exactly k−1 keys")
+    assert(math.abs(got._5 - exact) < 0.5 * exact,
+      s"estimate ${got._5} vs exact $exact outside the sanity band")
+  }
+
   test("sketch partial-aggregates: shuffle moves ≤ k-slot buffers, not raw rows") {
     // 10k rows, 1 group, k=32 → the exchange must carry partial
     // buffers (one per input partition), not 10k hash rows. udaf over

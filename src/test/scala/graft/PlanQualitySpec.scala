@@ -497,4 +497,25 @@ class PlanQualitySpec extends SparkTestBase {
     assert(parquetScans === 0,
       s"corpus must be read through the one checkpointed projection, found $parquetScans parquet scans")
   }
+
+  test("q162 join-size estimator: corpus passes are map-side, no corpus self-join") {
+    import org.apache.spark.sql.functions.col
+    // the whole point of estimating BEFORE the shuffle: the estimator
+    // itself must never pay a corpus-vs-corpus join. Every join over
+    // the lineitem column is broadcast (θ row, ≤ k−1 sampled keys) and
+    // the only aggregations over corpus-sized input partial-aggregate
+    // to k-bounded buffers / sampled-key groups.
+    val li = graft.Tables.read(spark, sf("sf0.001"), "lineitem")
+      .select(col("l_partkey")).localCheckpoint()
+    val plan = collectAll(executed(
+      graft.functions.Kmv.joinSizeEst(li, li, "l_partkey", 64)))
+    assert(!plan.exists(_.nodeName.contains("SortMergeJoin")),
+      "no shuffle join anywhere in the estimator")
+    assert(!plan.exists { case _: CartesianProductExec => true; case _ => false },
+      "no cartesian in the estimator")
+    assert(!plan.exists(_.nodeName == "Window"), "estimator must not window")
+    val aggs = plan.filter(_.nodeName.contains("HashAggregate")).map(_.toString)
+    assert(aggs.exists(_.contains("partial_kmvaggregator")),
+      "θ must come from a partial bottom-k aggregation, not a pre-shuffled distinct")
+  }
 }
