@@ -156,6 +156,73 @@ object TextQueries {
              JOIN k$i a ON a.id = s.u JOIN k$i b ON b.id = s.v)"""
   }.mkString(",\n      ")
 
+  /** DuckDB CTE chain shared by the HyperBall pair (q163 ball series,
+    * q164 harmonic centrality): the q147 SimHash near-dup graph on
+    * doc_id < 200 (sig → bits → band → cand → p0 → symmetric edges),
+    * seed registers from [[HyperLogLog.hashCtesSql]] over the decimal
+    * id string (B(v,0) = {v}), then `hyperballRounds` ball-growth
+    * rounds b1..bR — each one equi-join + group-MAX, exactly
+    * graph.HyperBall.step unrolled. MATERIALIZED for the
+    * ccFixpointCtes reason (each round reads its predecessor twice).
+    */
+  private val hyperballRounds = 3
+  private val hyperballM = 64
+  private lazy val hyperballCtes: String = s"""${toksCte("doc_id < 200")},
+      sig AS (SELECT doc_id, array_to_string(list_transform(range(1, 33), i ->
+                CASE WHEN COALESCE(list_sum(list_transform(list_distinct(tokens),
+                     t -> CASE WHEN substr(md5(t), i, 1) IN ('8','9','a','b','c','d','e','f')
+                               THEN 1 ELSE -1 END)), 0) >= 0
+                     THEN '1' ELSE '0' END), '') AS sig
+              FROM toks),
+      bits AS (SELECT doc_id,
+                 CAST(list_sum(list_transform(range(1, 33),
+                   i -> CASE WHEN substr(sig, i, 1) = '1'
+                             THEN (1::BIGINT << (32 - i)) ELSE 0 END)) AS BIGINT) AS sb
+               FROM sig),
+      band AS (SELECT doc_id, sb, t.range AS b,
+                      (sb >> ((3 - t.range) * 8)) & 255 AS chunk
+               FROM bits, range(0, 4) t),
+      cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                      a.sb AS sb_a, b.sb AS sb_b
+               FROM band a JOIN band b
+                 ON a.b = b.b AND a.chunk = b.chunk AND a.doc_id < b.doc_id),
+      p0 AS MATERIALIZED (SELECT id_a, id_b FROM cand
+            WHERE bit_count(xor(sb_a, sb_b)) <= 3),
+      edges AS MATERIALIZED (SELECT id_a AS u, id_b AS v FROM p0
+            UNION ALL SELECT id_b AS u, id_a AS v FROM p0),
+      ${graft.functions.HyperLogLog.hashCtesSql(
+        "CAST(doc_id AS VARCHAR)", "toks", "doc_id", hyperballM, "hb")},
+      b0 AS MATERIALIZED (SELECT doc_id AS id, j, MAX(rho) AS mreg
+            FROM hbr GROUP BY doc_id, j),
+      ${(1 to hyperballRounds).map { i =>
+        s"""b$i AS MATERIALIZED (SELECT id, j, MAX(mreg) AS mreg FROM (
+             SELECT e.v AS id, b.j, b.mreg FROM edges e JOIN b${i - 1} b ON b.id = e.u
+             UNION ALL SELECT id, j, mreg FROM b${i - 1}) GROUP BY id, j)"""
+      }.mkString(",\n      ")}"""
+
+  /** UNION ALL of [[HyperLogLog.estimateSql]] over each ball round —
+    * the (doc_id, r, v0, n_present, s_hi, s_lo, est) series.
+    */
+  private lazy val hyperballEstsSql: String = (0 to hyperballRounds).map { r =>
+    s"""SELECT id AS doc_id, CAST($r AS INTEGER) AS r, v0, n_present, s_hi, s_lo, est
+      FROM (${graft.functions.HyperLogLog.estimateSql(
+        s"SELECT id, j, mreg FROM b$r", "id", hyperballM)})"""
+  }.mkString("\n      UNION ALL\n      ")
+
+  /** The shared Spark side of the HyperBall pair: ball series over the
+    * q147 SimHash graph, doc_id < 200, pinned (rounds, m) dials.
+    */
+  private def hyperballBalls(s: SparkSession, dir: String): DataFrame = {
+    val t = tokenized(s, dir).where(col("doc_id") < 200)
+      .localCheckpoint() // nodes AND pair building read it
+    val pairs = Dedup.simhashNearDups(t, "doc_id", "tokens")
+      .select("id_a", "id_b")
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    graft.graph.HyperBall.run(t.select("doc_id"), "doc_id", edges,
+      rounds = hyperballRounds, m = hyperballM)
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- q20: tokenizer (P1-P3) — per-doc token counts.
@@ -3058,6 +3125,161 @@ object TextQueries {
           .select(col("doc_id"), col("source"), col("n_chars"),
             col("budget").as("src_budget"))
           .orderBy("doc_id")
+      }),
+
+    // ---- q163: HyperBall ball series — the neighborhood function
+    // N(v, r) for EVERY vertex of the SimHash near-dup graph at once
+    // (Boldi & Vigna 2013), carried as one HLL sketch per vertex: each
+    // round ships registers across edges and group-MAXes, so 3 rounds
+    // cost 3 equi-joins + 3 mergeable hash aggs instead of |V| BFS
+    // runs, and state is bounded by V·min(m, |ball|) rows however
+    // large the balls grow. The oracle unrolls the same recurrence
+    // over the same md5 register chain (hashCtesSql/estimateSql), so
+    // registers AND estimates hash-match; only the linear-counting
+    // ln gets round(·,6). m = 64 — the HyperBall paper's low-dial
+    // regime; tiny balls here sit in the (near-exact) linear-counting
+    // branch, the register algebra is what's under test.
+    QueryDef("q163_hyperball", Some(s"""$hyperballCtes
+      $hyperballEstsSql
+      ORDER BY doc_id, r"""),
+      (s, dir) => hyperballBalls(s, dir)
+        .select(col("id").as("doc_id"), col("r"), col("v0"),
+          col("n_present"), col("s_hi"), col("s_lo"), col("est"))
+        .orderBy("doc_id", "r")),
+
+    // ---- q164: harmonic centrality from the q163 ball series —
+    // HC(v) = Σ_r (N(v,r) − N(v,r−1))/r, the disconnected-safe
+    // closeness variant (unreachable vertices add 0, not ∞), truncated
+    // at the pinned round count. The sum is a FIXED left-associated
+    // 3-term expression over the per-round rounded `est` columns — a
+    // pivot + arithmetic, never a float aggregation — so both engines
+    // compute bit-identical centralities and agree on the (hc DESC,
+    // doc_id) ranking of dup-family hubs.
+    QueryDef("q164_harmonic_centrality", Some(s"""$hyperballCtes,
+      ests AS MATERIALIZED (
+      $hyperballEstsSql),
+      piv AS (SELECT doc_id,
+                MAX(CASE WHEN r = 0 THEN est END) AS b0,
+                MAX(CASE WHEN r = 1 THEN est END) AS b1,
+                MAX(CASE WHEN r = 2 THEN est END) AS b2,
+                MAX(CASE WHEN r = 3 THEN est END) AS b3
+              FROM ests GROUP BY doc_id)
+      SELECT doc_id, (((b1 - b0) / 1.0) + ((b2 - b1) / 2.0))
+                     + ((b3 - b2) / 3.0) AS hc
+      FROM piv ORDER BY hc DESC, doc_id"""),
+      (s, dir) => graft.graph.HyperBall
+        .harmonicCentrality(hyperballBalls(s, dir), rounds = hyperballRounds)
+        .select(col("id").as("doc_id"), col("hc"))
+        .orderBy(col("hc").desc, col("doc_id"))),
+
+    // ---- q165: weighted sampling WITHOUT replacement (Efraimidis &
+    // Spirakis 2006): each doc draws priority ln(u)/w — u a
+    // deterministic md5 dyadic rational in (0, 1], w = n_chars — and
+    // the top-k priorities per source are EXACTLY a weight-
+    // proportional without-replacement draw (A-ES). The length-biased
+    // complement of q161's budget mix: q161 fills a budget from a
+    // uniform priority; this draws k docs with P ∝ weight — the
+    // "sample heldout shards by token mass" step of corpus assembly.
+    // Scale shape: selection is the mergeable k-slot TopKAggregator,
+    // never a per-source window — map sides collapse to ≤ k rows per
+    // (source, partition) before the exchange — and only the k·sources
+    // winner table joins back for its payload (broadcast). Parity: u
+    // is integer-exact; ln/÷ are the libm + single-IEEE-op pair both
+    // engines share (q149's adjudication); the emitted columns carry
+    // NO floats — selection and rank only — so near-tie ordering is
+    // the sole (astronomically unlikely) cross-engine surface.
+    QueryDef("q165_weighted_sample", Some("""
+      WITH u AS (SELECT doc_id, source, n_chars,
+               ln((CAST('0x' || substr(md5(doc_id::VARCHAR || ':w'), 1, 13) AS BIGINT) + 1)
+                  / 4503599627370496.0) / n_chars AS key
+             FROM documents WHERE n_chars >= 1),
+      r AS (SELECT doc_id, source, n_chars,
+              CAST(ROW_NUMBER() OVER (PARTITION BY source
+                ORDER BY key DESC, doc_id) AS INTEGER) AS rk
+            FROM u)
+      SELECT source, rk, doc_id, n_chars FROM r WHERE rk <= 10
+      ORDER BY source, rk"""),
+      (s, dir) => {
+        val d = docs(s, dir)
+        val u = d.where(col("n_chars") >= 1)
+          .select(col("doc_id"), col("source"),
+            (log((conv(substring(md5(concat(col("doc_id").cast("string"),
+                lit(":w"))), 1, 13), 16, 10).cast("long") + 1)
+              / lit(4503599627370496.0)) / col("n_chars")).as("key"))
+        val sel = u.groupBy("source")
+          .agg(graft.functions.TopKAggregator.topK(10)(
+            col("key"), col("doc_id")).as("tk"))
+          .select(col("source"), posexplode(col("tk")).as(Seq("pos", "t")))
+          .select(col("source"), (col("pos") + 1).as("rk"),
+            col("t.cand_id").as("doc_id"))
+        d.select(col("doc_id"), col("n_chars")).join(broadcast(sel), "doc_id")
+          .select(col("source"), col("rk"), col("doc_id"), col("n_chars"))
+          .orderBy("source", "rk")
+      }),
+
+    // ---- q166: Jensen–Shannon drift monitor — JS divergence between
+    // the unigram distributions of two corpus slices (doc_id parity
+    // standing in for old/new snapshots), with per-token attribution:
+    // the top-20 tokens driving the drift plus the global JS. The
+    // canary a pipeline waves when a new crawl shifts vocabulary.
+    // Float discipline: the per-token JS integrand 0.5·p·ln(p/m) +
+    // 0.5·q·ln(q/m) (≥ 0 by log-sum, 0·ln0 := 0) is deterministic —
+    // exact long/long divisions, libm ln, fixed expression tree — and
+    // is immediately scaled to NANOS (round-to-integer of a double is
+    // the one cross-engine-safe rounding: the exact decimal of a
+    // binary double ties at .5 only when the binary fraction IS 2^-1,
+    // and both engines round that away from zero), so the global JS
+    // is an EXACT integer sum — no order-dependent float reduction
+    // anywhere. Scale shape: one token-level hash agg onto the vocab
+    // (conditional sums, no join between the slices), 1-row total
+    // broadcasts, mergeable TakeOrdered top-20; the vocab table is
+    // localCheckpointed once and feeds both the top-k and the sum.
+    QueryDef("q166_js_drift", Some(s"""${toksCte()},
+      tok AS (SELECT doc_id % 2 AS sl, unnest(tokens) AS token FROM toks),
+      c AS (SELECT token,
+              CAST(SUM(CASE WHEN sl = 0 THEN 1 ELSE 0 END) AS BIGINT) AS cnt_p,
+              CAST(SUM(CASE WHEN sl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cnt_q
+            FROM tok GROUP BY token),
+      n AS (SELECT CAST(SUM(cnt_p) AS BIGINT) AS np,
+                   CAST(SUM(cnt_q) AS BIGINT) AS nq FROM c),
+      j AS (SELECT token, cnt_p, cnt_q,
+              CAST(ROUND(((CASE WHEN cnt_p > 0
+                     THEN 0.5 * (cnt_p / np) * ln((cnt_p / np)
+                          / (((cnt_p / np) + (cnt_q / nq)) / 2.0))
+                     ELSE 0.0 END)
+                  + (CASE WHEN cnt_q > 0
+                     THEN 0.5 * (cnt_q / nq) * ln((cnt_q / nq)
+                          / (((cnt_p / np) + (cnt_q / nq)) / 2.0))
+                     ELSE 0.0 END)) * 1000000000) AS BIGINT) AS c_nanos
+            FROM c, n),
+      top AS (SELECT token, cnt_p, cnt_q, c_nanos FROM j
+              ORDER BY c_nanos DESC, token LIMIT 20),
+      tot AS (SELECT CAST(SUM(c_nanos) AS BIGINT) AS js_total_nanos FROM j)
+      SELECT token, cnt_p, cnt_q, c_nanos, js_total_nanos
+      FROM top, tot ORDER BY c_nanos DESC, token"""),
+      (s, dir) => {
+        val c = tokenized(s, dir)
+          .select((col("doc_id") % 2).as("sl"), explode(col("tokens")).as("token"))
+          .groupBy("token")
+          .agg(sum(when(col("sl") === 0, 1).otherwise(0)).as("cnt_p"),
+            sum(when(col("sl") === 1, 1).otherwise(0)).as("cnt_q"))
+        val n = c.agg(sum("cnt_p").as("np"), sum("cnt_q").as("nq"))
+        val p = col("cnt_p") / col("np")
+        val q = col("cnt_q") / col("nq")
+        val m = (p + q) / lit(2.0)
+        val term = when(col("cnt_p") > 0, lit(0.5) * p * log(p / m))
+          .otherwise(lit(0.0)) +
+          when(col("cnt_q") > 0, lit(0.5) * q * log(q / m)).otherwise(lit(0.0))
+        val j = c.crossJoin(broadcast(n))
+          .select(col("token"), col("cnt_p"), col("cnt_q"),
+            round(term * 1000000000).cast("long").as("c_nanos"))
+          .localCheckpoint() // feeds the top-k AND the global sum
+        val top = j.orderBy(col("c_nanos").desc, col("token")).limit(20)
+        val tot = j.agg(sum("c_nanos").cast("long").as("js_total_nanos"))
+        top.crossJoin(broadcast(tot))
+          .select(col("token"), col("cnt_p"), col("cnt_q"), col("c_nanos"),
+            col("js_total_nanos"))
+          .orderBy(col("c_nanos").desc, col("token"))
       })
   )
 }

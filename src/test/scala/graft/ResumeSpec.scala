@@ -291,6 +291,49 @@ class ResumeSpec extends SparkTestBase {
       "shrunk-budget labels must equal a fresh capped run, not the deep frontier")
   }
 
+  test("HyperBall: killed run recomputes only the missing rounds, bit-identical") {
+    val nodes = (1L to 6L).toDF("id")
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val edges = (path ++ path.map(_.swap)).toDF("src", "dst")
+    val dir = s"$tmp/hyperball-kill"
+    // "driver died during round 3": steps 1 (edges) + 2..4 (balls
+    // 0..2) committed — HyperBall never releases, every ball is
+    // output — plus a torn step 5
+    graft.graph.HyperBall.run(nodes, "id", edges, rounds = 2, m = 64,
+      checkpoint = CheckpointMode.Path(dir)).collect()
+    torn(dir, "hyperball-step-5")
+    def series(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6))).sortBy(x => (x._1, x._2)).toSeq
+    val resumed = series(graft.graph.HyperBall.run(nodes, "id", edges,
+      rounds = 3, m = 64, checkpoint = CheckpointMode.Path(dir), resume = true))
+    val fresh = series(graft.graph.HyperBall.run(nodes, "id", edges,
+      rounds = 3, m = 64))
+    assert(resumed === fresh,
+      "resumed ball series must be bit-identical to an uninterrupted run")
+    val left = steps(dir)
+    assert(Seq(1, 2, 3, 4, 5).forall(s => left.contains(s"hyperball-step-$s")),
+      s"every ball round is output — none may be released, found $left")
+  }
+
+  test("HyperBall: finished run is served from its committed balls, no recompute") {
+    val nodes = (1L to 6L).toDF("id")
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val edges = (path ++ path.map(_.swap)).toDF("src", "dst")
+    val dir = s"$tmp/hyperball-noop"
+    val first = graft.graph.HyperBall.run(nodes, "id", edges, rounds = 2,
+        m = 64, checkpoint = CheckpointMode.Path(dir))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(6)))
+      .sortBy(x => (x._1, x._2)).toSeq
+    val again = graft.graph.HyperBall.run(nodes, "id", edges, rounds = 2,
+        m = 64, checkpoint = CheckpointMode.Path(dir), resume = true)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(6)))
+      .sortBy(x => (x._1, x._2)).toSeq
+    assert(again === first)
+    assert(!steps(dir).exists(_.startsWith("hyperball-step-5")),
+      s"a finished run must not write new steps on resume, found ${steps(dir)}")
+  }
+
   test("resume on a cold dir falls back to a fresh run") {
     val nodes = ((1L to 4L) ++ (11L to 14L)).toDF("doc_id")
     val dir = s"$tmp/lpa-cold"
