@@ -1027,6 +1027,78 @@ object RelationalQueries {
             col("s_sum"), col("est_join_size"), col("exact_join_size"),
             col("rel_err"), (col("rel_err") <= 0.1).as("err_ok"),
             (col("theta") < lit(1152921504606846976L)).as("sampling"))
+      }),
+
+    // ---- q167: expectations-style data-quality audit
+    // (operators.Audit) — the validation gate a pipeline runs before a
+    // snapshot goes near training, as ONE relation of violation
+    // counts. Scale shape: every row-local check on a table folds into
+    // ONE conditional-sum aggregate over ONE scan (ten checks cost the
+    // same 100 TB scan as one, unpivoted to report rows only AFTER the
+    // data is 1×checks); uniqueness is a partial-aggregating grouped
+    // count (Σ(cnt−1) — no COUNT(DISTINCT) expand); referential
+    // integrity is a left-anti join counting orphans. The l_tax range
+    // check fails BY DESIGN (TPC-H tax reaches 0.08 > the 0.07
+    // expectation) so the report proves it counts violations instead
+    // of rubber-stamping — and the unique check then caught a REAL
+    // artifact: the synthetic generator emits duplicate (l_orderkey,
+    // l_linenumber) pairs, exactly the class of defect the audit
+    // exists to surface. NOT-IN null semantics match both engines
+    // (null status is the not_null check's job, not accepted's).
+    QueryDef("q167_audit", Some("""
+      WITH parts AS (
+        SELECT 'orders' AS tbl, 'not_null' AS chk, 'o_custkey' AS col_name,
+               CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations
+        FROM orders
+        UNION ALL
+        SELECT 'orders', 'accepted', 'o_orderstatus',
+               CAST(SUM(CASE WHEN o_orderstatus NOT IN ('F','O','P') THEN 1 ELSE 0 END) AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'orders', 'in_range', 'o_totalprice',
+               CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'lineitem', 'in_range', 'l_quantity',
+               CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT)
+        FROM lineitem
+        UNION ALL
+        SELECT 'lineitem', 'in_range', 'l_tax',
+               CAST(SUM(CASE WHEN l_tax < 0 OR l_tax > 0.07 THEN 1 ELSE 0 END) AS BIGINT)
+        FROM lineitem
+        UNION ALL
+        SELECT 'lineitem', 'unique', 'l_orderkey,l_linenumber',
+               CAST(COALESCE(SUM(cnt - 1), 0) AS BIGINT)
+        FROM (SELECT COUNT(*) AS cnt FROM lineitem GROUP BY l_orderkey, l_linenumber)
+        UNION ALL
+        SELECT 'lineitem', 'ref_integrity', 'l_orderkey', CAST(COUNT(*) AS BIGINT)
+        FROM lineitem l WHERE l_orderkey IS NOT NULL AND NOT EXISTS
+          (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+        UNION ALL
+        SELECT 'orders', 'ref_integrity', 'o_custkey', CAST(COUNT(*) AS BIGINT)
+        FROM orders od WHERE o_custkey IS NOT NULL AND NOT EXISTS
+          (SELECT 1 FROM customer c WHERE c.c_custkey = od.o_custkey))
+      SELECT tbl, chk, col_name, violations, violations = 0 AS pass
+      FROM parts ORDER BY tbl, chk, col_name"""),
+      (s, dir) => {
+        import graft.operators.Audit
+        val o = Tables.read(s, dir, "orders")
+        val l = Tables.read(s, dir, "lineitem")
+        val c = Tables.read(s, dir, "customer")
+        Audit.report(
+          Audit.rowChecks(o, "orders", Seq(
+            Audit.RowCheck("not_null", "o_custkey", col("o_custkey").isNull),
+            Audit.RowCheck("accepted", "o_orderstatus",
+              not(col("o_orderstatus").isin("F", "O", "P"))),
+            Audit.RowCheck("in_range", "o_totalprice", col("o_totalprice") <= 0))),
+          Audit.rowChecks(l, "lineitem", Seq(
+            Audit.RowCheck("in_range", "l_quantity",
+              col("l_quantity") < 1 || col("l_quantity") > 50),
+            Audit.RowCheck("in_range", "l_tax",
+              col("l_tax") < 0 || col("l_tax") > 0.07))),
+          Audit.unique(l, "lineitem", Seq("l_orderkey", "l_linenumber")),
+          Audit.refIntegrity(l, "l_orderkey", "lineitem", o, "o_orderkey"),
+          Audit.refIntegrity(o, "o_custkey", "orders", c, "c_custkey"))
       })
   )
 }
