@@ -48,9 +48,12 @@ object HyperBall {
 
   /** One ball-growth round: every vertex's registers ride its OUT
     * edges to the neighbor, then merge with the neighbor's own —
-    * register-wise MAX, a mergeable hash agg.
+    * register-wise MAX, a mergeable hash agg. (`private[graft]` so
+    * PlanQualitySpec can lock the partial-MAX shape of the round
+    * itself — the materialization between rounds hides it from the
+    * final plan.)
     */
-  private def step(edges: DataFrame, regs: DataFrame): DataFrame =
+  private[graft] def step(edges: DataFrame, regs: DataFrame): DataFrame =
     edges.join(regs.withColumnRenamed("id", "src"), "src")
       .select(col("dst").as("id"), col("j"), col("mreg"))
       .unionByName(regs)

@@ -3257,7 +3257,54 @@ object TextQueries {
       tot AS (SELECT CAST(SUM(c_nanos) AS BIGINT) AS js_total_nanos FROM j)
       SELECT token, cnt_p, cnt_q, c_nanos, js_total_nanos
       FROM top, tot ORDER BY c_nanos DESC, token"""),
+      (s, dir) => jsDrift(s, dir)),
+
+    // ---- q168: the neighborhood function proper — HyperBall's
+    // headline readout (Boldi & Vigna §1): N(r) = Σ_v |B(v, r)|, the
+    // number of reachable pairs within distance r, its per-vertex
+    // average, and the cumulative reach fraction N(r)/N(R) whose 0.9
+    // crossing IS the effective diameter. Reuses the q163 ball series;
+    // per-round sums are over MICRO-scaled integer estimates
+    // (round-to-integer of the already-6-rounded est — cross-engine
+    // safe, and the sum becomes exact/order-free), so the only floats
+    // are single divisions of exact longs. The dup-graph reading:
+    // reach_frac ≈ flat past r=1 says dup families are tight stars,
+    // not chains — exactly why 3 HyperBall rounds suffice where a
+    // per-pair BFS would be Θ(V²).
+    QueryDef("q168_distance_distribution", Some(s"""$hyperballCtes,
+      ests AS MATERIALIZED (
+      $hyperballEstsSql),
+      agg AS (SELECT r,
+                CAST(SUM(CAST(ROUND(est * 1000000) AS BIGINT)) AS BIGINT) AS sum_ball_micros,
+                CAST(COUNT(*) AS BIGINT) AS n_vertices
+              FROM ests GROUP BY r),
+      tot AS (SELECT sum_ball_micros AS tot_micros FROM agg WHERE r = 3)
+      SELECT r, n_vertices, sum_ball_micros,
+             CAST(sum_ball_micros AS DOUBLE) / CAST(n_vertices AS DOUBLE)
+               / 1000000.0 AS avg_ball,
+             sum_ball_micros / tot_micros AS reach_frac,
+             sum_ball_micros / tot_micros >= 0.9 AS eff_radius_reached
+      FROM agg, tot ORDER BY r"""),
       (s, dir) => {
+        val agg = hyperballBalls(s, dir).groupBy("r")
+          .agg(sum(round(col("est") * 1000000).cast("long")).cast("long")
+              .as("sum_ball_micros"),
+            count(lit(1)).cast("long").as("n_vertices"))
+        val tot = agg.where(col("r") === hyperballRounds)
+          .select(col("sum_ball_micros").as("tot_micros"))
+        agg.crossJoin(broadcast(tot))
+          .select(col("r"), col("n_vertices"), col("sum_ball_micros"),
+            (col("sum_ball_micros").cast("double")
+              / col("n_vertices").cast("double") / lit(1000000.0)).as("avg_ball"),
+            (col("sum_ball_micros") / col("tot_micros")).as("reach_frac"),
+            (col("sum_ball_micros") / col("tot_micros") >= 0.9)
+              .as("eff_radius_reached"))
+          .orderBy("r")
+      })
+  )
+
+  /** Spark side of q166 (extracted so the defs entry stays readable). */
+  private def jsDrift(s: SparkSession, dir: String): DataFrame = {
         val c = tokenized(s, dir)
           .select((col("doc_id") % 2).as("sl"), explode(col("tokens")).as("token"))
           .groupBy("token")
@@ -3280,6 +3327,5 @@ object TextQueries {
           .select(col("token"), col("cnt_p"), col("cnt_q"), col("c_nanos"),
             col("js_total_nanos"))
           .orderBy(col("c_nanos").desc, col("token"))
-      })
-  )
+  }
 }

@@ -518,4 +518,54 @@ class PlanQualitySpec extends SparkTestBase {
     assert(aggs.exists(_.contains("partial_kmvaggregator")),
       "θ must come from a partial bottom-k aggregation, not a pre-shuffled distinct")
   }
+
+  test("HyperBall round (q163): register MAX partial-aggregates; no window, no cartesian") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // the ball-growth shuffle must move register-table rows (≤ m per
+    // vertex after map-side MAX), never exploded ball members
+    val regs = (1L to 50L).map(i => (i, (i % 64).toInt, 1))
+      .toDF("id", "j", "mreg")
+    val e = (1L to 49L).map(i => (i, i + 1))
+    val edges = (e ++ e.map(_.swap)).toDF("src", "dst")
+    val plan = collectAll(executed(graft.graph.HyperBall.step(edges, regs)))
+    val aggs = plan.filter(_.nodeName.contains("HashAggregate")).map(_.toString)
+    assert(aggs.exists(_.contains("partial_max")),
+      "round group-MAX must partial-aggregate map-side")
+    assert(!plan.exists(_.nodeName == "Window"), "HyperBall must not window")
+    assert(!plan.exists { case _: CartesianProductExec => true; case _ => false })
+    // and the full run introduces no window/cartesian either
+    val full = collectAll(executed(graft.graph.HyperBall.run(
+      (1L to 50L).toDF("id"), "id", edges, rounds = 2, m = 64)))
+    assert(!full.exists(_.nodeName == "Window"))
+    assert(!full.exists { case _: CartesianProductExec => true; case _ => false })
+  }
+
+  test("q165 weighted sample: mergeable k-slot selection — no per-source window; winners broadcast back") {
+    val plan = collectAll(executed(q("q165_weighted_sample")))
+    assert(!plan.exists(_.nodeName == "Window"),
+      "selection must be the k-slot aggregator, never a per-source row_number window")
+    val aggs = plan.filter(_.nodeName.contains("ObjectHashAggregate")).map(_.toString)
+    assert(aggs.exists(_.contains("partial_topkaggregator")),
+      "k-slot buffers must partial-aggregate before the exchange")
+    assert(plan.exists { case _: BroadcastHashJoinExec => true; case _ => false },
+      "the k-per-source winner table must broadcast for its payload join")
+  }
+
+  test("q166 JS drift: one vocab agg, mergeable top-k, no window") {
+    val plan = collectAll(executed(q("q166_js_drift")))
+    assert(!plan.exists(_.nodeName == "Window"), "q166 must not window")
+    assert(plan.exists(_.nodeName.contains("TakeOrderedAndProject")),
+      "the top-20 must be the mergeable TakeOrdered, not a global sort")
+    val aggs = plan.filter(_.nodeName.contains("HashAggregate")).map(_.toString)
+    assert(aggs.exists(a => a.contains("partial_sum") && a.contains("token")),
+      "slice counts must partial-aggregate map-side in the one vocab agg")
+  }
+
+  test("q168 distance distribution: aggregates all the way down — no window, no sort of the corpus") {
+    val plan = collectAll(executed(q("q168_distance_distribution")))
+    assert(!plan.exists(_.nodeName == "Window"), "q168 must not window")
+    assert(!plan.exists { case _: CartesianProductExec => true; case _ => false },
+      "the 1-row total joins as a broadcast, never a cartesian")
+  }
 }
