@@ -82,6 +82,91 @@ object PageRank {
     }
   }
 
+  /** PERSONALIZED PageRank (Page et al. 1999 §6; the random walk
+    * restarts into a seed set instead of teleporting uniformly):
+    * rank'(v) = (1−d)·p0(v) + d·Σ contributions, with p0 = 1/|seeds|
+    * on the seed ids and 0 elsewhere — so rank mass concentrates on
+    * the seeds' neighborhood and the result ranks every node by
+    * multi-hop relatedness TO THE SEEDS (the "expand this labeled set
+    * / find docs like these" primitive single-source BFS can't give:
+    * PPR weighs all paths, not just shortest ones). Same per-iteration
+    * shape as [[run]] — one equi-join + one hash agg — plus a join
+    * against the materialized teleport table instead of the uniform
+    * 1-row broadcast. Seeds must be a subset of `nodes` (mass is
+    * normalized over the seed table as given).
+    *
+    * Path-mode resume mirrors [[run]]: step 1 = teleport table,
+    * step 2 = adjacency (both never released), step 3+i = ranks after
+    * iteration i.
+    */
+  def runPersonalized(nodes: DataFrame, edges: DataFrame, seeds: DataFrame,
+                      iters: Int, damping: Double = 0.85,
+                      checkpoint: graft.operators.CheckpointMode =
+                        graft.operators.CheckpointMode.Local,
+                      resume: Boolean = false): DataFrame = {
+    require(iters >= 1, s"iters must be positive, got $iters")
+    val cp = new graft.operators.Checkpointer(checkpoint, "ppr")
+    val spark = nodes.sparkSession
+    val resumed = (checkpoint, resume) match {
+      case (graft.operators.CheckpointMode.Path(dir), true) =>
+        for {
+          (s, frontier) <- graft.operators.Checkpointer
+            .lastCompleteStep(spark, dir, "ppr")
+          if s >= 3 && s <= 3 + iters
+          teleF <- graft.operators.Checkpointer.completeStep(spark, dir, "ppr", 1)
+          adjF <- graft.operators.Checkpointer.completeStep(spark, dir, "ppr", 2)
+        } yield (s, frontier, teleF, adjF)
+      case _ => None
+    }
+    resumed match {
+      case Some((s, frontier, _, _)) if s == 3 + iters => frontier
+      case Some((s, frontier, teleF, adjF)) =>
+        iteratePersonalized(cp, teleF, adjF, cp.resumeAt(s, frontier),
+          rounds = iters - (s - 3), damping)
+      case None =>
+        val sRow = broadcast(seeds.agg(count(lit(1)).cast("double").as("ns")))
+        val tele = cp.materialize(nodes.select(col(nodes.columns.head).as("id"))
+          .join(seeds.select(col(seeds.columns.head).as("id"),
+            lit(1).as("_s")), Seq("id"), "left")
+          .crossJoin(sRow)
+          .select(col("id"), when(col("_s").isNotNull, lit(1.0) / col("ns"))
+            .otherwise(lit(0.0)).as("p0")))
+        val adj = {
+          val deg = edges.groupBy(col("src").as("id"))
+            .agg(count(lit(1)).as("outdeg"))
+          cp.materialize(edges.select(col("src"), col("dst"))
+            .join(deg, col("src") === col("id")).drop("id"))
+        }
+        val rank0 = cp.materialize(
+          tele.select(col("id"), col("p0").as("rank")))
+        iteratePersonalized(cp, tele, adj, rank0, rounds = iters, damping)
+    }
+  }
+
+  /** [[iterate]] with a per-node teleport table instead of the uniform
+    * 1-row broadcast; the teleport join keys on id, so Catalyst
+    * shuffles it once and reuses the partitioning.
+    */
+  private def iteratePersonalized(cp: graft.operators.Checkpointer,
+                                  tele: DataFrame, adj: DataFrame,
+                                  rank0: DataFrame, rounds: Int,
+                                  damping: Double): DataFrame = {
+    var rank = rank0
+    var prev: Option[DataFrame] = Some(rank)
+    for (_ <- 1 to rounds) {
+      val contrib = adj.join(rank, adj("src") === rank("id"))
+        .groupBy(col("dst").as("id"))
+        .agg(sum(col("rank") / col("outdeg")).as("c"))
+      rank = cp.materialize(tele.join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          ((lit(1.0) - damping) * col("p0")
+            + lit(damping) * coalesce(col("c"), lit(0.0))).as("rank")))
+      prev.foreach(cp.release)
+      prev = Some(rank)
+    }
+    rank
+  }
+
   /** The power-iteration loop proper, from an arbitrary starting rank
     * table — shared by fresh runs (uniform start) and resumed runs
     * (the recovered frontier).

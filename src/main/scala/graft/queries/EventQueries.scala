@@ -674,6 +674,76 @@ object EventQueries {
             (abs(col("est_inter") - col("exact_inter").cast("double"))
               <= col("exact_union").cast("double") * 0.25).as("inter_err_ok"))
           .orderBy("sa", "sb")
+      }),
+
+    // ---- q169: ROLLING-WINDOW distinct users (3-day WAU shape) from
+    // daily HLL sketches — sketch algebra in the TIME dimension: build
+    // one register table per day (partial-aggregating, q148's shape),
+    // then every anchor day's window [d−2, d] is a register-MAX merge
+    // of 3 daily sketches. The clone factor (window length) applies to
+    // SKETCH rows — days×m, not events — which is the entire point: a
+    // 100 TB/deep-history rolling MAU never re-scans w days of raw
+    // events per anchor, and day d's raw data is touched exactly once
+    // ever (yesterday's sketches are immutable artifacts; idempotent
+    // MAX merge survives re-delivered shards). The exact
+    // per-window COUNT(DISTINCT) rides along as gate-only ground truth
+    // with the q148 err bound (m=1024, bias-corrected); partial
+    // leading windows (< 3 days of history) are standard rolling
+    // semantics. Day = integer micros div — no calendar/timezone
+    // surface anywhere.
+    QueryDef("q169_rolling_distinct", Some(s"""
+      WITH ev AS (SELECT epoch_us(ts) // 86400000000 AS day_n,
+                         CAST(user_id AS VARCHAR) AS u
+                  FROM events),
+      ${graft.functions.HyperLogLog.hashCtesSql("u", "ev", "day_n", 1024, "rd")},
+      d0 AS MATERIALIZED (SELECT day_n, j, MAX(rho) AS mreg FROM rdr GROUP BY day_n, j),
+      mx AS (SELECT MAX(day_n) AS dmax FROM ev),
+      win AS (SELECT day_n + off AS anchor, j, MAX(mreg) AS mreg
+              FROM d0, (SELECT UNNEST([0, 1, 2]) AS off) o, mx
+              WHERE day_n + off <= dmax
+              GROUP BY day_n + off, j),
+      ud AS (SELECT DISTINCT day_n, u FROM ev),
+      ex AS (SELECT day_n + off AS anchor, u
+             FROM ud, (SELECT UNNEST([0, 1, 2]) AS off) o, mx
+             WHERE day_n + off <= dmax),
+      exact AS (SELECT anchor, CAST(COUNT(DISTINCT u) AS BIGINT) AS exact_users
+                FROM ex GROUP BY anchor)
+      SELECT x.anchor AS anchor_day, e.v0, e.n_present, e.s_hi, e.s_lo, e.est,
+             x.exact_users,
+             ABS(e.est - CAST(x.exact_users AS DOUBLE))
+               <= CAST(x.exact_users AS DOUBLE) * 0.13 AS err_ok
+      FROM (${graft.functions.HyperLogLog.estimateSql(
+        "SELECT anchor, j, mreg FROM win", "anchor", 1024)}) e
+      JOIN exact x ON x.anchor = e.anchor
+      ORDER BY anchor_day"""),
+      (s, dir) => {
+        import graft.functions.HyperLogLog
+        val m = 1024
+        val ev = Tables.events(s, dir)
+          .select(expr("ts_us div 86400000000").as("day_n"),
+            col("user_id").cast("string").as("u"))
+          .localCheckpoint() // feeds sketch, exact side, and dmax
+        val offs = array((0 to 2).map(lit): _*)
+        val mx = ev.agg(max("day_n").as("dmax"))
+        val d0 = HyperLogLog.sketch(ev, col("u"), Seq("day_n"), m)
+        val win = d0
+          .select(explode(offs).as("off"), col("day_n"), col("j"), col("mreg"))
+          .select((col("day_n") + col("off")).as("anchor"), col("j"), col("mreg"))
+          .crossJoin(broadcast(mx)).where(col("anchor") <= col("dmax"))
+          .groupBy("anchor", "j").agg(max("mreg").as("mreg"))
+        val est = HyperLogLog.estimate(win, Seq("anchor"), m)
+        val exact = ev.distinct()
+          .select(explode(offs).as("off"), col("day_n"), col("u"))
+          .select((col("day_n") + col("off")).as("anchor"), col("u"))
+          .crossJoin(broadcast(mx)).where(col("anchor") <= col("dmax"))
+          .distinct()
+          .groupBy("anchor").agg(count(lit(1)).cast("long").as("exact_users"))
+        est.join(exact, "anchor")
+          .select(col("anchor").as("anchor_day"), col("v0"), col("n_present"),
+            col("s_hi"), col("s_lo"), col("est"), col("exact_users"),
+            (abs(col("est") - col("exact_users").cast("double"))
+              <= col("exact_users").cast("double") * 0.13).as("err_ok"))
+          .orderBy("anchor_day")
       })
   )
 }

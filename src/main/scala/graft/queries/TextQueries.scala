@@ -3300,6 +3300,84 @@ object TextQueries {
             (col("sum_ball_micros") / col("tot_micros") >= 0.9)
               .as("eff_radius_reached"))
           .orderBy("r")
+      }),
+
+    // ---- q170: PERSONALIZED PageRank over the q124 verified dup
+    // graph — the walk restarts into a 10-doc seed set instead of
+    // teleporting uniformly, so rank measures multi-hop relatedness TO
+    // THE SEEDS: the "expand this labeled set / find docs like these"
+    // primitive (weighs ALL paths, unlike a BFS frontier). Same
+    // per-iteration shape as q124 (one equi-join + one hash agg) plus
+    // a join against the materialized teleport table; seeds' own ranks
+    // dominate (they hold the restart mass), their dup partners rank
+    // next, untouched components sit at exactly 0. Teleport constants
+    // are CAST to DOUBLE on the SQL side so both engines compute the
+    // same (1 − d) binary double — not DuckDB's exact DECIMAL 0.15.
+    QueryDef("q170_personalized_pagerank", Some(s"""${toksCte()},
+      sig AS (SELECT doc_id,
+        ${(0 until 8).map(i =>
+          s"list_min(list_transform(list_distinct(tokens), t -> md5('$i:' || t))) AS mh$i")
+          .mkString(",\n        ")}
+              FROM toks),
+      band AS (${(0 until 4).map(b =>
+          s"SELECT doc_id, $b AS b, mh${2 * b} || '|' || mh${2 * b + 1} AS chunk FROM sig")
+          .mkString(" UNION ALL\n               ")}),
+      kept AS (SELECT doc_id, b, chunk FROM
+                 (SELECT doc_id, b, chunk,
+                         COUNT(*) OVER (PARTITION BY b, chunk) AS bsz FROM band)
+               WHERE bsz <= 50),
+      cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+               FROM kept a JOIN kept b
+                 ON a.b = b.b AND a.chunk = b.chunk AND a.doc_id < b.doc_id),
+      sh AS (SELECT doc_id,
+               list_distinct(list_transform(range(1, len(tokens)),
+                             i -> tokens[i] || ' ' || tokens[i+1])) AS sh
+             FROM toks),
+      ver AS (SELECT id_a, id_b FROM
+                (SELECT c.id_a, c.id_b,
+                        CASE WHEN len(a.sh) + len(b.sh)
+                                  - len(list_intersect(a.sh, b.sh)) = 0 THEN NULL
+                             ELSE len(list_intersect(a.sh, b.sh))
+                                  / (len(a.sh) + len(b.sh)
+                                     - len(list_intersect(a.sh, b.sh))) END AS jac
+                 FROM cand c JOIN sh a ON a.doc_id = c.id_a
+                             JOIN sh b ON b.doc_id = c.id_b)
+              WHERE jac >= CAST(0.5 AS DOUBLE)),
+      edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM ver
+                UNION ALL SELECT id_b, id_a FROM ver),
+      nodes AS MATERIALIZED (SELECT doc_id AS id FROM toks),
+      seeds AS (SELECT id FROM nodes WHERE id < 10),
+      sn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS ns FROM seeds),
+      p0 AS MATERIALIZED (SELECT n.id,
+               CASE WHEN s.id IS NULL THEN 0.0
+                    ELSE CAST(1 AS DOUBLE) / (SELECT ns FROM sn) END AS p
+             FROM nodes n LEFT JOIN seeds s ON s.id = n.id),
+      deg AS MATERIALIZED (SELECT src AS id, COUNT(*) AS outdeg FROM edges GROUP BY src),
+      pr0 AS MATERIALIZED (SELECT id, p AS rank FROM p0),
+      ${(1 to 3).map(i => s"""pr$i AS MATERIALIZED (
+        SELECT nd.id,
+               (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) * nd.p
+               + CAST(0.85 AS DOUBLE) * COALESCE(SUM(pv.rank / d.outdeg), 0) AS rank
+        FROM p0 nd
+        LEFT JOIN edges e ON e.dst = nd.id
+        LEFT JOIN pr${i - 1} pv ON pv.id = e.src
+        LEFT JOIN deg d ON d.id = e.src
+        GROUP BY nd.id, nd.p)""").mkString(",\n      ")}
+      SELECT id AS doc_id, ROUND(rank, 6) AS rank
+      FROM pr3 ORDER BY doc_id"""),
+      (s, dir) => {
+        val toks = tokenized(s, dir)
+        val cand = Dedup.lshBandedCandidatePairs(toks, "doc_id", "tokens", 4, 2,
+          maxBucketSize = 50)
+        val verified = Dedup.verifyJaccard(toks, "doc_id", "tokens", cand)
+          .where(col("jaccard") >= 0.5)
+        val edges = verified.select(col("id_a").as("src"), col("id_b").as("dst"))
+          .union(verified.select(col("id_b").as("src"), col("id_a").as("dst")))
+        val nodes = toks.select("doc_id")
+        graft.graph.PageRank.runPersonalized(nodes, edges,
+            nodes.where(col("doc_id") < 10), iters = 3)
+          .select(col("id").as("doc_id"), round(col("rank"), 6).as("rank"))
+          .orderBy("doc_id")
       })
   )
 

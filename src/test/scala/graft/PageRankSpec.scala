@@ -43,4 +43,39 @@ class PageRankSpec extends SparkTestBase {
     assert(math.abs(got(2L) - want) < 1e-12)
     assert(math.abs(got(0L) - (0.15 / 3 + 0.85 * 2 * (1.0 / 3))) < 1e-12)
   }
+
+  private def pprRanks(nodes: Seq[Long], edges: Seq[(Long, Long)],
+                       seeds: Seq[Long], iters: Int) =
+    PageRank.runPersonalized(nodes.toDF("id"), edges.toDF("src", "dst"),
+        seeds.toDF("id"), iters)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+  test("personalized: closed-form walk on a mutual pair, single seed") {
+    // a↔b, seed {a}: r0 = (1, 0);
+    // r1(a) = 0.15·1 + 0.85·r0(b) = 0.15, r1(b) = 0.85·r0(a) = 0.85;
+    // r2(a) = 0.15 + 0.85·0.85 = 0.8725, r2(b) = 0.85·0.15 = 0.1275
+    val r2 = pprRanks(Seq(1L, 2L), Seq((1L, 2L), (2L, 1L)), Seq(1L), iters = 2)
+    assert(math.abs(r2(1L) - 0.8725) < 1e-12)
+    assert(math.abs(r2(2L) - 0.1275) < 1e-12)
+  }
+
+  test("personalized: restart mass stays in the seeds' component — strangers get exactly 0") {
+    // two disjoint pairs; seeding the first leaves the second at 0.0
+    // (not a small teleport floor — PPR has NO uniform teleport)
+    val got = pprRanks(Seq(1L, 2L, 3L, 4L),
+      Seq((1L, 2L), (2L, 1L), (3L, 4L), (4L, 3L)), Seq(1L), iters = 3)
+    assert(got(3L) === 0.0 && got(4L) === 0.0,
+      "unreachable nodes must hold zero rank under a seeded restart")
+    assert(math.abs(got.values.sum - 1.0) < 1e-9,
+      "dangling-free graph conserves the unit restart mass")
+  }
+
+  test("personalized: multi-seed restart splits mass over the seed set") {
+    // seeds {1, 3} on two disjoint pairs: each component runs the
+    // single-seed walk at half mass
+    val both = pprRanks(Seq(1L, 2L, 3L, 4L),
+      Seq((1L, 2L), (2L, 1L), (3L, 4L), (4L, 3L)), Seq(1L, 3L), iters = 2)
+    assert(math.abs(both(1L) - 0.8725 / 2) < 1e-12)
+    assert(math.abs(both(4L) - 0.1275 / 2) < 1e-12)
+  }
 }

@@ -334,6 +334,31 @@ class ResumeSpec extends SparkTestBase {
       s"a finished run must not write new steps on resume, found ${steps(dir)}")
   }
 
+  test("personalized PageRank: killed run resumes from the last committed rank table, bit-identical") {
+    import graft.graph.PageRank
+    val nodes = (1L to 4L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L))
+      .toDF("src", "dst")
+    val seeds = Seq(1L).toDF("id")
+    val dir = s"$tmp/ppr-kill"
+    // died during iteration 2: steps 1 (teleport) + 2 (adjacency) +
+    // 3 (rank0) + 4 (rank after iter 1) committed, torn step 5
+    PageRank.runPersonalized(nodes, edges, seeds, iters = 1,
+      checkpoint = CheckpointMode.Path(dir)).collect()
+    torn(dir, "ppr-step-5")
+    val resumed = PageRank.runPersonalized(nodes, edges, seeds, iters = 3,
+        checkpoint = CheckpointMode.Path(dir), resume = true)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+    val fresh = PageRank.runPersonalized(nodes, edges, seeds, iters = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+    assert(resumed === fresh,
+      "resumed personalized ranks must be bit-identical to an uninterrupted run")
+    val left = steps(dir)
+    assert(left.contains("ppr-step-6"), s"expected frontier step 6 in $left")
+    assert(!left.contains("ppr-step-4"),
+      s"resumed-from step must be released once superseded, found $left")
+  }
+
   test("resume on a cold dir falls back to a fresh run") {
     val nodes = ((1L to 4L) ++ (11L to 14L)).toDF("doc_id")
     val dir = s"$tmp/lpa-cold"
