@@ -744,6 +744,102 @@ object EventQueries {
             (abs(col("est") - col("exact_users").cast("double"))
               <= col("exact_users").cast("double") * 0.13).as("err_ok"))
           .orderBy("anchor_day")
+      }),
+
+    // ---- q171: ORDERED funnel (view → click → purchase) — the event-
+    // analytics staple: how many users reach each step IN ORDER, with
+    // per-step conversion. Strictly sequential semantics (a click only
+    // counts after the user's FIRST view; a purchase only after that
+    // first qualifying click), computed as a chain of keyed min-aggs —
+    // step i is one equi-join on user against step i−1's arrival table
+    // + one hash MIN, so depth-k funnels cost k joins over
+    // user-keyed tables, never a per-user event sort or a window over
+    // the firehose. Conversions are single exact long/long divisions;
+    // denominator-zero guarded per the house ANSI rule.
+    QueryDef("q171_funnel", Some("""
+      WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tu FROM events),
+      n0 AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n0 FROM e),
+      t1 AS (SELECT user_id, MIN(tu) AS t1 FROM e
+             WHERE event_type = 'view' GROUP BY user_id),
+      t2 AS (SELECT e.user_id, MIN(tu) AS t2 FROM e JOIN t1 ON t1.user_id = e.user_id
+             WHERE e.event_type = 'click' AND e.tu > t1.t1 GROUP BY e.user_id),
+      t3 AS (SELECT e.user_id, MIN(tu) AS t3 FROM e JOIN t2 ON t2.user_id = e.user_id
+             WHERE e.event_type = 'purchase' AND e.tu > t2.t2 GROUP BY e.user_id),
+      c AS (SELECT (SELECT n0 FROM n0) AS n0,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM t1) AS n1,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM t2) AS n2,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM t3) AS n3)
+      SELECT step, users, conv FROM (
+        SELECT '1_view' AS step, n1 AS users,
+               CASE WHEN n0 > 0 THEN n1 / n0 END AS conv FROM c
+        UNION ALL SELECT '2_click', n2, CASE WHEN n1 > 0 THEN n2 / n1 END FROM c
+        UNION ALL SELECT '3_purchase', n3, CASE WHEN n2 > 0 THEN n3 / n2 END FROM c)
+      ORDER BY step"""),
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+          .select(col("user_id"), col("event_type"), col("ts_us"))
+          .localCheckpoint() // base of all three step filters + user count
+        val n0 = e.select("user_id").distinct()
+          .agg(count(lit(1)).cast("long").as("n0"))
+        val t1 = e.where(col("event_type") === "view")
+          .groupBy("user_id").agg(min("ts_us").as("t1"))
+        val t2 = e.where(col("event_type") === "click").join(t1, "user_id")
+          .where(col("ts_us") > col("t1"))
+          .groupBy("user_id").agg(min("ts_us").as("t2"))
+        val t3 = e.where(col("event_type") === "purchase").join(t2, "user_id")
+          .where(col("ts_us") > col("t2"))
+          .groupBy("user_id").agg(min("ts_us").as("t3"))
+        def n(df: org.apache.spark.sql.DataFrame, as: String) =
+          broadcast(df.agg(count(lit(1)).cast("long").as(as)))
+        val c = broadcast(n0).crossJoin(n(t1, "n1")).crossJoin(n(t2, "n2"))
+          .crossJoin(n(t3, "n3"))
+        c.select(explode(array(
+            struct(lit("1_view").as("step"), col("n1").as("users"),
+              when(col("n0") > 0, col("n1") / col("n0")).as("conv")),
+            struct(lit("2_click").as("step"), col("n2").as("users"),
+              when(col("n1") > 0, col("n2") / col("n1")).as("conv")),
+            struct(lit("3_purchase").as("step"), col("n3").as("users"),
+              when(col("n2") > 0, col("n3") / col("n2")).as("conv"))))
+            .as("r"))
+          .select(col("r.step"), col("r.users"), col("r.conv"))
+          .orderBy("step")
+      }),
+
+    // ---- q172: event-type transition matrix — the first-order Markov
+    // view of user behavior: P(next event type | current), from each
+    // user's time-ordered event stream. The LEAD window partitions by
+    // user (bounded by one user's history — the q17 sessionization
+    // adjudication, never a global window), transition counts are one
+    // hash agg onto the type×type grid, and row-normalization joins
+    // the ≤ types² count table against its own row totals — post-
+    // aggregation, everything is sketch-sized. Probabilities are
+    // single exact long/long divisions → hash-exact.
+    QueryDef("q172_event_transitions", Some("""
+      WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tu, event_id FROM events),
+      p AS (SELECT user_id, event_type AS cur,
+              LEAD(event_type) OVER (PARTITION BY user_id
+                ORDER BY tu, event_id) AS nxt
+            FROM e),
+      t AS (SELECT cur, nxt, CAST(COUNT(*) AS BIGINT) AS n FROM p
+            WHERE nxt IS NOT NULL GROUP BY cur, nxt),
+      tot AS (SELECT cur, CAST(SUM(n) AS BIGINT) AS n_cur FROM t GROUP BY cur)
+      SELECT t.cur, t.nxt, t.n, tot.n_cur, t.n / tot.n_cur AS p
+      FROM t JOIN tot ON tot.cur = t.cur
+      ORDER BY t.cur, t.nxt"""),
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        val t = Tables.events(s, dir)
+          .select(col("user_id"), col("event_type").as("cur"),
+            col("ts_us"), col("event_id"))
+          .withColumn("nxt", lead("cur", 1).over(w))
+          .where(col("nxt").isNotNull)
+          .groupBy("cur", "nxt").agg(count(lit(1)).cast("long").as("n"))
+          .localCheckpoint() // feeds counts AND its own row totals
+        val tot = t.groupBy("cur").agg(sum("n").cast("long").as("n_cur"))
+        t.join(tot, "cur")
+          .select(col("cur"), col("nxt"), col("n"), col("n_cur"),
+            (col("n") / col("n_cur")).as("p"))
+          .orderBy("cur", "nxt")
       })
   )
 }
