@@ -3378,6 +3378,52 @@ object TextQueries {
             nodes.where(col("doc_id") < 10), iters = 3)
           .select(col("id").as("doc_id"), round(col("rank"), 6).as("rank"))
           .orderBy("doc_id")
+      }),
+
+    // ---- q173: snapshot diff — the "what changed since the last
+    // crawl" report: two corpus snapshots (simulated by modulus slices
+    // + a fingerprint perturbation standing in for re-crawled docs)
+    // full-outer-joined on id, each doc classified
+    // added/removed/modified/unchanged by comparing CONTENT
+    // FINGERPRINTS — never the text itself, which is the 100 TB point:
+    // the diff join moves (id, source, 32-byte fp) rows, one shuffle
+    // join + one hash agg regardless of document size, and the md5
+    // columns prune the text read out of everything downstream of the
+    // fingerprint projection. Counts per source × status feed the
+    // ingest dashboard; exact integers → hash-exact.
+    QueryDef("q173_snapshot_diff", Some("""
+      WITH olds AS (SELECT doc_id, source, md5(text) AS fp
+                    FROM documents WHERE doc_id % 11 <> 3),
+      news AS (SELECT doc_id, source,
+                 CASE WHEN doc_id % 17 = 2 THEN md5(text || ':v2')
+                      ELSE md5(text) END AS fp
+               FROM documents WHERE doc_id % 13 <> 5),
+      j AS (SELECT COALESCE(o.source, n.source) AS source,
+                   CASE WHEN o.doc_id IS NULL THEN 'added'
+                        WHEN n.doc_id IS NULL THEN 'removed'
+                        WHEN o.fp <> n.fp THEN 'modified'
+                        ELSE 'unchanged' END AS status
+            FROM olds o FULL JOIN news n ON n.doc_id = o.doc_id)
+      SELECT source, status, CAST(COUNT(*) AS BIGINT) AS n
+      FROM j GROUP BY source, status ORDER BY source, status"""),
+      (s, dir) => {
+        val d = docs(s, dir)
+        val olds = d.where(col("doc_id") % 11 =!= 3)
+          .select(col("doc_id"), col("source"), md5(col("text")).as("fp"))
+        val news = d.where(col("doc_id") % 13 =!= 5)
+          .select(col("doc_id"), col("source"),
+            when(col("doc_id") % 17 === 2,
+              md5(concat(col("text"), lit(":v2"))))
+              .otherwise(md5(col("text"))).as("fp"))
+        olds.as("o").join(news.as("n"),
+            col("n.doc_id") === col("o.doc_id"), "full")
+          .select(coalesce(col("o.source"), col("n.source")).as("source"),
+            when(col("o.doc_id").isNull, "added")
+              .when(col("n.doc_id").isNull, "removed")
+              .when(col("o.fp") =!= col("n.fp"), "modified")
+              .otherwise("unchanged").as("status"))
+          .groupBy("source", "status").agg(count(lit(1)).cast("long").as("n"))
+          .orderBy("source", "status")
       })
   )
 
