@@ -881,6 +881,82 @@ object EmbeddingQueries {
           .select(col("q_id"), col("n_hit"),
             (col("n_hit").cast("double") / 10).as("recall"))
           .orderBy("q_id")
+      }),
+
+    // ---- q174: cluster-health report for the q53 trained codebook —
+    // the readout a vector-index owner checks before trusting IVF
+    // routing: per cluster, its member count, mean member-to-centroid
+    // cosine (tightness), and the max cosine to ANY other centroid
+    // (separation — high means two clusters cover the same region and
+    // nprobe must rise to compensate). Scale shape: assignment is the
+    // IVF map-side pattern (codebook broadcast, mergeable max_by
+    // argmax — no per-vector window); tightness sums MICRO-scaled
+    // integer cosines (exact, order-free — the per-item cosine is the
+    // same fixed-order dot both engines share); the k×k centroid
+    // self-join never touches the corpus. Empty clusters don't appear
+    // (nothing assigned → nothing to report).
+    QueryDef("q174_cluster_health", Some(s"""
+      WITH e AS (SELECT vec_id, embedding, ${sqlNorm("embedding")} AS nrm FROM embeddings
+                 WHERE ${sqlNorm("embedding")} > 0),
+      c0 AS (SELECT vec_id AS centroid_id, embedding AS cvec
+             FROM embeddings WHERE vec_id % 50 = 0),
+      ${lloydIterationCte(1, "c0")},
+      ${lloydIterationCte(2, "c1")},
+      cn3 AS (SELECT centroid_id, cvec, ${sqlNorm("cvec")} AS cnrm FROM c2
+              WHERE ${sqlNorm("cvec")} > 0),
+      s3 AS (SELECT e.vec_id, cn3.centroid_id,
+                    ${sqlDot("e.embedding", "cn3.cvec")} / (e.nrm * cn3.cnrm) AS cs
+             FROM e CROSS JOIN cn3),
+      a3 AS (SELECT vec_id, centroid_id, cs FROM
+               (SELECT vec_id, centroid_id, cs,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id
+                                          ORDER BY cs DESC, centroid_id) AS rk
+                FROM s3) WHERE rk = 1),
+      g AS (SELECT centroid_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+                   CAST(SUM(CAST(ROUND(cs * 1000000) AS BIGINT)) AS BIGINT) AS sm
+            FROM a3 GROUP BY centroid_id),
+      cc AS (SELECT a.centroid_id AS centroid_id,
+                    ROUND(MAX(${sqlDot("a.cvec", "b.cvec")} / (a.cnrm * b.cnrm)), 6) AS nn_sim
+             FROM cn3 a JOIN cn3 b ON b.centroid_id <> a.centroid_id
+             GROUP BY a.centroid_id)
+      SELECT g.centroid_id, n_members,
+             CAST(sm AS DOUBLE) / CAST(n_members AS DOUBLE) / 1000000.0 AS mean_cos,
+             nn_sim
+      FROM g JOIN cc ON cc.centroid_id = g.centroid_id
+      ORDER BY g.centroid_id"""),
+      (s, dir) => {
+        val emb = Tables.read(s, dir, "embeddings")
+        val cn = Knn.kmeansCentroids(emb, "vec_id", "embedding",
+            col("vec_id") % 50 === 0, iters = 2)
+          .select(col("centroid_id"), col("cent_vec"),
+            Knn.l2norm(col("cent_vec")).as("cnrm"))
+          .where(col("cnrm") > 0)
+          .localCheckpoint() // assignment broadcast AND the k×k self-join
+        val e = emb.select(col("vec_id"), col("embedding"),
+            Knn.l2norm(col("embedding")).as("nrm"))
+          .where(col("nrm") > 0)
+        val best = e.crossJoin(broadcast(cn))
+          .select(col("vec_id"), col("centroid_id"),
+            (Knn.dot(col("embedding"), col("cent_vec"))
+              / (col("nrm") * col("cnrm"))).as("cs"))
+          .groupBy("vec_id")
+          .agg(max_by(struct(col("centroid_id"), col("cs")),
+            struct(col("cs"), -col("centroid_id"))).as("b"))
+          .select(col("b.centroid_id").as("centroid_id"), col("b.cs").as("cs"))
+        val g = best.groupBy("centroid_id")
+          .agg(count(lit(1)).cast("long").as("n_members"),
+            sum(round(col("cs") * 1000000).cast("long")).cast("long").as("sm"))
+        val cc = cn.as("a").join(cn.as("b"),
+            col("b.centroid_id") =!= col("a.centroid_id"))
+          .select(col("a.centroid_id").as("centroid_id"),
+            (Knn.dot(col("a.cent_vec"), col("b.cent_vec"))
+              / (col("a.cnrm") * col("b.cnrm"))).as("s"))
+          .groupBy("centroid_id").agg(round(max("s"), 6).as("nn_sim"))
+        g.join(cc, "centroid_id")
+          .select(col("centroid_id"), col("n_members"),
+            (col("sm").cast("double") / col("n_members").cast("double")
+              / lit(1000000.0)).as("mean_cos"), col("nn_sim"))
+          .orderBy("centroid_id")
       })
   )
 
