@@ -3424,6 +3424,57 @@ object TextQueries {
               .otherwise("unchanged").as("status"))
           .groupBy("source", "status").agg(count(lit(1)).cast("long").as("n"))
           .orderBy("source", "status")
+      }),
+
+    // ---- q175: top-N per group with an OTHER rollup — the reporting
+    // primitive behind every "top 3 tokens per source (and how much is
+    // everything else)" dashboard panel. The OTHER row is what keeps
+    // top-N honest: without it a reader can't tell whether the top 3
+    // cover 90% or 9% of the mass. Scale shape: one hash agg onto the
+    // (source, token) grid, then the mergeable k-slot buffer picks
+    // each group's top 3 (counts ride as exact doubles — no per-group
+    // window, ≤ k rows per (group, partition) cross the exchange), and
+    // OTHER = group total − top sum over the same materialized count
+    // table. All integers → hash-exact.
+    QueryDef("q175_topn_other", Some("""
+      WITH d AS (SELECT source,
+                   list_filter(regexp_split_to_array(lower(text), '\W+'),
+                               t -> t <> '' AND t NOT IN ('the','a')) AS tokens
+                 FROM documents),
+      c AS (SELECT source, token, CAST(COUNT(*) AS BIGINT) AS n
+            FROM (SELECT source, unnest(tokens) AS token FROM d) GROUP BY 1, 2),
+      r AS (SELECT source, token, n,
+              CAST(ROW_NUMBER() OVER (PARTITION BY source
+                ORDER BY n DESC, token) AS INTEGER) AS rk
+            FROM c),
+      top AS (SELECT source, rk, token, n FROM r WHERE rk <= 3),
+      tot AS (SELECT source, CAST(SUM(n) AS BIGINT) AS total FROM c GROUP BY source),
+      oth AS (SELECT t.source, CAST(4 AS INTEGER) AS rk, '<other>' AS token,
+                     t.total - COALESCE(s.topn, 0) AS n
+              FROM tot t LEFT JOIN (SELECT source, CAST(SUM(n) AS BIGINT) AS topn
+                                    FROM top GROUP BY source) s USING (source))
+      SELECT source, rk, token, n FROM top
+      UNION ALL SELECT source, rk, token, n FROM oth
+      ORDER BY source, rk"""),
+      (s, dir) => {
+        val c = docs(s, dir)
+          .select(col("source"),
+            explode(Tokenize.tokens(col("text"), Stop)).as("token"))
+          .groupBy("source", "token").agg(count(lit(1)).cast("long").as("n"))
+          .localCheckpoint() // feeds top-k AND group totals
+        val top = c.groupBy("source")
+          .agg(graft.functions.TopKAggregator.topKBinary(3)(
+            col("n").cast("double"), col("token").cast("binary")).as("tk"))
+          .select(col("source"), posexplode(col("tk")).as(Seq("pos", "t")))
+          .select(col("source"), (col("pos") + 1).as("rk"),
+            col("t.cand_id").cast("string").as("token"),
+            col("t.sim").cast("long").as("n"))
+        val tot = c.groupBy("source").agg(sum("n").cast("long").as("total"))
+        val topsum = top.groupBy("source").agg(sum("n").cast("long").as("topn"))
+        val oth = tot.join(topsum, Seq("source"), "left")
+          .select(col("source"), lit(4).as("rk"), lit("<other>").as("token"),
+            (col("total") - coalesce(col("topn"), lit(0L))).as("n"))
+        top.unionByName(oth).orderBy("source", "rk")
       })
   )
 
