@@ -3475,6 +3475,60 @@ object TextQueries {
           .select(col("source"), lit(4).as("rk"), lit("<other>").as("token"),
             (col("total") - coalesce(col("topn"), lit(0L))).as("n"))
         top.unionByName(oth).orderBy("source", "rk")
+      }),
+
+    // ---- q176: phrase search over a POSITIONAL inverted index — the
+    // search-engine primitive the token-set queries can't express:
+    // find every document containing an exact token sequence (here the
+    // corpus's own most frequent bigram, so the target exists at every
+    // SF), with per-doc occurrence counts. The classic phrase-query
+    // plan: filter each side of the positional self-join to ONE word's
+    // postings (the phrase rides a 1-row broadcast, so the predicate
+    // reaches both scans before any shuffle), then adjacency is a
+    // (doc, pos) equi-join between the two postings lists — the join
+    // moves postings of the phrase words only, never the full index.
+    // Exact integer counts → hash-exact.
+    QueryDef("q176_phrase_search", Some(s"""${toksCte()},
+      bgc AS (SELECT g, COUNT(*) AS c FROM (
+                SELECT unnest(list_transform(range(1, len(tokens)),
+                       i -> tokens[i] || ' ' || tokens[i+1])) AS g
+                FROM toks WHERE len(tokens) >= 2) GROUP BY g),
+      bg AS (SELECT g AS phrase, string_split(g, ' ')[1] AS w1,
+                    string_split(g, ' ')[2] AS w2
+             FROM bgc ORDER BY c DESC, g LIMIT 1),
+      tok AS (SELECT doc_id, CAST(unnest(range(1, len(tokens) + 1)) AS INTEGER) AS pos,
+                     unnest(tokens) AS token
+              FROM toks),
+      m AS (SELECT t1.doc_id, bg.phrase, CAST(COUNT(*) AS BIGINT) AS n_occ
+            FROM tok t1, bg, tok t2
+            WHERE t1.token = bg.w1 AND t2.doc_id = t1.doc_id
+              AND t2.pos = t1.pos + 1 AND t2.token = bg.w2
+            GROUP BY t1.doc_id, bg.phrase)
+      SELECT doc_id, phrase, n_occ FROM m ORDER BY doc_id"""),
+      (s, dir) => {
+        val t = tokenized(s, dir)
+          .localCheckpoint() // feeds bigram counts AND the positional index
+        val bc = t.where(size(col("tokens")) >= 2)
+          .select(explode(graft.functions.WordShingles(col("tokens"), 2,
+            distinct = false)).as("g"))
+          .groupBy("g").agg(count(lit(1)).as("c"))
+        // corpus-wide argmax as a mergeable min(struct(-c, g)) — the
+        // LabelProp plurality pattern, never a global sort
+        val bg = broadcast(bc
+          .agg(min(struct((-col("c")).as("nc"), col("g").as("g"))).as("m"))
+          .select(col("m.g").as("phrase"),
+            split(col("m.g"), " ")(0).as("w1"),
+            split(col("m.g"), " ")(1).as("w2")))
+        val tok = t.select(col("doc_id"),
+          posexplode(col("tokens")).as(Seq("pos", "token")))
+        val firsts = tok.crossJoin(bg).where(col("token") === col("w1"))
+          .select(col("doc_id"), col("pos"), col("phrase"), col("w2"))
+        firsts.join(tok.select(col("doc_id"), (col("pos") - 1).as("pos"),
+              col("token").as("t2")), Seq("doc_id", "pos"))
+          .where(col("t2") === col("w2"))
+          .groupBy("doc_id", "phrase").agg(count(lit(1)).cast("long").as("n_occ"))
+          .select(col("doc_id"), col("phrase"), col("n_occ"))
+          .orderBy("doc_id")
       })
   )
 
