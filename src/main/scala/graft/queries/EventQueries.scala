@@ -840,6 +840,98 @@ object EventQueries {
           .select(col("cur"), col("nxt"), col("n"), col("n_cur"),
             (col("n") / col("n_cur")).as("p"))
           .orderBy("cur", "nxt")
+      }),
+
+    // ---- q177: exponentially time-decayed engagement score — the
+    // recency-weighted feature a ranking/retention model actually uses
+    // (an event 7 days ago counts half as much as one now, half-life
+    // dial): per event, weight 2^(−age/hl) against the corpus max
+    // timestamp, NANO-scaled to an integer immediately (round-to-
+    // integer is the cross-engine-safe rounding), so the per-user
+    // score is an EXACT integer sum — no order-dependent float
+    // reduction — and one division converts back at the end. The
+    // per-event weight is deterministic both engines (exact long
+    // subtraction, one exact division, libm pow — the q149
+    // adjudication). One hash agg per user; tmax rides a 1-row
+    // broadcast.
+    QueryDef("q177_decayed_engagement", Some("""
+      WITH e AS (SELECT user_id, epoch_us(ts) AS tu FROM events),
+      mx AS (SELECT MAX(tu) AS tmax FROM e),
+      w AS (SELECT user_id,
+              CAST(ROUND(POWER(CAST(2 AS DOUBLE),
+                -((tmax - tu) / 604800000000.0)) * 1000000000) AS BIGINT) AS w_nanos
+            FROM e, mx),
+      g AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(w_nanos) AS BIGINT) AS score_nanos
+            FROM w GROUP BY user_id)
+      SELECT user_id, n_events, score_nanos,
+             CAST(score_nanos AS DOUBLE) / 1000000000.0 AS score
+      FROM g ORDER BY score_nanos DESC, user_id"""),
+      (s, dir) => {
+        val e = Tables.events(s, dir).select(col("user_id"), col("ts_us"))
+          .localCheckpoint() // max AND the weighted pass read it
+        val mx = broadcast(e.agg(max("ts_us").as("tmax")))
+        e.crossJoin(mx)
+          .select(col("user_id"),
+            round(pow(lit(2.0), -((col("tmax") - col("ts_us"))
+              / lit(604800000000.0))) * 1000000000).cast("long").as("w_nanos"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).cast("long").as("n_events"),
+            sum("w_nanos").cast("long").as("score_nanos"))
+          .select(col("user_id"), col("n_events"), col("score_nanos"),
+            (col("score_nanos").cast("double") / lit(1000000000.0)).as("score"))
+          .orderBy(col("score_nanos").desc, col("user_id"))
+      }),
+
+    // ---- q178: per-type value trend via closed-form OLS — "is
+    // purchase volume rising?" answered as a grouped linear
+    // regression of daily value cents on the integer day number,
+    // BIT-EXACT with no rounding anywhere: every moment (n, Σx, Σy,
+    // Σxy, Σx²) is an exact integer sum (cents trick × integer days),
+    // and slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) is one double division
+    // of exact longs; intercept follows as a fixed expression tree.
+    // Scale shape: one daily pre-aggregation (the corpus-sized pass),
+    // then the regression runs over type×days rows — moments
+    // partial-aggregate, nothing is collected, and a constant-x
+    // degenerate group (single day) is guarded to NULL rather than
+    // divide by zero.
+    QueryDef("q178_value_trend", Some(s"""
+      WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS x,
+                        CAST(SUM($valCents) AS BIGINT) AS y
+                 FROM events GROUP BY 1, 2),
+      m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM(x * y) AS BIGINT) AS sxy,
+                   CAST(SUM(x * x) AS BIGINT) AS sxx
+            FROM d GROUP BY event_type)
+      SELECT event_type, n AS n_days,
+             CASE WHEN n * sxx - sx * sx > 0
+                  THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                       / CAST(n * sxx - sx * sx AS DOUBLE) END AS slope_cents_per_day,
+             CASE WHEN n * sxx - sx * sx > 0
+                  THEN (CAST(sy AS DOUBLE)
+                        - (CAST(n * sxy - sx * sy AS DOUBLE)
+                           / CAST(n * sxx - sx * sx AS DOUBLE))
+                          * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) END AS intercept_cents
+      FROM m ORDER BY event_type"""),
+      (s, dir) => {
+        val d = Tables.events(s, dir)
+          .groupBy(col("event_type"), expr("ts_us div 86400000000").as("x"))
+          .agg(sum(expr(valCents)).cast("long").as("y"))
+        val m = d.groupBy("event_type")
+          .agg(count(lit(1)).cast("long").as("n"),
+            sum("x").cast("long").as("sx"), sum("y").cast("long").as("sy"),
+            sum(col("x") * col("y")).cast("long").as("sxy"),
+            sum(col("x") * col("x")).cast("long").as("sxx"))
+        val den = col("n") * col("sxx") - col("sx") * col("sx")
+        val slope = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          den.cast("double")
+        m.select(col("event_type"), col("n").as("n_days"),
+            when(den > 0, slope).as("slope_cents_per_day"),
+            when(den > 0,
+              (col("sy").cast("double") - slope * col("sx").cast("double"))
+                / col("n").cast("double")).as("intercept_cents"))
+          .orderBy("event_type")
       })
   )
 }
