@@ -35,8 +35,11 @@ object Audit {
   /** All row-local checks on `df` in one aggregate over one scan. */
   def rowChecks(df: DataFrame, table: String, checks: Seq[RowCheck]): DataFrame = {
     require(checks.nonEmpty, "rowChecks needs at least one check")
+    // coalesce: a global SUM over an EMPTY table is NULL, and an empty
+    // snapshot must audit as 0 violations (pass), not NULL (unknown)
     val sums = checks.zipWithIndex.map { case (c, i) =>
-      sum(when(c.violated, 1).otherwise(0)).cast("long").as(s"_v$i")
+      coalesce(sum(when(c.violated, 1).otherwise(0)), lit(0))
+        .cast("long").as(s"_v$i")
     }
     val entries = checks.zipWithIndex.map { case (c, i) =>
       struct(lit(table).as("tbl"), lit(c.check).as("chk"),

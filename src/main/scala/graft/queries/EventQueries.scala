@@ -853,7 +853,10 @@ object EventQueries {
     // per-event weight is deterministic both engines (exact long
     // subtraction, one exact division, libm pow — the q149
     // adjudication). One hash agg per user; tmax rides a 1-row
-    // broadcast.
+    // broadcast. Overflow headroom: each weight is ≤ 10⁹ nanos, so a
+    // user needs ~9·10⁹ max-recency events before the long sum wraps
+    // — raise the half-life dial (weights shrink) or drop to micros
+    // long before a real user history gets there.
     QueryDef("q177_decayed_engagement", Some("""
       WITH e AS (SELECT user_id, epoch_us(ts) AS tu FROM events),
       mx AS (SELECT MAX(tu) AS tmax FROM e),
@@ -894,11 +897,16 @@ object EventQueries {
     // then the regression runs over type×days rows — moments
     // partial-aggregate, nothing is collected, and a constant-x
     // degenerate group (single day) is guarded to NULL rather than
-    // divide by zero.
+    // divide by zero. x is CENTERED at the corpus min day (slope is
+    // shift-invariant; intercept reads "cents at day 0 = min day"):
+    // with raw epoch days ~2·10⁴, Σxy at petabyte daily volumes walks
+    // into long overflow — centered, x spans only the observed range
+    // and the exact-integer moments stay exact at any scale.
     QueryDef("q178_value_trend", Some(s"""
-      WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS x,
-                        CAST(SUM($valCents) AS BIGINT) AS y
-                 FROM events GROUP BY 1, 2),
+      WITH d0 AS (SELECT event_type, epoch_us(ts) // 86400000000 AS xr,
+                         CAST(SUM($valCents) AS BIGINT) AS y
+                  FROM events GROUP BY 1, 2),
+      d AS (SELECT event_type, xr - (SELECT MIN(xr) FROM d0) AS x, y FROM d0),
       m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
                    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
                    CAST(SUM(x * y) AS BIGINT) AS sxy,
@@ -915,9 +923,13 @@ object EventQueries {
                           * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) END AS intercept_cents
       FROM m ORDER BY event_type"""),
       (s, dir) => {
-        val d = Tables.events(s, dir)
-          .groupBy(col("event_type"), expr("ts_us div 86400000000").as("x"))
+        val d0 = Tables.events(s, dir)
+          .groupBy(col("event_type"), expr("ts_us div 86400000000").as("xr"))
           .agg(sum(expr(valCents)).cast("long").as("y"))
+          .localCheckpoint() // feeds its own min AND the moments
+        val x0 = broadcast(d0.agg(min("xr").as("x0")))
+        val d = d0.crossJoin(x0)
+          .select(col("event_type"), (col("xr") - col("x0")).as("x"), col("y"))
         val m = d.groupBy("event_type")
           .agg(count(lit(1)).cast("long").as("n"),
             sum("x").cast("long").as("sx"), sum("y").cast("long").as("sy"),

@@ -52,6 +52,19 @@ class AuditSpec extends SparkTestBase {
       rows.map(x => (x._1, x._2)).sorted), "report must arrive ordered")
   }
 
+  test("an EMPTY snapshot audits as 0 violations everywhere, never NULL") {
+    val empty = child.where(lit(false))
+    val rows = Audit.report(
+      Audit.rowChecks(empty, "t", Seq(
+        Audit.RowCheck("not_null", "fk", col("fk").isNull))),
+      Audit.unique(empty, "t", Seq("id")),
+      Audit.refIntegrity(empty, "fk", "t", parent, "pk"))
+      .collect().map(r => (r.getString(1), r.getLong(3), r.getBoolean(4)))
+    assert(rows.length === 3)
+    assert(rows.forall { case (_, v, p) => v == 0L && p },
+      s"empty-table checks must pass with 0, got ${rows.toSeq}")
+  }
+
   test("row-local checks stay one scan: a single Aggregate over the table") {
     val plan = Audit.rowChecks(child, "t", Seq(
       Audit.RowCheck("a", "qty", col("qty") < 0),
