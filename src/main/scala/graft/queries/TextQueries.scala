@@ -3529,6 +3529,81 @@ object TextQueries {
           .groupBy("doc_id", "phrase").agg(count(lit(1)).cast("long").as("n_occ"))
           .select(col("doc_id"), col("phrase"), col("n_occ"))
           .orderBy("doc_id")
+      }),
+
+    // ---- q179: contrastive negative sampling — build (anchor,
+    // positive, negatives...) training triplets from the SimHash
+    // near-dup positives: each anchor gets k=3 negatives drawn from a
+    // SHARED hash-ranked pool (the in-batch/shared-negatives pattern
+    // real contrastive pipelines use), skipping pool docs that are the
+    // anchor itself or one of its positives. The pool is a global
+    // mergeable bottom-k over md5 priorities — a 16-row broadcast —
+    // so negative assignment is anchors × 16 map-side work, NEVER an
+    // anchor×corpus join; rejected pool slots just shift later ones
+    // up (rank = dense rank over surviving pool order). Fully
+    // deterministic: pool order and survivors are pure hash functions.
+    QueryDef("q179_negative_sampling", Some(s"""${toksCte("doc_id < 200")},
+      sig AS (SELECT doc_id, array_to_string(list_transform(range(1, 33), i ->
+                CASE WHEN COALESCE(list_sum(list_transform(list_distinct(tokens),
+                     t -> CASE WHEN substr(md5(t), i, 1) IN ('8','9','a','b','c','d','e','f')
+                               THEN 1 ELSE -1 END)), 0) >= 0
+                     THEN '1' ELSE '0' END), '') AS sig
+              FROM toks),
+      bits AS (SELECT doc_id,
+                 CAST(list_sum(list_transform(range(1, 33),
+                   i -> CASE WHEN substr(sig, i, 1) = '1'
+                             THEN (1::BIGINT << (32 - i)) ELSE 0 END)) AS BIGINT) AS sb
+               FROM sig),
+      band AS (SELECT doc_id, sb, t.range AS b,
+                      (sb >> ((3 - t.range) * 8)) & 255 AS chunk
+               FROM bits, range(0, 4) t),
+      cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                      a.sb AS sb_a, b.sb AS sb_b
+               FROM band a JOIN band b
+                 ON a.b = b.b AND a.chunk = b.chunk AND a.doc_id < b.doc_id),
+      pos AS MATERIALIZED (SELECT id_a, id_b FROM cand
+            WHERE bit_count(xor(sb_a, sb_b)) <= 3),
+      pool AS MATERIALIZED (SELECT doc_id AS neg_id,
+                     CAST(ROW_NUMBER() OVER (ORDER BY md5(doc_id::VARCHAR || ':neg'),
+                                             doc_id) AS INTEGER) AS slot
+              FROM toks ORDER BY md5(doc_id::VARCHAR || ':neg'), doc_id LIMIT 16),
+      anch AS (SELECT DISTINCT id_a AS anchor FROM pos),
+      ok AS (SELECT a.anchor, p.neg_id, p.slot
+             FROM anch a CROSS JOIN pool p
+             WHERE p.neg_id <> a.anchor AND NOT EXISTS
+               (SELECT 1 FROM pos x WHERE (x.id_a = a.anchor AND x.id_b = p.neg_id)
+                                       OR (x.id_b = a.anchor AND x.id_a = p.neg_id))),
+      rk AS (SELECT anchor, neg_id,
+               CAST(ROW_NUMBER() OVER (PARTITION BY anchor ORDER BY slot)
+                    AS INTEGER) AS rk
+             FROM ok)
+      SELECT anchor, rk, neg_id FROM rk WHERE rk <= 3
+      ORDER BY anchor, rk"""),
+      (s, dir) => {
+        val t = tokenized(s, dir).where(col("doc_id") < 200).localCheckpoint()
+        val pos = Dedup.simhashNearDups(t, "doc_id", "tokens")
+          .select("id_a", "id_b").localCheckpoint() // anchors AND the skip filter
+        // global 16-slot pool: mergeable bottom-k on md5 priority
+        val pool = broadcast(t
+          .agg(graft.functions.TopKAggregator.bottomK(16)(
+            md5(concat(col("doc_id").cast("string"), lit(":neg"))).cast("binary"),
+            col("doc_id")).as("bk"))
+          .select(posexplode(col("bk")).as(Seq("pos0", "p")))
+          .select((col("pos0") + 1).as("slot"), col("p.id").as("neg_id")))
+        val anch = pos.select(col("id_a").as("anchor")).distinct()
+        val skip = pos.select(col("id_a").as("anchor"), col("id_b").as("neg_id"))
+          .unionByName(pos.select(col("id_b").as("anchor"), col("id_a").as("neg_id")))
+        val ok = anch.crossJoin(pool)
+          .where(col("neg_id") =!= col("anchor"))
+          .join(skip, Seq("anchor", "neg_id"), "left_anti")
+        // surviving-slot rank: ≤16 pool rows per anchor — a bounded
+        // window (the q43 pattern), not a corpus sort
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("anchor").orderBy("slot")
+        ok.withColumn("rk", row_number().over(w))
+          .where(col("rk") <= 3)
+          .select(col("anchor"), col("rk"), col("neg_id"))
+          .orderBy("anchor", "rk")
       })
   )
 
