@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Market-basket item–item co-occurrence — the implicit-feedback
+  * similarity backbone (co-purchased parts, co-clicked docs, co-cited
+  * pages). From a (basket, item) relation, count how often each item
+  * pair shares a basket and normalize to a cosine over basket-incidence
+  * vectors: sim(a,b) = n_ab / sqrt(n_a·n_b), plus lift
+  * n_ab·N / (n_a·n_b) for above-chance strength.
+  *
+  * Scale shape (100 TB): the quadratic is per-basket, so the one dial
+  * that matters is `maxBasketSize` — a deterministic per-basket cap
+  * (rank by item id) that bounds the self-join at K²/2 pairs per basket
+  * no matter how pathological the power-baskets get (the same
+  * skew-guard role as the LSH bucket caps). After the cap, the pair
+  * table is at most |vocab|² rows — independent of corpus size — and
+  * every step is a hash aggregation; the per-item counts are
+  * vocab-sized and broadcast into the final join. The only window is
+  * the per-basket rank, bounded by basket size.
+  */
+object Cooccur {
+
+  /** (basket, item) pairs, deduplicated, capped at `maxBasketSize`
+    * items per basket (keep the lowest item ids — deterministic, so an
+    * oracle can mirror the cap exactly).
+    */
+  def cappedBaskets(rel: DataFrame, basketCol: String, itemCol: String,
+                    maxBasketSize: Int): DataFrame = {
+    require(maxBasketSize >= 2,
+      s"maxBasketSize must be at least 2 to form pairs, got $maxBasketSize")
+    val b = rel.select(col(basketCol).as("basket"), col(itemCol).as("item"))
+      .where(col("basket").isNotNull && col("item").isNotNull)
+      .distinct()
+    b.withColumn("rk",
+        row_number().over(Window.partitionBy("basket").orderBy("item")))
+      .where(col("rk") <= maxBasketSize)
+      .drop("rk")
+  }
+
+  /** Item–item cosine/lift table: (item_a, item_b, n_ab, n_a, n_b,
+    * cosine, lift) for unordered pairs item_a < item_b with
+    * n_ab ≥ `minCount`. Both ratios are exact single IEEE ops over
+    * integer counts (long product → sqrt → divide), so they are
+    * bit-identical in any engine.
+    */
+  def itemCosine(rel: DataFrame, basketCol: String, itemCol: String,
+                 maxBasketSize: Int = 64, minCount: Long = 2L): DataFrame = {
+    val capped = cappedBaskets(rel, basketCol, itemCol, maxBasketSize)
+    val itemN = capped.groupBy("item").agg(count(lit(1)).as("n_item"))
+    val nBaskets = capped.agg(countDistinct(col("basket")).as("n_baskets"))
+    val pairs = capped.as("a")
+      .join(capped.as("b"),
+        col("a.basket") === col("b.basket") && col("a.item") < col("b.item"))
+      .groupBy(col("a.item").as("item_a"), col("b.item").as("item_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .where(col("n_ab") >= minCount)
+    pairs
+      .join(broadcast(itemN.as("na")), col("item_a") === col("na.item"))
+      .join(broadcast(itemN.as("nb")), col("item_b") === col("nb.item"))
+      .crossJoin(broadcast(nBaskets))
+      .select(col("item_a"), col("item_b"), col("n_ab"),
+        col("na.n_item").as("n_a"), col("nb.n_item").as("n_b"),
+        (col("n_ab") / sqrt((col("na.n_item") * col("nb.n_item")).cast("double")))
+          .as("cosine"),
+        ((col("n_ab") * col("n_baskets")).cast("double") /
+          (col("na.n_item") * col("nb.n_item")).cast("double")).as("lift"))
+  }
+}
