@@ -1099,6 +1099,84 @@ object RelationalQueries {
           Audit.unique(l, "lineitem", Seq("l_orderkey", "l_linenumber")),
           Audit.refIntegrity(l, "l_orderkey", "lineitem", o, "o_orderkey"),
           Audit.refIntegrity(o, "o_custkey", "orders", c, "c_custkey"))
+      }),
+
+    // ---- q180: market-basket item–item co-occurrence (implicit-
+    // feedback similarity): parts sharing an order, cosine-normalized
+    // over basket-incidence counts plus lift. The per-basket cap (8,
+    // binding — sf0.001 baskets reach 11 distinct parts) is the
+    // power-basket skew guard that bounds the self-join at K²/2 pairs
+    // per basket at any scale; the pair table is ≤ |vocab|² rows
+    // regardless of corpus size, and the per-item count table is
+    // vocab-sized and broadcast. Both ratios are single IEEE ops over
+    // exact integer counts → bit-identical across engines.
+    QueryDef("q180_item_cooccur", Some("""
+      WITH b AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+                 FROM lineitem WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+      c AS (SELECT basket, item FROM
+              (SELECT basket, item,
+                      ROW_NUMBER() OVER (PARTITION BY basket ORDER BY item) AS rk
+               FROM b) WHERE rk <= 8),
+      ni AS (SELECT item, COUNT(*) AS n_item FROM c GROUP BY item),
+      nb AS (SELECT COUNT(DISTINCT basket) AS n_baskets FROM c),
+      p AS (SELECT a.item AS item_a, b2.item AS item_b, COUNT(*) AS n_ab
+            FROM c a JOIN c b2 ON a.basket = b2.basket AND a.item < b2.item
+            GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+      SELECT p.item_a, p.item_b, p.n_ab, na.n_item AS n_a, nbi.n_item AS n_b,
+             p.n_ab / sqrt(CAST(na.n_item * nbi.n_item AS DOUBLE)) AS cosine,
+             CAST(p.n_ab * nb.n_baskets AS DOUBLE)
+               / CAST(na.n_item * nbi.n_item AS DOUBLE) AS lift
+      FROM p JOIN ni na ON na.item = p.item_a
+             JOIN ni nbi ON nbi.item = p.item_b
+             CROSS JOIN nb
+      ORDER BY item_a, item_b"""),
+      (s, dir) =>
+        graft.operators.Cooccur.itemCosine(
+            Tables.read(s, dir, "lineitem"), "l_orderkey", "l_partkey",
+            maxBasketSize = 8, minCount = 2L)
+          .orderBy("item_a", "item_b"))
+,
+    // ---- q181: blocked edit-distance entity lookup — a fixed probe
+    // batch of part names (p_partkey < 50, the "incoming records")
+    // fuzzy-matched against the rest of the catalog. Blocking key =
+    // last name token, candidates pruned by the |len diff| ≤ maxDist
+    // Levenshtein lower bound, best match per probe via a mergeable
+    // min-struct (no window); probes are broadcast, the catalog never
+    // shuffles, and oversized blocks are skipped by the skew cap
+    // (mirrored in the oracle). ASCII names → Spark's char-based and
+    // DuckDB's byte-based levenshtein agree exactly.
+    QueryDef("q181_fuzzy_lookup", Some("""
+      WITH t AS (SELECT p_partkey AS id, p_name AS s,
+                        string_split(p_name, ' ')[-1] AS blk,
+                        length(p_name) AS ln
+                 FROM part WHERE p_name IS NOT NULL),
+      p AS (SELECT * FROM t WHERE id < 50),
+      c AS (SELECT t.* FROM t,
+              (SELECT blk, COUNT(*) AS n FROM t WHERE id >= 50 GROUP BY blk) z
+            WHERE t.id >= 50 AND z.blk = t.blk AND z.n <= 4096),
+      sc AS (SELECT a.id AS qid, b.id AS cid, b.s AS cs,
+                    CAST(levenshtein(a.s, b.s) AS INTEGER) AS d
+             FROM p a JOIN c b ON a.blk = b.blk AND abs(a.ln - b.ln) <= 3),
+      ag AS (SELECT qid, COUNT(*) AS n_band FROM sc GROUP BY qid),
+      bm AS (SELECT qid, cid, cs, d FROM
+               (SELECT qid, cid, cs, d,
+                       ROW_NUMBER() OVER (PARTITION BY qid
+                                          ORDER BY d, cid) AS rk
+                FROM sc WHERE d <= 3) WHERE rk = 1)
+      SELECT p.id AS probe_id, p.s AS probe_str,
+             COALESCE(ag.n_band, 0) AS n_band,
+             bm.cid AS best_id, bm.cs AS best_str, bm.d AS best_dist
+      FROM p LEFT JOIN ag ON ag.qid = p.id
+             LEFT JOIN bm ON bm.qid = p.id
+      ORDER BY probe_id"""),
+      (s, dir) => {
+        val part = Tables.read(s, dir, "part")
+        graft.er.FuzzyJoin.bestMatch(
+            part.where(col("p_partkey") < 50),
+            part.where(col("p_partkey") >= 50),
+            "p_partkey", "p_name", c => element_at(split(c, " "), -1),
+            maxDist = 3, maxBlockSize = 4096L)
+          .orderBy("probe_id")
       })
   )
 }
