@@ -1177,6 +1177,46 @@ object RelationalQueries {
             "p_partkey", "p_name", c => element_at(split(c, " "), -1),
             maxDist = 3, maxBlockSize = 4096L)
           .orderBy("probe_id")
-      })
+      }),
+
+    // ---- q182: k-anonymity generalization ladder — the release gate
+    // on quasi-identifiers (market segment, nation, $1000 balance
+    // band). ONE rollup pass yields every suffix-truncated QI set's
+    // equivalence classes; a bounded second aggregation reduces each
+    // ladder level to (classes, achieved k, at-risk rows/fraction).
+    // Band uses FLOOR division in integer cents (pmod form in Spark ≡
+    // `//` in DuckDB) so negative balances band correctly; risk_pct is
+    // one exact IEEE division over exact integer counts.
+    QueryDef("q182_k_anonymity", Some("""
+      WITH base AS (SELECT c_mktsegment AS qi0, c_nationkey AS qi1,
+                           -- floor division in exact integer cents: subtract the
+                           -- POSITIVE mod (DuckDB's % and // both truncate toward
+                           -- zero), then the quotient of the exact multiple
+                           ((CAST(ROUND(c_acctbal*100) AS BIGINT)
+                             - (((CAST(ROUND(c_acctbal*100) AS BIGINT) % 100000)
+                                 + 100000) % 100000)) // 100000) AS qi2
+                    FROM customer
+                    WHERE c_mktsegment IS NOT NULL AND c_nationkey IS NOT NULL
+                      AND c_acctbal IS NOT NULL),
+      cls AS (SELECT GROUPING(qi0, qi1, qi2) AS g, COUNT(*) AS cls_n
+              FROM base GROUP BY ROLLUP(qi0, qi1, qi2)),
+      lv AS (SELECT CASE g WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 3 THEN 2 END AS lvl,
+                    cls_n
+             FROM cls WHERE g <> 7)
+      SELECT lvl, COUNT(*) AS n_classes, MIN(cls_n) AS k_min,
+             CAST(SUM(CASE WHEN cls_n < 5 THEN cls_n ELSE 0 END) AS BIGINT)
+               AS rows_below_k,
+             CAST(SUM(CASE WHEN cls_n < 5 THEN cls_n ELSE 0 END) AS DOUBLE)
+               / CAST(SUM(cls_n) AS DOUBLE) AS risk_pct,
+             MIN(cls_n) >= 5 AS anonymous
+      FROM lv GROUP BY lvl ORDER BY lvl"""),
+      (s, dir) =>
+        graft.operators.KAnonymity.ladder(
+            Tables.read(s, dir, "customer"),
+            Seq(col("c_mktsegment"), col("c_nationkey"),
+              expr("(cast(round(c_acctbal*100) as bigint) - " +
+                "pmod(cast(round(c_acctbal*100) as bigint), 100000)) div 100000")),
+            k = 5L)
+          .orderBy("lvl"))
   )
 }
