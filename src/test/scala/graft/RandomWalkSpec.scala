@@ -1,0 +1,56 @@
+package graft
+
+import graft.graph.RandomWalk
+import org.apache.spark.sql.functions._
+
+class RandomWalkSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def edges(pairs: (Long, Long)*) = pairs.toDF("src", "dst")
+
+  test("forced path: single-neighbor chain walks deterministically") {
+    val e = edges((1L, 2L), (2L, 3L))
+    val starts = Seq(1L).toDF("n")
+    val got = RandomWalk.walks(e, "src", "dst", starts, "n",
+        walksPerNode = 1, steps = 2)
+      .orderBy("step").collect().map(r => (r.getInt(1), r.getLong(2)))
+    assert(got.toSeq === Seq((0, 1L), (1, 2L), (2, 3L)))
+  }
+
+  test("dead ends stop the walk early, keeping the visited prefix") {
+    val e = edges((1L, 2L)) // 2 has no out-edges
+    val starts = Seq(1L).toDF("n")
+    val got = RandomWalk.walks(e, "src", "dst", starts, "n",
+        walksPerNode = 1, steps = 5)
+      .orderBy("step").collect().map(r => (r.getInt(1), r.getLong(2)))
+    assert(got.toSeq === Seq((0, 1L), (1, 2L)))
+  }
+
+  test("walksPerNode fans out distinct deterministic walk ids") {
+    val e = edges((1L, 2L), (1L, 3L), (2L, 1L), (3L, 1L))
+    val starts = Seq(1L).toDF("n")
+    val run1 = RandomWalk.walks(e, "src", "dst", starts, "n",
+      walksPerNode = 8, steps = 1).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).sortBy(x => (x._1, x._2))
+    val run2 = RandomWalk.walks(e, "src", "dst", starts, "n",
+      walksPerNode = 8, steps = 1).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).sortBy(x => (x._1, x._2))
+    assert(run1.toSeq === run2.toSeq, "walks must be bit-reproducible")
+    assert(run1.map(_._1).distinct.length === 8)
+    // hash-seeded choice actually varies: from node 1 with neighbors
+    // {2,3}, 8 walks should not all agree
+    val firstHops = run1.filter(_._2 == 1).map(_._3).distinct
+    assert(firstHops.length === 2, s"expected both neighbors chosen, got $firstHops")
+  }
+
+  test("bad dials are refused") {
+    val e = edges((1L, 2L))
+    val starts = Seq(1L).toDF("n")
+    intercept[IllegalArgumentException] {
+      RandomWalk.walks(e, "src", "dst", starts, "n", walksPerNode = 0, steps = 1)
+    }
+    intercept[IllegalArgumentException] {
+      RandomWalk.walks(e, "src", "dst", starts, "n", walksPerNode = 1, steps = 0)
+    }
+  }
+}
