@@ -957,8 +957,118 @@ object EmbeddingQueries {
             (col("sm").cast("double") / col("n_members").cast("double")
               / lit(1000000.0)).as("mean_cos"), col("nn_sim"))
           .orderBy("centroid_id")
+      }),
+
+    // ---- q184: product-quantization codes — m=4 subspaces × 16-entry
+    // codebooks (seeds vec_id < 16), 2 joint Lloyd iterations; each
+    // 64-dim float vector compresses to 4 small codes (64× smaller).
+    // Training is one broadcast join + mergeable min-struct argmin per
+    // iteration across ALL subspaces at once; per-subspace L2 folds in
+    // index order and means are float-cast per iteration (the q53
+    // discipline), so codes and distances hash-match DuckDB's
+    // unrolled-CTE iterations bit-for-bit.
+    QueryDef("q184_pq_codes", Some(s"""
+      WITH ${pqSvCte()},
+      c0 AS (SELECT sub, id AS code, sv AS cvec FROM sv WHERE id < 16),
+      ${pqLloydCte(1, "c0")},
+      ${pqLloydCte(2, "c1")}
+      SELECT id, sub, code, d2 FROM (
+        SELECT s.id, s.sub, c.code, ${pqSqd("s.sv", "c.cvec")} AS d2,
+               ROW_NUMBER() OVER (PARTITION BY s.id, s.sub
+                 ORDER BY ${pqSqd("s.sv", "c.cvec")}, c.code) AS rk
+        FROM sv s JOIN c2 c ON c.sub = s.sub WHERE s.id < 200) WHERE rk = 1
+      ORDER BY id, sub"""),
+      (s, dir) => {
+        val emb = Tables.read(s, dir, "embeddings")
+        val cb = graft.ann.Pq.trainCodebooks(emb, "vec_id", "embedding",
+          m = 4, seedPred = col("vec_id") < 16, iters = 2)
+        graft.ann.Pq.assign(
+            graft.ann.Pq.subvectors(emb.where(col("vec_id") < 200),
+              "vec_id", "embedding", 4), cb)
+          .orderBy("id", "sub")
+      }),
+
+    // ---- q185: PQ asymmetric-distance top-5 — probes vec_id < 10
+    // score the WHOLE corpus through 4 table lookups per candidate
+    // (never touching raw candidate vectors): the per-probe distance
+    // table (m·k rows) is broadcast, terms sum in fixed subspace order
+    // (bit-exact), and selection is the partial-aggregable top-k, not
+    // a per-query window over the corpus.
+    QueryDef("q185_pq_adc", Some(s"""
+      WITH ${pqSvCte()},
+      c0 AS (SELECT sub, id AS code, sv AS cvec FROM sv WHERE id < 16),
+      ${pqLloydCte(1, "c0")},
+      ${pqLloydCte(2, "c1")},
+      codes AS (SELECT id, sub, code FROM (
+        SELECT s.id, s.sub, c.code,
+               ROW_NUMBER() OVER (PARTITION BY s.id, s.sub
+                 ORDER BY ${pqSqd("s.sv", "c.cvec")}, c.code) AS rk
+        FROM sv s JOIN c2 c ON c.sub = s.sub) WHERE rk = 1),
+      q AS (SELECT id AS q_id, sub, sv FROM sv WHERE id < 10),
+      dt AS (SELECT q.q_id, q.sub, c.code, ${pqSqd("q.sv", "c.cvec")} AS d2
+             FROM q JOIN c2 c ON c.sub = q.sub),
+      term AS (SELECT dt.q_id, k.id, dt.sub, dt.d2
+               FROM codes k JOIN dt ON dt.sub = k.sub AND dt.code = k.code
+               WHERE k.id <> dt.q_id),
+      tot AS (SELECT q_id, id,
+                MAX(CASE WHEN sub = 0 THEN d2 END)
+                + MAX(CASE WHEN sub = 1 THEN d2 END)
+                + MAX(CASE WHEN sub = 2 THEN d2 END)
+                + MAX(CASE WHEN sub = 3 THEN d2 END) AS adc_d2
+              FROM term GROUP BY q_id, id)
+      SELECT q_id, rk, cand_id, adc_d2 FROM (
+        SELECT q_id, id AS cand_id, adc_d2,
+               CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                 ORDER BY adc_d2, id) AS INTEGER) AS rk
+        FROM tot) WHERE rk <= 5
+      ORDER BY q_id, rk"""),
+      (s, dir) => {
+        val emb = Tables.read(s, dir, "embeddings")
+        val cb = graft.ann.Pq.trainCodebooks(emb, "vec_id", "embedding",
+          m = 4, seedPred = col("vec_id") < 16, iters = 2)
+        val codes = graft.ann.Pq.assign(
+          graft.ann.Pq.subvectors(emb, "vec_id", "embedding", 4), cb)
+        graft.ann.Pq.adcTopK(emb.where(col("vec_id") < 10),
+            "vec_id", "embedding", codes, cb, m = 4, k = 5)
+          .orderBy("q_id", "rk")
       })
   )
+
+  /** DuckDB exact squared L2 over float lists — per-element double
+    * differences squared, summed in index order (the same fold order
+    * as [[graft.ann.Pq.sqdist]]'s `aggregate`, so sums are
+    * bit-identical).
+    */
+  private def pqSqd(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, len($a)+1), i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))))"
+
+  /** Long-form subvector CTE `sv(id, sub, sv)` mirroring
+    * [[graft.ann.Pq.subvectors]] at m=4 over the 64-dim corpus.
+    */
+  private def pqSvCte(): String = s"""
+      sv AS (SELECT vec_id AS id, CAST(j AS INTEGER) AS sub,
+                    embedding[(j*16+1):((j+1)*16)] AS sv
+             FROM embeddings CROSS JOIN range(0, 4) t(j))"""
+
+  /** One unrolled joint-Lloyd iteration over all PQ subspaces:
+    * L2-argmin assignment against `cin` (ties to the smaller code),
+    * then per-(sub, code, dim) means CAST TO FLOAT — the same
+    * noise-collapse that makes the q53 two-iteration oracle exact.
+    */
+  private def pqLloydCte(n: Int, cin: String): String = s"""
+      a$n AS (SELECT id, sub, code, sv FROM (
+                SELECT s.id, s.sub, c.code, s.sv,
+                       ROW_NUMBER() OVER (PARTITION BY s.id, s.sub
+                         ORDER BY ${pqSqd("s.sv", "c.cvec")}, c.code) AS rk
+                FROM sv s JOIN $cin c ON c.sub = s.sub) WHERE rk = 1),
+      ex$n AS (SELECT sub, code, unnest(sv) AS v,
+                      unnest(range(0, len(sv))) AS dim FROM a$n),
+      m$n AS (SELECT sub, code, dim, AVG(CAST(v AS DOUBLE)) AS mv
+              FROM ex$n GROUP BY 1, 2, 3),
+      c$n AS (SELECT sub, code,
+                     list_transform(list(mv ORDER BY dim),
+                                    x -> CAST(x AS FLOAT)) AS cvec
+              FROM m$n GROUP BY sub, code)"""
 
   /** One unrolled MMR greedy round (t ≥ 2) over `cand`/`cs`/`sel<t-1>`:
     * score every unpicked candidate by 0.5·rel − 0.5·(max sim to the
