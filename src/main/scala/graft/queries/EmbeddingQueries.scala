@@ -1031,6 +1031,92 @@ object EmbeddingQueries {
         graft.ann.Pq.adcTopK(emb.where(col("vec_id") < 10),
             "vec_id", "embedding", codes, cb, m = 4, k = 5)
           .orderBy("q_id", "rk")
+      }),
+
+    // ---- q186: PQ recall@5 — the fidelity gate that decides whether
+    // quantized serving is usable: per probe, the exact L2 top-5 (the
+    // brute-force ground truth, probe-batch-sized work) against the
+    // ADC top-5 from q185's code path; recall = overlap/5. At 100 TB
+    // the exact side stays eval-sample-sized while ADC serves the
+    // corpus — this query IS the monitoring artifact a pipeline ships.
+    QueryDef("q186_pq_recall", Some(s"""
+      WITH ${pqSvCte()},
+      c0 AS (SELECT sub, id AS code, sv AS cvec FROM sv WHERE id < 16),
+      ${pqLloydCte(1, "c0")},
+      ${pqLloydCte(2, "c1")},
+      codes AS (SELECT id, sub, code FROM (
+        SELECT s.id, s.sub, c.code,
+               ROW_NUMBER() OVER (PARTITION BY s.id, s.sub
+                 ORDER BY ${pqSqd("s.sv", "c.cvec")}, c.code) AS rk
+        FROM sv s JOIN c2 c ON c.sub = s.sub) WHERE rk = 1),
+      q AS (SELECT id AS q_id, sub, sv FROM sv WHERE id < 10),
+      dt AS (SELECT q.q_id, q.sub, c.code, ${pqSqd("q.sv", "c.cvec")} AS d2
+             FROM q JOIN c2 c ON c.sub = q.sub),
+      term AS (SELECT dt.q_id, k.id, dt.sub, dt.d2
+               FROM codes k JOIN dt ON dt.sub = k.sub AND dt.code = k.code
+               WHERE k.id <> dt.q_id),
+      tot AS (SELECT q_id, id,
+                MAX(CASE WHEN sub = 0 THEN d2 END)
+                + MAX(CASE WHEN sub = 1 THEN d2 END)
+                + MAX(CASE WHEN sub = 2 THEN d2 END)
+                + MAX(CASE WHEN sub = 3 THEN d2 END) AS adc_d2
+              FROM term GROUP BY q_id, id),
+      adcr AS (SELECT q_id, cand_id, rk FROM (
+        SELECT q_id, id AS cand_id,
+               ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc_d2, id) AS rk
+        FROM tot) WHERE rk <= 5),
+      qf AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+      exr AS (SELECT q_id, cand_id, rk FROM (
+        SELECT qf.vec_id AS q_id, c.vec_id AS cand_id,
+               ROW_NUMBER() OVER (PARTITION BY qf.vec_id
+                 ORDER BY ${pqSqd("qf.embedding", "c.embedding")}, c.vec_id) AS rk
+        FROM qf JOIN embeddings c ON c.vec_id <> qf.vec_id) WHERE rk <= 5),
+      hit AS (SELECT e.q_id, COUNT(*) AS n_hit
+              FROM exr e JOIN adcr a ON a.q_id = e.q_id AND a.cand_id = e.cand_id
+              GROUP BY 1),
+      ea AS (SELECT q_id, string_agg(CAST(cand_id AS VARCHAR), ',' ORDER BY rk)
+                       AS exact_ids FROM exr GROUP BY 1),
+      aa AS (SELECT q_id, string_agg(CAST(cand_id AS VARCHAR), ',' ORDER BY rk)
+                       AS adc_ids FROM adcr GROUP BY 1)
+      SELECT ea.q_id, ea.exact_ids, aa.adc_ids,
+             COALESCE(h.n_hit, 0) AS n_hit,
+             CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / 5.0 AS recall
+      FROM ea JOIN aa ON aa.q_id = ea.q_id
+              LEFT JOIN hit h ON h.q_id = ea.q_id
+      ORDER BY ea.q_id"""),
+      (s, dir) => {
+        import graft.ann.Pq
+        val emb = Tables.read(s, dir, "embeddings")
+        val cb = Pq.trainCodebooks(emb, "vec_id", "embedding",
+          m = 4, seedPred = col("vec_id") < 16, iters = 2)
+        val codes = Pq.assign(Pq.subvectors(emb, "vec_id", "embedding", 4), cb)
+        val adc = Pq.adcTopK(emb.where(col("vec_id") < 10),
+          "vec_id", "embedding", codes, cb, m = 4, k = 5)
+        val q = emb.where(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+        val exact = Knn.topKSelect(
+          broadcast(q).join(Tables.read(s, dir, "embeddings"),
+              col("vec_id") =!= col("q_id"))
+            .select(col("q_id"),
+              (-Pq.sqdist(col("qv"), col("embedding"))).as("sim"),
+              col("vec_id").as("cand_id")),
+          org.apache.spark.sql.types.LongType, 5)
+        def idsCsv(df: org.apache.spark.sql.DataFrame, alias: String) =
+          df.groupBy("q_id").agg(
+            concat_ws(",", transform(
+              array_sort(collect_list(struct(col("rk"), col("cand_id")))),
+              x => x.getField("cand_id").cast("string"))).as(alias))
+        val hits = exact.select("q_id", "cand_id")
+          .join(adc.select("q_id", "cand_id"), Seq("q_id", "cand_id"))
+          .groupBy("q_id").agg(count(lit(1)).as("n_hit"))
+        idsCsv(exact, "exact_ids")
+          .join(idsCsv(adc, "adc_ids"), "q_id")
+          .join(hits, Seq("q_id"), "left")
+          .select(col("q_id"), col("exact_ids"), col("adc_ids"),
+            coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+            (coalesce(col("n_hit"), lit(0L)).cast("double") / lit(5.0))
+              .as("recall"))
+          .orderBy("q_id")
       })
   )
 
