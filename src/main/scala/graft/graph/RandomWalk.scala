@@ -52,4 +52,23 @@ object RandomWalk {
     }
     path.select(col("walk_id"), col("step"), col("node"))
   }
+
+  /** Skip-gram training pairs from a walk corpus: for every walk
+    * position, each co-walker within `window` steps (either side,
+    * never itself) becomes a (center, context) example; aggregated to
+    * pair counts — exactly the word2vec-over-walks data layout
+    * (DeepWalk §4.2). The self-join keys on walk_id, so the quadratic
+    * is bounded by walk length × window at any corpus size, and the
+    * count is one mergeable hash aggregation.
+    */
+  def skipGramPairs(walks: DataFrame, window: Int): DataFrame = {
+    require(window >= 1, s"window must be positive, got $window")
+    walks.as("a")
+      .join(walks.as("b"),
+        col("a.walk_id") === col("b.walk_id") &&
+          col("a.step") =!= col("b.step") &&
+          abs(col("a.step") - col("b.step")) <= window)
+      .groupBy(col("a.node").as("center"), col("b.node").as("context"))
+      .agg(count(lit(1)).as("n"))
+  }
 }

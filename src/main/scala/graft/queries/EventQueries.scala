@@ -944,6 +944,32 @@ object EventQueries {
               (col("sy").cast("double") - slope * col("sx").cast("double"))
                 / col("n").cast("double")).as("intercept_cents"))
           .orderBy("event_type")
-      })
+      }),
+
+    // ---- q188: CDC changelog compaction — the events feed read as a
+    // keyed change stream (key = user_id, ordered by (ts, event_id),
+    // 'error' = tombstone): one mergeable max-struct hash agg yields
+    // each key's latest surviving state; keys whose last op is a
+    // tombstone vanish. NEVER a row_number window (that would sort
+    // every key's full history at 100 TB) and idempotent under
+    // at-least-once replay — the total (ts, event_id) order makes
+    // reruns bit-identical.
+    QueryDef("q188_cdc_compaction", Some("""
+      WITH x AS (SELECT user_id, event_id, event_type, value,
+                        epoch_us(ts) AS ts_us FROM events),
+      r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                        ORDER BY ts_us DESC, event_id DESC) AS rk FROM x)
+      SELECT user_id, event_type, value, ts_us
+      FROM r WHERE rk = 1 AND event_type <> 'error'
+      ORDER BY user_id"""),
+      (s, dir) =>
+        graft.operators.Compaction.latest(
+            Tables.events(s, dir),
+            keyCols = Seq("user_id"), tsCol = "ts_us",
+            tieCols = Seq("event_id"),
+            payloadCols = Seq("event_type", "value"),
+            deletePred = col("event_type") === "error")
+          .select("user_id", "event_type", "value", "ts_us")
+          .orderBy("user_id"))
   )
 }

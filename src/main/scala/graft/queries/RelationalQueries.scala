@@ -1274,6 +1274,66 @@ object RelationalQueries {
         graft.graph.RandomWalk.walks(edges, "src", "dst", starts, "item",
             walksPerNode = 2, steps = 3)
           .orderBy("walk_id", "step")
+      }),
+
+    // ---- q187: skip-gram pairs from the q183 walk corpus — the
+    // word2vec-over-walks data layout (DeepWalk): every within-window
+    // co-walker pair, both directions, aggregated to counts. The
+    // self-join keys on walk_id so the quadratic is walk-length ×
+    // window bounded at any corpus size; the count is one mergeable
+    // hash agg.
+    QueryDef("q187_skipgram_pairs", Some({
+      def stepCte(t: Int, prev: String) = s"""
+      s$t AS MATERIALIZED (SELECT walk_id, node FROM (
+             SELECT w.walk_id, e.dst AS node,
+                    ROW_NUMBER() OVER (PARTITION BY w.walk_id
+                      ORDER BY md5(w.walk_id || ':$t:' || CAST(e.src AS VARCHAR)
+                                   || ':' || CAST(e.dst AS VARCHAR)), e.dst) AS rk
+             FROM $prev w JOIN e ON e.src = w.node) WHERE rk = 1)"""
+      s"""
+      WITH b AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+                 FROM lineitem WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+      c AS (SELECT basket, item FROM
+              (SELECT basket, item,
+                      ROW_NUMBER() OVER (PARTITION BY basket ORDER BY item) AS rk
+               FROM b) WHERE rk <= 8),
+      p AS (SELECT a.item AS ia, b2.item AS ib
+            FROM c a JOIN c b2 ON a.basket = b2.basket AND a.item < b2.item
+            GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      e AS MATERIALIZED (SELECT ia AS src, ib AS dst FROM p
+                         UNION ALL SELECT ib, ia FROM p),
+      st AS (SELECT DISTINCT item FROM c WHERE item < 30),
+      w0 AS (SELECT CAST(item AS VARCHAR) || '#' || CAST(w AS VARCHAR) AS walk_id,
+                    item AS node
+             FROM st CROSS JOIN (VALUES (0), (1)) t(w)),
+      ${stepCte(1, "w0")},
+      ${stepCte(2, "s1")},
+      ${stepCte(3, "s2")},
+      walks AS (SELECT walk_id, 0 AS step, node FROM w0
+                UNION ALL SELECT walk_id, 1, node FROM s1
+                UNION ALL SELECT walk_id, 2, node FROM s2
+                UNION ALL SELECT walk_id, 3, node FROM s3)
+      SELECT a.node AS center, b.node AS context, COUNT(*) AS n
+      FROM walks a JOIN walks b
+        ON a.walk_id = b.walk_id AND a.step <> b.step
+           AND abs(a.step - b.step) <= 2
+      GROUP BY 1, 2 ORDER BY center, context"""
+    }),
+      (s, dir) => {
+        val pairs = graft.operators.Cooccur.itemCosine(
+            Tables.read(s, dir, "lineitem"), "l_orderkey", "l_partkey",
+            maxBasketSize = 8, minCount = 2L)
+          .select(col("item_a"), col("item_b"))
+        val edges = pairs.unionByName(
+          pairs.select(col("item_b").as("item_a"), col("item_a").as("item_b")))
+          .toDF("src", "dst")
+        val starts = graft.operators.Cooccur.cappedBaskets(
+            Tables.read(s, dir, "lineitem"), "l_orderkey", "l_partkey", 8)
+          .select(col("item")).where(col("item") < 30).distinct()
+        val walks = graft.graph.RandomWalk.walks(edges, "src", "dst",
+          starts, "item", walksPerNode = 2, steps = 3)
+        graft.graph.RandomWalk.skipGramPairs(walks, window = 2)
+          .orderBy("center", "context")
       })
   )
 }

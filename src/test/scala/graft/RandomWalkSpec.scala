@@ -43,6 +43,27 @@ class RandomWalkSpec extends SparkTestBase {
     assert(firstHops.length === 2, s"expected both neighbors chosen, got $firstHops")
   }
 
+  test("skip-gram pairs respect the window and never pair a node with itself") {
+    // one walk: steps 0..3 over nodes 1,2,3,4
+    val walks = Seq(("w", 0, 1L), ("w", 1, 2L), ("w", 2, 3L), ("w", 3, 4L))
+      .toDF("walk_id", "step", "node")
+    val got = graft.graph.RandomWalk.skipGramPairs(walks, window = 1)
+      .orderBy("center", "context").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // window 1: adjacent pairs only, both directions
+    assert(got.toSeq === Seq(
+      (1L, 2L, 1L), (2L, 1L, 1L), (2L, 3L, 1L),
+      (3L, 2L, 1L), (3L, 4L, 1L), (4L, 3L, 1L)))
+    val w2 = graft.graph.RandomWalk.skipGramPairs(walks, window = 2)
+      .agg(sum("n")).head.getLong(0)
+    assert(w2 === 10L) // 6 adjacent + 4 distance-2 directed pairs
+    // separate walks never mix
+    val two = walks.union(Seq(("x", 0, 9L), ("x", 1, 1L)).toDF("walk_id", "step", "node"))
+    val cross = graft.graph.RandomWalk.skipGramPairs(two, window = 3)
+      .where($"center" === 9L && $"context" =!= 1L)
+    assert(cross.count() === 0L)
+  }
+
   test("bad dials are refused") {
     val e = edges((1L, 2L))
     val starts = Seq(1L).toDF("n")
