@@ -1117,6 +1117,88 @@ object EmbeddingQueries {
             (coalesce(col("n_hit"), lit(0L)).cast("double") / lit(5.0))
               .as("recall"))
           .orderBy("q_id")
+      }),
+
+    // ---- q189: IVF-PQ search — the FAISS-style production index:
+    // coarse centroids (every 50th vector) route the corpus; PQ
+    // encodes RESIDUALS (vector − bucket centroid — better-conditioned
+    // than raw vectors); probes score only their nprobe=2 nearest
+    // buckets' codes through per-bucket ADC tables (a query's residual
+    // is taken against EACH probed bucket's centroid, matching how
+    // that bucket's candidates were encoded). Corpus-sized work:
+    // routing argmin + code table; search touches probed buckets only.
+    QueryDef("q189_ivfpq", Some(s"""
+      WITH cc AS (SELECT vec_id AS bid, embedding AS bvec
+                  FROM embeddings WHERE vec_id % 50 = 0),
+      asg AS (SELECT id, bid FROM (
+                SELECT e.vec_id AS id, cc.bid,
+                       ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                         ORDER BY ${pqSqd("e.embedding", "cc.bvec")}, cc.bid) AS rk
+                FROM embeddings e CROSS JOIN cc) WHERE rk = 1),
+      res AS MATERIALIZED (SELECT a.id, a.bid,
+                     list_transform(range(1, len(e.embedding)+1),
+                       i -> CAST(e.embedding[i] AS DOUBLE) - CAST(cc.bvec[i] AS DOUBLE)) AS rv
+              FROM asg a JOIN embeddings e ON e.vec_id = a.id
+                         JOIN cc ON cc.bid = a.bid),
+      rsv AS MATERIALIZED (SELECT id, CAST(j AS INTEGER) AS sub,
+                     rv[(j*16+1):((j+1)*16)] AS sv
+              FROM res CROSS JOIN range(0, 4) t(j)),
+      c0 AS (SELECT sub, id AS code, sv AS cvec FROM rsv WHERE id < 16),
+      ${pqLloydCte(1, "c0", "rsv")},
+      codes AS (SELECT r.id, a.bid, r.sub, r.code FROM (
+                  SELECT id, sub, code FROM (
+                    SELECT s.id, s.sub, c.code,
+                           ROW_NUMBER() OVER (PARTITION BY s.id, s.sub
+                             ORDER BY ${pqSqd("s.sv", "c.cvec")}, c.code) AS rk
+                    FROM rsv s JOIN c1 c ON c.sub = s.sub) WHERE rk = 1) r
+                JOIN asg a ON a.id = r.id),
+      qpb AS (SELECT q_id, bid FROM (
+                SELECT e.vec_id AS q_id, cc.bid,
+                       ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                         ORDER BY ${pqSqd("e.embedding", "cc.bvec")}, cc.bid) AS rk
+                FROM embeddings e CROSS JOIN cc WHERE e.vec_id < 10) WHERE rk <= 2),
+      qres AS (SELECT p.q_id, p.bid,
+                      list_transform(range(1, len(e.embedding)+1),
+                        i -> CAST(e.embedding[i] AS DOUBLE) - CAST(cc.bvec[i] AS DOUBLE)) AS rv
+               FROM qpb p JOIN embeddings e ON e.vec_id = p.q_id
+                          JOIN cc ON cc.bid = p.bid),
+      qsv AS (SELECT q_id, bid, CAST(j AS INTEGER) AS sub,
+                     rv[(j*16+1):((j+1)*16)] AS sv
+              FROM qres CROSS JOIN range(0, 4) t(j)),
+      dt AS (SELECT q.q_id, q.bid, c.code, q.sub,
+                    ${pqSqd("q.sv", "c.cvec")} AS d2
+             FROM qsv q JOIN c1 c ON c.sub = q.sub),
+      term AS (SELECT dt.q_id, k.id, dt.sub, dt.d2
+               FROM codes k JOIN dt ON dt.bid = k.bid AND dt.sub = k.sub
+                                   AND dt.code = k.code
+               WHERE k.id <> dt.q_id),
+      tot AS (SELECT q_id, id,
+                MAX(CASE WHEN sub = 0 THEN d2 END)
+                + MAX(CASE WHEN sub = 1 THEN d2 END)
+                + MAX(CASE WHEN sub = 2 THEN d2 END)
+                + MAX(CASE WHEN sub = 3 THEN d2 END) AS adc_d2
+              FROM term GROUP BY q_id, id)
+      SELECT q_id, rk, cand_id, adc_d2 FROM (
+        SELECT q_id, id AS cand_id, adc_d2,
+               CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                 ORDER BY adc_d2, id) AS INTEGER) AS rk
+        FROM tot) WHERE rk <= 5
+      ORDER BY q_id, rk"""),
+      (s, dir) => {
+        import graft.ann.{IvfPq, Pq}
+        val emb = Tables.read(s, dir, "embeddings")
+        val cc = emb.where(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("bid"), col("embedding").as("bvec"))
+        val res = IvfPq.residuals(emb, "vec_id", "embedding", cc)
+          .localCheckpoint()
+        val cb = Pq.trainCodebooks(res, "id", "rv", m = 4,
+          seedPred = col("id") < 16, iters = 1)
+        val codes = Pq.assign(Pq.subvectors(res, "id", "rv", 4), cb)
+          .join(res.select("id", "bid"), "id")
+        val probes = IvfPq.probeResiduals(emb.where(col("vec_id") < 10),
+          "vec_id", "embedding", cc, nprobe = 2)
+        IvfPq.searchAdc(probes, codes, cb, m = 4, k = 5)
+          .orderBy("q_id", "rk")
       })
   )
 
@@ -1141,12 +1223,12 @@ object EmbeddingQueries {
     * then per-(sub, code, dim) means CAST TO FLOAT — the same
     * noise-collapse that makes the q53 two-iteration oracle exact.
     */
-  private def pqLloydCte(n: Int, cin: String): String = s"""
+  private def pqLloydCte(n: Int, cin: String, src: String = "sv"): String = s"""
       a$n AS (SELECT id, sub, code, sv FROM (
                 SELECT s.id, s.sub, c.code, s.sv,
                        ROW_NUMBER() OVER (PARTITION BY s.id, s.sub
                          ORDER BY ${pqSqd("s.sv", "c.cvec")}, c.code) AS rk
-                FROM sv s JOIN $cin c ON c.sub = s.sub) WHERE rk = 1),
+                FROM $src s JOIN $cin c ON c.sub = s.sub) WHERE rk = 1),
       ex$n AS (SELECT sub, code, unnest(sv) AS v,
                       unnest(range(0, len(sv))) AS dim FROM a$n),
       m$n AS (SELECT sub, code, dim, AVG(CAST(v AS DOUBLE)) AS mv
