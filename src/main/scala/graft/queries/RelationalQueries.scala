@@ -1268,6 +1268,10 @@ object RelationalQueries {
         val edges = pairs.unionByName(
           pairs.select(col("item_b").as("item_a"), col("item_a").as("item_b")))
           .toDF("src", "dst")
+          // the edge table is an aggregation product; materialize it ONCE
+          // or every walk step's eager checkpoint recomputes the whole
+          // co-occurrence chain (8 rebuilds for a 3-step walk)
+          .localCheckpoint()
         val starts = graft.operators.Cooccur.cappedBaskets(
             Tables.read(s, dir, "lineitem"), "l_orderkey", "l_partkey", 8)
           .select(col("item")).where(col("item") < 30).distinct()
@@ -1327,6 +1331,10 @@ object RelationalQueries {
         val edges = pairs.unionByName(
           pairs.select(col("item_b").as("item_a"), col("item_a").as("item_b")))
           .toDF("src", "dst")
+          // the edge table is an aggregation product; materialize it ONCE
+          // or every walk step's eager checkpoint recomputes the whole
+          // co-occurrence chain (8 rebuilds for a 3-step walk)
+          .localCheckpoint()
         val starts = graft.operators.Cooccur.cappedBaskets(
             Tables.read(s, dir, "lineitem"), "l_orderkey", "l_partkey", 8)
           .select(col("item")).where(col("item") < 30).distinct()

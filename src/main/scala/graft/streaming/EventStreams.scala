@@ -16,6 +16,15 @@ final case class UserEvent(ts: java.sql.Timestamp, user_id: Long,
 /** Per-user running aggregate maintained by [[EventStreams.runningUserTotals]]. */
 final case class UserRunning(user_id: Long, n_events: Long, total_cents: Long)
 
+/** Per-key compacted CDC state maintained by
+  * [[EventStreams.latestUserState]] — the streaming twin of batch
+  * q188's changelog compaction. `deleted` records that the latest op
+  * was a tombstone (the key stays in state so a late re-insert with a
+  * HIGHER timestamp can resurrect it, and an older late upsert cannot).
+  */
+final case class KeyState(user_id: Long, ts_us: Long, event_id: Long,
+                          event_type: String, value: Double, deleted: Boolean)
+
 /** Exact scaled-integer cents of a 2-decimal double, replicating
   * Spark's `round()` (BigDecimal HALF_UP) bit-for-bit — `math.round`
   * is floor(x+0.5), which differs on negative values (refunds:
@@ -423,6 +432,38 @@ object EventStreams {
           }
           state.update(UserRunning(uid, n, cents))
           out.iterator
+      }
+  }
+
+  /** Streaming CDC compaction (the q188 twin): per-key latest
+    * surviving state via `mapGroupsWithState`, with 'error' events as
+    * tombstones. State is ONE row per key regardless of feed length —
+    * the bounded-state property that makes this viable on an unbounded
+    * changelog. An event only replaces the state when it is strictly
+    * newer under the total (ts µs, event_id) order, so late replays
+    * and at-least-once duplicates are no-ops and the final state per
+    * key is bit-identical to the batch max-struct compaction whatever
+    * the arrival order — stronger than the usual streaming caveat,
+    * because compaction's argmax is order-insensitive by construction.
+    */
+  def latestUserState(events: Dataset[UserEvent]): Dataset[KeyState] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[KeyState, KeyState](GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[UserEvent], state: GroupState[KeyState]) =>
+          var cur = state.getOption.orNull
+          batch.foreach { e =>
+            val tsu = e.ts.toInstant.getEpochSecond * 1000000L + e.ts.getNanos / 1000L
+            if (cur == null || tsu > cur.ts_us ||
+                (tsu == cur.ts_us && e.event_id > cur.event_id)) {
+              cur = KeyState(uid, tsu, e.event_id, e.event_type, e.value,
+                e.event_type == "error")
+            }
+          }
+          state.update(cur)
+          cur
       }
   }
 

@@ -683,6 +683,72 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming CDC compaction: newer wins, late events are no-ops, tombstones resurrect") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[UserEvent]
+    val q = EventStreams.latestUserState(input.toDS())
+      .writeStream.format("memory").queryName("cdc_state")
+      .outputMode(OutputMode.Update())
+      .start()
+    def latest(): Map[Long, (Long, String, Boolean)] =
+      spark.table("cdc_state")
+        .groupBy("user_id")
+        .agg(max(struct(col("ts_us"), col("event_id"), col("event_type"),
+          col("deleted"))).as("s"))
+        .select("user_id", "s.event_id", "s.event_type", "s.deleted")
+        .as[(Long, Long, String, Boolean)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    try {
+      input.addData(
+        UserEvent(ts(10), 1L, "view", 1.0, event_id = 1L),
+        UserEvent(ts(20), 2L, "click", 2.0, event_id = 2L))
+      q.processAllAvailable()
+      assert(latest() === Map(1L -> ((1L, "view", false)), 2L -> ((2L, "click", false))))
+      // batch 2: a LATE event for user 1 (older ts — must be ignored),
+      // a tombstone for user 2
+      input.addData(
+        UserEvent(ts(5), 1L, "purchase", 9.0, event_id = 3L),
+        UserEvent(ts(30), 2L, "error", 0.0, event_id = 4L))
+      q.processAllAvailable()
+      assert(latest() === Map(1L -> ((1L, "view", false)), 2L -> ((4L, "error", true))))
+      // batch 3: user 2 resurrects with a newer upsert
+      input.addData(UserEvent(ts(40), 2L, "signup", 3.0, event_id = 5L))
+      q.processAllAvailable()
+      assert(latest()(2L) === ((5L, "signup", false)))
+    } finally q.stop()
+  }
+
+  test("round trip on real events: streamed latestUserState equals the oracle-checked q188 result") {
+    implicit val ctx = spark.sqlContext
+    val dir = sf("sf0.001")
+    val rows = Tables.events(spark, dir)
+      .select("ts", "user_id", "event_type", "value", "event_id")
+      .as[UserEvent].collect().toSeq
+    val input = MemoryStream[UserEvent]
+    val q = EventStreams.latestUserState(input.toDS())
+      .writeStream.format("memory").queryName("rt_cdc")
+      .outputMode(OutputMode.Update())
+      .start()
+    try {
+      // split the feed across two micro-batches to exercise cross-batch
+      // state; compaction is arrival-order-insensitive so the final
+      // state must still equal the batch argmax exactly
+      val (b1, b2) = rows.splitAt(rows.size / 2)
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      val got = spark.table("rt_cdc")
+        .groupBy("user_id")
+        .agg(max(struct(col("ts_us"), col("event_id"), col("event_type"),
+          col("value"), col("deleted"))).as("s"))
+        .where(!col("s.deleted"))
+        .select("user_id", "s.event_type", "s.value", "s.ts_us")
+        .as[(Long, String, Double, Long)].collect().toSet
+      val want = SparkEntry.queries("q188_cdc_compaction")(spark, dir)
+        .as[(Long, String, Double, Long)].collect().toSet
+      assert(got === want)
+    } finally q.stop()
+  }
+
   test("round trip on real events: streamed valueAnomalies equals the oracle-checked q84 result") {
     implicit val ctx = spark.sqlContext
     val dir = sf("sf0.001")
