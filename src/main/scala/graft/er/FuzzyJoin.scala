@@ -59,10 +59,13 @@ object FuzzyJoin {
           abs(col("a.ln") - col("b.ln")) <= maxDist)
       .select(col("a.id").as("qid"), col("a.s").as("qs"),
         col("b.id").as("cid"), col("b.s").as("cs"),
-        levenshtein(col("a.s"), col("b.s")).as("d"))
+        // THRESHOLDED levenshtein: banded O(maxDist·len) instead of the
+        // full O(len²) matrix, -1 when the band is exceeded — the right
+        // kernel when only matches within maxDist matter
+        levenshtein(col("a.s"), col("b.s"), maxDist).as("d"))
     val agg = scored.groupBy("qid")
       .agg(count(lit(1)).as("n_band"),
-        min(when(col("d") <= maxDist,
+        min(when(col("d").between(0, maxDist),
           struct(col("d"), col("cid"), col("cs")))).as("best"))
     p.select(col("id").as("probe_id"), col("s").as("probe_str"))
       .join(agg, col("probe_id") === col("qid"), "left")

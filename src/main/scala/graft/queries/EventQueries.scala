@@ -971,5 +971,74 @@ object EventQueries {
             deletePred = col("event_type") === "error")
           .select("user_id", "event_type", "value", "ts_us")
           .orderBy("user_id"))
+,
+    // ---- q190: frequent event-type trigrams — sequence mining one
+    // order up from the q172 first-order transition matrix: contiguous
+    // (e1, e2, e3) paths per user (total (ts µs, event_id) order),
+    // with support = occurrences and n_users = distinct users showing
+    // the path. The lead window partitions by user — bounded per-key
+    // work, the one window shape that scales — and support counting is
+    // a hash agg over a ≤|types|³ key space.
+    QueryDef("q190_event_trigrams", Some("""
+      WITH x AS (SELECT user_id, event_type,
+                        lead(event_type, 1) OVER w AS e2,
+                        lead(event_type, 2) OVER w AS e3
+                 FROM (SELECT user_id, event_id, event_type, epoch_us(ts) AS tu
+                       FROM events)
+                 WINDOW w AS (PARTITION BY user_id ORDER BY tu, event_id))
+      SELECT event_type AS e1, e2, e3, COUNT(*) AS n,
+             COUNT(DISTINCT user_id) AS n_users
+      FROM x WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+      GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2
+      ORDER BY e1, e2, e3"""),
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("ts_us", "event_id")
+        Tables.events(s, dir)
+          .select(col("user_id"), col("event_type"),
+            lead(col("event_type"), 1).over(w).as("e2"),
+            lead(col("event_type"), 2).over(w).as("e3"))
+          .where(col("e2").isNotNull && col("e3").isNotNull)
+          .groupBy(col("event_type").as("e1"), col("e2"), col("e3"))
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("user_id")).as("n_users"))
+          .where(col("n") >= 2)
+          .orderBy("e1", "e2", "e3")
+      }),
+
+    // ---- q192: per-user active-time coverage — every event opens a
+    // 30-minute activity interval; the answer is the UNION length of
+    // overlapping intervals (the q37 sessions' exact cousin: total
+    // covered time, not session counts). Classic sweep — running max
+    // end per user with an explicit ROWS frame (the default RANGE
+    // frame would merge same-start ties wrongly), new span when a
+    // start clears it, exact integer µs arithmetic throughout. All
+    // windows partition by user: per-key bounded, scale-safe.
+    QueryDef("q192_active_coverage", Some("""
+      WITH iv AS (SELECT user_id, event_id, epoch_us(ts) AS st,
+                         epoch_us(ts) + 1800000000 AS en FROM events),
+      sw AS (SELECT user_id, event_id, st, en,
+                    MAX(en) OVER (PARTITION BY user_id ORDER BY st, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                      AS prev_end
+             FROM iv),
+      g AS (SELECT user_id, st, en,
+                   SUM(CASE WHEN prev_end IS NULL OR st > prev_end
+                            THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY user_id ORDER BY st, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+            FROM sw),
+      sp AS (SELECT user_id, grp, MIN(st) AS gs, MAX(en) AS ge
+             FROM g GROUP BY user_id, grp)
+      SELECT user_id, COUNT(*) AS n_spans,
+             CAST(SUM(ge - gs) AS BIGINT) AS covered
+      FROM sp GROUP BY user_id ORDER BY user_id"""),
+      (s, dir) =>
+        graft.operators.IntervalUnion.coverage(
+            Tables.events(s, dir).select(col("user_id"), col("event_id"),
+              col("ts_us").as("st"),
+              (col("ts_us") + 1800000000L).as("en")),
+            "user_id", "st", "en", "event_id")
+          .orderBy("user_id"))
   )
 }

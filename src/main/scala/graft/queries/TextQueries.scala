@@ -3604,7 +3604,43 @@ object TextQueries {
           .where(col("rk") <= 3)
           .select(col("anchor"), col("rk"), col("neg_id"))
           .orderBy("anchor", "rk")
-      })
+      }),
+
+    // ---- q191: classifier calibration (reliability curve) — before a
+    // pipeline trusts the q31 language-ID score as a filter threshold,
+    // it must know whether score ≈ P(correct): bin the en-marker ratio
+    // into 5%-wide bins and compare each bin's observed 'en' rate
+    // against its score range. One corpus scan + one ≤21-key hash agg;
+    // the bin index is floor(exact-ratio × 20) — the same double in
+    // both engines — and observed rates are exact int/int divisions.
+    QueryDef("q191_calibration", Some("""
+      WITH raw AS (SELECT doc_id, lang,
+                     list_filter(regexp_split_to_array(lower(text), '\W+'),
+                                 t -> t <> '') AS tokens
+                   FROM documents),
+      s AS (SELECT lang,
+              len(list_filter(tokens,
+                  t -> t IN ('the','a','of','to','and','in','is','it')))
+                / len(tokens) AS score
+            FROM raw WHERE len(tokens) > 0)
+      SELECT CAST(FLOOR(score * 20) AS BIGINT) AS bin,
+             COUNT(*) AS n,
+             CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+             CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               / CAST(COUNT(*) AS BIGINT) AS en_rate
+      FROM s GROUP BY 1 ORDER BY bin"""),
+      (s, dir) =>
+        docs(s, dir)
+          .select(col("lang"), Tokenize.tokens(col("text")).as("tokens"))
+          .where(size(col("tokens")) > 0)
+          .select(col("lang"),
+            TextStats.englishRatio(col("tokens")).as("score"))
+          .groupBy(floor(col("score") * 20).cast("long").as("bin"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"))
+          .select(col("bin"), col("n"), col("n_en"),
+            (col("n_en") / col("n")).as("en_rate"))
+          .orderBy("bin"))
   )
 
   /** Spark side of q166 (extracted so the defs entry stays readable). */
