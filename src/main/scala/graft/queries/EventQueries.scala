@@ -1040,5 +1040,46 @@ object EventQueries {
               (col("ts_us") + 1800000000L).as("en")),
             "user_id", "st", "en", "event_id")
           .orderBy("user_id"))
+,
+    // ---- q193: exact two-sample KS drift test — per event type, does
+    // its value distribution match the rest of the feed? ECDFs are
+    // compared by CROSS-MULTIPLIED integer counts (|cumA·nB − cumB·nA|
+    // — pure long arithmetic, no float boundary in the argmax; one
+    // division at the end). The sweep windows run over the DISTINCT
+    // cents grid partitioned by type — bounded by the value domain,
+    // not the corpus (the q141 AUC justification); unbounded domains
+    // route through the q152 bucket-histogram sketch instead.
+    QueryDef("q193_ks_drift", Some(s"""
+      WITH vc AS (SELECT event_type AS g, $valCents AS v FROM events),
+      bygv AS (SELECT g, v, COUNT(*) AS n_gv FROM vc GROUP BY g, v),
+      byv AS (SELECT v, COUNT(*) AS n_v FROM vc GROUP BY v),
+      tot AS (SELECT g, COUNT(*) AS n_a FROM vc GROUP BY g),
+      nn AS (SELECT COUNT(*) AS n_all FROM vc),
+      grid AS (SELECT t.g, byv.v, byv.n_v, COALESCE(b.n_gv, 0) AS n_gv
+               FROM byv CROSS JOIN (SELECT g FROM tot) t
+                        LEFT JOIN bygv b ON b.g = t.g AND b.v = byv.v),
+      cum AS (SELECT g, v,
+                     CAST(SUM(n_gv) OVER (PARTITION BY g ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_a,
+                     CAST(SUM(n_v - n_gv) OVER (PARTITION BY g ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_b
+              FROM grid),
+      dd AS (SELECT c.g, c.v, tot.n_a, nn.n_all - tot.n_a AS n_b,
+                    CAST(abs(c.cum_a * (nn.n_all - tot.n_a) - c.cum_b * tot.n_a)
+                         AS BIGINT) AS dnum
+             FROM cum c JOIN tot ON tot.g = c.g CROSS JOIN nn),
+      r AS (SELECT g, n_a, n_b, dnum, v,
+                   ROW_NUMBER() OVER (PARTITION BY g ORDER BY dnum DESC, v) AS rk
+            FROM dd WHERE n_b > 0)
+      SELECT g AS event_type, n_a, n_b, dnum AS d_num,
+             CAST(dnum AS DOUBLE) / CAST(n_a * n_b AS DOUBLE) AS ks_stat,
+             v AS at_value
+      FROM r WHERE rk = 1 ORDER BY event_type"""),
+      (s, dir) =>
+        graft.operators.KsTest.perGroupVsRest(
+            Tables.events(s, dir)
+              .select(col("event_type"), QueryDef.cents(col("value")).as("v")),
+            "event_type", "v")
+          .orderBy("event_type"))
   )
 }
