@@ -3641,6 +3641,81 @@ object TextQueries {
           .select(col("bin"), col("n"), col("n_en"),
             (col("n_en") / col("n")).as("en_rate"))
           .orderBy("bin"))
+,
+    // ---- q194: LSH s-curve tuning diagnostic — does the banded dial
+    // (b=4, r=2) deliver its analytic recall 1−(1−J²)⁴ on REAL pairs?
+    // Ground truth = the prefix-filtered EXACT Jaccard join (q139's
+    // operator — no LSH in the truth path); candidates = banded
+    // MinHash over the SAME shingle sets (a mismatched hash domain
+    // would make the curve incoherent). Pairs bin by true Jaccard;
+    // each bin reports observed recall vs the expected collision
+    // probability, the latter accumulated in exact nano-scaled longs
+    // (summation-order-free) with the power expanded to fixed-order
+    // products — no libm pow. This is the report that justifies a
+    // dedup dial before a 100 TB run buys it.
+    QueryDef("q194_lsh_s_curve", Some(s"""${toksCte("doc_id < 150")},
+      sh AS (SELECT doc_id,
+               list_distinct(list_transform(range(1, len(tokens)),
+                             i -> tokens[i] || ' ' || tokens[i+1])) AS sh
+             FROM toks),
+      e AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+      sz AS (SELECT doc_id, len(sh) AS n FROM sh WHERE len(sh) > 0),
+      it AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+             FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+             GROUP BY 1, 2),
+      truth AS (SELECT id_a, id_b, inter / (sa.n + sb.n - inter) AS jac
+                FROM it JOIN sz sa ON sa.doc_id = id_a
+                        JOIN sz sb ON sb.doc_id = id_b
+                WHERE inter * 10 >= 1 * (sa.n + sb.n - inter)),
+      sig AS (SELECT doc_id,
+        ${(0 until 8).map(i =>
+          s"list_min(list_transform(sh, t -> md5('$i:' || t))) AS mh$i")
+          .mkString(",\n        ")}
+              FROM sh),
+      band AS (${(0 until 4).map(b =>
+          s"SELECT doc_id, $b AS b, mh${2 * b} || '|' || mh${2 * b + 1} AS chunk FROM sig")
+          .mkString(" UNION ALL\n               ")}),
+      cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+               FROM band a JOIN band b
+                 ON a.b = b.b AND a.chunk = b.chunk AND a.doc_id < b.doc_id),
+      j AS (SELECT t.jac,
+                   CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END AS hit,
+                   CAST(ROUND((1.0 - (1.0 - t.jac * t.jac) * (1.0 - t.jac * t.jac)
+                               * (1.0 - t.jac * t.jac) * (1.0 - t.jac * t.jac))
+                              * 1000000000) AS BIGINT) AS p_nanos
+            FROM truth t LEFT JOIN cand c
+              ON c.id_a = t.id_a AND c.id_b = t.id_b)
+      SELECT CAST(FLOOR(jac * 10) AS BIGINT) AS bin,
+             COUNT(*) AS n_pairs,
+             CAST(SUM(hit) AS BIGINT) AS n_hit,
+             CAST(SUM(hit) AS BIGINT) / COUNT(*) AS obs_recall,
+             CAST(SUM(p_nanos) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+               / 1000000000.0 AS exp_recall
+      FROM j GROUP BY 1 ORDER BY bin"""),
+      (s, dir) => {
+        val toks = tokenized(s, dir).where(col("doc_id") < 150)
+        val truth = Dedup.prefixJaccardPairs(toks, "doc_id", "tokens",
+          num = 1, den = 10)
+        val shdocs = toks.select(col("doc_id"),
+          Dedup.bigramShingles(col("tokens")).as("sh"))
+        val cand = Dedup.lshBandedCandidatePairs(shdocs, "doc_id", "sh",
+          nBands = 4, rowsPerBand = 2)
+        val t1 = lit(1.0) - col("jac") * col("jac")
+        val j = truth.withColumnRenamed("jaccard", "jac")
+          .join(cand.withColumn("hit", lit(1L)), Seq("id_a", "id_b"), "left")
+          .select(col("jac"),
+            coalesce(col("hit"), lit(0L)).as("hit"),
+            round((lit(1.0) - t1 * t1 * t1 * t1) * 1e9).cast("long").as("p_nanos"))
+        j.groupBy(floor(col("jac") * 10).cast("long").as("bin"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(col("hit")).as("n_hit"),
+            sum(col("p_nanos")).as("pn"))
+          .select(col("bin"), col("n_pairs"), col("n_hit"),
+            (col("n_hit") / col("n_pairs")).as("obs_recall"),
+            (col("pn").cast("double") / col("n_pairs").cast("double")
+              / lit(1.0e9)).as("exp_recall"))
+          .orderBy("bin")
+      })
   )
 
   /** Spark side of q166 (extracted so the defs entry stays readable). */
