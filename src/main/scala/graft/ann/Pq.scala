@@ -76,25 +76,54 @@ object Pq {
     * seed ids should be the k smallest to keep codes dense). A
     * subspace cluster that captures no vectors disappears (standard
     * Lloyd empty-cluster drop). Returns (sub, code, cvec).
+    *
+    * Per-iteration codebooks (m·k rows — tiny) are materialized via
+    * the checkpoint-mode dial and superseded steps released — the
+    * family-wide durability contract: `CheckpointMode.Path(dir)` +
+    * `resume = true` re-enters a dead run at the last committed step
+    * (step 1 = seeds, step 1+i = iteration i), bit-identical to an
+    * uninterrupted run (ResumeSpec). The resumed call must use the
+    * same (m, seedPred) dials — the codebook files carry no dial
+    * fingerprint.
     */
   def trainCodebooks(emb: DataFrame, idCol: String, vecCol: String,
-                     m: Int, seedPred: Column, iters: Int): DataFrame = {
+                     m: Int, seedPred: Column, iters: Int,
+                     checkpoint: graft.operators.CheckpointMode =
+                       graft.operators.CheckpointMode.Local,
+                     resume: Boolean = false): DataFrame = {
     require(iters >= 1, s"iters must be positive, got $iters")
     val sv = subvectors(emb, idCol, vecCol, m)
-    val seeds = subvectors(emb.where(seedPred), idCol, vecCol, m)
-      .select(col("sub"), col("id").as("code"), col("sv").as("cvec"))
-    var cb = seeds.localCheckpoint()
-    (1 to iters).foreach { _ =>
+    val cp = new graft.operators.Checkpointer(checkpoint, "pq")
+    val resumed = (checkpoint, resume) match {
+      case (graft.operators.CheckpointMode.Path(dir), true) =>
+        graft.operators.Checkpointer
+          .lastCompleteStep(emb.sparkSession, dir, "pq")
+          .filter { case (s, _) => s >= 1 && s <= iters + 1 }
+      case _ => None
+    }
+    var (cb, prevCp, remaining) = resumed match {
+      case Some((s, frame)) =>
+        val f = cp.resumeAt(s, frame)
+        (f, Option(f), iters - (s - 1))
+      case None =>
+        val c0 = cp.materialize(subvectors(emb.where(seedPred), idCol, vecCol, m)
+          .select(col("sub"), col("id").as("code"), col("sv").as("cvec")))
+        (c0, Option(c0), iters)
+    }
+    (1 to remaining).foreach { _ =>
       val assigned = assign(sv, cb)
-      cb = sv.join(assigned.select("id", "sub", "code"), Seq("id", "sub"))
-        .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("dim", "v")))
-        .groupBy("sub", "code", "dim")
-        .agg(avg(col("v")).as("mval"))
-        .groupBy("sub", "code")
-        .agg(array_sort(collect_list(struct(col("dim"), col("mval")))).as("dm"))
-        .select(col("sub"), col("code"),
-          transform(col("dm"), x => x.getField("mval").cast("float")).as("cvec"))
-        .localCheckpoint()
+      val next = cp.materialize(
+        sv.join(assigned.select("id", "sub", "code"), Seq("id", "sub"))
+          .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("dim", "v")))
+          .groupBy("sub", "code", "dim")
+          .agg(avg(col("v")).as("mval"))
+          .groupBy("sub", "code")
+          .agg(array_sort(collect_list(struct(col("dim"), col("mval")))).as("dm"))
+          .select(col("sub"), col("code"),
+            transform(col("dm"), x => x.getField("mval").cast("float")).as("cvec")))
+      prevCp.foreach(cp.release)
+      prevCp = Some(next)
+      cb = next
     }
     cb
   }

@@ -25,30 +25,62 @@ object RandomWalk {
 
   /** Walk corpus (walk_id, step, node): `walksPerNode` walks from each
     * start node, extended `steps` times. walk_id = "<start>#<w>".
+    *
+    * Every per-step frontier is materialized WITH its step column via
+    * the checkpoint-mode dial, and the emitted corpus is the union of
+    * the step frames — so no step is ever released, and Path-mode
+    * `resume = true` re-enters a dead run with ONE flat multi-path
+    * read of the committed steps (checkpoint step 1+t = walk step t).
+    * Hash-seeded hops make the resumed tail bit-identical to an
+    * uninterrupted run (ResumeSpec); the resumed call must use the
+    * same (edges, starts, walksPerNode) dials.
     */
   def walks(edges: DataFrame, srcCol: String, dstCol: String,
             starts: DataFrame, startCol: String,
-            walksPerNode: Int, steps: Int): DataFrame = {
+            walksPerNode: Int, steps: Int,
+            checkpoint: graft.operators.CheckpointMode =
+              graft.operators.CheckpointMode.Local,
+            resume: Boolean = false): DataFrame = {
     require(walksPerNode >= 1, s"walksPerNode must be positive, got $walksPerNode")
     require(steps >= 1, s"steps must be positive, got $steps")
+    val spark = edges.sparkSession
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-    var frontier = starts
-      .select(explode(sequence(lit(0), lit(walksPerNode - 1))).as("w"),
-        col(startCol).as("node"))
-      .select(concat_ws("#", col("node"), col("w")).as("walk_id"), col("node"))
-      .localCheckpoint(false)
-    var path = frontier.withColumn("step", lit(0))
-    (1 to steps).foreach { t =>
-      val next = frontier.join(e, col("node") === col("src"))
+    val cp = new graft.operators.Checkpointer(checkpoint, "walk")
+    val resumed = (checkpoint, resume) match {
+      case (graft.operators.CheckpointMode.Path(dir), true) =>
+        for {
+          (s, front) <- graft.operators.Checkpointer
+            .lastCompleteStep(spark, dir, "walk")
+          if s >= 1 && s <= steps + 1
+          all <- graft.operators.Checkpointer
+            .completeSteps(spark, dir, "walk", 1, s)
+        } yield (s, front, all)
+      case _ => None
+    }
+    var (frontier, path, done) = resumed match {
+      case Some((s, front, all)) =>
+        cp.resumeAt(s, front)
+        (front.select("walk_id", "node"), all, s - 1)
+      case None =>
+        val f0 = cp.materialize(starts
+          .select(explode(sequence(lit(0), lit(walksPerNode - 1))).as("w"),
+            col(startCol).as("node"))
+          .select(concat_ws("#", col("node"), col("w")).as("walk_id"),
+            col("node"))
+          .withColumn("step", lit(0)))
+        (f0.select("walk_id", "node"), f0, 0)
+    }
+    ((done + 1) to steps).foreach { t =>
+      val next = cp.materialize(frontier.join(e, col("node") === col("src"))
         .groupBy("walk_id")
         .agg(min(struct(
           md5(concat_ws(":", col("walk_id"), lit(t), col("src"), col("dst")))
             .as("h"),
           col("dst").as("d"))).as("pick"))
         .select(col("walk_id"), col("pick.d").as("node"))
-        .localCheckpoint(false)
-      path = path.unionByName(next.withColumn("step", lit(t)))
-      frontier = next
+        .withColumn("step", lit(t)))
+      path = path.unionByName(next)
+      frontier = next.select("walk_id", "node")
     }
     path.select(col("walk_id"), col("step"), col("node"))
   }

@@ -124,6 +124,58 @@ class ResumeSpec extends SparkTestBase {
       s"resumed-from step must be released once superseded, found $left")
   }
 
+  test("PQ training: killed run resumes from the last committed codebook, bit-identical") {
+    val emb = Seq(
+      (0L, Array(0f, 0f, 8f, 8f)), (1L, Array(8f, 8f, 0f, 0f)),
+      (2L, Array(1f, 1f, 7f, 7f)), (3L, Array(7f, 7f, 1f, 1f)),
+      (4L, Array(0f, 2f, 6f, 8f)), (5L, Array(6f, 8f, 0f, 2f))
+    ).toDF("vec_id", "embedding")
+    val dir = s"$tmp/pq-kill"
+    graft.ann.Pq.trainCodebooks(emb, "vec_id", "embedding", m = 2,
+      seedPred = col("vec_id") < 2, iters = 1,
+      checkpoint = CheckpointMode.Path(dir)).collect()
+    torn(dir, "pq-step-3")
+    def flat(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Float](2).toList))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val resumed = flat(graft.ann.Pq.trainCodebooks(emb, "vec_id", "embedding",
+      m = 2, seedPred = col("vec_id") < 2, iters = 3,
+      checkpoint = CheckpointMode.Path(dir), resume = true))
+    val fresh = flat(graft.ann.Pq.trainCodebooks(emb, "vec_id", "embedding",
+      m = 2, seedPred = col("vec_id") < 2, iters = 3))
+    assert(resumed === fresh,
+      "resumed PQ codebooks must be bit-identical to an uninterrupted run")
+    val left = steps(dir)
+    assert(left.contains("pq-step-4"), s"expected final step 4 in $left")
+    assert(!left.contains("pq-step-2"),
+      s"resumed-from step must be released once superseded, found $left")
+  }
+
+  test("random walks: killed run resumes from the last committed frontier, bit-identical") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (2L, 4L), (4L, 2L))
+      .toDF("src", "dst")
+    val starts = Seq(1L, 2L).toDF("n")
+    val dir = s"$tmp/walk-kill"
+    graft.graph.RandomWalk.walks(edges, "src", "dst", starts, "n",
+      walksPerNode = 2, steps = 1,
+      checkpoint = CheckpointMode.Path(dir)).collect()
+    torn(dir, "walk-step-3")
+    def flat(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val resumed = flat(graft.graph.RandomWalk.walks(edges, "src", "dst",
+      starts, "n", walksPerNode = 2, steps = 4,
+      checkpoint = CheckpointMode.Path(dir), resume = true))
+    val fresh = flat(graft.graph.RandomWalk.walks(edges, "src", "dst",
+      starts, "n", walksPerNode = 2, steps = 4))
+    assert(resumed === fresh,
+      "resumed walk corpus must be bit-identical to an uninterrupted run")
+    // every step frame IS part of the output — none may be released
+    val left = steps(dir)
+    assert((1 to 5).forall(i => left.contains(s"walk-step-$i")),
+      s"all step frames must survive (they are the corpus), found $left")
+  }
+
   test("connected components: killed run resumes mid-convergence, identical labels AND round count") {
     // the 50-hop path fixture — pointer doubling needs ~6 rounds
     val ids = (1L to 51L).toDF("doc_id")
