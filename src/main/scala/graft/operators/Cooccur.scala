@@ -48,7 +48,11 @@ object Cooccur {
     */
   def itemCosine(rel: DataFrame, basketCol: String, itemCol: String,
                  maxBasketSize: Int = 64, minCount: Long = 2L): DataFrame = {
+    // 4 consumers (item counts, basket total, both self-join sides):
+    // materialize the capped table ONCE or each branch re-runs the
+    // distinct + per-basket rank window — 4 corpus passes instead of 1
     val capped = cappedBaskets(rel, basketCol, itemCol, maxBasketSize)
+      .localCheckpoint()
     val itemN = capped.groupBy("item").agg(count(lit(1)).as("n_item"))
     val nBaskets = capped.agg(countDistinct(col("basket")).as("n_baskets"))
     val pairs = capped.as("a")

@@ -568,4 +568,91 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!plan.exists { case _: CartesianProductExec => true; case _ => false },
       "the 1-row total joins as a broadcast, never a cartesian")
   }
+
+  test("q180 co-occurrence: only the per-basket cap windows; counts broadcast back") {
+    val plan = collectAll(executed(q("q180_item_cooccur")))
+    val windows = plan.filter(_.nodeName == "Window")
+    // the per-basket rank window runs ONCE in the capped-table
+    // materialization job; the final plan's branches all read that
+    // single materialization instead of re-ranking per consumer
+    assert(windows.size <= 1, s"only the per-basket rank may window, found ${windows.size}")
+    assert(windows.forall(_.toString.contains("basket")),
+      "the one allowed window must partition by basket (bounded per key)")
+    assert(plan.exists { case _: BroadcastHashJoinExec => true; case _ => false },
+      "vocab-sized item counts must broadcast into the final join")
+    val aggs = plan.filter(_.nodeName.contains("HashAggregate")).map(_.toString)
+    assert(aggs.exists(_.contains("partial_count")),
+      "pair counts must partial-aggregate before the exchange")
+  }
+
+  test("q181 fuzzy lookup: probe side broadcasts, best match is an agg not a window") {
+    val plan = collectAll(executed(q("q181_fuzzy_lookup")))
+    assert(!plan.exists(_.nodeName == "Window"),
+      "best-match must be the mergeable min-struct, never a per-probe window")
+    assert(!plan.exists(_.nodeName.contains("SortMergeJoin")),
+      "the catalog must never shuffle for the probe join")
+    assert(!plan.exists { case _: CartesianProductExec => true; case _ => false })
+  }
+
+  test("q182 k-anonymity: one rollup Expand, no windows, partial aggregation") {
+    val plan = collectAll(executed(q("q182_k_anonymity")))
+    assert(!plan.exists(_.nodeName == "Window"), "the ladder never windows")
+    assert(plan.count(_.nodeName == "Expand") == 1,
+      "exactly one rollup Expand — the whole ladder rides one corpus scan")
+    val aggs = plan.filter(_.nodeName.contains("HashAggregate")).map(_.toString)
+    assert(aggs.exists(_.contains("partial_count")),
+      "class counts must partial-aggregate map-side")
+  }
+
+  test("PQ search (q185): codebooks broadcast, selection is the mergeable top-k, no window") {
+    val plan = collectAll(executed(q("q185_pq_adc")))
+    assert(!plan.exists(_.nodeName == "Window"),
+      "ADC selection must be the k-slot aggregator, never a per-query window")
+    assert(plan.exists { case _: BroadcastHashJoinExec => true; case _ => false },
+      "the per-probe distance table must broadcast against the code table")
+    val aggs = plan.filter(_.nodeName.contains("ObjectHashAggregate")).map(_.toString)
+    assert(aggs.exists(_.contains("partial_topkaggregator")),
+      "top-k buffers must partial-aggregate before the exchange")
+  }
+
+  test("IVF-PQ (q189): bucket-pruned search — broadcasts, no window, no cartesian on the corpus") {
+    val plan = collectAll(executed(q("q189_ivfpq")))
+    assert(!plan.exists(_.nodeName == "Window"),
+      "routing and selection are argmin/top-k aggregates, never windows")
+    assert(plan.exists { case _: BroadcastHashJoinExec => true; case _ => false },
+      "probed-bucket distance tables must broadcast against the codes")
+    assert(!plan.exists { case _: CartesianProductExec => true; case _ => false },
+      "the only cross shapes are centroid broadcasts, never a corpus cartesian")
+  }
+
+  test("q188 CDC compaction: ONE mergeable argmax — no window, no self-join") {
+    val plan = collectAll(executed(q("q188_cdc_compaction")))
+    assert(!plan.exists(_.nodeName == "Window"),
+      "compaction must never sort per-key history under a window")
+    assert(!plan.exists(_.nodeName.contains("Join")),
+      "latest-state is one aggregation — no join against max(ts)")
+    val aggs = plan.filter(_.nodeName.contains("Aggregate")).map(_.toString)
+    assert(aggs.exists(_.contains("partial_max_by")),
+      "the argmax must partial-aggregate map-side")
+  }
+
+  test("q192 interval union: every window partitions by user — never a global sweep") {
+    val plan = collectAll(executed(q("q192_active_coverage")))
+    val windows = plan.filter(_.nodeName == "Window")
+    assert(windows.nonEmpty)
+    assert(windows.forall(_.toString.contains("user_id")),
+      "sweep windows must partition by the key, never run globally")
+  }
+
+  test("q193 KS drift: count aggs partial-aggregate; sweep windows partition by group") {
+    val plan = collectAll(executed(q("q193_ks_drift")))
+    val windows = plan.filter(_.nodeName == "Window")
+    assert(windows.forall(_.toString.contains("g#")),
+      "ECDF sweeps must partition by group over the bounded value grid")
+    val aggs = plan.filter(_.nodeName.contains("HashAggregate")).map(_.toString)
+    assert(aggs.exists(_.contains("partial_count")),
+      "(group, value) counts must partial-aggregate before the exchange")
+    assert(!plan.exists { case _: CartesianProductExec => true; case _ => false },
+      "group/total fan-outs are broadcasts, never cartesians")
+  }
 }
