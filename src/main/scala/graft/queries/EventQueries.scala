@@ -1081,5 +1081,41 @@ object EventQueries {
               .select(col("event_type"), QueryDef.cents(col("value")).as("v")),
             "event_type", "v")
           .orderBy("event_type"))
+,
+    // ---- q196: Theil–Sen robust trend — the outlier-immune partner
+    // of q178's OLS: per event type, the MEDIAN of all pairwise daily
+    // slopes (a single wild day moves OLS arbitrarily, but not the
+    // median of O(days²) slopes). Each slope is one exact double
+    // division of exact integer (Δcents, Δdays); the pairwise
+    // self-join runs per type over the DAILY table — bounded by the
+    // time domain squared, never by event volume (the corpus collapses
+    // to days×types rows first). median = percentile_cont(0.5): both
+    // engines average the two middles with one identical IEEE op.
+    QueryDef("q196_theil_sen", Some(s"""
+      WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS x,
+                            CAST(SUM($valCents) AS BIGINT) AS y
+                     FROM events GROUP BY 1, 2),
+      sl AS (SELECT a.event_type,
+                    CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS slope
+             FROM daily a JOIN daily b
+               ON a.event_type = b.event_type AND a.x < b.x)
+      SELECT event_type, COUNT(*) AS n_pairs,
+             median(slope) AS slope_cents_per_day
+      FROM sl GROUP BY event_type ORDER BY event_type"""),
+      (s, dir) => {
+        val daily = Tables.events(s, dir)
+          .groupBy(col("event_type"), expr("ts_us div 86400000000").as("x"))
+          .agg(sum(QueryDef.cents(col("value"))).as("y"))
+        daily.as("a").join(daily.as("b"),
+            col("a.event_type") === col("b.event_type") &&
+              col("a.x") < col("b.x"))
+          .select(col("a.event_type").as("event_type"),
+            ((col("b.y") - col("a.y")).cast("double") /
+              (col("b.x") - col("a.x")).cast("double")).as("slope"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_pairs"),
+            median(col("slope")).as("slope_cents_per_day"))
+          .orderBy("event_type")
+      })
   )
 }

@@ -1342,6 +1342,48 @@ object RelationalQueries {
           starts, "item", walksPerNode = 2, steps = 3)
         graft.graph.RandomWalk.skipGramPairs(walks, window = 2)
           .orderBy("center", "context")
+      }),
+
+    // ---- q195: TPC-H Q5-shaped six-table star join — regional revenue
+    // where customer and supplier share a nation: the canonical
+    // join-ordering exercise. Declared flat and left to Catalyst/AQE;
+    // the genuinely tiny dims (region, nation) carry explicit
+    // broadcast hints, the year filter reaches the orders scan as a
+    // pushed predicate, and revenue sums in exact cents (the rounded
+    // per-row product is the same double in both engines; the SUM is
+    // order-free integer arithmetic).
+    QueryDef("q195_regional_revenue", Some("""
+      SELECT n_name,
+             CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                           AS BIGINT)) AS BIGINT) / 100.0 AS revenue
+      FROM customer, orders, lineitem, supplier, nation, region
+      WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        AND r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1997-01-01'
+      GROUP BY n_name ORDER BY n_name"""),
+      (s, dir) => {
+        val c = Tables.read(s, dir, "customer")
+        val o = Tables.read(s, dir, "orders")
+          .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        val l = Tables.read(s, dir, "lineitem")
+        val su = Tables.read(s, dir, "supplier")
+        val n = broadcast(Tables.read(s, dir, "nation"))
+        val r = broadcast(Tables.read(s, dir, "region")
+          .where(col("r_name") === "ASIA"))
+        c.join(o, col("c_custkey") === col("o_custkey"))
+          .join(l, col("l_orderkey") === col("o_orderkey"))
+          .join(su, col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+          .join(n, col("s_nationkey") === col("n_nationkey"))
+          .join(r, col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("n_name"))
+          .agg((sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+              * 100).cast("long")).cast("long") / 100.0).as("revenue"))
+          .orderBy("n_name")
       })
   )
 }
