@@ -236,4 +236,108 @@ class PropertySpec extends SparkTestBase {
       .as[(Long, Long, Double)].collect().sorted
     assert(ones === Seq((1L, 2L, 1.0), (2L, 1L, 1.0)))
   }
+
+  test("interval union: covered length ≡ driver-side sweep; bounded by sum and max") {
+    val ivGen: Gen[(Long, Long, Long)] = for {
+      k <- Gen.choose(0L, 3L)
+      st <- Gen.choose(0L, 60L)
+      len <- Gen.choose(0L, 25L)
+    } yield (k, st, st + len)
+    val rows = sample(ivGen, 300).zipWithIndex
+      .map { case ((k, s, e), i) => (k, s, e, i.toLong) }
+    val got = graft.operators.IntervalUnion.coverage(
+        rows.toDF("k", "st", "en", "id"), "k", "st", "en", "id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // independent model: sort and sweep on the driver
+    val want = rows.groupBy(_._1).map { case (k, ivs) =>
+      val sorted = ivs.map(t => (t._2, t._3)).sortBy(identity)
+      var spans = 0L; var covered = 0L
+      var curS = Long.MinValue; var curE = Long.MinValue
+      sorted.foreach { case (s, e) =>
+        if (curE == Long.MinValue || s > curE) {
+          if (curE != Long.MinValue) covered += curE - curS
+          spans += 1; curS = s; curE = e
+        } else curE = math.max(curE, e)
+      }
+      if (curE != Long.MinValue) covered += curE - curS
+      k -> ((spans, covered))
+    }
+    assert(got === want)
+    // invariants: union ≤ Σ lengths, union ≥ longest single interval
+    rows.groupBy(_._1).foreach { case (k, ivs) =>
+      val (_, cov) = got(k)
+      assert(cov <= ivs.map(t => t._3 - t._2).sum)
+      assert(cov >= ivs.map(t => t._3 - t._2).max)
+    }
+  }
+
+  test("KS statistic ∈ [0,1]; 0 iff the group matches the rest exactly") {
+    val gen: Gen[(String, Long)] = for {
+      g <- Gen.oneOf("a", "b", "c")
+      v <- Gen.choose(0L, 20L)
+    } yield (g, v)
+    val rows = sample(gen, 400)
+    val got = graft.operators.KsTest.perGroupVsRest(
+        rows.toDF("g", "v"), "g", "v")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(got.nonEmpty)
+    got.foreach { case (g, na, nb, dnum, ks) =>
+      assert(ks >= 0.0 && ks <= 1.0, s"group $g: ks=$ks out of range")
+      assert(dnum <= na * nb)
+    }
+    // duplicating one group as another makes that group's complement
+    // contain an exact copy PLUS extras — statistic stays < 1
+    val mirrored = rows.filter(_._1 == "a").map { case (_, v) => ("a2", v) }
+    val ks2 = graft.operators.KsTest.perGroupVsRest(
+        (rows ++ mirrored).toDF("g", "v"), "g", "v")
+      .collect().map(r => (r.getString(0), r.getDouble(4))).toMap
+    assert(ks2("a2") < 1.0)
+  }
+
+  test("CDC compaction is invariant to input order and replay") {
+    val gen: Gen[(Long, Long, String, Double)] = for {
+      k <- Gen.choose(0L, 5L)
+      ts <- Gen.choose(0L, 30L)
+      op <- Gen.oneOf("upsert", "upsert", "upsert", "delete")
+      v <- Gen.choose(0, 999).map(_ / 100.0)
+    } yield (k, ts, op, v)
+    val rows = sample(gen, 200).zipWithIndex
+      .map { case ((k, ts, op, v), i) => (k, ts, i.toLong, op, v) }
+    def latest(xs: Seq[(Long, Long, Long, String, Double)]) =
+      graft.operators.Compaction.latest(
+          xs.toDF("k", "ts", "seq", "op", "v"),
+          Seq("k"), "ts", Seq("seq"), Seq("op", "v"),
+          col("op") === "delete")
+        .collect().map(r => (r.getString(1), r.getDouble(2), r.getLong(3)) -> r.getLong(0))
+        .map(_.swap).toMap
+    val once = latest(rows)
+    assert(latest(rows.reverse) === once, "arrival order must not matter")
+    assert(latest(rows ++ rows) === once, "at-least-once replay must be a no-op")
+    // model: per key, max by (ts, seq); drop if delete
+    val want = rows.groupBy(_._1).flatMap { case (k, xs) =>
+      val last = xs.maxBy(t => (t._2, t._3))
+      if (last._4 == "delete") None else Some(k -> ((last._4, last._5, last._2)))
+    }
+    assert(once === want)
+  }
+
+  test("co-occurrence cosine ∈ (0,1] and symmetric under item relabeling") {
+    val gen: Gen[(Long, Long)] = for {
+      b <- Gen.choose(0L, 15L)
+      i <- Gen.choose(0L, 8L)
+    } yield (b, i)
+    val rows = sample(gen, 300)
+    val base = graft.operators.Cooccur.itemCosine(
+        rows.toDF("basket", "item"), "basket", "item",
+        maxBasketSize = 16, minCount = 1L)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(5))).toMap
+    base.values.foreach(c => assert(c > 0.0 && c <= 1.0 + 1e-15))
+    // relabel items by x → 100 − x: pairs flip orientation, cosines persist
+    val flipped = graft.operators.Cooccur.itemCosine(
+        rows.map { case (b, i) => (b, 100L - i) }.toDF("basket", "item"),
+        "basket", "item", maxBasketSize = 16, minCount = 1L)
+      .collect().map(r => ((100L - r.getLong(1), 100L - r.getLong(0)), r.getDouble(5))).toMap
+    assert(flipped === base)
+  }
 }
