@@ -1116,6 +1116,52 @@ object EventQueries {
           .agg(count(lit(1)).as("n_pairs"),
             median(col("slope")).as("slope_cents_per_day"))
           .orderBy("event_type")
+      }),
+
+    // ---- q197: funnel time-to-convert — q171's ordered funnel tells
+    // WHO converted; this reports HOW FAST: per user, first 'view' →
+    // first subsequent 'purchase', then conversion rate and latency
+    // percentiles across converted users. Per-user anchors are
+    // mergeable MIN aggregations (never a window over the event
+    // stream); the percentile runs over the converted-user latency
+    // table — user-count bounded, not event bounded. Latencies are
+    // exact integer µs; the two interpolated percentiles follow the
+    // q57 round-6 convention, the rate is one exact division.
+    QueryDef("q197_funnel_latency", Some("""
+      WITH v AS (SELECT user_id, MIN(epoch_us(ts)) AS tv
+                 FROM events WHERE event_type = 'view' GROUP BY user_id),
+      p AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS tp
+            FROM events e JOIN v ON v.user_id = e.user_id
+            WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= v.tv
+            GROUP BY e.user_id),
+      lat AS (SELECT p.user_id, p.tp - v.tv AS lat_us
+              FROM p JOIN v ON v.user_id = p.user_id)
+      SELECT (SELECT COUNT(*) FROM v) AS n_viewers,
+             COUNT(*) AS n_converted,
+             COUNT(*) / (SELECT COUNT(*) FROM v) AS conversion_rate,
+             ROUND(quantile_cont(lat_us, 0.5), 6) AS p50_latency_us,
+             ROUND(quantile_cont(lat_us, 0.9), 6) AS p90_latency_us
+      FROM lat"""),
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(col("user_id"), col("event_type"), col("ts_us"))
+        val v = ev.where(col("event_type") === "view")
+          .groupBy("user_id").agg(min(col("ts_us")).as("tv"))
+        val p = ev.where(col("event_type") === "purchase").as("e")
+          .join(v.as("v"), col("e.user_id") === col("v.user_id") &&
+            col("e.ts_us") >= col("v.tv"))
+          .groupBy(col("e.user_id").as("user_id"))
+          .agg(min(col("e.ts_us")).as("tp"))
+        val lat = p.join(v, "user_id")
+          .select((col("tp") - col("tv")).as("lat_us"))
+        val nv = v.agg(count(lit(1)).as("n_viewers"))
+        lat.agg(count(lit(1)).as("n_converted"),
+            round(expr("percentile(lat_us, 0.5)"), 6).as("p50_latency_us"),
+            round(expr("percentile(lat_us, 0.9)"), 6).as("p90_latency_us"))
+          .crossJoin(broadcast(nv))
+          .select(col("n_viewers"), col("n_converted"),
+            (col("n_converted") / col("n_viewers")).as("conversion_rate"),
+            col("p50_latency_us"), col("p90_latency_us"))
       })
   )
 }
