@@ -228,4 +228,70 @@ class RobustnessSpec extends SparkTestBase {
         num = 0, den = 1).as[(Long, Long, Double)].collect().sorted
     assert(pairs === Seq((3L, 4L, 1.0), (4L, 3L, 0.5)))
   }
+
+  test("round-7 operators on empty/degenerate inputs: empty results, never errors") {
+    val emptyBaskets = spark.emptyDataset[(Long, Long)].toDF("basket", "item")
+    assert(graft.operators.Cooccur.itemCosine(
+      emptyBaskets, "basket", "item", 8, 1L).count() === 0L)
+    // null baskets/items are dropped, not paired
+    val nullish = spark.sql(
+      "SELECT * FROM VALUES (CAST(NULL AS BIGINT), 1L), (1L, CAST(NULL AS BIGINT)) t(basket, item)")
+    assert(graft.operators.Cooccur.itemCosine(
+      nullish, "basket", "item", 8, 1L).count() === 0L)
+
+    val emptyStr = spark.emptyDataset[(Long, String)].toDF("id", "name")
+    val probes = Seq((1L, "abc")).toDF("id", "name")
+    val blk = (c: org.apache.spark.sql.Column) => substring(c, 1, 1)
+    // empty catalog: every probe reports zero band-mates, null best
+    val noCat = graft.er.FuzzyJoin.bestMatch(probes, emptyStr, "id", "name",
+      blk, maxDist = 2).collect()
+    assert(noCat.length === 1 && noCat.head.getLong(2) === 0L && noCat.head.isNullAt(3))
+    // empty probes: empty result
+    assert(graft.er.FuzzyJoin.bestMatch(emptyStr, probes, "id", "name",
+      blk, maxDist = 2).count() === 0L)
+
+    val emptyQi = spark.emptyDataset[(String, Long)].toDF("seg", "band")
+    assert(graft.operators.KAnonymity.ladder(emptyQi,
+      Seq(col("seg"), col("band")), k = 5).count() === 0L)
+
+    assert(graft.operators.KsTest.perGroupVsRest(
+      spark.emptyDataset[(String, Long)].toDF("g", "v"), "g", "v").count() === 0L)
+
+    assert(graft.operators.IntervalUnion.coverage(
+      spark.emptyDataset[(Long, Long, Long, Long)].toDF("k", "st", "en", "id"),
+      "k", "st", "en", "id").count() === 0L)
+
+    assert(graft.operators.Compaction.latest(
+      spark.emptyDataset[(Long, Long, Long, String, Double)]
+        .toDF("k", "ts", "seq", "op", "v"),
+      Seq("k"), "ts", Seq("seq"), Seq("v"), col("op") === "delete")
+      .count() === 0L)
+
+    // walks over an empty edge set: every walk is just its start row
+    val starts = Seq(1L, 2L).toDF("n")
+    val walkRows = graft.graph.RandomWalk.walks(
+      spark.emptyDataset[(Long, Long)].toDF("src", "dst"), "src", "dst",
+      starts, "n", walksPerNode = 2, steps = 3).collect()
+    assert(walkRows.length === 4 && walkRows.forall(_.getInt(1) === 0))
+    assert(graft.graph.RandomWalk.skipGramPairs(
+      spark.emptyDataset[(String, Int, Long)].toDF("walk_id", "step", "node"),
+      window = 2).count() === 0L)
+  }
+
+  test("PQ degenerate inputs: constant vectors quantize cleanly; empty probe set is empty") {
+    // all-identical vectors: one seed centroid captures everything, the
+    // other goes empty and is dropped — codes still cover every vector
+    val const = (0L until 6L).map(i => (i, Seq(2f, 2f, 2f, 2f))).toDF("vid", "vec")
+    val cb = graft.ann.Pq.trainCodebooks(const, "vid", "vec", m = 2,
+      seedPred = col("vid") < 2, iters = 2)
+    val codes = graft.ann.Pq.assign(
+      graft.ann.Pq.subvectors(const, "vid", "vec", 2), cb)
+    assert(codes.count() === 12L)
+    assert(codes.where(col("d2") =!= 0.0).count() === 0L,
+      "identical vectors must reconstruct exactly")
+    // empty probe set → empty ADC result, not an error
+    val noProbes = graft.ann.Pq.adcTopK(
+      const.where(col("vid") < 0), "vid", "vec", codes, cb, m = 2, k = 3)
+    assert(noProbes.count() === 0L)
+  }
 }
