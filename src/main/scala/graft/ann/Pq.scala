@@ -32,17 +32,17 @@ import org.apache.spark.sql.functions._
   */
 object Pq {
 
-  /** Squared L2 distance between two float-array columns: exact
-    * per-element (cast to double, subtract, square), summed in index
-    * order.
+  /** Squared L2 distance between two float/double-array columns:
+    * exact per-element (widened to double, subtract, square), summed
+    * in index order. Routed through the native codegen kernel
+    * [[graft.functions.VecSqDist]] — the `aggregate(zip_with(...))`
+    * formulation is CodegenFallback and this runs in every PQ
+    * train/assign/ADC inner loop; the kernel's sequential
+    * accumulation keeps it bit-identical to the higher-order form
+    * (VectorExpressionSpec pins the equivalence).
     */
   def sqdist(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => {
-        val dlt = x.cast("double") - y.cast("double")
-        dlt * dlt
-      }),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.VectorFunctions.vecSqDist(a, b)
 
   /** Long-form subvector table (id, sub, sv): sub ∈ [0, m), sv the
     * sub-th length-(d/m) slice. d must be divisible by m (trailing

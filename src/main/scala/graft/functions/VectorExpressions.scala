@@ -71,6 +71,81 @@ case class FloatVecDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native Catalyst expression: squared L2 distance between two numeric
+  * arrays (`ARRAY<FLOAT>` or `ARRAY<DOUBLE>` on either side,
+  * independently — PQ scores raw float vectors, IVF-PQ scores double
+  * residuals). Same motivation as [[FloatVecDot]]: the
+  * `aggregate(zip_with(...))` formulation is CodegenFallback and this
+  * is the hot kernel of every PQ train/assign/ADC loop. Accumulation
+  * is sequential (element order), so results are bit-identical to the
+  * higher-order form and to DuckDB's `list_sum(list_transform(...))`
+  * mirror.
+  *
+  * Semantics: length = min(len(a), len(b)); elements assumed non-null
+  * (dense vectors). NULL input array → NULL.
+  */
+case class VecSqDist(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def elemOk(dt: DataType) = dt match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (elemOk(left.dataType) && elemOk(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<FLOAT|DOUBLE> arguments, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_sqdist"
+
+  private def isFloat(e: Expression) = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val (fx, fy) = (isFloat(left), isFloat(right))
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = if (fx) x.getFloat(i).toDouble else x.getDouble(i)
+      val yi = if (fy) y.getFloat(i).toDouble else y.getDouble(i)
+      val d = xi - yi
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val d = ctx.freshName("d")
+      def getter(v: String, float: Boolean) =
+        if (float) s"(double) $v.getFloat($i)" else s"$v.getDouble($i)"
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |${ev.value} = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = ${getter(a, isFloat(left))} - ${getter(b, isFloat(right))};
+         |  ${ev.value} += $d * $d;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecSqDist =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column/SQL surface for the native vector expressions. */
 object VectorFunctions {
 
@@ -79,12 +154,20 @@ object VectorFunctions {
     ColumnShim.column(
       FloatVecDot(ColumnShim.expression(a), ColumnShim.expression(b)))
 
+  /** `vec_sqdist(a, b)` as a Column — the PQ/IVF-PQ hot kernel. */
+  def vecSqDist(a: Column, b: Column): Column =
+    ColumnShim.column(
+      VecSqDist(ColumnShim.expression(a), ColumnShim.expression(b)))
+
   /** All native graft kernels, exposed to SQL under one registry. */
   private[functions] val sqlFunctions: Seq[
       (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[FloatVecDot].getName, "vec_dot"),
       (exprs: Seq[Expression]) => FloatVecDot(exprs.head, exprs(1))),
+    (FunctionIdentifier("vec_sqdist"),
+      new ExpressionInfo(classOf[VecSqDist].getName, "vec_sqdist"),
+      (exprs: Seq[Expression]) => VecSqDist(exprs.head, exprs(1))),
     (FunctionIdentifier("simhash32"),
       new ExpressionInfo(classOf[SimHash32].getName, "simhash32"),
       (exprs: Seq[Expression]) => SimHash32(exprs.head)),

@@ -108,6 +108,47 @@ class VectorExpressionSpec extends SparkTestBase {
       s"unsorted input must raise the contract error, got $e")
   }
 
+  test("vec_sqdist ≡ higher-order formulation bit-for-bit, for float AND double arrays") {
+    val hofSq = (a: String, b: String) =>
+      aggregate(zip_with(col(a), col(b), (x, y) => {
+        val d = x.cast("double") - y.cast("double")
+        d * d
+      }), lit(0.0), (acc, v) => acc + v)
+    val f = Seq.tabulate(50) { i =>
+      (Array.tabulate(64)(j => (math.sin(i * 64 + j) * 10).toFloat),
+       Array.tabulate(64)(j => (math.cos(i * 64 + j) * 10).toFloat))
+    }.toDF("a", "b")
+    assert(f.select((VectorFunctions.vecSqDist(col("a"), col("b"))
+        - hofSq("a", "b")).as("d"))
+      .agg(max(abs(col("d")))).head.getDouble(0) === 0.0)
+    // mixed float/double sides (the IVF-PQ residual shape)
+    val m = f.select(col("a"),
+      expr("transform(b, x -> cast(x as double))").as("b"))
+    assert(m.select((VectorFunctions.vecSqDist(col("a"), col("b"))
+        - hofSq("a", "b")).as("d"))
+      .agg(max(abs(col("d")))).head.getDouble(0) === 0.0)
+    // known value, null propagation, SQL registration
+    val k = Seq((Some(Array(1.0f, 2.0f)), Some(Array(4.0f, 6.0f))),
+      (None, Some(Array(1.0f)))).toDF("a", "b")
+    val r = k.select(VectorFunctions.vecSqDist(col("a"), col("b"))).collect()
+    assert(r(0).getDouble(0) === 25.0 && r(1).isNullAt(0))
+    graft.functions.VectorFunctions.register(spark)
+    assert(spark.sql(
+      "SELECT vec_sqdist(array(cast(1 as float)), array(cast(3 as float)))")
+      .head.getDouble(0) === 4.0)
+  }
+
+  test("vec_sqdist stays inside whole-stage codegen") {
+    val df = spark.range(100)
+      .select(expr("array(cast(id as float), cast(id+1 as float))").as("a"),
+        expr("array(cast(2 as float), cast(3 as float))").as("b"))
+      .select(VectorFunctions.vecSqDist(col("a"), col("b")).as("d"))
+    val stages = df.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    assert(stages.exists(_.toString.contains("vec_sqdist")))
+  }
+
   test("whole-stage codegen keeps the fused dot loop (no fallback)") {
     // the plan must NOT fall back: vec_dot supports codegen, so the
     // projection stays inside a WholeStageCodegen stage (a zip_with/
