@@ -644,6 +644,33 @@ class PlanQualitySpec extends SparkTestBase {
       "sweep windows must partition by the key, never run globally")
   }
 
+  test("q195 six-table star: year filter reaches the orders scan; dims broadcast; no cartesian") {
+    val plan = collectAll(executed(q("q195_regional_revenue")))
+    val scans = plan.filter(_.nodeName.contains("Scan")).map(_.toString)
+    assert(scans.exists(s => s.contains("orders") && s.contains("PushedFilters: [") &&
+      s.contains("o_orderdate")), "the year filter must reach the orders scan")
+    assert(plan.exists { case _: BroadcastHashJoinExec => true; case _ => false },
+      "nation/region dims must broadcast")
+    assert(!plan.exists { case _: CartesianProductExec => true; case _ => false })
+  }
+
+  test("q196 Theil-Sen: corpus collapses to the daily table before any pairing") {
+    val plan = collectAll(executed(q("q196_theil_sen")))
+    assert(!plan.exists(_.nodeName == "Window"),
+      "median rides the aggregate, never a slope-sort window")
+    val aggs = plan.filter(_.nodeName.contains("HashAggregate")).map(_.toString)
+    assert(aggs.exists(_.contains("partial_sum")),
+      "daily cents must partial-aggregate before the exchange")
+  }
+
+  test("q197 funnel latency: anchors are keyed min-aggs, never an event-stream window") {
+    val plan = collectAll(executed(q("q197_funnel_latency")))
+    assert(!plan.exists(_.nodeName == "Window"),
+      "first-view/first-purchase must be mergeable MINs")
+    assert(!plan.exists { case _: CartesianProductExec => true; case _ => false },
+      "the 1-row viewer total joins as a broadcast")
+  }
+
   test("q193 KS drift: count aggs partial-aggregate; sweep windows partition by group") {
     val plan = collectAll(executed(q("q193_ks_drift")))
     val windows = plan.filter(_.nodeName == "Window")
