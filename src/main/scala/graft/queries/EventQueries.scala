@@ -1162,6 +1162,50 @@ object EventQueries {
           .select(col("n_viewers"), col("n_converted"),
             (col("n_converted") / col("n_viewers")).as("conversion_rate"),
             col("p50_latency_us"), col("p90_latency_us"))
-      })
+      }),
+
+    // ---- q198: bucketed KS drift — q193's scale dial for UNBOUNDED
+    // value domains: the same cross-multiplied-integer ECDF compare,
+    // but over $5 histogram buckets (the q152 sketch's floor-division
+    // bucketing), so the sweep grid is (range ÷ width) rows no matter
+    // what the values are. The statistic is exact FOR THE BUCKETED
+    // distribution; granularity error vs q193's exact KS is bounded by
+    // the mass of any single bucket — width is the dial.
+    QueryDef("q198_ks_bucketed", Some(s"""
+      WITH vc AS (SELECT event_type AS g,
+                         (($valCents - ((($valCents % 500) + 500) % 500)) // 500) AS v
+                  FROM events),
+      bygv AS (SELECT g, v, COUNT(*) AS n_gv FROM vc GROUP BY g, v),
+      byv AS (SELECT v, COUNT(*) AS n_v FROM vc GROUP BY v),
+      tot AS (SELECT g, COUNT(*) AS n_a FROM vc GROUP BY g),
+      nn AS (SELECT COUNT(*) AS n_all FROM vc),
+      grid AS (SELECT t.g, byv.v, byv.n_v, COALESCE(b.n_gv, 0) AS n_gv
+               FROM byv CROSS JOIN (SELECT g FROM tot) t
+                        LEFT JOIN bygv b ON b.g = t.g AND b.v = byv.v),
+      cum AS (SELECT g, v,
+                     CAST(SUM(n_gv) OVER (PARTITION BY g ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_a,
+                     CAST(SUM(n_v - n_gv) OVER (PARTITION BY g ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_b
+              FROM grid),
+      dd AS (SELECT c.g, c.v, tot.n_a, nn.n_all - tot.n_a AS n_b,
+                    CAST(abs(c.cum_a * (nn.n_all - tot.n_a) - c.cum_b * tot.n_a)
+                         AS BIGINT) AS dnum
+             FROM cum c JOIN tot ON tot.g = c.g CROSS JOIN nn),
+      r AS (SELECT g, n_a, n_b, dnum, v,
+                   ROW_NUMBER() OVER (PARTITION BY g ORDER BY dnum DESC, v) AS rk
+            FROM dd WHERE n_b > 0)
+      SELECT g AS event_type, n_a, n_b, dnum AS d_num,
+             CAST(dnum AS DOUBLE) / CAST(n_a * n_b AS DOUBLE) AS ks_stat,
+             v AS at_value
+      FROM r WHERE rk = 1 ORDER BY event_type"""),
+      (s, dir) =>
+        graft.operators.KsTest.perGroupVsRest(
+            Tables.events(s, dir)
+              .select(col("event_type"),
+                expr("(cast(round(value*100) as bigint) - " +
+                  "pmod(cast(round(value*100) as bigint), 500)) div 500").as("v")),
+            "event_type", "v")
+          .orderBy("event_type"))
   )
 }
