@@ -32,13 +32,27 @@ object KsTest {
     * dropped — the test compares against the REST, and against
     * nothing there is no test.
     */
-  def perGroupVsRest(rel: DataFrame, groupCol: String, valueCol: String): DataFrame = {
-    val vc = rel.select(col(groupCol).as("g"), col(valueCol).as("v"))
+  def perGroupVsRest(rel: DataFrame, groupCol: String, valueCol: String): DataFrame =
+    perGroupVsRestWeighted(
+      rel.select(col(groupCol), col(valueCol), lit(1L).as("_w")),
+      groupCol, valueCol, "_w")
+
+  /** [[perGroupVsRest]] over PRE-AGGREGATED (group, value, weight)
+    * counter rows — the form a [[graft.functions.BucketHistogram]]
+    * sketch or a live streaming counter state already has, so a drift
+    * monitor reads KS straight off bounded state without ever
+    * re-expanding to raw rows. Weights are exact integer
+    * multiplicities; with every weight 1 this IS perGroupVsRest.
+    */
+  def perGroupVsRestWeighted(rel: DataFrame, groupCol: String,
+                             valueCol: String, weightCol: String): DataFrame = {
+    val vc = rel.select(col(groupCol).as("g"), col(valueCol).as("v"),
+        col(weightCol).as("w"))
       .where(col("g").isNotNull && col("v").isNotNull)
-    val byGv = vc.groupBy("g", "v").agg(count(lit(1)).as("n_gv"))
-    val byV = vc.groupBy("v").agg(count(lit(1)).as("n_v"))
-    val totals = vc.groupBy("g").agg(count(lit(1)).as("n_a"))
-    val n = vc.agg(count(lit(1)).as("n_all"))
+    val byGv = vc.groupBy("g", "v").agg(sum(col("w")).as("n_gv"))
+    val byV = vc.groupBy("v").agg(sum(col("w")).as("n_v"))
+    val totals = vc.groupBy("g").agg(sum(col("w")).as("n_a"))
+    val n = vc.agg(sum(col("w")).as("n_all"))
     // full grid: every group × every distinct value (absent cells = 0),
     // so both ECDFs step at every observed value
     val grid = byV.crossJoin(broadcast(totals.select("g")))

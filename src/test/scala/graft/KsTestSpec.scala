@@ -33,6 +33,21 @@ class KsTestSpec extends SparkTestBase {
     assert(got.getLong(5) === 1L)
   }
 
+  test("weighted counter form ≡ raw rows expanded by multiplicity") {
+    val counters = Seq(("a", 1L, 3L), ("a", 5L, 2L),
+      ("b", 1L, 1L), ("b", 3L, 4L)).toDF("g", "v", "n")
+    val raw = counters.collect().flatMap(r =>
+      Seq.fill(r.getLong(2).toInt)((r.getString(0), r.getLong(1))))
+      .toSeq.toDF("g", "v")
+    val w = KsTest.perGroupVsRestWeighted(counters, "g", "v", "n")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getLong(5))).sortBy(_._1).toSeq
+    val e = KsTest.perGroupVsRest(raw, "g", "v")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getLong(5))).sortBy(_._1).toSeq
+    assert(w === e)
+  }
+
   test("a single-group relation yields no rows (no complement to test against)") {
     val df = Seq(("a", 1L), ("a", 2L)).toDF("g", "v")
     assert(KsTest.perGroupVsRest(df, "g", "v").count() === 0L)

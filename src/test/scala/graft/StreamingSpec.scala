@@ -486,6 +486,41 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("KS drift read straight off live histogram counters equals the bucketed batch test") {
+    implicit val ctx = spark.sqlContext
+    val width = 10L
+    val input = MemoryStream[(String, Long)]
+    val q = EventStreams.liveHistogramCounters(
+        input.toDF().toDF("g", "cents"), col("cents"), Seq("g"), width)
+      .writeStream.format("memory").queryName("drift_counters")
+      .outputMode(OutputMode.Complete())
+      .start()
+    try {
+      // 'a' drifts upward in batch 2; 'b' and 'c' stay put (the third
+      // group breaks the two-group symmetry KS(a vs rest) = KS(b vs rest))
+      val b1 = Seq("a", "b", "c").flatMap(g => (0L to 40L).map(v => (g, v)))
+      val b2 = (60L to 99L).map(v => ("a", v)) ++
+        Seq("b", "c").flatMap(g => (0L to 39L).map(v => (g, v)))
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      // the monitor reads KS off the BOUNDED counter state — no raw
+      // rows are ever re-expanded (the weighted form)
+      val live = graft.operators.KsTest.perGroupVsRestWeighted(
+          spark.table("drift_counters").localCheckpoint(), "g", "bucket", "n")
+        .collect().map(r => r.getString(0) -> ((r.getLong(3), r.getDouble(4)))).toMap
+      // ground truth: the same bucketed KS from the raw batch rows
+      val want = graft.operators.KsTest.perGroupVsRest(
+          (b1 ++ b2).toDF("g", "cents")
+            .select(col("g"), expr(s"(cents - pmod(cents, $width)) div $width").as("v")),
+          "g", "v")
+        .collect().map(r => r.getString(0) -> ((r.getLong(3), r.getDouble(4)))).toMap
+      assert(live === want,
+        "drift off live counters must equal the bucketed batch statistic exactly")
+      assert(live("a")._2 > live("b")._2,
+        "the drifted group must carry the larger statistic")
+    } finally q.stop()
+  }
+
   test("stateless KMV audience routing matches the batch router, no state store") {
     implicit val ctx = spark.sqlContext
     import graft.functions.Kmv
