@@ -72,4 +72,32 @@ object Cooccur {
         ((col("n_ab") * col("n_baskets")).cast("double") /
           (col("na.n_item") * col("nb.n_item")).cast("double")).as("lift"))
   }
+
+  /** Directional association rules X→Y from the pair table: both
+    * orientations of every unordered pair, kept when confidence
+    * n_xy/n_x clears `confNum/confDen` (tested as the integer
+    * cross-product n_xy·confDen ≥ confNum·n_x — no float boundary)
+    * and support n_xy ≥ `minCount`. Emits (antecedent, consequent,
+    * n_xy, n_x, confidence, lift): the "customers who took X also
+    * took Y" serving table — confidence is DIRECTIONAL (popcorn→salt
+    * can hold while salt→popcorn does not), which is what the
+    * symmetric cosine cannot express.
+    */
+  def associationRules(rel: DataFrame, basketCol: String, itemCol: String,
+                       maxBasketSize: Int = 64, minCount: Long = 2L,
+                       confNum: Int = 1, confDen: Int = 4): DataFrame = {
+    require(confDen > 0 && confNum >= 0 && confNum <= confDen,
+      s"confidence threshold must be a fraction in [0,1], got $confNum/$confDen")
+    val pairs = itemCosine(rel, basketCol, itemCol, maxBasketSize, minCount)
+    val both = pairs.select(col("item_a").as("antecedent"),
+        col("item_b").as("consequent"), col("n_ab"),
+        col("n_a").as("n_x"), col("n_b").as("n_y"), col("lift"))
+      .unionByName(pairs.select(col("item_b").as("antecedent"),
+        col("item_a").as("consequent"), col("n_ab"),
+        col("n_b").as("n_x"), col("n_a").as("n_y"), col("lift")))
+    both
+      .where(col("n_ab") * confDen >= lit(confNum) * col("n_x"))
+      .select(col("antecedent"), col("consequent"), col("n_ab"), col("n_x"),
+        (col("n_ab") / col("n_x")).as("confidence"), col("lift"))
+  }
 }

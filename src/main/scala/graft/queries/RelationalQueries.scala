@@ -1384,6 +1384,44 @@ object RelationalQueries {
           .agg((sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
               * 100).cast("long")).cast("long") / 100.0).as("revenue"))
           .orderBy("n_name")
-      })
+      }),
+
+    // ---- q199: association rules over the co-purchase baskets — the
+    // DIRECTIONAL serving table ("took X → also took Y") the symmetric
+    // q180 cosine cannot express: both orientations of every frequent
+    // pair, kept at confidence n_xy/n_x ≥ 1/16 tested as an integer
+    // cross-product (no float boundary); confidence and lift are exact
+    // single divisions. Same scale shape as q180 (the rule table is
+    // ≤ 2·|pairs| rows, count tables broadcast).
+    QueryDef("q199_association_rules", Some("""
+      WITH b AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+                 FROM lineitem WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+      c AS (SELECT basket, item FROM
+              (SELECT basket, item,
+                      ROW_NUMBER() OVER (PARTITION BY basket ORDER BY item) AS rk
+               FROM b) WHERE rk <= 8),
+      ni AS (SELECT item, COUNT(*) AS n_item FROM c GROUP BY item),
+      nb AS (SELECT COUNT(DISTINCT basket) AS n_baskets FROM c),
+      p AS (SELECT a.item AS ia, b2.item AS ib, COUNT(*) AS n_ab
+            FROM c a JOIN c b2 ON a.basket = b2.basket AND a.item < b2.item
+            GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      pl AS (SELECT p.ia, p.ib, p.n_ab, na.n_item AS n_a, nbi.n_item AS n_b,
+                    CAST(p.n_ab * nb.n_baskets AS DOUBLE)
+                      / CAST(na.n_item * nbi.n_item AS DOUBLE) AS lift
+             FROM p JOIN ni na ON na.item = p.ia
+                    JOIN ni nbi ON nbi.item = p.ib
+                    CROSS JOIN nb),
+      ab AS (SELECT ia AS antecedent, ib AS consequent, n_ab, n_a AS n_x, lift FROM pl
+             UNION ALL
+             SELECT ib, ia, n_ab, n_b, lift FROM pl)
+      SELECT antecedent, consequent, n_ab, n_x,
+             n_ab / n_x AS confidence, lift
+      FROM ab WHERE n_ab * 16 >= 1 * n_x
+      ORDER BY antecedent, consequent"""),
+      (s, dir) =>
+        graft.operators.Cooccur.associationRules(
+            Tables.read(s, dir, "lineitem"), "l_orderkey", "l_partkey",
+            maxBasketSize = 8, minCount = 2L, confNum = 1, confDen = 16)
+          .orderBy("antecedent", "consequent"))
   )
 }

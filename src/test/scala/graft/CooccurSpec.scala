@@ -49,6 +49,22 @@ class CooccurSpec extends SparkTestBase {
     assert(pairs.where($"item_b" >= 4L || $"item_a" >= 4L).count() === 0L)
   }
 
+  test("association rules are directional: confidence filters each orientation separately") {
+    // item 1 in 4 baskets, item 2 in 2; together twice:
+    // conf(2→1) = 2/2 = 1.0 passes 1/2; conf(1→2) = 2/4 = 0.5 passes too;
+    // at threshold 3/4 only 2→1 survives
+    val rel = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L),
+      (1L, 2L), (2L, 2L)).toDF("basket", "item")
+    val loose = Cooccur.associationRules(rel, "basket", "item",
+        maxBasketSize = 8, minCount = 2L, confNum = 1, confDen = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(4))).toSet
+    assert(loose === Set((1L, 2L, 0.5), (2L, 1L, 1.0)))
+    val tight = Cooccur.associationRules(rel, "basket", "item",
+        maxBasketSize = 8, minCount = 2L, confNum = 3, confDen = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(tight === Set((2L, 1L)), "only the high-confidence direction survives")
+  }
+
   test("cap below 2 is refused — it could not form a single pair") {
     val df = Seq((1L, 1L)).toDF("basket", "item")
     intercept[IllegalArgumentException] {
