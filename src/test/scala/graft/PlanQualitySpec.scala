@@ -677,8 +677,8 @@ class PlanQualitySpec extends SparkTestBase {
     assert(windows.forall(_.toString.contains("g#")),
       "ECDF sweeps must partition by group over the bounded value grid")
     val aggs = plan.filter(_.nodeName.contains("HashAggregate")).map(_.toString)
-    assert(aggs.exists(_.contains("partial_count")),
-      "(group, value) counts must partial-aggregate before the exchange")
+    assert(aggs.exists(a => a.contains("partial_sum") || a.contains("partial_count")),
+      "(group, value) weights must partial-aggregate before the exchange")
     assert(!plan.exists { case _: CartesianProductExec => true; case _ => false },
       "group/total fan-outs are broadcasts, never cartesians")
   }
