@@ -97,4 +97,28 @@ object IvfPq {
       .select(col("q_id"), (col("pos") + 1).as("rk"),
         col("sc.cand_id").as("cand_id"), (-col("sc.sim")).as("adc_d2"))
   }
+
+  /** Stage-2 exact reranking of an ADC shortlist — the standard
+    * two-stage serve (PQ recall is bounded by code resolution; exact
+    * distance on the k survivors fixes the ORDER at negligible cost):
+    * raw vectors are read for exactly k·|probes| candidate rows plus
+    * the probe batch — never the corpus — and the re-rank window runs
+    * over ≤ k rows per probe (the bounded-window shape). Emits
+    * (q_id, rk, cand_id, exact_d2, adc_d2) ordered by exact distance.
+    */
+  def rerankExact(adcResults: DataFrame, vectors: DataFrame,
+                  idCol: String, vecCol: String): DataFrame = {
+    val cand = vectors.select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
+    val qv = vectors.select(col(idCol).as("q_id"), col(vecCol).as("qv"))
+    val exact = adcResults.select("q_id", "cand_id", "adc_d2")
+      .join(cand, "cand_id")
+      .join(qv, "q_id")
+      .select(col("q_id"), col("cand_id"), col("adc_d2"),
+        Pq.sqdist(col("qv"), col("cv")).as("exact_d2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("exact_d2"), col("cand_id"))
+    exact.withColumn("rk", row_number().over(w))
+      .select(col("q_id"), col("rk"), col("cand_id"),
+        col("exact_d2"), col("adc_d2"))
+  }
 }

@@ -1199,6 +1199,95 @@ object EmbeddingQueries {
           "vec_id", "embedding", cc, nprobe = 2)
         IvfPq.searchAdc(probes, codes, cb, m = 4, k = 5)
           .orderBy("q_id", "rk")
+      }),
+
+    // ---- q200: two-stage retrieval — q189's ADC shortlist reranked
+    // by EXACT distance on the k survivors (the standard production
+    // serve: PQ decides WHO the candidates are, exact distance decides
+    // their ORDER; raw vectors are read for k·|probes| rows, never the
+    // corpus). The re-rank window covers ≤ k rows per probe — the
+    // bounded-window shape — and exact_d2 is the same fold-order
+    // bit-exact kernel as everywhere else.
+    QueryDef("q200_ivfpq_rerank", Some(s"""
+      WITH cc AS (SELECT vec_id AS bid, embedding AS bvec
+                  FROM embeddings WHERE vec_id % 50 = 0),
+      asg AS (SELECT id, bid FROM (
+                SELECT e.vec_id AS id, cc.bid,
+                       ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                         ORDER BY ${pqSqd("e.embedding", "cc.bvec")}, cc.bid) AS rk
+                FROM embeddings e CROSS JOIN cc) WHERE rk = 1),
+      res AS MATERIALIZED (SELECT a.id, a.bid,
+                     list_transform(range(1, len(e.embedding)+1),
+                       i -> CAST(e.embedding[i] AS DOUBLE) - CAST(cc.bvec[i] AS DOUBLE)) AS rv
+              FROM asg a JOIN embeddings e ON e.vec_id = a.id
+                         JOIN cc ON cc.bid = a.bid),
+      rsv AS MATERIALIZED (SELECT id, CAST(j AS INTEGER) AS sub,
+                     rv[(j*16+1):((j+1)*16)] AS sv
+              FROM res CROSS JOIN range(0, 4) t(j)),
+      c0 AS (SELECT sub, id AS code, sv AS cvec FROM rsv WHERE id < 16),
+      ${pqLloydCte(1, "c0", "rsv")},
+      codes AS (SELECT r.id, a.bid, r.sub, r.code FROM (
+                  SELECT id, sub, code FROM (
+                    SELECT s.id, s.sub, c.code,
+                           ROW_NUMBER() OVER (PARTITION BY s.id, s.sub
+                             ORDER BY ${pqSqd("s.sv", "c.cvec")}, c.code) AS rk
+                    FROM rsv s JOIN c1 c ON c.sub = s.sub) WHERE rk = 1) r
+                JOIN asg a ON a.id = r.id),
+      qpb AS (SELECT q_id, bid FROM (
+                SELECT e.vec_id AS q_id, cc.bid,
+                       ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                         ORDER BY ${pqSqd("e.embedding", "cc.bvec")}, cc.bid) AS rk
+                FROM embeddings e CROSS JOIN cc WHERE e.vec_id < 10) WHERE rk <= 2),
+      qres AS (SELECT p.q_id, p.bid,
+                      list_transform(range(1, len(e.embedding)+1),
+                        i -> CAST(e.embedding[i] AS DOUBLE) - CAST(cc.bvec[i] AS DOUBLE)) AS rv
+               FROM qpb p JOIN embeddings e ON e.vec_id = p.q_id
+                          JOIN cc ON cc.bid = p.bid),
+      qsv AS (SELECT q_id, bid, CAST(j AS INTEGER) AS sub,
+                     rv[(j*16+1):((j+1)*16)] AS sv
+              FROM qres CROSS JOIN range(0, 4) t(j)),
+      dt AS (SELECT q.q_id, q.bid, c.code, q.sub,
+                    ${pqSqd("q.sv", "c.cvec")} AS d2
+             FROM qsv q JOIN c1 c ON c.sub = q.sub),
+      term AS (SELECT dt.q_id, k.id, dt.sub, dt.d2
+               FROM codes k JOIN dt ON dt.bid = k.bid AND dt.sub = k.sub
+                                   AND dt.code = k.code
+               WHERE k.id <> dt.q_id),
+      tot AS (SELECT q_id, id,
+                MAX(CASE WHEN sub = 0 THEN d2 END)
+                + MAX(CASE WHEN sub = 1 THEN d2 END)
+                + MAX(CASE WHEN sub = 2 THEN d2 END)
+                + MAX(CASE WHEN sub = 3 THEN d2 END) AS adc_d2
+              FROM term GROUP BY q_id, id),
+      short AS (SELECT q_id, cand_id, adc_d2 FROM (
+        SELECT q_id, id AS cand_id, adc_d2,
+               ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc_d2, id) AS rk
+        FROM tot) WHERE rk <= 5)
+      SELECT q_id, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+               ORDER BY ${pqSqd("qe.embedding", "ce.embedding")}, cand_id)
+               AS INTEGER) AS rk,
+             cand_id,
+             ${pqSqd("qe.embedding", "ce.embedding")} AS exact_d2,
+             adc_d2
+      FROM short JOIN embeddings qe ON qe.vec_id = short.q_id
+                 JOIN embeddings ce ON ce.vec_id = short.cand_id
+      ORDER BY q_id, rk"""),
+      (s, dir) => {
+        import graft.ann.{IvfPq, Pq}
+        val emb = Tables.read(s, dir, "embeddings")
+        val cc = emb.where(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("bid"), col("embedding").as("bvec"))
+        val res = IvfPq.residuals(emb, "vec_id", "embedding", cc)
+          .localCheckpoint()
+        val cb = Pq.trainCodebooks(res, "id", "rv", m = 4,
+          seedPred = col("id") < 16, iters = 1)
+        val codes = Pq.assign(Pq.subvectors(res, "id", "rv", 4), cb)
+          .join(res.select("id", "bid"), "id")
+        val probes = IvfPq.probeResiduals(emb.where(col("vec_id") < 10),
+          "vec_id", "embedding", cc, nprobe = 2)
+        val adc = IvfPq.searchAdc(probes, codes, cb, m = 4, k = 5)
+        IvfPq.rerankExact(adc, emb, "vec_id", "embedding")
+          .orderBy("q_id", "rk")
       })
   )
 
