@@ -57,6 +57,33 @@ class IvfPqSpec extends SparkTestBase {
     assert(both.exists(_ % 2 == 1))
   }
 
+  test("exact rerank keeps the shortlist membership but orders by true distance") {
+    val c4 = Seq((100L, Seq(0f, 0f, 0f, 0f))).toDF("bid", "bvec")
+    val emb = Seq(
+      (0L, Seq(0f, 0f, 0f, 0f)),
+      (1L, Seq(1f, 0f, 0f, 0f)),
+      (2L, Seq(0f, 2f, 0f, 0f)),
+      (3L, Seq(3f, 0f, 0f, 0f))).toDF("vid", "vec")
+    val res = IvfPq.residuals(emb, "vid", "vec", c4)
+    val cb = Pq.trainCodebooks(res, "id", "rv", m = 2,
+      seedPred = col("id") < 2, iters = 1)
+    val codes = Pq.assign(Pq.subvectors(res, "id", "rv", 2), cb)
+      .join(res.select("id", "bid"), "id")
+    val probes = IvfPq.probeResiduals(emb.where($"vid" === 0L),
+      "vid", "vec", c4, nprobe = 1)
+    val adc = IvfPq.searchAdc(probes, codes, cb, m = 2, k = 3)
+    val rer = IvfPq.rerankExact(adc, emb, "vid", "vec")
+      .orderBy("rk").collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(rer.map(_._2).toSet === adc.collect().map(_.getLong(2)).toSet,
+      "rerank must not change WHO is in the shortlist")
+    assert(rer.map(_._3).toSeq === rer.map(_._3).sorted.toSeq,
+      "rerank orders by exact distance")
+    // exact distances are the true ones: 1, 4, 9 for cands 1, 2, 3
+    assert(rer.map(t => (t._2, t._3)).toMap ===
+      Map(1L -> 1.0, 2L -> 4.0, 3L -> 9.0))
+  }
+
   test("bad nprobe is refused") {
     val q = Seq((1L, Seq(0f, 0f))).toDF("vid", "vec")
     intercept[IllegalArgumentException] {
