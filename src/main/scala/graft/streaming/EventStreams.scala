@@ -23,7 +23,8 @@ final case class UserRunning(user_id: Long, n_events: Long, total_cents: Long)
   * HIGHER timestamp can resurrect it, and an older late upsert cannot).
   */
 final case class KeyState(user_id: Long, ts_us: Long, event_id: Long,
-                          event_type: String, value: Double, deleted: Boolean)
+                          event_type: String, value: Double, deleted: Boolean,
+                          expired: Boolean = false)
 
 /** Exact scaled-integer cents of a 2-decimal double, replicating
   * Spark's `round()` (BigDecimal HALF_UP) bit-for-bit — `math.round`
@@ -464,6 +465,52 @@ object EventStreams {
           }
           state.update(cur)
           cur
+      }
+  }
+
+  /** [[latestUserState]] with TTL eviction — the state-hygiene dial an
+    * unbounded key space needs: a key idle past `ttl` (event time) is
+    * FLUSHED (emitted once more with `expired = true` — the record a
+    * pipeline appends to cold storage) and removed from the store, so
+    * state is bounded by ACTIVE keys, not all keys ever seen. A later
+    * event for an evicted key starts fresh: the streaming view is the
+    * hot tier, and the batch compaction over the full changelog (q188)
+    * remains the source of truth — which is why flushing, not
+    * retaining, is the correct eviction semantics.
+    */
+  def latestUserStateWithTtl(events: Dataset[UserEvent],
+                             ttlMicros: Long = 3600000000L): Dataset[KeyState] = {
+    require(ttlMicros > 0, s"ttl must be positive, got $ttlMicros")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", "0 seconds")
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[KeyState, KeyState](GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, batch: Iterator[UserEvent], state: GroupState[KeyState]) =>
+          if (state.hasTimedOut) {
+            val flushed = state.get.copy(expired = true)
+            state.remove()
+            flushed
+          } else {
+            var cur = state.getOption.orNull
+            batch.foreach { e =>
+              val tsu = e.ts.toInstant.getEpochSecond * 1000000L + e.ts.getNanos / 1000L
+              if (cur == null || tsu > cur.ts_us ||
+                  (tsu == cur.ts_us && e.event_id > cur.event_id)) {
+                cur = KeyState(uid, tsu, e.event_id, e.event_type, e.value,
+                  e.event_type == "error")
+              }
+            }
+            state.update(cur)
+            // a very late event could put ts+ttl behind the watermark,
+            // which setTimeoutTimestamp refuses — clamp forward (the
+            // key then times out on the next watermark advance)
+            state.setTimeoutTimestamp(
+              math.max((cur.ts_us + ttlMicros) / 1000L,
+                state.getCurrentWatermarkMs + 1))
+            cur
+          }
       }
   }
 

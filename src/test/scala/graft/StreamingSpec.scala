@@ -753,6 +753,40 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("CDC TTL eviction: idle keys flush once with expired=true and restart fresh") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[UserEvent]
+    // ttl = 10 minutes of event time
+    val q = EventStreams.latestUserStateWithTtl(input.toDS(), ttlMicros = 600000000L)
+      .writeStream.format("memory").queryName("cdc_ttl")
+      .outputMode(OutputMode.Update())
+      .start()
+    try {
+      input.addData(UserEvent(ts(10), 1L, "view", 1.0, event_id = 1L))
+      q.processAllAvailable()
+      // user 2 at t100 pushes the watermark far past user 1's t10+10min
+      input.addData(UserEvent(ts(100), 2L, "click", 2.0, event_id = 2L))
+      q.processAllAvailable()
+      // the eviction fires while processing the NEXT batch after the
+      // watermark moves — poke once more
+      input.addData(UserEvent(ts(101), 2L, "click", 2.5, event_id = 3L))
+      q.processAllAvailable()
+      val rows = spark.table("cdc_ttl")
+        .select("user_id", "event_id", "expired")
+        .as[(Long, Long, Boolean)].collect().toSeq
+      assert(rows.contains((1L, 1L, true)), s"idle key must flush with expired=true, got $rows")
+      assert(rows.count(r => r._1 == 1L && r._3) === 1, "exactly one flush per eviction")
+      // a post-eviction event restarts user 1 from scratch (old state gone)
+      input.addData(UserEvent(ts(102), 1L, "signup", 9.0, event_id = 4L))
+      q.processAllAvailable()
+      val after = spark.table("cdc_ttl")
+        .where(col("user_id") === 1L && !col("expired"))
+        .groupBy("user_id").agg(max(struct(col("ts_us"), col("event_id"))).as("s"))
+        .select("s.event_id").as[Long].collect()
+      assert(after.toSeq === Seq(4L))
+    } finally q.stop()
+  }
+
   test("round trip on real events: streamed latestUserState equals the oracle-checked q188 result") {
     implicit val ctx = spark.sqlContext
     val dir = sf("sf0.001")
