@@ -1288,6 +1288,44 @@ object EmbeddingQueries {
         val adc = IvfPq.searchAdc(probes, codes, cb, m = 4, k = 5)
         IvfPq.rerankExact(adc, emb, "vec_id", "embedding")
           .orderBy("q_id", "rk")
+      }),
+
+    // ---- q201: PQ codebook health — the q174 cluster-health pattern
+    // applied to the quantizer: per (subspace, code), how many vectors
+    // it captures and their mean squared reconstruction error (d2
+    // micro-scaled to integers so the sum is exact and order-free; one
+    // division at the end). Uneven usage or a dead code means wasted
+    // resolution — the readout that says "retrain or raise k" BEFORE
+    // serving degrades. One assignment pass + one ≤ m·k-row agg.
+    QueryDef("q201_pq_health", Some(s"""
+      WITH ${pqSvCte()},
+      c0 AS (SELECT sub, id AS code, sv AS cvec FROM sv WHERE id < 16),
+      ${pqLloydCte(1, "c0")},
+      ${pqLloydCte(2, "c1")},
+      a AS (SELECT id, sub, code, d2 FROM (
+              SELECT s.id, s.sub, c.code, ${pqSqd("s.sv", "c.cvec")} AS d2,
+                     ROW_NUMBER() OVER (PARTITION BY s.id, s.sub
+                       ORDER BY ${pqSqd("s.sv", "c.cvec")}, c.code) AS rk
+              FROM sv s JOIN c2 c ON c.sub = s.sub) WHERE rk = 1)
+      SELECT sub, code, COUNT(*) AS n_assigned,
+             CAST(SUM(CAST(ROUND(d2 * 1000000) AS BIGINT)) AS BIGINT) AS d2_micros,
+             CAST(SUM(CAST(ROUND(d2 * 1000000) AS BIGINT)) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) / 1000000.0 AS mean_d2
+      FROM a GROUP BY sub, code ORDER BY sub, code"""),
+      (s, dir) => {
+        import graft.ann.Pq
+        val emb = Tables.read(s, dir, "embeddings")
+        val cb = Pq.trainCodebooks(emb, "vec_id", "embedding",
+          m = 4, seedPred = col("vec_id") < 16, iters = 2)
+        Pq.assign(Pq.subvectors(emb, "vec_id", "embedding", 4), cb)
+          .groupBy("sub", "code")
+          .agg(count(lit(1)).as("n_assigned"),
+            sum(round(col("d2") * 1000000).cast("long")).as("d2_micros"))
+          .select(col("sub"), col("code"), col("n_assigned"),
+            col("d2_micros"),
+            (col("d2_micros").cast("double") / col("n_assigned").cast("double")
+              / lit(1000000.0)).as("mean_d2"))
+          .orderBy("sub", "code")
       })
   )
 
