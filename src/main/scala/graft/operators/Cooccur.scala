@@ -40,6 +40,20 @@ object Cooccur {
       .drop("rk")
   }
 
+  /** Unordered co-occurrence pair counts over an already-capped
+    * (basket, item) table: (item_a, item_b, n_ab) with item_a < item_b
+    * and n_ab ≥ `minCount` — the shared pair backbone of the cosine
+    * table, the association rules, and the co-purchase GRAPH (the q204
+    * link-prediction edge list).
+    */
+  def pairCounts(capped: DataFrame, minCount: Long): DataFrame =
+    capped.as("a")
+      .join(capped.as("b"),
+        col("a.basket") === col("b.basket") && col("a.item") < col("b.item"))
+      .groupBy(col("a.item").as("item_a"), col("b.item").as("item_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .where(col("n_ab") >= minCount)
+
   /** Item–item cosine/lift table: (item_a, item_b, n_ab, n_a, n_b,
     * cosine, lift) for unordered pairs item_a < item_b with
     * n_ab ≥ `minCount`. Both ratios are exact single IEEE ops over
@@ -55,12 +69,7 @@ object Cooccur {
       .localCheckpoint()
     val itemN = capped.groupBy("item").agg(count(lit(1)).as("n_item"))
     val nBaskets = capped.agg(countDistinct(col("basket")).as("n_baskets"))
-    val pairs = capped.as("a")
-      .join(capped.as("b"),
-        col("a.basket") === col("b.basket") && col("a.item") < col("b.item"))
-      .groupBy(col("a.item").as("item_a"), col("b.item").as("item_b"))
-      .agg(count(lit(1)).as("n_ab"))
-      .where(col("n_ab") >= minCount)
+    val pairs = pairCounts(capped, minCount)
     pairs
       .join(broadcast(itemN.as("na")), col("item_a") === col("na.item"))
       .join(broadcast(itemN.as("nb")), col("item_b") === col("nb.item"))

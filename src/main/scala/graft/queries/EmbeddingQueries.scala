@@ -1326,6 +1326,60 @@ object EmbeddingQueries {
             (col("d2_micros").cast("double") / col("n_assigned").cast("double")
               / lit(1000000.0)).as("mean_d2"))
           .orderBy("sub", "code")
+      }),
+
+    // ---- q205: leading principal component by covariance + power
+    // iteration (ann.Pca) — the embedding-space anisotropy readout
+    // (eigenvalue, eigenvector loadings over the first 16 dims) a
+    // pipeline checks before trusting IVF/PQ training or deciding to
+    // mean-center/whiten. Moment-sketch shape: two partial-aggregating
+    // corpus passes onto dimension-bounded tables (16² pico-scaled
+    // second moments, 16 first moments — the q178 OLS discipline
+    // lifted to matrices), then three unnormalized power-iteration
+    // steps as pure algebra over the 256-row matrix table. Every
+    // matrix-vector product folds its 16 terms in INDEX order (the
+    // q184 list_sum discipline), so all iterates are bit-identical
+    // across engines; only the final unit-normalize/Rayleigh row
+    // rounds (6dp over the two ordered folds).
+    QueryDef("q205_pca_power", Some(s"""
+      WITH vv AS (SELECT embedding[1:16] AS v FROM embeddings
+                  WHERE len(embedding) >= 16),
+      sec AS (SELECT i, j, CAST(SUM(t) AS BIGINT) AS sij,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM (SELECT CAST(i.range AS INTEGER) AS i,
+                           CAST(j.range AS INTEGER) AS j,
+                           CAST(round(CAST(v[CAST(i.range AS INTEGER) + 1] AS DOUBLE)
+                                * CAST(v[CAST(j.range AS INTEGER) + 1] AS DOUBLE)
+                                * CAST(1000000000000 AS DOUBLE)) AS BIGINT) AS t
+                    FROM vv, range(0, 16) i, range(0, 16) j)
+              GROUP BY 1, 2),
+      fst AS (SELECT i, CAST(SUM(s) AS BIGINT) AS s
+              FROM (SELECT CAST(i.range AS INTEGER) AS i,
+                           CAST(round(CAST(v[CAST(i.range AS INTEGER) + 1] AS DOUBLE)
+                                * CAST(1000000000000 AS DOUBLE)) AS BIGINT) AS s
+                    FROM vv, range(0, 16) i)
+              GROUP BY 1),
+      C AS MATERIALIZED (SELECT sec.i, sec.j,
+                 CAST(sij AS DOUBLE) / 1000000000000.0 / n
+                 - (CAST(a.s AS DOUBLE) / 1000000000000.0)
+                   * (CAST(b.s AS DOUBLE) / 1000000000000.0) / n / n AS c
+           FROM sec JOIN fst a ON a.i = sec.i JOIN fst b ON b.i = sec.j),
+      v0 AS (SELECT CAST(range AS INTEGER) AS j, CAST(1.0 AS DOUBLE) AS x
+             FROM range(0, 16)),
+      ${pcaMatvecCte("v1", "v0")},
+      ${pcaMatvecCte("v2", "v1")},
+      ${pcaMatvecCte("v3", "v2")},
+      ${pcaMatvecCte("w4", "v3")},
+      fin AS (SELECT list_sum(list(v3.x * w4.x ORDER BY v3.j)) AS num,
+                     list_sum(list(v3.x * v3.x ORDER BY v3.j)) AS den
+              FROM v3 JOIN w4 ON w4.j = v3.j)
+      SELECT v3.j AS i, round(v3.x / sqrt(fin.den), 6) AS loading,
+             round(fin.num / fin.den, 6) AS lam
+      FROM v3, fin ORDER BY i"""),
+      (s, dir) => {
+        val cov = graft.ann.Pca.covariance(
+          Tables.read(s, dir, "embeddings"), "embedding", d = 16)
+        graft.ann.Pca.leadingEigen(s, cov, d = 16, iters = 3)
       })
   )
 
@@ -1364,6 +1418,15 @@ object EmbeddingQueries {
                      list_transform(list(mv ORDER BY dim),
                                     x -> CAST(x AS FLOAT)) AS cvec
               FROM m$n GROUP BY sub, code)"""
+
+  /** One unrolled power-iteration matvec over the covariance CTE
+    * `C(i, j, c)`: `$out(j, x)` = C · `$vin`, 16 terms folded in index
+    * order (list ORDER BY + list_sum ≡ Spark's sorted-aggregate fold —
+    * graft.ann.Pca.matvec's exact mirror).
+    */
+  private def pcaMatvecCte(out: String, vin: String): String = s"""
+      $out AS (SELECT C.i AS j, list_sum(list(C.c * $vin.x ORDER BY C.j)) AS x
+               FROM C JOIN $vin ON $vin.j = C.j GROUP BY C.i)"""
 
   /** One unrolled MMR greedy round (t ≥ 2) over `cand`/`cs`/`sel<t-1>`:
     * score every unpicked candidate by 0.5·rel − 0.5·(max sim to the

@@ -1206,6 +1206,143 @@ object EventQueries {
                 expr("(cast(round(value*100) as bigint) - " +
                   "pmod(cast(round(value*100) as bigint), 500)) div 500").as("v")),
             "event_type", "v")
-          .orderBy("event_type"))
+          .orderBy("event_type")),
+
+    // ---- q202: Hampel robust-outlier report (operators.RobustStats) —
+    // median ± 3·1.4826·MAD fences per event type, the monitoring
+    // primitive whose thresholds a few wild rows cannot drag (a
+    // mean/stddev fence chases its own outliers; the median/MAD fence
+    // has a 50% breakdown point). Exact rank statistics WITHOUT sorting
+    // the corpus: one hash agg collapses events onto the value-domain-
+    // bounded (type, cents, count) counter table, and both medians —
+    // the value median and the median absolute deviation — come from
+    // counter-row windows (per-type, domain-bounded — the q193/q141
+    // justification; truly unbounded domains quantize first via the
+    // q152/q198 bucket dial). Interpolation is percentile_cont(0.5)'s
+    // lo + (hi−lo)·f over exact integer cents, so every med/mad is an
+    // exact half-integer and the oracle hash-matches with no rounding.
+    QueryDef("q202_mad_outliers", Some(s"""
+      WITH ct AS (SELECT event_type, CAST($valCents AS DOUBLE) AS v,
+                         CAST(COUNT(*) AS BIGINT) AS cnt
+                  FROM events GROUP BY 1, 2),
+      mw AS (SELECT event_type, v, cnt,
+                    CAST(SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+                    CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+             FROM ct),
+      mg AS (SELECT event_type, n,
+                    MIN(CASE WHEN cum >= (n - 1) // 2 + 1 THEN v END) AS lo,
+                    MIN(CASE WHEN cum >= (n - 1) // 2 + 2 THEN v END) AS hi
+             FROM mw GROUP BY event_type, n),
+      med AS (SELECT event_type, n,
+                     lo + (COALESCE(hi, lo) - lo) *
+                       (CASE WHEN (n - 1) % 2 = 1 THEN 0.5 ELSE 0.0 END) AS med
+              FROM mg),
+      dct AS (SELECT c.event_type, abs(c.v - m.med) AS dv,
+                     CAST(SUM(c.cnt) AS BIGINT) AS cnt
+              FROM ct c JOIN med m USING (event_type) GROUP BY 1, 2),
+      dw AS (SELECT event_type, dv, cnt,
+                    CAST(SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+                    CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY dv
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+             FROM dct),
+      dg AS (SELECT event_type, n,
+                    MIN(CASE WHEN cum >= (n - 1) // 2 + 1 THEN dv END) AS lo,
+                    MIN(CASE WHEN cum >= (n - 1) // 2 + 2 THEN dv END) AS hi
+             FROM dw GROUP BY event_type, n),
+      mad AS (SELECT event_type,
+                     lo + (COALESCE(hi, lo) - lo) *
+                       (CASE WHEN (n - 1) % 2 = 1 THEN 0.5 ELSE 0.0 END) AS mad
+              FROM dg)
+      SELECT c.event_type, m.n, m.med / 100.0 AS med_value,
+             d.mad / 100.0 AS mad_value,
+             CAST(SUM(CASE WHEN abs(c.v - m.med) > 4.4478 * d.mad
+                           THEN c.cnt ELSE 0 END) AS BIGINT) AS n_out,
+             CAST(SUM(CASE WHEN abs(c.v - m.med) > 4.4478 * d.mad
+                           THEN c.cnt ELSE 0 END) AS BIGINT) / m.n AS out_frac
+      FROM ct c JOIN med m USING (event_type) JOIN mad d USING (event_type)
+      GROUP BY 1, 2, 3, 4 ORDER BY event_type"""),
+      (s, dir) =>
+        graft.operators.RobustStats.madOutliers(
+            Tables.events(s, dir)
+              .select(col("event_type"),
+                QueryDef.cents(col("value")).cast("double").as("v"))
+              .groupBy("event_type", "v").agg(count(lit(1)).as("cnt")),
+            Seq("event_type"), "v", "cnt")
+          .select(col("event_type"), col("n"),
+            (col("med") / 100.0).as("med_value"),
+            (col("mad") / 100.0).as("mad_value"),
+            col("n_out"), col("out_frac"))
+          .orderBy("event_type")),
+
+    // ---- q203: lag-1 autocorrelation of the daily revenue series per
+    // event type — the time-series diagnostic that tells a monitoring
+    // pipeline whether today predicts tomorrow (persistence) or the
+    // series is mean-reverting noise, i.e. whether a trend alarm (q178
+    // OLS, q196 Theil–Sen) is even meaningful. Exactness discipline is
+    // q178's: the corpus collapses to the day-domain-bounded daily
+    // table (one hash agg of exact cents), values are CENTERED at the
+    // per-type minimum daily total (Pearson r is translation-invariant,
+    // and centering keeps every integer moment within long range at
+    // petabyte daily volumes), consecutive-day pairs come from an
+    // explicit d+1 equi-join (gap-safe, unlike LEAD which would pair
+    // across holes), and all six moments are exact integer sums. Only
+    // the final r assembles doubles — a fixed expression tree over
+    // exact longs, bit-identical in both engines; zero-variance and
+    // single-pair groups are guarded to NULL.
+    QueryDef("q203_autocorr", Some(s"""
+      WITH daily AS (SELECT event_type,
+                            CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400 AS d,
+                            CAST(SUM($valCents) AS BIGINT) AS y
+                     FROM events GROUP BY 1, 2),
+      c0 AS (SELECT event_type, MIN(y) AS c0 FROM daily GROUP BY 1),
+      cd AS (SELECT daily.event_type, d, y - c0 AS x
+             FROM daily JOIN c0 USING (event_type)),
+      pr AS (SELECT a.event_type, a.x AS x, b.x AS y
+             FROM cd a JOIN cd b ON b.event_type = a.event_type AND b.d = a.d + 1),
+      m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM(x * y) AS BIGINT) AS sxy,
+                   CAST(SUM(x * x) AS BIGINT) AS sxx,
+                   CAST(SUM(y * y) AS BIGINT) AS syy
+            FROM pr GROUP BY 1)
+      SELECT event_type, n AS n_pairs,
+             CASE WHEN n < 2 OR n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0
+                  THEN NULL
+                  ELSE CAST(n * sxy - sx * sy AS DOUBLE) /
+                       sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+                            CAST(n * syy - sy * sy AS DOUBLE))
+             END AS r1
+      FROM m ORDER BY event_type"""),
+      (s, dir) => {
+        val daily = Tables.events(s, dir)
+          .groupBy(col("event_type"), expr("ts_us div 86400000000").as("d"))
+          .agg(sum(QueryDef.cents(col("value"))).as("y"))
+        val ref = daily.groupBy("event_type").agg(min("y").as("c0"))
+        val cd = daily.join(broadcast(ref), "event_type")
+          .select(col("event_type"), col("d"), (col("y") - col("c0")).as("x"))
+        val pr = cd.as("a")
+          .join(cd.as("b"),
+            col("b.event_type") === col("a.event_type") &&
+              col("b.d") === col("a.d") + 1)
+          .select(col("a.event_type").as("event_type"),
+            col("a.x").as("x"), col("b.x").as("y"))
+        val m = pr.groupBy("event_type").agg(count(lit(1)).as("n"),
+          sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        m.select(col("event_type"), col("n").as("n_pairs"),
+            when(col("n") < 2 ||
+                col("n") * col("sxx") - col("sx") * col("sx") === 0 ||
+                col("n") * col("syy") - col("sy") * col("sy") === 0,
+              lit(null).cast("double"))
+              .otherwise(
+                (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+                  sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+                    (col("n") * col("syy") - col("sy") * col("sy")).cast("double")))
+              .as("r1"))
+          .orderBy("event_type")
+      })
   )
 }

@@ -1422,6 +1422,73 @@ object RelationalQueries {
         graft.operators.Cooccur.associationRules(
             Tables.read(s, dir, "lineitem"), "l_orderkey", "l_partkey",
             maxBasketSize = 8, minCount = 2L, confNum = 1, confDen = 16)
-          .orderBy("antecedent", "consequent"))
+          .orderBy("antecedent", "consequent")),
+
+    // ---- q204: link-prediction audit of the co-purchase graph
+    // (graph.LinkPredict) — hold out 25% of q180's pair edges by the
+    // portable md5 draw (q97's leakage-safe-split discipline), score
+    // every non-train pair sharing ≥1 neighbor by common-neighbor
+    // COUNT, and report Mann–Whitney AUC (q141's integer rank-sum —
+    // tie halves exact as 2U) plus candidate-generator coverage
+    // cn_recall = scored positives / held-out edges on the SAME row:
+    // a sky-high AUC over 4% of test edges is not a good predictor,
+    // and the one-row report says so. The triangle-shaped score join
+    // is bounded by the shared-neighbor cap (16 incident nodes per
+    // neighbor — binding at sf0.001, where the small part catalog
+    // makes the graph dense), the q180 basket cap bounds the edge
+    // build, and the AUC machinery runs on the distinct-score table.
+    // Everything up to the two final divisions is integer arithmetic.
+    QueryDef("q204_link_predict", Some("""
+      WITH b AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+                 FROM lineitem WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+      c AS (SELECT basket, item FROM
+              (SELECT basket, item,
+                      ROW_NUMBER() OVER (PARTITION BY basket ORDER BY item) AS rk
+               FROM b) WHERE rk <= 8),
+      e AS (SELECT a.item AS a, b2.item AS b
+            FROM c a JOIN c b2 ON a.basket = b2.basket AND a.item < b2.item
+            GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      tr AS (SELECT a, b FROM e
+             WHERE CAST('0x' || substr(md5('lp:' || a || ':' || b), 1, 1) AS BIGINT) % 4 <> 0),
+      te AS (SELECT a, b FROM e
+             WHERE CAST('0x' || substr(md5('lp:' || a || ':' || b), 1, 1) AS BIGINT) % 4 = 0),
+      sym0 AS (SELECT a AS u, b AS n FROM tr UNION ALL SELECT b, a FROM tr),
+      sym AS (SELECT u, n FROM
+                (SELECT u, n, ROW_NUMBER() OVER (PARTITION BY n ORDER BY u) AS rk
+                 FROM sym0) WHERE rk <= 16),
+      cn0 AS (SELECT x.u AS a, y.u AS b, CAST(COUNT(*) AS BIGINT) AS cn
+              FROM sym x JOIN sym y ON x.n = y.n AND x.u < y.u GROUP BY 1, 2),
+      cand AS (SELECT cn0.a, cn0.b, cn0.cn FROM cn0
+               WHERE NOT EXISTS (SELECT 1 FROM tr
+                                 WHERE tr.a = cn0.a AND tr.b = cn0.b)),
+      lab AS (SELECT cand.cn, CASE WHEN te.a IS NOT NULL THEN 1 ELSE 0 END AS pos
+              FROM cand LEFT JOIN te ON te.a = cand.a AND te.b = cand.b),
+      g AS (SELECT cn AS m, CAST(SUM(pos) AS BIGINT) AS np,
+                   CAST(SUM(1 - pos) AS BIGINT) AS nn
+            FROM lab GROUP BY cn),
+      cum AS (SELECT m, np, nn,
+                COALESCE(CAST(SUM(nn) OVER (ORDER BY m
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS nb
+              FROM g),
+      nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_test FROM te)
+      SELECT nt.n_test, CAST(SUM(np) AS BIGINT) AS n_pos,
+             CAST(SUM(nn) AS BIGINT) AS n_neg,
+             CAST(SUM(2 * np * nb + np * nn) AS BIGINT) AS u2,
+             CASE WHEN SUM(np) = 0 OR SUM(nn) = 0 THEN NULL
+                  ELSE CAST(SUM(2 * np * nb + np * nn) AS BIGINT)
+                       / (2 * CAST(SUM(np) AS BIGINT) * CAST(SUM(nn) AS BIGINT))
+             END AS auc,
+             CASE WHEN nt.n_test = 0 THEN NULL
+                  ELSE CAST(SUM(np) AS BIGINT) / nt.n_test END AS cn_recall
+      FROM cum CROSS JOIN nt GROUP BY nt.n_test"""),
+      (s, dir) => {
+        val capped = graft.operators.Cooccur.cappedBaskets(
+          Tables.read(s, dir, "lineitem"), "l_orderkey", "l_partkey",
+          maxBasketSize = 8)
+        val edges = graft.operators.Cooccur.pairCounts(capped, minCount = 2L)
+          .select(col("item_a").as("a"), col("item_b").as("b"))
+        graft.graph.LinkPredict.evalReport(edges, "a", "b",
+          salt = "lp", mod = 4, maxDegree = 16)
+      })
   )
 }

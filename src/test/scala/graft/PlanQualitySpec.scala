@@ -671,6 +671,61 @@ class PlanQualitySpec extends SparkTestBase {
       "the 1-row viewer total joins as a broadcast")
   }
 
+  test("q202 MAD fences: rank windows ride the counter table, partitioned by type") {
+    val plan = collectAll(executed(q("q202_mad_outliers")))
+    val windows = plan.filter(_.nodeName == "Window")
+    assert(windows.nonEmpty, "the middle-rank locator is a counter-row window")
+    assert(windows.forall(_.toString.contains("event_type#")),
+      "every median window must partition by event_type over the bounded counter")
+    // the counter build itself rides the localCheckpoint (its own job);
+    // what must hold in the visible plan is that the deviation re-group
+    // still partial-aggregates and nothing degenerates to a cartesian
+    val aggs = plan.filter(_.nodeName.contains("HashAggregate")).map(_.toString)
+    assert(aggs.exists(_.contains("partial_sum")),
+      "the deviation counter re-group must partial-aggregate before the exchange")
+    assert(!plan.exists { case _: CartesianProductExec => true; case _ => false },
+      "med/mad joins are key-sized broadcasts, never cartesians")
+  }
+
+  test("q203 autocorrelation: moment sketch, no windows, reference broadcast") {
+    val plan = collectAll(executed(q("q203_autocorr")))
+    assert(!plan.exists(_.nodeName == "Window"),
+      "consecutive-day pairing is an equi-join, never a LEAD window")
+    val aggs = plan.filter(_.nodeName.contains("HashAggregate")).map(_.toString)
+    assert(aggs.exists(_.contains("partial_sum")),
+      "daily cents must partial-aggregate before the exchange")
+    assert(plan.exists { case _: BroadcastHashJoinExec => true; case _ => false },
+      "the per-type min reference joins as a broadcast")
+    assert(!plan.exists { case _: CartesianProductExec => true; case _ => false })
+  }
+
+  test("q204 link prediction: cap + AUC sweep are the only windows, no cartesian") {
+    val plan = collectAll(executed(q("q204_link_predict")))
+    // edge build rides the localCheckpoint; the visible windows are the
+    // shared-neighbor cap rank (partitioned by n) and the AUC cumulative
+    // sweep (unpartitioned but provably over the distinct-SCORE table —
+    // the q141 justification)
+    val windows = plan.filter(_.nodeName == "Window")
+    assert(windows.size <= 2,
+      s"cap rank + AUC sweep only, got ${windows.size} windows")
+    assert(!plan.exists { case _: CartesianProductExec => true; case _ => false },
+      "the 1-row test-count join is a broadcast nested loop, never a cartesian")
+  }
+
+  test("q205 PCA: corpus moments partial-aggregate; iteration is window-free algebra") {
+    // the iteration plan (post-checkpoint): pure join+aggregate algebra
+    val plan = collectAll(executed(q("q205_pca_power")))
+    assert(!plan.exists(_.nodeName == "Window"))
+    assert(!plan.exists { case _: CartesianProductExec => true; case _ => false },
+      "the 1-row normalize join is a broadcast, never a cartesian")
+    // the corpus pass (pre-checkpoint): moment sums must partial-aggregate
+    val cov = collectAll(executed(graft.ann.Pca.covariance(
+      graft.Tables.read(spark, sf("sf0.001"), "embeddings"), "embedding", 16)))
+    val aggs = cov.filter(_.nodeName.contains("HashAggregate")).map(_.toString)
+    assert(aggs.exists(_.contains("partial_sum")),
+      "pico-scaled moment sums must partial-aggregate before the exchange")
+  }
+
   test("q193 KS drift: count aggs partial-aggregate; sweep windows partition by group") {
     val plan = collectAll(executed(q("q193_ks_drift")))
     val windows = plan.filter(_.nodeName == "Window")
