@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, Tables}
 import graft.ann.{Knn, Mmr, Project}
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Dense-embedding similarity search over the `embeddings` table
@@ -11,6 +12,17 @@ import org.apache.spark.sql.functions._
   * remains → round(…, 6) is bit-stable across engines.
   */
 object EmbeddingQueries {
+
+  /** nDCG position discounts 1/log2(i+1), i = 1..5, computed ONCE in
+    * Scala and baked as literals into BOTH engines' expressions — no
+    * libm log at query time, so a 1-ulp libm divergence near a nano
+    * rounding boundary can never split the engines. Double.toString
+    * round-trips, so the SQL literal parses back to the identical bits
+    * Spark's lit() embeds. (Declared before `defs`, which captures it
+    * at object init.)
+    */
+  private val ndcgW: Seq[Double] =
+    (1 to 5).map(i => 1.0 / (math.log(i + 1) / math.log(2.0)))
 
   /** SRP band-bucket skew cap for the catalog near-dup queries (q36/
     * q76): a band bucket with more members than this carries no blocking
@@ -1380,6 +1392,114 @@ object EmbeddingQueries {
         val cov = graft.ann.Pca.covariance(
           Tables.read(s, dir, "embeddings"), "embedding", d = 16)
         graft.ann.Pca.leadingEigen(s, cov, d = 16, iters = 3)
+      }),
+
+    // ---- q206: ranking-quality metrics for quantized retrieval —
+    // q186 answers "how many of the true top-5 did ADC find?"
+    // (recall); this answers the two questions serving actually cares
+    // about: "how fast does a user hit a relevant result?" (MRR) and
+    // "is the ORDER of what we return right?" (nDCG@5, graded rel =
+    // 6 − exact rank). Parity discipline: the 1/log2(i+1) position
+    // discounts are FIVE BAKED LITERALS shared verbatim by both
+    // engines (no libm log at query time — a 1-ulp libm divergence
+    // near a rounding boundary can never bite), each DCG term is
+    // nano-scaled to an exact long immediately (order-free sums), and
+    // ndcg = dcg_nanos/idcg_nanos is one exact bigint division. MRR's
+    // 1/rank is a single IEEE division. Scale shape is q186's: the
+    // metric rides the probe-batch-sized top-k tables.
+    QueryDef("q206_retrieval_metrics", Some(s"""
+      WITH ${pqSvCte()},
+      c0 AS (SELECT sub, id AS code, sv AS cvec FROM sv WHERE id < 16),
+      ${pqLloydCte(1, "c0")},
+      ${pqLloydCte(2, "c1")},
+      codes AS (SELECT id, sub, code FROM (
+        SELECT s.id, s.sub, c.code,
+               ROW_NUMBER() OVER (PARTITION BY s.id, s.sub
+                 ORDER BY ${pqSqd("s.sv", "c.cvec")}, c.code) AS rk
+        FROM sv s JOIN c2 c ON c.sub = s.sub) WHERE rk = 1),
+      q AS (SELECT id AS q_id, sub, sv FROM sv WHERE id < 10),
+      dt AS (SELECT q.q_id, q.sub, c.code, ${pqSqd("q.sv", "c.cvec")} AS d2
+             FROM q JOIN c2 c ON c.sub = q.sub),
+      term AS (SELECT dt.q_id, k.id, dt.sub, dt.d2
+               FROM codes k JOIN dt ON dt.sub = k.sub AND dt.code = k.code
+               WHERE k.id <> dt.q_id),
+      tot AS (SELECT q_id, id,
+                MAX(CASE WHEN sub = 0 THEN d2 END)
+                + MAX(CASE WHEN sub = 1 THEN d2 END)
+                + MAX(CASE WHEN sub = 2 THEN d2 END)
+                + MAX(CASE WHEN sub = 3 THEN d2 END) AS adc_d2
+              FROM term GROUP BY q_id, id),
+      adcr AS (SELECT q_id, cand_id, rk FROM (
+        SELECT q_id, id AS cand_id,
+               ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc_d2, id) AS rk
+        FROM tot) WHERE rk <= 5),
+      qf AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+      exr AS (SELECT q_id, cand_id, rk FROM (
+        SELECT qf.vec_id AS q_id, c.vec_id AS cand_id,
+               ROW_NUMBER() OVER (PARTITION BY qf.vec_id
+                 ORDER BY ${pqSqd("qf.embedding", "c.embedding")}, c.vec_id) AS rk
+        FROM qf JOIN embeddings c ON c.vec_id <> qf.vec_id) WHERE rk <= 5),
+      rel AS (SELECT a.q_id, CAST(a.rk AS INTEGER) AS ark,
+                     CASE WHEN e.rk IS NULL THEN 0
+                          ELSE 6 - CAST(e.rk AS INTEGER) END AS rel
+              FROM adcr a LEFT JOIN exr e
+                ON e.q_id = a.q_id AND e.cand_id = a.cand_id),
+      dcg AS (SELECT q_id,
+                     MIN(CASE WHEN rel > 0 THEN ark END) AS first_hit_rank,
+                     CAST(SUM(CASE WHEN rel > 0 THEN
+                       CAST(round(CAST(rel AS DOUBLE) * ${ndcgWSql("ark")}
+                            * 1000000000.0) AS BIGINT) ELSE 0 END) AS BIGINT) AS dcg_nanos
+              FROM rel GROUP BY q_id),
+      idcg AS (SELECT q_id,
+                      CAST(SUM(CAST(round(CAST(6 - CAST(rk AS INTEGER) AS DOUBLE)
+                        * ${ndcgWSql("CAST(rk AS INTEGER)")}
+                        * 1000000000.0) AS BIGINT)) AS BIGINT) AS idcg_nanos
+               FROM exr GROUP BY q_id)
+      SELECT d.q_id, d.first_hit_rank,
+             CASE WHEN d.first_hit_rank IS NULL THEN CAST(0 AS DOUBLE)
+                  ELSE CAST(1 AS DOUBLE) / d.first_hit_rank END AS rr,
+             d.dcg_nanos, i.idcg_nanos,
+             d.dcg_nanos / i.idcg_nanos AS ndcg
+      FROM dcg d JOIN idcg i USING (q_id) ORDER BY d.q_id"""),
+      (s, dir) => {
+        import graft.ann.Pq
+        val emb = Tables.read(s, dir, "embeddings")
+        val cb = Pq.trainCodebooks(emb, "vec_id", "embedding",
+          m = 4, seedPred = col("vec_id") < 16, iters = 2)
+        val codes = Pq.assign(Pq.subvectors(emb, "vec_id", "embedding", 4), cb)
+        val adc = Pq.adcTopK(emb.where(col("vec_id") < 10),
+          "vec_id", "embedding", codes, cb, m = 4, k = 5)
+        val q = emb.where(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+        val exact = Knn.topKSelect(
+          broadcast(q).join(Tables.read(s, dir, "embeddings"),
+              col("vec_id") =!= col("q_id"))
+            .select(col("q_id"),
+              (-Pq.sqdist(col("qv"), col("embedding"))).as("sim"),
+              col("vec_id").as("cand_id")),
+          org.apache.spark.sql.types.LongType, 5)
+        val rel = adc
+          .select(col("q_id"), col("rk").cast("int").as("ark"), col("cand_id"))
+          .join(exact.select(col("q_id"), col("rk").cast("int").as("erk"),
+            col("cand_id")), Seq("q_id", "cand_id"), "left_outer")
+          .select(col("q_id"), col("ark"),
+            when(col("erk").isNull, lit(0)).otherwise(lit(6) - col("erk")).as("rel"))
+        val dcg = rel.groupBy("q_id").agg(
+          min(when(col("rel") > 0, col("ark"))).as("first_hit_rank"),
+          sum(when(col("rel") > 0,
+            round(col("rel").cast("double") * ndcgWCol(col("ark"))
+              * lit(1000000000.0)).cast("long")).otherwise(lit(0L))).as("dcg_nanos"))
+        val idcg = exact.groupBy("q_id").agg(
+          sum(round((lit(6) - col("rk").cast("int")).cast("double")
+            * ndcgWCol(col("rk").cast("int"))
+            * lit(1000000000.0)).cast("long")).as("idcg_nanos"))
+        dcg.join(idcg, "q_id")
+          .select(col("q_id"), col("first_hit_rank"),
+            when(col("first_hit_rank").isNull, lit(0.0))
+              .otherwise(lit(1.0) / col("first_hit_rank")).as("rr"),
+            col("dcg_nanos"), col("idcg_nanos"),
+            (col("dcg_nanos") / col("idcg_nanos")).as("ndcg"))
+          .orderBy("q_id")
       })
   )
 
@@ -1418,6 +1538,16 @@ object EmbeddingQueries {
                      list_transform(list(mv ORDER BY dim),
                                     x -> CAST(x AS FLOAT)) AS cvec
               FROM m$n GROUP BY sub, code)"""
+
+  private def ndcgWSql(rkExpr: String): String =
+    s"(CASE $rkExpr ${ndcgW.zipWithIndex.map { case (w, i) =>
+        s"WHEN ${i + 1} THEN CAST($w AS DOUBLE)" }.mkString(" ")}" +
+      " ELSE CAST(0 AS DOUBLE) END)"
+
+  private def ndcgWCol(rk: Column): Column =
+    ndcgW.zipWithIndex.foldLeft(when(lit(false), lit(0.0))) {
+      case (acc, (w, i)) => acc.when(rk === i + 1, lit(w))
+    }.otherwise(lit(0.0))
 
   /** One unrolled power-iteration matvec over the covariance CTE
     * `C(i, j, c)`: `$out(j, x)` = C · `$vin`, 16 terms folded in index

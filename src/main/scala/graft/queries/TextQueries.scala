@@ -3715,6 +3715,90 @@ object TextQueries {
             (col("pn").cast("double") / col("n_pairs").cast("double")
               / lit(1.0e9)).as("exp_recall"))
           .orderBy("bin")
+      }),
+
+    // ---- q207: dedup survivorship lineage — the serving artifact a
+    // dedup run must actually emit: q72 labels clusters and q134
+    // histograms the yield, but a downstream consumer needs (kept ←
+    // dropped) PROVENANCE rows with the reason encoded: per near-dup
+    // cluster the canonical survivor is the highest-QUALITY member
+    // (n_chars, ties to the smaller doc_id), not the arbitrary min-id
+    // label — picked by one mergeable min-struct argmax (never a
+    // window in the Spark plan; the oracle's ROW_NUMBER mirrors the
+    // same total order), then one equi-join fans the cluster members
+    // against their canonical. Same verified LSH→Jaccard→CC chain as
+    // q72; on top of the labels the lineage costs two cluster-keyed
+    // hash ops — at 100 TB the report is marginal next to the
+    // clustering that produced it.
+    QueryDef("q207_dedup_lineage", Some(s"""${toksCte()},
+      sig AS (SELECT doc_id,
+        ${(0 until 8).map(i =>
+          s"list_min(list_transform(list_distinct(tokens), t -> md5('$i:' || t))) AS mh$i")
+          .mkString(",\n        ")}
+              FROM toks),
+      band AS (${(0 until 4).map(b =>
+          s"SELECT doc_id, $b AS b, mh${2 * b} || '|' || mh${2 * b + 1} AS chunk FROM sig")
+          .mkString(" UNION ALL\n               ")}),
+      kept AS (SELECT doc_id, b, chunk FROM
+                 (SELECT doc_id, b, chunk,
+                         COUNT(*) OVER (PARTITION BY b, chunk) AS bsz FROM band)
+               WHERE bsz <= 50),
+      cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+               FROM kept a JOIN kept b
+                 ON a.b = b.b AND a.chunk = b.chunk AND a.doc_id < b.doc_id),
+      sh AS (SELECT doc_id,
+               list_distinct(list_transform(range(1, len(tokens)),
+                             i -> tokens[i] || ' ' || tokens[i+1])) AS sh
+             FROM toks),
+      ver AS (SELECT id_a, id_b FROM
+                (SELECT c.id_a, c.id_b,
+                        CASE WHEN len(a.sh) + len(b.sh)
+                                  - len(list_intersect(a.sh, b.sh)) = 0 THEN NULL
+                             ELSE len(list_intersect(a.sh, b.sh))
+                                  / (len(a.sh) + len(b.sh)
+                                     - len(list_intersect(a.sh, b.sh))) END AS jac
+                 FROM cand c JOIN sh a ON a.doc_id = c.id_a
+                             JOIN sh b ON b.doc_id = c.id_b)
+              WHERE jac >= CAST(0.5 AS DOUBLE)),
+      edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM ver
+                UNION ALL SELECT id_b, id_a FROM ver),
+      l0 AS MATERIALIZED (SELECT doc_id AS id, doc_id AS label FROM toks),
+      ${graft.QueryDef.ccFixpointCtes()},
+      lab AS (SELECT f.id AS doc_id, f.label AS cluster_id, d.n_chars
+              FROM ${graft.QueryDef.ccFinal()} f
+              JOIN documents d ON d.doc_id = f.id),
+      canon AS (SELECT cluster_id, doc_id AS kept_id, n_chars AS kept_chars FROM
+                  (SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster_id
+                             ORDER BY n_chars DESC, doc_id) AS rk,
+                          COUNT(*) OVER (PARTITION BY cluster_id) AS sz
+                   FROM lab) WHERE rk = 1 AND sz >= 2)
+      SELECT l.cluster_id, c.kept_id, c.kept_chars,
+             l.doc_id AS dropped_id, l.n_chars AS dropped_chars
+      FROM lab l JOIN canon c USING (cluster_id)
+      WHERE l.doc_id <> c.kept_id
+      ORDER BY cluster_id, dropped_id"""),
+      (s, dir) => {
+        val toks = tokenized(s, dir)
+        val cand = Dedup.lshBandedCandidatePairs(toks, "doc_id", "tokens", 4, 2,
+          maxBucketSize = 50)
+        val verified = Dedup.verifyJaccard(toks, "doc_id", "tokens", cand)
+          .where(col("jaccard") >= 0.5)
+        val labels = Dedup
+          .nearDupClustersConverged(toks.select("doc_id"), "doc_id", verified)._1
+        val lab = labels.select("doc_id", "cluster_id")
+          .join(docs(s, dir).select("doc_id", "n_chars"), "doc_id")
+        val canon = lab.groupBy("cluster_id")
+          .agg(min(struct((-col("n_chars")).as("negq"), col("doc_id").as("id")))
+              .as("w"),
+            count(lit(1)).as("sz"))
+          .where(col("sz") >= 2)
+          .select(col("cluster_id"), col("w.id").as("kept_id"),
+            (-col("w.negq")).as("kept_chars"))
+        lab.join(canon, "cluster_id")
+          .where(col("doc_id") =!= col("kept_id"))
+          .select(col("cluster_id"), col("kept_id"), col("kept_chars"),
+            col("doc_id").as("dropped_id"), col("n_chars").as("dropped_chars"))
+          .orderBy("cluster_id", "dropped_id")
       })
   )
 

@@ -521,6 +521,43 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("MAD outlier fences read off live histogram counters equal the batch fences") {
+    implicit val ctx = spark.sqlContext
+    val width = 10L
+    val input = MemoryStream[(String, Long)]
+    val q = EventStreams.liveHistogramCounters(
+        input.toDF().toDF("g", "cents"), col("cents"), Seq("g"), width)
+      .writeStream.format("memory").queryName("mad_counters")
+      .outputMode(OutputMode.Complete())
+      .start()
+    try {
+      // a tight cluster plus far excursions so the fence actually fires
+      val b1 = (0L to 50L).map(v => ("a", v)) :+ (("a", 900L))
+      val b2 = (10L to 60L).map(v => ("a", v)) :+ (("a", -800L)) :+ (("b", 5L))
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      // the monitor reads Hampel fences off the BOUNDED counter state —
+      // the q202 batch operator applied verbatim to live state rows
+      val live = graft.operators.RobustStats.madOutliers(
+          spark.table("mad_counters").localCheckpoint()
+            .select(col("g"), col("bucket").cast("double").as("v"), col("n").as("cnt")),
+          Seq("g"), "v", "cnt")
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))).toMap
+      val want = graft.operators.RobustStats.madOutliers(
+          (b1 ++ b2).toDF("g", "cents")
+            .select(col("g"),
+              expr(s"cast((cents - pmod(cents, $width)) div $width as double)").as("v"))
+            .groupBy("g", "v").agg(count(lit(1)).as("cnt")),
+          Seq("g"), "v", "cnt")
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))).toMap
+      assert(live === want,
+        "fences off live counters must equal the batch bucketed fences exactly")
+      assert(live("a")._4 === 2L, "both excursions must be outside the fence")
+    } finally q.stop()
+  }
+
   test("stateless KMV audience routing matches the batch router, no state store") {
     implicit val ctx = spark.sqlContext
     import graft.functions.Kmv
