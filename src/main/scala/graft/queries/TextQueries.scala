@@ -3799,6 +3799,190 @@ object TextQueries {
           .select(col("cluster_id"), col("kept_id"), col("kept_chars"),
             col("doc_id").as("dropped_id"), col("n_chars").as("dropped_chars"))
           .orderBy("cluster_id", "dropped_id")
+      }),
+
+    // ---- q208: quality-filter OVERLAP matrix — the tuning readout for
+    // a filter stack (Gopher/C4-style): per filter its drop count, and
+    // per PAIR how many docs BOTH would drop, as overlap Jaccard. Two
+    // filters with ~1.0 overlap are redundant (drop one and save its
+    // compute); near-0 overlap means each catches a distinct failure
+    // mode. Every flag is a row-local INTEGER test (no float
+    // boundaries), the whole k×k matrix folds out of ONE conditional-
+    // sum aggregate over ONE corpus scan (the q167 Audit shape), and
+    // the 10 unordered-pair rows unpivot from the single agg row —
+    // marginal cost at 100 TB is one scan regardless of k.
+    QueryDef("q208_filter_overlap", Some(s"""${toksCte()},
+      fl AS (SELECT t.doc_id,
+               CASE WHEN d.n_chars < 150 THEN 1 ELSE 0 END AS f_short,
+               CASE WHEN list_sum(list_transform(t.tokens, x -> length(x)))
+                         > 5 * len(t.tokens) THEN 1 ELSE 0 END AS f_longword,
+               CASE WHEN 2 * len(list_distinct(t.tokens)) < len(t.tokens)
+                    THEN 1 ELSE 0 END AS f_dup,
+               CASE WHEN COALESCE(list_max(list_transform(list_distinct(t.tokens),
+                         g -> len(list_filter(t.tokens, x -> x = g)))), 0) * 5
+                         > len(t.tokens) THEN 1 ELSE 0 END AS f_dominant
+             FROM toks t JOIN documents d USING (doc_id)),
+      ag AS (SELECT CAST(SUM(f_short) AS BIGINT) AS n_s,
+                    CAST(SUM(f_longword) AS BIGINT) AS n_l,
+                    CAST(SUM(f_dup) AS BIGINT) AS n_d,
+                    CAST(SUM(f_dominant) AS BIGINT) AS n_m,
+                    CAST(SUM(f_short * f_longword) AS BIGINT) AS n_sl,
+                    CAST(SUM(f_short * f_dup) AS BIGINT) AS n_sd,
+                    CAST(SUM(f_short * f_dominant) AS BIGINT) AS n_sm,
+                    CAST(SUM(f_longword * f_dup) AS BIGINT) AS n_ld,
+                    CAST(SUM(f_longword * f_dominant) AS BIGINT) AS n_lm,
+                    CAST(SUM(f_dup * f_dominant) AS BIGINT) AS n_dm
+             FROM fl),
+      up AS (          SELECT 'dominant' AS filter_a, 'dominant' AS filter_b, n_m AS n_a, n_m AS n_b, n_m AS n_both FROM ag
+             UNION ALL SELECT 'dominant', 'dup',      n_m, n_d, n_dm FROM ag
+             UNION ALL SELECT 'dominant', 'longword', n_m, n_l, n_lm FROM ag
+             UNION ALL SELECT 'dominant', 'short',    n_m, n_s, n_sm FROM ag
+             UNION ALL SELECT 'dup', 'dup',           n_d, n_d, n_d  FROM ag
+             UNION ALL SELECT 'dup', 'longword',      n_d, n_l, n_ld FROM ag
+             UNION ALL SELECT 'dup', 'short',         n_d, n_s, n_sd FROM ag
+             UNION ALL SELECT 'longword', 'longword', n_l, n_l, n_l  FROM ag
+             UNION ALL SELECT 'longword', 'short',    n_l, n_s, n_sl FROM ag
+             UNION ALL SELECT 'short', 'short',       n_s, n_s, n_s  FROM ag)
+      SELECT filter_a, filter_b, n_a, n_b, n_both,
+             CASE WHEN n_a + n_b - n_both = 0 THEN NULL
+                  ELSE n_both / (n_a + n_b - n_both) END AS overlap_jaccard
+      FROM up ORDER BY filter_a, filter_b"""),
+      (s, dir) => {
+        val fl = tokenized(s, dir)
+          .join(docs(s, dir).select("doc_id", "n_chars"), "doc_id")
+          .select(
+            when(col("n_chars") < 150, 1).otherwise(0).as("f_s"),
+            when(expr("aggregate(transform(tokens, x -> length(x)), 0, (a, x) -> a + x)")
+              > lit(5) * size(col("tokens")), 1).otherwise(0).as("f_l"),
+            when(lit(2) * size(array_distinct(col("tokens"))) < size(col("tokens")), 1)
+              .otherwise(0).as("f_d"),
+            when(coalesce(array_max(expr(
+                "transform(array_distinct(tokens), g -> size(filter(tokens, x -> x = g)))")),
+              lit(0)) * 5 > size(col("tokens")), 1).otherwise(0).as("f_m"))
+        val ag = fl.agg(
+          sum("f_s").as("n_s"), sum("f_l").as("n_l"),
+          sum("f_d").as("n_d"), sum("f_m").as("n_m"),
+          sum(col("f_s") * col("f_l")).as("n_sl"),
+          sum(col("f_s") * col("f_d")).as("n_sd"),
+          sum(col("f_s") * col("f_m")).as("n_sm"),
+          sum(col("f_l") * col("f_d")).as("n_ld"),
+          sum(col("f_l") * col("f_m")).as("n_lm"),
+          sum(col("f_d") * col("f_m")).as("n_dm"))
+        ag.selectExpr("""stack(10,
+            'dominant', 'dominant', n_m, n_m, n_m,
+            'dominant', 'dup',      n_m, n_d, n_dm,
+            'dominant', 'longword', n_m, n_l, n_lm,
+            'dominant', 'short',    n_m, n_s, n_sm,
+            'dup', 'dup',           n_d, n_d, n_d,
+            'dup', 'longword',      n_d, n_l, n_ld,
+            'dup', 'short',         n_d, n_s, n_sd,
+            'longword', 'longword', n_l, n_l, n_l,
+            'longword', 'short',    n_l, n_s, n_sl,
+            'short', 'short',       n_s, n_s, n_s)
+            as (filter_a, filter_b, n_a, n_b, n_both)""")
+          .select(col("filter_a"), col("filter_b"),
+            col("n_a"), col("n_b"), col("n_both"),
+            when(col("n_a") + col("n_b") - col("n_both") === 0,
+              lit(null).cast("double"))
+              .otherwise(col("n_both") / (col("n_a") + col("n_b") - col("n_both")))
+              .as("overlap_jaccard"))
+          .orderBy("filter_a", "filter_b")
+      }),
+
+    // ---- q209: modularity of the q147 LPA communities — the quality
+    // gate that says whether "communities" are real structure or
+    // partition noise (Newman's Q: fraction of edges inside
+    // communities minus the degree-preserving random expectation).
+    // Exactness: Q = Σ_c (4m·e_c − d_c²) / (4m²) — every per-community
+    // numerator is PURE LONG ARITHMETIC over edge/degree counts, the
+    // global Q is one exact bigint division at the end, so the number
+    // that gates a release is bit-identical in any engine. Cost on top
+    // of the labels: one edge join + three community-keyed hash aggs —
+    // marginal next to the LPA that produced them; the m=0 empty-graph
+    // edge degenerates to NULL, never a division error.
+    QueryDef("q209_modularity", Some(s"""${toksCte("doc_id < 200")},
+      sig AS (SELECT doc_id, array_to_string(list_transform(range(1, 33), i ->
+                CASE WHEN COALESCE(list_sum(list_transform(list_distinct(tokens),
+                     t -> CASE WHEN substr(md5(t), i, 1) IN ('8','9','a','b','c','d','e','f')
+                               THEN 1 ELSE -1 END)), 0) >= 0
+                     THEN '1' ELSE '0' END), '') AS sig
+              FROM toks),
+      bits AS (SELECT doc_id,
+                 CAST(list_sum(list_transform(range(1, 33),
+                   i -> CASE WHEN substr(sig, i, 1) = '1'
+                             THEN (1::BIGINT << (32 - i)) ELSE 0 END)) AS BIGINT) AS sb
+               FROM sig),
+      band AS (SELECT doc_id, sb, t.range AS b,
+                      (sb >> ((3 - t.range) * 8)) & 255 AS chunk
+               FROM bits, range(0, 4) t),
+      cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                      a.sb AS sb_a, b.sb AS sb_b
+               FROM band a JOIN band b
+                 ON a.b = b.b AND a.chunk = b.chunk AND a.doc_id < b.doc_id),
+      p0 AS MATERIALIZED (SELECT id_a, id_b FROM cand
+            WHERE bit_count(xor(sb_a, sb_b)) <= 3),
+      edges AS MATERIALIZED (SELECT id_a AS u, id_b AS v FROM p0
+            UNION ALL SELECT id_b AS u, id_a AS v FROM p0),
+      l0 AS MATERIALIZED (SELECT doc_id AS id, doc_id AS label FROM toks),
+      ${lpaCtes(rounds = 4)},
+      mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM p0),
+      deg AS (SELECT u AS id, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY u),
+      dc AS (SELECT l.label, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+                    CAST(SUM(COALESCE(deg.d, 0)) AS BIGINT) AS d_sum
+             FROM l4 l LEFT JOIN deg ON deg.id = l.id GROUP BY l.label),
+      ec AS (SELECT la.label, CAST(COUNT(*) AS BIGINT) AS e_in
+             FROM p0 p JOIN l4 la ON la.id = p.id_a JOIN l4 lb ON lb.id = p.id_b
+             WHERE la.label = lb.label GROUP BY la.label),
+      qn AS (SELECT d.label, d.n_nodes, d.d_sum,
+                    COALESCE(e.e_in, 0) AS e_in,
+                    CAST(4 * mm.m * COALESCE(e.e_in, 0) - d.d_sum * d.d_sum
+                         AS BIGINT) AS q_numer
+             FROM dc d LEFT JOIN ec e ON e.label = d.label CROSS JOIN mm),
+      qt AS (SELECT CAST(SUM(q_numer) AS BIGINT) AS qtn FROM qn)
+      SELECT CAST(qn.label AS BIGINT) AS community, qn.n_nodes, qn.e_in,
+             qn.d_sum, qn.q_numer,
+             CASE WHEN mm.m = 0 THEN NULL
+                  ELSE qt.qtn / (4 * mm.m * mm.m) END AS q_total
+      FROM qn CROSS JOIN qt CROSS JOIN mm
+      WHERE qn.n_nodes >= 2
+      ORDER BY community"""),
+      (s, dir) => {
+        val t = tokenized(s, dir).where(col("doc_id") < 200)
+          .localCheckpoint() // nodes AND pair building read it
+        val pairs = Dedup.simhashNearDups(t, "doc_id", "tokens")
+          .select("id_a", "id_b")
+          .localCheckpoint() // m, degrees, internal-edge count all read it
+        val labels = graft.graph.LabelProp.run(t.select("doc_id"), "doc_id",
+            pairs, rounds = 4)
+          .localCheckpoint() // degree join + two endpoint joins read it
+        val mdf = pairs.agg(count(lit(1)).as("m"))
+        val deg = pairs.select(col("id_a").as("id"))
+          .union(pairs.select(col("id_b").as("id")))
+          .groupBy("id").agg(count(lit(1)).as("d"))
+        val dc = labels.join(deg, Seq("id"), "left_outer")
+          .groupBy("label").agg(count(lit(1)).as("n_nodes"),
+            sum(coalesce(col("d"), lit(0L))).as("d_sum"))
+        val ec = pairs
+          .join(labels.select(col("id").as("id_a"), col("label").as("la")), "id_a")
+          .join(labels.select(col("id").as("id_b"), col("label").as("lb")), "id_b")
+          .where(col("la") === col("lb"))
+          .groupBy(col("la").as("label")).agg(count(lit(1)).as("e_in"))
+        val qn = dc.join(ec, Seq("label"), "left_outer")
+          .crossJoin(broadcast(mdf))
+          .select(col("label"), col("n_nodes"), col("d_sum"),
+            coalesce(col("e_in"), lit(0L)).as("e_in"), col("m"),
+            (lit(4L) * col("m") * coalesce(col("e_in"), lit(0L))
+              - col("d_sum") * col("d_sum")).as("q_numer"))
+          .localCheckpoint() // the global sum AND the row output read it
+        val qt = qn.agg(sum("q_numer").as("qtn"))
+        qn.where(col("n_nodes") >= 2)
+          .crossJoin(broadcast(qt))
+          .select(col("label").as("community"), col("n_nodes"), col("e_in"),
+            col("d_sum"), col("q_numer"),
+            when(col("m") === 0, lit(null).cast("double"))
+              .otherwise(col("qtn") / (lit(4L) * col("m") * col("m")))
+              .as("q_total"))
+          .orderBy("community")
       })
   )
 
