@@ -1500,6 +1500,81 @@ object EmbeddingQueries {
             col("dcg_nanos"), col("idcg_nanos"),
             (col("dcg_nanos") / col("idcg_nanos")).as("ndcg"))
           .orderBy("q_id")
+      }),
+
+    // ---- q211: nearest-centroid (Rocchio) classification with a
+    // held-out confusion matrix — the cheapest supervised baseline an
+    // embedding pipeline should beat before training anything fancier,
+    // and the confusion matrix is the artifact that says WHICH labels
+    // the embedding space actually separates. Leakage-safe split (q97
+    // hash discipline: vec_id % 5), centroid numerators are exact
+    // NANO-scaled integer sums per (label, dim) — order-free, mergeable,
+    // shard-parallel — and each centroid component is one exact
+    // division; classification broadcasts the labels×d centroid table
+    // and scores map-side through the codegen vec_sqdist kernel (index-
+    // order fold ≡ the oracle's list_sum), argmin via mergeable
+    // min-struct — never a per-vector window. The confusion matrix is
+    // labels² rows; accuracy is one exact bigint division.
+    QueryDef("q211_centroid_classifier", Some(s"""
+      WITH tr AS (SELECT label, embedding FROM embeddings WHERE vec_id % 5 <> 0),
+      te AS (SELECT vec_id, label AS true_label, embedding
+             FROM embeddings WHERE vec_id % 5 = 0),
+      cm AS (SELECT label, CAST(r.range AS INTEGER) AS i,
+                    CAST(SUM(CAST(round(CAST(embedding[CAST(r.range AS INTEGER)]
+                      AS DOUBLE) * 1000000000.0) AS BIGINT)) AS BIGINT) AS sv,
+                    CAST(COUNT(*) AS BIGINT) AS n
+             FROM tr, range(1, 65) r GROUP BY 1, 2),
+      cent AS (SELECT label,
+                      list(CAST(sv AS DOUBLE) / 1000000000.0 / n ORDER BY i) AS carr
+               FROM cm GROUP BY label),
+      d AS (SELECT te.vec_id, te.true_label, c.label AS cand,
+                   ${pqSqd("te.embedding", "c.carr")} AS d2
+            FROM te CROSS JOIN cent c),
+      pick AS (SELECT vec_id, true_label, cand AS pred_label FROM
+                 (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY d2, cand) AS rk FROM d) WHERE rk = 1),
+      conf AS (SELECT true_label, pred_label, CAST(COUNT(*) AS BIGINT) AS n
+               FROM pick GROUP BY 1, 2),
+      acc AS (SELECT CAST(SUM(CASE WHEN true_label = pred_label THEN n
+                               ELSE 0 END) AS BIGINT) AS n_right,
+                     CAST(SUM(n) AS BIGINT) AS n_total FROM conf)
+      SELECT conf.true_label, conf.pred_label, conf.n,
+             acc.n_right, acc.n_total,
+             acc.n_right / acc.n_total AS accuracy
+      FROM conf CROSS JOIN acc ORDER BY true_label, pred_label"""),
+      (s, dir) => {
+        val emb = Tables.read(s, dir, "embeddings")
+        val tr = emb.where(col("vec_id") % 5 =!= 0)
+        val te = emb.where(col("vec_id") % 5 === 0)
+          .select(col("vec_id"), col("label").as("true_label"), col("embedding"))
+        val cm = tr.select(col("label"),
+            posexplode(col("embedding")).as(Seq("p", "x")))
+          .groupBy(col("label"), (col("p") + 1).as("i"))
+          .agg(sum(round(col("x").cast("double") * 1000000000.0).cast("long"))
+              .as("sv"),
+            count(lit(1)).as("n"))
+        val cent = cm.groupBy("label").agg(expr(
+          "transform(sort_array(collect_list(named_struct(" +
+            "'o', i, 'c', cast(sv as double) / 1000000000.0 / n))), s -> s.c)")
+          .as("carr"))
+        val d = te.crossJoin(broadcast(cent))
+          .select(col("vec_id"), col("true_label"), col("label").as("cand"),
+            graft.ann.Pq.sqdist(col("embedding"), col("carr")).as("d2"))
+        val pick = d.groupBy("vec_id", "true_label")
+          .agg(min(struct(col("d2"), col("cand"))).as("w"))
+          .select(col("vec_id"), col("true_label"), col("w.cand").as("pred_label"))
+        // the matrix feeds both the row output and the accuracy total
+        val conf = pick.groupBy("true_label", "pred_label")
+          .agg(count(lit(1)).as("n")).localCheckpoint()
+        val acc = conf.agg(
+          sum(when(col("true_label") === col("pred_label"), col("n"))
+            .otherwise(lit(0L))).as("n_right"),
+          sum("n").as("n_total"))
+        conf.crossJoin(broadcast(acc))
+          .select(col("true_label"), col("pred_label"), col("n"),
+            col("n_right"), col("n_total"),
+            (col("n_right") / col("n_total")).as("accuracy"))
+          .orderBy("true_label", "pred_label")
       })
   )
 

@@ -1343,6 +1343,112 @@ object EventQueries {
                     (col("n") * col("syy") - col("sy") * col("sy")).cast("double")))
               .as("r1"))
           .orderBy("event_type")
+      }),
+
+    // ---- q210: point-in-time-correct training-set assembly — the
+    // feature-store join: every purchase (label event) dressed with
+    // three features computed STRICTLY from the user's past (rolling
+    // 7-day spend ending 1µs before the label, previous event type,
+    // days since first activity) — the no-future-leakage contract that
+    // makes a training set honest (the q97 split discipline applied
+    // WITHIN the timeline). All three features ride ONE shuffle: every
+    // window partitions by user_id (per-key bounded), the spend frame
+    // is a value-RANGE over epoch micros (same-timestamp peers
+    // excluded identically in both engines), and features for ALL
+    // events are computed in the same pass before the label filter —
+    // at 100 TB you pay one user-keyed exchange, not one per feature.
+    // Cents sums exact; the two emitted /100.0 are single IEEE ops.
+    QueryDef("q210_feature_assembly", Some(s"""
+      WITH w AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS tu,
+                        $valCents AS cents FROM events),
+      f AS (SELECT event_id, user_id, tu, event_type, cents,
+                   COALESCE(CAST(SUM(cents) OVER (PARTITION BY user_id ORDER BY tu
+                     RANGE BETWEEN 604800000000 PRECEDING AND 1 PRECEDING)
+                     AS BIGINT), 0) AS spend7,
+                   LAG(event_type) OVER (PARTITION BY user_id
+                     ORDER BY tu, event_id) AS prev_type,
+                   MIN(tu) OVER (PARTITION BY user_id ORDER BY tu, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_tu
+            FROM w)
+      SELECT event_id, user_id, tu AS ts_us, cents / 100.0 AS label_value,
+             spend7 / 100.0 AS spend_7d,
+             COALESCE(prev_type, 'none') AS prev_type,
+             CAST((tu - first_tu) // 86400000000 AS BIGINT) AS days_since_first
+      FROM f WHERE event_type = 'purchase' ORDER BY event_id"""),
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"),
+          col("event_type"), col("ts_us"), QueryDef.cents(col("value")).as("cents"))
+        val wSpend = Window.partitionBy("user_id").orderBy("ts_us")
+          .rangeBetween(-604800000000L, -1L)
+        val wOrd = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+        val wMin = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ev.withColumn("spend7", coalesce(sum("cents").over(wSpend), lit(0L)))
+          .withColumn("prev_type", lag(col("event_type"), 1).over(wOrd))
+          .withColumn("first_tu", min("ts_us").over(wMin))
+          .where(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts_us"),
+            (col("cents") / 100.0).as("label_value"),
+            (col("spend7") / 100.0).as("spend_7d"),
+            coalesce(col("prev_type"), lit("none")).as("prev_type"),
+            expr("(ts_us - first_tu) div 86400000000").as("days_since_first"))
+          .orderBy("event_id")
+      }),
+
+    // ---- q213: population stability index — the industry-standard
+    // "has the scored population shifted since the model was fit?"
+    // drift number (conventional gates: < 0.1 stable, > 0.25 act),
+    // here between the first and second half of the corpus's day range
+    // over q198's $5 value buckets. Each bin's term
+    // (p_i − q_i)·ln(p_i/q_i) is computed from exact integer counts
+    // (the ln argument is ONE cross-multiplied exact ratio — no
+    // epsilon fudging) and nano-scaled to a long immediately (the q166
+    // discipline), so the total is an exact order-free sum; bins with
+    // one-sided support contribute NULL terms but their MASS is
+    // reported on every row — silent mass exclusion is how PSI lies.
+    // One corpus scan onto the bucket counter; everything after is
+    // bucket-table algebra.
+    QueryDef("q213_psi", Some(s"""
+      WITH w AS (SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS d,
+                        (($valCents - ((($valCents % 500) + 500) % 500)) // 500) AS b
+                 FROM events),
+      sp AS (SELECT (MIN(d) + MAX(d)) // 2 AS mid FROM w),
+      c AS (SELECT b,
+                   CAST(SUM(CASE WHEN d < mid THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+                   CAST(SUM(CASE WHEN d >= mid THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+            FROM w CROSS JOIN sp GROUP BY b),
+      tot AS (SELECT CAST(SUM(n_ref) AS BIGINT) AS nr,
+                     CAST(SUM(n_cur) AS BIGINT) AS nc FROM c),
+      t AS (SELECT c.b, c.n_ref, c.n_cur,
+                   CASE WHEN c.n_ref > 0 AND c.n_cur > 0 THEN
+                     CAST(round((CAST(c.n_ref AS DOUBLE) / t.nr
+                                 - CAST(c.n_cur AS DOUBLE) / t.nc)
+                          * ln(CAST(c.n_ref * t.nc AS DOUBLE)
+                               / CAST(c.n_cur * t.nr AS DOUBLE))
+                          * 1000000000.0) AS BIGINT)
+                   ELSE NULL END AS term_nanos
+            FROM c CROSS JOIN tot t),
+      ps AS (SELECT CAST(SUM(COALESCE(term_nanos, 0)) AS BIGINT) AS psi_nanos,
+                    CAST(SUM(CASE WHEN term_nanos IS NULL
+                             THEN n_ref + n_cur ELSE 0 END) AS BIGINT)
+                      AS one_sided_mass
+             FROM t)
+      SELECT t.b AS bucket, t.n_ref, t.n_cur, t.term_nanos,
+             CAST(ps.psi_nanos AS DOUBLE) / 1000000000.0 AS psi_total,
+             ps.one_sided_mass
+      FROM t CROSS JOIN ps ORDER BY bucket"""),
+      (s, dir) => {
+        val w = Tables.events(s, dir).select(
+          expr("ts_us div 86400000000").as("d"),
+          expr("(cast(round(value*100) as bigint) - " +
+            "pmod(cast(round(value*100) as bigint), 500)) div 500").as("b"))
+        val sp = w.agg(expr("(min(d) + max(d)) div 2").as("mid"))
+        val c = w.crossJoin(broadcast(sp))
+          .groupBy("b")
+          .agg(sum(when(col("d") < col("mid"), 1L).otherwise(0L)).as("n_ref"),
+            sum(when(col("d") >= col("mid"), 1L).otherwise(0L)).as("n_cur"))
+        graft.operators.Psi.fromCounters(c, "b", "n_ref", "n_cur")
+          .orderBy("bucket")
       })
   )
 }

@@ -3983,6 +3983,89 @@ object TextQueries {
               .otherwise(col("qtn") / (lit(4L) * col("m") * col("m")))
               .as("q_total"))
           .orderBy("community")
+      }),
+
+    // ---- q212: Brier-score decomposition (Murphy 1973) of the q191
+    // language-ID calibration — reliability (how far bin forecasts sit
+    // from observed rates — LOWER is better), resolution (how much the
+    // bins separate from the base rate — HIGHER is better), and
+    // uncertainty (the data's own irreducible o(1−o)); a model can
+    // have a flattering calibration CURVE while resolution says it
+    // never leaves the base rate — the decomposition exposes that.
+    // Forecast per bin = the midpoint (2·bin+1)/40 of q191's 5% bins
+    // (an exact rational both engines evaluate identically). Each
+    // reliability/resolution term is nano-scaled to an exact long at
+    // the bin level (order-free sums over the ≤21-row bin table);
+    // the three emitted components assemble by a fixed double tree.
+    // One corpus scan; everything after is bin-table algebra.
+    QueryDef("q212_brier_decomposition", Some("""
+      WITH raw AS (SELECT doc_id, lang,
+                     list_filter(regexp_split_to_array(lower(text), '\W+'),
+                                 t -> t <> '') AS tokens
+                   FROM documents),
+      s AS (SELECT lang,
+              len(list_filter(tokens,
+                  t -> t IN ('the','a','of','to','and','in','is','it')))
+                / len(tokens) AS score
+            FROM raw WHERE len(tokens) > 0),
+      b AS (SELECT CAST(FLOOR(score * 20) AS BIGINT) AS bin,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS k
+            FROM s GROUP BY 1),
+      tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn,
+                     CAST(SUM(k) AS BIGINT) AS kk FROM b),
+      terms AS (SELECT
+          CAST(round(b.n * (CAST(2 * b.bin + 1 AS DOUBLE) / 40.0
+                            - CAST(b.k AS DOUBLE) / b.n)
+                         * (CAST(2 * b.bin + 1 AS DOUBLE) / 40.0
+                            - CAST(b.k AS DOUBLE) / b.n)
+                     * 1000000000.0) AS BIGINT) AS rel_nanos,
+          CAST(round(b.n * (CAST(b.k AS DOUBLE) / b.n
+                            - CAST(t.kk AS DOUBLE) / t.nn)
+                         * (CAST(b.k AS DOUBLE) / b.n
+                            - CAST(t.kk AS DOUBLE) / t.nn)
+                     * 1000000000.0) AS BIGINT) AS res_nanos
+        FROM b CROSS JOIN tot t),
+      agg AS (SELECT CAST(SUM(rel_nanos) AS BIGINT) AS sr,
+                     CAST(SUM(res_nanos) AS BIGINT) AS ss FROM terms)
+      SELECT t.nn AS n_total, CAST(t.kk AS DOUBLE) / t.nn AS base_rate,
+             CAST(a.sr AS DOUBLE) / 1000000000.0 / t.nn AS reliability,
+             CAST(a.ss AS DOUBLE) / 1000000000.0 / t.nn AS resolution,
+             (CAST(t.kk AS DOUBLE) / t.nn)
+               * (1.0 - CAST(t.kk AS DOUBLE) / t.nn) AS uncertainty,
+             CAST(a.sr AS DOUBLE) / 1000000000.0 / t.nn
+               - CAST(a.ss AS DOUBLE) / 1000000000.0 / t.nn
+               + (CAST(t.kk AS DOUBLE) / t.nn)
+                 * (1.0 - CAST(t.kk AS DOUBLE) / t.nn) AS brier
+      FROM tot t CROSS JOIN agg a"""),
+      (s, dir) => {
+        val b = docs(s, dir)
+          .select(col("lang"), Tokenize.tokens(col("text")).as("tokens"))
+          .where(size(col("tokens")) > 0)
+          .select(col("lang"), TextStats.englishRatio(col("tokens")).as("score"))
+          .groupBy(floor(col("score") * 20).cast("long").as("bin"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("lang") === "en", 1L).otherwise(0L)).as("k"))
+          .localCheckpoint() // totals AND per-bin terms read it
+        val tot = b.agg(sum("n").as("nn"), sum("k").as("kk"))
+        val fDiff = (lit(2) * col("bin") + 1).cast("double") / lit(40.0) -
+          col("k").cast("double") / col("n")
+        val oDiff = col("k").cast("double") / col("n") -
+          col("kk").cast("double") / col("nn")
+        val agg = b.crossJoin(broadcast(tot)).select(
+            round(col("n") * fDiff * fDiff * lit(1000000000.0)).cast("long")
+              .as("rel_nanos"),
+            round(col("n") * oDiff * oDiff * lit(1000000000.0)).cast("long")
+              .as("res_nanos"))
+          .agg(sum("rel_nanos").as("sr"), sum("res_nanos").as("ss"))
+        val base = col("kk").cast("double") / col("nn")
+        val rel = col("sr").cast("double") / lit(1000000000.0) / col("nn")
+        val res = col("ss").cast("double") / lit(1000000000.0) / col("nn")
+        tot.crossJoin(broadcast(agg))
+          .select(col("nn").as("n_total"), base.as("base_rate"),
+            rel.as("reliability"), res.as("resolution"),
+            (base * (lit(1.0) - base)).as("uncertainty"),
+            (rel - res + base * (lit(1.0) - base)).as("brier"))
       })
   )
 

@@ -726,6 +726,46 @@ class PlanQualitySpec extends SparkTestBase {
       "pico-scaled moment sums must partial-aggregate before the exchange")
   }
 
+  test("q210 feature assembly: every window rides the ONE user-keyed exchange") {
+    val plan = collectAll(executed(q("q210_feature_assembly")))
+    val windows = plan.filter(_.nodeName == "Window")
+    assert(windows.nonEmpty)
+    assert(windows.forall(_.toString.contains("user_id#")),
+      "all three features must partition by user_id — one shuffle, not one per feature")
+    // lag + running-min fuse into one Window node; the range-frame spend
+    // sum is the second — both fed by the SAME user-keyed sort/exchange
+    // (verified by the node count: a per-feature shuffle would force
+    // extra Window nodes over separate exchanges)
+    assert(windows.size == 2,
+      s"expected the fused lag/min window + the range-frame spend window, got ${windows.size}")
+    // node toString prints the whole subtree — test the node's OWN
+    // partitioning, and dedupe by identity (AQE can visit an exchange
+    // through both the stage wrapper and a reuse link)
+    assert(plan.collect {
+      case s: ShuffleExchangeExec
+        if s.outputPartitioning.toString.contains("user_id") => s.id
+    }.distinct.size <= 1,
+      "the feature windows must share a single user-keyed exchange")
+  }
+
+  test("q211 centroid classifier: broadcast centroids, mergeable argmin, no window") {
+    val plan = collectAll(executed(q("q211_centroid_classifier")))
+    assert(!plan.exists(_.nodeName == "Window"),
+      "the per-vector argmin must be a mergeable min-struct, never a window")
+    assert(!plan.exists { case _: CartesianProductExec => true; case _ => false },
+      "the labels×d centroid table joins as a broadcast")
+    val aggs = plan.filter(_.nodeName.contains("HashAggregate")).map(_.toString)
+    assert(aggs.exists(_.contains("partial_sum")),
+      "centroid moment sums must partial-aggregate before the exchange")
+  }
+
+  test("q213 PSI: counter-table algebra only — no windows, no cartesians") {
+    val plan = collectAll(executed(q("q213_psi")))
+    assert(!plan.exists(_.nodeName == "Window"))
+    assert(!plan.exists { case _: CartesianProductExec => true; case _ => false },
+      "the totals row joins as a broadcast")
+  }
+
   test("q193 KS drift: count aggs partial-aggregate; sweep windows partition by group") {
     val plan = collectAll(executed(q("q193_ks_drift")))
     val windows = plan.filter(_.nodeName == "Window")

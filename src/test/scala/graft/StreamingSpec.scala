@@ -558,6 +558,46 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("PSI read off live histogram counters equals the batch computation") {
+    implicit val ctx = spark.sqlContext
+    import graft.functions.BucketHistogram
+    val width = 10L
+    // reference: the training-time histogram (a static batch artifact);
+    // current: LIVE counters over a drifted stream
+    val refRows = (0L to 40L) ++ (0L to 40L)
+    val curRows = (20L to 80L)
+    val input = MemoryStream[(String, Long)]
+    val q = EventStreams.liveHistogramCounters(
+        input.toDF().toDF("g", "cents"), col("cents"), Seq("g"), width)
+      .writeStream.format("memory").queryName("psi_counters")
+      .outputMode(OutputMode.Complete())
+      .start()
+    try {
+      input.addData(curRows.map(("x", _)): _*); q.processAllAvailable()
+      val ref = BucketHistogram.sketch(refRows.toDF("cents"),
+        col("cents"), Seq.empty, width).select(col("bucket"), col("n").as("n_ref"))
+      def joined(cur: org.apache.spark.sql.DataFrame) = ref
+        .join(cur.select(col("bucket"), col("n").as("n_cur")),
+          Seq("bucket"), "full_outer")
+        .na.fill(0L, Seq("n_ref", "n_cur"))
+      val live = graft.operators.Psi.fromCounters(
+          joined(spark.table("psi_counters").localCheckpoint().drop("g")),
+          "bucket", "n_ref", "n_cur")
+        .orderBy("bucket").collect().map(_.toSeq).toSeq
+      val batch = graft.operators.Psi.fromCounters(
+          joined(BucketHistogram.sketch(curRows.toDF("cents"),
+            col("cents"), Seq.empty, width)),
+          "bucket", "n_ref", "n_cur")
+        .orderBy("bucket").collect().map(_.toSeq).toSeq
+      assert(live === batch,
+        "PSI off live counters must equal the batch computation row for row")
+      // the planted drift is gross — the gate number must say ACT
+      assert(live.head.last.asInstanceOf[Long] > 0 ||
+        live.head(4).asInstanceOf[Double] > 0.25,
+        "a 4-decile shift must clear the 0.25 action gate")
+    } finally q.stop()
+  }
+
   test("stateless KMV audience routing matches the batch router, no state store") {
     implicit val ctx = spark.sqlContext
     import graft.functions.Kmv
