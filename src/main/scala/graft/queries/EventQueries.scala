@@ -1449,6 +1449,82 @@ object EventQueries {
             sum(when(col("d") >= col("mid"), 1L).otherwise(0L)).as("n_cur"))
         graft.operators.Psi.fromCounters(c, "b", "n_ref", "n_cur")
           .orderBy("bucket")
+      }),
+
+    // ---- q214: session quality metrics — the product-analytics
+    // readout on top of q37's gap sessions: per depth bucket (events
+    // per session, 10+ collapsed) the session count and share, how
+    // many sessions converted, their revenue, and mean duration — the
+    // table behind "bounce rate" (the depth-1 row's share) and "do
+    // longer sessions convert more". Session ids are the cumulative
+    // new-session flag over the SAME user-keyed window pass as q37
+    // (one exchange), per-session rollup is one hash agg, and every
+    // emitted number is exact integer arithmetic with two final
+    // bigint divisions (mean duration, share).
+    QueryDef("q214_session_metrics", Some(s"""
+      WITH x AS (SELECT user_id, event_id, event_type, $valCents AS cents,
+                        epoch_us(ts) AS tu FROM events),
+      f AS (SELECT *, CASE WHEN tu - lag(tu) OVER (PARTITION BY user_id
+                             ORDER BY tu, event_id) > 1800000000
+                           THEN 1 ELSE 0 END AS newf
+            FROM x),
+      g AS (SELECT *, CAST(SUM(newf) OVER (PARTITION BY user_id
+                        ORDER BY tu, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS sid
+            FROM f),
+      sess AS (SELECT user_id, sid, CAST(COUNT(*) AS BIGINT) AS depth,
+                      CAST(MAX(tu) - MIN(tu) AS BIGINT) AS dur_us,
+                      CAST(SUM(CASE WHEN event_type = 'purchase'
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_pur,
+                      CAST(SUM(CASE WHEN event_type = 'purchase'
+                               THEN cents ELSE 0 END) AS BIGINT) AS rev
+               FROM g GROUP BY user_id, sid),
+      tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM sess)
+      SELECT LEAST(s.depth, 10) AS depth_bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_sessions,
+             CAST(SUM(CASE WHEN s.n_pur > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_purchase_sessions,
+             CAST(SUM(s.rev) AS BIGINT) / 100.0 AS revenue,
+             CAST(SUM(s.dur_us) AS BIGINT) / CAST(COUNT(*) AS BIGINT)
+               AS mean_duration_us,
+             CAST(COUNT(*) AS BIGINT) / t.n_total AS session_share
+      FROM sess s CROSS JOIN tot t GROUP BY 1, t.n_total
+      ORDER BY depth_bucket"""),
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        val g = Tables.events(s, dir)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            QueryDef.cents(col("value")).as("cents"), col("ts_us"))
+          .withColumn("newf",
+            when(col("ts_us") - lag("ts_us", 1).over(w) > 1800000000L, 1)
+              .otherwise(0))
+          .withColumn("sid",
+            sum("newf").over(w.rowsBetween(Window.unboundedPreceding,
+              Window.currentRow)).cast("long"))
+        val sess = g.groupBy("user_id", "sid")
+          .agg(count(lit(1)).as("depth"),
+            (max("ts_us") - min("ts_us")).as("dur_us"),
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+              .as("n_pur"),
+            sum(when(col("event_type") === "purchase", col("cents"))
+              .otherwise(0L)).as("rev"))
+          .localCheckpoint() // the total AND the depth rollup read it
+        val tot = sess.agg(count(lit(1)).as("n_total"))
+        sess.crossJoin(broadcast(tot))
+          .groupBy(least(col("depth"), lit(10L)).as("depth_bucket"),
+            col("n_total"))
+          .agg(count(lit(1)).as("n_sessions"),
+            sum(when(col("n_pur") > 0, 1L).otherwise(0L))
+              .as("n_purchase_sessions"),
+            (sum("rev") / 100.0).as("revenue"),
+            sum("dur_us").as("sum_dur"))
+          .select(col("depth_bucket"), col("n_sessions"),
+            col("n_purchase_sessions"), col("revenue"),
+            (col("sum_dur") / col("n_sessions")).as("mean_duration_us"),
+            (col("n_sessions") / col("n_total")).as("session_share"))
+          .orderBy("depth_bucket")
       })
   )
 }

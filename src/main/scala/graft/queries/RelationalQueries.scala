@@ -1489,6 +1489,55 @@ object RelationalQueries {
           .select(col("item_a").as("a"), col("item_b").as("b"))
         graft.graph.LinkPredict.evalReport(edges, "a", "b",
           salt = "lp", mod = 4, maxDegree = 16)
+      }),
+
+    // ---- q215: join-key skew preflight — the report an operator runs
+    // BEFORE shipping a 100 TB join: per candidate join key of
+    // lineitem, how many rows, how many distinct keys, the hottest
+    // key's row count and share, and the key distribution's Shannon
+    // entropy — top_share tells you whether one reducer eats the
+    // shuffle (the q-salting decision input), entropy summarizes the
+    // whole tail in one number. Each column is ONE partial-aggregating
+    // hash agg onto its key-domain-bounded counter table; entropy
+    // terms nano-scale to exact longs per key (order-free sums, the
+    // q166 discipline); top_share is one exact bigint division.
+    QueryDef("q215_skew_report", Some(s"""
+      WITH ${Seq("l_orderkey", "l_partkey", "l_suppkey").map(c => s"""
+      c_$c AS (SELECT COUNT(*) AS cnt FROM lineitem GROUP BY $c),
+      t_$c AS (SELECT CAST(SUM(cnt) AS BIGINT) AS nn FROM c_$c),
+      s_$c AS (SELECT '$c' AS key_col, t.nn AS n_rows,
+                      CAST(COUNT(*) AS BIGINT) AS n_keys,
+                      CAST(MAX(cnt) AS BIGINT) AS max_cnt,
+                      CAST(MAX(cnt) AS BIGINT) / t.nn AS top_share,
+                      CAST(SUM(CAST(round(-(CAST(cnt AS DOUBLE) / t.nn)
+                           * ln(CAST(cnt AS DOUBLE) / t.nn)
+                           * 1000000000.0) AS BIGINT)) AS BIGINT) AS entropy_nanos
+               FROM c_$c CROSS JOIN t_$c t GROUP BY t.nn)""").mkString(",")}
+      SELECT * FROM s_l_orderkey UNION ALL
+      SELECT * FROM s_l_partkey UNION ALL
+      SELECT * FROM s_l_suppkey ORDER BY key_col"""),
+      (s, dir) => {
+        val li = Tables.read(s, dir, "lineitem")
+        def stats(c: String): org.apache.spark.sql.DataFrame = {
+          val ct = li.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
+            .localCheckpoint() // the total AND the stats rollup read it
+          val tot = ct.agg(sum("cnt").as("nn"))
+          val p = col("cnt").cast("double") / col("nn")
+          ct.crossJoin(broadcast(tot))
+            .groupBy(col("nn"))
+            .agg(count(lit(1)).as("n_keys"), max("cnt").as("max_cnt"),
+              sum(round(-p * log(p) * lit(1000000000.0)).cast("long"))
+                .as("entropy_nanos"))
+            .select(lit(c).as("key_col"), col("nn").as("n_rows"),
+              col("n_keys"), col("max_cnt"),
+              (col("max_cnt") / col("nn")).as("top_share"),
+              col("entropy_nanos"))
+        }
+        stats("l_orderkey").unionByName(stats("l_partkey"))
+          .unionByName(stats("l_suppkey"))
+          .select("key_col", "n_rows", "n_keys", "max_cnt", "top_share",
+            "entropy_nanos")
+          .orderBy("key_col")
       })
   )
 }

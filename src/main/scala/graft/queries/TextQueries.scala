@@ -4066,6 +4066,56 @@ object TextQueries {
             rel.as("reliability"), res.as("resolution"),
             (base * (lit(1.0) - base)).as("uncertainty"),
             (rel - res + base * (lit(1.0) - base)).as("brier"))
+      }),
+
+    // ---- q216: vocabulary coverage curve — "how big a vocab do we
+    // actually need": for k ∈ {1, 10, 100, 1000, 10000}, the share of
+    // all token INSTANCES covered by the k most frequent types (the
+    // Zipf readout behind vocab-size / OOV-budget decisions, and the
+    // cheap sanity check before paying for a BPE dial). One corpus
+    // scan onto the vocabulary counter; the rank and running-coverage
+    // windows are global but run over the VOCABULARY-sized table (the
+    // q141 bounded-domain justification), ties broken by token so the
+    // curve is deterministic; every coverage number is an exact bigint
+    // division.
+    QueryDef("q216_vocab_coverage", Some(s"""${toksCte()},
+      inst AS (SELECT unnest(tokens) AS token FROM toks),
+      vc AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM inst GROUP BY 1),
+      tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS nn,
+                     CAST(COUNT(*) AS BIGINT) AS n_vocab FROM vc),
+      r AS (SELECT token, cnt,
+                   ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS rk FROM vc),
+      cum AS (SELECT rk, CAST(SUM(cnt) OVER (ORDER BY rk
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ccnt
+              FROM r),
+      ks AS (SELECT CAST(UNNEST([1, 10, 100, 1000, 10000]) AS BIGINT) AS k)
+      SELECT ks.k, t.n_vocab, t.nn AS n_instances,
+             CAST(MAX(CASE WHEN cum.rk <= ks.k THEN cum.ccnt ELSE 0 END)
+                  AS BIGINT) AS covered,
+             CAST(MAX(CASE WHEN cum.rk <= ks.k THEN cum.ccnt ELSE 0 END)
+                  AS BIGINT) / t.nn AS coverage
+      FROM ks CROSS JOIN cum CROSS JOIN tot t
+      GROUP BY ks.k, t.n_vocab, t.nn ORDER BY k"""),
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val vc = tokenized(s, dir).select(explode(col("tokens")).as("token"))
+          .groupBy("token").agg(count(lit(1)).as("cnt"))
+          .localCheckpoint() // totals AND the rank window read it
+        val tot = vc.agg(sum("cnt").as("nn"), count(lit(1)).as("n_vocab"))
+        val cum = vc
+          .withColumn("rk", row_number().over(
+            Window.orderBy(col("cnt").desc, col("token"))))
+          .withColumn("ccnt", sum("cnt").over(Window.orderBy("rk")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val ks = s.range(1)
+          .select(explode(expr("array(1L, 10L, 100L, 1000L, 10000L)")).as("k"))
+        ks.crossJoin(cum).crossJoin(broadcast(tot))
+          .groupBy("k", "n_vocab", "nn")
+          .agg(max(when(col("rk") <= col("k"), col("ccnt")).otherwise(0L))
+            .as("covered"))
+          .select(col("k"), col("n_vocab"), col("nn").as("n_instances"),
+            col("covered"), (col("covered") / col("nn")).as("coverage"))
+          .orderBy("k")
       })
   )
 

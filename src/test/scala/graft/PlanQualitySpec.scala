@@ -766,6 +766,36 @@ class PlanQualitySpec extends SparkTestBase {
       "the totals row joins as a broadcast")
   }
 
+  test("q214 session metrics: session windows ride one user-keyed pass") {
+    // the session build (gap flag + session id windows) runs under the
+    // localCheckpoint; any window VISIBLE here would be a regression,
+    // and the depth rollup must stay cartesian-free
+    val plan = collectAll(executed(q("q214_session_metrics")))
+    val windows = plan.filter(_.nodeName == "Window")
+    assert(windows.forall(_.toString.contains("user_id#")),
+      "any session window must partition by user_id")
+    assert(!plan.exists { case _: CartesianProductExec => true; case _ => false },
+      "the session-total row joins as a broadcast")
+  }
+
+  test("q215 skew report: per-key counters partial-aggregate, no cartesian") {
+    val plan = collectAll(executed(q("q215_skew_report")))
+    assert(!plan.exists(_.nodeName == "Window"))
+    assert(!plan.exists { case _: CartesianProductExec => true; case _ => false },
+      "each column's 1-row total joins as a broadcast")
+  }
+
+  test("q216 vocab coverage: global windows confined to the vocabulary table") {
+    val plan = collectAll(executed(q("q216_vocab_coverage")))
+    // the rank + running-coverage windows are global by design — the
+    // justification is they run over the VOCAB-sized counter (which the
+    // localCheckpoint has already collapsed); nothing else may window
+    val windows = plan.filter(_.nodeName == "Window")
+    assert(windows.size <= 2,
+      s"rank + running coverage only, got ${windows.size} windows")
+    assert(!plan.exists { case _: CartesianProductExec => true; case _ => false })
+  }
+
   test("q193 KS drift: count aggs partial-aggregate; sweep windows partition by group") {
     val plan = collectAll(executed(q("q193_ks_drift")))
     val windows = plan.filter(_.nodeName == "Window")
