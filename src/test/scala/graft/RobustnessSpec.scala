@@ -294,4 +294,37 @@ class RobustnessSpec extends SparkTestBase {
       const.where(col("vid") < 0), "vid", "vec", codes, cb, m = 2, k = 3)
     assert(noProbes.count() === 0L)
   }
+
+  test("RobustStats on empty and single-row counters: defined, never a div error") {
+    val empty = Seq.empty[(String, Double, Long)].toDF("g", "v", "cnt")
+    assert(graft.operators.RobustStats.madOutliers(empty, Seq("g"), "v", "cnt")
+      .count() === 0L)
+    val one = Seq(("a", 7.0, 1L)).toDF("g", "v", "cnt")
+    val r = graft.operators.RobustStats.madOutliers(one, Seq("g"), "v", "cnt")
+      .collect().head
+    assert(r.getDouble(2) === 7.0 && r.getDouble(3) === 0.0 && r.getLong(4) === 0L)
+  }
+
+  test("LinkPredict on an empty or test-free edge set: empty/NULL report, no crash") {
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    val rep = graft.graph.LinkPredict.evalReport(empty, "a", "b").collect()
+    assert(rep.length === 1)
+    assert(rep.head.getLong(0) === 0L, "n_test must be 0")
+    assert(rep.head.isNullAt(5), "cn_recall must be NULL when nothing is held out")
+  }
+
+  test("Pca on an empty relation: empty eigen output, not a crash") {
+    val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    val cov = graft.ann.Pca.covariance(empty, "embedding", d = 4)
+    assert(cov.count() === 0L)
+    assert(graft.ann.Pca.leadingEigen(spark, cov, d = 4, iters = 2).count() === 0L)
+  }
+
+  test("Psi with an empty side: all terms one-sided, psi 0, full mass reported") {
+    val rows = graft.operators.Psi.fromCounters(
+      Seq((0L, 5L, 0L), (1L, 3L, 0L)).toDF("b", "r", "c"), "b", "r", "c")
+      .collect()
+    assert(rows.forall(_.isNullAt(3)), "no bin has two-sided support")
+    assert(rows.forall(r => r.getDouble(4) === 0.0 && r.getLong(5) === 8L))
+  }
 }
