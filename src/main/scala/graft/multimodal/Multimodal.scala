@@ -710,6 +710,78 @@ object Multimodal {
     (w2, h2, sum.toDouble / (w2.toLong * h2 * 3))
   }
 
+  /** Pixel raster for the image NEAR-DUP corpus: variants v ∈ [0, 16)
+    * of a shared group raster g differ only where `k % 16 == v` gets a
+    * +64 luma bump before the mod — a handful of scattered pixels, so
+    * same-group variants sit a few dHash bits apart while distinct
+    * groups land ~half the hash away (the planted-near-dup geometry
+    * the q44 SimHash corpus uses, here in PIXEL space). Closed form,
+    * so an engine without the codec recomputes it exactly.
+    */
+  def variantPixels(g: Long, v: Int, w: Int, h: Int): Array[Int] =
+    Array.tabulate(w * h) { k =>
+      val bump = if (k % 16 == v) 64L else 0L
+      val r = ((g * 7 + k * 13 + bump) % 256).toInt
+      val gg = ((g * 11 + k * 17 + bump) % 256).toInt
+      val b = ((g * 13 + k * 19 + bump) % 256).toInt
+      (r << 16) | (gg << 8) | b
+    }
+
+  /** REAL PNG payload of [[variantPixels]] (JDK codec, lossless). */
+  def variantPngPayload(g: Long, v: Int, w: Int, h: Int): Array[Byte] =
+    imageIoBytes("png", w, h, variantPixels(g, v, w, h))
+
+  /** 56-bit difference hash over the DECODED raster: for each of the 8
+    * rows, 7 adjacent-pixel luma comparisons — bit y·7+x set iff
+    * lum(x+1, y) > lum(x, y), luma = r+g+b (an exact small-int sum, no
+    * grayscale rounding to disagree about). 56 bits keeps every shift
+    * inside a signed long; the classic 8×8-resize step is dropped
+    * because the corpus is generated at hash resolution already — a
+    * production variant would front-load [[resizeHalfDecoder]]'s
+    * nearest-neighbor sampling. PNG being lossless, the hash of the
+    * decoded bytes equals the closed-form hash of the generator —
+    * which is exactly what the oracle gate checks.
+    */
+  def dhash56(bytes: Array[Byte]): Long = {
+    System.setProperty("java.awt.headless", "true")
+    javax.imageio.ImageIO.setUseCache(false)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(img != null, "not a decodable image payload")
+    require(img.getWidth >= 8 && img.getHeight >= 8,
+      s"dhash56 needs an 8x8+ raster, got ${img.getWidth}x${img.getHeight}")
+    def lum(x: Int, y: Int): Int = {
+      val p = img.getRGB(x, y)
+      ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+    }
+    var hash = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 7) {
+        if (lum(x + 1, y) > lum(x, y)) hash |= 1L << (y * 7 + x)
+        x += 1
+      }
+      y += 1
+    }
+    hash
+  }
+
+  /** Partition-wise dHash decode: (id, dhash LONG) — the codec path is
+    * the one legitimate mapPartitions home (decoder context per
+    * partition, one row per image).
+    */
+  def decodeDHashes(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val decode: Array[Byte] => Long = dhash56
+        rows.map { case (id, bytes) => (id, decode(bytes)) }
+      }
+      .toDF("id", "dhash")
+  }
+
   /** Batched partition-wise decode: the Scala analogue of `mapInPandas`.
     * The decoder runs once per row but is instantiated once per
     * PARTITION (closure setup outside the iterator) — where a real codec

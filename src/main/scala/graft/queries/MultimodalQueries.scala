@@ -536,6 +536,80 @@ object MultimodalQueries {
           .select(col("id").as("doc_id"), col("n_bytes"), col("width"),
             col("height"), col("n_frames"), col("mean_luma"))
           .orderBy("doc_id")
+      }),
+
+    // ---- q217: IMAGE near-dup detection — perceptual dedup for the
+    // visual modality: every doc gets a REAL PNG (JDK codec) from a
+    // planted-variant raster (4 variants per group, a few bumped
+    // pixels apart), the 56-bit difference hash is computed from the
+    // DECODED pixels (adjacent-luma comparisons — the classic dHash,
+    // robust to brightness shifts that break exact byte hashes), and
+    // near-dups surface through the SAME banded-LSH shape as text
+    // SimHash (q44): 4 bands × 14 bits, bucket-skew cap, then exact
+    // bit_count(xor) ≤ 6 verification on candidates only. PNG being
+    // lossless, the decoded-pixel hash equals the generator's closed
+    // form — which is exactly what the oracle recomputes, so a codec
+    // or bit-packing bug desynchronizes loudly. Scale shape: hashes
+    // are 8 bytes/image, the join touches banded buckets only, and
+    // the decode is one partition-wise pass over payload bytes.
+    QueryDef("q217_image_dhash", Some("""
+      WITH ids AS (SELECT doc_id FROM documents),
+      px AS (SELECT doc_id, CAST(r.range AS INTEGER) AS k,
+               CAST((((doc_id // 4) * 7 + r.range * 13
+                      + CASE WHEN r.range % 16 = doc_id % 4 THEN 64 ELSE 0 END) % 256)
+                  + (((doc_id // 4) * 11 + r.range * 17
+                      + CASE WHEN r.range % 16 = doc_id % 4 THEN 64 ELSE 0 END) % 256)
+                  + (((doc_id // 4) * 13 + r.range * 19
+                      + CASE WHEN r.range % 16 = doc_id % 4 THEN 64 ELSE 0 END) % 256)
+                 AS INTEGER) AS lum
+             FROM ids, range(0, 64) r),
+      bits AS (SELECT a.doc_id, ((a.k // 8) * 7 + (a.k % 8)) AS i
+               FROM px a JOIN px b ON b.doc_id = a.doc_id AND b.k = a.k + 1
+               WHERE a.k % 8 < 7 AND b.lum > a.lum),
+      hash AS (SELECT ids.doc_id,
+                      CAST(COALESCE(SUM(1::BIGINT << i), 0) AS BIGINT) AS dh
+               FROM ids LEFT JOIN bits ON bits.doc_id = ids.doc_id
+               GROUP BY ids.doc_id),
+      band AS (SELECT doc_id, dh, t.range AS b,
+                      (dh >> CAST(t.range * 14 AS INTEGER)) & 16383 AS chunk
+               FROM hash, range(0, 4) t),
+      kept AS (SELECT doc_id, dh, b, chunk FROM
+                 (SELECT *, COUNT(*) OVER (PARTITION BY b, chunk) AS bsz FROM band)
+               WHERE bsz <= 50),
+      cand AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b,
+                      a.dh AS ha, b2.dh AS hb
+               FROM kept a JOIN kept b2
+                 ON a.b = b2.b AND a.chunk = b2.chunk AND a.doc_id < b2.doc_id)
+      SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming,
+             (id_a // 4) = (id_b // 4) AS same_group
+      FROM cand WHERE bit_count(xor(ha, hb)) <= 6
+      ORDER BY id_a, id_b"""),
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val pay = Tables.read(s, dir, "documents").select("doc_id").as[Long]
+          .mapPartitions(_.map(id =>
+            (id, Multimodal.variantPngPayload(id / 4, (id % 4).toInt, 8, 8))))
+          .toDF("doc_id", "payload")
+        val h = Multimodal.decodeDHashes(pay, "doc_id", "payload")
+          .localCheckpoint() // both banded self-join sides read it
+        val kept = h
+          .select(col("id"), col("dhash"), explode(expr("sequence(0, 3)")).as("b"))
+          .withColumn("chunk", expr("shiftright(dhash, b * 14) & 16383"))
+          .withColumn("bsz", count(lit(1)).over(Window.partitionBy("b", "chunk")))
+          .where(col("bsz") <= 50)
+        val cand = kept.as("a")
+          .join(kept.as("b2"),
+            col("a.b") === col("b2.b") && col("a.chunk") === col("b2.chunk") &&
+              col("a.id") < col("b2.id"))
+          .select(col("a.id").as("id_a"), col("b2.id").as("id_b"),
+            col("a.dhash").as("ha"), col("b2.dhash").as("hb"))
+          .distinct()
+        cand.withColumn("hamming", expr("cast(bit_count(ha ^ hb) as int)"))
+          .where(col("hamming") <= 6)
+          .select(col("id_a"), col("id_b"), col("hamming"),
+            (expr("id_a div 4") === expr("id_b div 4")).as("same_group"))
+          .orderBy("id_a", "id_b")
       })
   )
 }

@@ -393,4 +393,34 @@ class MultimodalSpec extends SparkTestBase {
     // the generator itself refuses odd dims (C420 is what it writes)
     intercept[IllegalArgumentException] { Multimodal.y4mPayload(1L, 3, 4, 1) }
   }
+
+  test("dhash56 of the decoded PNG equals the closed-form hash of the generator") {
+    import graft.multimodal.Multimodal
+    def closedForm(g: Long, v: Int): Long = {
+      def lum(k: Int): Int = {
+        val bump = if (k % 16 == v) 64L else 0L
+        (((g * 7 + k * 13 + bump) % 256) + ((g * 11 + k * 17 + bump) % 256) +
+          ((g * 13 + k * 19 + bump) % 256)).toInt
+      }
+      var h = 0L
+      for (y <- 0 until 8; x <- 0 until 7)
+        if (lum(y * 8 + x + 1) > lum(y * 8 + x)) h |= 1L << (y * 7 + x)
+      h
+    }
+    for (g <- Seq(0L, 3L, 117L); v <- Seq(0, 2)) {
+      val viaCodec = Multimodal.dhash56(Multimodal.variantPngPayload(g, v, 8, 8))
+      assert(viaCodec === closedForm(g, v), s"(g=$g, v=$v)")
+    }
+    // same-group variants sit close; different groups sit far
+    def hm(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hm(closedForm(5L, 0), closedForm(5L, 1)) <= 10)
+    assert(hm(closedForm(5L, 0), closedForm(100L, 0)) >= 8)
+  }
+
+  test("dhash56 refuses rasters smaller than the hash grid") {
+    import graft.multimodal.Multimodal
+    intercept[IllegalArgumentException] {
+      Multimodal.dhash56(Multimodal.variantPngPayload(1L, 0, 4, 4))
+    }
+  }
 }
