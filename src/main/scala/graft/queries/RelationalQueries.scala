@@ -1538,6 +1538,58 @@ object RelationalQueries {
           .select("key_col", "n_rows", "n_keys", "max_cnt", "top_share",
             "entropy_nanos")
           .orderBy("key_col")
+      }),
+
+    // ---- q218: join-strategy advisor — q215's statistics composed
+    // into the actual decision an operator (or an optimizer hook)
+    // makes per fact⋈dim join: broadcast when the build side is small
+    // (dial: ≤ 10,000 rows — the autoBroadcastJoinThreshold stand-in),
+    // else SALT when the hottest fact key holds more than 1/32 of the
+    // rows (one reducer eats the shuffle at 32-way parallelism —
+    // tested as the integer cross-product max_cnt·32 > fact_rows, no
+    // float boundary), else plain shuffle. The inputs are one
+    // partial-aggregating counter pass per key plus a dim count;
+    // recommendations move across scale factors as the dims grow
+    // through the broadcast dial — which is the point: the advisor is
+    // a function of measured stats, not of table names.
+    QueryDef("q218_join_advisor", Some(s"""
+      WITH ${Seq(("orders", "o_orderkey", "l_orderkey"),
+                 ("part", "p_partkey", "l_partkey"),
+                 ("supplier", "s_suppkey", "l_suppkey")).map { case (d, _, fk) => s"""
+      ct_$d AS (SELECT COUNT(*) AS cnt FROM lineitem GROUP BY $fk),
+      st_$d AS (SELECT CAST(SUM(cnt) AS BIGINT) AS fact_rows,
+                       CAST(COUNT(*) AS BIGINT) AS n_keys,
+                       CAST(MAX(cnt) AS BIGINT) AS max_cnt FROM ct_$d),
+      dim_$d AS (SELECT CAST(COUNT(*) AS BIGINT) AS dim_rows FROM $d),
+      row_$d AS (SELECT 'lineitem_$d' AS join_name, s.fact_rows, d.dim_rows,
+                        s.n_keys, s.max_cnt,
+                        s.max_cnt / s.fact_rows AS top_share,
+                        CASE WHEN d.dim_rows <= 10000 THEN 'broadcast'
+                             WHEN s.max_cnt * 32 > s.fact_rows THEN 'salt'
+                             ELSE 'shuffle' END AS recommendation
+                 FROM st_$d s CROSS JOIN dim_$d d)""" }.mkString(",")}
+      SELECT * FROM row_orders UNION ALL
+      SELECT * FROM row_part UNION ALL
+      SELECT * FROM row_supplier ORDER BY join_name"""),
+      (s, dir) => {
+        val li = Tables.read(s, dir, "lineitem")
+        def advise(dim: String, fk: String): org.apache.spark.sql.DataFrame = {
+          val st = li.groupBy(col(fk)).agg(count(lit(1)).as("cnt"))
+            .agg(sum("cnt").as("fact_rows"), count(lit(1)).as("n_keys"),
+              max("cnt").as("max_cnt"))
+          val dr = Tables.read(s, dir, dim).agg(count(lit(1)).as("dim_rows"))
+          st.crossJoin(broadcast(dr))
+            .select(lit(s"lineitem_$dim").as("join_name"),
+              col("fact_rows"), col("dim_rows"), col("n_keys"), col("max_cnt"),
+              (col("max_cnt") / col("fact_rows")).as("top_share"),
+              when(col("dim_rows") <= 10000, "broadcast")
+                .when(col("max_cnt") * 32 > col("fact_rows"), "salt")
+                .otherwise("shuffle").as("recommendation"))
+        }
+        advise("orders", "l_orderkey")
+          .unionByName(advise("part", "l_partkey"))
+          .unionByName(advise("supplier", "l_suppkey"))
+          .orderBy("join_name")
       })
   )
 }
