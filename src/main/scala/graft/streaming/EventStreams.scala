@@ -16,6 +16,24 @@ final case class UserEvent(ts: java.sql.Timestamp, user_id: Long,
 /** Per-user running aggregate maintained by [[EventStreams.runningUserTotals]]. */
 final case class UserRunning(user_id: Long, n_events: Long, total_cents: Long)
 
+/** One (ts, id, cents) ledger entry of [[EventStreams.pointInTimeSpend]]'s
+  * bounded per-user state.
+  */
+final case class SpendEntry(ts_us: Long, event_id: Long, cents: Long)
+
+/** Per-user rolling-window ledger state (entries within the window of
+  * the newest processed event — anything older can never re-enter a
+  * future frame under the in-order contract, so it is pruned).
+  */
+final case class SpendState(entries: Seq[SpendEntry])
+
+/** Per-event serving row of [[EventStreams.pointInTimeSpend]]: the
+  * rolling-window spend feature as of 1µs before the event — the ONLINE
+  * value of batch q210's training-time feature.
+  */
+final case class FeatureRow(user_id: Long, event_id: Long, ts_us: Long,
+                            spend_7d_cents: Long)
+
 /** Per-key compacted CDC state maintained by
   * [[EventStreams.latestUserState]] — the streaming twin of batch
   * q188's changelog compaction. `deleted` records that the latest op
@@ -408,6 +426,58 @@ object EventStreams {
     * (cents · n > factor · sum_cents) — exact long arithmetic, the same
     * predicate as q84, never a float-division boundary flip.
     */
+  /** ONLINE feature serving for batch q210's rolling-spend feature:
+    * per arriving event, the user's exact spend over the trailing
+    * `windowMicros` ending 1µs before it — the train/serve-skew killer
+    * (the SERVED feature must equal what the training join computed,
+    * or the model sees a distribution it never trained on; the
+    * StreamingSpec case proves streamed rows ≡ the batch q210 window,
+    * cent for cent). State per user is the (ts, id, cents) ledger of
+    * the trailing window only — after processing an event at t, any
+    * entry older than t − window can never enter a future frame under
+    * the in-order contract, so it is pruned and state stays bounded by
+    * one window's events per ACTIVE user, not by history.
+    *
+    * Ordering contract (the [[valueAnomalies]] adjudication): within a
+    * micro-batch events fold in (event-time, event_id) order — exactly
+    * the batch window's frame order, so same-batch results are
+    * bit-identical to batch; across batches delivery must be in order
+    * per key (route late data through the batch backfill, which is the
+    * feature store's correction path anyway). Same-timestamp PEERS are
+    * excluded from each other's frames, matching the batch RANGE
+    * frame's `1 PRECEDING` bound.
+    */
+  def pointInTimeSpend(events: Dataset[UserEvent],
+                       windowMicros: Long = 604800000000L): Dataset[FeatureRow] = {
+    require(windowMicros > 0, s"window must be positive, got $windowMicros")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SpendState, FeatureRow](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[UserEvent], state: GroupState[SpendState]) =>
+          var entries = state.getOption.map(_.entries).getOrElse(Seq.empty)
+          val sorted = batch.toSeq.sortBy { e =>
+            (e.ts.toInstant.getEpochSecond * 1000000L + e.ts.getNanos / 1000L,
+              e.event_id)
+          }
+          val out = scala.collection.mutable.ArrayBuffer.empty[FeatureRow]
+          sorted.foreach { e =>
+            val tu = e.ts.toInstant.getEpochSecond * 1000000L + e.ts.getNanos / 1000L
+            val spend = entries.iterator
+              .filter(en => en.ts_us >= tu - windowMicros && en.ts_us <= tu - 1)
+              .map(_.cents).sum
+            out += FeatureRow(uid, e.event_id, tu, spend)
+            entries = (entries :+ SpendEntry(tu, e.event_id, Cents(e.value)))
+              .filter(_.ts_us >= tu - windowMicros)
+          }
+          state.update(SpendState(entries))
+          out.iterator
+      }
+  }
+
   def valueAnomalies(events: Dataset[UserEvent],
                      factor: Long = 3L): Dataset[UserEvent] = {
     val spark = events.sparkSession

@@ -598,6 +598,49 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("online rolling-spend feature equals the batch q210 window, cent for cent") {
+    implicit val ctx = spark.sqlContext
+    // 3-minute window so both inclusion and expiry happen inside the fixture
+    val win = 3L * 60000000L
+    val fixture = Seq(
+      UserEvent(ts(1), 1L, "view", 1.00, 101L),
+      UserEvent(ts(2), 1L, "click", 2.00, 102L),
+      UserEvent(ts(2), 1L, "click", 4.00, 103L), // same-ts peer: excluded from 102's frame and vice versa
+      UserEvent(ts(4), 1L, "purchase", 8.00, 104L), // ts(1) expired (4-3=1 not >= ... boundary)
+      UserEvent(ts(9), 1L, "purchase", 0.50, 105L), // everything expired
+      UserEvent(ts(2), 2L, "view", 7.00, 201L),
+      UserEvent(ts(3), 2L, "purchase", 1.25, 202L))
+    val input = MemoryStream[UserEvent]
+    val q = EventStreams.pointInTimeSpend(input.toDS(), win)
+      .writeStream.format("memory").queryName("online_spend")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      // split MID-STREAM (in order per key): state must carry batch 1's
+      // ledger into batch 2 for the result to match batch
+      val (b1, b2) = fixture.partition(_.ts.getTime <= ts(2).getTime)
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      val online = spark.table("online_spend")
+        .select("event_id", "spend_7d_cents").as[(Long, Long)].collect().toMap
+      // ground truth: the exact q210 window over the same rows
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("tu").rangeBetween(-win, -1L)
+      val batch = fixture
+        .map(e => (e.user_id, e.event_id, e.ts.getTime * 1000L,
+          math.round(e.value * 100)))
+        .toDF("user_id", "event_id", "tu", "cents")
+        .withColumn("spend", coalesce(sum("cents").over(w), lit(0L)))
+        .select("event_id", "spend").as[(Long, Long)].collect().toMap
+      assert(online === batch,
+        s"served features must equal the training join: $online vs $batch")
+      // spot-check the geometry: 104 sees 102+103 (ts(1) aged out of [t-3m, t-1µs]? no — ts(1) is exactly t-3m, inclusive)
+      assert(online(104L) === 700L, "frame [t-3m, t-1us] includes ts(1..3)")
+      assert(online(105L) === 0L, "fully aged-out ledger serves 0")
+      assert(online(103L) === 100L, "same-ts peer excluded from the frame")
+    } finally q.stop()
+  }
+
   test("stateless KMV audience routing matches the batch router, no state store") {
     implicit val ctx = spark.sqlContext
     import graft.functions.Kmv
