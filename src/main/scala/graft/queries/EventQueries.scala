@@ -1525,6 +1525,77 @@ object EventQueries {
             (col("sum_dur") / col("n_sessions")).as("mean_duration_us"),
             (col("n_sessions") / col("n_total")).as("session_share"))
           .orderBy("depth_bucket")
+      }),
+
+    // ---- q219: A/B experiment readout — the two-proportion z-test an
+    // experimentation pipeline runs on every metric: users split into
+    // arms by the portable md5 draw (q97 discipline — the SAME user
+    // lands in the SAME arm in any engine, which is the property an
+    // A/B bucketing hash must have), conversion = a high-value
+    // purchase, pooled-variance z assembled by a fixed double tree
+    // over exact integer counts, and the 1.96 gate applied to that
+    // deterministic z. Degenerate designs (empty arm, zero or total
+    // conversion — where the pooled variance is 0) are NULL, never a
+    // division error. One user-keyed hash agg + a 1-row reduction;
+    // at 100 TB the corpus is touched once.
+    QueryDef("q219_ab_test", Some(s"""
+      WITH u AS (SELECT user_id,
+               CASE WHEN CAST('0x' || substr(md5('ab:' || user_id), 1, 1) AS BIGINT) % 2 = 0
+                    THEN 'A' ELSE 'B' END AS arm,
+               MAX(CASE WHEN event_type = 'purchase' AND value > 150
+                        THEN 1 ELSE 0 END) AS conv
+             FROM events GROUP BY user_id),
+      a AS (SELECT CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                   CAST(SUM(CASE WHEN arm = 'A' THEN conv ELSE 0 END) AS BIGINT) AS c_a,
+                   CAST(SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+                   CAST(SUM(CASE WHEN arm = 'B' THEN conv ELSE 0 END) AS BIGINT) AS c_b
+            FROM u),
+      zc AS (SELECT n_a, c_a, n_b, c_b,
+                    CASE WHEN n_a = 0 OR n_b = 0 OR c_a + c_b = 0
+                              OR c_a + c_b = n_a + n_b THEN NULL
+                         ELSE (CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b)
+                              / sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                                     * (1.0 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                                     * (CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b))
+                    END AS z
+             FROM a)
+      SELECT n_a, c_a,
+             CASE WHEN n_a = 0 THEN NULL ELSE CAST(c_a AS DOUBLE) / n_a END AS rate_a,
+             n_b, c_b,
+             CASE WHEN n_b = 0 THEN NULL ELSE CAST(c_b AS DOUBLE) / n_b END AS rate_b,
+             z, CASE WHEN z IS NULL THEN NULL ELSE ABS(z) > 1.96 END AS significant
+      FROM zc"""),
+      (s, dir) => {
+        val u = Tables.events(s, dir)
+          .groupBy(col("user_id"),
+            when(expr("cast(conv(substring(md5(concat('ab:', user_id)), 1, 1), 16, 10) as bigint) % 2") === 0,
+              "A").otherwise("B").as("arm"))
+          .agg(max(when(col("event_type") === "purchase" && col("value") > 150, 1)
+            .otherwise(0)).as("conv"))
+        val a = u.agg(
+          sum(when(col("arm") === "A", 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("arm") === "A", col("conv").cast("long")).otherwise(0L)).as("c_a"),
+          sum(when(col("arm") === "B", 1L).otherwise(0L)).as("n_b"),
+          sum(when(col("arm") === "B", col("conv").cast("long")).otherwise(0L)).as("c_b"))
+        val pooled = (col("c_a") + col("c_b")).cast("double") / (col("n_a") + col("n_b"))
+        val z = when(col("n_a") === 0 || col("n_b") === 0 ||
+            col("c_a") + col("c_b") === 0 ||
+            col("c_a") + col("c_b") === col("n_a") + col("n_b"),
+          lit(null).cast("double"))
+          .otherwise(
+            (col("c_a").cast("double") / col("n_a") - col("c_b").cast("double") / col("n_b"))
+              / sqrt(pooled * (lit(1.0) - pooled)
+                * (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))))
+        a.withColumn("z", z)
+          .select(col("n_a"), col("c_a"),
+            when(col("n_a") === 0, lit(null).cast("double"))
+              .otherwise(col("c_a").cast("double") / col("n_a")).as("rate_a"),
+            col("n_b"), col("c_b"),
+            when(col("n_b") === 0, lit(null).cast("double"))
+              .otherwise(col("c_b").cast("double") / col("n_b")).as("rate_b"),
+            col("z"),
+            when(col("z").isNull, lit(null).cast("boolean"))
+              .otherwise(abs(col("z")) > 1.96).as("significant"))
       })
   )
 }
