@@ -1596,6 +1596,103 @@ object EventQueries {
             col("z"),
             when(col("z").isNull, lit(null).cast("boolean"))
               .otherwise(abs(col("z")) > 1.96).as("significant"))
+      }),
+
+    // ---- q220: Kaplan–Meier survival curve — time from first
+    // activity to first HIGH-VALUE purchase, with users who never
+    // convert RIGHT-CENSORED at their last observed day (the estimator
+    // that makes "median time to convert" honest when many users
+    // haven't converted yet — q197's naive latency only sees
+    // converters and is biased optimistic). Relational KM: per-user
+    // (t, death) from three keyed MIN/MAX aggs, the risk set n_t as a
+    // suffix sum over the DAY-domain-bounded step table (one window),
+    // each step's ln((n−d)/n) taken over an exact integer ratio and
+    // nano-scaled immediately (the q166 discipline), the curve a
+    // cumulative sum of exact longs — so cum_ln_nanos is gate-exact
+    // and `survival` is one exp + round(6) off it. A step where the
+    // whole risk set dies sends the curve exactly to 0 from there on
+    // (no ln(0) anywhere — guarded branch, not an epsilon).
+    QueryDef("q220_kaplan_meier", Some(s"""
+      WITH d AS (SELECT user_id,
+                        CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+                        CASE WHEN event_type = 'purchase' AND value > 150
+                             THEN CAST(epoch_us(ts) AS BIGINT) // 86400000000
+                             ELSE NULL END AS conv_day
+                 FROM events),
+      u AS (SELECT user_id, MIN(day) AS first_day, MAX(day) AS last_day,
+                   MIN(conv_day) AS conv_day
+            FROM d GROUP BY user_id),
+      t AS (SELECT user_id,
+                   COALESCE(conv_day - first_day, last_day - first_day) AS t_obs,
+                   CASE WHEN conv_day IS NOT NULL THEN 1 ELSE 0 END AS death
+            FROM u),
+      byt AS (SELECT t_obs AS t_day, CAST(SUM(death) AS BIGINT) AS d,
+                     CAST(SUM(1 - death) AS BIGINT) AS c,
+                     CAST(COUNT(*) AS BIGINT) AS leaving
+              FROM t GROUP BY t_obs),
+      risk AS (SELECT t_day, d, c,
+                      CAST(SUM(leaving) OVER (ORDER BY t_day DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS n_risk
+               FROM byt),
+      st AS (SELECT t_day, d, c, n_risk,
+                    CASE WHEN d = 0 THEN CAST(0 AS BIGINT)
+                         WHEN d < n_risk THEN
+                           CAST(round(ln(CAST(n_risk - d AS DOUBLE)
+                                         / CAST(n_risk AS DOUBLE))
+                                * 1000000000.0) AS BIGINT)
+                         ELSE NULL END AS step_ln_nanos
+             FROM risk),
+      cm AS (SELECT t_day, d, c, n_risk, step_ln_nanos,
+                    CAST(SUM(COALESCE(step_ln_nanos, 0)) OVER (ORDER BY t_day
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS cum_ln_nanos,
+                    MAX(CASE WHEN step_ln_nanos IS NULL THEN 1 ELSE 0 END)
+                      OVER (ORDER BY t_day
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dead
+             FROM st)
+      SELECT t_day, n_risk, d, c, step_ln_nanos, cum_ln_nanos,
+             CASE WHEN dead = 1 THEN 0.0
+                  ELSE round(exp(CAST(cum_ln_nanos AS DOUBLE) / 1000000000.0), 6)
+             END AS survival
+      FROM cm ORDER BY t_day"""),
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val d = Tables.events(s, dir).select(col("user_id"),
+          expr("ts_us div 86400000000").as("day"),
+          when(col("event_type") === "purchase" && col("value") > 150,
+            expr("ts_us div 86400000000")).as("conv_day"))
+        val t = d.groupBy("user_id")
+          .agg(min("day").as("first_day"), max("day").as("last_day"),
+            min("conv_day").as("conv_day"))
+          .select(
+            coalesce(col("conv_day") - col("first_day"),
+              col("last_day") - col("first_day")).as("t_obs"),
+            when(col("conv_day").isNotNull, 1L).otherwise(0L).as("death"))
+        val byt = t.groupBy(col("t_obs").as("t_day"))
+          .agg(sum("death").as("d"), sum(lit(1L) - col("death")).as("c"),
+            count(lit(1)).as("leaving"))
+        val suffix = Window.orderBy(col("t_day").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val risk = byt.withColumn("n_risk", sum("leaving").over(suffix))
+        val st = risk.withColumn("step_ln_nanos",
+          when(col("d") === 0, lit(0L))
+            .when(col("d") < col("n_risk"),
+              round(log((col("n_risk") - col("d")).cast("double")
+                / col("n_risk").cast("double")) * lit(1000000000.0)).cast("long"))
+            .otherwise(lit(null).cast("long")))
+        val fwd = Window.orderBy("t_day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        st.withColumn("cum_ln_nanos",
+            sum(coalesce(col("step_ln_nanos"), lit(0L))).over(fwd))
+          .withColumn("dead",
+            max(when(col("step_ln_nanos").isNull, 1).otherwise(0)).over(fwd))
+          .select(col("t_day"), col("n_risk"), col("d"), col("c"),
+            col("step_ln_nanos"), col("cum_ln_nanos"),
+            when(col("dead") === 1, lit(0.0))
+              .otherwise(round(exp(col("cum_ln_nanos").cast("double")
+                / lit(1000000000.0)), 6)).as("survival"))
+          .orderBy("t_day")
       })
   )
 }
