@@ -1614,9 +1614,12 @@ object EmbeddingQueries {
                                     x -> CAST(x AS FLOAT)) AS cvec
               FROM m$n GROUP BY sub, code)"""
 
+  // e0 suffix: DuckDB parses a bare long-decimal literal as DECIMAL and
+  // its DECIMAL→DOUBLE cast can drop the 18th digit (1 ulp off the
+  // Scala double); exponent form routes through strtod — exact
   private def ndcgWSql(rkExpr: String): String =
     s"(CASE $rkExpr ${ndcgW.zipWithIndex.map { case (w, i) =>
-        s"WHEN ${i + 1} THEN CAST($w AS DOUBLE)" }.mkString(" ")}" +
+        s"WHEN ${i + 1} THEN ${w}e0" }.mkString(" ")}" +
       " ELSE CAST(0 AS DOUBLE) END)"
 
   private def ndcgWCol(rk: Column): Column =

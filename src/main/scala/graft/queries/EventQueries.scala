@@ -1693,6 +1693,81 @@ object EventQueries {
               .otherwise(round(exp(col("cum_ln_nanos").cast("double")
                 / lit(1000000000.0)), 6)).as("survival"))
           .orderBy("t_day")
+      }),
+
+    // ---- q221: Benford's-law audit of transaction values — the
+    // classic forensic screen (fabricated or systematically capped
+    // numbers break the log-uniform leading-digit law that organic
+    // multi-scale amounts follow). The leading digit comes from the
+    // STRING of exact cents (no log10/pow floor — pure integer
+    // arithmetic both engines share); expected Benford shares
+    // ln(1+1/d)/ln(10) are NINE BAKED LITERALS (the q206 discipline —
+    // no libm at query time); the per-digit chi-square terms
+    // (O−E)²/E assemble by a fixed double tree from exact counts and
+    // nano-scale to order-free longs for the total. Chi-square vs the
+    // df=8 critical value 15.507 gates the `suspicious` flag. One
+    // corpus scan onto a 9-row digit table.
+    QueryDef("q221_benford", Some {
+      val bp = (1 to 9).map(d => math.log(1.0 + 1.0 / d) / math.log(10.0))
+      // e0 suffix: DuckDB parses a bare 18-digit literal as DECIMAL and
+      // its DECIMAL→DOUBLE cast drops the last digit (1 ulp off the
+      // Scala double); exponent form routes through strtod — exact
+      val pSql = (1 to 9).map(d =>
+        s"WHEN ${d} THEN ${bp(d - 1)}e0").mkString(" ")
+      s"""
+      WITH v AS (SELECT $valCents AS cents FROM events WHERE $valCents > 0),
+      dg AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INTEGER) AS d,
+                    CAST(COUNT(*) AS BIGINT) AS o
+             FROM v GROUP BY 1),
+      al AS (SELECT CAST(r.range AS INTEGER) AS d FROM range(1, 10) r),
+      n AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM dg),
+      t AS (SELECT al.d, COALESCE(dg.o, 0) AS o, n.n,
+                   (CASE al.d $pSql ELSE CAST(0 AS DOUBLE) END) AS p_exp
+            FROM al LEFT JOIN dg ON dg.d = al.d CROSS JOIN n),
+      x AS (SELECT d, o, n, p_exp,
+                   CAST(round((CAST(o AS DOUBLE) - p_exp * n)
+                        * (CAST(o AS DOUBLE) - p_exp * n) / (p_exp * n)
+                        * 1000000000.0) AS BIGINT) AS chi_nanos
+            FROM t),
+      s AS (SELECT CAST(SUM(chi_nanos) AS BIGINT) AS chi_total_nanos FROM x)
+      SELECT x.d AS digit, x.o AS observed, x.p_exp AS benford_p,
+             CAST(x.o AS DOUBLE) / x.n AS observed_p, x.chi_nanos,
+             CAST(s.chi_total_nanos AS DOUBLE) / 1000000000.0 AS chi_square,
+             CAST(s.chi_total_nanos AS DOUBLE) / 1000000000.0 > 15.507 AS suspicious
+      FROM x CROSS JOIN s ORDER BY digit"""
+    },
+      (s, dir) => {
+        val bp = (1 to 9).map(d => math.log(1.0 + 1.0 / d) / math.log(10.0))
+        val pCol = (1 to 9).foldLeft(when(lit(false), lit(0.0))) {
+          (acc, d) => acc.when(col("d") === d, lit(bp(d - 1)))
+        }.otherwise(lit(0.0))
+        val v = Tables.events(s, dir)
+          .select(QueryDef.cents(col("value")).as("cents"))
+          .where(col("cents") > 0)
+        val dg = v.groupBy(expr("cast(substring(cast(cents as string), 1, 1) as int)").as("d"))
+          .agg(count(lit(1)).as("o"))
+        val al = s.range(1, 10).select(col("id").cast("int").as("d"))
+        val n = dg.agg(sum("o").as("n"))
+        val t = al.join(dg, Seq("d"), "left_outer")
+          .select(col("d"), coalesce(col("o"), lit(0L)).as("o"))
+          .crossJoin(broadcast(n))
+          .withColumn("p_exp", pCol)
+        val x = t.withColumn("chi_nanos",
+            round((col("o").cast("double") - col("p_exp") * col("n"))
+              * (col("o").cast("double") - col("p_exp") * col("n"))
+              / (col("p_exp") * col("n")) * lit(1000000000.0)).cast("long"))
+          .localCheckpoint() // the total AND the row output read it
+        val st = x.agg(sum("chi_nanos").as("chi_total_nanos"))
+        x.crossJoin(broadcast(st))
+          .select(col("d").as("digit"), col("o").as("observed"),
+            col("p_exp").as("benford_p"),
+            (col("o").cast("double") / col("n")).as("observed_p"),
+            col("chi_nanos"),
+            (col("chi_total_nanos").cast("double") / lit(1000000000.0))
+              .as("chi_square"),
+            (col("chi_total_nanos").cast("double") / lit(1000000000.0) > 15.507)
+              .as("suspicious"))
+          .orderBy("digit")
       })
   )
 }

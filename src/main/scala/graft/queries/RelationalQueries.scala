@@ -1590,6 +1590,64 @@ object RelationalQueries {
           .unionByName(advise("part", "l_partkey"))
           .unionByName(advise("supplier", "l_suppkey"))
           .orderBy("join_name")
+      }),
+
+    // ---- q222: revenue concentration — Gini coefficient and
+    // top-decile share of per-customer revenue, the inequality readout
+    // behind "how exposed are we to our biggest accounts" (and, in a
+    // corpus pipeline, "how concentrated is the data on few sources").
+    // Exact end to end: Gini's closed sorted form
+    // G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n needs only integer rank-weighted
+    // sums (the rank windows are global but run over the CUSTOMER-
+    // domain revenue table — q141's bounded justification, with a
+    // total (x, custkey) order so ties are deterministic); the two
+    // emitted ratios are single divisions of exact longs. The
+    // top-decile cut k = ⌈n/10⌉ is integer arithmetic — no percentile
+    // float boundary.
+    QueryDef("q222_gini", Some("""
+      WITH r AS (SELECT o_custkey AS c,
+                        CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
+                 FROM orders GROUP BY 1),
+      rk AS (SELECT x, c,
+                    ROW_NUMBER() OVER (ORDER BY x, c) AS i,
+                    ROW_NUMBER() OVER (ORDER BY x DESC, c DESC) AS j,
+                    COUNT(*) OVER () AS nn
+             FROM r),
+      a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+                   CAST(SUM(i * x) AS BIGINT) AS six,
+                   CAST(SUM(CASE WHEN j <= (nn + 9) // 10 THEN x ELSE 0 END)
+                        AS BIGINT) AS topx
+            FROM rk)
+      SELECT n AS n_customers, sx / 100.0 AS total_revenue,
+             CASE WHEN n = 0 OR sx = 0 THEN NULL
+                  ELSE CAST(2 * six AS DOUBLE) / CAST(n * sx AS DOUBLE)
+                       - CAST(n + 1 AS DOUBLE) / n END AS gini,
+             CASE WHEN sx = 0 THEN NULL ELSE topx / sx END AS top_decile_share
+      FROM a"""),
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val r = Tables.read(s, dir, "orders")
+          .groupBy(col("o_custkey"))
+          .agg(sum(QueryDef.cents(col("o_totalprice"))).as("x"))
+        val full = Window.partitionBy()
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        val rk = r.select(col("x"),
+          row_number().over(Window.orderBy(col("x"), col("o_custkey"))).as("i"),
+          row_number().over(Window.orderBy(col("x").desc, col("o_custkey").desc))
+            .as("j"),
+          count(lit(1)).over(full).as("nn"))
+        val a = rk.agg(count(lit(1)).as("n"), sum("x").as("sx"),
+          sum(col("i") * col("x")).as("six"),
+          sum(when(col("j") <= expr("(nn + 9) div 10"), col("x")).otherwise(0L))
+            .as("topx"))
+        a.select(col("n").as("n_customers"),
+          (col("sx") / 100.0).as("total_revenue"),
+          when(col("n") === 0 || col("sx") === 0, lit(null).cast("double"))
+            .otherwise((lit(2L) * col("six")).cast("double")
+                / (col("n") * col("sx")).cast("double")
+              - (col("n") + 1).cast("double") / col("n")).as("gini"),
+          when(col("sx") === 0, lit(null).cast("double"))
+            .otherwise(col("topx") / col("sx")).as("top_decile_share"))
       })
   )
 }
