@@ -1768,6 +1768,90 @@ object EventQueries {
             (col("chi_total_nanos").cast("double") / lit(1000000000.0) > 15.507)
               .as("suspicious"))
           .orderBy("digit")
+      }),
+
+    // ---- q223: funnel with Wilson 95% intervals — q171's step
+    // conversions plus the uncertainty that says whether a drop-off is
+    // real or small-sample noise (the Wilson score interval stays
+    // honest near 0/1 and at small n where the normal interval lies).
+    // Counts are q171's keyed-MIN chain; every interval assembles by a
+    // FIXED double tree over the exact (converted, eligible) longs —
+    // z enters as 1.96e0 · 1.96e0 in BOTH engines (the literal-form
+    // discipline: a bare 1.96² would route through DuckDB's exact
+    // DECIMAL and differ from the double product by 1 ulp); zero-
+    // eligible steps are NULL, never a division error.
+    QueryDef("q223_funnel_wilson", Some {
+      def w(c: String, n: String, sign: String) = {
+        val p = s"(CAST($c AS DOUBLE) / $n)"
+        val nn = s"CAST($n AS DOUBLE)"
+        val z2 = "1.96e0 * 1.96e0"
+        s"(($p + $z2 / (2e0 * $nn) $sign 1.96e0 * sqrt($p * (1e0 - $p) / $nn" +
+          s" + $z2 / (4e0 * $nn * $nn))) / (1e0 + $z2 / $nn))"
+      }
+      def step(name: String, c: String, n: String) =
+        s"""SELECT '$name' AS step, $n AS n_eligible, $c AS n_conv,
+               CASE WHEN $n > 0 THEN $c / $n END AS rate,
+               CASE WHEN $n > 0 THEN ${w(c, n, "-")} END AS wilson_lo,
+               CASE WHEN $n > 0 THEN ${w(c, n, "+")} END AS wilson_hi
+            FROM c"""
+      s"""
+      WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tu FROM events),
+      n0 AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n0 FROM e),
+      t1 AS (SELECT user_id, MIN(tu) AS t1 FROM e
+             WHERE event_type = 'view' GROUP BY user_id),
+      t2 AS (SELECT e.user_id, MIN(tu) AS t2 FROM e JOIN t1 ON t1.user_id = e.user_id
+             WHERE e.event_type = 'click' AND e.tu > t1.t1 GROUP BY e.user_id),
+      t3 AS (SELECT e.user_id, MIN(tu) AS t3 FROM e JOIN t2 ON t2.user_id = e.user_id
+             WHERE e.event_type = 'purchase' AND e.tu > t2.t2 GROUP BY e.user_id),
+      c AS (SELECT (SELECT n0 FROM n0) AS n0,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM t1) AS n1,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM t2) AS n2,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM t3) AS n3)
+      SELECT * FROM (${step("1_view", "n1", "n0")}
+      UNION ALL ${step("2_click", "n2", "n1")}
+      UNION ALL ${step("3_purchase", "n3", "n2")}) ORDER BY step"""
+    },
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+          .select(col("user_id"), col("event_type"), col("ts_us"))
+          .localCheckpoint() // base of all three step filters + user count
+        val n0 = e.select("user_id").distinct()
+          .agg(count(lit(1)).cast("long").as("n0"))
+        val t1 = e.where(col("event_type") === "view")
+          .groupBy("user_id").agg(min("ts_us").as("t1"))
+        val t2 = e.where(col("event_type") === "click").join(t1, "user_id")
+          .where(col("ts_us") > col("t1"))
+          .groupBy("user_id").agg(min("ts_us").as("t2"))
+        val t3 = e.where(col("event_type") === "purchase").join(t2, "user_id")
+          .where(col("ts_us") > col("t2"))
+          .groupBy("user_id").agg(min("ts_us").as("t3"))
+        def n(df: org.apache.spark.sql.DataFrame, as: String) =
+          broadcast(df.agg(count(lit(1)).cast("long").as(as)))
+        val c = broadcast(n0).crossJoin(n(t1, "n1")).crossJoin(n(t2, "n2"))
+          .crossJoin(n(t3, "n3"))
+        val z2 = lit(1.96) * lit(1.96)
+        def wils(cc: org.apache.spark.sql.Column, nn0: org.apache.spark.sql.Column,
+                 plus: Boolean) = {
+          val p = cc.cast("double") / nn0
+          val nn = nn0.cast("double")
+          val half = lit(1.96) * sqrt(p * (lit(1.0) - p) / nn
+            + z2 / (lit(4.0) * nn * nn))
+          val core = p + z2 / (lit(2.0) * nn)
+          ((if (plus) core + half else core - half) / (lit(1.0) + z2 / nn))
+        }
+        def stepRow(name: String, cc: String, nn: String) =
+          struct(lit(name).as("step"), col(nn).as("n_eligible"),
+            col(cc).as("n_conv"),
+            when(col(nn) > 0, col(cc) / col(nn)).as("rate"),
+            when(col(nn) > 0, wils(col(cc), col(nn), plus = false)).as("wilson_lo"),
+            when(col(nn) > 0, wils(col(cc), col(nn), plus = true)).as("wilson_hi"))
+        c.select(explode(array(
+            stepRow("1_view", "n1", "n0"),
+            stepRow("2_click", "n2", "n1"),
+            stepRow("3_purchase", "n3", "n2"))).as("r"))
+          .select(col("r.step").as("step"), col("r.n_eligible"), col("r.n_conv"),
+            col("r.rate"), col("r.wilson_lo"), col("r.wilson_hi"))
+          .orderBy("step")
       })
   )
 }
