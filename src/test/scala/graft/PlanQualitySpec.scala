@@ -796,6 +796,31 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!plan.exists { case _: CartesianProductExec => true; case _ => false })
   }
 
+  test("q217 image dhash: banded join only — no cartesian over the hash table") {
+    val plan = collectAll(executed(q("q217_image_dhash")))
+    assert(!plan.exists { case _: CartesianProductExec => true; case _ => false },
+      "candidates must come from the band-bucket equi-join, never all-pairs")
+    val windows = plan.filter(_.nodeName == "Window")
+    assert(windows.forall(_.toString.contains("chunk#")),
+      "the only window is the bucket-skew cap, partitioned by (band, chunk)")
+  }
+
+  test("q220 Kaplan-Meier: day-domain windows only, corpus collapses first") {
+    val plan = collectAll(executed(q("q220_kaplan_meier")))
+    val aggs = plan.filter(_.nodeName.contains("HashAggregate")).map(_.toString)
+    assert(aggs.exists(a => a.contains("partial_min") || a.contains("partial_max")),
+      "per-user anchors must partial-aggregate before the exchange")
+    assert(!plan.exists { case _: CartesianProductExec => true; case _ => false })
+  }
+
+  test("q222 Gini: rank windows ride the customer-domain revenue table") {
+    val plan = collectAll(executed(q("q222_gini")))
+    val aggs = plan.filter(_.nodeName.contains("HashAggregate")).map(_.toString)
+    assert(aggs.exists(_.contains("partial_sum")),
+      "per-customer revenue must partial-aggregate before the exchange")
+    assert(!plan.exists { case _: CartesianProductExec => true; case _ => false })
+  }
+
   test("q193 KS drift: count aggs partial-aggregate; sweep windows partition by group") {
     val plan = collectAll(executed(q("q193_ks_drift")))
     val windows = plan.filter(_.nodeName == "Window")
