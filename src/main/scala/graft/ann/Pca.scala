@@ -33,7 +33,12 @@ import org.apache.spark.sql.functions._
   */
 object Pca {
 
-  private val Scale = 1000000000000.0 // 1e12: |x| < ~1 ⇒ terms < 1e12, sums < 2^63 at billions of rows
+  // 1e12 pico-scaling keeps 12 fractional digits per term; the sums
+  // accumulate as DECIMAL(38,0) (not long — a long second-moment sum
+  // wraps silently past ~9e6 unit-magnitude rows, 2^63/1e12, nowhere
+  // near this module's advertised scale), exact to ~1e38 ≈ 1e26 rows.
+  // DuckDB mirrors for free: its SUM(BIGINT) already returns HUGEINT.
+  private val Scale = 1000000000000.0
 
   /** Covariance matrix of the first `d` dims as a (i, j, n, c) table,
     * i, j ∈ [0, d): c = E[x_i x_j] − E[x_i]E[x_j] (population). Two
@@ -47,13 +52,13 @@ object Pca {
         s"""flatten(transform(sequence(0, ${d - 1}), i ->
               transform(sequence(0, ${d - 1}), j ->
                 named_struct('i', i, 'j', j,
-                  't', cast(round(cast(v[i] as double) * cast(v[j] as double) * cast(${Scale.toLong} as double)) as long)))))"""))
+                  't', cast(round(cast(v[i] as double) * cast(v[j] as double) * cast(${Scale.toLong} as double)) as decimal(28,0))))))"""))
         .as("e"))
       .groupBy(col("e.i").as("i"), col("e.j").as("j"))
       .agg(sum("e.t").as("sij"), count(lit(1)).as("n"))
     val first = v.select(explode(expr(
         s"""transform(sequence(0, ${d - 1}), i ->
-              named_struct('i', i, 's', cast(round(cast(v[i] as double) * cast(${Scale.toLong} as double)) as long)))"""))
+              named_struct('i', i, 's', cast(round(cast(v[i] as double) * cast(${Scale.toLong} as double)) as decimal(28,0))))"""))
         .as("e"))
       .groupBy(col("e.i").as("i")).agg(sum("e.s").as("s"))
     second
@@ -78,6 +83,11 @@ object Pca {
     * `iters` unnormalized power-iteration steps from the all-ones
     * start: (i, loading, lam) — loading the unit eigenvector component
     * (rounded 6), lam the Rayleigh quotient vᵀCv/vᵀv (rounded 6).
+    * Deliberately NOT wired into the family-wide `resume` dial
+    * ([[graft.operators.Checkpointer]]): the per-iteration state is a
+    * d-component vector — driver-sized by construction — so restarting
+    * recomputes from the already-materialized d²-row covariance table
+    * in seconds; a persisted frontier would cost more than it saves.
     * Unnormalized on purpose: intermediate normalization buys nothing
     * numerically at small iteration counts and would cost a sqrt whose
     * operand depends on fold order — this way every intermediate is a

@@ -33,10 +33,14 @@ object LinkPredict {
   /** Portable hash split of an unordered edge list (aCol < bCol):
     * (train, test), where an edge lands in test iff its first md5 hex
     * digit of "salt:a:b" falls in bucket 0 of `mod` (1/mod of edges).
+    * `mod` must divide the 16-value digit domain — i.e. be one of
+    * {2, 4, 8, 16} — or the "1/mod" fraction would silently be wrong
+    * (mod = 3 puts 6 of 16 digit values in test: 37.5%, not 1/3).
     */
   def split(edges: DataFrame, aCol: String, bCol: String,
             salt: String = "lp", mod: Int = 4): (DataFrame, DataFrame) = {
-    require(mod >= 2 && mod <= 16, s"mod must be in [2,16], got $mod")
+    require(Set(2, 4, 8, 16).contains(mod),
+      s"mod must divide the hex-digit domain (one of 2/4/8/16), got $mod")
     val bucket = expr(
       s"conv(substring(md5(concat('$salt:', $aCol, ':', $bCol)), 1, 1), 16, 10) % $mod")
     (edges.where(bucket =!= 0), edges.where(bucket === 0))

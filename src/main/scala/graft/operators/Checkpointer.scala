@@ -23,8 +23,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    [[Checkpointer.lastCompleteStep]] + [[Checkpointer#resumeAt]] —
   *    wired as `resume = true` across the whole iterative family
   *    (PageRank, connected components, k-means, k-core, label
-  *    propagation, both BPE trainers; ResumeSpec kills each mid-run
-  *    and proves bit-identical restart).
+  *    propagation, HyperBall, random walks, PQ training, both BPE
+  *    trainers; ResumeSpec kills each mid-run and proves bit-identical
+  *    restart). The ONE deliberate exemption is `Pca.leadingEigen`:
+  *    its entire iteration state is a d-component vector — driver-sized
+  *    by construction — so a restart recomputes from the (already
+  *    materialized) covariance table in seconds; see its scaladoc.
   *    Superseded steps are deleted on `release`; the final step's files
   *    outlive the operator (the returned frame lazily reads them —
   *    don't delete `dir` before consuming the result).

@@ -14,11 +14,15 @@ import org.apache.spark.sql.functions._
   * live-MAD residency pattern — StreamingSpec proves live ≡ batch).
   *
   * Exactness: each bin term (p_i − q_i)·ln(p_i/q_i) takes its ln over
-  * ONE cross-multiplied exact integer ratio (no epsilon fudging) and
-  * nano-scales to a long immediately (the q166 discipline), so the
-  * total is an exact order-free sum. Bins with one-sided support get
-  * NULL terms but their MASS rides every output row — silently
-  * excluding mass is how PSI lies.
+  * the RATIO OF RATIOS (n_ref/nr)/(n_cur/nc) — each division a single
+  * correctly-rounded IEEE op both engines share, so the ln argument is
+  * bit-identical cross-engine AND overflow-free at any count (the
+  * cross-multiplied integer form n_ref·nc wraps a long silently past
+  * ~3e9 counts per side, exactly the live-streaming-state scale this
+  * operator advertises) — and nano-scales to a long immediately (the
+  * q166 discipline), so the total is an exact order-free sum. Bins
+  * with one-sided support get NULL terms but their MASS rides every
+  * output row — silently excluding mass is how PSI lies.
   */
 object Psi {
 
@@ -37,8 +41,8 @@ object Psi {
         when(col("n_ref") > 0 && col("n_cur") > 0,
           round((col("n_ref").cast("double") / col("nr")
               - col("n_cur").cast("double") / col("nc"))
-            * log((col("n_ref") * col("nc")).cast("double")
-              / (col("n_cur") * col("nr")).cast("double"))
+            * log((col("n_ref").cast("double") / col("nr"))
+              / (col("n_cur").cast("double") / col("nc")))
             * lit(1000000000.0)).cast("long"))
           .otherwise(lit(null).cast("long")).as("term_nanos"))
       .localCheckpoint() // the global sum AND the row output read it

@@ -1401,8 +1401,9 @@ object EventQueries {
     // here between the first and second half of the corpus's day range
     // over q198's $5 value buckets. Each bin's term
     // (p_i − q_i)·ln(p_i/q_i) is computed from exact integer counts
-    // (the ln argument is ONE cross-multiplied exact ratio — no
-    // epsilon fudging) and nano-scaled to a long immediately (the q166
+    // (the ln argument is the ratio of the two IEEE-exact proportions
+    // — overflow-free at any count, unlike the cross-multiplied
+    // integer form) and nano-scaled to a long immediately (the q166
     // discipline), so the total is an exact order-free sum; bins with
     // one-sided support contribute NULL terms but their MASS is
     // reported on every row — silent mass exclusion is how PSI lies.
@@ -1423,8 +1424,8 @@ object EventQueries {
                    CASE WHEN c.n_ref > 0 AND c.n_cur > 0 THEN
                      CAST(round((CAST(c.n_ref AS DOUBLE) / t.nr
                                  - CAST(c.n_cur AS DOUBLE) / t.nc)
-                          * ln(CAST(c.n_ref * t.nc AS DOUBLE)
-                               / CAST(c.n_cur * t.nr AS DOUBLE))
+                          * ln((CAST(c.n_ref AS DOUBLE) / t.nr)
+                               / (CAST(c.n_cur AS DOUBLE) / t.nc))
                           * 1000000000.0) AS BIGINT)
                    ELSE NULL END AS term_nanos
             FROM c CROSS JOIN tot t),
