@@ -263,6 +263,22 @@ object Multimodal {
     * [[decodeAudio]] as the `decoder`.
     */
   def wavDecoder(bytes: Array[Byte]): (Int, Int, Int, Double) = {
+    val (rate, channels, dataOff, nSamples) = wavDataSection(bytes)
+    def le16(i: Int) = (bytes(i) & 0xff) | ((bytes(i + 1) & 0xff) << 8)
+    var sum = 0L
+    var k = 0
+    while (k < nSamples) { sum += le16(dataOff + 2 * k).toShort.toLong; k += 1 }
+    val mean = if (nSamples == 0) 0.0 else sum.toDouble / nSamples
+    (rate, channels, nSamples / channels, mean)
+  }
+
+  /** RIFF chunk walk shared by [[wavDecoder]] and [[audioSignHash56]]:
+    * validate magic, walk chunks in any order (unknown chunks skipped,
+    * odd sizes padded to even), parse `fmt ` (PCM, 16-bit only) and
+    * locate `data`. Returns (sampleRate, channels, dataOffset,
+    * nSamples). Truncated/unsupported payloads fail loudly.
+    */
+  private def wavDataSection(bytes: Array[Byte]): (Int, Int, Int, Int) = {
     def u8(i: Int) = bytes(i) & 0xff
     def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
     def le32(i: Int) = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
@@ -295,12 +311,7 @@ object Multimodal {
     require(dataOff >= 0, "missing WAV data chunk")
     require(dataLen % (2 * channels) == 0,
       s"WAV data size $dataLen not aligned to ${2 * channels}-byte frames")
-    val nSamples = dataLen / 2
-    var sum = 0L
-    var k = 0
-    while (k < nSamples) { sum += le16(dataOff + 2 * k).toShort.toLong; k += 1 }
-    val mean = if (nSamples == 0) 0.0 else sum.toDouble / nSamples
-    (rate, channels, nSamples / channels, mean)
+    (rate, channels, dataOff, dataLen / 2)
   }
 
   /** Batched partition-wise audio decode — the audio twin of
@@ -764,6 +775,121 @@ object Multimodal {
       y += 1
     }
     hash
+  }
+
+  /** PCM stream for the AUDIO near-dup corpus — [[variantPixels]]'s
+    * geometry in sample space: variants v ∈ [0, 128) of a shared group
+    * stream g differ only where `k % 128 == v` gets a +512 bump before
+    * the mod — a sprinkle of perturbed samples whose energy nudges flip
+    * at most a bit or two of the sign hash. Cross-group decorrelation
+    * comes from a per-(g, frame) murmur-style offset into the
+    * 65536-wide triangle domain ([[frameOffset]]) — frame f of group g
+    * ramps from that offset in steps of 17. The mixing must be
+    * GENUINELY non-algebraic: a plain `g·c` offset only phase-shifts
+    * one global sawtooth (energy pattern group-invariant), a
+    * group-dependent affine step leaves ~120 distinct comparison
+    * patterns, and even a quadratic mod-prime mix has twin pairs
+    * (2Δ ≡ −1 mod p) with near-identical offset sequences — all three
+    * collide catastrophically across a few hundred groups. Emitted as
+    * a REAL canonical WAV (RIFF header + 16-bit LE PCM —
+    * [[wavDecoder]] round-trips it); everything is closed form so an
+    * engine without the codec recomputes the decoded stream exactly.
+    */
+  def variantWavBytes(g: Long, v: Int, n: Int, rate: Int): Array[Byte] = {
+    val flen = math.max(1, n / 60)
+    val buf = java.nio.ByteBuffer.allocate(44 + 2 * n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + 2 * n)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1)                    // PCM, mono
+      .putInt(rate).putInt(rate * 2)              // rate, byte rate
+      .putShort(2).putShort(16)                   // block align, bits
+    buf.put("data".getBytes("US-ASCII")).putInt(2 * n)
+    var k = 0
+    while (k < n) {
+      val f = k / flen
+      val j = k - f * flen
+      val bump = if (k % 128 == v) 512L else 0L
+      buf.putShort(((frameOffset(g, f) + j * 17L + bump) % 65536L).toShort)
+      k += 1
+    }
+    buf.array()
+  }
+
+  /** Murmur-style (g, frame) → [0, 65536) mix: two 31-bit
+    * multiply-mod rounds with xorshift folds. Every intermediate stays
+    * below 2^62 (operands clamped to 2^31 first), so BOTH engines
+    * compute it in exact integer arithmetic — no 64-bit wraparound for
+    * DuckDB's BIGINT to raise on.
+    */
+  def frameOffset(g: Long, f: Int): Long = {
+    val M31 = 2147483648L
+    var h = (g * 60 + f + 1) % M31
+    h = h * 2654435761L % M31
+    h ^= h >> 15
+    h = h * 1540483477L % M31
+    h ^= h >> 13
+    h % 65536L
+  }
+
+  /** 56-bit energy sign hash over the DECODED PCM — the audio twin of
+    * [[dhash56]]: the stream splits into 60 equal frames laid out as 4
+    * rows × 15, each frame's energy is Σ|sample| (an exact long — no
+    * float power to disagree about), and bit r·14+c is set iff
+    * E(r·15+c+1) > E(r·15+c) — adjacent-frame comparisons, robust to
+    * uniform gain changes the way dHash is robust to brightness. 56
+    * bits keeps every shift inside a signed long and reuses q217's
+    * 4×14 banding geometry unchanged. PCM being uncompressed, the
+    * decoded-byte hash equals the generator's closed form — exactly
+    * what the oracle recomputes, so a parser or framing bug
+    * desynchronizes loudly.
+    */
+  def audioSignHash56(bytes: Array[Byte]): Long = {
+    val (_, _, dataOff, nSamples) = wavDataSection(bytes)
+    require(nSamples > 0 && nSamples % 60 == 0,
+      s"audioSignHash56 needs a multiple of 60 samples, got $nSamples")
+    val flen = nSamples / 60
+    def le16(i: Int) = (bytes(i) & 0xff) | ((bytes(i + 1) & 0xff) << 8)
+    val e = new Array[Long](60)
+    var f = 0
+    while (f < 60) {
+      var s = 0L
+      var k = f * flen
+      val end = k + flen
+      while (k < end) {
+        s += math.abs(le16(dataOff + 2 * k).toShort.toLong)
+        k += 1
+      }
+      e(f) = s
+      f += 1
+    }
+    var hash = 0L
+    var r = 0
+    while (r < 4) {
+      var c = 0
+      while (c < 14) {
+        if (e(r * 15 + c + 1) > e(r * 15 + c)) hash |= 1L << (r * 14 + c)
+        c += 1
+      }
+      r += 1
+    }
+    hash
+  }
+
+  /** Partition-wise audio-fingerprint decode: (id, ahash LONG) — the
+    * audio twin of [[decodeDHashes]].
+    */
+  def decodeAudioHashes(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val decode: Array[Byte] => Long = audioSignHash56
+        rows.map { case (id, bytes) => (id, decode(bytes)) }
+      }
+      .toDF("id", "ahash")
   }
 
   /** Partition-wise dHash decode: (id, dhash LONG) — the codec path is

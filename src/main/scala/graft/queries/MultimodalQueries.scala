@@ -610,6 +610,94 @@ object MultimodalQueries {
           .select(col("id_a"), col("id_b"), col("hamming"),
             (expr("id_a div 4") === expr("id_b div 4")).as("same_group"))
           .orderBy("id_a", "id_b")
+      }),
+
+    // ---- q224: AUDIO near-dup detection — completes the multimodal
+    // dedup family (text MinHash/SimHash/SemDeDup, image q217): every
+    // doc gets a REAL WAV (RIFF header + 16-bit PCM) from a planted-
+    // variant stream (4 variants per group, a sprinkle of +512 sample
+    // bumps apart), the 56-bit ENERGY SIGN HASH is computed from the
+    // DECODED PCM (60 frames as 4×15, frame energy = Σ|sample| exact,
+    // adjacent-frame comparisons — robust to uniform gain the way
+    // dHash is to brightness), and near-dups surface through q217's
+    // exact banding geometry: 4 bands × 14 bits, bucket-skew cap, then
+    // exact bit_count(xor) ≤ 6 on candidates only. PCM being
+    // uncompressed, the decoded-byte hash equals the generator's
+    // closed form — which is exactly what the oracle recomputes, so a
+    // RIFF-walk or framing bug desynchronizes loudly. Scale shape:
+    // fingerprints are 8 bytes/clip, the join touches banded buckets
+    // only, the decode is one partition-wise pass.
+    QueryDef("q224_audio_fingerprint", Some("""
+      WITH ids AS (SELECT doc_id,
+                     CAST(((doc_id // 4) * 7) % 6 + 2 AS BIGINT) AS flen
+                   FROM documents),
+      fr AS (SELECT doc_id, flen, f.range AS f,
+                    (((doc_id // 4) * 60 + f.range + 1) % 2147483648)
+                      * 2654435761 % 2147483648 AS h1
+             FROM ids, range(0, 60) f),
+      fx AS (SELECT doc_id, flen, f, xor(h1, h1 >> 15) AS h2 FROM fr),
+      fy AS (SELECT doc_id, flen, f,
+                    (h2 * 1540483477 % 2147483648) AS h3 FROM fx),
+      fo AS (SELECT doc_id, flen, f,
+                    xor(h3, h3 >> 13) % 65536 AS off FROM fy),
+      en AS (SELECT doc_id, f,
+               list_sum(list_transform(
+                 list_transform(range(0, flen), j ->
+                   (off + j * 17
+                    + CASE WHEN (f * flen + j) % 128 = doc_id % 4
+                      THEN 512 ELSE 0 END) % 65536),
+                 m -> abs(m - CASE WHEN m >= 32768 THEN 65536 ELSE 0 END))) AS e
+             FROM fo),
+      bits AS (SELECT a.doc_id, ((a.f // 15) * 14 + (a.f % 15)) AS i
+               FROM en a JOIN en b ON b.doc_id = a.doc_id AND b.f = a.f + 1
+               WHERE a.f % 15 < 14 AND b.e > a.e),
+      hash AS (SELECT ids.doc_id,
+                      CAST(COALESCE(SUM(1::BIGINT << i), 0) AS BIGINT) AS ah
+               FROM ids LEFT JOIN bits ON bits.doc_id = ids.doc_id
+               GROUP BY ids.doc_id),
+      band AS (SELECT doc_id, ah, t.range AS b,
+                      (ah >> CAST(t.range * 14 AS INTEGER)) & 16383 AS chunk
+               FROM hash, range(0, 4) t),
+      kept AS (SELECT doc_id, ah, b, chunk FROM
+                 (SELECT *, COUNT(*) OVER (PARTITION BY b, chunk) AS bsz FROM band)
+               WHERE bsz <= 50),
+      cand AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b,
+                      a.ah AS ha, b2.ah AS hb
+               FROM kept a JOIN kept b2
+                 ON a.b = b2.b AND a.chunk = b2.chunk AND a.doc_id < b2.doc_id)
+      SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming,
+             (id_a // 4) = (id_b // 4) AS same_group
+      FROM cand WHERE bit_count(xor(ha, hb)) <= 6
+      ORDER BY id_a, id_b"""),
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val pay = Tables.read(s, dir, "documents").select("doc_id").as[Long]
+          .mapPartitions(_.map { id =>
+            val g = id / 4
+            val n = (((g * 7) % 6).toInt + 2) * 60
+            (id, Multimodal.variantWavBytes(g, (id % 4).toInt, n, 8000))
+          })
+          .toDF("doc_id", "payload")
+        val h = Multimodal.decodeAudioHashes(pay, "doc_id", "payload")
+          .localCheckpoint() // both banded self-join sides read it
+        val kept = h
+          .select(col("id"), col("ahash"), explode(expr("sequence(0, 3)")).as("b"))
+          .withColumn("chunk", expr("shiftright(ahash, b * 14) & 16383"))
+          .withColumn("bsz", count(lit(1)).over(Window.partitionBy("b", "chunk")))
+          .where(col("bsz") <= 50)
+        val cand = kept.as("a")
+          .join(kept.as("b2"),
+            col("a.b") === col("b2.b") && col("a.chunk") === col("b2.chunk") &&
+              col("a.id") < col("b2.id"))
+          .select(col("a.id").as("id_a"), col("b2.id").as("id_b"),
+            col("a.ahash").as("ha"), col("b2.ahash").as("hb"))
+          .distinct()
+        cand.withColumn("hamming", expr("cast(bit_count(ha ^ hb) as int)"))
+          .where(col("hamming") <= 6)
+          .select(col("id_a"), col("id_b"), col("hamming"),
+            (expr("id_a div 4") === expr("id_b div 4")).as("same_group"))
+          .orderBy("id_a", "id_b")
       })
   )
 }

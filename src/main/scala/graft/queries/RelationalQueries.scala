@@ -694,6 +694,9 @@ object RelationalQueries {
     // merge_drift = 0 proves bottom-k-of-union mergeability: bottom-k
     // of two shard sketches (l_orderkey parity) IS the whole corpus's
     // sketch — build where the 100 TB lives, ship ≤ k longs per key.
+    // merged_err_ok gates the merged-shard ESTIMATE separately from
+    // drift, so a merge bug mirrored by the whole-side build (drift
+    // still 0) is caught by its absolute error against ground truth.
     QueryDef("q153_kmv_distinct", Some({
       import graft.functions.Kmv
       val k = 2048
@@ -710,7 +713,7 @@ object RelationalQueries {
       m AS (SELECT a.l_returnflag,
               list_sort(list_distinct(a.kmv || b.kmv))[1:$k] AS kmv_m
             FROM sa a JOIN sb b USING (l_returnflag)),
-      drift AS (SELECT w.l_returnflag,
+      drift AS (SELECT w.l_returnflag, m.kmv_m,
                   CAST(CASE WHEN w.kmv = m.kmv_m THEN 0 ELSE 1 END AS BIGINT)
                     AS merge_drift
                 FROM whole w JOIN m USING (l_returnflag)),
@@ -722,7 +725,9 @@ object RelationalQueries {
              x.exact_distinct,
              ABS(${Kmv.estimateSql("w.kmv", k)} - x.exact_distinct)
                <= x.exact_distinct * 0.1 AS err_ok,
-             d.merge_drift
+             d.merge_drift,
+             ABS(${Kmv.estimateSql("d.kmv_m", k)} - x.exact_distinct)
+               <= x.exact_distinct * 0.1 AS merged_err_ok
       FROM whole w JOIN ex x USING (l_returnflag) JOIN drift d USING (l_returnflag)
       ORDER BY w.l_returnflag"""
     }),
@@ -757,7 +762,7 @@ object RelationalQueries {
           .select(col("l_returnflag"),
             Kmv.mergeArrays(col("ka"), col("kb"), k).as("kmv_m"))
         val drift = whole.join(merged, "l_returnflag")
-          .select(col("l_returnflag"),
+          .select(col("l_returnflag"), col("kmv_m"),
             when(col("kmv") === col("kmv_m"), 0L).otherwise(1L).as("merge_drift"))
         val exact = li.groupBy("l_returnflag")
           .agg(countDistinct("item").as("exact_distinct"))
@@ -769,7 +774,13 @@ object RelationalQueries {
             col("exact_distinct"),
             (abs(Kmv.estimate(col("kmv"), k) - col("exact_distinct")) <=
               col("exact_distinct") * 0.1).as("err_ok"),
-            col("merge_drift"))
+            col("merge_drift"),
+            // the merged-shard estimate is gated INDEPENDENTLY of drift:
+            // a merge bug that keeps arrays sorted but loses slots would
+            // shift h_k and blow this bound even if an equally-buggy
+            // whole-side build made merge_drift stay 0
+            (abs(Kmv.estimate(col("kmv_m"), k) - col("exact_distinct")) <=
+              col("exact_distinct") * 0.1).as("merged_err_ok"))
           .orderBy("l_returnflag")
       }),
 
@@ -1598,12 +1609,17 @@ object RelationalQueries {
     // corpus pipeline, "how concentrated is the data on few sources").
     // Exact end to end: Gini's closed sorted form
     // G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n needs only integer rank-weighted
-    // sums (the rank windows are global but run over the CUSTOMER-
-    // domain revenue table — q141's bounded justification, with a
-    // total (x, custkey) order so ties are deterministic); the two
-    // emitted ratios are single divisions of exact longs. The
-    // top-decile cut k = ⌈n/10⌉ is integer arithmetic — no percentile
-    // float boundary.
+    // sums. The asc rank i comes from the DISTRIBUTED exact-rank
+    // operator (range-partition + partition offsets + per-partition
+    // counter — operators.ExactRank), NOT a global window: per-customer
+    // revenue rows grow with scale factor, so an unpartitioned sort is
+    // the one sequential bottleneck this catalog forbids
+    // (PlanQualitySpec's window sweep). The (x, custkey) order is
+    // total, so the desc rank needs no second pass: j = n + 1 − i
+    // exactly. The two emitted ratios are single divisions of exact
+    // longs; the top-decile cut k = ⌈n/10⌉ is integer arithmetic — no
+    // percentile float boundary. (The oracle keeps DuckDB's single-node
+    // window form — same ranks by totality of the order.)
     QueryDef("q222_gini", Some("""
       WITH r AS (SELECT o_custkey AS c,
                         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
@@ -1625,20 +1641,15 @@ object RelationalQueries {
              CASE WHEN sx = 0 THEN NULL ELSE topx / sx END AS top_decile_share
       FROM a"""),
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
         val r = Tables.read(s, dir, "orders")
           .groupBy(col("o_custkey"))
           .agg(sum(QueryDef.cents(col("o_totalprice"))).as("x"))
-        val full = Window.partitionBy()
-          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-        val rk = r.select(col("x"),
-          row_number().over(Window.orderBy(col("x"), col("o_custkey"))).as("i"),
-          row_number().over(Window.orderBy(col("x").desc, col("o_custkey").desc))
-            .as("j"),
-          count(lit(1)).over(full).as("nn"))
+        val (rk, n) = graft.operators.ExactRank.withRowNumber(
+          r, Seq(col("x"), col("o_custkey")), "i")
+        val kTop = (n + 9L) / 10L // ⌈n/10⌉, driver-side exact integer
         val a = rk.agg(count(lit(1)).as("n"), sum("x").as("sx"),
           sum(col("i") * col("x")).as("six"),
-          sum(when(col("j") <= expr("(nn + 9) div 10"), col("x")).otherwise(0L))
+          sum(when(lit(n) + 1L - col("i") <= lit(kTop), col("x")).otherwise(0L))
             .as("topx"))
         a.select(col("n").as("n_customers"),
           (col("sx") / 100.0).as("total_revenue"),
@@ -1648,6 +1659,160 @@ object RelationalQueries {
               - (col("n") + 1).cast("double") / col("n")).as("gini"),
           when(col("sx") === 0, lit(null).cast("double"))
             .otherwise(col("topx") / col("sx")).as("top_decile_share"))
+      }),
+
+    // ---- q225: INCREMENTAL sketch maintenance — the missing cross-
+    // snapshot contract for the portable sketch family: at 100 TB you
+    // never re-scan history to refresh a sketch, you merge the STORED
+    // state with the sketch of the day's delta. q153/q148 prove the
+    // merge algebra shard-side within one run; this query proves it
+    // ACROSS a persistence boundary: the stored KMV arrays and HLL
+    // register tables are written to a parquet state table, read BACK
+    // (a fresh scan — no lineage handle survives), merged with
+    // sketch(Δ) (l_orderkey % 8 = 7, the ~12.5% "new batch" of the
+    // q105 upsert flow), and gated bit-exact against sketch(full):
+    // kmv_drift / hll_drift ≡ 0 IS the contract
+    // merge(stored, sketch(Δ)) ≡ sketch(S ∪ Δ). Estimates are emitted
+    // from the MERGED sketches only — the production read path — and
+    // err-gated against exact ground truth (the oracle-side full scan
+    // the incremental path exists to avoid). SketchStateSpec's restart
+    // test drives the same state table through a stop/restart to show
+    // it survives a new session.
+    QueryDef("q225_sketch_maintain", Some({
+      import graft.functions.{Kmv, HyperLogLog}
+      import HyperLogLog.{hashCtesSql, estimateSql}
+      val k = 2048
+      val m = 1024
+      s"""WITH li AS (SELECT l_returnflag, l_orderkey % 8 = 7 AS is_delta,
+                        l_partkey || '-' || l_suppkey AS item
+                      FROM lineitem),
+      h AS (SELECT l_returnflag, is_delta, ${Kmv.hash60Sql("item")} AS h FROM li),
+      stk AS (SELECT l_returnflag, list_sort(list(DISTINCT h))[1:$k] AS kmv
+              FROM h WHERE NOT is_delta GROUP BY 1),
+      dk AS (SELECT l_returnflag, list_sort(list(DISTINCT h))[1:$k] AS kmv_d
+             FROM h WHERE is_delta GROUP BY 1),
+      mk AS (SELECT s.l_returnflag,
+               list_sort(list_distinct(s.kmv || d.kmv_d))[1:$k] AS kmv_m
+             FROM stk s JOIN dk d USING (l_returnflag)),
+      fk AS (SELECT l_returnflag, list_sort(list(DISTINCT h))[1:$k] AS kmv_f
+             FROM h GROUP BY 1),
+      kd AS (SELECT f.l_returnflag, m.kmv_m,
+               CAST(CASE WHEN f.kmv_f = m.kmv_m THEN 0 ELSE 1 END AS BIGINT)
+                 AS kmv_drift
+             FROM fk f JOIN mk m USING (l_returnflag)),
+      ${hashCtesSql("item", "(SELECT * FROM li WHERE NOT is_delta)",
+        "l_returnflag", m, "s").trim},
+      regsS AS (SELECT l_returnflag, j, MAX(rho) AS mreg FROM sr GROUP BY 1, 2),
+      ${hashCtesSql("item", "(SELECT * FROM li WHERE is_delta)",
+        "l_returnflag", m, "d").trim},
+      regsD AS (SELECT l_returnflag, j, MAX(rho) AS mreg FROM dr GROUP BY 1, 2),
+      regsM AS (SELECT l_returnflag, j, MAX(mreg) AS mreg
+                FROM (SELECT * FROM regsS UNION ALL SELECT * FROM regsD)
+                GROUP BY 1, 2),
+      ${hashCtesSql("item", "li", "l_returnflag", m, "f").trim},
+      regsF AS (SELECT l_returnflag, j, MAX(rho) AS mreg FROM fr GROUP BY 1, 2),
+      hd AS (SELECT COALESCE(a.l_returnflag, b.l_returnflag) AS l_returnflag,
+               CAST(SUM(CASE WHEN COALESCE(a.mreg, -1) <> COALESCE(b.mreg, -1)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS hll_drift
+             FROM regsM a FULL OUTER JOIN regsF b
+               ON a.l_returnflag = b.l_returnflag AND a.j = b.j
+             GROUP BY 1),
+      he AS (${estimateSql("SELECT * FROM regsM", "l_returnflag", m).trim}),
+      ex AS (SELECT l_returnflag, COUNT(DISTINCT item) AS exact_distinct
+             FROM li GROUP BY 1)
+      SELECT k.l_returnflag, k.kmv_drift,
+             ${Kmv.estimateSql("k.kmv_m", k)} AS kmv_est,
+             ABS(${Kmv.estimateSql("k.kmv_m", k)} - x.exact_distinct)
+               <= x.exact_distinct * 0.1 AS kmv_err_ok,
+             h2.hll_drift, e.est AS hll_est,
+             ABS(e.est - x.exact_distinct) <= x.exact_distinct * 0.13
+               AS hll_err_ok,
+             x.exact_distinct
+      FROM kd k JOIN hd h2 USING (l_returnflag) JOIN he e USING (l_returnflag)
+        JOIN ex x USING (l_returnflag)
+      ORDER BY k.l_returnflag"""
+    }),
+      (s, dir) => {
+        import graft.functions.{Kmv, HyperLogLog}
+        val k = 2048
+        val m = 1024
+        val stDir = s"${System.getProperty("java.io.tmpdir")}/graft_q225_st_" +
+          dir.replaceAll("[^A-Za-z0-9._-]", "_") +
+          "_p" + ProcessHandle.current.pid
+        EventQueries.cleanupOnExit(stDir)
+        // 3 consumers (kmv hash pass, hll hash pass, exact count):
+        // materialize the projected item table once
+        val li = Tables.read(s, dir, "lineitem")
+          .select(col("l_returnflag"),
+            (col("l_orderkey") % 8 === 7).as("is_delta"),
+            concat_ws("-", col("l_partkey"), col("l_suppkey")).as("item"))
+          .localCheckpoint()
+        // ---- KMV: one md5 + relational dedup pass serves the stored,
+        // delta AND full builds (q153's single-hash-pass shape)
+        val dfp = li.select(col("l_returnflag"), col("is_delta"),
+            Kmv.hash60(col("item")).as("h"))
+          .distinct()
+          .localCheckpoint()
+        dfp.where(!col("is_delta")).groupBy("l_returnflag")
+          .agg(Kmv.bottomKUnique(k)(col("h")).as("kmv"))
+          .write.mode("overwrite").parquet(s"$stDir/kmv")
+        val deltaK = dfp.where(col("is_delta")).groupBy("l_returnflag")
+          .agg(Kmv.bottomKUnique(k)(col("h")).as("kmv_d"))
+        // the stored sketch comes back off DISK — the merge below never
+        // touches the history rows
+        val mergedK = s.read.parquet(s"$stDir/kmv")
+          .join(deltaK, "l_returnflag")
+          .select(col("l_returnflag"),
+            Kmv.mergeArrays(col("kmv"), col("kmv_d"), k).as("kmv_m"))
+        // re-distinct on (flag, h): dfp's dedup keyed is_delta too, so a
+        // hash alive in BOTH halves would reach the unique buffer twice
+        val fullK = dfp.select(col("l_returnflag"), col("h")).distinct()
+          .groupBy("l_returnflag")
+          .agg(Kmv.bottomKUnique(k)(col("h")).as("kmv_f"))
+        val kmvSide = fullK.join(mergedK, "l_returnflag")
+          .select(col("l_returnflag"), col("kmv_m"),
+            when(col("kmv_f") === col("kmv_m"), 0L).otherwise(1L)
+              .as("kmv_drift"))
+        // ---- HLL: one (j, rho) projection serves all three register
+        // builds (q148's shape)
+        val hashed = li.select(col("l_returnflag"), col("is_delta"),
+            HyperLogLog.register(col("item"), m).as("j"),
+            HyperLogLog.rank(col("item")).as("rho"))
+          .localCheckpoint()
+        hashed.where(!col("is_delta")).groupBy("l_returnflag", "j")
+          .agg(max("rho").as("mreg"))
+          .write.mode("overwrite").parquet(s"$stDir/hll")
+        val deltaH = hashed.where(col("is_delta"))
+          .groupBy("l_returnflag", "j").agg(max("rho").as("mreg"))
+        val mergedH = HyperLogLog
+          .merge(s.read.parquet(s"$stDir/hll"), deltaH)
+          .localCheckpoint() // 2 consumers: drift compare + estimate
+        val fullH = hashed.groupBy("l_returnflag", "j")
+          .agg(max("rho").as("mreg"))
+        val hllDrift = mergedH.withColumnRenamed("mreg", "m_merged")
+          .join(fullH.withColumnRenamed("mreg", "m_full"),
+            Seq("l_returnflag", "j"), "full_outer")
+          .groupBy("l_returnflag")
+          .agg(sum(when(coalesce(col("m_merged"), lit(-1)) =!=
+              coalesce(col("m_full"), lit(-1)), 1L).otherwise(0L))
+            .as("hll_drift"))
+        val exact = li.groupBy("l_returnflag")
+          .agg(countDistinct("item").as("exact_distinct"))
+        kmvSide
+          .join(hllDrift, "l_returnflag")
+          .join(HyperLogLog.estimate(mergedH, Seq("l_returnflag"), m)
+            .select(col("l_returnflag"), col("est").as("hll_est")),
+            "l_returnflag")
+          .join(exact, "l_returnflag")
+          .select(col("l_returnflag"), col("kmv_drift"),
+            Kmv.estimate(col("kmv_m"), k).as("kmv_est"),
+            (abs(Kmv.estimate(col("kmv_m"), k) - col("exact_distinct")) <=
+              col("exact_distinct") * 0.1).as("kmv_err_ok"),
+            col("hll_drift"), col("hll_est"),
+            (abs(col("hll_est") - col("exact_distinct")) <=
+              col("exact_distinct") * 0.13).as("hll_err_ok"),
+            col("exact_distinct"))
+          .orderBy("l_returnflag")
       })
   )
 }

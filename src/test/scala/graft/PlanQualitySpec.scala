@@ -805,6 +805,15 @@ class PlanQualitySpec extends SparkTestBase {
       "the only window is the bucket-skew cap, partitioned by (band, chunk)")
   }
 
+  test("q224 audio fingerprint: banded join only — no cartesian over the hash table") {
+    val plan = collectAll(executed(q("q224_audio_fingerprint")))
+    assert(!plan.exists { case _: CartesianProductExec => true; case _ => false },
+      "candidates must come from the band-bucket equi-join, never all-pairs")
+    val windows = plan.filter(_.nodeName == "Window")
+    assert(windows.forall(_.toString.contains("chunk#")),
+      "the only window is the bucket-skew cap, partitioned by (band, chunk)")
+  }
+
   test("q220 Kaplan-Meier: day-domain windows only, corpus collapses first") {
     val plan = collectAll(executed(q("q220_kaplan_meier")))
     val aggs = plan.filter(_.nodeName.contains("HashAggregate")).map(_.toString)
@@ -813,12 +822,60 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!plan.exists { case _: CartesianProductExec => true; case _ => false })
   }
 
-  test("q222 Gini: rank windows ride the customer-domain revenue table") {
+  test("q222 Gini: distributed exact rank — NO window operator at all") {
     val plan = collectAll(executed(q("q222_gini")))
     val aggs = plan.filter(_.nodeName.contains("HashAggregate")).map(_.toString)
     assert(aggs.exists(_.contains("partial_sum")),
       "per-customer revenue must partial-aggregate before the exchange")
+    assert(!plan.exists(_.nodeName == "Window"),
+      "ranks must come from ExactRank (range partition + offsets), not WindowExec")
     assert(!plan.exists { case _: CartesianProductExec => true; case _ => false })
+  }
+
+  // ---- catalog-wide sweep: an unpartitioned WindowExec moves the whole
+  // relation into ONE task. q222 shipped with a plausible-but-wrong
+  // boundedness comment in round 7; this sweep makes that class of bug
+  // structurally impossible: every query whose executed plan contains a
+  // WindowExec with an EMPTY partition spec must appear in the allowlist
+  // below with the reason its windowed relation is DOMAIN-bounded
+  // (bins/days/digits/stages/vocab/top-k — sizes fixed by the dial, not
+  // the scale factor). Allowlist hygiene is enforced both ways: an entry
+  // whose query no longer has a global window is stale and fails too.
+  test("catalog sweep: no WindowExec without partition keys outside the bounded-domain allowlist") {
+    val allowlist: Map[String, String] = Map(
+      "q107_token_budget" -> ("BudgetSelect's running sum rides the ≤1001-row " +
+        "score-bucket table; only the boundary bucket orders per-doc"),
+      "q114_vocab_growth" -> "cumulative curve over EXACTLY 10 decile rows",
+      "q115_zipf_slope" -> ("rank + regression over the top-100 bigram rows " +
+        "(TakeOrderedAndProject upstream, never a vocabulary sort)"),
+      "q116_corpus_build" -> ("the composed BudgetSelect stage: same ≤1001-row " +
+        "bucket-table window as q107"),
+      "q141_nb_auc" -> ("Mann–Whitney sweep over the DISTINCT-score table of " +
+        "the 100-doc labeled eval slice — labeling-budget bounded"),
+      "q204_link_predict" -> ("AUC sweep over the distinct common-neighbor-count " +
+        "table — score domain ≤ maxDegree, not corpus-sized"),
+      "q216_vocab_coverage" -> ("rank + running coverage over the vocab-sized " +
+        "token counter (localCheckpoint collapses the corpus first)"),
+      "q220_kaplan_meier" -> ("survival product over the DAY-domain risk table " +
+        "— calendar-bounded, corpus collapses via min/max anchors first"))
+    val offenders = scala.collection.mutable.ListBuffer.empty[String]
+    val stale = scala.collection.mutable.ListBuffer.empty[String]
+    for (qd <- SparkEntry.catalog) {
+      val plan = collectAll(executed(q(qd.name)))
+      val global = plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+      }
+      if (global.nonEmpty && !allowlist.contains(qd.name))
+        offenders += qd.name
+      if (global.isEmpty && allowlist.contains(qd.name))
+        stale += qd.name
+    }
+    assert(offenders.isEmpty,
+      s"queries with an unpartitioned WindowExec not in the allowlist: " +
+        offenders.mkString(", "))
+    assert(stale.isEmpty,
+      s"stale allowlist entries (no global window anymore): ${stale.mkString(", ")}")
   }
 
   test("q193 KS drift: count aggs partial-aggregate; sweep windows partition by group") {

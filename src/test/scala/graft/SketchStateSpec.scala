@@ -1,0 +1,88 @@
+package graft
+
+import graft.functions.{HyperLogLog, Kmv}
+import graft.streaming.SketchState
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** The q225 incremental-maintenance contract across a STREAM RESTART:
+  * the parquet state table — not the query's checkpoint, not executor
+  * memory — is what carries the sketches between runs. A first stream
+  * commits history, dies; a second, brand-new stream (fresh source,
+  * fresh query) continues maintenance from what disk says, and an
+  * at-least-once redelivery of the delta must be a no-op (register MAX
+  * and bottom-k-of-union are idempotent). Final state must equal the
+  * from-scratch batch sketch of everything, register for register and
+  * slot for slot.
+  */
+class SketchStateSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val m = 64
+  private val k = 16
+
+  private def runStream(stateH: String, stateK: String,
+                        batches: Seq[Seq[(String, String)]]): Unit = {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(String, String)]
+    val q = input.toDF().toDF("grp", "item").writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        SketchState.mergeHllBatch(b, col("item"), Seq("grp"), m, stateH)
+        SketchState.mergeKmvBatch(b, col("item"), Seq("grp"), k, stateK)
+      }
+      .start()
+    try {
+      batches.foreach { rows =>
+        input.addData(rows: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+  }
+
+  test("state table survives a restart; replayed delta is a no-op") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_sketch_state").toString
+    val (stateH, stateK) = (s"$base/hll", s"$base/kmv")
+    val history = (1 to 40).map(i => ("click", s"user$i"))
+    val delta = (30 to 70).map(i => ("click", s"user$i")) :+ ("view", "v1")
+
+    // run 1: history only, then the driver "dies" (query stopped)
+    runStream(stateH, stateK, Seq(history))
+    assert(SketchState.read(spark, stateH).isDefined, "state must be committed")
+
+    // run 2: a NEW query continues from disk — delta arrives TWICE
+    // (at-least-once redelivery around a crash)
+    runStream(stateH, stateK, Seq(delta, delta))
+
+    val full = (history ++ delta).toDF("grp", "item")
+    val wantH = HyperLogLog.sketch(full, col("item"), Seq("grp"), m)
+      .as[(String, Int, Int)].collect().toSet
+    val gotH = SketchState.read(spark, stateH).get
+      .as[(String, Int, Int)].collect().toSet
+    assert(gotH === wantH,
+      "merged HLL state must equal the from-scratch batch sketch")
+
+    val wantK = Kmv.sketch(full, col("item"), Seq("grp"), k)
+      .as[(String, Seq[Long])].collect().toMap
+    val gotK = SketchState.read(spark, stateK).get
+      .as[(String, Seq[Long])].collect().toMap
+    assert(gotK === wantK,
+      "merged KMV state must equal the from-scratch batch sketch")
+  }
+
+  test("a key alive only in history survives a delta that lacks it") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_sketch_state2").toString
+    val (stateH, stateK) = (s"$base/hll", s"$base/kmv")
+    runStream(stateH, stateK, Seq(Seq(("old", "a"), ("old", "b"))))
+    runStream(stateH, stateK, Seq(Seq(("new", "c"))))
+    val grpsK = SketchState.read(spark, stateK).get
+      .select("grp").as[String].collect().toSet
+    assert(grpsK === Set("old", "new"),
+      "full-outer merge must keep history-only keys")
+    val est = HyperLogLog.estimate(
+        SketchState.read(spark, stateH).get, Seq("grp"), m)
+      .where(col("grp") === "old").select("est").as[Double].head()
+    assert(math.abs(est - 2.0) <= 1.0, s"history-only HLL group lost: $est")
+  }
+}
