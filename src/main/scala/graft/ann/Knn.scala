@@ -458,6 +458,26 @@ object Knn {
     */
   private def srpCandidates(e: DataFrame, idCol: String, vecCol: String, dims: Int,
                             nBands: Int, rowsPerBand: Int, maxBucketSize: Int): DataFrame = {
+    // the SAME df-threshold dial as every other LSH family — literally
+    // the same code, so the families can never drift apart on boundary
+    // semantics: a band bucket shared by k vectors emits k² candidate
+    // pairs, and buckets that hot carry no blocking signal anyway
+    val bands = graft.dedup.Dedup.capBuckets(
+      srpBands(e, idCol, vecCol, dims, nBands, rowsPerBand),
+      Seq("band", "chunk"), maxBucketSize)
+    bands.alias("a")
+      .join(bands.alias("b"),
+        col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+  }
+
+  /** Per-vector SRP band signatures: (idCol, band, chunk) — one row per
+    * band, map-side only (the planes ride as literals).
+    */
+  private def srpBands(e: DataFrame, idCol: String, vecCol: String, dims: Int,
+                       nBands: Int, rowsPerBand: Int): DataFrame = {
     val planes = srpPlanes(nBands * rowsPerBand, dims)
     val bandStructs = (0 until nBands).map { b =>
       val chunk = (0 until rowsPerBand).map { r =>
@@ -466,18 +486,28 @@ object Knn {
       }.reduce(_ + _)
       struct(lit(b).as("band"), chunk.as("chunk"))
     }
-    val allBands = e.select(col(idCol), explode(array(bandStructs: _*)).as("bc"))
+    e.select(col(idCol), explode(array(bandStructs: _*)).as("bc"))
       .select(col(idCol), col("bc.band").as("band"), col("bc.chunk").as("chunk"))
-    // the SAME df-threshold dial as every other LSH family — literally
-    // the same code, so the families can never drift apart on boundary
-    // semantics: a band bucket shared by k vectors emits k² candidate
-    // pairs, and buckets that hot carry no blocking signal anyway
-    val bands = graft.dedup.Dedup.capBuckets(allBands, Seq("band", "chunk"), maxBucketSize)
-    bands.alias("a")
-      .join(bands.alias("b"),
-        col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
-          col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+  }
+
+  /** SRP as a RETRIEVAL prefilter: (q_id, cand_id) bucket-mate
+    * candidates of each query under `queryPred` — the query side joins
+    * the corpus band table directly (never a corpus self-join), so the
+    * work is |queries|-proportional: the q226 advisor's SRP rung, rerank
+    * the survivors exactly and keep k. Self pairs excluded; a pair
+    * sharing several bands appears once.
+    */
+  def srpRetrieveCandidates(emb: DataFrame, idCol: String, vecCol: String,
+                            dims: Int, queryPred: Column, nBands: Int = 8,
+                            rowsPerBand: Int = 4): DataFrame = {
+    val bands = srpBands(withNorm(emb, idCol, vecCol), idCol, vecCol,
+        dims, nBands, rowsPerBand)
+      .localCheckpoint() // 2 consumers: query side + corpus side
+    val qb = bands.where(queryPred).select(
+      col(idCol).as("q_id"), col("band"), col("chunk"))
+    qb.join(bands, Seq("band", "chunk"))
+      .where(col("q_id") =!= col(idCol))
+      .select(col("q_id"), col(idCol).as("cand_id"))
       .distinct()
   }
 

@@ -46,6 +46,82 @@ object BucketHistogram {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** LOG-SPACED mode for heavy-tailed values (revenue, token counts):
+    * fixed width wastes buckets at the head and loses resolution at
+    * the tail; log-linear buckets give RELATIVE-error quantiles with
+    * the same counter-table state. The naive `floor(ln v / ln b)` is
+    * rejected outright: the bucket function must be BIT-EXACT across
+    * engines, and a 1-ulp libm `ln` divergence at a bucket boundary
+    * silently splits them. Instead, the HdrHistogram shape in exact
+    * integer arithmetic: decade = digit count − 1 (string length —
+    * both engines agree exactly), then `subPerDecade` linear
+    * sub-buckets within the decade via `(v·s) div 10^decade`
+    * (10^decade built as '1' + repeated '0's — never a float pow).
+    * Bucket index is monotone in v over the FULL long domain:
+    * negatives mirror below (−2 − bucket(−v)), zero sits at −1, so
+    * [[quantiles]] works unchanged. Relative width of every positive
+    * bucket is ≤ 1/s by construction: (hi − lo)·s ≤ lo + s (q227
+    * gates exactly that, plus the true-quantile-in-bucket count
+    * argument). Values must satisfy |v| < 2^63 / s (v·s stays a
+    * long) — cents-scaled money and token counts sit far below it.
+    */
+  def logSketch(df: DataFrame, value: Column, keys: Seq[String],
+                subPerDecade: Int): DataFrame = {
+    require(subPerDecade >= 1 && subPerDecade <= 1000,
+      s"subPerDecade must be in [1, 1000], got $subPerDecade")
+    df.select(keys.map(col) :+ value.cast("long").as("cv"): _*)
+      .withColumn("bucket", logBucketExpr("cv", subPerDecade))
+      .groupBy((keys :+ "bucket").map(col): _*)
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Spark-SQL log-linear bucket index of the exact-long column named
+    * `v`. Every operation is integer/string — `div`, `%`, digit count
+    * — so the SQL mirror ([[logBucketSql]]) is bit-identical.
+    */
+  def logBucketExpr(v: String, s: Int): Column = {
+    def pb(x: String): String = {
+      val dec = s"(length(cast($x as string)) - 1)"
+      val p10 = s"cast(concat('1', repeat('0', $dec)) as bigint)"
+      s"(cast($dec as bigint) * ${9L * s} + (($x * $s) div $p10) - $s)"
+    }
+    expr(s"(CASE WHEN $v = 0 THEN cast(-1 as bigint) WHEN $v > 0 THEN ${pb(v)} " +
+      s"ELSE -2 - ${pb(s"(- ($v))")} END)")
+  }
+
+  /** DuckDB mirror of [[logBucketExpr]] — same digit-count decade, same
+    * integer floor-divisions, bit-identical bucket for every long.
+    */
+  def logBucketSql(v: String, s: Int): String = {
+    def pb(x: String): String = {
+      val dec = s"(length(CAST($x AS VARCHAR)) - 1)"
+      val p10 = s"CAST('1' || repeat('0', $dec) AS BIGINT)"
+      s"(CAST($dec AS BIGINT) * ${9L * s} + (($x * $s) // $p10) - $s)"
+    }
+    s"(CASE WHEN $v = 0 THEN CAST(-1 AS BIGINT) WHEN $v > 0 THEN ${pb(v)} " +
+      s"ELSE -2 - ${pb(s"(- ($v))")} END)"
+  }
+
+  /** Value range [lo, hi) of a POSITIVE log bucket index `b`, Spark-SQL
+    * form — exact integer ceil-divisions: decade = b div 9s,
+    * sub = b mod 9s + s, lo = ceil(sub·10^decade / s), hi = the next
+    * sub-bucket's lo. Relative width ≤ 1/s: (hi − lo)·s ≤ lo + s.
+    */
+  def logBucketEdgesExpr(b: String, s: Int): (Column, Column) = {
+    val p10 = s"cast(concat('1', repeat('0', cast($b div ${9L * s} as int))) as bigint)"
+    val sub = s"(($b % ${9L * s}) + $s)"
+    (expr(s"(($sub * $p10 + ${s - 1}) div $s)"),
+      expr(s"((($sub + 1) * $p10 + ${s - 1}) div $s)"))
+  }
+
+  /** DuckDB mirror of [[logBucketEdgesExpr]]. */
+  def logBucketEdgesSql(b: String, s: Int): (String, String) = {
+    val p10 = s"CAST('1' || repeat('0', CAST($b // ${9L * s} AS INTEGER)) AS BIGINT)"
+    val sub = s"(($b % ${9L * s}) + $s)"
+    (s"(($sub * $p10 + ${s - 1}) // $s)",
+      s"((($sub + 1) * $p10 + ${s - 1}) // $s)")
+  }
+
   /** Counter-wise addition of sketches built with the SAME width dial —
     * exactly the sketch of the concatenated inputs.
     */

@@ -1575,6 +1575,426 @@ object EmbeddingQueries {
             col("n_right"), col("n_total"),
             (col("n_right") / col("n_total")).as("accuracy"))
           .orderBy("true_label", "pred_label")
+      }),
+
+    // ---- q226: ANN ladder ADVISOR — the retrieval twin of q218's
+    // join-strategy advisor: ONE relation comparing every rung of the
+    // similarity-search ladder (brute / JL prefilter / SRP buckets /
+    // IVF / PQ-ADC / IVF-PQ+rerank) on a SHARED query set (vec_id <
+    // 10, k = 5), each at its existing gated dial. Per method:
+    // measured recall@1/@5 against the exact ground truth of ITS
+    // metric (cosine for the scan/bucket family, L2 for the quantized
+    // family — the `metric` column discloses the space), plus the two
+    // numbers that price the method at 100 TB: coarse_pairs (QUERY-
+    // TIME cheap-space scorings — projected dots, routing dots, ADC
+    // table lookups; index-BUILD work is amortized and excluded) and
+    // exact_pairs (full-dimension scorings). This is the dial a
+    // pipeline owner actually turns: recall you keep vs full-dim work
+    // you pay. Every stage shares the proven tie-breaks (score DESC /
+    // distance ASC, then candidate id), so the relation hash-matches.
+    QueryDef("q226_ann_advisor", Some(s"""
+      WITH ce AS (SELECT vec_id, embedding, ${sqlNorm("embedding")} AS nrm
+                  FROM embeddings WHERE ${sqlNorm("embedding")} > 0),
+      bp AS MATERIALIZED (SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+                   ${sqlDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS s
+            FROM ce q JOIN ce c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+      gc AS MATERIALIZED (SELECT q_id, cand_id, rk FROM (
+              SELECT q_id, cand_id, ROW_NUMBER() OVER (PARTITION BY q_id
+                       ORDER BY s DESC, cand_id) AS rk FROM bp) WHERE rk <= 5),
+      lp AS (SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+                    ${pqSqd("q.embedding", "c.embedding")} AS d2
+             FROM embeddings q JOIN embeddings c
+               ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+      gl AS MATERIALIZED (SELECT q_id, cand_id, rk FROM (
+              SELECT q_id, cand_id, ROW_NUMBER() OVER (PARTITION BY q_id
+                       ORDER BY d2, cand_id) AS rk FROM lp) WHERE rk <= 5),
+      jh AS (SELECT j, list_transform(range(0, 64),
+               i -> CASE WHEN substr(md5('p:' || j || ':' || i), 1, 1)
+                         IN ('8','9','a','b','c','d','e','f')
+                         THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END) AS hv
+             FROM range(0, 16) t(j)),
+      jp AS MATERIALIZED (SELECT ce.vec_id, jh.j,
+                            ROUND(${sqlDot("ce.embedding", "jh.hv")}, 6) AS proj
+                          FROM ce CROSS JOIN jh),
+      jn AS MATERIALIZED (SELECT vec_id, SQRT(SUM(proj * proj)) AS pnrm
+                          FROM jp GROUP BY vec_id
+                          HAVING SQRT(SUM(proj * proj)) > 0),
+      jdp AS (SELECT a.vec_id AS q_id, b.vec_id AS cand_id,
+                     SUM(a.proj * b.proj) AS dp
+              FROM jp a JOIN jp b ON a.j = b.j
+                AND a.vec_id < 10 AND b.vec_id <> a.vec_id
+              GROUP BY 1, 2),
+      jps AS MATERIALIZED (SELECT q_id, cand_id,
+                             ROUND(dp / (x.pnrm * y.pnrm), 6) AS sim
+                           FROM jdp JOIN jn x ON x.vec_id = jdp.q_id
+                                    JOIN jn y ON y.vec_id = jdp.cand_id),
+      jpre AS MATERIALIZED (SELECT q_id, cand_id FROM (
+               SELECT q_id, cand_id, ROW_NUMBER() OVER (PARTITION BY q_id
+                        ORDER BY sim DESC, cand_id) AS rk FROM jps)
+             WHERE rk <= 30),
+      jrr AS (SELECT p.q_id, p.cand_id,
+                     ${sqlDot("eq.embedding", "ec.embedding")} / (eq.nrm * ec.nrm) AS s
+              FROM jpre p JOIN ce eq ON eq.vec_id = p.q_id
+                          JOIN ce ec ON ec.vec_id = p.cand_id),
+      jsel AS (SELECT q_id, cand_id, rk FROM (
+                 SELECT q_id, cand_id, ROW_NUMBER() OVER (PARTITION BY q_id
+                          ORDER BY s DESC, cand_id) AS rk FROM jrr)
+               WHERE rk <= 5),
+      sh AS (SELECT j, list_transform(range(0, 64),
+               i -> CASE WHEN substr(md5(j || ':' || i), 1, 1)
+                         IN ('8','9','a','b','c','d','e','f')
+                         THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END) AS hv
+             FROM range(0, 32) t(j)),
+      sbits AS (SELECT ce.vec_id, sh.j,
+                       CASE WHEN ${sqlDot("ce.embedding", "sh.hv")} >= 0
+                            THEN 1 ELSE 0 END AS bit
+                FROM ce CROSS JOIN sh),
+      sbnd AS MATERIALIZED (SELECT vec_id, j // 4 AS band,
+                              SUM(bit * (1 << (j % 4))) AS chunk
+                            FROM sbits GROUP BY 1, 2),
+      scand AS MATERIALIZED (SELECT DISTINCT a.vec_id AS q_id, b.vec_id AS cand_id
+                             FROM sbnd a JOIN sbnd b
+                               ON a.band = b.band AND a.chunk = b.chunk
+                               AND a.vec_id < 10 AND b.vec_id <> a.vec_id),
+      srr AS (SELECT c.q_id, c.cand_id,
+                     ${sqlDot("eq.embedding", "ec.embedding")} / (eq.nrm * ec.nrm) AS s
+              FROM scand c JOIN ce eq ON eq.vec_id = c.q_id
+                           JOIN ce ec ON ec.vec_id = c.cand_id),
+      ssel AS (SELECT q_id, cand_id, rk FROM (
+                 SELECT q_id, cand_id, ROW_NUMBER() OVER (PARTITION BY q_id
+                          ORDER BY s DESC, cand_id) AS rk FROM srr)
+               WHERE rk <= 5),
+      ic AS (SELECT vec_id AS centroid_id, embedding AS cvec, nrm AS cnrm
+             FROM ce WHERE vec_id % 50 = 0),
+      ird AS (SELECT vec_id, centroid_id,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id
+                       ORDER BY cs DESC, centroid_id) AS crk
+              FROM (SELECT ce.vec_id, ic.centroid_id,
+                           ${sqlDot("ce.embedding", "ic.cvec")} / (ce.nrm * ic.cnrm) AS cs
+                    FROM ce CROSS JOIN ic)),
+      iasg AS (SELECT vec_id, centroid_id FROM ird WHERE crk = 1),
+      iprb AS (SELECT vec_id, centroid_id FROM ird
+               WHERE crk <= 2 AND vec_id < 10),
+      ip AS MATERIALIZED (SELECT q.vec_id AS q_id, cand.vec_id AS cand_id,
+                   ${sqlDot("q.embedding", "cand.embedding")} / (q.nrm * cand.nrm) AS s
+            FROM iprb p JOIN ce q ON q.vec_id = p.vec_id
+                 JOIN iasg a ON a.centroid_id = p.centroid_id
+                 JOIN ce cand ON cand.vec_id = a.vec_id
+            WHERE cand.vec_id <> q.vec_id),
+      isel AS (SELECT q_id, cand_id, rk FROM (
+                 SELECT q_id, cand_id, ROW_NUMBER() OVER (PARTITION BY q_id
+                          ORDER BY s DESC, cand_id) AS rk FROM ip)
+               WHERE rk <= 5),
+      psv AS (SELECT vec_id AS id, CAST(j AS INTEGER) AS sub,
+                     embedding[(j*16+1):((j+1)*16)] AS sv
+              FROM embeddings CROSS JOIN range(0, 4) t(j)),
+      pc0 AS (SELECT sub, id AS code, sv AS cvec FROM psv WHERE id < 16),
+      ${pqLloydCte(1, "pc0", "psv", "p").trim},
+      ${pqLloydCte(2, "pc1", "psv", "p").trim},
+      pcodes AS (SELECT id, sub, code FROM (
+                   SELECT s.id, s.sub, c.code,
+                          ROW_NUMBER() OVER (PARTITION BY s.id, s.sub
+                            ORDER BY ${pqSqd("s.sv", "c.cvec")}, c.code) AS rk
+                   FROM psv s JOIN pc2 c ON c.sub = s.sub) WHERE rk = 1),
+      pq_ AS (SELECT id AS q_id, sub, sv FROM psv WHERE id < 10),
+      pdt AS (SELECT q.q_id, q.sub, c.code, ${pqSqd("q.sv", "c.cvec")} AS d2
+              FROM pq_ q JOIN pc2 c ON c.sub = q.sub),
+      pterm AS (SELECT pdt.q_id, k2.id, pdt.sub, pdt.d2
+                FROM pcodes k2 JOIN pdt ON pdt.sub = k2.sub AND pdt.code = k2.code
+                WHERE k2.id <> pdt.q_id),
+      ptot AS (SELECT q_id, id,
+                 MAX(CASE WHEN sub = 0 THEN d2 END)
+                 + MAX(CASE WHEN sub = 1 THEN d2 END)
+                 + MAX(CASE WHEN sub = 2 THEN d2 END)
+                 + MAX(CASE WHEN sub = 3 THEN d2 END) AS adc_d2
+               FROM pterm GROUP BY q_id, id),
+      psel AS (SELECT q_id, cand_id, rk FROM (
+                 SELECT q_id, id AS cand_id, ROW_NUMBER() OVER (PARTITION BY q_id
+                          ORDER BY adc_d2, id) AS rk FROM ptot) WHERE rk <= 5),
+      vcc AS (SELECT vec_id AS bid, embedding AS bvec
+              FROM embeddings WHERE vec_id % 50 = 0),
+      vasg AS (SELECT id, bid FROM (
+                 SELECT e2.vec_id AS id, vcc.bid,
+                        ROW_NUMBER() OVER (PARTITION BY e2.vec_id
+                          ORDER BY ${pqSqd("e2.embedding", "vcc.bvec")}, vcc.bid) AS rk
+                 FROM embeddings e2 CROSS JOIN vcc) WHERE rk = 1),
+      vres AS MATERIALIZED (SELECT a.id, a.bid,
+                     list_transform(range(1, len(e2.embedding)+1),
+                       i -> CAST(e2.embedding[i] AS DOUBLE) - CAST(vcc.bvec[i] AS DOUBLE)) AS rv
+              FROM vasg a JOIN embeddings e2 ON e2.vec_id = a.id
+                          JOIN vcc ON vcc.bid = a.bid),
+      vrsv AS MATERIALIZED (SELECT id, CAST(j AS INTEGER) AS sub,
+                              rv[(j*16+1):((j+1)*16)] AS sv
+                            FROM vres CROSS JOIN range(0, 4) t(j)),
+      vc0 AS (SELECT sub, id AS code, sv AS cvec FROM vrsv WHERE id < 16),
+      ${pqLloydCte(1, "vc0", "vrsv", "v").trim},
+      vcodes AS (SELECT r.id, a.bid, r.sub, r.code FROM (
+                   SELECT id, sub, code FROM (
+                     SELECT s.id, s.sub, c.code,
+                            ROW_NUMBER() OVER (PARTITION BY s.id, s.sub
+                              ORDER BY ${pqSqd("s.sv", "c.cvec")}, c.code) AS rk
+                     FROM vrsv s JOIN vc1 c ON c.sub = s.sub) WHERE rk = 1) r
+                 JOIN vasg a ON a.id = r.id),
+      vqpb AS (SELECT q_id, bid FROM (
+                 SELECT e2.vec_id AS q_id, vcc.bid,
+                        ROW_NUMBER() OVER (PARTITION BY e2.vec_id
+                          ORDER BY ${pqSqd("e2.embedding", "vcc.bvec")}, vcc.bid) AS rk
+                 FROM embeddings e2 CROSS JOIN vcc WHERE e2.vec_id < 10)
+               WHERE rk <= 2),
+      vqres AS (SELECT p.q_id, p.bid,
+                       list_transform(range(1, len(e2.embedding)+1),
+                         i -> CAST(e2.embedding[i] AS DOUBLE) - CAST(vcc.bvec[i] AS DOUBLE)) AS rv
+                FROM vqpb p JOIN embeddings e2 ON e2.vec_id = p.q_id
+                            JOIN vcc ON vcc.bid = p.bid),
+      vqsv AS (SELECT q_id, bid, CAST(j AS INTEGER) AS sub,
+                      rv[(j*16+1):((j+1)*16)] AS sv
+               FROM vqres CROSS JOIN range(0, 4) t(j)),
+      vdt AS (SELECT q.q_id, q.bid, c.code, q.sub,
+                     ${pqSqd("q.sv", "c.cvec")} AS d2
+              FROM vqsv q JOIN vc1 c ON c.sub = q.sub),
+      vterm AS (SELECT vdt.q_id, k2.id, vdt.sub, vdt.d2
+                FROM vcodes k2 JOIN vdt ON vdt.bid = k2.bid
+                  AND vdt.sub = k2.sub AND vdt.code = k2.code
+                WHERE k2.id <> vdt.q_id),
+      vtot AS (SELECT q_id, id,
+                 MAX(CASE WHEN sub = 0 THEN d2 END)
+                 + MAX(CASE WHEN sub = 1 THEN d2 END)
+                 + MAX(CASE WHEN sub = 2 THEN d2 END)
+                 + MAX(CASE WHEN sub = 3 THEN d2 END) AS adc_d2
+               FROM vterm GROUP BY q_id, id),
+      vshort AS MATERIALIZED (SELECT q_id, cand_id FROM (
+                  SELECT q_id, id AS cand_id, ROW_NUMBER() OVER (PARTITION BY q_id
+                           ORDER BY adc_d2, id) AS rk FROM vtot) WHERE rk <= 15),
+      vsel AS (SELECT q_id, cand_id, rk FROM (
+                 SELECT s2.q_id, s2.cand_id,
+                        ROW_NUMBER() OVER (PARTITION BY s2.q_id
+                          ORDER BY ${pqSqd("qe.embedding", "ce2.embedding")}, s2.cand_id) AS rk
+                 FROM vshort s2 JOIN embeddings qe ON qe.vec_id = s2.q_id
+                      JOIN embeddings ce2 ON ce2.vec_id = s2.cand_id)
+               WHERE rk <= 5),
+      gcn AS (SELECT CAST(COUNT(*) AS BIGINT) AS gt5,
+                     CAST(SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS gt1
+              FROM gc),
+      gln AS (SELECT CAST(COUNT(*) AS BIGINT) AS gt5,
+                     CAST(SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS gt1
+              FROM gl),
+      rows_ AS (
+        SELECT 'brute' AS method, 'cosine' AS metric,
+               'exact full scan' AS dial,
+               CAST(0 AS BIGINT) AS coarse_pairs,
+               (SELECT COUNT(*) FROM bp) AS exact_pairs,
+               (SELECT COUNT(*) FROM gc g JOIN gc s2 ON s2.q_id = g.q_id
+                  AND s2.cand_id = g.cand_id AND g.rk = 1 AND s2.rk = 1) AS n_hit1,
+               (SELECT COUNT(*) FROM gc g JOIN gc s2 ON s2.q_id = g.q_id
+                  AND s2.cand_id = g.cand_id) AS n_hit5
+        UNION ALL
+        SELECT 'jl', 'cosine', 'outdims=16 prefilter=30',
+               (SELECT COUNT(*) FROM jps), (SELECT COUNT(*) FROM jpre),
+               (SELECT COUNT(*) FROM gc g JOIN jsel s2 ON s2.q_id = g.q_id
+                  AND s2.cand_id = g.cand_id AND g.rk = 1 AND s2.rk = 1),
+               (SELECT COUNT(*) FROM gc g JOIN jsel s2 ON s2.q_id = g.q_id
+                  AND s2.cand_id = g.cand_id)
+        UNION ALL
+        SELECT 'srp', 'cosine', 'bits=32 bands=8x4',
+               CAST(0 AS BIGINT), (SELECT COUNT(*) FROM scand),
+               (SELECT COUNT(*) FROM gc g JOIN ssel s2 ON s2.q_id = g.q_id
+                  AND s2.cand_id = g.cand_id AND g.rk = 1 AND s2.rk = 1),
+               (SELECT COUNT(*) FROM gc g JOIN ssel s2 ON s2.q_id = g.q_id
+                  AND s2.cand_id = g.cand_id)
+        UNION ALL
+        SELECT 'ivf', 'cosine', 'cents=mod50 nprobe=2',
+               (SELECT COUNT(*) FROM ce WHERE vec_id < 10)
+                 * (SELECT COUNT(*) FROM ic),
+               (SELECT COUNT(*) FROM ip),
+               (SELECT COUNT(*) FROM gc g JOIN isel s2 ON s2.q_id = g.q_id
+                  AND s2.cand_id = g.cand_id AND g.rk = 1 AND s2.rk = 1),
+               (SELECT COUNT(*) FROM gc g JOIN isel s2 ON s2.q_id = g.q_id
+                  AND s2.cand_id = g.cand_id)
+        UNION ALL
+        SELECT 'pq', 'l2', 'm=4 codes=16 iters=2',
+               (SELECT COUNT(*) FROM embeddings WHERE vec_id < 10)
+                 * ((SELECT COUNT(*) FROM embeddings) - 1),
+               CAST(0 AS BIGINT),
+               (SELECT COUNT(*) FROM gl g JOIN psel s2 ON s2.q_id = g.q_id
+                  AND s2.cand_id = g.cand_id AND g.rk = 1 AND s2.rk = 1),
+               (SELECT COUNT(*) FROM gl g JOIN psel s2 ON s2.q_id = g.q_id
+                  AND s2.cand_id = g.cand_id)
+        UNION ALL
+        SELECT 'ivfpq', 'l2', 'nprobe=2 m=4 shortlist=15',
+               (SELECT COUNT(*) FROM (SELECT DISTINCT q_id, id FROM vterm)),
+               (SELECT COUNT(*) FROM vshort),
+               (SELECT COUNT(*) FROM gl g JOIN vsel s2 ON s2.q_id = g.q_id
+                  AND s2.cand_id = g.cand_id AND g.rk = 1 AND s2.rk = 1),
+               (SELECT COUNT(*) FROM gl g JOIN vsel s2 ON s2.q_id = g.q_id
+                  AND s2.cand_id = g.cand_id))
+      SELECT method, metric, dial, coarse_pairs, exact_pairs, n_hit1, n_hit5,
+             CAST(n_hit1 AS DOUBLE) / (CASE metric WHEN 'cosine'
+               THEN (SELECT gt1 FROM gcn) ELSE (SELECT gt1 FROM gln) END)
+               AS recall_at_1,
+             CAST(n_hit5 AS DOUBLE) / (CASE metric WHEN 'cosine'
+               THEN (SELECT gt5 FROM gcn) ELSE (SELECT gt5 FROM gln) END)
+               AS recall_at_5
+      FROM rows_ ORDER BY method"""),
+      (s, dir) => {
+        import graft.ann.{IvfPq, Knn, Pq, Project}
+        import org.apache.spark.sql.DataFrame
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.types.LongType
+        val k = 5
+        val emb = Tables.read(s, dir, "embeddings").localCheckpoint()
+        val e = emb.select(col("vec_id"), col("embedding"),
+            Knn.l2norm(col("embedding")).as("nrm"))
+          .where(col("nrm") > 0).localCheckpoint()
+        val qc = e.where(col("vec_id") < 10).select(col("vec_id").as("q_id"),
+          col("embedding").as("qv"), col("nrm").as("qn"))
+        val cc0 = e.select(col("vec_id").as("cand_id"),
+          col("embedding").as("cv"), col("nrm").as("cn"))
+        def cosSim = Knn.dot(col("qv"), col("cv")) / (col("qn") * col("cn"))
+        // ---- ground truths (cosine + L2), the cosine one doubling as
+        // the brute rung's own answer
+        val bp = broadcast(qc).join(cc0, col("q_id") =!= col("cand_id"))
+          .select(col("q_id"), col("cand_id"), cosSim.as("sim"))
+          .localCheckpoint()
+        val gc = Knn.topKSelect(bp, LongType, k)
+          .select("q_id", "rk", "cand_id").localCheckpoint()
+        val ql = emb.where(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qlv"))
+        val lp = broadcast(ql).join(emb, col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), (-Pq.sqdist(col("qlv"), col("embedding"))).as("sim"),
+            col("vec_id").as("cand_id"))
+        val gl = Knn.topKSelect(lp, LongType, k)
+          .select("q_id", "rk", "cand_id").localCheckpoint()
+        def gtCounts(gt: DataFrame): DataFrame = gt.agg(
+          count(lit(1)).as("gt5"),
+          sum(when(col("rk") === 1, 1L).otherwise(0L)).as("gt1"))
+        val gcn = gtCounts(gc).localCheckpoint()
+        val gln = gtCounts(gl).localCheckpoint()
+        def hits(sel: DataFrame, gt: DataFrame): DataFrame = {
+          val h5 = gt.select("q_id", "cand_id")
+            .join(sel.select("q_id", "cand_id"), Seq("q_id", "cand_id"))
+            .agg(count(lit(1)).as("n_hit5"))
+          val h1 = gt.where(col("rk") === 1).select("q_id", "cand_id")
+            .join(sel.where(col("rk") === 1).select("q_id", "cand_id"),
+              Seq("q_id", "cand_id"))
+            .agg(count(lit(1)).as("n_hit1"))
+          h1.crossJoin(h5)
+        }
+        def methodRow(method: String, metric: String, dial: String,
+                      coarse: DataFrame, exactPairs: DataFrame,
+                      sel: DataFrame, gt: DataFrame, gtn: DataFrame): DataFrame =
+          coarse.crossJoin(exactPairs).crossJoin(hits(sel, gt))
+            .crossJoin(broadcast(gtn))
+            .select(lit(method).as("method"), lit(metric).as("metric"),
+              lit(dial).as("dial"), col("coarse_pairs"), col("exact_pairs"),
+              col("n_hit1"), col("n_hit5"),
+              (col("n_hit1").cast("double") / col("gt1")).as("recall_at_1"),
+              (col("n_hit5").cast("double") / col("gt5")).as("recall_at_5"))
+        val zero = e.limit(1).agg(lit(0L).as("coarse_pairs"))
+        val zeroEx = e.limit(1).agg(lit(0L).as("exact_pairs"))
+        // ---- brute: ground truth priced honestly
+        val bRow = methodRow("brute", "cosine", "exact full scan",
+          zero, bp.agg(count(lit(1)).as("exact_pairs")), gc, gc, gcn)
+        // ---- JL prefilter-rerank (q160's dial)
+        val pn = Project.project(emb, "vec_id", "embedding", 64, 16)
+          .select(col("vec_id"), col("proj"),
+            Project.l2normD(col("proj")).as("pnrm"))
+          .where(col("pnrm") > 0).localCheckpoint()
+        val jq = pn.where(col("vec_id") < 10).select(col("vec_id").as("q_id"),
+          col("proj").as("qp"), col("pnrm").as("qpn"))
+        val jc = pn.select(col("vec_id").as("cand_id"),
+          col("proj").as("cp"), col("pnrm").as("cpn"))
+        val jps = broadcast(jq).join(jc, col("q_id") =!= col("cand_id"))
+          .select(col("q_id"), col("cand_id"),
+            round(Project.dotD(col("qp"), col("cp")) / (col("qpn") * col("cpn")), 6)
+              .as("sim"))
+          .localCheckpoint()
+        val jpre = Knn.topKSelect(jps, LongType, 30)
+          .select("q_id", "cand_id").localCheckpoint()
+        val jsel = Knn.topKSelect(
+          jpre.join(broadcast(qc), "q_id").join(cc0, "cand_id")
+            .select(col("q_id"), col("cand_id"), cosSim.as("sim")),
+          LongType, k)
+        val jRow = methodRow("jl", "cosine", "outdims=16 prefilter=30",
+          jps.agg(count(lit(1)).as("coarse_pairs")),
+          jpre.agg(count(lit(1)).as("exact_pairs")), jsel, gc, gcn)
+        // ---- SRP bucket prefilter (q62's 8x4 dial, retrieval form)
+        val scand = Knn.srpRetrieveCandidates(emb, "vec_id", "embedding", 64,
+          col("vec_id") < 10).localCheckpoint()
+        val ssel = Knn.topKSelect(
+          scand.join(broadcast(qc), "q_id").join(cc0, "cand_id")
+            .select(col("q_id"), col("cand_id"), cosSim.as("sim")),
+          LongType, k)
+        val sRow = methodRow("srp", "cosine", "bits=32 bands=8x4",
+          zero, scand.agg(count(lit(1)).as("exact_pairs")), ssel, gc, gcn)
+        // ---- IVF nprobe=2 (q64's dial), scored relation shared by the
+        // count and the top-k
+        val cent = e.where(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("centroid_id"),
+            col("embedding").as("cent_vec"), col("nrm").as("cent_nrm"))
+          .localCheckpoint()
+        val iasg = e.crossJoin(broadcast(cent))
+          .select(col("vec_id"),
+            col("centroid_id"),
+            (Knn.dot(col("embedding"), col("cent_vec"))
+              / (col("nrm") * col("cent_nrm"))).as("cs"))
+          .groupBy("vec_id")
+          .agg(max_by(col("centroid_id"), struct(col("cs"), -col("centroid_id")))
+            .as("centroid_id"))
+        val iprb = broadcast(qc).crossJoin(broadcast(cent))
+          .select(col("q_id"),
+            col("centroid_id"),
+            (Knn.dot(col("qv"), col("cent_vec"))
+              / (col("qn") * col("cent_nrm"))).as("cs"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("q_id").orderBy(col("cs").desc, col("centroid_id"))))
+          .where(col("rk") <= 2).select("q_id", "centroid_id")
+        val icand = e.join(iasg, "vec_id").select(col("vec_id").as("cand_id"),
+          col("embedding").as("cv"), col("nrm").as("cn"), col("centroid_id"))
+        val ip = iprb.join(broadcast(qc), "q_id").join(icand, Seq("centroid_id"))
+          .where(col("q_id") =!= col("cand_id"))
+          .select(col("q_id"), col("cand_id"), cosSim.as("sim"))
+          .localCheckpoint()
+        val isel = Knn.topKSelect(ip, LongType, k)
+        val iCoarse = qc.agg(count(lit(1)).as("a"))
+          .crossJoin(cent.agg(count(lit(1)).as("b")))
+          .select((col("a") * col("b")).as("coarse_pairs"))
+        val iRow = methodRow("ivf", "cosine", "cents=mod50 nprobe=2",
+          iCoarse, ip.agg(count(lit(1)).as("exact_pairs")), isel, gc, gcn)
+        // ---- PQ-ADC (q186's dial): every candidate priced at table
+        // lookups, no exact stage
+        val cb = Pq.trainCodebooks(emb, "vec_id", "embedding", m = 4,
+          seedPred = col("vec_id") < 16, iters = 2)
+        val codes = Pq.assign(Pq.subvectors(emb, "vec_id", "embedding", 4), cb)
+        val psel = Pq.adcTopK(emb.where(col("vec_id") < 10),
+          "vec_id", "embedding", codes, cb, m = 4, k = k)
+        val pCoarse = ql.agg(count(lit(1)).as("a"))
+          .crossJoin(emb.agg(count(lit(1)).as("b")))
+          .select((col("a") * (col("b") - 1)).as("coarse_pairs"))
+        val pRow = methodRow("pq", "l2", "m=4 codes=16 iters=2",
+          pCoarse, zeroEx, psel, gl, gln)
+        // ---- IVF-PQ with exact rerank (q200's chain, shortlist 15)
+        val vcc = emb.where(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("bid"), col("embedding").as("bvec"))
+        val vres = IvfPq.residuals(emb, "vec_id", "embedding", vcc)
+          .localCheckpoint()
+        val vcb = Pq.trainCodebooks(vres, "id", "rv", m = 4,
+          seedPred = col("id") < 16, iters = 1)
+        val vcodes = Pq.assign(Pq.subvectors(vres, "id", "rv", 4), vcb)
+          .join(vres.select("id", "bid"), "id").localCheckpoint()
+        val vprobes = IvfPq.probeResiduals(emb.where(col("vec_id") < 10),
+          "vec_id", "embedding", vcc, nprobe = 2).localCheckpoint()
+        val vadc = IvfPq.searchAdc(vprobes, vcodes, vcb, m = 4, k = 15)
+          .localCheckpoint()
+        val vsel = IvfPq.rerankExact(vadc, emb, "vec_id", "embedding")
+          .where(col("rk") <= k)
+        val vCoarse = vprobes.select("q_id", "bid").distinct()
+          .join(vcodes.select("id", "bid").distinct(), "bid")
+          .where(col("id") =!= col("q_id"))
+          .agg(count(lit(1)).as("coarse_pairs"))
+        val vRow = methodRow("ivfpq", "l2", "nprobe=2 m=4 shortlist=15",
+          vCoarse, vadc.agg(count(lit(1)).as("exact_pairs")), vsel, gl, gln)
+        Seq(bRow, jRow, sRow, iRow, pRow, vRow).reduce(_ unionByName _)
+          .orderBy("method")
       })
   )
 
@@ -1599,20 +2019,21 @@ object EmbeddingQueries {
     * then per-(sub, code, dim) means CAST TO FLOAT — the same
     * noise-collapse that makes the q53 two-iteration oracle exact.
     */
-  private def pqLloydCte(n: Int, cin: String, src: String = "sv"): String = s"""
-      a$n AS (SELECT id, sub, code, sv FROM (
+  private def pqLloydCte(n: Int, cin: String, src: String = "sv",
+                         p: String = ""): String = s"""
+      ${p}a$n AS (SELECT id, sub, code, sv FROM (
                 SELECT s.id, s.sub, c.code, s.sv,
                        ROW_NUMBER() OVER (PARTITION BY s.id, s.sub
                          ORDER BY ${pqSqd("s.sv", "c.cvec")}, c.code) AS rk
                 FROM $src s JOIN $cin c ON c.sub = s.sub) WHERE rk = 1),
-      ex$n AS (SELECT sub, code, unnest(sv) AS v,
-                      unnest(range(0, len(sv))) AS dim FROM a$n),
-      m$n AS (SELECT sub, code, dim, AVG(CAST(v AS DOUBLE)) AS mv
-              FROM ex$n GROUP BY 1, 2, 3),
-      c$n AS (SELECT sub, code,
+      ${p}ex$n AS (SELECT sub, code, unnest(sv) AS v,
+                      unnest(range(0, len(sv))) AS dim FROM ${p}a$n),
+      ${p}m$n AS (SELECT sub, code, dim, AVG(CAST(v AS DOUBLE)) AS mv
+              FROM ${p}ex$n GROUP BY 1, 2, 3),
+      ${p}c$n AS (SELECT sub, code,
                      list_transform(list(mv ORDER BY dim),
                                     x -> CAST(x AS FLOAT)) AS cvec
-              FROM m$n GROUP BY sub, code)"""
+              FROM ${p}m$n GROUP BY sub, code)"""
 
   // e0 suffix: DuckDB parses a bare long-decimal literal as DECIMAL and
   // its DECIMAL→DOUBLE cast can drop the 18th digit (1 ulp off the

@@ -1813,6 +1813,124 @@ object RelationalQueries {
               col("exact_distinct") * 0.13).as("hll_err_ok"),
             col("exact_distinct"))
           .orderBy("l_returnflag")
+      }),
+
+    // ---- q227: LOG-SPACED bucket-histogram quantiles — q152's twin
+    // for heavy-tailed values: per order priority, log-linear counters
+    // over o_totalprice cents (8 sub-buckets per decade — the
+    // HdrHistogram shape in EXACT integer arithmetic; a libm
+    // floor(ln v/ln b) was rejected because a 1-ulp boundary
+    // divergence silently splits the engines) answer the median and
+    // p95 with RELATIVE error ≤ 1/8 by construction — what a fixed
+    // width cannot offer across 4 decades of order values without
+    // wasting head buckets. Same counter-table state, same merge
+    // algebra: merge_drift proves shard ADDITION (o_orderkey parity) ≡
+    // monolithic; rel_err_ok gates (hi − lo)·s ≤ lo + s on the
+    // reported bucket; quantile_lo/hi_ok is q152's exact
+    // true-quantile-in-bucket count argument against the cents table.
+    QueryDef("q227_log_histogram", Some({
+      import graft.functions.BucketHistogram
+      val s8 = 8
+      val bSql = BucketHistogram.logBucketSql("cv", s8)
+      val (loSql, hiSql) = BucketHistogram.logBucketEdgesSql("k.bucket", s8)
+      s"""WITH o AS (SELECT o_orderpriority, o_orderkey % 2 AS par,
+                       CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cv
+                     FROM orders),
+      hw AS (SELECT o_orderpriority, $bSql AS bucket, COUNT(*) AS n
+             FROM o GROUP BY 1, 2),
+      hs AS (SELECT o_orderpriority, par, $bSql AS bucket, COUNT(*) AS n
+             FROM o GROUP BY 1, 2, 3),
+      hm AS (SELECT o_orderpriority, bucket, CAST(SUM(n) AS BIGINT) AS n
+             FROM hs GROUP BY 1, 2),
+      drift AS (SELECT COALESCE(a.o_orderpriority, b.o_orderpriority)
+                         AS o_orderpriority,
+                  CAST(SUM(CASE WHEN COALESCE(a.n, -1) <> COALESCE(b.n, -1)
+                                THEN 1 ELSE 0 END) AS BIGINT) AS merge_drift
+                FROM hm a FULL OUTER JOIN hw b
+                  ON a.o_orderpriority = b.o_orderpriority
+                  AND a.bucket = b.bucket
+                GROUP BY 1),
+      tot AS (SELECT o_orderpriority, CAST(SUM(n) AS BIGINT) AS n_total
+              FROM hw GROUP BY 1),
+      cum AS (SELECT o_orderpriority, bucket,
+                CAST(SUM(n) OVER (PARTITION BY o_orderpriority
+                                  ORDER BY bucket) AS BIGINT) AS cum
+              FROM hw),
+      p AS (SELECT * FROM (VALUES (1, 2), (19, 20)) t(p_num, p_den)),
+      pick AS (SELECT c.o_orderpriority, p.p_num, p.p_den, t.n_total,
+                 (p.p_num * t.n_total + p.p_den - 1) // p.p_den AS qrank,
+                 MIN(c.bucket) AS bucket
+               FROM cum c JOIN tot t USING (o_orderpriority) CROSS JOIN p
+               WHERE c.cum >= (p.p_num * t.n_total + p.p_den - 1) // p.p_den
+               GROUP BY 1, 2, 3, 4, 5),
+      edge AS (SELECT k.o_orderpriority, k.p_num, k.p_den, k.n_total,
+                 k.qrank, k.bucket, $loSql AS lo_cents, $hiSql AS hi_cents
+               FROM pick k),
+      chk AS (SELECT k.o_orderpriority, k.p_num, k.p_den,
+                CAST(SUM(CASE WHEN o.cv < k.hi_cents THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_le_hi,
+                CAST(SUM(CASE WHEN o.cv < k.lo_cents THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_lt_lo
+              FROM edge k JOIN o ON o.o_orderpriority = k.o_orderpriority
+              GROUP BY 1, 2, 3)
+      SELECT k.o_orderpriority, k.p_num, k.p_den, k.n_total, k.qrank,
+             k.bucket, k.lo_cents, k.hi_cents,
+             (k.hi_cents - k.lo_cents) * $s8 <= k.lo_cents + $s8 AS rel_err_ok,
+             c.n_le_hi >= k.qrank AS quantile_hi_ok,
+             c.n_lt_lo < k.qrank AS quantile_lo_ok,
+             d.merge_drift
+      FROM edge k
+      JOIN chk c ON c.o_orderpriority = k.o_orderpriority
+                AND c.p_num = k.p_num AND c.p_den = k.p_den
+      JOIN drift d ON d.o_orderpriority = k.o_orderpriority
+      ORDER BY k.o_orderpriority, k.p_num, k.p_den"""
+    }),
+      (s, dir) => {
+        import graft.functions.BucketHistogram
+        val s8 = 8
+        // 3 consumers (whole build, shard builds, bound-check counts)
+        val o = Tables.read(s, dir, "orders")
+          .select(col("o_orderpriority"), (col("o_orderkey") % 2).as("par"),
+            QueryDef.cents(col("o_totalprice")).as("cv"))
+          .localCheckpoint()
+        val whole = BucketHistogram.logSketch(o, col("cv"),
+            Seq("o_orderpriority"), s8)
+          .localCheckpoint() // 2 consumers: drift compare + quantiles
+        val shards = BucketHistogram.logSketch(o, col("cv"),
+            Seq("o_orderpriority", "par"), s8)
+          .localCheckpoint() // 2 consumers: shard A and shard B
+        val merged = BucketHistogram.merge(
+          shards.where(col("par") === 0).drop("par"),
+          shards.where(col("par") === 1).drop("par"))
+        val drift = merged.withColumnRenamed("n", "n_merged")
+          .join(whole.withColumnRenamed("n", "n_whole"),
+            Seq("o_orderpriority", "bucket"), "full_outer")
+          .groupBy("o_orderpriority")
+          .agg(sum(when(coalesce(col("n_merged"), lit(-1L)) =!=
+              coalesce(col("n_whole"), lit(-1L)), 1L).otherwise(0L))
+            .as("merge_drift"))
+        val (loE, hiE) = BucketHistogram.logBucketEdgesExpr("bucket", s8)
+        val pick = BucketHistogram.quantiles(whole, Seq("o_orderpriority"),
+            Seq((1, 2), (19, 20)))
+          .withColumn("lo_cents", loE)
+          .withColumn("hi_cents", hiE)
+        val chk = broadcast(pick).join(o, "o_orderpriority")
+          .groupBy("o_orderpriority", "p_num", "p_den")
+          .agg(sum(when(col("cv") < col("hi_cents"), 1L).otherwise(0L))
+              .as("n_le_hi"),
+            sum(when(col("cv") < col("lo_cents"), 1L).otherwise(0L))
+              .as("n_lt_lo"))
+        pick.join(chk, Seq("o_orderpriority", "p_num", "p_den"))
+          .join(drift, "o_orderpriority")
+          .select(col("o_orderpriority"), col("p_num"), col("p_den"),
+            col("n_total"), col("qrank"), col("bucket"),
+            col("lo_cents"), col("hi_cents"),
+            ((col("hi_cents") - col("lo_cents")) * s8 <=
+              col("lo_cents") + s8).as("rel_err_ok"),
+            (col("n_le_hi") >= col("qrank")).as("quantile_hi_ok"),
+            (col("n_lt_lo") < col("qrank")).as("quantile_lo_ok"),
+            col("merge_drift"))
+          .orderBy("o_orderpriority", "p_num", "p_den")
       })
   )
 }

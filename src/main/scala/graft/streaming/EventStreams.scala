@@ -328,6 +328,16 @@ object EventStreams {
                             keys: Seq[String], width: Long): DataFrame =
     graft.functions.BucketHistogram.sketch(events, value, keys, width)
 
+  /** The LOG-SPACED twin of [[liveHistogramCounters]] for heavy-tailed
+    * streams (spend, token counts): same bounded counter-table state,
+    * relative-error quantiles — the q227 batch sketch maintained live
+    * ([[graft.functions.BucketHistogram.logSketch]]).
+    */
+  def liveLogHistogramCounters(events: DataFrame,
+                               value: org.apache.spark.sql.Column,
+                               keys: Seq[String], subPerDecade: Int): DataFrame =
+    graft.functions.BucketHistogram.logSketch(events, value, keys, subPerDecade)
+
   /** Stateless audience ROUTING against stored KMV sketches — the
     * serving twin of batch q154/q158: each arriving document's shingle
     * sketch (computed MAP-SIDE via [[graft.functions.Kmv.arraySketch]]

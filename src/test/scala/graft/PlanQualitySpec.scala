@@ -805,6 +805,26 @@ class PlanQualitySpec extends SparkTestBase {
       "the only window is the bucket-skew cap, partitioned by (band, chunk)")
   }
 
+  test("q226 ANN advisor: every cross join is a broadcast nested loop, never a cartesian") {
+    val plan = collectAll(executed(q("q226_ann_advisor")))
+    assert(!plan.exists { case _: CartesianProductExec => true; case _ => false },
+      "codebook/centroid/scalar joins must all broadcast")
+  }
+
+  test("q227 log histogram: counters partial-aggregate; quantile windows ride the counter table") {
+    val plan = collectAll(executed(q("q227_log_histogram")))
+    // the counter build itself sits behind the sketch's localCheckpoint;
+    // what remains in-plan (bound-check counts, drift sums) must still
+    // partial-aggregate before the exchange
+    val aggs = plan.filter(_.nodeName.contains("HashAggregate")).map(_.toString)
+    assert(aggs.exists(_.contains("partial_sum")),
+      "bound-check sums must partial-aggregate before the exchange")
+    val windows = plan.filter(_.nodeName == "Window")
+    assert(windows.forall(_.toString.contains("o_orderpriority#")),
+      "the cumsum window must partition by the sketch key")
+    assert(!plan.exists { case _: CartesianProductExec => true; case _ => false })
+  }
+
   test("q224 audio fingerprint: banded join only — no cartesian over the hash table") {
     val plan = collectAll(executed(q("q224_audio_fingerprint")))
     assert(!plan.exists { case _: CartesianProductExec => true; case _ => false },

@@ -486,6 +486,48 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming LOG histogram counters equal the batch sketch; p95 is live") {
+    implicit val ctx = spark.sqlContext
+    import graft.functions.BucketHistogram
+    val s8 = 8
+    val input = MemoryStream[(String, Long)]
+    val q = EventStreams.liveLogHistogramCounters(
+        input.toDF().toDF("g", "cents"), col("cents"), Seq("g"), s8)
+      .writeStream.format("memory").queryName("log_hist_counters")
+      .outputMode(OutputMode.Complete())
+      .start()
+    try {
+      // 4 decades of spread plus zero and negatives across two batches
+      val b1 = (1L to 60L).map(v => ("a", v * v * v)) :+ (("a", 0L))
+      val b2 = (1L to 40L).map(v => ("a", v * 17L)) :+ (("b", -12345L))
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      val streamed = spark.table("log_hist_counters")
+        .as[(String, Long, Long)].collect().toSet
+      val batch = BucketHistogram.logSketch((b1 ++ b2).toDF("g", "cents"),
+          col("cents"), Seq("g"), s8)
+        .as[(String, Long, Long)].collect().toSet
+      assert(streamed === batch,
+        "incremental log counters must equal the batch rebuild")
+      val p95 = BucketHistogram.quantiles(
+          spark.table("log_hist_counters").localCheckpoint(), Seq("g"),
+          Seq((19, 20)))
+        .where(col("g") === "a")
+        .select("bucket", "qrank").as[(Long, Long)].head()
+      val sorted = (b1 ++ b2).filter(_._1 == "a").map(_._2).sorted
+      val trueQ = sorted(p95._2.toInt - 1)
+      // the true p95 must land in the reported bucket, and the bucket's
+      // relative width must be within the 1/s contract
+      val (lo, hi) = (BucketHistogram.logBucketEdgesExpr("bucket", s8)._1,
+        BucketHistogram.logBucketEdgesExpr("bucket", s8)._2)
+      val (loV, hiV) = Seq(p95._1).toDF("bucket")
+        .select(lo.as("lo"), hi.as("hi")).as[(Long, Long)].head()
+      assert(trueQ >= loV && trueQ < hiV,
+        s"live p95 $trueQ outside bucket [$loV, $hiV)")
+      assert((hiV - loV) * s8 <= loV + s8, "relative-width contract broken")
+    } finally q.stop()
+  }
+
   test("KS drift read straight off live histogram counters equals the bucketed batch test") {
     implicit val ctx = spark.sqlContext
     val width = 10L
