@@ -1931,6 +1931,45 @@ object RelationalQueries {
             (col("n_lt_lo") < col("qrank")).as("quantile_lo_ok"),
             col("merge_drift"))
           .orderBy("o_orderpriority", "p_num", "p_den")
+      }),
+
+    // ---- q229: EXACT global percentile audit — operators.ExactRank's
+    // second consumer (q222 Gini was the first): the value at rank
+    // ⌈p·n⌉ of ALL lineitem price cents for p ∈ {50%, 95%, 99%},
+    // computed with NO single-partition sort — range partition, ≤P-row
+    // offset table, per-partition counters. This is the ground-truth
+    // side the sketch family (q57 exact-per-group, q86 approx bound,
+    // q152 width-bounded, q227 relative-bounded) is audited against at
+    // full scale: the VALUE at a rank is deterministic even though
+    // ranks among equal values are not (any tie permutation yields the
+    // same cv), so the sort key needs no tiebreak here. qranks are
+    // driver-side exact integers from the offset pass's free total —
+    // no COUNT(*) OVER () window anywhere.
+    QueryDef("q229_exact_percentile", Some("""
+      WITH v AS (SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cv
+                 FROM lineitem),
+      n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v),
+      r AS (SELECT cv, ROW_NUMBER() OVER (ORDER BY cv) AS rk FROM v),
+      p AS (SELECT * FROM (VALUES (1, 2), (19, 20), (99, 100)) t(p_num, p_den)),
+      t AS (SELECT p_num, p_den, n.n AS n_total,
+                   (p_num * n.n + p_den - 1) // p_den AS qrank
+            FROM p CROSS JOIN n)
+      SELECT t.p_num, t.p_den, t.n_total, t.qrank, r.cv AS value_cents
+      FROM t JOIN r ON r.rk = t.qrank
+      ORDER BY t.p_num, t.p_den"""),
+      (s, dir) => {
+        import s.implicits._
+        val v = Tables.read(s, dir, "lineitem")
+          .select(QueryDef.cents(col("l_extendedprice")).as("cv"))
+        val (ranked, n) = graft.operators.ExactRank.withRowNumber(
+          v, Seq(col("cv")), "rk")
+        val targets = Seq((1, 2), (19, 20), (99, 100)).map { case (num, den) =>
+          (num, den, n, (num.toLong * n + den - 1) / den)
+        }.toDF("p_num", "p_den", "n_total", "qrank")
+        ranked.join(broadcast(targets), col("rk") === col("qrank"))
+          .select(col("p_num"), col("p_den"), col("n_total"), col("qrank"),
+            col("cv").as("value_cents"))
+          .orderBy("p_num", "p_den")
       })
   )
 }

@@ -4116,6 +4116,88 @@ object TextQueries {
           .select(col("k"), col("n_vocab"), col("nn").as("n_instances"),
             col("covered"), (col("covered") / col("nn")).as("coverage"))
           .orderBy("k")
+      }),
+
+    // ---- q228: training-MIXTURE planner — the sampling-weight table a
+    // multi-source corpus is assembled from (the multilingual-LM
+    // temperature trick: w ∝ n_tokens^α with α = 1/2 upweights
+    // low-resource languages relative to proportional sampling, which
+    // would drown them; α enters as ONE IEEE sqrt — correctly rounded
+    // in both engines — then micro-scales to an exact long
+    // immediately). The token budget B = 1,000,000 is allocated as
+    // EXACT integers by largest-remainder rounding: base = (B·w) div
+    // Σw per language, the < k leftover tokens go to the largest
+    // (remainder, lang) ranks — Σ alloc ≡ B by construction, gated by
+    // budget_ok on every row (no float shares that sum to 0.999999…).
+    // epochs = alloc/n_tokens is the repeat-rate readout; over_cap
+    // flags a source the plan would repeat past 3 epochs (the point
+    // where repetition stops helping and the dial, not the formula,
+    // must decide). The remainder-rank window rides the ≤ #languages
+    // row mixture table (bounded-domain allowlist). Headroom: B·w
+    // stays a long for corpora to ~10^12 tokens per language at the
+    // micro scale.
+    QueryDef("q228_mixture_plan", Some(s"""${toksCte()},
+      lt AS (SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                    CAST(SUM(len(t.tokens)) AS BIGINT) AS n_tokens
+             FROM toks t JOIN documents d USING (doc_id) GROUP BY 1),
+      w AS (SELECT lang, n_docs, n_tokens,
+                   CAST(ROUND(SQRT(CAST(n_tokens AS DOUBLE)) * 1000000.0)
+                     AS BIGINT) AS wm
+            FROM lt),
+      tw AS (SELECT CAST(SUM(wm) AS BIGINT) AS tot FROM w),
+      base AS (SELECT w.lang, w.n_docs, w.n_tokens, w.wm, tw.tot,
+                      (1000000 * w.wm) // tw.tot AS base,
+                      (1000000 * w.wm) % tw.tot AS rem
+               FROM w CROSS JOIN tw),
+      lv AS (SELECT CAST(1000000 - SUM(base) AS BIGINT) AS leftover FROM base),
+      rk AS (SELECT base.*, ROW_NUMBER() OVER (ORDER BY rem DESC, lang) AS rr
+             FROM base),
+      al AS (SELECT lang, n_docs, n_tokens, wm, tot,
+                    base + CASE WHEN rr <= lv.leftover THEN 1 ELSE 0 END AS alloc
+             FROM rk CROSS JOIN lv),
+      t2 AS (SELECT CAST(SUM(alloc) AS BIGINT) AS talloc FROM al)
+      SELECT lang, n_docs, n_tokens, wm AS weight_micros,
+             CAST(wm AS DOUBLE) / tot AS share,
+             CAST(alloc AS BIGINT) AS alloc_tokens,
+             CAST(alloc AS DOUBLE) / n_tokens AS epochs,
+             alloc > 3 * n_tokens AS over_cap,
+             t2.talloc = 1000000 AS budget_ok
+      FROM al CROSS JOIN t2 ORDER BY lang"""),
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val budget = 1000000L
+        val lt = tokenized(s, dir)
+          .join(docs(s, dir).select("doc_id", "lang"), "doc_id")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(size(col("tokens"))).cast("long").as("n_tokens"))
+        val w = lt.withColumn("wm",
+          round(sqrt(col("n_tokens").cast("double")) * lit(1000000.0))
+            .cast("long"))
+        val tw = w.agg(sum("wm").cast("long").as("tot"))
+        val base = w.crossJoin(broadcast(tw))
+          .withColumn("base", expr(s"($budget * wm) div tot"))
+          .withColumn("rem", expr(s"($budget * wm) % tot"))
+          .localCheckpoint() // 2 consumers: leftover agg + remainder rank
+        val lv = base.agg((lit(budget) - sum("base")).cast("long")
+          .as("leftover"))
+        val al = base
+          .withColumn("rr", row_number().over(
+            Window.orderBy(col("rem").desc, col("lang"))))
+          .crossJoin(broadcast(lv))
+          .withColumn("alloc",
+            col("base") + when(col("rr") <= col("leftover"), 1L).otherwise(0L))
+          .localCheckpoint() // 2 consumers: budget check + output
+        val t2 = al.agg(sum("alloc").cast("long").as("talloc"))
+        al.crossJoin(broadcast(t2))
+          .select(col("lang"), col("n_docs"), col("n_tokens"),
+            col("wm").as("weight_micros"),
+            (col("wm").cast("double") / col("tot")).as("share"),
+            col("alloc").as("alloc_tokens"),
+            (col("alloc").cast("double") / col("n_tokens")).as("epochs"),
+            (col("alloc") > col("n_tokens") * 3).as("over_cap"),
+            (col("talloc") === budget).as("budget_ok"))
+          .orderBy("lang")
       })
   )
 

@@ -878,6 +878,9 @@ class PlanQualitySpec extends SparkTestBase {
         "token counter (localCheckpoint collapses the corpus first)"),
       "q220_kaplan_meier" -> ("survival product over the DAY-domain risk table " +
         "— calendar-bounded, corpus collapses via min/max anchors first"))
+    // (q228's largest-remainder rank is also a bounded-domain global
+    // window — ≤ #languages rows — but runs inside a localCheckpoint
+    // job, so the final executed plan the sweep sees never contains it)
     val offenders = scala.collection.mutable.ListBuffer.empty[String]
     val stale = scala.collection.mutable.ListBuffer.empty[String]
     for (qd <- SparkEntry.catalog) {
