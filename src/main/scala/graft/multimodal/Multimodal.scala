@@ -877,6 +877,35 @@ object Multimodal {
     hash
   }
 
+  /** Banded-LSH near-dup pairs over a 56-bit perceptual-hash table —
+    * the candidate geometry shared by the image (q217), audio (q224)
+    * and cross-modal (q230) dedup queries: 4 bands × 14 bits, a
+    * bucket-skew cap (a bucket hotter than `maxBucket` carries no
+    * blocking signal and would k² the join), then exact
+    * `bit_count(xor)` ≤ `maxHamming` verification on candidates only.
+    * Emits (id_a, id_b, hamming), id_a < id_b, each pair once however
+    * many bands it shares.
+    */
+  def bandedHammingPairs(h: DataFrame, idCol: String, hashCol: String,
+                         maxBucket: Int, maxHamming: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val kept = h.select(col(idCol).as("id"), col(hashCol).as("hsh"),
+        explode(expr("sequence(0, 3)")).as("b"))
+      .withColumn("chunk", expr("shiftright(hsh, b * 14) & 16383"))
+      .withColumn("bsz", count(lit(1)).over(Window.partitionBy("b", "chunk")))
+      .where(col("bsz") <= maxBucket)
+    kept.as("a")
+      .join(kept.as("b2"),
+        col("a.b") === col("b2.b") && col("a.chunk") === col("b2.chunk") &&
+          col("a.id") < col("b2.id"))
+      .select(col("a.id").as("id_a"), col("b2.id").as("id_b"),
+        col("a.hsh").as("ha"), col("b2.hsh").as("hb"))
+      .distinct()
+      .withColumn("hamming", expr("cast(bit_count(ha ^ hb) as int)"))
+      .where(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
   /** Partition-wise audio-fingerprint decode: (id, ahash LONG) — the
     * audio twin of [[decodeDHashes]].
     */

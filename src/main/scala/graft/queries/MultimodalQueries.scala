@@ -586,27 +586,13 @@ object MultimodalQueries {
       ORDER BY id_a, id_b"""),
       (s, dir) => {
         import s.implicits._
-        import org.apache.spark.sql.expressions.Window
         val pay = Tables.read(s, dir, "documents").select("doc_id").as[Long]
           .mapPartitions(_.map(id =>
             (id, Multimodal.variantPngPayload(id / 4, (id % 4).toInt, 8, 8))))
           .toDF("doc_id", "payload")
         val h = Multimodal.decodeDHashes(pay, "doc_id", "payload")
           .localCheckpoint() // both banded self-join sides read it
-        val kept = h
-          .select(col("id"), col("dhash"), explode(expr("sequence(0, 3)")).as("b"))
-          .withColumn("chunk", expr("shiftright(dhash, b * 14) & 16383"))
-          .withColumn("bsz", count(lit(1)).over(Window.partitionBy("b", "chunk")))
-          .where(col("bsz") <= 50)
-        val cand = kept.as("a")
-          .join(kept.as("b2"),
-            col("a.b") === col("b2.b") && col("a.chunk") === col("b2.chunk") &&
-              col("a.id") < col("b2.id"))
-          .select(col("a.id").as("id_a"), col("b2.id").as("id_b"),
-            col("a.dhash").as("ha"), col("b2.dhash").as("hb"))
-          .distinct()
-        cand.withColumn("hamming", expr("cast(bit_count(ha ^ hb) as int)"))
-          .where(col("hamming") <= 6)
+        Multimodal.bandedHammingPairs(h, "id", "dhash", 50, 6)
           .select(col("id_a"), col("id_b"), col("hamming"),
             (expr("id_a div 4") === expr("id_b div 4")).as("same_group"))
           .orderBy("id_a", "id_b")
@@ -671,7 +657,6 @@ object MultimodalQueries {
       ORDER BY id_a, id_b"""),
       (s, dir) => {
         import s.implicits._
-        import org.apache.spark.sql.expressions.Window
         val pay = Tables.read(s, dir, "documents").select("doc_id").as[Long]
           .mapPartitions(_.map { id =>
             val g = id / 4
@@ -681,23 +666,193 @@ object MultimodalQueries {
           .toDF("doc_id", "payload")
         val h = Multimodal.decodeAudioHashes(pay, "doc_id", "payload")
           .localCheckpoint() // both banded self-join sides read it
-        val kept = h
-          .select(col("id"), col("ahash"), explode(expr("sequence(0, 3)")).as("b"))
-          .withColumn("chunk", expr("shiftright(ahash, b * 14) & 16383"))
-          .withColumn("bsz", count(lit(1)).over(Window.partitionBy("b", "chunk")))
-          .where(col("bsz") <= 50)
-        val cand = kept.as("a")
-          .join(kept.as("b2"),
-            col("a.b") === col("b2.b") && col("a.chunk") === col("b2.chunk") &&
-              col("a.id") < col("b2.id"))
-          .select(col("a.id").as("id_a"), col("b2.id").as("id_b"),
-            col("a.ahash").as("ha"), col("b2.ahash").as("hb"))
-          .distinct()
-        cand.withColumn("hamming", expr("cast(bit_count(ha ^ hb) as int)"))
-          .where(col("hamming") <= 6)
+        Multimodal.bandedHammingPairs(h, "id", "ahash", 50, 6)
           .select(col("id_a"), col("id_b"), col("hamming"),
             (expr("id_a div 4") === expr("id_b div 4")).as("same_group"))
           .orderBy("id_a", "id_b")
+      }),
+
+    // ---- q230: CROSS-MODAL dedup profile — the capstone over the
+    // three near-dup families: text (banded MinHash-LSH → exact bigram
+    // Jaccard ≥ 0.5, the q72 chain), image (decoded-pixel dHash, q217)
+    // and audio (decoded-PCM energy sign hash, q224) pair sets union
+    // into ONE duplicate graph, connected components (pointer-doubled
+    // hash-min to the fixpoint) assign every doc its cluster and
+    // canonical survivor, and per-doc modality flags answer the
+    // question a multimodal-corpus owner actually asks: WHICH modality
+    // caught this duplicate — text-only rewording, pixel-identical
+    // re-encodes, re-mastered audio — and how many agree (a doc
+    // duplicated in 2+ modalities is a near-certain removal; a
+    // single-modality hit earns review). Scale shape: each modality's
+    // pairs come from its own banded blocking (never a cartesian), the
+    // union is pair-count-sized, CC is the shared O(log diameter)
+    // machinery, flags are one grouped max over the pair list.
+    QueryDef("q230_multimodal_dedup", Some({
+      import graft.QueryDef.{ccFixpointCtes, ccFinal}
+      s"""${TextQueries.toksCte()},
+      ids AS (SELECT doc_id FROM documents),
+      t_sig AS (SELECT doc_id,
+        ${(0 until 8).map(i =>
+          s"list_min(list_transform(list_distinct(tokens), t -> md5('$i:' || t))) AS mh$i")
+          .mkString(",\n        ")}
+              FROM toks),
+      t_band AS (${(0 until 4).map(b =>
+          s"SELECT doc_id, $b AS b, mh${2 * b} || '|' || mh${2 * b + 1} AS chunk FROM t_sig")
+          .mkString(" UNION ALL\n               ")}),
+      t_kept AS (SELECT doc_id, b, chunk FROM
+                   (SELECT doc_id, b, chunk,
+                           COUNT(*) OVER (PARTITION BY b, chunk) AS bsz FROM t_band)
+                 WHERE bsz <= 50),
+      t_cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                 FROM t_kept a JOIN t_kept b
+                   ON a.b = b.b AND a.chunk = b.chunk AND a.doc_id < b.doc_id),
+      t_sh AS (SELECT doc_id,
+                 list_distinct(list_transform(range(1, len(tokens)),
+                               i -> tokens[i] || ' ' || tokens[i+1])) AS sh
+               FROM toks),
+      t_ver AS (SELECT id_a, id_b FROM
+                  (SELECT c.id_a, c.id_b,
+                          CASE WHEN len(a.sh) + len(b.sh)
+                                    - len(list_intersect(a.sh, b.sh)) = 0 THEN NULL
+                               ELSE len(list_intersect(a.sh, b.sh))
+                                    / (len(a.sh) + len(b.sh)
+                                       - len(list_intersect(a.sh, b.sh))) END AS jac
+                   FROM t_cand c JOIN t_sh a ON a.doc_id = c.id_a
+                               JOIN t_sh b ON b.doc_id = c.id_b)
+                WHERE jac >= CAST(0.5 AS DOUBLE)),
+      i_px AS (SELECT doc_id, CAST(r.range AS INTEGER) AS k,
+                 CAST((((doc_id // 4) * 7 + r.range * 13
+                        + CASE WHEN r.range % 16 = doc_id % 4 THEN 64 ELSE 0 END) % 256)
+                    + (((doc_id // 4) * 11 + r.range * 17
+                        + CASE WHEN r.range % 16 = doc_id % 4 THEN 64 ELSE 0 END) % 256)
+                    + (((doc_id // 4) * 13 + r.range * 19
+                        + CASE WHEN r.range % 16 = doc_id % 4 THEN 64 ELSE 0 END) % 256)
+                   AS INTEGER) AS lum
+               FROM ids, range(0, 64) r),
+      i_bits AS (SELECT a.doc_id, ((a.k // 8) * 7 + (a.k % 8)) AS i
+                 FROM i_px a JOIN i_px b ON b.doc_id = a.doc_id AND b.k = a.k + 1
+                 WHERE a.k % 8 < 7 AND b.lum > a.lum),
+      i_hash AS (SELECT ids.doc_id,
+                        CAST(COALESCE(SUM(1::BIGINT << i), 0) AS BIGINT) AS hsh
+                 FROM ids LEFT JOIN i_bits ON i_bits.doc_id = ids.doc_id
+                 GROUP BY ids.doc_id),
+      i_band AS (SELECT doc_id, hsh, t.range AS b,
+                        (hsh >> CAST(t.range * 14 AS INTEGER)) & 16383 AS chunk
+                 FROM i_hash, range(0, 4) t),
+      i_kept AS (SELECT doc_id, hsh, b, chunk FROM
+                   (SELECT *, COUNT(*) OVER (PARTITION BY b, chunk) AS bsz FROM i_band)
+                 WHERE bsz <= 50),
+      i_ver AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+                FROM i_kept a JOIN i_kept b2
+                  ON a.b = b2.b AND a.chunk = b2.chunk AND a.doc_id < b2.doc_id
+                WHERE bit_count(xor(a.hsh, b2.hsh)) <= 6),
+      a_ids AS (SELECT doc_id,
+                  CAST(((doc_id // 4) * 7) % 6 + 2 AS BIGINT) AS flen
+                FROM documents),
+      a_fr AS (SELECT doc_id, flen, f.range AS f,
+                      (((doc_id // 4) * 60 + f.range + 1) % 2147483648)
+                        * 2654435761 % 2147483648 AS h1
+               FROM a_ids, range(0, 60) f),
+      a_fx AS (SELECT doc_id, flen, f, xor(h1, h1 >> 15) AS h2 FROM a_fr),
+      a_fy AS (SELECT doc_id, flen, f,
+                      (h2 * 1540483477 % 2147483648) AS h3 FROM a_fx),
+      a_fo AS (SELECT doc_id, flen, f,
+                      xor(h3, h3 >> 13) % 65536 AS off FROM a_fy),
+      a_en AS (SELECT doc_id, f,
+                 list_sum(list_transform(
+                   list_transform(range(0, flen), j ->
+                     (off + j * 17
+                      + CASE WHEN (f * flen + j) % 128 = doc_id % 4
+                        THEN 512 ELSE 0 END) % 65536),
+                   m -> abs(m - CASE WHEN m >= 32768 THEN 65536 ELSE 0 END))) AS e
+               FROM a_fo),
+      a_bits AS (SELECT a.doc_id, ((a.f // 15) * 14 + (a.f % 15)) AS i
+                 FROM a_en a JOIN a_en b ON b.doc_id = a.doc_id AND b.f = a.f + 1
+                 WHERE a.f % 15 < 14 AND b.e > a.e),
+      a_hash AS (SELECT ids.doc_id,
+                        CAST(COALESCE(SUM(1::BIGINT << i), 0) AS BIGINT) AS hsh
+                 FROM ids LEFT JOIN a_bits ON a_bits.doc_id = ids.doc_id
+                 GROUP BY ids.doc_id),
+      a_band AS (SELECT doc_id, hsh, t.range AS b,
+                        (hsh >> CAST(t.range * 14 AS INTEGER)) & 16383 AS chunk
+                 FROM a_hash, range(0, 4) t),
+      a_kept AS (SELECT doc_id, hsh, b, chunk FROM
+                   (SELECT *, COUNT(*) OVER (PARTITION BY b, chunk) AS bsz FROM a_band)
+                 WHERE bsz <= 50),
+      a_ver AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+                FROM a_kept a JOIN a_kept b2
+                  ON a.b = b2.b AND a.chunk = b2.chunk AND a.doc_id < b2.doc_id
+                WHERE bit_count(xor(a.hsh, b2.hsh)) <= 6),
+      pairs AS MATERIALIZED (SELECT id_a, id_b, 'text' AS m FROM t_ver
+                UNION ALL SELECT id_a, id_b, 'image' FROM i_ver
+                UNION ALL SELECT id_a, id_b, 'audio' FROM a_ver),
+      pd AS MATERIALIZED (SELECT DISTINCT id_a, id_b FROM pairs),
+      edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM pd
+                UNION ALL SELECT id_b, id_a FROM pd),
+      l0 AS MATERIALIZED (SELECT doc_id AS id, doc_id AS label FROM ids),
+      ${ccFixpointCtes()},
+      flags AS (SELECT doc_id,
+                  MAX(CASE WHEN m = 'text' THEN 1 ELSE 0 END) AS tf,
+                  MAX(CASE WHEN m = 'image' THEN 1 ELSE 0 END) AS imf,
+                  MAX(CASE WHEN m = 'audio' THEN 1 ELSE 0 END) AS af
+                FROM (SELECT id_a AS doc_id, m FROM pairs
+                      UNION ALL SELECT id_b, m FROM pairs)
+                GROUP BY doc_id)
+      SELECT l.id AS doc_id, l.label AS cluster_id, l.id = l.label AS keep,
+             COALESCE(f.tf, 0) = 1 AS text_dup,
+             COALESCE(f.imf, 0) = 1 AS image_dup,
+             COALESCE(f.af, 0) = 1 AS audio_dup,
+             CAST(COALESCE(f.tf, 0) + COALESCE(f.imf, 0) + COALESCE(f.af, 0)
+               AS INTEGER) AS n_modalities
+      FROM ${ccFinal()} l LEFT JOIN flags f ON f.doc_id = l.id
+      ORDER BY doc_id"""
+    }),
+      (s, dir) => {
+        import s.implicits._
+        import graft.dedup.Dedup
+        val ids = Tables.read(s, dir, "documents").select("doc_id")
+          .localCheckpoint() // payload fan-out ×2 + CC id base
+        val toks = TextQueries.tokenized(s, dir)
+        val tcand = Dedup.lshBandedCandidatePairs(toks, "doc_id", "tokens",
+          4, 2, maxBucketSize = 50)
+        val tver = Dedup.verifyJaccard(toks, "doc_id", "tokens", tcand)
+          .where(col("jaccard") >= 0.5)
+          .select(col("id_a"), col("id_b"), lit("text").as("m"))
+        val ipay = ids.as[Long].mapPartitions(_.map(id =>
+            (id, Multimodal.variantPngPayload(id / 4, (id % 4).toInt, 8, 8))))
+          .toDF("doc_id", "payload")
+        val ih = Multimodal.decodeDHashes(ipay, "doc_id", "payload")
+          .localCheckpoint()
+        val iver = Multimodal.bandedHammingPairs(ih, "id", "dhash", 50, 6)
+          .select(col("id_a"), col("id_b"), lit("image").as("m"))
+        val apay = ids.as[Long].mapPartitions(_.map { id =>
+            val g = id / 4
+            val n = (((g * 7) % 6).toInt + 2) * 60
+            (id, Multimodal.variantWavBytes(g, (id % 4).toInt, n, 8000))
+          })
+          .toDF("doc_id", "payload")
+        val ah = Multimodal.decodeAudioHashes(apay, "doc_id", "payload")
+          .localCheckpoint()
+        val aver = Multimodal.bandedHammingPairs(ah, "id", "ahash", 50, 6)
+          .select(col("id_a"), col("id_b"), lit("audio").as("m"))
+        val pairs = tver.unionByName(iver).unionByName(aver)
+          .localCheckpoint() // 2 consumers: CC edges + modality flags
+        val clusters = Dedup.nearDupClustersConverged(ids, "doc_id",
+          pairs.select("id_a", "id_b").distinct())._1
+        val flags = pairs.select(col("id_a").as("doc_id"), col("m"))
+          .unionByName(pairs.select(col("id_b").as("doc_id"), col("m")))
+          .groupBy("doc_id")
+          .agg(max(when(col("m") === "text", 1).otherwise(0)).as("tf"),
+            max(when(col("m") === "image", 1).otherwise(0)).as("imf"),
+            max(when(col("m") === "audio", 1).otherwise(0)).as("af"))
+        clusters.join(flags, Seq("doc_id"), "left_outer")
+          .select(col("doc_id"), col("cluster_id"), col("keep"),
+            (coalesce(col("tf"), lit(0)) === 1).as("text_dup"),
+            (coalesce(col("imf"), lit(0)) === 1).as("image_dup"),
+            (coalesce(col("af"), lit(0)) === 1).as("audio_dup"),
+            (coalesce(col("tf"), lit(0)) + coalesce(col("imf"), lit(0)) +
+              coalesce(col("af"), lit(0))).cast("int").as("n_modalities"))
+          .orderBy("doc_id")
       })
   )
 }

@@ -834,6 +834,12 @@ class PlanQualitySpec extends SparkTestBase {
       "the only window is the bucket-skew cap, partitioned by (band, chunk)")
   }
 
+  test("q230 multimodal dedup: all three modality blockings banded — no cartesian") {
+    val plan = collectAll(executed(q("q230_multimodal_dedup")))
+    assert(!plan.exists { case _: CartesianProductExec => true; case _ => false },
+      "text/image/audio candidates must come from banded equi-joins")
+  }
+
   test("q220 Kaplan-Meier: day-domain windows only, corpus collapses first") {
     val plan = collectAll(executed(q("q220_kaplan_meier")))
     val aggs = plan.filter(_.nodeName.contains("HashAggregate")).map(_.toString)
