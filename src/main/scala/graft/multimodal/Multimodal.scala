@@ -906,6 +906,19 @@ object Multimodal {
       .select("id_a", "id_b", "hamming")
   }
 
+  /** Banded perceptual-hash INDEX: (band, chunk, id, hsh) — one row
+    * per (vector, band) under the same 4 × 14-bit geometry as
+    * [[bandedHammingPairs]]. This is the stored-corpus artifact a
+    * streaming admission path probes: 4 rows × 16 bytes per item, so a
+    * billion-item corpus indexes in ~64 GB — partition by (band,
+    * chunk) and the probe is a pruned equi-join.
+    */
+  def bandedIndex(h: DataFrame, idCol: String, hashCol: String): DataFrame =
+    h.select(col(idCol).as("id"), col(hashCol).as("hsh"),
+        explode(expr("sequence(0, 3)")).as("band"))
+      .withColumn("chunk", expr("shiftright(hsh, band * 14) & 16383"))
+      .select("band", "chunk", "id", "hsh")
+
   /** Partition-wise audio-fingerprint decode: (id, ahash LONG) — the
     * audio twin of [[decodeDHashes]].
     */

@@ -4198,6 +4198,167 @@ object TextQueries {
             (col("alloc") > col("n_tokens") * 3).as("over_cap"),
             (col("talloc") === budget).as("budget_ok"))
           .orderBy("lang")
+      }),
+
+    // ---- q231: curriculum ordering — the deterministic training-order
+    // schedule a curriculum-learning pipeline feeds the data loader:
+    // every document's EXACT global position under (quality score DESC,
+    // length ASC, doc_id) — best documents first, shorter-therefore-
+    // easier first within a quality tier — plus its decile and the
+    // early/mid/late phase tag. The rank comes from the DISTRIBUTED
+    // exact-rank operator (operators.ExactRank, third consumer after
+    // q222/q229): a corpus-wide training order is exactly the place a
+    // naive ROW_NUMBER() OVER (ORDER BY …) would sort the whole corpus
+    // in one task. Deciles are pure integer arithmetic off the offset
+    // pass's free total — no COUNT(*) OVER () anywhere.
+    QueryDef("q231_curriculum", Some(s"""${toksCte()},
+      sc AS (SELECT doc_id, CAST(len(tokens) AS INTEGER) AS n_tokens,
+               (CASE WHEN len(tokens) BETWEEN 20 AND 500 THEN 1 ELSE 0 END
+                + CASE WHEN len(list_distinct(tokens)) / len(tokens)
+                       > CAST(0.3 AS DOUBLE) THEN 1 ELSE 0 END
+                + CASE WHEN length(array_to_string(tokens, '')) / len(tokens)
+                       BETWEEN CAST(3 AS DOUBLE) AND CAST(9 AS DOUBLE)
+                       THEN 1 ELSE 0 END) AS score
+             FROM toks),
+      n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM sc),
+      r AS (SELECT doc_id, score, n_tokens,
+              ROW_NUMBER() OVER (ORDER BY score DESC, n_tokens, doc_id)
+                AS curriculum_rank
+            FROM sc)
+      SELECT r.doc_id, r.score, r.n_tokens, r.curriculum_rank,
+             ((r.curriculum_rank - 1) * 10) // n.n + 1 AS decile,
+             CASE WHEN ((r.curriculum_rank - 1) * 10) // n.n + 1 <= 3
+                  THEN 'early'
+                  WHEN ((r.curriculum_rank - 1) * 10) // n.n + 1 <= 7
+                  THEN 'mid' ELSE 'late' END AS phase
+      FROM r CROSS JOIN n ORDER BY r.curriculum_rank"""),
+      (s, dir) => {
+        val sc = tokenized(s, dir).select(col("doc_id"),
+          size(col("tokens")).as("n_tokens"),
+          TextStats.qualityScore(col("tokens")).as("score"))
+        val (ranked, n) = graft.operators.ExactRank.withRowNumber(
+          sc, Seq(col("score") * -1, col("n_tokens"), col("doc_id")),
+          "curriculum_rank")
+        val decile = expr(s"((curriculum_rank - 1) * 10) div $n + 1")
+        ranked.select(col("doc_id"), col("score"), col("n_tokens"),
+            col("curriculum_rank"), decile.as("decile"),
+            when(decile <= 3, "early").when(decile <= 7, "mid")
+              .otherwise("late").as("phase"))
+          .orderBy("curriculum_rank")
+      }),
+
+    // ---- q232: MinHash-LSH dial advisor — the third member of the
+    // advisor family (q218 join strategy, q226 ANN ladder): for four
+    // (bands, rows-per-band) dials of the SAME banded MinHash blocking
+    // the dedup chain runs (q72), measured against the exact all-pairs
+    // Jaccard ≥ 0.5 ground truth on the bounded eval slice
+    // (doc_id < 1000 — sized so planted dups exist at every SF; the
+    // q62 fixed-slice denominator discipline): candidate pairs
+    // emitted, true pairs caught, recall, and candidate fraction — the
+    // "raise b for recall, raise r for selectivity" claim as four
+    // oracle-checked data points a dedup owner picks from. The exact
+    // side is a bounded-slice cartesian BY DESIGN (the recall
+    // denominator); every dial's candidates come from the banded
+    // equi-join with the shared bucket cap.
+    QueryDef("q232_lsh_dial_advisor", Some({
+      def dialCtes(p: String, nBands: Int, rpb: Int): String = {
+        val nH = nBands * rpb
+        s"""${p}sig AS (SELECT doc_id,
+        ${(0 until nH).map(i =>
+            s"list_min(list_transform(list_distinct(tokens), t -> md5('$i:' || t))) AS mh$i")
+          .mkString(",\n        ")}
+              FROM toks),
+      ${p}band AS (${(0 until nBands).map { b =>
+            val chunk = (0 until rpb).map(r => s"mh${b * rpb + r}")
+              .mkString(" || '|' || ")
+            s"SELECT doc_id, $b AS b, $chunk AS chunk FROM ${p}sig"
+          }.mkString(" UNION ALL\n               ")}),
+      ${p}kept AS (SELECT doc_id, b, chunk FROM
+                 (SELECT doc_id, b, chunk,
+                         COUNT(*) OVER (PARTITION BY b, chunk) AS bsz FROM ${p}band)
+               WHERE bsz <= 50),
+      ${p}cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                   FROM ${p}kept a JOIN ${p}kept b
+                     ON a.b = b.b AND a.chunk = b.chunk AND a.doc_id < b.doc_id)"""
+      }
+      def dialRow(p: String, nBands: Int, rpb: Int): String =
+        s"""SELECT $nBands AS bands, $rpb AS rows_per_band,
+               ${nBands * rpb} AS n_hashes,
+               (SELECT COUNT(*) FROM ${p}cand) AS n_candidates,
+               (SELECT COUNT(*) FROM ap JOIN ${p}cand USING (id_a, id_b))
+                 AS n_caught"""
+      s"""${toksCte("doc_id < 1000")},
+      sh AS (SELECT doc_id,
+               list_distinct(list_transform(range(1, len(tokens)),
+                             i -> tokens[i] || ' ' || tokens[i+1])) AS sh
+             FROM toks),
+      ap AS MATERIALIZED (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE CASE WHEN len(a.sh) + len(b.sh)
+                            - len(list_intersect(a.sh, b.sh)) = 0 THEN NULL
+                       ELSE len(list_intersect(a.sh, b.sh))
+                            / (len(a.sh) + len(b.sh)
+                               - len(list_intersect(a.sh, b.sh))) END
+                  >= CAST(0.5 AS DOUBLE)),
+      nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM toks),
+      nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_true FROM ap),
+      ${dialCtes("d1", 4, 2)},
+      ${dialCtes("d2", 8, 2)},
+      ${dialCtes("d3", 4, 4)},
+      ${dialCtes("d4", 8, 4)},
+      rows_ AS (${dialRow("d1", 4, 2)}
+        UNION ALL ${dialRow("d2", 8, 2)}
+        UNION ALL ${dialRow("d3", 4, 4)}
+        UNION ALL ${dialRow("d4", 8, 4)})
+      SELECT bands, rows_per_band, n_hashes,
+             CAST(n_candidates AS BIGINT) AS n_candidates,
+             (SELECT n_true FROM nt) AS n_true_pairs,
+             CAST(n_caught AS BIGINT) AS n_caught,
+             CASE WHEN (SELECT n_true FROM nt) = 0 THEN NULL
+                  ELSE CAST(n_caught AS DOUBLE) / (SELECT n_true FROM nt) END
+               AS recall,
+             CAST(n_candidates AS DOUBLE)
+               / (SELECT n_docs * (n_docs - 1) // 2 FROM nn)
+               AS cand_fraction
+      FROM rows_ ORDER BY bands, rows_per_band"""
+    }),
+      (s, dir) => {
+        import org.apache.spark.sql.DataFrame
+        val toks = tokenized(s, dir).where(col("doc_id") < 1000)
+          .localCheckpoint() // exact side + 4 dial blockings read it
+        val ids = toks.select("doc_id")
+        val allPairs = ids.as("a")
+          .join(ids.as("b"), col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        val truePairs = Dedup.verifyJaccard(toks, "doc_id", "tokens", allPairs)
+          .where(col("jaccard") >= 0.5).select("id_a", "id_b")
+          .localCheckpoint() // count + 4 dial intersections
+        val nTrue = truePairs.agg(count(lit(1)).as("n_true_pairs"))
+        val nPoss = toks.agg(
+          expr("count(1) * (count(1) - 1) div 2").as("n_possible"))
+        def dialRow(nBands: Int, rpb: Int): DataFrame = {
+          val cand = Dedup.lshBandedCandidatePairs(toks, "doc_id", "tokens",
+              nBands, rpb, maxBucketSize = 50)
+            .localCheckpoint() // 2 consumers: count + caught
+          cand.agg(count(lit(1)).as("n_candidates"))
+            .crossJoin(truePairs.join(cand, Seq("id_a", "id_b"))
+              .agg(count(lit(1)).as("n_caught")))
+            .select(lit(nBands).as("bands"), lit(rpb).as("rows_per_band"),
+              lit(nBands * rpb).as("n_hashes"),
+              col("n_candidates"), col("n_caught"))
+        }
+        Seq((4, 2), (8, 2), (4, 4), (8, 4))
+          .map { case (b, r) => dialRow(b, r) }
+          .reduce(_ unionByName _)
+          .crossJoin(broadcast(nTrue)).crossJoin(broadcast(nPoss))
+          .select(col("bands"), col("rows_per_band"), col("n_hashes"),
+            col("n_candidates"), col("n_true_pairs"), col("n_caught"),
+            when(col("n_true_pairs") === 0, lit(null).cast("double"))
+              .otherwise(col("n_caught").cast("double") / col("n_true_pairs"))
+              .as("recall"),
+            (col("n_candidates").cast("double") / col("n_possible"))
+              .as("cand_fraction"))
+          .orderBy("bands", "rows_per_band")
       })
   )
 

@@ -328,6 +328,35 @@ object EventStreams {
                             keys: Seq[String], width: Long): DataFrame =
     graft.functions.BucketHistogram.sketch(events, value, keys, width)
 
+  /** STATELESS perceptual-near-dup collision report against a stored
+    * banded hash index ([[graft.multimodal.Multimodal.bandedIndex]]) —
+    * the admission screen for image/audio payloads, the q230 dedup
+    * geometry served online: each arriving item's 56-bit hash explodes
+    * into its 4 band chunks, probes the index by (band, chunk)
+    * equi-join, and exact `bit_count(xor)` ≤ `maxHamming` verifies the
+    * candidates. Emits (id, matched_id, hamming) collision rows —
+    * items absent from the report are novel and admitted by the
+    * caller's anti-join. Fully STATELESS (no watermark, no state
+    * store, no dedup aggregation), so the screen runs at any event
+    * rate: a pair sharing several bands surfaces once per shared band
+    * (≤ 4 rows) — multiplicity is harmless to admission semantics and
+    * collapses batch-side if a distinct report is wanted. The index
+    * rides as a static relation (broadcast when it fits,
+    * (band, chunk)-partitioned equi-join when it doesn't);
+    * within-stream duplicates are the batch re-index's concern, same
+    * as [[admitNewDocs]]'s corpus contract.
+    */
+  def perceptualCollisions(items: DataFrame, idCol: String, hashCol: String,
+                           index: DataFrame, maxHamming: Int): DataFrame =
+    items.select(col(idCol).as("id"), col(hashCol).as("in_hsh"),
+        explode(expr("sequence(0, 3)")).as("band"))
+      .withColumn("chunk", expr("shiftright(in_hsh, band * 14) & 16383"))
+      .join(index.select(col("band"), col("chunk"),
+        col("id").as("matched_id"), col("hsh")), Seq("band", "chunk"))
+      .withColumn("hamming", expr("cast(bit_count(in_hsh ^ hsh) as int)"))
+      .where(col("hamming") <= maxHamming)
+      .select(col("id"), col("matched_id"), col("hamming"))
+
   /** The LOG-SPACED twin of [[liveHistogramCounters]] for heavy-tailed
     * streams (spend, token counts): same bounded counter-table state,
     * relative-error quantiles — the q227 batch sketch maintained live

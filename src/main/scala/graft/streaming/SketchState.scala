@@ -43,6 +43,25 @@ object SketchState {
     merged.localCheckpoint().write.mode("overwrite").parquet(stateDir)
   }
 
+  /** Merge one batch's bucket-histogram counters into the state table
+    * at `stateDir` — the quantile member of the durable-state family.
+    * UNLIKE the KMV/HLL members, counter ADDITION is not idempotent:
+    * replaying a batch double-counts (SketchStateSpec pins exactly
+    * that), so replay safety must come from exactly-once batch
+    * delivery (a checkpointed source whose offsets commit with the
+    * state write), not from the merge algebra. Use the KMV/HLL members
+    * when the source is at-least-once.
+    */
+  def mergeHistogramBatch(batch: DataFrame, value: Column,
+                          keys: Seq[String], width: Long,
+                          stateDir: String): Unit = {
+    val delta = graft.functions.BucketHistogram.sketch(batch, value, keys, width)
+    val merged = read(batch.sparkSession, stateDir)
+      .map(st => graft.functions.BucketHistogram.merge(st, delta))
+      .getOrElse(delta)
+    merged.localCheckpoint().write.mode("overwrite").parquet(stateDir)
+  }
+
   /** Merge one batch's KMV sketch into the state table at `stateDir`. */
   def mergeKmvBatch(batch: DataFrame, item: Column, keys: Seq[String],
                     k: Int, stateDir: String): Unit = {

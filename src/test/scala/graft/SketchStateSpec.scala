@@ -70,6 +70,44 @@ class SketchStateSpec extends SparkTestBase {
       "merged KMV state must equal the from-scratch batch sketch")
   }
 
+  test("histogram state survives a restart; replay DOUBLE-COUNTS — the documented hazard") {
+    implicit val ctx = spark.sqlContext
+    import graft.functions.BucketHistogram
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("graft_hist_state").toString + "/hist"
+    val width = 10L
+    def run(batches: Seq[Seq[(String, Long)]]): Unit = {
+      val input = MemoryStream[(String, Long)]
+      val q = input.toDF().toDF("grp", "cents").writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          SketchState.mergeHistogramBatch(b, col("cents"), Seq("grp"),
+            width, stateDir)
+        }
+        .start()
+      try batches.foreach { rows =>
+        input.addData(rows: _*); q.processAllAvailable()
+      } finally q.stop()
+    }
+    val b1 = (1L to 30L).map(v => ("a", v))
+    val b2 = (25L to 60L).map(v => ("a", v))
+    run(Seq(b1))
+    run(Seq(b2)) // new query, state continues from disk
+    val want = BucketHistogram.sketch((b1 ++ b2).toDF("grp", "cents"),
+        col("cents"), Seq("grp"), width)
+      .as[(String, Long, Long)].collect().toSet
+    assert(SketchState.read(spark, stateDir).get
+      .as[(String, Long, Long)].collect().toSet === want,
+      "restart continuity: merged counters must equal the batch rebuild")
+    // counter ADDITION is not idempotent: replaying b2 double-counts.
+    // This is the contract line that separates the histogram member
+    // from KMV/HLL — exactly-once delivery is the caller's job.
+    run(Seq(b2))
+    val total = SketchState.read(spark, stateDir).get
+      .agg(sum("n")).as[Long].head()
+    assert(total === (b1.size + 2 * b2.size).toLong,
+      "replay must double-count (additive counters, not max-merge)")
+  }
+
   test("a key alive only in history survives a delta that lacks it") {
     val base = java.nio.file.Files
       .createTempDirectory("graft_sketch_state2").toString

@@ -528,6 +528,40 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stateless perceptual collision screen flags near-dups of the stored corpus only") {
+    implicit val ctx = spark.sqlContext
+    import graft.multimodal.Multimodal
+    // stored corpus: audio fingerprints of groups 0..19, variant 0
+    def hashOf(g: Long, v: Int): Long = {
+      val n = (((g * 7) % 6).toInt + 2) * 60
+      Multimodal.audioSignHash56(Multimodal.variantWavBytes(g, v, n, 8000))
+    }
+    val index = Multimodal.bandedIndex(
+      (0L until 20L).map(g => (g, hashOf(g, 0))).toDF("id", "hsh"), "id", "hsh")
+    val input = MemoryStream[(Long, Long)]
+    val q = EventStreams.perceptualCollisions(
+        input.toDF().toDF("item_id", "ahash"), "item_id", "ahash", index, 6)
+      .writeStream.format("memory").queryName("perc_collisions")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      // arriving items: 100+g = near-dup variant of stored group g (g<20),
+      // 200+g = genuinely novel groups (g >= 100)
+      val arrivals = (0L until 20L).map(g => (100L + g, hashOf(g, 2))) ++
+        (0L until 20L).map(g => (200L + g, hashOf(100L + g, 0)))
+      input.addData(arrivals: _*); q.processAllAvailable()
+      val hits = spark.table("perc_collisions")
+        .select("id", "matched_id").distinct()
+        .as[(Long, Long)].collect().toSet
+      assert(hits === (0L until 20L).map(g => (100L + g, g)).toSet,
+        "every stored-group variant flagged against exactly its group; novel items silent")
+      // no streaming state: the plan must carry no stateful operator
+      val lastProgress = q.lastProgress
+      assert(lastProgress.stateOperators.isEmpty,
+        "collision screen must be stateless (no state store operators)")
+    } finally q.stop()
+  }
+
   test("KS drift read straight off live histogram counters equals the bucketed batch test") {
     implicit val ctx = spark.sqlContext
     val width = 10L
