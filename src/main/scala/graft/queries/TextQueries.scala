@@ -4257,9 +4257,11 @@ object TextQueries {
     // emitted, true pairs caught, recall, and candidate fraction — the
     // "raise b for recall, raise r for selectivity" claim as four
     // oracle-checked data points a dedup owner picks from. The exact
-    // side is a bounded-slice cartesian BY DESIGN (the recall
-    // denominator); every dial's candidates come from the banded
-    // equi-join with the shared bucket cap.
+    // ground-truth side rides the PREFIX-FILTERED Jaccard join (q139's
+    // Bayardo discipline — zero recall loss at the threshold, never a
+    // cartesian: a ≥ 0.5 pair necessarily shares a shingle); every
+    // dial's candidates come from the banded equi-join with the shared
+    // bucket cap.
     QueryDef("q232_lsh_dial_advisor", Some({
       def dialCtes(p: String, nBands: Int, rpb: Int): String = {
         val nH = nBands * rpb
@@ -4292,14 +4294,15 @@ object TextQueries {
                list_distinct(list_transform(range(1, len(tokens)),
                              i -> tokens[i] || ' ' || tokens[i+1])) AS sh
              FROM toks),
-      ap AS MATERIALIZED (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-            WHERE CASE WHEN len(a.sh) + len(b.sh)
-                            - len(list_intersect(a.sh, b.sh)) = 0 THEN NULL
-                       ELSE len(list_intersect(a.sh, b.sh))
-                            / (len(a.sh) + len(b.sh)
-                               - len(list_intersect(a.sh, b.sh))) END
-                  >= CAST(0.5 AS DOUBLE)),
+      she AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+      shz AS (SELECT doc_id, len(sh) AS n FROM sh),
+      shi AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+              FROM she a JOIN she b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+      ap AS MATERIALIZED (SELECT id_a, id_b
+            FROM shi JOIN shz sa ON sa.doc_id = id_a
+                     JOIN shz sb ON sb.doc_id = id_b
+            WHERE inter * 2 >= 1 * (sa.n + sb.n - inter)),
       nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM toks),
       nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_true FROM ap),
       ${dialCtes("d1", 4, 2)},
@@ -4326,12 +4329,9 @@ object TextQueries {
         import org.apache.spark.sql.DataFrame
         val toks = tokenized(s, dir).where(col("doc_id") < 1000)
           .localCheckpoint() // exact side + 4 dial blockings read it
-        val ids = toks.select("doc_id")
-        val allPairs = ids.as("a")
-          .join(ids.as("b"), col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-        val truePairs = Dedup.verifyJaccard(toks, "doc_id", "tokens", allPairs)
-          .where(col("jaccard") >= 0.5).select("id_a", "id_b")
+        val truePairs = Dedup.prefixJaccardPairs(toks, "doc_id", "tokens",
+            num = 1, den = 2)
+          .select("id_a", "id_b")
           .localCheckpoint() // count + 4 dial intersections
         val nTrue = truePairs.agg(count(lit(1)).as("n_true_pairs"))
         val nPoss = toks.agg(
