@@ -1853,6 +1853,345 @@ object EventQueries {
           .select(col("r.step").as("step"), col("r.n_eligible"), col("r.n_conv"),
             col("r.rate"), col("r.wilson_lo"), col("r.wilson_hi"))
           .orderBy("step")
+      }),
+
+    // ---- q233: Poisson bootstrap CI for a per-user mean — THE
+    // resampling method that survives 100 TB (Chamandy et al., "
+    // Estimating Uncertainty for Massive Data Streams"): classical
+    // bootstrap draws n-out-of-n WITH replacement, which needs global
+    // coordination; the Poisson bootstrap instead gives every
+    // (unit, replicate) an independent Poisson(1) weight — replicate
+    // membership becomes a pure per-row function, so all B resamples
+    // ride ONE scan with map-side partial aggregation (the shuffle
+    // carries B rows per partition, never B× the data). Resampling is
+    // clustered at the USER (the experimental unit — events within a
+    // user are correlated; resampling raw events would understate
+    // variance). Weights are deterministic: u = first 13 md5 hex
+    // digits of "boot:user:rep" / 2^52 (exact in double), inverted
+    // through the Poisson(1) CDF baked as 8 shared literal knots
+    // (truncation at w=8 drops ~1e-6 of mass, identically in both
+    // engines). Replicate estimates are exact-integer cents ratios;
+    // only the cross-replicate moments and percentile CI are float
+    // reductions (rounded 6).
+    QueryDef("q233_poisson_bootstrap", Some(s"""
+      WITH u AS (SELECT user_id, SUM($valCents) AS spend_c
+                 FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+      n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+                   ROUND(CAST(SUM(spend_c) AS DOUBLE) / COUNT(*) / 100, 6)
+                     AS point_est
+            FROM u),
+      rp AS (SELECT u.spend_c, t.range AS r,
+               CAST('0x' || substr(md5('boot:' || u.user_id || ':' || t.range),
+                                   1, 13) AS BIGINT)
+                 / 4503599627370496e0 AS u01
+             FROM u, range(0, 100) t),
+      w AS (SELECT r, spend_c,
+              CASE WHEN u01 >= 0.36787944117144233e0 THEN 1 ELSE 0 END
+            + CASE WHEN u01 >= 0.7357588823428847e0 THEN 1 ELSE 0 END
+            + CASE WHEN u01 >= 0.9196986029286058e0 THEN 1 ELSE 0 END
+            + CASE WHEN u01 >= 0.9810118431238463e0 THEN 1 ELSE 0 END
+            + CASE WHEN u01 >= 0.9963401531726563e0 THEN 1 ELSE 0 END
+            + CASE WHEN u01 >= 0.9994058151824183e0 THEN 1 ELSE 0 END
+            + CASE WHEN u01 >= 0.999916758850712e0 THEN 1 ELSE 0 END
+            + CASE WHEN u01 >= 0.9999897508033253e0 THEN 1 ELSE 0 END AS w
+            FROM rp),
+      est AS (SELECT r, CAST(SUM(w * spend_c) AS DOUBLE) / SUM(w) / 100 AS est
+              FROM w GROUP BY r HAVING SUM(w) > 0),
+      ci AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_reps,
+                    ROUND(AVG(est), 6) AS boot_mean,
+                    ROUND(STDDEV_SAMP(est), 6) AS boot_se,
+                    ROUND(quantile_cont(est, 0.025), 6) AS ci_lo,
+                    ROUND(quantile_cont(est, 0.975), 6) AS ci_hi
+             FROM est)
+      SELECT n.n_users, n.point_est, ci.n_reps, ci.boot_mean, ci.boot_se,
+             ci.ci_lo, ci.ci_hi,
+             ci.ci_lo <= n.point_est AND n.point_est <= ci.ci_hi AS covers
+      FROM n, ci"""),
+      (s, dir) => {
+        val reps = 100
+        val knots = Seq(0.36787944117144233, 0.7357588823428847,
+          0.9196986029286058, 0.9810118431238463, 0.9963401531726563,
+          0.9994058151824183, 0.999916758850712, 0.9999897508033253)
+        val u = Tables.events(s, dir)
+          .where(col("event_type") === "purchase")
+          .groupBy("user_id").agg(sum(expr(valCents)).as("spend_c"))
+          .localCheckpoint() // 2 consumers: point estimate + replicate fan-out
+        val n = u.agg(count(lit(1)).cast("long").as("n_users"),
+          round(sum("spend_c").cast("double") / count(lit(1)) / lit(100), 6)
+            .as("point_est"))
+        val rp = u.select(col("user_id"), col("spend_c"),
+            explode(sequence(lit(0), lit(reps - 1))).as("r"))
+          .select(col("spend_c"), col("r"),
+            (conv(substring(md5(concat(lit("boot:"), col("user_id"),
+              lit(":"), col("r"))), 1, 13), 16, 10).cast("long")
+              / lit(4503599627370496.0)).as("u01"))
+        val w = knots.map(t => when(col("u01") >= t, 1).otherwise(0))
+          .reduce(_ + _)
+        val est = rp.select(col("r"), col("spend_c"), w.as("w"))
+          .groupBy("r")
+          .agg(sum(col("w") * col("spend_c")).as("num_c"),
+            sum("w").cast("long").as("den"))
+          .where(col("den") > 0)
+          .select((col("num_c").cast("double") / col("den") / lit(100)).as("est"))
+        val ci = est.agg(count(lit(1)).cast("long").as("n_reps"),
+          round(avg("est"), 6).as("boot_mean"),
+          round(stddev_samp(col("est")), 6).as("boot_se"),
+          round(expr("percentile(est, 0.025)"), 6).as("ci_lo"),
+          round(expr("percentile(est, 0.975)"), 6).as("ci_hi"))
+        broadcast(n).crossJoin(broadcast(ci))
+          .select(col("n_users"), col("point_est"), col("n_reps"),
+            col("boot_mean"), col("boot_se"), col("ci_lo"), col("ci_hi"),
+            (col("ci_lo") <= col("point_est") &&
+              col("point_est") <= col("ci_hi")).as("covers"))
+      }),
+
+    // ---- q234: CUPED variance reduction (Deng et al. 2013) — adjust
+    // the experiment metric by the PRE-period covariate:
+    // y' = y − θ(x − x̄), θ = cov(x,y)/var(x), which strips the
+    // between-user variance the pre-period already explains and
+    // shrinks the A/B standard error at zero bias (θ is fit pooled
+    // across arms, so E[y'_A − y'_B] = E[y_A − y_B]). Everything
+    // reduces to per-arm moment sums (n, Σx, Σy, Σx², Σxy, Σy²) —
+    // ONE grouped pass with map-side partials; the sums are
+    // scaled-integer cents accumulated as DECIMAL(38,0) (exact at any
+    // corpus size while per-user spend < ~$3·10^7; DuckDB's HUGEINT
+    // sums are exact likewise) and every derived double is a fixed
+    // formula over those exact sums — deterministic on both engines.
+    // Variances of the ADJUSTED metric come from the same moments
+    // (var y' = var y − 2θ·cov + θ²·var x), never from a second
+    // per-user pass.
+    QueryDef("q234_cuped", Some(s"""
+      WITH p AS (SELECT user_id,
+               SUM(CASE WHEN epoch_us(ts) < 1705363200000000
+                        THEN $valCents ELSE 0 END) AS x,
+               SUM(CASE WHEN epoch_us(ts) >= 1705363200000000
+                        THEN $valCents ELSE 0 END) AS y
+             FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+      ar AS (SELECT x, y,
+               CASE WHEN CAST('0x' || substr(md5('cuped:' || user_id), 1, 1)
+                          AS BIGINT) % 2 = 0
+                    THEN 'A' ELSE 'B' END AS arm
+             FROM p),
+      m AS (SELECT
+              CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+              CAST(SUM(x * x) AS DOUBLE) AS sxx,
+              CAST(SUM(x * y) AS DOUBLE) AS sxy,
+              CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+              CAST(SUM(CASE WHEN arm = 'A' THEN x ELSE 0 END) AS DOUBLE) AS sxa,
+              CAST(SUM(CASE WHEN arm = 'A' THEN y ELSE 0 END) AS DOUBLE) AS sya,
+              CAST(SUM(CASE WHEN arm = 'A' THEN x * x ELSE 0 END) AS DOUBLE) AS sxxa,
+              CAST(SUM(CASE WHEN arm = 'A' THEN x * y ELSE 0 END) AS DOUBLE) AS sxya,
+              CAST(SUM(CASE WHEN arm = 'A' THEN y * y ELSE 0 END) AS DOUBLE) AS syya,
+              CAST(SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+              CAST(SUM(CASE WHEN arm = 'B' THEN x ELSE 0 END) AS DOUBLE) AS sxb,
+              CAST(SUM(CASE WHEN arm = 'B' THEN y ELSE 0 END) AS DOUBLE) AS syb,
+              CAST(SUM(CASE WHEN arm = 'B' THEN x * x ELSE 0 END) AS DOUBLE) AS sxxb,
+              CAST(SUM(CASE WHEN arm = 'B' THEN x * y ELSE 0 END) AS DOUBLE) AS sxyb,
+              CAST(SUM(CASE WHEN arm = 'B' THEN y * y ELSE 0 END) AS DOUBLE) AS syyb
+            FROM ar),
+      t1 AS (SELECT *,
+               CASE WHEN n * sxx - sx * sx > 0e0
+                    THEN (n * sxy - sx * sy) / (n * sxx - sx * sx)
+                    ELSE 0e0 END AS theta,
+               sx / n AS mx
+             FROM m),
+      t2 AS (SELECT *, sya / na AS mya, sxa / na AS mxa,
+               syb / nb AS myb, sxb / nb AS mxb
+             FROM t1),
+      t3 AS (SELECT *,
+               mya - theta * (mxa - mx) AS adja,
+               myb - theta * (mxb - mx) AS adjb,
+               syya / na - mya * mya AS vya,
+               syyb / nb - myb * myb AS vyb,
+               sxxa / na - mxa * mxa AS vxa,
+               sxxb / nb - mxb * mxb AS vxb,
+               sxya / na - mxa * mya AS cva,
+               sxyb / nb - mxb * myb AS cvb
+             FROM t2),
+      t4 AS (SELECT *,
+               vya - 2e0 * theta * cva + theta * theta * vxa AS vadja,
+               vyb - 2e0 * theta * cvb + theta * theta * vxb AS vadjb
+             FROM t3)
+      SELECT na, nb, ROUND(theta, 6) AS theta,
+             ROUND(mya / 100, 6) AS mean_a, ROUND(myb / 100, 6) AS mean_b,
+             ROUND(adja / 100, 6) AS adj_mean_a,
+             ROUND(adjb / 100, 6) AS adj_mean_b,
+             CASE WHEN na > 0 AND nb > 0 AND vya / na + vyb / nb > 0e0
+                  THEN ROUND((mya - myb) / sqrt(vya / na + vyb / nb), 6)
+             END AS z_raw,
+             CASE WHEN na > 0 AND nb > 0 AND vadja / na + vadjb / nb > 0e0
+                  THEN ROUND((adja - adjb) / sqrt(vadja / na + vadjb / nb), 6)
+             END AS z_cuped,
+             CASE WHEN vya + vyb > 0e0
+                  THEN ROUND(1e0 - (vadja + vadjb) / (vya + vyb), 6)
+             END AS var_reduction
+      FROM t4"""),
+      (s, dir) => {
+        import org.apache.spark.sql.types.DecimalType
+        val splitUs = 1705363200000000L // 2024-01-16 00:00:00 UTC
+        val dec = DecimalType(38, 0)
+        val p = Tables.events(s, dir)
+          .where(col("event_type") === "purchase")
+          .groupBy("user_id")
+          .agg(sum(when(col("ts_us") < splitUs, expr(valCents)).otherwise(0L))
+            .as("x"),
+            sum(when(col("ts_us") >= splitUs, expr(valCents)).otherwise(0L))
+              .as("y"))
+        val ar = p.select(col("x"), col("y"),
+          when(expr("cast(conv(substring(md5(concat('cuped:', user_id)), 1, 1), 16, 10) as bigint) % 2") === 0,
+            "A").otherwise("B").as("arm"))
+        def dsum(c: org.apache.spark.sql.Column) = sum(c.cast(dec)).cast("double")
+        val isA = col("arm") === "A"
+        val isB = col("arm") === "B"
+        val m = ar.agg(
+          count(lit(1)).cast("long").as("n"),
+          dsum(col("x")).as("sx"), dsum(col("y")).as("sy"),
+          dsum(col("x") * col("x")).as("sxx"),
+          dsum(col("x") * col("y")).as("sxy"),
+          sum(when(isA, 1L).otherwise(0L)).as("na"),
+          dsum(when(isA, col("x")).otherwise(0L)).as("sxa"),
+          dsum(when(isA, col("y")).otherwise(0L)).as("sya"),
+          dsum(when(isA, col("x") * col("x")).otherwise(0L)).as("sxxa"),
+          dsum(when(isA, col("x") * col("y")).otherwise(0L)).as("sxya"),
+          dsum(when(isA, col("y") * col("y")).otherwise(0L)).as("syya"),
+          sum(when(isB, 1L).otherwise(0L)).as("nb"),
+          dsum(when(isB, col("x")).otherwise(0L)).as("sxb"),
+          dsum(when(isB, col("y")).otherwise(0L)).as("syb"),
+          dsum(when(isB, col("x") * col("x")).otherwise(0L)).as("sxxb"),
+          dsum(when(isB, col("x") * col("y")).otherwise(0L)).as("sxyb"),
+          dsum(when(isB, col("y") * col("y")).otherwise(0L)).as("syyb"))
+        val t1 = m.withColumn("theta",
+            when(col("n") * col("sxx") - col("sx") * col("sx") > 0.0,
+              (col("n") * col("sxy") - col("sx") * col("sy")) /
+                (col("n") * col("sxx") - col("sx") * col("sx")))
+              .otherwise(0.0))
+          .withColumn("mx", col("sx") / col("n"))
+        val t2 = t1.withColumn("mya", col("sya") / col("na"))
+          .withColumn("mxa", col("sxa") / col("na"))
+          .withColumn("myb", col("syb") / col("nb"))
+          .withColumn("mxb", col("sxb") / col("nb"))
+        val t3 = t2
+          .withColumn("adja", col("mya") - col("theta") * (col("mxa") - col("mx")))
+          .withColumn("adjb", col("myb") - col("theta") * (col("mxb") - col("mx")))
+          .withColumn("vya", col("syya") / col("na") - col("mya") * col("mya"))
+          .withColumn("vyb", col("syyb") / col("nb") - col("myb") * col("myb"))
+          .withColumn("vxa", col("sxxa") / col("na") - col("mxa") * col("mxa"))
+          .withColumn("vxb", col("sxxb") / col("nb") - col("mxb") * col("mxb"))
+          .withColumn("cva", col("sxya") / col("na") - col("mxa") * col("mya"))
+          .withColumn("cvb", col("sxyb") / col("nb") - col("mxb") * col("myb"))
+        val t4 = t3
+          .withColumn("vadja", col("vya") - lit(2.0) * col("theta") * col("cva")
+            + col("theta") * col("theta") * col("vxa"))
+          .withColumn("vadjb", col("vyb") - lit(2.0) * col("theta") * col("cvb")
+            + col("theta") * col("theta") * col("vxb"))
+        t4.select(col("na"), col("nb"), round(col("theta"), 6).as("theta"),
+          round(col("mya") / 100, 6).as("mean_a"),
+          round(col("myb") / 100, 6).as("mean_b"),
+          round(col("adja") / 100, 6).as("adj_mean_a"),
+          round(col("adjb") / 100, 6).as("adj_mean_b"),
+          when(col("na") > 0 && col("nb") > 0 &&
+              col("vya") / col("na") + col("vyb") / col("nb") > 0.0,
+            round((col("mya") - col("myb")) /
+              sqrt(col("vya") / col("na") + col("vyb") / col("nb")), 6))
+            .as("z_raw"),
+          when(col("na") > 0 && col("nb") > 0 &&
+              col("vadja") / col("na") + col("vadjb") / col("nb") > 0.0,
+            round((col("adja") - col("adjb")) /
+              sqrt(col("vadja") / col("na") + col("vadjb") / col("nb")), 6))
+            .as("z_cuped"),
+          when(col("vya") + col("vyb") > 0.0,
+            round(lit(1.0) - (col("vadja") + col("vadjb")) /
+              (col("vya") + col("vyb")), 6))
+            .as("var_reduction"))
+      }),
+
+    // ---- q235: Mann-Whitney U test — the rank-based A/B test for
+    // heavy-tailed metrics (per-user revenue makes the t/z test's
+    // normality assumption a lie; rank statistics don't care). The
+    // SECOND consumer of operators.ExactRank (after q222's Gini):
+    // exact global row numbers by (value, user) from the
+    // range-partition + partition-offset discipline — never an
+    // unpartitioned WindowExec. Tied values need MIDRANKS, and because
+    // equal values occupy consecutive global row numbers, the midrank
+    // is (min(rn)+max(rn))/2 per distinct value — one grouped pass;
+    // the rank sum is assembled in HALF-INTEGER space
+    // (2·R_A = Σ cntA·(min+max), an exact long) and the tie
+    // correction Σ(t³−t) in long, so the only floats are the final
+    // closed-form z — deterministic on both engines.
+    QueryDef("q235_mann_whitney", Some(s"""
+      WITH u AS (SELECT user_id, SUM($valCents) AS v
+                 FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+      ar AS (SELECT user_id, v,
+               CASE WHEN CAST('0x' || substr(md5('mw:' || user_id), 1, 1)
+                          AS BIGINT) % 2 = 0
+                    THEN 'A' ELSE 'B' END AS arm
+             FROM u),
+      rn AS (SELECT v, arm,
+               ROW_NUMBER() OVER (ORDER BY v, user_id) AS rn
+             FROM ar),
+      g AS (SELECT v, MIN(rn) AS mn, MAX(rn) AS mx,
+              SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS ca,
+              SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS cb
+            FROM rn GROUP BY v),
+      t AS (SELECT CAST(SUM(ca) AS BIGINT) AS na,
+              CAST(SUM(cb) AS BIGINT) AS nb,
+              CAST(SUM(ca * (mn + mx)) AS BIGINT) AS r2a,
+              CAST(SUM((ca + cb) * (ca + cb) * (ca + cb) - (ca + cb))
+                AS BIGINT) AS tie
+            FROM g),
+      f AS (SELECT na, nb, na + nb AS n,
+              CAST(r2a AS DOUBLE) / 2 AS rank_sum_a,
+              (CAST(r2a AS DOUBLE) - na * (na + 1e0)) / 2 AS u_a, tie
+            FROM t),
+      f2 AS (SELECT *,
+               CASE WHEN na > 0 AND nb > 0 AND n > 1
+                    THEN na * nb / 12e0 *
+                         ((n + 1e0) - CAST(tie AS DOUBLE) / (n * (n - 1e0)))
+               END AS sig2
+             FROM f)
+      SELECT na, nb, rank_sum_a, u_a,
+             CASE WHEN sig2 > 0e0
+                  THEN ROUND((u_a - na * (CAST(nb AS DOUBLE) / 2)) / sqrt(sig2), 6)
+             END AS z,
+             CASE WHEN sig2 > 0e0
+                  THEN ABS((u_a - na * (CAST(nb AS DOUBLE) / 2)) / sqrt(sig2))
+                       > 1.96e0
+             END AS significant
+      FROM f2"""),
+      (s, dir) => {
+        import graft.operators.ExactRank
+        val u = Tables.events(s, dir)
+          .where(col("event_type") === "purchase")
+          .groupBy("user_id").agg(sum(expr(valCents)).as("v"))
+        val ar = u.select(col("user_id"), col("v"),
+          when(expr("cast(conv(substring(md5(concat('mw:', user_id)), 1, 1), 16, 10) as bigint) % 2") === 0,
+            "A").otherwise("B").as("arm"))
+        val (rn, _) = ExactRank.withRowNumber(ar,
+          Seq(col("v"), col("user_id")), "rn")
+        val g = rn.groupBy("v").agg(min("rn").as("mn"), max("rn").as("mx"),
+          sum(when(col("arm") === "A", 1L).otherwise(0L)).as("ca"),
+          sum(when(col("arm") === "B", 1L).otherwise(0L)).as("cb"))
+        val t = g.agg(sum("ca").as("na"), sum("cb").as("nb"),
+          sum(col("ca") * (col("mn") + col("mx"))).as("r2a"),
+          sum((col("ca") + col("cb")) * (col("ca") + col("cb")) *
+            (col("ca") + col("cb")) - (col("ca") + col("cb"))).as("tie"))
+        val f = t.select(col("na"), col("nb"),
+          (col("na") + col("nb")).as("n"),
+          (col("r2a").cast("double") / lit(2)).as("rank_sum_a"),
+          ((col("r2a").cast("double") - col("na") * (col("na") + lit(1.0)))
+            / lit(2)).as("u_a"),
+          col("tie"))
+        val f2 = f.withColumn("sig2",
+          when(col("na") > 0 && col("nb") > 0 && col("n") > 1,
+            col("na") * col("nb") / lit(12.0) *
+              ((col("n") + lit(1.0)) -
+                col("tie").cast("double") / (col("n") * (col("n") - lit(1.0))))))
+        val zExpr = (col("u_a") - col("na") * (col("nb").cast("double") / lit(2))) /
+          sqrt(col("sig2"))
+        f2.select(col("na"), col("nb"), col("rank_sum_a"), col("u_a"),
+          when(col("sig2") > 0.0, round(zExpr, 6)).as("z"),
+          when(col("sig2") > 0.0, abs(zExpr) > lit(1.96)).as("significant"))
       })
   )
 }
