@@ -2192,6 +2192,259 @@ object EventQueries {
         f2.select(col("na"), col("nb"), col("rank_sum_a"), col("u_a"),
           when(col("sig2") > 0.0, round(zExpr, 6)).as("z"),
           when(col("sig2") > 0.0, abs(zExpr) > lit(1.96)).as("significant"))
+      }),
+
+    // ---- q236: sample-ratio mismatch (SRM) guardrail — the FIRST
+    // check any experiment readout must pass: if the observed arm
+    // sizes are incompatible with the intended allocation, every
+    // downstream metric (q219/q234/q235) is untrustworthy regardless
+    // of its p-value. Three arms at an intended 50/30/20 split,
+    // assigned by hashing the USER (the unit of randomization) into
+    // 1000 buckets — 13 md5 hex digits (52 bits) so the modulo bias
+    // is ~2^-42, identical in both engines. The chi-square GOF stat
+    // is a closed form over three exact longs; the alarm threshold is
+    // the df=2 critical value at p=0.001 (13.816 — SRM convention is
+    // a STRICT level because traffic is huge and tiny imbalances are
+    // real bugs, not noise). One grouped pass + one 3-row fold; no
+    // per-event state.
+    QueryDef("q236_srm", Some("""
+      WITH u AS (SELECT DISTINCT user_id FROM events),
+      b AS (SELECT CAST('0x' || substr(md5('srm:' || user_id), 1, 13)
+                        AS BIGINT) % 1000 AS bkt
+            FROM u),
+      c AS (SELECT
+              CAST(SUM(CASE WHEN bkt < 500 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+              CAST(SUM(CASE WHEN bkt >= 500 AND bkt < 800 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_b,
+              CAST(SUM(CASE WHEN bkt >= 800 THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+              CAST(COUNT(*) AS BIGINT) AS n
+            FROM b)
+      SELECT n, n_a, n_b, n_c,
+             CASE WHEN n > 0 THEN ROUND(
+               (n_a - n * 0.5e0) * (n_a - n * 0.5e0) / (n * 0.5e0)
+             + (n_b - n * 0.3e0) * (n_b - n * 0.3e0) / (n * 0.3e0)
+             + (n_c - n * 0.2e0) * (n_c - n * 0.2e0) / (n * 0.2e0), 6)
+             END AS chi2,
+             CASE WHEN n > 0 THEN
+               (n_a - n * 0.5e0) * (n_a - n * 0.5e0) / (n * 0.5e0)
+             + (n_b - n * 0.3e0) * (n_b - n * 0.3e0) / (n * 0.3e0)
+             + (n_c - n * 0.2e0) * (n_c - n * 0.2e0) / (n * 0.2e0) > 13.816e0
+             END AS srm_alarm
+      FROM c"""),
+      (s, dir) => {
+        val b = Tables.events(s, dir).select("user_id").distinct()
+          .select((conv(substring(md5(concat(lit("srm:"), col("user_id"))),
+            1, 13), 16, 10).cast("long") % 1000).as("bkt"))
+        val c = b.agg(
+          sum(when(col("bkt") < 500, 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("bkt") >= 500 && col("bkt") < 800, 1L).otherwise(0L))
+            .as("n_b"),
+          sum(when(col("bkt") >= 800, 1L).otherwise(0L)).as("n_c"),
+          count(lit(1)).cast("long").as("n"))
+        def term(cnt: org.apache.spark.sql.Column, p: Double) =
+          (cnt - col("n") * lit(p)) * (cnt - col("n") * lit(p)) /
+            (col("n") * lit(p))
+        val chi2 = term(col("n_a"), 0.5) + term(col("n_b"), 0.3) +
+          term(col("n_c"), 0.2)
+        c.select(col("n"), col("n_a"), col("n_b"), col("n_c"),
+          when(col("n") > 0, round(chi2, 6)).as("chi2"),
+          when(col("n") > 0, chi2 > lit(13.816)).as("srm_alarm"))
+      }),
+
+    // ---- q237: difference-in-differences — the quasi-experimental
+    // estimator for a rollout WITHOUT randomization-era baselines:
+    // effect = (post_B − pre_B) − (post_A − pre_A), which cancels both
+    // the persistent between-arm gap and the common time shock. The
+    // unit of inference is the USER (each contributes one d = post −
+    // pre, so serial correlation within a user never understates the
+    // SE — the Bertrand/Duflo/Mullainathan critique is structurally
+    // avoided). d stays an exact long in cents; per-arm moments of d
+    // accumulate as DECIMAL(38,0) (exact at any corpus size; DuckDB's
+    // HUGEINT sums likewise); the only floats are the closed-form
+    // means/SE/z. ONE grouped pass over purchases + one global fold.
+    QueryDef("q237_diff_in_diff", Some(s"""
+      WITH p AS (SELECT user_id,
+               SUM(CASE WHEN epoch_us(ts) < 1705363200000000
+                        THEN $valCents ELSE 0 END) AS x,
+               SUM(CASE WHEN epoch_us(ts) >= 1705363200000000
+                        THEN $valCents ELSE 0 END) AS y
+             FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+      ar AS (SELECT x, y, y - x AS d,
+               CASE WHEN CAST('0x' || substr(md5('did:' || user_id), 1, 1)
+                          AS BIGINT) % 2 = 0
+                    THEN 'A' ELSE 'B' END AS arm
+             FROM p),
+      m AS (SELECT
+              CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+              CAST(SUM(CASE WHEN arm = 'A' THEN x ELSE 0 END) AS DOUBLE) AS sxa,
+              CAST(SUM(CASE WHEN arm = 'A' THEN y ELSE 0 END) AS DOUBLE) AS sya,
+              CAST(SUM(CASE WHEN arm = 'A' THEN d ELSE 0 END) AS DOUBLE) AS sda,
+              CAST(SUM(CASE WHEN arm = 'A' THEN d * d ELSE 0 END) AS DOUBLE) AS sdda,
+              CAST(SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+              CAST(SUM(CASE WHEN arm = 'B' THEN x ELSE 0 END) AS DOUBLE) AS sxb,
+              CAST(SUM(CASE WHEN arm = 'B' THEN y ELSE 0 END) AS DOUBLE) AS syb,
+              CAST(SUM(CASE WHEN arm = 'B' THEN d ELSE 0 END) AS DOUBLE) AS sdb,
+              CAST(SUM(CASE WHEN arm = 'B' THEN d * d ELSE 0 END) AS DOUBLE) AS sddb
+            FROM ar),
+      t AS (SELECT *,
+              CASE WHEN na > 0 THEN sdda / na - (sda / na) * (sda / na) END AS vda,
+              CASE WHEN nb > 0 THEN sddb / nb - (sdb / nb) * (sdb / nb) END AS vdb
+            FROM m),
+      f AS (SELECT *,
+              sdb / nb - sda / na AS did_c,
+              CASE WHEN na > 1 AND nb > 1 AND vda / na + vdb / nb > 0e0
+                   THEN sqrt(vda / na + vdb / nb) END AS se_c
+            FROM t WHERE na > 0 AND nb > 0)
+      SELECT na, nb,
+             ROUND(sxa / na / 100, 6) AS pre_a, ROUND(sya / na / 100, 6) AS post_a,
+             ROUND(sxb / nb / 100, 6) AS pre_b, ROUND(syb / nb / 100, 6) AS post_b,
+             ROUND(did_c / 100, 6) AS did,
+             ROUND(se_c / 100, 6) AS se,
+             CASE WHEN se_c > 0e0 THEN ROUND(did_c / se_c, 6) END AS z,
+             CASE WHEN se_c > 0e0 THEN ABS(did_c / se_c) > 1.96e0 END AS significant
+      FROM f"""),
+      (s, dir) => {
+        import org.apache.spark.sql.types.DecimalType
+        val splitUs = 1705363200000000L // 2024-01-16 00:00:00 UTC
+        val dec = DecimalType(38, 0)
+        val p = Tables.events(s, dir)
+          .where(col("event_type") === "purchase")
+          .groupBy("user_id")
+          .agg(sum(when(col("ts_us") < splitUs, expr(valCents)).otherwise(0L))
+            .as("x"),
+            sum(when(col("ts_us") >= splitUs, expr(valCents)).otherwise(0L))
+              .as("y"))
+        val ar = p.select(col("x"), col("y"), (col("y") - col("x")).as("d"),
+          when(expr("cast(conv(substring(md5(concat('did:', user_id)), 1, 1), 16, 10) as bigint) % 2") === 0,
+            "A").otherwise("B").as("arm"))
+        def dsum(c: org.apache.spark.sql.Column) = sum(c.cast(dec)).cast("double")
+        val isA = col("arm") === "A"
+        val isB = col("arm") === "B"
+        val m = ar.agg(
+          sum(when(isA, 1L).otherwise(0L)).as("na"),
+          dsum(when(isA, col("x")).otherwise(0L)).as("sxa"),
+          dsum(when(isA, col("y")).otherwise(0L)).as("sya"),
+          dsum(when(isA, col("d")).otherwise(0L)).as("sda"),
+          dsum(when(isA, col("d") * col("d")).otherwise(0L)).as("sdda"),
+          sum(when(isB, 1L).otherwise(0L)).as("nb"),
+          dsum(when(isB, col("x")).otherwise(0L)).as("sxb"),
+          dsum(when(isB, col("y")).otherwise(0L)).as("syb"),
+          dsum(when(isB, col("d")).otherwise(0L)).as("sdb"),
+          dsum(when(isB, col("d") * col("d")).otherwise(0L)).as("sddb"))
+        val t = m
+          .withColumn("vda", when(col("na") > 0,
+            col("sdda") / col("na") - (col("sda") / col("na")) * (col("sda") / col("na"))))
+          .withColumn("vdb", when(col("nb") > 0,
+            col("sddb") / col("nb") - (col("sdb") / col("nb")) * (col("sdb") / col("nb"))))
+        val f = t.where(col("na") > 0 && col("nb") > 0)
+          .withColumn("did_c", col("sdb") / col("nb") - col("sda") / col("na"))
+          .withColumn("se_c",
+            when(col("na") > 1 && col("nb") > 1 &&
+              col("vda") / col("na") + col("vdb") / col("nb") > 0.0,
+              sqrt(col("vda") / col("na") + col("vdb") / col("nb"))))
+        f.select(col("na"), col("nb"),
+          round(col("sxa") / col("na") / 100, 6).as("pre_a"),
+          round(col("sya") / col("na") / 100, 6).as("post_a"),
+          round(col("sxb") / col("nb") / 100, 6).as("pre_b"),
+          round(col("syb") / col("nb") / 100, 6).as("post_b"),
+          round(col("did_c") / 100, 6).as("did"),
+          round(col("se_c") / 100, 6).as("se"),
+          when(col("se_c") > 0.0, round(col("did_c") / col("se_c"), 6)).as("z"),
+          when(col("se_c") > 0.0, abs(col("did_c") / col("se_c")) > lit(1.96))
+            .as("significant"))
+      }),
+
+    // ---- q238: delta-method SE for a RATIO metric (revenue per
+    // purchase event) — ratio metrics are the rule, not the exception
+    // (CTR, revenue/session, tokens/doc), and the naive per-event SE
+    // is WRONG for them twice over: the denominator is random, and
+    // events within a user are correlated. The delta method
+    // (Deng/Knoblich/Lu, KDD'18) linearizes R = Ȳ/X̄ at the USER
+    // level: Var(R̂) ≈ (σ_y² − 2Rσ_xy + R²σ_x²)/(n x̄²), everything a
+    // closed form over per-user moment sums accumulated as
+    // DECIMAL(38,0) (exact; DuckDB HUGEINT likewise). The naive SE is
+    // computed beside it from per-event moments so the inflation
+    // factor — the number a metrics platform must surface — is one
+    // column. ONE grouped pass + two global folds, no resampling.
+    QueryDef("q238_delta_method", Some(s"""
+      WITH ev AS (SELECT user_id, $valCents AS v FROM events
+                  WHERE event_type = 'purchase'),
+      e AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_ev,
+                   CAST(SUM(v) AS DOUBLE) AS sv,
+                   CAST(SUM(v * v) AS DOUBLE) AS svv
+            FROM ev),
+      u AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS x, SUM(v) AS y
+            FROM ev GROUP BY user_id),
+      m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+                   CAST(SUM(x * x) AS DOUBLE) AS sxx,
+                   CAST(SUM(x * y) AS DOUBLE) AS sxy,
+                   CAST(SUM(y * y) AS DOUBLE) AS syy
+            FROM u),
+      t AS (SELECT n, sx / n AS mx, sy / n AS my,
+                   sxx / n - (sx / n) * (sx / n) AS vx,
+                   syy / n - (sy / n) * (sy / n) AS vy,
+                   sxy / n - (sx / n) * (sy / n) AS cxy
+            FROM m WHERE n > 0),
+      r AS (SELECT n, my / mx AS ratio_c,
+                   CASE WHEN n > 1 AND mx > 0e0 THEN
+                     (vy - 2e0 * (my / mx) * cxy
+                        + (my / mx) * (my / mx) * vx) / (n * mx * mx)
+                   END AS var_delta
+            FROM t WHERE mx > 0e0)
+      SELECT r.n AS n_users, e.n_ev AS n_events,
+             ROUND(r.ratio_c / 100, 6) AS ratio,
+             CASE WHEN e.n_ev > 1 THEN
+               ROUND(sqrt((e.svv / e.n_ev - (e.sv / e.n_ev) * (e.sv / e.n_ev))
+                          / e.n_ev) / 100, 6) END AS se_naive,
+             CASE WHEN r.var_delta > 0e0
+                  THEN ROUND(sqrt(r.var_delta) / 100, 6) END AS se_delta,
+             CASE WHEN r.var_delta > 0e0 AND e.n_ev > 1
+                       AND e.svv / e.n_ev - (e.sv / e.n_ev) * (e.sv / e.n_ev) > 0e0
+                  THEN ROUND(sqrt(r.var_delta)
+                       / sqrt((e.svv / e.n_ev - (e.sv / e.n_ev) * (e.sv / e.n_ev))
+                              / e.n_ev), 6) END AS se_inflation
+      FROM r, e"""),
+      (s, dir) => {
+        import org.apache.spark.sql.types.DecimalType
+        val dec = DecimalType(38, 0)
+        def dsum(c: org.apache.spark.sql.Column) = sum(c.cast(dec)).cast("double")
+        val ev = Tables.events(s, dir)
+          .where(col("event_type") === "purchase")
+          .select(col("user_id"), expr(valCents).as("v"))
+          .localCheckpoint() // 2 consumers: per-event moments + per-user rollup
+        val e = ev.agg(count(lit(1)).cast("long").as("n_ev"),
+          dsum(col("v")).as("sv"), dsum(col("v") * col("v")).as("svv"))
+        val u = ev.groupBy("user_id")
+          .agg(count(lit(1)).cast("long").as("x"), sum("v").as("y"))
+        val m = u.agg(count(lit(1)).cast("long").as("n"),
+          dsum(col("x")).as("sx"), dsum(col("y")).as("sy"),
+          dsum(col("x") * col("x")).as("sxx"),
+          dsum(col("x") * col("y")).as("sxy"),
+          dsum(col("y") * col("y")).as("syy"))
+        val t = m.where(col("n") > 0)
+          .select(col("n"), (col("sx") / col("n")).as("mx"),
+            (col("sy") / col("n")).as("my"),
+            (col("sxx") / col("n") - (col("sx") / col("n")) * (col("sx") / col("n"))).as("vx"),
+            (col("syy") / col("n") - (col("sy") / col("n")) * (col("sy") / col("n"))).as("vy"),
+            (col("sxy") / col("n") - (col("sx") / col("n")) * (col("sy") / col("n"))).as("cxy"))
+        val ratio = col("my") / col("mx")
+        val r = t.where(col("mx") > 0.0)
+          .select(col("n"), ratio.as("ratio_c"),
+            when(col("n") > 1 && col("mx") > 0.0,
+              (col("vy") - lit(2.0) * ratio * col("cxy") + ratio * ratio * col("vx"))
+                / (col("n") * col("mx") * col("mx"))).as("var_delta"))
+        val vEv = col("svv") / col("n_ev") - (col("sv") / col("n_ev")) * (col("sv") / col("n_ev"))
+        broadcast(r).crossJoin(broadcast(e))
+          .select(col("n").as("n_users"), col("n_ev").as("n_events"),
+            round(col("ratio_c") / 100, 6).as("ratio"),
+            when(col("n_ev") > 1, round(sqrt(vEv / col("n_ev")) / 100, 6))
+              .as("se_naive"),
+            when(col("var_delta") > 0.0, round(sqrt(col("var_delta")) / 100, 6))
+              .as("se_delta"),
+            when(col("var_delta") > 0.0 && col("n_ev") > 1 && vEv > 0.0,
+              round(sqrt(col("var_delta")) / sqrt(vEv / col("n_ev")), 6))
+              .as("se_inflation"))
       })
   )
 }
