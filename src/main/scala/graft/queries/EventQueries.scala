@@ -2445,6 +2445,144 @@ object EventQueries {
             when(col("var_delta") > 0.0 && col("n_ev") > 1 && vEv > 0.0,
               round(sqrt(col("var_delta")) / sqrt(vEv / col("n_ev")), 6))
               .as("se_inflation"))
+      }),
+
+    // ---- q239: multi-touch revenue attribution — credit each
+    // purchase to the touch (click/view) that preceded it, under BOTH
+    // canonical models at once: last-touch (the most recent touch
+    // strictly before the purchase) and first-touch (the user's
+    // earliest touch before it). The touchpoint is carried to the
+    // purchase row by IGNORE-NULLS window functions over the user's
+    // own timeline — per-user partitions, so the sort is bounded by a
+    // user's event count at any corpus size, and the frame is
+    // STRICTLY preceding rows with a total (ts, event_id) order (no
+    // range-frame peer ambiguity). Purchases with no prior touch
+    // credit 'direct'. The two models then fold to one tiny
+    // channel-domain relation via a full outer join — at most
+    // |channels|+1 rows, broadcast-joinable by construction.
+    QueryDef("q239_attribution", Some(s"""
+      WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type,
+                   $valCents AS v,
+                   CASE WHEN event_type IN ('click', 'view')
+                        THEN event_type END AS touch
+                 FROM events),
+      c AS (SELECT *,
+              LAST_VALUE(touch IGNORE NULLS) OVER (
+                PARTITION BY user_id ORDER BY ts_us, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt,
+              FIRST_VALUE(touch IGNORE NULLS) OVER (
+                PARTITION BY user_id ORDER BY ts_us, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ft
+            FROM e),
+      p AS (SELECT COALESCE(lt, 'direct') AS lt, COALESCE(ft, 'direct') AS ft, v
+            FROM c WHERE event_type = 'purchase'),
+      l AS (SELECT lt AS channel, CAST(COUNT(*) AS BIGINT) AS n_last,
+                   CAST(SUM(v) AS BIGINT) / 100.0 AS rev_last
+            FROM p GROUP BY lt),
+      f AS (SELECT ft AS channel, CAST(COUNT(*) AS BIGINT) AS n_first,
+                   CAST(SUM(v) AS BIGINT) / 100.0 AS rev_first
+            FROM p GROUP BY ft)
+      SELECT COALESCE(l.channel, f.channel) AS channel,
+             COALESCE(n_last, 0) AS n_last, COALESCE(rev_last, 0.0) AS rev_last,
+             COALESCE(n_first, 0) AS n_first, COALESCE(rev_first, 0.0) AS rev_first
+      FROM l FULL OUTER JOIN f ON l.channel = f.channel
+      ORDER BY channel"""),
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val e = Tables.events(s, dir)
+          .select(col("user_id"), col("event_id"), col("ts_us"),
+            col("event_type"), expr(valCents).as("v"),
+            when(col("event_type").isin("click", "view"), col("event_type"))
+              .as("touch"))
+        val p = e
+          .withColumn("lt", last(col("touch"), ignoreNulls = true).over(w))
+          .withColumn("ft", first(col("touch"), ignoreNulls = true).over(w))
+          .where(col("event_type") === "purchase")
+          .select(coalesce(col("lt"), lit("direct")).as("lt"),
+            coalesce(col("ft"), lit("direct")).as("ft"), col("v"))
+          .localCheckpoint() // 2 consumers: last-touch and first-touch rollups
+        val l = p.groupBy(col("lt").as("channel"))
+          .agg(count(lit(1)).cast("long").as("n_last"),
+            (sum("v").cast("long") / 100.0).as("rev_last"))
+        val f = p.groupBy(col("ft").as("channel"))
+          .agg(count(lit(1)).cast("long").as("n_first"),
+            (sum("v").cast("long") / 100.0).as("rev_first"))
+        l.join(f, Seq("channel"), "full_outer")
+          .select(col("channel"),
+            coalesce(col("n_last"), lit(0L)).as("n_last"),
+            coalesce(col("rev_last"), lit(0.0)).as("rev_last"),
+            coalesce(col("n_first"), lit(0L)).as("n_first"),
+            coalesce(col("rev_first"), lit(0.0)).as("rev_first"))
+          .orderBy("channel")
+      }),
+
+    // ---- q240: SCD2 dimension build — turn the event stream's
+    // per-user `props.k` attribute into a type-2 slowly-changing
+    // dimension: a version row opens when the observed k DIFFERS from
+    // the user's previous event's k (lag), closes at the next
+    // version's open (lead), and the latest version per user stays
+    // open (NULL valid_to). Both windows partition by USER — state is
+    // bounded by one user's history, never the corpus. The profile
+    // row audits the build: version counts, change counts, mean open
+    // duration of CLOSED versions, and a structural tiling invariant
+    // — closed-version durations must sum EXACTLY (integer micros) to
+    // the span from each user's first to last version open, which any
+    // lag/lead frame bug breaks loudly.
+    QueryDef("q240_scd2_build", Some("""
+      WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                   CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+                 FROM events),
+      c AS (SELECT *,
+              LAG(k) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS pk
+            FROM e),
+      v AS (SELECT user_id, k, ts_us AS vs FROM c
+            WHERE pk IS NULL OR k <> pk),
+      s AS (SELECT user_id, k, vs,
+              LEAD(vs) OVER (PARTITION BY user_id ORDER BY vs) AS ve
+            FROM v),
+      pu AS (SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS nv,
+               CAST(SUM(CASE WHEN ve IS NOT NULL THEN ve - vs ELSE 0 END)
+                 AS BIGINT) AS closed_us,
+               CAST(MAX(vs) - MIN(vs) AS BIGINT) AS span_us,
+               CAST(SUM(CASE WHEN ve IS NOT NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_closed
+             FROM s GROUP BY user_id)
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(nv) AS BIGINT) AS n_versions,
+             CAST(SUM(nv) - COUNT(*) AS BIGINT) AS n_changes,
+             ROUND(CAST(SUM(nv) AS DOUBLE) / COUNT(*), 6) AS avg_versions,
+             CASE WHEN SUM(n_closed) > 0 THEN
+               ROUND(CAST(SUM(closed_us) AS DOUBLE) / SUM(n_closed) / 3600e6, 6)
+             END AS avg_closed_hours,
+             SUM(closed_us) = SUM(span_us) AS tiling_ok
+      FROM pu"""),
+      (s, dir) => {
+        val wl = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        val wv = Window.partitionBy("user_id").orderBy("vs")
+        val e = Tables.events(s, dir)
+          .select(col("user_id"), col("event_id"), col("ts_us"),
+            get_json_object(col("props"), "$.k").cast("int").as("k"))
+        val c = e.withColumn("pk", lag("k", 1).over(wl))
+        val v = c.where(col("pk").isNull || col("k") =!= col("pk"))
+          .select(col("user_id"), col("k"), col("ts_us").as("vs"))
+        val sv = v.withColumn("ve", lead("vs", 1).over(wv))
+        val pu = sv.groupBy("user_id").agg(
+          count(lit(1)).cast("long").as("nv"),
+          sum(when(col("ve").isNotNull, col("ve") - col("vs")).otherwise(0L))
+            .cast("long").as("closed_us"),
+          (max("vs") - min("vs")).cast("long").as("span_us"),
+          sum(when(col("ve").isNotNull, 1L).otherwise(0L)).cast("long")
+            .as("n_closed"))
+        pu.agg(count(lit(1)).cast("long").as("n_users"),
+          sum("nv").cast("long").as("n_versions"),
+          (sum("nv") - count(lit(1))).cast("long").as("n_changes"),
+          round(sum("nv").cast("double") / count(lit(1)), 6).as("avg_versions"),
+          when(sum("n_closed") > 0,
+            round(sum("closed_us").cast("double") / sum("n_closed") / lit(3600e6), 6))
+            .as("avg_closed_hours"),
+          (sum("closed_us") === sum("span_us")).as("tiling_ok"))
       })
   )
 }
