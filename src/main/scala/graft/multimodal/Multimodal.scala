@@ -1007,6 +1007,92 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Planted-variant Y4M generator for perceptual VIDEO near-dup: the
+    * luma raster is keyed by the GROUP id `g` (so a group's variants
+    * share one base clip), and variant `v` bumps every 128th global
+    * luma position (index f*ySize+k across frames) by +16 before the
+    * %256 — the same sparse-perturbation scheme as the image
+    * (`variantPngPayload`) and audio (`variantWavBytes`) generators:
+    * big enough to change bytes, sparse enough that the TEMPORAL
+    * sign fingerprint of two variants stays within a small hamming
+    * distance. The per-frame luma base rides `frameOffset` (the
+    * audio generator's avalanche chain) rather than a linear g*a+f*b
+    * form: a linear base collapses to its value mod 256, leaving only
+    * 256 distinct temporal patterns corpus-wide and flooding the LSH
+    * with cross-group collisions — the avalanche makes unrelated
+    * groups' fingerprints independent 56-bit draws. Chroma planes
+    * stay g-keyed (the fingerprint reads only Y, but a plane-size bug
+    * still desynchronizes the decode).
+    */
+  def variantY4mPayload(g: Long, v: Int, w: Int, h: Int, frames: Int): Array[Byte] = {
+    require(w > 0 && h > 0 && w % 2 == 0 && h % 2 == 0,
+      s"C420 needs positive even dims, got ${w}x$h")
+    require(frames > 0, s"frames must be positive, got $frames")
+    val header = s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 C420jpeg\n".getBytes("US-ASCII")
+    val marker = "FRAME\n".getBytes("US-ASCII")
+    val ySize = w * h
+    val cSize = (w / 2) * (h / 2)
+    val out = new java.io.ByteArrayOutputStream(
+      header.length + frames * (marker.length + ySize + 2 * cSize))
+    out.write(header)
+    var f = 0
+    while (f < frames) {
+      out.write(marker)
+      val off = frameOffset(g, f) % 256L
+      var k = 0
+      while (k < ySize) {
+        val bump = if ((f.toLong * ySize + k) % 128 == v) 16L else 0L
+        out.write(((off + k * 13 + bump) % 256).toInt)
+        k += 1
+      }
+      k = 0
+      while (k < cSize) { out.write(((g * 11 + f * 17 + k * 7) % 256).toInt); k += 1 }
+      k = 0
+      while (k < cSize) { out.write(((g * 13 + f * 19 + k * 5) % 256).toInt); k += 1 }
+      f += 1
+    }
+    out.toByteArray
+  }
+
+  /** 56-bit temporal sign hash of a DECODED Y4M clip — the video twin
+    * of `audioSignHash56`: the clip must decode to exactly 60 frames,
+    * per-frame luma SUMS (exact integers out of `y4mFrameStats`, no
+    * float division anywhere) split into 4 runs of 15, and bit
+    * r*14+c set when run r's frame c+1 is brighter than frame c. 14
+    * comparisons per run x 4 runs = 56 bits; brightness-shift robust
+    * (a constant luma offset cancels in every comparison) — which is
+    * exactly what byte-exact hashes are NOT.
+    */
+  def videoSignHash56(bytes: Array[Byte]): Long = {
+    val (_, _, sums) = y4mFrameStats(bytes)
+    require(sums.length == 60,
+      s"videoSignHash56 needs exactly 60 frames, got ${sums.length}")
+    var hash = 0L
+    var r = 0
+    while (r < 4) {
+      var c = 0
+      while (c < 14) {
+        if (sums(r * 15 + c + 1) > sums(r * 15 + c)) hash |= 1L << (r * 14 + c)
+        c += 1
+      }
+      r += 1
+    }
+    hash
+  }
+
+  /** Partition-wise video fingerprint decode: (id, vhash LONG). */
+  def decodeVideoHashes(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val decode: Array[Byte] => Long = videoSignHash56
+        rows.map { case (id, bytes) => (id, decode(bytes)) }
+      }
+      .toDF("id", "vhash")
+  }
+
   /** REAL video decode: parse a YUV4MPEG2 payload directly from its
     * bytes — the stream-header tag list (W/H/F mandatory semantics,
     * C colorspace driving the per-frame plane sizes, I/A/X ignored as

@@ -853,6 +853,72 @@ object MultimodalQueries {
             (coalesce(col("tf"), lit(0)) + coalesce(col("imf"), lit(0)) +
               coalesce(col("af"), lit(0))).cast("int").as("n_modalities"))
           .orderBy("doc_id")
+      }),
+
+    // ---- q241: VIDEO near-dup detection — completes the perceptual
+    // dedup quartet (text q72, image q217, audio q224, video here):
+    // every doc gets a REAL 60-frame Y4M clip from a planted-variant
+    // raster (4 variants per group, every 128th luma byte bumped),
+    // the fingerprint is a TEMPORAL sign hash over the DECODED
+    // per-frame luma sums (4 runs x 14 brighter-than-previous bits —
+    // robust to constant brightness shifts, which cancel in every
+    // adjacent-frame comparison), and near-dups surface through the
+    // same banded-LSH shape as the other modalities: 4 bands x 14
+    // bits, bucket-skew cap, exact bit_count(xor) <= 6 on candidates
+    // only. Y4M being uncompressed, the decoded-sum hash equals the
+    // generator's closed form — which is what the oracle recomputes,
+    // so a header-walk or plane-size bug desynchronizes loudly. Scale
+    // shape: fingerprints are 8 bytes/clip regardless of resolution,
+    // the join touches banded buckets only, the decode is one
+    // partition-wise pass over payload bytes.
+    QueryDef("q241_video_fingerprint", Some("""
+      WITH ids AS (SELECT doc_id FROM documents),
+      fr AS (SELECT doc_id, f.range AS f,
+                    (((doc_id // 4) * 60 + f.range + 1) % 2147483648)
+                      * 2654435761 % 2147483648 AS h1
+             FROM ids, range(0, 60) f),
+      fx AS (SELECT doc_id, f, xor(h1, h1 >> 15) AS h2 FROM fr),
+      fy AS (SELECT doc_id, f, (h2 * 1540483477 % 2147483648) AS h3 FROM fx),
+      fo AS (SELECT doc_id, f, xor(h3, h3 >> 13) % 65536 % 256 AS off FROM fy),
+      en AS (SELECT doc_id, f,
+               list_sum(list_transform(range(0, 16), k ->
+                 (off + k * 13
+                  + CASE WHEN (f * 16 + k) % 128 = doc_id % 4
+                    THEN 16 ELSE 0 END) % 256)) AS e
+             FROM fo),
+      bits AS (SELECT a.doc_id, ((a.f // 15) * 14 + (a.f % 15)) AS i
+               FROM en a JOIN en b ON b.doc_id = a.doc_id AND b.f = a.f + 1
+               WHERE a.f % 15 < 14 AND b.e > a.e),
+      hash AS (SELECT ids.doc_id,
+                      CAST(COALESCE(SUM(1::BIGINT << i), 0) AS BIGINT) AS vh
+               FROM ids LEFT JOIN bits ON bits.doc_id = ids.doc_id
+               GROUP BY ids.doc_id),
+      band AS (SELECT doc_id, vh, t.range AS b,
+                      (vh >> CAST(t.range * 14 AS INTEGER)) & 16383 AS chunk
+               FROM hash, range(0, 4) t),
+      kept AS (SELECT doc_id, vh, b, chunk FROM
+                 (SELECT *, COUNT(*) OVER (PARTITION BY b, chunk) AS bsz FROM band)
+               WHERE bsz <= 50),
+      cand AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b,
+                      a.vh AS ha, b2.vh AS hb
+               FROM kept a JOIN kept b2
+                 ON a.b = b2.b AND a.chunk = b2.chunk AND a.doc_id < b2.doc_id)
+      SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming,
+             (id_a // 4) = (id_b // 4) AS same_group
+      FROM cand WHERE bit_count(xor(ha, hb)) <= 6
+      ORDER BY id_a, id_b"""),
+      (s, dir) => {
+        import s.implicits._
+        val pay = Tables.read(s, dir, "documents").select("doc_id").as[Long]
+          .mapPartitions(_.map(id =>
+            (id, Multimodal.variantY4mPayload(id / 4, (id % 4).toInt, 4, 4, 60))))
+          .toDF("doc_id", "payload")
+        val h = Multimodal.decodeVideoHashes(pay, "doc_id", "payload")
+          .localCheckpoint() // both banded self-join sides read it
+        Multimodal.bandedHammingPairs(h, "id", "vhash", 50, 6)
+          .select(col("id_a"), col("id_b"), col("hamming"),
+            (expr("id_a div 4") === expr("id_b div 4")).as("same_group"))
+          .orderBy("id_a", "id_b")
       })
   )
 }
