@@ -858,6 +858,53 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!plan.exists { case _: CartesianProductExec => true; case _ => false })
   }
 
+  test("q233 Poisson bootstrap: replicate fan-out partial-aggregates, no window") {
+    val plan = collectAll(executed(q("q233_poisson_bootstrap")))
+    val aggs = plan.filter(_.nodeName.contains("HashAggregate")).map(_.toString)
+    assert(aggs.exists(_.contains("partial_sum")),
+      "per-replicate weighted sums must partial-aggregate before the exchange")
+    assert(!plan.exists(_.nodeName == "Window"),
+      "the percentile CI is an aggregate over the B-row replicate table, not a window")
+  }
+
+  test("q235 Mann-Whitney: ranks via ExactRank — NO window operator at all") {
+    val plan = collectAll(executed(q("q235_mann_whitney")))
+    assert(!plan.exists(_.nodeName == "Window"),
+      "midranks must come from ExactRank min/max per value, not WindowExec")
+    assert(!plan.exists { case _: CartesianProductExec => true; case _ => false })
+  }
+
+  test("q239 attribution: per-user windows only; channel fold joins small") {
+    val plan = collectAll(executed(q("q239_attribution")))
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      "touch carry-forward must partition by user_id, never globally")
+    assert(!plan.exists { case _: CartesianProductExec => true; case _ => false })
+  }
+
+  test("q240 SCD2 build: per-user lag/lead windows only; profile partial-aggregates") {
+    val plan = collectAll(executed(q("q240_scd2_build")))
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      "version open/close must partition by user_id, never globally")
+    val aggs = plan.filter(_.nodeName.contains("HashAggregate")).map(_.toString)
+    assert(aggs.exists(_.contains("partial_sum")),
+      "per-user version counters must partial-aggregate before the exchange")
+  }
+
+  test("q241 video fingerprint: banded join only — no cartesian over the hash table") {
+    val plan = collectAll(executed(q("q241_video_fingerprint")))
+    assert(!plan.exists { case _: CartesianProductExec => true; case _ => false },
+      "candidates must come from the band-bucket equi-join, never all-pairs")
+    val windows = plan.filter(_.nodeName == "Window")
+    assert(windows.forall(_.toString.contains("chunk#")),
+      "the only window is the bucket-skew cap, partitioned by (band, chunk)")
+  }
+
   // ---- catalog-wide sweep: an unpartitioned WindowExec moves the whole
   // relation into ONE task. q222 shipped with a plausible-but-wrong
   // boundedness comment in round 7; this sweep makes that class of bug
