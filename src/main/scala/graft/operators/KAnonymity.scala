@@ -62,4 +62,53 @@ object KAnonymity {
           .as("risk_pct"),
         (col("k_min") >= k).as("anonymous"))
   }
+
+  /** l-diversity audit — k-anonymity's complement: a class of k
+    * identical-QI rows still leaks if they all share ONE sensitive
+    * value (the homogeneity attack k-anonymity cannot see). Per QI
+    * equivalence class this reports both gates: distinct l-diversity
+    * (≥ l distinct sensitive values) and entropy l-diversity
+    * (−Σ p·ln p ≥ ln l, i.e. exp(entropy) ≥ l — stricter: a class
+    * that is 99% one value fails even with many token distincts).
+    *
+    * Float discipline: entropy is rewritten as
+    * ln(n) − (Σ c·ln c)/n, so the only aggregate is Σ of the exact
+    * MICRO-scaled longs round(c·ln(c)·1e6) — order-free integer
+    * addition; ln/exp then run once per class on identical exact
+    * inputs in both engines. The micro scaling caps per-value counts
+    * at ~2.3e11 (c·ln(c)·1e6 must stay under 2^63) — beyond any
+    * single (QI class, sensitive value) cell this module targets.
+    *
+    * Scale shape (100 TB): one corpus scan → one (QI, sensitive)
+    * hash agg (partial-aggregated) → one reduction over the bounded
+    * (QI × sensitive-vocabulary) counter table. No windows, no joins.
+    * Returns one row per class: (qi…, cls_n, l_distinct, entropy_l,
+    * distinct_ok, entropy_ok), entropy_l rounded 6.
+    */
+  def lDiversity(rel: DataFrame, qis: Seq[Column], sensitive: Column,
+                 l: Int): DataFrame = {
+    require(qis.nonEmpty, "need at least one quasi-identifier column")
+    require(l >= 2, s"l must be at least 2, got $l")
+    val names = qis.indices.map(i => s"qi$i")
+    val named = qis.zip(names).map { case (c, n) => c.as(n) }
+    val base = rel.select(named :+ sensitive.as("sv"): _*)
+      .where((names :+ "sv").map(col(_).isNotNull).reduce(_ && _))
+    val vc = base.groupBy((names :+ "sv").map(col): _*)
+      .agg(count(lit(1)).as("c"))
+    val entropy = log(col("cls_n"))
+      .minus((col("st").cast("double") / lit(1000000.0)) / col("cls_n"))
+    vc.groupBy(names.map(col): _*)
+      .agg(sum(col("c")).as("cls_n"),
+        count(lit(1)).as("l_distinct"),
+        sum(round(col("c") * log(col("c")) * lit(1000000.0)).cast("long"))
+          .as("st"))
+      .select(names.map(col) ++ Seq(
+        col("cls_n"), col("l_distinct"),
+        round(exp(entropy), 6).as("entropy_l"),
+        (col("l_distinct") >= l).as("distinct_ok"),
+        // gate on the ROUNDED value: a class of l equal-count sensitive
+        // values has entropy EXACTLY ln(l), so an unrounded exp ≥ l
+        // comparison sits on an engine-ulp boundary by construction
+        (round(exp(entropy), 6) >= l.toDouble).as("entropy_ok")): _*)
+  }
 }

@@ -1970,6 +1970,87 @@ object RelationalQueries {
           .select(col("p_num"), col("p_den"), col("n_total"), col("qrank"),
             col("cv").as("value_cents"))
           .orderBy("p_num", "p_den")
+      }),
+
+    // ---- q242: l-diversity audit — the homogeneity-attack gate q182's
+    // k-anonymity ladder cannot see: a class of k identical-QI rows
+    // still leaks if (nearly) all of them share one sensitive value.
+    // Per (nation, $2000 balance band) class, both textbook gates over
+    // the sensitive market segment: distinct l-diversity (≥ 3 values)
+    // and entropy l-diversity (exp(−Σ p·ln p) ≥ 3). Entropy rides the
+    // ln(n) − (Σ c·ln c)/n identity so the only aggregate is an exact
+    // micro-scaled long sum (order-free); ln/exp run once per class on
+    // identical exact inputs in both engines. One scan → one
+    // (QI, sensitive) hash agg → one reduction over the bounded
+    // (QI × segment-vocabulary) counter table; no windows, no joins.
+    QueryDef("q242_l_diversity", Some("""
+      WITH base AS (SELECT c_nationkey AS qi0,
+                      ((CAST(ROUND(c_acctbal*100) AS BIGINT)
+                        - (((CAST(ROUND(c_acctbal*100) AS BIGINT) % 200000)
+                            + 200000) % 200000)) // 200000) AS qi1,
+                      c_mktsegment AS sv
+                    FROM customer
+                    WHERE c_nationkey IS NOT NULL AND c_acctbal IS NOT NULL
+                      AND c_mktsegment IS NOT NULL),
+      vc AS (SELECT qi0, qi1, sv, CAST(COUNT(*) AS BIGINT) AS c
+             FROM base GROUP BY qi0, qi1, sv),
+      cls AS (SELECT qi0, qi1, CAST(SUM(c) AS BIGINT) AS cls_n,
+                     CAST(COUNT(*) AS BIGINT) AS l_distinct,
+                     CAST(SUM(CAST(ROUND(c * ln(c) * 1000000.0) AS BIGINT))
+                       AS BIGINT) AS st
+              FROM vc GROUP BY qi0, qi1)
+      SELECT qi0, qi1, cls_n, l_distinct,
+             ROUND(EXP(LN(cls_n) - (CAST(st AS DOUBLE)/1000000.0)/cls_n), 6)
+               AS entropy_l,
+             l_distinct >= 3 AS distinct_ok,
+             ROUND(EXP(LN(cls_n) - (CAST(st AS DOUBLE)/1000000.0)/cls_n), 6)
+               >= 3.0 AS entropy_ok
+      FROM cls ORDER BY qi0, qi1"""),
+      (s, dir) =>
+        graft.operators.KAnonymity.lDiversity(
+            Tables.read(s, dir, "customer"),
+            Seq(col("c_nationkey"),
+              expr("(cast(round(c_acctbal*100) as bigint) - " +
+                "pmod(cast(round(c_acctbal*100) as bigint), 200000)) div 200000")),
+            col("c_mktsegment"), l = 3)
+          .orderBy("qi0", "qi1")),
+
+    // ---- q243: ε-DP histogram release with DETERMINISTIC Laplace
+    // noise (inverse-CDF over a seeded md5 uniform — the q97 portable-
+    // hash discipline, which is also what lets a SQL oracle verify a
+    // "random" mechanism) plus the accounting a release needs beside
+    // every number: per-histogram ε (parallel composition across
+    // disjoint bins) and the Σε sequential-composition total across
+    // the two-dial ladder. ε rides as an exact integer rational
+    // (num, den) so no 0.1 literal ever crosses an engine boundary.
+    // Scale shape: one counting scan; the ε ladder and its total are
+    // literal-sized broadcasts; noise is per-bin scalar math.
+    QueryDef("q243_dp_release", Some("""
+      WITH seg AS (SELECT c_mktsegment AS segment,
+                          CAST(COUNT(*) AS BIGINT) AS n_true
+                   FROM customer GROUP BY c_mktsegment),
+      eps AS (SELECT * FROM (VALUES (1, 10), (1, 1)) t(eps_num, eps_den)),
+      tot AS (SELECT SUM(CAST(eps_num AS DOUBLE)/CAST(eps_den AS DOUBLE))
+                AS eps_total FROM eps),
+      d AS (SELECT eps_num, eps_den, segment, n_true,
+                   (CAST('0x' || substr(md5('dp:' || eps_num || ':'
+                           || eps_den || ':' || segment), 1, 12) AS BIGINT)
+                     + 0.5) / 281474976710656.0 AS u,
+                   CAST(eps_den AS DOUBLE)/CAST(eps_num AS DOUBLE) AS b
+            FROM seg CROSS JOIN eps)
+      SELECT eps_num, eps_den, segment, n_true,
+             ROUND(-b * sign(u - 0.5) * ln(1 - 2*abs(u - 0.5)), 6) AS noise,
+             ROUND(n_true - b * sign(u - 0.5) * ln(1 - 2*abs(u - 0.5)), 6)
+               AS n_noisy,
+             (SELECT eps_total FROM tot) AS eps_total
+      FROM d ORDER BY eps_num, eps_den, segment"""),
+      (s, dir) => {
+        val seg = Tables.read(s, dir, "customer")
+          .groupBy(col("c_mktsegment").as("segment"))
+          .agg(count(lit(1)).as("n_true"))
+        graft.operators.DpRelease.releaseCounts(seg, "segment", "n_true",
+            Seq((1, 10), (1, 1)), "dp")
+          .orderBy("eps_num", "eps_den", "segment")
       })
   )
 }

@@ -51,4 +51,44 @@ class KAnonymitySpec extends SparkTestBase {
       KAnonymity.ladder(fixture, Seq(col("city")), k = 1)
     }
   }
+
+  // sensitive diagnosis per (city) class: a is 3×flu + 1×cold,
+  // b is 2×flu (homogeneous — the attack k-anonymity can't see)
+  private def sensFixture = Seq(
+    ("a", "flu"), ("a", "flu"), ("a", "flu"), ("a", "cold"),
+    ("b", "flu"), ("b", "flu")).toDF("city", "diag")
+
+  test("l-diversity: distinct and entropy gates, closed-form entropy") {
+    val got = KAnonymity.lDiversity(sensFixture, Seq(col("city")),
+        col("diag"), l = 2)
+      .orderBy("qi0").collect()
+    assert(got.length === 2)
+    val a = got(0)
+    assert((a.getString(0), a.getLong(1), a.getLong(2)) === ("a", 4L, 2L))
+    // entropy = ln4 − (3·ln3 + 1·ln1)/4; exp of it ≈ 1.7548
+    val expected = math.exp(math.log(4) - 3 * math.log(3) / 4)
+    assert(math.abs(a.getDouble(3) - expected) < 1e-6)
+    assert(a.getBoolean(4) && !a.getBoolean(5)) // 2 distinct, entropy < 2
+    val b = got(1)
+    assert((b.getString(0), b.getLong(1), b.getLong(2)) === ("b", 2L, 1L))
+    assert(b.getDouble(3) === 1.0) // homogeneous class: exp(0)
+    assert(!b.getBoolean(4) && !b.getBoolean(5))
+  }
+
+  test("l-diversity: l equal-count values sit EXACTLY on the entropy gate") {
+    val eq = Seq(("a", "x"), ("a", "y"), ("a", "z")).toDF("city", "diag")
+    val r = KAnonymity.lDiversity(eq, Seq(col("city")), col("diag"), l = 3)
+      .collect().head
+    assert(r.getDouble(3) === 3.0)                 // entropy_l = exp(ln 3)
+    assert(r.getBoolean(4) && r.getBoolean(5))     // both gates pass AT l
+  }
+
+  test("l-diversity: null sensitive values are excluded") {
+    val withNull = sensFixture.union(
+      spark.sql("SELECT 'b' AS city, CAST(NULL AS STRING) AS diag"))
+    val got = KAnonymity.lDiversity(withNull, Seq(col("city")),
+        col("diag"), l = 2)
+      .orderBy("qi0").collect()
+    assert(got.map(_.getLong(1)).toSeq === Seq(4L, 2L))
+  }
 }
