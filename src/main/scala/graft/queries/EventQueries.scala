@@ -2583,6 +2583,150 @@ object EventQueries {
             round(sum("closed_us").cast("double") / sum("n_closed") / lit(3600e6), 6))
             .as("avg_closed_hours"),
           (sum("closed_us") === sum("span_us")).as("tiling_ok"))
+      }),
+
+    // ---- q244: two-sided CUSUM change detection on daily event rates
+    // — the control chart that catches SMALL persistent level shifts
+    // q118's spike rule (built for single outliers) integrates right
+    // past. Page's recurrence S⁺_d = max(0, S⁺_{d−1} + z_d − k) is
+    // rewritten to its closed prefix form S⁺_d = P_d − min_{0≤j≤d} P_j
+    // (P = cumsum of z − k), so the chart is two windows over the
+    // types×30-day aggregate table — and both run in EXACT MICRO-SCALED
+    // INTEGER space: z comes bit-identical in each engine from the q125
+    // integer power sums, is rounded once to micros, and every window
+    // sum/min after that is order-free long arithmetic (a FLOAT window
+    // sum would be at the mercy of DuckDB's segment-tree addition
+    // order). Allowance k = 0.5σ, threshold h = 4σ, the textbook dials.
+    // Zero-variance types (σ = 0) are excluded rather than divided by.
+    // Scale shape: corpus work is ONE hash agg to daily counts; every
+    // window is partitioned by event_type over the bounded day domain.
+    QueryDef("q244_cusum", Some("""
+      WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS d,
+                            CAST(COUNT(*) AS BIGINT) AS x
+                     FROM events GROUP BY event_type, (epoch_us(ts) // 86400000000)),
+      st AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                    CAST(SUM(x) AS DOUBLE) AS s1,
+                    CAST(SUM(CAST(x AS HUGEINT) * x) AS DOUBLE) AS s2
+             FROM daily GROUP BY event_type),
+      z AS (SELECT daily.event_type, d, x,
+                   CAST(ROUND((x - s1/n) / sqrt((s2 - s1*s1/n)/n) * 1000000.0)
+                     AS BIGINT) AS zm
+            FROM daily JOIN st ON st.event_type = daily.event_type
+            WHERE sqrt((s2 - s1*s1/n)/n) > 0e0),
+      c AS (SELECT event_type, d, x, zm,
+                   CAST(SUM(zm - 500000) OVER w AS BIGINT) AS pp,
+                   CAST(SUM(-zm - 500000) OVER w AS BIGINT) AS pn
+            FROM z WINDOW w AS (PARTITION BY event_type ORDER BY d)),
+      m AS (SELECT event_type, d, x, zm, pp, pn,
+                   CAST(LEAST(MIN(pp) OVER w2, 0) AS BIGINT) AS mp,
+                   CAST(LEAST(MIN(pn) OVER w2, 0) AS BIGINT) AS mneg
+            FROM c WINDOW w2 AS (PARTITION BY event_type ORDER BY d))
+      SELECT event_type, d, x, zm,
+             (pp - mp) / 1000000.0 AS s_pos,
+             (pn - mneg) / 1000000.0 AS s_neg,
+             (pp - mp) > 4000000 AS alarm_up,
+             (pn - mneg) > 4000000 AS alarm_down
+      FROM m ORDER BY event_type, d"""),
+      (s, dir) => {
+        val daily = Tables.events(s, dir)
+          .groupBy(col("event_type"), expr("ts_us div 86400000000").as("d"))
+          .agg(count(lit(1)).as("x"))
+        // widen BEFORE squaring (the q110/q125 discipline): exact
+        // integer power sums make z the identical IEEE tree per engine
+        val xw = col("x").cast("decimal(19,0)")
+        val st = daily.groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(col("x").cast("decimal(38,0)")).cast("double").as("s1"),
+            sum(xw * xw).cast("double").as("s2"))
+        val sigma = sqrt((col("s2") - col("s1") * col("s1") / col("n")) / col("n"))
+        val z = daily.join(broadcast(st), "event_type")
+          .where(sigma > 0.0)
+          .select(col("event_type"), col("d"), col("x"),
+            round((col("x") - col("s1") / col("n")) / sigma * lit(1000000.0))
+              .cast("long").as("zm"))
+        val w = Window.partitionBy("event_type").orderBy("d")
+        val c = z.select(col("event_type"), col("d"), col("x"), col("zm"),
+          sum(col("zm") - lit(500000L)).over(w).as("pp"),
+          sum(-col("zm") - lit(500000L)).over(w).as("pn"))
+        c.select(col("event_type"), col("d"), col("x"), col("zm"),
+            col("pp"), col("pn"),
+            least(min("pp").over(w), lit(0L)).as("mp"),
+            least(min("pn").over(w), lit(0L)).as("mneg"))
+          .select(col("event_type"), col("d"), col("x"), col("zm"),
+            ((col("pp") - col("mp")) / lit(1000000.0)).as("s_pos"),
+            ((col("pn") - col("mneg")) / lit(1000000.0)).as("s_neg"),
+            (col("pp") - col("mp") > 4000000L).as("alarm_up"),
+            (col("pn") - col("mneg") > 4000000L).as("alarm_down"))
+          .orderBy("event_type", "d")
+      }),
+
+    // ---- q245: EWMA control chart on the same standardized daily
+    // rates — the exponentially-weighted companion to q244 (CUSUM is
+    // optimal for a known shift size, EWMA degrades gracefully across
+    // unknown ones; a monitoring stack runs both). The recurrence
+    // ewma_i = λz_i + (1−λ)ewma_{i−1} (λ = 0.2, ewma_0 = 0 on the
+    // z scale) unrolls to λ·Σ_j (1−λ)^{i−j} z_j over the BOUNDED
+    // types×30-day table: a day-domain self-join whose quadratic is
+    // 30² per type at ANY corpus size, with pow on small integer
+    // exponents only (never the exploding (1/(1−λ))^j rewrite). The
+    // variance-exact control limit 3σ√(λ/(2−λ)·(1−(1−λ)^{2i}))
+    // collapses to √(1−0.8^{2i}) at λ = 0.2 on the unit-σ z scale.
+    // The weighted sum is a genuinely order-dependent float reduction
+    // → rounded 6 (the repo's norm/cosine discipline); signal compares
+    // the two ROUNDED emitted columns, so the gate is exactly
+    // reproducible from the released row.
+    QueryDef("q245_ewma", Some("""
+      WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS d,
+                            CAST(COUNT(*) AS BIGINT) AS x
+                     FROM events GROUP BY event_type, (epoch_us(ts) // 86400000000)),
+      st AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                    CAST(SUM(x) AS DOUBLE) AS s1,
+                    CAST(SUM(CAST(x AS HUGEINT) * x) AS DOUBLE) AS s2
+             FROM daily GROUP BY event_type),
+      z AS (SELECT daily.event_type, d, x,
+                   (x - s1/n) / sqrt((s2 - s1*s1/n)/n) AS zv
+            FROM daily JOIN st ON st.event_type = daily.event_type
+            WHERE sqrt((s2 - s1*s1/n)/n) > 0e0),
+      ix AS (SELECT event_type, d, x, zv,
+                    CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d)
+                      AS BIGINT) AS i
+             FROM z),
+      ew AS (SELECT a.event_type, a.d, a.i, a.x, a.zv,
+                    2e-1 * SUM(POW(8e-1, a.i - b.i) * b.zv) AS ewma
+             FROM ix a JOIN ix b ON b.event_type = a.event_type AND b.i <= a.i
+             GROUP BY a.event_type, a.d, a.i, a.x, a.zv)
+      SELECT event_type, d, i, x, ROUND(zv, 6) AS z, ROUND(ewma, 6) AS ewma,
+             ROUND(SQRT(1e0 - POW(8e-1, 2*i)), 6) AS ucl,
+             ROUND(ABS(ewma), 6) > ROUND(SQRT(1e0 - POW(8e-1, 2*i)), 6) AS signal
+      FROM ew ORDER BY event_type, d"""),
+      (s, dir) => {
+        val daily = Tables.events(s, dir)
+          .groupBy(col("event_type"), expr("ts_us div 86400000000").as("d"))
+          .agg(count(lit(1)).as("x"))
+        val xw = col("x").cast("decimal(19,0)")
+        val st = daily.groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(col("x").cast("decimal(38,0)")).cast("double").as("s1"),
+            sum(xw * xw).cast("double").as("s2"))
+        val sigma = sqrt((col("s2") - col("s1") * col("s1") / col("n")) / col("n"))
+        val z = daily.join(broadcast(st), "event_type")
+          .where(sigma > 0.0)
+          .select(col("event_type"), col("d"), col("x"),
+            ((col("x") - col("s1") / col("n")) / sigma).as("zv"))
+        val ix = z.withColumn("i", row_number()
+          .over(Window.partitionBy("event_type").orderBy("d")).cast("long"))
+        val b = ix.select(col("event_type").as("bt"), col("i").as("bi"),
+          col("zv").as("bz"))
+        val ucl = sqrt(lit(1.0) - pow(lit(0.8), lit(2) * col("i")))
+        ix.join(b, col("event_type") === col("bt") && col("bi") <= col("i"))
+          .groupBy("event_type", "d", "i", "x", "zv")
+          .agg((lit(0.2) * sum(pow(lit(0.8), col("i") - col("bi")) * col("bz")))
+            .as("ewma"))
+          .select(col("event_type"), col("d"), col("i"), col("x"),
+            round(col("zv"), 6).as("z"), round(col("ewma"), 6).as("ewma"),
+            round(ucl, 6).as("ucl"),
+            (round(abs(col("ewma")), 6) > round(ucl, 6)).as("signal"))
+          .orderBy("event_type", "d")
       })
   )
 }

@@ -896,6 +896,28 @@ class PlanQualitySpec extends SparkTestBase {
       "per-user version counters must partial-aggregate before the exchange")
   }
 
+  test("q244 CUSUM: daily counts partial-aggregate; chart windows partition by type") {
+    val plan = collectAll(executed(q("q244_cusum")))
+    val aggs = plan.filter(_.nodeName.contains("HashAggregate")).map(_.toString)
+    assert(aggs.exists(_.contains("partial_count")),
+      "the corpus-scale daily-count agg must partial-aggregate before the exchange")
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      "every chart window must partition by event_type, never globally")
+  }
+
+  test("q245 EWMA: the day-domain self-join is never a cartesian") {
+    val plan = collectAll(executed(q("q245_ewma")))
+    assert(!plan.exists { case _: CartesianProductExec => true; case _ => false })
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      "the day-index row_number must partition by event_type")
+  }
+
   test("q241 video fingerprint: banded join only — no cartesian over the hash table") {
     val plan = collectAll(executed(q("q241_video_fingerprint")))
     assert(!plan.exists { case _: CartesianProductExec => true; case _ => false },
