@@ -1195,4 +1195,134 @@ object Multimodal {
         }
       }
   }
+
+  /** Scene-structured Y4M generator for shot-boundary detection: frame
+    * f ≥ 1 opens a new scene when `frameOffset(id·3+1, f) % 5 == 0`
+    * (~5-frame expected shots), and every frame of scene s renders one
+    * FLAT-motion raster keyed by `frameOffset(id, 971+s)` — so the
+    * decoded per-frame luma sums are piecewise constant and jump
+    * exactly at the planted cuts. Same avalanche-chain reasoning as
+    * [[variantY4mPayload]] (a linear scene base would collapse to 256
+    * patterns corpus-wide); chroma planes stay id-keyed noise the luma
+    * path must skip by computed size. Everything is closed form, so an
+    * engine without the codec recomputes the decoded sums exactly.
+    */
+  def sceneY4mPayload(id: Long, w: Int, h: Int, frames: Int): Array[Byte] = {
+    require(w > 0 && h > 0 && w % 2 == 0 && h % 2 == 0,
+      s"C420 needs positive even dims, got ${w}x$h")
+    require(frames > 0, s"frames must be positive, got $frames")
+    val header = s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 C420jpeg\n".getBytes("US-ASCII")
+    val marker = "FRAME\n".getBytes("US-ASCII")
+    val ySize = w * h
+    val cSize = (w / 2) * (h / 2)
+    val out = new java.io.ByteArrayOutputStream(
+      header.length + frames * (marker.length + ySize + 2 * cSize))
+    out.write(header)
+    var scene = 0L
+    var f = 0
+    while (f < frames) {
+      if (f >= 1 && frameOffset(id * 3 + 1, f) % 5 == 0) scene += 1
+      out.write(marker)
+      val off = frameOffset(id, (971 + scene).toInt) % 256L
+      var k = 0
+      while (k < ySize) { out.write(((off + k * 13) % 256).toInt); k += 1 }
+      k = 0
+      while (k < cSize) { out.write(((id * 11 + f * 17 + k * 7) % 256).toInt); k += 1 }
+      k = 0
+      while (k < cSize) { out.write(((id * 13 + f * 19 + k * 5) % 256).toInt); k += 1 }
+      f += 1
+    }
+    out.toByteArray
+  }
+
+  /** Partition-wise per-frame video decode: one (id, f, e) row per
+    * frame with e the exact-integer luma sum from [[y4mFrameStats]] —
+    * the primitive shot-boundary detection differences. Row count is
+    * clips × frames; the decode is one streamed pass per partition.
+    */
+  def decodeFrameSums(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        val (_, _, sums) = y4mFrameStats(bytes)
+        sums.iterator.zipWithIndex.map { case (e, f) => (id, f, e) }
+      })
+      .toDF("id", "f", "e")
+  }
+
+  /** Voice-activity-structured WAV generator: frame f (of `flen`
+    * samples) is VOICED when `frameOffset(id·7+3, f) % 4 != 0` (~75%
+    * duty cycle in hash-seeded runs). Voiced frames ramp the full
+    * 16-bit triangle domain from a per-(id, f) avalanche offset
+    * ([[frameOffset]] — same non-algebraic-mixing requirement as
+    * [[variantWavBytes]]); silent frames carry low-order comfort noise
+    * `j % 64` (|sample| ≤ 63, so worst-case voiced frame energy ~107k
+    * vs exactly 4528 silent at flen = 160 — an order of magnitude of
+    * threshold headroom on both sides). A REAL canonical WAV;
+    * everything closed form for the oracle.
+    */
+  def vadWavPayload(id: Long, frames: Int, flen: Int, rate: Int): Array[Byte] = {
+    require(frames > 0 && flen > 0, s"bad geometry: $frames x $flen")
+    val n = frames * flen
+    val buf = java.nio.ByteBuffer.allocate(44 + 2 * n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + 2 * n)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1)                    // PCM, mono
+      .putInt(rate).putInt(rate * 2)              // rate, byte rate
+      .putShort(2).putShort(16)                   // block align, bits
+    buf.put("data".getBytes("US-ASCII")).putInt(2 * n)
+    var f = 0
+    while (f < frames) {
+      val voiced = frameOffset(id * 7 + 3, f) % 4 != 0
+      val off = frameOffset(id, f)
+      var j = 0
+      while (j < flen) {
+        val v = if (voiced) (off + j * 17L) % 65536L else (j % 64).toLong
+        buf.putShort(v.toShort)
+        j += 1
+      }
+      f += 1
+    }
+    buf.array()
+  }
+
+  /** Per-frame PCM energies of a decoded WAV: Σ|sample| over each of
+    * `frames` equal frames — exact longs, the primitive both
+    * [[audioSignHash56]] (sign comparisons) and voice-activity
+    * segmentation (threshold + islands) consume.
+    */
+  def pcmFrameEnergies(bytes: Array[Byte], frames: Int): Array[Long] = {
+    val (_, _, dataOff, nSamples) = wavDataSection(bytes)
+    require(nSamples > 0 && nSamples % frames == 0,
+      s"pcmFrameEnergies needs a multiple of $frames samples, got $nSamples")
+    val flen = nSamples / frames
+    def le16(i: Int) = (bytes(i) & 0xff) | ((bytes(i + 1) & 0xff) << 8)
+    Array.tabulate(frames) { f =>
+      var s = 0L
+      var k = f * flen
+      val end = k + flen
+      while (k < end) { s += math.abs(le16(dataOff + 2 * k).toShort.toLong); k += 1 }
+      s
+    }
+  }
+
+  /** Partition-wise per-frame audio-energy decode: (id, f, e) rows
+    * from [[pcmFrameEnergies]] — the audio twin of [[decodeFrameSums]].
+    */
+  def decodeAudioEnergies(df: DataFrame, idCol: String, binCol: String,
+                          frames: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        pcmFrameEnergies(bytes, frames).iterator.zipWithIndex
+          .map { case (e, f) => (id, f, e) }
+      })
+      .toDF("id", "f", "e")
+  }
 }

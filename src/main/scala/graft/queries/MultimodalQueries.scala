@@ -919,6 +919,175 @@ object MultimodalQueries {
           .select(col("id_a"), col("id_b"), col("hamming"),
             (expr("id_a div 4") === expr("id_b div 4")).as("same_group"))
           .orderBy("id_a", "id_b")
+      }),
+
+    // ---- q246: shot-boundary (scene-change) detection over DECODED
+    // video — the segmentation step between raw clips and per-shot
+    // training samples (frame-sampling a 2-hour clip uniformly wastes
+    // most frames on one static shot; sampling per shot doesn't).
+    // Every doc gets a REAL 60-frame Y4M with planted hash-seeded cuts
+    // (~5-frame shots, flat luma within a shot), the decode is
+    // y4mFrameStats' exact per-frame luma sums, and a boundary is any
+    // frame whose sum differs from its predecessor — brightness jumps
+    // being exactly what survives at 4x4; a production path swaps the
+    // threshold for a tolerance without changing shape. Y4M being
+    // uncompressed, the decoded sums equal the generator's closed
+    // form, which is what the oracle recomputes (murmur chain in CTEs,
+    // the q241 discipline) — a header-walk or plane-size bug
+    // desynchronizes loudly. Scale shape: decode is one partition-wise
+    // pass over payload bytes; every window (scene cumsum, boundary
+    // lag) partitions by doc over the 60-frame domain; the final agg
+    // is one mergeable groupBy.
+    QueryDef("q246_scene_change", Some("""
+      WITH ids AS (SELECT doc_id FROM documents),
+      fr AS (SELECT doc_id, f.range AS f FROM ids, range(0, 60) f),
+      -- planted-cut hash: frameOffset(doc_id*3+1, f)
+      k1 AS (SELECT doc_id, f,
+                    (((doc_id*3 + 1) * 60 + f + 1) % 2147483648)
+                      * 2654435761 % 2147483648 AS h
+             FROM fr),
+      k2 AS (SELECT doc_id, f, xor(h, h >> 15) AS h FROM k1),
+      k3 AS (SELECT doc_id, f, (h * 1540483477 % 2147483648) AS h FROM k2),
+      ct AS (SELECT doc_id, f,
+                    CASE WHEN f >= 1 AND xor(h, h >> 13) % 65536 % 5 = 0
+                         THEN 1 ELSE 0 END AS cut
+             FROM k3),
+      sc AS (SELECT doc_id, f,
+                    CAST(SUM(cut) OVER (PARTITION BY doc_id ORDER BY f)
+                      AS BIGINT) AS s
+             FROM ct),
+      -- per-scene luma base: frameOffset(doc_id, 971 + s)
+      b1 AS (SELECT doc_id, f,
+                    ((doc_id * 60 + 971 + s + 1) % 2147483648)
+                      * 2654435761 % 2147483648 AS h
+             FROM sc),
+      b2 AS (SELECT doc_id, f, xor(h, h >> 15) AS h FROM b1),
+      b3 AS (SELECT doc_id, f, (h * 1540483477 % 2147483648) AS h FROM b2),
+      en AS (SELECT doc_id, f,
+                    list_sum(list_transform(range(0, 16), k ->
+                      (xor(h, h >> 13) % 65536 % 256 + k * 13) % 256)) AS e
+             FROM b3),
+      bd AS (SELECT doc_id, f,
+                    CASE WHEN f = 0 OR e <> LAG(e) OVER
+                           (PARTITION BY doc_id ORDER BY f)
+                         THEN 1 ELSE 0 END AS b
+             FROM en),
+      sg AS (SELECT doc_id,
+                    CAST(SUM(b) OVER (PARTITION BY doc_id ORDER BY f)
+                      AS BIGINT) AS scene
+             FROM bd),
+      ln AS (SELECT doc_id, scene, CAST(COUNT(*) AS BIGINT) AS len
+             FROM sg GROUP BY doc_id, scene)
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_scenes,
+             CAST(MAX(len) AS BIGINT) AS longest_scene,
+             CAST(60 AS DOUBLE) / COUNT(*) AS mean_scene_len
+      FROM ln GROUP BY doc_id ORDER BY doc_id"""),
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val pay = Tables.read(s, dir, "documents").select("doc_id").as[Long]
+          .mapPartitions(_.map(id =>
+            (id, Multimodal.sceneY4mPayload(id, 4, 4, 60))))
+          .toDF("doc_id", "payload")
+        val fs = Multimodal.decodeFrameSums(pay, "doc_id", "payload")
+        val w = Window.partitionBy("id").orderBy("f")
+        val bd = fs.select(col("id"), col("f"),
+          when(col("f") === 0 || col("e") =!= lag("e", 1).over(w), 1)
+            .otherwise(0).as("b"))
+        val sg = bd.select(col("id"), sum("b").over(w).as("scene"))
+        sg.groupBy("id", "scene").agg(count(lit(1)).as("len"))
+          .groupBy(col("id").as("doc_id"))
+          .agg(count(lit(1)).as("n_scenes"), max("len").as("longest_scene"),
+            (lit(60.0) / count(lit(1))).as("mean_scene_len"))
+          .orderBy("doc_id")
+      }),
+
+    // ---- q247: voice-activity segmentation over DECODED audio — the
+    // speech twin of q246: a training pipeline clips silence before
+    // transcription/feature extraction, and VAD is threshold + islands
+    // over per-frame energies. Every doc gets a REAL WAV with
+    // hash-seeded voiced/silent frames (~75% duty, worst-case voiced
+    // frame ~107k vs exactly 4528 silent — the τ = 50000 threshold has
+    // 2x headroom both ways by construction), the decode is a real
+    // RIFF chunk walk to Σ|sample| per 160-sample frame, segments are
+    // gaps-and-islands (f − row_number over active frames), and docs
+    // with no voiced frame survive via the left join back to ids.
+    // The oracle recomputes the decoded PCM closed-form (sign-extended
+    // 16-bit, murmur chain) — a parser or framing bug desynchronizes.
+    // Scale shape: one partition-wise decode pass; per-doc windows
+    // over the 60-frame domain; one mergeable final agg.
+    QueryDef("q247_vad_segments", Some("""
+      WITH ids AS (SELECT doc_id FROM documents),
+      fr AS (SELECT doc_id, f.range AS f FROM ids, range(0, 60) f),
+      -- duty-cycle hash: frameOffset(doc_id*7+3, f) % 4 != 0 → voiced
+      v1 AS (SELECT doc_id, f,
+                    (((doc_id*7 + 3) * 60 + f + 1) % 2147483648)
+                      * 2654435761 % 2147483648 AS h
+             FROM fr),
+      v2 AS (SELECT doc_id, f, xor(h, h >> 15) AS h FROM v1),
+      v3 AS (SELECT doc_id, f, (h * 1540483477 % 2147483648) AS h FROM v2),
+      vd AS (SELECT doc_id, f, xor(h, h >> 13) % 65536 % 4 <> 0 AS voiced
+             FROM v3),
+      -- sample ramp offset: frameOffset(doc_id, f)
+      o1 AS (SELECT doc_id, f,
+                    ((doc_id * 60 + f + 1) % 2147483648)
+                      * 2654435761 % 2147483648 AS h
+             FROM fr),
+      o2 AS (SELECT doc_id, f, xor(h, h >> 15) AS h FROM o1),
+      o3 AS (SELECT doc_id, f, (h * 1540483477 % 2147483648) AS h FROM o2),
+      oo AS (SELECT doc_id, f, xor(h, h >> 13) % 65536 AS off FROM o3),
+      en AS (SELECT vd.doc_id, vd.f,
+                    CASE WHEN vd.voiced THEN
+                      list_sum(list_transform(range(0, 160), j ->
+                        abs(CASE WHEN (off + j*17) % 65536 < 32768
+                                 THEN (off + j*17) % 65536
+                                 ELSE (off + j*17) % 65536 - 65536 END)))
+                    ELSE list_sum(list_transform(range(0, 160), j -> j % 64))
+                    END AS e
+             FROM vd JOIN oo ON oo.doc_id = vd.doc_id AND oo.f = vd.f),
+      act AS (SELECT doc_id, f FROM en WHERE e > 50000),
+      isl AS (SELECT doc_id,
+                     f - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY f)
+                       AS grp
+              FROM act),
+      seg AS (SELECT doc_id, grp, CAST(COUNT(*) AS BIGINT) AS len
+              FROM isl GROUP BY doc_id, grp),
+      pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_segments,
+                    CAST(SUM(len) AS BIGINT) AS voiced_frames,
+                    CAST(MAX(len) AS BIGINT) AS longest_segment
+             FROM seg GROUP BY doc_id)
+      SELECT ids.doc_id,
+             COALESCE(pd.n_segments, 0) AS n_segments,
+             COALESCE(pd.voiced_frames, 0) AS voiced_frames,
+             CAST(COALESCE(pd.voiced_frames, 0) AS DOUBLE) / 60 AS voiced_ratio,
+             COALESCE(pd.longest_segment, 0) AS longest_segment
+      FROM ids LEFT JOIN pd ON pd.doc_id = ids.doc_id
+      ORDER BY ids.doc_id"""),
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val ids = Tables.read(s, dir, "documents").select("doc_id")
+        val pay = ids.as[Long]
+          .mapPartitions(_.map(id =>
+            (id, Multimodal.vadWavPayload(id, 60, 160, 16000))))
+          .toDF("doc_id", "payload")
+        val en = Multimodal.decodeAudioEnergies(pay, "doc_id", "payload", 60)
+        val act = en.where(col("e") > 50000L).select(col("id"), col("f"))
+        val isl = act.select(col("id"),
+          (col("f") - row_number()
+            .over(Window.partitionBy("id").orderBy("f"))).as("grp"))
+        val pd = isl.groupBy("id", "grp").agg(count(lit(1)).as("len"))
+          .groupBy("id")
+          .agg(count(lit(1)).as("n_segments"),
+            sum("len").as("voiced_frames"), max("len").as("longest_segment"))
+        ids.join(pd, col("doc_id") === col("id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_segments"), lit(0L)).as("n_segments"),
+            coalesce(col("voiced_frames"), lit(0L)).as("voiced_frames"),
+            (coalesce(col("voiced_frames"), lit(0L)).cast("double") / lit(60))
+              .as("voiced_ratio"),
+            coalesce(col("longest_segment"), lit(0L)).as("longest_segment"))
+          .orderBy("doc_id")
       })
   )
 }

@@ -918,6 +918,26 @@ class PlanQualitySpec extends SparkTestBase {
       "the day-index row_number must partition by event_type")
   }
 
+  test("q246 scene change: every window rides the per-doc frame domain") {
+    val plan = collectAll(executed(q("q246_scene_change")))
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      "boundary lag and scene cumsum must partition by doc, never globally")
+    assert(!plan.exists { case _: CartesianProductExec => true; case _ => false })
+  }
+
+  test("q247 VAD: island row_number partitions by doc; no cartesian") {
+    val plan = collectAll(executed(q("q247_vad_segments")))
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      "the gaps-and-islands numbering must partition by doc")
+    assert(!plan.exists { case _: CartesianProductExec => true; case _ => false })
+  }
+
   test("q241 video fingerprint: banded join only — no cartesian over the hash table") {
     val plan = collectAll(executed(q("q241_video_fingerprint")))
     assert(!plan.exists { case _: CartesianProductExec => true; case _ => false },
