@@ -82,6 +82,78 @@ object PageRank {
     }
   }
 
+  /** WEIGHTED PageRank — the TextRank form (Mihalcea & Tarau, EMNLP
+    * 2004): contribution of u→v is rank(u)·w(u,v)/W(u) with W(u) the
+    * sum of u's outgoing edge weights, so heavily co-occurring
+    * neighbors pull proportionally more mass than rare ones (the
+    * unweighted [[run]] treats a 1000-count edge and a 1-count edge
+    * identically). `edges` must carry (src, dst, w); pass both
+    * directions for an undirected graph. Same per-iteration shape as
+    * [[run]] — one equi-join + one hash agg, W(u) folded into the
+    * materialized adjacency — and the same float discipline: callers
+    * round the EMITTED rank (6 decimals).
+    *
+    * Path-mode resume mirrors [[run]]: step 1 = ids, step 2 =
+    * weighted adjacency (never released), step 3+i = ranks after
+    * iteration i.
+    */
+  def runWeighted(nodes: DataFrame, edges: DataFrame, iters: Int,
+                  damping: Double = 0.85,
+                  checkpoint: graft.operators.CheckpointMode =
+                    graft.operators.CheckpointMode.Local,
+                  resume: Boolean = false): DataFrame = {
+    require(iters >= 1, s"iters must be positive, got $iters")
+    val cp = new graft.operators.Checkpointer(checkpoint, "pagerank-w")
+    val spark = nodes.sparkSession
+    val resumed = (checkpoint, resume) match {
+      case (graft.operators.CheckpointMode.Path(dir), true) =>
+        for {
+          (s, frontier) <- graft.operators.Checkpointer
+            .lastCompleteStep(spark, dir, "pagerank-w")
+          if s >= 3 && s <= 3 + iters
+          idsF <- graft.operators.Checkpointer.completeStep(spark, dir, "pagerank-w", 1)
+          adjF <- graft.operators.Checkpointer.completeStep(spark, dir, "pagerank-w", 2)
+        } yield (s, frontier, idsF, adjF)
+      case _ => None
+    }
+    resumed match {
+      case Some((s, frontier, _, _)) if s == 3 + iters => frontier
+      case Some((s, frontier, idsF, adjF)) =>
+        iterateWeighted(cp, idsF, adjF, cp.resumeAt(s, frontier),
+          rounds = iters - (s - 3), damping)
+      case None =>
+        val ids = cp.materialize(nodes.select(col(nodes.columns.head).as("id")))
+        val nRow = broadcast(ids.agg(count(lit(1)).cast("double").as("n")))
+        val ws = edges.groupBy(col("src").as("id"))
+          .agg(sum(col("w")).cast("double").as("wsum"))
+        val adj = cp.materialize(edges.select(col("src"), col("dst"), col("w"))
+          .join(ws, col("src") === col("id")).drop("id"))
+        val rank0 = cp.materialize(ids.crossJoin(nRow)
+          .select(col("id"), (lit(1.0) / col("n")).as("rank")))
+        iterateWeighted(cp, ids, adj, rank0, rounds = iters, damping)
+    }
+  }
+
+  private def iterateWeighted(cp: graft.operators.Checkpointer, ids: DataFrame,
+                              adj: DataFrame, rank0: DataFrame, rounds: Int,
+                              damping: Double): DataFrame = {
+    val nRow = broadcast(ids.agg(count(lit(1)).cast("double").as("n")))
+    var rank = rank0
+    var prev: Option[DataFrame] = Some(rank)
+    for (_ <- 1 to rounds) {
+      val contrib = adj.join(rank, adj("src") === rank("id"))
+        .groupBy(col("dst").as("id"))
+        .agg(sum(col("rank") * col("w") / col("wsum")).as("c"))
+      rank = cp.materialize(ids.join(contrib, Seq("id"), "left").crossJoin(nRow)
+        .select(col("id"),
+          ((lit(1.0) - damping) / col("n")
+            + lit(damping) * coalesce(col("c"), lit(0.0))).as("rank")))
+      prev.foreach(cp.release)
+      prev = Some(rank)
+    }
+    rank
+  }
+
   /** PERSONALIZED PageRank (Page et al. 1999 §6; the random walk
     * restarts into a seed set instead of teleporting uniformly):
     * rank'(v) = (1−d)·p0(v) + d·Σ contributions, with p0 = 1/|seeds|

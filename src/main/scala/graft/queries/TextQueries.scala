@@ -4359,6 +4359,130 @@ object TextQueries {
             (col("n_candidates").cast("double") / col("n_possible"))
               .as("cand_fraction"))
           .orderBy("bands", "rows_per_band")
+      }),
+
+    // ---- q248: TextRank keyword extraction (Mihalcea & Tarau, EMNLP
+    // 2004) — GRAPH-centrality keywords, the structural complement to
+    // q96's frequency-weighted ones: a token matters because important
+    // tokens co-occur with it, not because it is frequent. Nodes are
+    // the stopword-cleaned vocabulary; edges are adjacent-token
+    // co-occurrences (window 2, symmetrized, self-loops dropped)
+    // weighted by corpus-wide adjacency count; 3 iterations of
+    // WEIGHTED PageRank (contribution rank·w/W(u) — the q124 engine
+    // with the TextRank weight term), top 20 by rounded rank with a
+    // token tiebreak. Scale shape: edge building is one flatMap + one
+    // hash agg (edges ≤ token stream length however large the corpus);
+    // each iteration is the PageRank equi-join + mergeable agg; no
+    // windows anywhere.
+    QueryDef("q248_textrank", Some(s"""${toksCte()},
+      adjp AS (SELECT unnest(list_transform(range(1, len(tokens)),
+                     i -> tokens[i] || '|' || tokens[i+1])) AS pr
+               FROM toks WHERE len(tokens) >= 2),
+      dir_ AS (SELECT split_part(pr, '|', 1) AS src,
+                      split_part(pr, '|', 2) AS dst
+               FROM adjp
+               WHERE split_part(pr, '|', 1) <> split_part(pr, '|', 2)),
+      sym AS (SELECT src, dst FROM dir_ UNION ALL SELECT dst, src FROM dir_),
+      edges AS MATERIALIZED (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w
+               FROM sym GROUP BY src, dst),
+      nodes AS MATERIALIZED (SELECT DISTINCT unnest(tokens) AS id FROM toks),
+      nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+      ws AS MATERIALIZED (SELECT src AS id, CAST(SUM(w) AS DOUBLE) AS wsum
+               FROM edges GROUP BY src),
+      pr0 AS MATERIALIZED (SELECT id, 1.0 / (SELECT n FROM nn) AS rank FROM nodes),
+      ${(1 to 3).map(i => s"""pr$i AS MATERIALIZED (
+        SELECT nd.id,
+               (1 - 0.85) / (SELECT n FROM nn)
+               + 0.85 * COALESCE(SUM(p.rank * e.w / d.wsum), 0) AS rank
+        FROM nodes nd
+        LEFT JOIN edges e ON e.dst = nd.id
+        LEFT JOIN pr${i - 1} p ON p.id = e.src
+        LEFT JOIN ws d ON d.id = e.src
+        GROUP BY nd.id)""").mkString(",\n      ")}
+      SELECT id AS token, ROUND(rank, 6) AS rank
+      FROM pr3 ORDER BY ROUND(rank, 6) DESC, token LIMIT 20"""),
+      (s, dir) => {
+        val toks = tokenized(s, dir)
+        val adj = toks.where(size(col("tokens")) >= 2)
+          .select(explode(expr(
+            "transform(sequence(1, size(tokens) - 1), " +
+              "i -> struct(element_at(tokens, i) AS src, " +
+              "element_at(tokens, i + 1) AS dst))")).as("e"))
+          .select(col("e.src").as("src"), col("e.dst").as("dst"))
+          .where(col("src") =!= col("dst"))
+        val edges = adj
+          .union(adj.select(col("dst").as("src"), col("src").as("dst")))
+          .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+        val nodes = toks.select(explode(col("tokens")).as("id")).distinct()
+        graft.graph.PageRank.runWeighted(nodes, edges, iters = 3)
+          .select(col("id").as("token"), round(col("rank"), 6).as("rank"))
+          .orderBy(col("rank").desc, col("token")).limit(20)
+      }),
+
+    // ---- q249: inter-rater agreement (Cohen's kappa) — the labeling-
+    // QC statistic a pipeline computes before trusting annotations:
+    // raw agreement po is meaningless when one class dominates, so
+    // kappa discounts the agreement pe expected from the raters'
+    // marginals alone. Raters here are the q31 language heuristic vs
+    // the labeled lang coarsened to the heuristic's {en, und} domain
+    // (classifier-vs-gold agreement — kappa's standard QC use). All
+    // inputs stay exact integers until three single IEEE divisions
+    // (po, pe, kappa) — identical trees in both engines, no rounding
+    // needed; the marginal cross-products widen to decimal/HUGEINT
+    // before multiplying (long·long wraps past ~3e9 counts per side).
+    // Emitted per confusion cell with the gate columns repeated (the
+    // q213 PSI shape). One corpus scan → one bounded 2×2 counter table.
+    QueryDef("q249_rater_agreement", Some("""
+      WITH raw AS (SELECT CASE WHEN lang = 'en' THEN 'en' ELSE 'und' END AS a,
+                     list_filter(regexp_split_to_array(lower(text), '\W+'),
+                                 t -> t <> '') AS tokens
+                   FROM documents),
+      p AS (SELECT a,
+              CASE WHEN len(list_filter(tokens,
+                       t -> t IN ('the','a','of','to','and','in','is','it')))
+                     / len(tokens) >= CAST(0.05 AS DOUBLE)
+                   THEN 'en' ELSE 'und' END AS b
+            FROM raw),
+      cm AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n FROM p GROUP BY a, b),
+      tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn,
+                     CAST(SUM(CASE WHEN a = b THEN n ELSE 0 END) AS BIGINT)
+                       AS diag
+              FROM cm),
+      ra AS (SELECT a AS k, CAST(SUM(n) AS BIGINT) AS rn FROM cm GROUP BY a),
+      ca AS (SELECT b AS k, CAST(SUM(n) AS BIGINT) AS cn FROM cm GROUP BY b),
+      pe_ AS (SELECT CAST(SUM(CAST(rn AS HUGEINT) * cn) AS DOUBLE) AS pnum
+              FROM ra JOIN ca ON ca.k = ra.k),
+      km AS (SELECT CAST(diag AS DOUBLE) / nn AS po,
+                    pnum / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)) AS pe
+             FROM tot, pe_)
+      SELECT cm.a, cm.b, cm.n, km.po, km.pe,
+             CASE WHEN km.pe < 1e0
+                  THEN (km.po - km.pe) / (1e0 - km.pe) END AS kappa
+      FROM cm, km ORDER BY cm.a, cm.b"""),
+      (s, dir) => {
+        val p = docs(s, dir).select(
+          when(col("lang") === "en", "en").otherwise("und").as("a"),
+          TextStats.langId(Tokenize.tokens(col("text"))).as("b"))
+        val cm = p.groupBy("a", "b").agg(count(lit(1)).as("n"))
+          .localCheckpoint() // totals, both marginals, and the output read it
+        val tot = cm.agg(sum("n").cast("long").as("nn"),
+          sum(when(col("a") === col("b"), col("n")).otherwise(0L))
+            .cast("long").as("diag"))
+        val ra = cm.groupBy(col("a").as("k"))
+          .agg(sum("n").cast("decimal(19,0)").as("rn"))
+        val ca = cm.groupBy(col("b").as("k"))
+          .agg(sum("n").cast("decimal(19,0)").as("cn"))
+        val pe = ra.join(ca, "k")
+          .agg(sum(col("rn") * col("cn")).cast("double").as("pnum"))
+        val km = tot.crossJoin(pe)
+          .select((col("diag").cast("double") / col("nn")).as("po"),
+            (col("pnum") / (col("nn").cast("double") * col("nn").cast("double")))
+              .as("pe"))
+        cm.crossJoin(broadcast(km))
+          .select(col("a"), col("b"), col("n"), col("po"), col("pe"),
+            when(col("pe") < 1.0,
+              (col("po") - col("pe")) / (lit(1.0) - col("pe"))).as("kappa"))
+          .orderBy("a", "b")
       })
   )
 

@@ -78,4 +78,33 @@ class PageRankSpec extends SparkTestBase {
     assert(math.abs(both(1L) - 0.8725 / 2) < 1e-12)
     assert(math.abs(both(4L) - 0.1275 / 2) < 1e-12)
   }
+
+  private def wRanks(nodes: Seq[Long], edges: Seq[(Long, Long, Long)],
+                     iters: Int) =
+    PageRank.runWeighted(nodes.toDF("id"), edges.toDF("src", "dst", "w"), iters)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+  test("weighted with uniform weights ≡ unweighted run") {
+    val nodes = Seq(0L, 1L, 2L)
+    val edges = Seq((0L, 1L), (0L, 2L), (1L, 0L), (2L, 0L), (1L, 2L))
+    val plain = ranks(nodes, edges, iters = 3)
+    val weighted = wRanks(nodes, edges.map { case (a, b) => (a, b, 7L) }, 3)
+    nodes.foreach(n => assert(math.abs(plain(n) - weighted(n)) < 1e-12,
+      s"uniform-weight divergence at node $n"))
+  }
+
+  test("weighted: contribution splits by w/W(u), closed form after one round") {
+    // 0 →(w=3) 1, 0 →(w=1) 2, 1 → 0, 2 → 0: node 1 draws 3/4 of 0's mass
+    val got = wRanks(Seq(0L, 1L, 2L),
+      Seq((0L, 1L, 3L), (0L, 2L, 1L), (1L, 0L, 1L), (2L, 0L, 1L)), iters = 1)
+    assert(math.abs(got(1L) - (0.15 / 3 + 0.85 * (1.0 / 3) * 3 / 4)) < 1e-12)
+    assert(math.abs(got(2L) - (0.15 / 3 + 0.85 * (1.0 / 3) * 1 / 4)) < 1e-12)
+  }
+
+  test("weighted cycle without dangling nodes conserves total mass = 1") {
+    val n = 5L
+    val edges = (0L until n).map(i => (i, (i + 1) % n, i + 1)) // skewed weights
+    val got = wRanks(0L until n, edges, iters = 4)
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+  }
 }

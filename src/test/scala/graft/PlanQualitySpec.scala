@@ -938,6 +938,30 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!plan.exists { case _: CartesianProductExec => true; case _ => false })
   }
 
+  // NOTE (both locks below): the corpus-scale counting aggs are hidden
+  // behind localCheckpoint leaves (PageRank's per-iteration materialize,
+  // q249's shared counter table) — the executed plan shows only the
+  // stages AFTER the last checkpoint, so the locks assert those.
+  test("q248 textrank: top-k select, window-free, no cartesian") {
+    val plan = collectAll(executed(q("q248_textrank")))
+    // the rank table itself is a checkpoint leaf; what remains visible
+    // is the final selection — which must be a bounded top-k, not a
+    // global sort of the vocabulary
+    assert(plan.exists(_.nodeName.contains("TakeOrderedAndProject")),
+      "top-20 keywords must ride a TakeOrdered, never a full sort")
+    assert(!plan.exists(_.nodeName == "Window"),
+      "weighted PageRank iterates via join + agg, never a window")
+    assert(!plan.exists { case _: CartesianProductExec => true; case _ => false })
+  }
+
+  test("q249 kappa: marginal/total aggs partial-aggregate; no windows") {
+    val plan = collectAll(executed(q("q249_rater_agreement")))
+    assert(!plan.exists(_.nodeName == "Window"))
+    val aggs = plan.filter(_.nodeName.contains("HashAggregate")).map(_.toString)
+    assert(aggs.exists(_.contains("partial_sum")),
+      "the marginal sums over the counter table must partial-aggregate")
+  }
+
   test("q241 video fingerprint: banded join only — no cartesian over the hash table") {
     val plan = collectAll(executed(q("q241_video_fingerprint")))
     assert(!plan.exists { case _: CartesianProductExec => true; case _ => false },
