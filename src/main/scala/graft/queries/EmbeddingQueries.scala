@@ -1995,6 +1995,96 @@ object EmbeddingQueries {
           vCoarse, vadc.agg(count(lit(1)).as("exact_pairs")), vsel, gl, gln)
         Seq(bRow, jRow, sRow, iRow, pRow, vRow).reduce(_ unionByName _)
           .orderBy("method")
+      }),
+
+    // ---- q250: simplified silhouette — the clustering-quality score
+    // q174's tightness/separation report stops short of: per point,
+    // a = distance to its nearest centroid, b = distance to the
+    // second-nearest, s = (b − a)/b ∈ [0, 1) (the centroid-based
+    // simplification of Rousseeuw 1987 — the exact form's all-pairs
+    // a/b is quadratic in cluster size; this one is the score
+    // large-scale libraries actually ship). Same q174 Lloyd codebook
+    // (seeds vec_id % 50, 2 cosine iterations — proven oracle parity),
+    // distances via the codegen vec_sqdist kernel against the
+    // broadcast centroid table, the two smallest per point from one
+    // conditional agg over the per-point rank window (partitioned by
+    // vec_id — bounded by k however large the corpus), and per-point
+    // s rounded once to exact micros so cluster/overall means are
+    // order-free integer sums. Zero-norm vectors and collapsed
+    // centroids are excluded (the q174 discipline); a degenerate d2
+    // (= 0 or absent under k = 1) scores 0.
+    QueryDef("q250_silhouette", Some(s"""
+      WITH e AS (SELECT vec_id, embedding, ${sqlNorm("embedding")} AS nrm FROM embeddings
+                 WHERE ${sqlNorm("embedding")} > 0),
+      c0 AS (SELECT vec_id AS centroid_id, embedding AS cvec
+             FROM embeddings WHERE vec_id % 50 = 0),
+      ${lloydIterationCte(1, "c0")},
+      ${lloydIterationCte(2, "c1")},
+      cf AS (SELECT centroid_id, cvec FROM c2 WHERE ${sqlNorm("cvec")} > 0),
+      d AS (SELECT e.vec_id, cf.centroid_id,
+                   SQRT(list_sum(list_transform(range(1, len(e.embedding)+1),
+                     i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(cf.cvec[i] AS DOUBLE))
+                        * (CAST(e.embedding[i] AS DOUBLE) - CAST(cf.cvec[i] AS DOUBLE)))))
+                     AS dist
+            FROM e CROSS JOIN cf),
+      rk AS (SELECT vec_id, centroid_id, dist,
+                    ROW_NUMBER() OVER (PARTITION BY vec_id
+                                       ORDER BY dist, centroid_id) AS rk
+             FROM d),
+      tw AS (SELECT vec_id,
+                    MIN(CASE WHEN rk = 1 THEN centroid_id END) AS cluster,
+                    MIN(CASE WHEN rk = 1 THEN dist END) AS d1,
+                    MIN(CASE WHEN rk = 2 THEN dist END) AS d2
+             FROM rk WHERE rk <= 2 GROUP BY vec_id),
+      sm AS (SELECT vec_id, cluster,
+                    CASE WHEN d2 IS NOT NULL AND d2 > 0e0
+                         THEN CAST(ROUND((d2 - d1)/d2 * 1000000.0) AS BIGINT)
+                         ELSE 0 END AS s_micros
+             FROM tw),
+      g AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_members,
+                   CAST(SUM(s_micros) AS BIGINT) AS sm
+            FROM sm GROUP BY cluster),
+      o AS (SELECT CAST(SUM(sm) AS DOUBLE) / SUM(n_members) / 1000000.0
+              AS overall_sil FROM g)
+      SELECT cluster, n_members,
+             CAST(sm AS DOUBLE) / n_members / 1000000.0 AS mean_sil,
+             (SELECT overall_sil FROM o) AS overall_sil
+      FROM g ORDER BY cluster"""),
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val emb = Tables.read(s, dir, "embeddings")
+        val cf = Knn.kmeansCentroids(emb, "vec_id", "embedding",
+            col("vec_id") % 50 === 0, iters = 2)
+          .select(col("centroid_id"), col("cent_vec"))
+          .where(Knn.l2norm(col("cent_vec")) > 0)
+        val e = emb.select(col("vec_id"), col("embedding"))
+          .where(Knn.l2norm(col("embedding")) > 0)
+        val d = e.crossJoin(broadcast(cf))
+          .select(col("vec_id"), col("centroid_id"),
+            sqrt(graft.ann.Pq.sqdist(col("embedding"), col("cent_vec")))
+              .as("dist"))
+        val rk = d.withColumn("rk", row_number()
+          .over(Window.partitionBy("vec_id").orderBy("dist", "centroid_id")))
+          .where(col("rk") <= 2)
+        val tw = rk.groupBy("vec_id")
+          .agg(min(when(col("rk") === 1, col("centroid_id"))).as("cluster"),
+            min(when(col("rk") === 1, col("dist"))).as("d1"),
+            min(when(col("rk") === 2, col("dist"))).as("d2"))
+        val sm = tw.select(col("cluster"),
+          when(col("d2").isNotNull && col("d2") > 0.0,
+            round((col("d2") - col("d1")) / col("d2") * lit(1000000.0))
+              .cast("long")).otherwise(0L).as("s_micros"))
+        val g = sm.groupBy("cluster")
+          .agg(count(lit(1)).as("n_members"), sum("s_micros").cast("long").as("sm"))
+          .localCheckpoint() // the overall mean AND the row output read it
+        val o = g.agg((sum("sm").cast("double") / sum("n_members") / lit(1000000.0))
+          .as("overall_sil"))
+        g.crossJoin(broadcast(o))
+          .select(col("cluster"), col("n_members"),
+            (col("sm").cast("double") / col("n_members") / lit(1000000.0))
+              .as("mean_sil"),
+            col("overall_sil"))
+          .orderBy("cluster")
       })
   )
 

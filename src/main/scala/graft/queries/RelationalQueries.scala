@@ -2051,6 +2051,78 @@ object RelationalQueries {
         graft.operators.DpRelease.releaseCounts(seg, "segment", "n_true",
             Seq((1, 10), (1, 1)), "dp")
           .orderBy("eps_num", "eps_den", "segment")
+      }),
+
+    // ---- q251: split-conformal prediction interval — the
+    // distribution-free uncertainty wrapper (Vovk; Angelopoulos &
+    // Bates 2022) any point predictor gets before its numbers ship: a
+    // deterministic 3-way hash split (md5 first digit: 8/4/4 — the
+    // q68/q97 discipline), a per-priority mean-price predictor from
+    // the train slice, q̂ = the ⌈(n+1)(1−α)⌉-th smallest calibration
+    // |residual| at α = 0.1 — computed by the DISTRIBUTED ExactRank
+    // (range-partition + offset table, the q229 shape; the oracle may
+    // use its single-partition ROW_NUMBER, the engine may not), and
+    // the finite-sample coverage audit on the held-out test slice.
+    // The quantile rank is exact integer arithmetic ((9(n+1)+9)//10 —
+    // no float ceil to disagree about); residuals are |cents − s1/n|,
+    // identical IEEE trees from exact integer sums.
+    QueryDef("q251_conformal", Some("""
+      WITH o AS (SELECT o_orderkey, o_orderpriority AS pri,
+                        CAST(ROUND(o_totalprice*100) AS BIGINT) AS yc,
+                        CAST('0x' || substr(md5('cf:' || o_orderkey), 1, 1)
+                          AS BIGINT) AS bucket
+                 FROM orders),
+      tr AS (SELECT pri, CAST(SUM(yc) AS DOUBLE) AS s1,
+                    CAST(COUNT(*) AS BIGINT) AS n
+             FROM o WHERE bucket < 8 GROUP BY pri),
+      cal AS (SELECT o.o_orderkey, ABS(o.yc - tr.s1/tr.n) AS res
+              FROM o JOIN tr ON tr.pri = o.pri
+              WHERE bucket BETWEEN 8 AND 11),
+      qr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cal,
+                    (9 * (CAST(COUNT(*) AS BIGINT) + 1) + 9) // 10 AS qrank
+             FROM cal),
+      rkd AS (SELECT res, ROW_NUMBER() OVER (ORDER BY res, o_orderkey) AS rk
+              FROM cal),
+      qh AS (SELECT rkd.res AS qhat FROM rkd, qr WHERE rkd.rk = qr.qrank),
+      te AS (SELECT ABS(o.yc - tr.s1/tr.n) AS res
+             FROM o JOIN tr ON tr.pri = o.pri WHERE bucket >= 12),
+      cov AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_test,
+                     CAST(SUM(CASE WHEN te.res <= qh.qhat THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_covered
+              FROM te, qh)
+      SELECT qr.n_cal, qr.qrank, qh.qhat, cov.n_test, cov.n_covered,
+             CAST(cov.n_covered AS DOUBLE) / cov.n_test AS coverage
+      FROM qr, qh, cov"""),
+      (s, dir) => {
+        import s.implicits._
+        val o = Tables.read(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority").as("pri"),
+            QueryDef.cents(col("o_totalprice")).as("yc"),
+            conv(substring(md5(concat(lit("cf:"), col("o_orderkey"))), 1, 1),
+              16, 10).cast("long").as("bucket"))
+          .localCheckpoint() // train, calibration, and test slices read it
+        val tr = o.where(col("bucket") < 8).groupBy("pri")
+          .agg(sum(col("yc").cast("decimal(38,0)")).cast("double").as("s1"),
+            count(lit(1)).as("n"))
+        val res = (col("yc") - col("s1") / col("n")).as("r")
+        val cal = o.where(col("bucket").between(8, 11))
+          .join(broadcast(tr), "pri")
+          .select(col("o_orderkey"), abs(res).as("res"))
+        val (ranked, nCal) = graft.operators.ExactRank.withRowNumber(
+          cal, Seq(col("res"), col("o_orderkey")), "rk")
+        val qrank = (9L * (nCal + 1) + 9) / 10
+        val qh = ranked.where(col("rk") === qrank)
+          .select(col("res").as("qhat"))
+        val te = o.where(col("bucket") >= 12).join(broadcast(tr), "pri")
+          .select(abs(res).as("res"))
+        val cov = te.crossJoin(broadcast(qh))
+          .agg(count(lit(1)).as("n_test"),
+            sum(when(col("res") <= col("qhat"), 1L).otherwise(0L))
+              .cast("long").as("n_covered"),
+            first("qhat").as("qhat"))
+        cov.select(lit(nCal).as("n_cal"), lit(qrank).as("qrank"),
+            col("qhat"), col("n_test"), col("n_covered"),
+            (col("n_covered").cast("double") / col("n_test")).as("coverage"))
       })
   )
 }

@@ -962,6 +962,24 @@ class PlanQualitySpec extends SparkTestBase {
       "the marginal sums over the counter table must partial-aggregate")
   }
 
+  test("q250 silhouette: broadcast centroid distances; per-point windows only") {
+    val plan = collectAll(executed(q("q250_silhouette")))
+    assert(!plan.exists { case _: CartesianProductExec => true; case _ => false },
+      "the corpus×centroids distance table must ride a broadcast, never a cartesian")
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      "the two-smallest rank must partition by vec_id")
+  }
+
+  test("q251 conformal: ExactRank quantile — NO window operator at all") {
+    val plan = collectAll(executed(q("q251_conformal")))
+    assert(!plan.exists(_.nodeName == "Window"),
+      "the calibration quantile must come from ExactRank, not a global window")
+    assert(!plan.exists { case _: CartesianProductExec => true; case _ => false })
+  }
+
   test("q241 video fingerprint: banded join only — no cartesian over the hash table") {
     val plan = collectAll(executed(q("q241_video_fingerprint")))
     assert(!plan.exists { case _: CartesianProductExec => true; case _ => false },
