@@ -44,6 +44,27 @@ final case class KeyState(user_id: Long, ts_us: Long, event_id: Long,
                           event_type: String, value: Double, deleted: Boolean,
                           expired: Boolean = false)
 
+/** One completed daily count arriving at [[EventStreams.cusumMonitor]]
+  * (typically the output of a daily windowed aggregation upstream).
+  */
+final case class DailyCount(event_type: String, d: Long, x: Long)
+
+/** Per-type CUSUM state: Page's recurrence carried in exact micros —
+  * TWO longs however long the stream runs (the closed-form prefix
+  * tables q244 uses batch-side are a rewrite of exactly this state).
+  * `last_d` enforces the in-order contract: a day at or before the
+  * last scored one is late and dropped (a cumulative chart cannot
+  * retro-adjust without replaying everything after the insertion).
+  */
+final case class CusumState(last_d: Long, sp: Long, sn: Long)
+
+/** One scored chart point emitted by [[EventStreams.cusumMonitor]] —
+  * column-compatible with batch q244's output rows.
+  */
+final case class ChartPoint(event_type: String, d: Long, x: Long, zm: Long,
+                            s_pos: Double, s_neg: Double,
+                            alarm_up: Boolean, alarm_down: Boolean)
+
 /** Exact scaled-integer cents of a 2-decimal double, replicating
   * Spark's `round()` (BigDecimal HALF_UP) bit-for-bit — `math.round`
   * is floor(x+0.5), which differs on negative values (refunds:
@@ -642,6 +663,63 @@ object EventStreams {
           val next = UserRunning(uid, n, cents)
           state.update(next)
           next
+      }
+  }
+
+  /** LIVE two-sided CUSUM control chart — batch q244 maintained as
+    * Page's recurrence over an unbounded daily-count stream:
+    * S⁺ ← max(0, S⁺ + z − k), S⁻ ← max(0, S⁻ − z − k), with z scored
+    * against FROZEN per-type baseline stats `ref` (event_type →
+    * (mean, stddev), computed batch-side from a reference window —
+    * a live monitor cannot use q244's in-window moments, which is
+    * exactly how control charts are run in production: estimate on
+    * stable history, monitor against it). Everything after the one
+    * z rounding is EXACT MICRO-SCALED LONG arithmetic, so a streamed
+    * chart is bit-identical to the batch closed form on the same
+    * counts and reference (ControlChartSpec/StreamingSpec prove it).
+    *
+    * State per type is THREE longs however long the stream runs.
+    * Ordering contract: days are scored in (d) order within each
+    * micro-batch; a day at or before the last scored one is LATE and
+    * dropped (a cumulative statistic cannot retro-adjust), mirroring
+    * the watermark-drop semantics of the windowed aggregations.
+    * Types absent from `ref` (or with σ ≤ 0) are not scored — the
+    * batch exclusion, live.
+    */
+  def cusumMonitor(counts: Dataset[DailyCount],
+                   ref: Map[String, (Double, Double)],
+                   kMicros: Long = 500000L,
+                   hMicros: Long = 4000000L): Dataset[ChartPoint] = {
+    val spark = counts.sparkSession
+    import spark.implicits._
+    counts
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[CusumState, ChartPoint](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) {
+        (tpe: String, batch: Iterator[DailyCount], state: GroupState[CusumState]) =>
+          ref.get(tpe).filter(_._2 > 0.0) match {
+            case None => Iterator.empty
+            case Some((mu, sigma)) =>
+              var s = state.getOption.getOrElse(CusumState(Long.MinValue, 0L, 0L))
+              val out = scala.collection.mutable.ArrayBuffer.empty[ChartPoint]
+              batch.toSeq.sortBy(_.d).foreach { c =>
+                if (c.d > s.last_d) {
+                  // HALF_UP like the batch round() — math.round is
+                  // floor(x+0.5) and differs on negative half-micros
+                  val zm = java.math.BigDecimal
+                    .valueOf((c.x - mu) / sigma * 1000000.0)
+                    .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+                  val sp = math.max(0L, s.sp + zm - kMicros)
+                  val sn = math.max(0L, s.sn - zm - kMicros)
+                  out += ChartPoint(tpe, c.d, c.x, zm,
+                    sp / 1000000.0, sn / 1000000.0, sp > hMicros, sn > hMicros)
+                  s = CusumState(c.d, sp, sn)
+                }
+              }
+              state.update(s)
+              out.iterator
+          }
       }
   }
 }

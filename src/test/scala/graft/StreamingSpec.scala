@@ -1115,4 +1115,66 @@ class StreamingSpec extends SparkTestBase {
       assert(streamed === 1000L)  // every event lands in exactly one window
     } finally q.stop()
   }
+
+  test("live CUSUM monitor equals the oracle-checked q244 chart bit-for-bit") {
+    implicit val ctx = spark.sqlContext
+    val dir = sf("sf0.001")
+    // the same daily counts q244 aggregates, collected as the stream feed
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), expr("ts_us div 86400000000").as("d"))
+      .agg(count(lit(1)).as("x"))
+      .as[(String, Long, Long)].collect().sortBy(c => (c._2, c._1))
+    // frozen reference stats per type, the exact power-sum formula on
+    // the SAME doubles batch q244 derives them from
+    val ref = daily.groupBy(_._1).map { case (t, rows) =>
+      val n = rows.length.toDouble
+      val s1 = rows.map(_._3).sum.toDouble
+      val s2 = rows.map(r => r._3 * r._3).sum.toDouble
+      t -> (s1 / n, math.sqrt((s2 - s1 * s1 / n) / n))
+    }
+    val input = MemoryStream[graft.streaming.DailyCount]
+    val q = EventStreams.cusumMonitor(input.toDS(), ref)
+      .writeStream.format("memory").queryName("cusum")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      val (firstHalf, secondHalf) = daily.partition(_._2 < daily(daily.length / 2)._2)
+      input.addData(firstHalf.map(c => graft.streaming.DailyCount(c._1, c._2, c._3)): _*)
+      q.processAllAvailable()
+      input.addData(secondHalf.map(c => graft.streaming.DailyCount(c._1, c._2, c._3)): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("cusum")
+        .select("event_type", "d", "x", "zm", "s_pos", "s_neg",
+          "alarm_up", "alarm_down")
+        .collect().map(_.toSeq).toSet
+      val batch = SparkEntry.queries("q244_cusum")(spark, dir)
+        .collect().map(_.toSeq).toSet
+      assert(streamed === batch,
+        "streamed Page recurrence must equal the batch closed form")
+    } finally q.stop()
+  }
+
+  test("CUSUM monitor drops late days and unknown types") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[graft.streaming.DailyCount]
+    val q = EventStreams.cusumMonitor(input.toDS(),
+        Map("a" -> (10.0, 2.0)))
+      .writeStream.format("memory").queryName("cusum_late")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData(graft.streaming.DailyCount("a", 5L, 12L),
+        graft.streaming.DailyCount("b", 5L, 12L)) // b: no reference → unscored
+      q.processAllAvailable()
+      input.addData(graft.streaming.DailyCount("a", 4L, 99L), // late → dropped
+        graft.streaming.DailyCount("a", 6L, 14L))
+      q.processAllAvailable()
+      val got = spark.table("cusum_late")
+        .as[graft.streaming.ChartPoint].collect().sortBy(_.d)
+      assert(got.map(_.event_type).toSet === Set("a"))
+      assert(got.map(_.d).toSeq === Seq(5L, 6L))
+      // replay: z(5) = 1e6, z(6) = 2e6; S⁺ = 0.5 then 2.0
+      assert(got.map(_.s_pos).toSeq === Seq(0.5, 2.0))
+    } finally q.stop()
+  }
 }
