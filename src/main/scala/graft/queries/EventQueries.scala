@@ -2727,6 +2727,131 @@ object EventQueries {
             round(ucl, 6).as("ucl"),
             (round(abs(col("ewma")), 6) > round(ucl, 6)).as("signal"))
           .orderBy("event_type", "d")
+      }),
+
+    // ---- q252: weekly-seasonal decomposition of daily rates — the
+    // detrending step q84/q118/q244 all skip: a Monday always reads
+    // "anomalous" against a flat baseline if weekends differ, so the
+    // baseline here is the per-(type, cycle-phase) mean (phase =
+    // day % 7), the residual is scored against ITS OWN distribution,
+    // and the |z| > 2 flag marks days genuinely off their weekly
+    // pattern. Exactness: residuals round once to micros, so the
+    // residual moments are exact order-free sums (squares widened to
+    // HUGEINT/decimal first); baseline and z are fixed IEEE trees over
+    // exact integers. Shape: ONE corpus hash agg to daily counts, then
+    // joins over the bounded types×7 and types tables — no windows.
+    QueryDef("q252_seasonal", Some("""
+      WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS d,
+                            CAST(COUNT(*) AS BIGINT) AS x
+                     FROM events GROUP BY event_type, (epoch_us(ts) // 86400000000)),
+      ph AS (SELECT event_type, d, x, d % 7 AS phase FROM daily),
+      bl AS (SELECT event_type, phase, CAST(COUNT(*) AS BIGINT) AS np,
+                    CAST(SUM(x) AS BIGINT) AS sp
+             FROM ph GROUP BY event_type, phase),
+      r AS (SELECT ph.event_type, ph.d, ph.x, ph.phase,
+                   CAST(sp AS DOUBLE)/np AS baseline,
+                   CAST(ROUND((ph.x - CAST(sp AS DOUBLE)/np) * 1000000.0)
+                     AS BIGINT) AS rm
+            FROM ph JOIN bl ON bl.event_type = ph.event_type
+                           AND bl.phase = ph.phase),
+      st AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                    CAST(SUM(rm) AS DOUBLE) AS s1,
+                    CAST(SUM(CAST(rm AS HUGEINT) * rm) AS DOUBLE) AS s2
+             FROM r GROUP BY event_type)
+      SELECT r.event_type, r.d, r.x, r.phase, ROUND(r.baseline, 6) AS baseline,
+             rm / 1000000.0 AS residual,
+             CASE WHEN sqrt((s2 - s1*s1/n)/n) > 0e0
+                  THEN ROUND((rm - s1/n) / sqrt((s2 - s1*s1/n)/n), 6) END AS z,
+             CASE WHEN sqrt((s2 - s1*s1/n)/n) > 0e0
+                  THEN ABS(ROUND((rm - s1/n) / sqrt((s2 - s1*s1/n)/n), 6)) > 2e0
+                  ELSE FALSE END AS anomaly
+      FROM r JOIN st ON st.event_type = r.event_type
+      ORDER BY r.event_type, r.d"""),
+      (s, dir) => {
+        val daily = Tables.events(s, dir)
+          .groupBy(col("event_type"), expr("ts_us div 86400000000").as("d"))
+          .agg(count(lit(1)).as("x"))
+        val ph = daily.withColumn("phase", col("d") % 7)
+        val bl = ph.groupBy("event_type", "phase")
+          .agg(count(lit(1)).as("np"), sum("x").cast("long").as("sp"))
+        val r = ph.join(broadcast(bl), Seq("event_type", "phase"))
+          .select(col("event_type"), col("d"), col("x"), col("phase"),
+            (col("sp").cast("double") / col("np")).as("baseline"),
+            round((col("x") - col("sp").cast("double") / col("np"))
+              * lit(1000000.0)).cast("long").as("rm"))
+        val rmw = col("rm").cast("decimal(19,0)")
+        val st = r.groupBy(col("event_type").as("st_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("rm").cast("decimal(38,0)")).cast("double").as("s1"),
+            sum(rmw * rmw).cast("double").as("s2"))
+        val sigma = sqrt((col("s2") - col("s1") * col("s1") / col("n")) / col("n"))
+        val z = round((col("rm") - col("s1") / col("n")) / sigma, 6)
+        r.join(broadcast(st), col("event_type") === col("st_type"))
+          .select(col("event_type"), col("d"), col("x"), col("phase"),
+            round(col("baseline"), 6).as("baseline"),
+            (col("rm") / lit(1000000.0)).as("residual"),
+            when(sigma > 0.0, z).as("z"),
+            when(sigma > 0.0, abs(z) > 2.0).otherwise(lit(false)).as("anomaly"))
+          .orderBy("event_type", "d")
+      }),
+
+    // ---- q254: storage-layout advisor — the q218/q226/q232 advisor
+    // shape pointed at the WRITE side: for each candidate layout key
+    // of the event stream (type, day, a 256-way user bucket, raw
+    // user id), measured key count, hottest-key share, and an
+    // integer-boundary verdict — 'partition' when the key is coarse
+    // (2..1024 values) AND balanced (hottest·8 < rows: no partition
+    // eats the table), 'bucket' when the key is too fine for
+    // directories (> 1024 values — the small-files cliff), 'skip'
+    // otherwise. All four candidates melt into ONE exploded relation
+    // scanned once and aggregated by (candidate, key) with map-side
+    // partials — the advisor costs one pass however many candidates.
+    QueryDef("q254_layout_advisor", Some("""
+      WITH base AS (SELECT event_type,
+                           CAST(epoch_us(ts) // 86400000000 AS VARCHAR) AS day_k,
+                           CAST(user_id % 256 AS VARCHAR) AS ub,
+                           CAST(user_id AS VARCHAR) AS uid
+                    FROM events),
+      m AS (SELECT 'event_type' AS candidate, event_type AS k FROM base
+            UNION ALL SELECT 'day', day_k FROM base
+            UNION ALL SELECT 'user_bucket', ub FROM base
+            UNION ALL SELECT 'user_id', uid FROM base),
+      kc AS (SELECT candidate, k, CAST(COUNT(*) AS BIGINT) AS cnt
+             FROM m GROUP BY candidate, k),
+      agg AS (SELECT candidate, CAST(COUNT(*) AS BIGINT) AS n_keys,
+                     CAST(SUM(cnt) AS BIGINT) AS n_rows,
+                     CAST(MAX(cnt) AS BIGINT) AS max_cnt
+              FROM kc GROUP BY candidate)
+      SELECT candidate, n_keys, n_rows, max_cnt,
+             CAST(max_cnt AS DOUBLE)/n_rows AS max_share,
+             CASE WHEN n_keys BETWEEN 2 AND 1024 AND max_cnt * 8 < n_rows
+                    THEN 'partition'
+                  WHEN n_keys > 1024 THEN 'bucket'
+                  ELSE 'skip' END AS verdict
+      FROM agg ORDER BY candidate"""),
+      (s, dir) => {
+        val m = Tables.events(s, dir)
+          .select(explode(array(
+            struct(lit("event_type").as("candidate"),
+              col("event_type").as("k")),
+            struct(lit("day").as("candidate"),
+              expr("cast(ts_us div 86400000000 as string)").as("k")),
+            struct(lit("user_bucket").as("candidate"),
+              (col("user_id") % 256).cast("string").as("k")),
+            struct(lit("user_id").as("candidate"),
+              col("user_id").cast("string").as("k")))).as("c"))
+          .select(col("c.candidate").as("candidate"), col("c.k").as("k"))
+        val agg = m.groupBy("candidate", "k").agg(count(lit(1)).as("cnt"))
+          .groupBy("candidate")
+          .agg(count(lit(1)).as("n_keys"), sum("cnt").cast("long").as("n_rows"),
+            max("cnt").as("max_cnt"))
+        agg.select(col("candidate"), col("n_keys"), col("n_rows"), col("max_cnt"),
+            (col("max_cnt").cast("double") / col("n_rows")).as("max_share"),
+            when(col("n_keys").between(2, 1024)
+                && col("max_cnt") * 8 < col("n_rows"), "partition")
+              .when(col("n_keys") > 1024, "bucket")
+              .otherwise("skip").as("verdict"))
+          .orderBy("candidate")
       })
   )
 }

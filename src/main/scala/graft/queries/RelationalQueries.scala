@@ -2123,6 +2123,66 @@ object RelationalQueries {
         cov.select(lit(nCal).as("n_cal"), lit(qrank).as("qrank"),
             col("qhat"), col("n_test"), col("n_covered"),
             (col("n_covered").cast("double") / col("n_test")).as("coverage"))
+      }),
+
+    // ---- q253: period-over-period share shift — "what became hot":
+    // per part, its share of line items in the first vs second half of
+    // the order-date range (midpoint = exact integer micros midpoint,
+    // one-row broadcast — no calendar literals to drift across SFs),
+    // ranked by absolute share change. The monitoring question behind
+    // every mix-shift investigation, answered with ONE fact-dim join +
+    // ONE per-part hash agg (both partial-aggregating); shares are
+    // single exact divisions, the ranking key is the nano-scaled
+    // rounded delta (total (|Δ|, part) order → the same top 20 in any
+    // engine), and the top-k rides a TakeOrdered, never a global sort.
+    // Degenerate single-date corpora (one half empty) emit nothing
+    // rather than divide by zero.
+    QueryDef("q253_share_shift", Some("""
+      WITH l AS (SELECT l.l_partkey AS part, epoch_us(o.o_orderdate) AS tu
+                 FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+      mid AS (SELECT (MIN(tu) + MAX(tu) + 1) // 2 AS m FROM l),
+      c AS (SELECT part,
+                   CAST(SUM(CASE WHEN tu < (SELECT m FROM mid)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                   CAST(SUM(CASE WHEN tu >= (SELECT m FROM mid)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+            FROM l GROUP BY part),
+      t AS (SELECT CAST(SUM(n_a) AS BIGINT) AS ta,
+                   CAST(SUM(n_b) AS BIGINT) AS tb FROM c)
+      SELECT part, n_a, n_b,
+             ROUND(CAST(n_a AS DOUBLE)/ta, 6) AS share_a,
+             ROUND(CAST(n_b AS DOUBLE)/tb, 6) AS share_b,
+             CAST(ROUND((CAST(n_b AS DOUBLE)/tb - CAST(n_a AS DOUBLE)/ta)
+               * 1000000000.0) AS BIGINT) AS delta_nanos
+      FROM c, t WHERE ta > 0 AND tb > 0
+      ORDER BY ABS(CAST(ROUND((CAST(n_b AS DOUBLE)/tb - CAST(n_a AS DOUBLE)/ta)
+               * 1000000000.0) AS BIGINT)) DESC, part LIMIT 20"""),
+      (s, dir) => {
+        val l = Tables.read(s, dir, "lineitem")
+          .join(Tables.read(s, dir, "orders"),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_partkey").as("part"),
+            expr("unix_micros(cast(o_orderdate as timestamp))").as("tu"))
+          .localCheckpoint() // the midpoint and the half counts read it
+        val mid = l.agg(expr("(min(tu) + max(tu) + 1) div 2").as("m"))
+        val c = l.crossJoin(broadcast(mid))
+          .groupBy("part")
+          .agg(sum(when(col("tu") < col("m"), 1L).otherwise(0L)).cast("long")
+            .as("n_a"),
+            sum(when(col("tu") >= col("m"), 1L).otherwise(0L)).cast("long")
+              .as("n_b"))
+          .localCheckpoint() // totals AND the per-part output read it
+        val t = c.agg(sum("n_a").cast("long").as("ta"),
+          sum("n_b").cast("long").as("tb"))
+        val delta = round((col("n_b").cast("double") / col("tb")
+          - col("n_a").cast("double") / col("ta")) * lit(1000000000.0))
+          .cast("long")
+        c.crossJoin(broadcast(t)).where(col("ta") > 0 && col("tb") > 0)
+          .select(col("part"), col("n_a"), col("n_b"),
+            round(col("n_a").cast("double") / col("ta"), 6).as("share_a"),
+            round(col("n_b").cast("double") / col("tb"), 6).as("share_b"),
+            delta.as("delta_nanos"))
+          .orderBy(abs(col("delta_nanos")).desc, col("part")).limit(20)
       })
   )
 }

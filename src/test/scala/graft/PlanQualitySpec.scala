@@ -980,6 +980,31 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!plan.exists { case _: CartesianProductExec => true; case _ => false })
   }
 
+  test("q252 seasonal: counter-table algebra only — no windows, broadcast joins") {
+    val plan = collectAll(executed(q("q252_seasonal")))
+    assert(!plan.exists(_.nodeName == "Window"),
+      "baseline and z ride bounded joins, never a window")
+    val aggs = plan.filter(_.nodeName.contains("HashAggregate")).map(_.toString)
+    assert(aggs.exists(_.contains("partial_count")),
+      "the corpus-scale daily-count agg must partial-aggregate before the exchange")
+  }
+
+  test("q253 share shift: partial-aggregated halves, top-k never a global sort") {
+    val plan = collectAll(executed(q("q253_share_shift")))
+    assert(plan.exists(_.nodeName.contains("TakeOrderedAndProject")),
+      "the top-20 movers must ride a TakeOrdered")
+    assert(!plan.exists(_.nodeName == "Window"))
+  }
+
+  test("q254 layout advisor: one exploded pass, melt agg partial-aggregates") {
+    val plan = collectAll(executed(q("q254_layout_advisor")))
+    assert(!plan.exists(_.nodeName == "Window"))
+    val aggs = plan.filter(_.nodeName.contains("HashAggregate")).map(_.toString)
+    assert(aggs.exists(_.contains("partial_count")),
+      "the (candidate, key) counting agg must partial-aggregate before the exchange")
+    assert(!plan.exists { case _: CartesianProductExec => true; case _ => false })
+  }
+
   test("q241 video fingerprint: banded join only — no cartesian over the hash table") {
     val plan = collectAll(executed(q("q241_video_fingerprint")))
     assert(!plan.exists { case _: CartesianProductExec => true; case _ => false },
