@@ -2085,6 +2085,85 @@ object EmbeddingQueries {
               .as("mean_sil"),
             col("overall_sil"))
           .orderBy("cluster")
+      }),
+
+    // ---- q256: embedding drift via codebook-occupancy PSI — the
+    // drift monitor for the VECTOR side of the pipeline: value-space
+    // PSI (q213) can't see an embedding distribution move, but cluster
+    // occupancy can — assign both snapshots to the shared q174 Lloyd
+    // codebook (broadcast centroids, mergeable argmax — the IVF
+    // map-side pattern) and run the SAME Psi operator over the
+    // (centroid, n_ref, n_cur) counter table: per-cluster attribution,
+    // the one-sided-mass honesty column, and the 0.1/0.25 gate
+    // conventions all inherited. Snapshots here are the vec_id parity
+    // halves (a deterministic stand-in for crawl T vs T+1). Being
+    // counter-shaped, the same computation reads off live occupancy
+    // counters a stream maintains — the q213 residency property.
+    QueryDef("q256_embedding_drift", Some(s"""
+      WITH e AS (SELECT vec_id, embedding, ${sqlNorm("embedding")} AS nrm FROM embeddings
+                 WHERE ${sqlNorm("embedding")} > 0),
+      c0 AS (SELECT vec_id AS centroid_id, embedding AS cvec
+             FROM embeddings WHERE vec_id % 50 = 0),
+      ${lloydIterationCte(1, "c0")},
+      ${lloydIterationCte(2, "c1")},
+      cf AS (SELECT centroid_id, cvec, ${sqlNorm("cvec")} AS cnrm FROM c2
+             WHERE ${sqlNorm("cvec")} > 0),
+      s AS (SELECT e.vec_id, cf.centroid_id,
+                   ${sqlDot("e.embedding", "cf.cvec")} / (e.nrm * cf.cnrm) AS cs
+            FROM e CROSS JOIN cf),
+      a AS (SELECT vec_id, centroid_id FROM
+              (SELECT vec_id, centroid_id,
+                      ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY cs DESC, centroid_id) AS rk
+               FROM s) WHERE rk = 1),
+      c AS (SELECT centroid_id AS b,
+                   CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_ref,
+                   CAST(SUM(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_cur
+            FROM a GROUP BY centroid_id),
+      tot AS (SELECT CAST(SUM(n_ref) AS BIGINT) AS nr,
+                     CAST(SUM(n_cur) AS BIGINT) AS nc FROM c),
+      t AS (SELECT c.b, c.n_ref, c.n_cur,
+                   CASE WHEN c.n_ref > 0 AND c.n_cur > 0 THEN
+                     CAST(round((CAST(c.n_ref AS DOUBLE) / t.nr
+                                 - CAST(c.n_cur AS DOUBLE) / t.nc)
+                          * ln((CAST(c.n_ref AS DOUBLE) / t.nr)
+                               / (CAST(c.n_cur AS DOUBLE) / t.nc))
+                          * 1000000000.0) AS BIGINT)
+                   ELSE NULL END AS term_nanos
+            FROM c CROSS JOIN tot t),
+      ps AS (SELECT CAST(SUM(COALESCE(term_nanos, 0)) AS BIGINT) AS psi_nanos,
+                    CAST(SUM(CASE WHEN term_nanos IS NULL
+                             THEN n_ref + n_cur ELSE 0 END) AS BIGINT)
+                      AS one_sided_mass
+             FROM t)
+      SELECT t.b AS bucket, t.n_ref, t.n_cur, t.term_nanos,
+             CAST(ps.psi_nanos AS DOUBLE) / 1000000000.0 AS psi_total,
+             ps.one_sided_mass
+      FROM t CROSS JOIN ps ORDER BY bucket"""),
+      (s, dir) => {
+        val emb = Tables.read(s, dir, "embeddings")
+        val cf = Knn.kmeansCentroids(emb, "vec_id", "embedding",
+            col("vec_id") % 50 === 0, iters = 2)
+          .select(col("centroid_id"), col("cent_vec"),
+            Knn.l2norm(col("cent_vec")).as("cnrm"))
+          .where(col("cnrm") > 0)
+        val e = emb.select(col("vec_id"), col("embedding"),
+            Knn.l2norm(col("embedding")).as("nrm"))
+          .where(col("nrm") > 0)
+        val a = e.crossJoin(broadcast(cf))
+          .select(col("vec_id"), col("centroid_id"),
+            (Knn.dot(col("embedding"), col("cent_vec"))
+              / (col("nrm") * col("cnrm"))).as("cs"))
+          .groupBy("vec_id")
+          .agg(max_by(col("centroid_id"),
+            struct(col("cs"), -col("centroid_id"))).as("centroid_id"))
+        val c = a.groupBy(col("centroid_id").as("b"))
+          .agg(sum(when(col("vec_id") % 2 === 0, 1L).otherwise(0L)).as("n_ref"),
+            sum(when(col("vec_id") % 2 === 1, 1L).otherwise(0L)).as("n_cur"))
+        graft.operators.Psi.fromCounters(c, "b", "n_ref", "n_cur")
+          .orderBy("bucket")
       })
   )
 

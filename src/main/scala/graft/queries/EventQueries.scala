@@ -2852,6 +2852,64 @@ object EventQueries {
               .when(col("n_keys") > 1024, "bucket")
               .otherwise("skip").as("verdict"))
           .orderBy("candidate")
+      }),
+
+    // ---- q255: quantile treatment effects — the experiment readout
+    // mean-based tests (q219/q234) structurally can't give: did the
+    // treatment move the p90 user or just the average? Per arm
+    // (portable md5 user bucketing, the q219 discipline), the EXACT
+    // deciles of per-user revenue via one ExactRank invocation per
+    // arm (its 4th/5th consumers — per-arm global ranks are exactly
+    // where a PARTITION BY arm window collapses the corpus into two
+    // tasks), decile ranks as exact integers ⌈p·n/10⌉, QTE = the
+    // per-decile cents difference. The oracle's partitioned
+    // ROW_NUMBER is fine FOR THE ORACLE; the engine plan is locked
+    // window-free.
+    QueryDef("q255_qte", Some("""
+      WITH u AS (SELECT user_id,
+                        CAST('0x' || substr(md5('qte:' || user_id), 1, 1)
+                          AS BIGINT) % 2 AS arm,
+                        CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT)
+                          AS rev
+                 FROM events GROUP BY user_id),
+      r AS (SELECT arm, rev, user_id,
+                   ROW_NUMBER() OVER (PARTITION BY arm
+                                      ORDER BY rev, user_id) AS rk,
+                   CAST(COUNT(*) OVER (PARTITION BY arm) AS BIGINT) AS n
+            FROM u),
+      p AS (SELECT CAST(p.range AS INTEGER) AS p_num FROM range(1, 10) p),
+      q AS (SELECT p.p_num, r.arm, r.n, r.rev
+            FROM p JOIN r ON r.rk = (p.p_num * r.n + 9) // 10)
+      SELECT a.p_num, 10 AS p_den, a.n AS n_a, b.n AS n_b,
+             a.rev AS qa_cents, b.rev AS qb_cents,
+             b.rev - a.rev AS qte_cents
+      FROM q a JOIN q b ON b.p_num = a.p_num AND a.arm = 0 AND b.arm = 1
+      ORDER BY a.p_num"""),
+      (s, dir) => {
+        import s.implicits._
+        val u = Tables.events(s, dir)
+          .groupBy("user_id")
+          .agg(sum(QueryDef.cents(col("value"))).cast("long").as("rev"))
+          .select(col("user_id"), col("rev"),
+            (conv(substring(md5(concat(lit("qte:"), col("user_id"))), 1, 1),
+              16, 10).cast("long") % 2).as("arm"))
+          .localCheckpoint() // both per-arm rank passes read it
+        def armDeciles(arm: Int, nCol: String, qCol: String) = {
+          val (ranked, n) = graft.operators.ExactRank.withRowNumber(
+            u.where(col("arm") === arm).select(col("rev"), col("user_id")),
+            Seq(col("rev"), col("user_id")), "rk")
+          val targets = (1 to 9).map(p => (p, (p.toLong * n + 9) / 10))
+            .toDF("p_num", "qrank")
+          ranked.join(broadcast(targets), col("rk") === col("qrank"))
+            .select(col("p_num"), lit(n).as(nCol), col("rev").as(qCol))
+        }
+        val a = armDeciles(0, "n_a", "qa_cents")
+        val b = armDeciles(1, "n_b", "qb_cents")
+        a.join(b, "p_num")
+          .select(col("p_num"), lit(10).as("p_den"), col("n_a"), col("n_b"),
+            col("qa_cents"), col("qb_cents"),
+            (col("qb_cents") - col("qa_cents")).as("qte_cents"))
+          .orderBy("p_num")
       })
   )
 }

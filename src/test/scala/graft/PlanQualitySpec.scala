@@ -1005,6 +1005,20 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!plan.exists { case _: CartesianProductExec => true; case _ => false })
   }
 
+  test("q255 QTE: per-arm deciles via ExactRank — NO window operator at all") {
+    val plan = collectAll(executed(q("q255_qte")))
+    assert(!plan.exists(_.nodeName == "Window"),
+      "per-arm ranks must come from ExactRank, not a 2-partition window")
+    assert(!plan.exists { case _: CartesianProductExec => true; case _ => false })
+  }
+
+  test("q256 embedding drift: broadcast assignment, mergeable argmax, no window") {
+    val plan = collectAll(executed(q("q256_embedding_drift")))
+    assert(!plan.exists(_.nodeName == "Window"),
+      "codebook assignment must be the mergeable argmax, never a per-vector window")
+    assert(!plan.exists { case _: CartesianProductExec => true; case _ => false })
+  }
+
   test("q241 video fingerprint: banded join only — no cartesian over the hash table") {
     val plan = collectAll(executed(q("q241_video_fingerprint")))
     assert(!plan.exists { case _: CartesianProductExec => true; case _ => false },
