@@ -2910,6 +2910,94 @@ object EventQueries {
             col("qa_cents"), col("qb_cents"),
             (col("qb_cents") - col("qa_cents")).as("qte_cents"))
           .orderBy("p_num")
+      }),
+
+    // ---- q257: always-valid inference (mSPRT — Johari/Koomen/
+    // Pekelis/Walsh, "Peeking at A/B Tests", KDD'17) — the sequential
+    // test that makes CONTINUOUS MONITORING honest: q219's fixed-
+    // horizon z is only valid if you look exactly once, but every
+    // dashboard peeks daily; the mixture likelihood ratio
+    // Λ_n = √(V/(V+τ²))·exp(θ̂²τ²/(2V(V+τ²))) yields
+    // p_n = min(1, min_j≤n 1/Λ_j), valid at EVERY peek. Per day:
+    // cumulative per-arm event/purchase counts (per-arm cumsum windows
+    // — exact integer sums), pooled-variance V and θ̂ as fixed double
+    // trees, τ² = 1e-2 a shared literal; the p-sequence's running min
+    // is an order-free exact fold over identical doubles. Degenerate
+    // early days (V = 0: no conversions or all conversions) carry
+    // NULL Λ and p stays at the running min (MIN ignores NULLs — p
+    // starts at 1). The running-min window is global but rides the
+    // DAY-domain table (calendar-bounded — allowlisted in the sweep).
+    QueryDef("q257_msprt", Some("""
+      WITH e AS (SELECT CAST('0x' || substr(md5('ms:' || user_id), 1, 1)
+                          AS BIGINT) % 2 AS arm,
+                        epoch_us(ts) // 86400000000 AS d,
+                        CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                          AS conv
+                 FROM events),
+      g AS (SELECT arm, d, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(conv) AS BIGINT) AS c
+            FROM e GROUP BY arm, d),
+      cu AS (SELECT arm, d,
+                    CAST(SUM(n) OVER w AS BIGINT) AS cn,
+                    CAST(SUM(c) OVER w AS BIGINT) AS cc
+             FROM g WINDOW w AS (PARTITION BY arm ORDER BY d)),
+      j AS (SELECT a.d, a.cn AS n_a, a.cc AS c_a, b.cn AS n_b, b.cc AS c_b
+            FROM cu a JOIN cu b ON b.d = a.d AND a.arm = 0 AND b.arm = 1),
+      s AS (SELECT d, n_a, c_a, n_b, c_b,
+                   CAST(c_b AS DOUBLE)/n_b - CAST(c_a AS DOUBLE)/n_a AS theta,
+                   (CAST(c_a + c_b AS DOUBLE)/(n_a + n_b))
+                     * (1e0 - CAST(c_a + c_b AS DOUBLE)/(n_a + n_b))
+                     * (1e0/n_a + 1e0/n_b) AS v
+            FROM j),
+      l AS (SELECT *, CASE WHEN v > 0e0 THEN
+                   sqrt(v/(v + 1e-2))
+                     * exp(theta*theta*1e-2/(2e0*v*(v + 1e-2)))
+                 END AS lambda
+            FROM s),
+      p AS (SELECT *, LEAST(1e0, MIN(1e0/lambda)
+                        OVER (ORDER BY d)) AS p_av
+            FROM l)
+      SELECT d, n_a, c_a, n_b, c_b, ROUND(theta, 6) AS theta,
+             ROUND(lambda, 6) AS lambda,
+             ROUND(COALESCE(p_av, 1e0), 6) AS p_always_valid,
+             COALESCE(p_av, 1e0) < 5e-2 AS reject
+      FROM p ORDER BY d"""),
+      (s, dir) => {
+        val e = Tables.events(s, dir).select(
+          (conv(substring(md5(concat(lit("ms:"), col("user_id"))), 1, 1),
+            16, 10).cast("long") % 2).as("arm"),
+          expr("ts_us div 86400000000").as("d"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("conv"))
+        val g = e.groupBy("arm", "d")
+          .agg(count(lit(1)).as("n"), sum("conv").cast("long").as("c"))
+        val w = Window.partitionBy("arm").orderBy("d")
+        val cu = g.select(col("arm"), col("d"),
+          sum("n").over(w).as("cn"), sum("c").over(w).as("cc"))
+        val a = cu.where(col("arm") === 0)
+          .select(col("d"), col("cn").as("n_a"), col("cc").as("c_a"))
+        val b = cu.where(col("arm") === 1)
+          .select(col("d").as("bd"), col("cn").as("n_b"), col("cc").as("c_b"))
+        val j = a.join(b, col("d") === col("bd")).drop("bd")
+        val pp = (col("c_a") + col("c_b")).cast("double") / (col("n_a") + col("n_b"))
+        val theta = col("c_b").cast("double") / col("n_b") -
+          col("c_a").cast("double") / col("n_a")
+        val v = pp * (lit(1.0) - pp) *
+          (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))
+        val l = j.select(col("d"), col("n_a"), col("c_a"), col("n_b"), col("c_b"),
+          theta.as("theta"), v.as("v"))
+          .withColumn("lambda", when(col("v") > 0.0,
+            sqrt(col("v") / (col("v") + lit(1e-2)))
+              * exp(col("theta") * col("theta") * lit(1e-2)
+                / (lit(2.0) * col("v") * (col("v") + lit(1e-2))))))
+        l.withColumn("p_av",
+            least(lit(1.0), min(lit(1.0) / col("lambda"))
+              .over(Window.orderBy("d"))))
+          .select(col("d"), col("n_a"), col("c_a"), col("n_b"), col("c_b"),
+            round(col("theta"), 6).as("theta"),
+            round(col("lambda"), 6).as("lambda"),
+            round(coalesce(col("p_av"), lit(1.0)), 6).as("p_always_valid"),
+            (coalesce(col("p_av"), lit(1.0)) < 0.05).as("reject"))
+          .orderBy("d")
       })
   )
 }

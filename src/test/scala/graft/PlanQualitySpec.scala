@@ -1053,7 +1053,10 @@ class PlanQualitySpec extends SparkTestBase {
       "q216_vocab_coverage" -> ("rank + running coverage over the vocab-sized " +
         "token counter (localCheckpoint collapses the corpus first)"),
       "q220_kaplan_meier" -> ("survival product over the DAY-domain risk table " +
-        "— calendar-bounded, corpus collapses via min/max anchors first"))
+        "— calendar-bounded, corpus collapses via min/max anchors first"),
+      "q257_msprt" -> ("the always-valid p-sequence's running min rides the " +
+        "DAY-domain cumulative table — calendar-bounded, corpus collapses " +
+        "into per-arm daily counts first"))
     // (q228's largest-remainder rank is also a bounded-domain global
     // window — ≤ #languages rows — but runs inside a localCheckpoint
     // job, so the final executed plan the sweep sees never contains it)
