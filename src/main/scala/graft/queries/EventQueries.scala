@@ -2998,6 +2998,72 @@ object EventQueries {
             round(coalesce(col("p_av"), lit(1.0)), 6).as("p_always_valid"),
             (coalesce(col("p_av"), lit(1.0)) < 0.05).as("reject"))
           .orderBy("d")
+      }),
+
+    // ---- q258: experiment power / MDE calculator — the DESIGN-side
+    // companion to the analysis kit (q219/q234/q257): before an
+    // experiment runs, what's the minimum detectable effect at the
+    // current traffic, and how many users per arm would a 1pp (or
+    // $1) MDE need? Classic two-sample formula at α = .05 two-sided,
+    // 80% power: MDE = (z_{.975}+z_{.8})·√(2σ²/n_arm), n_arm =
+    // (z sum)²·2σ²/MDE², with the z sum entering as ONE shared
+    // literal 2.8016e0 (the q221/q223 baked-literal discipline) and
+    // σ² from exact user-level integer moments for BOTH metric
+    // shapes: binary conversion (p̂(1−p̂)) and continuous revenue.
+    // Required-n ceilings are CEIL over identical doubles. ONE
+    // user-level hash agg + one global fold; a single emitted row.
+    QueryDef("q258_power_mde", Some("""
+      WITH u AS (SELECT user_id,
+                   CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                     AS BIGINT) AS conv,
+                   CAST(SUM(CASE WHEN event_type = 'purchase'
+                            THEN CAST(ROUND(value*100) AS BIGINT)
+                            ELSE 0 END) AS BIGINT) AS rev
+                 FROM events GROUP BY user_id),
+      m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(conv) AS BIGINT) AS nc,
+                   CAST(SUM(rev) AS DOUBLE) AS s1,
+                   CAST(SUM(CAST(rev AS HUGEINT) * rev) AS DOUBLE) AS s2
+            FROM u)
+      SELECT n AS n_users, nc AS n_converters,
+             CAST(nc AS DOUBLE)/n AS p_hat,
+             ROUND(2.8016e0 * sqrt(2e0 * (CAST(nc AS DOUBLE)/n)
+               * (1e0 - CAST(nc AS DOUBLE)/n) / (CAST(n AS DOUBLE)/2e0)), 6)
+               AS mde_conv,
+             CAST(CEIL(2.8016e0 * 2.8016e0 * 2e0 * (CAST(nc AS DOUBLE)/n)
+               * (1e0 - CAST(nc AS DOUBLE)/n) / 1e-4) AS BIGINT)
+               AS n_per_arm_conv_1pp,
+             ROUND((s2 - s1*s1/n)/n, 6) AS var_rev_cents2,
+             ROUND(2.8016e0 * sqrt(2e0 * ((s2 - s1*s1/n)/n)
+               / (CAST(n AS DOUBLE)/2e0)), 6) AS mde_rev_cents,
+             CAST(CEIL(2.8016e0 * 2.8016e0 * 2e0 * ((s2 - s1*s1/n)/n) / 1e4)
+               AS BIGINT) AS n_per_arm_rev_1usd
+      FROM m"""),
+      (s, dir) => {
+        val u = Tables.events(s, dir)
+          .groupBy("user_id")
+          .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("conv"),
+            sum(when(col("event_type") === "purchase",
+              QueryDef.cents(col("value"))).otherwise(0L)).cast("long")
+              .as("rev"))
+        val rw = col("rev").cast("decimal(19,0)")
+        val m = u.agg(count(lit(1)).as("n"), sum("conv").cast("long").as("nc"),
+          sum(col("rev").cast("decimal(38,0)")).cast("double").as("s1"),
+          sum(rw * rw).cast("double").as("s2"))
+        val p = col("nc").cast("double") / col("n")
+        val varRev = (col("s2") - col("s1") * col("s1") / col("n")) / col("n")
+        val z = lit(2.8016)
+        m.select(col("n").as("n_users"), col("nc").as("n_converters"),
+          p.as("p_hat"),
+          round(z * sqrt(lit(2.0) * p * (lit(1.0) - p)
+            / (col("n").cast("double") / lit(2.0))), 6).as("mde_conv"),
+          ceil(z * z * lit(2.0) * p * (lit(1.0) - p) / lit(1e-4)).cast("long")
+            .as("n_per_arm_conv_1pp"),
+          round(varRev, 6).as("var_rev_cents2"),
+          round(z * sqrt(lit(2.0) * varRev
+            / (col("n").cast("double") / lit(2.0))), 6).as("mde_rev_cents"),
+          ceil(z * z * lit(2.0) * varRev / lit(1e4)).cast("long")
+            .as("n_per_arm_rev_1usd"))
       })
   )
 }
