@@ -3064,6 +3064,88 @@ object EventQueries {
             / (col("n").cast("double") / lit(2.0))), 6).as("mde_rev_cents"),
           ceil(z * z * lit(2.0) * varRev / lit(1e4)).cast("long")
             .as("n_per_arm_rev_1usd"))
+      }),
+
+    // ---- q259: winsorized A/B comparison — heavy-tailed revenue
+    // makes the plain z-test (q219) hostage to whales: one outlier
+    // user in one arm moves the mean more than the treatment does.
+    // Industry practice winsorizes at a POOLED high quantile before
+    // testing (pooled, so the cap itself cannot differ by arm and
+    // smuggle in bias): cap = the exact p95 of per-user revenue via
+    // ExactRank (the oracle may single-partition ROW_NUMBER; the
+    // engine may not), winsorized values stay EXACT LONGS (min with
+    // an integer cap), so per-arm moments are exact integer sums and
+    // the Welch-style z is one fixed double tree at the end. Emits
+    // the capped share per arm beside the test — a >5% clip rate
+    // means the cap, not the treatment, is doing the work.
+    QueryDef("q259_winsorized_ab", Some("""
+      WITH u AS (SELECT user_id,
+                        CAST('0x' || substr(md5('qte:' || user_id), 1, 1)
+                          AS BIGINT) % 2 AS arm,
+                        CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT)
+                          AS rev
+                 FROM events GROUP BY user_id),
+      n_ AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM u),
+      r AS (SELECT rev, ROW_NUMBER() OVER (ORDER BY rev, user_id) AS rk FROM u),
+      cap AS (SELECT r.rev AS cap FROM r, n_
+              WHERE r.rk = (95 * n_.n + 99) // 100),
+      w AS (SELECT arm, LEAST(rev, (SELECT cap FROM cap)) AS wv,
+                   CASE WHEN rev > (SELECT cap FROM cap) THEN 1 ELSE 0 END
+                     AS clipped
+            FROM u),
+      m AS (SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(clipped) AS BIGINT) AS n_clipped,
+                   CAST(SUM(wv) AS DOUBLE) AS s1,
+                   CAST(SUM(CAST(wv AS HUGEINT) * wv) AS DOUBLE) AS s2
+            FROM w GROUP BY arm)
+      SELECT a.n AS n_a, b.n AS n_b,
+             (SELECT cap FROM cap) AS cap_cents,
+             ROUND(CAST(a.n_clipped AS DOUBLE)/a.n, 6) AS clip_rate_a,
+             ROUND(CAST(b.n_clipped AS DOUBLE)/b.n, 6) AS clip_rate_b,
+             ROUND(a.s1/a.n, 6) AS wmean_a, ROUND(b.s1/b.n, 6) AS wmean_b,
+             ROUND((b.s1/b.n - a.s1/a.n)
+               / sqrt(((a.s2 - a.s1*a.s1/a.n)/a.n)/a.n
+                    + ((b.s2 - b.s1*b.s1/b.n)/b.n)/b.n), 6) AS z
+      FROM m a JOIN m b ON a.arm = 0 AND b.arm = 1"""),
+      (s, dir) => {
+        val u = Tables.events(s, dir)
+          .groupBy("user_id")
+          .agg(sum(QueryDef.cents(col("value"))).cast("long").as("rev"))
+          .select(col("user_id"), col("rev"),
+            (conv(substring(md5(concat(lit("qte:"), col("user_id"))), 1, 1),
+              16, 10).cast("long") % 2).as("arm"))
+          .localCheckpoint() // the rank pass AND the winsorize pass read it
+        val (ranked, n) = graft.operators.ExactRank.withRowNumber(
+          u.select(col("rev"), col("user_id")),
+          Seq(col("rev"), col("user_id")), "rk")
+        val capRank = (95L * n + 99) / 100
+        val cap = ranked.where(col("rk") === capRank)
+          .select(col("rev").as("cap"))
+        val w = u.crossJoin(broadcast(cap))
+          .select(col("arm"), least(col("rev"), col("cap")).as("wv"),
+            when(col("rev") > col("cap"), 1L).otherwise(0L).as("clipped"),
+            col("cap"))
+        val wvw = col("wv").cast("decimal(19,0)")
+        val m = w.groupBy("arm")
+          .agg(count(lit(1)).as("n"), sum("clipped").cast("long").as("n_clipped"),
+            sum(col("wv").cast("decimal(38,0)")).cast("double").as("s1"),
+            sum(wvw * wvw).cast("double").as("s2"),
+            first("cap").as("cap"))
+        val a = m.where(col("arm") === 0).select(col("n").as("n_a"),
+          col("n_clipped").as("ca"), col("s1").as("s1a"), col("s2").as("s2a"),
+          col("cap"))
+        val b = m.where(col("arm") === 1).select(col("n").as("n_b"),
+          col("n_clipped").as("cb"), col("s1").as("s1b"), col("s2").as("s2b"))
+        a.crossJoin(b)
+          .select(col("n_a"), col("n_b"), col("cap").as("cap_cents"),
+            round(col("ca").cast("double") / col("n_a"), 6).as("clip_rate_a"),
+            round(col("cb").cast("double") / col("n_b"), 6).as("clip_rate_b"),
+            round(col("s1a") / col("n_a"), 6).as("wmean_a"),
+            round(col("s1b") / col("n_b"), 6).as("wmean_b"),
+            round((col("s1b") / col("n_b") - col("s1a") / col("n_a"))
+              / sqrt(((col("s2a") - col("s1a") * col("s1a") / col("n_a")) / col("n_a")) / col("n_a")
+                   + ((col("s2b") - col("s1b") * col("s1b") / col("n_b")) / col("n_b")) / col("n_b")), 6)
+              .as("z"))
       })
   )
 }

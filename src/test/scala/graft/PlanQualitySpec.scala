@@ -1019,6 +1019,13 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!plan.exists { case _: CartesianProductExec => true; case _ => false })
   }
 
+  test("q259 winsorized A/B: pooled cap via ExactRank — NO window operator") {
+    val plan = collectAll(executed(q("q259_winsorized_ab")))
+    assert(!plan.exists(_.nodeName == "Window"),
+      "the pooled p95 cap must come from ExactRank, not a global window")
+    assert(!plan.exists { case _: CartesianProductExec => true; case _ => false })
+  }
+
   test("q241 video fingerprint: banded join only — no cartesian over the hash table") {
     val plan = collectAll(executed(q("q241_video_fingerprint")))
     assert(!plan.exists { case _: CartesianProductExec => true; case _ => false },
