@@ -2164,6 +2164,95 @@ object EmbeddingQueries {
             sum(when(col("vec_id") % 2 === 1, 1L).otherwise(0L)).as("n_cur"))
         graft.operators.Psi.fromCounters(c, "b", "n_ref", "n_cur")
           .orderBy("bucket")
+      }),
+
+    // ---- q260: hybrid retrieval via reciprocal rank fusion (Cormack
+    // et al. SIGIR'09 — the standard lexical+semantic combiner): the
+    // q119 BM25 top-20 for a 3-term query fused with the exact cosine
+    // top-20 for a query VECTOR (vec_id 0; doc_id = vec_id aligns the
+    // tables, the established q151 convention), fused score =
+    // Σ 1/(60 + rank) over the lists that retrieved the doc. Both
+    // lists are top-k bounded BY DIAL, so the fusion is driver-free
+    // and scale-free: lexical ranks come from a ≤20-row self-join
+    // count (never a corpus-wide window), semantic ranks ride the
+    // mergeable top-k selection; the fused relation is ≤ 40 rows and
+    // every downstream join broadcasts. 1/(60+r) is one double
+    // division on exact integers; only the ≤2-term sum rounds.
+    QueryDef("q260_hybrid_rrf", Some(s"""
+      ${TextQueries.toksCte()},
+      qterms AS (SELECT unnest(['data', 'model', 'learning']) AS term),
+      len AS (SELECT doc_id, CAST(len(tokens) AS BIGINT) AS dl
+              FROM toks WHERE len(tokens) >= 1),
+      stats AS (SELECT COUNT(*) AS nd, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+                FROM len),
+      tf AS (SELECT t.doc_id, tok.token AS term, COUNT(*) AS tf
+             FROM toks t, unnest(t.tokens) AS tok(token)
+             WHERE tok.token IN (SELECT term FROM qterms)
+             GROUP BY 1, 2),
+      df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+      sc AS (SELECT f.doc_id,
+               ln(((SELECT nd FROM stats) - d.df + 0.5) / (d.df + 0.5) + 1)
+               * (f.tf * 2.2)
+               / (f.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / (SELECT avgdl FROM stats))) AS s
+             FROM tf f JOIN df d USING (term) JOIN len l USING (doc_id)),
+      bm AS (SELECT doc_id, ROUND(SUM(s), 6) AS bm25
+             FROM sc GROUP BY doc_id
+             ORDER BY bm25 DESC, doc_id LIMIT 20),
+      lr AS (SELECT doc_id,
+                    CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id)
+                      AS BIGINT) AS lex_rank
+             FROM bm),
+      e AS (SELECT vec_id, embedding, ${sqlNorm("embedding")} AS nrm FROM embeddings),
+      qv AS (SELECT embedding, nrm FROM e WHERE vec_id = 0),
+      sims AS (SELECT c.vec_id AS doc_id,
+                      ${sqlDot("qv.embedding", "c.embedding")} / (qv.nrm * c.nrm) AS sim
+               FROM e c, qv WHERE c.vec_id <> 0),
+      sr AS (SELECT doc_id,
+                    CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id)
+                      AS BIGINT) AS sem_rank
+             FROM (SELECT * FROM sims ORDER BY sim DESC, doc_id LIMIT 20))
+      SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id, l.lex_rank, s.sem_rank,
+             ROUND(COALESCE(1e0/(60 + l.lex_rank), 0e0)
+                 + COALESCE(1e0/(60 + s.sem_rank), 0e0), 6) AS rrf
+      FROM lr l FULL OUTER JOIN sr s ON l.doc_id = s.doc_id
+      ORDER BY rrf DESC, doc_id"""),
+      (s, dir) => {
+        val qterms = Seq("data", "model", "learning")
+        val toks = TextQueries.tokenized(s, dir)
+        val len = toks.where(size(col("tokens")) >= 1)
+          .select(col("doc_id"), size(col("tokens")).cast("long").as("dl"))
+        val stats = len.agg(count(lit(1)).as("nd"),
+          (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
+        val tf = toks.select(col("doc_id"), explode(col("tokens")).as("term"))
+          .where(col("term").isin(qterms: _*))
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val dft = tf.groupBy("term").agg(countDistinct("doc_id").as("df"))
+        // ≤20-row list, read twice by the rank self-join → checkpoint
+        val bm = tf.join(broadcast(dft), "term").join(len, "doc_id")
+          .crossJoin(broadcast(stats))
+          .select(col("doc_id"),
+            (log((col("nd") - col("df") + 0.5) / (col("df") + 0.5) + 1)
+              * (col("tf") * 2.2)
+              / (col("tf") + lit(1.2)
+                  * (lit(1) - 0.75 + lit(0.75) * col("dl") / col("avgdl")))).as("s"))
+          .groupBy("doc_id").agg(round(sum("s"), 6).as("bm25"))
+          .orderBy(col("bm25").desc, col("doc_id")).limit(20)
+          .localCheckpoint()
+        val y = bm.select(col("doc_id").as("y_id"), col("bm25").as("y_s"))
+        val lr = bm.join(broadcast(y),
+            col("y_s") > col("bm25")
+              || (col("y_s") === col("bm25") && col("y_id") < col("doc_id")),
+            "left")
+          .groupBy("doc_id").agg((count(col("y_id")) + 1L).as("lex_rank"))
+        val sr = Knn.cosineKnn(Tables.read(s, dir, "embeddings"),
+            "vec_id", "embedding", col("vec_id") === 0, 20)
+          .select(col("cand_id").as("doc_id"), col("rk").cast("long").as("sem_rank"))
+        lr.join(sr, Seq("doc_id"), "full_outer")
+          .select(col("doc_id"), col("lex_rank"), col("sem_rank"),
+            round(coalesce(lit(1.0) / (lit(60) + col("lex_rank")), lit(0.0))
+                + coalesce(lit(1.0) / (lit(60) + col("sem_rank")), lit(0.0)), 6)
+              .as("rrf"))
+          .orderBy(col("rrf").desc, col("doc_id"))
       })
   )
 

@@ -3146,6 +3146,92 @@ object EventQueries {
               / sqrt(((col("s2a") - col("s1a") * col("s1a") / col("n_a")) / col("n_a")) / col("n_a")
                    + ((col("s2b") - col("s1b") * col("s1b") / col("n_b")) / col("n_b")) / col("n_b")), 6)
               .as("z"))
+      }),
+
+    // ---- q263: forecast backtest — the capacity-planning companion
+    // to the monitoring charts (q244/q245/q252 watch the past; this
+    // scores what you'd have PREDICTED): hold out the last 7 days of
+    // per-type daily counts, forecast each held-out day with the two
+    // standard baselines any fancier model must beat — seasonal-naive
+    // (same weekday last week, the right baseline for the q252 weekly
+    // cycle) and last-value naive — and report per type MAE, WAPE
+    // (Σ|err|/Σactual — the industry form that tolerates zero days),
+    // and an exact-integer winner verdict (Σ|e_s| < Σ|e_n|, so a tie
+    // cannot split the engines). Errors are exact longs end to end;
+    // only the final ratios round. Scale shape: the corpus collapses
+    // into the (type × day-domain) counter table in ONE scan; the
+    // zero-fill grid, both forecast joins, and the verdict all ride
+    // calendar-bounded relations.
+    QueryDef("q263_forecast_backtest", Some("""
+      WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS d,
+                            CAST(COUNT(*) AS BIGINT) AS x
+                     FROM events
+                     GROUP BY event_type, (epoch_us(ts) // 86400000000)),
+      dom AS (SELECT DISTINCT d FROM daily),
+      ty AS (SELECT DISTINCT event_type FROM daily),
+      grid AS (SELECT ty.event_type, dom.d, COALESCE(daily.x, 0) AS x
+               FROM ty CROSS JOIN dom
+               LEFT JOIN daily ON daily.event_type = ty.event_type
+                              AND daily.d = dom.d),
+      bounds AS (SELECT MAX(d) AS maxd FROM dom),
+      lastv AS (SELECT event_type, x AS nx FROM grid, bounds
+                WHERE d = maxd - 7),
+      j AS (SELECT t.event_type, t.d, t.x, h.x AS sx_f, lastv.nx
+            FROM grid t
+            JOIN grid h ON h.event_type = t.event_type AND h.d = t.d - 7
+            JOIN lastv ON lastv.event_type = t.event_type, bounds
+            WHERE t.d > maxd - 7),
+      m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_test,
+                   CAST(SUM(ABS(x - sx_f)) AS BIGINT) AS ae_s,
+                   CAST(SUM(ABS(x - nx)) AS BIGINT) AS ae_n,
+                   CAST(SUM(x) AS BIGINT) AS sx
+            FROM j GROUP BY event_type)
+      SELECT event_type, n_test,
+             ROUND(CAST(ae_s AS DOUBLE) / n_test, 6) AS mae_seasonal,
+             ROUND(CAST(ae_n AS DOUBLE) / n_test, 6) AS mae_naive,
+             CASE WHEN sx > 0 THEN ROUND(CAST(ae_s AS DOUBLE) / sx, 6) END
+               AS wape_seasonal,
+             CASE WHEN sx > 0 THEN ROUND(CAST(ae_n AS DOUBLE) / sx, 6) END
+               AS wape_naive,
+             ae_s < ae_n AS seasonal_wins
+      FROM m ORDER BY event_type"""),
+      (s, dir) => {
+        val daily = Tables.events(s, dir)
+          .groupBy(col("event_type"), expr("ts_us div 86400000000").as("d"))
+          .agg(count(lit(1)).cast("long").as("x"))
+          .localCheckpoint() // grid, bounds, and both forecast joins read it
+        val dom = daily.select("d").distinct()
+        val grid = daily.select("event_type").distinct()
+          .crossJoin(broadcast(dom))
+          .join(daily, Seq("event_type", "d"), "left")
+          .select(col("event_type"), col("d"),
+            coalesce(col("x"), lit(0L)).as("x"))
+          .localCheckpoint() // test slice, history side, and lastv read it
+        val bounds = dom.agg(max("d").as("maxd"))
+        val lastv = grid.crossJoin(broadcast(bounds))
+          .where(col("d") === col("maxd") - 7)
+          .select(col("event_type").as("et_n"), col("x").as("nx"))
+        val hist = grid.select(col("event_type").as("et_h"),
+          col("d").as("hd"), col("x").as("sx_f"))
+        val j = grid.crossJoin(broadcast(bounds))
+          .where(col("d") > col("maxd") - 7)
+          .join(hist, col("et_h") === col("event_type")
+            && col("hd") === col("d") - 7)
+          .join(lastv, col("et_n") === col("event_type"))
+        val m = j.groupBy("event_type")
+          .agg(count(lit(1)).cast("long").as("n_test"),
+            sum(abs(col("x") - col("sx_f"))).cast("long").as("ae_s"),
+            sum(abs(col("x") - col("nx"))).cast("long").as("ae_n"),
+            sum("x").cast("long").as("sx"))
+        m.select(col("event_type"), col("n_test"),
+            round(col("ae_s").cast("double") / col("n_test"), 6).as("mae_seasonal"),
+            round(col("ae_n").cast("double") / col("n_test"), 6).as("mae_naive"),
+            when(col("sx") > 0,
+              round(col("ae_s").cast("double") / col("sx"), 6)).as("wape_seasonal"),
+            when(col("sx") > 0,
+              round(col("ae_n").cast("double") / col("sx"), 6)).as("wape_naive"),
+            (col("ae_s") < col("ae_n")).as("seasonal_wins"))
+          .orderBy("event_type")
       })
   )
 }

@@ -2183,6 +2183,95 @@ object RelationalQueries {
             round(col("n_b").cast("double") / col("tb"), 6).as("share_b"),
             delta.as("delta_nanos"))
           .orderBy(abs(col("delta_nanos")).desc, col("part")).limit(20)
+      }),
+
+    // ---- q262: t-closeness audit — the third rung of the privacy
+    // ladder (k-anonymity q182 → l-diversity q242 → this): even a
+    // diverse class leaks if its sensitive DISTRIBUTION sits far from
+    // the table-wide one (Li, Li & Venkatasubramanian, ICDE'07). QI =
+    // (nation, market segment) — what an adversary plausibly knows;
+    // sensitive = the ORDERED $2000 account-balance band, so closeness
+    // is the ordered-domain Earth Mover's Distance: EMD(P,Q) =
+    // Σᵢ|cum(P−Q)ᵢ| / (m−1). Every cumulative term rides EXACT
+    // integers — cross-multiplied c·N − g·n_cls in DECIMAL(38,0)
+    // (HUGEINT oracle-side), so no per-class float division ever
+    // enters the sum — and the t ≤ 0.2 gate is a PURE INTEGER
+    // comparison 5·num ≤ n_cls·N·(m−1) (the structural-boundary
+    // rounding discipline: a class sitting exactly at t cannot split
+    // the engines). Scale shape: ONE corpus scan into the
+    // (QI × band) counter table; the band domain and class list are
+    // both value-bounded, so the grid, the per-class cumulative
+    // window (PARTITIONed by class), and every join downstream are
+    // counter-table-sized broadcasts.
+    QueryDef("q262_t_closeness", Some("""
+      WITH base AS (SELECT c_nationkey AS qi0, c_mktsegment AS qi1,
+                      ((CAST(ROUND(c_acctbal*100) AS BIGINT)
+                        - (((CAST(ROUND(c_acctbal*100) AS BIGINT) % 200000)
+                            + 200000) % 200000)) // 200000) AS band
+                    FROM customer
+                    WHERE c_nationkey IS NOT NULL AND c_mktsegment IS NOT NULL
+                      AND c_acctbal IS NOT NULL),
+      cb AS (SELECT qi0, qi1, band, CAST(COUNT(*) AS BIGINT) AS c
+             FROM base GROUP BY 1, 2, 3),
+      gb AS (SELECT band, CAST(SUM(c) AS BIGINT) AS g FROM cb GROUP BY band),
+      cls AS (SELECT qi0, qi1, CAST(SUM(c) AS BIGINT) AS n_cls
+              FROM cb GROUP BY 1, 2),
+      tot AS (SELECT CAST(SUM(g) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS m
+              FROM gb),
+      grid AS (SELECT cls.qi0, cls.qi1, cls.n_cls, gb.band, gb.g,
+                      COALESCE(cb.c, 0) AS c
+               FROM cls CROSS JOIN gb
+               LEFT JOIN cb ON cb.qi0 = cls.qi0 AND cb.qi1 = cls.qi1
+                           AND cb.band = gb.band),
+      cum AS (SELECT qi0, qi1, n_cls,
+                     SUM(CAST(c AS HUGEINT) * (SELECT n FROM tot)
+                       - CAST(g AS HUGEINT) * n_cls)
+                       OVER (PARTITION BY qi0, qi1 ORDER BY band) AS a
+              FROM grid),
+      em AS (SELECT qi0, qi1, n_cls, CAST(SUM(ABS(a)) AS HUGEINT) AS num
+             FROM cum GROUP BY 1, 2, 3)
+      SELECT qi0, qi1, n_cls,
+             ROUND(CAST(num AS DOUBLE)
+               / ((CAST(n_cls AS DOUBLE) * (SELECT n FROM tot))
+                  * ((SELECT m FROM tot) - 1)), 6) AS emd,
+             5 * num <= CAST(n_cls AS HUGEINT) * (SELECT n FROM tot)
+                        * ((SELECT m FROM tot) - 1) AS t_ok
+      FROM em ORDER BY qi0, qi1"""),
+      (s, dir) => {
+        val base = Tables.read(s, dir, "customer")
+          .where(col("c_nationkey").isNotNull && col("c_mktsegment").isNotNull
+            && col("c_acctbal").isNotNull)
+          .select(col("c_nationkey").as("qi0"), col("c_mktsegment").as("qi1"),
+            expr("(cast(round(c_acctbal*100) as bigint) - " +
+              "pmod(cast(round(c_acctbal*100) as bigint), 200000)) div 200000")
+              .as("band"))
+        val cb = base.groupBy("qi0", "qi1", "band")
+          .agg(count(lit(1)).cast("long").as("c"))
+          .localCheckpoint() // band totals, class totals, and the grid read it
+        val gb = cb.groupBy("band").agg(sum("c").cast("long").as("g"))
+        val cls = cb.groupBy("qi0", "qi1").agg(sum("c").cast("long").as("n_cls"))
+        val tot = gb.agg(sum("g").cast("long").as("n"),
+          count(lit(1)).cast("long").as("m"))
+        val grid = cls.crossJoin(broadcast(gb))
+          .join(cb, Seq("qi0", "qi1", "band"), "left")
+          .crossJoin(broadcast(tot))
+          .select(col("qi0"), col("qi1"), col("n_cls"), col("band"),
+            col("n"), col("m"),
+            (coalesce(col("c"), lit(0L)).cast("decimal(38,0)") * col("n")
+              - col("g").cast("decimal(38,0)") * col("n_cls")).as("diff"))
+        val w = Window.partitionBy("qi0", "qi1").orderBy("band")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val em = grid.withColumn("a", sum(col("diff")).over(w))
+          .groupBy("qi0", "qi1", "n_cls", "n", "m")
+          .agg(sum(abs(col("a"))).cast("decimal(38,0)").as("num"))
+        em.select(col("qi0"), col("qi1"), col("n_cls"),
+            round(col("num").cast("double")
+              / ((col("n_cls").cast("double") * col("n")) * (col("m") - 1)), 6)
+              .as("emd"),
+            (lit(5).cast("decimal(38,0)") * col("num")
+              <= (col("n_cls").cast("decimal(38,0)") * col("n")) * (col("m") - 1))
+              .as("t_ok"))
+          .orderBy("qi0", "qi1")
       })
   )
 }

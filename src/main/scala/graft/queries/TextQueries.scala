@@ -4483,6 +4483,243 @@ object TextQueries {
             when(col("pe") < 1.0,
               (col("po") - col("pe")) / (lit(1.0) - col("pe"))).as("kappa"))
           .orderBy("a", "b")
+      }),
+
+    // ---- q261: DSIR-shaped importance weights for data selection
+    // (Xie et al. 2023, "Data Selection for Language Models via
+    // Importance Resampling"): score every document by its per-token
+    // log-likelihood ratio under two add-one-smoothed unigram LMs —
+    // target = the 'en' slice, raw = the whole pool — and surface the
+    // top-15 most target-like docs. The ln argument is assembled as
+    // ONE ratio of double products of exact integers ((ct+1)(NR+V)) /
+    // ((cr+1)(NT+V)) — a single ln per vocab TYPE, so the engines
+    // cannot drift across per-token re-evaluation; each type's weight
+    // is then nano-scaled to a long and every per-doc score is an
+    // exact order-free integer sum (the q166 discipline). Scale shape:
+    // token counts are two hash aggs, the weight table is vocab-sized
+    // and joins on the token key (never broadcast — vocab outgrows
+    // driver memory at corpus scale), per-doc scores are one more hash
+    // agg, and the final cut is TakeOrdered. Products stay in double
+    // (factors exact below 2^53), so no long overflow at any corpus
+    // size; per-doc sums are bounded by doc length × |ln ratio|·1e9,
+    // not by corpus size.
+    QueryDef("q261_dsir_importance", Some(s"""${toksCte()},
+      tok AS (SELECT doc_id, unnest(tokens) AS token FROM toks),
+      raw AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cr FROM tok GROUP BY token),
+      tgt AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS ct
+              FROM (SELECT unnest(t.tokens) AS token
+                    FROM toks t JOIN documents d USING (doc_id)
+                    WHERE d.lang = 'en')
+              GROUP BY token),
+      st AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM raw) AS v,
+                    (SELECT CAST(SUM(cr) AS BIGINT) FROM raw) AS nr,
+                    (SELECT CAST(COALESCE(SUM(ct), 0) AS BIGINT) FROM tgt) AS nt),
+      llr AS (SELECT r.token,
+                     CAST(ROUND(ln((CAST(COALESCE(g.ct, 0) + 1 AS DOUBLE)
+                                    * CAST(st.nr + st.v AS DOUBLE))
+                                 / (CAST(r.cr + 1 AS DOUBLE)
+                                    * CAST(st.nt + st.v AS DOUBLE))) * 1e9)
+                       AS BIGINT) AS w_nanos
+              FROM raw r LEFT JOIN tgt g USING (token), st),
+      pd AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS c
+             FROM tok GROUP BY 1, 2),
+      sc AS (SELECT p.doc_id, CAST(SUM(p.c * l.w_nanos) AS BIGINT) AS score_nanos
+             FROM pd p JOIN llr l USING (token) GROUP BY p.doc_id),
+      nl AS (SELECT doc_id, CAST(len(tokens) AS BIGINT) AS n_tokens
+             FROM toks WHERE len(tokens) >= 1)
+      SELECT s.doc_id, d.lang, n.n_tokens, s.score_nanos,
+             ROUND(CAST(s.score_nanos AS DOUBLE) / 1e9 / n.n_tokens, 6) AS avg_llr
+      FROM sc s JOIN nl n USING (doc_id) JOIN documents d USING (doc_id)
+      ORDER BY avg_llr DESC, s.doc_id LIMIT 15"""),
+      (s, dir) => {
+        // one tokenize pass feeds the raw counts, target counts, doc
+        // lengths, and the lang join
+        val d = docs(s, dir).select(col("doc_id"), col("lang"),
+            Tokenize.tokens(col("text"), Stop).as("tokens"))
+          .localCheckpoint()
+        val tok = d.select(col("doc_id"), explode(col("tokens")).as("token"))
+        val raw = tok.groupBy("token").agg(count(lit(1)).cast("long").as("cr"))
+        val tgt = d.where(col("lang") === "en")
+          .select(explode(col("tokens")).as("token"))
+          .groupBy("token").agg(count(lit(1)).cast("long").as("ct"))
+        val st = raw.agg(count(lit(1)).cast("long").as("v"),
+            sum("cr").cast("long").as("nr"))
+          .crossJoin(tgt.agg(coalesce(sum("ct"), lit(0L)).cast("long").as("nt")))
+        val llr = raw.join(tgt, Seq("token"), "left")
+          .crossJoin(broadcast(st))
+          .select(col("token"),
+            round(log(((coalesce(col("ct"), lit(0L)) + 1).cast("double")
+                  * (col("nr") + col("v")).cast("double"))
+                / ((col("cr") + 1).cast("double")
+                  * (col("nt") + col("v")).cast("double"))) * lit(1e9))
+              .cast("long").as("w_nanos"))
+        val pd = tok.groupBy("doc_id", "token")
+          .agg(count(lit(1)).cast("long").as("c"))
+        val sc = pd.join(llr, "token")
+          .groupBy("doc_id")
+          .agg(sum(col("c") * col("w_nanos")).cast("long").as("score_nanos"))
+        val nl = d.where(size(col("tokens")) >= 1)
+          .select(col("doc_id"), size(col("tokens")).cast("long").as("n_tokens"))
+        sc.join(nl, "doc_id")
+          .join(d.select(col("doc_id"), col("lang")), "doc_id")
+          .select(col("doc_id"), col("lang"), col("n_tokens"), col("score_nanos"),
+            round(col("score_nanos").cast("double") / lit(1e9) / col("n_tokens"), 6)
+              .as("avg_llr"))
+          .orderBy(col("avg_llr").desc, col("doc_id")).limit(15)
+      }),
+
+    // ---- q264: isotonic calibration of the q191 reliability curve —
+    // the step after DIAGNOSING miscalibration is FIXING it, and
+    // isotonic regression is the standard nonparametric calibrator
+    // (Zadrozny & Elkan, KDD'02). Instead of iterative PAVA (a
+    // sequential pooling loop no engine mirrors bit-for-bit), the fit
+    // uses the exact minimax identity fit(k) = max_{i≤k} min_{j≥k}
+    // mean(i..j) — closed-form, order-free, provably equal to PAVA's
+    // output. Every interval mean is ONE IEEE division of exact
+    // integer sums (Σn_en/Σn), and min/max over identical doubles
+    // cannot drift. Scale shape: the corpus collapses into the ≤21-row
+    // score-bin counter table in one scan; intervals, the minimax
+    // joins, and the monotonicity gate are all counter-table-sized
+    // broadcasts (≤21³ tuples) — no windows anywhere, so nothing for
+    // the catalog sweep to allowlist. The mono gate compares the SAME
+    // double chains both engines built, coalesced TRUE for the 1-bin
+    // degenerate corpus.
+    QueryDef("q264_isotonic", Some("""
+      WITH raw AS (SELECT doc_id, lang,
+                     list_filter(regexp_split_to_array(lower(text), '\W+'),
+                                 t -> t <> '') AS tokens
+                   FROM documents),
+      s AS (SELECT lang,
+              len(list_filter(tokens,
+                  t -> t IN ('the','a','of','to','and','in','is','it')))
+                / len(tokens) AS score
+            FROM raw WHERE len(tokens) > 0),
+      bins AS (SELECT CAST(FLOOR(score * 20) AS BIGINT) AS bin,
+                      CAST(COUNT(*) AS BIGINT) AS n,
+                      CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                           AS BIGINT) AS n_en
+               FROM s GROUP BY 1),
+      iv AS (SELECT i.bin AS i, j.bin AS j,
+                    CAST(SUM(b.n_en) AS DOUBLE) / CAST(SUM(b.n) AS DOUBLE) AS m
+             FROM bins i JOIN bins j ON i.bin <= j.bin
+                  JOIN bins b ON b.bin BETWEEN i.bin AND j.bin
+             GROUP BY 1, 2),
+      t1 AS (SELECT k.bin AS k, v.i, MIN(v.m) AS lo
+             FROM bins k JOIN iv v ON v.i <= k.bin AND v.j >= k.bin
+             GROUP BY 1, 2),
+      fit AS (SELECT k, MAX(lo) AS iso FROM t1 GROUP BY k),
+      mono AS (SELECT COALESCE(MIN(CASE WHEN b.iso >= a.iso THEN 1 ELSE 0 END),
+                               1) = 1 AS mono_ok
+               FROM fit a JOIN fit b ON a.k < b.k)
+      SELECT b.bin, b.n, b.n_en,
+             ROUND(CAST(b.n_en AS DOUBLE) / CAST(b.n AS DOUBLE), 6) AS rate,
+             ROUND(f.iso, 6) AS iso, mono.mono_ok
+      FROM bins b JOIN fit f ON f.k = b.bin CROSS JOIN mono
+      ORDER BY b.bin"""),
+      (s, dir) => {
+        // q191's reliability bins: one corpus scan → ≤21-key hash agg
+        val bins = docs(s, dir)
+          .select(col("lang"), Tokenize.tokens(col("text")).as("tokens"))
+          .where(size(col("tokens")) > 0)
+          .select(col("lang"),
+            TextStats.englishRatio(col("tokens")).as("score"))
+          .groupBy(floor(col("score") * 20).cast("long").as("bin"))
+          .agg(count(lit(1)).cast("long").as("n"),
+            sum(when(col("lang") === "en", 1L).otherwise(0L))
+              .cast("long").as("n_en"))
+          .localCheckpoint() // intervals, the k-domain, and the output read it
+        val iv = bins.select(col("bin").as("i"))
+          .join(broadcast(bins.select(col("bin").as("j"))), col("i") <= col("j"))
+          .join(broadcast(bins), col("bin").between(col("i"), col("j")))
+          .groupBy("i", "j")
+          .agg((sum("n_en").cast("double") / sum("n").cast("double")).as("m"))
+        val fit = bins.select(col("bin").as("k"))
+          .join(broadcast(iv), col("i") <= col("k") && col("j") >= col("k"))
+          .groupBy("k", "i").agg(min("m").as("lo"))
+          .groupBy("k").agg(max("lo").as("iso"))
+          .localCheckpoint() // the mono gate self-joins it; the output joins it
+        val mono = fit.as("a")
+          .join(broadcast(fit.as("b")), col("a.k") < col("b.k"))
+          .agg((coalesce(min(when(col("b.iso") >= col("a.iso"), 1L)
+            .otherwise(0L)), lit(1L)) === 1L).as("mono_ok"))
+        bins.join(broadcast(fit), col("k") === col("bin"))
+          .crossJoin(broadcast(mono))
+          .select(col("bin"), col("n"), col("n_en"),
+            round(col("n_en").cast("double") / col("n").cast("double"), 6)
+              .as("rate"),
+            round(col("iso"), 6).as("iso"), col("mono_ok"))
+          .orderBy("bin")
+      }),
+
+    // ---- q265: Krippendorff's alpha — the agreement statistic that
+    // generalizes past q249's kappa (symmetric coincidence counting,
+    // and the form that extends to missing data / many raters, so it
+    // is what a labeling pipeline standardizes on). Same two "raters"
+    // as q249 (gold lang coarsened to {en, und} vs the q31 heuristic);
+    // each unit contributes BOTH ordered pairs to the coincidence
+    // matrix, alpha = 1 − (n−1)·Σ_{c≠k} o_ck / Σ_{c≠k} n_c·n_k with
+    // every term an exact integer (marginal cross-products widened to
+    // decimal/HUGEINT) until the single final division. One corpus
+    // scan → a bounded 2×2 coincidence table; everything downstream is
+    // counter-table-sized. Emitted per coincidence cell with alpha
+    // repeated (the q249 shape), NULL when the expected-disagreement
+    // denominator is 0 (all mass in one class).
+    QueryDef("q265_krippendorff", Some("""
+      WITH raw AS (SELECT CASE WHEN lang = 'en' THEN 'en' ELSE 'und' END AS a,
+                     list_filter(regexp_split_to_array(lower(text), '\W+'),
+                                 t -> t <> '') AS tokens
+                   FROM documents),
+      p AS (SELECT a,
+              CASE WHEN len(list_filter(tokens,
+                       t -> t IN ('the','a','of','to','and','in','is','it')))
+                     / len(tokens) >= CAST(0.05 AS DOUBLE)
+                   THEN 'en' ELSE 'und' END AS b
+            FROM raw),
+      o AS (SELECT c, k, CAST(SUM(n) AS BIGINT) AS o FROM
+              (SELECT a AS c, b AS k, COUNT(*) AS n FROM p GROUP BY 1, 2
+               UNION ALL
+               SELECT b AS c, a AS k, COUNT(*) AS n FROM p GROUP BY 1, 2)
+            GROUP BY 1, 2),
+      marg AS (SELECT c, CAST(SUM(o) AS BIGINT) AS nc FROM o GROUP BY c),
+      tot AS (SELECT CAST(SUM(nc) AS BIGINT) AS n FROM marg),
+      dis AS (SELECT CAST(COALESCE(SUM(CASE WHEN c <> k THEN o END), 0)
+                          AS BIGINT) AS d_o
+              FROM o),
+      de AS (SELECT CAST(SUM(CAST(a.nc AS HUGEINT) * b.nc) AS HUGEINT) AS d_e
+             FROM marg a JOIN marg b ON a.c <> b.c),
+      al AS (SELECT CASE WHEN de.d_e > 0
+                    THEN 1e0 - CAST((tot.n - 1) * CAST(dis.d_o AS HUGEINT)
+                                    AS DOUBLE)
+                               / CAST(de.d_e AS DOUBLE) END AS alpha
+             FROM tot, dis, de)
+      SELECT o.c, o.k, o.o, al.alpha
+      FROM o, al ORDER BY o.c, o.k"""),
+      (s, dir) => {
+        val p = docs(s, dir).select(
+          when(col("lang") === "en", "en").otherwise("und").as("a"),
+          TextStats.langId(Tokenize.tokens(col("text"))).as("b"))
+          .groupBy("a", "b").agg(count(lit(1)).as("n"))
+          .localCheckpoint() // both coincidence directions read it
+        val o = p.select(col("a").as("c"), col("b").as("k"), col("n"))
+          .unionByName(p.select(col("b").as("c"), col("a").as("k"), col("n")))
+          .groupBy("c", "k").agg(sum("n").cast("long").as("o"))
+          .localCheckpoint() // marginals, disagreement, and the output read it
+        val marg = o.groupBy("c").agg(sum("o").cast("long").as("nc"))
+        val tot = marg.agg(sum("nc").cast("long").as("n"))
+        val dis = o.agg(coalesce(
+          sum(when(col("c") =!= col("k"), col("o"))), lit(0L))
+          .cast("long").as("d_o"))
+        val de = marg.as("x")
+          .join(broadcast(marg.as("y")), col("x.c") =!= col("y.c"))
+          .agg(sum(col("x.nc").cast("decimal(38,0)") * col("y.nc"))
+            .cast("decimal(38,0)").as("d_e"))
+        val al = tot.crossJoin(dis).crossJoin(de)
+          .select(when(col("d_e") > 0,
+            lit(1.0) - ((col("n") - 1).cast("decimal(38,0)") * col("d_o"))
+              .cast("double") / col("d_e").cast("double")).as("alpha"))
+        o.crossJoin(broadcast(al))
+          .select(col("c"), col("k"), col("o"), col("alpha"))
+          .orderBy("c", "k")
       })
   )
 
