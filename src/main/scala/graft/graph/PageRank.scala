@@ -87,7 +87,13 @@ object PageRank {
     * sum of u's outgoing edge weights, so heavily co-occurring
     * neighbors pull proportionally more mass than rare ones (the
     * unweighted [[run]] treats a 1000-count edge and a 1-count edge
-    * identically). `edges` must carry (src, dst, w); pass both
+    * identically). `edges` must carry (src, dst, w) with w > 0: edges
+    * with NULL or non-positive weight are FILTERED before the
+    * adjacency is built (a zero-ΣW source would otherwise divide its
+    * mass by zero and silently vanish it — distinct from the
+    * documented dangling-node semantics — and mixed-sign weights make
+    * the fixpoint unbounded); a node all of whose out-edges are
+    * dropped becomes an ordinary dangling node. Pass both
     * directions for an undirected graph. Same per-iteration shape as
     * [[run]] — one equi-join + one hash agg, W(u) folded into the
     * materialized adjacency — and the same float discipline: callers
@@ -124,9 +130,12 @@ object PageRank {
       case None =>
         val ids = cp.materialize(nodes.select(col(nodes.columns.head).as("id")))
         val nRow = broadcast(ids.agg(count(lit(1)).cast("double").as("n")))
-        val ws = edges.groupBy(col("src").as("id"))
+        // w > 0 enforced here (see scaladoc): drops NULL/zero/negative
+        // weights so wsum is strictly positive for every surviving src
+        val posEdges = edges.where(col("w") > 0)
+        val ws = posEdges.groupBy(col("src").as("id"))
           .agg(sum(col("w")).cast("double").as("wsum"))
-        val adj = cp.materialize(edges.select(col("src"), col("dst"), col("w"))
+        val adj = cp.materialize(posEdges.select(col("src"), col("dst"), col("w"))
           .join(ws, col("src") === col("id")).drop("id"))
         val rank0 = cp.materialize(ids.crossJoin(nRow)
           .select(col("id"), (lit(1.0) / col("n")).as("rank")))

@@ -52,13 +52,41 @@ object DpRelease {
     -b * signum(s) * log(lit(1.0) - lit(2.0) * abs(s))
   }
 
-  /** Release `counts` (binCol, nCol) at every ε in `epsilons`
-    * (num, den) pairs: one output row per (ε, bin) with the true
-    * count, the deterministic noise, the noisy release (both rounded
-    * 6), and the sequential-composition total ε across the ladder.
+  /** REPLAY/TEST release: noise derives from the caller's seed STRING,
+    * so two runs (or two engines — the DuckDB oracle) emit identical
+    * "noise". The hazard is in the name on purpose: anyone who knows
+    * the seed can subtract the noise exactly, so this variant carries
+    * ZERO actual privacy — the eps_total column here is an accounting
+    * REHEARSAL, not a guarantee. Production releases go through
+    * [[releaseCounts]], which refuses to manufacture its own
+    * randomness and makes the caller hand over an entropy column.
+    *
+    * One output row per (ε, bin) with the true count, the
+    * deterministic noise, the noisy release (both rounded 6), and the
+    * sequential-composition total ε across the ladder.
+    */
+  def releaseCountsSeededForReplay(counts: DataFrame, binCol: String,
+                                   nCol: String, epsilons: Seq[(Int, Int)],
+                                   seed: String): DataFrame =
+    release(counts, binCol, nCol, epsilons,
+      seededUniform(concat_ws(":", lit(seed), col("eps_num"),
+        col("eps_den"), col(binCol))))
+
+  /** PRODUCTION release: same mechanism and accounting, but the
+    * per-row uniform comes from `entropy` — a column the CALLER
+    * guarantees is (a) uniform in (0, 1) per output row and (b) drawn
+    * from randomness the adversary cannot know (e.g. `rand()` with no
+    * seed, or hardware entropy ingested as a column). There is no
+    * seed-string overload of this path by design: a release whose
+    * noise can be replayed can be subtracted, and an API that accepts
+    * a seed looks exactly like one that doesn't until the breach.
     */
   def releaseCounts(counts: DataFrame, binCol: String, nCol: String,
-                    epsilons: Seq[(Int, Int)], seed: String): DataFrame = {
+                    epsilons: Seq[(Int, Int)], entropy: Column): DataFrame =
+    release(counts, binCol, nCol, epsilons, entropy)
+
+  private def release(counts: DataFrame, binCol: String, nCol: String,
+                      epsilons: Seq[(Int, Int)], u: Column): DataFrame = {
     require(epsilons.nonEmpty, "need at least one epsilon")
     val spark = counts.sparkSession
     import spark.implicits._
@@ -66,14 +94,18 @@ object DpRelease {
     val total = eps.agg(
       sum(col("eps_num").cast("double") / col("eps_den").cast("double"))
         .as("eps_total"))
-    val u = seededUniform(concat_ws(":", lit(seed), col("eps_num"),
-      col("eps_den"), col(binCol)))
     val b = col("eps_den").cast("double") / col("eps_num").cast("double")
+    // the draw happens ONCE, in its own projection: a non-deterministic
+    // entropy column evaluated twice would put one noise value in
+    // `noise` and a different one inside `n_noisy` (CollapseProject
+    // refuses to duplicate non-deterministic expressions, so the alias
+    // is load-bearing, not cosmetic)
     counts.crossJoin(broadcast(eps)).crossJoin(broadcast(total))
+      .withColumn("noise_raw", laplaceNoise(u, b))
       .select(col("eps_num"), col("eps_den"), col(binCol),
         col(nCol).cast("long").as("n_true"),
-        round(laplaceNoise(u, b), 6).as("noise"),
-        round(col(nCol).cast("double") + laplaceNoise(u, b), 6)
+        round(col("noise_raw"), 6).as("noise"),
+        round(col(nCol).cast("double") + col("noise_raw"), 6)
           .as("n_noisy"),
         col("eps_total"))
   }

@@ -106,9 +106,15 @@ object KAnonymity {
         col("cls_n"), col("l_distinct"),
         round(exp(entropy), 6).as("entropy_l"),
         (col("l_distinct") >= l).as("distinct_ok"),
-        // gate on the ROUNDED value: a class of l equal-count sensitive
+        // gate on a ROUNDED value: a class of l equal-count sensitive
         // values has entropy EXACTLY ln(l), so an unrounded exp ≥ l
-        // comparison sits on an engine-ulp boundary by construction
-        (round(exp(entropy), 6) >= l.toDouble).as("entropy_ok")): _*)
+        // comparison sits on an engine-ulp boundary by construction.
+        // The rounding must be COARSER than the micro-scale
+        // quantization error: Σ round(c·ln c·1e6) is off by up to 0.5
+        // per sensitive value, i.e. up to ~l·0.5e-6 in exp(entropy) —
+        // the same order as 6-decimal rounding, which could still push
+        // an exactly-ln(l) class to l − 1e-6. Five decimals leaves an
+        // order of magnitude of headroom for any practical l.
+        (round(exp(entropy), 5) >= l.toDouble).as("entropy_ok")): _*)
   }
 }

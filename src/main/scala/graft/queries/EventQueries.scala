@@ -2918,31 +2918,51 @@ object EventQueries {
     // horizon z is only valid if you look exactly once, but every
     // dashboard peeks daily; the mixture likelihood ratio
     // Λ_n = √(V/(V+τ²))·exp(θ̂²τ²/(2V(V+τ²))) yields
-    // p_n = min(1, min_j≤n 1/Λ_j), valid at EVERY peek. Per day:
-    // cumulative per-arm event/purchase counts (per-arm cumsum windows
-    // — exact integer sums), pooled-variance V and θ̂ as fixed double
-    // trees, τ² = 1e-2 a shared literal; the p-sequence's running min
-    // is an order-free exact fold over identical doubles. Degenerate
-    // early days (V = 0: no conversions or all conversions) carry
-    // NULL Λ and p stays at the running min (MIN ignores NULLs — p
-    // starts at 1). The running-min window is global but rides the
-    // DAY-domain table (calendar-bounded — allowlisted in the sweep).
+    // p_n = min(1, min_j≤n 1/Λ_j), valid at EVERY peek. The UNIT OF
+    // ANALYSIS is the USER, because randomization is per-user (the
+    // md5 arm hash keys on user_id): treating every event as an
+    // independent Bernoulli trial would ignore within-user correlation
+    // and make V anti-conservative — q233 clusters its bootstrap at
+    // the user for exactly this reason. The corpus collapses to ONE
+    // row per user (enrollment day = first event, conversion day =
+    // first purchase — both monotone, so the cumulative counts are
+    // exactly "users enrolled ≤ d" / "users converted ≤ d": what the
+    // dashboard knows at day-d's peek); per-arm day histograms of
+    // those firsts zero-fill over the calendar grid and cumsum
+    // (per-arm windows — exact integer sums). Pooled-variance V and
+    // θ̂ are fixed double trees, τ² = 1e-2 a shared literal; the
+    // p-sequence's running min is an order-free exact fold over
+    // identical doubles. Days before both arms have enrollments are
+    // dropped (n = 0 has no estimator); degenerate days (V = 0: no
+    // conversions or all conversions) carry NULL Λ and p stays at the
+    // running min (MIN ignores NULLs — p starts at 1). The running-min
+    // window is global but rides the DAY-domain table
+    // (calendar-bounded — allowlisted in the sweep).
     QueryDef("q257_msprt", Some("""
-      WITH e AS (SELECT CAST('0x' || substr(md5('ms:' || user_id), 1, 1)
+      WITH u AS (SELECT CAST('0x' || substr(md5('ms:' || user_id), 1, 1)
                           AS BIGINT) % 2 AS arm,
-                        epoch_us(ts) // 86400000000 AS d,
-                        CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
-                          AS conv
-                 FROM events),
-      g AS (SELECT arm, d, CAST(COUNT(*) AS BIGINT) AS n,
-                   CAST(SUM(conv) AS BIGINT) AS c
-            FROM e GROUP BY arm, d),
+                        MIN(epoch_us(ts) // 86400000000) AS fe,
+                        MIN(CASE WHEN event_type = 'purchase'
+                              THEN epoch_us(ts) // 86400000000 END) AS fp
+                 FROM events GROUP BY user_id),
+      dom AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS d FROM events),
+      arms AS (SELECT CAST(0 AS BIGINT) AS arm UNION ALL SELECT CAST(1 AS BIGINT)),
+      en AS (SELECT arm, fe AS d, CAST(COUNT(*) AS BIGINT) AS ne
+             FROM u GROUP BY arm, fe),
+      cv AS (SELECT arm, fp AS d, CAST(COUNT(*) AS BIGINT) AS nc
+             FROM u WHERE fp IS NOT NULL GROUP BY arm, fp),
+      grid AS (SELECT arms.arm, dom.d,
+                      COALESCE(en.ne, 0) AS ne, COALESCE(cv.nc, 0) AS nc
+               FROM arms CROSS JOIN dom
+               LEFT JOIN en ON en.arm = arms.arm AND en.d = dom.d
+               LEFT JOIN cv ON cv.arm = arms.arm AND cv.d = dom.d),
       cu AS (SELECT arm, d,
-                    CAST(SUM(n) OVER w AS BIGINT) AS cn,
-                    CAST(SUM(c) OVER w AS BIGINT) AS cc
-             FROM g WINDOW w AS (PARTITION BY arm ORDER BY d)),
+                    CAST(SUM(ne) OVER w AS BIGINT) AS cn,
+                    CAST(SUM(nc) OVER w AS BIGINT) AS cc
+             FROM grid WINDOW w AS (PARTITION BY arm ORDER BY d)),
       j AS (SELECT a.d, a.cn AS n_a, a.cc AS c_a, b.cn AS n_b, b.cc AS c_b
-            FROM cu a JOIN cu b ON b.d = a.d AND a.arm = 0 AND b.arm = 1),
+            FROM cu a JOIN cu b ON b.d = a.d AND a.arm = 0 AND b.arm = 1
+            WHERE a.cn > 0 AND b.cn > 0),
       s AS (SELECT d, n_a, c_a, n_b, c_b,
                    CAST(c_b AS DOUBLE)/n_b - CAST(c_a AS DOUBLE)/n_a AS theta,
                    (CAST(c_a + c_b AS DOUBLE)/(n_a + n_b))
@@ -2963,21 +2983,38 @@ object EventQueries {
              COALESCE(p_av, 1e0) < 5e-2 AS reject
       FROM p ORDER BY d"""),
       (s, dir) => {
-        val e = Tables.events(s, dir).select(
-          (conv(substring(md5(concat(lit("ms:"), col("user_id"))), 1, 1),
-            16, 10).cast("long") % 2).as("arm"),
-          expr("ts_us div 86400000000").as("d"),
-          when(col("event_type") === "purchase", 1L).otherwise(0L).as("conv"))
-        val g = e.groupBy("arm", "d")
-          .agg(count(lit(1)).as("n"), sum("conv").cast("long").as("c"))
+        val ev = Tables.events(s, dir)
+        // ONE row per user: the randomization unit (q233's discipline)
+        val u = ev.groupBy("user_id")
+          .agg(min(expr("ts_us div 86400000000")).as("fe"),
+            min(when(col("event_type") === "purchase",
+              expr("ts_us div 86400000000"))).as("fp"))
+          .select((conv(substring(md5(concat(lit("ms:"), col("user_id"))),
+              1, 1), 16, 10).cast("long") % 2).as("arm"),
+            col("fe"), col("fp"))
+          .localCheckpoint() // enrollment AND conversion histograms read it
+        val dom = ev.select(expr("ts_us div 86400000000").as("d")).distinct()
+        val arms = s.range(2).select(col("id").as("arm"))
+        val en = u.groupBy(col("arm"), col("fe").as("d"))
+          .agg(count(lit(1)).as("ne"))
+        val cv = u.where(col("fp").isNotNull)
+          .groupBy(col("arm"), col("fp").as("d"))
+          .agg(count(lit(1)).as("nc"))
+        val grid = broadcast(arms).crossJoin(dom)
+          .join(en, Seq("arm", "d"), "left")
+          .join(cv, Seq("arm", "d"), "left")
+          .select(col("arm"), col("d"),
+            coalesce(col("ne"), lit(0L)).as("ne"),
+            coalesce(col("nc"), lit(0L)).as("nc"))
         val w = Window.partitionBy("arm").orderBy("d")
-        val cu = g.select(col("arm"), col("d"),
-          sum("n").over(w).as("cn"), sum("c").over(w).as("cc"))
+        val cu = grid.select(col("arm"), col("d"),
+          sum("ne").over(w).as("cn"), sum("nc").over(w).as("cc"))
         val a = cu.where(col("arm") === 0)
           .select(col("d"), col("cn").as("n_a"), col("cc").as("c_a"))
         val b = cu.where(col("arm") === 1)
           .select(col("d").as("bd"), col("cn").as("n_b"), col("cc").as("c_b"))
         val j = a.join(b, col("d") === col("bd")).drop("bd")
+          .where(col("n_a") > 0 && col("n_b") > 0)
         val pp = (col("c_a") + col("c_b")).cast("double") / (col("n_a") + col("n_b"))
         val theta = col("c_b").cast("double") / col("n_b") -
           col("c_a").cast("double") / col("n_a")

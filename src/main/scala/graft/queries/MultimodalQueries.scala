@@ -673,20 +673,22 @@ object MultimodalQueries {
       }),
 
     // ---- q230: CROSS-MODAL dedup profile — the capstone over the
-    // three near-dup families: text (banded MinHash-LSH → exact bigram
-    // Jaccard ≥ 0.5, the q72 chain), image (decoded-pixel dHash, q217)
-    // and audio (decoded-PCM energy sign hash, q224) pair sets union
+    // FOUR near-dup families: text (banded MinHash-LSH → exact bigram
+    // Jaccard ≥ 0.5, the q72 chain), image (decoded-pixel dHash, q217),
+    // audio (decoded-PCM energy sign hash, q224) and video (decoded
+    // temporal-luma sign hash over the Y4M clip, q241) pair sets union
     // into ONE duplicate graph, connected components (pointer-doubled
     // hash-min to the fixpoint) assign every doc its cluster and
     // canonical survivor, and per-doc modality flags answer the
     // question a multimodal-corpus owner actually asks: WHICH modality
     // caught this duplicate — text-only rewording, pixel-identical
-    // re-encodes, re-mastered audio — and how many agree (a doc
-    // duplicated in 2+ modalities is a near-certain removal; a
-    // single-modality hit earns review). Scale shape: each modality's
-    // pairs come from its own banded blocking (never a cartesian), the
-    // union is pair-count-sized, CC is the shared O(log diameter)
-    // machinery, flags are one grouped max over the pair list.
+    // re-encodes, re-mastered audio, re-encoded clips — and how many
+    // agree (a doc duplicated in 2+ modalities is a near-certain
+    // removal; a single-modality hit earns review). Scale shape: each
+    // modality's pairs come from its own banded blocking (never a
+    // cartesian), the union is pair-count-sized, CC is the shared
+    // O(log diameter) machinery, flags are one grouped max over the
+    // pair list.
     QueryDef("q230_multimodal_dedup", Some({
       import graft.QueryDef.{ccFixpointCtes, ccFinal}
       s"""${TextQueries.toksCte()},
@@ -783,9 +785,40 @@ object MultimodalQueries {
                 FROM a_kept a JOIN a_kept b2
                   ON a.b = b2.b AND a.chunk = b2.chunk AND a.doc_id < b2.doc_id
                 WHERE bit_count(xor(a.hsh, b2.hsh)) <= 6),
+      v_fr AS (SELECT doc_id, f.range AS f,
+                      (((doc_id // 4) * 60 + f.range + 1) % 2147483648)
+                        * 2654435761 % 2147483648 AS h1
+               FROM ids, range(0, 60) f),
+      v_fx AS (SELECT doc_id, f, xor(h1, h1 >> 15) AS h2 FROM v_fr),
+      v_fy AS (SELECT doc_id, f, (h2 * 1540483477 % 2147483648) AS h3 FROM v_fx),
+      v_fo AS (SELECT doc_id, f, xor(h3, h3 >> 13) % 65536 % 256 AS off FROM v_fy),
+      v_en AS (SELECT doc_id, f,
+                 list_sum(list_transform(range(0, 16), k ->
+                   (off + k * 13
+                    + CASE WHEN (f * 16 + k) % 128 = doc_id % 4
+                      THEN 16 ELSE 0 END) % 256)) AS e
+               FROM v_fo),
+      v_bits AS (SELECT a.doc_id, ((a.f // 15) * 14 + (a.f % 15)) AS i
+                 FROM v_en a JOIN v_en b ON b.doc_id = a.doc_id AND b.f = a.f + 1
+                 WHERE a.f % 15 < 14 AND b.e > a.e),
+      v_hash AS (SELECT ids.doc_id,
+                        CAST(COALESCE(SUM(1::BIGINT << i), 0) AS BIGINT) AS hsh
+                 FROM ids LEFT JOIN v_bits ON v_bits.doc_id = ids.doc_id
+                 GROUP BY ids.doc_id),
+      v_band AS (SELECT doc_id, hsh, t.range AS b,
+                        (hsh >> CAST(t.range * 14 AS INTEGER)) & 16383 AS chunk
+                 FROM v_hash, range(0, 4) t),
+      v_kept AS (SELECT doc_id, hsh, b, chunk FROM
+                   (SELECT *, COUNT(*) OVER (PARTITION BY b, chunk) AS bsz FROM v_band)
+                 WHERE bsz <= 50),
+      v_ver AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+                FROM v_kept a JOIN v_kept b2
+                  ON a.b = b2.b AND a.chunk = b2.chunk AND a.doc_id < b2.doc_id
+                WHERE bit_count(xor(a.hsh, b2.hsh)) <= 6),
       pairs AS MATERIALIZED (SELECT id_a, id_b, 'text' AS m FROM t_ver
                 UNION ALL SELECT id_a, id_b, 'image' FROM i_ver
-                UNION ALL SELECT id_a, id_b, 'audio' FROM a_ver),
+                UNION ALL SELECT id_a, id_b, 'audio' FROM a_ver
+                UNION ALL SELECT id_a, id_b, 'video' FROM v_ver),
       pd AS MATERIALIZED (SELECT DISTINCT id_a, id_b FROM pairs),
       edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM pd
                 UNION ALL SELECT id_b, id_a FROM pd),
@@ -794,7 +827,8 @@ object MultimodalQueries {
       flags AS (SELECT doc_id,
                   MAX(CASE WHEN m = 'text' THEN 1 ELSE 0 END) AS tf,
                   MAX(CASE WHEN m = 'image' THEN 1 ELSE 0 END) AS imf,
-                  MAX(CASE WHEN m = 'audio' THEN 1 ELSE 0 END) AS af
+                  MAX(CASE WHEN m = 'audio' THEN 1 ELSE 0 END) AS af,
+                  MAX(CASE WHEN m = 'video' THEN 1 ELSE 0 END) AS vf
                 FROM (SELECT id_a AS doc_id, m FROM pairs
                       UNION ALL SELECT id_b, m FROM pairs)
                 GROUP BY doc_id)
@@ -802,7 +836,9 @@ object MultimodalQueries {
              COALESCE(f.tf, 0) = 1 AS text_dup,
              COALESCE(f.imf, 0) = 1 AS image_dup,
              COALESCE(f.af, 0) = 1 AS audio_dup,
+             COALESCE(f.vf, 0) = 1 AS video_dup,
              CAST(COALESCE(f.tf, 0) + COALESCE(f.imf, 0) + COALESCE(f.af, 0)
+                  + COALESCE(f.vf, 0)
                AS INTEGER) AS n_modalities
       FROM ${ccFinal()} l LEFT JOIN flags f ON f.doc_id = l.id
       ORDER BY doc_id"""
@@ -835,7 +871,14 @@ object MultimodalQueries {
           .localCheckpoint()
         val aver = Multimodal.bandedHammingPairs(ah, "id", "ahash", 50, 6)
           .select(col("id_a"), col("id_b"), lit("audio").as("m"))
-        val pairs = tver.unionByName(iver).unionByName(aver)
+        val vpay = ids.as[Long].mapPartitions(_.map(id =>
+            (id, Multimodal.variantY4mPayload(id / 4, (id % 4).toInt, 4, 4, 60))))
+          .toDF("doc_id", "payload")
+        val vh = Multimodal.decodeVideoHashes(vpay, "doc_id", "payload")
+          .localCheckpoint() // both banded self-join sides read it
+        val vver = Multimodal.bandedHammingPairs(vh, "id", "vhash", 50, 6)
+          .select(col("id_a"), col("id_b"), lit("video").as("m"))
+        val pairs = tver.unionByName(iver).unionByName(aver).unionByName(vver)
           .localCheckpoint() // 2 consumers: CC edges + modality flags
         val clusters = Dedup.nearDupClustersConverged(ids, "doc_id",
           pairs.select("id_a", "id_b").distinct())._1
@@ -844,14 +887,17 @@ object MultimodalQueries {
           .groupBy("doc_id")
           .agg(max(when(col("m") === "text", 1).otherwise(0)).as("tf"),
             max(when(col("m") === "image", 1).otherwise(0)).as("imf"),
-            max(when(col("m") === "audio", 1).otherwise(0)).as("af"))
+            max(when(col("m") === "audio", 1).otherwise(0)).as("af"),
+            max(when(col("m") === "video", 1).otherwise(0)).as("vf"))
         clusters.join(flags, Seq("doc_id"), "left_outer")
           .select(col("doc_id"), col("cluster_id"), col("keep"),
             (coalesce(col("tf"), lit(0)) === 1).as("text_dup"),
             (coalesce(col("imf"), lit(0)) === 1).as("image_dup"),
             (coalesce(col("af"), lit(0)) === 1).as("audio_dup"),
+            (coalesce(col("vf"), lit(0)) === 1).as("video_dup"),
             (coalesce(col("tf"), lit(0)) + coalesce(col("imf"), lit(0)) +
-              coalesce(col("af"), lit(0))).cast("int").as("n_modalities"))
+              coalesce(col("af"), lit(0)) + coalesce(col("vf"), lit(0)))
+              .cast("int").as("n_modalities"))
           .orderBy("doc_id")
       }),
 

@@ -2003,7 +2003,7 @@ object RelationalQueries {
              ROUND(EXP(LN(cls_n) - (CAST(st AS DOUBLE)/1000000.0)/cls_n), 6)
                AS entropy_l,
              l_distinct >= 3 AS distinct_ok,
-             ROUND(EXP(LN(cls_n) - (CAST(st AS DOUBLE)/1000000.0)/cls_n), 6)
+             ROUND(EXP(LN(cls_n) - (CAST(st AS DOUBLE)/1000000.0)/cls_n), 5)
                >= 3.0 AS entropy_ok
       FROM cls ORDER BY qi0, qi1"""),
       (s, dir) =>
@@ -2048,7 +2048,7 @@ object RelationalQueries {
         val seg = Tables.read(s, dir, "customer")
           .groupBy(col("c_mktsegment").as("segment"))
           .agg(count(lit(1)).as("n_true"))
-        graft.operators.DpRelease.releaseCounts(seg, "segment", "n_true",
+        graft.operators.DpRelease.releaseCountsSeededForReplay(seg, "segment", "n_true",
             Seq((1, 10), (1, 1)), "dp")
           .orderBy("eps_num", "eps_den", "segment")
       }),

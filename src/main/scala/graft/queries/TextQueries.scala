@@ -4073,11 +4073,17 @@ object TextQueries {
     // all token INSTANCES covered by the k most frequent types (the
     // Zipf readout behind vocab-size / OOV-budget decisions, and the
     // cheap sanity check before paying for a BPE dial). One corpus
-    // scan onto the vocabulary counter; the rank and running-coverage
-    // windows are global but run over the VOCABULARY-sized table (the
-    // q141 bounded-domain justification), ties broken by token so the
-    // curve is deterministic; every coverage number is an exact bigint
-    // division.
+    // scan onto the vocabulary counter; the query only ever reads
+    // ranks ≤ 10,000, so the engine never sorts the vocabulary
+    // globally (at web scale `\W+` yields 10^8–10^9 distinct types):
+    // top-10k by (cnt desc, token) is a TakeOrderedAndProject (q115's
+    // bigram pattern), the rank inside that bounded table comes from
+    // ExactRank (range partition + offsets — no window operator), and
+    // covered(k) is a filtered sum over rank ≤ k. Ties broken by
+    // token so the curve is deterministic; every coverage number is
+    // an exact bigint division. The oracle's ROW_NUMBER/running-sum
+    // formulation is equivalent because the top-k set is a prefix of
+    // the total (cnt desc, token) order.
     QueryDef("q216_vocab_coverage", Some(s"""${toksCte()},
       inst AS (SELECT unnest(tokens) AS token FROM toks),
       vc AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM inst GROUP BY 1),
@@ -4097,22 +4103,19 @@ object TextQueries {
       FROM ks CROSS JOIN cum CROSS JOIN tot t
       GROUP BY ks.k, t.n_vocab, t.nn ORDER BY k"""),
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
         val vc = tokenized(s, dir).select(explode(col("tokens")).as("token"))
           .groupBy("token").agg(count(lit(1)).as("cnt"))
-          .localCheckpoint() // totals AND the rank window read it
+          .localCheckpoint() // totals AND the top-k pass read it
         val tot = vc.agg(sum("cnt").as("nn"), count(lit(1)).as("n_vocab"))
-        val cum = vc
-          .withColumn("rk", row_number().over(
-            Window.orderBy(col("cnt").desc, col("token"))))
-          .withColumn("ccnt", sum("cnt").over(Window.orderBy("rk")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        // bounded: ranks ≤ 10000 are all the query ever reads
+        val top = vc.orderBy(col("cnt").desc, col("token")).limit(10000)
+        val (ranked, _) = graft.operators.ExactRank.withRowNumber(
+          top, Seq(col("cnt").desc, col("token")), "rk")
         val ks = s.range(1)
           .select(explode(expr("array(1L, 10L, 100L, 1000L, 10000L)")).as("k"))
-        ks.crossJoin(cum).crossJoin(broadcast(tot))
-          .groupBy("k", "n_vocab", "nn")
-          .agg(max(when(col("rk") <= col("k"), col("ccnt")).otherwise(0L))
-            .as("covered"))
+        broadcast(ks).join(ranked, col("rk") <= col("k"))
+          .groupBy("k").agg(sum("cnt").as("covered"))
+          .crossJoin(broadcast(tot))
           .select(col("k"), col("n_vocab"), col("nn").as("n_instances"),
             col("covered"), (col("covered") / col("nn")).as("coverage"))
           .orderBy("k")

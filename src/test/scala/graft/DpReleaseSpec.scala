@@ -19,9 +19,9 @@ class DpReleaseSpec extends SparkTestBase {
   }
 
   test("release is deterministic and the noise actually perturbs") {
-    val r1 = DpRelease.releaseCounts(counts, "bin", "n",
+    val r1 = DpRelease.releaseCountsSeededForReplay(counts, "bin", "n",
       Seq((1, 1)), "s").orderBy("bin").collect()
-    val r2 = DpRelease.releaseCounts(counts, "bin", "n",
+    val r2 = DpRelease.releaseCountsSeededForReplay(counts, "bin", "n",
       Seq((1, 1)), "s").orderBy("bin").collect()
     assert(r1.toSeq === r2.toSeq)
     assert(r1.forall(r => r.getDouble(4) !== 0.0))
@@ -34,7 +34,7 @@ class DpReleaseSpec extends SparkTestBase {
     val many = spark.range(2000).select(
       concat(lit("bin"), col("id")).as("bin"), lit(10L).as("n"))
     def meanAbs(epsNum: Int, epsDen: Int): Double =
-      DpRelease.releaseCounts(many, "bin", "n", Seq((epsNum, epsDen)), "s")
+      DpRelease.releaseCountsSeededForReplay(many, "bin", "n", Seq((epsNum, epsDen)), "s")
         .agg(avg(abs(col("noise")))).collect().head.getDouble(0)
     val atEps1 = meanAbs(1, 1)    // E|Laplace(1)|  = 1
     val atEps01 = meanAbs(1, 10)  // E|Laplace(10)| = 10
@@ -43,7 +43,7 @@ class DpReleaseSpec extends SparkTestBase {
   }
 
   test("sequential-composition total is the exact Σ num/den") {
-    val got = DpRelease.releaseCounts(counts, "bin", "n",
+    val got = DpRelease.releaseCountsSeededForReplay(counts, "bin", "n",
       Seq((1, 10), (1, 1), (1, 2)), "s")
     assert(got.count() === 9)
     val tot = got.select("eps_total").distinct().collect()
@@ -57,9 +57,27 @@ class DpReleaseSpec extends SparkTestBase {
     assert(mm.getDouble(0) > 0.0 && mm.getDouble(1) < 1.0)
   }
 
+  test("production path takes caller entropy; noise and n_noisy share ONE draw") {
+    // rand() with no seed: not replayable (the point of the production
+    // API). Within a single release the emitted noise and the noisy
+    // count must come from the SAME draw — a non-deterministic column
+    // evaluated twice would decouple them.
+    val got = DpRelease.releaseCounts(counts, "bin", "n", Seq((1, 1)), rand())
+      .collect()
+    got.foreach(r => assert(
+      math.abs(r.getLong(3) + r.getDouble(4) - r.getDouble(5)) < 2e-6,
+      s"n_noisy must reuse the same draw as noise: $r"))
+    // and two releases draw DIFFERENT noise (probability of a collision
+    // across three continuous draws is zero)
+    val again = DpRelease.releaseCounts(counts, "bin", "n", Seq((1, 1)), rand())
+      .collect()
+    assert(got.map(_.getDouble(4)).toSeq !== again.map(_.getDouble(4)).toSeq,
+      "unseeded entropy must not replay")
+  }
+
   test("empty epsilon ladder is refused") {
     intercept[IllegalArgumentException] {
-      DpRelease.releaseCounts(counts, "bin", "n", Seq.empty, "s")
+      DpRelease.releaseCountsSeededForReplay(counts, "bin", "n", Seq.empty, "s")
     }
   }
 }

@@ -107,4 +107,19 @@ class PageRankSpec extends SparkTestBase {
     val got = wRanks(0L until n, edges, iters = 4)
     assert(math.abs(got.values.sum - 1.0) < 1e-9)
   }
+
+  test("weighted: non-positive weights are filtered, never a null/negative rank") {
+    // node 0's only edges carry w ≤ 0 → all dropped → 0 becomes an
+    // ordinary dangling node. Before the filter, 0's zero ΣW divided
+    // its mass by zero: node 1's rank went NULL (mass silently
+    // vanished, a third behavior distinct from dangling) and negative
+    // weights could push ranks unbounded.
+    val got = wRanks(Seq(0L, 1L, 2L),
+      Seq((0L, 1L, 0L), (0L, 1L, -3L), (1L, 2L, 2L), (2L, 1L, 5L)), iters = 3)
+    assert(got.values.forall(r => r >= 0.0 && !r.isNaN),
+      s"ranks must stay finite and non-negative: $got")
+    // 0 receives only teleport mass; its zero-weight edge must not count
+    assert(math.abs(got(0L) - 0.15 / 3) < 1e-12,
+      "a node with only non-positive out-edges is dangling, not a source")
+  }
 }

@@ -22,6 +22,46 @@ class PlanQualitySpec extends SparkTestBase {
     df.queryExecution.executedPlan
   }
 
+  /** EVERY executed plan a query runs — `localCheckpoint`
+    * materialization jobs included. The final
+    * `queryExecution.executedPlan` truncates at each checkpoint (the
+    * checkpointed relation appears as a leaf ScanExistingRDD), so a
+    * sweep over only the final plan is blind to everything upstream
+    * of the repo's ~156 checkpoint call sites — q228's global
+    * mixture-rank window was invisible to round 8's sweep exactly
+    * this way. `Dataset.localCheckpoint` runs through `withAction`,
+    * which notifies QueryExecutionListener like any other action, so
+    * registering a capture listener for the duration of the query
+    * sees every plan. Delivery is async on the shared listener bus —
+    * drain it (via the org.apache.spark test shim) before reading.
+    */
+  private def allExecutedPlans(name: String): Seq[SparkPlan] = {
+    val captured = scala.collection.mutable.ArrayBuffer.empty[SparkPlan]
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        captured.synchronized { captured += qe.executedPlan }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    // drain stragglers from PRIOR queries so they can't bleed into
+    // this query's capture buffer
+    org.apache.spark.graftaccess.ListenerBusAccess
+      .waitUntilListenerBusEmpty(spark.sparkContext)
+    spark.listenerManager.register(listener)
+    try {
+      val df = SparkEntry.queries(name)(spark, sf("sf0.001"))
+      df.collect()
+      org.apache.spark.graftaccess.ListenerBusAccess
+        .waitUntilListenerBusEmpty(spark.sparkContext)
+      val finalPlan = df.queryExecution.executedPlan
+      (captured.synchronized(captured.toVector) :+ finalPlan)
+        .flatMap(collectAll)
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   private def collectAll(p: SparkPlan): Seq[SparkPlan] = p match {
     // AQE wraps materialized stages in leaf nodes — traverse through them
     case a: AdaptiveSparkPlanExec => collectAll(a.executedPlan)
@@ -785,17 +825,6 @@ class PlanQualitySpec extends SparkTestBase {
       "each column's 1-row total joins as a broadcast")
   }
 
-  test("q216 vocab coverage: global windows confined to the vocabulary table") {
-    val plan = collectAll(executed(q("q216_vocab_coverage")))
-    // the rank + running-coverage windows are global by design — the
-    // justification is they run over the VOCAB-sized counter (which the
-    // localCheckpoint has already collapsed); nothing else may window
-    val windows = plan.filter(_.nodeName == "Window")
-    assert(windows.size <= 2,
-      s"rank + running coverage only, got ${windows.size} windows")
-    assert(!plan.exists { case _: CartesianProductExec => true; case _ => false })
-  }
-
   test("q217 image dhash: banded join only — no cartesian over the hash table") {
     val plan = collectAll(executed(q("q217_image_dhash")))
     assert(!plan.exists { case _: CartesianProductExec => true; case _ => false },
@@ -834,10 +863,12 @@ class PlanQualitySpec extends SparkTestBase {
       "the only window is the bucket-skew cap, partitioned by (band, chunk)")
   }
 
-  test("q230 multimodal dedup: all three modality blockings banded — no cartesian") {
-    val plan = collectAll(executed(q("q230_multimodal_dedup")))
-    assert(!plan.exists { case _: CartesianProductExec => true; case _ => false },
-      "text/image/audio candidates must come from banded equi-joins")
+  test("q230 multimodal dedup: all four modality blockings banded — no cartesian") {
+    // sweep EVERY plan: the modality fingerprint stages run behind
+    // localCheckpoints, so the final plan alone proves nothing
+    val plans = allExecutedPlans("q230_multimodal_dedup")
+    assert(!plans.exists { case _: CartesianProductExec => true; case _ => false },
+      "text/image/audio/video candidates must come from banded equi-joins")
   }
 
   test("q220 Kaplan-Meier: day-domain windows only, corpus collapses first") {
@@ -1026,6 +1057,18 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!plan.exists { case _: CartesianProductExec => true; case _ => false })
   }
 
+  test("q216 vocab coverage: top-10k TakeOrderedAndProject, NO window anywhere") {
+    // ranks come from ExactRank inside the bounded top-10k table; the
+    // vocabulary itself is never globally sorted. Sweep ALL plans
+    // (ExactRank checkpoints, so the final plan alone proves nothing).
+    val plans = allExecutedPlans("q216_vocab_coverage")
+    assert(!plans.exists(_.nodeName == "Window"),
+      "vocab coverage must never rank via a window operator")
+    assert(plans.exists(_.nodeName.contains("TakeOrderedAndProject")),
+      "the top-10k must be a TakeOrderedAndProject, not a global sort")
+    assert(!plans.exists { case _: CartesianProductExec => true; case _ => false })
+  }
+
   test("q241 video fingerprint: banded join only — no cartesian over the hash table") {
     val plan = collectAll(executed(q("q241_video_fingerprint")))
     assert(!plan.exists { case _: CartesianProductExec => true; case _ => false },
@@ -1035,17 +1078,68 @@ class PlanQualitySpec extends SparkTestBase {
       "the only window is the bucket-skew cap, partitioned by (band, chunk)")
   }
 
+  // ---- capture fidelity: the sweep below is only as strong as the
+  // plans it can see. This test proves the listener-based capture sees
+  // THROUGH a localCheckpoint: a deliberately global window
+  // materialized behind one is invisible to the final executed plan
+  // (the checkpoint truncates to a ScanExistingRDD leaf) but MUST
+  // appear in the captured set — if this ever regresses, the sweep is
+  // blind again and every checkpointed stage escapes audit.
+  test("plan capture sees global windows hidden behind localCheckpoint") {
+    import org.apache.spark.sql.expressions.Window
+    val captured = scala.collection.mutable.ArrayBuffer.empty[SparkPlan]
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        captured.synchronized { captured += qe.executedPlan }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    org.apache.spark.graftaccess.ListenerBusAccess
+      .waitUntilListenerBusEmpty(spark.sparkContext)
+    spark.listenerManager.register(listener)
+    try {
+      val hidden = spark.range(100)
+        .withColumn("rk", org.apache.spark.sql.functions.row_number()
+          .over(Window.orderBy("id")))
+        .localCheckpoint() // the window runs HERE, not in the final job
+        .groupBy().count()
+      hidden.collect()
+      org.apache.spark.graftaccess.ListenerBusAccess
+        .waitUntilListenerBusEmpty(spark.sparkContext)
+      val finalGlobals = collectAll(hidden.queryExecution.executedPlan)
+        .collect { case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w }
+      assert(finalGlobals.isEmpty,
+        "precondition: the checkpoint must hide the window from the final plan")
+      val capturedGlobals = captured.synchronized(captured.toVector)
+        .flatMap(collectAll)
+        .collect { case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w }
+      assert(capturedGlobals.nonEmpty,
+        "the listener capture must surface the checkpointed global window")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   // ---- catalog-wide sweep: an unpartitioned WindowExec moves the whole
   // relation into ONE task. q222 shipped with a plausible-but-wrong
   // boundedness comment in round 7; this sweep makes that class of bug
-  // structurally impossible: every query whose executed plan contains a
-  // WindowExec with an EMPTY partition spec must appear in the allowlist
-  // below with the reason its windowed relation is DOMAIN-bounded
-  // (bins/days/digits/stages/vocab/top-k — sizes fixed by the dial, not
-  // the scale factor). Allowlist hygiene is enforced both ways: an entry
-  // whose query no longer has a global window is stale and fails too.
+  // structurally impossible: EVERY executed plan of every query —
+  // localCheckpoint materialization jobs included, via the listener
+  // capture above — is scanned, and a WindowExec with an EMPTY
+  // partition spec must appear in the allowlist below with the reason
+  // its windowed relation is DOMAIN-bounded (bins/days/digits/stages/
+  // top-k — sizes fixed by the dial, not the scale factor). Allowlist
+  // hygiene is enforced both ways: an entry whose query no longer has
+  // a global window anywhere is stale and fails too.
   test("catalog sweep: no WindowExec without partition keys outside the bounded-domain allowlist") {
     val allowlist: Map[String, String] = Map(
+      "q43_er_prf_sweep" -> ("prfSweep's cumulative-from-the-top counts ride " +
+        "the EXACTLY-101-row bin table (spark.range(0,101) left join) — " +
+        "bounded by construction at any corpus size; visible only to the " +
+        "listener capture because the sweep returns collected rows"),
       "q107_token_budget" -> ("BudgetSelect's running sum rides the ≤1001-row " +
         "score-bucket table; only the boundary bucket orders per-doc"),
       "q114_vocab_growth" -> "cumulative curve over EXACTLY 10 decile rows",
@@ -1057,20 +1151,18 @@ class PlanQualitySpec extends SparkTestBase {
         "the 100-doc labeled eval slice — labeling-budget bounded"),
       "q204_link_predict" -> ("AUC sweep over the distinct common-neighbor-count " +
         "table — score domain ≤ maxDegree, not corpus-sized"),
-      "q216_vocab_coverage" -> ("rank + running coverage over the vocab-sized " +
-        "token counter (localCheckpoint collapses the corpus first)"),
       "q220_kaplan_meier" -> ("survival product over the DAY-domain risk table " +
         "— calendar-bounded, corpus collapses via min/max anchors first"),
+      "q228_mixture_plan" -> ("largest-remainder rank over the mixture table " +
+        "— ≤ #languages rows (runs inside a localCheckpoint job; visible " +
+        "only to the listener capture)"),
       "q257_msprt" -> ("the always-valid p-sequence's running min rides the " +
         "DAY-domain cumulative table — calendar-bounded, corpus collapses " +
         "into per-arm daily counts first"))
-    // (q228's largest-remainder rank is also a bounded-domain global
-    // window — ≤ #languages rows — but runs inside a localCheckpoint
-    // job, so the final executed plan the sweep sees never contains it)
     val offenders = scala.collection.mutable.ListBuffer.empty[String]
     val stale = scala.collection.mutable.ListBuffer.empty[String]
     for (qd <- SparkEntry.catalog) {
-      val plan = collectAll(executed(q(qd.name)))
+      val plan = allExecutedPlans(qd.name)
       val global = plan.collect {
         case w: org.apache.spark.sql.execution.window.WindowExec
           if w.partitionSpec.isEmpty => w

@@ -108,6 +108,84 @@ class SketchStateSpec extends SparkTestBase {
       "replay must double-count (additive counters, not max-merge)")
   }
 
+  test("kill mid-commit: a torn next version is invisible and recovered over") {
+    // The crash window the flat-overwrite layout could NOT survive: a
+    // writer dies after starting to write the next state version but
+    // before committing it. The torn directory must be invisible to
+    // read() (committed state intact), and the next merge must build
+    // on the COMMITTED state — never on the torn one, never from
+    // scratch.
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_sketch_crash").toString
+    val (stateH, stateK) = (s"$base/hll", s"$base/kmv")
+    val history = (1 to 40).map(i => ("click", s"user$i"))
+    runStream(stateH, stateK, Seq(history)) // commits v1
+    val committedH = SketchState.read(spark, stateH).get
+      .as[(String, Int, Int)].collect().toSet
+
+    // simulate the kill: v2 exists, half-written (wrong content, no
+    // _SUCCESS even), and NO commit marker
+    val torn = new java.io.File(s"$stateH/v${"0" * 18}2")
+    assert(torn.mkdirs())
+    java.nio.file.Files.writeString(
+      torn.toPath.resolve("part-00000.parquet"), "torn write, not parquet")
+
+    assert(SketchState.read(spark, stateH).get
+      .as[(String, Int, Int)].collect().toSet === committedH,
+      "read() must keep serving the committed version, not the torn one")
+
+    // recovery: the next merge reads v1, overwrites the torn v2, commits
+    val delta = (30 to 70).map(i => ("click", s"user$i"))
+    runStream(stateH, stateK, Seq(delta))
+    val want = HyperLogLog.sketch((history ++ delta).toDF("grp", "item"),
+      col("item"), Seq("grp"), m).as[(String, Int, Int)].collect().toSet
+    assert(SketchState.read(spark, stateH).get
+      .as[(String, Int, Int)].collect().toSet === want,
+      "post-crash merge must equal the from-scratch sketch of history ∪ delta")
+  }
+
+  test("a state directory with foreign content is an error, never empty state") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_sketch_foreign").toString
+    // e.g. the pre-versioned flat layout, or a caller's wrong path
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "part-00000.parquet"), "flat-layout relic")
+    val e = intercept[IllegalArgumentException] {
+      SketchState.read(spark, dir)
+    }
+    assert(e.getMessage.contains("refusing"),
+      s"foreign state dir must surface, got: ${e.getMessage}")
+  }
+
+  test("a crashed FIRST commit reads as empty state (nothing was ever committed)") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_sketch_first").toString + "/hll"
+    val torn = new java.io.File(s"$dir/v${"0" * 18}1")
+    assert(torn.mkdirs())
+    java.nio.file.Files.writeString(
+      torn.toPath.resolve("part-00000.parquet"), "torn first write")
+    assert(SketchState.read(spark, dir).isEmpty,
+      "no marker ever created → no committed state → None")
+    // and the next merge recovers by overwriting the torn v1
+    runStream(dir, s"$dir-kmv", Seq(Seq(("g", "x"), ("g", "y"))))
+    assert(SketchState.read(spark, dir).isDefined)
+  }
+
+  test("GC keeps exactly the last two committed versions") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_sketch_gc").toString
+    val (stateH, stateK) = (s"$base/hll", s"$base/kmv")
+    runStream(stateH, stateK,
+      Seq(Seq(("a", "1")), Seq(("a", "2")), Seq(("a", "3")), Seq(("a", "4"))))
+    val vdirs = new java.io.File(stateH).listFiles()
+      .map(_.getName).filter(_.startsWith("v")).sorted
+    assert(vdirs.length === 2, s"expected 2 live versions, got: ${vdirs.mkString(", ")}")
+    val markers = new java.io.File(stateH, "commits").listFiles()
+      .map(_.getName).filterNot(_.startsWith(".")) // local-FS .crc shadows
+    assert(markers.map(_.toLong).sorted.toSeq === Seq(3L, 4L),
+      s"markers must match the live versions: ${markers.mkString(", ")}")
+  }
+
   test("a key alive only in history survives a delta that lacks it") {
     val base = java.nio.file.Files
       .createTempDirectory("graft_sketch_state2").toString
