@@ -3113,8 +3113,12 @@ object EventQueries {
     // engine may not), winsorized values stay EXACT LONGS (min with
     // an integer cap), so per-arm moments are exact integer sums and
     // the Welch-style z is one fixed double tree at the end. Emits
-    // the capped share per arm beside the test — a >5% clip rate
-    // means the cap, not the treatment, is doing the work.
+    // the capped share per arm beside the test, and GATES the
+    // interpretation rule itself: cap_dominates = clip rate >5% in
+    // EITHER arm means the cap, not the treatment, is doing the work
+    // — the z beside it should not be read. The gate compares in
+    // exact integer space (n_clipped·20 > n), never a float share,
+    // because a 5.000000% rate is reachable whenever n divides by 20.
     QueryDef("q259_winsorized_ab", Some("""
       WITH u AS (SELECT user_id,
                         CAST('0x' || substr(md5('qte:' || user_id), 1, 1)
@@ -3142,7 +3146,8 @@ object EventQueries {
              ROUND(a.s1/a.n, 6) AS wmean_a, ROUND(b.s1/b.n, 6) AS wmean_b,
              ROUND((b.s1/b.n - a.s1/a.n)
                / sqrt(((a.s2 - a.s1*a.s1/a.n)/a.n)/a.n
-                    + ((b.s2 - b.s1*b.s1/b.n)/b.n)/b.n), 6) AS z
+                    + ((b.s2 - b.s1*b.s1/b.n)/b.n)/b.n), 6) AS z,
+             a.n_clipped * 20 > a.n OR b.n_clipped * 20 > b.n AS cap_dominates
       FROM m a JOIN m b ON a.arm = 0 AND b.arm = 1"""),
       (s, dir) => {
         val u = Tables.events(s, dir)
@@ -3182,7 +3187,9 @@ object EventQueries {
             round((col("s1b") / col("n_b") - col("s1a") / col("n_a"))
               / sqrt(((col("s2a") - col("s1a") * col("s1a") / col("n_a")) / col("n_a")) / col("n_a")
                    + ((col("s2b") - col("s1b") * col("s1b") / col("n_b")) / col("n_b")) / col("n_b")), 6)
-              .as("z"))
+              .as("z"),
+            (col("ca") * 20 > col("n_a") || col("cb") * 20 > col("n_b"))
+              .as("cap_dominates"))
       }),
 
     // ---- q263: forecast backtest — the capacity-planning companion

@@ -65,6 +65,33 @@ final case class ChartPoint(event_type: String, d: Long, x: Long, zm: Long,
                             s_pos: Double, s_neg: Double,
                             alarm_up: Boolean, alarm_down: Boolean)
 
+/** One completed day's two-arm enrollment/conversion INCREMENTS
+  * arriving at [[EventStreams.msprtMonitor]]: ne/nc = users whose
+  * FIRST event / first purchase fell on day `d` per arm (the q257
+  * per-user collapse, upstreamed — both firsts are monotone, so the
+  * increments never retro-adjust). `exp` keys concurrent experiments.
+  */
+final case class ArmDay(exp: String, d: Long,
+                        ne_a: Long, nc_a: Long, ne_b: Long, nc_b: Long)
+
+/** Per-experiment mSPRT state: FIVE longs + the running min of 1/Λ
+  * however long the experiment runs (`has_min` distinguishes "no
+  * valid Λ yet" from a genuine minimum — MIN over an all-NULL prefix
+  * is NULL, and p stays 1 there).
+  */
+final case class MsprtState(last_d: Long, n_a: Long, c_a: Long,
+                            n_b: Long, c_b: Long,
+                            min_inv: Double, has_min: Boolean)
+
+/** One scored sequential-test point emitted by
+  * [[EventStreams.msprtMonitor]] — column-compatible with batch
+  * q257's output rows (lambda is null on V = 0 days, like the batch).
+  */
+final case class MsprtPoint(exp: String, d: Long, n_a: Long, c_a: Long,
+                            n_b: Long, c_b: Long, theta: Double,
+                            lambda: Option[Double],
+                            p_always_valid: Double, reject: Boolean)
+
 /** Exact scaled-integer cents of a 2-decimal double, replicating
   * Spark's `round()` (BigDecimal HALF_UP) bit-for-bit — `math.round`
   * is floor(x+0.5), which differs on negative values (refunds:
@@ -720,6 +747,79 @@ object EventStreams {
               state.update(s)
               out.iterator
           }
+      }
+  }
+
+  /** LIVE always-valid inference — batch q257's mSPRT maintained as
+    * bounded per-experiment state over a stream of completed daily
+    * two-arm increments: the continuous-monitoring test run the way
+    * it was designed to be run (Johari et al. KDD'17 — the p-sequence
+    * is valid at EVERY peek, so a dashboard may read it daily without
+    * α-inflation; q219's fixed-horizon z cannot be monitored live).
+    *
+    * The unit of analysis is the USER (q257's discipline — the
+    * upstream producer emits per-day counts of first events / first
+    * purchases per arm, never raw event counts). State per experiment
+    * is five longs + one double however long it runs: cumulative
+    * (n_a, c_a, n_b, c_b), the last scored day, and the running
+    * min of 1/Λ. Each day's θ̂, pooled V, and Λ are the SAME fixed
+    * double trees as the batch query on the same cumulative longs,
+    * and the rounding replicates Spark's `round()` (BigDecimal
+    * HALF_UP), so the streamed p-sequence is bit-identical to batch
+    * q257 on the same increments (StreamingSpec proves it).
+    *
+    * Ordering contract mirrors [[cusumMonitor]]: days score in (d)
+    * order within a micro-batch; a day at or before the last scored
+    * one is late and dropped (a cumulative statistic cannot
+    * retro-adjust). Days before both arms have enrollments update
+    * the cumulative state but emit nothing (n = 0 has no estimator);
+    * V = 0 days emit a null Λ and p holds at the running min.
+    */
+  def msprtMonitor(days: Dataset[ArmDay], tauSq: Double = 1e-2,
+                   alpha: Double = 0.05): Dataset[MsprtPoint] = {
+    val spark = days.sparkSession
+    import spark.implicits._
+    def round6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    days
+      .groupByKey(_.exp)
+      .flatMapGroupsWithState[MsprtState, MsprtPoint](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) {
+        (exp: String, batch: Iterator[ArmDay], state: GroupState[MsprtState]) =>
+          var s = state.getOption.getOrElse(
+            MsprtState(Long.MinValue, 0L, 0L, 0L, 0L, 0.0, has_min = false))
+          val out = scala.collection.mutable.ArrayBuffer.empty[MsprtPoint]
+          batch.toSeq.sortBy(_.d).foreach { day =>
+            if (day.d > s.last_d) {
+              val nA = s.n_a + day.ne_a; val cA = s.c_a + day.nc_a
+              val nB = s.n_b + day.ne_b; val cB = s.c_b + day.nc_b
+              var minInv = s.min_inv; var hasMin = s.has_min
+              if (nA > 0 && nB > 0) {
+                // the batch query's double trees, verbatim
+                val pp = (cA + cB).toDouble / (nA + nB)
+                val theta = cB.toDouble / nB - cA.toDouble / nA
+                val v = pp * (1.0 - pp) * (1.0 / nA + 1.0 / nB)
+                val lambda: Option[Double] =
+                  if (v > 0.0)
+                    Some(math.sqrt(v / (v + tauSq))
+                      * math.exp(theta * theta * tauSq
+                        / (2.0 * v * (v + tauSq))))
+                  else None
+                lambda.foreach { l =>
+                  val inv = 1.0 / l
+                  if (!hasMin || inv < minInv) { minInv = inv; hasMin = true }
+                }
+                val p = if (hasMin) math.min(1.0, minInv) else 1.0
+                out += MsprtPoint(exp, day.d, nA, cA, nB, cB,
+                  round6(theta), lambda.map(round6),
+                  round6(p), p < alpha)
+              }
+              s = MsprtState(day.d, nA, cA, nB, cB, minInv, hasMin)
+            }
+          }
+          state.update(s)
+          out.iterator
       }
   }
 }

@@ -1154,6 +1154,80 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("live mSPRT monitor equals the oracle-checked q257 p-sequence bit-for-bit") {
+    implicit val ctx = spark.sqlContext
+    val dir = sf("sf0.001")
+    // derive the per-day two-arm increments INDEPENDENTLY of the q257
+    // code path: per-user firsts driver-side, then day histograms over
+    // the zero-filled calendar grid
+    val users = Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(min(expr("ts_us div 86400000000")).as("fe"),
+        min(when(col("event_type") === "purchase",
+          expr("ts_us div 86400000000"))).as("fp"))
+      .select((conv(substring(md5(concat(lit("ms:"), col("user_id"))), 1, 1),
+          16, 10).cast("long") % 2).as("arm"), col("fe"), col("fp"))
+      .as[(Long, Long, Option[Long])].collect()
+    val dom = Tables.events(spark, dir)
+      .select(expr("ts_us div 86400000000").as("d"))
+      .distinct().as[Long].collect().sorted
+    val feed = dom.map { d =>
+      graft.streaming.ArmDay("expA", d,
+        ne_a = users.count(u => u._1 == 0 && u._2 == d),
+        nc_a = users.count(u => u._1 == 0 && u._3.contains(d)),
+        ne_b = users.count(u => u._1 == 1 && u._2 == d),
+        nc_b = users.count(u => u._1 == 1 && u._3.contains(d)))
+    }
+    val input = MemoryStream[graft.streaming.ArmDay]
+    val q = EventStreams.msprtMonitor(input.toDS())
+      .writeStream.format("memory").queryName("msprt")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      // two micro-batches so the cumulative state provably carries over
+      val (h1, h2) = feed.splitAt(feed.length / 2)
+      input.addData(h1: _*); q.processAllAvailable()
+      input.addData(h2: _*); q.processAllAvailable()
+      val streamed = spark.table("msprt")
+        .select("d", "n_a", "c_a", "n_b", "c_b", "theta", "lambda",
+          "p_always_valid", "reject")
+        .collect().map(_.toSeq).toSet
+      val batch = SparkEntry.queries("q257_msprt")(spark, dir)
+        .collect().map(_.toSeq).toSet
+      assert(streamed === batch,
+        "streamed always-valid p-sequence must equal batch q257")
+    } finally q.stop()
+  }
+
+  test("mSPRT monitor drops late days; p-sequence never rises") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[graft.streaming.ArmDay]
+    val q = EventStreams.msprtMonitor(input.toDS())
+      .writeStream.format("memory").queryName("msprt_late")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData(
+        graft.streaming.ArmDay("e", 1L, 50L, 5L, 50L, 20L),
+        graft.streaming.ArmDay("e", 2L, 50L, 5L, 50L, 20L))
+      q.processAllAvailable()
+      input.addData(
+        graft.streaming.ArmDay("e", 2L, 999L, 999L, 999L, 999L), // late → dropped
+        graft.streaming.ArmDay("e", 3L, 50L, 5L, 50L, 20L))
+      q.processAllAvailable()
+      val got = spark.table("msprt_late")
+        .as[graft.streaming.MsprtPoint].collect().sortBy(_.d)
+      assert(got.map(_.d).toSeq === Seq(1L, 2L, 3L), "late day must be dropped")
+      assert(got.map(_.n_a).toSeq === Seq(50L, 100L, 150L),
+        "cumulative counts must ignore the late replay")
+      // always-valid p is a running min: monotone non-increasing
+      assert(got.map(_.p_always_valid).sliding(2).forall(w => w(1) <= w(0)),
+        s"p-sequence rose: ${got.map(_.p_always_valid).toSeq}")
+      // a strong persistent effect should eventually reject
+      assert(got.last.reject, s"expected rejection, p=${got.last.p_always_valid}")
+    } finally q.stop()
+  }
+
   test("CUSUM monitor drops late days and unknown types") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[graft.streaming.DailyCount]
