@@ -1,0 +1,100 @@
+package graft.ann
+
+import graft.operators.VersionedState
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Durable, INCREMENTALLY-maintained PQ code table — [[IvfIndex]]'s
+  * sibling for the product-quantization half of the IVF-PQ serving
+  * stack: codebooks train rarely (a base build); between retrains,
+  * each ingest batch ENCODES ONLY ITS OWN vectors against the frozen
+  * codebooks and appends a code segment. History codes are read back,
+  * never re-encoded — at 100 TB the code table is the corpus-sized
+  * artifact and re-encoding it per batch is exactly the
+  * rebuild-from-scratch shape q225/q266 exist to retire.
+  *
+  * Same [[graft.operators.VersionedState]] layout and crash story as
+  * IvfIndex: every version is an atomic (codebooks, code-segment)
+  * pair labeled base/delta; the live index is the latest codebooks +
+  * the union of segments since the latest base; a torn commit is
+  * invisible and overwritten by the next attempt. Encoding is
+  * pointwise (a vector's codes depend only on the frozen codebooks),
+  * so maintained ∪ delta ≡ re-encoding everything — q267 gates that
+  * drift at exactly 0, plus quantization-error and ADC-recall audits
+  * against a full codebook retrain. Segment append is NOT idempotent
+  * (exactly-once delta delivery is the caller's contract —
+  * PqIndexSpec pins the duplicate-on-replay behavior).
+  *
+  * Stored segment schema: (id, sub, code, d2) — d2, the exact
+  * sub-quantization error at encode time, rides along as the audit
+  * column the fit gate reads without re-joining raw vectors.
+  */
+object PqIndex {
+
+  /** Full (re)build: train per-subspace codebooks on `emb`
+    * ([[Pq.trainCodebooks]] — deterministic from `seedPred` seeds),
+    * encode every vector against the codebooks READ BACK from the
+    * freshly written version, and commit the pair as a BASE version
+    * (prior versions GC'd — their segments encode against superseded
+    * codebooks).
+    */
+  def build(emb: DataFrame, idCol: String, vecCol: String, m: Int,
+            seedPred: org.apache.spark.sql.Column, iters: Int,
+            stateDir: String): Long = {
+    val spark = emb.sparkSession
+    val cb = Pq.trainCodebooks(emb, idCol, vecCol, m, seedPred, iters)
+    val prev = VersionedState.currentVersion(spark, stateDir)
+    val next = prev.getOrElse(0L) + 1L
+    VersionedState.commit(spark, stateDir, prev, label = "base",
+      gcBelow = next) { vdir =>
+      cb.write.mode("overwrite").parquet(s"$vdir/codebooks")
+      val stored = spark.read.parquet(s"$vdir/codebooks")
+      Pq.assign(Pq.subvectors(emb, idCol, vecCol, m), stored)
+        .write.mode("overwrite").parquet(s"$vdir/segment")
+    }
+  }
+
+  /** Incremental refresh: encode ONLY `delta` against the stored
+    * (frozen) codebooks — m is recovered from the codebook table
+    * itself, so refresh callers cannot desynchronize the dial — and
+    * commit (same codebooks, delta segment) as a DELTA version.
+    */
+  def refresh(delta: DataFrame, idCol: String, vecCol: String,
+              stateDir: String): Long = {
+    val spark = delta.sparkSession
+    val prev = VersionedState.currentVersion(spark, stateDir)
+    require(prev.nonEmpty,
+      s"no committed index at $stateDir — run build() before refresh()")
+    val stored = spark.read.parquet(
+      s"${VersionedState.versionPath(stateDir, prev.get)}/codebooks")
+    // bounded collect: the codebook table is m·k rows by construction
+    val m = stored.agg(max("sub")).head().getInt(0) + 1
+    VersionedState.commit(spark, stateDir, prev, label = "delta") { vdir =>
+      stored.write.mode("overwrite").parquet(s"$vdir/codebooks")
+      Pq.assign(Pq.subvectors(delta, idCol, vecCol, m),
+          spark.read.parquet(s"$vdir/codebooks"))
+        .write.mode("overwrite").parquet(s"$vdir/segment")
+    }
+  }
+
+  /** The live codebook table, or None before the first build. */
+  def codebooks(spark: SparkSession, stateDir: String): Option[DataFrame] =
+    VersionedState.currentVersion(spark, stateDir).map { n =>
+      spark.read.parquet(s"${VersionedState.versionPath(stateDir, n)}/codebooks")
+    }
+
+  /** The live code table — the union of every segment from the latest
+    * BASE version onward (all encoded against the same frozen
+    * codebooks, by the commit pairing).
+    */
+  def codes(spark: SparkSession, stateDir: String): Option[DataFrame] = {
+    val cs = VersionedState.committed(spark, stateDir)
+    if (cs.isEmpty) return None
+    val lastBase = cs.filter(_._2 == "base").map(_._1).maxOption.getOrElse(
+      throw new IllegalStateException(
+        s"$stateDir has committed versions but no base — corrupt index state"))
+    val segs = cs.map(_._1).filter(_ >= lastBase)
+      .map(n => s"${VersionedState.versionPath(stateDir, n)}/segment")
+    Some(spark.read.parquet(segs: _*))
+  }
+}

@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Versioned atomic commits for durable on-disk state — the commit
+  * protocol shared by the sketch-maintenance state tables
+  * ([[graft.streaming.SketchState]]) and the incrementally-maintained
+  * ANN index ([[graft.ann.IvfIndex]]).
+  *
+  * Layout under a state directory:
+  *
+  * {{{
+  * stateDir/
+  *   v0000000000000000001/   ← one version's payload (whatever the
+  *   v0000000000000000002/     caller's writer put there — a parquet
+  *                              table, or several under subdirs)
+  *   commits/1  commits/2    ← commit markers; marker CREATION is the
+  *                              commit point (atomic create on HDFS; a
+  *                              single PUT on object stores). Marker
+  *                              BYTES carry a small caller label.
+  * }}}
+  *
+  * A commit writes the payload into the FRESH directory v(prev+1) and
+  * only then creates `commits/(prev+1)` — never an in-place overwrite
+  * of a directory a reader may be scanning. A crash anywhere before
+  * the marker leaves the previous version as the committed state; the
+  * half-written next version is invisible to readers and simply
+  * overwritten by the next attempt. All paths resolve through Hadoop
+  * `FileSystem` from the session's `hadoopConfiguration` — local,
+  * HDFS, or object store alike.
+  *
+  * Single-writer discipline is assumed (one maintainer per state
+  * directory); a concurrent second writer is surfaced by the marker's
+  * create-exclusive failing, not silently merged.
+  */
+object VersionedState {
+
+  private def fsOf(spark: SparkSession, dir: String): (FileSystem, Path) = {
+    val p = new Path(dir)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  /** The on-disk directory of version `n` under `stateDir`. */
+  def versionPath(stateDir: String, n: Long): String =
+    new Path(new Path(stateDir), f"v$n%019d").toString
+
+  /** All committed (version, label) pairs, ascending by version —
+    * empty if no commit ever succeeded. A state directory that exists
+    * but holds anything OTHER than this module's layout (version dirs
+    * + commit log) is an error to surface — e.g. a flat parquet table
+    * from a pre-versioned layout, or a caller pointing at the wrong
+    * path — never silently treated as empty state. Version dirs
+    * without any marker are a crashed FIRST commit: there was no
+    * committed state to lose, so empty is the truth.
+    */
+  def committed(spark: SparkSession, stateDir: String): Seq[(Long, String)] = {
+    val (fs, root) = fsOf(spark, stateDir)
+    if (!fs.exists(root)) return Nil
+    val foreign = fs.listStatus(root).map(_.getPath.getName).filterNot { n =>
+      n == "commits" || (n.startsWith("v") && n.drop(1).forall(_.isDigit))
+    }
+    require(foreign.isEmpty,
+      s"$stateDir exists but is not a versioned-state directory " +
+        s"(unexpected entries: ${foreign.sorted.mkString(", ")}) — refusing " +
+        "to treat it as empty state")
+    val commits = new Path(root, "commits")
+    if (!fs.exists(commits)) return Nil
+    fs.listStatus(commits).toSeq
+      .flatMap { st =>
+        st.getPath.getName.toLongOption.map { n =>
+          val in = fs.open(st.getPath)
+          val label =
+            try {
+              val buf = new Array[Byte](math.min(st.getLen, 256L).toInt)
+              var off = 0
+              var r = 0
+              while (off < buf.length && r >= 0) {
+                r = in.read(buf, off, buf.length - off)
+                if (r > 0) off += r
+              }
+              new String(buf, 0, off, java.nio.charset.StandardCharsets.UTF_8)
+            } finally in.close()
+          (n, label)
+        }
+      }
+      .sortBy(_._1)
+  }
+
+  /** Highest committed version, or None before the first commit. */
+  def currentVersion(spark: SparkSession, stateDir: String): Option[Long] =
+    committed(spark, stateDir).lastOption.map(_._1)
+
+  /** Write version prev+1 via `write` (handed the fresh version
+    * directory) and atomically commit it with `label` in the marker;
+    * then delete committed versions strictly below `gcBelow` (marker
+    * and payload). Returns the committed version number.
+    */
+  def commit(spark: SparkSession, stateDir: String, prev: Option[Long],
+             label: String = "", gcBelow: Long = Long.MinValue)
+            (write: String => Unit): Long = {
+    val (fs, root) = fsOf(spark, stateDir)
+    val next = prev.getOrElse(0L) + 1L
+    // the writer targets a fresh dir; a half-written leftover of a
+    // crashed attempt at this same (uncommitted) version is cleared
+    // first — it was never committed, nothing is lost
+    val vdir = new Path(versionPath(stateDir, next))
+    if (fs.exists(vdir)) fs.delete(vdir, true)
+    write(vdir.toString)
+    val commits = new Path(root, "commits")
+    fs.mkdirs(commits)
+    // create-exclusive IS the commit point; an existing marker means a
+    // second writer committed this version — surface, don't clobber
+    val out = fs.create(new Path(commits, next.toString), false)
+    try out.write(label.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    for ((old, _) <- committed(spark, stateDir) if old < gcBelow && old != next) {
+      fs.delete(new Path(commits, old.toString), false)
+      fs.delete(new Path(versionPath(stateDir, old)), true)
+    }
+    next
+  }
+}

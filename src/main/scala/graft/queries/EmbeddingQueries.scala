@@ -111,28 +111,32 @@ object EmbeddingQueries {
   }
 
   /** One unrolled Lloyd iteration as DuckDB CTEs: cosine-assign every
-    * vector to its nearest centroid from CTE `cin`, then rebuild each
-    * centroid as the per-dimension mean CAST TO FLOAT (the float cast
-    * collapses summation-order noise, so both engines hand iteration n+1
+    * vector of `corpus` (a CTE with vec_id, embedding, nrm) to its
+    * nearest centroid from CTE `cin`, then rebuild each centroid as
+    * the per-dimension mean CAST TO FLOAT (the float cast collapses
+    * summation-order noise, so both engines hand iteration n+1
     * bit-identical centroids — what makes a 2-iteration oracle exact).
+    * `p` prefixes the CTE names so several training chains can ride
+    * one query (q266 trains on history AND on the full corpus).
     */
-  private def lloydIterationCte(n: Int, cin: String): String = s"""
-      cn$n AS (SELECT centroid_id, cvec, ${sqlNorm("cvec")} AS cnrm FROM $cin
+  private def lloydIterationCte(n: Int, cin: String,
+                                corpus: String = "e", p: String = ""): String = s"""
+      ${p}cn$n AS (SELECT centroid_id, cvec, ${sqlNorm("cvec")} AS cnrm FROM $cin
                WHERE ${sqlNorm("cvec")} > 0),
-      s$n AS (SELECT e.vec_id, e.embedding, cn$n.centroid_id,
-                     ${sqlDot("e.embedding", s"cn$n.cvec")} / (e.nrm * cn$n.cnrm) AS cs
-              FROM e CROSS JOIN cn$n),
-      a$n AS (SELECT vec_id, embedding, centroid_id FROM
+      ${p}s$n AS (SELECT c_.vec_id, c_.embedding, ${p}cn$n.centroid_id,
+                     ${sqlDot("c_.embedding", s"${p}cn$n.cvec")} / (c_.nrm * ${p}cn$n.cnrm) AS cs
+              FROM $corpus c_ CROSS JOIN ${p}cn$n),
+      ${p}a$n AS (SELECT vec_id, embedding, centroid_id FROM
                 (SELECT vec_id, embedding, centroid_id,
                         ROW_NUMBER() OVER (PARTITION BY vec_id
                                            ORDER BY cs DESC, centroid_id) AS rk
-                 FROM s$n) WHERE rk = 1),
-      ex$n AS (SELECT centroid_id, unnest(embedding) AS v,
-                      unnest(range(0, len(embedding))) AS dim FROM a$n),
-      m$n AS (SELECT centroid_id, dim, AVG(CAST(v AS DOUBLE)) AS m FROM ex$n GROUP BY 1, 2),
-      c$n AS (SELECT centroid_id,
+                 FROM ${p}s$n) WHERE rk = 1),
+      ${p}ex$n AS (SELECT centroid_id, unnest(embedding) AS v,
+                      unnest(range(0, len(embedding))) AS dim FROM ${p}a$n),
+      ${p}m$n AS (SELECT centroid_id, dim, AVG(CAST(v AS DOUBLE)) AS m FROM ${p}ex$n GROUP BY 1, 2),
+      ${p}c$n AS (SELECT centroid_id,
                      list_transform(list(m ORDER BY dim), x -> CAST(x AS FLOAT)) AS cvec
-              FROM m$n GROUP BY centroid_id)"""
+              FROM ${p}m$n GROUP BY centroid_id)"""
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -2253,8 +2257,387 @@ object EmbeddingQueries {
                 + coalesce(lit(1.0) / (lit(60) + col("sem_rank")), lit(0.0)), 6)
               .as("rrf"))
           .orderBy(col("rrf").desc, col("doc_id"))
+      }),
+
+    // ---- q266: INCREMENTAL ANN index maintenance — q225's
+    // merge ≡ rebuild contract on the last rebuild-from-scratch
+    // family: a durable IVF index (graft.ann.IvfIndex — centroids +
+    // assignment segments under atomic versioned commits) is BUILT on
+    // the history (vec_id % 5 ≠ 4), committed to disk, then REFRESHED
+    // from the 20% delta alone — one broadcast-join routing pass over
+    // the delta; the history segments are read back off disk, never
+    // re-routed. Three gates a 100 TB index owner needs before
+    // trusting the refresh: (1) drift ≡ 0 — the maintained union must
+    // equal a one-shot re-route of everything under the same frozen
+    // centroids (assignment is pointwise, so any nonzero drift means
+    // state corruption, not approximation); (2) fit_ok — mean
+    // assigned cosine of the maintained index within 0.05 of a full
+    // Lloyd retrain, compared in exact micro-scaled integer space
+    // (per-row round(cs·1e6) sums — order-free, engine-identical);
+    // (3) recall_ok — IVF recall@5 (nprobe 2, bounded 10-query set)
+    // within 0.2 of the rebuilt index, compared as exact integers
+    // (5·hits — never a float share). When fit or recall trips, the
+    // answer is a periodic IvfIndex.build, not per-batch retraining.
+    // Scale shape: training/routing are broadcast-codebook passes +
+    // mergeable max-struct argmins (no corpus window anywhere);
+    // searches touch probed buckets only; the exact brute-force truth
+    // rides the bounded query slice. IvfIndexSpec covers the restart/
+    // torn-commit/replay semantics the oracle can't see.
+    QueryDef("q266_ivf_maintain", Some({
+      def assignCte(p: String, scn: String, corpus: String): String = s"""
+      ${p}asg AS (SELECT vec_id, centroid_id, cs FROM (
+               SELECT vec_id, centroid_id, cs,
+                      ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY cs DESC, centroid_id) AS rk
+               FROM (SELECT c_.vec_id, x.centroid_id,
+                            ${sqlDot("c_.embedding", "x.cvec")} / (c_.nrm * x.cnrm) AS cs
+                     FROM $corpus c_ CROSS JOIN $scn x))
+             WHERE rk = 1)"""
+      def searchCte(p: String, asg: String, scn: String): String = s"""
+      ${p}pr AS (SELECT vec_id AS q_id, centroid_id FROM (
+               SELECT vec_id, centroid_id,
+                      ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY cs DESC, centroid_id) AS rk
+               FROM (SELECT q_.vec_id, x.centroid_id,
+                            ${sqlDot("q_.embedding", "x.cvec")} / (q_.nrm * x.cnrm) AS cs
+                     FROM (SELECT * FROM e WHERE vec_id < 10) q_
+                          CROSS JOIN $scn x))
+             WHERE rk <= 2),
+      ${p}sim AS (SELECT c.q_id, a.vec_id AS cand_id,
+                     ${sqlDot("q2.embedding", "x2.embedding")} / (q2.nrm * x2.nrm) AS s
+              FROM ${p}pr c JOIN $asg a ON a.centroid_id = c.centroid_id
+                   JOIN e q2 ON q2.vec_id = c.q_id
+                   JOIN e x2 ON x2.vec_id = a.vec_id
+              WHERE a.vec_id <> c.q_id),
+      ${p}top AS (SELECT q_id, cand_id FROM (
+               SELECT q_id, cand_id,
+                      ROW_NUMBER() OVER (PARTITION BY q_id
+                                         ORDER BY s DESC, cand_id) AS rk
+               FROM ${p}sim) WHERE rk <= 5)"""
+      s"""
+      WITH e AS (SELECT vec_id, embedding, ${sqlNorm("embedding")} AS nrm
+                 FROM embeddings WHERE ${sqlNorm("embedding")} > 0),
+      eh AS (SELECT * FROM e WHERE vec_id % 5 <> 4),
+      ed AS (SELECT * FROM e WHERE vec_id % 5 = 4),
+      hc0 AS (SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings
+              WHERE vec_id % 50 = 0 AND vec_id % 5 <> 4),
+      ${lloydIterationCte(1, "hc0", "eh", "h")},
+      ${lloydIterationCte(2, "hc1", "eh", "h")},
+      rc0 AS (SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings
+              WHERE vec_id % 50 = 0),
+      ${lloydIterationCte(1, "rc0", "e", "r")},
+      ${lloydIterationCte(2, "rc1", "e", "r")},
+      hscn AS (SELECT centroid_id, cvec, ${sqlNorm("cvec")} AS cnrm FROM hc2
+               WHERE ${sqlNorm("cvec")} > 0),
+      rscn AS (SELECT centroid_id, cvec, ${sqlNorm("cvec")} AS cnrm FROM rc2
+               WHERE ${sqlNorm("cvec")} > 0),
+      ${assignCte("mh", "hscn", "eh")},
+      ${assignCte("md", "hscn", "ed")},
+      inc AS MATERIALIZED (SELECT * FROM mhasg UNION ALL SELECT * FROM mdasg),
+      ${assignCte("fr", "hscn", "e")},
+      ${assignCte("rb", "rscn", "e")},
+      drift AS (SELECT CAST(COUNT(*) FILTER (WHERE i.vec_id IS NULL
+                       OR f.vec_id IS NULL
+                       OR i.centroid_id <> f.centroid_id) AS BIGINT) AS drift
+                FROM inc i FULL OUTER JOIN frasg f ON f.vec_id = i.vec_id),
+      qs AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                    CAST(SUM(CASE WHEN vec_id % 5 <> 4 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_history,
+                    CAST(SUM(CAST(ROUND(cs*1000000) AS BIGINT)) AS BIGINT) AS s_inc
+             FROM inc),
+      qr AS (SELECT CAST(SUM(CAST(ROUND(cs*1000000) AS BIGINT)) AS BIGINT) AS s_reb
+             FROM rbasg),
+      ${searchCte("si", "inc", "hscn")},
+      ${searchCte("sr", "rbasg", "rscn")},
+      bfp AS (SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+                     ${sqlDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS s
+              FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+      bf AS MATERIALIZED (SELECT q_id, cand_id FROM (
+              SELECT q_id, cand_id,
+                     ROW_NUMBER() OVER (PARTITION BY q_id
+                                        ORDER BY s DESC, cand_id) AS rk
+              FROM bfp) WHERE rk <= 5)
+      SELECT q1.n AS n_vectors, q1.n_history,
+             q1.n - q1.n_history AS n_delta,
+             d.drift, d.drift = 0 AS drift_ok,
+             ROUND(CAST(q1.s_inc AS DOUBLE)/1000000.0/q1.n, 6) AS mqs_maintained,
+             ROUND(CAST(q2.s_reb AS DOUBLE)/1000000.0/q1.n, 6) AS mqs_rebuilt,
+             q2.s_reb - q1.s_inc <= 50000 * q1.n AS fit_ok,
+             hm.n AS hits_maintained, hr.n AS hits_rebuilt, nb.n AS n_brute,
+             ROUND(CAST(hm.n AS DOUBLE)/nb.n, 6) AS recall_maintained,
+             ROUND(CAST(hr.n AS DOUBLE)/nb.n, 6) AS recall_rebuilt,
+             hm.n * 5 >= hr.n * 5 - nb.n AS recall_ok
+      FROM qs q1, qr q2, drift d,
+           (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM sitop
+            JOIN bf USING (q_id, cand_id)) hm,
+           (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM srtop
+            JOIN bf USING (q_id, cand_id)) hr,
+           (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM bf) nb"""
+    }),
+      (s, dir) => {
+        import graft.ann.IvfIndex
+        import org.apache.spark.sql.expressions.Window
+        val emb = Tables.read(s, dir, "embeddings")
+        val hist = emb.where(col("vec_id") % 5 =!= 4)
+        val delta = emb.where(col("vec_id") % 5 === 4)
+        // fresh state dir per execution: bench reps and repeated verify
+        // runs must each exercise the full build→refresh cycle, not
+        // append segments to a previous run's state
+        val stDir = s"${System.getProperty("java.io.tmpdir")}/graft_q266_" +
+          dir.replaceAll("[^A-Za-z0-9._-]", "_") +
+          "_p" + ProcessHandle.current.pid + "_" + q266Runs.incrementAndGet()
+        EventQueries.cleanupOnExit(stDir)
+        // stored index: trained + routed on HISTORY, committed
+        IvfIndex.build(hist, "vec_id", "embedding",
+          col("vec_id") % 50 === 0, iters = 2, stDir)
+        // incremental refresh: ONLY the delta routed, off the disk state
+        IvfIndex.refresh(delta, "vec_id", "embedding", stDir)
+        val cents = IvfIndex.centroids(s, stDir).get.localCheckpoint()
+        val inc = IvfIndex.assignments(s, stDir).get.localCheckpoint()
+        // gate 1: one-shot re-route under the same frozen centroids
+        val full = IvfIndex.assignTo(emb, "vec_id", "embedding", cents)
+        val drift = inc.select(col("id"), col("centroid_id").as("ci"))
+          .join(full.select(col("id"), col("centroid_id").as("cf")),
+            Seq("id"), "full_outer")
+          .agg(sum(when(col("ci").isNull || col("cf").isNull
+              || col("ci") =!= col("cf"), 1L).otherwise(0L)).as("drift"))
+        // retrain audit: full Lloyd rebuild over history ∪ delta
+        val centsReb = Knn.kmeansCentroids(emb, "vec_id", "embedding",
+            col("vec_id") % 50 === 0, iters = 2).localCheckpoint()
+        val reb = IvfIndex.assignTo(emb, "vec_id", "embedding", centsReb)
+          .localCheckpoint() // fit sum + rebuilt search read it
+        val qs = inc.agg(count(lit(1)).as("n"),
+          sum(when(col("id") % 5 =!= 4, 1L).otherwise(0L)).as("n_history"),
+          sum(round(col("cs") * 1000000).cast("long")).as("s_inc"))
+        val qr = reb.agg(
+          sum(round(col("cs") * 1000000).cast("long")).as("s_reb"))
+        // IVF search (nprobe 2, k 5) over an (assignments, centroids) pair
+        def search(asg: org.apache.spark.sql.DataFrame,
+                   cts: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+          val ee = emb.select(col("vec_id"), col("embedding"),
+              Knn.l2norm(col("embedding")).as("nrm"))
+            .where(col("nrm") > 0)
+          val cn = cts.select(col("centroid_id"), col("cent_vec"),
+              Knn.l2norm(col("cent_vec")).as("cnrm"))
+            .where(col("cnrm") > 0)
+          val wp = Window.partitionBy("q_id")
+            .orderBy(col("cs").desc, col("centroid_id"))
+          val probes = ee.where(col("vec_id") < 10).crossJoin(broadcast(cn))
+            .select(col("vec_id").as("q_id"), col("centroid_id"),
+              (Knn.dot(col("embedding"), col("cent_vec"))
+                / (col("nrm") * col("cnrm"))).as("cs"))
+            .withColumn("rk", row_number().over(wp)).where(col("rk") <= 2)
+            .select("q_id", "centroid_id")
+          val cand = probes
+            .join(asg.select(col("id").as("cand_id"), col("centroid_id")),
+              Seq("centroid_id"))
+            .where(col("cand_id") =!= col("q_id"))
+          val sims = cand
+            .join(ee.select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+              col("nrm").as("qn")), "q_id")
+            .join(ee.select(col("vec_id").as("cand_id"), col("embedding").as("cv"),
+              col("nrm").as("cn2")), "cand_id")
+            .select(col("q_id"), col("cand_id"),
+              (Knn.dot(col("qv"), col("cv")) / (col("qn") * col("cn2"))).as("sim"))
+          val wk = Window.partitionBy("q_id")
+            .orderBy(col("sim").desc, col("cand_id"))
+          sims.withColumn("rk", row_number().over(wk)).where(col("rk") <= 5)
+            .select("q_id", "cand_id")
+        }
+        val bf = Knn.cosineKnn(emb, "vec_id", "embedding", col("vec_id") < 10, 5)
+          .select("q_id", "cand_id").localCheckpoint() // 2 hit joins read it
+        val hm = search(inc, cents).join(bf, Seq("q_id", "cand_id"))
+          .agg(count(lit(1)).as("hits_maintained"))
+        val hr = search(reb, centsReb).join(bf, Seq("q_id", "cand_id"))
+          .agg(count(lit(1)).as("hits_rebuilt"))
+        val nb = bf.agg(count(lit(1)).as("n_brute"))
+        qs.crossJoin(qr).crossJoin(drift)
+          .crossJoin(hm).crossJoin(hr).crossJoin(nb)
+          .select(col("n").as("n_vectors"), col("n_history"),
+            (col("n") - col("n_history")).as("n_delta"),
+            col("drift"), (col("drift") === 0).as("drift_ok"),
+            round(col("s_inc").cast("double") / lit(1000000.0) / col("n"), 6)
+              .as("mqs_maintained"),
+            round(col("s_reb").cast("double") / lit(1000000.0) / col("n"), 6)
+              .as("mqs_rebuilt"),
+            (col("s_reb") - col("s_inc") <= lit(50000L) * col("n")).as("fit_ok"),
+            col("hits_maintained"), col("hits_rebuilt"), col("n_brute"),
+            round(col("hits_maintained").cast("double") / col("n_brute"), 6)
+              .as("recall_maintained"),
+            round(col("hits_rebuilt").cast("double") / col("n_brute"), 6)
+              .as("recall_rebuilt"),
+            (col("hits_maintained") * 5 >= col("hits_rebuilt") * 5 - col("n_brute"))
+              .as("recall_ok"))
+      }),
+
+    // ---- q267: incremental PQ code-table maintenance — q266's
+    // sibling for the product-quantization half of the IVF-PQ stack
+    // (graft.ann.PqIndex): codebooks train on the history (13 seeds —
+    // ids 4/9/14 of the id<16 seed set live in the delta), the code
+    // table commits, and the refresh ENCODES ONLY THE DELTA against
+    // the frozen codebooks read back off disk — at 100 TB the code
+    // table is the corpus-sized artifact, and re-encoding it per
+    // batch is the rebuild-from-scratch shape this family retires.
+    // Gates: (1) drift ≡ 0 — maintained ∪ delta codes vs a full
+    // re-encode under the same codebooks (encoding is pointwise);
+    // (2) fit_ok — total quantization error within 1.25× of a full
+    // retrain (which seeds 16 codes incl. the delta-era ids, so it
+    // strictly has more resolution), compared as exact micro-scaled
+    // integers 4·s_maintained ≤ 5·s_rebuilt; (3) recall_ok — ADC
+    // recall@5 vs the exact L2 truth within 0.2 of the rebuilt
+    // index's, as exact 5·hits integers. PqIndexSpec covers restart/
+    // replay/GC semantics the oracle can't see.
+    QueryDef("q267_pq_maintain", Some({
+      def encCte(p: String, cb: String, src: String): String = s"""
+      ${p}enc AS (SELECT id, sub, code, d2 FROM (
+            SELECT s.id, s.sub, c.code, ${pqSqd("s.sv", "c.cvec")} AS d2,
+                   ROW_NUMBER() OVER (PARTITION BY s.id, s.sub
+                     ORDER BY ${pqSqd("s.sv", "c.cvec")}, c.code) AS rk
+            FROM $src s JOIN $cb c ON c.sub = s.sub) WHERE rk = 1)"""
+      def adcCte(p: String, enc: String, cb: String): String = s"""
+      ${p}dt AS (SELECT q.id AS q_id, q.sub, c.code,
+                        ${pqSqd("q.sv", "c.cvec")} AS d2
+             FROM (SELECT * FROM sv WHERE id < 10) q
+                  JOIN $cb c ON c.sub = q.sub),
+      ${p}tm AS (SELECT d.q_id, k.id, d.sub, d.d2
+             FROM $enc k JOIN ${p}dt d ON d.sub = k.sub AND d.code = k.code
+             WHERE k.id <> d.q_id),
+      ${p}tot AS (SELECT q_id, id,
+                MAX(CASE WHEN sub = 0 THEN d2 END)
+                + MAX(CASE WHEN sub = 1 THEN d2 END)
+                + MAX(CASE WHEN sub = 2 THEN d2 END)
+                + MAX(CASE WHEN sub = 3 THEN d2 END) AS adc_d2
+              FROM ${p}tm GROUP BY q_id, id),
+      ${p}top AS (SELECT q_id, cand_id FROM (
+            SELECT q_id, id AS cand_id,
+                   ROW_NUMBER() OVER (PARTITION BY q_id
+                     ORDER BY adc_d2, id) AS rk
+            FROM ${p}tot) WHERE rk <= 5)"""
+      s"""
+      WITH ${pqSvCte()},
+      svh AS (SELECT * FROM sv WHERE id % 5 <> 4),
+      svd AS (SELECT * FROM sv WHERE id % 5 = 4),
+      hc0 AS (SELECT sub, id AS code, sv AS cvec FROM sv
+              WHERE id < 16 AND id % 5 <> 4),
+      ${pqLloydCte(1, "hc0", "svh", "h")},
+      ${pqLloydCte(2, "hc1", "svh", "h")},
+      rc0 AS (SELECT sub, id AS code, sv AS cvec FROM sv WHERE id < 16),
+      ${pqLloydCte(1, "rc0", "sv", "r")},
+      ${pqLloydCte(2, "rc1", "sv", "r")},
+      ${encCte("mh", "hc2", "svh")},
+      ${encCte("md", "hc2", "svd")},
+      inc AS MATERIALIZED (SELECT * FROM mhenc UNION ALL SELECT * FROM mdenc),
+      ${encCte("fr", "hc2", "sv")},
+      ${encCte("rb", "rc2", "sv")},
+      drift AS (SELECT CAST(COUNT(*) FILTER (WHERE i.id IS NULL
+                       OR f.id IS NULL OR i.code <> f.code) AS BIGINT) AS drift
+                FROM inc i FULL OUTER JOIN frenc f
+                  ON f.id = i.id AND f.sub = i.sub),
+      qs AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                    CAST(SUM(CAST(ROUND(d2*1000000) AS BIGINT)) AS BIGINT) AS s_inc
+             FROM inc),
+      qr AS (SELECT CAST(SUM(CAST(ROUND(d2*1000000) AS BIGINT)) AS BIGINT) AS s_reb
+             FROM rbenc),
+      ${adcCte("si", "inc", "hc2")},
+      ${adcCte("sr", "rbenc", "rc2")},
+      exr AS MATERIALIZED (SELECT q_id, cand_id FROM (
+            SELECT qf.vec_id AS q_id, c.vec_id AS cand_id,
+                   ROW_NUMBER() OVER (PARTITION BY qf.vec_id
+                     ORDER BY ${pqSqd("qf.embedding", "c.embedding")}, c.vec_id) AS rk
+            FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10) qf
+                 JOIN embeddings c ON c.vec_id <> qf.vec_id) WHERE rk <= 5)
+      SELECT (SELECT CAST(COUNT(DISTINCT id) AS BIGINT) FROM sv) AS n_vectors,
+             (SELECT CAST(COUNT(DISTINCT id) AS BIGINT) FROM svh) AS n_history,
+             (SELECT CAST(COUNT(DISTINCT id) AS BIGINT) FROM svd) AS n_delta,
+             d.drift, d.drift = 0 AS drift_ok,
+             ROUND(CAST(q1.s_inc AS DOUBLE)/1000000.0/q1.n, 6) AS mqe_maintained,
+             ROUND(CAST(q2.s_reb AS DOUBLE)/1000000.0/q1.n, 6) AS mqe_rebuilt,
+             4 * q1.s_inc <= 5 * q2.s_reb AS fit_ok,
+             hm.n AS hits_maintained, hr.n AS hits_rebuilt, nb.n AS n_brute,
+             ROUND(CAST(hm.n AS DOUBLE)/nb.n, 6) AS recall_maintained,
+             ROUND(CAST(hr.n AS DOUBLE)/nb.n, 6) AS recall_rebuilt,
+             hm.n * 5 >= hr.n * 5 - nb.n AS recall_ok
+      FROM qs q1, qr q2, drift d,
+           (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM sitop
+            JOIN exr USING (q_id, cand_id)) hm,
+           (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM srtop
+            JOIN exr USING (q_id, cand_id)) hr,
+           (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM exr) nb"""
+    }),
+      (s, dir) => {
+        import graft.ann.{Pq, PqIndex}
+        val emb = Tables.read(s, dir, "embeddings")
+        val hist = emb.where(col("vec_id") % 5 =!= 4)
+        val delta = emb.where(col("vec_id") % 5 === 4)
+        val stDir = s"${System.getProperty("java.io.tmpdir")}/graft_q267_" +
+          dir.replaceAll("[^A-Za-z0-9._-]", "_") +
+          "_p" + ProcessHandle.current.pid + "_" + q266Runs.incrementAndGet()
+        EventQueries.cleanupOnExit(stDir)
+        PqIndex.build(hist, "vec_id", "embedding", m = 4,
+          seedPred = col("vec_id") < 16, iters = 2, stateDir = stDir)
+        PqIndex.refresh(delta, "vec_id", "embedding", stDir)
+        val cb = PqIndex.codebooks(s, stDir).get.localCheckpoint()
+        val inc = PqIndex.codes(s, stDir).get.localCheckpoint()
+        val sv = Pq.subvectors(emb, "vec_id", "embedding", 4)
+          .localCheckpoint() // frozen re-encode AND rebuilt encode read it
+        val full = Pq.assign(sv, cb)
+        val drift = inc.select(col("id"), col("sub"), col("code").as("ci"))
+          .join(full.select(col("id"), col("sub"), col("code").as("cf")),
+            Seq("id", "sub"), "full_outer")
+          .agg(sum(when(col("ci").isNull || col("cf").isNull
+              || col("ci") =!= col("cf"), 1L).otherwise(0L)).as("drift"))
+        val cbReb = Pq.trainCodebooks(emb, "vec_id", "embedding", 4,
+          col("vec_id") < 16, iters = 2).localCheckpoint()
+        val reb = Pq.assign(sv, cbReb)
+          .localCheckpoint() // fit sum + rebuilt ADC read it
+        val qs = inc.agg(count(lit(1)).as("n"),
+          sum(round(col("d2") * 1000000).cast("long")).as("s_inc"))
+        val qr = reb.agg(
+          sum(round(col("d2") * 1000000).cast("long")).as("s_reb"))
+        val counts = emb.agg(count(lit(1)).as("n_vectors"),
+          sum(when(col("vec_id") % 5 =!= 4, 1L).otherwise(0L)).as("n_history"))
+        val probes = emb.where(col("vec_id") < 10)
+        val adcM = Pq.adcTopK(probes, "vec_id", "embedding", inc, cb, 4, 5)
+          .select("q_id", "cand_id")
+        val adcR = Pq.adcTopK(probes, "vec_id", "embedding", reb, cbReb, 4, 5)
+          .select("q_id", "cand_id")
+        val q = probes.select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+        val exact = Knn.topKSelect(
+            broadcast(q).join(emb, col("vec_id") =!= col("q_id"))
+              .select(col("q_id"),
+                (-Pq.sqdist(col("qv"), col("embedding"))).as("sim"),
+                col("vec_id").as("cand_id")),
+            org.apache.spark.sql.types.LongType, 5)
+          .select("q_id", "cand_id").localCheckpoint() // 2 hit joins read it
+        val hm = adcM.join(exact, Seq("q_id", "cand_id"))
+          .agg(count(lit(1)).as("hits_maintained"))
+        val hr = adcR.join(exact, Seq("q_id", "cand_id"))
+          .agg(count(lit(1)).as("hits_rebuilt"))
+        val nb = exact.agg(count(lit(1)).as("n_brute"))
+        counts.crossJoin(qs).crossJoin(qr).crossJoin(drift)
+          .crossJoin(hm).crossJoin(hr).crossJoin(nb)
+          .select(col("n_vectors"), col("n_history"),
+            (col("n_vectors") - col("n_history")).as("n_delta"),
+            col("drift"), (col("drift") === 0).as("drift_ok"),
+            round(col("s_inc").cast("double") / lit(1000000.0) / col("n"), 6)
+              .as("mqe_maintained"),
+            round(col("s_reb").cast("double") / lit(1000000.0) / col("n"), 6)
+              .as("mqe_rebuilt"),
+            (lit(4L) * col("s_inc") <= lit(5L) * col("s_reb")).as("fit_ok"),
+            col("hits_maintained"), col("hits_rebuilt"), col("n_brute"),
+            round(col("hits_maintained").cast("double") / col("n_brute"), 6)
+              .as("recall_maintained"),
+            round(col("hits_rebuilt").cast("double") / col("n_brute"), 6)
+              .as("recall_rebuilt"),
+            (col("hits_maintained") * 5 >= col("hits_rebuilt") * 5 - col("n_brute"))
+              .as("recall_ok"))
       })
   )
+
+  /** q266 runs in a FRESH state dir per execution (see the query doc);
+    * this counter is what makes "fresh" true within one JVM.
+    */
+  private val q266Runs = new java.util.concurrent.atomic.AtomicLong()
 
   /** DuckDB exact squared L2 over float lists — per-element double
     * differences squared, summed in index order (the same fold order

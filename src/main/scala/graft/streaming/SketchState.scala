@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.hadoop.fs.{FileSystem, Path}
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.{HyperLogLog, Kmv}
@@ -58,77 +58,36 @@ import graft.functions.{HyperLogLog, Kmv}
   */
 object SketchState {
 
-  private def fsOf(spark: SparkSession, dir: String): (FileSystem, Path) = {
-    val p = new Path(dir)
-    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
-  }
+  import graft.operators.VersionedState
 
-  private def versionDir(root: Path, n: Long): Path =
-    new Path(root, f"v$n%019d")
-
-  /** Highest committed version, or None if no commit has ever
-    * succeeded. A state directory that exists but holds anything
-    * OTHER than this module's layout (version dirs + commit log) is
-    * an error to surface — e.g. a flat parquet table from the
-    * pre-versioned layout, or a caller pointing at the wrong path —
-    * never silently treated as empty state.
+  /** The stored state table, or None before the first commit (the
+    * foreign-directory and crashed-first-commit semantics live in
+    * [[graft.operators.VersionedState.committed]]).
     */
-  private def currentVersion(spark: SparkSession, stateDir: String): Option[Long] = {
-    val (fs, root) = fsOf(spark, stateDir)
-    if (!fs.exists(root)) return None
-    val foreign = fs.listStatus(root).map(_.getPath.getName).filterNot { n =>
-      n == "commits" || (n.startsWith("v") && n.drop(1).forall(_.isDigit))
-    }
-    require(foreign.isEmpty,
-      s"$stateDir exists but is not a SketchState directory " +
-        s"(unexpected entries: ${foreign.sorted.mkString(", ")}) — refusing " +
-        "to treat it as empty state")
-    val commits = new Path(root, "commits")
-    val committed =
-      if (fs.exists(commits))
-        fs.listStatus(commits).toSeq.flatMap(_.getPath.getName.toLongOption)
-      else Nil
-    // version dirs without any marker = a crashed FIRST commit; there
-    // was no committed state to lose, so empty is the truth
-    if (committed.isEmpty) None else Some(committed.max)
-  }
-
-  /** The stored state table, or None before the first commit. */
   def read(spark: SparkSession, stateDir: String): Option[DataFrame] =
-    currentVersion(spark, stateDir).map { n =>
-      spark.read.parquet(versionDir(new Path(stateDir), n).toString)
+    VersionedState.currentVersion(spark, stateDir).map { n =>
+      spark.read.parquet(VersionedState.versionPath(stateDir, n))
     }
 
   /** Write `merged` as version prev+1 and atomically commit it; GC
-    * versions older than prev. `merged`'s plan may lazily read the
-    * prev version — safe, because the write target is a different
-    * directory (the whole point of the versioned layout).
+    * versions older than prev (two stay live). `merged`'s plan may
+    * lazily read the prev version — safe, because the write target is
+    * a different directory (the whole point of the versioned layout).
     */
   private def commit(spark: SparkSession, stateDir: String,
-                     merged: DataFrame, prev: Option[Long]): Unit = {
-    val (fs, root) = fsOf(spark, stateDir)
-    val next = prev.getOrElse(0L) + 1L
-    // overwrite clears a half-written leftover of a crashed attempt
-    // at this same version — it was never committed, nothing is lost
-    merged.write.mode("overwrite").parquet(versionDir(root, next).toString)
-    val commits = new Path(root, "commits")
-    fs.mkdirs(commits)
-    // create-exclusive IS the commit point; an existing marker means a
-    // second writer committed this version — surface, don't clobber
-    fs.create(new Path(commits, next.toString), false).close()
-    for (p <- prev; old <- 1L until p) {
-      fs.delete(new Path(commits, old.toString), false)
-      fs.delete(versionDir(root, old), true)
+                     merged: DataFrame, prev: Option[Long]): Unit =
+    VersionedState.commit(spark, stateDir, prev,
+      gcBelow = prev.getOrElse(Long.MinValue)) { vdir =>
+      merged.write.mode("overwrite").parquet(vdir)
     }
-  }
 
   /** Merge one batch's HLL sketch into the state table at `stateDir`. */
   def mergeHllBatch(batch: DataFrame, item: Column, keys: Seq[String],
                     m: Int, stateDir: String): Unit = {
     val spark = batch.sparkSession
-    val prev = currentVersion(spark, stateDir)
+    val prev = VersionedState.currentVersion(spark, stateDir)
     val stored = prev.map(n =>
-      spark.read.parquet(versionDir(new Path(stateDir), n).toString))
+      spark.read.parquet(VersionedState.versionPath(stateDir, n)))
     val delta = HyperLogLog.sketch(batch, item, keys, m)
     val merged = stored.map(st => HyperLogLog.merge(st, delta)).getOrElse(delta)
     commit(spark, stateDir, merged, prev)
@@ -147,9 +106,9 @@ object SketchState {
                           keys: Seq[String], width: Long,
                           stateDir: String): Unit = {
     val spark = batch.sparkSession
-    val prev = currentVersion(spark, stateDir)
+    val prev = VersionedState.currentVersion(spark, stateDir)
     val stored = prev.map(n =>
-      spark.read.parquet(versionDir(new Path(stateDir), n).toString))
+      spark.read.parquet(VersionedState.versionPath(stateDir, n)))
     val delta = graft.functions.BucketHistogram.sketch(batch, value, keys, width)
     val merged = stored
       .map(st => graft.functions.BucketHistogram.merge(st, delta))
@@ -161,9 +120,9 @@ object SketchState {
   def mergeKmvBatch(batch: DataFrame, item: Column, keys: Seq[String],
                     k: Int, stateDir: String): Unit = {
     val spark = batch.sparkSession
-    val prev = currentVersion(spark, stateDir)
+    val prev = VersionedState.currentVersion(spark, stateDir)
     val stored = prev.map(n =>
-      spark.read.parquet(versionDir(new Path(stateDir), n).toString))
+      spark.read.parquet(VersionedState.versionPath(stateDir, n)))
     val delta = Kmv.sketch(batch, item, keys, k)
     val merged = stored match {
       case None => delta

@@ -871,6 +871,34 @@ class PlanQualitySpec extends SparkTestBase {
       "text/image/audio/video candidates must come from banded equi-joins")
   }
 
+  test("q266 IVF maintain: routing is hash-agg argmin — corpus never windowed, no cartesian") {
+    // sweep ALL plans: build/refresh/rebuild run behind checkpoints and
+    // versioned-state writes, so the final plan alone proves nothing
+    val plans = allExecutedPlans("q266_ivf_maintain")
+    assert(!plans.exists { case _: CartesianProductExec => true; case _ => false },
+      "centroid scoring must broadcast the codebook, never cartesian")
+    val globals = plans.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+        if w.partitionSpec.isEmpty => w
+    }
+    assert(globals.isEmpty,
+      "assignment is the mergeable max-struct argmin; only the bounded " +
+        "query set may window, partitioned by q_id")
+  }
+
+  test("q267 PQ maintain: encoding is hash-agg argmin — corpus never windowed, no cartesian") {
+    val plans = allExecutedPlans("q267_pq_maintain")
+    assert(!plans.exists { case _: CartesianProductExec => true; case _ => false },
+      "codebook scoring must broadcast the codebooks, never cartesian")
+    val globals = plans.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+        if w.partitionSpec.isEmpty => w
+    }
+    assert(globals.isEmpty,
+      "PQ assign/ADC are mergeable aggregations; only the bounded probe " +
+        "set may window, partitioned by q_id")
+  }
+
   test("q220 Kaplan-Meier: day-domain windows only, corpus collapses first") {
     val plan = collectAll(executed(q("q220_kaplan_meier")))
     val aggs = plan.filter(_.nodeName.contains("HashAggregate")).map(_.toString)
