@@ -3276,6 +3276,131 @@ object EventQueries {
               round(col("ae_n").cast("double") / col("sx"), 6)).as("wape_naive"),
             (col("ae_s") < col("ae_n")).as("seasonal_wins"))
           .orderBy("event_type")
+      }),
+
+    // ---- q269: Bradley-Terry preference ranking — the aggregation
+    // step of every preference-data pipeline (RLHF reward modeling,
+    // Chatbot-Arena-style leaderboards): pairwise "A beat B" judgments
+    // become one global strength per item via the BT model
+    // P(i beats j) = s_i/(s_i+s_j), fit by Hunter's MM iterations
+    // (Hunter, Annals of Statistics 2004): s_i ← W_i / Σ_j n_ij/(s_i+s_j).
+    // Here the judges are USERS and the items EVENT TYPES (type a
+    // beats type b for a user when the user fired a more often — the
+    // per-user collapse that keeps one vote per judge per pair, the
+    // q233/q257 discipline); any (prompt, chosen, rejected) table
+    // plugs into the same shape. Three MM rounds from s = 1, the
+    // Σ_j fold in EXPLICIT j order (sorted-list aggregation — the
+    // Pca.matvec discipline; a hash-agg SUM of doubles would be
+    // engine-order-dependent), final strengths normalized to sum 1
+    // (fold in item order), ranks from a bounded self-join — never a
+    // global window. Scale shape: corpus → (user, type) counts in one
+    // hash agg; the per-user pair fan-out is #types² per user
+    // (bounded by the item vocabulary, not the corpus); everything
+    // after the wins matrix is items²-row arithmetic.
+    QueryDef("q269_bradley_terry", Some({
+      def iterCte(t: Int, sin: String): String = s"""
+      it$t AS (SELECT n.i, w.wi,
+                 CASE WHEN w.wi > 0 AND
+                   list_sum(list(CAST(n.nij AS DOUBLE) / (si.s + sj.s)
+                     ORDER BY n.j)) > 0
+                 THEN CAST(w.wi AS DOUBLE)
+                   / list_sum(list(CAST(n.nij AS DOUBLE) / (si.s + sj.s)
+                       ORDER BY n.j))
+                 ELSE CAST(0 AS DOUBLE) END AS s
+               FROM nm n JOIN $sin si ON si.i = n.i
+                    JOIN $sin sj ON sj.i = n.j
+                    JOIN wt w ON w.i = n.i
+               GROUP BY n.i, w.wi)"""
+      s"""
+      WITH uc AS (SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+                  FROM events GROUP BY 1, 2),
+      pw AS (SELECT a.event_type AS i, b.event_type AS j,
+                    CAST(SUM(CASE WHEN a.c > b.c THEN 1 ELSE 0 END)
+                      AS BIGINT) AS wins
+             FROM uc a JOIN uc b ON b.user_id = a.user_id
+                  AND b.event_type <> a.event_type
+             GROUP BY 1, 2),
+      nm AS (SELECT p.i, p.j, p.wins, p.wins + q.wins AS nij
+             FROM pw p JOIN pw q ON q.i = p.j AND q.j = p.i),
+      wt AS (SELECT i, CAST(SUM(wins) AS BIGINT) AS wi FROM nm GROUP BY i),
+      s0 AS (SELECT i, CAST(1 AS DOUBLE) AS s FROM wt),
+      ${iterCte(1, "s0")},
+      ${iterCte(2, "it1")},
+      ${iterCte(3, "it2")},
+      nrm AS (SELECT list_sum(list(s ORDER BY i)) AS z FROM it3),
+      fin AS (SELECT it3.i, it3.wi,
+                     CASE WHEN nrm.z > 0 THEN it3.s / nrm.z END AS strength
+              FROM it3, nrm),
+      nc AS (SELECT i, CAST(SUM(nij) AS BIGINT) AS ncmp FROM nm GROUP BY i),
+      rk AS (SELECT f.i, CAST(1 + COUNT(y.i) AS BIGINT) AS bt_rank
+             FROM fin f LEFT JOIN fin y ON y.strength > f.strength
+                  OR (y.strength = f.strength AND y.i < f.i)
+             GROUP BY f.i)
+      SELECT f.i AS event_type, f.wi AS wins, nc.ncmp AS n_comparisons,
+             ROUND(f.strength, 6) AS strength, rk.bt_rank
+      FROM fin f JOIN nc ON nc.i = f.i JOIN rk ON rk.i = f.i
+      ORDER BY rk.bt_rank, event_type"""
+    }),
+      (s, dir) => {
+        val uc = Tables.events(s, dir)
+          .groupBy("user_id", "event_type")
+          .agg(count(lit(1)).as("c"))
+          .localCheckpoint() // both sides of the per-user pair join
+        val pw = uc.select(col("user_id"), col("event_type").as("i"), col("c").as("ca"))
+          .join(uc.select(col("user_id"), col("event_type").as("j"), col("c").as("cb")),
+            Seq("user_id"))
+          .where(col("i") =!= col("j"))
+          .groupBy("i", "j")
+          .agg(sum(when(col("ca") > col("cb"), 1L).otherwise(0L)).as("wins"))
+        val nm = pw.join(
+            pw.select(col("i").as("qj"), col("j").as("qi"), col("wins").as("rw")),
+            col("qi") === col("i") && col("qj") === col("j"))
+          .select(col("i"), col("j"), col("wins"),
+            (col("wins") + col("rw")).as("nij"))
+          .localCheckpoint() // 3 MM rounds + the comparison totals read it
+        val wt = nm.groupBy("i").agg(sum("wins").cast("long").as("wi"))
+          .localCheckpoint()
+        // Σ_j folds in EXPLICIT j order: hash-agg double sums are
+        // engine-order-dependent; the sorted-list fold is not
+        def denom = aggregate(
+          transform(array_sort(collect_list(struct(col("j"), col("v")))),
+            x => x.getField("v")),
+          lit(0.0), (acc, x) => acc + x)
+        def iterate(sTab: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+          nm.join(sTab.select(col("i").as("si_i"), col("s").as("si")),
+              col("si_i") === col("i"))
+            .join(sTab.select(col("i").as("sj_i"), col("s").as("sj")),
+              col("sj_i") === col("j"))
+            .select(col("i"), col("j"),
+              (col("nij").cast("double") / (col("si") + col("sj"))).as("v"))
+            .groupBy("i").agg(denom.as("den"))
+            .join(wt, "i")
+            .select(col("i"), col("wi"),
+              when(col("wi") > 0 && col("den") > 0,
+                col("wi").cast("double") / col("den"))
+                .otherwise(lit(0.0)).as("s"))
+        val s0 = wt.select(col("i"), lit(1.0).as("s"))
+        val it3 = iterate(iterate(iterate(s0))).localCheckpoint()
+        val z = it3.agg(aggregate(
+            transform(array_sort(collect_list(struct(col("i"), col("s")))),
+              x => x.getField("s")),
+            lit(0.0), (acc, x) => acc + x).as("z"))
+        val fin = it3.crossJoin(broadcast(z))
+          .select(col("i"), col("wi"),
+            when(col("z") > 0, col("s") / col("z")).as("strength"))
+          .localCheckpoint() // the rank self-join reads both sides
+        val rk = fin.select(col("i"), col("strength"))
+          .join(broadcast(fin.select(col("i").as("yi"), col("strength").as("ys"))),
+            col("ys") > col("strength")
+              || (col("ys") === col("strength") && col("yi") < col("i")),
+            "left")
+          .groupBy("i").agg((lit(1L) + count(col("yi"))).as("bt_rank"))
+        val nc = nm.groupBy("i").agg(sum("nij").cast("long").as("ncmp"))
+        fin.join(nc, "i").join(rk, "i")
+          .select(col("i").as("event_type"), col("wi").as("wins"),
+            col("ncmp").as("n_comparisons"),
+            round(col("strength"), 6).as("strength"), col("bt_rank"))
+          .orderBy("bt_rank", "event_type")
       })
   )
 }

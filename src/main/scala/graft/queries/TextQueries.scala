@@ -4723,6 +4723,82 @@ object TextQueries {
         o.crossJoin(broadcast(al))
           .select(col("c"), col("k"), col("o"), col("alpha"))
           .orderBy("c", "k")
+      }),
+
+    // ---- q268: EXACT-substring dedup spans (Lee et al., "Deduplicating
+    // Training Data Makes Language Models Better", ACL 2022 — the
+    // ExactSubstr method): any length-L token window whose content
+    // appears MORE THAN ONCE in the corpus (within- or cross-document)
+    // is an excisable duplicate, and overlapping/adjacent duplicated
+    // windows merge into maximal spans — the span table a dedup pass
+    // excises, where the MinHash family (q27/q72) would only flag whole
+    // near-dup DOCUMENTS and miss a boilerplate paragraph pasted into
+    // a thousand otherwise-distinct pages. L = 6 here (the paper uses
+    // 50 on web-scale corpora; the testdata docs are ~50 tokens).
+    // Windows key on md5 of the space-joined token slice — the
+    // portable-hash discipline, standing in for the paper's suffix
+    // array, whose candidate set this reproduces exactly at fixed L.
+    // Scale shape: one pass explodes each doc into its n−L+1 window
+    // hashes (corpus-token-sized, like the inverted index); repeated
+    // hashes surface via one hash agg + an equi-join back (the shuffle
+    // is ON the window key — the only corpus-sized exchange); span
+    // merge is the gaps-and-islands pattern over windows PARTITIONED
+    // BY doc_id (per-doc window, never global). Output: one row per
+    // maximal span with its token extent [span_start, span_end).
+    QueryDef("q268_exact_substring_spans", Some(s"""${toksCte()},
+      w AS (SELECT doc_id, i,
+                   md5(list_aggregate(tokens[i:i+5], 'string_agg', ' ')) AS h
+            FROM toks, LATERAL unnest(range(1, len(tokens) - 4)) r(i)),
+      dc AS (SELECT h FROM w GROUP BY h HAVING COUNT(*) >= 2),
+      dw AS (SELECT w.doc_id, w.i FROM w JOIN dc USING (h)),
+      mk AS (SELECT doc_id, i,
+                    MAX(i + 6) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+             FROM dw),
+      il AS (SELECT doc_id, i,
+                    SUM(CASE WHEN pme IS NULL OR i > pme THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY doc_id ORDER BY i
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS island
+             FROM mk)
+      SELECT doc_id, CAST(island AS BIGINT) AS span_idx,
+             CAST(MIN(i) AS BIGINT) AS span_start,
+             CAST(MAX(i) + 6 AS BIGINT) AS span_end,
+             CAST(MAX(i) + 6 - MIN(i) AS BIGINT) AS span_len,
+             CAST(COUNT(*) AS BIGINT) AS n_windows
+      FROM il GROUP BY doc_id, island
+      ORDER BY doc_id, span_start"""),
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val L = 6
+        val w = tokenized(s, dir).where(size(col("tokens")) >= L)
+          .select(col("doc_id"), posexplode(expr(
+            s"transform(sequence(1, size(tokens) - $L + 1), " +
+              s"i -> md5(concat_ws(' ', slice(tokens, i, $L))))"))
+            .as(Seq("p", "h")))
+          .select(col("doc_id"), (col("p") + 1).cast("long").as("i"), col("h"))
+          .localCheckpoint() // the dup-hash agg AND the join-back read it
+        val dc = w.groupBy("h").agg(count(lit(1)).as("c")).where(col("c") >= 2)
+          .select("h")
+        val dw = w.join(dc, "h").select("doc_id", "i")
+        val wPrev = Window.partitionBy("doc_id").orderBy("i")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wCum = Window.partitionBy("doc_id").orderBy("i")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val il = dw
+          .withColumn("pme", max(col("i") + L).over(wPrev))
+          .withColumn("island",
+            sum(when(col("pme").isNull || col("i") > col("pme"), 1L)
+              .otherwise(0L)).over(wCum))
+        il.groupBy("doc_id", "island")
+          .agg(min("i").as("span_start"),
+            (max("i") + L).as("span_end"),
+            count(lit(1)).as("n_windows"))
+          .select(col("doc_id"), col("island").as("span_idx"),
+            col("span_start"), col("span_end"),
+            (col("span_end") - col("span_start")).as("span_len"),
+            col("n_windows"))
+          .orderBy("doc_id", "span_start")
       })
   )
 

@@ -96,6 +96,20 @@ class IvfIndexSpec extends SparkTestBase {
       "segment append is additive; exactly-once delivery is the caller's job")
   }
 
+  test("an EMPTY delta refresh commits harmlessly (the quiet-ingest-window case)") {
+    val dir = freshDir("emptydelta")
+    IvfIndex.build(vecs(0 until 20), "vec_id", "embedding",
+      col("vec_id") % 10 === 0, iters = 1, dir)
+    val before = IvfIndex.assignments(spark, dir).get
+      .select("id", "centroid_id").as[(Long, Long)].collect().toSet
+    IvfIndex.refresh(vecs(20 until 20), "vec_id", "embedding", dir)
+    assert(IvfIndex.assignments(spark, dir).get
+      .select("id", "centroid_id").as[(Long, Long)].collect().toSet === before,
+      "an empty segment must not disturb the index")
+    assert(VersionedState.committed(spark, dir).map(_._2) === Seq("base", "delta"),
+      "the empty refresh still commits (maintenance cadence stays observable)")
+  }
+
   test("refresh before any build is refused") {
     val dir = freshDir("norefresh")
     val e = intercept[IllegalArgumentException] {

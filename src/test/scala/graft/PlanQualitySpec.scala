@@ -899,6 +899,25 @@ class PlanQualitySpec extends SparkTestBase {
         "set may window, partitioned by q_id")
   }
 
+  test("q268 exact-substring spans: windows partition by doc_id — never global") {
+    val plan = collectAll(executed(q("q268_exact_substring_spans")))
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty, "gaps-and-islands needs the per-doc windows")
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      "span merge must partition by doc_id; a global window would " +
+        "one-task-sort every duplicated window in the corpus")
+    assert(!plan.exists { case _: CartesianProductExec => true; case _ => false })
+  }
+
+  test("q269 Bradley-Terry: items²-bounded arithmetic — no global window, no cartesian") {
+    val plans = allExecutedPlans("q269_bradley_terry")
+    assert(!plans.exists(_.nodeName == "Window"),
+      "MM folds ride sorted-list aggregation; ranks come from the bounded self-join")
+    assert(!plans.exists { case _: CartesianProductExec => true; case _ => false })
+  }
+
   test("q220 Kaplan-Meier: day-domain windows only, corpus collapses first") {
     val plan = collectAll(executed(q("q220_kaplan_meier")))
     val aggs = plan.filter(_.nodeName.contains("HashAggregate")).map(_.toString)

@@ -69,6 +69,19 @@ class PqIndexSpec extends SparkTestBase {
       "segment append is additive; exactly-once delivery is the caller's job")
   }
 
+  test("an EMPTY delta refresh commits harmlessly (the quiet-ingest-window case)") {
+    val dir = freshDir("emptydelta")
+    PqIndex.build(vecs(0 until 20), "vec_id", "embedding", 2,
+      col("vec_id") < 4, 1, dir)
+    val before = PqIndex.codes(spark, dir).get
+      .select("id", "sub", "code").as[(Long, Int, Long)].collect().toSet
+    PqIndex.refresh(vecs(20 until 20), "vec_id", "embedding", dir)
+    assert(PqIndex.codes(spark, dir).get
+      .select("id", "sub", "code").as[(Long, Int, Long)].collect().toSet === before,
+      "an empty segment must not disturb the code table")
+    assert(VersionedState.committed(spark, dir).map(_._2) === Seq("base", "delta"))
+  }
+
   test("refresh before any build is refused") {
     val e = intercept[IllegalArgumentException] {
       PqIndex.refresh(vecs(0 until 5), "vec_id", "embedding",
