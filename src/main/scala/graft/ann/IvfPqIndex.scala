@@ -1,0 +1,107 @@
+package graft.ann
+
+import graft.operators.VersionedState
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Durable, INCREMENTALLY-maintained IVF-PQ index — the COMPOSED
+  * production layout ([[IvfIndex]] coarse routing + [[PqIndex]]
+  * residual codes in one atomically-versioned artifact): each vector
+  * is routed to its L2-nearest coarse bucket and its RESIDUAL
+  * (vector − bucket centroid) is product-quantized — the FAISS
+  * billion-scale serving shape (see [[IvfPq]]). Between retrains, a
+  * refresh routes and encodes ONLY the delta against the frozen
+  * coarse table + codebooks read back off disk; history segments are
+  * never re-read, let alone re-encoded.
+  *
+  * Version payload (one atomic commit covers all three):
+  * `coarse/` (bid, bvec — the coarse quantizer, a fixed dial here),
+  * `codebooks/` (sub, code, cvec — trained on RESIDUALS),
+  * `segment/` (id, bid, sub, code, d2 — this version's encodings;
+  * d2 is the encode-time sub-quantization error, the fit-gate audit
+  * column). Same base/delta labeling, GC-on-rebuild, torn-commit
+  * invisibility, and append-non-idempotence as the component indexes
+  * (IvfPqIndexSpec pins them); q270 gates drift ≡ 0 / retrain fit /
+  * ADC recall against the full rebuild.
+  */
+object IvfPqIndex {
+
+  /** Full (re)build: store the coarse quantizer, train residual
+    * codebooks on `emb` (residuals computed against the coarse table
+    * READ BACK from the fresh version — the committed artifact is the
+    * authority), encode everything, and commit the triple as a BASE
+    * version. `seedPred` filters the RESIDUAL relation (column `id`).
+    */
+  def build(emb: DataFrame, idCol: String, vecCol: String,
+            coarse: DataFrame, m: Int,
+            seedPred: org.apache.spark.sql.Column, iters: Int,
+            stateDir: String): Long = {
+    val spark = emb.sparkSession
+    val prev = VersionedState.currentVersion(spark, stateDir)
+    val next = prev.getOrElse(0L) + 1L
+    VersionedState.commit(spark, stateDir, prev, label = "base",
+      gcBelow = next) { vdir =>
+      coarse.write.mode("overwrite").parquet(s"$vdir/coarse")
+      val cc = spark.read.parquet(s"$vdir/coarse")
+      val res = IvfPq.residuals(emb, idCol, vecCol, cc).localCheckpoint()
+      Pq.trainCodebooks(res, "id", "rv", m, seedPred, iters)
+        .write.mode("overwrite").parquet(s"$vdir/codebooks")
+      val cb = spark.read.parquet(s"$vdir/codebooks")
+      Pq.assign(Pq.subvectors(res, "id", "rv", m), cb)
+        .join(res.select("id", "bid"), "id")
+        .write.mode("overwrite").parquet(s"$vdir/segment")
+    }
+  }
+
+  /** Incremental refresh: route + encode ONLY `delta` against the
+    * stored coarse table and codebooks (m recovered from the codebook
+    * table) and commit as a DELTA version carrying both forward.
+    */
+  def refresh(delta: DataFrame, idCol: String, vecCol: String,
+              stateDir: String): Long = {
+    val spark = delta.sparkSession
+    val prev = VersionedState.currentVersion(spark, stateDir)
+    require(prev.nonEmpty,
+      s"no committed index at $stateDir — run build() before refresh()")
+    val pdir = VersionedState.versionPath(stateDir, prev.get)
+    val coarseStored = spark.read.parquet(s"$pdir/coarse")
+    val cbStored = spark.read.parquet(s"$pdir/codebooks")
+    val m = cbStored.agg(max("sub")).head().getInt(0) + 1
+    VersionedState.commit(spark, stateDir, prev, label = "delta") { vdir =>
+      coarseStored.write.mode("overwrite").parquet(s"$vdir/coarse")
+      cbStored.write.mode("overwrite").parquet(s"$vdir/codebooks")
+      val res = IvfPq.residuals(delta, idCol, vecCol,
+        spark.read.parquet(s"$vdir/coarse")).localCheckpoint()
+      Pq.assign(Pq.subvectors(res, "id", "rv", m),
+          spark.read.parquet(s"$vdir/codebooks"))
+        .join(res.select("id", "bid"), "id")
+        .write.mode("overwrite").parquet(s"$vdir/segment")
+    }
+  }
+
+  /** The live coarse quantizer, or None before the first build. */
+  def coarse(spark: SparkSession, stateDir: String): Option[DataFrame] =
+    VersionedState.currentVersion(spark, stateDir).map { n =>
+      spark.read.parquet(s"${VersionedState.versionPath(stateDir, n)}/coarse")
+    }
+
+  /** The live residual codebooks, or None before the first build. */
+  def codebooks(spark: SparkSession, stateDir: String): Option[DataFrame] =
+    VersionedState.currentVersion(spark, stateDir).map { n =>
+      spark.read.parquet(s"${VersionedState.versionPath(stateDir, n)}/codebooks")
+    }
+
+  /** The live code table (id, bid, sub, code, d2) — the union of every
+    * segment from the latest BASE version onward.
+    */
+  def codes(spark: SparkSession, stateDir: String): Option[DataFrame] = {
+    val cs = VersionedState.committed(spark, stateDir)
+    if (cs.isEmpty) return None
+    val lastBase = cs.filter(_._2 == "base").map(_._1).maxOption.getOrElse(
+      throw new IllegalStateException(
+        s"$stateDir has committed versions but no base — corrupt index state"))
+    val segs = cs.map(_._1).filter(_ >= lastBase)
+      .map(n => s"${VersionedState.versionPath(stateDir, n)}/segment")
+    Some(spark.read.parquet(segs: _*))
+  }
+}

@@ -2631,11 +2631,220 @@ object EmbeddingQueries {
               .as("recall_rebuilt"),
             (col("hits_maintained") * 5 >= col("hits_rebuilt") * 5 - col("n_brute"))
               .as("recall_ok"))
+      }),
+
+    // ---- q270: incremental IVF-PQ maintenance — the COMPOSED capstone
+    // over q266 (coarse routing) and q267 (PQ codes): the full FAISS
+    // billion-scale serving layout — route to the L2-nearest coarse
+    // bucket, product-quantize the RESIDUAL — maintained as one
+    // atomically-versioned artifact (graft.ann.IvfPqIndex: every
+    // version carries coarse + codebooks + segment under ONE commit
+    // marker, so a crash can never pair new codebooks with stale
+    // segments). Residual codebooks train on the history (q200's
+    // 1-iteration dial); the refresh routes AND encodes only the 20%
+    // delta against the frozen coarse table + codebooks read back off
+    // disk. Gates mirror the component queries, all boundary-safe:
+    // drift ≡ 0 vs a full frozen re-route+re-encode comparing BOTH
+    // bucket and code per (id, sub); fit_ok — residual quantization
+    // error within 1.25× of a full codebook retrain (4·s_m ≤ 5·s_r in
+    // exact micro-scaled integers); recall_ok — ADC recall@5 (nprobe 2
+    // probes, per-bucket residual distance tables — the q200 search)
+    // vs the exact L2 truth, within 0.2 of the rebuilt index as exact
+    // 5·hits integers. The coarse quantizer is a fixed dial in both
+    // arms (production retrains it far more rarely than codebooks).
+    QueryDef("q270_ivfpq_maintain", Some({
+      def encCte(p: String, cb: String, src: String): String = s"""
+      ${p}enc AS (SELECT id, bid, sub, code, d2 FROM (
+            SELECT s.id, s.bid, s.sub, c.code, ${pqSqd("s.sv", "c.cvec")} AS d2,
+                   ROW_NUMBER() OVER (PARTITION BY s.id, s.sub
+                     ORDER BY ${pqSqd("s.sv", "c.cvec")}, c.code) AS rk
+            FROM $src s JOIN $cb c ON c.sub = s.sub) WHERE rk = 1)"""
+      def adcCte(p: String, codes: String, cb: String): String = s"""
+      ${p}dt AS (SELECT q.q_id, q.bid, q.sub, c.code,
+                        ${pqSqd("q.sv", "c.cvec")} AS d2
+             FROM qsv q JOIN $cb c ON c.sub = q.sub),
+      ${p}tm AS (SELECT d.q_id, k.id, d.sub, d.d2
+             FROM $codes k JOIN ${p}dt d ON d.bid = k.bid AND d.sub = k.sub
+                  AND d.code = k.code
+             WHERE k.id <> d.q_id),
+      ${p}tot AS (SELECT q_id, id,
+                MAX(CASE WHEN sub = 0 THEN d2 END)
+                + MAX(CASE WHEN sub = 1 THEN d2 END)
+                + MAX(CASE WHEN sub = 2 THEN d2 END)
+                + MAX(CASE WHEN sub = 3 THEN d2 END) AS adc_d2
+              FROM ${p}tm GROUP BY q_id, id),
+      ${p}top AS (SELECT q_id, cand_id FROM (
+            SELECT q_id, id AS cand_id,
+                   ROW_NUMBER() OVER (PARTITION BY q_id
+                     ORDER BY adc_d2, id) AS rk
+            FROM ${p}tot) WHERE rk <= 5)"""
+      s"""
+      WITH cc AS (SELECT vec_id AS bid, embedding AS bvec
+                  FROM embeddings WHERE vec_id % 50 = 0),
+      fasg AS MATERIALIZED (SELECT id, bid FROM (
+                SELECT e.vec_id AS id, cc.bid,
+                       ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                         ORDER BY ${pqSqd("e.embedding", "cc.bvec")}, cc.bid) AS rk
+                FROM embeddings e CROSS JOIN cc) WHERE rk = 1),
+      fres AS MATERIALIZED (SELECT a.id, a.bid,
+                     list_transform(range(1, len(e.embedding)+1),
+                       i -> CAST(e.embedding[i] AS DOUBLE)
+                            - CAST(cc.bvec[i] AS DOUBLE)) AS rv
+              FROM fasg a JOIN embeddings e ON e.vec_id = a.id
+                          JOIN cc ON cc.bid = a.bid),
+      frsv AS MATERIALIZED (SELECT id, bid, CAST(j AS INTEGER) AS sub,
+                     rv[(j*16+1):((j+1)*16)] AS sv
+              FROM fres CROSS JOIN range(0, 4) t(j)),
+      mrsvh AS (SELECT * FROM frsv WHERE id % 5 <> 4),
+      mrsvd AS (SELECT * FROM frsv WHERE id % 5 = 4),
+      hc0 AS (SELECT sub, id AS code, sv AS cvec FROM frsv
+              WHERE id < 16 AND id % 5 <> 4),
+      ${pqLloydCte(1, "hc0", "mrsvh", "h")},
+      rc0 AS (SELECT sub, id AS code, sv AS cvec FROM frsv WHERE id < 16),
+      ${pqLloydCte(1, "rc0", "frsv", "r")},
+      ${encCte("mh", "hc1", "mrsvh")},
+      ${encCte("md", "hc1", "mrsvd")},
+      inc AS MATERIALIZED (SELECT * FROM mhenc UNION ALL SELECT * FROM mdenc),
+      ${encCte("fr", "hc1", "frsv")},
+      ${encCte("rb", "rc1", "frsv")},
+      drift AS (SELECT CAST(COUNT(*) FILTER (WHERE i.id IS NULL
+                       OR f.id IS NULL OR i.code <> f.code
+                       OR i.bid <> f.bid) AS BIGINT) AS drift
+                FROM inc i FULL OUTER JOIN frenc f
+                  ON f.id = i.id AND f.sub = i.sub),
+      qs AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                    CAST(SUM(CAST(ROUND(d2*1000000) AS BIGINT)) AS BIGINT) AS s_inc
+             FROM inc),
+      qr AS (SELECT CAST(SUM(CAST(ROUND(d2*1000000) AS BIGINT)) AS BIGINT) AS s_reb
+             FROM rbenc),
+      qpb AS (SELECT q_id, bid FROM (
+                SELECT e.vec_id AS q_id, cc.bid,
+                       ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                         ORDER BY ${pqSqd("e.embedding", "cc.bvec")}, cc.bid) AS rk
+                FROM embeddings e CROSS JOIN cc WHERE e.vec_id < 10)
+              WHERE rk <= 2),
+      qres AS (SELECT p.q_id, p.bid,
+                      list_transform(range(1, len(e.embedding)+1),
+                        i -> CAST(e.embedding[i] AS DOUBLE)
+                             - CAST(cc.bvec[i] AS DOUBLE)) AS rv
+               FROM qpb p JOIN embeddings e ON e.vec_id = p.q_id
+                          JOIN cc ON cc.bid = p.bid),
+      qsv AS MATERIALIZED (SELECT q_id, bid, CAST(j AS INTEGER) AS sub,
+                     rv[(j*16+1):((j+1)*16)] AS sv
+              FROM qres CROSS JOIN range(0, 4) t(j)),
+      ${adcCte("si", "inc", "hc1")},
+      ${adcCte("sr", "rbenc", "rc1")},
+      exr AS MATERIALIZED (SELECT q_id, cand_id FROM (
+            SELECT qf.vec_id AS q_id, c.vec_id AS cand_id,
+                   ROW_NUMBER() OVER (PARTITION BY qf.vec_id
+                     ORDER BY ${pqSqd("qf.embedding", "c.embedding")}, c.vec_id) AS rk
+            FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10) qf
+                 JOIN embeddings c ON c.vec_id <> qf.vec_id) WHERE rk <= 5)
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings) AS n_vectors,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings
+              WHERE vec_id % 5 <> 4) AS n_history,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings
+              WHERE vec_id % 5 = 4) AS n_delta,
+             d.drift, d.drift = 0 AS drift_ok,
+             ROUND(CAST(q1.s_inc AS DOUBLE)/1000000.0/q1.n, 6) AS mqe_maintained,
+             ROUND(CAST(q2.s_reb AS DOUBLE)/1000000.0/q1.n, 6) AS mqe_rebuilt,
+             4 * q1.s_inc <= 5 * q2.s_reb AS fit_ok,
+             hm.n AS hits_maintained, hr.n AS hits_rebuilt, nb.n AS n_brute,
+             ROUND(CAST(hm.n AS DOUBLE)/nb.n, 6) AS recall_maintained,
+             ROUND(CAST(hr.n AS DOUBLE)/nb.n, 6) AS recall_rebuilt,
+             hm.n * 5 >= hr.n * 5 - nb.n AS recall_ok
+      FROM qs q1, qr q2, drift d,
+           (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM sitop
+            JOIN exr USING (q_id, cand_id)) hm,
+           (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM srtop
+            JOIN exr USING (q_id, cand_id)) hr,
+           (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM exr) nb"""
+    }),
+      (s, dir) => {
+        import graft.ann.{IvfPq, IvfPqIndex, Pq}
+        val emb = Tables.read(s, dir, "embeddings")
+        val hist = emb.where(col("vec_id") % 5 =!= 4)
+        val delta = emb.where(col("vec_id") % 5 === 4)
+        val coarse = emb.where(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("bid"), col("embedding").as("bvec"))
+        val stDir = s"${System.getProperty("java.io.tmpdir")}/graft_q270_" +
+          dir.replaceAll("[^A-Za-z0-9._-]", "_") +
+          "_p" + ProcessHandle.current.pid + "_" + q266Runs.incrementAndGet()
+        EventQueries.cleanupOnExit(stDir)
+        IvfPqIndex.build(hist, "vec_id", "embedding", coarse, m = 4,
+          seedPred = col("id") < 16, iters = 1, stateDir = stDir)
+        IvfPqIndex.refresh(delta, "vec_id", "embedding", stDir)
+        val cc = IvfPqIndex.coarse(s, stDir).get.localCheckpoint()
+        val cb = IvfPqIndex.codebooks(s, stDir).get.localCheckpoint()
+        val inc = IvfPqIndex.codes(s, stDir).get.localCheckpoint()
+        // frozen full re-route + re-encode (gate 1's comparison side)
+        val res = IvfPq.residuals(emb, "vec_id", "embedding", cc)
+          .localCheckpoint() // frozen re-encode AND rebuilt encode read it
+        val full = Pq.assign(Pq.subvectors(res, "id", "rv", 4), cb)
+          .join(res.select("id", "bid"), "id")
+        val drift = inc.select(col("id"), col("sub"),
+            col("bid").as("bi"), col("code").as("ci"))
+          .join(full.select(col("id"), col("sub"),
+            col("bid").as("bf"), col("code").as("cf")),
+            Seq("id", "sub"), "full_outer")
+          .agg(sum(when(col("ci").isNull || col("cf").isNull
+              || col("ci") =!= col("cf") || col("bi") =!= col("bf"), 1L)
+            .otherwise(0L)).as("drift"))
+        val cbReb = Pq.trainCodebooks(res, "id", "rv", 4,
+          col("id") < 16, iters = 1).localCheckpoint()
+        val reb = Pq.assign(Pq.subvectors(res, "id", "rv", 4), cbReb)
+          .join(res.select("id", "bid"), "id")
+          .localCheckpoint() // fit sum + rebuilt ADC read it
+        val qs = inc.agg(count(lit(1)).as("n"),
+          sum(round(col("d2") * 1000000).cast("long")).as("s_inc"))
+        val qr = reb.agg(
+          sum(round(col("d2") * 1000000).cast("long")).as("s_reb"))
+        val counts = emb.agg(count(lit(1)).as("n_vectors"),
+          sum(when(col("vec_id") % 5 =!= 4, 1L).otherwise(0L)).as("n_history"))
+        val probes = IvfPq.probeResiduals(emb.where(col("vec_id") < 10),
+            "vec_id", "embedding", cc, nprobe = 2)
+          .localCheckpoint() // both ADC sides read it
+        val adcM = IvfPq.searchAdc(probes, inc, cb, m = 4, k = 5)
+          .select("q_id", "cand_id")
+        val adcR = IvfPq.searchAdc(probes, reb, cbReb, m = 4, k = 5)
+          .select("q_id", "cand_id")
+        val q = emb.where(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+        val exact = Knn.topKSelect(
+            broadcast(q).join(emb, col("vec_id") =!= col("q_id"))
+              .select(col("q_id"),
+                (-Pq.sqdist(col("qv"), col("embedding"))).as("sim"),
+                col("vec_id").as("cand_id")),
+            org.apache.spark.sql.types.LongType, 5)
+          .select("q_id", "cand_id").localCheckpoint() // 2 hit joins read it
+        val hm = adcM.join(exact, Seq("q_id", "cand_id"))
+          .agg(count(lit(1)).as("hits_maintained"))
+        val hr = adcR.join(exact, Seq("q_id", "cand_id"))
+          .agg(count(lit(1)).as("hits_rebuilt"))
+        val nb = exact.agg(count(lit(1)).as("n_brute"))
+        counts.crossJoin(qs).crossJoin(qr).crossJoin(drift)
+          .crossJoin(hm).crossJoin(hr).crossJoin(nb)
+          .select(col("n_vectors"), col("n_history"),
+            (col("n_vectors") - col("n_history")).as("n_delta"),
+            col("drift"), (col("drift") === 0).as("drift_ok"),
+            round(col("s_inc").cast("double") / lit(1000000.0) / col("n"), 6)
+              .as("mqe_maintained"),
+            round(col("s_reb").cast("double") / lit(1000000.0) / col("n"), 6)
+              .as("mqe_rebuilt"),
+            (lit(4L) * col("s_inc") <= lit(5L) * col("s_reb")).as("fit_ok"),
+            col("hits_maintained"), col("hits_rebuilt"), col("n_brute"),
+            round(col("hits_maintained").cast("double") / col("n_brute"), 6)
+              .as("recall_maintained"),
+            round(col("hits_rebuilt").cast("double") / col("n_brute"), 6)
+              .as("recall_rebuilt"),
+            (col("hits_maintained") * 5 >= col("hits_rebuilt") * 5 - col("n_brute"))
+              .as("recall_ok"))
       })
   )
 
-  /** q266 runs in a FRESH state dir per execution (see the query doc);
-    * this counter is what makes "fresh" true within one JVM.
+  /** q266/q267/q270 run in a FRESH state dir per execution (see the
+    * query docs); this counter is what makes "fresh" true within one
+    * JVM.
     */
   private val q266Runs = new java.util.concurrent.atomic.AtomicLong()
 

@@ -918,6 +918,19 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!plans.exists { case _: CartesianProductExec => true; case _ => false })
   }
 
+  test("q270 IVF-PQ maintain: broadcast codebooks + bucket equi-joins — no cartesian, no global window") {
+    val plans = allExecutedPlans("q270_ivfpq_maintain")
+    assert(!plans.exists { case _: CartesianProductExec => true; case _ => false },
+      "coarse scoring and ADC must broadcast the small side, never cartesian")
+    val globals = plans.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+        if w.partitionSpec.isEmpty => w
+    }
+    assert(globals.isEmpty,
+      "routing/encoding are mergeable argmins; only the bounded probe " +
+        "set may window, partitioned by q_id")
+  }
+
   test("q220 Kaplan-Meier: day-domain windows only, corpus collapses first") {
     val plan = collectAll(executed(q("q220_kaplan_meier")))
     val aggs = plan.filter(_.nodeName.contains("HashAggregate")).map(_.toString)
