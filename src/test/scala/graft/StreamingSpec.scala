@@ -1228,6 +1228,37 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("mSPRT monitor isolates concurrent experiments' state by key") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[graft.streaming.ArmDay]
+    val q = EventStreams.msprtMonitor(input.toDS())
+      .writeStream.format("memory").queryName("msprt_multi")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      // expA: strong effect; expB: perfect null — interleaved arrivals
+      input.addData(
+        graft.streaming.ArmDay("expA", 1L, 80L, 8L, 80L, 40L),
+        graft.streaming.ArmDay("expB", 1L, 80L, 20L, 80L, 20L))
+      q.processAllAvailable()
+      input.addData(
+        graft.streaming.ArmDay("expB", 2L, 80L, 20L, 80L, 20L),
+        graft.streaming.ArmDay("expA", 2L, 80L, 8L, 80L, 40L))
+      q.processAllAvailable()
+      val got = spark.table("msprt_multi")
+        .as[graft.streaming.MsprtPoint].collect()
+      val a = got.filter(_.exp == "expA").sortBy(_.d)
+      val b = got.filter(_.exp == "expB").sortBy(_.d)
+      assert(a.map(_.n_a).toSeq === Seq(80L, 160L)
+        && b.map(_.n_a).toSeq === Seq(80L, 160L),
+        "each experiment accumulates its own counts")
+      assert(a.last.reject, s"the strong effect must reject: p=${a.last.p_always_valid}")
+      assert(!b.last.reject && b.last.p_always_valid === 1.0,
+        s"the perfect null must not be dragged down by expA's state: " +
+          s"p=${b.last.p_always_valid}")
+    } finally q.stop()
+  }
+
   test("CUSUM monitor drops late days and unknown types") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[graft.streaming.DailyCount]
