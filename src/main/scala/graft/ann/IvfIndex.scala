@@ -44,11 +44,15 @@ import org.apache.spark.sql.functions._
   * recall comparison on a bounded query set. When the gate trips, run
   * [[build]] again (the periodic rebuild) — not every batch.
   *
-  * Replay: a segment append is NOT idempotent (re-delivering a delta
-  * duplicates its rows, like SketchState's histogram member) —
-  * exactly-once delta delivery is the caller's contract; IvfIndexSpec
-  * pins the duplicate-on-replay behavior. A [[build]] interrupted
-  * before its marker leaves the previous index intact; re-run it.
+  * Replay: a refresh carrying a caller-supplied `deltaId` is
+  * IDEMPOTENT — the id rides in the commit marker and a re-delivered
+  * id is a no-op (the protocol-level guard [[IndexSegments]] provides;
+  * IvfIndexSpec pins it). An ID-LESS refresh keeps additive append
+  * semantics (re-delivering duplicates its rows, like SketchState's
+  * histogram member — exactly-once delivery is then the caller's
+  * contract). A [[build]] interrupted before its marker leaves the
+  * previous index intact; re-run it. [[delete]] tombstones ids;
+  * [[compact]] folds the segment tail and excises tombstones.
   */
 object IvfIndex {
 
@@ -105,22 +109,54 @@ object IvfIndex {
     * (frozen) centroids and commit (same centroids, delta segment) as
     * a DELTA version. One broadcast join over the delta — the history
     * segments are not read, let alone re-routed.
+    *
+    * `deltaId` (optional) makes the refresh REPLAY-IDEMPOTENT: the id
+    * rides in the commit marker (`delta:<id>`), and re-delivering an
+    * id already committed on the current read horizon is a no-op
+    * returning the existing version. An id-less refresh keeps the
+    * additive append semantics (exactly-once delivery is then the
+    * caller's contract — both behaviors pinned in IvfIndexSpec).
     */
   def refresh(delta: DataFrame, idCol: String, vecCol: String,
-              stateDir: String): Long = {
+              stateDir: String, deltaId: String = ""): Long = {
     val spark = delta.sparkSession
     val prev = VersionedState.currentVersion(spark, stateDir)
     require(prev.nonEmpty,
       s"no committed index at $stateDir — run build() before refresh()")
+    IndexSegments.alreadyDelivered(spark, stateDir, deltaId) match {
+      case Some(v) => return v // replayed delta: already committed
+      case None    =>
+    }
     val stored = spark.read.parquet(
       s"${VersionedState.versionPath(stateDir, prev.get)}/centroids")
-    VersionedState.commit(spark, stateDir, prev, label = "delta") { vdir =>
+    VersionedState.commit(spark, stateDir, prev,
+      label = IndexSegments.deltaLabel(deltaId)) { vdir =>
       stored.write.mode("overwrite").parquet(s"$vdir/centroids")
       assignTo(delta, idCol, vecCol,
           spark.read.parquet(s"$vdir/centroids"))
         .write.mode("overwrite").parquet(s"$vdir/segment")
     }
   }
+
+  /** Delete `ids` (first column) from the live index: commits a
+    * TOMBSTONE version (centroids carried forward + the id table).
+    * Earlier segments' rows for those ids vanish from
+    * [[assignments]]; a later [[refresh]] may re-add an id (the
+    * delete-then-refresh ordering q272 gates). Physical excision
+    * happens at the next [[compact]].
+    */
+  def delete(ids: DataFrame, stateDir: String): Long =
+    IndexSegments.commitTombstone(ids, stateDir, Seq("centroids"))
+
+  /** Fold every segment since the last base into ONE `base-compact`
+    * version — centroids copied, NO retrain (assignments are immutable
+    * under frozen centroids), tombstoned rows physically excised — and
+    * GC the folded versions. Bounds [[assignments]]' segment fan-out
+    * and the driver-side marker reads; q271 gates
+    * `compacted ≡ pre-compaction union` hash-exact.
+    */
+  def compact(spark: SparkSession, stateDir: String): Long =
+    IndexSegments.compact(spark, stateDir, Seq("centroids"))
 
   /** The live centroid table, or None before the first build. */
   def centroids(spark: SparkSession, stateDir: String): Option[DataFrame] =
@@ -129,17 +165,11 @@ object IvfIndex {
     }
 
   /** The live assignment relation — the union of every segment from
-    * the latest BASE version onward (all routed against the same
-    * frozen centroid table, by the commit pairing).
+    * the latest base (`base`/`base-compact`) onward, minus tombstoned
+    * rows (all segments routed against the same frozen centroid table,
+    * by the commit pairing; ordering semantics in
+    * [[IndexSegments.live]]).
     */
-  def assignments(spark: SparkSession, stateDir: String): Option[DataFrame] = {
-    val cs = VersionedState.committed(spark, stateDir)
-    if (cs.isEmpty) return None
-    val lastBase = cs.filter(_._2 == "base").map(_._1).maxOption.getOrElse(
-      throw new IllegalStateException(
-        s"$stateDir has committed versions but no base — corrupt index state"))
-    val segs = cs.map(_._1).filter(_ >= lastBase)
-      .map(n => s"${VersionedState.versionPath(stateDir, n)}/segment")
-    Some(spark.read.parquet(segs: _*))
-  }
+  def assignments(spark: SparkSession, stateDir: String): Option[DataFrame] =
+    IndexSegments.live(spark, stateDir)
 }

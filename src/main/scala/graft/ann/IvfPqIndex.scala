@@ -44,8 +44,13 @@ object IvfPqIndex {
       coarse.write.mode("overwrite").parquet(s"$vdir/coarse")
       val cc = spark.read.parquet(s"$vdir/coarse")
       val res = IvfPq.residuals(emb, idCol, vecCol, cc).localCheckpoint()
-      Pq.trainCodebooks(res, "id", "rv", m, seedPred, iters)
-        .write.mode("overwrite").parquet(s"$vdir/codebooks")
+      val trained = Pq.trainCodebooks(res, "id", "rv", m, seedPred, iters)
+      // dial-sized (m·k rows); empty means seedPred matched no residual
+      // rows — fail before committing an unusable index
+      require(trained.head(1).nonEmpty,
+        s"trained residual codebook table is empty (seedPred matched no " +
+          s"rows) — refusing to commit an unusable index to $stateDir")
+      trained.write.mode("overwrite").parquet(s"$vdir/codebooks")
       val cb = spark.read.parquet(s"$vdir/codebooks")
       Pq.assign(Pq.subvectors(res, "id", "rv", m), cb)
         .join(res.select("id", "bid"), "id")
@@ -56,18 +61,29 @@ object IvfPqIndex {
   /** Incremental refresh: route + encode ONLY `delta` against the
     * stored coarse table and codebooks (m recovered from the codebook
     * table) and commit as a DELTA version carrying both forward.
+    * `deltaId` (optional) makes the refresh replay-idempotent
+    * ([[IvfIndex.refresh]]'s contract, shared via [[IndexSegments]]).
     */
   def refresh(delta: DataFrame, idCol: String, vecCol: String,
-              stateDir: String): Long = {
+              stateDir: String, deltaId: String = ""): Long = {
     val spark = delta.sparkSession
     val prev = VersionedState.currentVersion(spark, stateDir)
     require(prev.nonEmpty,
       s"no committed index at $stateDir — run build() before refresh()")
+    IndexSegments.alreadyDelivered(spark, stateDir, deltaId) match {
+      case Some(v) => return v // replayed delta: already committed
+      case None    =>
+    }
     val pdir = VersionedState.versionPath(stateDir, prev.get)
     val coarseStored = spark.read.parquet(s"$pdir/coarse")
     val cbStored = spark.read.parquet(s"$pdir/codebooks")
-    val m = cbStored.agg(max("sub")).head().getInt(0) + 1
-    VersionedState.commit(spark, stateDir, prev, label = "delta") { vdir =>
+    val mRow = cbStored.agg(max("sub")).head()
+    require(!mRow.isNullAt(0),
+      s"stored codebook table at $stateDir is empty — the index is " +
+        "unusable; run build() with a non-empty seed set")
+    val m = mRow.getInt(0) + 1
+    VersionedState.commit(spark, stateDir, prev,
+      label = IndexSegments.deltaLabel(deltaId)) { vdir =>
       coarseStored.write.mode("overwrite").parquet(s"$vdir/coarse")
       cbStored.write.mode("overwrite").parquet(s"$vdir/codebooks")
       val res = IvfPq.residuals(delta, idCol, vecCol,
@@ -92,16 +108,26 @@ object IvfPqIndex {
     }
 
   /** The live code table (id, bid, sub, code, d2) — the union of every
-    * segment from the latest BASE version onward.
+    * segment from the latest base (`base`/`base-compact`) onward,
+    * minus tombstoned rows (ordering semantics in
+    * [[IndexSegments.live]]).
     */
-  def codes(spark: SparkSession, stateDir: String): Option[DataFrame] = {
-    val cs = VersionedState.committed(spark, stateDir)
-    if (cs.isEmpty) return None
-    val lastBase = cs.filter(_._2 == "base").map(_._1).maxOption.getOrElse(
-      throw new IllegalStateException(
-        s"$stateDir has committed versions but no base — corrupt index state"))
-    val segs = cs.map(_._1).filter(_ >= lastBase)
-      .map(n => s"${VersionedState.versionPath(stateDir, n)}/segment")
-    Some(spark.read.parquet(segs: _*))
-  }
+  def codes(spark: SparkSession, stateDir: String): Option[DataFrame] =
+    IndexSegments.live(spark, stateDir)
+
+  /** Delete `ids` (first column) from the live code table via a
+    * TOMBSTONE version (coarse table + codebooks carried forward);
+    * physical excision at the next [[compact]].
+    */
+  def delete(ids: DataFrame, stateDir: String): Long =
+    IndexSegments.commitTombstone(ids, stateDir, Seq("coarse", "codebooks"))
+
+  /** Fold every code segment since the last base into ONE
+    * `base-compact` version — ONE marker still covers coarse +
+    * codebooks + segment, so a crash mid-compaction can never mix
+    * folded codes with a half-copied quantizer — and GC the folded
+    * versions.
+    */
+  def compact(spark: SparkSession, stateDir: String): Long =
+    IndexSegments.compact(spark, stateDir, Seq("coarse", "codebooks"))
 }

@@ -43,6 +43,12 @@ object PqIndex {
             stateDir: String): Long = {
     val spark = emb.sparkSession
     val cb = Pq.trainCodebooks(emb, idCol, vecCol, m, seedPred, iters)
+    // dial-sized table (m·k rows); an empty one means seedPred matched
+    // nothing — fail HERE with a clear message, not in the first
+    // refresh's m-recovery
+    require(cb.head(1).nonEmpty,
+      s"trained codebook table is empty (seedPred matched no rows) — " +
+        s"refusing to commit an unusable index to $stateDir")
     val prev = VersionedState.currentVersion(spark, stateDir)
     val next = prev.getOrElse(0L) + 1L
     VersionedState.commit(spark, stateDir, prev, label = "base",
@@ -58,24 +64,49 @@ object PqIndex {
     * (frozen) codebooks — m is recovered from the codebook table
     * itself, so refresh callers cannot desynchronize the dial — and
     * commit (same codebooks, delta segment) as a DELTA version.
+    * `deltaId` (optional) makes the refresh replay-idempotent
+    * ([[IvfIndex.refresh]]'s contract, shared via [[IndexSegments]]).
     */
   def refresh(delta: DataFrame, idCol: String, vecCol: String,
-              stateDir: String): Long = {
+              stateDir: String, deltaId: String = ""): Long = {
     val spark = delta.sparkSession
     val prev = VersionedState.currentVersion(spark, stateDir)
     require(prev.nonEmpty,
       s"no committed index at $stateDir — run build() before refresh()")
+    IndexSegments.alreadyDelivered(spark, stateDir, deltaId) match {
+      case Some(v) => return v // replayed delta: already committed
+      case None    =>
+    }
     val stored = spark.read.parquet(
       s"${VersionedState.versionPath(stateDir, prev.get)}/codebooks")
     // bounded collect: the codebook table is m·k rows by construction
-    val m = stored.agg(max("sub")).head().getInt(0) + 1
-    VersionedState.commit(spark, stateDir, prev, label = "delta") { vdir =>
+    val mRow = stored.agg(max("sub")).head()
+    require(!mRow.isNullAt(0),
+      s"stored codebook table at $stateDir is empty — the index is " +
+        "unusable; run build() with a non-empty seed set")
+    val m = mRow.getInt(0) + 1
+    VersionedState.commit(spark, stateDir, prev,
+      label = IndexSegments.deltaLabel(deltaId)) { vdir =>
       stored.write.mode("overwrite").parquet(s"$vdir/codebooks")
       Pq.assign(Pq.subvectors(delta, idCol, vecCol, m),
           spark.read.parquet(s"$vdir/codebooks"))
         .write.mode("overwrite").parquet(s"$vdir/segment")
     }
   }
+
+  /** Delete `ids` (first column) from the live code table via a
+    * TOMBSTONE version (codebooks carried forward); physical excision
+    * at the next [[compact]]. Semantics in [[IndexSegments]].
+    */
+  def delete(ids: DataFrame, stateDir: String): Long =
+    IndexSegments.commitTombstone(ids, stateDir, Seq("codebooks"))
+
+  /** Fold every code segment since the last base into ONE
+    * `base-compact` version (codebooks copied, no retrain, tombstones
+    * excised) and GC the folded versions.
+    */
+  def compact(spark: SparkSession, stateDir: String): Long =
+    IndexSegments.compact(spark, stateDir, Seq("codebooks"))
 
   /** The live codebook table, or None before the first build. */
   def codebooks(spark: SparkSession, stateDir: String): Option[DataFrame] =
@@ -84,17 +115,10 @@ object PqIndex {
     }
 
   /** The live code table — the union of every segment from the latest
-    * BASE version onward (all encoded against the same frozen
-    * codebooks, by the commit pairing).
+    * base (`base`/`base-compact`) onward, minus tombstoned rows (all
+    * encoded against the same frozen codebooks, by the commit pairing;
+    * ordering semantics in [[IndexSegments.live]]).
     */
-  def codes(spark: SparkSession, stateDir: String): Option[DataFrame] = {
-    val cs = VersionedState.committed(spark, stateDir)
-    if (cs.isEmpty) return None
-    val lastBase = cs.filter(_._2 == "base").map(_._1).maxOption.getOrElse(
-      throw new IllegalStateException(
-        s"$stateDir has committed versions but no base — corrupt index state"))
-    val segs = cs.map(_._1).filter(_ >= lastBase)
-      .map(n => s"${VersionedState.versionPath(stateDir, n)}/segment")
-    Some(spark.read.parquet(segs: _*))
-  }
+  def codes(spark: SparkSession, stateDir: String): Option[DataFrame] =
+    IndexSegments.live(spark, stateDir)
 }

@@ -46,9 +46,19 @@ object DpRelease {
     (conv(substring(md5(seed), 1, 12), 16, 10).cast("long").cast("double")
       + lit(0.5)) / lit(TwoPow48.toDouble)
 
-  /** Inverse-CDF Laplace(scale = b) noise from a uniform in (0, 1). */
+  /** Inverse-CDF Laplace(scale = b) noise from a uniform in (0, 1).
+    * The uniform is clamped to [1e-15, 1 − 1e-15] first: Spark's
+    * `rand()` ranges [0, 1), and an exact-0 draw would make
+    * log(1 − 2·|u − ½|) = log 0 = −∞ — an infinite "noisy" release.
+    * The clamp caps |noise| at b·ln(1e15) ≈ 34.5·b (beyond the 1-in-
+    * 10^15 tail, indistinguishable from the true distribution) and is
+    * a NO-OP for [[seededUniform]], whose smallest reachable value is
+    * 0.5/2^48 ≈ 1.78e-15 > 1e-15 — the replay oracle's outputs are
+    * untouched.
+    */
   def laplaceNoise(u: Column, b: Column): Column = {
-    val s = u - lit(0.5)
+    val uc = greatest(least(u, lit(1.0 - 1e-15)), lit(1e-15))
+    val s = uc - lit(0.5)
     -b * signum(s) * log(lit(1.0) - lit(2.0) * abs(s))
   }
 
@@ -74,9 +84,11 @@ object DpRelease {
 
   /** PRODUCTION release: same mechanism and accounting, but the
     * per-row uniform comes from `entropy` — a column the CALLER
-    * guarantees is (a) uniform in (0, 1) per output row and (b) drawn
-    * from randomness the adversary cannot know (e.g. `rand()` with no
-    * seed, or hardware entropy ingested as a column). There is no
+    * guarantees is (a) uniform on the unit interval per output row and
+    * (b) drawn from randomness the adversary cannot know (e.g.
+    * `rand()` with no seed — its [0, 1) endpoint is safe, because
+    * [[laplaceNoise]] clamps the uniform away from 0 and 1 — or
+    * hardware entropy ingested as a column). There is no
     * seed-string overload of this path by design: a release whose
     * noise can be replayed can be subtracted, and an API that accepts
     * a seed looks exactly like one that doesn't until the breach.

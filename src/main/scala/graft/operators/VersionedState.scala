@@ -101,22 +101,52 @@ object VersionedState {
             (write: String => Unit): Long = {
     val (fs, root) = fsOf(spark, stateDir)
     val next = prev.getOrElse(0L) + 1L
+    val commits = new Path(root, "commits")
+    // fail FAST if this version is already committed — a second writer
+    // with a stale `prev` must never touch an already-committed
+    // version's payload (the create-exclusive below still guards the
+    // race where both writers pass this check; this check guarantees
+    // the COMMON stale-prev case leaves the committed payload unread
+    // and unwritten)
+    if (fs.exists(new Path(commits, next.toString)))
+      throw new IllegalStateException(
+        s"version $next already exists (committed) under $stateDir — a " +
+          "second writer committed it; refusing to touch its payload. " +
+          "Re-read currentVersion and retry with a fresh prev.")
     // the writer targets a fresh dir; a half-written leftover of a
     // crashed attempt at this same (uncommitted) version is cleared
     // first — it was never committed, nothing is lost
     val vdir = new Path(versionPath(stateDir, next))
     if (fs.exists(vdir)) fs.delete(vdir, true)
     write(vdir.toString)
-    val commits = new Path(root, "commits")
     fs.mkdirs(commits)
     // create-exclusive IS the commit point; an existing marker means a
     // second writer committed this version — surface, don't clobber
     val out = fs.create(new Path(commits, next.toString), false)
     try out.write(label.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    // GC order: payload FIRST, marker second — a crash between the two
+    // leaves a marker whose payload is gone (retried by the next GC
+    // pass, which iterates markers), never a marker-less payload that
+    // no later pass would ever reclaim
     for ((old, _) <- committed(spark, stateDir) if old < gcBelow && old != next) {
-      fs.delete(new Path(commits, old.toString), false)
       fs.delete(new Path(versionPath(stateDir, old)), true)
+      fs.delete(new Path(commits, old.toString), false)
+    }
+    // sweep marker-less version dirs below the GC floor (crashed
+    // attempts at versions that were later superseded; invisible to
+    // readers, but they leak disk forever if nobody deletes them)
+    if (gcBelow > Long.MinValue) {
+      fs.listStatus(root).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("v") && n.drop(1).forall(_.isDigit)) {
+          n.drop(1).toLongOption.foreach { v =>
+            if (v < gcBelow && v != next &&
+                !fs.exists(new Path(commits, v.toString)))
+              fs.delete(st.getPath, true)
+          }
+        }
+      }
     }
     next
   }

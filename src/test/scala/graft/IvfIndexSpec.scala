@@ -84,8 +84,29 @@ class IvfIndexSpec extends SparkTestBase {
       "the next refresh must overwrite the torn attempt and commit")
   }
 
-  test("replaying a delta duplicates its rows — the documented non-idempotence") {
+  test("replaying a delta WITH a delta id is a no-op — the protocol-level guard") {
     val dir = freshDir("replay")
+    IvfIndex.build(vecs(0 until 20), "vec_id", "embedding",
+      col("vec_id") % 10 === 0, iters = 1, dir)
+    val v1 = IvfIndex.refresh(vecs(20 until 25), "vec_id", "embedding", dir,
+      deltaId = "batch-0042")
+    // crash-replay: the same batch re-delivered must NOT re-commit
+    val v2 = IvfIndex.refresh(vecs(20 until 25), "vec_id", "embedding", dir,
+      deltaId = "batch-0042")
+    assert(v2 === v1, "a replayed delta id returns the existing version")
+    assert(IvfIndex.assignments(spark, dir).get
+      .where(col("id") >= 20).count() === 5L,
+      "replay must not duplicate the delta's rows")
+    assert(VersionedState.committed(spark, dir).map(_._2) ===
+      Seq("base", "delta:batch-0042"))
+    // a DIFFERENT id is a genuinely new batch and commits
+    IvfIndex.refresh(vecs(25 until 28), "vec_id", "embedding", dir,
+      deltaId = "batch-0043")
+    assert(IvfIndex.assignments(spark, dir).get.count() === 28L)
+  }
+
+  test("replaying an ID-LESS delta duplicates its rows — the documented append semantics") {
+    val dir = freshDir("replayless")
     IvfIndex.build(vecs(0 until 20), "vec_id", "embedding",
       col("vec_id") % 10 === 0, iters = 1, dir)
     IvfIndex.refresh(vecs(20 until 25), "vec_id", "embedding", dir)
@@ -93,7 +114,102 @@ class IvfIndexSpec extends SparkTestBase {
     val n = IvfIndex.assignments(spark, dir).get
       .where(col("id") >= 20).count()
     assert(n === 10L,
-      "segment append is additive; exactly-once delivery is the caller's job")
+      "id-less segment append is additive; exactly-once delivery is the caller's job")
+  }
+
+  test("compact folds the segment tail into one base-compact version, hash-exact") {
+    val dir = freshDir("compact")
+    IvfIndex.build(vecs(0 until 30), "vec_id", "embedding",
+      col("vec_id") % 10 === 0, iters = 2, dir)
+    IvfIndex.refresh(vecs(30 until 40), "vec_id", "embedding", dir, "d1")
+    IvfIndex.refresh(vecs(40 until 45), "vec_id", "embedding", dir, "d2")
+    val before = IvfIndex.assignments(spark, dir).get
+      .select("id", "centroid_id", "cs").as[(Long, Long, Double)]
+      .collect().toSet
+    val centsBefore = IvfIndex.centroids(spark, dir).get
+      .as[(Long, Seq[Float])].collect().toMap
+    assert(VersionedState.committed(spark, dir).size === 3)
+
+    IvfIndex.compact(spark, dir)
+
+    // ONE committed version left; content and centroids bit-identical
+    assert(VersionedState.committed(spark, dir).map(_._2) === Seq("base-compact"),
+      "compaction must leave exactly one live version")
+    assert(IvfIndex.assignments(spark, dir).get
+      .select("id", "centroid_id", "cs").as[(Long, Long, Double)]
+      .collect().toSet === before,
+      "compacted ≡ pre-compaction union, value-exact")
+    assert(IvfIndex.centroids(spark, dir).get
+      .as[(Long, Seq[Float])].collect().toMap === centsBefore,
+      "compaction must not move centroids (no retrain)")
+    // folded payloads are GC'd from disk
+    assert(!new java.io.File(VersionedState.versionPath(dir, 1L)).exists)
+    assert(!new java.io.File(VersionedState.versionPath(dir, 2L)).exists)
+
+    // maintenance continues on the compacted base: refresh then restart-read
+    IvfIndex.refresh(vecs(45 until 50), "vec_id", "embedding", dir, "d3")
+    assert(VersionedState.committed(spark, dir).size === 2,
+      "post-compaction state is one base + one delta")
+    assert(IvfIndex.assignments(spark, dir).get.count() === 50L)
+    // a replayed PRE-compaction delta id: compaction GC'd its marker,
+    // so the guard's window is the current horizon — re-delivery
+    // appends (the documented horizon-scoped contract)
+    IvfIndex.refresh(vecs(40 until 45), "vec_id", "embedding", dir, "d2")
+    assert(IvfIndex.assignments(spark, dir).get.count() === 55L,
+      "a pre-compaction delta id is outside the replay guard's horizon")
+  }
+
+  test("compacting a lone base is a no-op (already compact)") {
+    val dir = freshDir("compactnoop")
+    IvfIndex.build(vecs(0 until 20), "vec_id", "embedding",
+      col("vec_id") % 10 === 0, iters = 1, dir)
+    val v = IvfIndex.compact(spark, dir)
+    assert(v === 1L)
+    assert(VersionedState.committed(spark, dir).map(_._2) === Seq("base"))
+  }
+
+  test("delete tombstones ids; delete-then-refresh re-adds; compact excises physically") {
+    val dir = freshDir("tomb")
+    IvfIndex.build(vecs(0 until 30), "vec_id", "embedding",
+      col("vec_id") % 10 === 0, iters = 1, dir)
+    IvfIndex.refresh(vecs(30 until 40), "vec_id", "embedding", dir, "d1")
+    // dedup decided ids 5,6,35 are duplicates — excise them
+    IvfIndex.delete(Seq(5L, 6L, 35L).toDF("vec_id"), dir)
+    val live = IvfIndex.assignments(spark, dir).get
+    assert(live.count() === 37L)
+    assert(live.where(col("id").isin(5L, 6L, 35L)).count() === 0L,
+      "tombstoned ids must vanish from the live relation")
+    // delete-then-refresh ORDERING: re-adding id 5 after the delete
+    // must survive (the tombstone only kills EARLIER segments)
+    IvfIndex.refresh(vecs(5 until 6), "vec_id", "embedding", dir, "readd-5")
+    val live2 = IvfIndex.assignments(spark, dir).get
+    assert(live2.count() === 38L)
+    assert(live2.where(col("id") === 5L).count() === 1L,
+      "a refresh AFTER the delete re-adds the id")
+    assert(live2.where(col("id").isin(6L, 35L)).count() === 0L)
+    // compaction physically excises the tombstoned rows and drops the
+    // tombstone version itself
+    IvfIndex.compact(spark, dir)
+    assert(VersionedState.committed(spark, dir).map(_._2) === Seq("base-compact"))
+    val live3 = IvfIndex.assignments(spark, dir).get
+    assert(live3.count() === 38L)
+    assert(live3.where(col("id").isin(6L, 35L)).count() === 0L)
+    assert(live3.where(col("id") === 5L).count() === 1L)
+  }
+
+  test("deleting an id twice and re-adding between: the LATEST tombstone decides") {
+    val dir = freshDir("tombtwice")
+    IvfIndex.build(vecs(0 until 20), "vec_id", "embedding",
+      col("vec_id") % 10 === 0, iters = 1, dir)
+    IvfIndex.delete(Seq(7L).toDF("vec_id"), dir)        // v2: kill 7
+    IvfIndex.refresh(vecs(7 until 8), "vec_id", "embedding", dir, "r1") // v3: re-add
+    IvfIndex.delete(Seq(7L).toDF("vec_id"), dir)        // v4: kill again
+    assert(IvfIndex.assignments(spark, dir).get
+      .where(col("id") === 7L).count() === 0L,
+      "the second tombstone must kill the re-added segment too")
+    IvfIndex.refresh(vecs(7 until 8), "vec_id", "embedding", dir, "r2") // v5
+    assert(IvfIndex.assignments(spark, dir).get
+      .where(col("id") === 7L).count() === 1L)
   }
 
   test("an EMPTY delta refresh commits harmlessly (the quiet-ingest-window case)") {

@@ -74,4 +74,36 @@ class IvfPqIndexSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("build"))
   }
+
+  test("delta-id replay is a no-op; compact folds coarse+codebooks+segment under ONE marker") {
+    val dir = freshDir("compact")
+    val hist = vecs(0 until 30)
+    IvfPqIndex.build(hist, "vec_id", "embedding", coarseOf(hist),
+      2, col("id") < 4, 1, dir)
+    val v1 = IvfPqIndex.refresh(vecs(30 until 40), "vec_id", "embedding", dir, "d1")
+    assert(IvfPqIndex.refresh(vecs(30 until 40), "vec_id", "embedding",
+      dir, "d1") === v1, "replayed delta id must be a no-op")
+    IvfPqIndex.delete(Seq(2L, 31L).toDF("vec_id"), dir)
+    val before = IvfPqIndex.codes(spark, dir).get
+      .select("id", "bid", "sub", "code")
+      .as[(Long, Long, Int, Long)].collect().toSet
+    assert(!before.exists(r => r._1 == 2L || r._1 == 31L))
+    val coarseBefore = IvfPqIndex.coarse(spark, dir).get
+      .as[(Long, Seq[Float])].collect().toSet
+    val cbBefore = IvfPqIndex.codebooks(spark, dir).get
+      .as[(Int, Long, Seq[Float])].collect().toSet
+    IvfPqIndex.compact(spark, dir)
+    assert(VersionedState.committed(spark, dir).map(_._2) === Seq("base-compact"))
+    assert(IvfPqIndex.codes(spark, dir).get
+      .select("id", "bid", "sub", "code")
+      .as[(Long, Long, Int, Long)].collect().toSet === before,
+      "compacted ≡ pre-compaction live relation")
+    assert(IvfPqIndex.coarse(spark, dir).get
+      .as[(Long, Seq[Float])].collect().toSet === coarseBefore)
+    assert(IvfPqIndex.codebooks(spark, dir).get
+      .as[(Int, Long, Seq[Float])].collect().toSet === cbBefore)
+    // maintenance continues against the compacted base (m recovered)
+    IvfPqIndex.refresh(vecs(40 until 44), "vec_id", "embedding", dir, "d2")
+    assert(IvfPqIndex.codes(spark, dir).get.count() === (38L + 4L) * 2)
+  }
 }

@@ -59,14 +59,44 @@ class PqIndexSpec extends SparkTestBase {
     assert(VersionedState.committed(spark, dir).map(_._2) === Seq("base"))
   }
 
-  test("replaying a delta duplicates its rows — the documented non-idempotence") {
+  test("replaying an id-less delta duplicates; a delta id makes replay a no-op") {
     val dir = freshDir("replay")
     PqIndex.build(vecs(0 until 20), "vec_id", "embedding", 2,
       col("vec_id") < 4, 1, dir)
     PqIndex.refresh(vecs(20 until 25), "vec_id", "embedding", dir)
     PqIndex.refresh(vecs(20 until 25), "vec_id", "embedding", dir)
     assert(PqIndex.codes(spark, dir).get.where(col("id") >= 20).count() === 20L,
-      "segment append is additive; exactly-once delivery is the caller's job")
+      "id-less segment append is additive; exactly-once delivery is the caller's job")
+    val v1 = PqIndex.refresh(vecs(25 until 30), "vec_id", "embedding", dir, "b7")
+    val v2 = PqIndex.refresh(vecs(25 until 30), "vec_id", "embedding", dir, "b7")
+    assert(v2 === v1)
+    assert(PqIndex.codes(spark, dir).get.where(col("id") >= 25).count() === 10L,
+      "a replayed delta id must not duplicate the delta's codes")
+  }
+
+  test("delete tombstones; compact folds to one base-compact, excising tombstones") {
+    val dir = freshDir("compact")
+    PqIndex.build(vecs(0 until 30), "vec_id", "embedding", 2,
+      col("vec_id") < 4, 2, dir)
+    PqIndex.refresh(vecs(30 until 40), "vec_id", "embedding", dir, "d1")
+    PqIndex.delete(Seq(3L, 33L).toDF("vec_id"), dir)
+    val before = PqIndex.codes(spark, dir).get
+      .select("id", "sub", "code").as[(Long, Int, Long)].collect().toSet
+    assert(!before.exists(r => r._1 == 3L || r._1 == 33L))
+    assert(before.map(_._1).size === 38)
+    val cbBefore = PqIndex.codebooks(spark, dir).get
+      .as[(Int, Long, Seq[Float])].collect().toSet
+    PqIndex.compact(spark, dir)
+    assert(VersionedState.committed(spark, dir).map(_._2) === Seq("base-compact"))
+    assert(PqIndex.codes(spark, dir).get
+      .select("id", "sub", "code").as[(Long, Int, Long)].collect().toSet === before,
+      "compacted ≡ pre-compaction live relation, value-exact")
+    assert(PqIndex.codebooks(spark, dir).get
+      .as[(Int, Long, Seq[Float])].collect().toSet === cbBefore,
+      "compaction must not move codebooks (no retrain)")
+    // maintenance continues: m is still recoverable from the compacted base
+    PqIndex.refresh(vecs(40 until 45), "vec_id", "embedding", dir, "d2")
+    assert(PqIndex.codes(spark, dir).get.count() === (38L + 5L) * 2)
   }
 
   test("an EMPTY delta refresh commits harmlessly (the quiet-ingest-window case)") {

@@ -34,16 +34,52 @@ class VersionedStateSpec extends SparkTestBase {
     val dir = freshDir("writers")
     commitOne(dir, None, "base")
     // writer B commits version 2 while writer A still believes prev = 1
-    commitOne(dir, Some(1L), "delta")
-    // writer A's attempt at version 2 must FAIL at the commit point —
-    // its payload write is to the same (already committed) v2, and the
-    // marker's create-exclusive refuses to clobber
-    val e = intercept[Exception] { commitOne(dir, Some(1L), "delta") }
+    VersionedState.commit(spark, dir, Some(1L), "delta") { vdir =>
+      spark.range(100, 107).write.mode("overwrite").parquet(vdir)
+    }
+    // writer A's attempt at version 2 must FAIL BEFORE touching v2's
+    // payload — a stale-prev writer that clobbered the committed
+    // payload and only then failed at the marker would leave the
+    // marker pointing at the stale writer's (possibly torn) data
+    val e = intercept[Exception] {
+      VersionedState.commit(spark, dir, Some(1L), "delta") { vdir =>
+        spark.range(5).write.mode("overwrite").parquet(vdir) // writer A's rows
+      }
+    }
     assert(e.isInstanceOf[java.io.IOException]
         || e.getMessage.toLowerCase.contains("exist"),
-      s"expected the marker create to refuse, got: $e")
-    // and the committed history is writer B's, intact
+      s"expected the commit to refuse, got: $e")
+    // the committed history is writer B's, intact — PAYLOAD included
     assert(VersionedState.committed(spark, dir).map(_._1) === Seq(1L, 2L))
+    assert(spark.read.parquet(VersionedState.versionPath(dir, 2L))
+      .as[Long](org.apache.spark.sql.Encoders.scalaLong)
+      .collect().sorted === (100L until 107L).toArray,
+      "writer B's committed payload must be untouched by writer A's attempt")
+  }
+
+  test("GC is payload-first and sweeps marker-less orphans below the floor") {
+    val dir = freshDir("orphan")
+    commitOne(dir, None, "base")
+    commitOne(dir, Some(1L), "delta")
+    // simulate a GC pass that died between payload delete and marker
+    // delete for v1: payload gone, marker still present
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      VersionedState.versionPath(dir, 1L)), true)
+    // plus a crashed attempt at a never-committed version: payload
+    // without marker
+    val orphanDir = new java.io.File(new java.io.File(dir), f"v${0L}%019d")
+    assert(orphanDir.mkdirs())
+    java.nio.file.Files.writeString(orphanDir.toPath.resolve("junk"), "x")
+    // the next commit's GC pass reclaims BOTH: the half-GC'd marker
+    // retries (payload already gone), and the marker-less orphan below
+    // the floor is swept
+    commitOne(dir, Some(2L), "delta", gcBelow = 3L)
+    assert(VersionedState.committed(spark, dir).map(_._1) === Seq(3L),
+      "the marker of the half-GC'd version must be reclaimed on retry")
+    assert(!orphanDir.exists,
+      "a marker-less payload below the GC floor must be swept")
   }
 
   test("gcBelow deletes exactly the requested tail — markers and payloads") {
