@@ -2839,12 +2839,260 @@ object EmbeddingQueries {
               .as("recall_rebuilt"),
             (col("hits_maintained") * 5 >= col("hits_rebuilt") * 5 - col("n_brute"))
               .as("recall_ok"))
+      }),
+
+    // ---- q271: SEGMENT COMPACTION for the versioned index family —
+    // the maintenance step that keeps q266's refresh loop bounded: a
+    // daily-refresh index accretes one delta segment (and one commit
+    // marker) per refresh forever, so assignments() reads an
+    // ever-growing union and committed() does O(#versions) serial
+    // driver marker reads. IvfIndex.compact folds every segment since
+    // the last base into ONE `base-compact` version — centroids
+    // COPIED, no retrain (assignment is pointwise under frozen
+    // centroids, so folding cannot change a single row) — and GCs the
+    // folded tail. The query drives the full cycle engine-side:
+    // build on the 60% history (vec_id % 5 ≤ 2), two delta refreshes
+    // (%5 = 3, then %5 = 4 — the second delivered TWICE under the
+    // same delta id, so the replay guard is in the gated path), then
+    // compact, and gates (1) drift ≡ 0 between the pre-compaction
+    // union (materialized before compaction GCs its segments) and the
+    // compacted table, (2) exact micro-scaled checksums of the
+    // compacted table against the oracle's one-shot re-route (the
+    // pre-union and the one-shot agree because assignment is
+    // pointwise — the same identity the oracle's FULL OUTER drift
+    // re-derives in SQL), (3) the marker-count collapse 3 → 1 and
+    // the `base-compact` label (protocol constants the oracle
+    // asserts as literals). Scale shape: compaction is one read +
+    // write of the live relation — the IO a build's segment write
+    // already pays, WITHOUT the retrain or re-route; nothing else in
+    // the query exceeds q266's shapes (broadcast-centroid routing,
+    // max-struct argmin, no windows anywhere engine-side).
+    // IvfIndexSpec pins restart/GC/no-op edges the oracle can't see.
+    QueryDef("q271_ivf_compact", Some({
+      def assignCte(p: String, scn: String, corpus: String): String = s"""
+      ${p}asg AS (SELECT vec_id, centroid_id, cs FROM (
+               SELECT vec_id, centroid_id, cs,
+                      ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY cs DESC, centroid_id) AS rk
+               FROM (SELECT c_.vec_id, x.centroid_id,
+                            ${sqlDot("c_.embedding", "x.cvec")} / (c_.nrm * x.cnrm) AS cs
+                     FROM $corpus c_ CROSS JOIN $scn x))
+             WHERE rk = 1)"""
+      s"""
+      WITH e AS (SELECT vec_id, embedding, ${sqlNorm("embedding")} AS nrm
+                 FROM embeddings WHERE ${sqlNorm("embedding")} > 0),
+      eh AS (SELECT * FROM e WHERE vec_id % 5 <= 2),
+      e3 AS (SELECT * FROM e WHERE vec_id % 5 = 3),
+      e4 AS (SELECT * FROM e WHERE vec_id % 5 = 4),
+      hc0 AS (SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings
+              WHERE vec_id % 50 = 0),
+      ${lloydIterationCte(1, "hc0", "eh", "h")},
+      ${lloydIterationCte(2, "hc1", "eh", "h")},
+      hscn AS (SELECT centroid_id, cvec, ${sqlNorm("cvec")} AS cnrm FROM hc2
+               WHERE ${sqlNorm("cvec")} > 0),
+      ${assignCte("mh", "hscn", "eh")},
+      ${assignCte("m3", "hscn", "e3")},
+      ${assignCte("m4", "hscn", "e4")},
+      pre AS (SELECT * FROM mhasg UNION ALL SELECT * FROM m3asg
+              UNION ALL SELECT * FROM m4asg),
+      ${assignCte("fr", "hscn", "e")},
+      drift AS (SELECT CAST(COUNT(*) FILTER (WHERE p.vec_id IS NULL
+                       OR f.vec_id IS NULL
+                       OR p.centroid_id <> f.centroid_id) AS BIGINT) AS drift
+                FROM pre p FULL OUTER JOIN frasg f ON f.vec_id = p.vec_id),
+      qs AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                    CAST(SUM(CASE WHEN vec_id % 5 <= 2 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS nh,
+                    CAST(SUM(CASE WHEN vec_id % 5 = 3 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n3,
+                    CAST(SUM(CASE WHEN vec_id % 5 = 4 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n4,
+                    CAST(SUM(CAST(ROUND(cs*1000000) AS BIGINT)) AS BIGINT) AS s_cs,
+                    CAST(SUM(vec_id * centroid_id) AS BIGINT) AS s_route
+             FROM frasg)
+      SELECT q.n AS n_vectors, q.nh AS n_history,
+             q.n3 AS n_delta1, q.n4 AS n_delta2,
+             d.drift, d.drift = 0 AS drift_ok,
+             q.s_cs, q.s_route,
+             CAST(3 AS BIGINT) AS n_markers_before,
+             CAST(1 AS BIGINT) AS n_markers_after,
+             'base-compact' AS compact_label
+      FROM qs q, drift d"""
+    }),
+      (s, dir) => {
+        import graft.ann.IvfIndex
+        import graft.operators.VersionedState
+        val emb = Tables.read(s, dir, "embeddings")
+        val hist = emb.where(col("vec_id") % 5 <= 2)
+        val d1 = emb.where(col("vec_id") % 5 === 3)
+        val d2 = emb.where(col("vec_id") % 5 === 4)
+        val stDir = s"${System.getProperty("java.io.tmpdir")}/graft_q271_" +
+          dir.replaceAll("[^A-Za-z0-9._-]", "_") +
+          "_p" + ProcessHandle.current.pid + "_" + q266Runs.incrementAndGet()
+        EventQueries.cleanupOnExit(stDir)
+        IvfIndex.build(hist, "vec_id", "embedding",
+          col("vec_id") % 50 === 0, iters = 2, stDir)
+        IvfIndex.refresh(d1, "vec_id", "embedding", stDir, deltaId = "d1")
+        IvfIndex.refresh(d2, "vec_id", "embedding", stDir, deltaId = "d2")
+        // crash-replay of the second batch: must be a no-op
+        IvfIndex.refresh(d2, "vec_id", "embedding", stDir, deltaId = "d2")
+        val markersBefore = VersionedState.committed(s, stDir).size
+        // materialize BEFORE compaction garbage-collects these segments
+        val pre = IvfIndex.assignments(s, stDir).get.localCheckpoint()
+        IvfIndex.compact(s, stDir)
+        val after = VersionedState.committed(s, stDir)
+        val post = IvfIndex.assignments(s, stDir).get.localCheckpoint()
+        val drift = pre.select(col("id"), col("centroid_id").as("ci"))
+          .join(post.select(col("id"), col("centroid_id").as("cf")),
+            Seq("id"), "full_outer")
+          .agg(sum(when(col("ci").isNull || col("cf").isNull
+              || col("ci") =!= col("cf"), 1L).otherwise(0L)).as("drift"))
+        val qs = post.agg(count(lit(1)).as("n_vectors"),
+          sum(when(col("id") % 5 <= 2, 1L).otherwise(0L)).as("n_history"),
+          sum(when(col("id") % 5 === 3, 1L).otherwise(0L)).as("n_delta1"),
+          sum(when(col("id") % 5 === 4, 1L).otherwise(0L)).as("n_delta2"),
+          sum(round(col("cs") * 1000000).cast("long")).as("s_cs"),
+          sum(col("id") * col("centroid_id")).cast("long").as("s_route"))
+        qs.crossJoin(drift)
+          .select(col("n_vectors"), col("n_history"),
+            col("n_delta1"), col("n_delta2"),
+            col("drift"), (col("drift") === 0).as("drift_ok"),
+            col("s_cs"), col("s_route"),
+            lit(markersBefore.toLong).as("n_markers_before"),
+            lit(after.size.toLong).as("n_markers_after"),
+            lit(after.last._2).as("compact_label"))
+      }),
+
+    // ---- q272: TOMBSTONE DELETES for the versioned index — the
+    // missing half of the dedup loop: the pipeline's OUTPUT is
+    // deletions (q30/q72/q230 decide which documents die), but an
+    // append-only index keeps excised vectors serving until the next
+    // full rebuild. IvfIndex.delete commits a tombstone version (ids
+    // + centroids carried forward under one marker); the live
+    // relation drops every EARLIER segment's rows for those ids while
+    // a LATER refresh may re-add one (delete-then-refresh ordering —
+    // the part an unordered anti-join would get wrong); compact
+    // physically excises. Engine-side cycle: build on history
+    // (vec_id % 5 ≠ 4), refresh the delta, tombstone vec_id % 7 = 3
+    // (spans both), then RE-ADD the % 14 = 3 half by a post-delete
+    // refresh. Gates: (1) drift ≡ 0 between the maintained live
+    // relation and a one-shot re-route of exactly the survivor set
+    // (id % 7 ≠ 3 OR id % 14 = 3) under the same frozen centroids;
+    // (2) the same drift ≡ 0 AFTER compaction (physical excision
+    // changes nothing); (3) exact checksums + survivor/tombstone/
+    // re-add counts the oracle re-derives in SQL; (4) marker collapse
+    // to 1 (literal). Scale shape: the tombstone table is bounded by
+    // deletions since the last compaction and resets to zero there;
+    // the live read adds one join against it — no rebuild anywhere.
+    // IvfIndexSpec pins double-delete and re-add edges.
+    QueryDef("q272_ivf_tombstone", Some({
+      def assignCte(p: String, scn: String, corpus: String): String = s"""
+      ${p}asg AS (SELECT vec_id, centroid_id, cs FROM (
+               SELECT vec_id, centroid_id, cs,
+                      ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY cs DESC, centroid_id) AS rk
+               FROM (SELECT c_.vec_id, x.centroid_id,
+                            ${sqlDot("c_.embedding", "x.cvec")} / (c_.nrm * x.cnrm) AS cs
+                     FROM $corpus c_ CROSS JOIN $scn x))
+             WHERE rk = 1)"""
+      s"""
+      WITH e AS (SELECT vec_id, embedding, ${sqlNorm("embedding")} AS nrm
+                 FROM embeddings WHERE ${sqlNorm("embedding")} > 0),
+      eh AS (SELECT * FROM e WHERE vec_id % 5 <> 4),
+      ed AS (SELECT * FROM e WHERE vec_id % 5 = 4),
+      er_ AS (SELECT * FROM e WHERE vec_id % 14 = 3),
+      es AS (SELECT * FROM e WHERE vec_id % 7 <> 3 OR vec_id % 14 = 3),
+      hc0 AS (SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings
+              WHERE vec_id % 50 = 0),
+      ${lloydIterationCte(1, "hc0", "eh", "h")},
+      ${lloydIterationCte(2, "hc1", "eh", "h")},
+      hscn AS (SELECT centroid_id, cvec, ${sqlNorm("cvec")} AS cnrm FROM hc2
+               WHERE ${sqlNorm("cvec")} > 0),
+      ${assignCte("mh", "hscn", "eh")},
+      ${assignCte("md", "hscn", "ed")},
+      ${assignCte("rd", "hscn", "er_")},
+      live AS (SELECT * FROM (SELECT * FROM mhasg UNION ALL SELECT * FROM mdasg)
+               WHERE vec_id % 7 <> 3
+               UNION ALL SELECT * FROM rdasg),
+      ${assignCte("sv", "hscn", "es")},
+      drift AS (SELECT CAST(COUNT(*) FILTER (WHERE l.vec_id IS NULL
+                       OR v.vec_id IS NULL
+                       OR l.centroid_id <> v.centroid_id) AS BIGINT) AS drift
+                FROM live l FULL OUTER JOIN svasg v ON v.vec_id = l.vec_id),
+      tomb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tombstoned FROM e
+               WHERE vec_id % 7 = 3),
+      qs AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_live,
+                    CAST(SUM(CASE WHEN vec_id % 14 = 3 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_readded,
+                    CAST(SUM(CAST(ROUND(cs*1000000) AS BIGINT)) AS BIGINT) AS s_cs,
+                    CAST(SUM(vec_id * centroid_id) AS BIGINT) AS s_route
+             FROM svasg)
+      SELECT q.n_live, t.n_tombstoned, q.n_readded,
+             d.drift, d.drift = 0 AS drift_ok,
+             d.drift AS drift_compacted, d.drift = 0 AS compact_ok,
+             q.s_cs, q.s_route,
+             CAST(1 AS BIGINT) AS n_markers_after
+      FROM qs q, tomb t, drift d"""
+    }),
+      (s, dir) => {
+        import graft.ann.IvfIndex
+        import graft.operators.VersionedState
+        val emb = Tables.read(s, dir, "embeddings")
+        val hist = emb.where(col("vec_id") % 5 =!= 4)
+        val delta = emb.where(col("vec_id") % 5 === 4)
+        val stDir = s"${System.getProperty("java.io.tmpdir")}/graft_q272_" +
+          dir.replaceAll("[^A-Za-z0-9._-]", "_") +
+          "_p" + ProcessHandle.current.pid + "_" + q266Runs.incrementAndGet()
+        EventQueries.cleanupOnExit(stDir)
+        IvfIndex.build(hist, "vec_id", "embedding",
+          col("vec_id") % 50 === 0, iters = 2, stDir)
+        IvfIndex.refresh(delta, "vec_id", "embedding", stDir, deltaId = "d1")
+        val preDel = IvfIndex.assignments(s, stDir).get.localCheckpoint()
+        // the dedup verdict: excise every vec_id % 7 = 3
+        IvfIndex.delete(emb.where(col("vec_id") % 7 === 3)
+          .select("vec_id"), stDir)
+        // ... then half of them turn out wanted again (delete-then-
+        // refresh ordering: the re-add must survive the tombstone)
+        IvfIndex.refresh(emb.where(col("vec_id") % 14 === 3),
+          "vec_id", "embedding", stDir, deltaId = "readd")
+        val live = IvfIndex.assignments(s, stDir).get.localCheckpoint()
+        val cents = IvfIndex.centroids(s, stDir).get.localCheckpoint()
+        // one-shot truth: route exactly the survivor set under the
+        // same frozen centroids
+        val expected = IvfIndex.assignTo(
+            emb.where(col("vec_id") % 7 =!= 3 || col("vec_id") % 14 === 3),
+            "vec_id", "embedding", cents)
+          .localCheckpoint() // both drift gates read it
+        def driftOf(x: org.apache.spark.sql.DataFrame, n: String) =
+          x.select(col("id"), col("centroid_id").as("ci"))
+            .join(expected.select(col("id"), col("centroid_id").as("cf")),
+              Seq("id"), "full_outer")
+            .agg(sum(when(col("ci").isNull || col("cf").isNull
+                || col("ci") =!= col("cf"), 1L).otherwise(0L)).as(n))
+        val drift1 = driftOf(live, "drift")
+        IvfIndex.compact(s, stDir)
+        val post = IvfIndex.assignments(s, stDir).get.localCheckpoint()
+        val drift2 = driftOf(post, "drift_compacted")
+        val markersAfter = VersionedState.committed(s, stDir).size
+        val tomb = preDel.agg(
+          sum(when(col("id") % 7 === 3, 1L).otherwise(0L)).as("n_tombstoned"))
+        val qs = post.agg(count(lit(1)).as("n_live"),
+          sum(when(col("id") % 14 === 3, 1L).otherwise(0L)).as("n_readded"),
+          sum(round(col("cs") * 1000000).cast("long")).as("s_cs"),
+          sum(col("id") * col("centroid_id")).cast("long").as("s_route"))
+        qs.crossJoin(tomb).crossJoin(drift1).crossJoin(drift2)
+          .select(col("n_live"), col("n_tombstoned"), col("n_readded"),
+            col("drift"), (col("drift") === 0).as("drift_ok"),
+            col("drift_compacted"),
+            (col("drift_compacted") === 0).as("compact_ok"),
+            col("s_cs"), col("s_route"),
+            lit(markersAfter.toLong).as("n_markers_after"))
       })
   )
 
-  /** q266/q267/q270 run in a FRESH state dir per execution (see the
-    * query docs); this counter is what makes "fresh" true within one
-    * JVM.
+  /** q266/q267/q270/q271/q272 run in a FRESH state dir per execution
+    * (see the query docs); this counter is what makes "fresh" true
+    * within one JVM.
     */
   private val q266Runs = new java.util.concurrent.atomic.AtomicLong()
 

@@ -3401,6 +3401,136 @@ object EventQueries {
             col("ncmp").as("n_comparisons"),
             round(col("strength"), 6).as("strength"), col("bt_rank"))
           .orderBy("bt_rank", "event_type")
+      }),
+
+    // ---- q273: always-valid inference for CONTINUOUS metrics —
+    // q257's normal-likelihood sibling (Johari et al. KDD'17 give the
+    // normal-mixture Λ for exactly this): revenue-shaped experiments
+    // (q259's winsorized mean) monitored daily need the same anytime-
+    // valid p-sequence the binary mSPRT gives conversion. The
+    // observation unit is the (user, day) WINSORIZED spend increment
+    // — winsorized at a PRE-REGISTERED cap ($100, an exact-integer
+    // LEAST against 10000 cents), NOT q259's pooled p95: a data-
+    // dependent cap computed over the full horizon peeks at the
+    // future and voids the martingale property that makes the
+    // p-sequence valid at every peek. Per (arm, day): exact integer
+    // (n, Σx, Σx²) over the calendar grid (zero-filled), cumulated
+    // per-arm (day-domain windows — exact longs); each day's θ̂ =
+    // mean_b − mean_a, pooled population variance
+    // ((Σx²_a − Σx_a²/n_a) + (Σx²_b − Σx_b²/n_b))/(n_a+n_b), and
+    // V = s²_p·(1/n_a + 1/n_b) are fixed double trees on identical
+    // exact longs; Λ's mixture uses τ² = 1e4 cents² (a shared
+    // literal) and p_n = min(1, min_j ≤ n 1/Λ_j) is an order-free
+    // exact fold. Days before both arms have observations are
+    // dropped (no estimator); V = 0 days carry NULL Λ and p holds at
+    // the running min. The running-min window is global but rides
+    // the DAY-domain table (calendar-bounded — allowlisted).
+    // EventStreams.msprtNormalMonitor maintains the identical
+    // p-sequence live on 7 longs + 1 double per experiment;
+    // StreamingSpec proves bit-equality.
+    QueryDef("q273_msprt_normal", Some("""
+      WITH ud AS (SELECT user_id, epoch_us(ts) // 86400000000 AS d,
+                    LEAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                            THEN CAST(ROUND(value*100) AS BIGINT) END), 0),
+                          10000) AS x
+                  FROM events GROUP BY 1, 2),
+      ua AS (SELECT CAST('0x' || substr(md5('msn:' || user_id), 1, 1)
+                      AS BIGINT) % 2 AS arm, d, x
+             FROM ud),
+      dom AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS d FROM events),
+      arms AS (SELECT CAST(0 AS BIGINT) AS arm UNION ALL SELECT CAST(1 AS BIGINT)),
+      da AS (SELECT arm, d, CAST(COUNT(*) AS BIGINT) AS n,
+                    CAST(SUM(x) AS BIGINT) AS s1,
+                    CAST(SUM(x*x) AS BIGINT) AS s2
+             FROM ua GROUP BY arm, d),
+      grid AS (SELECT arms.arm, dom.d, COALESCE(da.n, 0) AS n,
+                      COALESCE(da.s1, 0) AS s1, COALESCE(da.s2, 0) AS s2
+               FROM arms CROSS JOIN dom
+               LEFT JOIN da ON da.arm = arms.arm AND da.d = dom.d),
+      cu AS (SELECT arm, d,
+                    CAST(SUM(n) OVER w AS BIGINT) AS cn,
+                    CAST(SUM(s1) OVER w AS BIGINT) AS cs1,
+                    CAST(SUM(s2) OVER w AS BIGINT) AS cs2
+             FROM grid WINDOW w AS (PARTITION BY arm ORDER BY d)),
+      j AS (SELECT a.d, a.cn AS n_a, a.cs1 AS s1_a, a.cs2 AS s2_a,
+                   b.cn AS n_b, b.cs1 AS s1_b, b.cs2 AS s2_b
+            FROM cu a JOIN cu b ON b.d = a.d AND a.arm = 0 AND b.arm = 1
+            WHERE a.cn > 0 AND b.cn > 0),
+      s AS (SELECT d, n_a, s1_a, n_b, s1_b,
+                   CAST(s1_b AS DOUBLE)/n_b - CAST(s1_a AS DOUBLE)/n_a AS theta,
+                   ((CAST(s2_a AS DOUBLE)
+                       - CAST(s1_a AS DOUBLE)*CAST(s1_a AS DOUBLE)/n_a)
+                    + (CAST(s2_b AS DOUBLE)
+                       - CAST(s1_b AS DOUBLE)*CAST(s1_b AS DOUBLE)/n_b))
+                     / (n_a + n_b) * (1e0/n_a + 1e0/n_b) AS v
+            FROM j),
+      l AS (SELECT *, CASE WHEN v > 0e0 THEN
+                   sqrt(v/(v + 1e4))
+                     * exp(theta*theta*1e4/(2e0*v*(v + 1e4)))
+                 END AS lambda
+            FROM s),
+      p AS (SELECT *, LEAST(1e0, MIN(1e0/lambda)
+                        OVER (ORDER BY d)) AS p_av
+            FROM l)
+      SELECT d, n_a, s1_a, n_b, s1_b, ROUND(theta, 6) AS theta,
+             ROUND(lambda, 6) AS lambda,
+             ROUND(COALESCE(p_av, 1e0), 6) AS p_always_valid,
+             COALESCE(p_av, 1e0) < 5e-2 AS reject
+      FROM p ORDER BY d"""),
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        // (user, day) winsorized spend increments — exact longs
+        val ud = ev.groupBy(col("user_id"), expr("ts_us div 86400000000").as("d"))
+          .agg(least(coalesce(sum(when(col("event_type") === "purchase",
+            QueryDef.cents(col("value")))).cast("long"), lit(0L)),
+            lit(10000L)).as("x"))
+        val ua = ud.select(
+          (conv(substring(md5(concat(lit("msn:"), col("user_id"))), 1, 1),
+            16, 10).cast("long") % 2).as("arm"),
+          col("d"), col("x"))
+        val dom = ev.select(expr("ts_us div 86400000000").as("d")).distinct()
+        val arms = s.range(2).select(col("id").as("arm"))
+        val da = ua.groupBy("arm", "d")
+          .agg(count(lit(1)).as("n"), sum("x").cast("long").as("s1"),
+            sum(col("x") * col("x")).cast("long").as("s2"))
+        val grid = broadcast(arms).crossJoin(dom)
+          .join(da, Seq("arm", "d"), "left")
+          .select(col("arm"), col("d"),
+            coalesce(col("n"), lit(0L)).as("n"),
+            coalesce(col("s1"), lit(0L)).as("s1"),
+            coalesce(col("s2"), lit(0L)).as("s2"))
+        val w = Window.partitionBy("arm").orderBy("d")
+        val cu = grid.select(col("arm"), col("d"),
+          sum("n").over(w).as("cn"), sum("s1").over(w).as("cs1"),
+          sum("s2").over(w).as("cs2"))
+        val a = cu.where(col("arm") === 0).select(col("d"),
+          col("cn").as("n_a"), col("cs1").as("s1_a"), col("cs2").as("s2_a"))
+        val b = cu.where(col("arm") === 1).select(col("d").as("bd"),
+          col("cn").as("n_b"), col("cs1").as("s1_b"), col("cs2").as("s2_b"))
+        val j = a.join(b, col("d") === col("bd")).drop("bd")
+          .where(col("n_a") > 0 && col("n_b") > 0)
+        val theta = col("s1_b").cast("double") / col("n_b") -
+          col("s1_a").cast("double") / col("n_a")
+        val v = ((col("s2_a").cast("double")
+            - col("s1_a").cast("double") * col("s1_a").cast("double") / col("n_a"))
+          + (col("s2_b").cast("double")
+            - col("s1_b").cast("double") * col("s1_b").cast("double") / col("n_b")))
+          ./(col("n_a") + col("n_b")) * (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))
+        val l = j.select(col("d"), col("n_a"), col("s1_a"), col("n_b"), col("s1_b"),
+          theta.as("theta"), v.as("v"))
+          .withColumn("lambda", when(col("v") > 0.0,
+            sqrt(col("v") / (col("v") + lit(1e4)))
+              * exp(col("theta") * col("theta") * lit(1e4)
+                / (lit(2.0) * col("v") * (col("v") + lit(1e4))))))
+        l.withColumn("p_av",
+            least(lit(1.0), min(lit(1.0) / col("lambda"))
+              .over(Window.orderBy("d"))))
+          .select(col("d"), col("n_a"), col("s1_a"), col("n_b"), col("s1_b"),
+            round(col("theta"), 6).as("theta"),
+            round(col("lambda"), 6).as("lambda"),
+            round(coalesce(col("p_av"), lit(1.0)), 6).as("p_always_valid"),
+            (coalesce(col("p_av"), lit(1.0)) < 0.05).as("reject"))
+          .orderBy("d")
       })
   )
 }

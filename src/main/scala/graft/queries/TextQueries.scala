@@ -4799,8 +4799,80 @@ object TextQueries {
             (col("span_end") - col("span_start")).as("span_len"),
             col("n_windows"))
           .orderBy("doc_id", "span_start")
+      }),
+
+    // ---- q274: exact-substring dedup MAINTAINED across corpus
+    // refreshes — q268 run the way the ACL'22 pipeline runs in
+    // production (graft.dedup.ExactSubstr): the window-hash multiset
+    // is durable VersionedState built on the HISTORY docs (doc_id % 5
+    // ≠ 4), the 20% delta refreshes it by hashing ONLY its own docs
+    // (replay-idempotent via the delta id in the commit marker;
+    // history is never re-tokenized), and the span table for the
+    // whole corpus is computed against the MAINTAINED duplicated-hash
+    // set — which must equal a one-shot q268-style recompute on the
+    // union exactly (the oracle IS that one-shot recompute: a hash
+    // mismatch here is state drift). L is a DIAL recovered from the
+    // stored base marker, exercised at L = 8 vs q268's L = 6 (the
+    // paper's L ≈ 50 is the web-corpus setting; the testdata docs are
+    // ~50 tokens). Scale shape: the per-batch state delta is one hash
+    // agg over the batch; the dup-set read is segment-count-bounded
+    // (ExactSubstr.compact folds it back to one table); the span pass
+    // shuffles once on the window hash and merges islands per-doc —
+    // q268's plan with the dup side read from disk state.
+    // ExactSubstrSpec pins restart/replay/retract/compact semantics
+    // the oracle can't see.
+    QueryDef("q274_exact_substring_maintain", Some(s"""${toksCte()},
+      w AS (SELECT doc_id, i,
+                   md5(list_aggregate(tokens[i:i+7], 'string_agg', ' ')) AS h
+            FROM toks, LATERAL unnest(range(1, len(tokens) - 6)) r(i)),
+      dc AS (SELECT h FROM w GROUP BY h HAVING COUNT(*) >= 2),
+      dw AS (SELECT w.doc_id, w.i FROM w JOIN dc USING (h)),
+      mk AS (SELECT doc_id, i,
+                    MAX(i + 8) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+             FROM dw),
+      il AS (SELECT doc_id, i,
+                    SUM(CASE WHEN pme IS NULL OR i > pme THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY doc_id ORDER BY i
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS island
+             FROM mk)
+      SELECT doc_id, CAST(island AS BIGINT) AS span_idx,
+             CAST(MIN(i) AS BIGINT) AS span_start,
+             CAST(MAX(i) + 8 AS BIGINT) AS span_end,
+             CAST(MAX(i) + 8 - MIN(i) AS BIGINT) AS span_len,
+             CAST(COUNT(*) AS BIGINT) AS n_windows
+      FROM il GROUP BY doc_id, island
+      ORDER BY doc_id, span_start"""),
+      (s, dir) => {
+        import graft.dedup.ExactSubstr
+        val toks = tokenized(s, dir).localCheckpoint() // hist split, delta split, span pass
+        val hist = toks.where(col("doc_id") % 5 =!= 4)
+        val delta = toks.where(col("doc_id") % 5 === 4)
+        // fresh state dir per execution (the q266 discipline: bench reps
+        // and repeated verify runs each exercise the full cycle)
+        val stDir = s"${System.getProperty("java.io.tmpdir")}/graft_q274_" +
+          dir.replaceAll("[^A-Za-z0-9._-]", "_") +
+          "_p" + ProcessHandle.current.pid + "_" + q274Runs.incrementAndGet()
+        EventQueries.cleanupOnExit(stDir)
+        ExactSubstr.build(hist, "doc_id", "tokens", L = 8, stDir)
+        // incremental refresh: ONLY the delta hashed, replay-guarded
+        ExactSubstr.refresh(delta, "doc_id", "tokens", stDir, deltaId = "d1")
+        ExactSubstr.refresh(delta, "doc_id", "tokens", stDir, deltaId = "d1") // replayed: no-op
+        val l = ExactSubstr.storedL(s, stDir) // the dial comes off disk
+        ExactSubstr.spans(toks, "doc_id", "tokens", l,
+            ExactSubstr.dupHashes(s, stDir))
+          .select(col("doc").as("doc_id"), col("span_idx"),
+            col("span_start"), col("span_end"), col("span_len"),
+            col("n_windows"))
+          .orderBy("doc_id", "span_start")
       })
   )
+
+  /** q274 runs in a fresh state dir per execution (see the q266
+    * discipline in EmbeddingQueries).
+    */
+  private val q274Runs = new java.util.concurrent.atomic.AtomicLong()
 
   /** Spark side of q166 (extracted so the defs entry stays readable). */
   private def jsDrift(s: SparkSession, dir: String): DataFrame = {

@@ -92,6 +92,36 @@ final case class MsprtPoint(exp: String, d: Long, n_a: Long, c_a: Long,
                             lambda: Option[Double],
                             p_always_valid: Double, reject: Boolean)
 
+/** One completed day's two-arm CONTINUOUS-metric increments arriving
+  * at [[EventStreams.msprtNormalMonitor]]: per arm, the count of
+  * (user, day) observations and the exact integer Σx / Σx² of their
+  * winsorized daily spends (cents, capped at a PRE-REGISTERED dial —
+  * a data-dependent cap like q259's pooled p95 would peek at the
+  * future and break the always-valid martingale). `exp` keys
+  * concurrent experiments.
+  */
+final case class ArmDayNorm(exp: String, d: Long,
+                            n_a: Long, s1_a: Long, s2_a: Long,
+                            n_b: Long, s1_b: Long, s2_b: Long)
+
+/** Per-experiment normal-mSPRT state: SEVEN longs + the running min
+  * of 1/Λ however long the experiment runs (`has_min` as in
+  * [[MsprtState]]).
+  */
+final case class MsprtNormState(last_d: Long,
+                                n_a: Long, s1_a: Long, s2_a: Long,
+                                n_b: Long, s1_b: Long, s2_b: Long,
+                                min_inv: Double, has_min: Boolean)
+
+/** One scored point emitted by [[EventStreams.msprtNormalMonitor]] —
+  * column-compatible with batch q273's output rows (lambda is null on
+  * V = 0 days, like the batch).
+  */
+final case class MsprtNormPoint(exp: String, d: Long,
+                                n_a: Long, s1_a: Long, n_b: Long, s1_b: Long,
+                                theta: Double, lambda: Option[Double],
+                                p_always_valid: Double, reject: Boolean)
+
 /** Exact scaled-integer cents of a 2-decimal double, replicating
   * Spark's `round()` (BigDecimal HALF_UP) bit-for-bit — `math.round`
   * is floor(x+0.5), which differs on negative values (refunds:
@@ -816,6 +846,86 @@ object EventStreams {
                   round6(p), p < alpha)
               }
               s = MsprtState(day.d, nA, cA, nB, cB, minInv, hasMin)
+            }
+          }
+          state.update(s)
+          out.iterator
+      }
+  }
+
+  /** LIVE always-valid inference for CONTINUOUS metrics — batch
+    * q273's pooled-variance NORMAL-likelihood mSPRT (Johari et al.
+    * KDD'17's normal-mixture Λ, the revenue-shaped twin of the binary
+    * [[msprtMonitor]]) maintained as bounded per-experiment state
+    * over a stream of completed daily two-arm increments.
+    *
+    * The observation unit is the (user, day) winsorized spend
+    * increment, winsorized at a PRE-REGISTERED cap upstream (q273's
+    * dial) — a data-dependent cap (q259's pooled p95) is fine for a
+    * fixed-horizon readout but would peek at the future here and void
+    * the anytime validity. State per experiment is SEVEN longs + one
+    * double however long it runs: cumulative (n, Σx, Σx²) per arm,
+    * the last scored day, and the running min of 1/Λ. Each day's θ̂,
+    * pooled V, and Λ are the SAME fixed double trees as batch q273 on
+    * the same cumulative longs, and the rounding replicates Spark's
+    * `round()` (BigDecimal HALF_UP), so the streamed p-sequence is
+    * bit-identical to the batch on the same increments (StreamingSpec
+    * proves it).
+    *
+    * Ordering contract mirrors [[msprtMonitor]]: days score in (d)
+    * order within a micro-batch; a day at or before the last scored
+    * one is late and dropped. Days before both arms have observations
+    * update the cumulative state but emit nothing; V = 0 days (all
+    * observations identical — e.g. all zero-spend) emit a null Λ and
+    * p holds at the running min.
+    */
+  def msprtNormalMonitor(days: Dataset[ArmDayNorm], tauSq: Double = 1e4,
+                         alpha: Double = 0.05): Dataset[MsprtNormPoint] = {
+    val spark = days.sparkSession
+    import spark.implicits._
+    def round6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    days
+      .groupByKey(_.exp)
+      .flatMapGroupsWithState[MsprtNormState, MsprtNormPoint](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) {
+        (exp: String, batch: Iterator[ArmDayNorm],
+         state: GroupState[MsprtNormState]) =>
+          var s = state.getOption.getOrElse(
+            MsprtNormState(Long.MinValue, 0L, 0L, 0L, 0L, 0L, 0L,
+              0.0, has_min = false))
+          val out = scala.collection.mutable.ArrayBuffer.empty[MsprtNormPoint]
+          batch.toSeq.sortBy(_.d).foreach { day =>
+            if (day.d > s.last_d) {
+              val nA = s.n_a + day.n_a
+              val s1A = s.s1_a + day.s1_a; val s2A = s.s2_a + day.s2_a
+              val nB = s.n_b + day.n_b
+              val s1B = s.s1_b + day.s1_b; val s2B = s.s2_b + day.s2_b
+              var minInv = s.min_inv; var hasMin = s.has_min
+              if (nA > 0 && nB > 0) {
+                // batch q273's double trees, verbatim
+                val theta = s1B.toDouble / nB - s1A.toDouble / nA
+                val vp = ((s2A.toDouble - s1A.toDouble * s1A.toDouble / nA)
+                  + (s2B.toDouble - s1B.toDouble * s1B.toDouble / nB)) / (nA + nB)
+                val v = vp * (1.0 / nA + 1.0 / nB)
+                val lambda: Option[Double] =
+                  if (v > 0.0)
+                    Some(math.sqrt(v / (v + tauSq))
+                      * math.exp(theta * theta * tauSq
+                        / (2.0 * v * (v + tauSq))))
+                  else None
+                lambda.foreach { l =>
+                  val inv = 1.0 / l
+                  if (!hasMin || inv < minInv) { minInv = inv; hasMin = true }
+                }
+                val p = if (hasMin) math.min(1.0, minInv) else 1.0
+                out += MsprtNormPoint(exp, day.d, nA, s1A, nB, s1B,
+                  round6(theta), lambda.map(round6),
+                  round6(p), p < alpha)
+              }
+              s = MsprtNormState(day.d, nA, s1A, s2A, nB, s1B, s2B,
+                minInv, hasMin)
             }
           }
           state.update(s)

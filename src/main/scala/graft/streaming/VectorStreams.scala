@@ -23,11 +23,12 @@ import org.apache.spark.sql.functions._
   *    aggregation over (event time, query id) riding the same mergeable
   *    k-slot aggregator as the batch path, so per-query state is bounded
   *    by k and evicted once the watermark passes;
-  *  - index REBUILDS go live without a stream restart via the versioned
-  *    artifact layout (`rootDir/v=N/` + `_PUBLISHED` marker —
-  *    [[publishIndex]]/[[latestVersion]]) and the [[retrieveHotSwap]]
-  *    server, which re-resolves the latest published version every
-  *    micro-batch.
+  *  - index REBUILDS go live without a stream restart via the shared
+  *    [[graft.operators.VersionedState]] commit protocol
+  *    ([[publishIndex]]/[[latestVersion]] — atomic marker-last commits,
+  *    racing publishers surfaced, two versions retained) and the
+  *    [[retrieveHotSwap]] server, which re-resolves the latest
+  *    published version every micro-batch.
   */
 object VectorStreams {
 
@@ -114,57 +115,46 @@ object VectorStreams {
         col("cand_id"))
 
   // ------------------------------------------------------------------
-  // Versioned index artifacts — the rebuild/hot-swap contract.
+  // Versioned index artifacts — the rebuild/hot-swap contract, riding
+  // the repo-wide graft.operators.VersionedState protocol (one commit
+  // protocol per repo — publishIndex predating it kept three solved
+  // hazards: an overwrite=true marker a racing second publisher could
+  // silently clobber, no GC, no foreign-layout guard):
   //
-  //   rootDir/v=1/index/     corpus rows keyed by centroid (parquet)
-  //   rootDir/v=1/codebook/  (id, vec) rows (parquet)
-  //   rootDir/v=1/_PUBLISHED marker, written LAST
+  //   rootDir/vNNN…N/index/     corpus rows keyed by centroid (parquet)
+  //   rootDir/vNNN…N/codebook/  (id, vec) rows (parquet)
+  //   rootDir/commits/N         marker, CREATED LAST (create-exclusive)
   //
-  // Contract: a version directory is IMMUTABLE once its marker exists;
-  // publishers write data first and the marker last (so a reader never
-  // resolves a half-written version); readers always resolve the
-  // highest marked version; old versions may be deleted once no serving
-  // job can still resolve them (retention is the operator's policy —
-  // keep ≥2 so an in-flight micro-batch never loses its files).
+  // A version is immutable once its marker exists; readers resolve the
+  // highest committed version; a racing second publisher is SURFACED
+  // by the fail-fast + create-exclusive commit, never merged; GC keeps
+  // the previous version alive (retention 2) so an in-flight
+  // micro-batch that already resolved it never loses its files.
   // ------------------------------------------------------------------
-
-  private def hadoopFs(df: org.apache.spark.sql.SparkSession, path: String) =
-    new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(df.sparkContext.hadoopConfiguration)
 
   /** Highest PUBLISHED version under `rootDir`, if any. */
   def latestVersion(spark: org.apache.spark.sql.SparkSession,
-                    rootDir: String): Option[Int] = {
-    val fs = hadoopFs(spark, rootDir)
-    val root = new org.apache.hadoop.fs.Path(rootDir)
-    if (!fs.exists(root)) None
-    else fs.listStatus(root).toSeq
-      .filter(_.isDirectory)
-      .flatMap { st =>
-        val n = st.getPath.getName
-        if (n.startsWith("v=")) n.drop(2).toIntOption else None
-      }
-      .filter(v => fs.exists(new org.apache.hadoop.fs.Path(s"$rootDir/v=$v/_PUBLISHED")))
-      .maxOption
-  }
+                    rootDir: String): Option[Int] =
+    graft.operators.VersionedState.currentVersion(spark, rootDir).map(_.toInt)
 
   /** Publish a freshly built index+codebook as the next version under
-    * `rootDir` (marker written last). Returns the published version.
-    * Run from the BATCH side on whatever rebuild cadence the corpus
-    * needs; serving picks it up without restart ([[retrieveHotSwap]]).
+    * `rootDir` (payload first, marker last — the VersionedState commit
+    * point). Returns the published version. Run from the BATCH side on
+    * whatever rebuild cadence the corpus needs; serving picks it up
+    * without restart ([[retrieveHotSwap]]). Versions older than the
+    * PREVIOUS one are GC'd — two stay live for in-flight readers.
     */
   def publishIndex(index: DataFrame, codebook: Seq[Centroid],
                    rootDir: String): Int = {
     val spark = index.sparkSession
     import spark.implicits._
-    val v = latestVersion(spark, rootDir).getOrElse(0) + 1
-    val dir = s"$rootDir/v=$v"
-    index.write.mode("overwrite").parquet(s"$dir/index")
-    codebook.map(c => (c.id, c.vec.toSeq)).toDF("id", "vec")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebook")
-    val fs = hadoopFs(spark, rootDir)
-    fs.create(new org.apache.hadoop.fs.Path(s"$dir/_PUBLISHED"), true).close()
-    v
+    val prev = graft.operators.VersionedState.currentVersion(spark, rootDir)
+    graft.operators.VersionedState.commit(spark, rootDir, prev,
+      label = "index", gcBelow = prev.getOrElse(0L)) { vdir =>
+      index.write.mode("overwrite").parquet(s"$vdir/index")
+      codebook.map(c => (c.id, c.vec.toSeq)).toDF("id", "vec")
+        .coalesce(1).write.mode("overwrite").parquet(s"$vdir/codebook")
+    }.toInt
   }
 
   /** Load the highest published version. */
@@ -172,8 +162,9 @@ object VectorStreams {
                 rootDir: String): (DataFrame, Seq[Centroid], Int) = {
     val v = latestVersion(spark, rootDir).getOrElse(
       throw new IllegalStateException(s"no published index under $rootDir"))
-    val index = spark.read.parquet(s"$rootDir/v=$v/index")
-    val codebook = spark.read.parquet(s"$rootDir/v=$v/codebook")
+    val vdir = graft.operators.VersionedState.versionPath(rootDir, v.toLong)
+    val index = spark.read.parquet(s"$vdir/index")
+    val codebook = spark.read.parquet(s"$vdir/codebook")
       .collect()
       .map { r =>
         val vec = r.getSeq[Float](1).toArray

@@ -1218,7 +1218,10 @@ class PlanQualitySpec extends SparkTestBase {
         "only to the listener capture)"),
       "q257_msprt" -> ("the always-valid p-sequence's running min rides the " +
         "DAY-domain cumulative table — calendar-bounded, corpus collapses " +
-        "into per-arm daily counts first"))
+        "into per-arm daily counts first"),
+      "q273_msprt_normal" -> ("same shape as q257: the p-sequence's running " +
+        "min rides the DAY-domain cumulative table — calendar-bounded, " +
+        "corpus collapses into per-(arm, day) winsorized moments first"))
     val offenders = scala.collection.mutable.ListBuffer.empty[String]
     val stale = scala.collection.mutable.ListBuffer.empty[String]
     for (qd <- SparkEntry.catalog) {

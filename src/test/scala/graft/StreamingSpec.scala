@@ -836,11 +836,39 @@ class StreamingSpec extends SparkTestBase {
         s"the same query vector must now hit v2's new corpus member: $results")
 
       // a half-written v3 (no marker) must be invisible to the server
-      i2.write.mode("overwrite").parquet(s"$root/v=3/index")
+      i2.write.mode("overwrite").parquet(
+        graft.operators.VersionedState.versionPath(root, 3L) + "/index")
       input.addData((ts(3), 102L, Array(1.0f, 0.1f, 0.0f)))
       q.processAllAvailable()
       assert(results.toSeq.last === ((102L, 9L, 2)),
         "an unmarked version directory must never be resolved")
+
+      // a RACING second publisher (stale prev) is SURFACED, and the
+      // committed v1/v2 survive untouched — the silent-clobber hazard
+      // the pre-VersionedState _PUBLISHED marker carried
+      val e = intercept[Exception] {
+        graft.operators.VersionedState.commit(spark, root, Some(1L),
+          label = "index") { vdir =>
+          i1.write.mode("overwrite").parquet(s"$vdir/index")
+        }
+      }
+      assert(e.getMessage.toLowerCase.contains("exist"),
+        s"expected the racing publish to be refused, got: $e")
+      assert(VectorStreams.latestVersion(spark, root) === Some(2))
+      input.addData((ts(4), 103L, Array(1.0f, 0.1f, 0.0f)))
+      q.processAllAvailable()
+      assert(results.toSeq.last === ((103L, 9L, 2)),
+        "serving must still resolve the intact v2 after the surfaced race")
+
+      // publish v3: GC keeps retention 2 (v2 stays for in-flight
+      // readers, v1's payload is reclaimed)
+      assert(VectorStreams.publishIndex(i2, c2, root) === 3)
+      assert(!new java.io.File(
+        graft.operators.VersionedState.versionPath(root, 1L)).exists,
+        "v1 must be GC'd at the v3 publish (retention 2)")
+      assert(new java.io.File(
+        graft.operators.VersionedState.versionPath(root, 2L)).exists,
+        "v2 must survive the v3 publish (retention 2)")
     } finally q.stop()
   }
 
@@ -1196,6 +1224,93 @@ class StreamingSpec extends SparkTestBase {
         .collect().map(_.toSeq).toSet
       assert(streamed === batch,
         "streamed always-valid p-sequence must equal batch q257")
+    } finally q.stop()
+  }
+
+  test("live NORMAL mSPRT monitor equals the oracle-checked q273 p-sequence bit-for-bit") {
+    implicit val ctx = spark.sqlContext
+    val dir = sf("sf0.001")
+    // derive the per-day two-arm winsorized moments INDEPENDENTLY of
+    // the q273 code path: per-(user, day) capped spends driver-side,
+    // then daily (n, Σx, Σx²) per arm over the zero-filled grid
+    val obs = Tables.events(spark, dir)
+      .groupBy(col("user_id"), expr("ts_us div 86400000000").as("d"))
+      .agg(least(coalesce(sum(when(col("event_type") === "purchase",
+        QueryDef.cents(col("value")))).cast("long"), lit(0L)),
+        lit(10000L)).as("x"))
+      .select((conv(substring(md5(concat(lit("msn:"), col("user_id"))), 1, 1),
+          16, 10).cast("long") % 2).as("arm"), col("d"), col("x"))
+      .as[(Long, Long, Long)].collect()
+    val dom = Tables.events(spark, dir)
+      .select(expr("ts_us div 86400000000").as("d"))
+      .distinct().as[Long].collect().sorted
+    val feed = dom.map { d =>
+      val a = obs.filter(o => o._1 == 0 && o._2 == d)
+      val b = obs.filter(o => o._1 == 1 && o._2 == d)
+      graft.streaming.ArmDayNorm("expA", d,
+        n_a = a.length.toLong, s1_a = a.map(_._3).sum,
+        s2_a = a.map(o => o._3 * o._3).sum,
+        n_b = b.length.toLong, s1_b = b.map(_._3).sum,
+        s2_b = b.map(o => o._3 * o._3).sum)
+    }
+    val input = MemoryStream[graft.streaming.ArmDayNorm]
+    val q = EventStreams.msprtNormalMonitor(input.toDS())
+      .writeStream.format("memory").queryName("msprt_norm")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      // two micro-batches so the cumulative state provably carries over
+      val (h1, h2) = feed.splitAt(feed.length / 2)
+      input.addData(h1: _*); q.processAllAvailable()
+      input.addData(h2: _*); q.processAllAvailable()
+      val streamed = spark.table("msprt_norm")
+        .select("d", "n_a", "s1_a", "n_b", "s1_b", "theta", "lambda",
+          "p_always_valid", "reject")
+        .collect().map(_.toSeq).toSet
+      val batch = SparkEntry.queries("q273_msprt_normal")(spark, dir)
+        .collect().map(_.toSeq).toSet
+      assert(streamed === batch,
+        "streamed always-valid p-sequence must equal batch q273")
+    } finally q.stop()
+  }
+
+  test("normal mSPRT monitor drops late days and isolates experiments") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[graft.streaming.ArmDayNorm]
+    val q = EventStreams.msprtNormalMonitor(input.toDS())
+      .writeStream.format("memory").queryName("msprt_norm_edge")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      // expA: strong persistent lift; expB: perfect null (identical
+      // arms, nonzero variance)
+      input.addData(
+        graft.streaming.ArmDayNorm("expA", 1L, 50L, 1000L, 300000L,
+          50L, 9000L, 2500000L),
+        graft.streaming.ArmDayNorm("expB", 1L, 50L, 1000L, 300000L,
+          50L, 1000L, 300000L))
+      q.processAllAvailable()
+      input.addData(
+        graft.streaming.ArmDayNorm("expA", 1L, 999L, 9L, 9L, 9L, 9L, 9L), // late → dropped
+        graft.streaming.ArmDayNorm("expA", 2L, 50L, 1000L, 300000L,
+          50L, 9000L, 2500000L),
+        graft.streaming.ArmDayNorm("expB", 2L, 50L, 1000L, 300000L,
+          50L, 1000L, 300000L))
+      q.processAllAvailable()
+      val got = spark.table("msprt_norm_edge")
+        .as[graft.streaming.MsprtNormPoint].collect()
+      val a = got.filter(_.exp == "expA").sortBy(_.d)
+      val b = got.filter(_.exp == "expB").sortBy(_.d)
+      assert(a.map(_.d).toSeq === Seq(1L, 2L), "late day must be dropped")
+      assert(a.map(_.n_a).toSeq === Seq(50L, 100L),
+        "cumulative counts must ignore the late replay")
+      assert(a.map(_.p_always_valid).sliding(2).forall(w => w(1) <= w(0)),
+        s"p-sequence rose: ${a.map(_.p_always_valid).toSeq}")
+      assert(a.last.reject,
+        s"the strong persistent lift must reject: p=${a.last.p_always_valid}")
+      assert(!b.last.reject && b.last.p_always_valid === 1.0,
+        s"the perfect null must not be dragged down by expA's state: " +
+          s"p=${b.last.p_always_valid}")
     } finally q.stop()
   }
 
