@@ -3087,14 +3087,156 @@ object EmbeddingQueries {
             (col("drift_compacted") === 0).as("compact_ok"),
             col("s_cs"), col("s_route"),
             lit(markersAfter.toLong).as("n_markers_after"))
-      })
+      }),
+
+    q275Def
   )
 
-  /** q266/q267/q270/q271/q272 run in a FRESH state dir per execution
-    * (see the query docs); this counter is what makes "fresh" true
-    * within one JVM.
+  /** q266/q267/q270/q271/q272/q275 run in a FRESH state dir per
+    * execution (see the query docs); this counter is what makes
+    * "fresh" true within one JVM.
     */
   private val q266Runs = new java.util.concurrent.atomic.AtomicLong()
+
+  /** q275: the dedup-verdict → index-excision composition (defined
+    * outside the defs Seq for readability; registered at the end of
+    * [[defs]]). The full pipeline loop the tombstone machinery exists
+    * for: q30's bag-of-words dedup decides which documents are
+    * redundant copies, and the serving-side vector index EXCISES the
+    * losers without a rebuild — before tombstones, an excised
+    * document kept serving from the ANN index until the next full
+    * retrain, which is how deduped content leaks back into retrieval.
+    * Engine-side: build IvfIndex on ALL embeddings (the index
+    * predates the verdict, as in production), derive losers = every
+    * doc in a duplicate fingerprint group except the minimum-id
+    * keeper (exactly q30's clusters; doc_id ↔ vec_id), tombstone
+    * them, compact (physical excision), and gate the live relation ≡
+    * a one-shot re-route of exactly the keeper set under the same
+    * frozen centroids — drift ≡ 0 both as maintained state and after
+    * compaction, with counts and checksums the oracle re-derives in
+    * SQL end-to-end (tokenize → fingerprint → cluster → survivors →
+    * assignment). Scale shape: the verdict is q30's one hash agg;
+    * the excision is one tombstone commit bounded by the loser count;
+    * nothing re-routes but the drift-gate truth side.
+    */
+  private def q275Def: QueryDef =
+    QueryDef("q275_dedup_excision", Some({
+      def assignCte(p: String, scn: String, corpus: String): String = s"""
+      ${p}asg AS (SELECT vec_id, centroid_id, cs FROM (
+               SELECT vec_id, centroid_id, cs,
+                      ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY cs DESC, centroid_id) AS rk
+               FROM (SELECT c_.vec_id, x.centroid_id,
+                            ${sqlDot("c_.embedding", "x.cvec")} / (c_.nrm * x.cnrm) AS cs
+                     FROM $corpus c_ CROSS JOIN $scn x))
+             WHERE rk = 1)"""
+      s"""${TextQueries.toksCte()},
+      fpt AS (SELECT doc_id,
+                     md5(array_to_string(list_sort(list_distinct(tokens)), ' '))
+                       AS fp
+              FROM toks),
+      keep AS (SELECT fp, MIN(doc_id) AS keeper FROM fpt GROUP BY fp),
+      losers AS (SELECT f.doc_id FROM fpt f JOIN keep k ON k.fp = f.fp
+                 WHERE f.doc_id <> k.keeper),
+      ngroups AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_dup_groups
+                  FROM (SELECT fp FROM fpt GROUP BY fp HAVING COUNT(*) > 1)),
+      e AS (SELECT vec_id, embedding, ${sqlNorm("embedding")} AS nrm
+            FROM embeddings WHERE ${sqlNorm("embedding")} > 0),
+      es AS (SELECT * FROM e WHERE vec_id NOT IN (SELECT doc_id FROM losers)),
+      hc0 AS (SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings
+              WHERE vec_id % 50 = 0),
+      ${lloydIterationCte(1, "hc0", "e", "h")},
+      ${lloydIterationCte(2, "hc1", "e", "h")},
+      hscn AS (SELECT centroid_id, cvec, ${sqlNorm("cvec")} AS cnrm FROM hc2
+               WHERE ${sqlNorm("cvec")} > 0),
+      ${assignCte("fl", "hscn", "e")},
+      live AS (SELECT * FROM flasg
+               WHERE vec_id NOT IN (SELECT doc_id FROM losers)),
+      ${assignCte("sv", "hscn", "es")},
+      drift AS (SELECT CAST(COUNT(*) FILTER (WHERE l.vec_id IS NULL
+                       OR v.vec_id IS NULL
+                       OR l.centroid_id <> v.centroid_id) AS BIGINT) AS drift
+                FROM live l FULL OUTER JOIN svasg v ON v.vec_id = l.vec_id),
+      nl AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_excised FROM losers
+             WHERE doc_id IN (SELECT vec_id FROM e)),
+      qs AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_live,
+                    CAST(SUM(CAST(ROUND(cs*1000000) AS BIGINT)) AS BIGINT) AS s_cs,
+                    CAST(SUM(vec_id * centroid_id) AS BIGINT) AS s_route
+             FROM svasg),
+      nv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_indexed FROM e)
+      SELECT nv.n_indexed, g.n_dup_groups, nl.n_excised, q.n_live,
+             d.drift, d.drift = 0 AS drift_ok,
+             d.drift AS drift_compacted, d.drift = 0 AS compact_ok,
+             q.s_cs, q.s_route,
+             CAST(1 AS BIGINT) AS n_markers_after
+      FROM nv, ngroups g, nl, qs q, drift d"""
+    }),
+      (s, dir) => {
+        import graft.ann.IvfIndex
+        import graft.operators.VersionedState
+        val emb = Tables.read(s, dir, "embeddings")
+        val stDir = s"${System.getProperty("java.io.tmpdir")}/graft_q275_" +
+          dir.replaceAll("[^A-Za-z0-9._-]", "_") +
+          "_p" + ProcessHandle.current.pid + "_" + q266Runs.incrementAndGet()
+        EventQueries.cleanupOnExit(stDir)
+        // the index predates the dedup verdict: built on EVERYTHING
+        IvfIndex.build(emb, "vec_id", "embedding",
+          col("vec_id") % 50 === 0, iters = 2, stDir)
+        // q30's verdict: in each duplicate bag-of-words fingerprint
+        // group, every doc but the min-id keeper is a loser
+        val fpt = TextQueries.tokenized(s, dir)
+          .select(col("doc_id"),
+            md5(concat_ws(" ", array_sort(array_distinct(col("tokens")))))
+              .as("fp"))
+          .localCheckpoint() // keeper agg + loser join + group count read it
+        val keep = fpt.groupBy("fp").agg(min("doc_id").as("keeper"))
+          .localCheckpoint() // loser join + dup-group count read it
+        val losers = fpt.join(keep, "fp")
+          .where(col("doc_id") =!= col("keeper"))
+          .select("doc_id").localCheckpoint() // delete + survivor anti-join
+        val nGroups = fpt.join(keep, "fp")
+          .groupBy("fp").agg(count(lit(1)).as("c"))
+          .where(col("c") > 1)
+          .agg(count(lit(1)).as("n_dup_groups"))
+        // EXCISE: tombstone the losers, then physically compact
+        IvfIndex.delete(losers, stDir)
+        val live = IvfIndex.assignments(s, stDir).get.localCheckpoint()
+        val cents = IvfIndex.centroids(s, stDir).get.localCheckpoint()
+        val expected = IvfIndex.assignTo(
+            emb.join(losers.select(col("doc_id").as("vec_id")), Seq("vec_id"),
+              "left_anti"),
+            "vec_id", "embedding", cents)
+          .localCheckpoint() // both drift gates + checksums read it
+        def driftOf(x: org.apache.spark.sql.DataFrame, n: String) =
+          x.select(col("id"), col("centroid_id").as("ci"))
+            .join(expected.select(col("id"), col("centroid_id").as("cf")),
+              Seq("id"), "full_outer")
+            .agg(sum(when(col("ci").isNull || col("cf").isNull
+                || col("ci") =!= col("cf"), 1L).otherwise(0L)).as(n))
+        val drift1 = driftOf(live, "drift")
+        IvfIndex.compact(s, stDir)
+        val post = IvfIndex.assignments(s, stDir).get.localCheckpoint()
+        val drift2 = driftOf(post, "drift_compacted")
+        val markersAfter = VersionedState.committed(s, stDir).size
+        val nv = emb.where(graft.ann.Knn.l2norm(col("embedding")) > 0)
+          .agg(count(lit(1)).as("n_indexed"))
+        val nl = losers
+          .join(emb.where(graft.ann.Knn.l2norm(col("embedding")) > 0)
+            .select(col("vec_id").as("doc_id")), Seq("doc_id"))
+          .agg(count(lit(1)).as("n_excised"))
+        val qs = post.agg(count(lit(1)).as("n_live"),
+          sum(round(col("cs") * 1000000).cast("long")).as("s_cs"),
+          sum(col("id") * col("centroid_id")).cast("long").as("s_route"))
+        nv.crossJoin(nGroups).crossJoin(nl).crossJoin(qs)
+          .crossJoin(drift1).crossJoin(drift2)
+          .select(col("n_indexed"), col("n_dup_groups"), col("n_excised"),
+            col("n_live"),
+            col("drift"), (col("drift") === 0).as("drift_ok"),
+            col("drift_compacted"),
+            (col("drift_compacted") === 0).as("compact_ok"),
+            col("s_cs"), col("s_route"),
+            lit(markersAfter.toLong).as("n_markers_after"))
+      })
 
   /** DuckDB exact squared L2 over float lists — per-element double
     * differences squared, summed in index order (the same fold order

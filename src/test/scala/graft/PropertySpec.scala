@@ -340,4 +340,57 @@ class PropertySpec extends SparkTestBase {
       .collect().map(r => ((100L - r.getLong(1), 100L - r.getLong(0)), r.getDouble(5))).toMap
     assert(flipped === base)
   }
+
+  test("ExactSubstr spans ≡ driver-side sliding-window model, for arbitrary corpora and L") {
+    // tiny alphabet so duplicated windows actually occur
+    val docGen: Gen[List[String]] =
+      Gen.chooseNum(0, 14).flatMap(n => Gen.listOfN(n, Gen.oneOf("a", "b", "c")))
+    def model(docs: Seq[(Long, List[String])],
+              l: Int): Set[(Long, Long, Long, Long, Long, Long)] = {
+      val windows = docs.flatMap { case (id, t) =>
+        if (t.size >= l) (0 to t.size - l).map(i =>
+          (id, (i + 1).toLong, t.slice(i, i + l).mkString(" ")))
+        else Nil
+      }
+      val dup = windows.groupBy(_._3).filter(_._2.size >= 2).keySet
+      docs.flatMap { case (id, _) =>
+        val dw = windows.collect { case (d, i, h) if d == id && dup(h) => i }.sorted
+        if (dw.isEmpty) Nil
+        else {
+          // gaps-and-islands: new island when the start clears every
+          // previous window's end
+          val islands = dw.tail.foldLeft(List(List(dw.head))) { (acc, i) =>
+            val maxEnd = acc.head.map(_ + l).max
+            if (i > maxEnd) List(i) :: acc else (i :: acc.head) :: acc.tail
+          }.reverse.map(_.reverse)
+          islands.zipWithIndex.map { case (is, k) =>
+            (id, (k + 1).toLong, is.head, is.last + l,
+              is.last + l - is.head, is.length.toLong)
+          }
+        }
+      }.toSet
+    }
+    for (l <- Seq(2, 3, 5)) {
+      val docs = sample(docGen, 40).zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }
+      val df = docs.toDF("doc_id", "tokens")
+      val w = graft.dedup.ExactSubstr.windowHashes(df, "doc_id", "tokens", l)
+      val dup = w.groupBy("h").count().where(col("count") >= 2).select("h")
+      val got = graft.dedup.ExactSubstr.spans(df, "doc_id", "tokens", l, dup)
+        .select(col("doc").cast("long"), col("span_idx"), col("span_start"),
+          col("span_end"), col("span_len"), col("n_windows"))
+        .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+      assert(got === model(docs, l), s"L=$l")
+      // structural invariants: spans within a doc never overlap and
+      // every span is at least one window long
+      got.groupBy(_._1).foreach { case (_, ss) =>
+        val sorted = ss.toSeq.sortBy(_._3)
+        sorted.sliding(2).foreach {
+          case Seq(x, y) => assert(y._3 >= x._4, s"overlap: $x $y")
+          case _ =>
+        }
+        sorted.foreach(sp => assert(sp._5 >= l && sp._6 >= 1))
+      }
+    }
+  }
 }

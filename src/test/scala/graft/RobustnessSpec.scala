@@ -327,4 +327,59 @@ class RobustnessSpec extends SparkTestBase {
     assert(rows.forall(_.isNullAt(3)), "no bin has two-sided support")
     assert(rows.forall(r => r.getDouble(4) === 0.0 && r.getLong(5) === 8L))
   }
+
+  test("index lifecycle degenerate edges: delete of absent ids, delete-all, compact of empty") {
+    import graft.ann.IvfIndex
+    val dir = java.nio.file.Files.createTempDirectory("graft_rb_idx").toString + "/idx"
+    val vecs = (0L until 12L).map(i =>
+      (i, Array.tabulate(4)(d => (i % 3 + d).toFloat + 1f))).toDF("vec_id", "embedding")
+    IvfIndex.build(vecs, "vec_id", "embedding", col("vec_id") % 6 === 0,
+      iters = 1, dir)
+    // deleting ids that are not in the index is harmless
+    IvfIndex.delete(Seq(999L, 1000L).toDF("vec_id"), dir)
+    assert(IvfIndex.assignments(spark, dir).get.count() === 12L)
+    // delete EVERYTHING, compact the now-empty index: empty live
+    // relation, dials intact, maintenance continues
+    IvfIndex.delete(vecs.select("vec_id"), dir)
+    assert(IvfIndex.assignments(spark, dir).get.count() === 0L)
+    IvfIndex.compact(spark, dir)
+    assert(IvfIndex.assignments(spark, dir).get.count() === 0L,
+      "compacting an all-tombstoned index yields an empty live relation")
+    assert(IvfIndex.centroids(spark, dir).nonEmpty,
+      "the dial tables must survive an empty compaction")
+    IvfIndex.refresh(vecs.where(col("vec_id") < 3), "vec_id", "embedding",
+      dir, "back")
+    assert(IvfIndex.assignments(spark, dir).get.count() === 3L,
+      "refresh must still work against the empty compacted base")
+  }
+
+  test("ExactSubstr degenerate edges: all-short docs, empty delta, full retraction") {
+    import graft.dedup.ExactSubstr
+    val dir = java.nio.file.Files.createTempDirectory("graft_rb_es").toString + "/st"
+    val short = Seq((1L, Seq("a", "b")), (2L, Seq.empty[String]))
+      .toDF("doc_id", "tokens")
+    // no doc reaches L=4: the base commits an EMPTY count table and
+    // every read stays defined
+    ExactSubstr.build(short, "doc_id", "tokens", L = 4, dir)
+    assert(ExactSubstr.storedL(spark, dir) === 4)
+    assert(ExactSubstr.hashCounts(spark, dir).get.count() === 0L)
+    assert(ExactSubstr.spans(short, "doc_id", "tokens", 4,
+      ExactSubstr.dupHashes(spark, dir)).count() === 0L)
+    // an empty delta refresh commits harmlessly
+    ExactSubstr.refresh(short.where(col("doc_id") < 0), "doc_id", "tokens",
+      dir, "quiet")
+    assert(ExactSubstr.hashCounts(spark, dir).get.count() === 0L)
+    // add real docs, then retract them ALL: counts net to zero and are
+    // physically dropped at compaction
+    val real = Seq((9L, Seq("x", "y", "z", "w", "x", "y", "z", "w")))
+      .toDF("doc_id", "tokens")
+    ExactSubstr.refresh(real, "doc_id", "tokens", dir, "r1")
+    assert(ExactSubstr.dupHashes(spark, dir).count() >= 1L)
+    ExactSubstr.retract(real, "doc_id", "tokens", dir, "rm1")
+    assert(ExactSubstr.hashCounts(spark, dir).get.count() === 0L,
+      "a full retraction must zero every count")
+    ExactSubstr.compact(spark, dir)
+    assert(ExactSubstr.hashCounts(spark, dir).get.count() === 0L)
+    assert(ExactSubstr.storedL(spark, dir) === 4)
+  }
 }
