@@ -97,23 +97,36 @@ object SketchState {
     * at `stateDir` — the quantile member of the durable-state family.
     * UNLIKE the KMV/HLL members, counter ADDITION is not idempotent:
     * replaying a batch double-counts (SketchStateSpec pins exactly
-    * that), so replay safety must come from exactly-once batch
-    * delivery (a checkpointed source whose offsets commit with the
-    * state write), not from the merge algebra. Use the KMV/HLL members
-    * when the source is at-least-once.
+    * that for the id-less call). Passing `batchId` (Structured
+    * Streaming's `foreachBatch` batch id, stringified) closes the
+    * hazard for the crash-restart case: the id rides in the commit
+    * marker, and a batch whose id is already committed AMONG THE LIVE
+    * VERSIONS is a no-op. The guard's window is the GC retention (two
+    * versions) — exactly the replay Structured Streaming can produce
+    * on restart, which re-delivers only the last uncommitted batch.
+    * An id-less call keeps the raw additive semantics (exactly-once
+    * delivery is then the caller's job); KMV/HLL never need the id —
+    * their merges are idempotent by algebra.
     */
   def mergeHistogramBatch(batch: DataFrame, value: Column,
                           keys: Seq[String], width: Long,
-                          stateDir: String): Unit = {
+                          stateDir: String, batchId: String = ""): Unit = {
     val spark = batch.sparkSession
-    val prev = VersionedState.currentVersion(spark, stateDir)
+    val label = if (batchId.isEmpty) "" else s"batch:$batchId"
+    val committed = VersionedState.committed(spark, stateDir)
+    if (batchId.nonEmpty && committed.exists(_._2 == label))
+      return // replayed batch: its counters are already in the state
+    val prev = committed.lastOption.map(_._1)
     val stored = prev.map(n =>
       spark.read.parquet(VersionedState.versionPath(stateDir, n)))
     val delta = graft.functions.BucketHistogram.sketch(batch, value, keys, width)
     val merged = stored
       .map(st => graft.functions.BucketHistogram.merge(st, delta))
       .getOrElse(delta)
-    commit(spark, stateDir, merged, prev)
+    VersionedState.commit(spark, stateDir, prev, label = label,
+      gcBelow = prev.getOrElse(Long.MinValue)) { vdir =>
+      merged.write.mode("overwrite").parquet(vdir)
+    }
   }
 
   /** Merge one batch's KMV sketch into the state table at `stateDir`. */

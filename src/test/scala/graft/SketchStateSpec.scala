@@ -98,14 +98,42 @@ class SketchStateSpec extends SparkTestBase {
     assert(SketchState.read(spark, stateDir).get
       .as[(String, Long, Long)].collect().toSet === want,
       "restart continuity: merged counters must equal the batch rebuild")
-    // counter ADDITION is not idempotent: replaying b2 double-counts.
-    // This is the contract line that separates the histogram member
-    // from KMV/HLL — exactly-once delivery is the caller's job.
+    // counter ADDITION is not idempotent: ID-LESS replay of b2
+    // double-counts. This is the contract line that separates the
+    // histogram member from KMV/HLL — for id-less calls, exactly-once
+    // delivery is the caller's job.
     run(Seq(b2))
     val total = SketchState.read(spark, stateDir).get
       .agg(sum("n")).as[Long].head()
     assert(total === (b1.size + 2 * b2.size).toLong,
-      "replay must double-count (additive counters, not max-merge)")
+      "id-less replay must double-count (additive counters, not max-merge)")
+  }
+
+  test("histogram batch-id guard: a replayed foreachBatch id is a no-op") {
+    import graft.functions.BucketHistogram
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("graft_hist_guard").toString + "/hist"
+    val width = 10L
+    def mergeWithId(rows: Seq[(String, Long)], id: String): Unit =
+      SketchState.mergeHistogramBatch(rows.toDF("grp", "cents"),
+        col("cents"), Seq("grp"), width, stateDir, batchId = id)
+    val b1 = (1L to 30L).map(v => ("a", v))
+    val b2 = (25L to 60L).map(v => ("a", v))
+    mergeWithId(b1, "0")
+    mergeWithId(b2, "1")
+    // crash-restart: foreachBatch re-delivers the LAST batch with the
+    // SAME batch id — the guard must make it a no-op
+    mergeWithId(b2, "1")
+    val want = BucketHistogram.sketch((b1 ++ b2).toDF("grp", "cents"),
+        col("cents"), Seq("grp"), width)
+      .as[(String, Long, Long)].collect().toSet
+    assert(SketchState.read(spark, stateDir).get
+      .as[(String, Long, Long)].collect().toSet === want,
+      "a replayed batch id must not double-count")
+    // a NEW id is a genuinely new batch and merges
+    mergeWithId(Seq(("a", 5L)), "2")
+    assert(SketchState.read(spark, stateDir).get
+      .agg(sum("n")).as[Long].head() === (b1.size + b2.size + 1).toLong)
   }
 
   test("kill mid-commit: a torn next version is invisible and recovered over") {
