@@ -4866,10 +4866,106 @@ object TextQueries {
             col("span_start"), col("span_end"), col("span_len"),
             col("n_windows"))
           .orderBy("doc_id", "span_start")
+      }),
+
+    // ---- q276: MAINTAINED near-dup cluster labels — the state
+    // between q72 (batch CC over the verified near-dup graph) and q89
+    // (batch-vs-corpus screening): the `doc → cluster min-id` table
+    // is the corpus-sized artifact an evolving corpus maintains, but
+    // cluster labels change NON-LOCALLY on ingest (one bridge doc
+    // merges two old clusters and relabels every member of the
+    // larger), so a naive maintenance rewrites the corpus per batch.
+    // graft.dedup.ClusterState stores the non-local change as a
+    // DELTA-SIZED REMAP instead: a refresh contracts existing
+    // clusters to their labels, runs converged CC on the REDUCED
+    // graph (touched old labels + new docs only), and commits (adds,
+    // remap) — the live table is base ∪ adds pushed through the
+    // remap chain (each remap cluster-bounded and broadcast), folded
+    // back to one base by compact. Contraction is exact: old labels
+    // ARE component minima, so the reduced component's min equals
+    // the full graph's min — the query gates maintained ≡
+    // from-scratch converged CC over the union, hash-exact against
+    // the DuckDB hash-min + pointer-jump fixpoint. Engine-side cycle:
+    // build on history (doc_id % 5 ≠ 4) over history-only verified
+    // edges (q72's band → cap → Jaccard chain), refresh with the
+    // delta docs + every verified edge touching the delta (delivered
+    // TWICE under one delta id — the replay guard in the gated path),
+    // labels read through the remap chain. ClusterStateSpec pins the
+    // bridge-merge/chain/restart/compact semantics the oracle can't
+    // see.
+    QueryDef("q276_cluster_maintain", Some(s"""${toksCte()},
+      sig AS (SELECT doc_id,
+        ${(0 until 8).map(i =>
+          s"list_min(list_transform(list_distinct(tokens), t -> md5('$i:' || t))) AS mh$i")
+          .mkString(",\n        ")}
+              FROM toks),
+      band AS (${(0 until 4).map(b =>
+          s"SELECT doc_id, $b AS b, mh${2 * b} || '|' || mh${2 * b + 1} AS chunk FROM sig")
+          .mkString(" UNION ALL\n               ")}),
+      kept AS (SELECT doc_id, b, chunk FROM
+                 (SELECT doc_id, b, chunk,
+                         COUNT(*) OVER (PARTITION BY b, chunk) AS bsz FROM band)
+               WHERE bsz <= 50),
+      cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+               FROM kept a JOIN kept b
+                 ON a.b = b.b AND a.chunk = b.chunk AND a.doc_id < b.doc_id),
+      sh AS (SELECT doc_id,
+               list_distinct(list_transform(range(1, len(tokens)),
+                             i -> tokens[i] || ' ' || tokens[i+1])) AS sh
+             FROM toks),
+      ver AS (SELECT id_a, id_b FROM
+                (SELECT c.id_a, c.id_b,
+                        CASE WHEN len(a.sh) + len(b.sh)
+                                  - len(list_intersect(a.sh, b.sh)) = 0 THEN NULL
+                             ELSE len(list_intersect(a.sh, b.sh))
+                                  / (len(a.sh) + len(b.sh)
+                                     - len(list_intersect(a.sh, b.sh))) END AS jac
+                 FROM cand c JOIN sh a ON a.doc_id = c.id_a
+                             JOIN sh b ON b.doc_id = c.id_b)
+              WHERE jac >= CAST(0.5 AS DOUBLE)),
+      edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM ver
+                UNION ALL SELECT id_b, id_a FROM ver),
+      l0 AS MATERIALIZED (SELECT doc_id AS id, doc_id AS label FROM toks),
+      ${graft.QueryDef.ccFixpointCtes()}
+      SELECT id AS doc_id, label AS cluster_id, id = label AS keep,
+             id % 5 = 4 AS arrived_in_delta
+      FROM ${graft.QueryDef.ccFinal()} ORDER BY doc_id"""),
+      (s, dir) => {
+        import graft.dedup.ClusterState
+        val toks = tokenized(s, dir)
+          .localCheckpoint() // candidate, verify, and both id splits read it
+        val cand = Dedup.lshBandedCandidatePairs(toks, "doc_id", "tokens",
+          4, 2, maxBucketSize = 50)
+        val ver = Dedup.verifyJaccard(toks, "doc_id", "tokens", cand)
+          .where(col("jaccard") >= 0.5).select("id_a", "id_b")
+          .localCheckpoint() // history and delta splits read it
+        val histPairs = ver
+          .where(col("id_a") % 5 =!= 4 && col("id_b") % 5 =!= 4)
+        val deltaPairs = ver
+          .where(col("id_a") % 5 === 4 || col("id_b") % 5 === 4)
+        val stDir = s"${System.getProperty("java.io.tmpdir")}/graft_q276_" +
+          dir.replaceAll("[^A-Za-z0-9._-]", "_") +
+          "_p" + ProcessHandle.current.pid + "_" + q274Runs.incrementAndGet()
+        EventQueries.cleanupOnExit(stDir)
+        ClusterState.build(
+          toks.where(col("doc_id") % 5 =!= 4).select("doc_id"),
+          "doc_id", histPairs, stDir)
+        ClusterState.refresh(
+          toks.where(col("doc_id") % 5 === 4).select("doc_id"),
+          "doc_id", deltaPairs, stDir, deltaId = "d1")
+        // crash-replay of the batch: must be a no-op
+        ClusterState.refresh(
+          toks.where(col("doc_id") % 5 === 4).select("doc_id"),
+          "doc_id", deltaPairs, stDir, deltaId = "d1")
+        ClusterState.labels(s, stDir).get
+          .select(col("id").as("doc_id"), col("label").as("cluster_id"),
+            (col("id") === col("label")).as("keep"),
+            (col("id") % 5 === 4).as("arrived_in_delta"))
+          .orderBy("doc_id")
       })
   )
 
-  /** q274 runs in a fresh state dir per execution (see the q266
+  /** q274/q276 run in a fresh state dir per execution (see the q266
     * discipline in EmbeddingQueries).
     */
   private val q274Runs = new java.util.concurrent.atomic.AtomicLong()
