@@ -918,6 +918,30 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!plans.exists { case _: CartesianProductExec => true; case _ => false })
   }
 
+  test("q271/q272/q275 index lifecycle: NO window operator anywhere — routing is mergeable argmin") {
+    for (name <- Seq("q271_ivf_compact", "q272_ivf_tombstone",
+        "q275_dedup_excision")) {
+      val plans = allExecutedPlans(name)
+      assert(!plans.exists(_.nodeName == "Window"),
+        s"$name: build/refresh/compact/drift must route via the " +
+          "partial-aggregable max-struct and compare via joins+aggs — " +
+          "a window anywhere means a corpus sort crept in")
+    }
+  }
+
+  test("q274/q276 maintained dedup: windows only per-doc / per-bucket — never global") {
+    for (name <- Seq("q274_exact_substring_maintain", "q276_cluster_maintain")) {
+      val plans = allExecutedPlans(name)
+      val windows = plans.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(windows.forall(_.partitionSpec.nonEmpty),
+        s"$name: span merge partitions by doc, the LSH bucket cap by " +
+          "(band, chunk) — a global window would one-task-sort the corpus")
+      assert(!plans.exists { case _: CartesianProductExec => true; case _ => false })
+    }
+  }
+
   test("q270 IVF-PQ maintain: broadcast codebooks + bucket equi-joins — no cartesian, no global window") {
     val plans = allExecutedPlans("q270_ivfpq_maintain")
     assert(!plans.exists { case _: CartesianProductExec => true; case _ => false },
