@@ -53,6 +53,19 @@ import org.apache.spark.sql.functions._
   * Replay: `deltaId` rides in the commit marker and a re-delivered id
   * is a no-op (the [[graft.ann.IndexSegments]] guard). Torn commits,
   * GC, and second-writer surfacing are VersionedState's guarantees.
+  *
+  * == Known limit: no deletions ==
+  *
+  * This operator maintains a GROWING corpus. Removing a doc is
+  * decremental connectivity — deleting a bridge doc may SPLIT a
+  * cluster, which cannot be decided from labels alone (it needs the
+  * surviving edge set). Supporting it would mean storing the verified
+  * edge relation as state (corpus-×-avg-degree-sized) and re-running
+  * CC inside affected clusters on delete. Until a use case pays for
+  * that, the contract is: deletions require a [[build]] over the
+  * surviving corpus (dedup pipelines delete via the INDEX side —
+  * [[graft.ann.IvfIndex.delete]], q275 — where removal is row-local;
+  * the label table is usually consumed upstream of deletions anyway).
   */
 object ClusterState {
 
