@@ -57,10 +57,22 @@ private[graft] object IndexSegments {
     * `delta:<id>` (replay-guarded).
     */
   def deltaLabel(deltaId: String): String = {
-    require(deltaId.length <= 200 && !deltaId.exists(c => c == '\n' || c == '\r'),
-      "delta id must be ≤200 chars with no line breaks (it rides in the " +
-        "commit marker)")
+    validDeltaId(deltaId)
     if (deltaId.isEmpty) "delta" else s"delta:$deltaId"
+  }
+
+  /** The delta-id contract every family label shares: bounded in BYTES
+    * (not chars — a multibyte id must still fit the marker whole, or
+    * the equality-based replay guard silently never matches) and free
+    * of line breaks (ids are also persisted newline-delimited in the
+    * compaction-carried delivered file).
+    */
+  def validDeltaId(deltaId: String): Unit = {
+    require(
+      deltaId.getBytes(java.nio.charset.StandardCharsets.UTF_8).length <= 200 &&
+        !deltaId.exists(c => c == '\n' || c == '\r'),
+      "delta id must be ≤200 UTF-8 bytes with no line breaks (it rides in " +
+        "the commit marker and the delivered-id sidecar)")
   }
 
   /** The latest `base*` version — the read horizon's start. */
@@ -69,15 +81,55 @@ private[graft] object IndexSegments {
       throw new IllegalStateException(
         s"$stateDir has committed versions but no base — corrupt index state"))
 
+  /** The name of the sidecar file a `base-compact` version carries with
+    * the full `kind:<id>` labels of every replay-guarded commit it (or
+    * any compaction before it) folded — the replay guard's memory
+    * across compactions. Without it, a delta id re-delivered AFTER its
+    * marker was compacted away would silently append duplicate rows —
+    * exactly the crash-replay window the guard exists for (maintainer
+    * commits, crashes before acking the source, restarts, compacts,
+    * source re-delivers). Only a full [[build]] resets the guard — by
+    * then the rows live in the rebuilt base, so a re-delivery is the
+    * caller re-syncing, not a crash replay.
+    */
+  val DeliveredFile = "delivered"
+
+  /** Every replay-guarded label known delivered: live markers (both
+    * retained horizons) plus the latest base's delivered sidecar.
+    */
+  def deliveredLabels(spark: SparkSession, stateDir: String,
+                      cs: Seq[(Long, String)]): Map[String, Long] = {
+    val fromMarkers = cs.collect {
+      case (n, l) if !l.startsWith("base") && l.contains(":") => l -> n
+    }.toMap
+    val fromBase = cs.filter(_._2.startsWith("base")).map(_._1).maxOption
+      .map { b =>
+        VersionedState.readLines(spark,
+            VersionedState.versionPath(stateDir, b), DeliveredFile)
+          .map(_ -> b).toMap
+      }.getOrElse(Map.empty[String, Long])
+    fromBase ++ fromMarkers
+  }
+
+  /** The committed version carrying `label` (a full `kind:<id>` string),
+    * if it was already delivered — via a live marker, or via the latest
+    * base's compaction-carried delivered set (then the base's version
+    * is returned: the rows live in its folded payload).
+    */
+  def alreadyDeliveredLabel(spark: SparkSession, stateDir: String,
+                            label: String): Option[Long] =
+    deliveredLabels(spark, stateDir,
+      VersionedState.committed(spark, stateDir)).get(label)
+
   /** The committed version carrying `delta:<deltaId>`, if the id was
-    * already delivered on the current read horizon (None for id-less
-    * calls — those are never replay-guarded).
+    * already delivered (None for id-less calls — those are never
+    * replay-guarded). Survives compaction via the delivered sidecar;
+    * reset only by a full build.
     */
   def alreadyDelivered(spark: SparkSession, stateDir: String,
                        deltaId: String): Option[Long] =
     if (deltaId.isEmpty) None
-    else VersionedState.committed(spark, stateDir)
-      .collectFirst { case (n, l) if l == s"delta:$deltaId" => n }
+    else alreadyDeliveredLabel(spark, stateDir, s"delta:$deltaId")
 
   /** The live index relation (see object doc), or None before the
     * first commit. Segment rows must carry an `id` column — the key
@@ -132,12 +184,40 @@ private[graft] object IndexSegments {
     }
   }
 
+  /** The GC floor a compaction commit should use: `next` (reclaim
+    * everything) when `retainHorizons` is 0, else the base of the
+    * oldest horizon to KEEP — retaining the previous horizon keeps an
+    * in-flight reader's lazy plan (resolved before the compact) from
+    * losing its files mid-scan, the same retention-2 discipline
+    * `VectorStreams.publishIndex` uses for hot swaps. The retained
+    * horizon is reclaimed by the NEXT compact, or eagerly by
+    * [[gcOldHorizons]].
+    */
+  def compactGcFloor(cs: Seq[(Long, String)], next: Long,
+                     retainHorizons: Int): Long =
+    if (retainHorizons <= 0) next
+    else cs.filter(_._2.startsWith("base")).map(_._1).sorted
+      .takeRight(retainHorizons).headOption.getOrElse(next)
+
+  /** Eagerly reclaim every version below the current read horizon's
+    * base — the versions a compaction with `retainHorizons = 1` left
+    * alive for in-flight readers. Call once those readers are done.
+    */
+  def gcOldHorizons(spark: SparkSession, stateDir: String): Unit = {
+    val cs = VersionedState.committed(spark, stateDir)
+    if (cs.isEmpty) return
+    VersionedState.gc(spark, stateDir, keepFrom = lastBase(cs, stateDir))
+  }
+
   /** Fold the read horizon into one `base-compact` version (see object
-    * doc) and GC everything below it. A lone base with nothing to fold
-    * is already compact — returned as-is, no commit.
+    * doc), carrying the replay guard's delivered-id memory in the
+    * [[DeliveredFile]] sidecar, and GC below the retention floor
+    * (`retainHorizons = 1` keeps the folded horizon alive for
+    * in-flight readers; 0 reclaims it immediately). A lone base with
+    * nothing to fold is already compact — returned as-is, no commit.
     */
   def compact(spark: SparkSession, stateDir: String,
-              dialDirs: Seq[String]): Long = {
+              dialDirs: Seq[String], retainHorizons: Int = 1): Long = {
     val cs = VersionedState.committed(spark, stateDir)
     require(cs.nonEmpty, s"no committed index at $stateDir — nothing to compact")
     val base = lastBase(cs, stateDir)
@@ -146,15 +226,17 @@ private[graft] object IndexSegments {
     val pdir = VersionedState.versionPath(stateDir, cur)
     val dials = dialDirs.map(d => d -> spark.read.parquet(s"$pdir/$d"))
     val folded = live(spark, stateDir).get
+    val delivered = deliveredLabels(spark, stateDir, cs).keys.toSeq.sorted
     val next = cur + 1
     // the folded plan lazily reads the old segments; the write inside
     // commit() materializes it BEFORE the post-marker GC deletes them
     VersionedState.commit(spark, stateDir, Some(cur), label = "base-compact",
-      gcBelow = next) { vdir =>
+      gcBelow = compactGcFloor(cs, next, retainHorizons)) { vdir =>
       dials.foreach { case (d, df) =>
         df.write.mode("overwrite").parquet(s"$vdir/$d")
       }
       folded.write.mode("overwrite").parquet(s"$vdir/segment")
+      VersionedState.writeLines(spark, vdir, DeliveredFile, delivered)
     }
   }
 }

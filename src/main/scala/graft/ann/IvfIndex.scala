@@ -151,12 +151,22 @@ object IvfIndex {
   /** Fold every segment since the last base into ONE `base-compact`
     * version — centroids copied, NO retrain (assignments are immutable
     * under frozen centroids), tombstoned rows physically excised — and
-    * GC the folded versions. Bounds [[assignments]]' segment fan-out
-    * and the driver-side marker reads; q271 gates
+    * GC below the retention floor (default keeps the folded horizon
+    * alive for in-flight readers; reclaim with [[gc]] or the next
+    * compact). Delivered delta ids ride the sidecar, so the replay
+    * guard survives compaction. Bounds [[assignments]]' segment
+    * fan-out and the driver-side marker reads; q271 gates
     * `compacted ≡ pre-compaction union` hash-exact.
     */
-  def compact(spark: SparkSession, stateDir: String): Long =
-    IndexSegments.compact(spark, stateDir, Seq("centroids"))
+  def compact(spark: SparkSession, stateDir: String,
+              retainHorizons: Int = 1): Long =
+    IndexSegments.compact(spark, stateDir, Seq("centroids"), retainHorizons)
+
+  /** Reclaim the pre-compaction horizon a retaining [[compact]] left
+    * alive — call once in-flight readers of the old horizon are done.
+    */
+  def gc(spark: SparkSession, stateDir: String): Unit =
+    IndexSegments.gcOldHorizons(spark, stateDir)
 
   /** The live centroid table, or None before the first build. */
   def centroids(spark: SparkSession, stateDir: String): Option[DataFrame] =

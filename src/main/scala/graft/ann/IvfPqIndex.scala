@@ -125,9 +125,18 @@ object IvfPqIndex {
   /** Fold every code segment since the last base into ONE
     * `base-compact` version — ONE marker still covers coarse +
     * codebooks + segment, so a crash mid-compaction can never mix
-    * folded codes with a half-copied quantizer — and GC the folded
-    * versions.
+    * folded codes with a half-copied quantizer — and GC below the
+    * retention floor (default keeps the folded horizon alive for
+    * in-flight readers; reclaim with [[gc]] or the next compact).
     */
-  def compact(spark: SparkSession, stateDir: String): Long =
-    IndexSegments.compact(spark, stateDir, Seq("coarse", "codebooks"))
+  def compact(spark: SparkSession, stateDir: String,
+              retainHorizons: Int = 1): Long =
+    IndexSegments.compact(spark, stateDir, Seq("coarse", "codebooks"),
+      retainHorizons)
+
+  /** Reclaim the pre-compaction horizon a retaining [[compact]] left
+    * alive — call once in-flight readers of the old horizon are done.
+    */
+  def gc(spark: SparkSession, stateDir: String): Unit =
+    IndexSegments.gcOldHorizons(spark, stateDir)
 }

@@ -103,10 +103,19 @@ object PqIndex {
 
   /** Fold every code segment since the last base into ONE
     * `base-compact` version (codebooks copied, no retrain, tombstones
-    * excised) and GC the folded versions.
+    * excised) and GC below the retention floor (default keeps the
+    * folded horizon alive for in-flight readers; reclaim with [[gc]]
+    * or the next compact). Delivered delta ids ride the sidecar.
     */
-  def compact(spark: SparkSession, stateDir: String): Long =
-    IndexSegments.compact(spark, stateDir, Seq("codebooks"))
+  def compact(spark: SparkSession, stateDir: String,
+              retainHorizons: Int = 1): Long =
+    IndexSegments.compact(spark, stateDir, Seq("codebooks"), retainHorizons)
+
+  /** Reclaim the pre-compaction horizon a retaining [[compact]] left
+    * alive — call once in-flight readers of the old horizon are done.
+    */
+  def gc(spark: SparkSession, stateDir: String): Unit =
+    IndexSegments.gcOldHorizons(spark, stateDir)
 
   /** The live codebook table, or None before the first build. */
   def codebooks(spark: SparkSession, stateDir: String): Option[DataFrame] =

@@ -1,5 +1,6 @@
 package graft.dedup
 
+import graft.ann.IndexSegments
 import graft.operators.VersionedState
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -113,8 +114,8 @@ object ExactSubstr {
   private def alreadyDelivered(spark: SparkSession, stateDir: String,
                                kind: String, deltaId: String): Option[Long] =
     if (deltaId.isEmpty) None
-    else VersionedState.committed(spark, stateDir)
-      .collectFirst { case (n, l) if l == s"$kind:$deltaId" => n }
+    else IndexSegments.alreadyDeliveredLabel(spark, stateDir,
+      s"$kind:$deltaId") // marker OR the base's compaction-carried sidecar
 
   private def deltaCommit(toks: DataFrame, idCol: String, toksCol: String,
                           stateDir: String, kind: String, deltaId: String,
@@ -130,6 +131,7 @@ object ExactSubstr {
     val l = storedL(spark, stateDir) // the dial comes from disk, not the caller
     val c = counts(toks, idCol, toksCol, l)
     val signed = if (negate) c.select(col("h"), (-col("c")).as("c")) else c
+    IndexSegments.validDeltaId(deltaId) // byte-bounded: marker + sidecar safe
     val label = if (deltaId.isEmpty) kind else s"$kind:$deltaId"
     VersionedState.commit(spark, stateDir, prev, label = label) { vdir =>
       signed.write.mode("overwrite").parquet(s"$vdir/hashes")
@@ -181,22 +183,38 @@ object ExactSubstr {
 
   /** Fold every count table since the last base into ONE
     * `base-compact:L=<L>` version (zero/negative totals physically
-    * dropped) and GC the folded versions — bounds the union fan-out
-    * and the driver-side marker reads, like the ANN family's compact.
+    * dropped) and GC below the retention floor (default keeps the
+    * folded horizon alive for in-flight readers — reclaim with [[gc]]
+    * or the next compact) — bounds the union fan-out and the
+    * driver-side marker reads, like the ANN family's compact. The
+    * delivered delta/retract ids ride the sidecar, so the replay guard
+    * survives compaction; only a full [[build]] resets it.
     */
-  def compact(spark: SparkSession, stateDir: String): Long = {
+  def compact(spark: SparkSession, stateDir: String,
+              retainHorizons: Int = 1): Long = {
     val cs = VersionedState.committed(spark, stateDir)
     require(cs.nonEmpty, s"no committed state at $stateDir — nothing to compact")
     val (base, l) = lastBaseOf(cs, stateDir)
     val cur = cs.last._1
     if (cur == base) return cur
     val folded = hashCounts(spark, stateDir).get
+    val delivered = IndexSegments.deliveredLabels(spark, stateDir, cs)
+      .keys.toSeq.sorted
     val next = cur + 1
     VersionedState.commit(spark, stateDir, Some(cur),
-      label = baseLabel("base-compact", l), gcBelow = next) { vdir =>
+      label = baseLabel("base-compact", l),
+      gcBelow = IndexSegments.compactGcFloor(cs, next, retainHorizons)) { vdir =>
       folded.write.mode("overwrite").parquet(s"$vdir/hashes")
+      VersionedState.writeLines(spark, vdir, IndexSegments.DeliveredFile,
+        delivered)
     }
   }
+
+  /** Reclaim the pre-compaction horizon a retaining [[compact]] left
+    * alive — call once in-flight readers of the old horizon are done.
+    */
+  def gc(spark: SparkSession, stateDir: String): Unit =
+    IndexSegments.gcOldHorizons(spark, stateDir)
 
   /** Maximal duplicated spans of `toks` against a duplicated-hash set
     * (one row per span: doc, span_start, span_end [token extents,

@@ -55,6 +55,14 @@ object DpRelease {
     * a NO-OP for [[seededUniform]], whose smallest reachable value is
     * 0.5/2^48 ≈ 1.78e-15 > 1e-15 — the replay oracle's outputs are
     * untouched.
+    *
+    * Accounting note: truncating the noise tail strictly converts the
+    * pure ε-DP guarantee into (ε, δ)-DP with δ ≈ 2·e^{−ln 1e15} =
+    * 2e-15 — outputs beyond the cap would have an unbounded likelihood
+    * ratio, but a draw ever landing there has probability ≤ 2e-15 per
+    * release. State the mechanism as (ε, δ=2e-15)-DP when the ledger
+    * must be exact; the distinction is below any practical accounting
+    * granularity.
     */
   def laplaceNoise(u: Column, b: Column): Column = {
     val uc = greatest(least(u, lit(1.0 - 1e-15)), lit(1e-15))

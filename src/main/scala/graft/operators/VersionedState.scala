@@ -36,6 +36,13 @@ import org.apache.spark.sql.SparkSession
   */
 object VersionedState {
 
+  /** Upper bound on a commit marker's byte length — generous (family
+    * labels are `base-compact:L=50`-sized; delta ids are capped at 200
+    * chars upstream) but finite, so [[committed]]'s full-marker read
+    * can never be asked to buffer an arbitrarily large foreign file.
+    */
+  val MaxLabelBytes = 4096
+
   private def fsOf(spark: SparkSession, dir: String): (FileSystem, Path) = {
     val p = new Path(dir)
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
@@ -69,10 +76,17 @@ object VersionedState {
     fs.listStatus(commits).toSeq
       .flatMap { st =>
         st.getPath.getName.toLongOption.map { n =>
+          // the WHOLE marker, not a prefix: the replay guard compares
+          // labels by equality, and a truncated read would silently
+          // never match a long (e.g. multibyte) delta id. commit()
+          // bounds what it writes; a marker past that bound is foreign.
+          require(st.getLen <= MaxLabelBytes,
+            s"commit marker ${st.getPath} is ${st.getLen} bytes (> " +
+              s"$MaxLabelBytes) — not written by this module")
           val in = fs.open(st.getPath)
           val label =
             try {
-              val buf = new Array[Byte](math.min(st.getLen, 256L).toInt)
+              val buf = new Array[Byte](st.getLen.toInt)
               var off = 0
               var r = 0
               while (off < buf.length && r >= 0) {
@@ -99,6 +113,11 @@ object VersionedState {
   def commit(spark: SparkSession, stateDir: String, prev: Option[Long],
              label: String = "", gcBelow: Long = Long.MinValue)
             (write: String => Unit): Long = {
+    val labelBytes = label.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    require(labelBytes.length <= MaxLabelBytes,
+      s"commit label is ${labelBytes.length} bytes (> $MaxLabelBytes) — " +
+        "labels ride in the marker and must stay small; large payloads " +
+        "belong in the version directory")
     val (fs, root) = fsOf(spark, stateDir)
     val next = prev.getOrElse(0L) + 1L
     val commits = new Path(root, "commits")
@@ -123,31 +142,81 @@ object VersionedState {
     // create-exclusive IS the commit point; an existing marker means a
     // second writer committed this version — surface, don't clobber
     val out = fs.create(new Path(commits, next.toString), false)
-    try out.write(label.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    try out.write(labelBytes)
     finally out.close()
-    // GC order: payload FIRST, marker second — a crash between the two
-    // leaves a marker whose payload is gone (retried by the next GC
-    // pass, which iterates markers), never a marker-less payload that
-    // no later pass would ever reclaim
-    for ((old, _) <- committed(spark, stateDir) if old < gcBelow && old != next) {
+    gc(spark, stateDir, gcBelow, protect = next)
+    next
+  }
+
+  /** Delete committed versions strictly below `keepFrom` (payload
+    * FIRST, marker second — a crash between the two leaves a marker
+    * whose payload is gone, retried by the next GC pass which iterates
+    * markers, never a marker-less payload no later pass would ever
+    * reclaim) and sweep marker-less version dirs below the floor
+    * (crashed attempts at superseded versions; invisible to readers but
+    * they leak disk forever if nobody deletes them). `protect` is a
+    * version never touched regardless of the floor (the version a
+    * surrounding [[commit]] just created).
+    */
+  def gc(spark: SparkSession, stateDir: String, keepFrom: Long,
+         protect: Long = Long.MinValue): Unit = {
+    val (fs, root) = fsOf(spark, stateDir)
+    val commits = new Path(root, "commits")
+    for ((old, _) <- committed(spark, stateDir) if old < keepFrom && old != protect) {
       fs.delete(new Path(versionPath(stateDir, old)), true)
       fs.delete(new Path(commits, old.toString), false)
     }
-    // sweep marker-less version dirs below the GC floor (crashed
-    // attempts at versions that were later superseded; invisible to
-    // readers, but they leak disk forever if nobody deletes them)
-    if (gcBelow > Long.MinValue) {
+    if (keepFrom > Long.MinValue) {
       fs.listStatus(root).foreach { st =>
         val n = st.getPath.getName
         if (n.startsWith("v") && n.drop(1).forall(_.isDigit)) {
           n.drop(1).toLongOption.foreach { v =>
-            if (v < gcBelow && v != next &&
+            if (v < keepFrom && v != protect &&
                 !fs.exists(new Path(commits, v.toString)))
               fs.delete(st.getPath, true)
           }
         }
       }
     }
-    next
+  }
+
+  /** Write `lines` as a small newline-delimited sidecar file inside a
+    * version directory being built (call from a [[commit]] writer).
+    * Families use this for driver-side metadata that must survive
+    * compaction — e.g. the delivered-delta-id set the replay guard
+    * consults ([[graft.ann.IndexSegments.compact]]). Lines must not
+    * contain line breaks (the delta-id validation upstream enforces
+    * it for ids).
+    */
+  def writeLines(spark: SparkSession, vdir: String, name: String,
+                 lines: Seq[String]): Unit = {
+    val (fs, _) = fsOf(spark, vdir)
+    val out = fs.create(new Path(new Path(vdir), name), true)
+    try out.write(lines.mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Read a sidecar file written by [[writeLines]] — empty if the file
+    * does not exist (versions predating the convention).
+    */
+  def readLines(spark: SparkSession, vdir: String,
+                name: String): Seq[String] = {
+    val (fs, _) = fsOf(spark, vdir)
+    val p = new Path(new Path(vdir), name)
+    if (!fs.exists(p)) return Nil
+    val in = fs.open(p)
+    try {
+      val len = fs.getFileStatus(p).getLen.toInt
+      val buf = new Array[Byte](len)
+      var off = 0
+      var r = 0
+      while (off < len && r >= 0) {
+        r = in.read(buf, off, len - off)
+        if (r > 0) off += r
+      }
+      val s = new String(buf, 0, off, java.nio.charset.StandardCharsets.UTF_8)
+      if (s.isEmpty) Nil else s.split("\n", -1).toSeq
+    } finally in.close()
   }
 }

@@ -2937,16 +2937,22 @@ object EmbeddingQueries {
         // crash-replay of the second batch: must be a no-op
         IvfIndex.refresh(d2, "vec_id", "embedding", stDir, deltaId = "d2")
         val markersBefore = VersionedState.committed(s, stDir).size
-        // materialize BEFORE compaction garbage-collects these segments
-        val pre = IvfIndex.assignments(s, stDir).get.localCheckpoint()
+        // the pre-compaction plan stays LAZY: compact's default
+        // retention keeps the folded horizon's files alive for
+        // in-flight readers, so no defensive materialization is needed
+        val pre = IvfIndex.assignments(s, stDir).get
         IvfIndex.compact(s, stDir)
-        val after = VersionedState.committed(s, stDir)
         val post = IvfIndex.assignments(s, stDir).get.localCheckpoint()
+        // the 1-row drift gate evaluates BOTH horizons, then the old
+        // one is reclaimed — retention proven, then bounded
         val drift = pre.select(col("id"), col("centroid_id").as("ci"))
           .join(post.select(col("id"), col("centroid_id").as("cf")),
             Seq("id"), "full_outer")
           .agg(sum(when(col("ci").isNull || col("cf").isNull
               || col("ci") =!= col("cf"), 1L).otherwise(0L)).as("drift"))
+          .localCheckpoint()
+        IvfIndex.gc(s, stDir) // readers done: reclaim the old horizon
+        val after = VersionedState.committed(s, stDir)
         val qs = post.agg(count(lit(1)).as("n_vectors"),
           sum(when(col("id") % 5 <= 2, 1L).otherwise(0L)).as("n_history"),
           sum(when(col("id") % 5 === 3, 1L).otherwise(0L)).as("n_delta1"),
@@ -3047,7 +3053,8 @@ object EmbeddingQueries {
         IvfIndex.build(hist, "vec_id", "embedding",
           col("vec_id") % 50 === 0, iters = 2, stDir)
         IvfIndex.refresh(delta, "vec_id", "embedding", stDir, deltaId = "d1")
-        val preDel = IvfIndex.assignments(s, stDir).get.localCheckpoint()
+        // lazy: retention keeps these files until the explicit gc below
+        val preDel = IvfIndex.assignments(s, stDir).get
         // the dedup verdict: excise every vec_id % 7 = 3
         IvfIndex.delete(emb.where(col("vec_id") % 7 === 3)
           .select("vec_id"), stDir)
@@ -3055,7 +3062,9 @@ object EmbeddingQueries {
         // refresh ordering: the re-add must survive the tombstone)
         IvfIndex.refresh(emb.where(col("vec_id") % 14 === 3),
           "vec_id", "embedding", stDir, deltaId = "readd")
-        val live = IvfIndex.assignments(s, stDir).get.localCheckpoint()
+        // the live plan stays LAZY across the compact (retention keeps
+        // the folded horizon's files for in-flight readers)
+        val live = IvfIndex.assignments(s, stDir).get
         val cents = IvfIndex.centroids(s, stDir).get.localCheckpoint()
         // one-shot truth: route exactly the survivor set under the
         // same frozen centroids
@@ -3069,13 +3078,16 @@ object EmbeddingQueries {
               Seq("id"), "full_outer")
             .agg(sum(when(col("ci").isNull || col("cf").isNull
                 || col("ci") =!= col("cf"), 1L).otherwise(0L)).as(n))
-        val drift1 = driftOf(live, "drift")
         IvfIndex.compact(s, stDir)
+        // 1-row gates over BOTH horizons evaluate before the reclaim
+        val drift1 = driftOf(live, "drift").localCheckpoint()
+        val tomb = preDel.agg(
+            sum(when(col("id") % 7 === 3, 1L).otherwise(0L)).as("n_tombstoned"))
+          .localCheckpoint()
+        IvfIndex.gc(s, stDir) // readers done: reclaim the old horizon
         val post = IvfIndex.assignments(s, stDir).get.localCheckpoint()
         val drift2 = driftOf(post, "drift_compacted")
         val markersAfter = VersionedState.committed(s, stDir).size
-        val tomb = preDel.agg(
-          sum(when(col("id") % 7 === 3, 1L).otherwise(0L)).as("n_tombstoned"))
         val qs = post.agg(count(lit(1)).as("n_live"),
           sum(when(col("id") % 14 === 3, 1L).otherwise(0L)).as("n_readded"),
           sum(round(col("cs") * 1000000).cast("long")).as("s_cs"),
@@ -3200,7 +3212,8 @@ object EmbeddingQueries {
           .agg(count(lit(1)).as("n_dup_groups"))
         // EXCISE: tombstone the losers, then physically compact
         IvfIndex.delete(losers, stDir)
-        val live = IvfIndex.assignments(s, stDir).get.localCheckpoint()
+        // lazy: retention keeps the pre-compaction files until the gc
+        val live = IvfIndex.assignments(s, stDir).get
         val cents = IvfIndex.centroids(s, stDir).get.localCheckpoint()
         val expected = IvfIndex.assignTo(
             emb.join(losers.select(col("doc_id").as("vec_id")), Seq("vec_id"),
@@ -3213,8 +3226,10 @@ object EmbeddingQueries {
               Seq("id"), "full_outer")
             .agg(sum(when(col("ci").isNull || col("cf").isNull
                 || col("ci") =!= col("cf"), 1L).otherwise(0L)).as(n))
-        val drift1 = driftOf(live, "drift")
         IvfIndex.compact(s, stDir)
+        // the 1-row gate over the old horizon evaluates pre-reclaim
+        val drift1 = driftOf(live, "drift").localCheckpoint()
+        IvfIndex.gc(s, stDir) // readers done: reclaim the old horizon
         val post = IvfIndex.assignments(s, stDir).get.localCheckpoint()
         val drift2 = driftOf(post, "drift_compacted")
         val markersAfter = VersionedState.committed(s, stDir).size

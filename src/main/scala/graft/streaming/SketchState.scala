@@ -112,6 +112,9 @@ object SketchState {
                           keys: Seq[String], width: Long,
                           stateDir: String, batchId: String = ""): Unit = {
     val spark = batch.sparkSession
+    // byte-bounded so the marker holds the id WHOLE — a truncated id
+    // would make the equality guard silently never match
+    graft.ann.IndexSegments.validDeltaId(batchId)
     val label = if (batchId.isEmpty) "" else s"batch:$batchId"
     val committed = VersionedState.committed(spark, stateDir)
     if (batchId.nonEmpty && committed.exists(_._2 == label))

@@ -103,7 +103,15 @@ class ExactSubstrSpec extends SparkTestBase {
     val before = ExactSubstr.hashCounts(spark, dir).get
       .as[(String, Long)].collect().toSet
     val spansBefore = spansNow(dir, union)
+    // a reader resolves the old horizon just before the compact
+    val inFlight = ExactSubstr.hashCounts(spark, dir).get
     ExactSubstr.compact(spark, dir)
+    // default retention keeps the folded horizon for in-flight readers
+    assert(VersionedState.committed(spark, dir).size === 4,
+      "default compaction retains the folded horizon")
+    assert(inFlight.as[(String, Long)].collect().toSet === before,
+      "a plan resolved pre-compaction must still read after it")
+    ExactSubstr.gc(spark, dir) // readers done: reclaim
     assert(VersionedState.committed(spark, dir).map(_._2) ===
       Seq("base-compact:L=4"))
     assert(ExactSubstr.storedL(spark, dir) === 4,
@@ -112,6 +120,16 @@ class ExactSubstrSpec extends SparkTestBase {
       .as[(String, Long)].collect().toSet === before,
       "compacted totals ≡ pre-compaction totals")
     assert(spansNow(dir, union) === spansBefore)
+    // PRE-compaction ids replay as no-ops: the delivered sidecar
+    // remembers both the delta and the retract across the fold
+    val totNow = ExactSubstr.hashCounts(spark, dir).get
+      .agg(sum("c")).head().getLong(0)
+    ExactSubstr.refresh(delta, "doc_id", "tokens", dir, "b1")
+    ExactSubstr.retract(hist.where(col("doc_id") === 3L), "doc_id", "tokens",
+      dir, "rm-3")
+    assert(ExactSubstr.hashCounts(spark, dir).get
+      .agg(sum("c")).head().getLong(0) === totNow,
+      "pre-compaction delta AND retract ids stay replay-guarded")
     // maintenance continues on the compacted base
     ExactSubstr.refresh(docsDf(11L -> "m n o p m n o p m"), "doc_id",
       "tokens", dir, "b2")

@@ -130,11 +130,21 @@ class IvfIndexSpec extends SparkTestBase {
       .as[(Long, Seq[Float])].collect().toMap
     assert(VersionedState.committed(spark, dir).size === 3)
 
+    // a reader resolves the OLD horizon before the compact lands —
+    // retention must keep its files alive until the explicit gc
+    val inFlight = IvfIndex.assignments(spark, dir).get
+
     IvfIndex.compact(spark, dir)
 
-    // ONE committed version left; content and centroids bit-identical
-    assert(VersionedState.committed(spark, dir).map(_._2) === Seq("base-compact"),
-      "compaction must leave exactly one live version")
+    // the folded horizon is RETAINED (default retention 1): the
+    // in-flight reader's lazy plan still scans its files
+    assert(VersionedState.committed(spark, dir).map(_._2) ===
+      Seq("base", "delta:d1", "delta:d2", "base-compact"),
+      "default compaction retains the folded horizon for in-flight readers")
+    assert(new java.io.File(VersionedState.versionPath(dir, 1L)).exists)
+    assert(inFlight.select("id", "centroid_id", "cs").as[(Long, Long, Double)]
+      .collect().toSet === before,
+      "a plan resolved pre-compaction must still read after it")
     assert(IvfIndex.assignments(spark, dir).get
       .select("id", "centroid_id", "cs").as[(Long, Long, Double)]
       .collect().toSet === before,
@@ -142,21 +152,37 @@ class IvfIndexSpec extends SparkTestBase {
     assert(IvfIndex.centroids(spark, dir).get
       .as[(Long, Seq[Float])].collect().toMap === centsBefore,
       "compaction must not move centroids (no retrain)")
-    // folded payloads are GC'd from disk
+
+    // readers done: reclaim the old horizon
+    IvfIndex.gc(spark, dir)
+    assert(VersionedState.committed(spark, dir).map(_._2) === Seq("base-compact"),
+      "gc must leave exactly one live version")
     assert(!new java.io.File(VersionedState.versionPath(dir, 1L)).exists)
     assert(!new java.io.File(VersionedState.versionPath(dir, 2L)).exists)
+    assert(IvfIndex.assignments(spark, dir).get
+      .select("id", "centroid_id", "cs").as[(Long, Long, Double)]
+      .collect().toSet === before)
 
     // maintenance continues on the compacted base: refresh then restart-read
     IvfIndex.refresh(vecs(45 until 50), "vec_id", "embedding", dir, "d3")
     assert(VersionedState.committed(spark, dir).size === 2,
       "post-compaction state is one base + one delta")
     assert(IvfIndex.assignments(spark, dir).get.count() === 50L)
-    // a replayed PRE-compaction delta id: compaction GC'd its marker,
-    // so the guard's window is the current horizon — re-delivery
-    // appends (the documented horizon-scoped contract)
+    // a replayed PRE-compaction delta id: its marker is gone, but the
+    // base-compact's delivered sidecar remembers it — re-delivery is a
+    // NO-OP (the crash-replay window compaction used to reopen)
+    val vReplay = IvfIndex.refresh(vecs(40 until 45), "vec_id", "embedding",
+      dir, "d2")
+    assert(vReplay === 4L,
+      "a pre-compaction delta id resolves to the base-compact that folded it")
+    assert(IvfIndex.assignments(spark, dir).get.count() === 50L,
+      "a pre-compaction delta id stays inside the replay guard across compaction")
+    // ... and a full BUILD is the one horizon reset: d2 re-delivers
+    IvfIndex.build(vecs(0 until 50), "vec_id", "embedding",
+      col("vec_id") % 10 === 0, iters = 1, dir)
     IvfIndex.refresh(vecs(40 until 45), "vec_id", "embedding", dir, "d2")
     assert(IvfIndex.assignments(spark, dir).get.count() === 55L,
-      "a pre-compaction delta id is outside the replay guard's horizon")
+      "a rebuild resets the replay guard — by then the rows live in the base")
   }
 
   test("compacting a lone base is a no-op (already compact)") {
@@ -188,8 +214,8 @@ class IvfIndexSpec extends SparkTestBase {
       "a refresh AFTER the delete re-adds the id")
     assert(live2.where(col("id").isin(6L, 35L)).count() === 0L)
     // compaction physically excises the tombstoned rows and drops the
-    // tombstone version itself
-    IvfIndex.compact(spark, dir)
+    // tombstone version itself (retention 0: no in-flight readers here)
+    IvfIndex.compact(spark, dir, retainHorizons = 0)
     assert(VersionedState.committed(spark, dir).map(_._2) === Seq("base-compact"))
     val live3 = IvfIndex.assignments(spark, dir).get
     assert(live3.count() === 38L)

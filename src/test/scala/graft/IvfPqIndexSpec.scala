@@ -93,6 +93,7 @@ class IvfPqIndexSpec extends SparkTestBase {
     val cbBefore = IvfPqIndex.codebooks(spark, dir).get
       .as[(Int, Long, Seq[Float])].collect().toSet
     IvfPqIndex.compact(spark, dir)
+    IvfPqIndex.gc(spark, dir) // no in-flight readers here: reclaim eagerly
     assert(VersionedState.committed(spark, dir).map(_._2) === Seq("base-compact"))
     assert(IvfPqIndex.codes(spark, dir).get
       .select("id", "bid", "sub", "code")

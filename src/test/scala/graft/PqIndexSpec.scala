@@ -87,6 +87,7 @@ class PqIndexSpec extends SparkTestBase {
     val cbBefore = PqIndex.codebooks(spark, dir).get
       .as[(Int, Long, Seq[Float])].collect().toSet
     PqIndex.compact(spark, dir)
+    PqIndex.gc(spark, dir) // no in-flight readers here: reclaim eagerly
     assert(VersionedState.committed(spark, dir).map(_._2) === Seq("base-compact"))
     assert(PqIndex.codes(spark, dir).get
       .select("id", "sub", "code").as[(Long, Int, Long)].collect().toSet === before,

@@ -382,4 +382,29 @@ class RobustnessSpec extends SparkTestBase {
     assert(ExactSubstr.hashCounts(spark, dir).get.count() === 0L)
     assert(ExactSubstr.storedL(spark, dir) === 4)
   }
+
+  test("multibyte delta ids: round-trip the replay guard whole; over-long ids are rejected, never truncated") {
+    import graft.ann.IvfIndex
+    val dir = java.nio.file.Files.createTempDirectory("graft_rb_mb").toString + "/idx"
+    val vecs = (0L until 8L).map(i =>
+      (i, Array.tabulate(4)(d => (i % 3 + d).toFloat + 1f))).toDF("vec_id", "embedding")
+    IvfIndex.build(vecs.where(col("vec_id") < 5), "vec_id", "embedding",
+      col("vec_id") % 4 === 0, iters = 1, dir)
+    // 60 CJK chars = 180 UTF-8 bytes — legal, and must match on replay
+    // byte-for-byte (a truncated marker read would never match)
+    val cjk = "批" * 60
+    val v1 = IvfIndex.refresh(vecs.where(col("vec_id") >= 5), "vec_id",
+      "embedding", dir, deltaId = cjk)
+    assert(IvfIndex.refresh(vecs.where(col("vec_id") >= 5), "vec_id",
+      "embedding", dir, deltaId = cjk) === v1,
+      "a multibyte id must replay as a no-op — the marker holds it whole")
+    assert(IvfIndex.assignments(spark, dir).get.count() === 8L)
+    // 80 CJK chars = 240 bytes: under the old 200-CHAR check, over the
+    // byte bound — must be REJECTED loudly, not written-then-truncated
+    val e = intercept[IllegalArgumentException] {
+      IvfIndex.refresh(vecs.where(col("vec_id") >= 5), "vec_id",
+        "embedding", dir, deltaId = "批" * 80)
+    }
+    assert(e.getMessage.contains("UTF-8 bytes"))
+  }
 }
