@@ -44,17 +44,22 @@ object QueryDef {
     * (2^rounds scans of the base tables — it exhausts file handles
     * before it exhausts patience).
     */
-  def ccFixpointCtes(rounds: Int = 15): String = (1 to rounds).map { i =>
-    s"""h$i AS MATERIALIZED (
+  def ccFixpointCtes(rounds: Int = 15, prefix: String = ""): String =
+    (1 to rounds).map { i =>
+      s"""${prefix}h$i AS MATERIALIZED (
              SELECT l.id, LEAST(l.label, COALESCE(MIN(n.label), l.label)) AS label
-             FROM l${i - 1} l LEFT JOIN edges e ON e.src = l.id
-                              LEFT JOIN l${i - 1} n ON n.id = e.dst
+             FROM ${prefix}l${i - 1} l LEFT JOIN ${prefix}edges e ON e.src = l.id
+                              LEFT JOIN ${prefix}l${i - 1} n ON n.id = e.dst
              GROUP BY l.id, l.label),
-      l$i AS MATERIALIZED (
+      ${prefix}l$i AS MATERIALIZED (
              SELECT h.id, LEAST(h.label, COALESCE(p.label, h.label)) AS label
-             FROM h$i h LEFT JOIN h$i p ON p.id = h.label)"""
-  }.mkString(",\n      ")
+             FROM ${prefix}h$i h LEFT JOIN ${prefix}h$i p ON p.id = h.label)"""
+    }.mkString(",\n      ")
 
-  /** Name of the final CTE emitted by [[ccFixpointCtes]]. */
-  def ccFinal(rounds: Int = 15): String = s"l$rounds"
+  /** Name of the final CTE emitted by [[ccFixpointCtes]]. A second
+    * chain in one query (e.g. q277's before/after-deletion CCs) uses a
+    * distinct `prefix` for its `edges`/`l0` inputs and every round CTE.
+    */
+  def ccFinal(rounds: Int = 15, prefix: String = ""): String =
+    s"${prefix}l$rounds"
 }

@@ -35,6 +35,14 @@ object EventQueries {
       }))
     }
 
+  /** q277's session dials: chain edges join consecutive same-user
+    * events within 8 hours; the ingest delta is the Jan-25-onward
+    * suffix (2024-01-25T00:00:00Z in epoch micros). Both literal in
+    * the oracle SQL.
+    */
+  private val SessionGapUs = 28800000000L
+  private val SessionCutUs = 1706140800000000L
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- q14: tumbling 1-hour window aggregation (batch analogue of a
@@ -3531,6 +3539,142 @@ object EventQueries {
             round(coalesce(col("p_av"), lit(1.0)), 6).as("p_always_valid"),
             (coalesce(col("p_av"), lit(1.0)) < 0.05).as("reject"))
           .orderBy("d")
+      }),
+
+    // ---- q277: MAINTAINED SESSION LABELS UNDER DELETION — the
+    // decremental half of the ClusterState lifecycle, on the graph
+    // where bridge splits are GUARANTEED rather than incidental:
+    // consecutive events of a user within an 8-hour gap are edges, so
+    // every user's history is a CHAIN, and a right-to-be-forgotten
+    // deletion of a mid-session event MUST split its session (the
+    // update no label-only state can decide — ClusterState stores the
+    // verified edge relation precisely to make this decidable).
+    // Engine-side cycle: build session labels on history (ts before
+    // Jan 25), refresh with the delta days' events + every chain edge
+    // whose later endpoint is in the delta (delivered twice under one
+    // delta id — the replay guard), then DELETE every event_id % 7 = 3
+    // (also delivered twice), and read the maintained labels. The
+    // oracle re-derives BOTH fixpoints in SQL — full CC over all
+    // events (the pre-delete labels, re-gating the refresh) and CC
+    // over the survivors with surviving stored edges — so the per-row
+    // hash gates maintained ≡ from-scratch decremental connectivity,
+    // splits included; n_splits (components gained inside affected
+    // sessions) rides every row to make the split case load-bearing.
+    // Scale shape: the chain edges come from ONE user-partitioned lag
+    // window (never global); delete reads the label table twice and
+    // the edge state once with all derived tables cluster-bounded
+    // (ClusterStateSpec plan-asserts the delta-bounded refresh IO and
+    // pins bridge-split/re-add/replay edges the oracle can't see).
+    QueryDef("q277_session_delete_maintain", Some(s"""
+      WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events),
+      prs AS (SELECT user_id, LAG(event_id) OVER w AS id_a,
+                     event_id AS id_b,
+                     ts_us - LAG(ts_us) OVER w AS gap_us
+              FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+      edge0 AS (SELECT id_a, id_b FROM prs
+                WHERE id_a IS NOT NULL AND gap_us <= ${SessionGapUs}),
+      edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM edge0
+                UNION ALL SELECT id_b, id_a FROM edge0),
+      l0 AS MATERIALIZED (SELECT event_id AS id, event_id AS label FROM ev),
+      ${graft.QueryDef.ccFixpointCtes()},
+      sedge0 AS (SELECT id_a, id_b FROM edge0
+                 WHERE id_a % 7 <> 3 AND id_b % 7 <> 3),
+      sedges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM sedge0
+                UNION ALL SELECT id_b, id_a FROM sedge0),
+      sl0 AS MATERIALIZED (SELECT event_id AS id, event_id AS label FROM ev
+                WHERE event_id % 7 <> 3),
+      ${graft.QueryDef.ccFixpointCtes(prefix = "s")},
+      aff AS (SELECT DISTINCT label FROM ${graft.QueryDef.ccFinal()}
+              WHERE id % 7 = 3),
+      per AS (SELECT s.id AS event_id, s.label, f.label AS old_label
+              FROM ${graft.QueryDef.ccFinal(prefix = "s")} s
+              JOIN ${graft.QueryDef.ccFinal()} f ON f.id = s.id),
+      spl AS (SELECT CAST(COALESCE(SUM(k - 1), 0) AS BIGINT) AS n_splits
+              FROM (SELECT p.old_label, COUNT(DISTINCT p.label) AS k
+                    FROM per p JOIN aff a ON a.label = p.old_label
+                    GROUP BY p.old_label)),
+      nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_deleted FROM ev
+             WHERE event_id % 7 = 3)
+      SELECT p.event_id, e.user_id,
+             p.label AS session_id, p.old_label AS old_session_id,
+             p.label <> p.old_label AS relabeled,
+             a.label IS NOT NULL AS affected,
+             e.ts_us >= ${SessionCutUs} AS arrived_in_delta,
+             s.n_splits, n.n_deleted
+      FROM per p
+      JOIN ev e ON e.event_id = p.event_id
+      LEFT JOIN aff a ON a.label = p.old_label, spl s, nd n
+      ORDER BY p.event_id"""),
+      (s, dir) => {
+        import graft.dedup.ClusterState
+        val ev = Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"), col("ts_us"))
+          .localCheckpoint() // splits, edges, victims, output join read it
+        val w = Window.partitionBy("user_id").orderBy("ts_us")
+        val edges = ev.select(col("user_id"),
+            lag("event_id", 1).over(w).as("id_a"),
+            col("event_id").as("id_b"),
+            (col("ts_us") - lag("ts_us", 1).over(w)).as("gap_us"),
+            col("ts_us").as("ts_b"))
+          .where(col("id_a").isNotNull && col("gap_us") <= SessionGapUs)
+          .select(col("id_a"), col("id_b"), col("ts_b"))
+          .localCheckpoint() // history and delta splits read it
+        val stDir = s"${System.getProperty("java.io.tmpdir")}/graft_q277_" +
+          dir.replaceAll("[^A-Za-z0-9._-]", "_") +
+          "_p" + ProcessHandle.current.pid + "_" + q277Runs.incrementAndGet()
+        cleanupOnExit(stDir)
+        // the delta is a TIME suffix, so an edge touches the batch iff
+        // its LATER endpoint is in the delta
+        ClusterState.build(
+          ev.where(col("ts_us") < SessionCutUs).select("event_id"),
+          "event_id",
+          edges.where(col("ts_b") < SessionCutUs).select("id_a", "id_b"),
+          stDir)
+        val deltaIds = ev.where(col("ts_us") >= SessionCutUs)
+          .select("event_id")
+        val deltaPairs = edges.where(col("ts_b") >= SessionCutUs)
+          .select("id_a", "id_b")
+        ClusterState.refresh(deltaIds, "event_id", deltaPairs, stDir, "d1")
+        // crash-replay of the ingest batch: must be a no-op
+        ClusterState.refresh(deltaIds, "event_id", deltaPairs, stDir, "d1")
+        // pre-delete labels (lazy; nothing GCs inside this query)
+        val old = ClusterState.labels(s, stDir).get
+          .select(col("id"), col("label").as("old_label"))
+        val victims = ev.where(col("event_id") % 7 === 3).select("event_id")
+        ClusterState.delete(victims, stDir, "x1")
+        // crash-replay of the erasure request: must be a no-op
+        ClusterState.delete(victims, stDir, "x1")
+        val now = ClusterState.labels(s, stDir).get
+        val aff = old.join(victims, col("id") === col("event_id"))
+          .select(col("old_label").as("aff_label")).distinct()
+          .localCheckpoint() // the flag join AND the split count read it
+        val per = now.join(old, Seq("id"))
+          .select(col("id").as("event_id"), col("label"), col("old_label"))
+          .localCheckpoint() // the split count AND the output read it
+        val spl = per.join(aff, col("old_label") === col("aff_label"))
+          .groupBy("old_label")
+          .agg(countDistinct("label").as("k"))
+          .agg(coalesce(sum(col("k") - 1), lit(0L)).cast("long").as("n_splits"))
+        val nd = victims.agg(count(lit(1)).as("n_deleted"))
+        per
+          .join(ev.select(col("event_id"), col("user_id"), col("ts_us")),
+            Seq("event_id"))
+          .join(broadcast(aff), col("old_label") === col("aff_label"), "left")
+          .crossJoin(broadcast(spl))
+          .crossJoin(broadcast(nd))
+          .select(col("event_id"), col("user_id"),
+            col("label").as("session_id"),
+            col("old_label").as("old_session_id"),
+            (col("label") =!= col("old_label")).as("relabeled"),
+            col("aff_label").isNotNull.as("affected"),
+            (col("ts_us") >= SessionCutUs).as("arrived_in_delta"),
+            col("n_splits"), col("n_deleted"))
+          .orderBy("event_id")
       })
   )
+
+  /** q277 runs in a fresh state dir per execution (the q266
+    * discipline).
+    */
+  private val q277Runs = new java.util.concurrent.atomic.AtomicLong()
 }
