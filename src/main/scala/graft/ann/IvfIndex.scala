@@ -1,6 +1,6 @@
 package graft.ann
 
-import graft.operators.VersionedState
+import graft.operators.{GateVerdict, Maintain, MaintainReport, VersionedState}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -167,6 +167,150 @@ object IvfIndex {
     */
   def gc(spark: SparkSession, stateDir: String): Unit =
     IndexSegments.gcOldHorizons(spark, stateDir)
+
+  /** Periodic-audit dials for [[maintain]]: `corpus` is the full live
+    * vector set the gates recompute against (the audit's cost IS a
+    * one-shot re-route + a Lloyd retrain + a brute-force kNN on the
+    * `queryPred` slice — pass an audit only on audit cadence, not per
+    * batch); `seedPred`/`iters` mirror the build's training dials;
+    * `fitSlackMicro` is q266's exact micro-scaled mean-cosine slack
+    * (retrain may beat the frozen dials by at most this per vector);
+    * `recallSlack` bounds how far the maintained index's recall@k may
+    * trail a retrained one on the bounded query slice.
+    */
+  final case class Audit(corpus: DataFrame,
+                         seedPred: org.apache.spark.sql.Column, iters: Int,
+                         queryPred: org.apache.spark.sql.Column,
+                         k: Int = 5, nprobe: Int = 2,
+                         fitSlackMicro: Long = 50000,
+                         recallSlack: Double = 0.2)
+
+  /** The runbook as code — one call per ingest batch: refresh the
+    * delta (replay-guarded by `deltaId`), compact when the read
+    * horizon's marker count exceeds `maxLiveMarkers` (retention 1; the
+    * next compact or [[gc]] reclaims the folded horizon), and — when
+    * an [[Audit]] is supplied — run the three gates and return their
+    * verdicts typed: drift (corruption), fit and recall (build-needed).
+    * MaintainSpec drives N batches through it and pins the marker
+    * bound and each gate's tripping semantics; q266 oracle-gates the
+    * same three gates' arithmetic.
+    */
+  def maintain(delta: DataFrame, idCol: String, vecCol: String,
+               stateDir: String, deltaId: String = "",
+               maxLiveMarkers: Int = 8,
+               audit: Option[Audit] = None): MaintainReport = {
+    val spark = delta.sparkSession
+    val replayed =
+      deltaId.nonEmpty &&
+        IndexSegments.alreadyDelivered(spark, stateDir, deltaId).nonEmpty
+    val v = refresh(delta, idCol, vecCol, stateDir, deltaId)
+    val compacted = Maintain.liveMarkers(spark, stateDir) > maxLiveMarkers
+    if (compacted) compact(spark, stateDir)
+    val gates = audit.toSeq.flatMap { a =>
+      val cents = centroids(spark, stateDir).get.localCheckpoint()
+      val live = assignments(spark, stateDir).get.localCheckpoint()
+      val oneShot = assignTo(a.corpus, idCol, vecCol, cents)
+        .localCheckpoint() // drift compare + fit sum + search read it
+      // gate 1 — drift: the maintained union must equal routing
+      // everything at once under the frozen dials (value mismatches OR
+      // a row-count difference — duplicated segments match pointwise,
+      // so the count check is what catches an id-less replay)
+      val mism = live.select(col("id"), col("centroid_id").as("ci"))
+        .join(oneShot.select(col("id"), col("centroid_id").as("cf")),
+          Seq("id"), "full_outer")
+        .where(col("ci").isNull || col("cf").isNull || col("ci") =!= col("cf"))
+        .count()
+      val nLive = live.count()
+      val nOne = oneShot.count()
+      val drift =
+        if (mism == 0 && nLive == nOne)
+          GateVerdict.Ok("drift", s"maintained ≡ one-shot over $nOne rows")
+        else GateVerdict.Corruption("drift",
+          s"$mism routing mismatches, $nLive live rows vs $nOne one-shot — " +
+            "segments lost, duplicated or mixed across bases; rebuild and " +
+            "check for id-less replays or a foreign writer")
+      // gate 2 — fit: a fresh Lloyd retrain may beat the frozen
+      // centroids by at most fitSlackMicro mean-cosine-micros per
+      // vector (exact integer space, q266's criterion)
+      val reCents = Knn.kmeansCentroids(a.corpus, idCol, vecCol,
+        a.seedPred, a.iters)
+      val reAsg = assignTo(a.corpus, idCol, vecCol, reCents)
+        .localCheckpoint() // fit sum + rebuilt search read it
+      val sInc = oneShot.agg(
+        sum(round(col("cs") * 1000000).cast("long"))).head().getLong(0)
+      val sReb = reAsg.agg(
+        sum(round(col("cs") * 1000000).cast("long"))).head().getLong(0)
+      val fit =
+        if (sReb - sInc <= a.fitSlackMicro * nOne)
+          GateVerdict.Ok("fit", s"retrain gains ${sReb - sInc} µcs over " +
+            s"$nOne vectors (slack ${a.fitSlackMicro}/vector)")
+        else GateVerdict.BuildNeeded("fit",
+          s"retrain gains ${sReb - sInc} µcs over $nOne vectors — the " +
+            "frozen centroids no longer fit the distribution; schedule a build")
+      // gate 3 — recall@k on the bounded query slice, maintained vs
+      // retrained, both against the brute-force truth
+      val brute = Knn.cosineKnn(a.corpus, idCol, vecCol, a.queryPred, a.k)
+        .select("q_id", "cand_id").localCheckpoint() // 2 hit joins read it
+      val nBrute = brute.count()
+      def hits(asg: DataFrame, cts: DataFrame): Long =
+        searchStored(a.corpus, idCol, vecCol, asg, cts, a.queryPred,
+          a.k, a.nprobe)
+          .join(brute, Seq("q_id", "cand_id")).count()
+      val hm = hits(live, cents)
+      val hr = hits(reAsg, reCents)
+      val recall =
+        if (nBrute == 0 || hm >= hr - a.recallSlack * nBrute)
+          GateVerdict.Ok("recall",
+            s"maintained $hm vs retrained $hr of $nBrute brute pairs")
+        else GateVerdict.BuildNeeded("recall",
+          s"maintained $hm vs retrained $hr of $nBrute brute pairs — " +
+            "recall trails the retrain past the slack; schedule a build " +
+            "(consider raising nprobe until it lands)")
+      Seq(drift, fit, recall)
+    }
+    MaintainReport(v, replayed, compacted,
+      Maintain.liveMarkers(spark, stateDir), gates)
+  }
+
+  /** IVF search over a STORED (assignments, centroids) pair — queries
+    * probe their `nprobe` most-similar buckets and score only those
+    * buckets' members (q266's audit search shape: windows partition by
+    * query, buckets join by equi-key).
+    */
+  private def searchStored(corpus: DataFrame, idCol: String, vecCol: String,
+                           asg: DataFrame, cents: DataFrame,
+                           queryPred: org.apache.spark.sql.Column,
+                           k: Int, nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = corpus.select(col(idCol), col(vecCol),
+        Knn.l2norm(col(vecCol)).as("nrm"))
+      .where(col("nrm") > 0)
+    val cn = cents.select(col("centroid_id"), col("cent_vec"),
+        Knn.l2norm(col("cent_vec")).as("cnrm"))
+      .where(col("cnrm") > 0)
+    val wp = Window.partitionBy("q_id")
+      .orderBy(col("cs").desc, col("centroid_id"))
+    val probes = e.where(queryPred).crossJoin(broadcast(cn))
+      .select(col(idCol).as("q_id"), col("centroid_id"),
+        (Knn.dot(col(vecCol), col("cent_vec")) / (col("nrm") * col("cnrm")))
+          .as("cs"))
+      .withColumn("rk", row_number().over(wp)).where(col("rk") <= nprobe)
+      .select("q_id", "centroid_id")
+    val cand = probes
+      .join(asg.select(col("id").as("cand_id"), col("centroid_id")),
+        Seq("centroid_id"))
+      .where(col("cand_id") =!= col("q_id"))
+    val sims = cand
+      .join(e.select(col(idCol).as("q_id"), col(vecCol).as("qv"),
+        col("nrm").as("qn")), "q_id")
+      .join(e.select(col(idCol).as("cand_id"), col(vecCol).as("cv"),
+        col("nrm").as("cn2")), "cand_id")
+      .select(col("q_id"), col("cand_id"),
+        (Knn.dot(col("qv"), col("cv")) / (col("qn") * col("cn2"))).as("sim"))
+    val wk = Window.partitionBy("q_id").orderBy(col("sim").desc, col("cand_id"))
+    sims.withColumn("rk", row_number().over(wk)).where(col("rk") <= k)
+      .select("q_id", "cand_id")
+  }
 
   /** The live centroid table, or None before the first build. */
   def centroids(spark: SparkSession, stateDir: String): Option[DataFrame] =

@@ -367,4 +367,47 @@ object ClusterState {
     */
   def gc(spark: SparkSession, stateDir: String): Unit =
     IndexSegments.gcOldHorizons(spark, stateDir)
+
+  /** The runbook as code — one call per ingest batch: refresh with the
+    * batch (replay-guarded by `deltaId`), compact when the read
+    * horizon's marker count exceeds `maxLiveMarkers`, and — when an
+    * audit universe `(allIds, allPairs)` for the full live corpus is
+    * supplied — gate the maintained labels against a from-scratch
+    * converged CC: contraction is exact, so ANY difference is
+    * corruption, never approximation. MaintainSpec pins the marker
+    * bound and the gate's tripping semantics; q276/q277 oracle-gate
+    * the same identity.
+    */
+  def maintain(newIds: DataFrame, idCol: String, pairs: DataFrame,
+               stateDir: String, deltaId: String = "",
+               maxLiveMarkers: Int = 8,
+               audit: Option[(DataFrame, DataFrame)] = None):
+      graft.operators.MaintainReport = {
+    import graft.operators.{GateVerdict, Maintain, MaintainReport}
+    val spark = newIds.sparkSession
+    val replayed = deltaId.nonEmpty &&
+      IndexSegments.alreadyDelivered(spark, stateDir, deltaId).nonEmpty
+    val v = refresh(newIds, idCol, pairs, stateDir, deltaId)
+    val compacted = Maintain.liveMarkers(spark, stateDir) > maxLiveMarkers
+    if (compacted) compact(spark, stateDir)
+    val gates = audit.toSeq.map { case (allIds, allPairs) =>
+      val (truth, _) = Dedup.nearDupClustersConverged(allIds,
+        allIds.columns.head, allPairs)
+      val diff = labels(spark, stateDir).get
+        .join(truth.select(col(allIds.columns.head).as("id"),
+          col("cluster_id")), Seq("id"), "full_outer")
+        .where(col("label").isNull || col("cluster_id").isNull ||
+          col("label") =!= col("cluster_id"))
+        .count()
+      if (diff == 0)
+        GateVerdict.Ok("drift", "maintained labels ≡ from-scratch converged CC")
+      else
+        GateVerdict.Corruption("drift",
+          s"$diff docs whose maintained label differs from a from-scratch " +
+            "CC — contraction and cluster-local re-CC are exact, so this " +
+            "is lost/replayed state; rebuild and check replay discipline")
+    }
+    MaintainReport(v, replayed, compacted,
+      Maintain.liveMarkers(spark, stateDir), gates)
+  }
 }

@@ -216,6 +216,47 @@ object ExactSubstr {
   def gc(spark: SparkSession, stateDir: String): Unit =
     IndexSegments.gcOldHorizons(spark, stateDir)
 
+  /** The runbook as code — one call per ingest batch: refresh with the
+    * delta (replay-guarded by `deltaId`), compact when the read
+    * horizon's marker count exceeds `maxLiveMarkers`, and — when
+    * `auditCorpus` (the full live token table) is supplied — gate the
+    * maintained multiset against a one-shot recount: counts are linear,
+    * so ANY difference is corruption (a replayed id-less delta, a lost
+    * table), never approximation. MaintainSpec pins the marker bound
+    * and the gate's tripping semantics.
+    */
+  def maintain(deltaToks: DataFrame, idCol: String, toksCol: String,
+               stateDir: String, deltaId: String = "",
+               maxLiveMarkers: Int = 8,
+               auditCorpus: Option[DataFrame] = None):
+      graft.operators.MaintainReport = {
+    import graft.operators.{GateVerdict, Maintain, MaintainReport}
+    val spark = deltaToks.sparkSession
+    val replayed = deltaId.nonEmpty &&
+      alreadyDelivered(spark, stateDir, "delta", deltaId).nonEmpty
+    val v = refresh(deltaToks, idCol, toksCol, stateDir, deltaId)
+    val compacted = Maintain.liveMarkers(spark, stateDir) > maxLiveMarkers
+    if (compacted) compact(spark, stateDir)
+    val gates = auditCorpus.toSeq.map { corpus =>
+      val l = storedL(spark, stateDir)
+      val diff = hashCounts(spark, stateDir).get
+        .join(counts(corpus, idCol, toksCol, l)
+          .select(col("h"), col("c").as("c_one")), Seq("h"), "full_outer")
+        .where(col("c").isNull || col("c_one").isNull ||
+          col("c") =!= col("c_one"))
+        .count()
+      if (diff == 0)
+        GateVerdict.Ok("drift", "maintained window-hash multiset ≡ one-shot recount")
+      else
+        GateVerdict.Corruption("drift",
+          s"$diff window hashes whose maintained count differs from the " +
+            "one-shot recount — counts are linear, so this is lost/replayed " +
+            "state, not approximation; rebuild and check replay discipline")
+    }
+    MaintainReport(v, replayed, compacted,
+      Maintain.liveMarkers(spark, stateDir), gates)
+  }
+
   /** Maximal duplicated spans of `toks` against a duplicated-hash set
     * (one row per span: doc, span_start, span_end [token extents,
     * end exclusive], span_len, n_windows) — q268's gaps-and-islands

@@ -1,0 +1,149 @@
+package graft
+
+import graft.ann.IvfIndex
+import graft.dedup.{ClusterState, ExactSubstr}
+import graft.operators.{GateVerdict, VersionedState}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** `maintain()` — the runbook as code: N batches through one entry
+  * point keep the read horizon's marker count ≤ the dial (compaction
+  * fires itself), replays are reported rather than re-applied, and the
+  * audit gates trip with the runbook's TYPED distinction — drift is
+  * Corruption (state lost/duplicated), fit/recall is BuildNeeded
+  * (distribution moved; schedule a retrain).
+  */
+class MaintainSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def vecs(ids: Range, dir3: Int => Int = _ % 3): DataFrame =
+    ids.map { i =>
+      val d3 = dir3(i)
+      val base = Array.tabulate(8)(d => ((d3 * 17 + d * 7 + i % 5).toFloat % 11f) + 1f)
+      (i.toLong, base)
+    }.toDF("vec_id", "embedding")
+
+  private def freshDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_mt_$tag").toString + "/st"
+
+  test("IVF maintain: N batches keep liveMarkers ≤ dial; replay reported; healthy gates") {
+    val dir = freshDir("ivf")
+    IvfIndex.build(vecs(0 until 40), "vec_id", "embedding",
+      col("vec_id") % 10 === 0, iters = 2, dir)
+    var maxSeen = 0
+    for (b <- 0 until 10) {
+      val r = IvfIndex.maintain(vecs(40 + 5 * b until 45 + 5 * b),
+        "vec_id", "embedding", dir, deltaId = s"b$b", maxLiveMarkers = 4)
+      assert(!r.replayed)
+      maxSeen = math.max(maxSeen, r.liveMarkers)
+      assert(r.liveMarkers <= 5,
+        s"horizon must stay bounded by the dial (got ${r.liveMarkers})")
+    }
+    assert(maxSeen >= 2, "refreshes must actually append markers")
+    assert(IvfIndex.assignments(spark, dir).get.count() === 90L)
+    // a crash-replayed batch id: reported, not re-applied
+    val r = IvfIndex.maintain(vecs(85 until 90), "vec_id", "embedding",
+      dir, deltaId = "b9", maxLiveMarkers = 4)
+    assert(r.replayed)
+    assert(IvfIndex.assignments(spark, dir).get.count() === 90L)
+    // healthy audit: all three gates Ok on an undisturbed state
+    val audited = IvfIndex.maintain(vecs(90 until 95), "vec_id", "embedding",
+      dir, deltaId = "b10", maxLiveMarkers = 99,
+      audit = Some(IvfIndex.Audit(vecs(0 until 95),
+        col("vec_id") % 10 === 0, iters = 2,
+        queryPred = col("vec_id") < 8)))
+    assert(audited.gates.map(_.gate) === Seq("drift", "fit", "recall"))
+    assert(audited.healthy, s"healthy state must pass: ${audited.gates}")
+    assert(!audited.corrupted && !audited.buildNeeded)
+  }
+
+  test("IVF maintain: an id-less replay trips the DRIFT gate as Corruption") {
+    val dir = freshDir("drift")
+    IvfIndex.build(vecs(0 until 30), "vec_id", "embedding",
+      col("vec_id") % 10 === 0, iters = 1, dir)
+    // the at-least-once footgun: the same batch delivered twice WITHOUT
+    // a delta id — duplicated segment rows
+    IvfIndex.refresh(vecs(30 until 35), "vec_id", "embedding", dir)
+    IvfIndex.refresh(vecs(30 until 35), "vec_id", "embedding", dir)
+    val r = IvfIndex.maintain(vecs(35 until 40), "vec_id", "embedding",
+      dir, deltaId = "b1", maxLiveMarkers = 99,
+      audit = Some(IvfIndex.Audit(vecs(0 until 40),
+        col("vec_id") % 10 === 0, iters = 1,
+        queryPred = col("vec_id") < 5)))
+    assert(r.corrupted, s"duplicated rows must surface as Corruption: ${r.gates}")
+    val d = r.gates.find(_.gate === "drift").get
+    assert(d.isInstanceOf[GateVerdict.Corruption])
+    assert(d.detail.contains("replay"),
+      "the verdict must point the operator at replay discipline")
+  }
+
+  test("IVF maintain: a drifted delta distribution trips the FIT gate as BuildNeeded") {
+    val dir = freshDir("fit")
+    // history lives in ONE direction; seeds (and thus centroids) too
+    IvfIndex.build(vecs(0 until 30, _ => 0), "vec_id", "embedding",
+      col("vec_id") % 10 === 0, iters = 2, dir)
+    // the delta arrives from two NEW directions the frozen centroids
+    // never saw — a retrain fits it far better
+    val delta = vecs(30 until 90, i => 1 + i % 2)
+    val r = IvfIndex.maintain(delta, "vec_id", "embedding", dir,
+      deltaId = "b1", maxLiveMarkers = 99,
+      audit = Some(IvfIndex.Audit(
+        vecs(0 until 30, _ => 0).unionByName(delta),
+        col("vec_id") % 10 === 0, iters = 2,
+        queryPred = col("vec_id") < 5, fitSlackMicro = 100)))
+    val f = r.gates.find(_.gate === "fit").get
+    assert(f.isInstanceOf[GateVerdict.BuildNeeded],
+      s"a drifted distribution must surface as BuildNeeded, got $f")
+    assert(r.buildNeeded && !r.corrupted,
+      "fit drift is a retrain signal, NEVER corruption")
+  }
+
+  test("ExactSubstr maintain: marker dial + drift gate (clean ≡, id-less replay trips)") {
+    val dir = freshDir("es")
+    def docs(rows: (Long, String)*): DataFrame =
+      rows.toSeq.toDF("doc_id", "text")
+        .select(col("doc_id"), split(col("text"), " ").as("tokens"))
+    val hist = docs(1L -> "a b x y z w c d", 2L -> "p q r p q r p q")
+    ExactSubstr.build(hist, "doc_id", "tokens", L = 4, dir)
+    var corpus = hist
+    for (b <- 0 until 6) {
+      val d = docs((10L + b) -> s"m n o$b p m n o$b p")
+      corpus = corpus.unionByName(d)
+      val r = ExactSubstr.maintain(d, "doc_id", "tokens", dir,
+        deltaId = s"b$b", maxLiveMarkers = 3,
+        auditCorpus = Some(corpus))
+      assert(r.liveMarkers <= 4)
+      assert(r.healthy, s"clean maintenance must pass the recount: ${r.gates}")
+    }
+    // the footgun: one batch delivered twice WITHOUT an id
+    val dup = docs(99L -> "z z y y z z y y")
+    ExactSubstr.refresh(dup, "doc_id", "tokens", dir)
+    ExactSubstr.refresh(dup, "doc_id", "tokens", dir)
+    corpus = corpus.unionByName(dup)
+    val r = ExactSubstr.maintain(docs(100L -> "f g h i f g h i"),
+      "doc_id", "tokens", dir, deltaId = "b9", maxLiveMarkers = 99,
+      auditCorpus = Some(corpus.unionByName(
+        docs(100L -> "f g h i f g h i"))))
+    assert(r.corrupted, s"double counts must surface as Corruption: ${r.gates}")
+  }
+
+  test("ClusterState maintain: marker dial + drift gate over the CC identity") {
+    val dir = freshDir("cs")
+    ClusterState.build(Seq(1L, 2L, 3L).toDF("id"), "id",
+      Seq((1L, 2L)).toDF("id_a", "id_b"), dir)
+    var ids = Seq(1L, 2L, 3L)
+    var pairs = Seq((1L, 2L))
+    for (b <- 0 until 5) {
+      val nid = 10L + b
+      val np = (nid, 3L)
+      ids :+= nid; pairs :+= np
+      val r = ClusterState.maintain(Seq(nid).toDF("id"), "id",
+        Seq(np).toDF("id_a", "id_b"), dir, deltaId = s"b$b",
+        maxLiveMarkers = 3,
+        audit = Some((ids.toDF("id"), pairs.toDF("id_a", "id_b"))))
+      assert(r.liveMarkers <= 4)
+      assert(r.healthy, s"clean maintenance must pass the CC gate: ${r.gates}")
+    }
+    assert(ClusterState.labels(spark, dir).get.count() === ids.size.toLong)
+  }
+}
