@@ -133,10 +133,15 @@ private[graft] object IndexSegments {
 
   /** The live index relation (see object doc), or None before the
     * first commit. Segment rows must carry an `id` column — the key
-    * tombstones address.
+    * tombstones address. `asOf` pins the read to the state as of that
+    * committed version (a [[graft.operators.StateManifest]] cut); the
+    * pinned horizon must still be on disk — compaction's retention
+    * keeps one folded horizon, [[gcOldHorizons]] reclaims it.
     */
-  def live(spark: SparkSession, stateDir: String): Option[DataFrame] = {
-    val cs = VersionedState.committed(spark, stateDir)
+  def live(spark: SparkSession, stateDir: String,
+           asOf: Option[Long] = None): Option[DataFrame] = {
+    val cs0 = VersionedState.committed(spark, stateDir)
+    val cs = asOf.fold(cs0)(v => cs0.filter(_._1 <= v))
     if (cs.isEmpty) return None
     val base = lastBase(cs, stateDir)
     val since = cs.filter(_._1 >= base)

@@ -312,18 +312,29 @@ object IvfIndex {
       .select("q_id", "cand_id")
   }
 
-  /** The live centroid table, or None before the first build. */
-  def centroids(spark: SparkSession, stateDir: String): Option[DataFrame] =
-    VersionedState.currentVersion(spark, stateDir).map { n =>
+  /** The live centroid table, or None before the first build. `asOf`
+    * pins the read to a committed version (a manifest cut).
+    */
+  def centroids(spark: SparkSession, stateDir: String,
+                asOf: Option[Long] = None): Option[DataFrame] = {
+    val v = asOf match {
+      case Some(a) => VersionedState.committed(spark, stateDir)
+        .filter(_._1 <= a).lastOption.map(_._1)
+      case None => VersionedState.currentVersion(spark, stateDir)
+    }
+    v.map { n =>
       spark.read.parquet(s"${VersionedState.versionPath(stateDir, n)}/centroids")
     }
+  }
 
   /** The live assignment relation — the union of every segment from
     * the latest base (`base`/`base-compact`) onward, minus tombstoned
     * rows (all segments routed against the same frozen centroid table,
     * by the commit pairing; ordering semantics in
-    * [[IndexSegments.live]]).
+    * [[IndexSegments.live]]). `asOf` pins the read to a committed
+    * version (a manifest cut).
     */
-  def assignments(spark: SparkSession, stateDir: String): Option[DataFrame] =
-    IndexSegments.live(spark, stateDir)
+  def assignments(spark: SparkSession, stateDir: String,
+                  asOf: Option[Long] = None): Option[DataFrame] =
+    IndexSegments.live(spark, stateDir, asOf)
 }

@@ -88,9 +88,13 @@ object ExactSubstr {
         s"$stateDir has committed versions but no base — corrupt state")
     }
 
-  /** The window length the stored state was built with. */
-  def storedL(spark: SparkSession, stateDir: String): Int = {
-    val cs = VersionedState.committed(spark, stateDir)
+  /** The window length the stored state was built with. `asOf` pins
+    * the read to a committed version (a manifest cut).
+    */
+  def storedL(spark: SparkSession, stateDir: String,
+              asOf: Option[Long] = None): Int = {
+    val cs0 = VersionedState.committed(spark, stateDir)
+    val cs = asOf.fold(cs0)(v => cs0.filter(_._1 <= v))
     require(cs.nonEmpty, s"no committed state at $stateDir")
     lastBaseOf(cs, stateDir)._2
   }
@@ -159,10 +163,15 @@ object ExactSubstr {
 
   /** The LIVE window-hash multiset: per-hash totals summed across
     * every version since the latest base (zero/negative totals — from
-    * retractions — excluded). None before the first commit.
+    * retractions — excluded). None before the first commit. `asOf`
+    * pins the read to a committed version (a manifest cut; the pinned
+    * horizon must still be on disk — retention keeps one folded
+    * horizon, [[gc]] reclaims it).
     */
-  def hashCounts(spark: SparkSession, stateDir: String): Option[DataFrame] = {
-    val cs = VersionedState.committed(spark, stateDir)
+  def hashCounts(spark: SparkSession, stateDir: String,
+                 asOf: Option[Long] = None): Option[DataFrame] = {
+    val cs0 = VersionedState.committed(spark, stateDir)
+    val cs = asOf.fold(cs0)(v => cs0.filter(_._1 <= v))
     if (cs.isEmpty) return None
     val (base, _) = lastBaseOf(cs, stateDir)
     val tables = cs.filter(_._1 >= base).map { case (n, _) =>
@@ -174,10 +183,12 @@ object ExactSubstr {
   }
 
   /** Hashes whose live count ≥ 2 — the duplicated-window set
-    * [[spans]] excises against.
+    * [[spans]] excises against. `asOf` pins the read to a committed
+    * version (a manifest cut).
     */
-  def dupHashes(spark: SparkSession, stateDir: String): DataFrame =
-    hashCounts(spark, stateDir).getOrElse(
+  def dupHashes(spark: SparkSession, stateDir: String,
+                asOf: Option[Long] = None): DataFrame =
+    hashCounts(spark, stateDir, asOf).getOrElse(
       throw new IllegalStateException(s"no committed state at $stateDir"))
       .where(col("c") >= 2).select("h")
 

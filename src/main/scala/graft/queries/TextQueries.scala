@@ -4962,6 +4962,131 @@ object TextQueries {
             (col("id") === col("label")).as("keep"),
             (col("id") % 5 === 4).as("arrived_in_delta"))
           .orderBy("doc_id")
+      }),
+
+    // ---- q278: CROSS-ARTIFACT CONSISTENT CUT — the one-marker
+    // argument lifted one level. The dedup pipeline maintains TWO
+    // durable artifacts over the same corpus (ExactSubstr's window-
+    // hash multiset and ClusterState's duplicate-group labels, here
+    // over exact bag-of-words fingerprint groups) with no
+    // transactional tie: a crash between their refreshes would leave
+    // one artifact a batch ahead of its sibling, and nothing records
+    // which versions belong together. graft.operators.StateManifest
+    // closes it: a cut (artifact → version) commits AFTER the member
+    // commits, readers resolve the LAST manifest and read each member
+    // AT its pinned version (asOf), so the torn state is INVISIBLE.
+    // Engine-side cycle: build both on history + manifest cut 1;
+    // refresh ONLY the hash multiset with the delta, then "crash" —
+    // the cut-1 pinned reads must still see pre-refresh state on BOTH
+    // artifacts (the oracle re-derives history-only truth) while the
+    // multiset's HEAD is a version ahead (the torn literals); the
+    // retry re-delivers the multiset refresh (replay-guarded no-op),
+    // refreshes the labels, commits cut 2 — whose pinned reads both
+    // sides re-derive as union truth. Checksums ride md5-prefix
+    // integers (portable both engines). StateManifestSpec pins
+    // crash-between-members, fail-fast on torn pins, and retention.
+    QueryDef("q278_consistent_cut", Some(s"""${toksCte()},
+      fpt AS (SELECT doc_id,
+                md5(array_to_string(list_sort(list_distinct(tokens)), ' ')) AS fp
+              FROM toks),
+      hfp AS (SELECT * FROM fpt WHERE doc_id % 5 <> 4),
+      l1 AS (SELECT f.doc_id, MIN(g.doc_id) AS label
+             FROM hfp f JOIN hfp g USING (fp) GROUP BY f.doc_id),
+      l2 AS (SELECT f.doc_id, MIN(g.doc_id) AS label
+             FROM fpt f JOIN fpt g USING (fp) GROUP BY f.doc_id),
+      ht AS (SELECT * FROM toks WHERE doc_id % 5 <> 4),
+      w1 AS (SELECT md5(list_aggregate(tokens[i:i+7], 'string_agg', ' ')) AS h
+             FROM ht, LATERAL unnest(range(1, len(tokens) - 6)) r(i)),
+      c1 AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS c FROM w1 GROUP BY h),
+      w2 AS (SELECT md5(list_aggregate(tokens[i:i+7], 'string_agg', ' ')) AS h
+             FROM toks, LATERAL unnest(range(1, len(tokens) - 6)) r(i)),
+      c2 AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS c FROM w2 GROUP BY h)
+      SELECT
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM c1 WHERE c >= 2) AS c1_n_dup,
+        (SELECT CAST(SUM(('0x' || substr(h, 1, 8))::BIGINT * c) AS BIGINT)
+         FROM c1) AS c1_chk_hashes,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM l1) AS c1_n_docs,
+        (SELECT CAST(COUNT(DISTINCT label) AS BIGINT) FROM l1) AS c1_n_clusters,
+        (SELECT CAST(SUM(doc_id * label) AS BIGINT) FROM l1) AS c1_chk_labels,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM c2 WHERE c >= 2) AS c2_n_dup,
+        (SELECT CAST(SUM(('0x' || substr(h, 1, 8))::BIGINT * c) AS BIGINT)
+         FROM c2) AS c2_chk_hashes,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM l2) AS c2_n_docs,
+        (SELECT CAST(COUNT(DISTINCT label) AS BIGINT) FROM l2) AS c2_n_clusters,
+        (SELECT CAST(SUM(doc_id * label) AS BIGINT) FROM l2) AS c2_chk_labels,
+        CAST(1 AS BIGINT) AS manifest_cut1,
+        CAST(2 AS BIGINT) AS manifest_cut2,
+        CAST(2 AS BIGINT) AS es_head_at_crash,
+        CAST(1 AS BIGINT) AS es_pin_at_crash,
+        CAST(1 AS BIGINT) AS cs_pin_at_crash"""),
+      (s, dir) => {
+        import graft.dedup.{ClusterState, ExactSubstr}
+        import graft.operators.StateManifest
+        val toks = tokenized(s, dir)
+          .localCheckpoint() // fp, both builds, both refreshes read it
+        val fpt = toks.select(col("doc_id"),
+            md5(concat_ws(" ", array_sort(array_distinct(col("tokens")))))
+              .as("fp"))
+          .localCheckpoint() // the pair self-join reads it twice
+        val pairs = fpt.select(col("doc_id").as("id_a"), col("fp"))
+          .join(fpt.select(col("doc_id").as("id_b"), col("fp")), "fp")
+          .where(col("id_a") < col("id_b"))
+          .select("id_a", "id_b")
+          .localCheckpoint() // history and delta splits read it
+        val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_") +
+          "_p" + ProcessHandle.current.pid + "_" + q274Runs.incrementAndGet()
+        val esDir = s"${System.getProperty("java.io.tmpdir")}/graft_q278es_$tag"
+        val csDir = s"${System.getProperty("java.io.tmpdir")}/graft_q278cs_$tag"
+        val mDir = s"${System.getProperty("java.io.tmpdir")}/graft_q278m_$tag"
+        Seq(esDir, csDir, mDir).foreach(EventQueries.cleanupOnExit)
+        val hist = toks.where(col("doc_id") % 5 =!= 4)
+        val delta = toks.where(col("doc_id") % 5 === 4)
+        ExactSubstr.build(hist, "doc_id", "tokens", L = 8, esDir)
+        ClusterState.build(hist.select("doc_id"), "doc_id",
+          pairs.where(col("id_a") % 5 =!= 4 && col("id_b") % 5 =!= 4), csDir)
+        StateManifest.commit(s, mDir,
+          Map("es" -> (esDir, 1L), "cs" -> (csDir, 1L)))
+        // the pipeline advances ONE member, then "crashes" before the
+        // sibling and the manifest
+        ExactSubstr.refresh(delta, "doc_id", "tokens", esDir, deltaId = "d1")
+        val cut1 = StateManifest.resolve(s, mDir).get
+        val esHeadAtCrash =
+          graft.operators.VersionedState.currentVersion(s, esDir).get
+        def esStats(pin: Long, p: String) =
+          ExactSubstr.hashCounts(s, esDir, asOf = Some(pin)).get
+            .agg(sum(when(col("c") >= 2, 1L).otherwise(0L)).cast("long")
+              .as(s"${p}_n_dup"),
+              sum(conv(substring(col("h"), 1, 8), 16, 10).cast("long")
+                * col("c")).cast("long").as(s"${p}_chk_hashes"))
+        def csStats(pin: Long, p: String) =
+          ClusterState.labels(s, csDir, asOf = Some(pin)).get
+            .agg(count(lit(1)).as(s"${p}_n_docs"),
+              countDistinct("label").as(s"${p}_n_clusters"),
+              sum(col("id") * col("label")).cast("long").as(s"${p}_chk_labels"))
+        // cut-1 pinned reads: BOTH artifacts pre-refresh, even though
+        // the multiset's head moved
+        val es1 = esStats(cut1("es")._2, "c1")
+        val cs1 = csStats(cut1("cs")._2, "c1")
+        // the retry: the multiset refresh re-delivers (replay-guarded
+        // no-op), the labels catch up, the cut advances
+        ExactSubstr.refresh(delta, "doc_id", "tokens", esDir, deltaId = "d1")
+        ClusterState.refresh(delta.select("doc_id"), "doc_id",
+          pairs.where(col("id_a") % 5 === 4 || col("id_b") % 5 === 4),
+          csDir, deltaId = "d1")
+        StateManifest.commit(s, mDir,
+          Map("es" -> (esDir, 2L), "cs" -> (csDir, 2L)))
+        val cut2 = StateManifest.resolve(s, mDir).get
+        val es2 = esStats(cut2("es")._2, "c2")
+        val cs2 = csStats(cut2("cs")._2, "c2")
+        es1.crossJoin(cs1).crossJoin(es2).crossJoin(cs2)
+          .select(col("c1_n_dup"), col("c1_chk_hashes"),
+            col("c1_n_docs"), col("c1_n_clusters"), col("c1_chk_labels"),
+            col("c2_n_dup"), col("c2_chk_hashes"),
+            col("c2_n_docs"), col("c2_n_clusters"), col("c2_chk_labels"),
+            lit(1L).as("manifest_cut1"), lit(2L).as("manifest_cut2"),
+            lit(esHeadAtCrash).as("es_head_at_crash"),
+            lit(cut1("es")._2).as("es_pin_at_crash"),
+            lit(cut1("cs")._2).as("cs_pin_at_crash"))
       })
   )
 

@@ -1,0 +1,109 @@
+package graft
+
+import graft.ann.IvfIndex
+import graft.dedup.ExactSubstr
+import graft.operators.{StateManifest, VersionedState}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The cross-artifact consistent cut: a manifest is the one-marker
+  * argument lifted one level — a crash between member commits leaves
+  * the PREVIOUS cut resolvable with every member version still on
+  * disk, and a reader never observes one artifact refreshed and its
+  * sibling stale. Plus the `asOf` pinned reads the cut resolves into.
+  */
+class StateManifestSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def freshDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_mf_$tag").toString + "/st"
+
+  private def vecs(ids: Range): DataFrame =
+    ids.map { i =>
+      (i.toLong, Array.tabulate(4)(d => ((i % 3) * 7 + d).toFloat + 1f))
+    }.toDF("vec_id", "embedding")
+
+  private def docs(rows: (Long, String)*): DataFrame =
+    rows.toSeq.toDF("doc_id", "text")
+      .select(col("doc_id"), split(col("text"), " ").as("tokens"))
+
+  test("a torn cut is invisible: members ahead of the manifest don't leak into resolve") {
+    val (a, b, m) = (freshDir("ma"), freshDir("mb"), freshDir("mm"))
+    IvfIndex.build(vecs(0 until 10), "vec_id", "embedding",
+      col("vec_id") % 5 === 0, iters = 1, a)
+    ExactSubstr.build(docs(1L -> "x y z w x y z w"), "doc_id", "tokens", 4, b)
+    StateManifest.commit(spark, m, Map("idx" -> (a, 1L), "es" -> (b, 1L)))
+    // the pipeline refreshes the INDEX, then crashes before the
+    // sibling refresh and the manifest commit
+    IvfIndex.refresh(vecs(10 until 15), "vec_id", "embedding", a, "d1")
+    val cut = StateManifest.resolve(spark, m).get
+    assert(cut === Map("idx" -> (a, 1L), "es" -> (b, 1L)),
+      "readers must keep resolving the previous cut")
+    assert(IvfIndex.assignments(spark, a, asOf = Some(cut("idx")._2)).get
+      .count() === 10L,
+      "the pinned read must not see the post-cut refresh")
+    assert(IvfIndex.assignments(spark, a).get.count() === 15L,
+      "the head read does (the member DID commit)")
+    // the retry completes the cut: the sibling refreshes, the manifest
+    // moves, and both pinned reads advance together
+    ExactSubstr.refresh(docs(2L -> "x y z w q q q q"), "doc_id", "tokens",
+      b, "d1")
+    StateManifest.commit(spark, m, Map("idx" -> (a, 2L), "es" -> (b, 2L)))
+    val cut2 = StateManifest.resolve(spark, m).get
+    assert(IvfIndex.assignments(spark, a, asOf = Some(cut2("idx")._2)).get
+      .count() === 15L)
+    assert(ExactSubstr.hashCounts(spark, b, asOf = Some(cut2("es")._2)).get
+      .agg(sum("c")).head().getLong(0) >
+      ExactSubstr.hashCounts(spark, b, asOf = Some(1L)).get
+        .agg(sum("c")).head().getLong(0),
+      "the es member's pinned read advances with the new cut")
+  }
+
+  test("commit fails fast on a member version that is not committed") {
+    val (a, m) = (freshDir("fa"), freshDir("fm"))
+    IvfIndex.build(vecs(0 until 6), "vec_id", "embedding",
+      col("vec_id") % 5 === 0, iters = 1, a)
+    val e = intercept[IllegalArgumentException] {
+      StateManifest.commit(spark, m, Map("idx" -> (a, 7L)))
+    }
+    assert(e.getMessage.contains("torn"))
+    assert(StateManifest.resolve(spark, m).isEmpty,
+      "a refused cut must not commit anything")
+  }
+
+  test("manifest retention: the previous cut stays readable, older ones are GC'd") {
+    val (a, m) = (freshDir("ra"), freshDir("rm"))
+    IvfIndex.build(vecs(0 until 6), "vec_id", "embedding",
+      col("vec_id") % 5 === 0, iters = 1, a)
+    IvfIndex.refresh(vecs(6 until 8), "vec_id", "embedding", a, "d1")
+    IvfIndex.refresh(vecs(8 until 9), "vec_id", "embedding", a, "d2")
+    StateManifest.commit(spark, m, Map("idx" -> (a, 1L)))
+    StateManifest.commit(spark, m, Map("idx" -> (a, 2L)))
+    StateManifest.commit(spark, m, Map("idx" -> (a, 3L)))
+    assert(VersionedState.committed(spark, m).map(_._1) === Seq(2L, 3L),
+      "retain 2: one previous cut for readers mid-resolve")
+    assert(StateManifest.readCut(spark, m, 2L) === Map("idx" -> (a, 2L)))
+    assert(StateManifest.resolve(spark, m).get === Map("idx" -> (a, 3L)))
+  }
+
+  test("asOf pins across a compaction: the retained folded horizon serves the old cut") {
+    val (a, m) = (freshDir("ca"), freshDir("cm"))
+    IvfIndex.build(vecs(0 until 10), "vec_id", "embedding",
+      col("vec_id") % 5 === 0, iters = 1, a)
+    IvfIndex.refresh(vecs(10 until 12), "vec_id", "embedding", a, "d1")
+    StateManifest.commit(spark, m, Map("idx" -> (a, 2L)))
+    IvfIndex.refresh(vecs(12 until 15), "vec_id", "embedding", a, "d2")
+    IvfIndex.compact(spark, a) // retention keeps versions 1-3 on disk
+    val cut = StateManifest.resolve(spark, m).get
+    assert(IvfIndex.assignments(spark, a, asOf = Some(cut("idx")._2)).get
+      .count() === 12L,
+      "the pre-compaction cut must stay readable through retention")
+    assert(IvfIndex.assignments(spark, a).get.count() === 15L)
+    // once the manifest has moved past the old horizon, gc reclaims it
+    StateManifest.commit(spark, m, Map("idx" -> (a, 4L)))
+    IvfIndex.gc(spark, a)
+    assert(IvfIndex.assignments(spark, a,
+      asOf = Some(StateManifest.resolve(spark, m).get("idx")._2)).get
+      .count() === 15L)
+  }
+}
