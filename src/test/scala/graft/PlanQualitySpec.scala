@@ -942,6 +942,29 @@ class PlanQualitySpec extends SparkTestBase {
     }
   }
 
+  test("q277 session-delete maintain: windows only per-user; CC and delete are join/agg shapes") {
+    val plans = allExecutedPlans("q277_session_delete_maintain")
+    val windows = plans.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty, "the chain edges need the per-user lag window")
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      "q277: the only window is the per-user consecutive-event lag — " +
+        "converged CC, the reduced refresh and the cluster-local delete " +
+        "are joins + aggregations; a global window means an event sort " +
+        "crept in")
+    assert(!plans.exists { case _: CartesianProductExec => true; case _ => false })
+  }
+
+  test("q278 consistent cut: NO window anywhere — fingerprint groups, counts and pinned reads are joins/aggs") {
+    val plans = allExecutedPlans("q278_consistent_cut")
+    assert(!plans.exists(_.nodeName == "Window"),
+      "q278: fp self-join, window-hash counts, CC and the manifest's " +
+        "pinned reads are all join/agg shapes — a window anywhere means " +
+        "a corpus sort crept in")
+    assert(!plans.exists { case _: CartesianProductExec => true; case _ => false })
+  }
+
   test("q270 IVF-PQ maintain: broadcast codebooks + bucket equi-joins — no cartesian, no global window") {
     val plans = allExecutedPlans("q270_ivfpq_maintain")
     assert(!plans.exists { case _: CartesianProductExec => true; case _ => false },
