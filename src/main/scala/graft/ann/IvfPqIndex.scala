@@ -1,6 +1,6 @@
 package graft.ann
 
-import graft.operators.VersionedState
+import graft.operators.{GateVerdict, Maintain, MaintainReport, VersionedState}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -139,4 +139,105 @@ object IvfPqIndex {
     */
   def gc(spark: SparkSession, stateDir: String): Unit =
     IndexSegments.gcOldHorizons(spark, stateDir)
+
+  /** Periodic-audit dials for [[maintain]] — [[PqIndex.Audit]]'s
+    * composed sibling; `nprobe` sizes the ADC search's bucket probes.
+    */
+  final case class Audit(corpus: DataFrame,
+                         seedPred: org.apache.spark.sql.Column, iters: Int,
+                         queryPred: org.apache.spark.sql.Column,
+                         k: Int = 5, nprobe: Int = 2,
+                         fitRatioMilli: Long = 1250,
+                         recallSlack: Double = 0.2)
+
+  /** The runbook as code for the composed index — drift compares BOTH
+    * the coarse route and the residual codes per (id, sub); fit is the
+    * residual-quantization error vs a codebook retrain (coarse table
+    * is a fixed dial); recall is the two-stage ADC search vs exact-L2
+    * truth on the bounded query slice (q270's three gates, typed).
+    */
+  def maintain(delta: DataFrame, idCol: String, vecCol: String,
+               stateDir: String, deltaId: String = "",
+               maxLiveMarkers: Int = 8,
+               audit: Option[Audit] = None): MaintainReport = {
+    val spark = delta.sparkSession
+    val replayed = deltaId.nonEmpty &&
+      IndexSegments.alreadyDelivered(spark, stateDir, deltaId).nonEmpty
+    val v = refresh(delta, idCol, vecCol, stateDir, deltaId)
+    val compacted = Maintain.liveMarkers(spark, stateDir) > maxLiveMarkers
+    if (compacted) compact(spark, stateDir)
+    val gates = audit.toSeq.flatMap { a =>
+      val cc = coarse(spark, stateDir).get.localCheckpoint()
+      val cb = codebooks(spark, stateDir).get.localCheckpoint()
+      val m = cb.agg(max("sub")).head().getInt(0) + 1
+      val live = codes(spark, stateDir).get.localCheckpoint()
+      val res = IvfPq.residuals(a.corpus, idCol, vecCol, cc).localCheckpoint()
+      val oneShot = Pq.assign(Pq.subvectors(res, "id", "rv", m), cb)
+        .join(res.select("id", "bid"), "id")
+        .localCheckpoint() // drift + fit + search read it
+      // gate 1 — drift over BOTH halves: bucket and code per (id, sub)
+      val mism = live.select(col("id"), col("sub"),
+          col("bid").as("b1"), col("code").as("c1"))
+        .join(oneShot.select(col("id"), col("sub"),
+          col("bid").as("b2"), col("code").as("c2")),
+          Seq("id", "sub"), "full_outer")
+        .where(col("c1").isNull || col("c2").isNull ||
+          col("b1") =!= col("b2") || col("c1") =!= col("c2"))
+        .count()
+      val nLive = live.count()
+      val nOne = oneShot.count()
+      val drift =
+        if (mism == 0 && nLive == nOne)
+          GateVerdict.Ok("drift",
+            s"maintained ≡ one-shot route+encode over $nOne code rows")
+        else GateVerdict.Corruption("drift",
+          s"$mism route/code mismatches, $nLive live rows vs $nOne " +
+            "one-shot — segments lost, duplicated or mixed across bases; " +
+            "rebuild and check replay discipline")
+      // gate 2 — residual-quantization fit vs a codebook retrain
+      val reCb = Pq.trainCodebooks(res, "id", "rv", m, a.seedPred, a.iters)
+        .localCheckpoint()
+      val reAsg = Pq.assign(Pq.subvectors(res, "id", "rv", m), reCb)
+        .join(res.select("id", "bid"), "id")
+        .localCheckpoint()
+      def errMicro(df: DataFrame): Long =
+        df.agg(coalesce(sum(round(col("d2") * 1000000).cast("long")), lit(0L)))
+          .head().getLong(0)
+      val eInc = errMicro(oneShot)
+      val eReb = errMicro(reAsg)
+      val fit =
+        if (eInc * 1000 <= eReb * a.fitRatioMilli)
+          GateVerdict.Ok("fit", s"maintained µerr $eInc vs retrain $eReb " +
+            s"(ratio dial ${a.fitRatioMilli}/1000)")
+        else GateVerdict.BuildNeeded("fit",
+          s"maintained µerr $eInc exceeds ${a.fitRatioMilli}/1000 of the " +
+            s"retrain's $eReb — the frozen residual codebooks no longer " +
+            "fit; schedule a build")
+      // gate 3 — two-stage ADC recall@k vs exact-L2 truth
+      val brute = Pq.exactL2TopK(a.corpus, idCol, vecCol, a.queryPred, a.k)
+        .localCheckpoint()
+      val nBrute = brute.count()
+      val queries = a.corpus.where(a.queryPred)
+      val probes = IvfPq.probeResiduals(queries, idCol, vecCol, cc, a.nprobe)
+        .localCheckpoint() // both searches read it
+      def hits(cds: DataFrame, books: DataFrame): Long =
+        IvfPq.searchAdc(probes, cds.select("id", "bid", "sub", "code"),
+            books, m, a.k)
+          .select("q_id", "cand_id")
+          .join(brute, Seq("q_id", "cand_id")).count()
+      val hm = hits(live, cb)
+      val hr = hits(reAsg, reCb)
+      val recall =
+        if (nBrute == 0 || hm >= hr - a.recallSlack * nBrute)
+          GateVerdict.Ok("recall",
+            s"maintained $hm vs retrained $hr of $nBrute brute pairs")
+        else GateVerdict.BuildNeeded("recall",
+          s"maintained $hm vs retrained $hr of $nBrute brute pairs — " +
+            "recall trails the retrain past the slack; schedule a build " +
+            "(consider raising nprobe until it lands)")
+      Seq(drift, fit, recall)
+    }
+    MaintainReport(v, replayed, compacted,
+      Maintain.liveMarkers(spark, stateDir), gates)
+  }
 }

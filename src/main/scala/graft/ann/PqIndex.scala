@@ -1,6 +1,6 @@
 package graft.ann
 
-import graft.operators.VersionedState
+import graft.operators.{GateVerdict, Maintain, MaintainReport, VersionedState}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -116,6 +116,99 @@ object PqIndex {
     */
   def gc(spark: SparkSession, stateDir: String): Unit =
     IndexSegments.gcOldHorizons(spark, stateDir)
+
+  /** Periodic-audit dials for [[maintain]] — [[IvfIndex.Audit]]'s PQ
+    * sibling: `fitRatioMilli` is q267's criterion (the maintained
+    * total quantization error may exceed a fresh codebook retrain's by
+    * at most ratio/1000, compared in exact micro-scaled integers);
+    * `recallSlack` bounds how far maintained ADC recall@k may trail a
+    * retrained index against the exact-L2 brute truth on `queryPred`.
+    */
+  final case class Audit(corpus: DataFrame,
+                         seedPred: org.apache.spark.sql.Column, iters: Int,
+                         queryPred: org.apache.spark.sql.Column,
+                         k: Int = 5, fitRatioMilli: Long = 1250,
+                         recallSlack: Double = 0.2)
+
+  /** The runbook as code for the PQ code table — [[IvfIndex.maintain]]'s
+    * sibling: replay-guarded refresh, self-compaction past the marker
+    * dial, and (on audit cadence) drift / fit / recall verdicts typed.
+    */
+  def maintain(delta: DataFrame, idCol: String, vecCol: String,
+               stateDir: String, deltaId: String = "",
+               maxLiveMarkers: Int = 8,
+               audit: Option[Audit] = None): MaintainReport = {
+    val spark = delta.sparkSession
+    val replayed = deltaId.nonEmpty &&
+      IndexSegments.alreadyDelivered(spark, stateDir, deltaId).nonEmpty
+    val v = refresh(delta, idCol, vecCol, stateDir, deltaId)
+    val compacted = Maintain.liveMarkers(spark, stateDir) > maxLiveMarkers
+    if (compacted) compact(spark, stateDir)
+    val gates = audit.toSeq.flatMap { a =>
+      val cb = codebooks(spark, stateDir).get.localCheckpoint()
+      val m = cb.agg(max("sub")).head().getInt(0) + 1
+      val live = codes(spark, stateDir).get.localCheckpoint()
+      val oneShot = Pq.assign(Pq.subvectors(a.corpus, idCol, vecCol, m), cb)
+        .localCheckpoint() // drift compare + fit sum + search read it
+      // gate 1 — drift: per-(id, sub) code identity + row-count check
+      // (duplicated segments match pointwise; the count catches them)
+      val mism = live.select(col("id"), col("sub"), col("code").as("c1"))
+        .join(oneShot.select(col("id"), col("sub"), col("code").as("c2")),
+          Seq("id", "sub"), "full_outer")
+        .where(col("c1").isNull || col("c2").isNull || col("c1") =!= col("c2"))
+        .count()
+      val nLive = live.count()
+      val nOne = oneShot.count()
+      val drift =
+        if (mism == 0 && nLive == nOne)
+          GateVerdict.Ok("drift", s"maintained ≡ one-shot re-encode over $nOne code rows")
+        else GateVerdict.Corruption("drift",
+          s"$mism code mismatches, $nLive live rows vs $nOne one-shot — " +
+            "segments lost, duplicated or mixed across bases; rebuild and " +
+            "check for id-less replays or a foreign writer")
+      // gate 2 — fit: maintained total quantization error vs a fresh
+      // codebook retrain, exact micro-scaled integers (q267's gate)
+      val reCb = Pq.trainCodebooks(a.corpus, idCol, vecCol, m,
+        a.seedPred, a.iters).localCheckpoint()
+      val reAsg = Pq.assign(Pq.subvectors(a.corpus, idCol, vecCol, m), reCb)
+        .localCheckpoint() // fit sum + rebuilt search read it
+      def errMicro(df: DataFrame): Long =
+        df.agg(coalesce(sum(round(col("d2") * 1000000).cast("long")), lit(0L)))
+          .head().getLong(0)
+      val eInc = errMicro(oneShot)
+      val eReb = errMicro(reAsg)
+      val fit =
+        if (eInc * 1000 <= eReb * a.fitRatioMilli)
+          GateVerdict.Ok("fit", s"maintained µerr $eInc vs retrain $eReb " +
+            s"(ratio dial ${a.fitRatioMilli}/1000)")
+        else GateVerdict.BuildNeeded("fit",
+          s"maintained µerr $eInc exceeds ${a.fitRatioMilli}/1000 of the " +
+            s"retrain's $eReb — the frozen codebooks no longer fit; " +
+            "schedule a build")
+      // gate 3 — ADC recall@k vs exact-L2 truth on the query slice
+      val brute = Pq.exactL2TopK(a.corpus, idCol, vecCol, a.queryPred, a.k)
+        .localCheckpoint() // 2 hit joins read it
+      val nBrute = brute.count()
+      val queries = a.corpus.where(a.queryPred)
+      def hits(cds: DataFrame, books: DataFrame): Long =
+        Pq.adcTopK(queries, idCol, vecCol, cds.select("id", "sub", "code"),
+            books, m, a.k)
+          .select("q_id", "cand_id")
+          .join(brute, Seq("q_id", "cand_id")).count()
+      val hm = hits(live, cb)
+      val hr = hits(reAsg, reCb)
+      val recall =
+        if (nBrute == 0 || hm >= hr - a.recallSlack * nBrute)
+          GateVerdict.Ok("recall",
+            s"maintained $hm vs retrained $hr of $nBrute brute pairs")
+        else GateVerdict.BuildNeeded("recall",
+          s"maintained $hm vs retrained $hr of $nBrute brute pairs — " +
+            "recall trails the retrain past the slack; schedule a build")
+      Seq(drift, fit, recall)
+    }
+    MaintainReport(v, replayed, compacted,
+      Maintain.liveMarkers(spark, stateDir), gates)
+  }
 
   /** The live codebook table, or None before the first build. */
   def codebooks(spark: SparkSession, stateDir: String): Option[DataFrame] =

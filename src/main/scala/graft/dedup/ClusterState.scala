@@ -209,6 +209,12 @@ object ClusterState {
     * live table are ignored (idempotent against over-delivery).
     * `deltaId` (optional) makes the delete replay-idempotent, like a
     * refresh.
+    *
+    * Sizing contract: the victims and their clusters' members ride
+    * BROADCAST joins — right for erasure-batch-sized deletions against
+    * naturally small near-dup/session clusters (the q277/q275 shape).
+    * A purge spanning a corpus-scale fraction of docs should [[build]]
+    * over the survivors instead: at that size the "delta" isn't one.
     */
   def delete(ids: DataFrame, stateDir: String, deltaId: String = ""): Long = {
     val spark = ids.sparkSession

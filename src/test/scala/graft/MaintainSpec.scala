@@ -127,6 +127,51 @@ class MaintainSpec extends SparkTestBase {
     assert(r.corrupted, s"double counts must surface as Corruption: ${r.gates}")
   }
 
+  test("PqIndex maintain: marker dial + three typed gates; id-less replay trips drift") {
+    import graft.ann.PqIndex
+    val dir = freshDir("pq")
+    PqIndex.build(vecs(0 until 30), "vec_id", "embedding", m = 2,
+      col("vec_id") < 8, iters = 2, dir)
+    for (b <- 0 until 6) {
+      val r = PqIndex.maintain(vecs(30 + 5 * b until 35 + 5 * b),
+        "vec_id", "embedding", dir, deltaId = s"b$b", maxLiveMarkers = 3)
+      assert(r.liveMarkers <= 4)
+      assert(!r.replayed)
+    }
+    val audited = PqIndex.maintain(vecs(60 until 65), "vec_id", "embedding",
+      dir, deltaId = "b9", maxLiveMarkers = 99,
+      audit = Some(PqIndex.Audit(vecs(0 until 65), col("vec_id") < 8,
+        iters = 2, queryPred = col("vec_id") < 5)))
+    assert(audited.gates.map(_.gate) === Seq("drift", "fit", "recall"))
+    assert(audited.healthy, s"healthy state must pass: ${audited.gates}")
+    // the at-least-once footgun: id-less double delivery
+    PqIndex.refresh(vecs(65 until 70), "vec_id", "embedding", dir)
+    PqIndex.refresh(vecs(65 until 70), "vec_id", "embedding", dir)
+    val r = PqIndex.maintain(vecs(70 until 72), "vec_id", "embedding",
+      dir, deltaId = "b10", maxLiveMarkers = 99,
+      audit = Some(PqIndex.Audit(vecs(0 until 72), col("vec_id") < 8,
+        iters = 2, queryPred = col("vec_id") < 5)))
+    assert(r.corrupted, s"duplicated code rows must trip drift: ${r.gates}")
+  }
+
+  test("IvfPqIndex maintain: three typed gates healthy on an undisturbed composed index") {
+    import graft.ann.IvfPqIndex
+    val dir = freshDir("ivfpq")
+    val coarse = Seq(
+      (0L, Array.tabulate(8)(d => (d * 7 % 11).toFloat + 1f)),
+      (1L, Array.tabulate(8)(d => (17 + d * 7 % 11).toFloat % 11f + 1f)))
+      .toDF("bid", "bvec")
+    IvfPqIndex.build(vecs(0 until 30), "vec_id", "embedding", coarse,
+      m = 2, col("id") < 8, iters = 2, dir)
+    val r = IvfPqIndex.maintain(vecs(30 until 40), "vec_id", "embedding",
+      dir, deltaId = "b1", maxLiveMarkers = 99,
+      audit = Some(IvfPqIndex.Audit(vecs(0 until 40), col("id") < 8,
+        iters = 2, queryPred = col("vec_id") < 5)))
+    assert(r.gates.map(_.gate) === Seq("drift", "fit", "recall"))
+    assert(r.healthy, s"healthy composed index must pass: ${r.gates}")
+    assert(!r.compacted && r.liveMarkers === 2)
+  }
+
   test("ClusterState maintain: marker dial + drift gate over the CC identity") {
     val dir = freshDir("cs")
     ClusterState.build(Seq(1L, 2L, 3L).toDF("id"), "id",
