@@ -27,16 +27,19 @@ import org.apache.spark.sql.functions._
   *    committed version — the protocol closes the duplicate-on-replay
   *    footgun instead of documenting it. Id-less refreshes keep the
   *    additive append semantics (exactly-once delivery stays the
-  *    caller's contract there). The guard's window is the current
-  *    read horizon: a build GCs all prior versions, so ids delivered
-  *    before a full rebuild are re-deliverable after it — by then
-  *    their rows live in the rebuilt base segment, so re-delivery is
-  *    the caller re-syncing, not the crash-replay this guard exists
-  *    for.
+  *    caller's contract there). The guard SURVIVES compaction — the
+  *    folded ids ride the [[DeliveredFile]] sidecar into every later
+  *    base-compact — and is reset only by a full build: a build GCs
+  *    all prior versions and writes no sidecar, so ids delivered
+  *    before a rebuild are re-deliverable after it — by then their
+  *    rows live in the rebuilt base segment, so re-delivery is the
+  *    caller re-syncing, not the crash-replay this guard exists for.
   *  - '''compaction''' ([[compact]]): fold every live segment since
   *    the last base into ONE `base-compact` version (dials copied —
   *    no retrain; assignments/codes are immutable given frozen dials),
-  *    physically excising tombstoned rows, then GC everything below.
+  *    physically excising tombstoned rows, then GC below the retention
+  *    floor (the folded horizon stays for in-flight readers; the next
+  *    compact or [[gcOldHorizons]] reclaims it).
   *    This bounds two things that otherwise grow one unit per refresh
   *    forever: the segment fan-out [[live]] unions, and the marker
   *    count [[graft.operators.VersionedState.committed]] reads

@@ -111,11 +111,12 @@ object IvfIndex {
     * segments are not read, let alone re-routed.
     *
     * `deltaId` (optional) makes the refresh REPLAY-IDEMPOTENT: the id
-    * rides in the commit marker (`delta:<id>`), and re-delivering an
-    * id already committed on the current read horizon is a no-op
-    * returning the existing version. An id-less refresh keeps the
-    * additive append semantics (exactly-once delivery is then the
-    * caller's contract — both behaviors pinned in IvfIndexSpec).
+    * rides in the commit marker (`delta:<id>`) and survives compaction
+    * via the delivered sidecar, so a re-delivered id is a no-op
+    * returning the already-committed version until the next full
+    * build. An id-less refresh keeps the additive append semantics
+    * (exactly-once delivery is then the caller's contract — all three
+    * behaviors pinned in IvfIndexSpec).
     */
   def refresh(delta: DataFrame, idCol: String, vecCol: String,
               stateDir: String, deltaId: String = ""): Long = {
