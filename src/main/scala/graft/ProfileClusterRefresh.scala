@@ -63,11 +63,28 @@ object ProfileClusterRefresh {
         println(f"PROFILE refresh corpus=$n rep $i: $s%.2f s")
         s
       }.sorted
-      (n, times(times.length / 2))
+      // the decremental path: a fixed 100-victim erasure batch hitting
+      // the planted pairs (forces the cluster-local re-CC, not just the
+      // removals write) — two label scans + one edge scan per delete
+      val delTimes = (1 to reps).map { i =>
+        val victims = spark.range(100)
+          .select((col("id") * 1000 + (if (i % 2 == 0) 0 else 1)
+            + i.toLong / 2 * 200000).as("id"))
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        ClusterState.delete(victims, dir, deltaId = s"del$i")
+        val s = (System.nanoTime() - t0) / 1e9
+        println(f"PROFILE delete corpus=$n rep $i: $s%.2f s")
+        s
+      }.sorted
+      (n, times(times.length / 2), delTimes(delTimes.length / 2))
     }
-    val json = results.map { case (n, s) => f""""$n":$s%.2f""" }
+    val json = results.map { case (n, s, _) => f""""$n":$s%.2f""" }
       .mkString(",")
-    println(s"""{"metric":"cluster_refresh_sec_by_corpus","batch":$batch,"median":{$json}}""")
+    val djson = results.map { case (n, _, s) => f""""$n":$s%.2f""" }
+      .mkString(",")
+    println(s"""{"metric":"cluster_refresh_sec_by_corpus","batch":$batch,""" +
+      s""""median":{$json},"delete_median":{$djson}}""")
     spark.stop()
   }
 }

@@ -174,17 +174,32 @@ private[graft] object IndexSegments {
   /** Commit a tombstone version: the latest version's dial tables
     * (`dialDirs`) carried forward unchanged + a `tombstones/` table of
     * the (distinct) ids to delete. `ids`' FIRST column is the id.
+    * `deltaId` (optional) makes the delete REPLAY-IDEMPOTENT
+    * (`tombstone:<id>`, guarded like a refresh and carried across
+    * compaction) — without it, an at-least-once erasure source that
+    * re-delivers a delete AFTER a legitimate re-add would silently
+    * re-kill the re-added rows (tombstones are latest-wins by design;
+    * the guard keeps "latest" meaning latest INTENT, not latest
+    * delivery).
     */
   def commitTombstone(ids: DataFrame, stateDir: String,
-                      dialDirs: Seq[String]): Long = {
+                      dialDirs: Seq[String], deltaId: String = ""): Long = {
     val spark = ids.sparkSession
     val prev = VersionedState.currentVersion(spark, stateDir)
     require(prev.nonEmpty,
       s"no committed index at $stateDir — nothing to delete from")
+    validDeltaId(deltaId)
+    val label = if (deltaId.isEmpty) "tombstone" else s"tombstone:$deltaId"
+    if (deltaId.nonEmpty) {
+      alreadyDeliveredLabel(spark, stateDir, label) match {
+        case Some(v) => return v // replayed delete: already committed
+        case None    =>
+      }
+    }
     val pdir = VersionedState.versionPath(stateDir, prev.get)
     val dials = dialDirs.map(d => d -> spark.read.parquet(s"$pdir/$d"))
     val tomb = ids.select(col(ids.columns.head).as("id")).distinct()
-    VersionedState.commit(spark, stateDir, prev, label = "tombstone") { vdir =>
+    VersionedState.commit(spark, stateDir, prev, label = label) { vdir =>
       dials.foreach { case (d, df) =>
         df.write.mode("overwrite").parquet(s"$vdir/$d")
       }

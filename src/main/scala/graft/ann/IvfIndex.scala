@@ -146,8 +146,8 @@ object IvfIndex {
     * delete-then-refresh ordering q272 gates). Physical excision
     * happens at the next [[compact]].
     */
-  def delete(ids: DataFrame, stateDir: String): Long =
-    IndexSegments.commitTombstone(ids, stateDir, Seq("centroids"))
+  def delete(ids: DataFrame, stateDir: String, deltaId: String = ""): Long =
+    IndexSegments.commitTombstone(ids, stateDir, Seq("centroids"), deltaId)
 
   /** Fold every segment since the last base into ONE `base-compact`
     * version — centroids copied, NO retrain (assignments are immutable

@@ -119,8 +119,9 @@ object IvfPqIndex {
     * TOMBSTONE version (coarse table + codebooks carried forward);
     * physical excision at the next [[compact]].
     */
-  def delete(ids: DataFrame, stateDir: String): Long =
-    IndexSegments.commitTombstone(ids, stateDir, Seq("coarse", "codebooks"))
+  def delete(ids: DataFrame, stateDir: String, deltaId: String = ""): Long =
+    IndexSegments.commitTombstone(ids, stateDir, Seq("coarse", "codebooks"),
+      deltaId)
 
   /** Fold every code segment since the last base into ONE
     * `base-compact` version — ONE marker still covers coarse +

@@ -98,8 +98,8 @@ object PqIndex {
     * TOMBSTONE version (codebooks carried forward); physical excision
     * at the next [[compact]]. Semantics in [[IndexSegments]].
     */
-  def delete(ids: DataFrame, stateDir: String): Long =
-    IndexSegments.commitTombstone(ids, stateDir, Seq("codebooks"))
+  def delete(ids: DataFrame, stateDir: String, deltaId: String = ""): Long =
+    IndexSegments.commitTombstone(ids, stateDir, Seq("codebooks"), deltaId)
 
   /** Fold every code segment since the last base into ONE
     * `base-compact` version (codebooks copied, no retrain, tombstones

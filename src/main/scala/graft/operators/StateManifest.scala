@@ -87,3 +87,43 @@ object StateManifest {
         }
       }.toMap
 }
+
+/** MANIFEST-AWARE member GC — the enforcement for "reclaim only after
+  * the manifest moved": a member's `gc()` called by an operator who
+  * forgot a retained cut still pins an old horizon would strand that
+  * cut's readers. [[StateManifestGc.gcMembers]] computes, per member,
+  * the oldest version any RETAINED cut still needs — the BASE of the
+  * horizon containing its oldest pin, since an `asOf` read resolves
+  * the last base ≤ the pin and unions segments from there — and
+  * reclaims strictly below it, never past the member's current
+  * horizon. Safe to call after every manifest commit.
+  */
+object StateManifestGc {
+
+  /** Reclaim every member version no retained manifest cut can still
+    * reach. Returns the per-member GC floor applied (member dir →
+    * keepFrom).
+    */
+  def gcMembers(spark: SparkSession,
+                manifestDir: String): Map[String, Long] = {
+    val cuts = VersionedState.committed(spark, manifestDir).map(_._1)
+      .map(v => StateManifest.readCut(spark, manifestDir, v))
+    if (cuts.isEmpty) return Map.empty
+    val pinsByDir = cuts.flatten.groupMap(_._2._1)(_._2._2)
+    pinsByDir.map { case (dir, pins) =>
+      val cs = VersionedState.committed(spark, dir)
+      val bases = cs.filter(_._2.startsWith("base")).map(_._1).sorted
+      def horizonBase(pin: Long): Long =
+        bases.filter(_ <= pin).lastOption.getOrElse(
+          // a pin below the first surviving base can only happen after
+          // a build (which GCs everything and resets cuts' relevance);
+          // keep from the oldest base rather than deleting blind
+          bases.headOption.getOrElse(Long.MinValue))
+      val keepFrom = math.min(pins.map(horizonBase).min,
+        bases.lastOption.getOrElse(Long.MinValue))
+      if (keepFrom > Long.MinValue)
+        VersionedState.gc(spark, dir, keepFrom)
+      dir -> keepFrom
+    }
+  }
+}

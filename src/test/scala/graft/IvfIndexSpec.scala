@@ -223,6 +223,33 @@ class IvfIndexSpec extends SparkTestBase {
     assert(live3.where(col("id") === 5L).count() === 1L)
   }
 
+  test("a REPLAYED delete id is a no-op: a re-add between delivery attempts survives") {
+    val dir = freshDir("tombreplay")
+    IvfIndex.build(vecs(0 until 20), "vec_id", "embedding",
+      col("vec_id") % 10 === 0, iters = 1, dir)
+    // the erasure source delivers delete(7) with a stable id
+    val v1 = IvfIndex.delete(Seq(7L).toDF("vec_id"), dir, deltaId = "erase-7")
+    IvfIndex.refresh(vecs(7 until 8), "vec_id", "embedding", dir, "readd-7")
+    // ... then crash-replays the SAME delete: without the guard the
+    // latest-wins tombstone would re-kill the legitimate re-add
+    assert(IvfIndex.delete(Seq(7L).toDF("vec_id"), dir, "erase-7") === v1,
+      "a replayed delete id returns the existing tombstone version")
+    assert(IvfIndex.assignments(spark, dir).get
+      .where(col("id") === 7L).count() === 1L,
+      "the re-add must survive the replayed delete")
+    // the guard survives compaction like every other delivered id
+    IvfIndex.compact(spark, dir)
+    IvfIndex.gc(spark, dir)
+    assert(IvfIndex.delete(Seq(7L).toDF("vec_id"), dir, "erase-7") > 0L)
+    assert(IvfIndex.assignments(spark, dir).get
+      .where(col("id") === 7L).count() === 1L,
+      "the replayed delete stays guarded across the fold")
+    // a NEW intent (fresh id) deletes for real
+    IvfIndex.delete(Seq(7L).toDF("vec_id"), dir, "erase-7-again")
+    assert(IvfIndex.assignments(spark, dir).get
+      .where(col("id") === 7L).count() === 0L)
+  }
+
   test("deleting an id twice and re-adding between: the LATEST tombstone decides") {
     val dir = freshDir("tombtwice")
     IvfIndex.build(vecs(0 until 20), "vec_id", "embedding",

@@ -172,6 +172,50 @@ class MaintainSpec extends SparkTestBase {
     assert(!r.compacted && r.liveMarkers === 2)
   }
 
+  test("streaming ingest drives maintain(): foreachBatch batchId as the delta id, restart-replay a no-op") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    val dir = freshDir("stream")
+    IvfIndex.build(vecs(0 until 20), "vec_id", "embedding",
+      col("vec_id") % 10 === 0, iters = 1, dir)
+    val reports =
+      new java.util.concurrent.ConcurrentLinkedQueue[
+        graft.operators.MaintainReport]()
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = input.toDF().toDF("vec_id", "embedding")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+        // the Structured Streaming replay contract: on restart the last
+        // batch may re-deliver with the SAME batch id — maintain's
+        // guard makes it a no-op instead of a duplicate segment
+        reports.add(IvfIndex.maintain(batch, "vec_id", "embedding", dir,
+          deltaId = s"sb$bid", maxLiveMarkers = 3)): Unit
+      }
+      .start()
+    try {
+      def rows(r: Range) = r.map { i =>
+        (i.toLong, Array.tabulate(8)(d => ((i % 3) * 17 + d * 7 + i % 5)
+          .toFloat % 11f + 1f))
+      }
+      for (b <- 0 until 5) {
+        input.addData(rows(20 + 4 * b until 24 + 4 * b): _*)
+        q.processAllAvailable()
+      }
+      assert(IvfIndex.assignments(spark, dir).get.count() === 40L)
+      import scala.jdk.CollectionConverters._
+      val rs = reports.asScala.toVector
+      assert(rs.forall(_.liveMarkers <= 4), "the dial holds under the stream")
+      assert(rs.exists(_.compacted), "the stream's cadence must trip a compact")
+      // simulated restart replay: re-deliver the LAST batch id manually
+      val replay = IvfIndex.maintain(
+        rows(36 until 40).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", dir, deltaId = s"sb4", maxLiveMarkers = 3)
+      assert(replay.replayed, "the re-delivered batch id must be recognized")
+      assert(IvfIndex.assignments(spark, dir).get.count() === 40L,
+        "replay must not duplicate rows — even across the compaction above")
+    } finally q.stop()
+  }
+
   test("ClusterState maintain: marker dial + drift gate over the CC identity") {
     val dir = freshDir("cs")
     ClusterState.build(Seq(1L, 2L, 3L).toDF("id"), "id",

@@ -86,6 +86,33 @@ class StateManifestSpec extends SparkTestBase {
     assert(StateManifest.resolve(spark, m).get === Map("idx" -> (a, 3L)))
   }
 
+  test("gcMembers reclaims only what no retained cut can reach — pinned horizons survive") {
+    import graft.operators.StateManifestGc
+    val (a, m) = (freshDir("ga"), freshDir("gm"))
+    IvfIndex.build(vecs(0 until 10), "vec_id", "embedding",
+      col("vec_id") % 5 === 0, iters = 1, a)
+    IvfIndex.refresh(vecs(10 until 12), "vec_id", "embedding", a, "d1")
+    StateManifest.commit(spark, m, Map("idx" -> (a, 2L))) // cut 1 pins v2
+    IvfIndex.refresh(vecs(12 until 15), "vec_id", "embedding", a, "d2")
+    IvfIndex.compact(spark, a) // v4 = base-compact; v1-v3 retained
+    StateManifest.commit(spark, m, Map("idx" -> (a, 4L))) // cut 2
+    // cut 1 (retained) still pins the OLD horizon: gcMembers must keep
+    // it — versions 1..3 stay, nothing below the pinned horizon's base
+    val floors = StateManifestGc.gcMembers(spark, m)
+    assert(floors(a) === 1L, "the oldest retained pin's horizon base")
+    assert(VersionedState.committed(spark, a).map(_._1) === Seq(1L, 2L, 3L, 4L))
+    assert(IvfIndex.assignments(spark, a, asOf = Some(2L)).get.count() === 12L,
+      "the old cut's pinned read must survive the member GC")
+    // a third cut supersedes cut 1 (manifest retention 2 drops it);
+    // NOW the old horizon is unreachable and gcMembers reclaims it
+    IvfIndex.refresh(vecs(15 until 16), "vec_id", "embedding", a, "d3")
+    StateManifest.commit(spark, m, Map("idx" -> (a, 5L))) // cuts now 2,3
+    val floors2 = StateManifestGc.gcMembers(spark, m)
+    assert(floors2(a) === 4L, "both retained cuts pin the new horizon")
+    assert(VersionedState.committed(spark, a).map(_._1) === Seq(4L, 5L))
+    assert(IvfIndex.assignments(spark, a).get.count() === 16L)
+  }
+
   test("asOf pins across a compaction: the retained folded horizon serves the old cut") {
     val (a, m) = (freshDir("ca"), freshDir("cm"))
     IvfIndex.build(vecs(0 until 10), "vec_id", "embedding",
