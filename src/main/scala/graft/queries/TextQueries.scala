@@ -5087,6 +5087,185 @@ object TextQueries {
             lit(esHeadAtCrash).as("es_head_at_crash"),
             lit(cut1("es")._2).as("es_pin_at_crash"),
             lit(cut1("cs")._2).as("cs_pin_at_crash"))
+      }),
+
+    // ---- q279: EXACT-SUBSTRING EXCISION — q268's span table APPLIED:
+    // the Lee et al. pipeline doesn't stop at finding duplicated
+    // spans, it CUTS them, and what survives is the complement — per
+    // doc, the token segments between its excised spans (plus the
+    // whole doc when nothing was duplicated). The complement is pure
+    // per-doc interval algebra over the maximal-span table: spans are
+    // non-overlapping and non-adjacent by the island merge, so the
+    // survivors are [1, s1) ∪ [e1, s2) ∪ … ∪ [ek, n+1) with empties
+    // dropped. Each surviving segment carries the md5 of its token
+    // slice, so the hash gate ties the excision to the CONTENT that
+    // remains, not just the arithmetic. Scale shape: one q268 span
+    // pass + per-doc lag/row_number windows + one slice-hash
+    // projection — nothing global, no new corpus-sized exchange.
+    QueryDef("q279_exact_substring_excise", Some(s"""${toksCte()},
+      w AS (SELECT doc_id, i,
+                   md5(list_aggregate(tokens[i:i+5], 'string_agg', ' ')) AS h
+            FROM toks, LATERAL unnest(range(1, len(tokens) - 4)) r(i)),
+      dc AS (SELECT h FROM w GROUP BY h HAVING COUNT(*) >= 2),
+      dw AS (SELECT w.doc_id, w.i FROM w JOIN dc USING (h)),
+      mk AS (SELECT doc_id, i,
+                    MAX(i + 6) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+             FROM dw),
+      il AS (SELECT doc_id, i,
+                    SUM(CASE WHEN pme IS NULL OR i > pme THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY doc_id ORDER BY i
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS island
+             FROM mk),
+      sp AS (SELECT doc_id, MIN(i) AS s, MAX(i) + 6 AS e
+             FROM il GROUP BY doc_id, island),
+      lens AS (SELECT doc_id, len(tokens) AS n FROM toks),
+      gaps AS (SELECT doc_id,
+                      COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY s), 1)
+                        AS seg_start,
+                      s AS seg_end
+               FROM sp),
+      tails AS (SELECT sp.doc_id, MAX(sp.e) AS seg_start, ln.n + 1 AS seg_end
+                FROM sp JOIN lens ln USING (doc_id)
+                GROUP BY sp.doc_id, ln.n),
+      whole AS (SELECT ln.doc_id, 1 AS seg_start, ln.n + 1 AS seg_end
+                FROM lens ln WHERE NOT EXISTS
+                  (SELECT 1 FROM sp WHERE sp.doc_id = ln.doc_id)),
+      segs AS (SELECT * FROM gaps UNION ALL SELECT * FROM tails
+               UNION ALL SELECT * FROM whole),
+      kept AS (SELECT doc_id, CAST(seg_start AS BIGINT) AS seg_start,
+                      CAST(seg_end AS BIGINT) AS seg_end
+               FROM segs WHERE seg_end > seg_start)
+      SELECT k.doc_id,
+             CAST(ROW_NUMBER() OVER (PARTITION BY k.doc_id
+               ORDER BY k.seg_start) AS BIGINT) AS seg_idx,
+             k.seg_start, k.seg_end,
+             k.seg_end - k.seg_start AS n_tokens,
+             md5(list_aggregate(
+               t.tokens[k.seg_start:k.seg_end - 1], 'string_agg', ' '))
+               AS seg_hash
+      FROM kept k JOIN toks t USING (doc_id)
+      ORDER BY k.doc_id, k.seg_start"""),
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        import graft.dedup.ExactSubstr
+        val L = 6
+        val toks = tokenized(s, dir)
+          .localCheckpoint() // hashes, lens, and the slice-hash read it
+        val w = ExactSubstr.windowHashes(toks, "doc_id", "tokens", L)
+          .localCheckpoint() // the dup agg AND the join-back read it
+        val dup = w.groupBy("h").agg(count(lit(1)).as("c"))
+          .where(col("c") >= 2).select("h")
+        val sp = ExactSubstr.spans(toks, "doc_id", "tokens", L, dup)
+          .select(col("doc").as("doc_id"), col("span_start").as("s"),
+            col("span_end").as("e"))
+          .localCheckpoint() // gaps, tails, and the anti-join read it
+        val lens = toks.select(col("doc_id"), size(col("tokens")).as("n"))
+        val wd = Window.partitionBy("doc_id").orderBy("s")
+        val gaps = sp.select(col("doc_id"),
+          coalesce(lag("e", 1).over(wd), lit(1L)).as("seg_start"),
+          col("s").as("seg_end"))
+        val tails = sp.groupBy("doc_id").agg(max("e").as("seg_start"))
+          .join(lens, "doc_id")
+          .select(col("doc_id"), col("seg_start"),
+            (col("n") + 1).cast("long").as("seg_end"))
+        val whole = lens.join(sp.select("doc_id").distinct(),
+            Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), lit(1L).as("seg_start"),
+            (col("n") + 1).cast("long").as("seg_end"))
+        val kept = gaps.unionByName(tails).unionByName(whole)
+          .where(col("seg_end") > col("seg_start"))
+        val wseg = Window.partitionBy("doc_id").orderBy("seg_start")
+        kept.join(toks, "doc_id")
+          .select(col("doc_id"),
+            row_number().over(wseg).cast("long").as("seg_idx"),
+            col("seg_start"), col("seg_end"),
+            (col("seg_end") - col("seg_start")).as("n_tokens"),
+            md5(concat_ws(" ", expr(
+              "slice(tokens, cast(seg_start as int), " +
+                "cast(seg_end - seg_start as int))")))
+              .as("seg_hash"))
+          .orderBy("doc_id", "seg_start")
+      }),
+
+    // ---- q280: SUBSTRING DECONTAMINATION — the benchmark-leakage
+    // check run the way contamination actually manifests: VERBATIM
+    // token windows of an evaluation set appearing inside training
+    // documents (q67/q73/q74 decontaminate by whole-doc fingerprints
+    // and n-gram overlap; this is the exact-span variant — it finds a
+    // single leaked test question pasted into an otherwise-clean page
+    // and reports the exact token extents to cut). The needle set is
+    // every distinct window hash of the held-out docs (doc_id % 19 =
+    // 5); training docs' matching windows merge into maximal spans
+    // (ExactSubstr.spans against the needle set instead of the
+    // self-dup set), each reported with its doc's contamination
+    // ratio. Scale shape: the needle side is eval-corpus-sized
+    // (bounded, broadcastable), the train side streams through one
+    // window explode + one hash equi-join — q268's plan with a
+    // foreign right side.
+    QueryDef("q280_substring_decontam", Some(s"""${toksCte()},
+      ev AS (SELECT doc_id, tokens FROM toks WHERE doc_id % 19 = 5),
+      tr AS (SELECT doc_id, tokens FROM toks WHERE doc_id % 19 <> 5),
+      needles AS (SELECT DISTINCT
+                    md5(list_aggregate(tokens[i:i+5], 'string_agg', ' ')) AS h
+                  FROM ev, LATERAL unnest(range(1, len(tokens) - 4)) r(i)),
+      w AS (SELECT doc_id, i,
+                   md5(list_aggregate(tokens[i:i+5], 'string_agg', ' ')) AS h
+            FROM tr, LATERAL unnest(range(1, len(tokens) - 4)) r(i)),
+      dw AS (SELECT w.doc_id, w.i FROM w JOIN needles USING (h)),
+      mk AS (SELECT doc_id, i,
+                    MAX(i + 6) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+             FROM dw),
+      il AS (SELECT doc_id, i,
+                    SUM(CASE WHEN pme IS NULL OR i > pme THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY doc_id ORDER BY i
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS island
+             FROM mk),
+      sp AS (SELECT doc_id, CAST(island AS BIGINT) AS span_idx,
+                    CAST(MIN(i) AS BIGINT) AS span_start,
+                    CAST(MAX(i) + 6 AS BIGINT) AS span_end,
+                    CAST(MAX(i) + 6 - MIN(i) AS BIGINT) AS span_len,
+                    CAST(COUNT(*) AS BIGINT) AS n_windows
+             FROM il GROUP BY doc_id, island),
+      tot AS (SELECT doc_id, CAST(SUM(span_len) AS BIGINT) AS contam_tokens
+              FROM sp GROUP BY doc_id)
+      SELECT sp.doc_id, sp.span_idx, sp.span_start, sp.span_end,
+             sp.span_len, sp.n_windows,
+             CAST(len(t.tokens) AS BIGINT) AS doc_tokens,
+             tot.contam_tokens,
+             ROUND(CAST(tot.contam_tokens AS DOUBLE) / len(t.tokens), 6)
+               AS contam_ratio
+      FROM sp JOIN tot USING (doc_id) JOIN toks t USING (doc_id)
+      ORDER BY sp.doc_id, sp.span_start"""),
+      (s, dir) => {
+        import graft.dedup.ExactSubstr
+        val L = 6
+        val toks = tokenized(s, dir)
+          .localCheckpoint() // eval needles, train windows, doc lens
+        val needles = ExactSubstr.windowHashes(
+            toks.where(col("doc_id") % 19 === 5), "doc_id", "tokens", L)
+          .select("h").distinct()
+        val sp = ExactSubstr.spans(
+            toks.where(col("doc_id") % 19 =!= 5), "doc_id", "tokens", L,
+            needles)
+          .select(col("doc").as("doc_id"), col("span_idx"),
+            col("span_start"), col("span_end"), col("span_len"),
+            col("n_windows"))
+          .localCheckpoint() // per-doc totals AND the output read it
+        val tot = sp.groupBy("doc_id")
+          .agg(sum("span_len").cast("long").as("contam_tokens"))
+        sp.join(tot, "doc_id")
+          .join(toks.select(col("doc_id"),
+            size(col("tokens")).cast("long").as("doc_tokens")), "doc_id")
+          .select(col("doc_id"), col("span_idx"), col("span_start"),
+            col("span_end"), col("span_len"), col("n_windows"),
+            col("doc_tokens"), col("contam_tokens"),
+            round(col("contam_tokens").cast("double") / col("doc_tokens"), 6)
+              .as("contam_ratio"))
+          .orderBy("doc_id", "span_start")
       })
   )
 

@@ -929,8 +929,9 @@ class PlanQualitySpec extends SparkTestBase {
     }
   }
 
-  test("q274/q276 maintained dedup: windows only per-doc / per-bucket — never global") {
-    for (name <- Seq("q274_exact_substring_maintain", "q276_cluster_maintain")) {
+  test("q274/q276/q279/q280 span-family dedup: windows only per-doc / per-bucket — never global") {
+    for (name <- Seq("q274_exact_substring_maintain", "q276_cluster_maintain",
+        "q279_exact_substring_excise", "q280_substring_decontam")) {
       val plans = allExecutedPlans(name)
       val windows = plans.collect {
         case w: org.apache.spark.sql.execution.window.WindowExec => w
