@@ -3055,9 +3055,12 @@ object EmbeddingQueries {
         IvfIndex.refresh(delta, "vec_id", "embedding", stDir, deltaId = "d1")
         // lazy: retention keeps these files until the explicit gc below
         val preDel = IvfIndex.assignments(s, stDir).get
-        // the dedup verdict: excise every vec_id % 7 = 3
+        // the dedup verdict: excise every vec_id % 7 = 3 — delivered
+        // TWICE under one erasure id (the delete-side replay guard)
         IvfIndex.delete(emb.where(col("vec_id") % 7 === 3)
-          .select("vec_id"), stDir)
+          .select("vec_id"), stDir, deltaId = "x1")
+        IvfIndex.delete(emb.where(col("vec_id") % 7 === 3)
+          .select("vec_id"), stDir, deltaId = "x1")
         // ... then half of them turn out wanted again (delete-then-
         // refresh ordering: the re-add must survive the tombstone)
         IvfIndex.refresh(emb.where(col("vec_id") % 14 === 3),
@@ -3210,8 +3213,10 @@ object EmbeddingQueries {
           .groupBy("fp").agg(count(lit(1)).as("c"))
           .where(col("c") > 1)
           .agg(count(lit(1)).as("n_dup_groups"))
-        // EXCISE: tombstone the losers, then physically compact
-        IvfIndex.delete(losers, stDir)
+        // EXCISE: tombstone the losers (replay-guarded erasure id,
+        // delivered twice), then physically compact
+        IvfIndex.delete(losers, stDir, deltaId = "excise-1")
+        IvfIndex.delete(losers, stDir, deltaId = "excise-1")
         // lazy: retention keeps the pre-compaction files until the gc
         val live = IvfIndex.assignments(s, stDir).get
         val cents = IvfIndex.centroids(s, stDir).get.localCheckpoint()
