@@ -383,6 +383,34 @@ class RobustnessSpec extends SparkTestBase {
     assert(ExactSubstr.storedL(spark, dir) === 4)
   }
 
+  test("ClusterState degenerate edges: pairless build, delete-everything, drop-only compact, rebuild resets") {
+    import graft.dedup.ClusterState
+    val dir = java.nio.file.Files.createTempDirectory("graft_rb_cs").toString + "/st"
+    def ids(xs: Long*) = xs.toDF("id")
+    def pairs(ps: (Long, Long)*) = ps.toDF("id_a", "id_b")
+    // a pairless build: every doc a singleton
+    ClusterState.build(ids(1L, 2L, 3L), "id", pairs(), dir)
+    assert(ClusterState.labels(spark, dir).get
+      .as[(Long, Long)].collect().toMap === Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
+    // delete EVERYTHING: empty live table, state still serviceable
+    ClusterState.delete(ids(1L, 2L, 3L), dir, "all")
+    assert(ClusterState.labels(spark, dir).get.count() === 0L)
+    assert(ClusterState.liveEdges(spark, dir).get.count() === 0L)
+    // compact a horizon that is ONLY drops; maintenance continues
+    ClusterState.compact(spark, dir)
+    ClusterState.gc(spark, dir)
+    assert(ClusterState.labels(spark, dir).get.count() === 0L)
+    ClusterState.refresh(ids(9L, 10L), "id", pairs((9L, 10L)), dir, "b1")
+    assert(ClusterState.labels(spark, dir).get
+      .as[(Long, Long)].collect().toMap === Map(9L -> 9L, 10L -> 9L))
+    // a full rebuild resets the replay guard: b1 re-delivers
+    ClusterState.build(ids(9L, 10L), "id", pairs(), dir)
+    ClusterState.refresh(ids(20L), "id", pairs((20L, 9L)), dir, "b1")
+    assert(ClusterState.labels(spark, dir).get
+      .as[(Long, Long)].collect().toMap === Map(9L -> 9L, 10L -> 10L, 20L -> 9L),
+      "post-rebuild the old delta id is a genuinely new batch")
+  }
+
   test("multibyte delta ids: round-trip the replay guard whole; over-long ids are rejected, never truncated") {
     import graft.ann.IvfIndex
     val dir = java.nio.file.Files.createTempDirectory("graft_rb_mb").toString + "/idx"

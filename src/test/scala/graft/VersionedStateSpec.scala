@@ -108,4 +108,52 @@ class VersionedStateSpec extends SparkTestBase {
       "the torn leftover must not survive inside the committed version")
     assert(spark.read.parquet(VersionedState.versionPath(dir, 2L)).count() === 3L)
   }
+
+  test("sidecar lines round-trip whole — multibyte, empty, and missing files") {
+    val dir = freshDir("sidecar")
+    VersionedState.commit(spark, dir, None, "base") { vdir =>
+      spark.range(1).write.mode("overwrite").parquet(s"$vdir/t")
+      VersionedState.writeLines(spark, vdir, "delivered",
+        Seq("delta:batch-1", "delta:批-2", "retract:rm-3"))
+    }
+    val vdir = VersionedState.versionPath(dir, 1L)
+    assert(VersionedState.readLines(spark, vdir, "delivered") ===
+      Seq("delta:batch-1", "delta:批-2", "retract:rm-3"),
+      "multibyte ids must read back byte-exact")
+    assert(VersionedState.readLines(spark, vdir, "absent") === Nil,
+      "a missing sidecar is empty, not an error (pre-convention versions)")
+    VersionedState.writeLines(spark, vdir, "empty", Nil)
+    assert(VersionedState.readLines(spark, vdir, "empty") === Nil)
+  }
+
+  test("standalone gc honors keepFrom and the protect escape hatch") {
+    val dir = freshDir("gc")
+    commitOne(dir, None, "base")
+    commitOne(dir, Some(1L), "delta")
+    commitOne(dir, Some(2L), "delta")
+    commitOne(dir, Some(3L), "base-compact")
+    // protect keeps a version BELOW the floor alive (the in-flight
+    // commit's own version during a surrounding commit's GC pass)
+    VersionedState.gc(spark, dir, keepFrom = 4L, protect = 2L)
+    assert(VersionedState.committed(spark, dir).map(_._1) === Seq(2L, 4L))
+    VersionedState.gc(spark, dir, keepFrom = 4L)
+    assert(VersionedState.committed(spark, dir).map(_._1) === Seq(4L))
+    assert(spark.read.parquet(VersionedState.versionPath(dir, 4L)).count() === 3L,
+      "versions at/above the floor are untouched")
+  }
+
+  test("a commit label past the byte bound is refused; a bounded one reads back whole") {
+    val dir = freshDir("labelbound")
+    val e = intercept[IllegalArgumentException] {
+      commitOne(dir, None, "x" * (VersionedState.MaxLabelBytes + 1))
+    }
+    assert(e.getMessage.contains("bytes"))
+    assert(VersionedState.committed(spark, dir).isEmpty,
+      "the refused commit must not leave a marker")
+    // near the bound, multibyte: must round-trip WHOLE (the replay
+    // guard compares by equality — truncation would silently unmatch)
+    val big = "批" * 1300 // 3900 bytes < 4096
+    commitOne(dir, None, big)
+    assert(VersionedState.committed(spark, dir) === Seq((1L, big)))
+  }
 }
