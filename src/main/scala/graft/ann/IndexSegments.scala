@@ -97,8 +97,27 @@ private[graft] object IndexSegments {
     */
   val DeliveredFile = "delivered"
 
-  /** Every replay-guarded label known delivered: live markers (both
-    * retained horizons) plus the latest base's delivered sidecar.
+  /** Every replay-guarded label known delivered, OLDEST FIRST: the
+    * latest base's sidecar (already age-ordered — compaction preserves
+    * the order) followed by the live markers' labels in version order,
+    * deduplicated keeping the first (oldest) occurrence. The order is
+    * what lets [[compact]]'s `maxDelivered` cap age out the oldest ids.
+    */
+  def deliveredLabelsOrdered(spark: SparkSession, stateDir: String,
+                             cs: Seq[(Long, String)]): Seq[String] = {
+    val fromBase = cs.filter(_._2.startsWith("base")).map(_._1).maxOption
+      .map(b => VersionedState.readLines(spark,
+        VersionedState.versionPath(stateDir, b), DeliveredFile))
+      .getOrElse(Nil)
+    val fromMarkers = cs.sortBy(_._1).collect {
+      case (_, l) if !l.startsWith("base") && l.contains(":") => l
+    }
+    (fromBase ++ fromMarkers).distinct
+  }
+
+  /** Every replay-guarded label known delivered → the committed version
+    * that answers for it: a live marker's own version, or the latest
+    * base for sidecar-carried ids (the rows live in its folded payload).
     */
   def deliveredLabels(spark: SparkSession, stateDir: String,
                       cs: Seq[(Long, String)]): Map[String, Long] = {
@@ -238,9 +257,18 @@ private[graft] object IndexSegments {
     * (`retainHorizons = 1` keeps the folded horizon alive for
     * in-flight readers; 0 reclaims it immediately). A lone base with
     * nothing to fold is already compact — returned as-is, no commit.
+    *
+    * `maxDelivered` bounds the sidecar: without it the delivered set
+    * grows one id per guarded commit FOREVER (only a build resets it),
+    * and every guard probe re-reads it whole. The cap keeps the NEWEST
+    * ids (the sidecar is age-ordered); an id aged out past the cap
+    * becomes re-deliverable, so size the cap to exceed the source's
+    * maximum replay window — the same contract as any at-least-once
+    * acknowledgment horizon.
     */
   def compact(spark: SparkSession, stateDir: String,
-              dialDirs: Seq[String], retainHorizons: Int = 1): Long = {
+              dialDirs: Seq[String], retainHorizons: Int = 1,
+              maxDelivered: Int = Int.MaxValue): Long = {
     val cs = VersionedState.committed(spark, stateDir)
     require(cs.nonEmpty, s"no committed index at $stateDir — nothing to compact")
     val base = lastBase(cs, stateDir)
@@ -249,7 +277,8 @@ private[graft] object IndexSegments {
     val pdir = VersionedState.versionPath(stateDir, cur)
     val dials = dialDirs.map(d => d -> spark.read.parquet(s"$pdir/$d"))
     val folded = live(spark, stateDir).get
-    val delivered = deliveredLabels(spark, stateDir, cs).keys.toSeq.sorted
+    val delivered = deliveredLabelsOrdered(spark, stateDir, cs)
+      .takeRight(maxDelivered)
     val next = cur + 1
     // the folded plan lazily reads the old segments; the write inside
     // commit() materializes it BEFORE the post-marker GC deletes them

@@ -160,8 +160,10 @@ object IvfIndex {
     * `compacted ≡ pre-compaction union` hash-exact.
     */
   def compact(spark: SparkSession, stateDir: String,
-              retainHorizons: Int = 1): Long =
-    IndexSegments.compact(spark, stateDir, Seq("centroids"), retainHorizons)
+              retainHorizons: Int = 1,
+              maxDelivered: Int = Int.MaxValue): Long =
+    IndexSegments.compact(spark, stateDir, Seq("centroids"), retainHorizons,
+      maxDelivered)
 
   /** Reclaim the pre-compaction horizon a retaining [[compact]] left
     * alive — call once in-flight readers of the old horizon are done.
@@ -201,10 +203,11 @@ object IvfIndex {
                maxLiveMarkers: Int = 8,
                audit: Option[Audit] = None): MaintainReport = {
     val spark = delta.sparkSession
-    val replayed =
-      deltaId.nonEmpty &&
-        IndexSegments.alreadyDelivered(spark, stateDir, deltaId).nonEmpty
+    // a fresh commit returns prev+1; anything ≤ prev is a replay (one
+    // currentVersion listing instead of a second full delivered-set read)
+    val prev = VersionedState.currentVersion(spark, stateDir)
     val v = refresh(delta, idCol, vecCol, stateDir, deltaId)
+    val replayed = prev.exists(v <= _)
     val compacted = Maintain.liveMarkers(spark, stateDir) > maxLiveMarkers
     if (compacted) compact(spark, stateDir)
     val gates = audit.toSeq.flatMap { a =>

@@ -131,9 +131,10 @@ object IvfPqIndex {
     * in-flight readers; reclaim with [[gc]] or the next compact).
     */
   def compact(spark: SparkSession, stateDir: String,
-              retainHorizons: Int = 1): Long =
+              retainHorizons: Int = 1,
+              maxDelivered: Int = Int.MaxValue): Long =
     IndexSegments.compact(spark, stateDir, Seq("coarse", "codebooks"),
-      retainHorizons)
+      retainHorizons, maxDelivered)
 
   /** Reclaim the pre-compaction horizon a retaining [[compact]] left
     * alive — call once in-flight readers of the old horizon are done.
@@ -162,9 +163,9 @@ object IvfPqIndex {
                maxLiveMarkers: Int = 8,
                audit: Option[Audit] = None): MaintainReport = {
     val spark = delta.sparkSession
-    val replayed = deltaId.nonEmpty &&
-      IndexSegments.alreadyDelivered(spark, stateDir, deltaId).nonEmpty
+    val prev = VersionedState.currentVersion(spark, stateDir)
     val v = refresh(delta, idCol, vecCol, stateDir, deltaId)
+    val replayed = prev.exists(v <= _) // fresh commit ⇒ prev+1
     val compacted = Maintain.liveMarkers(spark, stateDir) > maxLiveMarkers
     if (compacted) compact(spark, stateDir)
     val gates = audit.toSeq.flatMap { a =>

@@ -47,20 +47,19 @@ object Pq {
   /** Exact L2 top-k ground truth on a BOUNDED query slice (q_id,
     * cand_id) — the brute-force side the PQ families' recall gates
     * compare against. O(|queries| · |corpus|) by design; queries
-    * broadcast, the cut is the mergeable top-k.
+    * broadcast, the cut is [[Knn.topKSelect]]'s mergeable top-k (so
+    * every id type Knn supports works here too).
     */
   def exactL2TopK(emb: DataFrame, idCol: String, vecCol: String,
                   queryPred: Column, k: Int): DataFrame = {
     val q = emb.where(queryPred)
       .select(col(idCol).as("q_id"), col(vecCol).as("qv"))
     val c = emb.select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
-    broadcast(q).join(c, col("q_id") =!= col("cand_id"))
-      .select(col("q_id"), col("cand_id"), sqdist(col("qv"), col("cv")).as("d2"))
-      .groupBy("q_id")
-      .agg(graft.functions.TopKAggregator.topK(k)(
-        -col("d2"), col("cand_id").cast("long")).as("tk"))
-      .select(col("q_id"), explode(col("tk")).as("sc"))
-      .select(col("q_id"), col("sc.cand_id").as("cand_id"))
+    val sims = broadcast(q).join(c, col("q_id") =!= col("cand_id"))
+      .select(col("q_id"), col("cand_id"),
+        (-sqdist(col("qv"), col("cv"))).as("sim"))
+    Knn.topKSelect(sims, emb.schema(idCol).dataType, k)
+      .select("q_id", "cand_id")
   }
 
   /** Long-form subvector table (id, sub, sv): sub ∈ [0, m), sv the

@@ -161,6 +161,24 @@ object ClusterState {
       s"refresh newIds overlap ids already LIVE in $stateDir (e.g. " +
         s"${overlap.mkString(", ")}) — a batch must not re-ingest live " +
         "docs; delete() them first or drop them from the batch")
+    // every pair endpoint must be LIVE or IN THIS BATCH: an unknown
+    // endpoint (deleted, or never ingested — e.g. an at-least-once edge
+    // source re-delivering an edge after its endpoint's erasure) would
+    // otherwise be minted as a node, could become a cluster LABEL that
+    // is a dead doc id, and a later re-ingest of that id would then
+    // spuriously merge unrelated clusters. Delta-bounded check off the
+    // same single scan.
+    val endpoints = pairs.select(col("id_a").as("id"))
+      .unionByName(pairs.select(col("id_b").as("id"))).distinct()
+    val unknown = endpoints
+      .join(hits.select("id"), Seq("id"), "left_anti")
+      .join(newIdTable, Seq("id"), "left_anti")
+      .limit(3).collect().map(_.getLong(0))
+    require(unknown.isEmpty,
+      s"pairs reference ids that are neither live in $stateDir nor in " +
+        s"this batch (e.g. ${unknown.mkString(", ")}) — deleted or never " +
+        "ingested; drop stale edges before refreshing (an at-least-once " +
+        "edge source must filter re-delivered edges against erasures)")
     // contract: each endpoint to its current label (new docs have no
     // stored label and stay themselves)
     val e = pairs
@@ -223,9 +241,11 @@ object ClusterState {
       s"no committed state at $stateDir — nothing to delete from")
     IndexSegments.validDeltaId(deltaId)
     val label = if (deltaId.isEmpty) "drop" else s"drop:$deltaId"
-    IndexSegments.alreadyDeliveredLabel(spark, stateDir, label) match {
-      case Some(v) if deltaId.nonEmpty => return v // replayed delete
-      case _                           =>
+    if (deltaId.nonEmpty) {
+      IndexSegments.alreadyDeliveredLabel(spark, stateDir, label) match {
+        case Some(v) => return v // replayed delete
+        case None    =>
+      }
     }
     val victims = ids.select(col(ids.columns.head).as("id")).distinct()
       .localCheckpoint() // batch-bounded; two scans + the edge filter read it
@@ -314,6 +334,19 @@ object ClusterState {
     if (cs.isEmpty) return None
     val base = IndexSegments.lastBase(cs, stateDir)
     val since = cs.filter(_._1 >= base)
+    // a version without an edges table predates the edge-relation
+    // layout (labels-only ClusterState) — surface a contract error
+    // with the remedy, not a raw path-not-found from the parquet scan
+    val fs = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    since.foreach { case (n, l) =>
+      if (l.startsWith("base") || l.startsWith("delta"))
+        require(fs.exists(new org.apache.hadoop.fs.Path(
+            s"${VersionedState.versionPath(stateDir, n)}/edges")),
+          s"version $n of $stateDir has no edges table — the state " +
+            "predates the stored edge relation; run build() over the " +
+            "corpus to adopt it (deletions need the verified edges)")
+    }
     val segs = since.collect {
       case (n, l) if l.startsWith("base") || l.startsWith("delta") =>
         spark.read.parquet(s"${VersionedState.versionPath(stateDir, n)}/edges")
@@ -348,7 +381,8 @@ object ClusterState {
     * next compact).
     */
   def compact(spark: SparkSession, stateDir: String,
-              retainHorizons: Int = 1): Long = {
+              retainHorizons: Int = 1,
+              maxDelivered: Int = Int.MaxValue): Long = {
     val cs = VersionedState.committed(spark, stateDir)
     require(cs.nonEmpty, s"no committed state at $stateDir — nothing to compact")
     val base = IndexSegments.lastBase(cs, stateDir)
@@ -356,8 +390,8 @@ object ClusterState {
     if (cur == base) return cur
     val folded = labels(spark, stateDir).get
     val foldedEdges = liveEdges(spark, stateDir).get
-    val delivered = IndexSegments.deliveredLabels(spark, stateDir, cs)
-      .keys.toSeq.sorted
+    val delivered = IndexSegments.deliveredLabelsOrdered(spark, stateDir, cs)
+      .takeRight(maxDelivered)
     val next = cur + 1
     VersionedState.commit(spark, stateDir, Some(cur), label = "base-compact",
       gcBelow = IndexSegments.compactGcFloor(cs, next, retainHorizons)) { vdir =>
@@ -391,9 +425,9 @@ object ClusterState {
       graft.operators.MaintainReport = {
     import graft.operators.{GateVerdict, Maintain, MaintainReport}
     val spark = newIds.sparkSession
-    val replayed = deltaId.nonEmpty &&
-      IndexSegments.alreadyDelivered(spark, stateDir, deltaId).nonEmpty
+    val prev = VersionedState.currentVersion(spark, stateDir)
     val v = refresh(newIds, idCol, pairs, stateDir, deltaId)
+    val replayed = prev.exists(v <= _) // fresh commit ⇒ prev+1
     val compacted = Maintain.liveMarkers(spark, stateDir) > maxLiveMarkers
     if (compacted) compact(spark, stateDir)
     val gates = audit.toSeq.map { case (allIds, allPairs) =>

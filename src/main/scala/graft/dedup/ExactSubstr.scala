@@ -202,15 +202,16 @@ object ExactSubstr {
     * survives compaction; only a full [[build]] resets it.
     */
   def compact(spark: SparkSession, stateDir: String,
-              retainHorizons: Int = 1): Long = {
+              retainHorizons: Int = 1,
+              maxDelivered: Int = Int.MaxValue): Long = {
     val cs = VersionedState.committed(spark, stateDir)
     require(cs.nonEmpty, s"no committed state at $stateDir — nothing to compact")
     val (base, l) = lastBaseOf(cs, stateDir)
     val cur = cs.last._1
     if (cur == base) return cur
     val folded = hashCounts(spark, stateDir).get
-    val delivered = IndexSegments.deliveredLabels(spark, stateDir, cs)
-      .keys.toSeq.sorted
+    val delivered = IndexSegments.deliveredLabelsOrdered(spark, stateDir, cs)
+      .takeRight(maxDelivered)
     val next = cur + 1
     VersionedState.commit(spark, stateDir, Some(cur),
       label = baseLabel("base-compact", l),
@@ -243,9 +244,9 @@ object ExactSubstr {
       graft.operators.MaintainReport = {
     import graft.operators.{GateVerdict, Maintain, MaintainReport}
     val spark = deltaToks.sparkSession
-    val replayed = deltaId.nonEmpty &&
-      alreadyDelivered(spark, stateDir, "delta", deltaId).nonEmpty
+    val prev = VersionedState.currentVersion(spark, stateDir)
     val v = refresh(deltaToks, idCol, toksCol, stateDir, deltaId)
+    val replayed = prev.exists(v <= _) // fresh commit ⇒ prev+1
     val compacted = Maintain.liveMarkers(spark, stateDir) > maxLiveMarkers
     if (compacted) compact(spark, stateDir)
     val gates = auditCorpus.toSeq.map { corpus =>

@@ -209,6 +209,41 @@ class ClusterStateSpec extends SparkTestBase {
     assert(labelMap(dir) === Map(1L -> 1L, 2L -> 2L))
   }
 
+  test("refresh refuses pairs whose endpoint is neither live nor in the batch (stale edge after erasure)") {
+    val dir = freshDir("staleedge")
+    ClusterState.build(idsDf(Seq(5L, 9L)), "id", pairsDf(Nil), dir)
+    ClusterState.delete(idsDf(Seq(5L)), dir, "x1")
+    // an at-least-once edge source re-delivers an edge whose endpoint
+    // was erased — minting 5 as a node could install a DEAD doc id as
+    // a cluster label and later spuriously merge unrelated clusters
+    val e = intercept[IllegalArgumentException] {
+      ClusterState.refresh(idsDf(Seq(10L, 11L)), "id",
+        pairsDf(Seq((10L, 5L), (11L, 5L))), dir, "b1")
+    }
+    assert(e.getMessage.contains("neither live"))
+    assert(VersionedState.committed(spark, dir).map(_._2) ===
+      Seq("base", "drop:x1"), "the refused refresh must not commit")
+    // the same batch with the stale edges filtered commits fine
+    ClusterState.refresh(idsDf(Seq(10L, 11L)), "id",
+      pairsDf(Seq((10L, 11L))), dir, "b1")
+    assert(labelMap(dir) === Map(9L -> 9L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("a labels-only (pre-edge-relation) state dir surfaces a contract error on delete, not a path error") {
+    val dir = freshDir("preedges")
+    // simulate a state dir committed before the edge relation existed
+    VersionedState.commit(spark, dir, None, label = "base") { vdir =>
+      Seq((1L, 1L), (2L, 1L)).toDF("id", "label")
+        .write.mode("overwrite").parquet(s"$vdir/labels")
+    }
+    assert(ClusterState.labels(spark, dir).get.count() === 2L,
+      "label reads of the old layout still work")
+    val e = intercept[IllegalArgumentException] {
+      ClusterState.delete(idsDf(Seq(1L)), dir)
+    }
+    assert(e.getMessage.contains("predates the stored edge relation"))
+  }
+
   test("deleting absent ids is a harmless no-op commit") {
     val dir = freshDir("absent")
     ClusterState.build(idsDf(Seq(1L, 2L)), "id", pairsDf(Seq((1L, 2L))), dir)

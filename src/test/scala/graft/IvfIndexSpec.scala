@@ -185,6 +185,27 @@ class IvfIndexSpec extends SparkTestBase {
       "a rebuild resets the replay guard — by then the rows live in the base")
   }
 
+  test("maxDelivered ages out the OLDEST ids: aged ids re-deliver, recent ones stay guarded") {
+    val dir = freshDir("cap")
+    IvfIndex.build(vecs(0 until 20), "vec_id", "embedding",
+      col("vec_id") % 10 === 0, iters = 1, dir)
+    IvfIndex.refresh(vecs(20 until 22), "vec_id", "embedding", dir, "d1")
+    IvfIndex.refresh(vecs(22 until 24), "vec_id", "embedding", dir, "d2")
+    IvfIndex.refresh(vecs(24 until 26), "vec_id", "embedding", dir, "d3")
+    IvfIndex.compact(spark, dir, retainHorizons = 0, maxDelivered = 2)
+    // d2/d3 (newest) stay guarded; d1 aged out past the cap — its
+    // re-delivery APPENDS, the documented contract when the cap is
+    // narrower than the source's replay window
+    IvfIndex.refresh(vecs(22 until 24), "vec_id", "embedding", dir, "d2")
+    IvfIndex.refresh(vecs(24 until 26), "vec_id", "embedding", dir, "d3")
+    assert(IvfIndex.assignments(spark, dir).get.count() === 26L,
+      "ids within the cap stay replay-guarded")
+    IvfIndex.refresh(vecs(20 until 22), "vec_id", "embedding", dir, "d1")
+    assert(IvfIndex.assignments(spark, dir).get.count() === 28L,
+      "an id aged out past the cap is re-deliverable (size the cap to " +
+        "the source's replay window)")
+  }
+
   test("compacting a lone base is a no-op (already compact)") {
     val dir = freshDir("compactnoop")
     IvfIndex.build(vecs(0 until 20), "vec_id", "embedding",
