@@ -1,0 +1,339 @@
+package graft.text
+
+import graft.ann.IndexSegments
+import graft.operators.VersionedState
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The RETRIEVAL member of the durable maintenance family: a BM25
+  * inverted index (term postings + document lengths) maintained as
+  * [[graft.operators.VersionedState]] across corpus ingest batches —
+  * the production shape of batch q119 (which computes BM25 one-shot
+  * per query): a web-scale corpus evolves by ingest and erasure
+  * batches, and the postings table is the artifact you maintain, not
+  * recompute per query.
+  *
+  * Both state components are LINEAR COUNTS — a posting is (term, doc,
+  * tf) and a length is (doc, dl) — so the whole
+  * [[graft.dedup.ExactSubstr]] count algebra transfers: a refresh
+  * commits ONLY the batch's postings (history is never re-tokenized),
+  * a deletion is a merge of NEGATED counts (no tombstones — unlike the
+  * ANN index family, whose rows are not additive), compaction folds
+  * the horizon into one table dropping zero/negative totals, and ANY
+  * drift vs a one-shot recount is corruption by construction, never
+  * approximation.
+  *
+  * == State layout ==
+  *
+  * One versioned-state directory; every version's payload is a
+  * `postings/` parquet table (term STRING, doc, tf BIGINT) and a
+  * `doclen/` table (doc, dl BIGINT). Labels: `base` (a [[build]] —
+  * counts of the whole corpus given), `delta` / `delta:<id>` (a
+  * [[refresh]] — counts of ONLY the delta docs), `retract:<id>`* (a
+  * [[retract]] — NEGATIVE counts of removed docs, token rows supplied
+  * by the caller), `drop:<id>`* (a [[delete]] — the same negation
+  * re-derived from the LIVE state by id alone), `base-compact` (a
+  * [[compact]] — every count since the last base folded into one
+  * table). The LIVE index is the per-key SUM across every table since
+  * the latest base, positive totals only ([[livePostings]] /
+  * [[liveDocLens]]).
+  *
+  * A refresh/retract carrying `deltaId` is replay-idempotent — the id
+  * rides the commit marker, survives compaction in the delivered-id
+  * sidecar ([[graft.ann.IndexSegments.DeliveredFile]]), and is reset
+  * only by a full [[build]]. Torn commits, GC and second-writer
+  * surfacing are [[graft.operators.VersionedState]]'s guarantees.
+  *
+  * == Scale shape (100 TB) ==
+  *
+  * The per-batch state delta is one token explode + hash agg OVER THE
+  * BATCH (the inverted-index build cost of the batch alone). A query
+  * filters the postings union by its terms BEFORE the live-sum agg —
+  * Catalyst pushes the grouping-key predicate through the aggregate
+  * and the union into every segment's parquet scan, so a k-term query
+  * reads k terms' postings, not the corpus (partition the postings by
+  * a term-hash bucket to make that a file skip rather than a row
+  * skip). Corpus stats (N, avgdl) are one doc-count-sized agg folding
+  * to one row. The segment fan-out and the driver-side marker scan are
+  * bounded by [[compact]], exactly like the rest of the family.
+  */
+object Bm25State {
+
+  /** Batch postings: (term, doc, tf) — one explode + one hash agg over
+    * the batch given (map-side partial agg keeps the shuffle at
+    * distinct-(term, doc) size).
+    */
+  def postings(toks: DataFrame, idCol: String, toksCol: String): DataFrame =
+    toks.select(col(idCol).as("doc"), explode(col(toksCol)).as("term"))
+      .groupBy("term", "doc").agg(count(lit(1)).as("tf"))
+
+  /** Batch document lengths: (doc, dl), zero-token docs excluded (they
+    * carry no postings and must not count toward N or avgdl — q119's
+    * `len(tokens) >= 1` filter).
+    */
+  def docLens(toks: DataFrame, idCol: String, toksCol: String): DataFrame =
+    toks.where(size(col(toksCol)) >= 1)
+      .select(col(idCol).as("doc"), size(col(toksCol)).cast("long").as("dl"))
+
+  private def writePayload(toks: DataFrame, idCol: String, toksCol: String,
+                           negate: Boolean)(vdir: String): Unit = {
+    val p = postings(toks, idCol, toksCol)
+    val l = docLens(toks, idCol, toksCol)
+    val (ps, ls) =
+      if (negate)
+        (p.select(col("term"), col("doc"), (-col("tf")).as("tf")),
+          l.select(col("doc"), (-col("dl")).as("dl")))
+      else (p, l)
+    ps.write.mode("overwrite").parquet(s"$vdir/postings")
+    ls.write.mode("overwrite").parquet(s"$vdir/doclen")
+  }
+
+  /** Full (re)build: the inverted index of the entire corpus given,
+    * committed as `base`; prior versions (and the replay-guard
+    * horizon) GC'd.
+    */
+  def build(toks: DataFrame, idCol: String, toksCol: String,
+            stateDir: String): Long = {
+    val spark = toks.sparkSession
+    val prev = VersionedState.currentVersion(spark, stateDir)
+    val next = prev.getOrElse(0L) + 1L
+    VersionedState.commit(spark, stateDir, prev, label = "base",
+      gcBelow = next)(writePayload(toks, idCol, toksCol, negate = false))
+  }
+
+  private def deltaCommit(toks: DataFrame, idCol: String, toksCol: String,
+                          stateDir: String, kind: String, deltaId: String,
+                          negate: Boolean): Long = {
+    val spark = toks.sparkSession
+    val prev = VersionedState.currentVersion(spark, stateDir)
+    require(prev.nonEmpty,
+      s"no committed state at $stateDir — run build() before $kind()")
+    val delivered =
+      if (deltaId.isEmpty) None
+      else IndexSegments.alreadyDeliveredLabel(spark, stateDir,
+        s"$kind:$deltaId") // marker OR the base's compaction-carried sidecar
+    delivered match {
+      case Some(v) => return v // replayed batch id: already committed
+      case None    =>
+    }
+    IndexSegments.validDeltaId(deltaId) // byte-bounded: marker + sidecar safe
+    val label = if (deltaId.isEmpty) kind else s"$kind:$deltaId"
+    VersionedState.commit(spark, stateDir, prev, label = label)(
+      writePayload(toks, idCol, toksCol, negate))
+  }
+
+  /** Incremental refresh: postings + lengths of ONLY the delta docs.
+    * `deltaId` (optional) makes the refresh replay-idempotent.
+    */
+  def refresh(toks: DataFrame, idCol: String, toksCol: String,
+              stateDir: String, deltaId: String = ""): Long =
+    deltaCommit(toks, idCol, toksCol, stateDir, "delta", deltaId,
+      negate = false)
+
+  /** Remove docs from the maintained index: commit their postings and
+    * lengths NEGATED (counts are linear — the dedup pipeline's
+    * erasure verdicts are a merge here, no tombstones needed). The
+    * caller passes the same token rows the docs contributed when
+    * added; when the doc store is no longer queryable, use [[delete]]
+    * — the postings name the doc, so the rows can be re-derived from
+    * the live state.
+    */
+  def retract(toks: DataFrame, idCol: String, toksCol: String,
+              stateDir: String, deltaId: String = ""): Long =
+    deltaCommit(toks, idCol, toksCol, stateDir, "retract", deltaId,
+      negate = true)
+
+  /** Erasure BY ID ALONE: negate the docs' LIVE postings and lengths —
+    * no token rows needed (unlike [[retract]] and ExactSubstr.retract,
+    * the postings name the doc, so the negation re-derives from the
+    * state itself). Deriving from the LIVE totals also makes deletion
+    * idempotent at the ALGEBRA level, not just the replay guard: a
+    * second delete of the same ids (even under a different delta id)
+    * sees zero live counts and negates nothing — where a double
+    * [[retract]] of the same token rows under two ids would
+    * over-subtract. A later [[refresh]] re-adds the doc (erasure is
+    * intent-ordered, like the ANN family's latest-wins tombstones).
+    * `ids` is a one-column relation of doc ids (erasure-batch-sized,
+    * broadcast against one scan of the live tables).
+    */
+  def delete(ids: DataFrame, idCol: String, stateDir: String,
+             deltaId: String = ""): Long = {
+    val spark = ids.sparkSession
+    val prev = VersionedState.currentVersion(spark, stateDir)
+    require(prev.nonEmpty,
+      s"no committed state at $stateDir — run build() before delete()")
+    val delivered =
+      if (deltaId.isEmpty) None
+      else IndexSegments.alreadyDeliveredLabel(spark, stateDir,
+        s"drop:$deltaId")
+    delivered match {
+      case Some(v) => return v // replayed erasure id: already committed
+      case None    =>
+    }
+    IndexSegments.validDeltaId(deltaId)
+    val victims = broadcast(ids.select(col(idCol).as("doc")).distinct())
+    val p = livePostings(spark, stateDir).get.join(victims, "doc")
+      .select(col("term"), col("doc"), (-col("tf")).as("tf"))
+    val l = liveDocLens(spark, stateDir).get.join(victims, "doc")
+      .select(col("doc"), (-col("dl")).as("dl"))
+    val label = if (deltaId.isEmpty) "drop" else s"drop:$deltaId"
+    VersionedState.commit(spark, stateDir, prev, label = label) { vdir =>
+      p.write.mode("overwrite").parquet(s"$vdir/postings")
+      l.write.mode("overwrite").parquet(s"$vdir/doclen")
+    }
+  }
+
+  private def horizon(spark: SparkSession, stateDir: String,
+                      asOf: Option[Long]): Option[Seq[Long]] = {
+    val cs0 = VersionedState.committed(spark, stateDir)
+    val cs = asOf.fold(cs0)(v => cs0.filter(_._1 <= v))
+    if (cs.isEmpty) None
+    else {
+      val base = IndexSegments.lastBase(cs, stateDir)
+      Some(cs.map(_._1).filter(_ >= base))
+    }
+  }
+
+  private def liveSum(spark: SparkSession, stateDir: String,
+                      asOf: Option[Long], table: String, keys: Seq[String],
+                      cnt: String): Option[DataFrame] =
+    horizon(spark, stateDir, asOf).map { vs =>
+      vs.map(n => spark.read.parquet(
+          s"${VersionedState.versionPath(stateDir, n)}/$table"))
+        .reduce(_.unionByName(_))
+        .groupBy(keys.map(col): _*).agg(sum(cnt).cast("long").as(cnt))
+        .where(col(cnt) > 0)
+    }
+
+  /** The LIVE postings (term, doc, tf): per-key totals summed across
+    * every version since the latest base, positive totals only. None
+    * before the first commit. Filter by term BEFORE aggregating
+    * downstream — the grouping-key predicate pushes through this agg
+    * and union into every segment scan. `asOf` pins the read to a
+    * committed version (a manifest cut; the pinned horizon must still
+    * be on disk — retention keeps one folded horizon, [[gc]] reclaims
+    * it).
+    */
+  def livePostings(spark: SparkSession, stateDir: String,
+                   asOf: Option[Long] = None): Option[DataFrame] =
+    liveSum(spark, stateDir, asOf, "postings", Seq("term", "doc"), "tf")
+
+  /** The LIVE document lengths (doc, dl) — same algebra. A fully
+    * retracted doc sums to 0 and drops out of N and avgdl.
+    */
+  def liveDocLens(spark: SparkSession, stateDir: String,
+                  asOf: Option[Long] = None): Option[DataFrame] =
+    liveSum(spark, stateDir, asOf, "doclen", Seq("doc"), "dl")
+
+  /** BM25 top-k over the maintained index (k1/b the Robertson defaults,
+    * the +1 idf form — q119's scorer verbatim): per-term partial
+    * scores summed per doc, ROUNDED to `roundTo` digits (ties broken
+    * by doc), cut by TakeOrderedAndProject — per-partition top-k then
+    * a k-row merge, never a corpus sort. The term filter lands below
+    * the live-sum agg and the segment union; df/stats ride one-row /
+    * k-row broadcasts.
+    */
+  def topK(spark: SparkSession, stateDir: String, terms: Seq[String],
+           k: Int, k1: Double = 1.2, b: Double = 0.75, roundTo: Int = 6,
+           asOf: Option[Long] = None): DataFrame = {
+    require(terms.nonEmpty, "empty query")
+    val tf = livePostings(spark, stateDir, asOf).getOrElse(
+        throw new IllegalStateException(s"no committed state at $stateDir"))
+      .where(col("term").isin(terms: _*))
+    val len = liveDocLens(spark, stateDir, asOf).get
+    val stats = len.agg(count(lit(1)).as("nd"),
+      (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
+    val dft = tf.groupBy("term").agg(countDistinct("doc").as("df"))
+    tf.join(broadcast(dft), "term").join(len, "doc")
+      .crossJoin(broadcast(stats))
+      .select(col("doc"),
+        (log((col("nd") - col("df") + 0.5) / (col("df") + 0.5) + 1)
+          * (col("tf") * (k1 + 1))
+          / (col("tf") + lit(k1)
+              * (lit(1) - b + lit(b) * col("dl") / col("avgdl")))).as("s"))
+      .groupBy("doc").agg(round(sum("s"), roundTo).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc")).limit(k)
+  }
+
+  /** Fold every count table since the last base into ONE `base-compact`
+    * version (zero/negative totals physically dropped) and GC below
+    * the retention floor (default keeps the folded horizon alive for
+    * in-flight readers — reclaim with [[gc]] or the next compact).
+    * The delivered delta/retract ids ride the sidecar, so the replay
+    * guard survives compaction; only a full [[build]] resets it.
+    */
+  def compact(spark: SparkSession, stateDir: String,
+              retainHorizons: Int = 1,
+              maxDelivered: Int = Int.MaxValue): Long = {
+    val cs = VersionedState.committed(spark, stateDir)
+    require(cs.nonEmpty, s"no committed state at $stateDir — nothing to compact")
+    val base = IndexSegments.lastBase(cs, stateDir)
+    val cur = cs.last._1
+    if (cur == base) return cur
+    val p = livePostings(spark, stateDir).get
+    val l = liveDocLens(spark, stateDir).get
+    val delivered = IndexSegments.deliveredLabelsOrdered(spark, stateDir, cs)
+      .takeRight(maxDelivered)
+    val next = cur + 1
+    VersionedState.commit(spark, stateDir, Some(cur), label = "base-compact",
+      gcBelow = IndexSegments.compactGcFloor(cs, next, retainHorizons)) { vdir =>
+      p.write.mode("overwrite").parquet(s"$vdir/postings")
+      l.write.mode("overwrite").parquet(s"$vdir/doclen")
+      VersionedState.writeLines(spark, vdir, IndexSegments.DeliveredFile,
+        delivered)
+    }
+  }
+
+  /** Reclaim the pre-compaction horizon a retaining [[compact]] left
+    * alive — call once in-flight readers of the old horizon are done.
+    */
+  def gc(spark: SparkSession, stateDir: String): Unit =
+    IndexSegments.gcOldHorizons(spark, stateDir)
+
+  /** The runbook as code — one call per ingest batch: refresh with the
+    * delta (replay-guarded by `deltaId`), compact when the read
+    * horizon's marker count exceeds `maxLiveMarkers`, and — when
+    * `auditCorpus` (the full live token table) is supplied — gate BOTH
+    * maintained tables against a one-shot recount: counts are linear,
+    * so ANY difference is corruption (a replayed id-less delta, a lost
+    * table), never approximation.
+    */
+  def maintain(deltaToks: DataFrame, idCol: String, toksCol: String,
+               stateDir: String, deltaId: String = "",
+               maxLiveMarkers: Int = 8,
+               auditCorpus: Option[DataFrame] = None):
+      graft.operators.MaintainReport = {
+    import graft.operators.{GateVerdict, Maintain, MaintainReport}
+    val spark = deltaToks.sparkSession
+    val prev = VersionedState.currentVersion(spark, stateDir)
+    val v = refresh(deltaToks, idCol, toksCol, stateDir, deltaId)
+    val replayed = prev.exists(v <= _) // fresh commit ⇒ prev+1
+    val compacted = Maintain.liveMarkers(spark, stateDir) > maxLiveMarkers
+    if (compacted) compact(spark, stateDir)
+    val gates = auditCorpus.toSeq.map { corpus =>
+      val pDiff = livePostings(spark, stateDir).get
+        .join(postings(corpus, idCol, toksCol)
+            .select(col("term"), col("doc"), col("tf").as("tf_one")),
+          Seq("term", "doc"), "full_outer")
+        .where(col("tf").isNull || col("tf_one").isNull ||
+          col("tf") =!= col("tf_one"))
+        .count()
+      val lDiff = liveDocLens(spark, stateDir).get
+        .join(docLens(corpus, idCol, toksCol)
+            .select(col("doc"), col("dl").as("dl_one")),
+          Seq("doc"), "full_outer")
+        .where(col("dl").isNull || col("dl_one").isNull ||
+          col("dl") =!= col("dl_one"))
+        .count()
+      if (pDiff == 0 && lDiff == 0)
+        GateVerdict.Ok("drift", "maintained postings + doclen ≡ one-shot recount")
+      else
+        GateVerdict.Corruption("drift",
+          s"$pDiff postings / $lDiff doc lengths differ from the one-shot " +
+            "recount — counts are linear, so this is lost/replayed state, " +
+            "not approximation; rebuild and check replay discipline")
+    }
+    MaintainReport(v, replayed, compacted,
+      Maintain.liveMarkers(spark, stateDir), gates)
+  }
+}

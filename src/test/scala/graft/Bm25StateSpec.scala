@@ -1,0 +1,212 @@
+package graft
+
+import graft.text.Bm25State
+import graft.operators.VersionedState
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The maintained BM25 index's contract: scores off disk state ≡ a
+  * one-shot q119-style compute on the live corpus (q281 gates that
+  * against the DuckDB oracle; here the restart/replay/retract/compact
+  * semantics the oracle can't see), erasure via negated counts, and
+  * the replay guard surviving compaction.
+  */
+class Bm25StateSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def docsDf(rows: (Long, String)*): DataFrame =
+    rows.toSeq.toDF("doc_id", "text")
+      .select(col("doc_id"), split(col("text"), " ").as("tokens"))
+
+  // "x" is the query term: doc1 has it twice in 4 tokens, doc2 once in
+  // 4, doc3 once in 8 (length-penalized), doc4 not at all
+  private val hist = docsDf(
+    1L -> "x y x z",
+    2L -> "x p q r",
+    3L -> "m n o x u v w s",
+    4L -> "g h i j")
+
+  private def freshDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_bm_$tag").toString + "/st"
+
+  private def top(dir: String, terms: Seq[String] = Seq("x"), k: Int = 10,
+                  asOf: Option[Long] = None): Seq[(Long, Double)] =
+    Bm25State.topK(spark, dir, terms, k, asOf = asOf)
+      .select(col("doc").cast("long"), col("bm25"))
+      .as[(Long, Double)].collect().toSeq
+
+  private def postingsSet(dir: String): Set[(String, Long, Long)] =
+    Bm25State.livePostings(spark, dir).get
+      .select(col("term"), col("doc").cast("long"), col("tf"))
+      .as[(String, Long, Long)].collect().toSet
+
+  test("build + topK rank by tf with length normalization; scores match the closed form") {
+    val dir = freshDir("build")
+    Bm25State.build(hist, "doc_id", "tokens", dir)
+    val t = top(dir)
+    assert(t.map(_._1) === Seq(1L, 2L, 3L),
+      "tf=2 beats tf=1; short doc beats long at equal tf; doc without the term absent")
+    // closed form: N=4, df=3, avgdl=5, idf=ln((4-3+0.5)/(3+0.5)+1)
+    val idf = math.log((4 - 3 + 0.5) / (3 + 0.5) + 1)
+    def s(tf: Int, dl: Int) =
+      idf * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / 5.0))
+    assert(t.map(_._2) === Seq(s(2, 4), s(1, 4), s(1, 8)).map(v =>
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+  }
+
+  test("refresh merges only the delta; maintained ≡ one-shot on the union") {
+    val dir = freshDir("restart")
+    Bm25State.build(hist, "doc_id", "tokens", dir)
+    val delta = docsDf(9L -> "x x x y")
+    Bm25State.refresh(delta, "doc_id", "tokens", dir, deltaId = "b1")
+    val scratch = freshDir("oneshot")
+    Bm25State.build(hist.unionByName(delta), "doc_id", "tokens", scratch)
+    assert(postingsSet(dir) === postingsSet(scratch),
+      "maintained postings must reproduce the one-shot build (drift ≡ 0)")
+    assert(top(dir) === top(scratch))
+    assert(top(dir).head._1 === 9L, "the delta's tf=3 doc must rank first")
+  }
+
+  test("replayed delta id is a no-op; id-less refresh appends") {
+    val dir = freshDir("replay")
+    Bm25State.build(hist, "doc_id", "tokens", dir)
+    val delta = docsDf(9L -> "x x x y")
+    val v1 = Bm25State.refresh(delta, "doc_id", "tokens", dir, "b1")
+    assert(Bm25State.refresh(delta, "doc_id", "tokens", dir, "b1") === v1)
+    assert(postingsSet(dir).count(_._2 == 9L) === 2) // x + y, tf not doubled
+    Bm25State.refresh(delta, "doc_id", "tokens", dir) // id-less: appends
+    assert(postingsSet(dir).contains(("x", 9L, 6L)),
+      "an unguarded replay doubles the counts — the footgun maintain() audits for")
+  }
+
+  test("retract erases a doc from postings, N and avgdl; a later refresh re-adds it") {
+    val dir = freshDir("retract")
+    Bm25State.build(hist, "doc_id", "tokens", dir)
+    val before = top(dir)
+    Bm25State.retract(hist.where(col("doc_id") === 3L), "doc_id", "tokens",
+      dir, "rm-3")
+    val after = top(dir)
+    assert(!after.exists(_._1 == 3L), "a retracted doc must stop serving")
+    assert(Bm25State.liveDocLens(spark, dir).get.count() === 3L,
+      "N must shrink — the doc leaves the corpus stats, not just the result")
+    assert(after.map(_._2) !== before.filter(_._1 != 3L).map(_._2),
+      "scores must re-weight against the smaller corpus (df and avgdl moved)")
+    // one-shot on the survivors agrees exactly
+    val scratch = freshDir("survivors")
+    Bm25State.build(hist.where(col("doc_id") =!= 3L), "doc_id", "tokens",
+      scratch)
+    assert(after === top(scratch))
+    // delete-then-re-add: counts are linear, so the re-add restores
+    Bm25State.refresh(hist.where(col("doc_id") === 3L), "doc_id", "tokens",
+      dir, "re-3")
+    assert(top(dir) === before)
+  }
+
+  test("delete by id ≡ retract by rows; double-delete is algebra-idempotent; re-add survives") {
+    val dir = freshDir("delete")
+    Bm25State.build(hist, "doc_id", "tokens", dir)
+    val before = top(dir)
+    Bm25State.delete(Seq(3L).toDF("doc_id"), "doc_id", dir, "e1")
+    // ≡ the token-rows path on a twin state
+    val twin = freshDir("twin")
+    Bm25State.build(hist, "doc_id", "tokens", twin)
+    Bm25State.retract(hist.where(col("doc_id") === 3L), "doc_id", "tokens",
+      twin, "e1")
+    assert(postingsSet(dir) === postingsSet(twin),
+      "erasure by id must negate exactly what the token rows would")
+    assert(top(dir) === top(twin))
+    // a second delete under a DIFFERENT id: live counts are already
+    // zero, so nothing negates — idempotent by algebra, not just by
+    // the replay guard (a double retract of the rows would over-subtract)
+    Bm25State.delete(Seq(3L).toDF("doc_id"), "doc_id", dir, "e2")
+    assert(postingsSet(dir) === postingsSet(twin))
+    assert(Bm25State.liveDocLens(spark, dir).get.count() === 3L)
+    // erasure is intent-ordered: a later refresh re-adds
+    Bm25State.refresh(hist.where(col("doc_id") === 3L), "doc_id", "tokens",
+      dir, "re-3")
+    assert(top(dir) === before)
+  }
+
+  test("compact folds to one base-compact; totals, topK, replay guard and in-flight readers survive") {
+    val dir = freshDir("compact")
+    Bm25State.build(hist, "doc_id", "tokens", dir)
+    val delta = docsDf(9L -> "x x x y")
+    Bm25State.refresh(delta, "doc_id", "tokens", dir, "b1")
+    Bm25State.retract(hist.where(col("doc_id") === 3L), "doc_id", "tokens",
+      dir, "rm-3")
+    val before = postingsSet(dir)
+    val topBefore = top(dir)
+    val inFlight = Bm25State.livePostings(spark, dir).get
+    Bm25State.compact(spark, dir)
+    assert(VersionedState.committed(spark, dir).size === 4,
+      "default compaction retains the folded horizon")
+    assert(inFlight.select(col("term"), col("doc").cast("long"), col("tf"))
+      .as[(String, Long, Long)].collect().toSet === before,
+      "a plan resolved pre-compaction must still read after it")
+    Bm25State.gc(spark, dir) // readers done: reclaim
+    assert(VersionedState.committed(spark, dir).map(_._2) ===
+      Seq("base-compact"))
+    assert(postingsSet(dir) === before)
+    assert(top(dir) === topBefore)
+    // PRE-compaction ids replay as no-ops via the delivered sidecar
+    Bm25State.refresh(delta, "doc_id", "tokens", dir, "b1")
+    Bm25State.retract(hist.where(col("doc_id") === 3L), "doc_id", "tokens",
+      dir, "rm-3")
+    assert(postingsSet(dir) === before,
+      "pre-compaction delta AND retract ids stay replay-guarded")
+    // maintenance continues on the compacted base
+    Bm25State.refresh(docsDf(11L -> "x q"), "doc_id", "tokens", dir, "b2")
+    assert(VersionedState.committed(spark, dir).size === 2)
+  }
+
+  test("asOf pins a manifest cut: pre-retract reads survive the head moving") {
+    val dir = freshDir("asof")
+    Bm25State.build(hist, "doc_id", "tokens", dir) // v1
+    val pinned = top(dir)
+    Bm25State.retract(hist.where(col("doc_id") === 1L), "doc_id", "tokens",
+      dir, "rm-1") // v2
+    assert(top(dir, asOf = Some(1L)) === pinned,
+      "a cut pinned before the erasure must still score doc 1")
+    assert(!top(dir).exists(_._1 == 1L))
+  }
+
+  test("refresh before build is refused; empty query is refused") {
+    val dir = freshDir("guards")
+    val e = intercept[IllegalArgumentException] {
+      Bm25State.refresh(hist, "doc_id", "tokens", dir)
+    }
+    assert(e.getMessage.contains("build"))
+    Bm25State.build(hist, "doc_id", "tokens", dir)
+    val e2 = intercept[IllegalArgumentException] {
+      Bm25State.topK(spark, dir, Nil, 10)
+    }
+    assert(e2.getMessage.contains("empty query"))
+  }
+
+  test("maintain: marker dial trips compaction; drift gate Ok clean, Corruption on an id-less replay") {
+    val dir = freshDir("maintain")
+    Bm25State.build(hist, "doc_id", "tokens", dir)
+    var corpus = hist
+    for (b <- 0 until 6) {
+      val d = docsDf((100L + b) -> s"x w$b z")
+      corpus = corpus.unionByName(d)
+      val r = Bm25State.maintain(d, "doc_id", "tokens", dir,
+        deltaId = s"b$b", maxLiveMarkers = 3,
+        auditCorpus = Some(corpus))
+      assert(!r.replayed)
+      assert(r.liveMarkers <= 4,
+        s"horizon must stay bounded by the dial (got ${r.liveMarkers})")
+      assert(r.healthy, s"clean maintenance must pass the drift gate: ${r.gates}")
+    }
+    // the at-least-once footgun: one batch delivered twice WITHOUT an id
+    val dup = docsDf(200L -> "x x q")
+    corpus = corpus.unionByName(dup)
+    Bm25State.refresh(dup, "doc_id", "tokens", dir)
+    Bm25State.refresh(dup, "doc_id", "tokens", dir)
+    val r = Bm25State.maintain(docsDf(201L -> "z z"), "doc_id", "tokens",
+      dir, deltaId = "b9", maxLiveMarkers = 99,
+      auditCorpus = Some(corpus.unionByName(docsDf(201L -> "z z"))))
+    assert(r.corrupted,
+      "a doubled unguarded batch must trip the drift gate as Corruption")
+  }
+}

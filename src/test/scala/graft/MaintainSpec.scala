@@ -2,6 +2,7 @@ package graft
 
 import graft.ann.IvfIndex
 import graft.dedup.{ClusterState, ExactSubstr}
+import graft.text.Bm25State
 import graft.operators.{GateVerdict, VersionedState}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -213,6 +214,45 @@ class MaintainSpec extends SparkTestBase {
       assert(replay.replayed, "the re-delivered batch id must be recognized")
       assert(IvfIndex.assignments(spark, dir).get.count() === 40L,
         "replay must not duplicate rows — even across the compaction above")
+    } finally q.stop()
+  }
+
+  test("streaming ingest drives Bm25State.maintain(): batchId as the delta id, dial holds, restart-replay a no-op") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    val dir = freshDir("bm")
+    def toks(rows: (Long, String)*) =
+      rows.toSeq.toDF("doc_id", "text")
+        .select(col("doc_id"), split(col("text"), " ").as("tokens"))
+    Bm25State.build(toks(0L -> "x y z", 1L -> "x q r"), "doc_id", "tokens", dir)
+    val reports =
+      new java.util.concurrent.ConcurrentLinkedQueue[
+        graft.operators.MaintainReport]()
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text")
+      .select(col("doc_id"), split(col("text"), " ").as("tokens"))
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+        reports.add(Bm25State.maintain(batch, "doc_id", "tokens", dir,
+          deltaId = s"sb$bid", maxLiveMarkers = 3)): Unit
+      }
+      .start()
+    try {
+      for (b <- 0 until 5) {
+        input.addData((10L + b, s"x w$b"))
+        q.processAllAvailable()
+      }
+      assert(Bm25State.liveDocLens(spark, dir).get.count() === 7L)
+      import scala.jdk.CollectionConverters._
+      val rs = reports.asScala.toVector
+      assert(rs.forall(_.liveMarkers <= 4), "the dial holds under the stream")
+      assert(rs.exists(_.compacted), "the stream's cadence must trip a compact")
+      // simulated restart replay: the LAST batch id re-delivers
+      val replay = Bm25State.maintain(toks(14L -> "x w4"), "doc_id",
+        "tokens", dir, deltaId = "sb4", maxLiveMarkers = 3)
+      assert(replay.replayed, "the re-delivered batch id must be recognized")
+      assert(Bm25State.liveDocLens(spark, dir).get.count() === 7L,
+        "replay must not double counts — even across the compaction above")
     } finally q.stop()
   }
 

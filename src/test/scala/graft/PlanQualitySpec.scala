@@ -966,6 +966,18 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!plans.exists { case _: CartesianProductExec => true; case _ => false })
   }
 
+  test("q281/q282 BM25 maintain: NO window anywhere — count algebra and top-k are aggs + TakeOrdered") {
+    for (name <- Seq("q281_bm25_maintain", "q282_decontam_excision")) {
+      val plans = allExecutedPlans(name)
+      assert(!plans.exists(_.nodeName == "Window"),
+        s"$name: build/refresh/retract/delete/compact are explode + " +
+          "hash-agg shapes and the query-time cut is " +
+          "TakeOrderedAndProject — a window anywhere means a corpus " +
+          "sort crept in")
+      assert(!plans.exists { case _: CartesianProductExec => true; case _ => false })
+    }
+  }
+
   test("q270 IVF-PQ maintain: broadcast codebooks + bucket equi-joins — no cartesian, no global window") {
     val plans = allExecutedPlans("q270_ivfpq_maintain")
     assert(!plans.exists { case _: CartesianProductExec => true; case _ => false },
