@@ -2,7 +2,7 @@ package graft.text
 
 import graft.ann.IndexSegments
 import graft.operators.VersionedState
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The RETRIEVAL member of the durable maintenance family: a BM25
@@ -26,15 +26,18 @@ import org.apache.spark.sql.functions._
   * == State layout ==
   *
   * One versioned-state directory; every version's payload is a
-  * `postings/` parquet table (term STRING, doc, tf BIGINT) and a
-  * `doclen/` table (doc, dl BIGINT). Labels: `base` (a [[build]] —
-  * counts of the whole corpus given), `delta` / `delta:<id>` (a
-  * [[refresh]] — counts of ONLY the delta docs), `retract:<id>`* (a
-  * [[retract]] — NEGATIVE counts of removed docs, token rows supplied
-  * by the caller), `drop:<id>`* (a [[delete]] — the same negation
-  * re-derived from the LIVE state by id alone), `base-compact` (a
-  * [[compact]] — every count since the last base folded into one
-  * table). The LIVE index is the per-key SUM across every table since
+  * `postings/` parquet table (term STRING, doc, tf BIGINT),
+  * PARTITIONED BY a term-hash bucket `b` (the first 8 md5 hex digits
+  * of the term mod B — B a build-time dial carried in the base label,
+  * recovered from disk on every later commit so maintainers cannot
+  * desynchronize it), and an unpartitioned `doclen/` table (doc, dl
+  * BIGINT). Labels: `base:B=<n>` (a [[build]] — counts of the whole
+  * corpus given), `delta` / `delta:<id>` (a [[refresh]] — counts of
+  * ONLY the delta docs), `retract:<id>`* (a [[retract]] — NEGATIVE
+  * counts of removed docs, token rows supplied by the caller),
+  * `drop:<id>`* (a [[delete]] — the same negation re-derived from the
+  * LIVE state by id alone), `base-compact:B=<n>` (a [[compact]] —
+  * every count since the last base folded into one table). The LIVE index is the per-key SUM across every table since
   * the latest base, positive totals only ([[livePostings]] /
   * [[liveDocLens]]).
   *
@@ -48,14 +51,15 @@ import org.apache.spark.sql.functions._
   *
   * The per-batch state delta is one token explode + hash agg OVER THE
   * BATCH (the inverted-index build cost of the batch alone). A query
-  * filters the postings union by its terms BEFORE the live-sum agg —
-  * Catalyst pushes the grouping-key predicate through the aggregate
-  * and the union into every segment's parquet scan, so a k-term query
-  * reads k terms' postings, not the corpus (partition the postings by
-  * a term-hash bucket to make that a file skip rather than a row
-  * skip). Corpus stats (N, avgdl) are one doc-count-sized agg folding
-  * to one row. The segment fan-out and the driver-side marker scan are
-  * bounded by [[compact]], exactly like the rest of the family.
+  * filters the postings union by its terms' BUCKETS and the terms
+  * themselves BEFORE the live-sum agg: the bucket predicate is a
+  * PARTITION filter (a k-term query opens ≤ k of B directories per
+  * segment — a file skip), the term predicate a pushed data filter
+  * inside them (a row skip) — so query cost scales with the terms'
+  * postings, not the corpus. Corpus stats (N, avgdl) are one
+  * doc-count-sized agg folding to one row. The segment fan-out and
+  * the driver-side marker scan are bounded by [[compact]], exactly
+  * like the rest of the family.
   */
 object Bm25State {
 
@@ -75,8 +79,55 @@ object Bm25State {
     toks.where(size(col(toksCol)) >= 1)
       .select(col(idCol).as("doc"), size(col(toksCol)).cast("long").as("dl"))
 
+  /** The term-hash bucket COLUMN: first 8 md5 hex digits mod B —
+    * md5 for the repo's portable-hash discipline, byte-equal to
+    * [[bucketOf]] (the driver-side twin query planning uses).
+    */
+  def bucketExpr(term: Column, nB: Int): Column =
+    (conv(substring(md5(term), 1, 8), 16, 10).cast("long") % nB).cast("int")
+
+  /** Driver-side twin of [[bucketExpr]]: the bucket of one term. */
+  def bucketOf(term: String, nB: Int): Int = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(term.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val v = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    (v % nB).toInt
+  }
+
+  private def baseLabel(kind: String, nB: Int) = s"$kind:B=$nB"
+
+  private val BPattern = """.*:B=(\d+)""".r
+
+  private def lastBaseOf(cs: Seq[(Long, String)],
+                         stateDir: String): (Long, Int) =
+    cs.filter(_._2.startsWith("base")).lastOption match {
+      case Some((n, BPattern(b))) => (n, b.toInt)
+      case Some((_, bad)) => throw new IllegalStateException(
+        s"base marker at $stateDir carries no bucket dial (label '$bad') " +
+          "— not a Bm25State directory")
+      case None => throw new IllegalStateException(
+        s"$stateDir has committed versions but no base — corrupt state")
+    }
+
+  /** The bucket count the stored state was partitioned with. `asOf`
+    * pins the read to a committed version (a manifest cut).
+    */
+  def storedBuckets(spark: SparkSession, stateDir: String,
+                    asOf: Option[Long] = None): Int = {
+    val cs0 = VersionedState.committed(spark, stateDir)
+    val cs = asOf.fold(cs0)(v => cs0.filter(_._1 <= v))
+    require(cs.nonEmpty, s"no committed state at $stateDir")
+    lastBaseOf(cs, stateDir)._2
+  }
+
+  private def writePostings(p: DataFrame, nB: Int, vdir: String): Unit =
+    p.withColumn("b", bucketExpr(col("term"), nB))
+      .repartition(nB, col("b")) // one file per bucket per commit
+      .write.mode("overwrite").partitionBy("b").parquet(s"$vdir/postings")
+
   private def writePayload(toks: DataFrame, idCol: String, toksCol: String,
-                           negate: Boolean)(vdir: String): Unit = {
+                           negate: Boolean, nB: Int)(vdir: String): Unit = {
     val p = postings(toks, idCol, toksCol)
     val l = docLens(toks, idCol, toksCol)
     val (ps, ls) =
@@ -84,21 +135,27 @@ object Bm25State {
         (p.select(col("term"), col("doc"), (-col("tf")).as("tf")),
           l.select(col("doc"), (-col("dl")).as("dl")))
       else (p, l)
-    ps.write.mode("overwrite").parquet(s"$vdir/postings")
+    writePostings(ps, nB, vdir)
     ls.write.mode("overwrite").parquet(s"$vdir/doclen")
   }
 
   /** Full (re)build: the inverted index of the entire corpus given,
-    * committed as `base`; prior versions (and the replay-guard
-    * horizon) GC'd.
+    * committed as `base:B=<buckets>`; prior versions (and the
+    * replay-guard horizon) GC'd. `buckets` sizes the postings'
+    * term-hash partitioning — the dial to raise with corpus size
+    * (16 keeps the toy testdata at one small file per bucket; a
+    * 100 TB corpus wants 1024+, each bucket a directory a k-term
+    * query never opens unless it has to).
     */
   def build(toks: DataFrame, idCol: String, toksCol: String,
-            stateDir: String): Long = {
+            stateDir: String, buckets: Int = 16): Long = {
+    require(buckets >= 1, s"buckets must be ≥ 1, got $buckets")
     val spark = toks.sparkSession
     val prev = VersionedState.currentVersion(spark, stateDir)
     val next = prev.getOrElse(0L) + 1L
-    VersionedState.commit(spark, stateDir, prev, label = "base",
-      gcBelow = next)(writePayload(toks, idCol, toksCol, negate = false))
+    VersionedState.commit(spark, stateDir, prev,
+      label = baseLabel("base", buckets), gcBelow = next)(
+      writePayload(toks, idCol, toksCol, negate = false, buckets))
   }
 
   private def deltaCommit(toks: DataFrame, idCol: String, toksCol: String,
@@ -117,9 +174,10 @@ object Bm25State {
       case None    =>
     }
     IndexSegments.validDeltaId(deltaId) // byte-bounded: marker + sidecar safe
+    val nB = storedBuckets(spark, stateDir) // the dial comes from disk
     val label = if (deltaId.isEmpty) kind else s"$kind:$deltaId"
     VersionedState.commit(spark, stateDir, prev, label = label)(
-      writePayload(toks, idCol, toksCol, negate))
+      writePayload(toks, idCol, toksCol, negate, nB))
   }
 
   /** Incremental refresh: postings + lengths of ONLY the delta docs.
@@ -171,6 +229,7 @@ object Bm25State {
       case None    =>
     }
     IndexSegments.validDeltaId(deltaId)
+    val nB = storedBuckets(spark, stateDir)
     val victims = broadcast(ids.select(col(idCol).as("doc")).distinct())
     val p = livePostings(spark, stateDir).get.join(victims, "doc")
       .select(col("term"), col("doc"), (-col("tf")).as("tf"))
@@ -178,7 +237,7 @@ object Bm25State {
       .select(col("doc"), (-col("dl")).as("dl"))
     val label = if (deltaId.isEmpty) "drop" else s"drop:$deltaId"
     VersionedState.commit(spark, stateDir, prev, label = label) { vdir =>
-      p.write.mode("overwrite").parquet(s"$vdir/postings")
+      writePostings(p, nB, vdir)
       l.write.mode("overwrite").parquet(s"$vdir/doclen")
     }
   }
@@ -196,27 +255,44 @@ object Bm25State {
 
   private def liveSum(spark: SparkSession, stateDir: String,
                       asOf: Option[Long], table: String, keys: Seq[String],
-                      cnt: String): Option[DataFrame] =
+                      cnt: String, pre: DataFrame => DataFrame = identity)
+      : Option[DataFrame] =
     horizon(spark, stateDir, asOf).map { vs =>
-      vs.map(n => spark.read.parquet(
+      // every segment reads with the BASE segment's explicit schema: a
+      // partitionBy write of an all-empty negation (a delete whose ids
+      // were already dead) creates no part files, so inference would
+      // fail exactly on the segment whose emptiness is the point
+      val sch = spark.read.parquet(
+        s"${VersionedState.versionPath(stateDir, vs.head)}/$table").schema
+      pre(vs.map(n => spark.read.schema(sch).parquet(
           s"${VersionedState.versionPath(stateDir, n)}/$table"))
-        .reduce(_.unionByName(_))
+        .reduce(_.unionByName(_)))
         .groupBy(keys.map(col): _*).agg(sum(cnt).cast("long").as(cnt))
         .where(col(cnt) > 0)
     }
 
   /** The LIVE postings (term, doc, tf): per-key totals summed across
     * every version since the latest base, positive totals only. None
-    * before the first commit. Filter by term BEFORE aggregating
-    * downstream — the grouping-key predicate pushes through this agg
-    * and union into every segment scan. `asOf` pins the read to a
-    * committed version (a manifest cut; the pinned horizon must still
-    * be on disk — retention keeps one folded horizon, [[gc]] reclaims
-    * it).
+    * before the first commit. With `terms` given, the read filters to
+    * those terms' BUCKET PARTITIONS (a file skip — ≤ k of B
+    * directories per segment open) plus the terms themselves (a
+    * pushed row filter inside them) BEFORE the live-sum agg. `asOf`
+    * pins the read to a committed version (a manifest cut; the pinned
+    * horizon must still be on disk — retention keeps one folded
+    * horizon, [[gc]] reclaims it).
     */
   def livePostings(spark: SparkSession, stateDir: String,
-                   asOf: Option[Long] = None): Option[DataFrame] =
-    liveSum(spark, stateDir, asOf, "postings", Seq("term", "doc"), "tf")
+                   asOf: Option[Long] = None,
+                   terms: Option[Seq[String]] = None): Option[DataFrame] = {
+    val pre: DataFrame => DataFrame = terms match {
+      case Some(ts) =>
+        val nB = storedBuckets(spark, stateDir, asOf)
+        val bs = ts.map(bucketOf(_, nB)).distinct
+        df => df.where(col("b").isin(bs: _*) && col("term").isin(ts: _*))
+      case None => identity
+    }
+    liveSum(spark, stateDir, asOf, "postings", Seq("term", "doc"), "tf", pre)
+  }
 
   /** The LIVE document lengths (doc, dl) — same algebra. A fully
     * retracted doc sums to 0 and drops out of N and avgdl.
@@ -237,9 +313,8 @@ object Bm25State {
            k: Int, k1: Double = 1.2, b: Double = 0.75, roundTo: Int = 6,
            asOf: Option[Long] = None): DataFrame = {
     require(terms.nonEmpty, "empty query")
-    val tf = livePostings(spark, stateDir, asOf).getOrElse(
-        throw new IllegalStateException(s"no committed state at $stateDir"))
-      .where(col("term").isin(terms: _*))
+    val tf = livePostings(spark, stateDir, asOf, Some(terms)).getOrElse(
+      throw new IllegalStateException(s"no committed state at $stateDir"))
     val len = liveDocLens(spark, stateDir, asOf).get
     val stats = len.agg(count(lit(1)).as("nd"),
       (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
@@ -267,7 +342,7 @@ object Bm25State {
               maxDelivered: Int = Int.MaxValue): Long = {
     val cs = VersionedState.committed(spark, stateDir)
     require(cs.nonEmpty, s"no committed state at $stateDir — nothing to compact")
-    val base = IndexSegments.lastBase(cs, stateDir)
+    val (base, nB) = lastBaseOf(cs, stateDir)
     val cur = cs.last._1
     if (cur == base) return cur
     val p = livePostings(spark, stateDir).get
@@ -275,9 +350,10 @@ object Bm25State {
     val delivered = IndexSegments.deliveredLabelsOrdered(spark, stateDir, cs)
       .takeRight(maxDelivered)
     val next = cur + 1
-    VersionedState.commit(spark, stateDir, Some(cur), label = "base-compact",
+    VersionedState.commit(spark, stateDir, Some(cur),
+      label = baseLabel("base-compact", nB),
       gcBelow = IndexSegments.compactGcFloor(cs, next, retainHorizons)) { vdir =>
-      p.write.mode("overwrite").parquet(s"$vdir/postings")
+      writePostings(p, nB, vdir)
       l.write.mode("overwrite").parquet(s"$vdir/doclen")
       VersionedState.writeLines(spark, vdir, IndexSegments.DeliveredFile,
         delivered)

@@ -145,7 +145,9 @@ class Bm25StateSpec extends SparkTestBase {
       "a plan resolved pre-compaction must still read after it")
     Bm25State.gc(spark, dir) // readers done: reclaim
     assert(VersionedState.committed(spark, dir).map(_._2) ===
-      Seq("base-compact"))
+      Seq("base-compact:B=16"))
+    assert(Bm25State.storedBuckets(spark, dir) === 16,
+      "the bucket dial must survive compaction")
     assert(postingsSet(dir) === before)
     assert(top(dir) === topBefore)
     // PRE-compaction ids replay as no-ops via the delivered sidecar
@@ -170,7 +172,7 @@ class Bm25StateSpec extends SparkTestBase {
     assert(!top(dir).exists(_._1 == 1L))
   }
 
-  test("refresh before build is refused; empty query is refused") {
+  test("refresh before build is refused; empty query is refused; foreign base label surfaced") {
     val dir = freshDir("guards")
     val e = intercept[IllegalArgumentException] {
       Bm25State.refresh(hist, "doc_id", "tokens", dir)
@@ -181,6 +183,56 @@ class Bm25StateSpec extends SparkTestBase {
       Bm25State.topK(spark, dir, Nil, 10)
     }
     assert(e2.getMessage.contains("empty query"))
+    // a foreign versioned-state dir (e.g. an ExactSubstr state) must
+    // not be silently misread as a BM25 index
+    val foreign = freshDir("foreign")
+    VersionedState.commit(spark, foreign, None, label = "base:L=6") { vdir =>
+      spark.range(1).write.parquet(s"$vdir/postings")
+    }
+    val e3 = intercept[IllegalStateException] {
+      Bm25State.storedBuckets(spark, foreign)
+    }
+    assert(e3.getMessage.contains("bucket dial"))
+  }
+
+  test("topK opens only the query terms' bucket partitions; bucketOf ≡ bucketExpr") {
+    val dir = freshDir("prune")
+    Bm25State.build(hist, "doc_id", "tokens", dir, buckets = 8)
+    // the driver-side twin matches the column expression on every term
+    val pairs = hist.select(explode(col("tokens")).as("term")).distinct()
+      .select(col("term"), Bm25State.bucketExpr(col("term"), 8).as("be"))
+      .as[(String, Int)].collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall { case (t, be) => Bm25State.bucketOf(t, 8) == be },
+      "query planning computes buckets driver-side — it must agree " +
+        "with the write-side column bit-exactly")
+    // terms must spread over >1 bucket or the pruning assertion is vacuous
+    val vdir = VersionedState.versionPath(dir, 1L)
+    val bucketDirs = new java.io.File(s"$vdir/postings").listFiles()
+      .count(_.getName.startsWith("b="))
+    assert(bucketDirs > 1, s"fixture spreads over $bucketDirs buckets")
+    val df = Bm25State.topK(spark, dir, Seq("x"), 10)
+    df.collect()
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scans(s.plan)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val postingScans = scans(df.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths
+        .exists(_.toString.contains("postings")))
+    assert(postingScans.nonEmpty, "the postings scan must be visible")
+    assert(postingScans.forall(_.partitionFilters.nonEmpty),
+      "the bucket predicate must reach the scan as a PARTITION filter " +
+        "— a data filter would still open every bucket directory")
+    val filesRead = postingScans.map(_.metrics("numFiles").value).sum
+    assert(filesRead < bucketDirs,
+      s"a 1-term query must open fewer bucket files than exist " +
+        s"($filesRead vs $bucketDirs) — partition pruning is the point")
   }
 
   test("maintain: marker dial trips compaction; drift gate Ok clean, Corruption on an id-less replay") {
