@@ -5408,6 +5408,112 @@ object TextQueries {
         Bm25State.delete(contam, "doc_id", stDir, deltaId = "decon1") // replayed: no-op
         Bm25State.topK(s, stDir, Seq("scan", "row", "column"), 10)
           .select(col("doc").as("doc_id"), col("bm25"))
+      }),
+
+    // ---- q283: TRAINABLE quality filter — distributed training as an
+    // engine primitive, not just fixed heuristics (q32/q69/q102 score
+    // by formula; q106's Naive Bayes is closed-form counting; this is
+    // the ITERATIVE case): a linear model fit by 8 rounds of
+    // full-batch gradient descent on squared error under a SOFTSIGN
+    // link p = \u00bd + \u00bd\u00b7s/(1+|s|). The link is the point: every op in
+    // the model (add/mul/div/abs) is IEEE-exact, so — unlike a
+    // logistic exp() whose libm last-ulp may differ across engines —
+    // the whole training run is bit-reproducible against the oracle.
+    // The OTHER reproducibility hazard is the gradient SUM itself
+    // (double hash-agg sums are engine-order-dependent), closed the
+    // q166/q269 way: per-row gradient contributions round to NANO
+    // LONGS and sum exactly, so each iteration's weight update derives
+    // from exact integers pushed through one identical double tree.
+    // The task is honest supervision: predict the n_chars > 300
+    // metadata proxy from TOKEN-side statistics alone (centered
+    // type-token ratio, mean token length, saturating length score) —
+    // the label is not a function of any single feature, and the fit
+    // moves accuracy from the 0.51 base rate to ~0.94 with the weight
+    // signs recovering the real structure (w_sat > 0, w_ttr < 0: TTR
+    // anticorrelates with length). Scale shape: ONE feature pass over
+    // the corpus (checkpointed), then one partial-agg scan per GD
+    // iteration with the weights riding the driver (4 doubles) — the
+    // standard distributed full-batch GD plan; no window, no corpus
+    // shuffle beyond the agg exchanges. lr = 4 and 8 iterations are
+    // pre-registered dials (chosen on sf0.01, applied unchanged at
+    // every SF); the oracle unrolls all 8 as CTE blocks, the q136/q53
+    // iterative-training discipline.
+    QueryDef("q283_quality_lr", Some(s"""${toksCte()},
+      feat AS (SELECT t.doc_id,
+          CAST(len(list_distinct(tokens)) AS DOUBLE) / len(tokens) - 0.5 AS x1,
+          CAST(list_aggregate(list_transform(tokens, t -> len(t)), 'sum')
+            AS DOUBLE) / len(tokens) - 4.5 AS x2,
+          CAST(len(tokens) AS DOUBLE) / (50 + len(tokens)) - 0.5 AS x3,
+          CASE WHEN d.n_chars > 300 THEN 1.0 ELSE 0.0 END AS y
+        FROM toks t JOIN documents d ON t.doc_id = d.doc_id
+        WHERE len(tokens) >= 1),
+      nn AS (SELECT COUNT(*) AS n FROM feat),
+      wt0 AS (SELECT 0.0 AS wb, 0.0 AS w1c, 0.0 AS w2c, 0.0 AS w3c)${(1 to 8).map(k => s""",
+      s$k AS (SELECT f.*, w.wb + w.w1c * f.x1 + w.w2c * f.x2 + w.w3c * f.x3 AS s
+             FROM feat f, wt${k - 1} w),
+      e$k AS (SELECT *, (0.5 + 0.5 * s / (1 + abs(s)) - y)
+                       * (0.5 / ((1 + abs(s)) * (1 + abs(s)))) AS e FROM s$k),
+      g$k AS (SELECT SUM(CAST(ROUND(e * 1e9) AS BIGINT)) AS gb,
+                    SUM(CAST(ROUND(e * x1 * 1e9) AS BIGINT)) AS gx1,
+                    SUM(CAST(ROUND(e * x2 * 1e9) AS BIGINT)) AS gx2,
+                    SUM(CAST(ROUND(e * x3 * 1e9) AS BIGINT)) AS gx3 FROM e$k),
+      wt$k AS (SELECT w.wb - 4.0 * (CAST(g.gb AS DOUBLE) / 1e9 / nn.n) AS wb,
+                     w.w1c - 4.0 * (CAST(g.gx1 AS DOUBLE) / 1e9 / nn.n) AS w1c,
+                     w.w2c - 4.0 * (CAST(g.gx2 AS DOUBLE) / 1e9 / nn.n) AS w2c,
+                     w.w3c - 4.0 * (CAST(g.gx3 AS DOUBLE) / 1e9 / nn.n) AS w3c
+              FROM wt${k - 1} w, g$k g, nn)""").mkString},
+      sc AS (SELECT f.y, w.wb + w.w1c * f.x1 + w.w2c * f.x2 + w.w3c * f.x3 AS s
+             FROM feat f, wt8 w),
+      fin AS (SELECT COUNT(*) AS n,
+                     SUM(CASE WHEN ((0.5 + 0.5 * s / (1 + abs(s))) > 0.5)
+                                   = (y > 0.5)
+                         THEN 1 ELSE 0 END) AS correct FROM sc)
+      SELECT fin.n, ROUND(w.wb, 9) AS w_bias, ROUND(w.w1c, 9) AS w_ttr,
+             ROUND(w.w2c, 9) AS w_len, ROUND(w.w3c, 9) AS w_sat,
+             ROUND(CAST(fin.correct AS DOUBLE) / fin.n, 6) AS acc
+      FROM fin, wt8 w"""),
+      (s, dir) => {
+        val feat = tokenized(s, dir)
+          .join(docs(s, dir).select(col("doc_id"), col("n_chars")), "doc_id")
+          .where(size(col("tokens")) >= 1)
+          .select(col("doc_id"),
+            (size(array_distinct(col("tokens"))).cast("double")
+              / size(col("tokens")) - 0.5).as("x1"),
+            (expr("aggregate(transform(tokens, t -> length(t)), 0, " +
+              "(a, x) -> a + x)").cast("double")
+              / size(col("tokens")) - 4.5).as("x2"),
+            (size(col("tokens")).cast("double")
+              / (lit(50) + size(col("tokens"))) - 0.5).as("x3"),
+            when(col("n_chars") > 300, 1.0).otherwise(0.0).as("y"))
+          .localCheckpoint() // one feature pass; every GD scan reads it
+        val n = feat.count()
+        var w = Array(0.0, 0.0, 0.0, 0.0)
+        def sOf = lit(w(0)) + lit(w(1)) * col("x1") +
+          lit(w(2)) * col("x2") + lit(w(3)) * col("x3")
+        for (_ <- 0 until 8) {
+          val sCol = sOf
+          val p = lit(0.5) + lit(0.5) * sCol / (lit(1) + abs(sCol))
+          val d = lit(0.5) / ((lit(1) + abs(sCol)) * (lit(1) + abs(sCol)))
+          val e = (p - col("y")) * d
+          // exact fixed-point gradient: nano-long per-row contributions
+          // sum exactly, so the update is engine-order-independent
+          val r = feat.agg(
+            sum(round(e * 1e9).cast("long")),
+            sum(round(e * col("x1") * 1e9).cast("long")),
+            sum(round(e * col("x2") * 1e9).cast("long")),
+            sum(round(e * col("x3") * 1e9).cast("long"))).head()
+          w = Array.tabulate(4)(j =>
+            w(j) - 4.0 * (r.getLong(j).toDouble / 1e9 / n))
+        }
+        val sCol = sOf
+        val p = lit(0.5) + lit(0.5) * sCol / (lit(1) + abs(sCol))
+        feat.agg(count(lit(1)).as("n"),
+            sum(when((p > 0.5) === (col("y") > 0.5), 1L).otherwise(0L))
+              .as("correct"))
+          .select(col("n"),
+            round(lit(w(0)), 9).as("w_bias"), round(lit(w(1)), 9).as("w_ttr"),
+            round(lit(w(2)), 9).as("w_len"), round(lit(w(3)), 9).as("w_sat"),
+            round(col("correct").cast("double") / col("n"), 6).as("acc"))
       })
   )
 

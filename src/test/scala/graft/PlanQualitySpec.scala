@@ -978,6 +978,15 @@ class PlanQualitySpec extends SparkTestBase {
     }
   }
 
+  test("q283 quality LR: NO window, no cartesian — GD is one checkpointed feature pass + agg scans") {
+    val plans = allExecutedPlans("q283_quality_lr")
+    assert(!plans.exists(_.nodeName == "Window"),
+      "q283: the feature pass and every gradient iteration are " +
+        "partial-agg scans with the weights riding the driver — a " +
+        "window anywhere means a corpus sort crept in")
+    assert(!plans.exists { case _: CartesianProductExec => true; case _ => false })
+  }
+
   test("q270 IVF-PQ maintain: broadcast codebooks + bucket equi-joins — no cartesian, no global window") {
     val plans = allExecutedPlans("q270_ivfpq_maintain")
     assert(!plans.exists { case _: CartesianProductExec => true; case _ => false },
