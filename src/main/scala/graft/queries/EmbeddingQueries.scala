@@ -3104,7 +3104,209 @@ object EmbeddingQueries {
             lit(markersAfter.toLong).as("n_markers_after"))
       }),
 
-    q275Def
+    q275Def,
+
+    // ---- q284: THE SERVING STACK AS MAINTAINED STATE — the round's
+    // thesis composed end-to-end: a hybrid retrieval service is TWO
+    // durable artifacts (the Bm25State lexical index and the IvfIndex
+    // semantic index) under ONE StateManifest commit point, and an
+    // erasure verdict propagates to BOTH without a reindex. Cycle:
+    // build both on the training split (doc_id = vec_id alignment,
+    // the q151/q260 convention), commit manifest cut 1; the q280
+    // contamination verdict (training docs carrying verbatim eval-set
+    // windows, L = 6 needles from the doc_id % 19 = 5 held-out split)
+    // is delivered TWICE under one id to each artifact — a negated-
+    // count merge on the BM25 side, a tombstone on the IVF side —
+    // then cut 2 commits both new versions atomically; every serving
+    // read goes through the RESOLVED cut's pinned asOf versions (a
+    // reader mid-crash still resolves cut 1 whole, q278's guarantee).
+    // The served result — BM25 top-20 for a 3-term query RRF-fused
+    // with the IVF nprobe-2 top-20 for query vector 0 (Cormack et
+    // al.'s 1/(60+rank), the q260 combiner) — must equal a one-shot
+    // stack built on exactly the clean survivors, with the oracle
+    // re-deriving the ENTIRE chain in SQL: needles → contaminated ids
+    // → survivor BM25 → Lloyd centroids (trained at BUILD time on the
+    // full training split — erasure does NOT retrain; frozen dials
+    // are the family contract) → survivor assignments → probe →
+    // exact-cosine rerank → fusion. Scale shape: both lists are
+    // dial-bounded (TakeOrdered + ≤20-row broadcast rank self-joins,
+    // never a corpus window); the verdict is one window explode +
+    // hash equi-join; each erasure is one verdict-bounded commit;
+    // the only windows are per-query probe ranks.
+    QueryDef("q284_serving_stack_decontam", Some(s"""
+      ${TextQueries.toksCte()},
+      evt AS (SELECT doc_id, tokens FROM toks WHERE doc_id % 19 = 5),
+      trt AS (SELECT doc_id, tokens FROM toks WHERE doc_id % 19 <> 5),
+      needles AS (SELECT DISTINCT
+                    md5(list_aggregate(tokens[i:i+5], 'string_agg', ' ')) AS h
+                  FROM evt, LATERAL unnest(range(1, len(tokens) - 4)) r(i)),
+      wntr AS (SELECT doc_id,
+                      md5(list_aggregate(tokens[i:i+5], 'string_agg', ' ')) AS h
+               FROM trt, LATERAL unnest(range(1, len(tokens) - 4)) r(i)),
+      contam AS (SELECT DISTINCT wntr.doc_id FROM wntr JOIN needles USING (h)),
+      clean AS (SELECT t.doc_id, t.tokens FROM trt t
+                WHERE t.doc_id NOT IN (SELECT doc_id FROM contam)),
+      qterms AS (SELECT unnest(['window', 'stream', 'sort']) AS term),
+      len AS (SELECT doc_id, CAST(len(tokens) AS BIGINT) AS dl
+              FROM clean WHERE len(tokens) >= 1),
+      stats AS (SELECT COUNT(*) AS nd, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+                FROM len),
+      tf AS (SELECT c.doc_id, tok.token AS term, COUNT(*) AS tf
+             FROM clean c, unnest(c.tokens) AS tok(token)
+             WHERE tok.token IN (SELECT term FROM qterms)
+             GROUP BY 1, 2),
+      df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+      lsc AS (SELECT f.doc_id,
+               ln(((SELECT nd FROM stats) - d.df + 0.5) / (d.df + 0.5) + 1)
+               * (f.tf * 2.2)
+               / (f.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / (SELECT avgdl FROM stats))) AS s
+             FROM tf f JOIN df d USING (term) JOIN len l USING (doc_id)),
+      bm AS (SELECT doc_id, ROUND(SUM(s), 6) AS bm25
+             FROM lsc GROUP BY doc_id
+             ORDER BY bm25 DESC, doc_id LIMIT 20),
+      lxr AS (SELECT doc_id,
+                     CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id)
+                       AS BIGINT) AS lex_rank
+              FROM bm),
+      e AS (SELECT vec_id, embedding, ${sqlNorm("embedding")} AS nrm
+            FROM embeddings WHERE ${sqlNorm("embedding")} > 0),
+      tre AS (SELECT * FROM e WHERE vec_id % 19 <> 5),
+      hc0 AS (SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings
+              WHERE vec_id % 50 = 0 AND vec_id % 19 <> 5),
+      ${lloydIterationCte(1, "hc0", "tre", "h")},
+      ${lloydIterationCte(2, "hc1", "tre", "h")},
+      hscn AS (SELECT centroid_id, cvec, ${sqlNorm("cvec")} AS cnrm FROM hc2
+               WHERE ${sqlNorm("cvec")} > 0),
+      sv AS (SELECT * FROM tre
+             WHERE vec_id NOT IN (SELECT doc_id FROM contam)),
+      svs AS (SELECT s_.vec_id, x.centroid_id,
+                     ${sqlDot("s_.embedding", "x.cvec")} / (s_.nrm * x.cnrm) AS cs
+              FROM sv s_ CROSS JOIN hscn x),
+      sva AS (SELECT vec_id, centroid_id FROM (
+                SELECT vec_id, centroid_id,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id
+                                          ORDER BY cs DESC, centroid_id) AS rk
+                FROM svs) WHERE rk = 1),
+      qcs AS (SELECT x.centroid_id,
+                     ${sqlDot("q_.embedding", "x.cvec")} / (q_.nrm * x.cnrm) AS cs
+              FROM (SELECT * FROM e WHERE vec_id = 0) q_ CROSS JOIN hscn x),
+      qp AS (SELECT centroid_id FROM (
+               SELECT centroid_id,
+                      ROW_NUMBER() OVER (ORDER BY cs DESC, centroid_id) AS rk
+               FROM qcs) WHERE rk <= 2),
+      scand AS (SELECT a.vec_id AS cand_id FROM sva a JOIN qp USING (centroid_id)
+                WHERE a.vec_id <> 0),
+      sims AS (SELECT c.cand_id,
+                      ${sqlDot("qv.embedding", "cv.embedding")} / (qv.nrm * cv.nrm) AS sim
+               FROM scand c JOIN e cv ON cv.vec_id = c.cand_id,
+                    (SELECT * FROM e WHERE vec_id = 0) qv),
+      smr AS (SELECT cand_id AS doc_id,
+                     CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, cand_id)
+                       AS BIGINT) AS sem_rank
+              FROM (SELECT * FROM sims ORDER BY sim DESC, cand_id LIMIT 20))
+      SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id, l.lex_rank, s.sem_rank,
+             ROUND(COALESCE(1e0/(60 + l.lex_rank), 0e0)
+                 + COALESCE(1e0/(60 + s.sem_rank), 0e0), 6) AS rrf
+      FROM lxr l FULL OUTER JOIN smr s ON l.doc_id = s.doc_id
+      ORDER BY rrf DESC, doc_id"""),
+      (s, dir) => {
+        import graft.ann.IvfIndex
+        import graft.dedup.ExactSubstr
+        import graft.operators.StateManifest
+        import graft.text.Bm25State
+        import org.apache.spark.sql.expressions.Window
+        val terms = Seq("window", "stream", "sort")
+        val toks = TextQueries.tokenized(s, dir).localCheckpoint()
+        val trt = toks.where(col("doc_id") % 19 =!= 5)
+        val emb = Tables.read(s, dir, "embeddings")
+        val tre = emb.where(col("vec_id") % 19 =!= 5)
+        val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_") +
+          "_p" + ProcessHandle.current.pid + "_" + q266Runs.incrementAndGet()
+        val bmDir = s"${System.getProperty("java.io.tmpdir")}/graft_q284bm_$tag"
+        val ivfDir = s"${System.getProperty("java.io.tmpdir")}/graft_q284iv_$tag"
+        val mDir = s"${System.getProperty("java.io.tmpdir")}/graft_q284mf_$tag"
+        Seq(bmDir, ivfDir, mDir).foreach(EventQueries.cleanupOnExit)
+        // the serving stack exists BEFORE the verdict: cut 1
+        val bv1 = Bm25State.build(trt, "doc_id", "tokens", bmDir)
+        val iv1 = IvfIndex.build(tre, "vec_id", "embedding",
+          col("vec_id") % 50 === 0, iters = 2, ivfDir)
+        StateManifest.commit(s, mDir,
+          Map("bm" -> (bmDir, bv1), "ivf" -> (ivfDir, iv1)))
+        // the contamination verdict, delivered twice to EACH artifact
+        val needles = ExactSubstr.windowHashes(
+            toks.where(col("doc_id") % 19 === 5), "doc_id", "tokens", 6)
+          .select("h").distinct()
+        val contam = ExactSubstr.windowHashes(trt, "doc_id", "tokens", 6)
+          .join(needles, "h").select(col("doc").as("doc_id")).distinct()
+          .localCheckpoint() // both erasures + their replays read it
+        val bv2 = Bm25State.delete(contam, "doc_id", bmDir, "decon1")
+        Bm25State.delete(contam, "doc_id", bmDir, "decon1") // replayed: no-op
+        val iv2 = IvfIndex.delete(contam, ivfDir, "decon1")
+        IvfIndex.delete(contam, ivfDir, "decon1") // replayed: no-op
+        // cut 2: both erased versions become visible ATOMICALLY
+        StateManifest.commit(s, mDir,
+          Map("bm" -> (bmDir, bv2), "ivf" -> (ivfDir, iv2)))
+        val cut = StateManifest.resolve(s, mDir).get
+        // lexical serve through the cut: top-20 + broadcast rank self-join
+        val bm = Bm25State.topK(s, bmDir, terms, 20,
+            asOf = Some(cut("bm")._2))
+          .select(col("doc").as("doc_id"), col("bm25"))
+          .localCheckpoint() // ≤20 rows, read twice by the rank join
+        val yl = bm.select(col("doc_id").as("y_id"), col("bm25").as("y_s"))
+        val lr = bm.join(broadcast(yl),
+            col("y_s") > col("bm25")
+              || (col("y_s") === col("bm25") && col("y_id") < col("doc_id")),
+            "left")
+          .groupBy("doc_id").agg((count(col("y_id")) + 1L).as("lex_rank"))
+        // semantic serve through the cut: probe 2 buckets of the pinned
+        // index, exact-cosine rerank of the LIVE (tombstone-excised)
+        // candidates
+        val cents = IvfIndex.centroids(s, ivfDir,
+          asOf = Some(cut("ivf")._2)).get
+        val asg = IvfIndex.assignments(s, ivfDir,
+          asOf = Some(cut("ivf")._2)).get
+        val ee = emb.select(col("vec_id"), col("embedding"),
+            graft.ann.Knn.l2norm(col("embedding")).as("nrm"))
+          .where(col("nrm") > 0)
+        val cn = cents.select(col("centroid_id"), col("cent_vec"),
+            graft.ann.Knn.l2norm(col("cent_vec")).as("cnrm"))
+          .where(col("cnrm") > 0)
+        val wp = Window.partitionBy("q_id")
+          .orderBy(col("cs").desc, col("centroid_id"))
+        val probes = ee.where(col("vec_id") === 0).crossJoin(broadcast(cn))
+          .select(col("vec_id").as("q_id"), col("centroid_id"),
+            (graft.ann.Knn.dot(col("embedding"), col("cent_vec"))
+              / (col("nrm") * col("cnrm"))).as("cs"))
+          .withColumn("rk", row_number().over(wp)).where(col("rk") <= 2)
+          .select("q_id", "centroid_id")
+        val cand = probes
+          .join(asg.select(col("id").as("cand_id"), col("centroid_id")),
+            Seq("centroid_id"))
+          .where(col("cand_id") =!= col("q_id"))
+        val sims = cand
+          .join(ee.select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+            col("nrm").as("qn")), "q_id")
+          .join(ee.select(col("vec_id").as("cand_id"), col("embedding").as("cv"),
+            col("nrm").as("cn2")), "cand_id")
+          .select(col("cand_id"),
+            (graft.ann.Knn.dot(col("qv"), col("cv"))
+              / (col("qn") * col("cn2"))).as("sim"))
+        val st = sims.orderBy(col("sim").desc, col("cand_id")).limit(20)
+          .localCheckpoint() // ≤20 rows, read twice by the rank join
+        val ys = st.select(col("cand_id").as("y_id"), col("sim").as("y_s"))
+        val sr = st.join(broadcast(ys),
+            col("y_s") > col("sim")
+              || (col("y_s") === col("sim") && col("y_id") < col("cand_id")),
+            "left")
+          .groupBy("cand_id").agg((count(col("y_id")) + 1L).as("sem_rank"))
+          .select(col("cand_id").as("doc_id"), col("sem_rank"))
+        lr.join(sr, Seq("doc_id"), "full_outer")
+          .select(col("doc_id"), col("lex_rank"), col("sem_rank"),
+            round(coalesce(lit(1.0) / (lit(60) + col("lex_rank")), lit(0.0))
+                + coalesce(lit(1.0) / (lit(60) + col("sem_rank")), lit(0.0)), 6)
+              .as("rrf"))
+          .orderBy(col("rrf").desc, col("doc_id"))
+      })
   )
 
   /** q266/q267/q270/q271/q272/q275 run in a FRESH state dir per

@@ -987,6 +987,20 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!plans.exists { case _: CartesianProductExec => true; case _ => false })
   }
 
+  test("q284 serving stack: windows only per-query probe ranks — no global window, no cartesian") {
+    val plans = allExecutedPlans("q284_serving_stack_decontam")
+    val globals = plans.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+        if w.partitionSpec.isEmpty => w
+    }
+    assert(globals.isEmpty,
+      "q284: both top-20 lists are dial-bounded (TakeOrdered + " +
+        "broadcast rank self-joins) and routing is the mergeable " +
+        "argmin — only the per-query probe rank may window, " +
+        "partitioned by q_id")
+    assert(!plans.exists { case _: CartesianProductExec => true; case _ => false })
+  }
+
   test("q270 IVF-PQ maintain: broadcast codebooks + bucket equi-joins — no cartesian, no global window") {
     val plans = allExecutedPlans("q270_ivfpq_maintain")
     assert(!plans.exists { case _: CartesianProductExec => true; case _ => false },
