@@ -301,23 +301,44 @@ object Bm25State {
                   asOf: Option[Long] = None): Option[DataFrame] =
     liveSum(spark, stateDir, asOf, "doclen", Seq("doc"), "dl")
 
+  /** Corpus stats — one row (nd, avgdl) derived from the live doc
+    * lengths (exact: derived, never maintained additively, so a
+    * re-ingested doc can't desynchronize them from the doclen truth).
+    * The derivation is a doc-count-sized scan folding to one row, and
+    * the result only changes at COMMITS — a serving layer computes
+    * this once per manifest cut (collect the single row, re-`lit` it)
+    * and passes it to [[topK]], which otherwise recomputes per query
+    * for self-containment.
+    */
+  def stats(spark: SparkSession, stateDir: String,
+            asOf: Option[Long] = None): DataFrame =
+    liveDocLens(spark, stateDir, asOf).getOrElse(
+        throw new IllegalStateException(s"no committed state at $stateDir"))
+      .agg(count(lit(1)).as("nd"),
+        (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
+
   /** BM25 top-k over the maintained index (k1/b the Robertson defaults,
     * the +1 idf form — q119's scorer verbatim): per-term partial
     * scores summed per doc, ROUNDED to `roundTo` digits (ties broken
     * by doc), cut by TakeOrderedAndProject — per-partition top-k then
     * a k-row merge, never a corpus sort. The term filter lands below
     * the live-sum agg and the segment union; df/stats ride one-row /
-    * k-row broadcasts.
+    * k-row broadcasts. `precomputedStats` (a [[stats]] result — same
+    * arithmetic or the scores change) skips the per-query corpus-stats
+    * scan; the per-doc dl lookup join remains (doc-count-sized scan,
+    * inherent to the normalized doclen layout).
     */
   def topK(spark: SparkSession, stateDir: String, terms: Seq[String],
            k: Int, k1: Double = 1.2, b: Double = 0.75, roundTo: Int = 6,
-           asOf: Option[Long] = None): DataFrame = {
+           asOf: Option[Long] = None,
+           precomputedStats: Option[DataFrame] = None): DataFrame = {
     require(terms.nonEmpty, "empty query")
     val tf = livePostings(spark, stateDir, asOf, Some(terms)).getOrElse(
       throw new IllegalStateException(s"no committed state at $stateDir"))
     val len = liveDocLens(spark, stateDir, asOf).get
-    val stats = len.agg(count(lit(1)).as("nd"),
-      (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
+    val stats = precomputedStats.getOrElse(
+      len.agg(count(lit(1)).as("nd"),
+        (sum("dl").cast("double") / count(lit(1))).as("avgdl")))
     val dft = tf.groupBy("term").agg(countDistinct("doc").as("df"))
     tf.join(broadcast(dft), "term").join(len, "doc")
       .crossJoin(broadcast(stats))

@@ -161,6 +161,19 @@ class Bm25StateSpec extends SparkTestBase {
     assert(VersionedState.committed(spark, dir).size === 2)
   }
 
+  test("a precomputed stats row is score-identical to the per-query derivation") {
+    val dir = freshDir("stats")
+    Bm25State.build(hist, "doc_id", "tokens", dir)
+    val st = Bm25State.stats(spark, dir).localCheckpoint() // once per cut
+    val viaPre = Bm25State.topK(spark, dir, Seq("x"), 10,
+        precomputedStats = Some(st))
+      .select(col("doc").cast("long"), col("bm25"))
+      .as[(Long, Double)].collect().toSeq
+    assert(viaPre === top(dir),
+      "the serving-layer fast path must not change a single score bit")
+    assert(st.as[(Long, Double)].head() === ((4L, 5.0)))
+  }
+
   test("asOf pins a manifest cut: pre-retract reads survive the head moving") {
     val dir = freshDir("asof")
     Bm25State.build(hist, "doc_id", "tokens", dir) // v1

@@ -113,6 +113,36 @@ class StateManifestSpec extends SparkTestBase {
     assert(IvfIndex.assignments(spark, a).get.count() === 16L)
   }
 
+  test("a Bm25State member composes: pinned topK across erasure + compaction; gcMembers floors by its base") {
+    import graft.operators.StateManifestGc
+    import graft.text.Bm25State
+    val (a, m) = (freshDir("ba"), freshDir("bmf"))
+    Bm25State.build(docs(1L -> "x y z", 2L -> "x q"), "doc_id", "tokens", a)
+    StateManifest.commit(spark, m, Map("bm" -> (a, 1L))) // cut 1
+    Bm25State.delete(Seq(2L).toDF("doc_id"), "doc_id", a, "e1") // v2
+    Bm25State.compact(spark, a) // v3 = base-compact:B=16; v1-v2 retained
+    StateManifest.commit(spark, m, Map("bm" -> (a, 3L))) // cut 2
+    def topDocs(asOf: Option[Long]) =
+      Bm25State.topK(spark, a, Seq("x"), 10, asOf = asOf)
+        .select(col("doc").cast("long")).as[Long].collect().toSet
+    assert(topDocs(Some(1L)) === Set(1L, 2L),
+      "the pre-erasure cut must still serve the erased doc through retention")
+    assert(topDocs(None) === Set(1L))
+    // cut 1 (retained) pins the pre-compaction horizon: its base survives
+    val floors = StateManifestGc.gcMembers(spark, m)
+    assert(floors(a) === 1L)
+    assert(VersionedState.committed(spark, a).map(_._1) === Seq(1L, 2L, 3L))
+    // a third cut supersedes cut 1; the old horizon becomes unreachable
+    Bm25State.refresh(docs(5L -> "x w"), "doc_id", "tokens", a, "d2") // v4
+    StateManifest.commit(spark, m, Map("bm" -> (a, 4L))) // cuts now 2, 3
+    val floors2 = StateManifestGc.gcMembers(spark, m)
+    assert(floors2(a) === 3L, "both retained cuts pin the compacted horizon")
+    assert(VersionedState.committed(spark, a).map(_._1) === Seq(3L, 4L))
+    assert(topDocs(None) === Set(1L, 5L))
+    assert(Bm25State.storedBuckets(spark, a) === 16,
+      "the bucket dial rides the base-compact label through member GC")
+  }
+
   test("asOf pins across a compaction: the retained folded horizon serves the old cut") {
     val (a, m) = (freshDir("ca"), freshDir("cm"))
     IvfIndex.build(vecs(0 until 10), "vec_id", "embedding",
