@@ -51,15 +51,15 @@ object ProfileBm25 {
           s"concat('t', pmod(id * 31 + j * 7919 + j * j, $V)))")
           .as("tokens"))
 
-    // the full-scan twin of topK: same arithmetic, no bucket filter
+    // the full-scan twin of topK: same arithmetic (dl off the posting
+    // rows), no bucket filter — what the layout would cost WITHOUT the
+    // partitioning (every bucket file of every segment opened)
     def fullScan(dir: String): DataFrame = {
       val tf = Bm25State.livePostings(spark, dir).get
         .where(col("term").isin(terms: _*))
-      val len = Bm25State.liveDocLens(spark, dir).get
-      val stats = len.agg(count(lit(1)).as("nd"),
-        (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
+      val stats = Bm25State.stats(spark, dir)
       val dft = tf.groupBy("term").agg(countDistinct("doc").as("df"))
-      tf.join(broadcast(dft), "term").join(len, "doc")
+      tf.join(broadcast(dft), "term")
         .crossJoin(broadcast(stats))
         .select(col("doc"),
           (log((col("nd") - col("df") + 0.5) / (col("df") + 0.5) + 1)
@@ -71,11 +71,12 @@ object ProfileBm25 {
         .orderBy(col("bm25").desc, col("doc")).limit(10)
     }
 
-    // postings-scan footprint: number + byte size of the files the
-    // scan SELECTED (post partition-pruning) — deterministic plan
-    // metrics, not IO timing (a warm page cache hides the read cost
-    // wall-clock that a 100 TB cold store charges in full)
-    def postingsScanStats(df: DataFrame): (Long, Long) = {
+    // scan footprint: number + byte size of the files the plan's scans
+    // SELECTED (post partition-pruning) — deterministic plan metrics,
+    // not IO timing (a warm page cache hides the read cost wall-clock
+    // that a 100 TB cold store charges in full). `part = None` counts
+    // EVERY file scan in the plan (the per-query TOTAL selected bytes).
+    def scanStats(df: DataFrame, part: Option[String]): (Long, Long) = {
       df.collect()
       def scans(p: org.apache.spark.sql.execution.SparkPlan)
           : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
@@ -87,8 +88,8 @@ object ProfileBm25 {
         case other => other.children.flatMap(scans)
       }
       val ps = scans(df.queryExecution.executedPlan)
-        .filter(_.relation.location.rootPaths
-          .exists(_.toString.contains("postings")))
+        .filter(s => part.forall(p =>
+          s.relation.location.rootPaths.exists(_.toString.contains(p))))
       (ps.map(_.metrics("numFiles").value).sum,
         ps.map(_.metrics("filesSize").value).sum)
     }
@@ -121,10 +122,28 @@ object ProfileBm25 {
         .collect().map(r => (r.get(0), r.getDouble(1))).toSeq
       require(pruned0 == full0 && pruned0.nonEmpty,
         s"pruned and full-scan paths disagree at n=$n")
-      val (fP, bP) = postingsScanStats(Bm25State.topK(spark, dir, terms, 10))
-      val (fF, bF) = postingsScanStats(fullScan(dir))
+      val (fP, bP) = scanStats(Bm25State.topK(spark, dir, terms, 10),
+        Some("postings"))
+      val (fF, bF) = scanStats(fullScan(dir), Some("postings"))
+      // the serving path (per-cut precomputed stats): its TOTAL
+      // selected bytes across EVERY scan in the plan — before the dl
+      // denormalization this included the corpus-sized doclen table
+      // per query; now it must equal the pruned postings buckets
+      val preStats = Bm25State.stats(spark, dir).localCheckpoint()
+      val servePlan = Bm25State.topK(spark, dir, terms, 10,
+        precomputedStats = Some(preStats))
+      require(servePlan.collect().map(r => (r.get(0), r.getDouble(1)))
+        .toSeq == pruned0, s"precomputed-stats path disagrees at n=$n")
+      val (fT, bT) = scanStats(servePlan, None)
+      // what the pre-denormalization layout charged per query on the
+      // dl side: the whole live doclen table
+      val (_, bDl) = scanStats(
+        Bm25State.liveDocLens(spark, dir).get.groupBy().count(),
+        Some("doclen"))
       println(f"PROFILE scan corpus=$n pruned: $fP files ${bP / 1e6}%.1f MB" +
-        f" | fullscan: $fF files ${bF / 1e6}%.1f MB")
+        f" | fullscan: $fF files ${bF / 1e6}%.1f MB" +
+        f" | serve TOTAL: $fT files ${bT / 1e6}%.1f MB" +
+        f" (old dl side: ${bDl / 1e6}%.1f MB)")
       val tP = timed("query_pruned", n) {
         Bm25State.topK(spark, dir, terms, 10).collect(): Unit
       }
@@ -137,15 +156,18 @@ object ProfileBm25 {
         Bm25State.refresh(corpus(2000, from = n + rep.toLong * 2000),
           "doc_id", "tokens", dir, deltaId = s"rep$rep")
       }
-      (n, tBuild, tP, tF, tR, bP, bF)
+      (n, tBuild, tP, tF, tR, bP, bF, bT, bDl)
     }
-    def j(sel: ((Long, Double, Double, Double, Double, Long, Long)) => Double) =
+    def j(sel: ((Long, Double, Double, Double, Double, Long, Long, Long,
+                 Long)) => Double) =
       results.map(r => f""""${r._1}":${sel(r)}%.2f""").mkString(",")
     println(s"""{"metric":"bm25_query_sec_by_corpus","buckets":64,""" +
       s""""build":{${j(_._2)}},"query_pruned":{${j(_._3)}},""" +
       s""""query_fullscan":{${j(_._4)}},"refresh_2k":{${j(_._5)}},""" +
       s""""scan_mb_pruned":{${j(_._6 / 1e6)}},""" +
-      s""""scan_mb_fullscan":{${j(_._7 / 1e6)}}}""")
+      s""""scan_mb_fullscan":{${j(_._7 / 1e6)}},""" +
+      s""""scan_mb_serve_total":{${j(_._8 / 1e6)}},""" +
+      s""""scan_mb_old_dl_side":{${j(_._9 / 1e6)}}}""")
     spark.stop()
   }
 }

@@ -97,6 +97,21 @@ private[graft] object IndexSegments {
     */
   val DeliveredFile = "delivered"
 
+  /** Family-wide default for `maxDelivered`, the sidecar's id cap at
+    * compaction — 64k ids (≲ 13 MB at the 200-byte id bound; typical
+    * ids are far smaller). Sizing rule (ARCHITECTURE runbook): the cap
+    * must EXCEED the source's maximum replay window — an id aged out
+    * past the cap becomes re-deliverable, the same contract as any
+    * at-least-once acknowledgment horizon. 64k guarded commits of
+    * outstanding replay is generous for any real checkpointed source
+    * (a daily-refresh index takes 179 years to mint that many); a
+    * deployment with a genuinely wider replay window passes its own
+    * cap. The previous default (`Int.MaxValue`) never aged anything
+    * out, so the default deployment's sidecar grew one id per guarded
+    * commit FOREVER and every guard probe re-read it whole.
+    */
+  val DefaultMaxDelivered = 65536
+
   /** Every replay-guarded label known delivered, OLDEST FIRST: the
     * latest base's sidecar (already age-ordered — compaction preserves
     * the order) followed by the live markers' labels in version order,
@@ -268,7 +283,7 @@ private[graft] object IndexSegments {
     */
   def compact(spark: SparkSession, stateDir: String,
               dialDirs: Seq[String], retainHorizons: Int = 1,
-              maxDelivered: Int = Int.MaxValue): Long = {
+              maxDelivered: Int = IndexSegments.DefaultMaxDelivered): Long = {
     val cs = VersionedState.committed(spark, stateDir)
     require(cs.nonEmpty, s"no committed index at $stateDir — nothing to compact")
     val base = lastBase(cs, stateDir)

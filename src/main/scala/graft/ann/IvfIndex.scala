@@ -161,7 +161,7 @@ object IvfIndex {
     */
   def compact(spark: SparkSession, stateDir: String,
               retainHorizons: Int = 1,
-              maxDelivered: Int = Int.MaxValue): Long =
+              maxDelivered: Int = IndexSegments.DefaultMaxDelivered): Long =
     IndexSegments.compact(spark, stateDir, Seq("centroids"), retainHorizons,
       maxDelivered)
 

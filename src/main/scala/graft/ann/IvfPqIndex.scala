@@ -132,7 +132,7 @@ object IvfPqIndex {
     */
   def compact(spark: SparkSession, stateDir: String,
               retainHorizons: Int = 1,
-              maxDelivered: Int = Int.MaxValue): Long =
+              maxDelivered: Int = IndexSegments.DefaultMaxDelivered): Long =
     IndexSegments.compact(spark, stateDir, Seq("coarse", "codebooks"),
       retainHorizons, maxDelivered)
 

@@ -109,7 +109,7 @@ object PqIndex {
     */
   def compact(spark: SparkSession, stateDir: String,
               retainHorizons: Int = 1,
-              maxDelivered: Int = Int.MaxValue): Long =
+              maxDelivered: Int = IndexSegments.DefaultMaxDelivered): Long =
     IndexSegments.compact(spark, stateDir, Seq("codebooks"), retainHorizons,
       maxDelivered)
 

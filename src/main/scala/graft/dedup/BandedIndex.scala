@@ -1,0 +1,347 @@
+package graft.dedup
+
+import graft.ann.IndexSegments
+import graft.operators.VersionedState
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The banded MinHash SIGNATURE index maintained as durable
+  * [[graft.operators.VersionedState]] — the candidate-GENERATION
+  * artifact behind near-dup admission, promoted to the same lifecycle
+  * as the rest of the family: q89 (incremental dedup) recomputes the
+  * corpus side's signatures and band buckets on EVERY run, which at
+  * 100 TB is a full corpus re-tokenize + re-minhash per ingest batch —
+  * the cost the steady-state pipeline cannot pay. Here the corpus's
+  * banded bucket table is stored once and evolved by delta commits;
+  * an ingest batch is screened by probing the STORED buckets
+  * ([[screen]] ≡ [[Dedup.incrementalNearDupCandidates]] over the live
+  * corpus, which q285 gates hash-exact).
+  *
+  * == State layout ==
+  *
+  * One versioned-state directory; every version's payload is a
+  * `bands/` parquet table (band INT, chunk STRING, id, c BIGINT),
+  * PARTITIONED BY a chunk-hash bucket `bb` (first 8 md5 hex digits of
+  * the chunk mod B — the [[graft.text.Bm25State]] postings layout).
+  * A band row is a LINEAR COUNT like a posting: (band, chunk) is a
+  * pure function of the doc's tokens, so a doc's band rows re-derive
+  * from its tokens at any time and negate on erasure — [[delete]]
+  * negates LIVE rows by id alone (no token rows needed), [[retract]]
+  * negates caller-supplied token rows, and ANY drift vs a one-shot
+  * re-banding is corruption, never approximation ([[maintain]]'s
+  * gate). Dials (nBands, rowsPerBand, B) ride the base label
+  * (`base:bands=<n>,rows=<r>,B=<n>`) and are recovered from disk on
+  * every later commit and probe, so maintainers cannot desynchronize
+  * them. Replay (`delta:<id>`/`retract:<id>`/`drop:<id>` markers +
+  * the compaction-carried delivered sidecar), torn commits, GC,
+  * retention and second-writer surfacing are the family's shared
+  * guarantees.
+  *
+  * == Scale shape (100 TB) ==
+  *
+  * The per-batch state delta is one map-side signature pass over the
+  * BATCH (the native MinHash kernel) + one bucket-partitioned write.
+  * A probe computes the fresh side's band rows map-side, collects its
+  * ≤ B DISTINCT bucket ids (bounded by the dial, not the batch), and
+  * reads ONLY those bucket directories of each segment — a partition
+  * filter, the file-skip the Bm25State postings pruning established —
+  * then blocks fresh×stored inside the shared (band, chunk) buckets
+  * with the q89 skew cap counting BOTH sides. Candidate fan-out is
+  * bucket-size-bounded; nothing corpus-sized moves.
+  */
+object BandedIndex {
+
+  /** The chunk-hash bucket COLUMN: first 8 md5 hex digits mod B (the
+    * repo's portable-hash discipline; bucketing is invisible in
+    * results, so no oracle twin is needed — probes collect the fresh
+    * side's buckets from this same expression).
+    */
+  def bucketExpr(chunk: Column, nB: Int): Column =
+    (conv(substring(md5(chunk), 1, 8), 16, 10).cast("long") % nB).cast("int")
+
+  /** One batch's band rows as COUNTS: (band, chunk, id, c=1) — the
+    * map-side signature + banding pass of [[Dedup.bandedChunkRows]],
+    * NULL chunks dropped (a token-less doc has no joinable band rows;
+    * storing them would only bloat the NULL group).
+    */
+  def bandRows(docs: DataFrame, idCol: String, toksCol: String,
+               nBands: Int, rowsPerBand: Int): DataFrame =
+    Dedup.bandedChunkRows(docs, idCol, toksCol, nBands, rowsPerBand)
+      .where(col("chunk").isNotNull)
+      .select(col("band"), col("chunk"), col(idCol).as("id"),
+        lit(1L).as("c"))
+
+  private def baseLabel(kind: String, nBands: Int, rowsPerBand: Int,
+                        nB: Int) =
+    s"$kind:bands=$nBands,rows=$rowsPerBand,B=$nB"
+
+  private val DialPattern = """.*:bands=(\d+),rows=(\d+),B=(\d+)""".r
+
+  private def lastBaseOf(cs: Seq[(Long, String)],
+                         stateDir: String): (Long, Int, Int, Int) =
+    cs.filter(_._2.startsWith("base")).lastOption match {
+      case Some((n, DialPattern(b, r, nb))) => (n, b.toInt, r.toInt, nb.toInt)
+      case Some((_, bad)) => throw new IllegalStateException(
+        s"base marker at $stateDir carries no banding dials (label '$bad') " +
+          "— not a BandedIndex state directory")
+      case None => throw new IllegalStateException(
+        s"$stateDir has committed versions but no base — corrupt state")
+    }
+
+  /** The (nBands, rowsPerBand, buckets) dials the stored state was
+    * built with. `asOf` pins the read to a committed version.
+    */
+  def storedDials(spark: SparkSession, stateDir: String,
+                  asOf: Option[Long] = None): (Int, Int, Int) = {
+    val cs0 = VersionedState.committed(spark, stateDir)
+    val cs = asOf.fold(cs0)(v => cs0.filter(_._1 <= v))
+    require(cs.nonEmpty, s"no committed state at $stateDir")
+    val (_, b, r, nb) = lastBaseOf(cs, stateDir)
+    (b, r, nb)
+  }
+
+  private def writeBands(rows: DataFrame, nB: Int, vdir: String): Unit =
+    rows.withColumn("bb", bucketExpr(col("chunk"), nB))
+      .repartition(nB, col("bb")) // one file per bucket per commit
+      .write.mode("overwrite").partitionBy("bb").parquet(s"$vdir/bands")
+
+  /** Full (re)build: band rows of the entire corpus given, committed
+    * as a base carrying the dials; prior versions (and the replay
+    * guard) GC'd. `buckets` sizes the chunk-hash partitioning — raise
+    * it with corpus size like the Bm25State postings dial.
+    */
+  def build(docs: DataFrame, idCol: String, toksCol: String,
+            stateDir: String, nBands: Int = 4, rowsPerBand: Int = 2,
+            buckets: Int = 16): Long = {
+    require(nBands >= 1 && rowsPerBand >= 1 && buckets >= 1,
+      s"dials must be ≥ 1, got bands=$nBands rows=$rowsPerBand B=$buckets")
+    require(!docs.isEmpty,
+      "build() needs a non-empty corpus — an empty base commits no " +
+        "parquet footers to anchor later reads; build on the first " +
+        "real batch instead")
+    val spark = docs.sparkSession
+    val prev = VersionedState.currentVersion(spark, stateDir)
+    val next = prev.getOrElse(0L) + 1L
+    VersionedState.commit(spark, stateDir, prev,
+      label = baseLabel("base", nBands, rowsPerBand, buckets),
+      gcBelow = next) { vdir =>
+      writeBands(bandRows(docs, idCol, toksCol, nBands, rowsPerBand),
+        buckets, vdir)
+    }
+  }
+
+  private def deltaCommit(docs: DataFrame, idCol: String, toksCol: String,
+                          stateDir: String, kind: String, deltaId: String,
+                          negate: Boolean): Long = {
+    val spark = docs.sparkSession
+    val prev = VersionedState.currentVersion(spark, stateDir)
+    require(prev.nonEmpty,
+      s"no committed state at $stateDir — run build() before $kind()")
+    IndexSegments.validDeltaId(deltaId) // validate-first (family invariant)
+    val delivered =
+      if (deltaId.isEmpty) None
+      else IndexSegments.alreadyDeliveredLabel(spark, stateDir,
+        s"$kind:$deltaId")
+    delivered match {
+      case Some(v) => return v // replayed batch id: already committed
+      case None    =>
+    }
+    val (nBands, rowsPerBand, nB) = storedDials(spark, stateDir)
+    val rows = bandRows(docs, idCol, toksCol, nBands, rowsPerBand)
+    val signed =
+      if (negate) rows.select(col("band"), col("chunk"), col("id"),
+        (-col("c")).as("c"))
+      else rows
+    val label = if (deltaId.isEmpty) kind else s"$kind:$deltaId"
+    VersionedState.commit(spark, stateDir, prev, label = label)(
+      writeBands(signed, nB, _))
+  }
+
+  /** Incremental refresh: band rows of ONLY the delta docs, at the
+    * dials recovered from the stored base. `deltaId` (optional) makes
+    * the refresh replay-idempotent across compactions.
+    */
+  def refresh(docs: DataFrame, idCol: String, toksCol: String,
+              stateDir: String, deltaId: String = ""): Long =
+    deltaCommit(docs, idCol, toksCol, stateDir, "delta", deltaId,
+      negate = false)
+
+  /** Remove docs by their token rows: the batch's band rows NEGATED.
+    * ⚠ The [[graft.text.Bm25State.retract]] hazard note applies:
+    * retracting rows never ingested leaves negative totals; prefer
+    * [[delete]], which negates LIVE rows and is algebra-idempotent.
+    */
+  def retract(docs: DataFrame, idCol: String, toksCol: String,
+              stateDir: String, deltaId: String = ""): Long =
+    deltaCommit(docs, idCol, toksCol, stateDir, "retract", deltaId,
+      negate = true)
+
+  /** Erasure BY ID ALONE: negate the ids' LIVE band rows (the rows
+    * name the doc, so the negation re-derives from the state itself —
+    * no token rows needed, idempotent at the algebra level like
+    * [[graft.text.Bm25State.delete]]). One scan of the live table
+    * against the broadcast erasure batch.
+    */
+  def delete(ids: DataFrame, idCol: String, stateDir: String,
+             deltaId: String = ""): Long = {
+    val spark = ids.sparkSession
+    val prev = VersionedState.currentVersion(spark, stateDir)
+    require(prev.nonEmpty,
+      s"no committed state at $stateDir — run build() before delete()")
+    IndexSegments.validDeltaId(deltaId)
+    val delivered =
+      if (deltaId.isEmpty) None
+      else IndexSegments.alreadyDeliveredLabel(spark, stateDir,
+        s"drop:$deltaId")
+    delivered match {
+      case Some(v) => return v // replayed erasure id: already committed
+      case None    =>
+    }
+    val (_, _, nB) = storedDials(spark, stateDir)
+    val victims = broadcast(ids.select(col(idCol).as("id")).distinct())
+    val neg = liveBands(spark, stateDir).get.join(victims, "id")
+      .select(col("band"), col("chunk"), col("id"), (-col("c")).as("c"))
+    val label = if (deltaId.isEmpty) "drop" else s"drop:$deltaId"
+    VersionedState.commit(spark, stateDir, prev, label = label)(
+      writeBands(neg, nB, _))
+  }
+
+  /** The LIVE band rows (band, chunk, id, c): per-key totals summed
+    * across every version since the latest base, positive totals only.
+    * None before the first commit. With `buckets` given, the read
+    * filters to those chunk-hash PARTITIONS before the live-sum agg —
+    * the probe's file skip. `asOf` pins the read to a committed
+    * version (a manifest cut).
+    */
+  def liveBands(spark: SparkSession, stateDir: String,
+                asOf: Option[Long] = None,
+                buckets: Option[Seq[Int]] = None): Option[DataFrame] = {
+    val cs0 = VersionedState.committed(spark, stateDir)
+    val cs = asOf.fold(cs0)(v => cs0.filter(_._1 <= v))
+    if (cs.isEmpty) return None
+    val base = IndexSegments.lastBase(cs, stateDir)
+    val vs = cs.map(_._1).filter(_ >= base)
+    // explicit base schema: an all-empty negation segment (a delete of
+    // already-dead ids) has no part files to infer from
+    val sch = spark.read.parquet(
+      s"${VersionedState.versionPath(stateDir, vs.head)}/bands").schema
+    val all = vs.map(n => spark.read.schema(sch).parquet(
+        s"${VersionedState.versionPath(stateDir, n)}/bands"))
+      .reduce(_.unionByName(_))
+    val pruned = buckets.fold(all)(bs => all.where(col("bb").isin(bs: _*)))
+    Some(pruned
+      .groupBy("band", "chunk", "id")
+      .agg(sum("c").cast("long").as("c"))
+      .where(col("c") > 0))
+  }
+
+  /** Screen a fresh batch against the maintained index: candidate
+    * (id_new, id_corpus) pairs sharing any banded minhash chunk with a
+    * LIVE corpus doc — ≡ [[Dedup.incrementalNearDupCandidates]] with
+    * the corpus side read from state instead of re-banded (q285 gates
+    * the identity hash-exact). The skew cap counts BOTH sides' bucket
+    * members, exactly like the one-shot path. The stored side reads
+    * ONLY the fresh batch's chunk-hash bucket partitions (≤ B distinct
+    * bucket ids, collected driver-side from the map-side fresh rows).
+    * Fresh ids must be disjoint from the live corpus ids (the dedup
+    * universe contract).
+    */
+  def screen(fresh: DataFrame, idCol: String, toksCol: String,
+             stateDir: String, maxBucketSize: Int = Int.MaxValue,
+             asOf: Option[Long] = None): DataFrame = {
+    val spark = fresh.sparkSession
+    val (nBands, rowsPerBand, nB) = storedDials(spark, stateDir, asOf)
+    val f = bandRows(fresh, idCol, toksCol, nBands, rowsPerBand)
+      .withColumn("bb", bucketExpr(col("chunk"), nB))
+      .localCheckpoint() // batch-bounded; bucket collect + probe read it
+    // ≤ B distinct ints — bounded by the dial, not the batch
+    val buckets = f.select("bb").distinct().collect().map(_.getInt(0)).toSeq
+    val stored = liveBands(spark, stateDir, asOf,
+        Some(buckets)).getOrElse(
+        throw new IllegalStateException(s"no committed state at $stateDir"))
+      .select(col("band"), col("chunk"), col("id"), lit(0).as("_side"))
+    val tagged = stored.unionByName(
+      f.select(col("band"), col("chunk"), col("id"), lit(1).as("_side")))
+    val kept = Dedup.capBuckets(tagged, Seq("band", "chunk"), maxBucketSize)
+    val c = kept.where(col("_side") === 0)
+    val fr = kept.where(col("_side") === 1)
+    fr.alias("f")
+      .join(c.alias("c"),
+        col("f.band") === col("c.band") && col("f.chunk") === col("c.chunk"))
+      .select(col("f.id").as("id_new"), col("c.id").as("id_corpus"))
+      .distinct()
+  }
+
+  /** Fold every count table since the last base into ONE base-compact
+    * version (dials carried in the label; zero/negative totals
+    * physically dropped), carry the replay guard's delivered-id
+    * sidecar, and GC below the retention floor.
+    */
+  def compact(spark: SparkSession, stateDir: String,
+              retainHorizons: Int = 1,
+              maxDelivered: Int = IndexSegments.DefaultMaxDelivered): Long = {
+    val cs = VersionedState.committed(spark, stateDir)
+    require(cs.nonEmpty, s"no committed state at $stateDir — nothing to compact")
+    val (base, nBands, rowsPerBand, nB) = lastBaseOf(cs, stateDir)
+    val cur = cs.last._1
+    if (cur == base) return cur
+    val folded = liveBands(spark, stateDir).get
+    val delivered = IndexSegments.deliveredLabelsOrdered(spark, stateDir, cs)
+      .takeRight(maxDelivered)
+    val next = cur + 1
+    VersionedState.commit(spark, stateDir, Some(cur),
+      label = baseLabel("base-compact", nBands, rowsPerBand, nB),
+      gcBelow = IndexSegments.compactGcFloor(cs, next, retainHorizons)) { vdir =>
+      writeBands(folded, nB, vdir)
+      VersionedState.writeLines(spark, vdir, IndexSegments.DeliveredFile,
+        delivered)
+    }
+  }
+
+  /** Reclaim the pre-compaction horizon a retaining [[compact]] left
+    * alive — call once in-flight readers of the old horizon are done.
+    */
+  def gc(spark: SparkSession, stateDir: String): Unit =
+    IndexSegments.gcOldHorizons(spark, stateDir)
+
+  /** The runbook as code — one call per ingest batch: refresh with the
+    * delta (replay-guarded), compact when the marker dial trips, and —
+    * when `auditCorpus` (the full live token table) is supplied — gate
+    * the maintained band rows against a one-shot re-banding: band rows
+    * are a pure function of the tokens, so ANY difference is
+    * corruption, never approximation.
+    */
+  def maintain(deltaDocs: DataFrame, idCol: String, toksCol: String,
+               stateDir: String, deltaId: String = "",
+               maxLiveMarkers: Int = 8,
+               auditCorpus: Option[DataFrame] = None):
+      graft.operators.MaintainReport = {
+    import graft.operators.{GateVerdict, Maintain, MaintainReport}
+    val spark = deltaDocs.sparkSession
+    val prev = VersionedState.currentVersion(spark, stateDir)
+    val v = refresh(deltaDocs, idCol, toksCol, stateDir, deltaId)
+    val replayed = prev.exists(v <= _) // fresh commit ⇒ prev+1
+    val compacted = Maintain.liveMarkers(spark, stateDir) > maxLiveMarkers
+    if (compacted) compact(spark, stateDir)
+    val gates = auditCorpus.toSeq.map { corpus =>
+      val (nBands, rowsPerBand, _) = storedDials(spark, stateDir)
+      val diff = liveBands(spark, stateDir).get
+        .join(bandRows(corpus, idCol, toksCol, nBands, rowsPerBand)
+            .select(col("band"), col("chunk"), col("id"),
+              col("c").as("c_one")),
+          Seq("band", "chunk", "id"), "full_outer")
+        .where(col("c").isNull || col("c_one").isNull ||
+          col("c") =!= col("c_one"))
+        .count()
+      if (diff == 0)
+        GateVerdict.Ok("drift", "maintained band rows ≡ one-shot re-banding")
+      else
+        GateVerdict.Corruption("drift",
+          s"$diff band rows differ from the one-shot re-banding — rows " +
+            "are a pure function of the tokens, so this is lost/replayed " +
+            "state, not approximation; rebuild and check replay discipline")
+    }
+    MaintainReport(v, replayed, compacted,
+      Maintain.liveMarkers(spark, stateDir), gates)
+  }
+}

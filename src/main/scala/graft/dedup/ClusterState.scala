@@ -155,25 +155,32 @@ object ClusterState {
     val hits = labels(spark, stateDir).get
       .join(broadcast(probe), Seq("id"))
       .localCheckpoint() // delta-bounded (id, label) of every known endpoint
-    val overlap = hits.join(newIdTable, Seq("id")).limit(3)
-      .collect().map(_.getLong(0))
+    // BOTH contract guards ride ONE driver action off the shared hits
+    // checkpoint (they were two separate limit(3).collect()s — two full
+    // job launches per refresh for probes that are almost always empty):
+    //  - overlap: a batch must not re-ingest ids already LIVE (a second
+    //    adds row, possibly divergently labeled);
+    //  - unknown: every pair endpoint must be LIVE or IN THIS BATCH —
+    //    an unknown endpoint (deleted, or never ingested, e.g. an
+    //    at-least-once edge source re-delivering an edge after its
+    //    endpoint's erasure) would be minted as a node, could become a
+    //    cluster LABEL that is a dead doc id, and a later re-ingest of
+    //    that id would spuriously merge unrelated clusters.
+    val endpoints = pairs.select(col("id_a").as("id"))
+      .unionByName(pairs.select(col("id_b").as("id"))).distinct()
+    val violations = hits.join(newIdTable, Seq("id"))
+      .select(col("id"), lit("overlap").as("kind")).limit(3)
+      .unionByName(endpoints
+        .join(hits.select("id"), Seq("id"), "left_anti")
+        .join(newIdTable, Seq("id"), "left_anti")
+        .select(col("id"), lit("unknown").as("kind")).limit(3))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val overlap = violations.collect { case (id, "overlap") => id }
     require(overlap.isEmpty,
       s"refresh newIds overlap ids already LIVE in $stateDir (e.g. " +
         s"${overlap.mkString(", ")}) — a batch must not re-ingest live " +
         "docs; delete() them first or drop them from the batch")
-    // every pair endpoint must be LIVE or IN THIS BATCH: an unknown
-    // endpoint (deleted, or never ingested — e.g. an at-least-once edge
-    // source re-delivering an edge after its endpoint's erasure) would
-    // otherwise be minted as a node, could become a cluster LABEL that
-    // is a dead doc id, and a later re-ingest of that id would then
-    // spuriously merge unrelated clusters. Delta-bounded check off the
-    // same single scan.
-    val endpoints = pairs.select(col("id_a").as("id"))
-      .unionByName(pairs.select(col("id_b").as("id"))).distinct()
-    val unknown = endpoints
-      .join(hits.select("id"), Seq("id"), "left_anti")
-      .join(newIdTable, Seq("id"), "left_anti")
-      .limit(3).collect().map(_.getLong(0))
+    val unknown = violations.collect { case (id, "unknown") => id }
     require(unknown.isEmpty,
       s"pairs reference ids that are neither live in $stateDir nor in " +
         s"this batch (e.g. ${unknown.mkString(", ")}) — deleted or never " +
@@ -382,7 +389,7 @@ object ClusterState {
     */
   def compact(spark: SparkSession, stateDir: String,
               retainHorizons: Int = 1,
-              maxDelivered: Int = Int.MaxValue): Long = {
+              maxDelivered: Int = IndexSegments.DefaultMaxDelivered): Long = {
     val cs = VersionedState.committed(spark, stateDir)
     require(cs.nonEmpty, s"no committed state at $stateDir — nothing to compact")
     val base = IndexSegments.lastBase(cs, stateDir)

@@ -83,8 +83,8 @@ object Dedup {
     * [[lshBandedCandidatePairs]], cross-side-joined by
     * [[incrementalNearDupCandidates]]).
     */
-  private def bandedChunkRows(docs: DataFrame, idCol: String, tokensCol: String,
-                              nBands: Int, rowsPerBand: Int): DataFrame = {
+  private[dedup] def bandedChunkRows(docs: DataFrame, idCol: String, tokensCol: String,
+                                     nBands: Int, rowsPerBand: Int): DataFrame = {
     val sigs = minhashSignatures(docs, idCol, tokensCol, nBands * rowsPerBand)
     // `concat`, NOT concat_ws: a token-less doc has NULL minhashes, and
     // NULL must propagate into the chunk so the doc produces no joinable

@@ -155,6 +155,15 @@ object ExactSubstr {
     * NEGATED (counts are linear — the dedup pipeline's deletions are
     * a merge here, no tombstones needed). The caller passes the same
     * token rows the docs contributed when added.
+    *
+    * ⚠ Contract hazard (the [[graft.text.Bm25State.retract]] note):
+    * retracting rows that were never ingested leaves NEGATIVE stored
+    * totals — a later refresh of the same content sums to ≤ 0 and
+    * stays invisible, while an intervening [[compact]] physically
+    * drops the negatives and the same refresh then lands whole:
+    * compaction changes observable state, on contract-violating input
+    * only. The [[maintain]] drift gate reports a violating retract as
+    * Corruption.
     */
   def retract(toks: DataFrame, idCol: String, toksCol: String,
               stateDir: String, deltaId: String = ""): Long =
@@ -203,7 +212,7 @@ object ExactSubstr {
     */
   def compact(spark: SparkSession, stateDir: String,
               retainHorizons: Int = 1,
-              maxDelivered: Int = Int.MaxValue): Long = {
+              maxDelivered: Int = IndexSegments.DefaultMaxDelivered): Long = {
     val cs = VersionedState.committed(spark, stateDir)
     require(cs.nonEmpty, s"no committed state at $stateDir — nothing to compact")
     val (base, l) = lastBaseOf(cs, stateDir)

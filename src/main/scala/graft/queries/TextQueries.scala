@@ -5514,6 +5514,271 @@ object TextQueries {
             round(lit(w(0)), 9).as("w_bias"), round(lit(w(1)), 9).as("w_ttr"),
             round(lit(w(2)), 9).as("w_len"), round(lit(w(3)), 9).as("w_sat"),
             round(col("correct").cast("double") / col("n"), 6).as("acc"))
+      }),
+
+    // ---- q285: MAINTAINED banded-signature index — q89's missing
+    // half: the incremental-dedup query blocks a fresh batch against
+    // the corpus WITHOUT corpus×corpus pairing, but it still RE-BANDS
+    // the whole corpus side per run — a full corpus re-tokenize +
+    // re-minhash per ingest batch, the cost the steady-state pipeline
+    // cannot pay at 100 TB. graft.dedup.BandedIndex stores the corpus
+    // band-bucket table as VersionedState (chunk-hash bucket-
+    // PARTITIONED like Bm25State's postings) and evolves it by the
+    // family lifecycle: build on history, refresh with ONLY the delta
+    // (replayed under one id — no-op), erasure verdicts delete by id
+    // alone (band rows are linear counts re-derivable from state;
+    // delivered twice — algebra-idempotent), compact folds the 4
+    // count tables (replay guard rides the sidecar; a post-compact
+    // re-delivery stays a no-op), and the fresh batch's admission
+    // screen probes ONLY its chunks' bucket partitions. The screened
+    // candidates (skew cap counting BOTH sides, exactly q89's dial)
+    // feed the same bigram-Jaccard verification; the answer must
+    // equal a one-shot q89-style run over exactly the live corpus —
+    // the oracle re-derives the whole chain in SQL (signatures →
+    // bands → cap → cross-side block → verify → per-fresh-doc
+    // verdict), so a hash mismatch is state drift, never
+    // approximation. Scale shape: the per-batch state delta is one
+    // map-side signature pass over the batch; the probe collects ≤ B
+    // bucket ids driver-side and reads only those partitions; the
+    // only windows are the per-(band, chunk) cap counts, exactly
+    // q89's plan with the corpus side read from disk.
+    QueryDef("q285_banded_index_maintain", Some(s"""${toksCte()},
+      uni AS (SELECT doc_id, tokens FROM toks
+              WHERE doc_id % 19 = 7 OR doc_id % 7 <> 3),
+      sig AS (SELECT doc_id,
+        ${(0 until 8).map(i =>
+          s"list_min(list_transform(list_distinct(tokens), t -> md5('$i:' || t))) AS mh$i")
+          .mkString(",\n        ")}
+              FROM uni),
+      band AS (${(0 until 4).map(b =>
+          s"SELECT doc_id, $b AS b, mh${2 * b} || '|' || mh${2 * b + 1} AS chunk FROM sig")
+          .mkString(" UNION ALL\n               ")}),
+      kept AS (SELECT doc_id, b, chunk FROM
+                 (SELECT doc_id, b, chunk,
+                         COUNT(*) OVER (PARTITION BY b, chunk) AS bsz FROM band)
+               WHERE bsz <= 50),
+      cand AS (SELECT DISTINCT f.doc_id AS id_new, c.doc_id AS id_corpus
+               FROM kept f JOIN kept c
+                 ON f.b = c.b AND f.chunk = c.chunk
+                    AND f.doc_id % 19 = 7 AND c.doc_id % 19 <> 7),
+      sh AS (SELECT doc_id,
+               list_distinct(list_transform(range(1, len(tokens)),
+                             i -> tokens[i] || ' ' || tokens[i+1])) AS sh
+             FROM uni),
+      ver AS (SELECT id_new, id_corpus FROM
+                (SELECT cd.id_new, cd.id_corpus,
+                        CASE WHEN len(a.sh) + len(b.sh)
+                                  - len(list_intersect(a.sh, b.sh)) = 0 THEN NULL
+                             ELSE len(list_intersect(a.sh, b.sh))
+                                  / (len(a.sh) + len(b.sh)
+                                     - len(list_intersect(a.sh, b.sh))) END AS jac
+                 FROM cand cd JOIN sh a ON a.doc_id = cd.id_new
+                              JOIN sh b ON b.doc_id = cd.id_corpus)
+              WHERE jac >= CAST(0.5 AS DOUBLE)),
+      agg AS (SELECT id_new, MIN(id_corpus) AS dup_of, COUNT(*) AS n_dups
+              FROM ver GROUP BY id_new)
+      SELECT t.doc_id, a.dup_of IS NULL AS is_unique, a.dup_of,
+             COALESCE(a.n_dups, 0) AS n_dups
+      FROM (SELECT doc_id FROM toks WHERE doc_id % 19 = 7) t
+      LEFT JOIN agg a ON a.id_new = t.doc_id
+      ORDER BY doc_id"""),
+      (s, dir) => {
+        import graft.dedup.{BandedIndex, Dedup}
+        val toks = tokenized(s, dir)
+          .localCheckpoint() // splits, screen, and verification read it
+        val fresh = toks.where(col("doc_id") % 19 === 7)
+        val corpusAll = toks.where(col("doc_id") % 19 =!= 7)
+        val hist = corpusAll.where(col("doc_id") % 5 =!= 4)
+        val delta = corpusAll.where(col("doc_id") % 5 === 4)
+        val dead = corpusAll.where(col("doc_id") % 7 === 3)
+        val stDir = s"${System.getProperty("java.io.tmpdir")}/graft_q285_" +
+          dir.replaceAll("[^A-Za-z0-9._-]", "_") +
+          "_p" + ProcessHandle.current.pid + "_" + q274Runs.incrementAndGet()
+        EventQueries.cleanupOnExit(stDir)
+        BandedIndex.build(hist, "doc_id", "tokens", stDir)
+        // incremental refresh: ONLY the delta banded, replay-guarded
+        BandedIndex.refresh(delta, "doc_id", "tokens", stDir, deltaId = "d1")
+        BandedIndex.refresh(delta, "doc_id", "tokens", stDir, deltaId = "d1") // replayed: no-op
+        // the erasure verdict by id alone, delivered twice under one id
+        BandedIndex.delete(dead.select("doc_id"), "doc_id", stDir,
+          deltaId = "e1")
+        BandedIndex.delete(dead.select("doc_id"), "doc_id", stDir,
+          deltaId = "e1") // replayed: no-op
+        BandedIndex.compact(s, stDir) // 4 count tables fold to 1
+        // post-compact re-delivery: the sidecar-carried guard holds
+        BandedIndex.refresh(delta, "doc_id", "tokens", stDir, deltaId = "d1")
+        val cand = BandedIndex.screen(fresh, "doc_id", "tokens", stDir,
+          maxBucketSize = 50)
+        val live = corpusAll.where(col("doc_id") % 7 =!= 3)
+        val verified = Dedup.verifyJaccard(live.unionByName(fresh),
+            "doc_id", "tokens",
+            cand.select(col("id_new").as("id_a"), col("id_corpus").as("id_b")))
+          .where(col("jaccard") >= 0.5)
+        val agg = verified.groupBy(col("id_a").as("doc_id"))
+          .agg(min(col("id_b")).as("dup_of"), count(lit(1)).as("n_dups"))
+        fresh.select("doc_id").join(agg, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("dup_of").isNull.as("is_unique"),
+            col("dup_of"), coalesce(col("n_dups"), lit(0L)).as("n_dups"))
+          .orderBy("doc_id")
+      }),
+
+    // ---- q286: MAINTAINED NEEDLE STATE — the last unversioned input
+    // of the serving stack closes: q280/q282/q284 re-derive the eval
+    // needle set one-shot per run, but eval suites EVOLVE by versions
+    // too, and an unversioned needle set means the contamination
+    // verdict silently changes under a reader's feet. The needle
+    // window-hash multiset is stored as its own ExactSubstr state
+    // (keyed by the eval corpus, L recovered from the base) and pinned
+    // under the SAME StateManifest cut as the serving index. Cycle:
+    // build the BM25 index on train + the needle state on eval-v1,
+    // cut 1; excise the v1-contaminated docs (verdict delivered twice
+    // — replay no-op), cut 2; the eval suite UPDATES (new docs
+    // doc_id % 19 = 11 refresh the needle state, delivered twice),
+    // the wider verdict excises again (overlapping the first — delete
+    // negates LIVE counts, so the overlap is idempotent by ALGEBRA),
+    // cut 3. The gate: the top-10 served under cut 2 vs cut 3 — the
+    // OLD cut must keep serving docs only the NEW suite contaminates
+    // (old cut = old verdict), the new cut must not; the oracle
+    // re-derives both chains in SQL (needles-v1 → survivor BM25;
+    // needles-v1∪v2 → survivor BM25). Scale shape: the needle side is
+    // eval-corpus-sized (broadcastable); each verdict is one window
+    // explode + hash equi-join over train; each excision is one
+    // verdict-bounded commit; every serve read is asOf-pinned and
+    // reads pruned postings buckets only.
+    QueryDef("q286_needle_state_cuts", Some {
+      def bmTop(clean: String, p: String): String = s"""
+      len$p AS (SELECT doc_id, CAST(len(tokens) AS BIGINT) AS dl
+              FROM $clean WHERE len(tokens) >= 1),
+      stats$p AS (SELECT COUNT(*) AS nd,
+                         CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+                  FROM len$p),
+      tf$p AS (SELECT c.doc_id, tok.token AS term, COUNT(*) AS tf
+             FROM $clean c, unnest(c.tokens) AS tok(token)
+             WHERE tok.token IN (SELECT term FROM qterms)
+             GROUP BY 1, 2),
+      df$p AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf$p GROUP BY term),
+      sc$p AS (SELECT f.doc_id,
+               ln(((SELECT nd FROM stats$p) - d.df + 0.5) / (d.df + 0.5) + 1)
+               * (f.tf * 2.2)
+               / (f.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl
+                                / (SELECT avgdl FROM stats$p))) AS s
+             FROM tf$p f JOIN df$p d USING (term) JOIN len$p l USING (doc_id)),
+      bm$p AS (SELECT doc_id, ROUND(SUM(s), 6) AS bm25
+             FROM sc$p GROUP BY doc_id
+             ORDER BY bm25 DESC, doc_id LIMIT 10)"""
+      s"""${toksCte()},
+      ev1 AS (SELECT doc_id, tokens FROM toks WHERE doc_id % 19 = 5),
+      ev2 AS (SELECT doc_id, tokens FROM toks WHERE doc_id % 19 = 11),
+      tr AS (SELECT doc_id, tokens FROM toks
+             WHERE doc_id % 19 NOT IN (5, 11)),
+      n1 AS (SELECT DISTINCT
+               md5(list_aggregate(tokens[i:i+5], 'string_agg', ' ')) AS h
+             FROM ev1, LATERAL unnest(range(1, len(tokens) - 4)) r(i)),
+      n2 AS (SELECT h FROM n1 UNION
+             SELECT DISTINCT
+               md5(list_aggregate(tokens[i:i+5], 'string_agg', ' ')) AS h
+             FROM ev2, LATERAL unnest(range(1, len(tokens) - 4)) r(i)),
+      w AS (SELECT doc_id,
+                   md5(list_aggregate(tokens[i:i+5], 'string_agg', ' ')) AS h
+            FROM tr, LATERAL unnest(range(1, len(tokens) - 4)) r(i)),
+      c1 AS (SELECT DISTINCT w.doc_id FROM w JOIN n1 USING (h)),
+      c2 AS (SELECT DISTINCT w.doc_id FROM w JOIN n2 USING (h)),
+      qterms AS (SELECT unnest(['hash', 'filter', 'batch']) AS term),
+      clean1 AS (SELECT t.doc_id, t.tokens FROM tr t
+                 WHERE t.doc_id NOT IN (SELECT doc_id FROM c1)),
+      clean2 AS (SELECT t.doc_id, t.tokens FROM tr t
+                 WHERE t.doc_id NOT IN (SELECT doc_id FROM c2)),${bmTop("clean1", "1")},${bmTop("clean2", "2")}
+      SELECT COALESCE(o.doc_id, nn.doc_id) AS doc_id,
+             o.bm25 AS bm25_old_cut, nn.bm25 AS bm25_new_cut,
+             (o.doc_id IS NOT NULL AND nn.doc_id IS NULL)
+               AS dropped_by_update,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM c1) AS n_excised_old,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM c2) AS n_excised_new,
+             (SELECT CAST(nd AS BIGINT) FROM stats1) AS nd_old,
+             (SELECT CAST(nd AS BIGINT) FROM stats2) AS nd_new
+      FROM bm1 o FULL OUTER JOIN bm2 nn ON o.doc_id = nn.doc_id
+      ORDER BY doc_id"""
+    },
+      (s, dir) => {
+        import graft.dedup.ExactSubstr
+        import graft.operators.StateManifest
+        import graft.text.Bm25State
+        val L = 6
+        val terms = Seq("hash", "filter", "batch")
+        val toks = tokenized(s, dir).localCheckpoint() // splits + windows
+        val ev1 = toks.where(col("doc_id") % 19 === 5)
+        val ev2 = toks.where(col("doc_id") % 19 === 11)
+        val tr = toks.where(col("doc_id") % 19 =!= 5 &&
+          col("doc_id") % 19 =!= 11)
+        val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_") +
+          "_p" + ProcessHandle.current.pid + "_" + q274Runs.incrementAndGet()
+        val bmDir = s"${System.getProperty("java.io.tmpdir")}/graft_q286bm_$tag"
+        val nsDir = s"${System.getProperty("java.io.tmpdir")}/graft_q286ns_$tag"
+        val mDir = s"${System.getProperty("java.io.tmpdir")}/graft_q286mf_$tag"
+        Seq(bmDir, nsDir, mDir).foreach(EventQueries.cleanupOnExit)
+        val trWindows = ExactSubstr.windowHashes(tr, "doc_id", "tokens", L)
+          .localCheckpoint() // both verdicts read it
+        // cut 1: index + needle state born together
+        val bv1 = Bm25State.build(tr, "doc_id", "tokens", bmDir)
+        val nv1 = ExactSubstr.build(ev1, "doc_id", "tokens", L, nsDir)
+        StateManifest.commit(s, mDir,
+          Map("bm" -> (bmDir, bv1), "ns" -> (nsDir, nv1)))
+        // excision round 1: the verdict derives from the PINNED needle
+        // state (c ≥ 1 — the needle set is the whole eval multiset),
+        // delivered twice under one id
+        val cut1 = StateManifest.resolve(s, mDir).get
+        val needles1 = ExactSubstr.hashCounts(s, nsDir,
+          asOf = Some(cut1("ns")._2)).get.select("h")
+        val contam1 = trWindows.join(needles1, "h")
+          .select(col("doc").as("doc_id")).distinct()
+          .localCheckpoint() // the erasure + its replay read it
+        val bv2 = Bm25State.delete(contam1, "doc_id", bmDir, "x1")
+        Bm25State.delete(contam1, "doc_id", bmDir, "x1") // replayed: no-op
+        StateManifest.commit(s, mDir,
+          Map("bm" -> (bmDir, bv2), "ns" -> (nsDir, nv1))) // cut 2
+        // the eval suite UPDATES: a refresh of the needle state,
+        // delivered twice under one id
+        val nv2 = ExactSubstr.refresh(ev2, "doc_id", "tokens", nsDir, "ev2")
+        ExactSubstr.refresh(ev2, "doc_id", "tokens", nsDir, "ev2") // replayed
+        // excision round 2: the WIDER verdict — overlaps round 1, and
+        // delete() negates LIVE counts, so the overlap is idempotent
+        // by algebra (already-dead docs negate nothing)
+        val needles2 = ExactSubstr.hashCounts(s, nsDir,
+          asOf = Some(nv2)).get.select("h")
+        val contam2 = trWindows.join(needles2, "h")
+          .select(col("doc").as("doc_id")).distinct()
+          .localCheckpoint()
+        val bv3 = Bm25State.delete(contam2, "doc_id", bmDir, "x2")
+        StateManifest.commit(s, mDir,
+          Map("bm" -> (bmDir, bv3), "ns" -> (nsDir, nv2))) // cut 3
+        // serve through BOTH cuts: the old cut keeps serving the old
+        // verdict (docs only the NEW suite contaminates), the new one
+        // doesn't — pinned asOf reads, pruned postings buckets only
+        val cut2 = StateManifest.readCut(s, mDir, 2L)
+        val cut3 = StateManifest.readCut(s, mDir, 3L)
+        val old = Bm25State.topK(s, bmDir, terms, 10,
+            asOf = Some(cut2("bm")._2))
+          .select(col("doc").as("doc_id"), col("bm25").as("bm25_old_cut"))
+        val neu = Bm25State.topK(s, bmDir, terms, 10,
+            asOf = Some(cut3("bm")._2))
+          .select(col("doc").as("doc_id"), col("bm25").as("bm25_new_cut"))
+        // the moved verdict must be VISIBLE in the output even when no
+        // newly-excised doc cracks the top-10: per-cut excision counts
+        // and the per-cut corpus size N (one-row broadcasts)
+        val meta = contam1.agg(count(lit(1)).as("n_excised_old"))
+          .crossJoin(contam2.agg(count(lit(1)).as("n_excised_new")))
+          .crossJoin(Bm25State.stats(s, bmDir, asOf = Some(cut2("bm")._2))
+            .select(col("nd").as("nd_old")))
+          .crossJoin(Bm25State.stats(s, bmDir, asOf = Some(cut3("bm")._2))
+            .select(col("nd").as("nd_new")))
+        old.join(neu, Seq("doc_id"), "full_outer")
+          .crossJoin(broadcast(meta))
+          .select(col("doc_id"), col("bm25_old_cut"), col("bm25_new_cut"),
+            (col("bm25_old_cut").isNotNull && col("bm25_new_cut").isNull)
+              .as("dropped_by_update"),
+            col("n_excised_old"), col("n_excised_new"),
+            col("nd_old"), col("nd_new"))
+          .orderBy("doc_id")
       })
   )
 

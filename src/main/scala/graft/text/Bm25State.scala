@@ -26,12 +26,20 @@ import org.apache.spark.sql.functions._
   * == State layout ==
   *
   * One versioned-state directory; every version's payload is a
-  * `postings/` parquet table (term STRING, doc, tf BIGINT),
-  * PARTITIONED BY a term-hash bucket `b` (the first 8 md5 hex digits
-  * of the term mod B — B a build-time dial carried in the base label,
-  * recovered from disk on every later commit so maintainers cannot
-  * desynchronize it), and an unpartitioned `doclen/` table (doc, dl
-  * BIGINT). Labels: `base:B=<n>` (a [[build]] — counts of the whole
+  * `postings/` parquet table (term STRING, doc, tf BIGINT, dl
+  * BIGINT), PARTITIONED BY a term-hash bucket `b` (the first 8 md5
+  * hex digits of the term mod B — B a build-time dial carried in the
+  * base label, recovered from disk on every later commit so
+  * maintainers cannot desynchronize it), and an unpartitioned
+  * `doclen/` table (doc, dl BIGINT). The document length is
+  * DENORMALIZED into every posting row: dl is known at every commit
+  * (build/refresh tokenize the batch; retract/delete negate LIVE
+  * rows, which already carry it) and negates alongside tf, so the
+  * count algebra is unchanged — and the serving path never joins a
+  * corpus-sized table (see the scale-shape note below). The
+  * `doclen/` table remains the N/avgdl STATS source only (one
+  * doc-count-sized agg folding to one row per cut).
+  * Labels: `base:B=<n>` (a [[build]] — counts of the whole
   * corpus given), `delta` / `delta:<id>` (a [[refresh]] — counts of
   * ONLY the delta docs), `retract:<id>`* (a [[retract]] — NEGATIVE
   * counts of removed docs, token rows supplied by the caller),
@@ -55,11 +63,16 @@ import org.apache.spark.sql.functions._
   * themselves BEFORE the live-sum agg: the bucket predicate is a
   * PARTITION filter (a k-term query opens ≤ k of B directories per
   * segment — a file skip), the term predicate a pushed data filter
-  * inside them (a row skip) — so query cost scales with the terms'
-  * postings, not the corpus. Corpus stats (N, avgdl) are one
-  * doc-count-sized agg folding to one row. The segment fan-out and
-  * the driver-side marker scan are bounded by [[compact]], exactly
-  * like the rest of the family.
+  * inside them (a row skip) — and because dl rides the posting row,
+  * the per-doc length needs NO lookup join: EVERY per-query input is
+  * bounded by the query terms' postings, never the corpus. Corpus
+  * stats (N, avgdl) are one doc-count-sized agg folding to one row,
+  * computed once per manifest cut by a serving layer ([[stats]] →
+  * `precomputedStats`) — with it, a query's total selected bytes are
+  * the pruned postings buckets alone (ProfileBm25's
+  * `selected-bytes-total` column). The segment fan-out and the
+  * driver-side marker scan are bounded by [[compact]], exactly like
+  * the rest of the family.
   */
 object Bm25State {
 
@@ -78,6 +91,19 @@ object Bm25State {
   def docLens(toks: DataFrame, idCol: String, toksCol: String): DataFrame =
     toks.where(size(col(toksCol)) >= 1)
       .select(col(idCol).as("doc"), size(col(toksCol)).cast("long").as("dl"))
+
+  /** Batch postings WITH the doc length denormalized onto every row:
+    * (term, doc, tf, dl) — the stored payload shape. The dl join is
+    * BATCH-local (both sides derive from the same token rows; a doc
+    * appearing twice in one batch contributes its summed dl, exactly
+    * the total the doclen table's live sum would read).
+    */
+  def postingsWithDl(toks: DataFrame, idCol: String,
+                     toksCol: String): DataFrame =
+    postings(toks, idCol, toksCol)
+      .join(docLens(toks, idCol, toksCol)
+        .groupBy("doc").agg(sum("dl").as("dl")), "doc")
+      .select(col("term"), col("doc"), col("tf"), col("dl"))
 
   /** The term-hash bucket COLUMN: first 8 md5 hex digits mod B —
     * md5 for the repo's portable-hash discipline, byte-equal to
@@ -128,11 +154,12 @@ object Bm25State {
 
   private def writePayload(toks: DataFrame, idCol: String, toksCol: String,
                            negate: Boolean, nB: Int)(vdir: String): Unit = {
-    val p = postings(toks, idCol, toksCol)
+    val p = postingsWithDl(toks, idCol, toksCol)
     val l = docLens(toks, idCol, toksCol)
     val (ps, ls) =
       if (negate)
-        (p.select(col("term"), col("doc"), (-col("tf")).as("tf")),
+        (p.select(col("term"), col("doc"), (-col("tf")).as("tf"),
+          (-col("dl")).as("dl")),
           l.select(col("doc"), (-col("dl")).as("dl")))
       else (p, l)
     writePostings(ps, nB, vdir)
@@ -150,6 +177,15 @@ object Bm25State {
   def build(toks: DataFrame, idCol: String, toksCol: String,
             stateDir: String, buckets: Int = 16): Long = {
     require(buckets >= 1, s"buckets must be ≥ 1, got $buckets")
+    // an all-empty base would commit zero part files under postings/,
+    // and every later read's explicit-schema inference off the base
+    // would then fail with an opaque AnalysisException — surface the
+    // contract here instead (start an empty index with the first real
+    // batch's build, not an empty one)
+    require(!toks.isEmpty,
+      "build() needs a non-empty corpus — an empty base commits no " +
+        "parquet footers to anchor later reads; build on the first " +
+        "real batch instead")
     val spark = toks.sparkSession
     val prev = VersionedState.currentVersion(spark, stateDir)
     val next = prev.getOrElse(0L) + 1L
@@ -165,6 +201,9 @@ object Bm25State {
     val prev = VersionedState.currentVersion(spark, stateDir)
     require(prev.nonEmpty,
       s"no committed state at $stateDir — run build() before $kind()")
+    // validate-first, the family-wide invariant (commitTombstone's
+    // order): guard keys are always VALIDATED ids
+    IndexSegments.validDeltaId(deltaId) // byte-bounded: marker + sidecar safe
     val delivered =
       if (deltaId.isEmpty) None
       else IndexSegments.alreadyDeliveredLabel(spark, stateDir,
@@ -173,7 +212,6 @@ object Bm25State {
       case Some(v) => return v // replayed batch id: already committed
       case None    =>
     }
-    IndexSegments.validDeltaId(deltaId) // byte-bounded: marker + sidecar safe
     val nB = storedBuckets(spark, stateDir) // the dial comes from disk
     val label = if (deltaId.isEmpty) kind else s"$kind:$deltaId"
     VersionedState.commit(spark, stateDir, prev, label = label)(
@@ -195,6 +233,18 @@ object Bm25State {
     * added; when the doc store is no longer queryable, use [[delete]]
     * — the postings name the doc, so the rows can be re-derived from
     * the live state.
+    *
+    * ⚠ Contract hazard (prefer [[delete]] for erasure): retracting
+    * token rows the doc never contributed leaves NEGATIVE stored
+    * totals. A later [[refresh]] of that doc then sums to ≤ 0 and the
+    * doc stays dead — but an intervening [[compact]] physically drops
+    * the negative totals, after which the same refresh revives it:
+    * compaction changes observable state, on contract-violating input
+    * only. [[delete]] has no such mode — it negates LIVE totals, so
+    * it is idempotent at the algebra level; the drift gate
+    * ([[maintain]] with an `auditCorpus`) catches a violating retract
+    * as Corruption. The same hazard note applies to
+    * [[graft.dedup.ExactSubstr.retract]].
     */
   def retract(toks: DataFrame, idCol: String, toksCol: String,
               stateDir: String, deltaId: String = ""): Long =
@@ -220,6 +270,7 @@ object Bm25State {
     val prev = VersionedState.currentVersion(spark, stateDir)
     require(prev.nonEmpty,
       s"no committed state at $stateDir — run build() before delete()")
+    IndexSegments.validDeltaId(deltaId) // validate-first (family invariant)
     val delivered =
       if (deltaId.isEmpty) None
       else IndexSegments.alreadyDeliveredLabel(spark, stateDir,
@@ -228,11 +279,11 @@ object Bm25State {
       case Some(v) => return v // replayed erasure id: already committed
       case None    =>
     }
-    IndexSegments.validDeltaId(deltaId)
     val nB = storedBuckets(spark, stateDir)
     val victims = broadcast(ids.select(col(idCol).as("doc")).distinct())
     val p = livePostings(spark, stateDir).get.join(victims, "doc")
-      .select(col("term"), col("doc"), (-col("tf")).as("tf"))
+      .select(col("term"), col("doc"), (-col("tf")).as("tf"),
+        (-col("dl")).as("dl"))
     val l = liveDocLens(spark, stateDir).get.join(victims, "doc")
       .select(col("doc"), (-col("dl")).as("dl"))
     val label = if (deltaId.isEmpty) "drop" else s"drop:$deltaId"
@@ -255,7 +306,8 @@ object Bm25State {
 
   private def liveSum(spark: SparkSession, stateDir: String,
                       asOf: Option[Long], table: String, keys: Seq[String],
-                      cnt: String, pre: DataFrame => DataFrame = identity)
+                      cnts: Seq[String],
+                      pre: DataFrame => DataFrame = identity)
       : Option[DataFrame] =
     horizon(spark, stateDir, asOf).map { vs =>
       // every segment reads with the BASE segment's explicit schema: a
@@ -267,19 +319,23 @@ object Bm25State {
       pre(vs.map(n => spark.read.schema(sch).parquet(
           s"${VersionedState.versionPath(stateDir, n)}/$table"))
         .reduce(_.unionByName(_)))
-        .groupBy(keys.map(col): _*).agg(sum(cnt).cast("long").as(cnt))
-        .where(col(cnt) > 0)
+        .groupBy(keys.map(col): _*)
+        .agg(sum(cnts.head).cast("long").as(cnts.head),
+          cnts.tail.map(c => sum(c).cast("long").as(c)): _*)
+        .where(col(cnts.head) > 0) // liveness rides the PRIMARY count
     }
 
-  /** The LIVE postings (term, doc, tf): per-key totals summed across
-    * every version since the latest base, positive totals only. None
-    * before the first commit. With `terms` given, the read filters to
-    * those terms' BUCKET PARTITIONS (a file skip — ≤ k of B
-    * directories per segment open) plus the terms themselves (a
-    * pushed row filter inside them) BEFORE the live-sum agg. `asOf`
-    * pins the read to a committed version (a manifest cut; the pinned
-    * horizon must still be on disk — retention keeps one folded
-    * horizon, [[gc]] reclaims it).
+  /** The LIVE postings (term, doc, tf, dl): per-key totals summed
+    * across every version since the latest base, positive tf totals
+    * only — dl sums by the same linear algebra (it was committed
+    * alongside tf and negated alongside it), so a live row's dl IS
+    * the doc's live length. None before the first commit. With
+    * `terms` given, the read filters to those terms' BUCKET
+    * PARTITIONS (a file skip — ≤ k of B directories per segment open)
+    * plus the terms themselves (a pushed row filter inside them)
+    * BEFORE the live-sum agg. `asOf` pins the read to a committed
+    * version (a manifest cut; the pinned horizon must still be on
+    * disk — retention keeps one folded horizon, [[gc]] reclaims it).
     */
   def livePostings(spark: SparkSession, stateDir: String,
                    asOf: Option[Long] = None,
@@ -291,15 +347,17 @@ object Bm25State {
         df => df.where(col("b").isin(bs: _*) && col("term").isin(ts: _*))
       case None => identity
     }
-    liveSum(spark, stateDir, asOf, "postings", Seq("term", "doc"), "tf", pre)
+    liveSum(spark, stateDir, asOf, "postings", Seq("term", "doc"),
+      Seq("tf", "dl"), pre)
   }
 
-  /** The LIVE document lengths (doc, dl) — same algebra. A fully
-    * retracted doc sums to 0 and drops out of N and avgdl.
+  /** The LIVE document lengths (doc, dl) — same algebra; the N/avgdl
+    * STATS source (the serving path reads dl off the postings rows).
+    * A fully retracted doc sums to 0 and drops out of N and avgdl.
     */
   def liveDocLens(spark: SparkSession, stateDir: String,
                   asOf: Option[Long] = None): Option[DataFrame] =
-    liveSum(spark, stateDir, asOf, "doclen", Seq("doc"), "dl")
+    liveSum(spark, stateDir, asOf, "doclen", Seq("doc"), Seq("dl"))
 
   /** Corpus stats — one row (nd, avgdl) derived from the live doc
     * lengths (exact: derived, never maintained additively, so a
@@ -323,10 +381,12 @@ object Bm25State {
     * by doc), cut by TakeOrderedAndProject — per-partition top-k then
     * a k-row merge, never a corpus sort. The term filter lands below
     * the live-sum agg and the segment union; df/stats ride one-row /
-    * k-row broadcasts. `precomputedStats` (a [[stats]] result — same
-    * arithmetic or the scores change) skips the per-query corpus-stats
-    * scan; the per-doc dl lookup join remains (doc-count-sized scan,
-    * inherent to the normalized doclen layout).
+    * k-row broadcasts; dl rides the posting rows themselves, so there
+    * is NO per-doc length lookup join — with `precomputedStats` (a
+    * [[stats]] result, one row per cut — same arithmetic or the
+    * scores change) the query's only table input is the pruned
+    * postings buckets. Without it, the corpus-stats derivation scans
+    * the doclen table once (doc-count-sized) for self-containment.
     */
   def topK(spark: SparkSession, stateDir: String, terms: Seq[String],
            k: Int, k1: Double = 1.2, b: Double = 0.75, roundTo: Int = 6,
@@ -335,12 +395,12 @@ object Bm25State {
     require(terms.nonEmpty, "empty query")
     val tf = livePostings(spark, stateDir, asOf, Some(terms)).getOrElse(
       throw new IllegalStateException(s"no committed state at $stateDir"))
-    val len = liveDocLens(spark, stateDir, asOf).get
     val stats = precomputedStats.getOrElse(
-      len.agg(count(lit(1)).as("nd"),
-        (sum("dl").cast("double") / count(lit(1))).as("avgdl")))
+      liveDocLens(spark, stateDir, asOf).get
+        .agg(count(lit(1)).as("nd"),
+          (sum("dl").cast("double") / count(lit(1))).as("avgdl")))
     val dft = tf.groupBy("term").agg(countDistinct("doc").as("df"))
-    tf.join(broadcast(dft), "term").join(len, "doc")
+    tf.join(broadcast(dft), "term")
       .crossJoin(broadcast(stats))
       .select(col("doc"),
         (log((col("nd") - col("df") + 0.5) / (col("df") + 0.5) + 1)
@@ -360,7 +420,7 @@ object Bm25State {
     */
   def compact(spark: SparkSession, stateDir: String,
               retainHorizons: Int = 1,
-              maxDelivered: Int = Int.MaxValue): Long = {
+              maxDelivered: Int = IndexSegments.DefaultMaxDelivered): Long = {
     val cs = VersionedState.committed(spark, stateDir)
     require(cs.nonEmpty, s"no committed state at $stateDir — nothing to compact")
     val (base, nB) = lastBaseOf(cs, stateDir)
@@ -409,11 +469,12 @@ object Bm25State {
     if (compacted) compact(spark, stateDir)
     val gates = auditCorpus.toSeq.map { corpus =>
       val pDiff = livePostings(spark, stateDir).get
-        .join(postings(corpus, idCol, toksCol)
-            .select(col("term"), col("doc"), col("tf").as("tf_one")),
+        .join(postingsWithDl(corpus, idCol, toksCol)
+            .select(col("term"), col("doc"), col("tf").as("tf_one"),
+              col("dl").as("dl_one")),
           Seq("term", "doc"), "full_outer")
         .where(col("tf").isNull || col("tf_one").isNull ||
-          col("tf") =!= col("tf_one"))
+          col("tf") =!= col("tf_one") || col("dl") =!= col("dl_one"))
         .count()
       val lDiff = liveDocLens(spark, stateDir).get
         .join(docLens(corpus, idCol, toksCol)

@@ -1,0 +1,207 @@
+package graft
+
+import graft.dedup.{BandedIndex, Dedup}
+import graft.operators.VersionedState
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The maintained banded-signature index's contract: screening a fresh
+  * batch off disk state ≡ the one-shot incremental blocking over the
+  * live corpus (q285 gates that against the DuckDB oracle; here the
+  * restart/replay/delete/compact semantics the oracle can't see).
+  */
+class BandedIndexSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def docsDf(rows: (Long, String)*): DataFrame =
+    rows.toSeq.toDF("doc_id", "text")
+      .select(col("doc_id"), split(col("text"), " ").as("tokens"))
+
+  // docs 1/2 are near-identical (share every band), 3 is distinct,
+  // 4 is a near-copy of 3
+  private val hist = docsDf(
+    1L -> "alpha beta gamma delta epsilon",
+    2L -> "alpha beta gamma delta epsilon",
+    3L -> "red green blue cyan magenta",
+    4L -> "red green blue cyan magenta")
+
+  private def freshDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_bi_$tag").toString + "/st"
+
+  private def pairs(df: DataFrame): Set[(Long, Long)] =
+    df.select(col("id_new").cast("long"), col("id_corpus").cast("long"))
+      .as[(Long, Long)].collect().toSet
+
+  private def oneShot(corpus: DataFrame, fresh: DataFrame,
+                      cap: Int = Int.MaxValue): Set[(Long, Long)] =
+    pairs(Dedup.incrementalNearDupCandidates(corpus, fresh,
+      "doc_id", "tokens", 4, 2, maxBucketSize = cap))
+
+  private def liveSet(dir: String): Set[(Int, String, Long, Long)] =
+    BandedIndex.liveBands(spark, dir).get
+      .select(col("band"), col("chunk"), col("id").cast("long"), col("c"))
+      .as[(Int, String, Long, Long)].collect().toSet
+
+  test("build + screen ≡ one-shot incremental blocking; dials recovered from disk") {
+    val dir = freshDir("build")
+    BandedIndex.build(hist, "doc_id", "tokens", dir)
+    assert(BandedIndex.storedDials(spark, dir) === ((4, 2, 16)))
+    val fresh = docsDf(9L -> "alpha beta gamma delta epsilon",
+      10L -> "nothing shared here at all")
+    val got = pairs(BandedIndex.screen(fresh, "doc_id", "tokens", dir))
+    assert(got === oneShot(hist, fresh))
+    assert(got.contains((9L, 1L)) && got.contains((9L, 2L)))
+    assert(!got.exists(_._1 == 10L), "a no-overlap doc screens clean")
+  }
+
+  test("refresh extends the corpus side; maintained ≡ one-shot on the union; replay is a no-op") {
+    val dir = freshDir("refresh")
+    BandedIndex.build(hist, "doc_id", "tokens", dir)
+    val delta = docsDf(5L -> "alpha beta gamma delta epsilon")
+    val v1 = BandedIndex.refresh(delta, "doc_id", "tokens", dir, "b1")
+    assert(BandedIndex.refresh(delta, "doc_id", "tokens", dir, "b1") === v1,
+      "a replayed delta id must be a no-op")
+    val fresh = docsDf(9L -> "alpha beta gamma delta epsilon")
+    assert(pairs(BandedIndex.screen(fresh, "doc_id", "tokens", dir)) ===
+      oneShot(hist.unionByName(delta), fresh))
+    // the refreshed doc is now screenable AGAINST
+    assert(pairs(BandedIndex.screen(fresh, "doc_id", "tokens", dir))
+      .contains((9L, 5L)))
+  }
+
+  test("delete by id: the erased doc stops blocking; double-delete is algebra-idempotent; re-add survives") {
+    val dir = freshDir("delete")
+    BandedIndex.build(hist, "doc_id", "tokens", dir)
+    val before = liveSet(dir)
+    BandedIndex.delete(Seq(2L).toDF("doc_id"), "doc_id", dir, "e1")
+    val fresh = docsDf(9L -> "alpha beta gamma delta epsilon")
+    val got = pairs(BandedIndex.screen(fresh, "doc_id", "tokens", dir))
+    assert(got === oneShot(hist.where(col("doc_id") =!= 2L), fresh))
+    assert(!got.exists(_._2 == 2L), "an erased doc must stop blocking")
+    // a second delete under a DIFFERENT id sees zero live rows
+    BandedIndex.delete(Seq(2L).toDF("doc_id"), "doc_id", dir, "e2")
+    assert(liveSet(dir) === before.filterNot(_._3 == 2L))
+    // erasure is intent-ordered: a later refresh re-adds
+    BandedIndex.refresh(hist.where(col("doc_id") === 2L), "doc_id", "tokens",
+      dir, "re-2")
+    assert(liveSet(dir) === before)
+  }
+
+  test("skew cap counts BOTH sides, exactly like the one-shot path") {
+    val dir = freshDir("cap")
+    // 3 corpus docs in one bucket; cap 4 kills the bucket once the
+    // fresh side's 2 members join it (5 > 4)
+    val c3 = docsDf(1L -> "alpha beta gamma delta epsilon",
+      2L -> "alpha beta gamma delta epsilon",
+      3L -> "alpha beta gamma delta epsilon")
+    BandedIndex.build(c3, "doc_id", "tokens", dir)
+    val fresh = docsDf(9L -> "alpha beta gamma delta epsilon",
+      10L -> "alpha beta gamma delta epsilon")
+    val capped = pairs(BandedIndex.screen(fresh, "doc_id", "tokens", dir,
+      maxBucketSize = 4))
+    assert(capped === oneShot(c3, fresh, cap = 4))
+    assert(capped.isEmpty, "both-sides counting must kill the hot bucket")
+    val uncapped = pairs(BandedIndex.screen(fresh, "doc_id", "tokens", dir))
+    assert(uncapped === oneShot(c3, fresh) && uncapped.size === 6)
+  }
+
+  test("compact folds to one base-compact; dials, screen, replay guard survive; gc reclaims") {
+    val dir = freshDir("compact")
+    BandedIndex.build(hist, "doc_id", "tokens", dir)
+    val delta = docsDf(5L -> "alpha beta gamma delta epsilon")
+    BandedIndex.refresh(delta, "doc_id", "tokens", dir, "b1")
+    BandedIndex.delete(Seq(2L).toDF("doc_id"), "doc_id", dir, "e1")
+    val before = liveSet(dir)
+    BandedIndex.compact(spark, dir)
+    BandedIndex.gc(spark, dir)
+    assert(VersionedState.committed(spark, dir).map(_._2) ===
+      Seq("base-compact:bands=4,rows=2,B=16"))
+    assert(BandedIndex.storedDials(spark, dir) === ((4, 2, 16)))
+    assert(liveSet(dir) === before)
+    // pre-compaction ids replay as no-ops via the delivered sidecar
+    BandedIndex.refresh(delta, "doc_id", "tokens", dir, "b1")
+    BandedIndex.delete(Seq(2L).toDF("doc_id"), "doc_id", dir, "e1")
+    assert(liveSet(dir) === before,
+      "pre-compaction delta AND drop ids stay replay-guarded")
+  }
+
+  test("screen reads only the fresh batch's bucket partitions") {
+    val dir = freshDir("prune")
+    // a wider corpus so chunks spread over several buckets
+    val wide = docsDf((1L to 40L).map(i =>
+      i -> s"tok${i}a tok${i}b tok${i}c tok${i}d tok${i}e"): _*)
+    BandedIndex.build(wide, "doc_id", "tokens", dir, buckets = 8)
+    val vdir = VersionedState.versionPath(dir, 1L)
+    val bucketDirs = new java.io.File(s"$vdir/bands").listFiles()
+      .count(_.getName.startsWith("bb="))
+    assert(bucketDirs > 1, s"fixture spreads over $bucketDirs buckets")
+    val fresh = docsDf(99L -> "tok7a tok7b tok7c tok7d tok7e")
+    val df = BandedIndex.screen(fresh, "doc_id", "tokens", dir)
+    df.collect()
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scans(s.plan)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val bandScans = scans(df.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths
+        .exists(_.toString.contains("bands")))
+    assert(bandScans.nonEmpty, "the bands scan must be visible")
+    assert(bandScans.forall(_.partitionFilters.nonEmpty),
+      "the bucket predicate must reach the scan as a PARTITION filter")
+    val filesRead = bandScans.map(_.metrics("numFiles").value).sum
+    assert(filesRead < bucketDirs,
+      s"a 1-doc probe must open fewer bucket files than exist " +
+        s"($filesRead vs $bucketDirs)")
+  }
+
+  test("maintain: marker dial trips compaction; drift gate Ok clean, Corruption on an id-less replay") {
+    val dir = freshDir("maintain")
+    BandedIndex.build(hist, "doc_id", "tokens", dir)
+    var corpus = hist
+    for (b <- 0 until 6) {
+      val d = docsDf((100L + b) -> s"w$b x$b y$b z$b q$b")
+      corpus = corpus.unionByName(d)
+      val r = BandedIndex.maintain(d, "doc_id", "tokens", dir,
+        deltaId = s"b$b", maxLiveMarkers = 3, auditCorpus = Some(corpus))
+      assert(!r.replayed)
+      assert(r.liveMarkers <= 4,
+        s"horizon must stay bounded by the dial (got ${r.liveMarkers})")
+      assert(r.healthy, s"clean maintenance must pass the drift gate: ${r.gates}")
+    }
+    // the at-least-once footgun: one batch delivered twice WITHOUT an id
+    val dup = docsDf(200L -> "m n o p q")
+    corpus = corpus.unionByName(dup)
+    BandedIndex.refresh(dup, "doc_id", "tokens", dir)
+    BandedIndex.refresh(dup, "doc_id", "tokens", dir)
+    val r = BandedIndex.maintain(docsDf(201L -> "s t u v w"), "doc_id",
+      "tokens", dir, deltaId = "b9", maxLiveMarkers = 99,
+      auditCorpus = Some(corpus.unionByName(docsDf(201L -> "s t u v w"))))
+    assert(r.corrupted,
+      "a doubled unguarded batch must trip the drift gate as Corruption")
+  }
+
+  test("build refuses an empty corpus; refresh before build refused; foreign base label surfaced") {
+    val dir = freshDir("guards")
+    val e0 = intercept[IllegalArgumentException] {
+      BandedIndex.build(hist.where(col("doc_id") > 100L), "doc_id", "tokens", dir)
+    }
+    assert(e0.getMessage.contains("non-empty"))
+    val e = intercept[IllegalArgumentException] {
+      BandedIndex.refresh(hist, "doc_id", "tokens", dir)
+    }
+    assert(e.getMessage.contains("build"))
+    val foreign = freshDir("foreign")
+    VersionedState.commit(spark, foreign, None, label = "base:B=16") { vdir =>
+      spark.range(1).write.parquet(s"$vdir/bands")
+    }
+    val e2 = intercept[IllegalStateException] {
+      BandedIndex.storedDials(spark, foreign)
+    }
+    assert(e2.getMessage.contains("banding dials"))
+  }
+}

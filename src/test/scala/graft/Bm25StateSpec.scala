@@ -161,6 +161,79 @@ class Bm25StateSpec extends SparkTestBase {
     assert(VersionedState.committed(spark, dir).size === 2)
   }
 
+  test("denormalized dl ≡ the doclen-join scorer: same scores, and live postings carry the live length") {
+    val dir = freshDir("denorm")
+    Bm25State.build(hist, "doc_id", "tokens", dir)
+    Bm25State.refresh(docsDf(9L -> "x x x y"), "doc_id", "tokens", dir, "b1")
+    Bm25State.delete(Seq(3L).toDF("doc_id"), "doc_id", dir, "e1")
+    // a full lifecycle behind us: every live posting's dl must equal
+    // the doclen table's live sum for its doc
+    val fromPostings = Bm25State.livePostings(spark, dir).get
+      .select(col("doc").cast("long"), col("dl")).distinct()
+      .as[(Long, Long)].collect().toMap
+    val fromDoclen = Bm25State.liveDocLens(spark, dir).get
+      .select(col("doc").cast("long"), col("dl"))
+      .as[(Long, Long)].collect().toMap
+    assert(fromPostings === fromDoclen.filter { case (d, _) =>
+      fromPostings.contains(d) },
+      "the denormalized dl must equal the doclen table's live sum")
+    // score identity: topK (dl off the posting rows) ≡ the normalized
+    // formulation (dl via a per-doc join against liveDocLens) — the
+    // layout the denormalization replaced
+    val tf = Bm25State.livePostings(spark, dir).get
+      .where(col("term").isin("x"))
+      .drop("dl") // force the join path
+    val len = Bm25State.liveDocLens(spark, dir).get
+    val stats = len.agg(count(lit(1)).as("nd"),
+      (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
+    val dft = tf.groupBy("term").agg(countDistinct("doc").as("df"))
+    val joined = tf.join(broadcast(dft), "term").join(len, "doc")
+      .crossJoin(broadcast(stats))
+      .select(col("doc"),
+        (log((col("nd") - col("df") + 0.5) / (col("df") + 0.5) + 1)
+          * (col("tf") * 2.2)
+          / (col("tf") + lit(1.2)
+              * (lit(1) - 0.75 + lit(0.75) * col("dl") / col("avgdl"))))
+          .as("s"))
+      .groupBy("doc").agg(round(sum("s"), 6).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc")).limit(10)
+      .select(col("doc").cast("long"), col("bm25"))
+      .as[(Long, Double)].collect().toSeq
+    assert(top(dir) === joined,
+      "denormalizing dl must not change a single score bit")
+  }
+
+  test("compact defaults the delivered-id cap; oldest ids age out past an explicit tiny cap") {
+    val dir = freshDir("cap")
+    Bm25State.build(hist, "doc_id", "tokens", dir)
+    assert(graft.ann.IndexSegments.DefaultMaxDelivered === 65536)
+    val d1 = docsDf(9L -> "x q")
+    val d2 = docsDf(10L -> "y q")
+    val d3 = docsDf(11L -> "z q")
+    Bm25State.refresh(d1, "doc_id", "tokens", dir, "b1")
+    Bm25State.refresh(d2, "doc_id", "tokens", dir, "b2")
+    Bm25State.refresh(d3, "doc_id", "tokens", dir, "b3")
+    // cap 2 keeps the NEWEST two (b2, b3): the sidecar is age-ordered
+    Bm25State.compact(spark, dir, retainHorizons = 0, maxDelivered = 2)
+    val before = postingsSet(dir)
+    Bm25State.refresh(d3, "doc_id", "tokens", dir, "b3") // guarded: no-op
+    Bm25State.refresh(d2, "doc_id", "tokens", dir, "b2") // guarded: no-op
+    assert(postingsSet(dir) === before,
+      "ids inside the cap stay replay-guarded across compaction")
+    Bm25State.refresh(d1, "doc_id", "tokens", dir, "b1") // aged out: re-delivers
+    assert(postingsSet(dir).contains(("x", 9L, 2L)),
+      "an id aged out past the cap is re-deliverable — size the cap to " +
+        "exceed the source's replay window")
+  }
+
+  test("build refuses an empty corpus (an all-empty base would poison later schema reads)") {
+    val dir = freshDir("empty")
+    val e = intercept[IllegalArgumentException] {
+      Bm25State.build(hist.where(col("doc_id") > 100L), "doc_id", "tokens", dir)
+    }
+    assert(e.getMessage.contains("non-empty"))
+  }
+
   test("a precomputed stats row is score-identical to the per-query derivation") {
     val dir = freshDir("stats")
     Bm25State.build(hist, "doc_id", "tokens", dir)
@@ -246,6 +319,18 @@ class Bm25StateSpec extends SparkTestBase {
     assert(filesRead < bucketDirs,
       s"a 1-term query must open fewer bucket files than exist " +
         s"($filesRead vs $bucketDirs) — partition pruning is the point")
+    // with a precomputed per-cut stats row, the pruned postings buckets
+    // are the query's ONLY table input: no doclen (or any other
+    // corpus-sized) scan anywhere in the serve plan
+    val st = Bm25State.stats(spark, dir).localCheckpoint()
+    val served = Bm25State.topK(spark, dir, Seq("x"), 10,
+      precomputedStats = Some(st))
+    served.collect()
+    val allScans = scans(served.queryExecution.executedPlan)
+    assert(allScans.nonEmpty && allScans.forall(_.relation.location.rootPaths
+      .exists(_.toString.contains("postings"))),
+      "the serve path must read postings buckets ONLY — the doclen join " +
+        "was the one per-query cost that grew with the corpus")
   }
 
   test("maintain: marker dial trips compaction; drift gate Ok clean, Corruption on an id-less replay") {

@@ -256,6 +256,96 @@ class MaintainSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("BandedIndex maintain: marker dial + drift gate over the re-banding identity") {
+    import graft.dedup.BandedIndex
+    val dir = freshDir("bi")
+    def docs(rows: (Long, String)*): DataFrame =
+      rows.toSeq.toDF("doc_id", "text")
+        .select(col("doc_id"), split(col("text"), " ").as("tokens"))
+    var corpus = docs(1L -> "a b c d e", 2L -> "a b c d e")
+    BandedIndex.build(corpus, "doc_id", "tokens", dir)
+    for (b <- 0 until 5) {
+      val d = docs((10L + b) -> s"p$b q$b r$b s$b t$b")
+      corpus = corpus.unionByName(d)
+      val r = BandedIndex.maintain(d, "doc_id", "tokens", dir,
+        deltaId = s"b$b", maxLiveMarkers = 3, auditCorpus = Some(corpus))
+      assert(r.liveMarkers <= 4)
+      assert(r.healthy, s"clean maintenance must pass the re-band gate: ${r.gates}")
+    }
+    // a crash-replayed batch id: reported, not re-applied
+    val replay = BandedIndex.maintain(docs(14L -> "p4 q4 r4 s4 t4"),
+      "doc_id", "tokens", dir, deltaId = "b4", maxLiveMarkers = 3)
+    assert(replay.replayed)
+  }
+
+  test("streaming ingest + erasure drive ClusterState: batchIds as delta ids, restart-replays no-ops") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    val dir = freshDir("csstream")
+    ClusterState.build(Seq(1L, 2L, 3L).toDF("id"), "id",
+      Seq((1L, 2L)).toDF("id_a", "id_b"), dir)
+    val reports =
+      new java.util.concurrent.ConcurrentLinkedQueue[
+        graft.operators.MaintainReport]()
+    // ingest stream: each row is (new doc id, verified-dup parent)
+    val ingest = MemoryStream[(Long, Long)]
+    val qi = ingest.toDF().toDF("id", "parent")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+        reports.add(ClusterState.maintain(
+          batch.select("id"), "id",
+          batch.select(col("id").as("id_a"), col("parent").as("id_b")),
+          dir, deltaId = s"in$bid", maxLiveMarkers = 3)): Unit
+      }
+      .start()
+    try {
+      for (b <- 0 until 5) {
+        ingest.addData((10L + b, 3L))
+        qi.processAllAvailable()
+      }
+    } finally qi.stop()
+    assert(ClusterState.labels(spark, dir).get.count() === 8L)
+    import scala.jdk.CollectionConverters._
+    val rs = reports.asScala.toVector
+    assert(rs.forall(_.liveMarkers <= 4), "the dial holds under the stream")
+    assert(rs.exists(_.compacted), "the stream's cadence must trip a compact")
+    // the erasure stream drives delete() with ITS batch id as delta id
+    val erase = MemoryStream[Long]
+    val deleted = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val qe = erase.toDF().toDF("id")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+        deleted.add(ClusterState.delete(batch, dir,
+          deltaId = s"del$bid")): Unit
+      }
+      .start()
+    try {
+      erase.addData(10L, 11L)
+      qe.processAllAvailable()
+    } finally qe.stop()
+    assert(ClusterState.labels(spark, dir).get.count() === 6L)
+    val after = ClusterState.labels(spark, dir).get
+      .select(col("id").cast("long"), col("label").cast("long"))
+      .as[(Long, Long)].collect().toSet
+    // restart-replays: the LAST ingest batch id AND the erasure id
+    // re-deliver — both protocol-level no-ops, labels untouched
+    val ri = ClusterState.maintain(Seq(14L).toDF("id"), "id",
+      Seq((14L, 3L)).toDF("id_a", "id_b"), dir, deltaId = "in4",
+      maxLiveMarkers = 3)
+    assert(ri.replayed, "the re-delivered ingest batch id must be recognized")
+    ClusterState.delete(Seq(10L, 11L).toDF("id"), dir, deltaId = "del0")
+    assert(ClusterState.labels(spark, dir).get
+      .select(col("id").cast("long"), col("label").cast("long"))
+      .as[(Long, Long)].collect().toSet === after,
+      "replayed ingest + erasure must not move a single label")
+    // maintained ≡ from-scratch CC over the survivors
+    val (truth, _) = graft.dedup.Dedup.nearDupClustersConverged(
+      Seq(1L, 2L, 3L, 12L, 13L, 14L).toDF("id"), "id",
+      Seq((1L, 2L), (12L, 3L), (13L, 3L), (14L, 3L)).toDF("id_a", "id_b"))
+    assert(after === truth.select(col("id").cast("long"),
+      col("cluster_id").cast("long")).as[(Long, Long)].collect().toSet)
+  }
+
   test("ClusterState maintain: marker dial + drift gate over the CC identity") {
     val dir = freshDir("cs")
     ClusterState.build(Seq(1L, 2L, 3L).toDF("id"), "id",

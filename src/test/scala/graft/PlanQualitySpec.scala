@@ -978,6 +978,29 @@ class PlanQualitySpec extends SparkTestBase {
     }
   }
 
+  test("q285 banded-index maintain: windows only per-(band, chunk) — band-local work, no cartesian") {
+    val plans = allExecutedPlans("q285_banded_index_maintain")
+    val windows = plans.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      "q285: the only window is the skew cap's per-(band, chunk) bucket " +
+        "count — signatures are map-side, the probe is a bucket " +
+        "equi-join, verification is candidate-bounded; a global window " +
+        "would one-task-sort the corpus")
+    assert(!plans.exists { case _: CartesianProductExec => true; case _ => false })
+  }
+
+  test("q286 needle-state cuts: NO window anywhere — verdicts, excisions and pinned serves are joins/aggs") {
+    val plans = allExecutedPlans("q286_needle_state_cuts")
+    assert(!plans.exists(_.nodeName == "Window"),
+      "q286: needle derivation, contamination joins, erasure negations " +
+        "and both pinned topK serves are explode + join + agg shapes " +
+        "cut by TakeOrderedAndProject — a window anywhere means a " +
+        "corpus sort crept in")
+    assert(!plans.exists { case _: CartesianProductExec => true; case _ => false })
+  }
+
   test("q283 quality LR: NO window, no cartesian — GD is one checkpointed feature pass + agg scans") {
     val plans = allExecutedPlans("q283_quality_lr")
     assert(!plans.exists(_.nodeName == "Window"),

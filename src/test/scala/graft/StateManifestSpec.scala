@@ -143,6 +143,49 @@ class StateManifestSpec extends SparkTestBase {
       "the bucket dial rides the base-compact label through member GC")
   }
 
+  test("a needle-state member composes: an eval-suite update changes the verdict only when the cut advances") {
+    import graft.text.Bm25State
+    val (ns, bm, m) = (freshDir("ns"), freshDir("nbm"), freshDir("nm"))
+    // train docs: 3 carries a leaked span only the UPDATED suite knows
+    val train = docs(1L -> "x y z w q r s t",
+      3L -> "h i j k x y z w")
+    Bm25State.build(train, "doc_id", "tokens", bm)
+    // needle state v1: eval suite version 1
+    ExactSubstr.build(docs(100L -> "a b c d a b c d"), "doc_id", "tokens",
+      4, ns)
+    StateManifest.commit(spark, m,
+      Map("bm" -> (bm, 1L), "ns" -> (ns, 1L))) // cut 1
+    def contamUnder(pin: Long) =
+      ExactSubstr.windowHashes(train, "doc_id", "tokens", 4)
+        .join(ExactSubstr.hashCounts(spark, ns, asOf = Some(pin)).get
+          .select("h"), "h")
+        .select(col("doc")).distinct()
+        .as[Long].collect().toSet
+    assert(contamUnder(1L) === Set.empty[Long],
+      "suite v1 contaminates nothing")
+    // the suite UPDATE adds an eval item containing doc 3's span
+    ExactSubstr.refresh(docs(101L -> "h i j k m"), "doc_id", "tokens",
+      ns, "ev2") // ns v2
+    // cut 1 still resolves the OLD suite: the verdict must not move
+    val cut1 = StateManifest.resolve(spark, m).get
+    assert(cut1("ns")._2 === 1L)
+    assert(contamUnder(cut1("ns")._2) === Set.empty[Long],
+      "the old cut serves the old verdict — the needle head moving is invisible")
+    // the cut advances: the new verdict becomes visible, the excision
+    // lands, and the pinned serve drops the contaminated doc
+    assert(contamUnder(2L) === Set(3L))
+    val bv2 = Bm25State.delete(Seq(3L).toDF("doc_id"), "doc_id", bm, "x1")
+    StateManifest.commit(spark, m,
+      Map("bm" -> (bm, bv2), "ns" -> (ns, 2L))) // cut 2
+    val cut2 = StateManifest.resolve(spark, m).get
+    def served(pin: Long) =
+      Bm25State.topK(spark, bm, Seq("x"), 10, asOf = Some(pin))
+        .select(col("doc").cast("long")).as[Long].collect().toSet
+    assert(served(cut1("bm")._2) === Set(1L, 3L),
+      "the old cut keeps serving the doc the old suite cleared")
+    assert(served(cut2("bm")._2) === Set(1L))
+  }
+
   test("asOf pins across a compaction: the retained folded horizon serves the old cut") {
     val (a, m) = (freshDir("ca"), freshDir("cm"))
     IvfIndex.build(vecs(0 until 10), "vec_id", "embedding",
