@@ -283,11 +283,31 @@ object ExactSubstr {
     * end exclusive], span_len, n_windows) — q268's gaps-and-islands
     * merge, parameterized by L. Windows PARTITION BY doc; the only
     * corpus-sized shuffle is the equi-join on the window hash.
+    *
+    * The join key is LONG-ENCODED internally (first 15 md5 hex digits
+    * as a 60-bit BIGINT): the corpus-sized exchange and the dup-side
+    * broadcast/shuffle carry an 8-byte primitive instead of a 32-char
+    * string — roughly half the row bytes at 19.5M windows (the
+    * ProfileExactSubstr dial), which is what lets the pass run in the
+    * default 8 GB fork. md5 STRINGS remain the state and oracle
+    * boundary ([[windowHashes]]/[[hashCounts]] are unchanged). A
+    * 60-bit collision between distinct md5s needs ~2^30 windows for
+    * even-odds (W²/2^61) — and its worst case is one false dup window
+    * widening a span, the same failure md5 itself risks at 128 bits.
+    * The join itself is planner-free to broadcast OR shuffle the dup
+    * side: both degrade gracefully (ExactSubstrSpec pins the forced-
+    * shuffle path result-identical).
     */
   def spans(toks: DataFrame, idCol: String, toksCol: String, L: Int,
             dup: DataFrame): DataFrame = {
+    def hl(h: org.apache.spark.sql.Column) =
+      conv(substring(h, 1, 15), 16, 10).cast("long")
     val w = windowHashes(toks, idCol, toksCol, L)
-    val dw = w.join(dup, "h").select("doc", "i")
+      .select(col("doc"), col("i"), hl(col("h")).as("hl"))
+    // distinct AFTER truncation: two distinct md5s colliding at 60
+    // bits must not double-match every window carrying that key
+    val dl = dup.select(hl(col("h")).as("hl")).distinct()
+    val dw = w.join(dl, "hl").select("doc", "i")
     val wPrev = Window.partitionBy("doc").orderBy("i")
       .rowsBetween(Window.unboundedPreceding, -1)
     val wCum = Window.partitionBy("doc").orderBy("i")

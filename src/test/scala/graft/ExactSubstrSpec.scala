@@ -136,6 +136,21 @@ class ExactSubstrSpec extends SparkTestBase {
     assert(VersionedState.committed(spark, dir).size === 2)
   }
 
+  test("spans' dup-set join degrades to shuffle gracefully: forced no-broadcast is result-identical") {
+    val dir = freshDir("shuffle")
+    ExactSubstr.build(hist, "doc_id", "tokens", L = 4, dir)
+    val viaDefault = spansNow(dir, hist)
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1") // the planner may NOT broadcast the dup side
+      assert(spansNow(dir, hist) === viaDefault,
+        "the long-encoded hash join must produce identical spans when " +
+          "the dup side shuffles instead of broadcasting — the path a " +
+          "corpus-scale dup set takes past the broadcast threshold")
+    } finally spark.conf.set(key, saved)
+  }
+
   test("refresh before build is refused; a non-ExactSubstr base label is surfaced") {
     val dir = freshDir("guards")
     val e = intercept[IllegalArgumentException] {
