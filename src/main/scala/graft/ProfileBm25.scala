@@ -156,14 +156,28 @@ object ProfileBm25 {
         Bm25State.refresh(corpus(2000, from = n + rep.toLong * 2000),
           "doc_id", "tokens", dir, deltaId = s"rep$rep")
       }
-      (n, tBuild, tP, tF, tR, bP, bF, bT, bDl)
+      // the writeSplits layout: same buckets, each spread over ~32
+      // files — the corpus-sized write parallelizes AND the pruned
+      // read stops bin-packing a whole bucket into one input split
+      val sdir = java.nio.file.Files
+        .createTempDirectory(s"graft_pbms_$n").toString + "/st"
+      Bm25State.build(corpus(n), "doc_id", "tokens", sdir, buckets = 64,
+        writeSplits = 32)
+      require(Bm25State.topK(spark, sdir, terms, 10)
+        .collect().map(r => (r.get(0), r.getDouble(1))).toSeq == pruned0,
+        s"writeSplits layout disagrees at n=$n")
+      val tPs = timed("query_pruned_split32", n) {
+        Bm25State.topK(spark, sdir, terms, 10).collect(): Unit
+      }
+      (n, tBuild, tP, tF, tR, bP, bF, bT, bDl, tPs)
     }
     def j(sel: ((Long, Double, Double, Double, Double, Long, Long, Long,
-                 Long)) => Double) =
+                 Long, Double)) => Double) =
       results.map(r => f""""${r._1}":${sel(r)}%.2f""").mkString(",")
     println(s"""{"metric":"bm25_query_sec_by_corpus","buckets":64,""" +
       s""""build":{${j(_._2)}},"query_pruned":{${j(_._3)}},""" +
       s""""query_fullscan":{${j(_._4)}},"refresh_2k":{${j(_._5)}},""" +
+      s""""query_pruned_split32":{${j(_._10)}},""" +
       s""""scan_mb_pruned":{${j(_._6 / 1e6)}},""" +
       s""""scan_mb_fullscan":{${j(_._7 / 1e6)}},""" +
       s""""scan_mb_serve_total":{${j(_._8 / 1e6)}},""" +

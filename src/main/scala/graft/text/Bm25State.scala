@@ -147,13 +147,31 @@ object Bm25State {
     lastBaseOf(cs, stateDir)._2
   }
 
-  private def writePostings(p: DataFrame, nB: Int, vdir: String): Unit =
-    p.withColumn("b", bucketExpr(col("term"), nB))
-      .repartition(nB, col("b")) // one file per bucket per commit
-      .write.mode("overwrite").partitionBy("b").parquet(s"$vdir/postings")
+  /** Write a postings table bucket-partitioned. `splits ≤ 1` keeps the
+    * historical ONE file per bucket per commit — right for delta-sized
+    * commits. A corpus-sized write (build/compact) with one file per
+    * bucket funnels 1/B of the corpus through a SINGLE task (a write
+    * straggler at scale) and later bin-packs a bucket's whole read
+    * into one input split; `splits > 1` co-hashes the doc id into the
+    * exchange so each bucket lands in ~`splits` parallel tasks → ~that
+    * many files, restoring both write and read parallelism. Purely
+    * physical: the read path is unchanged (the bucket stays the
+    * partition directory; readers sum per (term, doc) regardless of
+    * file count).
+    */
+  private def writePostings(p: DataFrame, nB: Int, vdir: String,
+                            splits: Int = 1): Unit = {
+    val withB = p.withColumn("b", bucketExpr(col("term"), nB))
+    val parted =
+      if (splits <= 1) withB.repartition(nB, col("b"))
+      else withB.repartition(nB * splits, col("b"), col("doc"))
+    parted.write.mode("overwrite").partitionBy("b")
+      .parquet(s"$vdir/postings")
+  }
 
   private def writePayload(toks: DataFrame, idCol: String, toksCol: String,
-                           negate: Boolean, nB: Int)(vdir: String): Unit = {
+                           negate: Boolean, nB: Int, splits: Int = 1)
+                          (vdir: String): Unit = {
     val p = postingsWithDl(toks, idCol, toksCol)
     val l = docLens(toks, idCol, toksCol)
     val (ps, ls) =
@@ -162,7 +180,7 @@ object Bm25State {
           (-col("dl")).as("dl")),
           l.select(col("doc"), (-col("dl")).as("dl")))
       else (p, l)
-    writePostings(ps, nB, vdir)
+    writePostings(ps, nB, vdir, splits)
     ls.write.mode("overwrite").parquet(s"$vdir/doclen")
   }
 
@@ -172,10 +190,14 @@ object Bm25State {
     * term-hash partitioning — the dial to raise with corpus size
     * (16 keeps the toy testdata at one small file per bucket; a
     * 100 TB corpus wants 1024+, each bucket a directory a k-term
-    * query never opens unless it has to).
+    * query never opens unless it has to). `writeSplits` (> 1)
+    * parallelizes each bucket's corpus-sized write/read into ~that
+    * many files — size so bucket files land near the input split size
+    * (bytes/B/splits ≈ `maxPartitionBytes`); deltas don't need it.
     */
   def build(toks: DataFrame, idCol: String, toksCol: String,
-            stateDir: String, buckets: Int = 16): Long = {
+            stateDir: String, buckets: Int = 16,
+            writeSplits: Int = 1): Long = {
     require(buckets >= 1, s"buckets must be ≥ 1, got $buckets")
     // an all-empty base would commit zero part files under postings/,
     // and every later read's explicit-schema inference off the base
@@ -191,7 +213,8 @@ object Bm25State {
     val next = prev.getOrElse(0L) + 1L
     VersionedState.commit(spark, stateDir, prev,
       label = baseLabel("base", buckets), gcBelow = next)(
-      writePayload(toks, idCol, toksCol, negate = false, buckets))
+      writePayload(toks, idCol, toksCol, negate = false, buckets,
+        writeSplits))
   }
 
   private def deltaCommit(toks: DataFrame, idCol: String, toksCol: String,
@@ -417,10 +440,13 @@ object Bm25State {
     * in-flight readers — reclaim with [[gc]] or the next compact).
     * The delivered delta/retract ids ride the sidecar, so the replay
     * guard survives compaction; only a full [[build]] resets it.
+    * `writeSplits` as in [[build]] — the fold is the other
+    * corpus-sized write.
     */
   def compact(spark: SparkSession, stateDir: String,
               retainHorizons: Int = 1,
-              maxDelivered: Int = IndexSegments.DefaultMaxDelivered): Long = {
+              maxDelivered: Int = IndexSegments.DefaultMaxDelivered,
+              writeSplits: Int = 1): Long = {
     val cs = VersionedState.committed(spark, stateDir)
     require(cs.nonEmpty, s"no committed state at $stateDir — nothing to compact")
     val (base, nB) = lastBaseOf(cs, stateDir)
@@ -434,7 +460,7 @@ object Bm25State {
     VersionedState.commit(spark, stateDir, Some(cur),
       label = baseLabel("base-compact", nB),
       gcBelow = IndexSegments.compactGcFloor(cs, next, retainHorizons)) { vdir =>
-      writePostings(p, nB, vdir)
+      writePostings(p, nB, vdir, writeSplits)
       l.write.mode("overwrite").parquet(s"$vdir/doclen")
       VersionedState.writeLines(spark, vdir, IndexSegments.DeliveredFile,
         delivered)

@@ -226,6 +226,48 @@ class Bm25StateSpec extends SparkTestBase {
         "exceed the source's replay window")
   }
 
+  test("writeSplits parallelizes a bucket's files; scores, pruning and compaction are unchanged") {
+    val one = freshDir("split1")
+    val split = freshDir("splitN")
+    Bm25State.build(hist, "doc_id", "tokens", one, buckets = 2)
+    Bm25State.build(hist, "doc_id", "tokens", split, buckets = 2,
+      writeSplits = 4)
+    // physical only: same live relation, same scores
+    assert(postingsSet(split) === postingsSet(one))
+    assert(top(split) === top(one))
+    // a bucket directory actually holds multiple part files
+    val vdir = VersionedState.versionPath(split, 1L)
+    val perBucket = new java.io.File(s"$vdir/postings").listFiles()
+      .filter(_.getName.startsWith("b=")).map(
+        _.listFiles().count(_.getName.endsWith(".parquet")))
+    assert(perBucket.exists(_ > 1),
+      s"writeSplits must spread a bucket over several files " +
+        s"(got ${perBucket.mkString(",")})")
+    // pruning still skips non-query buckets (partition dirs unchanged)
+    val df = Bm25State.topK(spark, split, Seq("x"), 10)
+    df.collect()
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scans(s.plan)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    assert(scans(df.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths
+        .exists(_.toString.contains("postings")))
+      .forall(_.partitionFilters.nonEmpty))
+    // a split compact folds identically
+    Bm25State.refresh(docsDf(9L -> "x q"), "doc_id", "tokens", split, "b1")
+    Bm25State.refresh(docsDf(9L -> "x q"), "doc_id", "tokens", one, "b1")
+    Bm25State.compact(spark, split, retainHorizons = 0, writeSplits = 4)
+    Bm25State.compact(spark, one, retainHorizons = 0)
+    assert(postingsSet(split) === postingsSet(one))
+    assert(top(split) === top(one))
+  }
+
   test("build refuses an empty corpus (an all-empty base would poison later schema reads)") {
     val dir = freshDir("empty")
     val e = intercept[IllegalArgumentException] {

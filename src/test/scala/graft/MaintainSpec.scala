@@ -278,6 +278,48 @@ class MaintainSpec extends SparkTestBase {
     assert(replay.replayed)
   }
 
+  test("streaming ingest drives BandedIndex.maintain(): batchId as the delta id, dial holds, restart-replay a no-op") {
+    import graft.dedup.BandedIndex
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    val dir = freshDir("bistream")
+    def toks(rows: (Long, String)*) =
+      rows.toSeq.toDF("doc_id", "text")
+        .select(col("doc_id"), split(col("text"), " ").as("tokens"))
+    BandedIndex.build(toks(0L -> "a b c d e", 1L -> "p q r s t"),
+      "doc_id", "tokens", dir)
+    val reports =
+      new java.util.concurrent.ConcurrentLinkedQueue[
+        graft.operators.MaintainReport]()
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text")
+      .select(col("doc_id"), split(col("text"), " ").as("tokens"))
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+        reports.add(BandedIndex.maintain(batch, "doc_id", "tokens", dir,
+          deltaId = s"sb$bid", maxLiveMarkers = 3)): Unit
+      }
+      .start()
+    try {
+      for (b <- 0 until 5) {
+        input.addData((10L + b, s"w$b x$b y$b z$b v$b"))
+        q.processAllAvailable()
+      }
+      assert(BandedIndex.liveBands(spark, dir).get
+        .select("id").distinct().count() === 7L)
+      import scala.jdk.CollectionConverters._
+      val rs = reports.asScala.toVector
+      assert(rs.forall(_.liveMarkers <= 4), "the dial holds under the stream")
+      assert(rs.exists(_.compacted), "the stream's cadence must trip a compact")
+      // simulated restart replay: the LAST batch id re-delivers
+      val replay = BandedIndex.maintain(toks(14L -> "w4 x4 y4 z4 v4"),
+        "doc_id", "tokens", dir, deltaId = "sb4", maxLiveMarkers = 3)
+      assert(replay.replayed, "the re-delivered batch id must be recognized")
+      assert(BandedIndex.liveBands(spark, dir).get.count() === 28L,
+        "replay must not duplicate band rows — even across the compaction above")
+    } finally q.stop()
+  }
+
   test("streaming ingest + erasure drive ClusterState: batchIds as delta ids, restart-replays no-ops") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val ctx = spark.sqlContext
