@@ -100,19 +100,35 @@ object BandedIndex {
     (b, r, nb)
   }
 
-  private def writeBands(rows: DataFrame, nB: Int, vdir: String): Unit =
-    rows.withColumn("bb", bucketExpr(col("chunk"), nB))
-      .repartition(nB, col("bb")) // one file per bucket per commit
-      .write.mode("overwrite").partitionBy("bb").parquet(s"$vdir/bands")
+  /** Write a band table bucket-partitioned. `splits ≤ 1` keeps ONE
+    * file per bucket per commit (right for deltas); `splits > 1`
+    * co-hashes the doc id into the exchange so a corpus-sized write
+    * (build/compact) spreads each bucket over ~that many tasks/files —
+    * the [[graft.text.Bm25State]] write-straggler dial, purely
+    * physical (the bucket stays the partition directory; live sums
+    * are file-count-blind).
+    */
+  private def writeBands(rows: DataFrame, nB: Int, vdir: String,
+                         splits: Int = 1): Unit = {
+    val withB = rows.withColumn("bb", bucketExpr(col("chunk"), nB))
+    val parted =
+      if (splits <= 1) withB.repartition(nB, col("bb"))
+      else withB.repartition(nB * splits, col("bb"), col("id"))
+    parted.write.mode("overwrite").partitionBy("bb")
+      .parquet(s"$vdir/bands")
+  }
 
   /** Full (re)build: band rows of the entire corpus given, committed
     * as a base carrying the dials; prior versions (and the replay
     * guard) GC'd. `buckets` sizes the chunk-hash partitioning — raise
     * it with corpus size like the Bm25State postings dial.
+    * `writeSplits` as in [[graft.text.Bm25State.build]]: parallelize
+    * the corpus-sized write (size so bucket files land near the input
+    * split size; over-splitting costs per-file overhead).
     */
   def build(docs: DataFrame, idCol: String, toksCol: String,
             stateDir: String, nBands: Int = 4, rowsPerBand: Int = 2,
-            buckets: Int = 16): Long = {
+            buckets: Int = 16, writeSplits: Int = 1): Long = {
     require(nBands >= 1 && rowsPerBand >= 1 && buckets >= 1,
       s"dials must be ≥ 1, got bands=$nBands rows=$rowsPerBand B=$buckets")
     require(!docs.isEmpty,
@@ -126,7 +142,7 @@ object BandedIndex {
       label = baseLabel("base", nBands, rowsPerBand, buckets),
       gcBelow = next) { vdir =>
       writeBands(bandRows(docs, idCol, toksCol, nBands, rowsPerBand),
-        buckets, vdir)
+        buckets, vdir, writeSplits)
     }
   }
 
@@ -275,11 +291,13 @@ object BandedIndex {
   /** Fold every count table since the last base into ONE base-compact
     * version (dials carried in the label; zero/negative totals
     * physically dropped), carry the replay guard's delivered-id
-    * sidecar, and GC below the retention floor.
+    * sidecar, and GC below the retention floor. `writeSplits` as in
+    * [[build]] — the fold is the other corpus-sized write.
     */
   def compact(spark: SparkSession, stateDir: String,
               retainHorizons: Int = 1,
-              maxDelivered: Int = IndexSegments.DefaultMaxDelivered): Long = {
+              maxDelivered: Int = IndexSegments.DefaultMaxDelivered,
+              writeSplits: Int = 1): Long = {
     val cs = VersionedState.committed(spark, stateDir)
     require(cs.nonEmpty, s"no committed state at $stateDir — nothing to compact")
     val (base, nBands, rowsPerBand, nB) = lastBaseOf(cs, stateDir)
@@ -292,7 +310,7 @@ object BandedIndex {
     VersionedState.commit(spark, stateDir, Some(cur),
       label = baseLabel("base-compact", nBands, rowsPerBand, nB),
       gcBelow = IndexSegments.compactGcFloor(cs, next, retainHorizons)) { vdir =>
-      writeBands(folded, nB, vdir)
+      writeBands(folded, nB, vdir, writeSplits)
       VersionedState.writeLines(spark, vdir, IndexSegments.DeliveredFile,
         delivered)
     }

@@ -5779,6 +5779,147 @@ object TextQueries {
             col("n_excised_old"), col("n_excised_new"),
             col("nd_old"), col("nd_new"))
           .orderBy("doc_id")
+      }),
+
+    // ---- q287: THE SELF-MAINTAINING ADMISSION LOOP — q285's
+    // machinery composed into the loop it exists for: the maintained
+    // banded index SCREENS each ingest batch, verified near-dups are
+    // REJECTED, and only the admitted survivors refresh the index that
+    // screens the NEXT batch — admission decisions feed back into the
+    // state that makes the next decision. The sequential dependence is
+    // the point (and what an all-at-once dedup gets wrong): a batch-2
+    // doc whose only duplicate partner was a REJECTED batch-1 doc must
+    // be ADMITTED, because the rejected doc never entered the corpus.
+    // Cycle: build on the seed third (doc_id % 3 = 0); batch 1
+    // (% 3 = 1) screens → verifies (bigram Jaccard ≥ 0.5, cap 50 both
+    // sides) → survivors refresh under one id (delivered twice);
+    // compact (the replay guard rides the sidecar); batch 2 (% 3 = 2)
+    // screens against seed ∪ admitted-1 — the post-compact re-delivery
+    // of batch 1's id stays a no-op in the gated path. Output: every
+    // batch doc's verdict (admitted, smallest verified live duplicate,
+    // dup count); the oracle unrolls BOTH rounds in SQL (band → cap →
+    // cross-side block → verify → reject → the admitted set feeding
+    // round 2's corpus), so a hash mismatch is state drift or a
+    // feedback error, never approximation. Scale shape: each round is
+    // one map-side signature pass over its batch + a partition-pruned
+    // probe + candidate-bounded verification + a delta-sized refresh;
+    // the loop never re-pairs history with itself.
+    QueryDef("q287_admission_loop", Some(s"""${toksCte()},
+      sig AS (SELECT doc_id,
+        ${(0 until 8).map(i =>
+          s"list_min(list_transform(list_distinct(tokens), t -> md5('$i:' || t))) AS mh$i")
+          .mkString(",\n        ")}
+              FROM toks),
+      band AS (${(0 until 4).map(b =>
+          s"SELECT doc_id, $b AS b, mh${2 * b} || '|' || mh${2 * b + 1} AS chunk FROM sig")
+          .mkString(" UNION ALL\n               ")}),
+      sh AS (SELECT doc_id,
+               list_distinct(list_transform(range(1, len(tokens)),
+                             i -> tokens[i] || ' ' || tokens[i+1])) AS sh
+             FROM toks),
+      r1 AS (SELECT doc_id, b, chunk FROM band WHERE doc_id % 3 IN (0, 1)),
+      k1 AS (SELECT doc_id, b, chunk FROM
+               (SELECT doc_id, b, chunk,
+                       COUNT(*) OVER (PARTITION BY b, chunk) AS bsz FROM r1)
+             WHERE bsz <= 50),
+      c1 AS (SELECT DISTINCT f.doc_id AS id_new, c.doc_id AS id_corpus
+             FROM k1 f JOIN k1 c
+               ON f.b = c.b AND f.chunk = c.chunk
+                  AND f.doc_id % 3 = 1 AND c.doc_id % 3 = 0),
+      v1 AS (SELECT id_new, id_corpus FROM
+               (SELECT cd.id_new, cd.id_corpus,
+                       CASE WHEN len(a.sh) + len(b.sh)
+                                 - len(list_intersect(a.sh, b.sh)) = 0 THEN NULL
+                            ELSE len(list_intersect(a.sh, b.sh))
+                                 / (len(a.sh) + len(b.sh)
+                                    - len(list_intersect(a.sh, b.sh))) END AS jac
+                FROM c1 cd JOIN sh a ON a.doc_id = cd.id_new
+                           JOIN sh b ON b.doc_id = cd.id_corpus)
+             WHERE jac >= CAST(0.5 AS DOUBLE)),
+      a1 AS (SELECT id_new, MIN(id_corpus) AS dup_of, COUNT(*) AS n_dups
+             FROM v1 GROUP BY id_new),
+      adm1 AS (SELECT doc_id FROM toks WHERE doc_id % 3 = 1
+               AND doc_id NOT IN (SELECT id_new FROM a1)),
+      r2 AS (SELECT doc_id, b, chunk FROM band
+             WHERE doc_id % 3 IN (0, 2)
+                OR doc_id IN (SELECT doc_id FROM adm1)),
+      k2 AS (SELECT doc_id, b, chunk FROM
+               (SELECT doc_id, b, chunk,
+                       COUNT(*) OVER (PARTITION BY b, chunk) AS bsz FROM r2)
+             WHERE bsz <= 50),
+      c2 AS (SELECT DISTINCT f.doc_id AS id_new, c.doc_id AS id_corpus
+             FROM k2 f JOIN k2 c
+               ON f.b = c.b AND f.chunk = c.chunk
+                  AND f.doc_id % 3 = 2
+                  AND (c.doc_id % 3 = 0
+                       OR c.doc_id IN (SELECT doc_id FROM adm1))),
+      v2 AS (SELECT id_new, id_corpus FROM
+               (SELECT cd.id_new, cd.id_corpus,
+                       CASE WHEN len(a.sh) + len(b.sh)
+                                 - len(list_intersect(a.sh, b.sh)) = 0 THEN NULL
+                            ELSE len(list_intersect(a.sh, b.sh))
+                                 / (len(a.sh) + len(b.sh)
+                                    - len(list_intersect(a.sh, b.sh))) END AS jac
+                FROM c2 cd JOIN sh a ON a.doc_id = cd.id_new
+                           JOIN sh b ON b.doc_id = cd.id_corpus)
+             WHERE jac >= CAST(0.5 AS DOUBLE)),
+      a2 AS (SELECT id_new, MIN(id_corpus) AS dup_of, COUNT(*) AS n_dups
+             FROM v2 GROUP BY id_new),
+      out1 AS (SELECT t.doc_id, CAST(1 AS BIGINT) AS batch,
+                      a.dup_of IS NULL AS admitted, a.dup_of,
+                      COALESCE(a.n_dups, 0) AS n_dups
+               FROM (SELECT doc_id FROM toks WHERE doc_id % 3 = 1) t
+               LEFT JOIN a1 a ON a.id_new = t.doc_id),
+      out2 AS (SELECT t.doc_id, CAST(2 AS BIGINT) AS batch,
+                      a.dup_of IS NULL AS admitted, a.dup_of,
+                      COALESCE(a.n_dups, 0) AS n_dups
+               FROM (SELECT doc_id FROM toks WHERE doc_id % 3 = 2) t
+               LEFT JOIN a2 a ON a.id_new = t.doc_id)
+      SELECT * FROM out1 UNION ALL SELECT * FROM out2
+      ORDER BY doc_id"""),
+      (s, dir) => {
+        import graft.dedup.{BandedIndex, Dedup}
+        val toks = tokenized(s, dir)
+          .localCheckpoint() // splits, screens, and verification read it
+        val seed = toks.where(col("doc_id") % 3 === 0)
+        val stDir = s"${System.getProperty("java.io.tmpdir")}/graft_q287_" +
+          dir.replaceAll("[^A-Za-z0-9._-]", "_") +
+          "_p" + ProcessHandle.current.pid + "_" + q274Runs.incrementAndGet()
+        EventQueries.cleanupOnExit(stDir)
+        BandedIndex.build(seed, "doc_id", "tokens", stDir)
+        // one admission round: screen off the MAINTAINED state, verify
+        // candidates exactly, refresh ONLY the survivors (delivered
+        // twice under the round's id)
+        def admit(batch: DataFrame, batchNo: Int): (DataFrame, DataFrame) = {
+          val cand = BandedIndex.screen(batch, "doc_id", "tokens", stDir,
+            maxBucketSize = 50)
+          val ver = Dedup.verifyJaccard(toks, "doc_id", "tokens",
+              cand.select(col("id_new").as("id_a"),
+                col("id_corpus").as("id_b")))
+            .where(col("jaccard") >= 0.5)
+          val agg = ver.groupBy(col("id_a").as("doc_id"))
+            .agg(min(col("id_b")).as("dup_of"), count(lit(1)).as("n_dups"))
+          val verdicts = batch.select("doc_id")
+            .join(agg, Seq("doc_id"), "left")
+            .select(col("doc_id"), lit(batchNo.toLong).as("batch"),
+              col("dup_of").isNull.as("admitted"), col("dup_of"),
+              coalesce(col("n_dups"), lit(0L)).as("n_dups"))
+            .localCheckpoint() // the admitted filter AND the output read it
+          val admitted = batch.join(
+            verdicts.where(col("admitted")).select("doc_id"), "doc_id")
+            .localCheckpoint() // the refresh AND round 2's replay read it
+          BandedIndex.refresh(admitted, "doc_id", "tokens", stDir,
+            deltaId = s"b$batchNo")
+          BandedIndex.refresh(admitted, "doc_id", "tokens", stDir,
+            deltaId = s"b$batchNo") // replayed: no-op
+          (verdicts, admitted)
+        }
+        val (v1, adm1) = admit(toks.where(col("doc_id") % 3 === 1), 1)
+        BandedIndex.compact(s, stDir) // fold; the guard rides the sidecar
+        // post-compact re-delivery of round 1's id: still a no-op
+        BandedIndex.refresh(adm1, "doc_id", "tokens", stDir, deltaId = "b1")
+        val (v2, _) = admit(toks.where(col("doc_id") % 3 === 2), 2)
+        v1.unionByName(v2).orderBy("doc_id")
       })
   )
 

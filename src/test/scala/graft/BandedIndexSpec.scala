@@ -159,6 +159,32 @@ class BandedIndexSpec extends SparkTestBase {
         s"($filesRead vs $bucketDirs)")
   }
 
+  test("writeSplits spreads a bucket over several files; screen and compaction are unchanged") {
+    val one = freshDir("ws1")
+    val split = freshDir("wsN")
+    BandedIndex.build(hist, "doc_id", "tokens", one, buckets = 2)
+    BandedIndex.build(hist, "doc_id", "tokens", split, buckets = 2,
+      writeSplits = 4)
+    assert(liveSet(split) === liveSet(one))
+    val vdir = VersionedState.versionPath(split, 1L)
+    val perBucket = new java.io.File(s"$vdir/bands").listFiles()
+      .filter(_.getName.startsWith("bb=")).map(
+        _.listFiles().count(_.getName.endsWith(".parquet")))
+    assert(perBucket.exists(_ > 1),
+      s"writeSplits must spread a bucket over several files " +
+        s"(got ${perBucket.mkString(",")})")
+    val fresh = docsDf(9L -> "alpha beta gamma delta epsilon")
+    assert(pairs(BandedIndex.screen(fresh, "doc_id", "tokens", split)) ===
+      pairs(BandedIndex.screen(fresh, "doc_id", "tokens", one)))
+    BandedIndex.refresh(docsDf(5L -> "m n o p q"), "doc_id", "tokens",
+      split, "b1")
+    BandedIndex.refresh(docsDf(5L -> "m n o p q"), "doc_id", "tokens",
+      one, "b1")
+    BandedIndex.compact(spark, split, retainHorizons = 0, writeSplits = 4)
+    BandedIndex.compact(spark, one, retainHorizons = 0)
+    assert(liveSet(split) === liveSet(one))
+  }
+
   test("maintain: marker dial trips compaction; drift gate Ok clean, Corruption on an id-less replay") {
     val dir = freshDir("maintain")
     BandedIndex.build(hist, "doc_id", "tokens", dir)

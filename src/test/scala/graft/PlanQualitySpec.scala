@@ -991,6 +991,19 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!plans.exists { case _: CartesianProductExec => true; case _ => false })
   }
 
+  test("q287 admission loop: windows only per-(band, chunk) — each round band-local, no cartesian") {
+    val plans = allExecutedPlans("q287_admission_loop")
+    val windows = plans.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      "q287: the only windows are the skew cap's per-(band, chunk) " +
+        "counts — both rounds' screens are bucket equi-joins, " +
+        "verification is candidate-bounded, refreshes are delta-sized; " +
+        "a global window would one-task-sort the corpus")
+    assert(!plans.exists { case _: CartesianProductExec => true; case _ => false })
+  }
+
   test("q286 needle-state cuts: NO window anywhere — verdicts, excisions and pinned serves are joins/aggs") {
     val plans = allExecutedPlans("q286_needle_state_cuts")
     assert(!plans.exists(_.nodeName == "Window"),
