@@ -1222,8 +1222,19 @@ object TextQueries {
         val corpus = toks.where(col("doc_id") < 400)
         val fresh = toks.where(col("doc_id") >= 400)
         val cand = Dedup.incrementalNearDupCandidates(corpus, fresh,
-          "doc_id", "tokens", 4, 2, maxBucketSize = 50)
-        val verified = Dedup.verifyJaccard(toks, "doc_id", "tokens",
+            "doc_id", "tokens", 4, 2, maxBucketSize = 50)
+          .localCheckpoint() // the id restriction AND the verify read it
+        // verification is candidate-bounded END TO END: the shingle
+        // projection runs only over docs a candidate pair names (the
+        // semi-join filters BELOW the md5-heavy projection) — without
+        // it, every admission batch would re-shingle the whole corpus,
+        // the cost incremental blocking exists to avoid
+        val needed = cand.select(col("id_new").as("doc_id"))
+          .unionByName(cand.select(col("id_corpus").as("doc_id")))
+          .distinct()
+        val verified = Dedup.verifyJaccard(
+            toks.join(broadcast(needed), Seq("doc_id"), "left_semi"),
+            "doc_id", "tokens",
             cand.select(col("id_new").as("id_a"), col("id_corpus").as("id_b")))
           .where(col("jaccard") >= 0.5)
         val agg = verified.groupBy(col("id_a").as("doc_id"))
@@ -5608,9 +5619,17 @@ object TextQueries {
         // post-compact re-delivery: the sidecar-carried guard holds
         BandedIndex.refresh(delta, "doc_id", "tokens", stDir, deltaId = "d1")
         val cand = BandedIndex.screen(fresh, "doc_id", "tokens", stDir,
-          maxBucketSize = 50)
+            maxBucketSize = 50)
+          .localCheckpoint() // the id restriction AND the verify read it
+        // candidate-bounded verification end to end: shingles computed
+        // only for docs a candidate pair names (q89's semi-join note)
+        val needed = cand.select(col("id_new").as("doc_id"))
+          .unionByName(cand.select(col("id_corpus").as("doc_id")))
+          .distinct()
         val live = corpusAll.where(col("doc_id") % 7 =!= 3)
-        val verified = Dedup.verifyJaccard(live.unionByName(fresh),
+        val verified = Dedup.verifyJaccard(
+            live.unionByName(fresh)
+              .join(broadcast(needed), Seq("doc_id"), "left_semi"),
             "doc_id", "tokens",
             cand.select(col("id_new").as("id_a"), col("id_corpus").as("id_b")))
           .where(col("jaccard") >= 0.5)
@@ -5892,8 +5911,16 @@ object TextQueries {
         // twice under the round's id)
         def admit(batch: DataFrame, batchNo: Int): (DataFrame, DataFrame) = {
           val cand = BandedIndex.screen(batch, "doc_id", "tokens", stDir,
-            maxBucketSize = 50)
-          val ver = Dedup.verifyJaccard(toks, "doc_id", "tokens",
+              maxBucketSize = 50)
+            .localCheckpoint() // the id restriction AND the verify read it
+          // candidate-bounded verification end to end (q89's semi-join
+          // note): shingles only for docs a candidate pair names
+          val needed = cand.select(col("id_new").as("doc_id"))
+            .unionByName(cand.select(col("id_corpus").as("doc_id")))
+            .distinct()
+          val ver = Dedup.verifyJaccard(
+              toks.join(broadcast(needed), Seq("doc_id"), "left_semi"),
+              "doc_id", "tokens",
               cand.select(col("id_new").as("id_a"),
                 col("id_corpus").as("id_b")))
             .where(col("jaccard") >= 0.5)

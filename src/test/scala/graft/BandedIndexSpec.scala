@@ -211,6 +211,37 @@ class BandedIndexSpec extends SparkTestBase {
       "a doubled unguarded batch must trip the drift gate as Corruption")
   }
 
+  test("degenerate inputs: empty probe, token-less docs, empty refresh, then normal life continues") {
+    val dir = freshDir("degen")
+    BandedIndex.build(hist, "doc_id", "tokens", dir)
+    // an EMPTY fresh batch screens to zero candidates (the bucket
+    // collect is empty → the partition filter matches nothing)
+    assert(BandedIndex.screen(hist.where(col("doc_id") > 100L),
+      "doc_id", "tokens", dir).count() === 0L)
+    // token-less docs carry NULL chunks → no joinable band rows on
+    // either side (never spurious mutual candidates)
+    val empties = Seq((50L, Array.empty[String]), (51L, Array.empty[String]))
+      .toDF("doc_id", "tokens")
+    assert(BandedIndex.screen(empties, "doc_id", "tokens", dir)
+      .count() === 0L)
+    BandedIndex.refresh(empties, "doc_id", "tokens", dir, "e0")
+    assert(BandedIndex.liveBands(spark, dir).get
+      .where(col("id").isin(50L, 51L)).count() === 0L,
+      "token-less docs store no band rows")
+    // an all-empty refresh segment (zero part files under the
+    // partitionBy write) must not poison later reads — the explicit
+    // base schema carries them
+    BandedIndex.refresh(hist.where(col("doc_id") > 100L),
+      "doc_id", "tokens", dir, "e1")
+    val fresh = docsDf(9L -> "alpha beta gamma delta epsilon")
+    assert(pairs(BandedIndex.screen(fresh, "doc_id", "tokens", dir)) ===
+      oneShot(hist, fresh),
+      "life continues across empty segments")
+    BandedIndex.compact(spark, dir, retainHorizons = 0)
+    assert(pairs(BandedIndex.screen(fresh, "doc_id", "tokens", dir)) ===
+      oneShot(hist, fresh))
+  }
+
   test("build refuses an empty corpus; refresh before build refused; foreign base label surfaced") {
     val dir = freshDir("guards")
     val e0 = intercept[IllegalArgumentException] {
