@@ -84,23 +84,8 @@ object ProfileBandedIndex {
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
 
-    def scanStats(df: DataFrame): (Long, Long) = {
-      df.collect()
-      def scans(p: org.apache.spark.sql.execution.SparkPlan)
-          : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
-        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-          scans(a.executedPlan)
-        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-          scans(s.plan)
-        case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
-        case other => other.children.flatMap(scans)
-      }
-      val ps = scans(df.queryExecution.executedPlan)
-        .filter(_.relation.location.rootPaths
-          .exists(_.toString.contains("bands")))
-      (ps.map(_.metrics("numFiles").value).sum,
-        ps.map(_.metrics("filesSize").value).sum)
-    }
+    def scanStats(df: DataFrame): (Long, Long) =
+      graft.plans.FileScans.selected(df, Some("bands"))
 
     def timed(tag: String, n: Long)(f: Int => Unit): Double = {
       val ts = (1 to reps).map { i =>

@@ -76,23 +76,8 @@ object ProfileBm25 {
     // not IO timing (a warm page cache hides the read cost wall-clock
     // that a 100 TB cold store charges in full). `part = None` counts
     // EVERY file scan in the plan (the per-query TOTAL selected bytes).
-    def scanStats(df: DataFrame, part: Option[String]): (Long, Long) = {
-      df.collect()
-      def scans(p: org.apache.spark.sql.execution.SparkPlan)
-          : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
-        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-          scans(a.executedPlan)
-        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-          scans(s.plan)
-        case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
-        case other => other.children.flatMap(scans)
-      }
-      val ps = scans(df.queryExecution.executedPlan)
-        .filter(s => part.forall(p =>
-          s.relation.location.rootPaths.exists(_.toString.contains(p))))
-      (ps.map(_.metrics("numFiles").value).sum,
-        ps.map(_.metrics("filesSize").value).sum)
-    }
+    def scanStats(df: DataFrame, part: Option[String]): (Long, Long) =
+      graft.plans.FileScans.selected(df, part)
 
     def timed(tag: String, n: Long)(f: => Unit): Double = {
       val ts = (1 to reps).map { i =>

@@ -111,9 +111,14 @@ object BandedIndex {
   private def writeBands(rows: DataFrame, nB: Int, vdir: String,
                          splits: Int = 1): Unit = {
     val withB = rows.withColumn("bb", bucketExpr(col("chunk"), nB))
+    // salted, not keyed on the raw id: distinct partitioner keys stay
+    // at nB·splits, so each bucket spreads over ~splits tasks/files —
+    // keying on (bb, id) would spread every bucket over ALL tasks
+    // (≈ nB·splits files per bucket, the small-file failure mode)
     val parted =
       if (splits <= 1) withB.repartition(nB, col("bb"))
-      else withB.repartition(nB * splits, col("bb"), col("id"))
+      else withB.repartition(nB * splits, col("bb"),
+        pmod(hash(col("id")), lit(splits)))
     parted.write.mode("overwrite").partitionBy("bb")
       .parquet(s"$vdir/bands")
   }
@@ -272,9 +277,9 @@ object BandedIndex {
       .localCheckpoint() // batch-bounded; bucket collect + probe read it
     // ≤ B distinct ints — bounded by the dial, not the batch
     val buckets = f.select("bb").distinct().collect().map(_.getInt(0)).toSeq
-    val stored = liveBands(spark, stateDir, asOf,
-        Some(buckets)).getOrElse(
-        throw new IllegalStateException(s"no committed state at $stateDir"))
+    // .get is safe: storedDials above already refused an uncommitted
+    // (or empty-asOf) state
+    val stored = liveBands(spark, stateDir, asOf, Some(buckets)).get
       .select(col("band"), col("chunk"), col("id"), lit(0).as("_side"))
     val tagged = stored.unionByName(
       f.select(col("band"), col("chunk"), col("id"), lit(1).as("_side")))
@@ -304,6 +309,13 @@ object BandedIndex {
     val cur = cs.last._1
     if (cur == base) return cur
     val folded = liveBands(spark, stateDir).get
+    // a fully-erased state must not fold (the Bm25State.compact guard):
+    // an empty bucket-partitioned base commits zero parquet footers and
+    // poisons every later explicit-schema read
+    require(!folded.isEmpty,
+      s"refusing to compact $stateDir: the live band table is EMPTY " +
+        "(every doc erased) — an empty base-compact would leave no " +
+        "schema anchor; keep the horizon and build() on the next corpus")
     val delivered = IndexSegments.deliveredLabelsOrdered(spark, stateDir, cs)
       .takeRight(maxDelivered)
     val next = cur + 1

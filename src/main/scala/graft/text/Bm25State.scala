@@ -93,16 +93,19 @@ object Bm25State {
       .select(col(idCol).as("doc"), size(col(toksCol)).cast("long").as("dl"))
 
   /** Batch postings WITH the doc length denormalized onto every row:
-    * (term, doc, tf, dl) — the stored payload shape. The dl join is
-    * BATCH-local (both sides derive from the same token rows; a doc
-    * appearing twice in one batch contributes its summed dl, exactly
-    * the total the doclen table's live sum would read).
+    * (term, doc, tf, dl) — the stored payload shape, ONE pass over the
+    * batch (dl = size(tokens) rides through the explode as a grouping
+    * key; under the one-row-per-doc batch contract it is functionally
+    * dependent on doc, so the group is exactly (term, doc)). Same
+    * shuffle as [[postings]] — no second scan, no join.
     */
   def postingsWithDl(toks: DataFrame, idCol: String,
                      toksCol: String): DataFrame =
-    postings(toks, idCol, toksCol)
-      .join(docLens(toks, idCol, toksCol)
-        .groupBy("doc").agg(sum("dl").as("dl")), "doc")
+    toks.where(size(col(toksCol)) >= 1)
+      .select(col(idCol).as("doc"),
+        size(col(toksCol)).cast("long").as("dl"),
+        explode(col(toksCol)).as("term"))
+      .groupBy("term", "doc", "dl").agg(count(lit(1)).as("tf"))
       .select(col("term"), col("doc"), col("tf"), col("dl"))
 
   /** The term-hash bucket COLUMN: first 8 md5 hex digits mod B —
@@ -162,9 +165,15 @@ object Bm25State {
   private def writePostings(p: DataFrame, nB: Int, vdir: String,
                             splits: Int = 1): Unit = {
     val withB = p.withColumn("b", bucketExpr(col("term"), nB))
+    // the salt keeps the distinct partitioner keys at nB·splits: keying
+    // the exchange on (b, doc) directly would spread EVERY bucket over
+    // all nB·splits tasks (≈ nB·splits files per bucket — nB× the
+    // documented fan-out; at B=1024/splits=32 that is 33M tiny files
+    // instead of 32k)
     val parted =
       if (splits <= 1) withB.repartition(nB, col("b"))
-      else withB.repartition(nB * splits, col("b"), col("doc"))
+      else withB.repartition(nB * splits, col("b"),
+        pmod(hash(col("doc")), lit(splits)))
     parted.write.mode("overwrite").partitionBy("b")
       .parquet(s"$vdir/postings")
   }
@@ -243,6 +252,17 @@ object Bm25State {
 
   /** Incremental refresh: postings + lengths of ONLY the delta docs.
     * `deltaId` (optional) makes the refresh replay-idempotent.
+    *
+    * ⚠ Family contract: a doc's tokens arrive WHOLE in one commit, and
+    * a live doc is updated by [[delete]] + re-[[refresh]], never by a
+    * second refresh of the same id. The denormalized layout depends on
+    * it: splitting one doc's content across two refreshes leaves each
+    * (term, doc)'s dl summing only over the commits that term appeared
+    * in — per-term lengths diverge and scores silently differ from the
+    * doclen-join formulation (which this layout replaced precisely
+    * because no shipped pipeline used incremental per-doc appends).
+    * The [[maintain]] drift gate reports a split arrival as Corruption
+    * when an `auditCorpus` is supplied.
     */
   def refresh(toks: DataFrame, idCol: String, toksCol: String,
               stateDir: String, deltaId: String = ""): Long =
@@ -339,6 +359,14 @@ object Bm25State {
       // fail exactly on the segment whose emptiness is the point
       val sch = spark.read.parquet(
         s"${VersionedState.versionPath(stateDir, vs.head)}/$table").schema
+      // a state dir persisted by a layout WITHOUT these columns (e.g.
+      // postings before the dl denormalization) must fail with the
+      // remedy, not an opaque unresolved-column error mid-plan
+      val missing = (keys ++ cnts).filterNot(sch.fieldNames.contains)
+      require(missing.isEmpty,
+        s"$stateDir's $table base lacks column(s) ${missing.mkString(", ")}" +
+          " — the stored state predates this layout; run build() over " +
+          "the live corpus to adopt it")
       pre(vs.map(n => spark.read.schema(sch).parquet(
           s"${VersionedState.versionPath(stateDir, n)}/$table"))
         .reduce(_.unionByName(_)))
@@ -352,7 +380,10 @@ object Bm25State {
     * across every version since the latest base, positive tf totals
     * only — dl sums by the same linear algebra (it was committed
     * alongside tf and negated alongside it), so a live row's dl IS
-    * the doc's live length. None before the first commit. With
+    * the doc's live length PROVIDED each doc's tokens arrived whole
+    * per commit (the [[refresh]] contract — split arrivals leave
+    * per-term dl divergent, which the drift gate surfaces).
+    * None before the first commit. With
     * `terms` given, the read filters to those terms' BUCKET
     * PARTITIONS (a file skip — ≤ k of B directories per segment open)
     * plus the terms themselves (a pushed row filter inside them)
@@ -454,6 +485,15 @@ object Bm25State {
     if (cur == base) return cur
     val p = livePostings(spark, stateDir).get
     val l = liveDocLens(spark, stateDir).get
+    // a fully-erased state must NOT fold: the bucket-partitioned write
+    // of zero rows commits zero parquet footers, and every later read's
+    // explicit-schema anchor off the new base would then fail — the
+    // same hole build()'s non-empty guard closes. Keep the unfolded
+    // horizon (reads stay healthy) and build() on the next real corpus.
+    require(!p.isEmpty,
+      s"refusing to compact $stateDir: the live index is EMPTY (every " +
+        "doc erased) — an empty base-compact would leave no schema " +
+        "anchor; keep the horizon and build() on the next corpus instead")
     val delivered = IndexSegments.deliveredLabelsOrdered(spark, stateDir, cs)
       .takeRight(maxDelivered)
     val next = cur + 1

@@ -137,19 +137,7 @@ class BandedIndexSpec extends SparkTestBase {
     assert(bucketDirs > 1, s"fixture spreads over $bucketDirs buckets")
     val fresh = docsDf(99L -> "tok7a tok7b tok7c tok7d tok7e")
     val df = BandedIndex.screen(fresh, "doc_id", "tokens", dir)
-    df.collect()
-    def scans(p: org.apache.spark.sql.execution.SparkPlan)
-        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
-      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-        scans(a.executedPlan)
-      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-        scans(s.plan)
-      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
-      case other => other.children.flatMap(scans)
-    }
-    val bandScans = scans(df.queryExecution.executedPlan)
-      .filter(_.relation.location.rootPaths
-        .exists(_.toString.contains("bands")))
+    val bandScans = graft.plans.FileScans.executedScans(df, Some("bands"))
     assert(bandScans.nonEmpty, "the bands scan must be visible")
     assert(bandScans.forall(_.partitionFilters.nonEmpty),
       "the bucket predicate must reach the scan as a PARTITION filter")
@@ -173,6 +161,9 @@ class BandedIndexSpec extends SparkTestBase {
     assert(perBucket.exists(_ > 1),
       s"writeSplits must spread a bucket over several files " +
         s"(got ${perBucket.mkString(",")})")
+    assert(perBucket.forall(_ <= 4),
+      s"a bucket must land in AT MOST `splits` files (bounded salt, " +
+        s"not the raw id — got ${perBucket.mkString(",")})")
     val fresh = docsDf(9L -> "alpha beta gamma delta epsilon")
     assert(pairs(BandedIndex.screen(fresh, "doc_id", "tokens", split)) ===
       pairs(BandedIndex.screen(fresh, "doc_id", "tokens", one)))

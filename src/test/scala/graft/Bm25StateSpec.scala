@@ -243,21 +243,13 @@ class Bm25StateSpec extends SparkTestBase {
     assert(perBucket.exists(_ > 1),
       s"writeSplits must spread a bucket over several files " +
         s"(got ${perBucket.mkString(",")})")
+    assert(perBucket.forall(_ <= 4),
+      s"a bucket must land in AT MOST `splits` files — more means the " +
+        s"exchange keyed on the raw doc instead of a bounded salt and " +
+        s"every bucket fanned out to every task (got ${perBucket.mkString(",")})")
     // pruning still skips non-query buckets (partition dirs unchanged)
     val df = Bm25State.topK(spark, split, Seq("x"), 10)
-    df.collect()
-    def scans(p: org.apache.spark.sql.execution.SparkPlan)
-        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
-      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-        scans(a.executedPlan)
-      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-        scans(s.plan)
-      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
-      case other => other.children.flatMap(scans)
-    }
-    assert(scans(df.queryExecution.executedPlan)
-      .filter(_.relation.location.rootPaths
-        .exists(_.toString.contains("postings")))
+    assert(graft.plans.FileScans.executedScans(df, Some("postings"))
       .forall(_.partitionFilters.nonEmpty))
     // a split compact folds identically
     Bm25State.refresh(docsDf(9L -> "x q"), "doc_id", "tokens", split, "b1")
@@ -266,6 +258,55 @@ class Bm25StateSpec extends SparkTestBase {
     Bm25State.compact(spark, one, retainHorizons = 0)
     assert(postingsSet(split) === postingsSet(one))
     assert(top(split) === top(one))
+  }
+
+  test("compact refuses a fully-erased state (an empty bucket-partitioned base has no schema anchor)") {
+    val dir = freshDir("erased")
+    Bm25State.build(hist, "doc_id", "tokens", dir)
+    Bm25State.delete(hist.select("doc_id"), "doc_id", dir, "all")
+    assert(Bm25State.livePostings(spark, dir).get.count() === 0L)
+    val e = intercept[IllegalArgumentException] {
+      Bm25State.compact(spark, dir)
+    }
+    assert(e.getMessage.contains("EMPTY"))
+    // the unfolded horizon stays healthy: reads work, a refresh revives
+    Bm25State.refresh(docsDf(9L -> "x y"), "doc_id", "tokens", dir, "re")
+    assert(top(dir).map(_._1) === Seq(9L))
+    Bm25State.compact(spark, dir) // non-empty again: folds fine
+    assert(top(dir).map(_._1) === Seq(9L))
+  }
+
+  test("a stored dir predating the denormalized layout fails with the rebuild remedy, not an opaque error") {
+    val dir = freshDir("legacy")
+    // hand-commit a v1 base whose postings lack the dl column (the
+    // pre-denormalization layout)
+    VersionedState.commit(spark, dir, None, label = "base:B=4") { vdir =>
+      Seq(("x", 1L, 2L)).toDF("term", "doc", "tf")
+        .withColumn("b", Bm25State.bucketExpr(col("term"), 4))
+        .write.partitionBy("b").parquet(s"$vdir/postings")
+      Seq((1L, 4L)).toDF("doc", "dl").write.parquet(s"$vdir/doclen")
+    }
+    val e = intercept[IllegalArgumentException] {
+      Bm25State.livePostings(spark, dir).get.collect()
+    }
+    assert(e.getMessage.contains("predates") &&
+      e.getMessage.contains("build()"),
+      s"must name the missing column and the remedy: ${e.getMessage}")
+  }
+
+  test("a doc's tokens split across two refreshes is contract-violating and trips the drift gate") {
+    val dir = freshDir("split-arrival")
+    Bm25State.build(hist, "doc_id", "tokens", dir)
+    // doc 9's content arrives in two halves under two ids — the flow
+    // the whole-doc-per-commit contract forbids (delete + re-ingest
+    // whole is the supported update path)
+    Bm25State.refresh(docsDf(9L -> "x y"), "doc_id", "tokens", dir, "h1")
+    val r = Bm25State.maintain(docsDf(9L -> "x z"), "doc_id", "tokens",
+      dir, deltaId = "h2", maxLiveMarkers = 99,
+      auditCorpus = Some(hist.unionByName(docsDf(9L -> "x y x z"))))
+    assert(r.corrupted,
+      "per-term dl divergence from a split arrival must surface as " +
+        s"Corruption, not silent score drift: ${r.gates}")
   }
 
   test("build refuses an empty corpus (an all-empty base would poison later schema reads)") {
@@ -340,19 +381,8 @@ class Bm25StateSpec extends SparkTestBase {
       .count(_.getName.startsWith("b="))
     assert(bucketDirs > 1, s"fixture spreads over $bucketDirs buckets")
     val df = Bm25State.topK(spark, dir, Seq("x"), 10)
-    df.collect()
-    def scans(p: org.apache.spark.sql.execution.SparkPlan)
-        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
-      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-        scans(a.executedPlan)
-      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-        scans(s.plan)
-      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
-      case other => other.children.flatMap(scans)
-    }
-    val postingScans = scans(df.queryExecution.executedPlan)
-      .filter(_.relation.location.rootPaths
-        .exists(_.toString.contains("postings")))
+    val postingScans = graft.plans.FileScans.executedScans(df,
+      Some("postings"))
     assert(postingScans.nonEmpty, "the postings scan must be visible")
     assert(postingScans.forall(_.partitionFilters.nonEmpty),
       "the bucket predicate must reach the scan as a PARTITION filter " +
@@ -367,8 +397,7 @@ class Bm25StateSpec extends SparkTestBase {
     val st = Bm25State.stats(spark, dir).localCheckpoint()
     val served = Bm25State.topK(spark, dir, Seq("x"), 10,
       precomputedStats = Some(st))
-    served.collect()
-    val allScans = scans(served.queryExecution.executedPlan)
+    val allScans = graft.plans.FileScans.executedScans(served)
     assert(allScans.nonEmpty && allScans.forall(_.relation.location.rootPaths
       .exists(_.toString.contains("postings"))),
       "the serve path must read postings buckets ONLY — the doclen join " +
