@@ -112,6 +112,26 @@ private[graft] object IndexSegments {
     */
   val DefaultMaxDelivered = 65536
 
+  /** The delivered-id labels a compaction carries forward: the NEWEST
+    * `maxDelivered` of `labels` (which arrive age-ordered, oldest
+    * first). When the cap actually ages ids out, say so on stderr: an
+    * aged-out id becomes RE-DELIVERABLE, so the operator must learn
+    * the replay window shrank from the log — not from duplicated
+    * state after the source replays an ancient batch.
+    */
+  def retainDelivered(labels: Seq[String], maxDelivered: Int,
+                      stateDir: String): Seq[String] = {
+    val kept = labels.takeRight(math.max(maxDelivered, 0))
+    val aged = labels.length - kept.length
+    if (aged > 0)
+      System.err.println(s"[graft] compact at $stateDir aged $aged " +
+        s"delivered id(s) out of the replay-guard sidecar (cap " +
+        s"$maxDelivered, oldest dropped '${labels.head}') — aged ids " +
+        "are re-deliverable; raise maxDelivered if the source's replay " +
+        "window can exceed the cap")
+    kept
+  }
+
   /** Every replay-guarded label known delivered, OLDEST FIRST: the
     * latest base's sidecar (already age-ordered — compaction preserves
     * the order) followed by the live markers' labels in version order,
@@ -292,8 +312,8 @@ private[graft] object IndexSegments {
     val pdir = VersionedState.versionPath(stateDir, cur)
     val dials = dialDirs.map(d => d -> spark.read.parquet(s"$pdir/$d"))
     val folded = live(spark, stateDir).get
-    val delivered = deliveredLabelsOrdered(spark, stateDir, cs)
-      .takeRight(maxDelivered)
+    val delivered = retainDelivered(
+      deliveredLabelsOrdered(spark, stateDir, cs), maxDelivered, stateDir)
     val next = cur + 1
     // the folded plan lazily reads the old segments; the write inside
     // commit() materializes it BEFORE the post-marker GC deletes them

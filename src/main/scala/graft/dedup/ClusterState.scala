@@ -397,8 +397,9 @@ object ClusterState {
     if (cur == base) return cur
     val folded = labels(spark, stateDir).get
     val foldedEdges = liveEdges(spark, stateDir).get
-    val delivered = IndexSegments.deliveredLabelsOrdered(spark, stateDir, cs)
-      .takeRight(maxDelivered)
+    val delivered = IndexSegments.retainDelivered(
+      IndexSegments.deliveredLabelsOrdered(spark, stateDir, cs),
+      maxDelivered, stateDir)
     val next = cur + 1
     VersionedState.commit(spark, stateDir, Some(cur), label = "base-compact",
       gcBelow = IndexSegments.compactGcFloor(cs, next, retainHorizons)) { vdir =>

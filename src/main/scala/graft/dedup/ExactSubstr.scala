@@ -30,8 +30,8 @@ import org.apache.spark.sql.functions._
   * [[retract]] — NEGATIVE counts of removed docs; counts are linear,
   * so deletion is a merge, where the ANN index family needs
   * tombstones), `base-compact:L=<n>` (a [[compact]] — all counts
-  * since the last base folded into one table, zero/negative totals
-  * physically dropped). The LIVE multiset is the per-hash SUM across
+  * since the last base folded into one table of the nonzero
+  * totals). The LIVE multiset is the per-hash SUM across
   * every table since the latest base ([[hashCounts]]); a hash is a
   * duplicate when its live total ≥ 2 ([[dupHashes]]).
   *
@@ -128,6 +128,9 @@ object ExactSubstr {
     val prev = VersionedState.currentVersion(spark, stateDir)
     require(prev.nonEmpty,
       s"no committed state at $stateDir — run build() before $kind()")
+    // validate-first, the family-wide invariant (commitTombstone's
+    // order): guard keys are always VALIDATED ids
+    IndexSegments.validDeltaId(deltaId) // byte-bounded: marker + sidecar safe
     alreadyDelivered(spark, stateDir, kind, deltaId) match {
       case Some(v) => return v // replayed batch id: already committed
       case None    =>
@@ -135,7 +138,6 @@ object ExactSubstr {
     val l = storedL(spark, stateDir) // the dial comes from disk, not the caller
     val c = counts(toks, idCol, toksCol, l)
     val signed = if (negate) c.select(col("h"), (-col("c")).as("c")) else c
-    IndexSegments.validDeltaId(deltaId) // byte-bounded: marker + sidecar safe
     val label = if (deltaId.isEmpty) kind else s"$kind:$deltaId"
     VersionedState.commit(spark, stateDir, prev, label = label) { vdir =>
       signed.write.mode("overwrite").parquet(s"$vdir/hashes")
@@ -159,11 +161,10 @@ object ExactSubstr {
     * ⚠ Contract hazard (the [[graft.text.Bm25State.retract]] note):
     * retracting rows that were never ingested leaves NEGATIVE stored
     * totals — a later refresh of the same content sums to ≤ 0 and
-    * stays invisible, while an intervening [[compact]] physically
-    * drops the negatives and the same refresh then lands whole:
-    * compaction changes observable state, on contract-violating input
-    * only. The [[maintain]] drift gate reports a violating retract as
-    * Corruption.
+    * stays invisible. [[compact]] preserves nonzero totals (negatives
+    * included), so that state is at least compaction-invariant — but
+    * it is still wrong relative to the caller's intent, and only the
+    * [[maintain]] drift gate surfaces it, as Corruption.
     */
   def retract(toks: DataFrame, idCol: String, toksCol: String,
               stateDir: String, deltaId: String = ""): Long =
@@ -178,7 +179,19 @@ object ExactSubstr {
     * horizon, [[gc]] reclaims it).
     */
   def hashCounts(spark: SparkSession, stateDir: String,
-                 asOf: Option[Long] = None): Option[DataFrame] = {
+                 asOf: Option[Long] = None): Option[DataFrame] =
+    summedCounts(spark, stateDir, asOf, liveOnly = true)
+
+  /** Per-hash totals across the read horizon. `liveOnly = true` (every
+    * read path) keeps positive totals only; `false` (the [[compact]]
+    * fold ONLY) keeps every NONZERO total — negative totals from a
+    * contract-violating [[retract]] are preserved across compaction,
+    * so compacting never changes observable state (zero totals drop
+    * safely: absent + x sums the same as 0 + x).
+    */
+  private def summedCounts(spark: SparkSession, stateDir: String,
+                           asOf: Option[Long],
+                           liveOnly: Boolean): Option[DataFrame] = {
     val cs0 = VersionedState.committed(spark, stateDir)
     val cs = asOf.fold(cs0)(v => cs0.filter(_._1 <= v))
     if (cs.isEmpty) return None
@@ -188,7 +201,7 @@ object ExactSubstr {
     }
     Some(tables.reduce(_.unionByName(_))
       .groupBy("h").agg(sum("c").cast("long").as("c"))
-      .where(col("c") > 0))
+      .where(if (liveOnly) col("c") > 0 else col("c") =!= 0))
   }
 
   /** Hashes whose live count ≥ 2 — the duplicated-window set
@@ -202,8 +215,10 @@ object ExactSubstr {
       .where(col("c") >= 2).select("h")
 
   /** Fold every count table since the last base into ONE
-    * `base-compact:L=<L>` version (zero/negative totals physically
-    * dropped) and GC below the retention floor (default keeps the
+    * `base-compact:L=<L>` version (zero totals dropped, NONZERO
+    * totals — negatives from a contract-violating retract included —
+    * preserved, so compaction never changes observable state) and GC
+    * below the retention floor (default keeps the
     * folded horizon alive for in-flight readers — reclaim with [[gc]]
     * or the next compact) — bounds the union fan-out and the
     * driver-side marker reads, like the ANN family's compact. The
@@ -218,9 +233,10 @@ object ExactSubstr {
     val (base, l) = lastBaseOf(cs, stateDir)
     val cur = cs.last._1
     if (cur == base) return cur
-    val folded = hashCounts(spark, stateDir).get
-    val delivered = IndexSegments.deliveredLabelsOrdered(spark, stateDir, cs)
-      .takeRight(maxDelivered)
+    val folded = summedCounts(spark, stateDir, None, liveOnly = false).get
+    val delivered = IndexSegments.retainDelivered(
+      IndexSegments.deliveredLabelsOrdered(spark, stateDir, cs),
+      maxDelivered, stateDir)
     val next = cur + 1
     VersionedState.commit(spark, stateDir, Some(cur),
       label = baseLabel("base-compact", l),

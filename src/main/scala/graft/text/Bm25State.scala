@@ -19,7 +19,7 @@ import org.apache.spark.sql.functions._
   * commits ONLY the batch's postings (history is never re-tokenized),
   * a deletion is a merge of NEGATED counts (no tombstones — unlike the
   * ANN index family, whose rows are not additive), compaction folds
-  * the horizon into one table dropping zero/negative totals, and ANY
+  * the horizon into one table of the nonzero totals, and ANY
   * drift vs a one-shot recount is corruption by construction, never
   * approximation.
   *
@@ -212,10 +212,14 @@ object Bm25State {
     // and every later read's explicit-schema inference off the base
     // would then fail with an opaque AnalysisException — surface the
     // contract here instead (start an empty index with the first real
-    // batch's build, not an empty one)
-    require(!toks.isEmpty,
-      "build() needs a non-empty corpus — an empty base commits no " +
-        "parquet footers to anchor later reads; build on the first " +
+    // batch's build, not an empty one). The guard is on the DERIVED
+    // payload, not the raw input: a corpus whose docs all have EMPTY
+    // token arrays passes a raw non-empty check while postings/doclen
+    // (filtered by size ≥ 1) still write footer-less.
+    require(!toks.where(size(col(toksCol)) >= 1).isEmpty,
+      "build() needs a corpus with at least one non-empty token array " +
+        "— zero-token docs carry no postings, so the base would commit " +
+        "no parquet footers to anchor later reads; build on the first " +
         "real batch instead")
     val spark = toks.sparkSession
     val prev = VersionedState.currentVersion(spark, stateDir)
@@ -228,7 +232,8 @@ object Bm25State {
 
   private def deltaCommit(toks: DataFrame, idCol: String, toksCol: String,
                           stateDir: String, kind: String, deltaId: String,
-                          negate: Boolean): Long = {
+                          negate: Boolean,
+                          requireNewDocs: Boolean = false): Long = {
     val spark = toks.sparkSession
     val prev = VersionedState.currentVersion(spark, stateDir)
     require(prev.nonEmpty,
@@ -243,6 +248,21 @@ object Bm25State {
     delivered match {
       case Some(v) => return v // replayed batch id: already committed
       case None    =>
+    }
+    // opt-in split-arrival guard, checked AFTER the replay guard (a
+    // crash-replayed batch legitimately names its own live docs): the
+    // denormalized dl layout needs each doc's tokens whole in ONE
+    // commit — a second refresh of a live doc leaves per-term dl
+    // divergent and scores silently wrong
+    if (requireNewDocs && !negate) {
+      val dup = liveDocLens(spark, stateDir).get
+        .join(broadcast(toks.select(col(idCol).as("doc")).distinct()), "doc")
+        .select("doc").limit(3).collect().map(_.get(0))
+      require(dup.isEmpty,
+        s"refresh delta names docs already LIVE in $stateDir (e.g. " +
+          s"${dup.mkString(", ")}) — a live doc is updated by delete() " +
+          "+ re-refresh(), never a second refresh (the denormalized dl " +
+          "rides each commit whole)")
     }
     val nB = storedBuckets(spark, stateDir) // the dial comes from disk
     val label = if (deltaId.isEmpty) kind else s"$kind:$deltaId"
@@ -262,12 +282,16 @@ object Bm25State {
     * doclen-join formulation (which this layout replaced precisely
     * because no shipped pipeline used incremental per-doc appends).
     * The [[maintain]] drift gate reports a split arrival as Corruption
-    * when an `auditCorpus` is supplied.
+    * when an `auditCorpus` is supplied; `requireNewDocs = true` rejects
+    * it UP FRONT instead — one doc-count-sized scan of the live
+    * lengths against the broadcast batch ids, checked after the replay
+    * guard (a crash-replayed batch legitimately names its own docs).
     */
   def refresh(toks: DataFrame, idCol: String, toksCol: String,
-              stateDir: String, deltaId: String = ""): Long =
+              stateDir: String, deltaId: String = "",
+              requireNewDocs: Boolean = false): Long =
     deltaCommit(toks, idCol, toksCol, stateDir, "delta", deltaId,
-      negate = false)
+      negate = false, requireNewDocs = requireNewDocs)
 
   /** Remove docs from the maintained index: commit their postings and
     * lengths NEGATED (counts are linear — the dedup pipeline's
@@ -279,15 +303,14 @@ object Bm25State {
     *
     * ⚠ Contract hazard (prefer [[delete]] for erasure): retracting
     * token rows the doc never contributed leaves NEGATIVE stored
-    * totals. A later [[refresh]] of that doc then sums to ≤ 0 and the
-    * doc stays dead — but an intervening [[compact]] physically drops
-    * the negative totals, after which the same refresh revives it:
-    * compaction changes observable state, on contract-violating input
-    * only. [[delete]] has no such mode — it negates LIVE totals, so
-    * it is idempotent at the algebra level; the drift gate
-    * ([[maintain]] with an `auditCorpus`) catches a violating retract
-    * as Corruption. The same hazard note applies to
-    * [[graft.dedup.ExactSubstr.retract]].
+    * totals — a later [[refresh]] of that doc sums to ≤ 0 and the doc
+    * stays dead. [[compact]] preserves nonzero totals (negatives
+    * included), so the dead-doc state is at least compaction-invariant
+    * — but it is still WRONG relative to the caller's intent, and only
+    * the drift gate ([[maintain]] with an `auditCorpus`) surfaces it,
+    * as Corruption. [[delete]] has no such mode — it negates LIVE
+    * totals, so it is idempotent at the algebra level. The same hazard
+    * note applies to [[graft.dedup.ExactSubstr.retract]].
     */
   def retract(toks: DataFrame, idCol: String, toksCol: String,
               stateDir: String, deltaId: String = ""): Long =
@@ -347,10 +370,19 @@ object Bm25State {
     }
   }
 
+  /** Per-key count totals across the read horizon. `liveOnly = true`
+    * (every read path) keeps positive primary totals only; `false`
+    * (the [[compact]] fold ONLY) keeps every NONZERO total — negative
+    * totals from a contract-violating [[retract]] are physically
+    * preserved across compaction, so compacting can never change
+    * observable state (zero totals are safely dropped: absent + x
+    * sums the same as 0 + x).
+    */
   private def liveSum(spark: SparkSession, stateDir: String,
                       asOf: Option[Long], table: String, keys: Seq[String],
                       cnts: Seq[String],
-                      pre: DataFrame => DataFrame = identity)
+                      pre: DataFrame => DataFrame = identity,
+                      liveOnly: Boolean = true)
       : Option[DataFrame] =
     horizon(spark, stateDir, asOf).map { vs =>
       // every segment reads with the BASE segment's explicit schema: a
@@ -373,7 +405,10 @@ object Bm25State {
         .groupBy(keys.map(col): _*)
         .agg(sum(cnts.head).cast("long").as(cnts.head),
           cnts.tail.map(c => sum(c).cast("long").as(c)): _*)
-        .where(col(cnts.head) > 0) // liveness rides the PRIMARY count
+        // liveness rides the PRIMARY count; the compact fold keeps
+        // every nonzero total instead (see the scaladoc)
+        .where(if (liveOnly) col(cnts.head) > 0
+               else cnts.map(col(_) =!= 0).reduce(_ || _))
     }
 
   /** The LIVE postings (term, doc, tf, dl): per-key totals summed
@@ -466,7 +501,9 @@ object Bm25State {
   }
 
   /** Fold every count table since the last base into ONE `base-compact`
-    * version (zero/negative totals physically dropped) and GC below
+    * version (zero totals dropped, NONZERO totals — negatives from a
+    * contract-violating retract included — preserved, so compaction
+    * never changes observable state) and GC below
     * the retention floor (default keeps the folded horizon alive for
     * in-flight readers — reclaim with [[gc]] or the next compact).
     * The delivered delta/retract ids ride the sidecar, so the replay
@@ -483,8 +520,16 @@ object Bm25State {
     val (base, nB) = lastBaseOf(cs, stateDir)
     val cur = cs.last._1
     if (cur == base) return cur
-    val p = livePostings(spark, stateDir).get
-    val l = liveDocLens(spark, stateDir).get
+    // the fold keeps every NONZERO total (not just positive): negative
+    // totals left by a contract-violating retract survive compaction
+    // verbatim, so the observable state (reads filter > 0) is
+    // IDENTICAL before and after a compact on any input — the old
+    // positive-only fold silently revived a violated-then-refreshed
+    // doc across a compact
+    val p = liveSum(spark, stateDir, None, "postings", Seq("term", "doc"),
+      Seq("tf", "dl"), liveOnly = false).get
+    val l = liveSum(spark, stateDir, None, "doclen", Seq("doc"),
+      Seq("dl"), liveOnly = false).get
     // a fully-erased state must NOT fold: the bucket-partitioned write
     // of zero rows commits zero parquet footers, and every later read's
     // explicit-schema anchor off the new base would then fail — the
@@ -494,8 +539,9 @@ object Bm25State {
       s"refusing to compact $stateDir: the live index is EMPTY (every " +
         "doc erased) — an empty base-compact would leave no schema " +
         "anchor; keep the horizon and build() on the next corpus instead")
-    val delivered = IndexSegments.deliveredLabelsOrdered(spark, stateDir, cs)
-      .takeRight(maxDelivered)
+    val delivered = IndexSegments.retainDelivered(
+      IndexSegments.deliveredLabelsOrdered(spark, stateDir, cs),
+      maxDelivered, stateDir)
     val next = cur + 1
     VersionedState.commit(spark, stateDir, Some(cur),
       label = baseLabel("base-compact", nB),

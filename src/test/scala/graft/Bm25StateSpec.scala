@@ -430,4 +430,61 @@ class Bm25StateSpec extends SparkTestBase {
     assert(r.corrupted,
       "a doubled unguarded batch must trip the drift gate as Corruption")
   }
+
+  test("a contract-violating retract's observable state is compaction-invariant (negatives fold, not drop)") {
+    // doc 9 was NEVER ingested; retracting its rows leaves negative
+    // totals. The contract says the doc is then dead to a later
+    // refresh — and that verdict must not depend on whether a compact
+    // ran in between (the old positive-only fold dropped the negatives
+    // and the refresh revived the doc on the compacted twin only).
+    def runIt(compactBetween: Boolean): (Seq[(Long, Double)], Long) = {
+      val dir = freshDir(s"viol$compactBetween")
+      Bm25State.build(hist, "doc_id", "tokens", dir)
+      Bm25State.retract(docsDf(9L -> "x y"), "doc_id", "tokens", dir, "r1")
+      if (compactBetween) Bm25State.compact(spark, dir)
+      Bm25State.refresh(docsDf(9L -> "x y"), "doc_id", "tokens", dir, "re9")
+      (top(dir), Bm25State.livePostings(spark, dir).get.count())
+    }
+    val (tPlain, nPlain) = runIt(compactBetween = false)
+    val (tCompacted, nCompacted) = runIt(compactBetween = true)
+    assert(tPlain === tCompacted && nPlain === nCompacted,
+      "compaction must never change observable state, even on " +
+        "contract-violating retract input")
+    assert(!tPlain.map(_._1).contains(9L),
+      "the violated-then-refreshed doc sums to ≤ 0 and stays dead " +
+        "(the drift gate, not compaction, is where the violation surfaces)")
+  }
+
+  test("build refuses a corpus whose docs are ALL token-less (derived-payload guard)") {
+    val dir = freshDir("alltokless")
+    val tokless = Seq(1L, 2L).toDF("doc_id")
+      .select(col("doc_id"), expr("array()").cast("array<string>").as("tokens"))
+    val e = intercept[IllegalArgumentException] {
+      Bm25State.build(tokless, "doc_id", "tokens", dir)
+    }
+    assert(e.getMessage.contains("non-empty token array"),
+      s"token-less docs write no postings; the raw non-empty check is " +
+        s"not enough: ${e.getMessage}")
+  }
+
+  test("requireNewDocs rejects a live doc's second refresh up front; fresh docs and crash-replays pass") {
+    val dir = freshDir("reqnew")
+    Bm25State.build(hist, "doc_id", "tokens", dir)
+    val e = intercept[IllegalArgumentException] {
+      Bm25State.refresh(docsDf(1L -> "x q"), "doc_id", "tokens", dir,
+        deltaId = "h2", requireNewDocs = true)
+    }
+    assert(e.getMessage.contains("already LIVE"))
+    assert(VersionedState.currentVersion(spark, dir) === Some(1L),
+      "the rejected refresh must not commit")
+    // a genuinely new doc passes the guard
+    val v = Bm25State.refresh(docsDf(9L -> "x y"), "doc_id", "tokens", dir,
+      deltaId = "d9", requireNewDocs = true)
+    assert(v === 2L)
+    // a crash-replay of that id names its own (now live) doc — the
+    // replay guard answers BEFORE the disjointness check
+    val vr = Bm25State.refresh(docsDf(9L -> "x y"), "doc_id", "tokens", dir,
+      deltaId = "d9", requireNewDocs = true)
+    assert(vr === v, "a replayed id must stay a no-op under the guard")
+  }
 }

@@ -167,4 +167,37 @@ class ExactSubstrSpec extends SparkTestBase {
     }
     assert(e2.getMessage.contains("L dial"))
   }
+
+  test("a contract-violating retract's observable state is compaction-invariant (negatives fold, not drop)") {
+    // content never ingested is retracted, leaving negative totals;
+    // whether a later refresh of the same content stays dead must not
+    // depend on an intervening compact
+    val ghost = docsDf(9L -> "q r s t u q r s")
+    def liveSet(dir: String): Set[(String, Long)] =
+      ExactSubstr.hashCounts(spark, dir).get
+        .select(col("h"), col("c")).as[(String, Long)].collect().toSet
+    def runIt(compactBetween: Boolean): Set[(String, Long)] = {
+      val dir = freshDir(s"viol$compactBetween")
+      ExactSubstr.build(hist, "doc_id", "tokens", 4, dir)
+      ExactSubstr.retract(ghost, "doc_id", "tokens", dir, "r1")
+      if (compactBetween) ExactSubstr.compact(spark, dir)
+      ExactSubstr.refresh(ghost, "doc_id", "tokens", dir, "re9")
+      liveSet(dir)
+    }
+    assert(runIt(compactBetween = false) === runIt(compactBetween = true),
+      "compaction must never change the observable multiset, even on " +
+        "contract-violating retract input")
+  }
+
+  test("an invalid delta id is rejected before the replay guard or any state is consulted") {
+    val dir = freshDir("badid")
+    ExactSubstr.build(hist, "doc_id", "tokens", 4, dir)
+    val e = intercept[IllegalArgumentException] {
+      ExactSubstr.refresh(docsDf(9L -> "a b c d e"), "doc_id", "tokens",
+        dir, deltaId = "x" * 300)
+    }
+    assert(e.getMessage.contains("200"), "the byte bound must be named")
+    assert(VersionedState.currentVersion(spark, dir) === Some(1L),
+      "a rejected id must not commit anything")
+  }
 }
