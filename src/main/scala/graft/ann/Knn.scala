@@ -490,6 +490,24 @@ object Knn {
       .select(col(idCol), col("bc.band").as("band"), col("bc.chunk").as("chunk"))
   }
 
+  /** SRP band rows in the [[graft.dedup.BandedIndex]] COUNT layout:
+    * (band, chunk STRING, id, c = 1) — the vector twin of the MinHash
+    * [[graft.dedup.Dedup]] chunk rows, which is all the maintained
+    * banded index needs to store embeddings: a band's packed sign-bit
+    * chunk is just an opaque join key, rendered as its decimal string
+    * so one state layout serves both modalities. Map-side only (the
+    * hyperplanes ride as literals); zero-norm vectors have no sign
+    * geometry and yield no band rows (the `withNorm` filter — the
+    * oracle's `nrm > 0` twin).
+    */
+  private[graft] def srpChunkRows(emb: DataFrame, idCol: String,
+                                  vecCol: String, dims: Int, nBands: Int,
+                                  rowsPerBand: Int): DataFrame =
+    srpBands(withNorm(emb, idCol, vecCol), idCol, vecCol, dims,
+        nBands, rowsPerBand)
+      .select(col("band"), col("chunk").cast("string").as("chunk"),
+        col(idCol).as("id"), lit(1L).as("c"))
+
   /** SRP as a RETRIEVAL prefilter: (q_id, cand_id) bucket-mate
     * candidates of each query under `queryPred` — the query side joins
     * the corpus band table directly (never a corpus self-join), so the

@@ -5,7 +5,7 @@ import graft.operators.VersionedState
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** The banded MinHash SIGNATURE index maintained as durable
+/** The banded SIGNATURE index maintained as durable
   * [[graft.operators.VersionedState]] — the candidate-GENERATION
   * artifact behind near-dup admission, promoted to the same lifecycle
   * as the rest of the family: q89 (incremental dedup) recomputes the
@@ -17,6 +17,18 @@ import org.apache.spark.sql.functions._
   * ([[screen]] ≡ [[Dedup.incrementalNearDupCandidates]] over the live
   * corpus, which q285 gates hash-exact).
   *
+  * == Two modalities, one state ==
+  *
+  * A stored band row is (band, chunk) with the chunk an OPAQUE string
+  * join key, so the same lifecycle serves both banded-LSH families:
+  * `dims = 0` stores banded MINHASH chunks of a token array (the text
+  * near-dup geometry, q27/q89/q285); `dims > 0` stores banded
+  * SIGN-RANDOM-PROJECTION chunks of an `Array[Float]` embedding
+  * ([[graft.ann.Knn.srpChunkRows]] — the q36/q76 geometry, promoted
+  * from per-run recomputation by q288). The modality rides the base
+  * label with the other dials, so a probe can never band the fresh
+  * side differently from the stored corpus.
+  *
   * == State layout ==
   *
   * One versioned-state directory; every version's payload is a
@@ -24,13 +36,15 @@ import org.apache.spark.sql.functions._
   * PARTITIONED BY a chunk-hash bucket `bb` (first 8 md5 hex digits of
   * the chunk mod B — the [[graft.text.Bm25State]] postings layout).
   * A band row is a LINEAR COUNT like a posting: (band, chunk) is a
-  * pure function of the doc's tokens, so a doc's band rows re-derive
-  * from its tokens at any time and negate on erasure — [[delete]]
-  * negates LIVE rows by id alone (no token rows needed), [[retract]]
-  * negates caller-supplied token rows, and ANY drift vs a one-shot
+  * pure function of the doc's payload (tokens or embedding), so a
+  * doc's band rows re-derive
+  * from its payload at any time and negate on erasure — [[delete]]
+  * negates LIVE rows by id alone (no payload rows needed), [[retract]]
+  * negates caller-supplied payload rows, and ANY drift vs a one-shot
   * re-banding is corruption, never approximation ([[maintain]]'s
-  * gate). Dials (nBands, rowsPerBand, B) ride the base label
-  * (`base:bands=<n>,rows=<r>,B=<n>`) and are recovered from disk on
+  * gate). Dials (nBands, rowsPerBand, B, dims) ride the base label
+  * (`base:bands=<n>,rows=<r>,B=<n>[,dims=<d>]`) and are recovered from
+  * disk on
   * every later commit and probe, so maintainers cannot desynchronize
   * them. Replay (`delta:<id>`/`retract:<id>`/`drop:<id>` markers +
   * the compaction-carried delivered sidecar), torn commits, GC,
@@ -60,27 +74,41 @@ object BandedIndex {
     (conv(substring(md5(chunk), 1, 8), 16, 10).cast("long") % nB).cast("int")
 
   /** One batch's band rows as COUNTS: (band, chunk, id, c=1) — the
-    * map-side signature + banding pass of [[Dedup.bandedChunkRows]],
-    * NULL chunks dropped (a token-less doc has no joinable band rows;
-    * storing them would only bloat the NULL group).
+    * map-side signature + banding pass. `dims = 0` (the text modality)
+    * is [[Dedup.bandedChunkRows]]'s MinHash chunks with NULL chunks
+    * dropped (a token-less doc has no joinable band rows; storing them
+    * would only bloat the NULL group). `dims > 0` (the EMBEDDING
+    * modality) is [[graft.ann.Knn.srpChunkRows]]: `payloadCol` is an
+    * Array[Float] of that many dimensions, a chunk is a band's packed
+    * SRP sign bits rendered as a decimal string, and zero-norm vectors
+    * yield no band rows. Either way a chunk is an OPAQUE equi-join
+    * key, so every lifecycle path below is modality-blind.
     */
-  def bandRows(docs: DataFrame, idCol: String, toksCol: String,
-               nBands: Int, rowsPerBand: Int): DataFrame =
-    Dedup.bandedChunkRows(docs, idCol, toksCol, nBands, rowsPerBand)
-      .where(col("chunk").isNotNull)
-      .select(col("band"), col("chunk"), col(idCol).as("id"),
-        lit(1L).as("c"))
+  def bandRows(docs: DataFrame, idCol: String, payloadCol: String,
+               nBands: Int, rowsPerBand: Int, dims: Int = 0): DataFrame =
+    if (dims > 0)
+      graft.ann.Knn.srpChunkRows(docs, idCol, payloadCol, dims,
+        nBands, rowsPerBand)
+    else
+      Dedup.bandedChunkRows(docs, idCol, payloadCol, nBands, rowsPerBand)
+        .where(col("chunk").isNotNull)
+        .select(col("band"), col("chunk"), col(idCol).as("id"),
+          lit(1L).as("c"))
 
   private def baseLabel(kind: String, nBands: Int, rowsPerBand: Int,
-                        nB: Int) =
-    s"$kind:bands=$nBands,rows=$rowsPerBand,B=$nB"
+                        nB: Int, dims: Int) =
+    s"$kind:bands=$nBands,rows=$rowsPerBand,B=$nB" +
+      (if (dims > 0) s",dims=$dims" else "")
 
-  private val DialPattern = """.*:bands=(\d+),rows=(\d+),B=(\d+)""".r
+  private val DialPattern =
+    """.*:bands=(\d+),rows=(\d+),B=(\d+)(?:,dims=(\d+))?""".r
 
   private def lastBaseOf(cs: Seq[(Long, String)],
-                         stateDir: String): (Long, Int, Int, Int) =
+                         stateDir: String): (Long, Int, Int, Int, Int) =
     cs.filter(_._2.startsWith("base")).lastOption match {
-      case Some((n, DialPattern(b, r, nb))) => (n, b.toInt, r.toInt, nb.toInt)
+      case Some((n, DialPattern(b, r, nb, d))) =>
+        (n, b.toInt, r.toInt, nb.toInt,
+          Option(d).map(_.toInt).getOrElse(0))
       case Some((_, bad)) => throw new IllegalStateException(
         s"base marker at $stateDir carries no banding dials (label '$bad') " +
           "— not a BandedIndex state directory")
@@ -93,11 +121,26 @@ object BandedIndex {
     */
   def storedDials(spark: SparkSession, stateDir: String,
                   asOf: Option[Long] = None): (Int, Int, Int) = {
+    val (b, r, nb, _) = allDials(spark, stateDir, asOf)
+    (b, r, nb)
+  }
+
+  /** The SRP dimensionality the stored state was built with — 0 for a
+    * text (MinHash) index, > 0 for an embedding (SRP) index. Like the
+    * banding dials it rides the base label, so probes can never
+    * desynchronize the modality from the stored rows.
+    */
+  def storedDims(spark: SparkSession, stateDir: String,
+                 asOf: Option[Long] = None): Int =
+    allDials(spark, stateDir, asOf)._4
+
+  private def allDials(spark: SparkSession, stateDir: String,
+                       asOf: Option[Long]): (Int, Int, Int, Int) = {
     val cs0 = VersionedState.committed(spark, stateDir)
     val cs = asOf.fold(cs0)(v => cs0.filter(_._1 <= v))
     require(cs.nonEmpty, s"no committed state at $stateDir")
-    val (_, b, r, nb) = lastBaseOf(cs, stateDir)
-    (b, r, nb)
+    val (_, b, r, nb, d) = lastBaseOf(cs, stateDir)
+    (b, r, nb, d)
   }
 
   /** Write a band table bucket-partitioned. `splits ≤ 1` keeps ONE
@@ -133,21 +176,28 @@ object BandedIndex {
     */
   def build(docs: DataFrame, idCol: String, toksCol: String,
             stateDir: String, nBands: Int = 4, rowsPerBand: Int = 2,
-            buckets: Int = 16, writeSplits: Int = 1): Long = {
+            buckets: Int = 16, writeSplits: Int = 1, dims: Int = 0): Long = {
     require(nBands >= 1 && rowsPerBand >= 1 && buckets >= 1,
       s"dials must be ≥ 1, got bands=$nBands rows=$rowsPerBand B=$buckets")
-    require(!docs.isEmpty,
-      "build() needs a non-empty corpus — an empty base commits no " +
-        "parquet footers to anchor later reads; build on the first " +
-        "real batch instead")
+    require(dims >= 0, s"dims must be ≥ 0 (0 = MinHash text), got $dims")
+    val rows = bandRows(docs, idCol, toksCol, nBands, rowsPerBand, dims)
+    // guard on the DERIVED payload, not the raw input: a corpus whose
+    // docs are all token-less (resp. zero-norm vectors) passes a raw
+    // non-empty check while bandRows drops every row — the bucket-
+    // partitioned base would commit zero parquet footers and poison
+    // later reads
+    require(!rows.isEmpty,
+      "build() needs at least one doc with a joinable band row (a " +
+        "non-empty token array / a nonzero-norm vector) — an " +
+        "all-dropped base commits no parquet footers to anchor later " +
+        "reads; build on the first real batch instead")
     val spark = docs.sparkSession
     val prev = VersionedState.currentVersion(spark, stateDir)
     val next = prev.getOrElse(0L) + 1L
     VersionedState.commit(spark, stateDir, prev,
-      label = baseLabel("base", nBands, rowsPerBand, buckets),
+      label = baseLabel("base", nBands, rowsPerBand, buckets, dims),
       gcBelow = next) { vdir =>
-      writeBands(bandRows(docs, idCol, toksCol, nBands, rowsPerBand),
-        buckets, vdir, writeSplits)
+      writeBands(rows, buckets, vdir, writeSplits)
     }
   }
 
@@ -167,8 +217,8 @@ object BandedIndex {
       case Some(v) => return v // replayed batch id: already committed
       case None    =>
     }
-    val (nBands, rowsPerBand, nB) = storedDials(spark, stateDir)
-    val rows = bandRows(docs, idCol, toksCol, nBands, rowsPerBand)
+    val (nBands, rowsPerBand, nB, dims) = allDials(spark, stateDir, None)
+    val rows = bandRows(docs, idCol, toksCol, nBands, rowsPerBand, dims)
     val signed =
       if (negate) rows.select(col("band"), col("chunk"), col("id"),
         (-col("c")).as("c"))
@@ -236,7 +286,12 @@ object BandedIndex {
     */
   def liveBands(spark: SparkSession, stateDir: String,
                 asOf: Option[Long] = None,
-                buckets: Option[Seq[Int]] = None): Option[DataFrame] = {
+                buckets: Option[Seq[Int]] = None): Option[DataFrame] =
+    summedBands(spark, stateDir, asOf, buckets, liveOnly = true)
+
+  private def summedBands(spark: SparkSession, stateDir: String,
+                          asOf: Option[Long], buckets: Option[Seq[Int]],
+                          liveOnly: Boolean): Option[DataFrame] = {
     val cs0 = VersionedState.committed(spark, stateDir)
     val cs = asOf.fold(cs0)(v => cs0.filter(_._1 <= v))
     if (cs.isEmpty) return None
@@ -253,7 +308,11 @@ object BandedIndex {
     Some(pruned
       .groupBy("band", "chunk", "id")
       .agg(sum("c").cast("long").as("c"))
-      .where(col("c") > 0))
+      // liveness is a positive total; the compact fold keeps every
+      // NONZERO total instead, so negative totals from a contract-
+      // violating retract survive compaction and the observable state
+      // never changes across a compact (zero totals drop safely)
+      .where(if (liveOnly) col("c") > 0 else col("c") =!= 0))
   }
 
   /** Screen a fresh batch against the maintained index: candidate
@@ -271,8 +330,8 @@ object BandedIndex {
              stateDir: String, maxBucketSize: Int = Int.MaxValue,
              asOf: Option[Long] = None): DataFrame = {
     val spark = fresh.sparkSession
-    val (nBands, rowsPerBand, nB) = storedDials(spark, stateDir, asOf)
-    val f = bandRows(fresh, idCol, toksCol, nBands, rowsPerBand)
+    val (nBands, rowsPerBand, nB, dims) = allDials(spark, stateDir, asOf)
+    val f = bandRows(fresh, idCol, toksCol, nBands, rowsPerBand, dims)
       .withColumn("bb", bucketExpr(col("chunk"), nB))
       .localCheckpoint() // batch-bounded; bucket collect + probe read it
     // ≤ B distinct ints — bounded by the dial, not the batch
@@ -294,8 +353,9 @@ object BandedIndex {
   }
 
   /** Fold every count table since the last base into ONE base-compact
-    * version (dials carried in the label; zero/negative totals
-    * physically dropped), carry the replay guard's delivered-id
+    * version (dials carried in the label; zero totals dropped, nonzero
+    * totals — negatives included — preserved, so compaction never
+    * changes observable state), carry the replay guard's delivered-id
     * sidecar, and GC below the retention floor. `writeSplits` as in
     * [[build]] — the fold is the other corpus-sized write.
     */
@@ -305,10 +365,12 @@ object BandedIndex {
               writeSplits: Int = 1): Long = {
     val cs = VersionedState.committed(spark, stateDir)
     require(cs.nonEmpty, s"no committed state at $stateDir — nothing to compact")
-    val (base, nBands, rowsPerBand, nB) = lastBaseOf(cs, stateDir)
+    val (base, nBands, rowsPerBand, nB, dims) = lastBaseOf(cs, stateDir)
     val cur = cs.last._1
     if (cur == base) return cur
-    val folded = liveBands(spark, stateDir).get
+    // nonzero fold: negatives from a contract-violating retract are
+    // preserved, so compaction never changes observable state
+    val folded = summedBands(spark, stateDir, None, None, liveOnly = false).get
     // a fully-erased state must not fold (the Bm25State.compact guard):
     // an empty bucket-partitioned base commits zero parquet footers and
     // poisons every later explicit-schema read
@@ -316,11 +378,12 @@ object BandedIndex {
       s"refusing to compact $stateDir: the live band table is EMPTY " +
         "(every doc erased) — an empty base-compact would leave no " +
         "schema anchor; keep the horizon and build() on the next corpus")
-    val delivered = IndexSegments.deliveredLabelsOrdered(spark, stateDir, cs)
-      .takeRight(maxDelivered)
+    val delivered = IndexSegments.retainDelivered(
+      IndexSegments.deliveredLabelsOrdered(spark, stateDir, cs),
+      maxDelivered, stateDir)
     val next = cur + 1
     VersionedState.commit(spark, stateDir, Some(cur),
-      label = baseLabel("base-compact", nBands, rowsPerBand, nB),
+      label = baseLabel("base-compact", nBands, rowsPerBand, nB, dims),
       gcBelow = IndexSegments.compactGcFloor(cs, next, retainHorizons)) { vdir =>
       writeBands(folded, nB, vdir, writeSplits)
       VersionedState.writeLines(spark, vdir, IndexSegments.DeliveredFile,
@@ -354,9 +417,9 @@ object BandedIndex {
     val compacted = Maintain.liveMarkers(spark, stateDir) > maxLiveMarkers
     if (compacted) compact(spark, stateDir)
     val gates = auditCorpus.toSeq.map { corpus =>
-      val (nBands, rowsPerBand, _) = storedDials(spark, stateDir)
+      val (nBands, rowsPerBand, _, dims) = allDials(spark, stateDir, None)
       val diff = liveBands(spark, stateDir).get
-        .join(bandRows(corpus, idCol, toksCol, nBands, rowsPerBand)
+        .join(bandRows(corpus, idCol, toksCol, nBands, rowsPerBand, dims)
             .select(col("band"), col("chunk"), col("id"),
               col("c").as("c_one")),
           Seq("band", "chunk", "id"), "full_outer")

@@ -80,13 +80,28 @@ object EmbeddingQueries {
     * `blocked` CTE so callers append their own SELECT.
     */
   private def srpCte(dims: Int = 64, nBits: Int = 32, pred: String = "TRUE",
-                     rowsPerBand: Int = 4, maxBucket: Int = Int.MaxValue): String = {
-    val bandSrc = if (maxBucket == Int.MaxValue) "bands" else "kept"
-    val keptCte = if (maxBucket == Int.MaxValue) "" else s"""
+                     rowsPerBand: Int = 4, maxBucket: Int = Int.MaxValue): String = s"""
+      ${srpBandsCte(dims, nBits, pred, rowsPerBand, maxBucket)},
+      cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+               FROM ${srpBandSrc(maxBucket)} a JOIN ${srpBandSrc(maxBucket)} b
+                 ON a.band = b.band AND a.chunk = b.chunk AND a.vec_id < b.vec_id),
+      blocked AS (SELECT c.id_a, c.id_b,
+                         ${sqlDot("ea.embedding", "eb.embedding")} / (ea.nrm * eb.nrm) AS s
+                  FROM cand c JOIN e ea ON ea.vec_id = c.id_a
+                              JOIN e eb ON eb.vec_id = c.id_b)"""
+
+  /** The hyperplane → signature → band → (cap) prefix of [[srpCte]],
+    * ending at the band table ([[srpBandSrc]] names it) — the reusable
+    * piece for oracles whose candidate join is NOT the all-pairs self
+    * join (q288's cross-side fresh × live screen).
+    */
+  private def srpBandsCte(dims: Int = 64, nBits: Int = 32, pred: String = "TRUE",
+                          rowsPerBand: Int = 4, maxBucket: Int = Int.MaxValue): String = {
+    val keptCte = if (maxBucket == Int.MaxValue) "" else s""",
       kept AS (SELECT vec_id, band, chunk FROM
                  (SELECT vec_id, band, chunk,
                          COUNT(*) OVER (PARTITION BY band, chunk) AS bsz FROM bands)
-               WHERE bsz <= $maxBucket),"""
+               WHERE bsz <= $maxBucket)"""
     s"""
       h AS (SELECT j, list_transform(range(0, $dims),
               i -> CASE WHEN substr(md5(j || ':' || i), 1, 1)
@@ -100,15 +115,12 @@ object EmbeddingQueries {
                FROM e CROSS JOIN h),
       bands AS (SELECT vec_id, j // $rowsPerBand AS band,
                        SUM(bit * (1 << (j % $rowsPerBand))) AS chunk
-                FROM bits GROUP BY 1, 2),$keptCte
-      cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-               FROM $bandSrc a JOIN $bandSrc b
-                 ON a.band = b.band AND a.chunk = b.chunk AND a.vec_id < b.vec_id),
-      blocked AS (SELECT c.id_a, c.id_b,
-                         ${sqlDot("ea.embedding", "eb.embedding")} / (ea.nrm * eb.nrm) AS s
-                  FROM cand c JOIN e ea ON ea.vec_id = c.id_a
-                              JOIN e eb ON eb.vec_id = c.id_b)"""
+                FROM bits GROUP BY 1, 2)$keptCte"""
   }
+
+  /** The name of the band table [[srpBandsCte]] ends with. */
+  private def srpBandSrc(maxBucket: Int): String =
+    if (maxBucket == Int.MaxValue) "bands" else "kept"
 
   /** One unrolled Lloyd iteration as DuckDB CTEs: cosine-assign every
     * vector of `corpus` (a CTE with vec_id, embedding, nrm) to its
@@ -3306,6 +3318,112 @@ object EmbeddingQueries {
                 + coalesce(lit(1.0) / (lit(60) + col("sem_rank")), lit(0.0)), 6)
               .as("rrf"))
           .orderBy(col("rrf").desc, col("doc_id"))
+      }),
+
+    // ---- q288: MAINTAINED SRP SIGNATURE INDEX — the embedding twin
+    // of q285, closing the last per-run corpus re-hash in the blocking
+    // layer: q36/q76 recompute every stored vector's 32-bit SRP
+    // signature and band buckets per run, which at 100 TB of
+    // embeddings is a full corpus re-projection per admission batch —
+    // exactly the cost q285 eliminated for text. The SAME
+    // graft.dedup.BandedIndex family stores the banded bucket table
+    // (a chunk is an opaque string — an SRP bucket string is a chunk;
+    // the dims dial rides the base label beside bands/rows/B so a
+    // probe can never band the fresh side differently), and the
+    // lifecycle is verbatim q285's: build on history, refresh with
+    // ONLY the delta (delivered twice under one id — replay no-op),
+    // erasure verdicts delete by id alone (delivered twice —
+    // algebra-idempotent), compact folds the count tables (replay
+    // guard rides the sidecar; post-compact re-delivery still a
+    // no-op), and the fresh batch's screen probes ONLY its chunks'
+    // bucket partitions. Screened candidates verify by exact cosine
+    // (> 0.25, the q36 threshold) — the oracle re-derives the whole
+    // chain in SQL (md5-seeded hyperplanes → sign bits → band chunks →
+    // skew cap over fresh ∪ live → cross-side block → cosine verify →
+    // per-fresh-vector verdict), so a hash mismatch is state drift,
+    // never approximation. Scale shape: the per-batch state delta is
+    // one map-side projection pass over the batch (the planes ride as
+    // literals); the probe collects ≤ B bucket ids driver-side and
+    // reads only those partitions; verification is candidate-bounded
+    // on both sides; nothing corpus-sized moves per batch.
+    QueryDef("q288_srp_index_maintain", Some(s"""
+      WITH ${srpBandsCte(pred = "vec_id % 19 = 7 OR vec_id % 7 <> 3",
+        maxBucket = srpBucketCap)},
+      cand AS (SELECT DISTINCT f.vec_id AS id_new, c.vec_id AS id_corpus
+               FROM kept f JOIN kept c
+                 ON f.band = c.band AND f.chunk = c.chunk
+                    AND f.vec_id % 19 = 7 AND c.vec_id % 19 <> 7),
+      ver AS (SELECT id_new, id_corpus FROM
+                (SELECT cd.id_new, cd.id_corpus,
+                        ${sqlDot("ea.embedding", "eb.embedding")}
+                          / (ea.nrm * eb.nrm) AS s
+                 FROM cand cd JOIN e ea ON ea.vec_id = cd.id_new
+                              JOIN e eb ON eb.vec_id = cd.id_corpus)
+              WHERE s > CAST(0.25 AS DOUBLE)),
+      agg AS (SELECT id_new, MIN(id_corpus) AS dup_of, COUNT(*) AS n_dups
+              FROM ver GROUP BY id_new)
+      SELECT t.vec_id, a.dup_of IS NULL AS is_unique, a.dup_of,
+             COALESCE(a.n_dups, 0) AS n_dups
+      FROM (SELECT vec_id FROM embeddings WHERE vec_id % 19 = 7) t
+      LEFT JOIN agg a ON a.id_new = t.vec_id
+      ORDER BY vec_id"""),
+      (s, dir) => {
+        import graft.ann.Knn
+        import graft.dedup.BandedIndex
+        val emb = Tables.read(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+          .localCheckpoint() // splits, screen, and verification read it
+        val fresh = emb.where(col("vec_id") % 19 === 7)
+        val corpusAll = emb.where(col("vec_id") % 19 =!= 7)
+        val hist = corpusAll.where(col("vec_id") % 5 =!= 4)
+        val delta = corpusAll.where(col("vec_id") % 5 === 4)
+        val dead = corpusAll.where(col("vec_id") % 7 === 3)
+        val stDir = s"${System.getProperty("java.io.tmpdir")}/graft_q288_" +
+          dir.replaceAll("[^A-Za-z0-9._-]", "_") +
+          "_p" + ProcessHandle.current.pid + "_" + q266Runs.incrementAndGet()
+        EventQueries.cleanupOnExit(stDir)
+        BandedIndex.build(hist, "vec_id", "embedding", stDir,
+          nBands = 8, rowsPerBand = 4, dims = 64)
+        // incremental refresh: ONLY the delta projected, replay-guarded
+        BandedIndex.refresh(delta, "vec_id", "embedding", stDir, "d1")
+        BandedIndex.refresh(delta, "vec_id", "embedding", stDir, "d1") // replayed: no-op
+        // the erasure verdict by id alone, delivered twice under one id
+        BandedIndex.delete(dead.select("vec_id"), "vec_id", stDir, "e1")
+        BandedIndex.delete(dead.select("vec_id"), "vec_id", stDir, "e1") // replayed: no-op
+        BandedIndex.compact(s, stDir) // 4 count tables fold to 1
+        // post-compact re-delivery: the sidecar-carried guard holds
+        BandedIndex.refresh(delta, "vec_id", "embedding", stDir, "d1")
+        val cand = BandedIndex.screen(fresh, "vec_id", "embedding", stDir,
+            maxBucketSize = srpBucketCap)
+          .localCheckpoint() // the id restriction AND the verify read it
+        // candidate-bounded verification end to end: norms computed
+        // only for vectors a candidate pair names (the q285 semi-join
+        // discipline, vector edition)
+        val needed = cand.select(col("id_new").as("vec_id"))
+          .unionByName(cand.select(col("id_corpus").as("vec_id")))
+          .distinct()
+        val live = corpusAll.where(col("vec_id") % 7 =!= 3)
+        val sides = live.unionByName(fresh)
+          .join(broadcast(needed), Seq("vec_id"), "left_semi")
+          .select(col("vec_id"), col("embedding"),
+            Knn.l2norm(col("embedding")).as("nrm"))
+          .where(col("nrm") > 0)
+          .localCheckpoint() // both verify sides read it
+        val ver = cand
+          .join(sides.select(col("vec_id").as("id_new"),
+            col("embedding").as("va"), col("nrm").as("na")), "id_new")
+          .join(sides.select(col("vec_id").as("id_corpus"),
+            col("embedding").as("vb"), col("nrm").as("nb")), "id_corpus")
+          .where(Knn.dot(col("va"), col("vb")) / (col("na") * col("nb"))
+            > 0.25)
+          .select(col("id_new"), col("id_corpus"))
+        val agg = ver.groupBy(col("id_new").as("vec_id"))
+          .agg(min(col("id_corpus")).as("dup_of"),
+            count(lit(1)).as("n_dups"))
+        fresh.select("vec_id").join(agg, Seq("vec_id"), "left")
+          .select(col("vec_id"), col("dup_of").isNull.as("is_unique"),
+            col("dup_of"), coalesce(col("n_dups"), lit(0L)).as("n_dups"))
+          .orderBy("vec_id")
       })
   )
 

@@ -252,4 +252,115 @@ class BandedIndexSpec extends SparkTestBase {
     }
     assert(e2.getMessage.contains("banding dials"))
   }
+
+  test("a contract-violating retract's observable state is compaction-invariant (negatives fold, not drop)") {
+    // doc 9 was never ingested; retract leaves negative band counts —
+    // the later re-refresh's verdict (dead: sums to 0) must not depend
+    // on an intervening compact
+    val ghost = docsDf(9L -> "alpha beta gamma delta epsilon")
+    def runIt(compactBetween: Boolean): Set[(Int, String, Long, Long)] = {
+      val dir = freshDir(s"viol$compactBetween")
+      BandedIndex.build(hist, "doc_id", "tokens", dir)
+      BandedIndex.retract(ghost, "doc_id", "tokens", dir, "r1")
+      if (compactBetween) BandedIndex.compact(spark, dir)
+      BandedIndex.refresh(ghost, "doc_id", "tokens", dir, "re9")
+      liveSet(dir)
+    }
+    assert(runIt(compactBetween = false) === runIt(compactBetween = true),
+      "compaction must never change the observable band table, even on " +
+        "contract-violating retract input")
+  }
+
+  test("build refuses a corpus whose docs are ALL token-less (derived-payload guard)") {
+    val dir = freshDir("alltokless")
+    val tokless = Seq(1L, 2L).toDF("doc_id")
+      .select(col("doc_id"), expr("array()").cast("array<string>").as("tokens"))
+    val e = intercept[IllegalArgumentException] {
+      BandedIndex.build(tokless, "doc_id", "tokens", dir)
+    }
+    assert(e.getMessage.contains("joinable band row"),
+      s"token-less docs yield NULL chunks that bandRows drops; the raw " +
+        s"non-empty check is not enough: ${e.getMessage}")
+  }
+
+  // --- the SRP (embedding) modality: same state, dims > 0 ---
+
+  private def vecsDf(rows: (Long, Seq[Float])*): DataFrame =
+    rows.toSeq.toDF("vec_id", "embedding")
+
+  // 1/2 identical (share every band chunk), 3 the sign-flipped twin
+  // (shares NO chunk with 1/2), 4 a distinct direction
+  private val vhist = vecsDf(
+    1L -> Seq(1f, 2f, -1f, 0.5f),
+    2L -> Seq(1f, 2f, -1f, 0.5f),
+    3L -> Seq(-1f, -2f, 1f, -0.5f),
+    4L -> Seq(0.2f, -3f, 2f, 1f))
+
+  private def srpOneShot(corpus: DataFrame, fresh: DataFrame): Set[(Long, Long)] = {
+    val c = graft.ann.Knn.srpChunkRows(corpus, "vec_id", "embedding", 4, 4, 2)
+    val f = graft.ann.Knn.srpChunkRows(fresh, "vec_id", "embedding", 4, 4, 2)
+    f.alias("f").join(c.alias("c"),
+        col("f.band") === col("c.band") && col("f.chunk") === col("c.chunk"))
+      .select(col("f.id").as("id_new"), col("c.id").as("id_corpus"))
+      .distinct()
+      .as[(Long, Long)].collect().toSet
+  }
+
+  test("SRP modality: full lifecycle on vectors; screen ≡ one-shot SRP blocking; dims rides the label") {
+    val dir = freshDir("srp")
+    val hist2 = vhist.where(col("vec_id") <= 2L) // 1, 2
+    val delta = vhist.where(col("vec_id") > 2L)  // 3, 4
+    BandedIndex.build(hist2, "vec_id", "embedding", dir,
+      nBands = 4, rowsPerBand = 2, dims = 4)
+    assert(BandedIndex.storedDials(spark, dir) === ((4, 2, 16)))
+    assert(BandedIndex.storedDims(spark, dir) === 4,
+      "the modality dial must be recovered from the base label")
+    val v1 = BandedIndex.refresh(delta, "vec_id", "embedding", dir, "d1")
+    assert(BandedIndex.refresh(delta, "vec_id", "embedding", dir, "d1") === v1,
+      "a replayed delta id must be a no-op")
+    // fresh: 11 ≡ vector 1 (pairs with 1 and 2), 13 ≡ vector 3, and a
+    // ZERO vector (no sign geometry → no band rows → no candidates)
+    val fresh = vecsDf(
+      11L -> Seq(1f, 2f, -1f, 0.5f),
+      13L -> Seq(-1f, -2f, 1f, -0.5f),
+      12L -> Seq(0f, 0f, 0f, 0f))
+    val live = vhist
+    val got = pairs(BandedIndex.screen(fresh, "vec_id", "embedding", dir))
+    assert(got === srpOneShot(live, fresh),
+      "maintained screen must equal the one-shot cross-side SRP blocking")
+    assert(got.contains((11L, 1L)) && got.contains((11L, 2L)) &&
+      got.contains((13L, 3L)),
+      s"identical vectors share every band chunk: $got")
+    assert(!got.exists(_._1 == 12L), "a zero-norm vector has no band rows")
+    // erasure by id alone, then compact; the survivor side still pairs
+    BandedIndex.delete(Seq(3L).toDF("vec_id"), "vec_id", dir, "e1")
+    BandedIndex.compact(spark, dir)
+    assert(BandedIndex.storedDims(spark, dir) === 4,
+      "dims must survive the base-compact label")
+    val afterDrop = pairs(BandedIndex.screen(fresh, "vec_id", "embedding", dir))
+    assert(afterDrop === srpOneShot(live.where(col("vec_id") =!= 3L), fresh),
+      "post-erasure screen must equal one-shot blocking over the survivors")
+    assert(!afterDrop.exists(_._2 == 3L), "the erased vector must stop blocking")
+    // post-compact re-delivery of the delta id: still a no-op
+    val before = liveSet(dir)
+    BandedIndex.refresh(delta, "vec_id", "embedding", dir, "d1")
+    assert(liveSet(dir) === before,
+      "a replayed id must stay a no-op across the compaction")
+    // the drift gate audits against a one-shot re-projection
+    val r = BandedIndex.maintain(vecsDf(20L -> Seq(3f, 1f, 0f, 2f)),
+      "vec_id", "embedding", dir, deltaId = "d2",
+      auditCorpus = Some(live.where(col("vec_id") =!= 3L)
+        .unionByName(vecsDf(20L -> Seq(3f, 1f, 0f, 2f)))))
+    assert(r.healthy, s"clean SRP maintenance must pass the gate: ${r.gates}")
+  }
+
+  test("SRP modality: build refuses an all-zero-norm corpus (derived-payload guard)") {
+    val dir = freshDir("srpzero")
+    val zeros = vecsDf(1L -> Seq(0f, 0f, 0f, 0f), 2L -> Seq(0f, 0f, 0f, 0f))
+    val e = intercept[IllegalArgumentException] {
+      BandedIndex.build(zeros, "vec_id", "embedding", dir,
+        nBands = 4, rowsPerBand = 2, dims = 4)
+    }
+    assert(e.getMessage.contains("joinable band row"))
+  }
 }

@@ -320,6 +320,49 @@ class MaintainSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming ingest drives the SRP (embedding) BandedIndex: batchId as delta id, dims holds, restart-replay a no-op") {
+    import graft.dedup.BandedIndex
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    val dir = freshDir("srpstream")
+    def vecs(rows: (Long, Seq[Float])*) = rows.toSeq.toDF("vec_id", "embedding")
+    BandedIndex.build(vecs(0L -> Seq(1f, 2f, -1f, 0.5f),
+        1L -> Seq(-2f, 1f, 3f, -1f)),
+      "vec_id", "embedding", dir, nBands = 4, rowsPerBand = 2, dims = 4)
+    val reports =
+      new java.util.concurrent.ConcurrentLinkedQueue[
+        graft.operators.MaintainReport]()
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = input.toDF().toDF("vec_id", "embedding")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+        reports.add(BandedIndex.maintain(batch, "vec_id", "embedding", dir,
+          deltaId = s"sv$bid", maxLiveMarkers = 3)): Unit
+      }
+      .start()
+    try {
+      for (b <- 0 until 5) {
+        input.addData((10L + b, Seq(b + 1f, -b - 2f, 0.5f * b + 1f, 3f)))
+        q.processAllAvailable()
+      }
+      assert(BandedIndex.liveBands(spark, dir).get
+        .select("id").distinct().count() === 7L)
+      assert(BandedIndex.storedDims(spark, dir) === 4,
+        "the modality dial must hold across streamed refreshes + compacts")
+      import scala.jdk.CollectionConverters._
+      val rs = reports.asScala.toVector
+      assert(rs.forall(_.liveMarkers <= 4), "the dial holds under the stream")
+      assert(rs.exists(_.compacted), "the stream's cadence must trip a compact")
+      // simulated restart replay: the LAST batch id re-delivers
+      val replay = BandedIndex.maintain(
+        vecs(14L -> Seq(5f, -6f, 3f, 3f)), "vec_id", "embedding", dir,
+        deltaId = "sv4", maxLiveMarkers = 3)
+      assert(replay.replayed, "the re-delivered batch id must be recognized")
+      assert(BandedIndex.liveBands(spark, dir).get.count() === 28L,
+        "replay must not duplicate band rows — even across the compaction above")
+    } finally q.stop()
+  }
+
   test("streaming ingest + erasure drive ClusterState: batchIds as delta ids, restart-replays no-ops") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val ctx = spark.sqlContext

@@ -1004,6 +1004,20 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!plans.exists { case _: CartesianProductExec => true; case _ => false })
   }
 
+  test("q288 SRP index maintain: windows only per-(band, chunk) — vector banding map-side, probe bucket-local, no cartesian") {
+    val plans = allExecutedPlans("q288_srp_index_maintain")
+    val windows = plans.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      "q288: the only window is the skew cap's per-(band, chunk) bucket " +
+        "count — SRP signatures are map-side literals, the probe is a " +
+        "bucket equi-join on the pruned partitions, verification is " +
+        "candidate-bounded cosine; a global window would one-task-sort " +
+        "the corpus")
+    assert(!plans.exists { case _: CartesianProductExec => true; case _ => false })
+  }
+
   test("q286 needle-state cuts: NO window anywhere — verdicts, excisions and pinned serves are joins/aggs") {
     val plans = allExecutedPlans("q286_needle_state_cuts")
     assert(!plans.exists(_.nodeName == "Window"),
