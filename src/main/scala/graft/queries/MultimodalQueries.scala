@@ -1134,6 +1134,120 @@ object MultimodalQueries {
               .as("voiced_ratio"),
             coalesce(col("longest_segment"), lit(0L)).as("longest_segment"))
           .orderBy("doc_id")
+      }),
+
+    // ---- q289: MAINTAINED PERCEPTUAL-HASH INDEX — the multimodal
+    // member of the banded-index family (text q285, embeddings q288):
+    // q217's image near-dup geometry (decoded-pixel dHash, 4 bands ×
+    // 14 bits, skew cap, exact bit_count ≤ 6 verify) served off
+    // VERSIONED state instead of a per-run rebuild — at 100 TB of
+    // images the hash table is the artifact you maintain, and the
+    // streaming admission screen (EventStreams.perceptualCollisions)
+    // probes this same state as its static relation. Lifecycle
+    // verbatim q285/q288: build on history, refresh with ONLY the
+    // delta (delivered twice under one id — replay no-op), erasure
+    // verdicts delete by id alone (delivered twice —
+    // algebra-idempotent; the rows carry the hash, so the negation
+    // re-derives from state), compact folds the count tables (replay
+    // guard rides the sidecar; post-compact re-delivery still a
+    // no-op), and the fresh batch's screen reads ONLY its chunks'
+    // bucket partitions, verifying candidates with the codegen'd
+    // bit_count. PNG being lossless, the decoded-pixel hash equals the
+    // generator's closed form — exactly what the oracle recomputes
+    // before unrolling the whole maintained chain in SQL (pixels →
+    // dHash → bands → cap over fresh ∪ live → cross-side block →
+    // Hamming verify → per-fresh-image verdict), so a hash mismatch is
+    // state drift or a codec bug, never approximation. Scale shape:
+    // the per-batch delta is one partition-wise decode + map-side band
+    // explode over the batch; the probe collects ≤ B bucket ids
+    // driver-side and reads only those partitions; hashes are 8
+    // bytes/image so the billion-image index is ~112 GB of parquet.
+    QueryDef("q289_perceptual_index_maintain", Some("""
+      WITH ids AS (SELECT doc_id FROM documents),
+      px AS (SELECT doc_id, CAST(r.range AS INTEGER) AS k,
+               CAST((((doc_id // 4) * 7 + r.range * 13
+                      + CASE WHEN r.range % 16 = doc_id % 4 THEN 64 ELSE 0 END) % 256)
+                  + (((doc_id // 4) * 11 + r.range * 17
+                      + CASE WHEN r.range % 16 = doc_id % 4 THEN 64 ELSE 0 END) % 256)
+                  + (((doc_id // 4) * 13 + r.range * 19
+                      + CASE WHEN r.range % 16 = doc_id % 4 THEN 64 ELSE 0 END) % 256)
+                 AS INTEGER) AS lum
+             FROM ids, range(0, 64) r),
+      bits AS (SELECT a.doc_id, ((a.k // 8) * 7 + (a.k % 8)) AS i
+               FROM px a JOIN px b ON b.doc_id = a.doc_id AND b.k = a.k + 1
+               WHERE a.k % 8 < 7 AND b.lum > a.lum),
+      hash AS (SELECT ids.doc_id,
+                      CAST(COALESCE(SUM(1::BIGINT << i), 0) AS BIGINT) AS dh
+               FROM ids LEFT JOIN bits ON bits.doc_id = ids.doc_id
+               GROUP BY ids.doc_id),
+      uni AS (SELECT doc_id, dh FROM hash
+              WHERE doc_id % 19 = 7 OR doc_id % 7 <> 3),
+      band AS (SELECT doc_id, dh, t.range AS b,
+                      (dh >> CAST(t.range * 14 AS INTEGER)) & 16383 AS chunk
+               FROM uni, range(0, 4) t),
+      kept AS (SELECT doc_id, dh, b, chunk FROM
+                 (SELECT *, COUNT(*) OVER (PARTITION BY b, chunk) AS bsz FROM band)
+               WHERE bsz <= 50),
+      cand AS (SELECT DISTINCT f.doc_id AS id_new, c.doc_id AS id_corpus,
+                      f.dh AS hf, c.dh AS hc
+               FROM kept f JOIN kept c
+                 ON f.b = c.b AND f.chunk = c.chunk
+                    AND f.doc_id % 19 = 7 AND c.doc_id % 19 <> 7),
+      ver AS (SELECT id_new, id_corpus,
+                     CAST(bit_count(xor(hf, hc)) AS INTEGER) AS hamming
+              FROM cand WHERE bit_count(xor(hf, hc)) <= 6),
+      agg AS (SELECT id_new, MIN(id_corpus) AS dup_of,
+                     COUNT(*) AS n_matches, MIN(hamming) AS min_hamming
+              FROM ver GROUP BY id_new)
+      SELECT t.doc_id, a.dup_of IS NULL AS is_novel, a.dup_of,
+             COALESCE(a.n_matches, 0) AS n_matches, a.min_hamming
+      FROM (SELECT doc_id FROM documents WHERE doc_id % 19 = 7) t
+      LEFT JOIN agg a ON a.id_new = t.doc_id
+      ORDER BY doc_id"""),
+      (s, dir) => {
+        import s.implicits._
+        import graft.multimodal.PerceptualIndex
+        val pay = Tables.read(s, dir, "documents").select("doc_id").as[Long]
+          .mapPartitions(_.map(id =>
+            (id, Multimodal.variantPngPayload(id / 4, (id % 4).toInt, 8, 8))))
+          .toDF("doc_id", "payload")
+        val h = Multimodal.decodeDHashes(pay, "doc_id", "payload")
+          .localCheckpoint() // one decode; splits and screens read it
+        val fresh = h.where(col("id") % 19 === 7)
+        val corpusAll = h.where(col("id") % 19 =!= 7)
+        val hist = corpusAll.where(col("id") % 5 =!= 4)
+        val delta = corpusAll.where(col("id") % 5 === 4)
+        val dead = corpusAll.where(col("id") % 7 === 3)
+        val stDir = s"${System.getProperty("java.io.tmpdir")}/graft_q289_" +
+          dir.replaceAll("[^A-Za-z0-9._-]", "_") +
+          "_p" + ProcessHandle.current.pid + "_" + q289Runs.incrementAndGet()
+        graft.queries.EventQueries.cleanupOnExit(stDir)
+        PerceptualIndex.build(hist, "id", "dhash", stDir)
+        // incremental refresh: ONLY the delta, replay-guarded
+        PerceptualIndex.refresh(delta, "id", "dhash", stDir, "d1")
+        PerceptualIndex.refresh(delta, "id", "dhash", stDir, "d1") // replayed: no-op
+        // the erasure verdict by id alone, delivered twice under one id
+        PerceptualIndex.delete(dead.select("id"), "id", stDir, "e1")
+        PerceptualIndex.delete(dead.select("id"), "id", stDir, "e1") // replayed: no-op
+        PerceptualIndex.compact(s, stDir) // 4 count tables fold to 1
+        // post-compact re-delivery: the sidecar-carried guard holds
+        PerceptualIndex.refresh(delta, "id", "dhash", stDir, "d1")
+        val coll = PerceptualIndex.screen(fresh, "id", "dhash", stDir,
+          maxHamming = 6, maxBucketSize = 50)
+        val agg = coll.groupBy(col("id").as("doc_id"))
+          .agg(min(col("matched_id")).as("dup_of"),
+            count(lit(1)).as("n_matches"),
+            min(col("hamming")).as("min_hamming"))
+        fresh.select(col("id").as("doc_id")).join(agg, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("dup_of").isNull.as("is_novel"),
+            col("dup_of"), coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+            col("min_hamming"))
+          .orderBy("doc_id")
       })
   )
+
+  /** q289 runs in a fresh state dir per execution (the q266/q274
+    * discipline).
+    */
+  private val q289Runs = new java.util.concurrent.atomic.AtomicLong()
 }

@@ -423,6 +423,15 @@ object EventStreams {
     * (band, chunk)-partitioned equi-join when it doesn't);
     * within-stream duplicates are the batch re-index's concern, same
     * as [[admitNewDocs]]'s corpus contract.
+    *
+    * The MAINTAINED source for `index` is
+    * [[graft.multimodal.PerceptualIndex.liveIndex]] — the versioned
+    * state the batch lifecycle (build/refresh/delete/compact, replay
+    * guards, manifest cuts) evolves; materialize it once per cut (the
+    * stream probes a static plan, so refresh the relation when the cut
+    * advances, the [[graft.streaming.VectorStreams]] hot-swap
+    * discipline). A one-shot [[graft.multimodal.Multimodal
+    * .bandedIndex]] DataFrame remains fine for ad-hoc runs.
     */
   def perceptualCollisions(items: DataFrame, idCol: String, hashCol: String,
                            index: DataFrame, maxHamming: Int): DataFrame =

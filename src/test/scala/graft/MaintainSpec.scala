@@ -363,6 +363,81 @@ class MaintainSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming admission screens against the MAINTAINED PerceptualIndex; ingest + erasure evolve it by batchId") {
+    import graft.multimodal.PerceptualIndex
+    import graft.streaming.EventStreams
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    val dir = freshDir("pistream")
+    def hs(rows: (Long, Long)*) = rows.toSeq.toDF("id", "hsh")
+    PerceptualIndex.build(hs(1L -> 0L, 2L -> ((1L << 56) - 1)),
+      "id", "hsh", dir)
+    // the admission screen probes the STORED state as its static
+    // relation (one materialization per cut)
+    val idx = PerceptualIndex.liveIndex(spark, dir).get.localCheckpoint()
+    val probes = MemoryStream[(Long, Long)]
+    val hits = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val qs = EventStreams.perceptualCollisions(
+        probes.toDF().toDF("id", "hsh"), "id", "hsh", idx, maxHamming = 6)
+      .writeStream.foreachBatch {
+        (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.select(col("id"), col("matched_id")).distinct().collect()
+            .foreach(r => hits.add((r.getLong(0), r.getLong(1)))): Unit
+      }
+      .start()
+    try {
+      probes.addData((11L, 2L), (12L, 5L | (6L << 14) | (7L << 28)))
+      qs.processAllAvailable()
+    } finally qs.stop()
+    import scala.jdk.CollectionConverters._
+    assert(hits.asScala.toSet === Set((11L, 1L)),
+      "the near probe must collide with the stored item; the far one is novel")
+    // ingest batches evolve the SAME state, batchId as the delta id
+    val ingest = MemoryStream[(Long, Long)]
+    val reports =
+      new java.util.concurrent.ConcurrentLinkedQueue[
+        graft.operators.MaintainReport]()
+    val qi = ingest.toDF().toDF("id", "hsh")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+        reports.add(PerceptualIndex.maintain(batch, "id", "hsh", dir,
+          deltaId = s"pb$bid", maxLiveMarkers = 3)): Unit
+      }
+      .start()
+    try {
+      for (b <- 0 until 5) {
+        ingest.addData((10L + b, 0x100L * b + 7L))
+        qi.processAllAvailable()
+      }
+    } finally qi.stop()
+    val rs = reports.asScala.toVector
+    assert(rs.forall(_.liveMarkers <= 4), "the dial holds under the stream")
+    assert(rs.exists(_.compacted), "the stream's cadence must trip a compact")
+    // restart replay of the LAST batch id: protocol-level no-op
+    val n0 = PerceptualIndex.liveIndex(spark, dir).get.count()
+    val replay = PerceptualIndex.maintain(hs(14L -> (0x100L * 4 + 7L)),
+      "id", "hsh", dir, deltaId = "pb4", maxLiveMarkers = 3)
+    assert(replay.replayed &&
+      PerceptualIndex.liveIndex(spark, dir).get.count() === n0,
+      "a re-delivered batch id must not duplicate band rows")
+    // the erasure stream drives delete() with ITS batch id
+    val erase = MemoryStream[Long]
+    val qe = erase.toDF().toDF("id")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+        PerceptualIndex.delete(batch, "id", dir, deltaId = s"pe$bid"): Unit
+      }
+      .start()
+    try {
+      erase.addData(1L)
+      qe.processAllAvailable()
+    } finally qe.stop()
+    // a fresh cut's static relation no longer serves the erased item
+    val idx2 = PerceptualIndex.liveIndex(spark, dir).get.localCheckpoint()
+    assert(idx2.where(col("id") === 1L).count() === 0L,
+      "the erased item must leave the next cut's serving relation")
+  }
+
   test("streaming ingest + erasure drive ClusterState: batchIds as delta ids, restart-replays no-ops") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val ctx = spark.sqlContext

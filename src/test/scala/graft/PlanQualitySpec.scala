@@ -1018,6 +1018,20 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!plans.exists { case _: CartesianProductExec => true; case _ => false })
   }
 
+  test("q289 perceptual index maintain: windows only per-(band, chunk) — decode partition-wise, probe bucket-local, no cartesian") {
+    val plans = allExecutedPlans("q289_perceptual_index_maintain")
+    val windows = plans.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      "q289: the only window is the skew cap's per-(band, chunk) bucket " +
+        "count — the dHash decode is one partition-wise pass, banding is " +
+        "a map-side explode, the probe is a bucket equi-join and the " +
+        "verify a codegen'd bit_count; a global window would " +
+        "one-task-sort the corpus")
+    assert(!plans.exists { case _: CartesianProductExec => true; case _ => false })
+  }
+
   test("q286 needle-state cuts: NO window anywhere — verdicts, excisions and pinned serves are joins/aggs") {
     val plans = allExecutedPlans("q286_needle_state_cuts")
     assert(!plans.exists(_.nodeName == "Window"),
