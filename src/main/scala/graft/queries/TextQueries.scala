@@ -5947,6 +5947,195 @@ object TextQueries {
         BandedIndex.refresh(adm1, "doc_id", "tokens", stDir, deltaId = "b1")
         val (v2, _) = admit(toks.where(col("doc_id") % 3 === 2), 2)
         v1.unionByName(v2).orderBy("doc_id")
+      }),
+
+    // ---- q290: ADMISSION → SERVING UNDER ONE MANIFEST CUT — the
+    // end-to-end loop the pieces exist for, composed and gated: q287
+    // admits against the banded index, q284/q286 serve BM25 under
+    // manifest cuts, but nothing gated the COMPOSITION — admitted
+    // survivors flowing into the serving index under the SAME cut,
+    // rejected docs never appearing in ANY serve read, and one erasure
+    // verdict propagating through the admission state and the postings
+    // ATOMICALLY (the old cut keeps serving the pre-erasure state).
+    // Cycle: cut 1 = banded index + BM25 postings born together on the
+    // seed third; batch (doc_id % 3 = 1) screens against the PINNED
+    // banded state → bigram-Jaccard verification (cap 50, both sides)
+    // → rejected near-dups never touch either artifact → the admitted
+    // survivors refresh BOTH members under ONE delta id (each
+    // delivered twice — replay no-ops), cut 2; the erasure verdict
+    // (doc_id % 11 = 5 of the live corpus) deletes from BOTH members
+    // under ONE id (each delivered twice — algebra-idempotent), cut 3.
+    // The gate: BM25 top-10 served through cut 2 vs cut 3 — the old
+    // cut still serves the erased docs, the new one must not, and
+    // NO rejected doc can appear in either (it never entered the
+    // postings). The oracle unrolls the whole loop in SQL (signatures
+    // → bands → cap → cross-side block → verify → admit → BM25 over
+    // seed ∪ admitted → erase → BM25 over the survivors), so a hash
+    // mismatch is a torn cut, lost state, or a feedback error — never
+    // approximation. Scale shape: the screen is partition-pruned and
+    // candidate-bounded (q285's plan), each member refresh/delete is
+    // delta-sized, both serves read pruned postings buckets only, and
+    // the cut metadata is a few lines per commit.
+    QueryDef("q290_admission_serving_cut", Some {
+      def bmTop(clean: String, p: String): String = s"""
+      len$p AS (SELECT doc_id, CAST(len(tokens) AS BIGINT) AS dl
+              FROM $clean WHERE len(tokens) >= 1),
+      stats$p AS (SELECT COUNT(*) AS nd,
+                         CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+                  FROM len$p),
+      tf$p AS (SELECT c.doc_id, tok.token AS term, COUNT(*) AS tf
+             FROM $clean c, unnest(c.tokens) AS tok(token)
+             WHERE tok.token IN (SELECT term FROM qterms)
+             GROUP BY 1, 2),
+      df$p AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf$p GROUP BY term),
+      sc$p AS (SELECT f.doc_id,
+               ln(((SELECT nd FROM stats$p) - d.df + 0.5) / (d.df + 0.5) + 1)
+               * (f.tf * 2.2)
+               / (f.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl
+                                / (SELECT avgdl FROM stats$p))) AS s
+             FROM tf$p f JOIN df$p d USING (term) JOIN len$p l USING (doc_id)),
+      bm$p AS (SELECT doc_id, ROUND(SUM(s), 6) AS bm25
+             FROM sc$p GROUP BY doc_id
+             ORDER BY bm25 DESC, doc_id LIMIT 10)"""
+      s"""${toksCte()},
+      sig AS (SELECT doc_id,
+        ${(0 until 8).map(i =>
+          s"list_min(list_transform(list_distinct(tokens), t -> md5('$i:' || t))) AS mh$i")
+          .mkString(",\n        ")}
+              FROM toks WHERE doc_id % 3 IN (0, 1)),
+      band AS (${(0 until 4).map(b =>
+          s"SELECT doc_id, $b AS b, mh${2 * b} || '|' || mh${2 * b + 1} AS chunk FROM sig")
+          .mkString(" UNION ALL\n               ")}),
+      kept AS (SELECT doc_id, b, chunk FROM
+                 (SELECT doc_id, b, chunk,
+                         COUNT(*) OVER (PARTITION BY b, chunk) AS bsz FROM band)
+               WHERE bsz <= 50),
+      cand AS (SELECT DISTINCT f.doc_id AS id_new, c.doc_id AS id_corpus
+               FROM kept f JOIN kept c
+                 ON f.b = c.b AND f.chunk = c.chunk
+                    AND f.doc_id % 3 = 1 AND c.doc_id % 3 = 0),
+      sh AS (SELECT doc_id,
+               list_distinct(list_transform(range(1, len(tokens)),
+                             i -> tokens[i] || ' ' || tokens[i+1])) AS sh
+             FROM toks WHERE doc_id % 3 IN (0, 1)),
+      rej AS (SELECT DISTINCT id_new AS doc_id FROM
+                (SELECT cd.id_new,
+                        CASE WHEN len(a.sh) + len(b.sh)
+                                  - len(list_intersect(a.sh, b.sh)) = 0 THEN NULL
+                             ELSE len(list_intersect(a.sh, b.sh))
+                                  / (len(a.sh) + len(b.sh)
+                                     - len(list_intersect(a.sh, b.sh))) END AS jac
+                 FROM cand cd JOIN sh a ON a.doc_id = cd.id_new
+                              JOIN sh b ON b.doc_id = cd.id_corpus)
+              WHERE jac >= CAST(0.5 AS DOUBLE)),
+      clean1 AS (SELECT doc_id, tokens FROM toks
+                 WHERE doc_id % 3 = 0
+                    OR (doc_id % 3 = 1
+                        AND doc_id NOT IN (SELECT doc_id FROM rej))),
+      clean2 AS (SELECT doc_id, tokens FROM clean1
+                 WHERE doc_id % 11 <> 5),
+      qterms AS (SELECT unnest(['hash', 'filter', 'batch']) AS term),${bmTop("clean1", "1")},${bmTop("clean2", "2")}
+      SELECT COALESCE(o.doc_id, nn.doc_id) AS doc_id,
+             o.bm25 AS bm25_old_cut, nn.bm25 AS bm25_new_cut,
+             (o.doc_id IS NOT NULL AND nn.doc_id IS NULL)
+               AS dropped_by_erasure,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM toks
+              WHERE doc_id % 3 = 1
+                AND doc_id NOT IN (SELECT doc_id FROM rej)) AS n_admitted,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM rej) AS n_rejected,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM clean1
+              WHERE doc_id % 11 = 5) AS n_erased,
+             (SELECT CAST(nd AS BIGINT) FROM stats1) AS nd_old,
+             (SELECT CAST(nd AS BIGINT) FROM stats2) AS nd_new
+      FROM bm1 o FULL OUTER JOIN bm2 nn ON o.doc_id = nn.doc_id
+      ORDER BY doc_id"""
+    },
+      (s, dir) => {
+        import graft.dedup.{BandedIndex, Dedup}
+        import graft.operators.StateManifest
+        import graft.text.Bm25State
+        val terms = Seq("hash", "filter", "batch")
+        val toks = tokenized(s, dir).localCheckpoint() // splits + verify
+        val seed = toks.where(col("doc_id") % 3 === 0)
+        val batch = toks.where(col("doc_id") % 3 === 1)
+        val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_") +
+          "_p" + ProcessHandle.current.pid + "_" + q274Runs.incrementAndGet()
+        val biDir = s"${System.getProperty("java.io.tmpdir")}/graft_q290bi_$tag"
+        val bmDir = s"${System.getProperty("java.io.tmpdir")}/graft_q290bm_$tag"
+        val mDir = s"${System.getProperty("java.io.tmpdir")}/graft_q290mf_$tag"
+        Seq(biDir, bmDir, mDir).foreach(EventQueries.cleanupOnExit)
+        // cut 1: admission state + serving index born together
+        val biV1 = BandedIndex.build(seed, "doc_id", "tokens", biDir)
+        val bmV1 = Bm25State.build(seed, "doc_id", "tokens", bmDir)
+        StateManifest.commit(s, mDir,
+          Map("bi" -> (biDir, biV1), "bm" -> (bmDir, bmV1)))
+        val cut1 = StateManifest.resolve(s, mDir).get
+        // admission: screen against the PINNED banded state, verify
+        // candidates exactly (cap 50 both sides, the q285 dial)
+        val cand = BandedIndex.screen(batch, "doc_id", "tokens", biDir,
+            maxBucketSize = 50, asOf = Some(cut1("bi")._2))
+          .localCheckpoint() // the id restriction AND the verify read it
+        val needed = cand.select(col("id_new").as("doc_id"))
+          .unionByName(cand.select(col("id_corpus").as("doc_id")))
+          .distinct()
+        val rejected = Dedup.verifyJaccard(
+            toks.join(broadcast(needed), Seq("doc_id"), "left_semi"),
+            "doc_id", "tokens",
+            cand.select(col("id_new").as("id_a"),
+              col("id_corpus").as("id_b")))
+          .where(col("jaccard") >= 0.5)
+          .select(col("id_a").as("doc_id")).distinct()
+          .localCheckpoint() // the admit filter AND the meta count read it
+        val admitted = batch
+          .join(rejected, Seq("doc_id"), "left_anti")
+          .localCheckpoint() // both refreshes + the meta count read it
+        // the admitted survivors flow into BOTH members under ONE
+        // delta id, each delivered twice (replay no-ops)
+        BandedIndex.refresh(admitted, "doc_id", "tokens", biDir, "b1")
+        val biV2 = BandedIndex.refresh(admitted, "doc_id", "tokens", biDir, "b1")
+        Bm25State.refresh(admitted, "doc_id", "tokens", bmDir, "b1")
+        val bmV2 = Bm25State.refresh(admitted, "doc_id", "tokens", bmDir, "b1")
+        StateManifest.commit(s, mDir,
+          Map("bi" -> (biDir, biV2), "bm" -> (bmDir, bmV2))) // cut 2
+        // ONE erasure verdict propagates through BOTH members under
+        // ONE id, each delivered twice (algebra-idempotent)
+        val erased = seed.unionByName(admitted)
+          .where(col("doc_id") % 11 === 5).select("doc_id")
+          .localCheckpoint() // both deletes + the meta count read it
+        BandedIndex.delete(erased, "doc_id", biDir, "e1")
+        val biV3 = BandedIndex.delete(erased, "doc_id", biDir, "e1")
+        Bm25State.delete(erased, "doc_id", bmDir, "e1")
+        val bmV3 = Bm25State.delete(erased, "doc_id", bmDir, "e1")
+        StateManifest.commit(s, mDir,
+          Map("bi" -> (biDir, biV3), "bm" -> (bmDir, bmV3))) // cut 3
+        // serve through BOTH cuts: pinned asOf reads, pruned postings
+        // buckets only — the old cut still serves the erased docs
+        val cut2 = StateManifest.readCut(s, mDir, 2L)
+        val cut3 = StateManifest.readCut(s, mDir, 3L)
+        val old = Bm25State.topK(s, bmDir, terms, 10,
+            asOf = Some(cut2("bm")._2))
+          .select(col("doc").as("doc_id"), col("bm25").as("bm25_old_cut"))
+        val neu = Bm25State.topK(s, bmDir, terms, 10,
+            asOf = Some(cut3("bm")._2))
+          .select(col("doc").as("doc_id"), col("bm25").as("bm25_new_cut"))
+        // the loop's verdicts must be VISIBLE even when no erased doc
+        // cracks the top-10: admission/rejection/erasure counts and the
+        // per-cut corpus sizes (one-row broadcasts)
+        val meta = admitted.agg(count(lit(1)).as("n_admitted"))
+          .crossJoin(rejected.agg(count(lit(1)).as("n_rejected")))
+          .crossJoin(erased.agg(count(lit(1)).as("n_erased")))
+          .crossJoin(Bm25State.stats(s, bmDir, asOf = Some(cut2("bm")._2))
+            .select(col("nd").as("nd_old")))
+          .crossJoin(Bm25State.stats(s, bmDir, asOf = Some(cut3("bm")._2))
+            .select(col("nd").as("nd_new")))
+        old.join(neu, Seq("doc_id"), "full_outer")
+          .crossJoin(broadcast(meta))
+          .select(col("doc_id"), col("bm25_old_cut"), col("bm25_new_cut"),
+            (col("bm25_old_cut").isNotNull && col("bm25_new_cut").isNull)
+              .as("dropped_by_erasure"),
+            col("n_admitted"), col("n_rejected"), col("n_erased"),
+            col("nd_old"), col("nd_new"))
+          .orderBy("doc_id")
       })
   )
 

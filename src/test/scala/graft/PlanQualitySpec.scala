@@ -1018,6 +1018,20 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!plans.exists { case _: CartesianProductExec => true; case _ => false })
   }
 
+  test("q290 admission→serving cut: windows only per-(band, chunk) — screen band-local, serves TakeOrdered, no cartesian") {
+    val plans = allExecutedPlans("q290_admission_serving_cut")
+    val windows = plans.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      "q290: the only window is the admission screen's per-(band, chunk) " +
+        "skew cap — verification is candidate-bounded, member refreshes " +
+        "and deletes are delta-sized, and both pinned serves are " +
+        "explode + agg shapes cut by TakeOrderedAndProject; a global " +
+        "window would one-task-sort the corpus")
+    assert(!plans.exists { case _: CartesianProductExec => true; case _ => false })
+  }
+
   test("q289 perceptual index maintain: windows only per-(band, chunk) — decode partition-wise, probe bucket-local, no cartesian") {
     val plans = allExecutedPlans("q289_perceptual_index_maintain")
     val windows = plans.collect {

@@ -206,4 +206,46 @@ class StateManifestSpec extends SparkTestBase {
       asOf = Some(StateManifest.resolve(spark, m).get("idx")._2)).get
       .count() === 15L)
   }
+
+  test("admission→serving torn cut: one member refreshed, crash, retry — no reader ever mixes the states") {
+    import graft.dedup.BandedIndex
+    import graft.text.Bm25State
+    val (bi, bm, m) = (freshDir("tabi"), freshDir("tabm"), freshDir("tam"))
+    val seed = docs(1L -> "x y z w", 2L -> "p q r s")
+    val biV1 = BandedIndex.build(seed, "doc_id", "tokens", bi)
+    val bmV1 = Bm25State.build(seed, "doc_id", "tokens", bm)
+    StateManifest.commit(spark, m,
+      Map("bi" -> (bi, biV1), "bm" -> (bm, bmV1))) // cut 1
+    // the admitted batch refreshes the BANDED member… then the
+    // maintainer crashes before the BM25 refresh and the cut commit
+    val admitted = docs(9L -> "x y n m")
+    BandedIndex.refresh(admitted, "doc_id", "tokens", bi, "b1")
+    // a reader resolves the LAST manifest: both members still serve the
+    // pre-admission state — the half-applied admission is invisible
+    val cut = StateManifest.resolve(spark, m).get
+    assert(cut("bi")._2 === biV1 && cut("bm")._2 === bmV1,
+      "the torn admission must not advance the cut")
+    assert(BandedIndex.screen(docs(20L -> "x y n m"), "doc_id", "tokens",
+        bi, asOf = Some(cut("bi")._2))
+      .where(col("id_corpus") === 9L).count() === 0L,
+      "the pinned banded read must not see the half-applied batch")
+    assert(Bm25State.topK(spark, bm, Seq("n"), 10,
+        asOf = Some(cut("bm")._2)).count() === 0L,
+      "the pinned serve must not see the half-applied batch")
+    // the retry replays BOTH member refreshes under the same id (the
+    // banded one a no-op) and only then commits the cut
+    val biV2 = BandedIndex.refresh(admitted, "doc_id", "tokens", bi, "b1")
+    val bmV2 = Bm25State.refresh(admitted, "doc_id", "tokens", bm, "b1")
+    StateManifest.commit(spark, m,
+      Map("bi" -> (bi, biV2), "bm" -> (bm, bmV2))) // cut 2
+    val cut2 = StateManifest.resolve(spark, m).get
+    assert(BandedIndex.screen(docs(20L -> "x y n m"), "doc_id", "tokens",
+        bi, asOf = Some(cut2("bi")._2))
+      .where(col("id_corpus") === 9L).count() > 0L)
+    assert(Bm25State.topK(spark, bm, Seq("n"), 10,
+        asOf = Some(cut2("bm")._2))
+      .select("doc").as[Long].collect().toSet === Set(9L),
+      "after the retried cut, BOTH members serve the admitted doc — " +
+        "exactly once despite the replay")
+  }
 }
