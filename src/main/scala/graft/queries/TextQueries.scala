@@ -5484,47 +5484,17 @@ object TextQueries {
              ROUND(CAST(fin.correct AS DOUBLE) / fin.n, 6) AS acc
       FROM fin, wt8 w"""),
       (s, dir) => {
-        val feat = tokenized(s, dir)
-          .join(docs(s, dir).select(col("doc_id"), col("n_chars")), "doc_id")
-          .where(size(col("tokens")) >= 1)
-          .select(col("doc_id"),
-            (size(array_distinct(col("tokens"))).cast("double")
-              / size(col("tokens")) - 0.5).as("x1"),
-            (expr("aggregate(transform(tokens, t -> length(t)), 0, " +
-              "(a, x) -> a + x)").cast("double")
-              / size(col("tokens")) - 4.5).as("x2"),
-            (size(col("tokens")).cast("double")
-              / (lit(50) + size(col("tokens"))) - 0.5).as("x3"),
-            when(col("n_chars") > 300, 1.0).otherwise(0.0).as("y"))
+        // the trainer is graft.text.QualityModel — extracted so q291's
+        // STORED model is byte-for-byte this same fit
+        import graft.text.QualityModel
+        val feat = QualityModel.features(tokenized(s, dir), "doc_id",
+            "tokens", docs(s, dir), "n_chars")
           .localCheckpoint() // one feature pass; every GD scan reads it
-        val n = feat.count()
-        var w = Array(0.0, 0.0, 0.0, 0.0)
-        def sOf = lit(w(0)) + lit(w(1)) * col("x1") +
-          lit(w(2)) * col("x2") + lit(w(3)) * col("x3")
-        for (_ <- 0 until 8) {
-          val sCol = sOf
-          val p = lit(0.5) + lit(0.5) * sCol / (lit(1) + abs(sCol))
-          val d = lit(0.5) / ((lit(1) + abs(sCol)) * (lit(1) + abs(sCol)))
-          val e = (p - col("y")) * d
-          // exact fixed-point gradient: nano-long per-row contributions
-          // sum exactly, so the update is engine-order-independent
-          val r = feat.agg(
-            sum(round(e * 1e9).cast("long")),
-            sum(round(e * col("x1") * 1e9).cast("long")),
-            sum(round(e * col("x2") * 1e9).cast("long")),
-            sum(round(e * col("x3") * 1e9).cast("long"))).head()
-          w = Array.tabulate(4)(j =>
-            w(j) - 4.0 * (r.getLong(j).toDouble / 1e9 / n))
-        }
-        val sCol = sOf
-        val p = lit(0.5) + lit(0.5) * sCol / (lit(1) + abs(sCol))
-        feat.agg(count(lit(1)).as("n"),
-            sum(when((p > 0.5) === (col("y") > 0.5), 1L).otherwise(0L))
-              .as("correct"))
-          .select(col("n"),
-            round(lit(w(0)), 9).as("w_bias"), round(lit(w(1)), 9).as("w_ttr"),
-            round(lit(w(2)), 9).as("w_len"), round(lit(w(3)), 9).as("w_sat"),
-            round(col("correct").cast("double") / col("n"), 6).as("acc"))
+        val (w, n, acc) = QualityModel.fitWeights(feat)
+        s.range(1).select(lit(n).as("n"),
+          round(lit(w(0)), 9).as("w_bias"), round(lit(w(1)), 9).as("w_ttr"),
+          round(lit(w(2)), 9).as("w_len"), round(lit(w(3)), 9).as("w_sat"),
+          round(lit(acc), 6).as("acc"))
       }),
 
     // ---- q285: MAINTAINED banded-signature index — q89's missing
@@ -6135,6 +6105,127 @@ object TextQueries {
               .as("dropped_by_erasure"),
             col("n_admitted"), col("n_rejected"), col("n_erased"),
             col("nd_old"), col("nd_new"))
+          .orderBy("doc_id")
+      }),
+
+    // ---- q291: VERSIONED QUALITY-FILTER MODEL — the last one-shot
+    // trained artifact in the admission path gets the family
+    // lifecycle: q283 proves the softsign-link filter trains
+    // bit-reproducibly but re-trains per run, so the model that would
+    // gate admission had no stored form, no pinning, no staleness
+    // gate. graft.text.QualityModel commits a fit's coefficients as
+    // VersionedState (one tiny parquet row per version; `model:<id>`
+    // replay-guards the trainer — a crashed-and-retried fit is a
+    // no-op, NOT a silent re-train to different floats on a drifted
+    // corpus). Cycle: fit on the train split (delivered twice under
+    // one id), then a DRIFTED refit under a new id moves the head —
+    // and the admission batch is scored off the coefficients PINNED at
+    // the first version (asOf — a manifest-cut member like any index),
+    // so the output is identical to a fresh train at that cut,
+    // hash-exact: every link op is IEEE-exact and the gradient sums as
+    // nano-longs, which is what turns "stored ≡ freshly-trained" into
+    // a hash gate instead of a tolerance check. maintain()'s fit gate
+    // scores the batch as a held-out set: accuracy under the dial ⇒
+    // BuildNeeded, never silent (emitted as fit_ok, which the oracle
+    // re-derives from its own accuracy). Scale shape: training is one
+    // checkpointed feature pass + one partial-agg scan per GD
+    // iteration (weights ride the driver); scoring the batch is
+    // map-side only — the pinned coefficients are literals, adding
+    // ZERO shuffles to an admission plan.
+    QueryDef("q291_quality_model_pinned", Some(s"""${toksCte()},
+      feat AS (SELECT t.doc_id,
+          CAST(len(list_distinct(tokens)) AS DOUBLE) / len(tokens) - 0.5 AS x1,
+          CAST(list_aggregate(list_transform(tokens, t -> len(t)), 'sum')
+            AS DOUBLE) / len(tokens) - 4.5 AS x2,
+          CAST(len(tokens) AS DOUBLE) / (50 + len(tokens)) - 0.5 AS x3,
+          CASE WHEN d.n_chars > 300 THEN 1.0 ELSE 0.0 END AS y
+        FROM toks t JOIN documents d ON t.doc_id = d.doc_id
+        WHERE len(tokens) >= 1),
+      tr AS (SELECT * FROM feat WHERE doc_id % 19 <> 7),
+      nn AS (SELECT COUNT(*) AS n FROM tr),
+      wt0 AS (SELECT 0.0 AS wb, 0.0 AS w1c, 0.0 AS w2c, 0.0 AS w3c)${(1 to 8).map(k => s""",
+      s$k AS (SELECT f.*, w.wb + w.w1c * f.x1 + w.w2c * f.x2 + w.w3c * f.x3 AS s
+             FROM tr f, wt${k - 1} w),
+      e$k AS (SELECT *, (0.5 + 0.5 * s / (1 + abs(s)) - y)
+                       * (0.5 / ((1 + abs(s)) * (1 + abs(s)))) AS e FROM s$k),
+      g$k AS (SELECT SUM(CAST(ROUND(e * 1e9) AS BIGINT)) AS gb,
+                    SUM(CAST(ROUND(e * x1 * 1e9) AS BIGINT)) AS gx1,
+                    SUM(CAST(ROUND(e * x2 * 1e9) AS BIGINT)) AS gx2,
+                    SUM(CAST(ROUND(e * x3 * 1e9) AS BIGINT)) AS gx3 FROM e$k),
+      wt$k AS (SELECT w.wb - 4.0 * (CAST(g.gb AS DOUBLE) / 1e9 / nn.n) AS wb,
+                     w.w1c - 4.0 * (CAST(g.gx1 AS DOUBLE) / 1e9 / nn.n) AS w1c,
+                     w.w2c - 4.0 * (CAST(g.gx2 AS DOUBLE) / 1e9 / nn.n) AS w2c,
+                     w.w3c - 4.0 * (CAST(g.gx3 AS DOUBLE) / 1e9 / nn.n) AS w3c
+              FROM wt${k - 1} w, g$k g, nn)""").mkString},
+      trs AS (SELECT f.y, w.wb + w.w1c * f.x1 + w.w2c * f.x2 + w.w3c * f.x3 AS s
+              FROM tr f, wt8 w),
+      fin AS (SELECT COUNT(*) AS n,
+                     SUM(CASE WHEN ((0.5 + 0.5 * s / (1 + abs(s))) > 0.5)
+                                   = (y > 0.5)
+                         THEN 1 ELSE 0 END) AS correct FROM trs),
+      bp AS (SELECT f.doc_id, f.y,
+                    0.5 + 0.5 * (w.wb + w.w1c * f.x1 + w.w2c * f.x2
+                                 + w.w3c * f.x3)
+                        / (1 + abs(w.wb + w.w1c * f.x1 + w.w2c * f.x2
+                                   + w.w3c * f.x3)) AS p
+             FROM feat f, wt8 w WHERE f.doc_id % 19 = 7),
+      bacc AS (SELECT COUNT(*) AS nb,
+                      SUM(CASE WHEN (p > 0.5) = (y > 0.5)
+                          THEN 1 ELSE 0 END) AS cb FROM bp)
+      SELECT bp.doc_id, ROUND(bp.p, 9) AS score, bp.p > 0.5 AS admitted,
+             ROUND(w.wb, 9) AS w_bias, ROUND(w.w1c, 9) AS w_ttr,
+             ROUND(w.w2c, 9) AS w_len, ROUND(w.w3c, 9) AS w_sat,
+             (SELECT CAST(n AS BIGINT) FROM nn) AS n_train,
+             ROUND(CAST(fin.correct AS DOUBLE) / fin.n, 6) AS acc_train,
+             ROUND(CAST(bacc.cb AS DOUBLE) / bacc.nb, 6) AS acc_batch,
+             CAST(bacc.cb AS DOUBLE) / bacc.nb >= 0.75 AS fit_ok
+      FROM bp, wt8 w, fin, bacc
+      ORDER BY bp.doc_id"""),
+      (s, dir) => {
+        import graft.text.QualityModel
+        val feat = QualityModel.features(tokenized(s, dir), "doc_id",
+            "tokens", docs(s, dir), "n_chars")
+          .localCheckpoint() // splits read it
+        val featTr = feat.where(col("doc_id") % 19 =!= 7)
+          .localCheckpoint() // 8 GD scans + the acc scan read it
+        val featB = feat.where(col("doc_id") % 19 === 7)
+          .localCheckpoint() // score, batch-acc and the fit gate read it
+        val stDir = s"${System.getProperty("java.io.tmpdir")}/graft_q291_" +
+          dir.replaceAll("[^A-Za-z0-9._-]", "_") +
+          "_p" + ProcessHandle.current.pid + "_" + q274Runs.incrementAndGet()
+        EventQueries.cleanupOnExit(stDir)
+        // the trainer run, delivered twice under one id: the replay
+        // returns the committed version without re-training
+        val v1 = QualityModel.fit(featTr, stDir, "m1")
+        require(QualityModel.fit(featTr, stDir, "m1") == v1,
+          "a replayed trainer id must be a no-op")
+        // the head MOVES: a drifted refit under a new id — the pinned
+        // reads below must not see it
+        QualityModel.fit(featTr.where(col("doc_id") % 2 === 0), stDir, "m2")
+        // score the admission batch off the PINNED coefficients
+        val w = QualityModel.weights(s, stDir, asOf = Some(v1))
+        val report = QualityModel.maintain(featB, stDir,
+          minAccuracy = 0.75, asOf = Some(v1))
+        val sB = lit(w(0)) + lit(w(1)) * col("x1") +
+          lit(w(2)) * col("x2") + lit(w(3)) * col("x3")
+        val pB = lit(0.5) + lit(0.5) * sB / (lit(1) + abs(sB))
+        val accB = featB.agg(count(lit(1)).as("nb"),
+            sum(when((pB > 0.5) === (col("y") > 0.5), 1L).otherwise(0L))
+              .as("cb"))
+          .select(round(col("cb").cast("double") / col("nb"), 6)
+            .as("acc_batch"))
+        val meta = QualityModel.model(s, stDir, asOf = Some(v1)).get
+          .select(round(col("w0"), 9).as("w_bias"),
+            round(col("w1"), 9).as("w_ttr"),
+            round(col("w2"), 9).as("w_len"),
+            round(col("w3"), 9).as("w_sat"),
+            col("n_train"), round(col("acc_train"), 6).as("acc_train"))
+          .crossJoin(accB)
+        QualityModel.score(featB, "doc_id", w.toSeq)
+          .select(col("doc_id"), round(col("score"), 9).as("score"),
+            (col("score") > 0.5).as("admitted"))
+          .crossJoin(broadcast(meta))
+          .withColumn("fit_ok", lit(report.healthy))
           .orderBy("doc_id")
       })
   )

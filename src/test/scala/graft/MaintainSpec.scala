@@ -363,6 +363,41 @@ class MaintainSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("QualityModel: replay-guarded fits, pinned reads across a drifted refit, fit gate Ok/BuildNeeded, gc retention") {
+    import graft.text.QualityModel
+    val dir = freshDir("qm")
+    // a linearly separable toy: y = 1 iff x3 > 0 (x1/x2 noise-free zeros)
+    def feat(rows: (Long, Double, Double)*): DataFrame =
+      rows.toSeq.toDF("doc_id", "x3", "y")
+        .select(col("doc_id"), lit(0.0).as("x1"), lit(0.0).as("x2"),
+          col("x3"), col("y"))
+    val tr = feat((1L, 0.4, 1.0), (2L, 0.3, 1.0), (3L, -0.4, 0.0),
+      (4L, -0.3, 0.0))
+    val v1 = QualityModel.fit(tr, dir, "m1")
+    assert(QualityModel.fit(tr, dir, "m1") === v1,
+      "a replayed trainer id must not re-train")
+    val w1 = QualityModel.weights(spark, dir)
+    assert(w1(3) > 0, "the separable fit must find w_sat > 0")
+    // the aligned holdout passes the fit gate…
+    val hold = feat((11L, 0.5, 1.0), (12L, -0.5, 0.0))
+    assert(QualityModel.maintain(hold, dir, minAccuracy = 0.9).healthy)
+    // …a drifted holdout (labels flipped) trips BuildNeeded, never silence
+    val drifted = feat((21L, 0.5, 0.0), (22L, -0.5, 1.0))
+    val r = QualityModel.maintain(drifted, dir, minAccuracy = 0.9)
+    assert(r.buildNeeded, s"label drift must surface as BuildNeeded: ${r.gates}")
+    // the head moves under a refit; the pinned read is unchanged
+    val v2 = QualityModel.fit(feat((31L, 0.4, 0.0), (32L, -0.4, 1.0)),
+      dir, "m2")
+    assert(v2 > v1)
+    assert(QualityModel.weights(spark, dir, asOf = Some(v1)).toSeq
+      === w1.toSeq, "the pinned coefficients must survive the refit")
+    assert(QualityModel.weights(spark, dir)(3) < 0,
+      "the head serves the refit (flipped labels ⇒ flipped sign)")
+    // retention: gc keeps the newest 2 — both reads still resolve
+    QualityModel.gc(spark, dir, keepLast = 2)
+    assert(QualityModel.model(spark, dir, asOf = Some(v1)).nonEmpty)
+  }
+
   test("streaming admission screens against the MAINTAINED PerceptualIndex; ingest + erasure evolve it by batchId") {
     import graft.multimodal.PerceptualIndex
     import graft.streaming.EventStreams

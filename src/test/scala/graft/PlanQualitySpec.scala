@@ -1065,6 +1065,15 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!plans.exists { case _: CartesianProductExec => true; case _ => false })
   }
 
+  test("q291 pinned quality model: NO window, no cartesian shuffle shape — GD agg scans + map-side pinned scoring") {
+    val plans = allExecutedPlans("q291_quality_model_pinned")
+    assert(!plans.exists(_.nodeName == "Window"),
+      "q291: training is checkpointed-feature agg scans, scoring bakes " +
+        "the pinned coefficients in as literals — a window anywhere " +
+        "means a corpus sort crept in")
+    assert(!plans.exists { case _: CartesianProductExec => true; case _ => false })
+  }
+
   test("q284 serving stack: windows only per-query probe ranks — no global window, no cartesian") {
     val plans = allExecutedPlans("q284_serving_stack_decontam")
     val globals = plans.collect {
