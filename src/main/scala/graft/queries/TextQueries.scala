@@ -6227,6 +6227,234 @@ object TextQueries {
           .crossJoin(broadcast(meta))
           .withColumn("fit_ok", lit(report.healthy))
           .orderBy("doc_id")
+      }),
+
+    // ---- q292: CLUSTER LABELS IN THE ADMISSION LOOP — the labels
+    // family (q276/q277) wired into q287's loop so the label table is
+    // always consistent with the admission history: each round's
+    // verification now yields a TWO-THRESHOLD verdict (bigram Jaccard
+    // ≥ 0.8 = hard duplicate, REJECTED, never enters any state;
+    // 0.5 ≤ j < 0.8 = admitted near-dup, and the verified pair becomes
+    // a ClusterState EDGE), so admitted survivors + their edges flow
+    // into ClusterState.refresh under the SAME delta id that refreshes
+    // the banded admission index. An erasure verdict BETWEEN the
+    // rounds deletes from BOTH states (delivered twice each): round 2
+    // then screens against the post-erasure corpus (an erased doc no
+    // longer blocks) and the label table splits the erased docs'
+    // clusters. The gate: the final maintained labels ≡ a from-scratch
+    // converged CC over EXACTLY the final live corpus with exactly the
+    // edges admission created (seed-internal pairs + each round's
+    // admitted cross-side pairs, erased endpoints gone) — the oracle
+    // unrolls seed pairing, both admission rounds, the erasure and the
+    // CC fixpoint in SQL, so a mismatch is lost state or a feedback
+    // error, never approximation. Scale shape: per round one map-side
+    // signature pass + pruned probe + candidate-bounded verify +
+    // delta-sized refreshes of BOTH states; ClusterState writes are
+    // delta/cluster-bounded (never corpus-sized); the loop never
+    // re-pairs history with itself.
+    QueryDef("q292_admission_cluster_loop", Some(s"""${toksCte()},
+      sig AS (SELECT doc_id,
+        ${(0 until 8).map(i =>
+          s"list_min(list_transform(list_distinct(tokens), t -> md5('$i:' || t))) AS mh$i")
+          .mkString(",\n        ")}
+              FROM toks),
+      band AS (${(0 until 4).map(b =>
+          s"SELECT doc_id, $b AS b, mh${2 * b} || '|' || mh${2 * b + 1} AS chunk FROM sig")
+          .mkString(" UNION ALL\n               ")}),
+      sh AS (SELECT doc_id,
+               list_distinct(list_transform(range(1, len(tokens)),
+                             i -> tokens[i] || ' ' || tokens[i+1])) AS sh
+             FROM toks),
+      -- seed round: the pre-existing corpus's own verified pairs
+      k0 AS (SELECT doc_id, b, chunk FROM
+               (SELECT doc_id, b, chunk,
+                       COUNT(*) OVER (PARTITION BY b, chunk) AS bsz
+                FROM band WHERE doc_id % 3 = 0)
+             WHERE bsz <= 50),
+      c0 AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+             FROM k0 a JOIN k0 b2
+               ON a.b = b2.b AND a.chunk = b2.chunk
+                  AND a.doc_id < b2.doc_id),
+      e0 AS (SELECT id_a, id_b FROM
+               (SELECT cd.id_a, cd.id_b,
+                       CASE WHEN len(a.sh) + len(b.sh)
+                                 - len(list_intersect(a.sh, b.sh)) = 0 THEN NULL
+                            ELSE len(list_intersect(a.sh, b.sh))
+                                 / (len(a.sh) + len(b.sh)
+                                    - len(list_intersect(a.sh, b.sh))) END AS jac
+                FROM c0 cd JOIN sh a ON a.doc_id = cd.id_a
+                           JOIN sh b ON b.doc_id = cd.id_b)
+             WHERE jac >= CAST(0.5 AS DOUBLE)),
+      -- round 1: batch %3=1 vs the seed
+      k1 AS (SELECT doc_id, b, chunk FROM
+               (SELECT doc_id, b, chunk,
+                       COUNT(*) OVER (PARTITION BY b, chunk) AS bsz
+                FROM band WHERE doc_id % 3 IN (0, 1))
+             WHERE bsz <= 50),
+      c1 AS (SELECT DISTINCT f.doc_id AS id_new, c.doc_id AS id_corpus
+             FROM k1 f JOIN k1 c
+               ON f.b = c.b AND f.chunk = c.chunk
+                  AND f.doc_id % 3 = 1 AND c.doc_id % 3 = 0),
+      v1 AS (SELECT id_new, id_corpus, jac FROM
+               (SELECT cd.id_new, cd.id_corpus,
+                       CASE WHEN len(a.sh) + len(b.sh)
+                                 - len(list_intersect(a.sh, b.sh)) = 0 THEN NULL
+                            ELSE len(list_intersect(a.sh, b.sh))
+                                 / (len(a.sh) + len(b.sh)
+                                    - len(list_intersect(a.sh, b.sh))) END AS jac
+                FROM c1 cd JOIN sh a ON a.doc_id = cd.id_new
+                           JOIN sh b ON b.doc_id = cd.id_corpus)
+             WHERE jac >= CAST(0.5 AS DOUBLE)),
+      rej1 AS (SELECT DISTINCT id_new AS doc_id FROM v1
+               WHERE jac >= CAST(0.8 AS DOUBLE)),
+      adm1 AS (SELECT doc_id FROM toks WHERE doc_id % 3 = 1
+               AND doc_id NOT IN (SELECT doc_id FROM rej1)),
+      edg1 AS (SELECT id_new AS id_a, id_corpus AS id_b FROM v1
+               WHERE jac < CAST(0.8 AS DOUBLE)
+                 AND id_new IN (SELECT doc_id FROM adm1)),
+      -- the erasure verdict between the rounds
+      live1 AS (SELECT doc_id FROM toks WHERE doc_id % 3 = 0
+                UNION ALL SELECT doc_id FROM adm1),
+      erased AS (SELECT doc_id FROM live1 WHERE doc_id % 13 = 6),
+      live1s AS (SELECT doc_id FROM live1 WHERE doc_id % 13 <> 6),
+      -- round 2: batch %3=2 vs the POST-ERASURE corpus
+      k2 AS (SELECT doc_id, b, chunk FROM
+               (SELECT doc_id, b, chunk,
+                       COUNT(*) OVER (PARTITION BY b, chunk) AS bsz
+                FROM band WHERE doc_id % 3 = 2
+                   OR doc_id IN (SELECT doc_id FROM live1s))
+             WHERE bsz <= 50),
+      c2 AS (SELECT DISTINCT f.doc_id AS id_new, c.doc_id AS id_corpus
+             FROM k2 f JOIN k2 c
+               ON f.b = c.b AND f.chunk = c.chunk
+                  AND f.doc_id % 3 = 2
+                  AND c.doc_id IN (SELECT doc_id FROM live1s)),
+      v2 AS (SELECT id_new, id_corpus, jac FROM
+               (SELECT cd.id_new, cd.id_corpus,
+                       CASE WHEN len(a.sh) + len(b.sh)
+                                 - len(list_intersect(a.sh, b.sh)) = 0 THEN NULL
+                            ELSE len(list_intersect(a.sh, b.sh))
+                                 / (len(a.sh) + len(b.sh)
+                                    - len(list_intersect(a.sh, b.sh))) END AS jac
+                FROM c2 cd JOIN sh a ON a.doc_id = cd.id_new
+                           JOIN sh b ON b.doc_id = cd.id_corpus)
+             WHERE jac >= CAST(0.5 AS DOUBLE)),
+      rej2 AS (SELECT DISTINCT id_new AS doc_id FROM v2
+               WHERE jac >= CAST(0.8 AS DOUBLE)),
+      adm2 AS (SELECT doc_id FROM toks WHERE doc_id % 3 = 2
+               AND doc_id NOT IN (SELECT doc_id FROM rej2)),
+      edg2 AS (SELECT id_new AS id_a, id_corpus AS id_b FROM v2
+               WHERE jac < CAST(0.8 AS DOUBLE)
+                 AND id_new IN (SELECT doc_id FROM adm2)),
+      -- the final live corpus and its admission-created edge relation
+      nodes AS (SELECT doc_id FROM live1s
+                UNION ALL SELECT doc_id FROM adm2),
+      alle AS (SELECT id_a, id_b FROM e0
+               UNION SELECT id_a, id_b FROM edg1
+               UNION SELECT id_a, id_b FROM edg2),
+      keptE AS (SELECT id_a, id_b FROM alle
+                WHERE id_a IN (SELECT doc_id FROM nodes)
+                  AND id_b IN (SELECT doc_id FROM nodes)),
+      edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM keptE
+                UNION ALL SELECT id_b, id_a FROM keptE),
+      l0 AS MATERIALIZED (SELECT doc_id AS id, doc_id AS label FROM nodes),
+      ${graft.QueryDef.ccFixpointCtes()}
+      SELECT f.id AS doc_id, f.label AS cluster_id, f.id = f.label AS keep,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM adm1) AS n_admitted_1,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM rej1) AS n_rejected_1,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM adm2) AS n_admitted_2,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM rej2) AS n_rejected_2,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM erased) AS n_erased
+      FROM ${graft.QueryDef.ccFinal()} f
+      ORDER BY doc_id"""),
+      (s, dir) => {
+        import graft.dedup.{BandedIndex, ClusterState, Dedup}
+        val toks = tokenized(s, dir)
+          .localCheckpoint() // splits, screens, and verification read it
+        val seed = toks.where(col("doc_id") % 3 === 0)
+        val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_") +
+          "_p" + ProcessHandle.current.pid + "_" + q274Runs.incrementAndGet()
+        val biDir = s"${System.getProperty("java.io.tmpdir")}/graft_q292bi_$tag"
+        val csDir = s"${System.getProperty("java.io.tmpdir")}/graft_q292cs_$tag"
+        Seq(biDir, csDir).foreach(EventQueries.cleanupOnExit)
+        // the seed's own verified pairs — the one-time build cost
+        val seedCand = Dedup.lshBandedCandidatePairs(seed, "doc_id",
+          "tokens", 4, 2, maxBucketSize = 50)
+        val seedNeeded = seedCand.select(col("id_a").as("doc_id"))
+          .unionByName(seedCand.select(col("id_b").as("doc_id"))).distinct()
+        val seedEdges = Dedup.verifyJaccard(
+            seed.join(broadcast(seedNeeded), Seq("doc_id"), "left_semi"),
+            "doc_id", "tokens", seedCand)
+          .where(col("jaccard") >= 0.5).select("id_a", "id_b")
+          .localCheckpoint() // the build reads it
+        BandedIndex.build(seed, "doc_id", "tokens", biDir)
+        ClusterState.build(seed.select("doc_id"), "doc_id", seedEdges, csDir)
+        // one admission round: screen off the maintained banded state,
+        // verify with the TWO-THRESHOLD verdict, feed BOTH states under
+        // one id (each delivered twice)
+        def admit(batch: DataFrame, deltaId: String): DataFrame = {
+          val cand = BandedIndex.screen(batch, "doc_id", "tokens", biDir,
+              maxBucketSize = 50)
+            .localCheckpoint() // the id restriction AND the verify read it
+          val needed = cand.select(col("id_new").as("doc_id"))
+            .unionByName(cand.select(col("id_corpus").as("doc_id")))
+            .distinct()
+          val ver = Dedup.verifyJaccard(
+              toks.join(broadcast(needed), Seq("doc_id"), "left_semi"),
+              "doc_id", "tokens",
+              cand.select(col("id_new").as("id_a"),
+                col("id_corpus").as("id_b")))
+            .where(col("jaccard") >= 0.5)
+            .localCheckpoint() // the reject filter AND the edges read it
+          val hard = ver.where(col("jaccard") >= 0.8)
+            .select(col("id_a").as("doc_id")).distinct()
+          val admitted = batch.join(hard, Seq("doc_id"), "left_anti")
+            .localCheckpoint() // both refreshes read it
+          // an admitted survivor's verified near-dup pairs are the
+          // label family's edges (a rejected doc never contributes)
+          val edges = ver.where(col("jaccard") < 0.8)
+            .join(admitted.select(col("doc_id").as("id_a")), "id_a")
+            .select("id_a", "id_b")
+          BandedIndex.refresh(admitted, "doc_id", "tokens", biDir, deltaId)
+          BandedIndex.refresh(admitted, "doc_id", "tokens", biDir, deltaId) // replayed: no-op
+          ClusterState.refresh(admitted.select("doc_id"), "doc_id",
+            edges, csDir, deltaId)
+          ClusterState.refresh(admitted.select("doc_id"), "doc_id",
+            edges, csDir, deltaId) // replayed: no-op
+          admitted
+        }
+        val adm1 = admit(toks.where(col("doc_id") % 3 === 1), "b1")
+        // ONE erasure verdict between the rounds, propagated through
+        // BOTH states (delivered twice each — algebra/protocol no-ops)
+        val erased = seed.select("doc_id")
+          .unionByName(adm1.select("doc_id"))
+          .where(col("doc_id") % 13 === 6)
+          .localCheckpoint() // both deletes read it
+        BandedIndex.delete(erased, "doc_id", biDir, "e1")
+        BandedIndex.delete(erased, "doc_id", biDir, "e1")
+        ClusterState.delete(erased, csDir, "e1")
+        ClusterState.delete(erased, csDir, "e1")
+        // round 2 screens against the POST-ERASURE corpus
+        val adm2 = admit(toks.where(col("doc_id") % 3 === 2), "b2")
+        // the gate output: the maintained labels over exactly the
+        // admission history, plus the loop's verdict counts (one-row
+        // broadcasts, visible even where clustering is trivial)
+        val batch1 = toks.where(col("doc_id") % 3 === 1)
+        val batch2 = toks.where(col("doc_id") % 3 === 2)
+        val meta = adm1.agg(count(lit(1)).as("n_admitted_1"))
+          .crossJoin(batch1
+            .join(adm1.select("doc_id"), Seq("doc_id"), "left_anti")
+            .agg(count(lit(1)).as("n_rejected_1")))
+          .crossJoin(adm2.agg(count(lit(1)).as("n_admitted_2")))
+          .crossJoin(batch2
+            .join(adm2.select("doc_id"), Seq("doc_id"), "left_anti")
+            .agg(count(lit(1)).as("n_rejected_2")))
+          .crossJoin(erased.agg(count(lit(1)).as("n_erased")))
+        ClusterState.labels(s, csDir).get
+          .select(col("id").as("doc_id"), col("label").as("cluster_id"),
+            (col("id") === col("label")).as("keep"))
+          .crossJoin(broadcast(meta))
+          .orderBy("doc_id")
       })
   )
 

@@ -1032,6 +1032,20 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!plans.exists { case _: CartesianProductExec => true; case _ => false })
   }
 
+  test("q292 admission+cluster loop: windows only per-(band, chunk) — screens band-local, label writes delta-bounded, no cartesian") {
+    val plans = allExecutedPlans("q292_admission_cluster_loop")
+    val windows = plans.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      "q292: the only windows are the skew caps' per-(band, chunk) " +
+        "bucket counts — verification is candidate-bounded, both state " +
+        "families commit delta/cluster-bounded tables, and the CC " +
+        "fixpoint is joins + aggs; a global window would one-task-sort " +
+        "the corpus")
+    assert(!plans.exists { case _: CartesianProductExec => true; case _ => false })
+  }
+
   test("q289 perceptual index maintain: windows only per-(band, chunk) — decode partition-wise, probe bucket-local, no cartesian") {
     val plans = allExecutedPlans("q289_perceptual_index_maintain")
     val windows = plans.collect {
