@@ -6206,21 +6206,16 @@ object TextQueries {
         val w = QualityModel.weights(s, stDir, asOf = Some(v1))
         val report = QualityModel.maintain(featB, stDir,
           minAccuracy = 0.75, asOf = Some(v1))
-        val sB = lit(w(0)) + lit(w(1)) * col("x1") +
-          lit(w(2)) * col("x2") + lit(w(3)) * col("x3")
-        val pB = lit(0.5) + lit(0.5) * sB / (lit(1) + abs(sB))
-        val accB = featB.agg(count(lit(1)).as("nb"),
-            sum(when((pB > 0.5) === (col("y") > 0.5), 1L).otherwise(0L))
-              .as("cb"))
-          .select(round(col("cb").cast("double") / col("nb"), 6)
-            .as("acc_batch"))
+        // the gate's own accuracy derivation (one agg scan) — not a
+        // hand-copied link expression
+        val accB = QualityModel.holdoutAccuracy(featB, w.toSeq).get
         val meta = QualityModel.model(s, stDir, asOf = Some(v1)).get
           .select(round(col("w0"), 9).as("w_bias"),
             round(col("w1"), 9).as("w_ttr"),
             round(col("w2"), 9).as("w_len"),
             round(col("w3"), 9).as("w_sat"),
             col("n_train"), round(col("acc_train"), 6).as("acc_train"))
-          .crossJoin(accB)
+          .withColumn("acc_batch", round(lit(accB), 6))
         QualityModel.score(featB, "doc_id", w.toSeq)
           .select(col("doc_id"), round(col("score"), 9).as("score"),
             (col("score") > 0.5).as("admitted"))

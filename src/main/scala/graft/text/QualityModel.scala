@@ -87,7 +87,7 @@ object QualityModel {
       lit(w(2)) * col("x2") + lit(w(3)) * col("x3")
     for (_ <- 0 until iters) {
       val sCol = sOf
-      val p = lit(0.5) + lit(0.5) * sCol / (lit(1) + abs(sCol))
+      val p = pExpr(w.toSeq)
       val d = lit(0.5) / ((lit(1) + abs(sCol)) * (lit(1) + abs(sCol)))
       val e = (p - col("y")) * d
       // exact fixed-point gradient: nano-long per-row contributions
@@ -100,12 +100,34 @@ object QualityModel {
       w = Array.tabulate(4)(j =>
         w(j) - lr * (r.getLong(j).toDouble / 1e9 / n))
     }
-    val sCol = sOf
-    val p = lit(0.5) + lit(0.5) * sCol / (lit(1) + abs(sCol))
-    val correct = feat.agg(
+    (w, n, holdoutAccuracy(feat, w.toSeq).get)
+  }
+
+  /** The linear score s under explicit weights — the ONE definition of
+    * the model's geometry ([[pExpr]], [[score]], [[fitWeights]] and
+    * [[holdoutAccuracy]] all read it, so the link can never fork
+    * between training, serving and gating).
+    */
+  private def sExpr(w: Seq[Double]): Column =
+    lit(w(0)) + lit(w(1)) * col("x1") +
+      lit(w(2)) * col("x2") + lit(w(3)) * col("x3")
+
+  /** The softsign link p = ½ + ½·s/(1+|s|) under explicit weights. */
+  private def pExpr(w: Seq[Double]): Column = {
+    val s = sExpr(w)
+    lit(0.5) + lit(0.5) * s / (lit(1) + abs(s))
+  }
+
+  /** Accuracy of explicit weights on a labeled feature frame — one agg
+    * scan; None on an empty frame. Exact (a count ratio), so gates and
+    * oracles derive the identical number.
+    */
+  def holdoutAccuracy(feat: DataFrame, w: Seq[Double]): Option[Double] = {
+    val p = pExpr(w)
+    val r = feat.agg(count(lit(1)),
       sum(when((p > 0.5) === (col("y") > 0.5), 1L).otherwise(0L))).head()
-      .getLong(0)
-    (w, n, correct.toDouble / n)
+    val n = r.getLong(0)
+    if (n == 0) None else Some(r.getLong(1).toDouble / n)
   }
 
   /** Map-side scores under explicit weights: (idCol, score) with
@@ -114,37 +136,61 @@ object QualityModel {
     */
   def score(feat: DataFrame, idCol: String, w: Seq[Double]): DataFrame = {
     require(w.length == 4, s"the model has 4 weights, got ${w.length}")
-    val s = lit(w(0)) + lit(w(1)) * col("x1") +
-      lit(w(2)) * col("x2") + lit(w(3)) * col("x3")
-    feat.select(col(idCol),
-      (lit(0.5) + lit(0.5) * s / (lit(1) + abs(s))).as("score"))
+    feat.select(col(idCol), pExpr(w).as("score"))
+  }
+
+  /** Every fit id known delivered, oldest first: the NEWEST version's
+    * sidecar (each commit carries the full prior set forward, so the
+    * guard survives [[gc]] — the compaction-sidecar discipline without
+    * a compaction) followed by the live markers' labels.
+    */
+  private def deliveredAll(spark: SparkSession, stateDir: String,
+                           cs: Seq[(Long, String)]): Seq[String] = {
+    val sidecar = cs.lastOption.toSeq.flatMap { case (n, _) =>
+      VersionedState.readLines(spark,
+        VersionedState.versionPath(stateDir, n), IndexSegments.DeliveredFile)
+    }
+    (sidecar ++ cs.collect { case (_, l) if l.contains(":") => l }).distinct
   }
 
   /** Train on `feat` and COMMIT the coefficients as a new version.
     * `deltaId` replay-guards the fit (`model:<id>` — a re-delivered
-    * trainer run returns the committed version, no duplicate refit).
-    * Old versions stay readable for pinned cuts; bound them with
-    * [[gc]].
+    * trainer run returns the committed version, no duplicate refit;
+    * the delivered-id set rides a sidecar into EVERY commit, so the
+    * guard survives [[gc]]). A replay whose pinned version was gc'd
+    * past retention fails LOUDLY — silently re-training on a drifted
+    * corpus under an old intent is exactly what the guard exists to
+    * prevent. Old versions stay readable for pinned cuts; bound them
+    * with [[gc]].
     */
   def fit(feat: DataFrame, stateDir: String, deltaId: String = "",
           iters: Int = 8, lr: Double = 4.0): Long = {
     val spark = feat.sparkSession
     IndexSegments.validDeltaId(deltaId) // validate-first (family invariant)
+    val cs = VersionedState.committed(spark, stateDir)
+    val label = if (deltaId.isEmpty) "model" else s"model:$deltaId"
     if (deltaId.nonEmpty) {
-      IndexSegments.alreadyDeliveredLabel(spark, stateDir,
-        s"model:$deltaId") match {
+      cs.collectFirst { case (n, l) if l == label => n } match {
         case Some(v) => return v // replayed trainer run: already committed
-        case None    =>
+        case None =>
+          require(!deliveredAll(spark, stateDir, cs).contains(label),
+            s"fit '$deltaId' was already delivered at $stateDir but its " +
+              "version was gc'd past retention — a replay this old cannot " +
+              "resolve its artifact; use a fresh id if a retrain is intended")
       }
     }
+    val delivered = IndexSegments.retainDelivered(
+      deliveredAll(spark, stateDir, cs),
+      IndexSegments.DefaultMaxDelivered, stateDir)
     val (w, n, acc) = fitWeights(feat, iters, lr)
-    val prev = VersionedState.currentVersion(spark, stateDir)
-    val label = if (deltaId.isEmpty) "model" else s"model:$deltaId"
+    val prev = cs.lastOption.map(_._1)
     import spark.implicits._
     val row = Seq((w(0), w(1), w(2), w(3), n, acc, iters, lr))
       .toDF("w0", "w1", "w2", "w3", "n_train", "acc_train", "iters", "lr")
     VersionedState.commit(spark, stateDir, prev, label = label) { vdir =>
       row.coalesce(1).write.mode("overwrite").parquet(s"$vdir/model")
+      VersionedState.writeLines(spark, vdir, IndexSegments.DeliveredFile,
+        delivered)
     }
   }
 
@@ -196,28 +242,25 @@ object QualityModel {
     val spark = holdoutFeat.sparkSession
     val committed = VersionedState.committed(spark, stateDir)
     require(committed.nonEmpty, s"no committed model at $stateDir")
-    val v = committed.last._1
+    // the report names the version the gate actually EVALUATED — the
+    // pinned one under asOf, not the head
+    val v = asOf.fold(committed.last._1) { a =>
+      val sub = committed.filter(_._1 <= a)
+      require(sub.nonEmpty, s"no committed model at $stateDir as of $a")
+      sub.last._1
+    }
     val w = weights(spark, stateDir, asOf)
-    val n = holdoutFeat.agg(count(lit(1))).head().getLong(0)
-    val gate =
-      if (n == 0)
+    val gate = holdoutAccuracy(holdoutFeat, w.toSeq) match {
+      case None =>
         GateVerdict.Ok("fit", "empty holdout — nothing to gate on")
-      else {
-        val s = lit(w(0)) + lit(w(1)) * col("x1") +
-          lit(w(2)) * col("x2") + lit(w(3)) * col("x3")
-        val p = lit(0.5) + lit(0.5) * s / (lit(1) + abs(s))
-        val correct = holdoutFeat.agg(
-          sum(when((p > 0.5) === (col("y") > 0.5), 1L).otherwise(0L)))
-          .head().getLong(0)
-        val acc = correct.toDouble / n
-        if (acc >= minAccuracy)
-          GateVerdict.Ok("fit",
-            f"held-out accuracy $acc%.4f ≥ $minAccuracy%.4f")
-        else
-          GateVerdict.BuildNeeded("fit",
-            f"held-out accuracy $acc%.4f < $minAccuracy%.4f — the corpus " +
-              "drifted from the training distribution; refit with fit()")
-      }
+      case Some(acc) if acc >= minAccuracy =>
+        GateVerdict.Ok("fit",
+          f"held-out accuracy $acc%.4f ≥ $minAccuracy%.4f")
+      case Some(acc) =>
+        GateVerdict.BuildNeeded("fit",
+          f"held-out accuracy $acc%.4f < $minAccuracy%.4f — the corpus " +
+            "drifted from the training distribution; refit with fit()")
+    }
     // every model version is self-contained (no base horizon), so the
     // marker count is simply the committed-version count — [[gc]]
     // bounds it by retention

@@ -396,6 +396,23 @@ class MaintainSpec extends SparkTestBase {
     // retention: gc keeps the newest 2 — both reads still resolve
     QualityModel.gc(spark, dir, keepLast = 2)
     assert(QualityModel.model(spark, dir, asOf = Some(v1)).nonEmpty)
+    // the gate's report names the EVALUATED version, not the head
+    assert(QualityModel.maintain(hold, dir, minAccuracy = 0.0,
+      asOf = Some(v1)).version === v1)
+    // the trainer replay guard SURVIVES gc: the delivered-id sidecar
+    // rides every commit, so a gc'd fit replays LOUDLY, never as a
+    // silent re-train
+    val v3 = QualityModel.fit(tr, dir, "m3")
+    QualityModel.gc(spark, dir, keepLast = 2) // v1 is gone now
+    assert(QualityModel.fit(tr, dir, "m2") === v2,
+      "a replayed id whose version survives must stay a no-op after gc")
+    val e = intercept[IllegalArgumentException] {
+      QualityModel.fit(tr, dir, "m1") // delivered, but its version gc'd
+    }
+    assert(e.getMessage.contains("gc'd past retention"),
+      s"a gc'd fit id must fail loudly, not re-train: ${e.getMessage}")
+    assert(VersionedState.currentVersion(spark, dir) === Some(v3),
+      "the refused replay must not commit")
   }
 
   test("streaming admission screens against the MAINTAINED PerceptualIndex; ingest + erasure evolve it by batchId") {
