@@ -474,10 +474,26 @@ object Knn {
   }
 
   /** Per-vector SRP band signatures: (idCol, band, chunk) — one row per
-    * band, map-side only (the planes ride as literals).
+    * band, map-side only via the native [[graft.functions.SrpChunks]]
+    * kernel (all nBits sign dots in one compiled pass; the planes live
+    * as primitive arrays per executor). Sign semantics are exactly
+    * [[srpBandsSpec]]'s per-plane `vec_dot` chain — the executable
+    * spec KnnSpec parity-tests this against.
     */
   private def srpBands(e: DataFrame, idCol: String, vecCol: String, dims: Int,
-                       nBands: Int, rowsPerBand: Int): DataFrame = {
+                       nBands: Int, rowsPerBand: Int): DataFrame =
+    e.select(col(idCol),
+        posexplode(graft.functions.SrpChunks(col(vecCol), dims, nBands,
+          rowsPerBand)).as(Seq("band", "chunk")))
+
+  /** The higher-order executable SPEC of [[srpBands]]: one literal-plane
+    * `vec_dot` per bit (the pre-kernel formulation, kept for the parity
+    * test — a 64-plane projection of these is what measured ~200 µs per
+    * vector and motivated the kernel).
+    */
+  private[graft] def srpBandsSpec(e: DataFrame, idCol: String, vecCol: String,
+                                  dims: Int, nBands: Int,
+                                  rowsPerBand: Int): DataFrame = {
     val planes = srpPlanes(nBands * rowsPerBand, dims)
     val bandStructs = (0 until nBands).map { b =>
       val chunk = (0 until rowsPerBand).map { r =>

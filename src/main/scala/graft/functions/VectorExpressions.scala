@@ -186,7 +186,12 @@ object VectorFunctions {
       (exprs: Seq[Expression]) => WordShingles(exprs.head, intArg(exprs, 1, "word_shingles"))),
     (FunctionIdentifier("kmv_jaccard"),
       new ExpressionInfo(classOf[KmvJaccard].getName, "kmv_jaccard"),
-      (exprs: Seq[Expression]) => KmvJaccard(exprs.head, exprs(1), intArg(exprs, 2, "kmv_jaccard"))))
+      (exprs: Seq[Expression]) => KmvJaccard(exprs.head, exprs(1), intArg(exprs, 2, "kmv_jaccard"))),
+    (FunctionIdentifier("srp_chunks"),
+      new ExpressionInfo(classOf[SrpChunks].getName, "srp_chunks"),
+      (exprs: Seq[Expression]) => SrpChunks(exprs.head,
+        intArg(exprs, 1, "srp_chunks"), intArg(exprs, 2, "srp_chunks"),
+        intArg(exprs, 3, "srp_chunks"))))
 
   private def intArg(exprs: Seq[Expression], i: Int, fn: String): Int = exprs(i) match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v

@@ -272,4 +272,30 @@ class KnnSpec extends SparkTestBase {
       .as[(Long, Long)].collect().sorted
     assert(tight === Seq((0L, 2L), (3L, 5L)))
   }
+
+  test("srp_chunks kernel ≡ the per-plane vec_dot spec, bit-exact across dials") {
+    // adversarial-ish fixture: values straddling 0, repeated patterns,
+    // a near-zero vector — anything that could flip a borderline sign
+    // if the kernel's accumulation differed from FloatVecDot's
+    val vecs = (0L until 60L).map { i =>
+      (i, Array.tabulate(16) { d =>
+        ((i * 31 + d * 17) % 101 - 50) / 50.0f +
+          (if (d == (i % 16).toInt) 1e-7f else 0f)
+      })
+    }.toDF("vec_id", "embedding")
+    for ((nBands, rows) <- Seq((8, 4), (16, 2), (4, 16))) {
+      val kernel = graft.ann.Knn.srpChunkRows(vecs, "vec_id", "embedding",
+          16, nBands, rows)
+        .select(col("id").cast("long"), col("band"),
+          col("chunk").cast("int"))
+        .as[(Long, Int, Int)].collect().toSet
+      val spec = graft.ann.Knn.srpBandsSpec(vecs, "vec_id", "embedding",
+          16, nBands, rows)
+        .select(col("vec_id").cast("long"), col("band"),
+          col("chunk").cast("int"))
+        .as[(Long, Int, Int)].collect().toSet
+      assert(kernel === spec,
+        s"kernel and spec must band identically at ${nBands}x$rows")
+    }
+  }
 }
