@@ -261,6 +261,56 @@ private[graft] object IndexSegments {
     }
   }
 
+  /** Per-key count totals across a COUNT family's read horizon — the
+    * one shared reader behind [[graft.text.Bm25State]] postings/doclen,
+    * [[graft.dedup.ExactSubstr]] hash counts,
+    * [[graft.dedup.BandedIndex]] band rows and
+    * [[graft.multimodal.PerceptualIndex]] band rows (it existed as four
+    * hand-copies until the nonzero-fold compaction fix had to be
+    * applied to every one of them). Semantics:
+    *
+    *  - every segment since the latest base reads with the BASE
+    *    segment's explicit schema (a partitionBy write of an all-empty
+    *    negation creates no part files, so inference would fail exactly
+    *    on the segment whose emptiness is the point), and a base
+    *    lacking the expected columns fails with the rebuild remedy;
+    *  - `pre` runs BELOW the live-sum agg (partition-prune pushdowns —
+    *    term buckets, chunk buckets);
+    *  - `liveOnly = true` (every read path) keeps positive PRIMARY
+    *    totals only; `false` (the compact folds ONLY) keeps every
+    *    NONZERO total, so negative totals from a contract-violating
+    *    retract survive compaction and observable state never changes
+    *    across a compact (zero totals drop safely: absent + x sums the
+    *    same as 0 + x).
+    */
+  def liveCounts(spark: SparkSession, stateDir: String,
+                 asOf: Option[Long], table: String, keys: Seq[String],
+                 cnts: Seq[String],
+                 pre: DataFrame => DataFrame = identity,
+                 liveOnly: Boolean = true): Option[DataFrame] = {
+    val cs0 = VersionedState.committed(spark, stateDir)
+    val cs = asOf.fold(cs0)(v => cs0.filter(_._1 <= v))
+    if (cs.isEmpty) return None
+    val base = lastBase(cs, stateDir)
+    val vs = cs.map(_._1).filter(_ >= base)
+    val sch = spark.read.parquet(
+      s"${VersionedState.versionPath(stateDir, vs.head)}/$table").schema
+    val missing = (keys ++ cnts).filterNot(sch.fieldNames.contains)
+    require(missing.isEmpty,
+      s"$stateDir's $table base lacks column(s) ${missing.mkString(", ")}" +
+        " — the stored state predates this layout; run build() over " +
+        "the live corpus to adopt it")
+    val all = vs.map(n => spark.read.schema(sch).parquet(
+        s"${VersionedState.versionPath(stateDir, n)}/$table"))
+      .reduce(_.unionByName(_))
+    Some(pre(all)
+      .groupBy(keys.map(col): _*)
+      .agg(sum(cnts.head).cast("long").as(cnts.head),
+        cnts.tail.map(c => sum(c).cast("long").as(c)): _*)
+      .where(if (liveOnly) col(cnts.head) > 0
+             else cnts.map(col(_) =!= 0).reduce(_ || _)))
+  }
+
   /** The GC floor a compaction commit should use: `next` (reclaim
     * everything) when `retainHorizons` is 0, else the base of the
     * oldest horizon to KEEP — retaining the previous horizon keeps an

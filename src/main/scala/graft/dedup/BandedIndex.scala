@@ -291,29 +291,14 @@ object BandedIndex {
 
   private def summedBands(spark: SparkSession, stateDir: String,
                           asOf: Option[Long], buckets: Option[Seq[Int]],
-                          liveOnly: Boolean): Option[DataFrame] = {
-    val cs0 = VersionedState.committed(spark, stateDir)
-    val cs = asOf.fold(cs0)(v => cs0.filter(_._1 <= v))
-    if (cs.isEmpty) return None
-    val base = IndexSegments.lastBase(cs, stateDir)
-    val vs = cs.map(_._1).filter(_ >= base)
-    // explicit base schema: an all-empty negation segment (a delete of
-    // already-dead ids) has no part files to infer from
-    val sch = spark.read.parquet(
-      s"${VersionedState.versionPath(stateDir, vs.head)}/bands").schema
-    val all = vs.map(n => spark.read.schema(sch).parquet(
-        s"${VersionedState.versionPath(stateDir, n)}/bands"))
-      .reduce(_.unionByName(_))
-    val pruned = buckets.fold(all)(bs => all.where(col("bb").isin(bs: _*)))
-    Some(pruned
-      .groupBy("band", "chunk", "id")
-      .agg(sum("c").cast("long").as("c"))
-      // liveness is a positive total; the compact fold keeps every
-      // NONZERO total instead, so negative totals from a contract-
-      // violating retract survive compaction and the observable state
-      // never changes across a compact (zero totals drop safely)
-      .where(if (liveOnly) col("c") > 0 else col("c") =!= 0))
-  }
+                          liveOnly: Boolean): Option[DataFrame] =
+    // the family-shared reader (explicit base schema, nonzero compact
+    // fold); the bucket filter rides `pre` so it lands BELOW the
+    // live-sum agg as a partition filter
+    IndexSegments.liveCounts(spark, stateDir, asOf, "bands",
+      Seq("band", "chunk", "id"), Seq("c"),
+      pre = df => buckets.fold(df)(bs => df.where(col("bb").isin(bs: _*))),
+      liveOnly = liveOnly)
 
   /** Screen a fresh batch against the maintained index: candidate
     * (id_new, id_corpus) pairs sharing any banded minhash chunk with a

@@ -182,12 +182,11 @@ object ExactSubstr {
                  asOf: Option[Long] = None): Option[DataFrame] =
     summedCounts(spark, stateDir, asOf, liveOnly = true)
 
-  /** Per-hash totals across the read horizon. `liveOnly = true` (every
-    * read path) keeps positive totals only; `false` (the [[compact]]
-    * fold ONLY) keeps every NONZERO total — negative totals from a
-    * contract-violating [[retract]] are preserved across compaction,
-    * so compacting never changes observable state (zero totals drop
-    * safely: absent + x sums the same as 0 + x).
+  /** Per-hash totals across the read horizon — the family-shared
+    * [[graft.ann.IndexSegments.liveCounts]] reader (`liveOnly = false`
+    * for the observable-state-invariant [[compact]] fold). The local
+    * `lastBaseOf` runs first so a foreign state directory still fails
+    * with the L-dial remedy, not a generic schema error.
     */
   private def summedCounts(spark: SparkSession, stateDir: String,
                            asOf: Option[Long],
@@ -195,13 +194,9 @@ object ExactSubstr {
     val cs0 = VersionedState.committed(spark, stateDir)
     val cs = asOf.fold(cs0)(v => cs0.filter(_._1 <= v))
     if (cs.isEmpty) return None
-    val (base, _) = lastBaseOf(cs, stateDir)
-    val tables = cs.filter(_._1 >= base).map { case (n, _) =>
-      spark.read.parquet(s"${VersionedState.versionPath(stateDir, n)}/hashes")
-    }
-    Some(tables.reduce(_.unionByName(_))
-      .groupBy("h").agg(sum("c").cast("long").as("c"))
-      .where(if (liveOnly) col("c") > 0 else col("c") =!= 0))
+    lastBaseOf(cs, stateDir) // label validation only
+    IndexSegments.liveCounts(spark, stateDir, asOf, "hashes",
+      Seq("h"), Seq("c"), liveOnly = liveOnly)
   }
 
   /** Hashes whose live count ≥ 2 — the duplicated-window set

@@ -221,27 +221,15 @@ object PerceptualIndex {
 
   private def summedBands(spark: SparkSession, stateDir: String,
                           asOf: Option[Long], buckets: Option[Seq[Int]],
-                          liveOnly: Boolean): Option[DataFrame] = {
-    val cs0 = VersionedState.committed(spark, stateDir)
-    val cs = asOf.fold(cs0)(v => cs0.filter(_._1 <= v))
-    if (cs.isEmpty) return None
-    val base = IndexSegments.lastBase(cs, stateDir)
-    val vs = cs.map(_._1).filter(_ >= base)
-    // explicit base schema: an all-empty negation segment has no part
-    // files to infer from
-    val sch = spark.read.parquet(
-      s"${VersionedState.versionPath(stateDir, vs.head)}/bands").schema
-    val all = vs.map(n => spark.read.schema(sch).parquet(
-        s"${VersionedState.versionPath(stateDir, n)}/bands"))
-      .reduce(_.unionByName(_))
-    val pruned = buckets.fold(all)(bs => all.where(col("bb").isin(bs: _*)))
-    Some(pruned
-      .groupBy("band", "chunk", "id", "hsh")
-      .agg(sum("c").cast("long").as("c"))
-      // liveness is a positive total; the compact fold keeps every
-      // NONZERO total (the family's compaction-invariance discipline)
-      .where(if (liveOnly) col("c") > 0 else col("c") =!= 0))
-  }
+                          liveOnly: Boolean): Option[DataFrame] =
+    // the family-shared reader (explicit base schema, nonzero compact
+    // fold); hsh is functionally dependent on id, so it rides the
+    // count key unchanged, and the bucket filter rides `pre` as a
+    // partition filter below the live-sum agg
+    IndexSegments.liveCounts(spark, stateDir, asOf, "bands",
+      Seq("band", "chunk", "id", "hsh"), Seq("c"),
+      pre = df => buckets.fold(df)(bs => df.where(col("bb").isin(bs: _*))),
+      liveOnly = liveOnly)
 
   /** The LIVE banded index (band, chunk, id, hsh) — the static
     * relation [[graft.streaming.EventStreams.perceptualCollisions]]

@@ -359,24 +359,10 @@ object Bm25State {
     }
   }
 
-  private def horizon(spark: SparkSession, stateDir: String,
-                      asOf: Option[Long]): Option[Seq[Long]] = {
-    val cs0 = VersionedState.committed(spark, stateDir)
-    val cs = asOf.fold(cs0)(v => cs0.filter(_._1 <= v))
-    if (cs.isEmpty) None
-    else {
-      val base = IndexSegments.lastBase(cs, stateDir)
-      Some(cs.map(_._1).filter(_ >= base))
-    }
-  }
-
-  /** Per-key count totals across the read horizon. `liveOnly = true`
-    * (every read path) keeps positive primary totals only; `false`
-    * (the [[compact]] fold ONLY) keeps every NONZERO total — negative
-    * totals from a contract-violating [[retract]] are physically
-    * preserved across compaction, so compacting can never change
-    * observable state (zero totals are safely dropped: absent + x
-    * sums the same as 0 + x).
+  /** Per-key count totals across the read horizon — the family-shared
+    * [[graft.ann.IndexSegments.liveCounts]] reader (explicit base
+    * schema, legacy-layout remedy, `liveOnly = false` for the
+    * observable-state-invariant compact fold).
     */
   private def liveSum(spark: SparkSession, stateDir: String,
                       asOf: Option[Long], table: String, keys: Seq[String],
@@ -384,32 +370,8 @@ object Bm25State {
                       pre: DataFrame => DataFrame = identity,
                       liveOnly: Boolean = true)
       : Option[DataFrame] =
-    horizon(spark, stateDir, asOf).map { vs =>
-      // every segment reads with the BASE segment's explicit schema: a
-      // partitionBy write of an all-empty negation (a delete whose ids
-      // were already dead) creates no part files, so inference would
-      // fail exactly on the segment whose emptiness is the point
-      val sch = spark.read.parquet(
-        s"${VersionedState.versionPath(stateDir, vs.head)}/$table").schema
-      // a state dir persisted by a layout WITHOUT these columns (e.g.
-      // postings before the dl denormalization) must fail with the
-      // remedy, not an opaque unresolved-column error mid-plan
-      val missing = (keys ++ cnts).filterNot(sch.fieldNames.contains)
-      require(missing.isEmpty,
-        s"$stateDir's $table base lacks column(s) ${missing.mkString(", ")}" +
-          " — the stored state predates this layout; run build() over " +
-          "the live corpus to adopt it")
-      pre(vs.map(n => spark.read.schema(sch).parquet(
-          s"${VersionedState.versionPath(stateDir, n)}/$table"))
-        .reduce(_.unionByName(_)))
-        .groupBy(keys.map(col): _*)
-        .agg(sum(cnts.head).cast("long").as(cnts.head),
-          cnts.tail.map(c => sum(c).cast("long").as(c)): _*)
-        // liveness rides the PRIMARY count; the compact fold keeps
-        // every nonzero total instead (see the scaladoc)
-        .where(if (liveOnly) col(cnts.head) > 0
-               else cnts.map(col(_) =!= 0).reduce(_ || _))
-    }
+    IndexSegments.liveCounts(spark, stateDir, asOf, table, keys, cnts,
+      pre, liveOnly)
 
   /** The LIVE postings (term, doc, tf, dl): per-key totals summed
     * across every version since the latest base, positive tf totals
