@@ -120,11 +120,11 @@ private[graft] object IndexSegments {
     * state after the source replays an ancient batch.
     */
   def retainDelivered(labels: Seq[String], maxDelivered: Int,
-                      stateDir: String): Seq[String] = {
+                      stateDir: String, op: String = "compact"): Seq[String] = {
     val kept = labels.takeRight(math.max(maxDelivered, 0))
     val aged = labels.length - kept.length
     if (aged > 0)
-      System.err.println(s"[graft] compact at $stateDir aged $aged " +
+      System.err.println(s"[graft] $op at $stateDir aged $aged " +
         s"delivered id(s) out of the replay-guard sidecar (cap " +
         s"$maxDelivered, oldest dropped '${labels.head}') — aged ids " +
         "are re-deliverable; raise maxDelivered if the source's replay " +

@@ -180,6 +180,12 @@ object BandedIndex {
     require(nBands >= 1 && rowsPerBand >= 1 && buckets >= 1,
       s"dials must be ≥ 1, got bands=$nBands rows=$rowsPerBand B=$buckets")
     require(dims >= 0, s"dims must be ≥ 0 (0 = MinHash text), got $dims")
+    // the SRP kernel packs a band's sign bits into a positive Int, so
+    // the embedding dial is bounded at 31 rows/band — fail here, at
+    // the dial boundary, not as an opaque Catalyst TypeCheckFailure
+    // mid-plan after the label convention already accepted the dials
+    require(dims == 0 || rowsPerBand <= 31,
+      s"SRP banding packs ≤ 31 sign bits per band chunk, got rows=$rowsPerBand")
     val rows = bandRows(docs, idCol, toksCol, nBands, rowsPerBand, dims)
     // guard on the DERIVED payload, not the raw input: a corpus whose
     // docs are all token-less (resp. zero-norm vectors) passes a raw

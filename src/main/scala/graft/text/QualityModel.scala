@@ -83,10 +83,8 @@ object QualityModel {
     val n = feat.count()
     require(n > 0, "fit needs a non-empty feature frame")
     var w = Array(0.0, 0.0, 0.0, 0.0)
-    def sOf: Column = lit(w(0)) + lit(w(1)) * col("x1") +
-      lit(w(2)) * col("x2") + lit(w(3)) * col("x3")
     for (_ <- 0 until iters) {
-      val sCol = sOf
+      val sCol = sExpr(w.toSeq)
       val p = pExpr(w.toSeq)
       val d = lit(0.5) / ((lit(1) + abs(sCol)) * (lit(1) + abs(sCol)))
       val e = (p - col("y")) * d
@@ -181,7 +179,7 @@ object QualityModel {
     }
     val delivered = IndexSegments.retainDelivered(
       deliveredAll(spark, stateDir, cs),
-      IndexSegments.DefaultMaxDelivered, stateDir)
+      IndexSegments.DefaultMaxDelivered, stateDir, op = "fit")
     val (w, n, acc) = fitWeights(feat, iters, lr)
     val prev = cs.lastOption.map(_._1)
     import spark.implicits._

@@ -363,4 +363,14 @@ class BandedIndexSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("joinable band row"))
   }
+
+  test("SRP modality: build refuses rowsPerBand > 31 at the dial boundary, not mid-plan") {
+    val dir = freshDir("srpwide")
+    val vecs = vecsDf(1L -> Seq(1f, 0f, 0f, 0f), 2L -> Seq(0f, 1f, 0f, 0f))
+    val e = intercept[IllegalArgumentException] {
+      BandedIndex.build(vecs, "vec_id", "embedding", dir,
+        nBands = 2, rowsPerBand = 32, dims = 4)
+    }
+    assert(e.getMessage.contains("31 sign bits"))
+  }
 }
