@@ -6060,11 +6060,17 @@ object TextQueries {
           .join(rejected, Seq("doc_id"), "left_anti")
           .localCheckpoint() // both refreshes + the meta count read it
         // the admitted survivors flow into BOTH members under ONE
-        // delta id, each delivered twice (replay no-ops)
+        // delta id, each delivered twice (replay no-ops; the replay
+        // guard sits ahead of requireNewDocs, so the re-delivery of
+        // docs the first call made live is still a no-op). The serving
+        // path enforces the whole-doc contract UP FRONT: a split
+        // arrival is rejected here, not discovered by the drift gate
         BandedIndex.refresh(admitted, "doc_id", "tokens", biDir, "b1")
         val biV2 = BandedIndex.refresh(admitted, "doc_id", "tokens", biDir, "b1")
-        Bm25State.refresh(admitted, "doc_id", "tokens", bmDir, "b1")
-        val bmV2 = Bm25State.refresh(admitted, "doc_id", "tokens", bmDir, "b1")
+        Bm25State.refresh(admitted, "doc_id", "tokens", bmDir, "b1",
+          requireNewDocs = true)
+        val bmV2 = Bm25State.refresh(admitted, "doc_id", "tokens", bmDir, "b1",
+          requireNewDocs = true)
         StateManifest.commit(s, mDir,
           Map("bi" -> (biDir, biV2), "bm" -> (bmDir, bmV2))) // cut 2
         // ONE erasure verdict propagates through BOTH members under
@@ -6207,15 +6213,20 @@ object TextQueries {
         val report = QualityModel.maintain(featB, stDir,
           minAccuracy = 0.75, asOf = Some(v1))
         // the gate's own accuracy derivation (one agg scan) — not a
-        // hand-copied link expression
-        val accB = QualityModel.holdoutAccuracy(featB, w.toSeq).get
+        // hand-copied link expression. An SF where the % 19 = 7 batch
+        // split is EMPTY yields None; consistently with maintain()'s
+        // empty-holdout Ok verdict the meta column goes absent (null)
+        // instead of throwing — the per-doc output is empty then
+        // anyway (it is keyed on the same split)
+        val accB = QualityModel.holdoutAccuracy(featB, w.toSeq)
         val meta = QualityModel.model(s, stDir, asOf = Some(v1)).get
           .select(round(col("w0"), 9).as("w_bias"),
             round(col("w1"), 9).as("w_ttr"),
             round(col("w2"), 9).as("w_len"),
             round(col("w3"), 9).as("w_sat"),
             col("n_train"), round(col("acc_train"), 6).as("acc_train"))
-          .withColumn("acc_batch", round(lit(accB), 6))
+          .withColumn("acc_batch",
+            accB.fold(lit(null).cast("double"))(a => round(lit(a), 6)))
         QualityModel.score(featB, "doc_id", w.toSeq)
           .select(col("doc_id"), round(col("score"), 9).as("score"),
             (col("score") > 0.5).as("admitted"))
@@ -6449,6 +6460,232 @@ object TextQueries {
           .select(col("id").as("doc_id"), col("label").as("cluster_id"),
             (col("id") === col("label")).as("keep"))
           .crossJoin(broadcast(meta))
+          .orderBy("doc_id")
+      }),
+
+    // ---- q293: VERSIONED BPE TOKENIZER — the last one-shot trained
+    // artifact gets the pinned-model lifecycle (the q291 blueprint):
+    // q136/q145 train the merge table per run, but a pipeline's
+    // tokenizer must be PINNED — every batch encoded under the SAME
+    // merges, a retrain an explicit versioned event, vocabulary drift
+    // a gated verdict. graft.text.BpeState commits a fit's merge table
+    // + serving vocabulary (final-rep symbols ∪ merge products) as
+    // VersionedState; `model:<id>` replay-guards the trainer (a
+    // crashed-and-retried fit is a no-op, never a silent re-train on a
+    // drifted corpus). Cycle: fit 3 merges on the train-split word
+    // counts (delivered twice under one id), a DRIFTED refit under a
+    // new id moves the head — and the fresh batch is encoded off the
+    // merges PINNED at the first version (asOf), so the segmentation
+    // is identical to a fresh train at that cut, hash-exact (BPE
+    // training is deterministic: count desc + pair-lexicographic
+    // tie-break, exact integer counts throughout). maintain()'s fit
+    // gate turns drift into a verdict: weighted OOV rate above /
+    // chars-per-symbol compression below the dial ⇒ BuildNeeded
+    // (emitted as fit_ok; the oracle re-derives both ratios from its
+    // own unrolled train + encode). Scale shape: training touches the
+    // corpus once (the word table is vocabulary-sized); encoding is
+    // map-side only — the pinned merges ride as a literal-replace
+    // chain, zero joins; the OOV probe broadcasts the bounded vocab.
+    QueryDef("q293_bpe_tokenizer_pinned", Some(s"""${toksCte()},
+      wcT AS (SELECT t AS word, COUNT(*) AS cnt
+              FROM (SELECT doc_id, UNNEST(tokens) AS t FROM toks)
+              WHERE doc_id % 19 <> 7 GROUP BY 1),
+      r0 AS (SELECT ' ' || regexp_replace(word, '(.)', '\\1  ', 'g') || '</w> ' AS s, cnt
+             FROM wcT),
+      e1 AS (SELECT UNNEST(list_transform(range(1, len(ss)),
+                      i -> {'a': ss[i], 'b': ss[i+1]})) AS p, cnt
+             FROM (SELECT string_split(trim(s), '  ') AS ss, cnt FROM r0)),
+      p1 AS (SELECT p.a AS a, p.b AS b, SUM(cnt) AS c FROM e1 GROUP BY 1, 2),
+      m1 AS (SELECT a, b FROM p1 ORDER BY c DESC, a, b LIMIT 1),
+      r1 AS (SELECT replace(s, ' ' || m.a || '  ' || m.b || ' ',
+                            ' ' || m.a || m.b || ' ') AS s, cnt FROM r0, m1 m),
+      e2 AS (SELECT UNNEST(list_transform(range(1, len(ss)),
+                      i -> {'a': ss[i], 'b': ss[i+1]})) AS p, cnt
+             FROM (SELECT string_split(trim(s), '  ') AS ss, cnt FROM r1)),
+      p2 AS (SELECT p.a AS a, p.b AS b, SUM(cnt) AS c FROM e2 GROUP BY 1, 2),
+      m2 AS (SELECT a, b FROM p2 ORDER BY c DESC, a, b LIMIT 1),
+      r2 AS (SELECT replace(s, ' ' || m.a || '  ' || m.b || ' ',
+                            ' ' || m.a || m.b || ' ') AS s, cnt FROM r1, m2 m),
+      e3 AS (SELECT UNNEST(list_transform(range(1, len(ss)),
+                      i -> {'a': ss[i], 'b': ss[i+1]})) AS p, cnt
+             FROM (SELECT string_split(trim(s), '  ') AS ss, cnt FROM r2)),
+      p3 AS (SELECT p.a AS a, p.b AS b, SUM(cnt) AS c FROM e3 GROUP BY 1, 2),
+      m3 AS (SELECT a, b FROM p3 ORDER BY c DESC, a, b LIMIT 1),
+      r3 AS (SELECT replace(s, ' ' || m.a || '  ' || m.b || ' ',
+                            ' ' || m.a || m.b || ' ') AS s, cnt FROM r2, m3 m),
+      voc AS (SELECT DISTINCT sym FROM (
+                SELECT UNNEST(string_split(trim(s), '  ')) AS sym FROM r3
+                UNION ALL SELECT a || b FROM m1
+                UNION ALL SELECT a || b FROM m2
+                UNION ALL SELECT a || b FROM m3)),
+      vs AS (SELECT CAST(COUNT(*) AS BIGINT) AS vocab_size FROM voc),
+      wcH AS (SELECT t AS word, COUNT(*) AS cnt
+              FROM (SELECT doc_id, UNNEST(tokens) AS t FROM toks)
+              WHERE doc_id % 19 = 7 GROUP BY 1),
+      h0 AS (SELECT word, ' ' || regexp_replace(word, '(.)', '\\1  ', 'g') || '</w> ' AS s, cnt
+             FROM wcH),
+      h1 AS (SELECT word, replace(s, ' ' || m.a || '  ' || m.b || ' ',
+                            ' ' || m.a || m.b || ' ') AS s, cnt FROM h0, m1 m),
+      h2 AS (SELECT word, replace(s, ' ' || m.a || '  ' || m.b || ' ',
+                            ' ' || m.a || m.b || ' ') AS s, cnt FROM h1, m2 m),
+      h3 AS (SELECT word, replace(s, ' ' || m.a || '  ' || m.b || ' ',
+                            ' ' || m.a || m.b || ' ') AS s, cnt FROM h2, m3 m),
+      sy AS (SELECT word, UNNEST(string_split(trim(s), '  ')) AS sym, cnt FROM h3),
+      met AS (SELECT SUM(cnt) AS n_syms,
+                     SUM(CASE WHEN sym NOT IN (SELECT sym FROM voc)
+                         THEN cnt ELSE 0 END) AS n_oov FROM sy),
+      chr AS (SELECT SUM(cnt * (len(word) + 1)) AS n_chars FROM wcH),
+      mm AS (SELECT CAST(met.n_oov AS DOUBLE) / met.n_syms AS oov,
+                    CAST(chr.n_chars AS DOUBLE) / met.n_syms AS comp
+             FROM met, chr),
+      top AS (SELECT sy.sym, CAST(SUM(cnt) AS BIGINT) AS n,
+                     sy.sym IN (SELECT sym FROM voc) AS known
+              FROM sy GROUP BY sy.sym ORDER BY n DESC, sy.sym LIMIT 20)
+      SELECT t.sym, t.n, t.known,
+             ROUND(mm.oov, 9) AS oov_rate,
+             ROUND(mm.comp, 9) AS compression_ratio,
+             CAST(3 AS BIGINT) AS n_merges, vs.vocab_size,
+             mm.oov <= 0.05 AND mm.comp >= 1.0 AS fit_ok
+      FROM top t, mm, vs
+      ORDER BY t.n DESC, t.sym"""),
+      (s, dir) => {
+        import graft.text.BpeState
+        val toks = tokenized(s, dir).localCheckpoint() // train + fresh read it
+        def wcOf(pred: org.apache.spark.sql.Column) = toks.where(pred)
+          .select(explode(col("tokens")).as("word"))
+          .groupBy("word").agg(count(lit(1)).as("cnt"))
+        val wcT = wcOf(col("doc_id") % 19 =!= 7)
+          .localCheckpoint() // two fit deliveries read it
+        val wcH = wcOf(col("doc_id") % 19 === 7)
+          .localCheckpoint() // encode, metrics and the fit gate read it
+        val stDir = s"${System.getProperty("java.io.tmpdir")}/graft_q293_" +
+          dir.replaceAll("[^A-Za-z0-9._-]", "_") +
+          "_p" + ProcessHandle.current.pid + "_" + q274Runs.incrementAndGet()
+        EventQueries.cleanupOnExit(stDir)
+        // the trainer run, delivered twice under one id: the replay
+        // returns the committed version without re-training
+        val v1 = BpeState.fit(wcT, "word", "cnt", merges = 3, stDir, "t1")
+        require(BpeState.fit(wcT, "word", "cnt", merges = 3, stDir, "t1") == v1,
+          "a replayed trainer id must be a no-op")
+        // the head MOVES: a drifted refit under a new id — the pinned
+        // reads below must not see it
+        BpeState.fit(wcOf(col("doc_id") % 19 =!= 7 && col("doc_id") % 2 === 0),
+          "word", "cnt", merges = 3, stDir, "t2")
+        // encode the fresh batch off the PINNED merges; gate drift
+        val report = BpeState.maintain(wcH, "word", "cnt", stDir,
+          maxOovRate = 0.05, minCompression = 1.0, asOf = Some(v1))
+        val met = BpeState.metrics(wcH, "word", "cnt", stDir, asOf = Some(v1))
+          .select(round(col("oov_rate"), 9).as("oov_rate"),
+            round(col("compression_ratio"), 9).as("compression_ratio"))
+        val voc = BpeState.vocab(s, stDir, asOf = Some(v1)).get
+          .localCheckpoint() // the known flag AND the size read it
+        val meta = met
+          .crossJoin(voc.agg(count(lit(1)).as("vocab_size")))
+          .withColumn("n_merges", lit(3L))
+          .withColumn("fit_ok", lit(report.healthy))
+        BpeState.encode(wcH, "word", stDir, asOf = Some(v1))
+          .select(explode(col("syms")).as("sym"), col("cnt"))
+          .groupBy("sym").agg(sum("cnt").as("n"))
+          .join(broadcast(voc.withColumn("k", lit(true))), Seq("sym"), "left")
+          .select(col("sym"), col("n"), coalesce(col("k"), lit(false)).as("known"))
+          .orderBy(col("n").desc, col("sym")).limit(20)
+          .crossJoin(broadcast(meta))
+          .select(col("sym"), col("n"), col("known"), col("oov_rate"),
+            col("compression_ratio"), col("n_merges"), col("vocab_size"),
+            col("fit_ok"))
+          .orderBy(col("n").desc, col("sym"))
+      }),
+
+    // ---- q296: VERSIONED NAIVE-BAYES CLASSIFIER — the q291 pinned-
+    // model discipline applied to the second trained classifier:
+    // q106/q141 retrain the four NB tables per run; graft.text.NbState
+    // commits a fit's (label, token) counts / totals / vocab / priors
+    // as one VersionedState version (`model:<id>` replay-guards the
+    // trainer; the delivered sidecar makes the guard gc-proof). Cycle:
+    // fit language-ID on the train split (delivered twice under one
+    // id), a DRIFTED refit under a new id moves the head — and the
+    // admission batch is classified off the version PINNED at the
+    // first fit (asOf), so predictions are identical to a fresh train
+    // at that cut, hash-exact: every per-token log-probability is one
+    // exact IEEE division + ln, scores round to 6 decimals before the
+    // deterministic (max score, min label) argmax. maintain()'s fit
+    // gate scores the batch as a labeled holdout: accuracy under the
+    // dial ⇒ BuildNeeded, never silent (emitted as fit_ok, which the
+    // oracle re-derives from its own accuracy). Scale shape: training
+    // is one explode + two hash aggs; the stored artifact is
+    // model-sized; batch scoring joins (label, token) once with every
+    // small table broadcast.
+    QueryDef("q296_nb_model_pinned", Some(s"""${toksCte()},
+      tr AS (SELECT t.doc_id, d.lang, t.tokens
+             FROM toks t JOIN documents d USING (doc_id)
+             WHERE t.doc_id % 19 <> 7),
+      te AS (SELECT doc_id, tokens FROM toks WHERE doc_id % 19 = 7),
+      trtok AS (SELECT lang, unnest(tokens) AS token FROM tr),
+      clt AS (SELECT lang, token, COUNT(*) AS c FROM trtok GROUP BY 1, 2),
+      totl AS (SELECT lang, SUM(c) AS tot FROM clt GROUP BY lang),
+      vocab AS (SELECT CAST(COUNT(DISTINCT token) AS BIGINT) AS v FROM trtok),
+      prior AS (SELECT lang, COUNT(*) AS nd FROM tr GROUP BY lang),
+      ntr AS (SELECT COUNT(*) AS n FROM tr),
+      tetok AS (SELECT doc_id, unnest(tokens) AS token FROM te),
+      x AS (SELECT tt.doc_id, tt.token, l.lang, l.tot FROM tetok tt CROSS JOIN totl l),
+      scored AS (SELECT x.doc_id, x.lang,
+                   SUM(ln((COALESCE(c.c, 0) + 1)::DOUBLE
+                          / CAST(x.tot + (SELECT v FROM vocab) AS DOUBLE))) AS ll
+                 FROM x LEFT JOIN clt c ON c.lang = x.lang AND c.token = x.token
+                 GROUP BY 1, 2),
+      sc AS (SELECT s.doc_id, s.lang,
+               ROUND(s.ll + ln(CAST(p.nd AS DOUBLE) / (SELECT n FROM ntr)), 6) AS score
+             FROM scored s JOIN prior p ON p.lang = s.lang),
+      m AS (SELECT doc_id, MAX(score) AS ms FROM sc GROUP BY doc_id),
+      pred AS (SELECT sc.doc_id, MIN(sc.lang) AS pred_lang, MAX(sc.score) AS score
+               FROM sc JOIN m ON m.doc_id = sc.doc_id AND sc.score = m.ms
+               GROUP BY sc.doc_id),
+      acc AS (SELECT COUNT(*) AS nb,
+                     SUM(CASE WHEN p.pred_lang = d.lang THEN 1 ELSE 0 END) AS cb
+              FROM pred p JOIN documents d USING (doc_id))
+      SELECT p.doc_id, d.lang AS actual_lang, p.pred_lang, p.score,
+             ROUND(CAST(acc.cb AS DOUBLE) / acc.nb, 6) AS acc_batch,
+             CAST(acc.cb AS DOUBLE) / acc.nb >= 0.6 AS fit_ok
+      FROM pred p JOIN documents d USING (doc_id), acc
+      ORDER BY p.doc_id"""),
+      (s, dir) => {
+        import graft.text.NbState
+        val toks = tokenized(s, dir).localCheckpoint() // train + batch read it
+        val langs = docs(s, dir).select("doc_id", "lang")
+        val train = toks.where(col("doc_id") % 19 =!= 7).join(langs, "doc_id")
+          .localCheckpoint() // two fit deliveries read it
+        val batch = toks.where(col("doc_id") % 19 === 7)
+          .localCheckpoint() // predict and the fit gate read it
+        val stDir = s"${System.getProperty("java.io.tmpdir")}/graft_q296_" +
+          dir.replaceAll("[^A-Za-z0-9._-]", "_") +
+          "_p" + ProcessHandle.current.pid + "_" + q274Runs.incrementAndGet()
+        EventQueries.cleanupOnExit(stDir)
+        // the trainer run, delivered twice under one id: the replay
+        // returns the committed version without re-training
+        val v1 = NbState.fit(train, "lang", "tokens", stDir, "n1")
+        require(NbState.fit(train, "lang", "tokens", stDir, "n1") == v1,
+          "a replayed trainer id must be a no-op")
+        // the head MOVES: a drifted refit under a new id — the pinned
+        // reads below must not see it
+        NbState.fit(train.where(col("doc_id") % 2 === 0), "lang", "tokens",
+          stDir, "n2")
+        // classify the batch off the PINNED version; gate accuracy
+        val labeledB = batch.join(langs, "doc_id")
+          .localCheckpoint() // the gate's predict + accuracy read it
+        val report = NbState.maintain(labeledB, "lang", "tokens", "doc_id",
+          stDir, minAccuracy = 0.6, asOf = Some(v1))
+        val accB = NbState.holdoutAccuracy(labeledB, "lang", "tokens",
+          "doc_id", stDir, asOf = Some(v1))
+        val meta = s.range(1)
+          .select(accB.fold(lit(null).cast("double"))(a => round(lit(a), 6))
+            .as("acc_batch"), lit(report.healthy).as("fit_ok"))
+        NbState.predict(batch, "tokens", "doc_id", stDir, asOf = Some(v1))
+          .join(langs.select(col("doc_id"), col("lang").as("actual_lang")),
+            "doc_id")
+          .crossJoin(broadcast(meta))
+          .select(col("doc_id"), col("actual_lang"),
+            col("pred_label").as("pred_lang"), col("score"),
+            col("acc_batch"), col("fit_ok"))
           .orderBy("doc_id")
       })
   )

@@ -486,5 +486,16 @@ class Bm25StateSpec extends SparkTestBase {
     val vr = Bm25State.refresh(docsDf(9L -> "x y"), "doc_id", "tokens", dir,
       deltaId = "d9", requireNewDocs = true)
     assert(vr === v, "a replayed id must stay a no-op under the guard")
+    // the composed-loop hazard (q290/q294's refresh calls run with the
+    // guard ON): the REST of doc 9's tokens arriving under a NEW id is
+    // a split arrival — rejected up front, not left for the drift gate
+    val e2 = intercept[IllegalArgumentException] {
+      Bm25State.refresh(docsDf(9L -> "z w"), "doc_id", "tokens", dir,
+        deltaId = "d9-rest", requireNewDocs = true)
+    }
+    assert(e2.getMessage.contains("already LIVE"),
+      "a split arrival inside the admission loop must be rejected")
+    assert(VersionedState.currentVersion(spark, dir) === Some(v),
+      "the rejected split arrival must not commit")
   }
 }

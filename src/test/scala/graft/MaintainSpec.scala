@@ -415,6 +415,130 @@ class MaintainSpec extends SparkTestBase {
       "the refused replay must not commit")
   }
 
+  test("BpeState: replay-guarded fits, pinned merges across a drifted refit, OOV/compression gate, gc retention") {
+    import graft.text.{BpeState, BpeTrain}
+    val dir = freshDir("bpe")
+    def wc(rows: (String, Long)*): DataFrame = rows.toSeq.toDF("word", "cnt")
+    val tr = wc("low" -> 5L, "lower" -> 2L, "lowest" -> 3L, "newer" -> 4L)
+    val v1 = BpeState.fit(tr, "word", "cnt", merges = 2, dir, "t1")
+    assert(BpeState.fit(tr, "word", "cnt", merges = 2, dir, "t1") === v1,
+      "a replayed trainer id must not re-train")
+    // the stored artifact ≡ a fresh deterministic train on the same cut
+    val stored = BpeState.mergeTable(spark, dir).get
+      .orderBy("merge_rank").collect().toSeq
+    val fresh = BpeTrain.train(tr, "word", "cnt", merges = 2)
+      .orderBy("merge_rank").collect().toSeq
+    assert(stored === fresh, "stored merges must equal a fresh train")
+    // encode off the pinned version ≡ BpeTrain.encode under the list
+    val hold = wc("lows" -> 1L, "new" -> 2L)
+    val viaState = BpeState.encode(hold, "word", dir, asOf = Some(v1))
+      .select(col("word"), concat_ws("|", col("syms")).as("e"))
+      .orderBy("word").collect().toSeq
+    val viaList = BpeTrain.encode(hold, "word", BpeState.mergeList(spark, dir))
+      .select(col("word"), concat_ws("|", col("syms")).as("e"))
+      .orderBy("word").collect().toSeq
+    assert(viaState === viaList)
+    // an aligned holdout passes the drift gate…
+    assert(BpeState.maintain(hold, "word", "cnt", dir,
+      maxOovRate = 0.9, minCompression = 1.0).healthy)
+    // …unseen characters trip the OOV gate: BuildNeeded, never silence
+    val alien = wc("zzzz" -> 10L, "qqqq" -> 10L)
+    val r = BpeState.maintain(alien, "word", "cnt", dir,
+      maxOovRate = 0.1, minCompression = 1.0)
+    assert(r.buildNeeded, s"alien chars must surface as BuildNeeded: ${r.gates}")
+    // …and an impossible compression dial trips the other arm
+    assert(BpeState.maintain(hold, "word", "cnt", dir,
+      maxOovRate = 1.0, minCompression = 100.0).buildNeeded)
+    // empty batch gates Ok (nothing to tokenize ⇒ nothing drifted)
+    assert(BpeState.maintain(wc(), "word", "cnt", dir,
+      maxOovRate = 0.0, minCompression = 100.0).healthy)
+    // the head moves under a drifted refit; the pinned read is unchanged
+    val v2 = BpeState.fit(wc("aaaa" -> 9L, "aaab" -> 9L), "word", "cnt",
+      merges = 2, dir, "t2")
+    assert(v2 > v1)
+    assert(BpeState.mergeTable(spark, dir, asOf = Some(v1)).get
+      .orderBy("merge_rank").collect().toSeq === stored,
+      "the pinned merge table must survive the refit")
+    assert(BpeState.mergeList(spark, dir).head._1 === "a",
+      "the head serves the refit")
+    // the gate's report names the EVALUATED version, not the head
+    assert(BpeState.maintain(hold, "word", "cnt", dir, maxOovRate = 1.0,
+      minCompression = 0.0, asOf = Some(v1)).version === v1)
+    // retention: the replay guard survives gc — a gc'd fit id fails
+    // LOUDLY instead of silently re-training
+    val v3 = BpeState.fit(tr, "word", "cnt", merges = 2, dir, "t3")
+    BpeState.gc(spark, dir, keepLast = 2) // v1 is gone now
+    assert(BpeState.fit(tr, "word", "cnt", merges = 2, dir, "t2") === v2,
+      "a replayed id whose version survives must stay a no-op after gc")
+    val e = intercept[IllegalArgumentException] {
+      BpeState.fit(tr, "word", "cnt", merges = 2, dir, "t1")
+    }
+    assert(e.getMessage.contains("gc'd past retention"))
+    assert(VersionedState.currentVersion(spark, dir) === Some(v3),
+      "the refused replay must not commit")
+  }
+
+  test("NbState: replay-guarded fits, pinned predictions across a drifted refit, accuracy gate, gc retention") {
+    import graft.text.{NaiveBayes, NbState}
+    val dir = freshDir("nb")
+    def docsDf(rows: (Long, String, Seq[String])*): DataFrame =
+      rows.toSeq.toDF("doc_id", "lang", "tokens")
+    val tr = docsDf(
+      (1L, "aa", Seq("apple", "apricot", "apple")),
+      (2L, "aa", Seq("apple", "avocado")),
+      (3L, "bb", Seq("banana", "berry", "banana")),
+      (4L, "bb", Seq("berry", "banana")))
+    val v1 = NbState.fit(tr, "lang", "tokens", dir, "n1")
+    assert(NbState.fit(tr, "lang", "tokens", dir, "n1") === v1,
+      "a replayed trainer id must not re-train")
+    val batch = docsDf((11L, "aa", Seq("apple", "apple")),
+      (12L, "bb", Seq("banana", "berry")))
+    // pinned predictions ≡ a fresh one-shot train at the same cut
+    val pinnedP = NbState.predict(batch, "tokens", "doc_id", dir,
+        asOf = Some(v1)).orderBy("doc_id").collect().toSeq
+    val freshP = NaiveBayes.predict(tr, batch, "lang", "tokens", "doc_id")
+      .orderBy("doc_id").collect().toSeq
+    assert(pinnedP === freshP, "stored model must score ≡ fresh train")
+    assert(pinnedP.map(_.getString(1)) === Seq("aa", "bb"))
+    // the aligned holdout passes the fit gate…
+    assert(NbState.maintain(batch, "lang", "tokens", "doc_id", dir,
+      minAccuracy = 0.9).healthy)
+    // …flipped labels trip BuildNeeded, never silence
+    val flipped = docsDf((21L, "bb", Seq("apple", "apple")),
+      (22L, "aa", Seq("banana", "berry")))
+    val r = NbState.maintain(flipped, "lang", "tokens", "doc_id", dir,
+      minAccuracy = 0.9)
+    assert(r.buildNeeded, s"label drift must surface as BuildNeeded: ${r.gates}")
+    // empty holdout gates Ok
+    assert(NbState.maintain(docsDf(), "lang", "tokens", "doc_id", dir,
+      minAccuracy = 1.0).healthy)
+    // the head moves under a label-flipped refit; pinned reads hold
+    val trFlip = docsDf(
+      (31L, "bb", Seq("apple", "apricot")), (32L, "aa", Seq("banana", "berry")))
+    val v2 = NbState.fit(trFlip, "lang", "tokens", dir, "n2")
+    assert(v2 > v1)
+    assert(NbState.predict(batch, "tokens", "doc_id", dir, asOf = Some(v1))
+      .orderBy("doc_id").collect().toSeq === pinnedP,
+      "the pinned predictions must survive the refit")
+    assert(NbState.predict(batch, "tokens", "doc_id", dir)
+      .orderBy("doc_id").collect().map(_.getString(1)).toSeq
+      === Seq("bb", "aa"), "the head serves the refit")
+    // the gate's report names the EVALUATED version, not the head
+    assert(NbState.maintain(batch, "lang", "tokens", "doc_id", dir,
+      minAccuracy = 0.0, asOf = Some(v1)).version === v1)
+    // retention: the replay guard survives gc — loud past-retention fail
+    val v3 = NbState.fit(tr, "lang", "tokens", dir, "n3")
+    NbState.gc(spark, dir, keepLast = 2) // v1 is gone now
+    assert(NbState.fit(trFlip, "lang", "tokens", dir, "n2") === v2,
+      "a replayed id whose version survives must stay a no-op after gc")
+    val e = intercept[IllegalArgumentException] {
+      NbState.fit(tr, "lang", "tokens", dir, "n1")
+    }
+    assert(e.getMessage.contains("gc'd past retention"))
+    assert(VersionedState.currentVersion(spark, dir) === Some(v3),
+      "the refused replay must not commit")
+  }
+
   test("streaming admission screens against the MAINTAINED PerceptualIndex; ingest + erasure evolve it by batchId") {
     import graft.multimodal.PerceptualIndex
     import graft.streaming.EventStreams
