@@ -1243,10 +1243,128 @@ object MultimodalQueries {
             col("dup_of"), coalesce(col("n_matches"), lit(0L)).as("n_matches"),
             col("min_hamming"))
           .orderBy("doc_id")
+      }),
+
+    // ---- q295: AUDIO BATCH SCREENED OFF THE MAINTAINED PERCEPTUAL
+    // INDEX — closing the multimodal admission story: q289 exercises
+    // only the image (dHash) modality of graft.multimodal.
+    // PerceptualIndex, but the family is hash-generic by design —
+    // q224's 56-bit energy-sign audio fingerprint shares the 4 × 14
+    // band geometry, so the SAME maintained state machine admits audio
+    // clips with zero new state code. Lifecycle verbatim q289: build
+    // on decoded history, refresh with ONLY the delta (delivered twice
+    // under one id — replay no-op), erase by id alone (delivered twice
+    // — algebra-idempotent), compact folds the count tables (the
+    // replay guard rides the sidecar; post-compact re-delivery still a
+    // no-op), then the fresh batch's screen reads ONLY its chunks'
+    // bucket partitions, verifying candidates with the codegen'd
+    // bit_count. PCM being uncompressed, the decoded-byte hash equals
+    // the generator's closed form — the oracle recomputes it, then
+    // unrolls the whole maintained chain in SQL (frame energies →
+    // sign hash → bands → cap over fresh ∪ live → cross-side block →
+    // Hamming verify → per-fresh-clip verdict), so a mismatch is state
+    // drift or a RIFF-walk bug, never approximation. Scale shape: one
+    // partition-wise decode per batch, map-side band explode, ≤ B
+    // bucket-id collect, candidate-bounded verify; fingerprints are
+    // 8 bytes/clip.
+    QueryDef("q295_audio_index_maintain", Some("""
+      WITH ids AS (SELECT doc_id,
+                     CAST(((doc_id // 4) * 7) % 6 + 2 AS BIGINT) AS flen
+                   FROM documents),
+      fr AS (SELECT doc_id, flen, f.range AS f,
+                    (((doc_id // 4) * 60 + f.range + 1) % 2147483648)
+                      * 2654435761 % 2147483648 AS h1
+             FROM ids, range(0, 60) f),
+      fx AS (SELECT doc_id, flen, f, xor(h1, h1 >> 15) AS h2 FROM fr),
+      fy AS (SELECT doc_id, flen, f,
+                    (h2 * 1540483477 % 2147483648) AS h3 FROM fx),
+      fo AS (SELECT doc_id, flen, f,
+                    xor(h3, h3 >> 13) % 65536 AS off FROM fy),
+      en AS (SELECT doc_id, f,
+               list_sum(list_transform(
+                 list_transform(range(0, flen), j ->
+                   (off + j * 17
+                    + CASE WHEN (f * flen + j) % 128 = doc_id % 4
+                      THEN 512 ELSE 0 END) % 65536),
+                 m -> abs(m - CASE WHEN m >= 32768 THEN 65536 ELSE 0 END))) AS e
+             FROM fo),
+      bits AS (SELECT a.doc_id, ((a.f // 15) * 14 + (a.f % 15)) AS i
+               FROM en a JOIN en b ON b.doc_id = a.doc_id AND b.f = a.f + 1
+               WHERE a.f % 15 < 14 AND b.e > a.e),
+      hash AS (SELECT ids.doc_id,
+                      CAST(COALESCE(SUM(1::BIGINT << i), 0) AS BIGINT) AS ah
+               FROM ids LEFT JOIN bits ON bits.doc_id = ids.doc_id
+               GROUP BY ids.doc_id),
+      uni AS (SELECT doc_id, ah FROM hash
+              WHERE doc_id % 19 = 7 OR doc_id % 7 <> 3),
+      band AS (SELECT doc_id, ah, t.range AS b,
+                      (ah >> CAST(t.range * 14 AS INTEGER)) & 16383 AS chunk
+               FROM uni, range(0, 4) t),
+      kept AS (SELECT doc_id, ah, b, chunk FROM
+                 (SELECT *, COUNT(*) OVER (PARTITION BY b, chunk) AS bsz FROM band)
+               WHERE bsz <= 50),
+      cand AS (SELECT DISTINCT f.doc_id AS id_new, c.doc_id AS id_corpus,
+                      f.ah AS hf, c.ah AS hc
+               FROM kept f JOIN kept c
+                 ON f.b = c.b AND f.chunk = c.chunk
+                    AND f.doc_id % 19 = 7 AND c.doc_id % 19 <> 7),
+      ver AS (SELECT id_new, id_corpus,
+                     CAST(bit_count(xor(hf, hc)) AS INTEGER) AS hamming
+              FROM cand WHERE bit_count(xor(hf, hc)) <= 6),
+      agg AS (SELECT id_new, MIN(id_corpus) AS dup_of,
+                     COUNT(*) AS n_matches, MIN(hamming) AS min_hamming
+              FROM ver GROUP BY id_new)
+      SELECT t.doc_id, a.dup_of IS NULL AS is_novel, a.dup_of,
+             COALESCE(a.n_matches, 0) AS n_matches, a.min_hamming
+      FROM (SELECT doc_id FROM documents WHERE doc_id % 19 = 7) t
+      LEFT JOIN agg a ON a.id_new = t.doc_id
+      ORDER BY doc_id"""),
+      (s, dir) => {
+        import s.implicits._
+        import graft.multimodal.PerceptualIndex
+        val pay = Tables.read(s, dir, "documents").select("doc_id").as[Long]
+          .mapPartitions(_.map { id =>
+            val g = id / 4
+            val n = (((g * 7) % 6).toInt + 2) * 60
+            (id, Multimodal.variantWavBytes(g, (id % 4).toInt, n, 8000))
+          })
+          .toDF("doc_id", "payload")
+        val h = Multimodal.decodeAudioHashes(pay, "doc_id", "payload")
+          .localCheckpoint() // one decode; splits and screens read it
+        val fresh = h.where(col("id") % 19 === 7)
+        val corpusAll = h.where(col("id") % 19 =!= 7)
+        val hist = corpusAll.where(col("id") % 5 =!= 4)
+        val delta = corpusAll.where(col("id") % 5 === 4)
+        val dead = corpusAll.where(col("id") % 7 === 3)
+        val stDir = s"${System.getProperty("java.io.tmpdir")}/graft_q295_" +
+          dir.replaceAll("[^A-Za-z0-9._-]", "_") +
+          "_p" + ProcessHandle.current.pid + "_" + q289Runs.incrementAndGet()
+        graft.queries.EventQueries.cleanupOnExit(stDir)
+        PerceptualIndex.build(hist, "id", "ahash", stDir)
+        // incremental refresh: ONLY the delta, replay-guarded
+        PerceptualIndex.refresh(delta, "id", "ahash", stDir, "d1")
+        PerceptualIndex.refresh(delta, "id", "ahash", stDir, "d1") // replayed: no-op
+        // the erasure verdict by id alone, delivered twice under one id
+        PerceptualIndex.delete(dead.select("id"), "id", stDir, "e1")
+        PerceptualIndex.delete(dead.select("id"), "id", stDir, "e1") // replayed: no-op
+        PerceptualIndex.compact(s, stDir) // 4 count tables fold to 1
+        // post-compact re-delivery: the sidecar-carried guard holds
+        PerceptualIndex.refresh(delta, "id", "ahash", stDir, "d1")
+        val coll = PerceptualIndex.screen(fresh, "id", "ahash", stDir,
+          maxHamming = 6, maxBucketSize = 50)
+        val agg = coll.groupBy(col("id").as("doc_id"))
+          .agg(min(col("matched_id")).as("dup_of"),
+            count(lit(1)).as("n_matches"),
+            min(col("hamming")).as("min_hamming"))
+        fresh.select(col("id").as("doc_id")).join(agg, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("dup_of").isNull.as("is_novel"),
+            col("dup_of"), coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+            col("min_hamming"))
+          .orderBy("doc_id")
       })
   )
 
-  /** q289 runs in a fresh state dir per execution (the q266/q274
+  /** q289/q295 run in a fresh state dir per execution (the q266/q274
     * discipline).
     */
   private val q289Runs = new java.util.concurrent.atomic.AtomicLong()
