@@ -3424,6 +3424,408 @@ object EmbeddingQueries {
           .select(col("vec_id"), col("dup_of").isNull.as("is_unique"),
             col("dup_of"), coalesce(col("n_dups"), lit(0L)).as("n_dups"))
           .orderBy("vec_id")
+      }),
+
+    // ---- q294: THE WHOLE STACK UNDER ONE MANIFEST CUT — the capstone
+    // composition the pairwise gates (q290 banded+BM25, q292
+    // banded+labels, q291 pinned model, q284 BM25+IVF) left open: ONE
+    // admission loop in which the fresh batch is screened against the
+    // pinned banded state, admission is decided by the exact-Jaccard
+    // verify AND the PINNED quality-model score (j ≥ 0.8 = hard dup,
+    // rejected; p ≤ 0.5 = quality-rejected; a rejected doc enters NO
+    // state), survivors refresh the BM25 postings AND the IVF segments
+    // AND the cluster-label table under ONE delta id committed as ONE
+    // StateManifest cut (every member delivered twice — replay
+    // no-ops), and ONE erasure verdict propagates through all four
+    // families atomically (delivered twice each; the old cut still
+    // serves every pre-erasure state). The oracle unrolls the ENTIRE
+    // loop in SQL — 8-iteration GD training of the quality model,
+    // MinHash banding + skew cap + bigram-Jaccard verify, quality
+    // scoring under the trained weights, BM25 top-10 at both cuts,
+    // frozen 2-iteration Lloyd centroids + probe-2 + exact-cosine
+    // rerank at both cuts, and the converged-CC label fixpoint over
+    // exactly the admission-created edge relation — so a mismatch is
+    // torn cross-family state, never approximation. Scale shape: one
+    // map-side signature pass + pruned probe + candidate-bounded
+    // verify per batch; quality scoring is map-side literals (zero
+    // shuffles); every member's refresh/delete is delta-sized; serves
+    // read pruned postings buckets / probed IVF segments only; label
+    // writes are delta/cluster-bounded; cut metadata is a few lines.
+    QueryDef("q294_full_stack_cut", Some {
+      def bmTop(clean: String, p: String): String = s"""
+      len$p AS MATERIALIZED (SELECT doc_id, CAST(len(tokens) AS BIGINT) AS dl
+              FROM $clean WHERE len(tokens) >= 1),
+      stats$p AS (SELECT COUNT(*) AS nd,
+                         CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+                  FROM len$p),
+      tf$p AS MATERIALIZED (SELECT c.doc_id, tok.token AS term, COUNT(*) AS tf
+             FROM $clean c, unnest(c.tokens) AS tok(token)
+             WHERE tok.token IN (SELECT term FROM qterms)
+             GROUP BY 1, 2),
+      df$p AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf$p GROUP BY term),
+      bsc$p AS (SELECT f.doc_id,
+               ln(((SELECT nd FROM stats$p) - d.df + 0.5) / (d.df + 0.5) + 1)
+               * (f.tf * 2.2)
+               / (f.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl
+                                / (SELECT avgdl FROM stats$p))) AS s
+             FROM tf$p f JOIN df$p d USING (term) JOIN len$p l USING (doc_id)),
+      bm$p AS MATERIALIZED (SELECT doc_id, ROUND(SUM(s), 6) AS bm25
+             FROM bsc$p GROUP BY doc_id
+             ORDER BY bm25 DESC, doc_id LIMIT 10)"""
+      s"""${TextQueries.toksCte()},
+      feat AS MATERIALIZED (SELECT t.doc_id,
+          CAST(len(list_distinct(tokens)) AS DOUBLE) / len(tokens) - 0.5 AS x1,
+          CAST(list_aggregate(list_transform(tokens, t -> len(t)), 'sum')
+            AS DOUBLE) / len(tokens) - 4.5 AS x2,
+          CAST(len(tokens) AS DOUBLE) / (50 + len(tokens)) - 0.5 AS x3,
+          CASE WHEN d.n_chars > 300 THEN 1.0 ELSE 0.0 END AS y
+        FROM toks t JOIN documents d ON t.doc_id = d.doc_id
+        WHERE len(tokens) >= 1),
+      ftr AS MATERIALIZED (SELECT * FROM feat WHERE doc_id % 3 = 0),
+      nn AS (SELECT COUNT(*) AS n FROM ftr),
+      wt0 AS MATERIALIZED (SELECT 0.0 AS wb, 0.0 AS w1c, 0.0 AS w2c, 0.0 AS w3c)${(1 to 8).map(k => s""",
+      gs$k AS (SELECT f.*, w.wb + w.w1c * f.x1 + w.w2c * f.x2 + w.w3c * f.x3 AS s
+             FROM ftr f, wt${k - 1} w),
+      ge$k AS (SELECT *, (0.5 + 0.5 * s / (1 + abs(s)) - y)
+                       * (0.5 / ((1 + abs(s)) * (1 + abs(s)))) AS e FROM gs$k),
+      gg$k AS MATERIALIZED (SELECT SUM(CAST(ROUND(e * 1e9) AS BIGINT)) AS gb,
+                    SUM(CAST(ROUND(e * x1 * 1e9) AS BIGINT)) AS gx1,
+                    SUM(CAST(ROUND(e * x2 * 1e9) AS BIGINT)) AS gx2,
+                    SUM(CAST(ROUND(e * x3 * 1e9) AS BIGINT)) AS gx3 FROM ge$k),
+      wt$k AS MATERIALIZED (SELECT w.wb - 4.0 * (CAST(g.gb AS DOUBLE) / 1e9 / nn.n) AS wb,
+                     w.w1c - 4.0 * (CAST(g.gx1 AS DOUBLE) / 1e9 / nn.n) AS w1c,
+                     w.w2c - 4.0 * (CAST(g.gx2 AS DOUBLE) / 1e9 / nn.n) AS w2c,
+                     w.w3c - 4.0 * (CAST(g.gx3 AS DOUBLE) / 1e9 / nn.n) AS w3c
+              FROM wt${k - 1} w, gg$k g, nn)""").mkString},
+      qsc AS MATERIALIZED (SELECT f.doc_id,
+                    0.5 + 0.5 * (w.wb + w.w1c * f.x1 + w.w2c * f.x2
+                                 + w.w3c * f.x3)
+                        / (1 + abs(w.wb + w.w1c * f.x1 + w.w2c * f.x2
+                                   + w.w3c * f.x3)) AS p
+             FROM feat f, wt8 w WHERE f.doc_id % 3 = 1),
+      qrej AS MATERIALIZED (SELECT doc_id FROM qsc WHERE p <= 0.5),
+      sig AS MATERIALIZED (SELECT doc_id,
+        ${(0 until 8).map(i =>
+          s"list_min(list_transform(list_distinct(tokens), t -> md5('$i:' || t))) AS mh$i")
+          .mkString(",\n        ")}
+              FROM toks WHERE doc_id % 3 IN (0, 1)),
+      band AS (${(0 until 4).map(b =>
+          s"SELECT doc_id, $b AS b, mh${2 * b} || '|' || mh${2 * b + 1} AS chunk FROM sig")
+          .mkString(" UNION ALL\n               ")}),
+      kept AS MATERIALIZED (SELECT doc_id, b, chunk FROM
+                 (SELECT doc_id, b, chunk,
+                         COUNT(*) OVER (PARTITION BY b, chunk) AS bsz FROM band)
+               WHERE bsz <= 50),
+      cand AS (SELECT DISTINCT f.doc_id AS id_new, c.doc_id AS id_corpus
+               FROM kept f JOIN kept c
+                 ON f.b = c.b AND f.chunk = c.chunk
+                    AND f.doc_id % 3 = 1 AND c.doc_id % 3 = 0),
+      sh AS MATERIALIZED (SELECT doc_id,
+               list_distinct(list_transform(range(1, len(tokens)),
+                             i -> tokens[i] || ' ' || tokens[i+1])) AS sh
+             FROM toks WHERE doc_id % 3 IN (0, 1)),
+      ver AS MATERIALIZED (SELECT id_new, id_corpus, jac FROM
+                (SELECT cd.id_new, cd.id_corpus,
+                        CASE WHEN len(a.sh) + len(b.sh)
+                                  - len(list_intersect(a.sh, b.sh)) = 0 THEN NULL
+                             ELSE len(list_intersect(a.sh, b.sh))
+                                  / (len(a.sh) + len(b.sh)
+                                     - len(list_intersect(a.sh, b.sh))) END AS jac
+                 FROM cand cd JOIN sh a ON a.doc_id = cd.id_new
+                              JOIN sh b ON b.doc_id = cd.id_corpus)
+              WHERE jac >= CAST(0.5 AS DOUBLE)),
+      rejd AS (SELECT DISTINCT id_new AS doc_id FROM ver
+               WHERE jac >= CAST(0.8 AS DOUBLE)),
+      adm AS MATERIALIZED (SELECT doc_id FROM toks WHERE doc_id % 3 = 1
+              AND doc_id NOT IN (SELECT doc_id FROM rejd)
+              AND doc_id NOT IN (SELECT doc_id FROM qrej)),
+      edg AS MATERIALIZED (SELECT id_new AS id_a, id_corpus AS id_b FROM ver
+              WHERE jac < CAST(0.8 AS DOUBLE)
+                AND id_new IN (SELECT doc_id FROM adm)),
+      clean1 AS MATERIALIZED (SELECT doc_id, tokens FROM toks
+                 WHERE doc_id % 3 = 0
+                    OR doc_id IN (SELECT doc_id FROM adm)),
+      erasedD AS MATERIALIZED (SELECT doc_id FROM clean1 WHERE doc_id % 11 = 5),
+      clean2 AS MATERIALIZED (SELECT doc_id, tokens FROM clean1 WHERE doc_id % 11 <> 5),
+      qterms AS (SELECT unnest(['hash', 'filter', 'batch']) AS term),${bmTop("clean1", "1")},${bmTop("clean2", "2")},
+      e AS MATERIALIZED (SELECT vec_id, embedding, ${sqlNorm("embedding")} AS nrm
+            FROM embeddings WHERE ${sqlNorm("embedding")} > 0),
+      tre AS MATERIALIZED (SELECT * FROM e WHERE vec_id % 3 = 0),
+      hc0 AS (SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings
+              WHERE vec_id % 50 = 0 AND vec_id % 3 = 0),
+      ${lloydIterationCte(1, "hc0", "tre", "h")},
+      ${lloydIterationCte(2, "hc1", "tre", "h")},
+      hscn AS MATERIALIZED (SELECT centroid_id, cvec, ${sqlNorm("cvec")} AS cnrm FROM hc2
+               WHERE ${sqlNorm("cvec")} > 0),
+      qv AS MATERIALIZED (SELECT * FROM e WHERE vec_id = 0),
+      qp AS MATERIALIZED (SELECT centroid_id FROM (
+               SELECT x.centroid_id,
+                      ROW_NUMBER() OVER (ORDER BY
+                        ${sqlDot("q_.embedding", "x.cvec")} / (q_.nrm * x.cnrm)
+                        DESC, x.centroid_id) AS rk
+               FROM qv q_ CROSS JOIN hscn x) WHERE rk <= 2),
+      live2 AS MATERIALIZED (SELECT * FROM e WHERE vec_id % 3 = 0
+                   OR vec_id IN (SELECT doc_id FROM adm)),
+      live3 AS MATERIALIZED (SELECT * FROM live2
+                WHERE vec_id NOT IN (SELECT doc_id FROM erasedD)),
+      ${lloydIterationCte(3, "hc2", "live2", "r")},
+      ${lloydIterationCte(4, "hc2", "live3", "r")},
+      scand2 AS (SELECT a.vec_id AS cand_id FROM ra3 a JOIN qp USING (centroid_id)
+                 WHERE a.vec_id <> 0),
+      sims2 AS (SELECT c.cand_id,
+                      ${sqlDot("q_.embedding", "cv.embedding")} / (q_.nrm * cv.nrm) AS sim
+               FROM scand2 c JOIN e cv ON cv.vec_id = c.cand_id, qv q_),
+      sm1 AS MATERIALIZED (SELECT cand_id AS doc_id,
+                     CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, cand_id)
+                       AS BIGINT) AS sem_rank_old
+              FROM (SELECT * FROM sims2 ORDER BY sim DESC, cand_id LIMIT 10)),
+      scand3 AS (SELECT a.vec_id AS cand_id FROM ra4 a JOIN qp USING (centroid_id)
+                 WHERE a.vec_id <> 0),
+      sims3 AS (SELECT c.cand_id,
+                      ${sqlDot("q_.embedding", "cv.embedding")} / (q_.nrm * cv.nrm) AS sim
+               FROM scand3 c JOIN e cv ON cv.vec_id = c.cand_id, qv q_),
+      sm2 AS MATERIALIZED (SELECT cand_id AS doc_id,
+                     CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, cand_id)
+                       AS BIGINT) AS sem_rank_new
+              FROM (SELECT * FROM sims3 ORDER BY sim DESC, cand_id LIMIT 10)),
+      nodes AS MATERIALIZED (SELECT doc_id FROM clean2),
+      keptE AS MATERIALIZED (SELECT id_a, id_b FROM edg
+                WHERE id_a IN (SELECT doc_id FROM nodes)
+                  AND id_b IN (SELECT doc_id FROM nodes)),
+      edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM keptE
+                UNION ALL SELECT id_b, id_a FROM keptE),
+      l0 AS MATERIALIZED (SELECT doc_id AS id, doc_id AS label FROM nodes),
+      ${graft.QueryDef.ccFixpointCtes()},
+      outIds AS MATERIALIZED (SELECT doc_id FROM bm1 UNION SELECT doc_id FROM bm2
+                 UNION SELECT doc_id FROM sm1 UNION SELECT doc_id FROM sm2)
+      SELECT i.doc_id,
+             b1.bm25 AS bm25_old_cut, b2.bm25 AS bm25_new_cut,
+             s1.sem_rank_old, s2.sem_rank_new,
+             l.label AS cluster_id,
+             (b1.doc_id IS NOT NULL AND b2.doc_id IS NULL)
+               AS dropped_by_erasure,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM adm) AS n_admitted,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM rejd) AS n_rej_dup,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM qrej
+              WHERE doc_id NOT IN (SELECT doc_id FROM rejd)) AS n_rej_quality,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM edg) AS n_edges,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM erasedD) AS n_erased,
+             (SELECT CAST(nd AS BIGINT) FROM stats1) AS nd_old,
+             (SELECT CAST(nd AS BIGINT) FROM stats2) AS nd_new
+      FROM outIds i
+      LEFT JOIN bm1 b1 ON b1.doc_id = i.doc_id
+      LEFT JOIN bm2 b2 ON b2.doc_id = i.doc_id
+      LEFT JOIN sm1 s1 ON s1.doc_id = i.doc_id
+      LEFT JOIN sm2 s2 ON s2.doc_id = i.doc_id
+      LEFT JOIN ${graft.QueryDef.ccFinal()} l ON l.id = i.doc_id
+      ORDER BY i.doc_id"""
+    },
+      (s, dir) => {
+        import graft.ann.{IvfIndex, Knn}
+        import graft.dedup.{BandedIndex, ClusterState, Dedup}
+        import graft.operators.StateManifest
+        import graft.text.{Bm25State, QualityModel}
+        val terms = Seq("hash", "filter", "batch")
+        val toks = TextQueries.tokenized(s, dir)
+          .localCheckpoint() // splits, screens and verification read it
+        val seed = toks.where(col("doc_id") % 3 === 0)
+        val batch = toks.where(col("doc_id") % 3 === 1)
+        val emb = Tables.read(s, dir, "embeddings")
+        val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_") +
+          "_p" + ProcessHandle.current.pid + "_" + q266Runs.incrementAndGet()
+        val biDir = s"${System.getProperty("java.io.tmpdir")}/graft_q294bi_$tag"
+        val bmDir = s"${System.getProperty("java.io.tmpdir")}/graft_q294bm_$tag"
+        val ivfDir = s"${System.getProperty("java.io.tmpdir")}/graft_q294iv_$tag"
+        val clDir = s"${System.getProperty("java.io.tmpdir")}/graft_q294cl_$tag"
+        val qmDir = s"${System.getProperty("java.io.tmpdir")}/graft_q294qm_$tag"
+        val mDir = s"${System.getProperty("java.io.tmpdir")}/graft_q294mf_$tag"
+        Seq(biDir, bmDir, ivfDir, clDir, qmDir, mDir)
+          .foreach(EventQueries.cleanupOnExit)
+        // the pinned quality model: trained ONCE on the seed split,
+        // delivered twice under one id (replay no-op), then a cut
+        // member like any index
+        val feat = QualityModel.features(toks, "doc_id", "tokens",
+            Tables.read(s, dir, "documents"), "n_chars")
+          .localCheckpoint() // the train split AND the batch scores read it
+        val featSeed = feat.where(col("doc_id") % 3 === 0)
+          .localCheckpoint() // 8 GD scans + the train-acc scan read it
+        val vQm = QualityModel.fit(featSeed, qmDir, "m1")
+        require(QualityModel.fit(featSeed, qmDir, "m1") == vQm,
+          "a replayed trainer id must be a no-op")
+        // cut 1: all four state families + the pinned model born
+        // together under ONE manifest commit
+        val biV1 = BandedIndex.build(seed, "doc_id", "tokens", biDir)
+        val bmV1 = Bm25State.build(seed, "doc_id", "tokens", bmDir)
+        val ivfV1 = IvfIndex.build(emb.where(col("vec_id") % 3 === 0),
+          "vec_id", "embedding", col("vec_id") % 50 === 0, iters = 2, ivfDir)
+        val clV1 = ClusterState.build(seed.select("doc_id"), "doc_id",
+          seed.select(col("doc_id").as("id_a"), col("doc_id").as("id_b"))
+            .limit(0), clDir)
+        StateManifest.commit(s, mDir, Map(
+          "bi" -> (biDir, biV1), "bm" -> (bmDir, bmV1),
+          "ivf" -> (ivfDir, ivfV1), "cl" -> (clDir, clV1),
+          "qm" -> (qmDir, vQm)))
+        val cut1 = StateManifest.resolve(s, mDir).get
+        // admission: screen against the PINNED banded state, verify
+        // candidates exactly, and gate on the PINNED quality score
+        val cand = BandedIndex.screen(batch, "doc_id", "tokens", biDir,
+            maxBucketSize = 50, asOf = Some(cut1("bi")._2))
+          .localCheckpoint() // the id restriction AND the verify read it
+        val needed = cand.select(col("id_new").as("doc_id"))
+          .unionByName(cand.select(col("id_corpus").as("doc_id")))
+          .distinct()
+        val ver = Dedup.verifyJaccard(
+            toks.join(broadcast(needed), Seq("doc_id"), "left_semi"),
+            "doc_id", "tokens",
+            cand.select(col("id_new").as("id_a"),
+              col("id_corpus").as("id_b")))
+          .where(col("jaccard") >= 0.5)
+          .localCheckpoint() // the reject filter AND the edges read it
+        val hard = ver.where(col("jaccard") >= 0.8)
+          .select(col("id_a").as("doc_id")).distinct()
+          .localCheckpoint() // admit filter + both reject counts read it
+        val w = QualityModel.weights(s, qmDir, asOf = Some(cut1("qm")._2))
+        val qrejIds = QualityModel
+          .score(feat.where(col("doc_id") % 3 === 1), "doc_id", w.toSeq)
+          .where(col("score") <= 0.5).select("doc_id")
+          .localCheckpoint() // admit filter + the quality count read it
+        val admitted = batch
+          .join(hard, Seq("doc_id"), "left_anti")
+          .join(qrejIds, Seq("doc_id"), "left_anti")
+          .localCheckpoint() // four refreshes + counts read it
+        // an admitted survivor's verified near-dup pairs are the label
+        // family's edges (a rejected doc never contributes)
+        val edges = ver.where(col("jaccard") < 0.8)
+          .join(admitted.select(col("doc_id").as("id_a")), "id_a")
+          .select("id_a", "id_b")
+          .localCheckpoint() // two refresh deliveries + the count read it
+        // survivors flow into ALL FOUR members under ONE delta id,
+        // each delivered twice (replay no-ops); the serving path runs
+        // with the whole-doc contract enforced UP FRONT
+        BandedIndex.refresh(admitted, "doc_id", "tokens", biDir, "a1")
+        val biV2 = BandedIndex.refresh(admitted, "doc_id", "tokens", biDir, "a1")
+        Bm25State.refresh(admitted, "doc_id", "tokens", bmDir, "a1",
+          requireNewDocs = true)
+        val bmV2 = Bm25State.refresh(admitted, "doc_id", "tokens", bmDir, "a1",
+          requireNewDocs = true)
+        val admittedEmb = emb.join(
+            admitted.select(col("doc_id").as("vec_id")), Seq("vec_id"),
+            "left_semi")
+          .localCheckpoint() // two refresh deliveries read it
+        IvfIndex.refresh(admittedEmb, "vec_id", "embedding", ivfDir, "a1")
+        val ivfV2 = IvfIndex.refresh(admittedEmb, "vec_id", "embedding",
+          ivfDir, "a1")
+        ClusterState.refresh(admitted.select("doc_id"), "doc_id", edges,
+          clDir, "a1")
+        val clV2 = ClusterState.refresh(admitted.select("doc_id"), "doc_id",
+          edges, clDir, "a1")
+        StateManifest.commit(s, mDir, Map(
+          "bi" -> (biDir, biV2), "bm" -> (bmDir, bmV2),
+          "ivf" -> (ivfDir, ivfV2), "cl" -> (clDir, clV2),
+          "qm" -> (qmDir, vQm))) // cut 2
+        // ONE erasure verdict through ALL FOUR families under ONE id,
+        // each delivered twice (algebra/protocol no-ops)
+        val erased = seed.select("doc_id")
+          .unionByName(admitted.select("doc_id"))
+          .where(col("doc_id") % 11 === 5)
+          .localCheckpoint() // four deletes + the meta count read it
+        BandedIndex.delete(erased, "doc_id", biDir, "e1")
+        val biV3 = BandedIndex.delete(erased, "doc_id", biDir, "e1")
+        Bm25State.delete(erased, "doc_id", bmDir, "e1")
+        val bmV3 = Bm25State.delete(erased, "doc_id", bmDir, "e1")
+        IvfIndex.delete(erased, ivfDir, "e1")
+        val ivfV3 = IvfIndex.delete(erased, ivfDir, "e1")
+        ClusterState.delete(erased, clDir, "e1")
+        val clV3 = ClusterState.delete(erased, clDir, "e1")
+        StateManifest.commit(s, mDir, Map(
+          "bi" -> (biDir, biV3), "bm" -> (bmDir, bmV3),
+          "ivf" -> (ivfDir, ivfV3), "cl" -> (clDir, clV3),
+          "qm" -> (qmDir, vQm))) // cut 3
+        // serve through BOTH cuts: pinned asOf reads everywhere — the
+        // old cut still serves every pre-erasure state
+        val cut2 = StateManifest.readCut(s, mDir, 2L)
+        val cut3 = StateManifest.readCut(s, mDir, 3L)
+        val bmOld = Bm25State.topK(s, bmDir, terms, 10,
+            asOf = Some(cut2("bm")._2))
+          .select(col("doc").as("doc_id"), col("bm25").as("bm25_old_cut"))
+        val bmNew = Bm25State.topK(s, bmDir, terms, 10,
+            asOf = Some(cut3("bm")._2))
+          .select(col("doc").as("doc_id"), col("bm25").as("bm25_new_cut"))
+        // semantic serve: probe 2 buckets of the pinned index, exact-
+        // cosine rerank of that cut's live candidates (frozen
+        // centroids — identical at both cuts by the family contract)
+        val ee = emb.select(col("vec_id"), col("embedding"),
+            Knn.l2norm(col("embedding")).as("nrm"))
+          .where(col("nrm") > 0)
+          .localCheckpoint() // both serves' rerank sides read it
+        val cn = IvfIndex.centroids(s, ivfDir, asOf = Some(cut2("ivf")._2)).get
+          .select(col("centroid_id"), col("cent_vec"),
+            Knn.l2norm(col("cent_vec")).as("cnrm"))
+          .where(col("cnrm") > 0)
+        val qvec = ee.where(col("vec_id") === 0)
+          .localCheckpoint() // the probe AND both reranks read it
+        val probes = qvec.crossJoin(broadcast(cn))
+          .select(col("centroid_id"),
+            (Knn.dot(col("embedding"), col("cent_vec"))
+              / (col("nrm") * col("cnrm"))).as("cs"))
+          .orderBy(col("cs").desc, col("centroid_id")).limit(2)
+          .select("centroid_id")
+          .localCheckpoint() // both cuts' candidate joins read it
+        def semRank(cutV: Long, name: String): org.apache.spark.sql.DataFrame = {
+          val asg = IvfIndex.assignments(s, ivfDir, asOf = Some(cutV)).get
+          val cnd = asg.select(col("id").as("cand_id"), col("centroid_id"))
+            .join(broadcast(probes), Seq("centroid_id"))
+            .where(col("cand_id") =!= 0)
+          val sims = cnd
+            .join(ee.select(col("vec_id").as("cand_id"),
+              col("embedding").as("cv"), col("nrm").as("cn2")), "cand_id")
+            .crossJoin(broadcast(qvec.select(col("embedding").as("qv"),
+              col("nrm").as("qn"))))
+            .select(col("cand_id"),
+              (Knn.dot(col("qv"), col("cv")) / (col("qn") * col("cn2")))
+                .as("sim"))
+          val st = sims.orderBy(col("sim").desc, col("cand_id")).limit(10)
+            .localCheckpoint() // ≤10 rows, read twice by the rank join
+          val ys = st.select(col("cand_id").as("y_id"), col("sim").as("y_s"))
+          st.join(broadcast(ys),
+              col("y_s") > col("sim")
+                || (col("y_s") === col("sim") && col("y_id") < col("cand_id")),
+              "left")
+            .groupBy("cand_id").agg((count(col("y_id")) + 1L).as(name))
+            .select(col("cand_id").as("doc_id"), col(name))
+        }
+        val semOld = semRank(cut2("ivf")._2, "sem_rank_old")
+        val semNew = semRank(cut3("ivf")._2, "sem_rank_new")
+        // the maintained labels at the final cut (≡ from-scratch CC
+        // over exactly the admission history, q292's gate machinery)
+        val labels = ClusterState.labels(s, clDir,
+            asOf = Some(cut3("cl")._2)).get
+          .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+        // the loop's verdicts must be VISIBLE even when no served doc
+        // moves: admission/rejection/erasure/edge counts and the
+        // per-cut corpus sizes (one-row broadcasts)
+        val meta = admitted.agg(count(lit(1)).as("n_admitted"))
+          .crossJoin(hard.agg(count(lit(1)).as("n_rej_dup")))
+          .crossJoin(qrejIds.join(hard, Seq("doc_id"), "left_anti")
+            .agg(count(lit(1)).as("n_rej_quality")))
+          .crossJoin(edges.agg(count(lit(1)).as("n_edges")))
+          .crossJoin(erased.agg(count(lit(1)).as("n_erased")))
+          .crossJoin(Bm25State.stats(s, bmDir, asOf = Some(cut2("bm")._2))
+            .select(col("nd").as("nd_old")))
+          .crossJoin(Bm25State.stats(s, bmDir, asOf = Some(cut3("bm")._2))
+            .select(col("nd").as("nd_new")))
+        bmOld.join(bmNew, Seq("doc_id"), "full_outer")
+          .join(semOld, Seq("doc_id"), "full_outer")
+          .join(semNew, Seq("doc_id"), "full_outer")
+          .join(labels, Seq("doc_id"), "left")
+          .crossJoin(broadcast(meta))
+          .select(col("doc_id"), col("bm25_old_cut"), col("bm25_new_cut"),
+            col("sem_rank_old"), col("sem_rank_new"), col("cluster_id"),
+            (col("bm25_old_cut").isNotNull && col("bm25_new_cut").isNull)
+              .as("dropped_by_erasure"),
+            col("n_admitted"), col("n_rej_dup"), col("n_rej_quality"),
+            col("n_edges"), col("n_erased"), col("nd_old"), col("nd_new"))
+          .orderBy("doc_id")
       })
   )
 

@@ -1046,6 +1046,22 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!plans.exists { case _: CartesianProductExec => true; case _ => false })
   }
 
+  test("q294 full-stack cut: windows only per-(band, chunk) — screen band-local, quality map-side, serves TakeOrdered, no cartesian") {
+    val plans = allExecutedPlans("q294_full_stack_cut")
+    val windows = plans.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      "q294: the only window is the admission screen's per-(band, chunk) " +
+        "skew cap — the pinned quality score is map-side literals, " +
+        "verification is candidate-bounded, all four member refreshes " +
+        "and deletes are delta-sized, and every serve (BM25 both cuts, " +
+        "IVF probe + rerank both cuts) is an explode + agg / probed-" +
+        "bucket shape cut by TakeOrderedAndProject; a global window " +
+        "would one-task-sort the corpus")
+    assert(!plans.exists { case _: CartesianProductExec => true; case _ => false })
+  }
+
   test("q289 perceptual index maintain: windows only per-(band, chunk) — decode partition-wise, probe bucket-local, no cartesian") {
     val plans = allExecutedPlans("q289_perceptual_index_maintain")
     val windows = plans.collect {

@@ -248,4 +248,64 @@ class StateManifestSpec extends SparkTestBase {
       "after the retried cut, BOTH members serve the admitted doc — " +
         "exactly once despite the replay")
   }
+
+  test("full-stack torn cut: three of four members refreshed, crash, retry — no reader ever mixes the four states") {
+    import graft.dedup.{BandedIndex, ClusterState}
+    import graft.text.Bm25State
+    val (bi, bm, ivf, cl, m) = (freshDir("fsbi"), freshDir("fsbm"),
+      freshDir("fsivf"), freshDir("fscl"), freshDir("fsm"))
+    val seed = docs(1L -> "x y z w", 2L -> "p q r s")
+    val biV1 = BandedIndex.build(seed, "doc_id", "tokens", bi)
+    val bmV1 = Bm25State.build(seed, "doc_id", "tokens", bm)
+    val ivfV1 = IvfIndex.build(vecs(0 until 6), "vec_id", "embedding",
+      col("vec_id") % 3 === 0, iters = 1, ivf)
+    val noEdges = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val clV1 = ClusterState.build(seed.select("doc_id"), "doc_id",
+      noEdges, cl)
+    StateManifest.commit(spark, m, Map("bi" -> (bi, biV1),
+      "bm" -> (bm, bmV1), "ivf" -> (ivf, ivfV1), "cl" -> (cl, clV1)))
+    // the admitted batch reaches THREE members… then the maintainer
+    // crashes before the label refresh and the cut commit
+    val admitted = docs(9L -> "x y n m")
+    BandedIndex.refresh(admitted, "doc_id", "tokens", bi, "a1")
+    Bm25State.refresh(admitted, "doc_id", "tokens", bm, "a1",
+      requireNewDocs = true)
+    IvfIndex.refresh(vecs(9 until 10), "vec_id", "embedding", ivf, "a1")
+    // a reader resolves the LAST manifest: all four members still
+    // serve the pre-admission state — the 3/4-applied cut is invisible
+    val cut = StateManifest.resolve(spark, m).get
+    assert(cut("bi")._2 === biV1 && cut("bm")._2 === bmV1
+      && cut("ivf")._2 === ivfV1 && cut("cl")._2 === clV1,
+      "the torn admission must not advance the cut")
+    assert(Bm25State.topK(spark, bm, Seq("n"), 10,
+      asOf = Some(cut("bm")._2)).count() === 0L)
+    assert(IvfIndex.assignments(spark, ivf, asOf = Some(cut("ivf")._2)).get
+      .where(col("id") === 9L).count() === 0L,
+      "the pinned IVF read must not see the half-applied batch")
+    assert(ClusterState.labels(spark, cl, asOf = Some(cut("cl")._2)).get
+      .count() === 2L)
+    // the retry replays ALL FOUR refreshes under the same id (the
+    // first three no-ops) and only then commits the cut
+    val biV2 = BandedIndex.refresh(admitted, "doc_id", "tokens", bi, "a1")
+    val bmV2 = Bm25State.refresh(admitted, "doc_id", "tokens", bm, "a1",
+      requireNewDocs = true)
+    val ivfV2 = IvfIndex.refresh(vecs(9 until 10), "vec_id", "embedding",
+      ivf, "a1")
+    val clV2 = ClusterState.refresh(admitted.select("doc_id"), "doc_id",
+      noEdges, cl, "a1")
+    StateManifest.commit(spark, m, Map("bi" -> (bi, biV2),
+      "bm" -> (bm, bmV2), "ivf" -> (ivf, ivfV2), "cl" -> (cl, clV2)))
+    val cut2 = StateManifest.resolve(spark, m).get
+    assert(Bm25State.topK(spark, bm, Seq("n"), 10,
+      asOf = Some(cut2("bm")._2)).select("doc").as[Long].collect().toSet
+      === Set(9L))
+    assert(IvfIndex.assignments(spark, ivf, asOf = Some(cut2("ivf")._2)).get
+      .where(col("id") === 9L).count() === 1L,
+      "after the retried cut the IVF member serves the admitted vector " +
+        "exactly once despite the replay")
+    assert(ClusterState.labels(spark, cl, asOf = Some(cut2("cl")._2)).get
+      .count() === 3L,
+      "after the retried cut the label member carries the admitted doc " +
+        "exactly once despite the replay")
+  }
 }
