@@ -614,6 +614,62 @@ class MaintainSpec extends SparkTestBase {
       "the erased item must leave the next cut's serving relation")
   }
 
+  test("streaming cut-advance hot-swap: a running screen serves its pinned snapshot; the swap serves the new cut") {
+    import graft.multimodal.PerceptualIndex
+    import graft.streaming.EventStreams
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    val dir = freshDir("piswap")
+    def hs(rows: (Long, Long)*) = rows.toSeq.toDF("id", "hsh")
+    PerceptualIndex.build(hs(1L -> 0L), "id", "hsh", dir)
+    // the documented discipline (PerceptualIndex scale-shape doc): the
+    // screen probes liveIndex materialized ONCE per cut — an immutable
+    // snapshot a concurrent writer can never tear mid-batch
+    def snapshot() = PerceptualIndex.liveIndex(spark, dir).get.localCheckpoint()
+    val hits = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    def startScreen(idx: DataFrame, probes: MemoryStream[(Long, Long)]) =
+      EventStreams.perceptualCollisions(
+          probes.toDF().toDF("id", "hsh"), "id", "hsh", idx, maxHamming = 6)
+        .writeStream.foreachBatch {
+          (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            b.select(col("id"), col("matched_id")).distinct().collect()
+              .foreach(r => hits.add((r.getLong(0), r.getLong(1)))): Unit
+        }
+        .start()
+    val probes1 = MemoryStream[(Long, Long)]
+    val q1 = startScreen(snapshot(), probes1)
+    try {
+      probes1.addData((11L, 1L))
+      q1.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      assert(hits.asScala.toSet === Set((11L, 1L)))
+      hits.clear()
+      // the cut ADVANCES mid-stream: an ingest refresh + an erasure
+      PerceptualIndex.refresh(hs(2L -> (0xFFL << 40)), "id", "hsh", dir, "d1")
+      PerceptualIndex.delete(hs(1L -> 0L).select("id"), "id", dir, "e1")
+      // the RUNNING query still serves its PINNED snapshot — the
+      // concurrent state evolution is invisible until the swap (the
+      // same isolation a pinned asOf read gives a batch serve)
+      probes1.addData((12L, 1L), (13L, (0xFFL << 40) | 1L))
+      q1.processAllAvailable()
+      assert(hits.asScala.toSet === Set((12L, 1L)),
+        "the pre-swap query must still match the erased item and must " +
+          "NOT see the newly ingested one — its snapshot is the old cut")
+      hits.clear()
+    } finally q1.stop()
+    // the HOT-SWAP: restart the screen on the new cut's snapshot
+    val probes2 = MemoryStream[(Long, Long)]
+    val q2 = startScreen(snapshot(), probes2)
+    try {
+      probes2.addData((14L, 1L), (15L, (0xFFL << 40) | 1L))
+      q2.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      assert(hits.asScala.toSet === Set((15L, 2L)),
+        "after the swap the screen serves the NEW cut: the ingested " +
+          "item matches, the erased one is gone")
+    } finally q2.stop()
+  }
+
   test("streaming ingest + erasure drive ClusterState: batchIds as delta ids, restart-replays no-ops") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val ctx = spark.sqlContext
