@@ -494,6 +494,8 @@ object Knn {
   private[graft] def srpBandsSpec(e: DataFrame, idCol: String, vecCol: String,
                                   dims: Int, nBands: Int,
                                   rowsPerBand: Int): DataFrame = {
+    require(rowsPerBand >= 1 && rowsPerBand <= 31, // the kernel's dial bound
+      s"SRP banding packs ≤ 31 sign bits per band chunk, got rows=$rowsPerBand")
     val planes = srpPlanes(nBands * rowsPerBand, dims)
     val bandStructs = (0 until nBands).map { b =>
       val chunk = (0 until rowsPerBand).map { r =>

@@ -107,7 +107,16 @@ case class SrpChunks(child: Expression, dims: Int, nBands: Int,
 }
 
 object SrpChunks {
-  def apply(vec: Column, dims: Int, nBands: Int, rowsPerBand: Int): Column =
+  /** The Column-level funnel every SRP entry point goes through — the
+    * dial bounds fail HERE, at construction, not as an opaque Catalyst
+    * TypeCheckFailure mid-plan after a caller already accepted them.
+    */
+  def apply(vec: Column, dims: Int, nBands: Int, rowsPerBand: Int): Column = {
+    require(dims > 0 && nBands > 0 && rowsPerBand > 0,
+      s"SRP dials must be positive, got dims=$dims bands=$nBands rows=$rowsPerBand")
+    require(rowsPerBand <= 31,
+      s"SRP banding packs ≤ 31 sign bits per band chunk, got rows=$rowsPerBand")
     ColumnShim.column(
       SrpChunks(ColumnShim.expression(vec), dims, nBands, rowsPerBand))
+  }
 }

@@ -47,10 +47,16 @@ object GateVerdict {
   *                    call — what the next read's segment fan-out and
   *                    the driver-side marker scan cost
   * @param gates       audit verdicts (empty when no audit was requested)
+  * @param measured    the raw numbers the gates evaluated (e.g.
+  *                    "acc" / "oov_rate"), so a caller that needs the
+  *                    value the verdict was based on reads it here
+  *                    instead of re-running the scoring pass the gate
+  *                    already paid for
   */
 final case class MaintainReport(version: Long, replayed: Boolean,
                                 compacted: Boolean, liveMarkers: Int,
-                                gates: Seq[GateVerdict]) {
+                                gates: Seq[GateVerdict],
+                                measured: Map[String, Double] = Map.empty) {
   def corrupted: Boolean =
     gates.exists(_.isInstanceOf[GateVerdict.Corruption])
   def buildNeeded: Boolean =

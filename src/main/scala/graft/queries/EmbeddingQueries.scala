@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, Tables}
 import graft.ann.{Knn, Mmr, Project}
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Dense-embedding similarity search over the `embeddings` table
@@ -34,6 +34,24 @@ object EmbeddingQueries {
   private val srpBucketCap = 2000
 
   /** DuckDB double dot product of two float lists, exact per-element. */
+  /** Window-free rank of a SMALL (dial-bounded, localCheckpoint'd)
+    * top-k frame: rank = 1 + the count of strictly-better rows under
+    * (scoreCol DESC, idCol ASC). The broadcast self-join keeps serving
+    * plans free of a global window (the plan-lock invariant) while the
+    * tie-break — the one every oracle re-derives — lives in ONE place
+    * instead of a hand-copy per serve. Emits (idCol, outCol).
+    */
+  private def rankTopK(st: DataFrame, idCol: String, scoreCol: String,
+                       outCol: String): DataFrame = {
+    val ys = st.select(col(idCol).as("y_id"), col(scoreCol).as("y_s"))
+    st.join(broadcast(ys),
+        col("y_s") > col(scoreCol)
+          || (col("y_s") === col(scoreCol) && col("y_id") < col(idCol)),
+        "left")
+      .groupBy(idCol).agg((count(col("y_id")) + 1L).as(outCol))
+      .select(col(idCol), col(outCol))
+  }
+
   private def sqlDot(a: String, b: String): String =
     s"list_sum(list_transform(range(1, len($a)+1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
 
@@ -2254,12 +2272,7 @@ object EmbeddingQueries {
           .groupBy("doc_id").agg(round(sum("s"), 6).as("bm25"))
           .orderBy(col("bm25").desc, col("doc_id")).limit(20)
           .localCheckpoint()
-        val y = bm.select(col("doc_id").as("y_id"), col("bm25").as("y_s"))
-        val lr = bm.join(broadcast(y),
-            col("y_s") > col("bm25")
-              || (col("y_s") === col("bm25") && col("y_id") < col("doc_id")),
-            "left")
-          .groupBy("doc_id").agg((count(col("y_id")) + 1L).as("lex_rank"))
+        val lr = rankTopK(bm, "doc_id", "bm25", "lex_rank")
         val sr = Knn.cosineKnn(Tables.read(s, dir, "embeddings"),
             "vec_id", "embedding", col("vec_id") === 0, 20)
           .select(col("cand_id").as("doc_id"), col("rk").cast("long").as("sem_rank"))
@@ -3264,12 +3277,7 @@ object EmbeddingQueries {
             asOf = Some(cut("bm")._2))
           .select(col("doc").as("doc_id"), col("bm25"))
           .localCheckpoint() // ≤20 rows, read twice by the rank join
-        val yl = bm.select(col("doc_id").as("y_id"), col("bm25").as("y_s"))
-        val lr = bm.join(broadcast(yl),
-            col("y_s") > col("bm25")
-              || (col("y_s") === col("bm25") && col("y_id") < col("doc_id")),
-            "left")
-          .groupBy("doc_id").agg((count(col("y_id")) + 1L).as("lex_rank"))
+        val lr = rankTopK(bm, "doc_id", "bm25", "lex_rank")
         // semantic serve through the cut: probe 2 buckets of the pinned
         // index, exact-cosine rerank of the LIVE (tombstone-excised)
         // candidates
@@ -3305,12 +3313,7 @@ object EmbeddingQueries {
               / (col("qn") * col("cn2"))).as("sim"))
         val st = sims.orderBy(col("sim").desc, col("cand_id")).limit(20)
           .localCheckpoint() // ≤20 rows, read twice by the rank join
-        val ys = st.select(col("cand_id").as("y_id"), col("sim").as("y_s"))
-        val sr = st.join(broadcast(ys),
-            col("y_s") > col("sim")
-              || (col("y_s") === col("sim") && col("y_id") < col("cand_id")),
-            "left")
-          .groupBy("cand_id").agg((count(col("y_id")) + 1L).as("sem_rank"))
+        val sr = rankTopK(st, "cand_id", "sim", "sem_rank")
           .select(col("cand_id").as("doc_id"), col("sem_rank"))
         lr.join(sr, Seq("doc_id"), "full_outer")
           .select(col("doc_id"), col("lex_rank"), col("sem_rank"),
@@ -3786,12 +3789,7 @@ object EmbeddingQueries {
                 .as("sim"))
           val st = sims.orderBy(col("sim").desc, col("cand_id")).limit(10)
             .localCheckpoint() // ≤10 rows, read twice by the rank join
-          val ys = st.select(col("cand_id").as("y_id"), col("sim").as("y_s"))
-          st.join(broadcast(ys),
-              col("y_s") > col("sim")
-                || (col("y_s") === col("sim") && col("y_id") < col("cand_id")),
-              "left")
-            .groupBy("cand_id").agg((count(col("y_id")) + 1L).as(name))
+          rankTopK(st, "cand_id", "sim", name)
             .select(col("cand_id").as("doc_id"), col(name))
         }
         val semOld = semRank(cut2("ivf")._2, "sem_rank_old")

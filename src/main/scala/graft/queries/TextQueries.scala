@@ -6212,13 +6212,14 @@ object TextQueries {
         val w = QualityModel.weights(s, stDir, asOf = Some(v1))
         val report = QualityModel.maintain(featB, stDir,
           minAccuracy = 0.75, asOf = Some(v1))
-        // the gate's own accuracy derivation (one agg scan) — not a
-        // hand-copied link expression. An SF where the % 19 = 7 batch
-        // split is EMPTY yields None; consistently with maintain()'s
-        // empty-holdout Ok verdict the meta column goes absent (null)
-        // instead of throwing — the per-doc output is empty then
-        // anyway (it is keyed on the same split)
-        val accB = QualityModel.holdoutAccuracy(featB, w.toSeq)
+        // the number the gate MEASURED rides the report — the exact
+        // accuracy the verdict was based on, no second scoring pass.
+        // An SF where the % 19 = 7 batch split is EMPTY measures
+        // nothing; consistently with maintain()'s empty-holdout Ok
+        // verdict the meta column goes absent (null) instead of
+        // throwing — the per-doc output is empty then anyway (it is
+        // keyed on the same split)
+        val accB = report.measured.get("acc")
         val meta = QualityModel.model(s, stDir, asOf = Some(v1)).get
           .select(round(col("w0"), 9).as("w_bias"),
             round(col("w1"), 9).as("w_ttr"),
@@ -6571,16 +6572,18 @@ object TextQueries {
         // reads below must not see it
         BpeState.fit(wcOf(col("doc_id") % 19 =!= 7 && col("doc_id") % 2 === 0),
           "word", "cnt", merges = 3, stDir, "t2")
-        // encode the fresh batch off the PINNED merges; gate drift
+        // encode the fresh batch off the PINNED merges; gate drift —
+        // the ratios the gate measured ride the report, no second
+        // metrics pass over the batch
         val report = BpeState.maintain(wcH, "word", "cnt", stDir,
           maxOovRate = 0.05, minCompression = 1.0, asOf = Some(v1))
-        val met = BpeState.metrics(wcH, "word", "cnt", stDir, asOf = Some(v1))
-          .select(round(col("oov_rate"), 9).as("oov_rate"),
-            round(col("compression_ratio"), 9).as("compression_ratio"))
+        def measuredCol(key: String) = report.measured.get(key)
+          .fold(lit(null).cast("double"))(a => round(lit(a), 9))
         val voc = BpeState.vocab(s, stDir, asOf = Some(v1)).get
           .localCheckpoint() // the known flag AND the size read it
-        val meta = met
-          .crossJoin(voc.agg(count(lit(1)).as("vocab_size")))
+        val meta = voc.agg(count(lit(1)).as("vocab_size"))
+          .withColumn("oov_rate", measuredCol("oov_rate"))
+          .withColumn("compression_ratio", measuredCol("compression_ratio"))
           .withColumn("n_merges", lit(3L))
           .withColumn("fit_ok", lit(report.healthy))
         BpeState.encode(wcH, "word", stDir, asOf = Some(v1))
@@ -6674,8 +6677,9 @@ object TextQueries {
           .localCheckpoint() // the gate's predict + accuracy read it
         val report = NbState.maintain(labeledB, "lang", "tokens", "doc_id",
           stDir, minAccuracy = 0.6, asOf = Some(v1))
-        val accB = NbState.holdoutAccuracy(labeledB, "lang", "tokens",
-          "doc_id", stDir, asOf = Some(v1))
+        // the accuracy the gate measured rides the report — no second
+        // predict pass over the batch
+        val accB = report.measured.get("acc")
         val meta = s.range(1)
           .select(accB.fold(lit(null).cast("double"))(a => round(lit(a), 6))
             .as("acc_batch"), lit(report.healthy).as("fit_ok"))

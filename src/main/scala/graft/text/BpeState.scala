@@ -1,7 +1,6 @@
 package graft.text
 
-import graft.ann.IndexSegments
-import graft.operators.VersionedState
+import graft.operators.{VersionedModel, VersionedState}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -51,89 +50,51 @@ object BpeState {
 
   /** Train `merges` rounds on the (wordCol, cntCol) table and COMMIT
     * the merge table + serving vocabulary as a new version. `deltaId`
-    * replay-guards the trainer (`model:<id>`): a crashed-and-retried
-    * fit returns the committed version — never a silent re-train on a
-    * drifted corpus under an old intent. Old versions stay readable
-    * for pinned cuts; bound them with [[gc]].
+    * replay-guards the trainer; the guard, its gc-proof sidecar and
+    * the loud past-retention refusal are
+    * [[graft.operators.VersionedModel]]'s shared protocol. Old
+    * versions stay readable for pinned cuts; bound them with [[gc]].
     */
   def fit(words: DataFrame, wordCol: String, cntCol: String, merges: Int,
           stateDir: String, deltaId: String = ""): Long = {
     val spark = words.sparkSession
-    IndexSegments.validDeltaId(deltaId) // validate-first (family invariant)
-    val cs = VersionedState.committed(spark, stateDir)
-    val label = if (deltaId.isEmpty) "model" else s"model:$deltaId"
-    if (deltaId.nonEmpty) {
-      cs.collectFirst { case (n, l) if l == label => n } match {
-        case Some(v) => return v // replayed trainer run: already committed
-        case None =>
-          require(!deliveredAll(spark, stateDir, cs).contains(label),
-            s"fit '$deltaId' was already delivered at $stateDir but its " +
-              "version was gc'd past retention — a replay this old cannot " +
-              "resolve its artifact; use a fresh id if a retrain is intended")
-      }
-    }
-    val delivered = IndexSegments.retainDelivered(
-      deliveredAll(spark, stateDir, cs),
-      IndexSegments.DefaultMaxDelivered, stateDir, op = "fit")
-    val table = BpeTrain.train(words, wordCol, cntCol, merges)
-      .localCheckpoint() // the commit write AND the vocab derivation read it
-    val list = mergeListOf(table)
-    // serving vocabulary: final-rep symbols ∪ merge products — ONE
-    // extra pass over the vocab-sized word table, not the corpus
-    val finalSyms = BpeTrain.encode(
-        words.where(length(col(wordCol)) >= 1), wordCol, list)
-      .select(explode(col("syms")).as("sym")).distinct()
-    val products = list.map { case (a, b) => a + b }
-    val vocabDf = finalSyms.unionByName(
-        spark.createDataFrame(spark.sparkContext.parallelize(
-          products.map(org.apache.spark.sql.Row(_)), 1),
-          finalSyms.schema))
-      .distinct()
-    val prev = cs.lastOption.map(_._1)
-    VersionedState.commit(spark, stateDir, prev, label = label) { vdir =>
+    VersionedModel.fitCommit(spark, stateDir, deltaId) { vdir =>
+      val table = BpeTrain.train(words, wordCol, cntCol, merges)
+        .localCheckpoint() // the commit write AND the vocab derivation read it
+      val list = mergeListOf(table)
+      // serving vocabulary: final-rep symbols ∪ merge products — ONE
+      // extra pass over the vocab-sized word table, not the corpus
+      val finalSyms = BpeTrain.encode(
+          words.where(length(col(wordCol)) >= 1), wordCol, list)
+        .select(explode(col("syms")).as("sym")).distinct()
+      val products = list.map { case (a, b) => a + b }
+      val vocabDf = finalSyms.unionByName(
+          spark.createDataFrame(spark.sparkContext.parallelize(
+            products.map(org.apache.spark.sql.Row(_)), 1),
+            finalSyms.schema))
+        .distinct()
       table.coalesce(1).write.mode("overwrite").parquet(s"$vdir/merges")
       vocabDf.coalesce(1).write.mode("overwrite").parquet(s"$vdir/vocab")
-      VersionedState.writeLines(spark, vdir, IndexSegments.DeliveredFile,
-        delivered)
     }
-  }
-
-  /** Every fit id known delivered, oldest first — the QualityModel
-    * sidecar discipline (each commit carries the full prior set, so
-    * the guard survives [[gc]]).
-    */
-  private def deliveredAll(spark: SparkSession, stateDir: String,
-                           cs: Seq[(Long, String)]): Seq[String] = {
-    val sidecar = cs.lastOption.toSeq.flatMap { case (n, _) =>
-      VersionedState.readLines(spark,
-        VersionedState.versionPath(stateDir, n), IndexSegments.DeliveredFile)
-    }
-    (sidecar ++ cs.collect { case (_, l) if l.contains(":") => l }).distinct
   }
 
   private def mergeListOf(table: DataFrame): Seq[(String, String)] =
     table.orderBy("merge_rank").select("left_sym", "right_sym")
       .collect().map(r => (r.getString(0), r.getString(1))).toSeq
 
-  private def pinned(spark: SparkSession, stateDir: String,
-                     asOf: Option[Long]): Option[Long] = {
-    val cs0 = VersionedState.committed(spark, stateDir)
-    asOf.fold(cs0)(v => cs0.filter(_._1 <= v)).lastOption.map(_._1)
-  }
-
   /** The stored merge table (the full q136 record). `asOf` pins a
     * committed version (a manifest cut).
     */
   def mergeTable(spark: SparkSession, stateDir: String,
                  asOf: Option[Long] = None): Option[DataFrame] =
-    pinned(spark, stateDir, asOf).map { n =>
+    VersionedModel.pinned(spark, stateDir, asOf).map { n =>
       spark.read.parquet(s"${VersionedState.versionPath(stateDir, n)}/merges")
     }
 
   /** The stored serving vocabulary (one `sym` column). */
   def vocab(spark: SparkSession, stateDir: String,
             asOf: Option[Long] = None): Option[DataFrame] =
-    pinned(spark, stateDir, asOf).map { n =>
+    VersionedModel.pinned(spark, stateDir, asOf).map { n =>
       spark.read.parquet(s"${VersionedState.versionPath(stateDir, n)}/vocab")
     }
 
@@ -194,12 +155,8 @@ object BpeState {
   /** Reclaim versions below the newest `keepLast` (pinned cuts must be
     * within the retained window).
     */
-  def gc(spark: SparkSession, stateDir: String, keepLast: Int = 2): Unit = {
-    val cs = VersionedState.committed(spark, stateDir)
-    if (cs.length > keepLast)
-      VersionedState.gc(spark, stateDir,
-        keepFrom = cs.map(_._1).sorted.takeRight(keepLast).head)
-  }
+  def gc(spark: SparkSession, stateDir: String, keepLast: Int = 2): Unit =
+    VersionedModel.gc(spark, stateDir, keepLast)
 
   /** The runbook as code: tokenize the fresh batch with the STORED
     * merges and gate on vocabulary drift — OOV rate above `maxOovRate`
@@ -224,10 +181,11 @@ object BpeState {
     }
     val m = metrics(words, wordCol, cntCol, stateDir, asOf)
       .select("n_syms", "oov_rate", "compression_ratio").collect()
+    // an empty batch aggregates to one all-null row (sum over zero
+    // rows), so null and 0 both mean "nothing to tokenize"
+    val empty = m.isEmpty || m(0).isNullAt(0) || m(0).getLong(0) == 0L
     val gate =
-      // an empty batch aggregates to one all-null row (sum over zero
-      // rows), so null and 0 both mean "nothing to tokenize"
-      if (m.isEmpty || m(0).isNullAt(0) || m(0).getLong(0) == 0L)
+      if (empty)
         GateVerdict.Ok("fit", "empty batch — nothing to gate on")
       else {
         val (oov, comp) = (m(0).getDouble(1), m(0).getDouble(2))
@@ -245,6 +203,10 @@ object BpeState {
               f"$minCompression%.4f")
       }
     MaintainReport(v, replayed = false, compacted = false,
-      committed.length, Seq(gate))
+      committed.length, Seq(gate),
+      measured = if (empty) Map.empty
+        else Map("n_syms" -> m(0).getLong(0).toDouble,
+          "oov_rate" -> m(0).getDouble(1),
+          "compression_ratio" -> m(0).getDouble(2)))
   }
 }

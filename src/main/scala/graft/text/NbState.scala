@@ -1,7 +1,6 @@
 package graft.text
 
-import graft.ann.IndexSegments
-import graft.operators.VersionedState
+import graft.operators.{VersionedModel, VersionedState}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -34,46 +33,20 @@ import org.apache.spark.sql.functions._
 object NbState {
 
   /** Train on (labelCol, tokensCol) and COMMIT the model tables as a
-    * new version. `deltaId` replay-guards the trainer (`model:<id>`).
+    * new version. `deltaId` replay-guards the trainer; the guard, its
+    * gc-proof sidecar and the loud past-retention refusal are
+    * [[graft.operators.VersionedModel]]'s shared protocol.
     */
   def fit(train: DataFrame, labelCol: String, tokensCol: String,
           stateDir: String, deltaId: String = ""): Long = {
     val spark = train.sparkSession
-    IndexSegments.validDeltaId(deltaId) // validate-first (family invariant)
-    val cs = VersionedState.committed(spark, stateDir)
-    val label = if (deltaId.isEmpty) "model" else s"model:$deltaId"
-    if (deltaId.nonEmpty) {
-      cs.collectFirst { case (n, l) if l == label => n } match {
-        case Some(v) => return v // replayed trainer run: already committed
-        case None =>
-          require(!deliveredAll(spark, stateDir, cs).contains(label),
-            s"fit '$deltaId' was already delivered at $stateDir but its " +
-              "version was gc'd past retention — a replay this old cannot " +
-              "resolve its artifact; use a fresh id if a retrain is intended")
-      }
-    }
-    val delivered = IndexSegments.retainDelivered(
-      deliveredAll(spark, stateDir, cs),
-      IndexSegments.DefaultMaxDelivered, stateDir, op = "fit")
-    val m = NaiveBayes.fit(train, labelCol, tokensCol)
-    val prev = cs.lastOption.map(_._1)
-    VersionedState.commit(spark, stateDir, prev, label = label) { vdir =>
+    VersionedModel.fitCommit(spark, stateDir, deltaId) { vdir =>
+      val m = NaiveBayes.fit(train, labelCol, tokensCol)
       m.clt.write.mode("overwrite").parquet(s"$vdir/clt")
       m.totl.coalesce(1).write.mode("overwrite").parquet(s"$vdir/totl")
       m.vocab.coalesce(1).write.mode("overwrite").parquet(s"$vdir/vocab")
       m.prior.coalesce(1).write.mode("overwrite").parquet(s"$vdir/prior")
-      VersionedState.writeLines(spark, vdir, IndexSegments.DeliveredFile,
-        delivered)
     }
-  }
-
-  private def deliveredAll(spark: SparkSession, stateDir: String,
-                           cs: Seq[(Long, String)]): Seq[String] = {
-    val sidecar = cs.lastOption.toSeq.flatMap { case (n, _) =>
-      VersionedState.readLines(spark,
-        VersionedState.versionPath(stateDir, n), IndexSegments.DeliveredFile)
-    }
-    (sidecar ++ cs.collect { case (_, l) if l.contains(":") => l }).distinct
   }
 
   /** The stored model, pinned at `asOf` (a manifest cut) — the exact
@@ -82,9 +55,8 @@ object NbState {
     * micro-batches via foreachBatch) runs off the version unchanged.
     */
   def model(spark: SparkSession, stateDir: String,
-            asOf: Option[Long] = None): Option[NaiveBayes.Model] = {
-    val cs0 = VersionedState.committed(spark, stateDir)
-    asOf.fold(cs0)(v => cs0.filter(_._1 <= v)).lastOption.map { case (n, _) =>
+            asOf: Option[Long] = None): Option[NaiveBayes.Model] =
+    VersionedModel.pinned(spark, stateDir, asOf).map { n =>
       val vdir = VersionedState.versionPath(stateDir, n)
       NaiveBayes.Model(
         spark.read.parquet(s"$vdir/clt"),
@@ -92,7 +64,6 @@ object NbState {
         spark.read.parquet(s"$vdir/vocab"),
         spark.read.parquet(s"$vdir/prior"))
     }
-  }
 
   private def pinnedModel(spark: SparkSession, stateDir: String,
                           asOf: Option[Long]): NaiveBayes.Model =
@@ -132,12 +103,8 @@ object NbState {
   }
 
   /** Reclaim versions below the newest `keepLast`. */
-  def gc(spark: SparkSession, stateDir: String, keepLast: Int = 2): Unit = {
-    val cs = VersionedState.committed(spark, stateDir)
-    if (cs.length > keepLast)
-      VersionedState.gc(spark, stateDir,
-        keepFrom = cs.map(_._1).sorted.takeRight(keepLast).head)
-  }
+  def gc(spark: SparkSession, stateDir: String, keepLast: Int = 2): Unit =
+    VersionedModel.gc(spark, stateDir, keepLast)
 
   /** The runbook as code: predict the labeled holdout with the STORED
     * model and gate on held-out accuracy — below `minAccuracy` ⇒
@@ -157,8 +124,9 @@ object NbState {
       require(sub.nonEmpty, s"no committed model at $stateDir as of $a")
       sub.last._1
     }
-    val gate = holdoutAccuracy(labeled, labelCol, tokensCol, idCol,
-      stateDir, asOf) match {
+    val measured = holdoutAccuracy(labeled, labelCol, tokensCol, idCol,
+      stateDir, asOf)
+    val gate = measured match {
       case None =>
         GateVerdict.Ok("fit", "empty holdout — nothing to gate on")
       case Some(acc) if acc >= minAccuracy =>
@@ -170,6 +138,7 @@ object NbState {
             "distribution drifted; refit with fit()")
     }
     MaintainReport(v, replayed = false, compacted = false,
-      committed.length, Seq(gate))
+      committed.length, Seq(gate),
+      measured = measured.map("acc" -> _).toMap)
   }
 }

@@ -1,7 +1,6 @@
 package graft.text
 
-import graft.ann.IndexSegments
-import graft.operators.VersionedState
+import graft.operators.{VersionedModel, VersionedState}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -137,58 +136,21 @@ object QualityModel {
     feat.select(col(idCol), pExpr(w).as("score"))
   }
 
-  /** Every fit id known delivered, oldest first: the NEWEST version's
-    * sidecar (each commit carries the full prior set forward, so the
-    * guard survives [[gc]] — the compaction-sidecar discipline without
-    * a compaction) followed by the live markers' labels.
-    */
-  private def deliveredAll(spark: SparkSession, stateDir: String,
-                           cs: Seq[(Long, String)]): Seq[String] = {
-    val sidecar = cs.lastOption.toSeq.flatMap { case (n, _) =>
-      VersionedState.readLines(spark,
-        VersionedState.versionPath(stateDir, n), IndexSegments.DeliveredFile)
-    }
-    (sidecar ++ cs.collect { case (_, l) if l.contains(":") => l }).distinct
-  }
-
   /** Train on `feat` and COMMIT the coefficients as a new version.
-    * `deltaId` replay-guards the fit (`model:<id>` — a re-delivered
-    * trainer run returns the committed version, no duplicate refit;
-    * the delivered-id set rides a sidecar into EVERY commit, so the
-    * guard survives [[gc]]). A replay whose pinned version was gc'd
-    * past retention fails LOUDLY — silently re-training on a drifted
-    * corpus under an old intent is exactly what the guard exists to
-    * prevent. Old versions stay readable for pinned cuts; bound them
-    * with [[gc]].
+    * `deltaId` replay-guards the fit; the guard, its gc-proof sidecar
+    * and the loud past-retention refusal are
+    * [[graft.operators.VersionedModel]]'s shared protocol. Old
+    * versions stay readable for pinned cuts; bound them with [[gc]].
     */
   def fit(feat: DataFrame, stateDir: String, deltaId: String = "",
           iters: Int = 8, lr: Double = 4.0): Long = {
     val spark = feat.sparkSession
-    IndexSegments.validDeltaId(deltaId) // validate-first (family invariant)
-    val cs = VersionedState.committed(spark, stateDir)
-    val label = if (deltaId.isEmpty) "model" else s"model:$deltaId"
-    if (deltaId.nonEmpty) {
-      cs.collectFirst { case (n, l) if l == label => n } match {
-        case Some(v) => return v // replayed trainer run: already committed
-        case None =>
-          require(!deliveredAll(spark, stateDir, cs).contains(label),
-            s"fit '$deltaId' was already delivered at $stateDir but its " +
-              "version was gc'd past retention — a replay this old cannot " +
-              "resolve its artifact; use a fresh id if a retrain is intended")
-      }
-    }
-    val delivered = IndexSegments.retainDelivered(
-      deliveredAll(spark, stateDir, cs),
-      IndexSegments.DefaultMaxDelivered, stateDir, op = "fit")
-    val (w, n, acc) = fitWeights(feat, iters, lr)
-    val prev = cs.lastOption.map(_._1)
-    import spark.implicits._
-    val row = Seq((w(0), w(1), w(2), w(3), n, acc, iters, lr))
-      .toDF("w0", "w1", "w2", "w3", "n_train", "acc_train", "iters", "lr")
-    VersionedState.commit(spark, stateDir, prev, label = label) { vdir =>
-      row.coalesce(1).write.mode("overwrite").parquet(s"$vdir/model")
-      VersionedState.writeLines(spark, vdir, IndexSegments.DeliveredFile,
-        delivered)
+    VersionedModel.fitCommit(spark, stateDir, deltaId) { vdir =>
+      val (w, n, acc) = fitWeights(feat, iters, lr)
+      import spark.implicits._
+      Seq((w(0), w(1), w(2), w(3), n, acc, iters, lr))
+        .toDF("w0", "w1", "w2", "w3", "n_train", "acc_train", "iters", "lr")
+        .coalesce(1).write.mode("overwrite").parquet(s"$vdir/model")
     }
   }
 
@@ -196,13 +158,10 @@ object QualityModel {
     * iters, lr). `asOf` pins a committed version (a manifest cut).
     */
   def model(spark: SparkSession, stateDir: String,
-            asOf: Option[Long] = None): Option[DataFrame] = {
-    val cs0 = VersionedState.committed(spark, stateDir)
-    val cs = asOf.fold(cs0)(v => cs0.filter(_._1 <= v))
-    cs.lastOption.map { case (n, _) =>
+            asOf: Option[Long] = None): Option[DataFrame] =
+    VersionedModel.pinned(spark, stateDir, asOf).map { n =>
       spark.read.parquet(s"${VersionedState.versionPath(stateDir, n)}/model")
     }
-  }
 
   /** The pinned coefficients, driver-side — what a scoring plan bakes
     * in as literals ([[score]]).
@@ -219,12 +178,8 @@ object QualityModel {
     * within the retained window — the StateManifestGc discipline
     * doesn't apply since models have no base horizon).
     */
-  def gc(spark: SparkSession, stateDir: String, keepLast: Int = 2): Unit = {
-    val cs = VersionedState.committed(spark, stateDir)
-    if (cs.length > keepLast)
-      VersionedState.gc(spark, stateDir,
-        keepFrom = cs.map(_._1).sorted.takeRight(keepLast).head)
-  }
+  def gc(spark: SparkSession, stateDir: String, keepLast: Int = 2): Unit =
+    VersionedModel.gc(spark, stateDir, keepLast)
 
   /** The runbook as code: score `holdoutFeat` with the STORED model
     * and gate on held-out accuracy — below `minAccuracy` the verdict
@@ -248,7 +203,8 @@ object QualityModel {
       sub.last._1
     }
     val w = weights(spark, stateDir, asOf)
-    val gate = holdoutAccuracy(holdoutFeat, w.toSeq) match {
+    val measured = holdoutAccuracy(holdoutFeat, w.toSeq)
+    val gate = measured match {
       case None =>
         GateVerdict.Ok("fit", "empty holdout — nothing to gate on")
       case Some(acc) if acc >= minAccuracy =>
@@ -263,6 +219,7 @@ object QualityModel {
     // marker count is simply the committed-version count — [[gc]]
     // bounds it by retention
     MaintainReport(v, replayed = false, compacted = false,
-      committed.length, Seq(gate))
+      committed.length, Seq(gate),
+      measured = measured.map("acc" -> _).toMap)
   }
 }
