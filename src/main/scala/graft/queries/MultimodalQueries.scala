@@ -1361,10 +1361,116 @@ object MultimodalQueries {
             col("dup_of"), coalesce(col("n_matches"), lit(0L)).as("n_matches"),
             col("min_hamming"))
           .orderBy("doc_id")
+      }),
+
+    // ---- q297: VIDEO BATCH SCREENED OFF THE MAINTAINED PERCEPTUAL
+    // INDEX — the last modality of the quartet onto maintained state
+    // (text q285, embeddings q288, image q289, audio q295): q241's
+    // 56-bit temporal-luma sign hash over the decoded Y4M clip shares
+    // the 4 × 14 band geometry, so the SAME hash-generic family admits
+    // video with zero new state code. Lifecycle verbatim q289/q295:
+    // build on decoded history, refresh with ONLY the delta (delivered
+    // twice under one id — replay no-op), erase by id alone (delivered
+    // twice — algebra-idempotent), compact folds the count tables (the
+    // replay guard rides the sidecar; post-compact re-delivery still a
+    // no-op), then the fresh batch's screen reads ONLY its chunks'
+    // bucket partitions, verifying candidates with the codegen'd
+    // bit_count. Y4M being uncompressed, the decoded-sum hash equals
+    // the generator's closed form — the oracle recomputes it, then
+    // unrolls the maintained chain in SQL, so a mismatch is state
+    // drift or a header-walk bug, never approximation. Scale shape:
+    // one partition-wise decode per batch (8-byte fingerprints
+    // regardless of resolution), map-side band explode, ≤ B bucket-id
+    // collect, candidate-bounded verify.
+    QueryDef("q297_video_index_maintain", Some("""
+      WITH ids AS (SELECT doc_id FROM documents),
+      fr AS (SELECT doc_id, f.range AS f,
+                    (((doc_id // 4) * 60 + f.range + 1) % 2147483648)
+                      * 2654435761 % 2147483648 AS h1
+             FROM ids, range(0, 60) f),
+      fx AS (SELECT doc_id, f, xor(h1, h1 >> 15) AS h2 FROM fr),
+      fy AS (SELECT doc_id, f, (h2 * 1540483477 % 2147483648) AS h3 FROM fx),
+      fo AS (SELECT doc_id, f, xor(h3, h3 >> 13) % 65536 % 256 AS off FROM fy),
+      en AS (SELECT doc_id, f,
+               list_sum(list_transform(range(0, 16), k ->
+                 (off + k * 13
+                  + CASE WHEN (f * 16 + k) % 128 = doc_id % 4
+                    THEN 16 ELSE 0 END) % 256)) AS e
+             FROM fo),
+      bits AS (SELECT a.doc_id, ((a.f // 15) * 14 + (a.f % 15)) AS i
+               FROM en a JOIN en b ON b.doc_id = a.doc_id AND b.f = a.f + 1
+               WHERE a.f % 15 < 14 AND b.e > a.e),
+      hash AS (SELECT ids.doc_id,
+                      CAST(COALESCE(SUM(1::BIGINT << i), 0) AS BIGINT) AS vh
+               FROM ids LEFT JOIN bits ON bits.doc_id = ids.doc_id
+               GROUP BY ids.doc_id),
+      uni AS (SELECT doc_id, vh FROM hash
+              WHERE doc_id % 19 = 7 OR doc_id % 7 <> 3),
+      band AS (SELECT doc_id, vh, t.range AS b,
+                      (vh >> CAST(t.range * 14 AS INTEGER)) & 16383 AS chunk
+               FROM uni, range(0, 4) t),
+      kept AS (SELECT doc_id, vh, b, chunk FROM
+                 (SELECT *, COUNT(*) OVER (PARTITION BY b, chunk) AS bsz FROM band)
+               WHERE bsz <= 50),
+      cand AS (SELECT DISTINCT f.doc_id AS id_new, c.doc_id AS id_corpus,
+                      f.vh AS hf, c.vh AS hc
+               FROM kept f JOIN kept c
+                 ON f.b = c.b AND f.chunk = c.chunk
+                    AND f.doc_id % 19 = 7 AND c.doc_id % 19 <> 7),
+      ver AS (SELECT id_new, id_corpus,
+                     CAST(bit_count(xor(hf, hc)) AS INTEGER) AS hamming
+              FROM cand WHERE bit_count(xor(hf, hc)) <= 6),
+      agg AS (SELECT id_new, MIN(id_corpus) AS dup_of,
+                     COUNT(*) AS n_matches, MIN(hamming) AS min_hamming
+              FROM ver GROUP BY id_new)
+      SELECT t.doc_id, a.dup_of IS NULL AS is_novel, a.dup_of,
+             COALESCE(a.n_matches, 0) AS n_matches, a.min_hamming
+      FROM (SELECT doc_id FROM documents WHERE doc_id % 19 = 7) t
+      LEFT JOIN agg a ON a.id_new = t.doc_id
+      ORDER BY doc_id"""),
+      (s, dir) => {
+        import s.implicits._
+        import graft.multimodal.PerceptualIndex
+        val pay = Tables.read(s, dir, "documents").select("doc_id").as[Long]
+          .mapPartitions(_.map(id =>
+            (id, Multimodal.variantY4mPayload(id / 4, (id % 4).toInt, 4, 4, 60))))
+          .toDF("doc_id", "payload")
+        val h = Multimodal.decodeVideoHashes(pay, "doc_id", "payload")
+          .localCheckpoint() // one decode; splits and screens read it
+        val fresh = h.where(col("id") % 19 === 7)
+        val corpusAll = h.where(col("id") % 19 =!= 7)
+        val hist = corpusAll.where(col("id") % 5 =!= 4)
+        val delta = corpusAll.where(col("id") % 5 === 4)
+        val dead = corpusAll.where(col("id") % 7 === 3)
+        val stDir = s"${System.getProperty("java.io.tmpdir")}/graft_q297_" +
+          dir.replaceAll("[^A-Za-z0-9._-]", "_") +
+          "_p" + ProcessHandle.current.pid + "_" + q289Runs.incrementAndGet()
+        graft.queries.EventQueries.cleanupOnExit(stDir)
+        PerceptualIndex.build(hist, "id", "vhash", stDir)
+        // incremental refresh: ONLY the delta, replay-guarded
+        PerceptualIndex.refresh(delta, "id", "vhash", stDir, "d1")
+        PerceptualIndex.refresh(delta, "id", "vhash", stDir, "d1") // replayed: no-op
+        // the erasure verdict by id alone, delivered twice under one id
+        PerceptualIndex.delete(dead.select("id"), "id", stDir, "e1")
+        PerceptualIndex.delete(dead.select("id"), "id", stDir, "e1") // replayed: no-op
+        PerceptualIndex.compact(s, stDir) // 4 count tables fold to 1
+        // post-compact re-delivery: the sidecar-carried guard holds
+        PerceptualIndex.refresh(delta, "id", "vhash", stDir, "d1")
+        val coll = PerceptualIndex.screen(fresh, "id", "vhash", stDir,
+          maxHamming = 6, maxBucketSize = 50)
+        val agg = coll.groupBy(col("id").as("doc_id"))
+          .agg(min(col("matched_id")).as("dup_of"),
+            count(lit(1)).as("n_matches"),
+            min(col("hamming")).as("min_hamming"))
+        fresh.select(col("id").as("doc_id")).join(agg, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("dup_of").isNull.as("is_novel"),
+            col("dup_of"), coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+            col("min_hamming"))
+          .orderBy("doc_id")
       })
   )
 
-  /** q289/q295 run in a fresh state dir per execution (the q266/q274
+  /** q289/q295/q297 run in a fresh state dir per execution (the q266/q274
     * discipline).
     */
   private val q289Runs = new java.util.concurrent.atomic.AtomicLong()
