@@ -287,27 +287,72 @@ object Kmv {
 
 /** Bottom-k DISTINCT longs as a mergeable aggregation — the KMV
   * buffer. Same k-slot discipline as [[KSlotAggregator]] but with
-  * set-semantics insert: a hash already in the buffer is dropped (KMV
-  * is over the DISTINCT key set; duplicates must not occupy slots).
-  * The buffer is sorted ascending, so membership and insertion point
-  * share one scan; merge folds one buffer into the other.
+  * set-semantics: a hash already in the buffer is dropped (KMV is over
+  * the DISTINCT key set; duplicates must not occupy slots).
+  *
+  * Buffer layout mirrors [[BottomKHeapAggregator]] (slot 0 = live
+  * count, slots 1..k = max-heap of the smallest distinct values seen),
+  * because the original sorted-List form paid O(k) PER INPUT ROW even
+  * on reject — `lengthCompare(k)` and `.last` each walk the k-long
+  * list before a row ≥ the current k-th smallest can be dropped — at
+  * k = 1024 over a corpus-sized input that is ~2k pointer hops per
+  * input row in the θ pass of [[Kmv.joinSizeEst]] (q162).
+  * Here a reject is ONE comparison against the heap root; the distinct
+  * check (a linear scan of ≤ k live slots) runs only on the rare
+  * accept path (≈ k·ln(n/k) accepts per partition). finish sorts
+  * ascending — bit-identical output to the sorted-List form, which
+  * KmvSpec pins by parity.
   */
-class KmvAggregator(k: Int) extends Aggregator[Long, List[Long], Seq[Long]] {
+class KmvAggregator(k: Int) extends Aggregator[Long, Array[Long], Seq[Long]] {
   require(k > 0, s"k must be positive, got $k")
 
-  private def insert(sorted: List[Long], x: Long): List[Long] =
-    if (sorted.lengthCompare(k) >= 0 && x >= sorted.last) sorted
-    else {
-      val (pre, post) = sorted.span(_ < x)
-      if (post.headOption.contains(x)) sorted // distinct: already present
-      else (pre ::: x :: post).take(k)
+  @inline private def siftDown(h: Array[Long], n: Int, i0: Int): Unit = {
+    var i = i0
+    var done = false
+    while (!done) {
+      val l = 2 * i; val r = l + 1
+      var big = i
+      if (l <= n && h(l) > h(big)) big = l
+      if (r <= n && h(r) > h(big)) big = r
+      if (big == i) done = true
+      else { val t = h(i); h(i) = h(big); h(big) = t; i = big }
     }
+  }
 
-  def zero: List[Long] = Nil
-  def reduce(buf: List[Long], x: Long): List[Long] = insert(buf, x)
-  def merge(a: List[Long], b: List[Long]): List[Long] = b.foldLeft(a)(insert)
-  def finish(buf: List[Long]): Seq[Long] = buf
-  def bufferEncoder: Encoder[List[Long]] = ExpressionEncoder()
+  private def insert(buf: Array[Long], x: Long): Array[Long] = {
+    val n = buf(0).toInt
+    if (n >= k && x >= buf(1)) return buf // O(1) reject: ≥ current k-th smallest
+    var i = 1
+    while (i <= n) { // distinct check — accept path only
+      if (buf(i) == x) return buf
+      i += 1
+    }
+    if (n < k) {
+      buf(0) = n + 1
+      i = n + 1
+      buf(i) = x
+      while (i > 1 && buf(i / 2) < buf(i)) {
+        val t = buf(i); buf(i) = buf(i / 2); buf(i / 2) = t; i = i / 2
+      }
+    } else { // full: x < buf(1), evict the current k-th smallest
+      buf(1) = x
+      siftDown(buf, k, 1)
+    }
+    buf
+  }
+
+  def zero: Array[Long] = new Array[Long](k + 1)
+  def reduce(buf: Array[Long], x: Long): Array[Long] = insert(buf, x)
+  def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 1
+    val nb = b(0).toInt
+    var acc = a
+    while (i <= nb) { acc = insert(acc, b(i)); i += 1 }
+    acc
+  }
+  def finish(buf: Array[Long]): Seq[Long] =
+    buf.slice(1, buf(0).toInt + 1).sorted.toSeq
+  def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder()
   def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder()
 }
 

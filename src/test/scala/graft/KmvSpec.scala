@@ -240,17 +240,25 @@ class KmvSpec extends SparkTestBase {
     }
   }
 
-  test("aggregator invariants: sorted insert, full-buffer reject, distinct merge") {
+  test("aggregator invariants: bounded insert, full-buffer reject, distinct merge") {
+    // invariants observed through finish() — the buffer layout changed
+    // from a sorted List to the O(1)-reject heap (see KmvAggregator),
+    // but the observable set algebra is pinned unchanged
     val agg = new KmvAggregator(3)
     var buf = agg.zero
     for (x <- Seq(50L, 10L, 30L, 10L, 70L)) buf = agg.reduce(buf, x)
-    assert(buf === List(10L, 30L, 50L), "dup 10 dropped, 70 rejected (full, too large)")
+    assert(agg.finish(buf) === Seq(10L, 30L, 50L),
+      "dup 10 dropped, 70 rejected (full, too large)")
     buf = agg.reduce(buf, 5L)
-    assert(buf === List(5L, 10L, 30L), "smaller hash evicts the largest slot")
-    val other = List(7L, 10L, 90L)
-    assert(agg.merge(buf, other) === List(5L, 7L, 10L),
+    assert(agg.finish(buf) === Seq(5L, 10L, 30L),
+      "smaller hash evicts the largest slot")
+    var other = agg.zero
+    for (x <- Seq(7L, 10L, 90L)) other = agg.reduce(other, x)
+    val merged = agg.merge(buf, other)
+    assert(agg.finish(merged) === Seq(5L, 7L, 10L),
       "merge folds distinct union, keeps bottom k")
-    assert(agg.merge(buf, buf) === buf, "self-merge is a no-op")
+    assert(agg.finish(agg.merge(merged, merged)) === Seq(5L, 7L, 10L),
+      "self-merge is a no-op (every slot already present)")
   }
 
   test("joinSizeEst is exact in the unfilled regime (theta = 2^60)") {
