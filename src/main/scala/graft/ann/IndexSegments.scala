@@ -56,6 +56,30 @@ import org.apache.spark.sql.functions._
   */
 private[graft] object IndexSegments {
 
+  /** Carry an IMMUTABLE payload table from a committed version's
+    * directory into the version directory being built: a recursive
+    * filesystem copy, not a Spark read+rewrite. The carried artifact
+    * is frozen by family contract (dials never change off a build), so
+    * the copy IS the previous version's table — the same parquet
+    * bytes — while a Spark round-trip costs a scheduler round-trip, a
+    * full decode+re-encode, and a commit-protocol write per carried
+    * table per commit (guide §1.2: don't recompute what a copy
+    * preserves; the dial tables are KB-to-MB-sized at any corpus
+    * scale, so driver-side copy beats a distributed job everywhere).
+    * Readers are unchanged: they `spark.read.parquet` the carried dir
+    * exactly as before.
+    */
+  def carryDir(spark: SparkSession, src: String, dst: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val sp = new org.apache.hadoop.fs.Path(src)
+    val dp = new org.apache.hadoop.fs.Path(dst)
+    val sfs = sp.getFileSystem(conf)
+    val dfs = dp.getFileSystem(conf)
+    require(sfs.exists(sp), s"carry source $src does not exist")
+    org.apache.hadoop.fs.FileUtil.copy(sfs, sp, dfs, dp,
+      false /* deleteSource */, true /* overwrite */, conf)
+  }
+
   /** Marker label for a refresh: `delta` (id-less, additive) or
     * `delta:<id>` (replay-guarded).
     */
@@ -251,12 +275,10 @@ private[graft] object IndexSegments {
       }
     }
     val pdir = VersionedState.versionPath(stateDir, prev.get)
-    val dials = dialDirs.map(d => d -> spark.read.parquet(s"$pdir/$d"))
     val tomb = ids.select(col(ids.columns.head).as("id")).distinct()
     VersionedState.commit(spark, stateDir, prev, label = label) { vdir =>
-      dials.foreach { case (d, df) =>
-        df.write.mode("overwrite").parquet(s"$vdir/$d")
-      }
+      // dials are frozen: byte-identical FS carry, no Spark round-trip
+      dialDirs.foreach(d => carryDir(spark, s"$pdir/$d", s"$vdir/$d"))
       tomb.write.mode("overwrite").parquet(s"$vdir/tombstones")
     }
   }
@@ -360,7 +382,6 @@ private[graft] object IndexSegments {
     val cur = cs.last._1
     if (cur == base) return cur
     val pdir = VersionedState.versionPath(stateDir, cur)
-    val dials = dialDirs.map(d => d -> spark.read.parquet(s"$pdir/$d"))
     val folded = live(spark, stateDir).get
     val delivered = retainDelivered(
       deliveredLabelsOrdered(spark, stateDir, cs), maxDelivered, stateDir)
@@ -369,9 +390,8 @@ private[graft] object IndexSegments {
     // commit() materializes it BEFORE the post-marker GC deletes them
     VersionedState.commit(spark, stateDir, Some(cur), label = "base-compact",
       gcBelow = compactGcFloor(cs, next, retainHorizons)) { vdir =>
-      dials.foreach { case (d, df) =>
-        df.write.mode("overwrite").parquet(s"$vdir/$d")
-      }
+      // dials are frozen: byte-identical FS carry, no Spark round-trip
+      dialDirs.foreach(d => carryDir(spark, s"$pdir/$d", s"$vdir/$d"))
       folded.write.mode("overwrite").parquet(s"$vdir/segment")
       VersionedState.writeLines(spark, vdir, DeliveredFile, delivered)
     }

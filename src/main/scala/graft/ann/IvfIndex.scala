@@ -128,11 +128,13 @@ object IvfIndex {
       case Some(v) => return v // replayed delta: already committed
       case None    =>
     }
-    val stored = spark.read.parquet(
-      s"${VersionedState.versionPath(stateDir, prev.get)}/centroids")
+    val pdir = VersionedState.versionPath(stateDir, prev.get)
     VersionedState.commit(spark, stateDir, prev,
       label = IndexSegments.deltaLabel(deltaId)) { vdir =>
-      stored.write.mode("overwrite").parquet(s"$vdir/centroids")
+      // centroids are frozen off a build: byte-identical FS carry (no
+      // Spark round-trip); the routing still reads the COMMITTED
+      // artifact back from the fresh version dir
+      IndexSegments.carryDir(spark, s"$pdir/centroids", s"$vdir/centroids")
       assignTo(delta, idCol, vecCol,
           spark.read.parquet(s"$vdir/centroids"))
         .write.mode("overwrite").parquet(s"$vdir/segment")

@@ -75,7 +75,6 @@ object IvfPqIndex {
       case None    =>
     }
     val pdir = VersionedState.versionPath(stateDir, prev.get)
-    val coarseStored = spark.read.parquet(s"$pdir/coarse")
     val cbStored = spark.read.parquet(s"$pdir/codebooks")
     val mRow = cbStored.agg(max("sub")).head()
     require(!mRow.isNullAt(0),
@@ -84,8 +83,10 @@ object IvfPqIndex {
     val m = mRow.getInt(0) + 1
     VersionedState.commit(spark, stateDir, prev,
       label = IndexSegments.deltaLabel(deltaId)) { vdir =>
-      coarseStored.write.mode("overwrite").parquet(s"$vdir/coarse")
-      cbStored.write.mode("overwrite").parquet(s"$vdir/codebooks")
+      // coarse table + codebooks are frozen off a build: byte-identical
+      // FS carries (no Spark round-trips)
+      IndexSegments.carryDir(spark, s"$pdir/coarse", s"$vdir/coarse")
+      IndexSegments.carryDir(spark, s"$pdir/codebooks", s"$vdir/codebooks")
       val res = IvfPq.residuals(delta, idCol, vecCol,
         spark.read.parquet(s"$vdir/coarse")).localCheckpoint()
       Pq.assign(Pq.subvectors(res, "id", "rv", m),

@@ -85,9 +85,11 @@ object PqIndex {
       s"stored codebook table at $stateDir is empty — the index is " +
         "unusable; run build() with a non-empty seed set")
     val m = mRow.getInt(0) + 1
+    val pdir = VersionedState.versionPath(stateDir, prev.get)
     VersionedState.commit(spark, stateDir, prev,
       label = IndexSegments.deltaLabel(deltaId)) { vdir =>
-      stored.write.mode("overwrite").parquet(s"$vdir/codebooks")
+      // codebooks are frozen off a build: byte-identical FS carry
+      IndexSegments.carryDir(spark, s"$pdir/codebooks", s"$vdir/codebooks")
       Pq.assign(Pq.subvectors(delta, idCol, vecCol, m),
           spark.read.parquet(s"$vdir/codebooks"))
         .write.mode("overwrite").parquet(s"$vdir/segment")

@@ -112,10 +112,13 @@ object ClusterState {
     val next = prev.getOrElse(0L) + 1L
     VersionedState.commit(spark, stateDir, prev, label = "base",
       gcBelow = next) { vdir =>
-      lab.select(col(idCol).as("id"), col("cluster_id").as("label"))
-        .write.mode("overwrite").parquet(s"$vdir/labels")
-      pairs.select(col("id_a"), col("id_b"))
-        .write.mode("overwrite").parquet(s"$vdir/edges")
+      // independent payload tables: overlapped writes (guide §2.6),
+      // content and layout exactly the sequential ones
+      graft.operators.Par.both(
+        () => lab.select(col(idCol).as("id"), col("cluster_id").as("label"))
+          .write.mode("overwrite").parquet(s"$vdir/labels"),
+        () => pairs.select(col("id_a"), col("id_b"))
+          .write.mode("overwrite").parquet(s"$vdir/edges"))
     }
   }
 
@@ -218,10 +221,11 @@ object ClusterState {
       .select(col("id"), col("cluster_id").as("label"))
     VersionedState.commit(spark, stateDir, prev,
       label = IndexSegments.deltaLabel(deltaId)) { vdir =>
-      adds.write.mode("overwrite").parquet(s"$vdir/adds")
-      remap.write.mode("overwrite").parquet(s"$vdir/remap")
-      pairs.select(col("id_a"), col("id_b"))
-        .write.mode("overwrite").parquet(s"$vdir/edges")
+      graft.operators.Par.run[Unit](Seq(
+        () => adds.write.mode("overwrite").parquet(s"$vdir/adds"),
+        () => remap.write.mode("overwrite").parquet(s"$vdir/remap"),
+        () => pairs.select(col("id_a"), col("id_b"))
+          .write.mode("overwrite").parquet(s"$vdir/edges")))
     }
   }
 
@@ -284,8 +288,9 @@ object ClusterState {
       .where(col("cluster_id") =!= col("old_label"))
       .select(col("id"), col("cluster_id").as("label"))
     VersionedState.commit(spark, stateDir, prev, label = label) { vdir =>
-      victims.write.mode("overwrite").parquet(s"$vdir/removals")
-      relabel.write.mode("overwrite").parquet(s"$vdir/relabel")
+      graft.operators.Par.both(
+        () => victims.write.mode("overwrite").parquet(s"$vdir/removals"),
+        () => relabel.write.mode("overwrite").parquet(s"$vdir/relabel"))
     }
   }
 
@@ -403,8 +408,9 @@ object ClusterState {
     val next = cur + 1
     VersionedState.commit(spark, stateDir, Some(cur), label = "base-compact",
       gcBelow = IndexSegments.compactGcFloor(cs, next, retainHorizons)) { vdir =>
-      folded.write.mode("overwrite").parquet(s"$vdir/labels")
-      foldedEdges.write.mode("overwrite").parquet(s"$vdir/edges")
+      graft.operators.Par.both(
+        () => folded.write.mode("overwrite").parquet(s"$vdir/labels"),
+        () => foldedEdges.write.mode("overwrite").parquet(s"$vdir/edges"))
       VersionedState.writeLines(spark, vdir, IndexSegments.DeliveredFile,
         delivered)
     }

@@ -1884,25 +1884,114 @@ object EmbeddingQueries {
         val cc0 = e.select(col("vec_id").as("cand_id"),
           col("embedding").as("cv"), col("nrm").as("cn"))
         def cosSim = Knn.dot(col("qv"), col("cv")) / (col("qn") * col("cn"))
-        // ---- ground truths (cosine + L2), the cosine one doubling as
-        // the brute rung's own answer
-        val bp = broadcast(qc).join(cc0, col("q_id") =!= col("cand_id"))
-          .select(col("q_id"), col("cand_id"), cosSim.as("sim"))
-          .localCheckpoint()
-        val gc = Knn.topKSelect(bp, LongType, k)
-          .select("q_id", "rk", "cand_id").localCheckpoint()
-        val ql = emb.where(col("vec_id") < 10)
-          .select(col("vec_id").as("q_id"), col("embedding").as("qlv"))
-        val lp = broadcast(ql).join(emb, col("vec_id") =!= col("q_id"))
-          .select(col("q_id"), (-Pq.sqdist(col("qlv"), col("embedding"))).as("sim"),
-            col("vec_id").as("cand_id"))
-        val gl = Knn.topKSelect(lp, LongType, k)
-          .select("q_id", "rk", "cand_id").localCheckpoint()
         def gtCounts(gt: DataFrame): DataFrame = gt.agg(
           count(lit(1)).as("gt5"),
           sum(when(col("rk") === 1, 1L).otherwise(0L)).as("gt1"))
-        val gcn = gtCounts(gc).localCheckpoint()
-        val gln = gtCounts(gl).localCheckpoint()
+        val ql = emb.where(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qlv"))
+        // ---- the seven rungs' EAGER materializations (ground truths,
+        // prefilters, codebook trainings) are independent given the
+        // shared emb/e checkpoints — submit them from a small driver
+        // pool (guide §2.6) so one rung's stage tail back-fills with
+        // the next rung's tasks. Each arm's content is exactly the
+        // sequential one; only driver-side call order overlaps.
+        val arms = graft.operators.Par.run[Seq[DataFrame]](Seq(
+          () => { // cosine ground truth, doubling as the brute answer
+            val bp = broadcast(qc).join(cc0, col("q_id") =!= col("cand_id"))
+              .select(col("q_id"), col("cand_id"), cosSim.as("sim"))
+              .localCheckpoint()
+            val gc = Knn.topKSelect(bp, LongType, k)
+              .select("q_id", "rk", "cand_id").localCheckpoint()
+            Seq(bp, gc, gtCounts(gc).localCheckpoint())
+          },
+          () => { // L2 ground truth
+            val lp = broadcast(ql).join(emb, col("vec_id") =!= col("q_id"))
+              .select(col("q_id"),
+                (-Pq.sqdist(col("qlv"), col("embedding"))).as("sim"),
+                col("vec_id").as("cand_id"))
+            val gl = Knn.topKSelect(lp, LongType, k)
+              .select("q_id", "rk", "cand_id").localCheckpoint()
+            Seq(gl, gtCounts(gl).localCheckpoint())
+          },
+          () => { // JL prefilter (q160's dial)
+            val pn = Project.project(emb, "vec_id", "embedding", 64, 16)
+              .select(col("vec_id"), col("proj"),
+                Project.l2normD(col("proj")).as("pnrm"))
+              .where(col("pnrm") > 0).localCheckpoint()
+            val jq = pn.where(col("vec_id") < 10).select(col("vec_id").as("q_id"),
+              col("proj").as("qp"), col("pnrm").as("qpn"))
+            val jc = pn.select(col("vec_id").as("cand_id"),
+              col("proj").as("cp"), col("pnrm").as("cpn"))
+            val jps = broadcast(jq).join(jc, col("q_id") =!= col("cand_id"))
+              .select(col("q_id"), col("cand_id"),
+                round(Project.dotD(col("qp"), col("cp")) / (col("qpn") * col("cpn")), 6)
+                  .as("sim"))
+              .localCheckpoint()
+            val jpre = Knn.topKSelect(jps, LongType, 30)
+              .select("q_id", "cand_id").localCheckpoint()
+            Seq(jps, jpre)
+          },
+          () => Seq( // SRP bucket prefilter (q62's 8x4 dial)
+            Knn.srpRetrieveCandidates(emb, "vec_id", "embedding", 64,
+              col("vec_id") < 10).localCheckpoint()),
+          () => { // IVF nprobe=2 (q64's dial)
+            val cent = e.where(col("vec_id") % 50 === 0)
+              .select(col("vec_id").as("centroid_id"),
+                col("embedding").as("cent_vec"), col("nrm").as("cent_nrm"))
+              .localCheckpoint()
+            val iasg = e.crossJoin(broadcast(cent))
+              .select(col("vec_id"),
+                col("centroid_id"),
+                (Knn.dot(col("embedding"), col("cent_vec"))
+                  / (col("nrm") * col("cent_nrm"))).as("cs"))
+              .groupBy("vec_id")
+              .agg(max_by(col("centroid_id"), struct(col("cs"), -col("centroid_id")))
+                .as("centroid_id"))
+            val iprb = broadcast(qc).crossJoin(broadcast(cent))
+              .select(col("q_id"),
+                col("centroid_id"),
+                (Knn.dot(col("qv"), col("cent_vec"))
+                  / (col("qn") * col("cent_nrm"))).as("cs"))
+              .withColumn("rk", row_number().over(
+                Window.partitionBy("q_id").orderBy(col("cs").desc, col("centroid_id"))))
+              .where(col("rk") <= 2).select("q_id", "centroid_id")
+            val icand = e.join(iasg, "vec_id").select(col("vec_id").as("cand_id"),
+              col("embedding").as("cv"), col("nrm").as("cn"), col("centroid_id"))
+            val ip = iprb.join(broadcast(qc), "q_id").join(icand, Seq("centroid_id"))
+              .where(col("q_id") =!= col("cand_id"))
+              .select(col("q_id"), col("cand_id"), cosSim.as("sim"))
+              .localCheckpoint()
+            Seq(cent, ip)
+          },
+          () => { // PQ-ADC (q186's dial)
+            val cb = Pq.trainCodebooks(emb, "vec_id", "embedding", m = 4,
+              seedPred = col("vec_id") < 16, iters = 2)
+            val codes = Pq.assign(Pq.subvectors(emb, "vec_id", "embedding", 4), cb)
+            Seq(Pq.adcTopK(emb.where(col("vec_id") < 10),
+              "vec_id", "embedding", codes, cb, m = 4, k = k))
+          },
+          () => { // IVF-PQ with exact rerank (q200's chain)
+            val vcc = emb.where(col("vec_id") % 50 === 0)
+              .select(col("vec_id").as("bid"), col("embedding").as("bvec"))
+            val vres = IvfPq.residuals(emb, "vec_id", "embedding", vcc)
+              .localCheckpoint()
+            val vcb = Pq.trainCodebooks(vres, "id", "rv", m = 4,
+              seedPred = col("id") < 16, iters = 1)
+            val vcodes = Pq.assign(Pq.subvectors(vres, "id", "rv", 4), vcb)
+              .join(vres.select("id", "bid"), "id").localCheckpoint()
+            val vprobes = IvfPq.probeResiduals(emb.where(col("vec_id") < 10),
+              "vec_id", "embedding", vcc, nprobe = 2).localCheckpoint()
+            val vadc = IvfPq.searchAdc(vprobes, vcodes, vcb, m = 4, k = 15)
+              .localCheckpoint()
+            Seq(vcodes, vprobes, vadc)
+          }))
+        val Seq(bp, gc, gcn) = arms(0)
+        val Seq(gl, gln) = arms(1)
+        val Seq(jps, jpre) = arms(2)
+        val Seq(scand) = arms(3)
+        val Seq(cent, ip) = arms(4)
+        val Seq(psel) = arms(5)
+        val Seq(vcodes, vprobes, vadc) = arms(6)
         def hits(sel: DataFrame, gt: DataFrame): DataFrame = {
           val h5 = gt.select("q_id", "cand_id")
             .join(sel.select("q_id", "cand_id"), Seq("q_id", "cand_id"))
@@ -1929,21 +2018,6 @@ object EmbeddingQueries {
         val bRow = methodRow("brute", "cosine", "exact full scan",
           zero, bp.agg(count(lit(1)).as("exact_pairs")), gc, gc, gcn)
         // ---- JL prefilter-rerank (q160's dial)
-        val pn = Project.project(emb, "vec_id", "embedding", 64, 16)
-          .select(col("vec_id"), col("proj"),
-            Project.l2normD(col("proj")).as("pnrm"))
-          .where(col("pnrm") > 0).localCheckpoint()
-        val jq = pn.where(col("vec_id") < 10).select(col("vec_id").as("q_id"),
-          col("proj").as("qp"), col("pnrm").as("qpn"))
-        val jc = pn.select(col("vec_id").as("cand_id"),
-          col("proj").as("cp"), col("pnrm").as("cpn"))
-        val jps = broadcast(jq).join(jc, col("q_id") =!= col("cand_id"))
-          .select(col("q_id"), col("cand_id"),
-            round(Project.dotD(col("qp"), col("cp")) / (col("qpn") * col("cpn")), 6)
-              .as("sim"))
-          .localCheckpoint()
-        val jpre = Knn.topKSelect(jps, LongType, 30)
-          .select("q_id", "cand_id").localCheckpoint()
         val jsel = Knn.topKSelect(
           jpre.join(broadcast(qc), "q_id").join(cc0, "cand_id")
             .select(col("q_id"), col("cand_id"), cosSim.as("sim")),
@@ -1952,8 +2026,6 @@ object EmbeddingQueries {
           jps.agg(count(lit(1)).as("coarse_pairs")),
           jpre.agg(count(lit(1)).as("exact_pairs")), jsel, gc, gcn)
         // ---- SRP bucket prefilter (q62's 8x4 dial, retrieval form)
-        val scand = Knn.srpRetrieveCandidates(emb, "vec_id", "embedding", 64,
-          col("vec_id") < 10).localCheckpoint()
         val ssel = Knn.topKSelect(
           scand.join(broadcast(qc), "q_id").join(cc0, "cand_id")
             .select(col("q_id"), col("cand_id"), cosSim.as("sim")),
@@ -1962,32 +2034,6 @@ object EmbeddingQueries {
           zero, scand.agg(count(lit(1)).as("exact_pairs")), ssel, gc, gcn)
         // ---- IVF nprobe=2 (q64's dial), scored relation shared by the
         // count and the top-k
-        val cent = e.where(col("vec_id") % 50 === 0)
-          .select(col("vec_id").as("centroid_id"),
-            col("embedding").as("cent_vec"), col("nrm").as("cent_nrm"))
-          .localCheckpoint()
-        val iasg = e.crossJoin(broadcast(cent))
-          .select(col("vec_id"),
-            col("centroid_id"),
-            (Knn.dot(col("embedding"), col("cent_vec"))
-              / (col("nrm") * col("cent_nrm"))).as("cs"))
-          .groupBy("vec_id")
-          .agg(max_by(col("centroid_id"), struct(col("cs"), -col("centroid_id")))
-            .as("centroid_id"))
-        val iprb = broadcast(qc).crossJoin(broadcast(cent))
-          .select(col("q_id"),
-            col("centroid_id"),
-            (Knn.dot(col("qv"), col("cent_vec"))
-              / (col("qn") * col("cent_nrm"))).as("cs"))
-          .withColumn("rk", row_number().over(
-            Window.partitionBy("q_id").orderBy(col("cs").desc, col("centroid_id"))))
-          .where(col("rk") <= 2).select("q_id", "centroid_id")
-        val icand = e.join(iasg, "vec_id").select(col("vec_id").as("cand_id"),
-          col("embedding").as("cv"), col("nrm").as("cn"), col("centroid_id"))
-        val ip = iprb.join(broadcast(qc), "q_id").join(icand, Seq("centroid_id"))
-          .where(col("q_id") =!= col("cand_id"))
-          .select(col("q_id"), col("cand_id"), cosSim.as("sim"))
-          .localCheckpoint()
         val isel = Knn.topKSelect(ip, LongType, k)
         val iCoarse = qc.agg(count(lit(1)).as("a"))
           .crossJoin(cent.agg(count(lit(1)).as("b")))
@@ -1996,29 +2042,12 @@ object EmbeddingQueries {
           iCoarse, ip.agg(count(lit(1)).as("exact_pairs")), isel, gc, gcn)
         // ---- PQ-ADC (q186's dial): every candidate priced at table
         // lookups, no exact stage
-        val cb = Pq.trainCodebooks(emb, "vec_id", "embedding", m = 4,
-          seedPred = col("vec_id") < 16, iters = 2)
-        val codes = Pq.assign(Pq.subvectors(emb, "vec_id", "embedding", 4), cb)
-        val psel = Pq.adcTopK(emb.where(col("vec_id") < 10),
-          "vec_id", "embedding", codes, cb, m = 4, k = k)
         val pCoarse = ql.agg(count(lit(1)).as("a"))
           .crossJoin(emb.agg(count(lit(1)).as("b")))
           .select((col("a") * (col("b") - 1)).as("coarse_pairs"))
         val pRow = methodRow("pq", "l2", "m=4 codes=16 iters=2",
           pCoarse, zeroEx, psel, gl, gln)
         // ---- IVF-PQ with exact rerank (q200's chain, shortlist 15)
-        val vcc = emb.where(col("vec_id") % 50 === 0)
-          .select(col("vec_id").as("bid"), col("embedding").as("bvec"))
-        val vres = IvfPq.residuals(emb, "vec_id", "embedding", vcc)
-          .localCheckpoint()
-        val vcb = Pq.trainCodebooks(vres, "id", "rv", m = 4,
-          seedPred = col("id") < 16, iters = 1)
-        val vcodes = Pq.assign(Pq.subvectors(vres, "id", "rv", 4), vcb)
-          .join(vres.select("id", "bid"), "id").localCheckpoint()
-        val vprobes = IvfPq.probeResiduals(emb.where(col("vec_id") < 10),
-          "vec_id", "embedding", vcc, nprobe = 2).localCheckpoint()
-        val vadc = IvfPq.searchAdc(vprobes, vcodes, vcb, m = 4, k = 15)
-          .localCheckpoint()
         val vsel = IvfPq.rerankExact(vadc, emb, "vec_id", "embedding")
           .where(col("rk") <= k)
         val vCoarse = vprobes.select("q_id", "bid").distinct()
@@ -3251,10 +3280,13 @@ object EmbeddingQueries {
         val ivfDir = s"${System.getProperty("java.io.tmpdir")}/graft_q284iv_$tag"
         val mDir = s"${System.getProperty("java.io.tmpdir")}/graft_q284mf_$tag"
         Seq(bmDir, ivfDir, mDir).foreach(EventQueries.cleanupOnExit)
-        // the serving stack exists BEFORE the verdict: cut 1
-        val bv1 = Bm25State.build(trt, "doc_id", "tokens", bmDir)
-        val iv1 = IvfIndex.build(tre, "vec_id", "embedding",
-          col("vec_id") % 50 === 0, iters = 2, ivfDir)
+        // the serving stack exists BEFORE the verdict: cut 1 — the two
+        // single-writer dirs are independent, so the builds overlap
+        // from a driver pool (guide §2.6); commits/payloads unchanged
+        val (bv1, iv1) = graft.operators.Par.both(
+          () => Bm25State.build(trt, "doc_id", "tokens", bmDir),
+          () => IvfIndex.build(tre, "vec_id", "embedding",
+            col("vec_id") % 50 === 0, iters = 2, ivfDir))
         StateManifest.commit(s, mDir,
           Map("bm" -> (bmDir, bv1), "ivf" -> (ivfDir, iv1)))
         // the contamination verdict, delivered twice to EACH artifact
@@ -3264,10 +3296,17 @@ object EmbeddingQueries {
         val contam = ExactSubstr.windowHashes(trt, "doc_id", "tokens", 6)
           .join(needles, "h").select(col("doc").as("doc_id")).distinct()
           .localCheckpoint() // both erasures + their replays read it
-        val bv2 = Bm25State.delete(contam, "doc_id", bmDir, "decon1")
-        Bm25State.delete(contam, "doc_id", bmDir, "decon1") // replayed: no-op
-        val iv2 = IvfIndex.delete(contam, ivfDir, "decon1")
-        IvfIndex.delete(contam, ivfDir, "decon1") // replayed: no-op
+        val (bv2, iv2) = graft.operators.Par.both(
+          () => {
+            val v = Bm25State.delete(contam, "doc_id", bmDir, "decon1")
+            Bm25State.delete(contam, "doc_id", bmDir, "decon1") // replayed: no-op
+            v
+          },
+          () => {
+            val v = IvfIndex.delete(contam, ivfDir, "decon1")
+            IvfIndex.delete(contam, ivfDir, "decon1") // replayed: no-op
+            v
+          })
         // cut 2: both erased versions become visible ATOMICALLY
         StateManifest.commit(s, mDir,
           Map("bm" -> (bmDir, bv2), "ivf" -> (ivfDir, iv2)))
@@ -3652,18 +3691,28 @@ object EmbeddingQueries {
           .localCheckpoint() // the train split AND the batch scores read it
         val featSeed = feat.where(col("doc_id") % 3 === 0)
           .localCheckpoint() // 8 GD scans + the train-acc scan read it
-        val vQm = QualityModel.fit(featSeed, qmDir, "m1")
-        require(QualityModel.fit(featSeed, qmDir, "m1") == vQm,
-          "a replayed trainer id must be a no-op")
         // cut 1: all four state families + the pinned model born
-        // together under ONE manifest commit
-        val biV1 = BandedIndex.build(seed, "doc_id", "tokens", biDir)
-        val bmV1 = Bm25State.build(seed, "doc_id", "tokens", bmDir)
-        val ivfV1 = IvfIndex.build(emb.where(col("vec_id") % 3 === 0),
-          "vec_id", "embedding", col("vec_id") % 50 === 0, iters = 2, ivfDir)
-        val clV1 = ClusterState.build(seed.select("doc_id"), "doc_id",
-          seed.select(col("doc_id").as("id_a"), col("doc_id").as("id_b"))
-            .limit(0), clDir)
+        // together under ONE manifest commit. The five births write to
+        // FIVE independent single-writer state dirs, so their driver
+        // calls overlap from a small pool (guide §2.6) — each family's
+        // commits, versions and payloads are byte-identical to the
+        // sequential order; only idle stage tails back-fill
+        val Seq(vQm, biV1, bmV1, ivfV1, clV1) =
+          graft.operators.Par.run[Long](Seq(
+            () => {
+              val v = QualityModel.fit(featSeed, qmDir, "m1")
+              require(QualityModel.fit(featSeed, qmDir, "m1") == v,
+                "a replayed trainer id must be a no-op")
+              v
+            },
+            () => BandedIndex.build(seed, "doc_id", "tokens", biDir),
+            () => Bm25State.build(seed, "doc_id", "tokens", bmDir),
+            () => IvfIndex.build(emb.where(col("vec_id") % 3 === 0),
+              "vec_id", "embedding", col("vec_id") % 50 === 0, iters = 2,
+              ivfDir),
+            () => ClusterState.build(seed.select("doc_id"), "doc_id",
+              seed.select(col("doc_id").as("id_a"), col("doc_id").as("id_b"))
+                .limit(0), clDir)))
         StateManifest.commit(s, mDir, Map(
           "bi" -> (biDir, biV1), "bm" -> (bmDir, bmV1),
           "ivf" -> (ivfDir, ivfV1), "cl" -> (clDir, clV1),
@@ -3705,23 +3754,35 @@ object EmbeddingQueries {
         // survivors flow into ALL FOUR members under ONE delta id,
         // each delivered twice (replay no-ops); the serving path runs
         // with the whole-doc contract enforced UP FRONT
-        BandedIndex.refresh(admitted, "doc_id", "tokens", biDir, "a1")
-        val biV2 = BandedIndex.refresh(admitted, "doc_id", "tokens", biDir, "a1")
-        Bm25State.refresh(admitted, "doc_id", "tokens", bmDir, "a1",
-          requireNewDocs = true)
-        val bmV2 = Bm25State.refresh(admitted, "doc_id", "tokens", bmDir, "a1",
-          requireNewDocs = true)
         val admittedEmb = emb.join(
             admitted.select(col("doc_id").as("vec_id")), Seq("vec_id"),
             "left_semi")
           .localCheckpoint() // two refresh deliveries read it
-        IvfIndex.refresh(admittedEmb, "vec_id", "embedding", ivfDir, "a1")
-        val ivfV2 = IvfIndex.refresh(admittedEmb, "vec_id", "embedding",
-          ivfDir, "a1")
-        ClusterState.refresh(admitted.select("doc_id"), "doc_id", edges,
-          clDir, "a1")
-        val clV2 = ClusterState.refresh(admitted.select("doc_id"), "doc_id",
-          edges, clDir, "a1")
+        // four independent per-family refresh chains (double delivery
+        // stays ORDERED within each family — the replay guard reads the
+        // first delivery's marker) overlapped across families (§2.6)
+        val Seq(biV2, bmV2, ivfV2, clV2) =
+          graft.operators.Par.run[Long](Seq(
+            () => {
+              BandedIndex.refresh(admitted, "doc_id", "tokens", biDir, "a1")
+              BandedIndex.refresh(admitted, "doc_id", "tokens", biDir, "a1")
+            },
+            () => {
+              Bm25State.refresh(admitted, "doc_id", "tokens", bmDir, "a1",
+                requireNewDocs = true)
+              Bm25State.refresh(admitted, "doc_id", "tokens", bmDir, "a1",
+                requireNewDocs = true)
+            },
+            () => {
+              IvfIndex.refresh(admittedEmb, "vec_id", "embedding", ivfDir, "a1")
+              IvfIndex.refresh(admittedEmb, "vec_id", "embedding", ivfDir, "a1")
+            },
+            () => {
+              ClusterState.refresh(admitted.select("doc_id"), "doc_id", edges,
+                clDir, "a1")
+              ClusterState.refresh(admitted.select("doc_id"), "doc_id", edges,
+                clDir, "a1")
+            }))
         StateManifest.commit(s, mDir, Map(
           "bi" -> (biDir, biV2), "bm" -> (bmDir, bmV2),
           "ivf" -> (ivfDir, ivfV2), "cl" -> (clDir, clV2),
@@ -3732,14 +3793,26 @@ object EmbeddingQueries {
           .unionByName(admitted.select("doc_id"))
           .where(col("doc_id") % 11 === 5)
           .localCheckpoint() // four deletes + the meta count read it
-        BandedIndex.delete(erased, "doc_id", biDir, "e1")
-        val biV3 = BandedIndex.delete(erased, "doc_id", biDir, "e1")
-        Bm25State.delete(erased, "doc_id", bmDir, "e1")
-        val bmV3 = Bm25State.delete(erased, "doc_id", bmDir, "e1")
-        IvfIndex.delete(erased, ivfDir, "e1")
-        val ivfV3 = IvfIndex.delete(erased, ivfDir, "e1")
-        ClusterState.delete(erased, clDir, "e1")
-        val clV3 = ClusterState.delete(erased, clDir, "e1")
+        // the one erasure verdict's four per-family delete chains,
+        // overlapped the same way (ordered within a family, §2.6)
+        val Seq(biV3, bmV3, ivfV3, clV3) =
+          graft.operators.Par.run[Long](Seq(
+            () => {
+              BandedIndex.delete(erased, "doc_id", biDir, "e1")
+              BandedIndex.delete(erased, "doc_id", biDir, "e1")
+            },
+            () => {
+              Bm25State.delete(erased, "doc_id", bmDir, "e1")
+              Bm25State.delete(erased, "doc_id", bmDir, "e1")
+            },
+            () => {
+              IvfIndex.delete(erased, ivfDir, "e1")
+              IvfIndex.delete(erased, ivfDir, "e1")
+            },
+            () => {
+              ClusterState.delete(erased, clDir, "e1")
+              ClusterState.delete(erased, clDir, "e1")
+            }))
         StateManifest.commit(s, mDir, Map(
           "bi" -> (biDir, biV3), "bm" -> (bmDir, bmV3),
           "ivf" -> (ivfDir, ivfV3), "cl" -> (clDir, clV3),

@@ -854,28 +854,39 @@ object MultimodalQueries {
         val tver = Dedup.verifyJaccard(toks, "doc_id", "tokens", tcand)
           .where(col("jaccard") >= 0.5)
           .select(col("id_a"), col("id_b"), lit("text").as("m"))
-        val ipay = ids.as[Long].mapPartitions(_.map(id =>
-            (id, Multimodal.variantPngPayload(id / 4, (id % 4).toInt, 8, 8))))
-          .toDF("doc_id", "payload")
-        val ih = Multimodal.decodeDHashes(ipay, "doc_id", "payload")
-          .localCheckpoint()
+        // the three payload decode passes are independent given the
+        // ids checkpoint — overlap their eager materializations from a
+        // driver pool (guide §2.6); per-modality content unchanged
+        val Seq(ih, ah, vh) =
+          graft.operators.Par.run[org.apache.spark.sql.DataFrame](Seq(
+          () => {
+            val ipay = ids.as[Long].mapPartitions(_.map(id =>
+                (id, Multimodal.variantPngPayload(id / 4, (id % 4).toInt, 8, 8))))
+              .toDF("doc_id", "payload")
+            Multimodal.decodeDHashes(ipay, "doc_id", "payload")
+              .localCheckpoint()
+          },
+          () => {
+            val apay = ids.as[Long].mapPartitions(_.map { id =>
+                val g = id / 4
+                val n = (((g * 7) % 6).toInt + 2) * 60
+                (id, Multimodal.variantWavBytes(g, (id % 4).toInt, n, 8000))
+              })
+              .toDF("doc_id", "payload")
+            Multimodal.decodeAudioHashes(apay, "doc_id", "payload")
+              .localCheckpoint()
+          },
+          () => {
+            val vpay = ids.as[Long].mapPartitions(_.map(id =>
+                (id, Multimodal.variantY4mPayload(id / 4, (id % 4).toInt, 4, 4, 60))))
+              .toDF("doc_id", "payload")
+            Multimodal.decodeVideoHashes(vpay, "doc_id", "payload")
+              .localCheckpoint() // both banded self-join sides read it
+          }))
         val iver = Multimodal.bandedHammingPairs(ih, "id", "dhash", 50, 6)
           .select(col("id_a"), col("id_b"), lit("image").as("m"))
-        val apay = ids.as[Long].mapPartitions(_.map { id =>
-            val g = id / 4
-            val n = (((g * 7) % 6).toInt + 2) * 60
-            (id, Multimodal.variantWavBytes(g, (id % 4).toInt, n, 8000))
-          })
-          .toDF("doc_id", "payload")
-        val ah = Multimodal.decodeAudioHashes(apay, "doc_id", "payload")
-          .localCheckpoint()
         val aver = Multimodal.bandedHammingPairs(ah, "id", "ahash", 50, 6)
           .select(col("id_a"), col("id_b"), lit("audio").as("m"))
-        val vpay = ids.as[Long].mapPartitions(_.map(id =>
-            (id, Multimodal.variantY4mPayload(id / 4, (id % 4).toInt, 4, 4, 60))))
-          .toDF("doc_id", "payload")
-        val vh = Multimodal.decodeVideoHashes(vpay, "doc_id", "payload")
-          .localCheckpoint() // both banded self-join sides read it
         val vver = Multimodal.bandedHammingPairs(vh, "id", "vhash", 50, 6)
           .select(col("id_a"), col("id_b"), lit("video").as("m"))
         val pairs = tver.unionByName(iver).unionByName(aver).unionByName(vver)

@@ -1747,15 +1747,39 @@ object RelationalQueries {
             (col("l_orderkey") % 8 === 7).as("is_delta"),
             concat_ws("-", col("l_partkey"), col("l_suppkey")).as("item"))
           .localCheckpoint()
-        // ---- KMV: one md5 + relational dedup pass serves the stored,
-        // delta AND full builds (q153's single-hash-pass shape)
-        val dfp = li.select(col("l_returnflag"), col("is_delta"),
-            Kmv.hash60(col("item")).as("h"))
-          .distinct()
-          .localCheckpoint()
-        dfp.where(!col("is_delta")).groupBy("l_returnflag")
-          .agg(Kmv.bottomKUnique(k)(col("h")).as("kmv"))
-          .write.mode("overwrite").parquet(s"$stDir/kmv")
+        // ---- the KMV and HLL branches are independent given the li
+        // checkpoint: their eager hash passes + stored-sketch writes
+        // overlap from a driver pool (guide §2.6); content unchanged
+        val (dfp, (hashed, mergedH)) = graft.operators.Par.both(
+          () => {
+            // KMV: one md5 + relational dedup pass serves the stored,
+            // delta AND full builds (q153's single-hash-pass shape)
+            val dfp = li.select(col("l_returnflag"), col("is_delta"),
+                Kmv.hash60(col("item")).as("h"))
+              .distinct()
+              .localCheckpoint()
+            dfp.where(!col("is_delta")).groupBy("l_returnflag")
+              .agg(Kmv.bottomKUnique(k)(col("h")).as("kmv"))
+              .write.mode("overwrite").parquet(s"$stDir/kmv")
+            dfp
+          },
+          () => {
+            // HLL: one (j, rho) projection serves all three register
+            // builds (q148's shape)
+            val hashed = li.select(col("l_returnflag"), col("is_delta"),
+                HyperLogLog.register(col("item"), m).as("j"),
+                HyperLogLog.rank(col("item")).as("rho"))
+              .localCheckpoint()
+            hashed.where(!col("is_delta")).groupBy("l_returnflag", "j")
+              .agg(max("rho").as("mreg"))
+              .write.mode("overwrite").parquet(s"$stDir/hll")
+            val deltaH = hashed.where(col("is_delta"))
+              .groupBy("l_returnflag", "j").agg(max("rho").as("mreg"))
+            val mergedH = HyperLogLog
+              .merge(s.read.parquet(s"$stDir/hll"), deltaH)
+              .localCheckpoint() // 2 consumers: drift compare + estimate
+            (hashed, mergedH)
+          })
         val deltaK = dfp.where(col("is_delta")).groupBy("l_returnflag")
           .agg(Kmv.bottomKUnique(k)(col("h")).as("kmv_d"))
         // the stored sketch comes back off DISK — the merge below never
@@ -1773,20 +1797,6 @@ object RelationalQueries {
           .select(col("l_returnflag"), col("kmv_m"),
             when(col("kmv_f") === col("kmv_m"), 0L).otherwise(1L)
               .as("kmv_drift"))
-        // ---- HLL: one (j, rho) projection serves all three register
-        // builds (q148's shape)
-        val hashed = li.select(col("l_returnflag"), col("is_delta"),
-            HyperLogLog.register(col("item"), m).as("j"),
-            HyperLogLog.rank(col("item")).as("rho"))
-          .localCheckpoint()
-        hashed.where(!col("is_delta")).groupBy("l_returnflag", "j")
-          .agg(max("rho").as("mreg"))
-          .write.mode("overwrite").parquet(s"$stDir/hll")
-        val deltaH = hashed.where(col("is_delta"))
-          .groupBy("l_returnflag", "j").agg(max("rho").as("mreg"))
-        val mergedH = HyperLogLog
-          .merge(s.read.parquet(s"$stDir/hll"), deltaH)
-          .localCheckpoint() // 2 consumers: drift compare + estimate
         val fullH = hashed.groupBy("l_returnflag", "j")
           .agg(max("rho").as("mreg"))
         val hllDrift = mergedH.withColumnRenamed("mreg", "m_merged")

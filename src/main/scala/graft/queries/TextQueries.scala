@@ -4361,8 +4361,13 @@ object TextQueries {
               lit(nBands * rpb).as("n_hashes"),
               col("n_candidates"), col("n_caught"))
         }
-        Seq((4, 2), (8, 2), (4, 4), (8, 4))
-          .map { case (b, r) => dialRow(b, r) }
+        // the four dials are independent arms whose only eager step is
+        // each candidate set's localCheckpoint — submit them from a
+        // small pool (guide §2.6) so one dial's stage tail back-fills
+        // with the next dial's tasks; per-dial results are unchanged
+        graft.operators.Par.run(
+          Seq((4, 2), (8, 2), (4, 4), (8, 4))
+            .map { case (b, r) => () => dialRow(b, r) })
           .reduce(_ unionByName _)
           .crossJoin(broadcast(nTrue)).crossJoin(broadcast(nPoss))
           .select(col("bands"), col("rows_per_band"), col("n_hashes"),
@@ -5052,9 +5057,12 @@ object TextQueries {
         Seq(esDir, csDir, mDir).foreach(EventQueries.cleanupOnExit)
         val hist = toks.where(col("doc_id") % 5 =!= 4)
         val delta = toks.where(col("doc_id") % 5 === 4)
-        ExactSubstr.build(hist, "doc_id", "tokens", L = 8, esDir)
-        ClusterState.build(hist.select("doc_id"), "doc_id",
-          pairs.where(col("id_a") % 5 =!= 4 && col("id_b") % 5 =!= 4), csDir)
+        // two independent single-writer dirs: builds overlapped (§2.6)
+        graft.operators.Par.both(
+          () => ExactSubstr.build(hist, "doc_id", "tokens", L = 8, esDir),
+          () => ClusterState.build(hist.select("doc_id"), "doc_id",
+            pairs.where(col("id_a") % 5 =!= 4 && col("id_b") % 5 =!= 4),
+            csDir))
         StateManifest.commit(s, mDir,
           Map("es" -> (esDir, 1L), "cs" -> (csDir, 1L)))
         // the pipeline advances ONE member, then "crashes" before the
@@ -5707,9 +5715,11 @@ object TextQueries {
         Seq(bmDir, nsDir, mDir).foreach(EventQueries.cleanupOnExit)
         val trWindows = ExactSubstr.windowHashes(tr, "doc_id", "tokens", L)
           .localCheckpoint() // both verdicts read it
-        // cut 1: index + needle state born together
-        val bv1 = Bm25State.build(tr, "doc_id", "tokens", bmDir)
-        val nv1 = ExactSubstr.build(ev1, "doc_id", "tokens", L, nsDir)
+        // cut 1: index + needle state born together — independent
+        // single-writer dirs, builds overlapped (§2.6)
+        val (bv1, nv1) = graft.operators.Par.both(
+          () => Bm25State.build(tr, "doc_id", "tokens", bmDir),
+          () => ExactSubstr.build(ev1, "doc_id", "tokens", L, nsDir))
         StateManifest.commit(s, mDir,
           Map("bm" -> (bmDir, bv1), "ns" -> (nsDir, nv1)))
         // excision round 1: the verdict derives from the PINNED needle
@@ -6034,9 +6044,12 @@ object TextQueries {
         val bmDir = s"${System.getProperty("java.io.tmpdir")}/graft_q290bm_$tag"
         val mDir = s"${System.getProperty("java.io.tmpdir")}/graft_q290mf_$tag"
         Seq(biDir, bmDir, mDir).foreach(EventQueries.cleanupOnExit)
-        // cut 1: admission state + serving index born together
-        val biV1 = BandedIndex.build(seed, "doc_id", "tokens", biDir)
-        val bmV1 = Bm25State.build(seed, "doc_id", "tokens", bmDir)
+        // cut 1: admission state + serving index born together — two
+        // independent single-writer dirs, so the builds overlap from a
+        // driver pool (guide §2.6); commits/payloads unchanged
+        val (biV1, bmV1) = graft.operators.Par.both(
+          () => BandedIndex.build(seed, "doc_id", "tokens", biDir),
+          () => Bm25State.build(seed, "doc_id", "tokens", bmDir))
         StateManifest.commit(s, mDir,
           Map("bi" -> (biDir, biV1), "bm" -> (bmDir, bmV1)))
         val cut1 = StateManifest.resolve(s, mDir).get
@@ -6065,12 +6078,19 @@ object TextQueries {
         // docs the first call made live is still a no-op). The serving
         // path enforces the whole-doc contract UP FRONT: a split
         // arrival is rejected here, not discovered by the drift gate
-        BandedIndex.refresh(admitted, "doc_id", "tokens", biDir, "b1")
-        val biV2 = BandedIndex.refresh(admitted, "doc_id", "tokens", biDir, "b1")
-        Bm25State.refresh(admitted, "doc_id", "tokens", bmDir, "b1",
-          requireNewDocs = true)
-        val bmV2 = Bm25State.refresh(admitted, "doc_id", "tokens", bmDir, "b1",
-          requireNewDocs = true)
+        // per-family double-delivery chains overlapped across the two
+        // dirs (ordered within each — the replay guard reads delivery 1)
+        val (biV2, bmV2) = graft.operators.Par.both(
+          () => {
+            BandedIndex.refresh(admitted, "doc_id", "tokens", biDir, "b1")
+            BandedIndex.refresh(admitted, "doc_id", "tokens", biDir, "b1")
+          },
+          () => {
+            Bm25State.refresh(admitted, "doc_id", "tokens", bmDir, "b1",
+              requireNewDocs = true)
+            Bm25State.refresh(admitted, "doc_id", "tokens", bmDir, "b1",
+              requireNewDocs = true)
+          })
         StateManifest.commit(s, mDir,
           Map("bi" -> (biDir, biV2), "bm" -> (bmDir, bmV2))) // cut 2
         // ONE erasure verdict propagates through BOTH members under
@@ -6078,10 +6098,15 @@ object TextQueries {
         val erased = seed.unionByName(admitted)
           .where(col("doc_id") % 11 === 5).select("doc_id")
           .localCheckpoint() // both deletes + the meta count read it
-        BandedIndex.delete(erased, "doc_id", biDir, "e1")
-        val biV3 = BandedIndex.delete(erased, "doc_id", biDir, "e1")
-        Bm25State.delete(erased, "doc_id", bmDir, "e1")
-        val bmV3 = Bm25State.delete(erased, "doc_id", bmDir, "e1")
+        val (biV3, bmV3) = graft.operators.Par.both(
+          () => {
+            BandedIndex.delete(erased, "doc_id", biDir, "e1")
+            BandedIndex.delete(erased, "doc_id", biDir, "e1")
+          },
+          () => {
+            Bm25State.delete(erased, "doc_id", bmDir, "e1")
+            Bm25State.delete(erased, "doc_id", bmDir, "e1")
+          })
         StateManifest.commit(s, mDir,
           Map("bi" -> (biDir, biV3), "bm" -> (bmDir, bmV3))) // cut 3
         // serve through BOTH cuts: pinned asOf reads, pruned postings
@@ -6394,8 +6419,12 @@ object TextQueries {
             "doc_id", "tokens", seedCand)
           .where(col("jaccard") >= 0.5).select("id_a", "id_b")
           .localCheckpoint() // the build reads it
-        BandedIndex.build(seed, "doc_id", "tokens", biDir)
-        ClusterState.build(seed.select("doc_id"), "doc_id", seedEdges, csDir)
+        // two independent single-writer dirs: the builds overlap from a
+        // driver pool (guide §2.6); commits and payloads unchanged
+        graft.operators.Par.both(
+          () => BandedIndex.build(seed, "doc_id", "tokens", biDir),
+          () => ClusterState.build(seed.select("doc_id"), "doc_id",
+            seedEdges, csDir))
         // one admission round: screen off the maintained banded state,
         // verify with the TWO-THRESHOLD verdict, feed BOTH states under
         // one id (each delivered twice)
@@ -6422,12 +6451,20 @@ object TextQueries {
           val edges = ver.where(col("jaccard") < 0.8)
             .join(admitted.select(col("doc_id").as("id_a")), "id_a")
             .select("id_a", "id_b")
-          BandedIndex.refresh(admitted, "doc_id", "tokens", biDir, deltaId)
-          BandedIndex.refresh(admitted, "doc_id", "tokens", biDir, deltaId) // replayed: no-op
-          ClusterState.refresh(admitted.select("doc_id"), "doc_id",
-            edges, csDir, deltaId)
-          ClusterState.refresh(admitted.select("doc_id"), "doc_id",
-            edges, csDir, deltaId) // replayed: no-op
+          // both families' double-delivery chains overlap across the
+          // two dirs (ordered within each — replay guard reads
+          // delivery 1); commits and payloads unchanged (§2.6)
+          graft.operators.Par.both(
+            () => {
+              BandedIndex.refresh(admitted, "doc_id", "tokens", biDir, deltaId)
+              BandedIndex.refresh(admitted, "doc_id", "tokens", biDir, deltaId) // replayed: no-op
+            },
+            () => {
+              ClusterState.refresh(admitted.select("doc_id"), "doc_id",
+                edges, csDir, deltaId)
+              ClusterState.refresh(admitted.select("doc_id"), "doc_id",
+                edges, csDir, deltaId) // replayed: no-op
+            })
           admitted
         }
         val adm1 = admit(toks.where(col("doc_id") % 3 === 1), "b1")
@@ -6437,10 +6474,15 @@ object TextQueries {
           .unionByName(adm1.select("doc_id"))
           .where(col("doc_id") % 13 === 6)
           .localCheckpoint() // both deletes read it
-        BandedIndex.delete(erased, "doc_id", biDir, "e1")
-        BandedIndex.delete(erased, "doc_id", biDir, "e1")
-        ClusterState.delete(erased, csDir, "e1")
-        ClusterState.delete(erased, csDir, "e1")
+        graft.operators.Par.both(
+          () => {
+            BandedIndex.delete(erased, "doc_id", biDir, "e1")
+            BandedIndex.delete(erased, "doc_id", biDir, "e1")
+          },
+          () => {
+            ClusterState.delete(erased, csDir, "e1")
+            ClusterState.delete(erased, csDir, "e1")
+          })
         // round 2 screens against the POST-ERASURE corpus
         val adm2 = admit(toks.where(col("doc_id") % 3 === 2), "b2")
         // the gate output: the maintained labels over exactly the

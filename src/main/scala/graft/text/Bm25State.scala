@@ -189,8 +189,12 @@ object Bm25State {
           (-col("dl")).as("dl")),
           l.select(col("doc"), (-col("dl")).as("dl")))
       else (p, l)
-    writePostings(ps, nB, vdir, splits)
-    ls.write.mode("overwrite").parquet(s"$vdir/doclen")
+    // two independent tables of one commit payload: overlap the writes
+    // from the driver pool (guide §2.6) — each write's content and
+    // layout are exactly the sequential ones
+    graft.operators.Par.both(
+      () => writePostings(ps, nB, vdir, splits),
+      () => ls.write.mode("overwrite").parquet(s"$vdir/doclen"))
   }
 
   /** Full (re)build: the inverted index of the entire corpus given,
@@ -354,8 +358,9 @@ object Bm25State {
       .select(col("doc"), (-col("dl")).as("dl"))
     val label = if (deltaId.isEmpty) "drop" else s"drop:$deltaId"
     VersionedState.commit(spark, stateDir, prev, label = label) { vdir =>
-      writePostings(p, nB, vdir)
-      l.write.mode("overwrite").parquet(s"$vdir/doclen")
+      graft.operators.Par.both(
+        () => writePostings(p, nB, vdir),
+        () => l.write.mode("overwrite").parquet(s"$vdir/doclen"))
     }
   }
 
@@ -508,8 +513,9 @@ object Bm25State {
     VersionedState.commit(spark, stateDir, Some(cur),
       label = baseLabel("base-compact", nB),
       gcBelow = IndexSegments.compactGcFloor(cs, next, retainHorizons)) { vdir =>
-      writePostings(p, nB, vdir, writeSplits)
-      l.write.mode("overwrite").parquet(s"$vdir/doclen")
+      graft.operators.Par.both(
+        () => writePostings(p, nB, vdir, writeSplits),
+        () => l.write.mode("overwrite").parquet(s"$vdir/doclen"))
       VersionedState.writeLines(spark, vdir, IndexSegments.DeliveredFile,
         delivered)
     }
