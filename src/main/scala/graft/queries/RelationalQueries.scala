@@ -530,14 +530,18 @@ object RelationalQueries {
             concat_ws("-", col("l_partkey"), col("l_suppkey")).as("item"))
           .localCheckpoint()
         val keys = Seq("l_returnflag")
-        // derive whole AND shard registers from one (j, rho) projection
-        // over the materialized item table: two md5 passes instead of
-        // three, and no second corpus-sized materialization (the hash
-        // step stays a lazy map over li's checkpoint)
+        // ONE materialized (j, rho) projection serves the shard AND
+        // whole register builds: the lazy form re-ran the md5 register/
+        // rank chain in each consumer's eager agg (two hash passes);
+        // checkpointing the projection itself makes both aggs cheap
+        // scans of cached primitive rows (guide §1.2 — don't recompute;
+        // shard/whole registers still aggregate INDEPENDENTLY, so the
+        // merge-drift gate still compares two genuinely separate builds)
         val hashed = li.select(col("l_returnflag"),
             (col("l_orderkey") % 2).as("par"),
             HyperLogLog.register(col("item"), m).as("j"),
             HyperLogLog.rank(col("item")).as("rho"))
+          .localCheckpoint()
         val shardRegs = hashed
           .groupBy(col("l_returnflag"), col("par"), col("j"))
           .agg(max("rho").as("mreg"))

@@ -53,13 +53,18 @@ object NaiveBayes {
       explode(col(tokensCol)).as("token"))
     val clt = trTok.groupBy("label", "token").agg(count(lit(1)).as("c"))
       .localCheckpoint()
-    val totl = clt.groupBy("label").agg(sum("c").as("tot")).localCheckpoint()
-    // vocabulary size from the aggregated count table, not another pass
-    // over the exploded training tokens
-    val vocab = clt.agg(countDistinct("token").as("v")).localCheckpoint()
-    val nTrain = train.agg(count(lit(1)).as("n"))
-    val prior = train.groupBy(col(labelCol).as("label")).agg(count(lit(1)).as("nd"))
-      .crossJoin(broadcast(nTrain)).localCheckpoint()
+    // the three derived tables are independent given the clt
+    // checkpoint — overlap their materializations (guide §2.6);
+    // vocabulary size comes from the aggregated count table, not
+    // another pass over the exploded training tokens
+    val Seq(totl, vocab, prior) = graft.operators.Par.run[DataFrame](Seq(
+      () => clt.groupBy("label").agg(sum("c").as("tot")).localCheckpoint(),
+      () => clt.agg(countDistinct("token").as("v")).localCheckpoint(),
+      () => {
+        val nTrain = train.agg(count(lit(1)).as("n"))
+        train.groupBy(col(labelCol).as("label")).agg(count(lit(1)).as("nd"))
+          .crossJoin(broadcast(nTrain)).localCheckpoint()
+      }))
     Model(clt, totl, vocab, prior)
   }
 
