@@ -752,13 +752,16 @@ object RelationalQueries {
             Kmv.hash60(col("item")).as("h"))
           .distinct()
           .localCheckpoint()
-        val whole = dfp.select(col("l_returnflag"), col("h")).distinct()
-          .groupBy("l_returnflag")
-          .agg(Kmv.bottomKUnique(k)(col("h")).as("kmv"))
-          .localCheckpoint() // 2 consumers: drift compare + output row
-        val shards = dfp.groupBy("l_returnflag", "par")
-          .agg(Kmv.bottomKUnique(k)(col("h")).as("kmv"))
-          .localCheckpoint() // 2 consumers: shard A and shard B
+        // whole and shard builds are independent given dfp — overlap
+        // their eager aggs from the driver pool (guide §2.6)
+        val (whole, shards) = graft.operators.Par.both(
+          () => dfp.select(col("l_returnflag"), col("h")).distinct()
+            .groupBy("l_returnflag")
+            .agg(Kmv.bottomKUnique(k)(col("h")).as("kmv"))
+            .localCheckpoint(), // 2 consumers: drift compare + output row
+          () => dfp.groupBy("l_returnflag", "par")
+            .agg(Kmv.bottomKUnique(k)(col("h")).as("kmv"))
+            .localCheckpoint()) // 2 consumers: shard A and shard B
         val merged = shards.where(col("par") === 0)
           .select(col("l_returnflag"), col("kmv").as("ka"))
           .join(shards.where(col("par") === 1)
