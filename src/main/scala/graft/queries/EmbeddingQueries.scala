@@ -3283,19 +3283,25 @@ object EmbeddingQueries {
         // the serving stack exists BEFORE the verdict: cut 1 — the two
         // single-writer dirs are independent, so the builds overlap
         // from a driver pool (guide §2.6); commits/payloads unchanged
-        val (bv1, iv1) = graft.operators.Par.both(
+        // the contamination-verdict derivation is independent of both
+        // builds — all three overlap from the driver pool
+        val Seq(bv1x, iv1x, contamX) = graft.operators.Par.run[Any](Seq(
           () => Bm25State.build(trt, "doc_id", "tokens", bmDir),
           () => IvfIndex.build(tre, "vec_id", "embedding",
-            col("vec_id") % 50 === 0, iters = 2, ivfDir))
+            col("vec_id") % 50 === 0, iters = 2, ivfDir),
+          () => {
+            // the contamination verdict, delivered twice to EACH artifact
+            val needles = ExactSubstr.windowHashes(
+                toks.where(col("doc_id") % 19 === 5), "doc_id", "tokens", 6)
+              .select("h").distinct()
+            ExactSubstr.windowHashes(trt, "doc_id", "tokens", 6)
+              .join(needles, "h").select(col("doc").as("doc_id")).distinct()
+              .localCheckpoint() // both erasures + their replays read it
+          }))
+        val (bv1, iv1) = (bv1x.asInstanceOf[Long], iv1x.asInstanceOf[Long])
+        val contam = contamX.asInstanceOf[org.apache.spark.sql.DataFrame]
         StateManifest.commit(s, mDir,
           Map("bm" -> (bmDir, bv1), "ivf" -> (ivfDir, iv1)))
-        // the contamination verdict, delivered twice to EACH artifact
-        val needles = ExactSubstr.windowHashes(
-            toks.where(col("doc_id") % 19 === 5), "doc_id", "tokens", 6)
-          .select("h").distinct()
-        val contam = ExactSubstr.windowHashes(trt, "doc_id", "tokens", 6)
-          .join(needles, "h").select(col("doc").as("doc_id")).distinct()
-          .localCheckpoint() // both erasures + their replays read it
         val (bv2, iv2) = graft.operators.Par.both(
           () => {
             val v = Bm25State.delete(contam, "doc_id", bmDir, "decon1")
@@ -3987,21 +3993,28 @@ object EmbeddingQueries {
           dir.replaceAll("[^A-Za-z0-9._-]", "_") +
           "_p" + ProcessHandle.current.pid + "_" + q266Runs.incrementAndGet()
         EventQueries.cleanupOnExit(stDir)
-        // the index predates the dedup verdict: built on EVERYTHING
-        IvfIndex.build(emb, "vec_id", "embedding",
-          col("vec_id") % 50 === 0, iters = 2, stDir)
-        // q30's verdict: in each duplicate bag-of-words fingerprint
-        // group, every doc but the min-id keeper is a loser
-        val fpt = TextQueries.tokenized(s, dir)
-          .select(col("doc_id"),
-            md5(concat_ws(" ", array_sort(array_distinct(col("tokens")))))
-              .as("fp"))
-          .localCheckpoint() // keeper agg + loser join + group count read it
-        val keep = fpt.groupBy("fp").agg(min("doc_id").as("keeper"))
-          .localCheckpoint() // loser join + dup-group count read it
-        val losers = fpt.join(keep, "fp")
-          .where(col("doc_id") =!= col("keeper"))
-          .select("doc_id").localCheckpoint() // delete + survivor anti-join
+        // the index predates the dedup verdict: built on EVERYTHING.
+        // The build (embeddings) and the verdict derivation (documents)
+        // are independent inputs — overlap them (guide §2.6)
+        val (_, (fpt, keep, losers)) = graft.operators.Par.both(
+          () => IvfIndex.build(emb, "vec_id", "embedding",
+            col("vec_id") % 50 === 0, iters = 2, stDir),
+          () => {
+            // q30's verdict: in each duplicate bag-of-words fingerprint
+            // group, every doc but the min-id keeper is a loser
+            val fpt = TextQueries.tokenized(s, dir)
+              .select(col("doc_id"),
+                md5(concat_ws(" ", array_sort(array_distinct(col("tokens")))))
+                  .as("fp"))
+              .localCheckpoint() // keeper agg + loser join + group count
+            val keep = fpt.groupBy("fp").agg(min("doc_id").as("keeper"))
+              .localCheckpoint() // loser join + dup-group count read it
+            val losers = fpt.join(keep, "fp")
+              .where(col("doc_id") =!= col("keeper"))
+              .select("doc_id")
+              .localCheckpoint() // delete + survivor anti-join
+            (fpt, keep, losers)
+          })
         val nGroups = fpt.join(keep, "fp")
           .groupBy("fp").agg(count(lit(1)).as("c"))
           .where(col("c") > 1)

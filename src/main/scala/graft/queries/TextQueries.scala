@@ -5415,13 +5415,18 @@ object TextQueries {
           dir.replaceAll("[^A-Za-z0-9._-]", "_") +
           "_p" + ProcessHandle.current.pid + "_" + q274Runs.incrementAndGet()
         EventQueries.cleanupOnExit(stDir)
-        // the serving index exists BEFORE the verdict
-        Bm25State.build(tr, "doc_id", "tokens", stDir)
-        val needles = ExactSubstr.windowHashes(ev, "doc_id", "tokens", L)
-          .select("h").distinct()
-        val contam = ExactSubstr.windowHashes(tr, "doc_id", "tokens", L)
-          .join(needles, "h").select(col("doc").as("doc_id")).distinct()
-          .localCheckpoint() // the erasure negates postings AND doclen
+        // the serving index exists BEFORE the verdict; the build and
+        // the contamination-verdict derivation are independent inputs —
+        // overlap them (guide §2.6)
+        val (_, contam) = graft.operators.Par.both(
+          () => Bm25State.build(tr, "doc_id", "tokens", stDir),
+          () => {
+            val needles = ExactSubstr.windowHashes(ev, "doc_id", "tokens", L)
+              .select("h").distinct()
+            ExactSubstr.windowHashes(tr, "doc_id", "tokens", L)
+              .join(needles, "h").select(col("doc").as("doc_id")).distinct()
+              .localCheckpoint() // the erasure negates postings AND doclen
+          })
         // the verdict, delivered twice under one id
         Bm25State.delete(contam, "doc_id", stDir, deltaId = "decon1")
         Bm25State.delete(contam, "doc_id", stDir, deltaId = "decon1") // replayed: no-op
@@ -5713,13 +5718,16 @@ object TextQueries {
         val nsDir = s"${System.getProperty("java.io.tmpdir")}/graft_q286ns_$tag"
         val mDir = s"${System.getProperty("java.io.tmpdir")}/graft_q286mf_$tag"
         Seq(bmDir, nsDir, mDir).foreach(EventQueries.cleanupOnExit)
-        val trWindows = ExactSubstr.windowHashes(tr, "doc_id", "tokens", L)
-          .localCheckpoint() // both verdicts read it
         // cut 1: index + needle state born together — independent
-        // single-writer dirs, builds overlapped (§2.6)
-        val (bv1, nv1) = graft.operators.Par.both(
+        // single-writer dirs; the train-window pass is independent of
+        // both, so all three overlap (§2.6)
+        val Seq(bv1x, nv1x, trwX) = graft.operators.Par.run[Any](Seq(
           () => Bm25State.build(tr, "doc_id", "tokens", bmDir),
-          () => ExactSubstr.build(ev1, "doc_id", "tokens", L, nsDir))
+          () => ExactSubstr.build(ev1, "doc_id", "tokens", L, nsDir),
+          () => ExactSubstr.windowHashes(tr, "doc_id", "tokens", L)
+            .localCheckpoint())) // both verdicts read it
+        val (bv1, nv1) = (bv1x.asInstanceOf[Long], nv1x.asInstanceOf[Long])
+        val trWindows = trwX.asInstanceOf[DataFrame]
         StateManifest.commit(s, mDir,
           Map("bm" -> (bmDir, bv1), "ns" -> (nsDir, nv1)))
         // excision round 1: the verdict derives from the PINNED needle
